@@ -1,0 +1,813 @@
+"""The fluent Pipeline DSL — kapacitor's node-chain surface re-expressed as
+composition of Spark DataFrame transformations.
+
+Design (SURVEY.md §7): each DSL method immediately composes a *lazy* Spark
+DataFrame transformation and returns a new immutable ``Pipeline``. There is
+no separate interpreter/physical planner — the DataFrame *is* the logical
+plan and Catalyst is the optimizer. This is deliberately NOT the reference
+architecture (one goroutine per node, channel edges, per-group receivers —
+/root/reference/edge/consumer.go, /root/reference/node.go): in Spark,
+group-parallelism is partitioning, per-node pipelining is whole-stage
+codegen, and ordering state machines become window functions.
+
+Carried metadata:
+    time_col   name of the event-time column ("time" in the reference's
+               point model, /root/reference/models/point.go)
+    dims       current group-by dimension columns (the reference's GroupID,
+               /root/reference/models/point.go:82 — composite keys are
+               native in Spark so no string serialization is needed)
+    window     pending WindowSpec set by .window(); consumed by aggregates
+
+Scale notes: every per-group ordered transform (derivative, difference,
+stateCount, …) compiles to a window function over
+``partitionBy(dims).orderBy(time)`` — one shuffle on the group key, then
+sorted within partitions; at 100 TB the dims must be reasonably
+high-cardinality (hosts, services) which matches the reference's data
+model. Aggregations are plain hash aggregates with map-side partial
+aggregation. Joins are equi-joins on (bucketed time, dims) which AQE can
+convert to broadcast when one side is small.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field, replace
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kapacitor_spark.durations import parse_duration, to_interval
+
+__all__ = ["Pipeline", "WindowSpec"]
+
+
+def _col(c: str | Column) -> Column:
+    return F.expr(c) if isinstance(c, str) else c
+
+
+@dataclass(frozen=True)
+class WindowSpec:
+    """Pending .window() — consumed by the next aggregation.
+
+    Mirrors /root/reference/pipeline/window.go:12-54 (period/every/align/
+    fillPeriod). Count windows (periodCount/everyCount,
+    /root/reference/window.go:360) are handled by
+    operators.count_window (batch) / streaming state (stream).
+    """
+
+    period: float  # seconds
+    every: float   # seconds; == period → tumbling
+    align: bool = True
+    fill_period: bool = False
+    emit: str = "start"  # which boundary becomes the output time col
+
+    @property
+    def is_sliding(self) -> bool:
+        return self.every < self.period
+
+
+@dataclass(frozen=True)
+class Pipeline:
+    """One edge of the dataflow DAG = one DataFrame + point-model metadata."""
+
+    df: DataFrame
+    time_col: str = "time"
+    dims: tuple[str, ...] = ()
+    window: WindowSpec | None = None
+    results: dict = field(default_factory=dict, compare=False)
+
+    # ------------------------------------------------------------------ #
+    # sources (reference: stream|from() /root/reference/stream.go:41,
+    #          batch|query() /root/reference/batch.go:168)
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def from_df(
+        cls, df: DataFrame, time_col: str = "time", dims: Sequence[str] = ()
+    ) -> "Pipeline":
+        return cls(df=df, time_col=time_col, dims=tuple(dims))
+
+    @classmethod
+    def from_parquet(
+        cls,
+        spark: SparkSession,
+        path: str,
+        time_col: str = "time",
+        dims: Sequence[str] = (),
+        where: str | Column | None = None,
+    ) -> "Pipeline":
+        """``from()`` analog: scan + optional predicate.
+
+        The predicate is applied immediately so Catalyst pushes it into the
+        parquet scan (the reference ships its WHERE to InfluxDB the same
+        way, /root/reference/query.go:37-70).
+        """
+        from kapacitor_spark.session import read_table
+
+        df = read_table(spark, path)
+        if where is not None:
+            df = df.filter(_col(where))
+        return cls(df=df, time_col=time_col, dims=tuple(dims))
+
+    # ------------------------------------------------------------------ #
+    # plumbing
+    # ------------------------------------------------------------------ #
+
+    def _with(self, df: DataFrame, **kw) -> "Pipeline":
+        kw.setdefault("window", None)
+        return replace(self, df=df, **kw)
+
+    def _ordered(self) -> Window:
+        """Per-group event-time window frame — the Spark analog of the
+        reference's per-group receiver ordering (/root/reference/edge/grouped.go)."""
+        w = Window.partitionBy(*[F.col(d) for d in self.dims]) if self.dims else Window.partitionBy()
+        return w.orderBy(self.time_col)
+
+    @property
+    def time(self) -> Column:
+        return F.col(self.time_col)
+
+    def result(self) -> DataFrame:
+        return self.df
+
+    def explain(self, mode: str = "formatted") -> "Pipeline":
+        self.df.explain(mode)
+        return self
+
+    # ------------------------------------------------------------------ #
+    # §2.2 projections / per-row transforms
+    # ------------------------------------------------------------------ #
+
+    def where(self, cond: str | Column) -> "Pipeline":
+        """Filter points (/root/reference/where.go:89-99)."""
+        return self._with(self.df.filter(_col(cond)))
+
+    def eval(
+        self,
+        keep: bool | Sequence[str] = True,
+        **named_exprs: str | Column,
+    ) -> "Pipeline":
+        """Ordered expression evaluation (/root/reference/eval.go:91-172).
+
+        Each named expression is evaluated in order and is visible to later
+        ones (a chain of withColumn, exactly the reference's sequential
+        scope updates). ``keep=False`` keeps only time+dims+outputs
+        (the reference's default of dropping input fields,
+        /root/reference/pipeline/eval.go:130); ``keep=[...]`` keeps a subset.
+        """
+        df = self.df
+        for name, expr in named_exprs.items():
+            df = df.withColumn(name, _col(expr))
+        if keep is True:
+            return self._with(df)
+        keep_cols = list(keep) if not isinstance(keep, bool) else []
+        out = [self.time_col, *self.dims, *keep_cols, *named_exprs.keys()]
+        seen, cols = set(), []
+        for c in out:
+            if c not in seen and c in df.columns:
+                seen.add(c)
+                cols.append(c)
+        return self._with(df.select(*cols))
+
+    def default(self, **values) -> "Pipeline":
+        """Fill missing fields/tags with constants (/root/reference/default.go:84-110)."""
+        df = self.df
+        for name, v in values.items():
+            if name in df.columns:
+                df = df.withColumn(name, F.coalesce(F.col(name), F.lit(v)))
+            else:
+                df = df.withColumn(name, F.lit(v))
+        return self._with(df)
+
+    def delete(self, *cols: str) -> "Pipeline":
+        """Drop fields/tags; dropping a grouped dim regroups
+        (/root/reference/delete.go:96-130)."""
+        df = self.df.drop(*cols)
+        dims = tuple(d for d in self.dims if d not in cols)
+        return self._with(df, dims=dims)
+
+    def shift(self, duration: str | float) -> "Pipeline":
+        """Shift timestamps by ±duration (/root/reference/shift.go:43-65)."""
+        shifted = F.col(self.time_col) + F.expr(f"INTERVAL {to_interval(duration)}")
+        return self._with(self.df.withColumn(self.time_col, shifted))
+
+    def group_by(self, *dims: str, exclude: Sequence[str] = ()) -> "Pipeline":
+        """Re-key the stream on a dim subset (/root/reference/group_by.go:62-74).
+
+        In Spark this is pure metadata — the shuffle happens at the next
+        aggregation/window-function, and Catalyst reuses partitioning
+        across stages where possible.
+        """
+        if dims == ("*",):
+            raise ValueError("groupBy('*') requires explicit tag columns in the typed model")
+        new = tuple(d for d in dims if d not in exclude)
+        return self._with(self.df, dims=new)
+
+    def sample(self, n: int | None = None, every: str | None = None) -> "Pipeline":
+        """Keep every Nth point per group, or points on duration boundaries
+        (/root/reference/sample.go:97-110: counter%N==0, or
+        t.Truncate(d)==t)."""
+        if n is not None:
+            rn = F.row_number().over(self._ordered())
+            df = (
+                self.df.withColumn("__rn", rn)
+                .filter((F.col("__rn") - 1) % n == 0)
+                .drop("__rn")
+            )
+            return self._with(df)
+        if every is not None:
+            us = round(parse_duration(every) * 1_000_000)
+            keep = (F.unix_micros(self.time) % F.lit(us)) == 0
+            return self._with(self.df.filter(keep))
+        raise ValueError("sample() needs n or every")
+
+    def log(self, n: int = 20) -> "Pipeline":
+        """Debug passthrough (/root/reference/log.go)."""
+        self.df.show(n, truncate=False)
+        return self
+
+    # ------------------------------------------------------------------ #
+    # §2.5 per-point stream transforms (window functions)
+    # ------------------------------------------------------------------ #
+
+    def derivative(
+        self,
+        fld: str,
+        unit: str | float = "1s",
+        non_negative: bool = False,
+        as_: str | None = None,
+    ) -> "Pipeline":
+        """Rate of change per unit time (/root/reference/derivative.go:127-170):
+        (cur-prev)/(Δt/unit); the first point per group is dropped; with
+        nonNegative(), negative results are dropped too."""
+        out = as_ or fld
+        w = self._ordered()
+        unit_s = parse_duration(unit)
+        dv = F.col(fld) - F.lag(fld).over(w)
+        dt = (
+            F.unix_micros(self.time) - F.unix_micros(F.lag(self.time_col).over(w))
+        ) / 1_000_000.0
+        deriv = dv / (dt / F.lit(unit_s))
+        df = self.df.withColumn("__d", deriv).filter(F.col("__d").isNotNull())
+        if non_negative:
+            df = df.filter(F.col("__d") >= 0)
+        df = df.withColumn(out, F.col("__d")).drop("__d")
+        if out != fld:
+            df = df.drop(fld) if fld in df.columns and out != fld else df
+        return self._with(df)
+
+    def difference(self, fld: str, as_: str | None = None) -> "Pipeline":
+        """cur - prev per group (/root/reference/pipeline/influxql.go:519);
+        first point dropped."""
+        out = as_ or fld
+        w = self._ordered()
+        d = F.col(fld) - F.lag(fld).over(w)
+        return self._with(
+            self.df.withColumn("__d", d)
+            .filter(F.col("__d").isNotNull())
+            .withColumn(out, F.col("__d"))
+            .drop("__d")
+        )
+
+    def elapsed(self, unit: str | float = "1s", as_: str = "elapsed") -> "Pipeline":
+        """Δt from previous point in units (/root/reference/pipeline/influxql.go:493);
+        first point dropped. Output is an integer count of units, matching
+        influxdb's elapsed()."""
+        w = self._ordered()
+        unit_us = round(parse_duration(unit) * 1_000_000)
+        e = (
+            (F.unix_micros(self.time) - F.unix_micros(F.lag(self.time_col).over(w)))
+            / F.lit(unit_us)
+        ).cast("long")
+        return self._with(
+            self.df.withColumn(as_, e).filter(F.col(as_).isNotNull())
+        )
+
+    def moving_average(self, fld: str, window: int, as_: str | None = None) -> "Pipeline":
+        """Trailing moving average over the last ``window`` points per group
+        (/root/reference/pipeline/influxql.go:536); emits only once the
+        window is full (influxdb semantics)."""
+        out = as_ or fld
+        w = self._ordered()
+        avg = F.avg(fld).over(w.rowsBetween(-(window - 1), 0))
+        rn = F.row_number().over(w)
+        df = (
+            self.df.withColumn("__ma", avg)
+            .withColumn("__rn", rn)
+            .filter(F.col("__rn") >= window)
+            .withColumn(out, F.col("__ma"))
+            .drop("__ma", "__rn")
+        )
+        return self._with(df)
+
+    def cumulative_sum(self, fld: str, as_: str | None = None) -> "Pipeline":
+        """Running sum per group (/root/reference/pipeline/influxql.go:584)."""
+        out = as_ or fld
+        w = self._ordered().rowsBetween(Window.unboundedPreceding, 0)
+        return self._with(self.df.withColumn(out, F.sum(fld).over(w)))
+
+    def change_detect(self, *flds: str) -> "Pipeline":
+        """Drop points whose monitored fields all equal the previous point's
+        (/root/reference/change_detect.go:110-140)."""
+        w = self._ordered()
+        conds = []
+        for f_ in flds:
+            lagged = F.lag(f_).over(w)
+            conds.append(
+                lagged.isNull() | (F.col(f_) != lagged) | (F.col(f_).isNull() & lagged.isNotNull())
+            )
+        keep = conds[0]
+        for c in conds[1:]:
+            keep = keep | c
+        return self._with(
+            self.df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")
+        )
+
+    def _streak_id(self, cond: Column) -> tuple[DataFrame, Column]:
+        """Shared streak machinery for stateDuration/stateCount
+        (/root/reference/state_tracking.go:111-189): a new streak starts
+        whenever the predicate flips false→true; implemented as a running
+        count of predicate-boundaries — one shuffle, no Python."""
+        w = self._ordered()
+        df = self.df.withColumn("__ok", cond)
+        boundary = (
+            F.when(
+                F.col("__ok")
+                & ~F.coalesce(F.lag("__ok").over(w), F.lit(False)),
+                1,
+            ).otherwise(0)
+        )
+        df = df.withColumn(
+            "__streak",
+            F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        return df, F.col("__ok")
+
+    def state_count(self, cond: str | Column, as_: str = "state_count") -> "Pipeline":
+        """Consecutive-true counter, -1 when false
+        (/root/reference/state_tracking.go:153-189)."""
+        df, ok = self._streak_id(_col(cond))
+        w = (
+            Window.partitionBy(*[F.col(d) for d in self.dims], F.col("__streak"))
+            .orderBy(self.time_col)
+        )
+        cnt = F.when(ok, F.row_number().over(w)).otherwise(F.lit(-1)).cast("long")
+        return self._with(df.withColumn(as_, cnt).drop("__ok", "__streak"))
+
+    def state_duration(
+        self, cond: str | Column, unit: str | float = "1s", as_: str = "state_duration"
+    ) -> "Pipeline":
+        """Time spent with predicate continuously true, in units; -1 when
+        false; 0 at streak start (/root/reference/state_tracking.go:111-151)."""
+        df, ok = self._streak_id(_col(cond))
+        w = Window.partitionBy(*[F.col(d) for d in self.dims], F.col("__streak")).orderBy(
+            self.time_col
+        )
+        unit_us = round(parse_duration(unit) * 1_000_000)
+        dur = (
+            (F.unix_micros(self.time) - F.unix_micros(F.min(self.time_col).over(w)))
+            / F.lit(float(unit_us))
+        )
+        out = F.when(ok, dur).otherwise(F.lit(-1.0))
+        return self._with(df.withColumn(as_, out).drop("__ok", "__streak"))
+
+    # ------------------------------------------------------------------ #
+    # §2.4 windowing
+    # ------------------------------------------------------------------ #
+
+    def window_time(
+        self,
+        period: str | float,
+        every: str | float | None = None,
+        align: bool = True,
+        fill_period: bool = False,
+        emit: str = "start",
+    ) -> "Pipeline":
+        """Declare a time window (/root/reference/window.go:80-358); consumed
+        by the next aggregation, which compiles to
+        ``groupBy(F.window(time, period, every), *dims)`` — Spark's native
+        sliding/tumbling windows.
+
+        Divergences from the reference (documented per SURVEY §7): windows
+        are [start, stop) aligned to the epoch (reference default is
+        first-point-relative and (start, stop]); emitted time = window
+        start by default (reference emits at stop).
+        """
+        p = parse_duration(period)
+        e = p if every is None else parse_duration(every)
+        if e <= 0 or p <= 0:
+            raise ValueError("window period/every must be > 0 (count windows: window_count())")
+        spec = WindowSpec(period=p, every=e, align=align, fill_period=fill_period, emit=emit)
+        return replace(self, window=spec)
+
+    # alias matching the reference chain-method name
+    def window_(self, *a, **kw) -> "Pipeline":
+        return self.window_time(*a, **kw)
+
+    def _window_grouping(self) -> tuple[DataFrame, list[Column], list[str]]:
+        """Resolve (df, groupBy columns, output key columns) for the pending
+        window + dims."""
+        dims_cols = [F.col(d) for d in self.dims]
+        if self.window is None:
+            return self.df, dims_cols, list(self.dims)
+        spec = self.window
+        win = F.window(
+            self.time,
+            f"{round(spec.period * 1_000_000)} microseconds",
+            f"{round(spec.every * 1_000_000)} microseconds",
+        )
+        df = self.df.withColumn("__w", win)
+        if spec.fill_period:
+            # only emit windows fully covered by data: window_start >= per-group
+            # first event time. Broadcast the tiny per-group min back in.
+            g = (
+                df.groupBy(*dims_cols)
+                .agg(F.min(self.time_col).alias("__t0"))
+            )
+            df = df.join(F.broadcast(g), list(self.dims) or None, "inner") if self.dims else (
+                df.crossJoin(F.broadcast(g))
+            )
+            df = df.filter(F.col("__w.start") >= F.col("__t0")).drop("__t0")
+        return df, [F.col("__w"), *dims_cols], list(self.dims)
+
+    def _emit_window_time(self, out: DataFrame) -> DataFrame:
+        spec = self.window
+        if "__w" not in out.columns:
+            return out
+        if spec.emit == "both":
+            out = out.withColumn("window_start", F.col("__w.start")).withColumn(
+                "window_end", F.col("__w.end")
+            )
+        else:
+            out = out.withColumn(self.time_col, F.col(f"__w.{spec.emit}"))
+        return out.drop("__w")
+
+    # ------------------------------------------------------------------ #
+    # §2.5 aggregations
+    # ------------------------------------------------------------------ #
+
+    def agg(self, *aggs: Column, emit_time: str | None = None) -> "Pipeline":
+        """Generic multi-aggregate over (window ×) dims.
+
+        The reference runs one InfluxQL function per node and users join the
+        results (/root/reference/influxql.go:118); in Spark, computing many
+        aggregates in ONE hash-aggregate pass is strictly better (single
+        shuffle, map-side partial agg) so this is the primitive and the
+        named methods below are sugar.
+        """
+        df, keys, dim_names = self._window_grouping()
+        out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+        out = self._emit_window_time(out)
+        if emit_time and self.window is None:
+            # unwindowed batch reduce: reference emits at batch time (max)
+            raise ValueError("emit_time applies to windowed aggregation only")
+        tc = self.time_col if self.window is not None and self.window.emit != "both" else None
+        dims = tuple(dim_names)
+        return Pipeline(df=out, time_col=tc or self.time_col, dims=dims, results=self.results)
+
+    def _single_agg(self, expr: Column, alias: str) -> "Pipeline":
+        return self.agg(expr.alias(alias))
+
+    def count(self, fld: str, as_: str = "count") -> "Pipeline":
+        return self._single_agg(F.count(fld), as_)
+
+    def sum(self, fld: str, as_: str = "sum") -> "Pipeline":
+        return self._single_agg(F.sum(fld), as_)
+
+    def mean(self, fld: str, as_: str = "mean") -> "Pipeline":
+        return self._single_agg(F.avg(fld), as_)
+
+    def median(self, fld: str, as_: str = "median") -> "Pipeline":
+        """Exact median, reference semantics: average of the two middle
+        values for even n (FloatMedianReduceSlice sorts and averages —
+        influxdb/influxql median)."""
+        return self._single_agg(F.median(fld), as_)
+
+    def mode(self, fld: str, as_: str = "mode") -> "Pipeline":
+        return self._single_agg(F.mode(fld), as_)
+
+    def spread(self, fld: str, as_: str = "spread") -> "Pipeline":
+        return self._single_agg(F.max(fld) - F.min(fld), as_)
+
+    def stddev(self, fld: str, as_: str = "stddev") -> "Pipeline":
+        return self._single_agg(F.stddev_samp(fld), as_)
+
+    def min(self, fld: str, as_: str = "min") -> "Pipeline":
+        return self._single_agg(F.min(fld), as_)
+
+    def max(self, fld: str, as_: str = "max") -> "Pipeline":
+        return self._single_agg(F.max(fld), as_)
+
+    def first(self, fld: str, as_: str = "first", use_point_times: bool = False) -> "Pipeline":
+        """Value at earliest time (/root/reference/pipeline/influxql.go:312).
+        min_by keeps it a single hash-agg pass (no sort)."""
+        p = self._single_agg(F.min_by(fld, F.col(self.time_col)), as_)
+        if use_point_times:
+            return self._selector_with_time(fld, as_, F.min_by, order=self.time_col)
+        return p
+
+    def last(self, fld: str, as_: str = "last", use_point_times: bool = False) -> "Pipeline":
+        p = self._single_agg(F.max_by(fld, F.col(self.time_col)), as_)
+        if use_point_times:
+            return self._selector_with_time(fld, as_, F.max_by, order=self.time_col)
+        return p
+
+    def _selector_with_time(self, fld, as_, fn, order) -> "Pipeline":
+        """Selector keeping the selected point's own time
+        (usePointTimes, /root/reference/pipeline/influxql.go:160-169)."""
+        df, keys, dim_names = self._window_grouping()
+        sel = fn(F.struct(F.col(self.time_col).alias("t"), F.col(fld).alias("v")), F.col(order))
+        out = (df.groupBy(*keys) if keys else df).agg(sel.alias("__s"))
+        out = out.withColumn(as_, F.col("__s.v")).withColumn(self.time_col, F.col("__s.t")).drop("__s")
+        if "__w" in out.columns:
+            out = out.drop("__w")
+        return Pipeline(df=out, time_col=self.time_col, dims=tuple(dim_names), results=self.results)
+
+    def min_selector(self, fld: str, as_: str = "min") -> "Pipeline":
+        """min as a SELECTOR: keeps the point time of the minimum
+        (/root/reference/pipeline/influxql.go:362)."""
+        return self._selector_with_time(fld, as_, F.min_by, order=fld)
+
+    def max_selector(self, fld: str, as_: str = "max") -> "Pipeline":
+        return self._selector_with_time(fld, as_, F.max_by, order=fld)
+
+    def percentile(self, fld: str, p: float, as_: str = "percentile") -> "Pipeline":
+        """Exact percentile WITHOUT interpolation, reference formula
+        idx = floor(n*p/100 + 0.5) clamped to [1, n] over the sorted values
+        (influxdb FloatPercentileReduceSlice). At 100 TB scale prefer
+        .agg(F.approx_percentile(...)) — this exact variant collects the
+        group's values into an array (bounded by group size)."""
+        arr = F.array_sort(F.collect_list(fld))
+        n = F.size(arr)
+        idx = F.greatest(F.least(F.floor(n * F.lit(p) / 100.0 + 0.5), n.cast("long")), F.lit(1))
+        return self._single_agg(F.get(arr, (idx - 1).cast("int")), as_)
+
+    def distinct(self, fld: str) -> "Pipeline":
+        """Distinct values per group (/root/reference/pipeline/influxql.go:200)."""
+        df, keys, dim_names = self._window_grouping()
+        sel = [*keys, F.col(fld)] if keys else [F.col(fld)]
+        out = df.select(*sel).distinct()
+        out = self._emit_window_time(out)
+        return Pipeline(df=out, time_col=self.time_col, dims=tuple(dim_names), results=self.results)
+
+    def top(self, n: int, fld: str, *extra: str, as_: str | None = None) -> "Pipeline":
+        """Top-n points by field per group (/root/reference/pipeline/influxql.go:419):
+        row_number over desc(field) — single shuffle, no global sort."""
+        return self._topk(n, fld, extra, descending=True, as_=as_)
+
+    def bottom(self, n: int, fld: str, *extra: str, as_: str | None = None) -> "Pipeline":
+        return self._topk(n, fld, extra, descending=False, as_=as_)
+
+    def _topk(self, n, fld, extra, descending, as_) -> "Pipeline":
+        df, keys, dim_names = self._window_grouping()
+        order = [F.col(fld).desc() if descending else F.col(fld).asc(), F.col(self.time_col).asc()]
+        w = Window.partitionBy(*keys).orderBy(*order) if keys else Window.partitionBy().orderBy(*order)
+        out = df.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= n).drop("__rk")
+        keep = [self.time_col, *dim_names, *extra, fld]
+        if "__w" in out.columns:
+            out = out.drop("__w")
+        out = out.select(*dict.fromkeys(keep))
+        if as_ and as_ != fld:
+            out = out.withColumnRenamed(fld, as_)
+        return Pipeline(df=out, time_col=self.time_col, dims=tuple(dim_names), results=self.results)
+
+    # ------------------------------------------------------------------ #
+    # §2.3 joins
+    # ------------------------------------------------------------------ #
+
+    def join(
+        self,
+        other: "Pipeline",
+        prefixes: tuple[str, str] = ("a", "b"),
+        tolerance: str | float | None = None,
+        on: Sequence[str] | None = None,
+        fill=None,
+        delimiter: str = "_",
+    ) -> "Pipeline":
+        """Time-aligned join (/root/reference/join.go): points with equal
+        (tolerance-bucketed) timestamps and equal dims are paired; fields
+        are namespaced ``prefix<delim>field``. ``on=[dims]`` joins a
+        coarse parent to a fine-grained child on a dim subset
+        (one-to-many, /root/reference/pipeline/join.go:204-236).
+        fill: None/'none' → inner; 'null' → full outer; scalar → full
+        outer + constant fill.
+
+        Scale: equi-join on (time bucket, dims) — Catalyst/AQE choose
+        broadcast vs sort-merge; skewed buckets are split by AQE skew-join.
+        """
+        lp, rp = prefixes
+        join_dims = list(on) if on is not None else [d for d in self.dims if d in other.dims]
+
+        def bucket(p: "Pipeline") -> DataFrame:
+            if tolerance:
+                us = round(parse_duration(tolerance) * 1_000_000)
+                b = (F.floor(F.unix_micros(F.col(p.time_col)) / us) * us)
+                return p.df.withColumn("__jt", b)
+            return p.df.withColumn("__jt", F.unix_micros(F.col(p.time_col)))
+
+        def prefix(df: DataFrame, p: str, keep_dims: Iterable[str], tcol: str) -> DataFrame:
+            cols = []
+            for c in df.columns:
+                if c == "__jt" or c in keep_dims:
+                    cols.append(F.col(c))
+                elif c == tcol:
+                    continue
+                else:
+                    cols.append(F.col(c).alias(f"{p}{delimiter}{c}"))
+            return df.select(*cols)
+
+        left = prefix(bucket(self), lp, join_dims, self.time_col)
+        right = prefix(bucket(other), rp, join_dims, other.time_col)
+        how = "inner" if fill in (None, "none") else "full_outer"
+        keys = ["__jt", *join_dims]
+        out = left.join(right, keys, how)
+        if fill not in (None, "none", "null"):
+            value_cols = [c for c in out.columns if c not in keys]
+            out = out.fillna(fill, subset=value_cols)
+        out = out.withColumn(
+            self.time_col, F.timestamp_micros(F.col("__jt"))
+        ).drop("__jt")
+        return Pipeline(
+            df=out, time_col=self.time_col, dims=tuple(join_dims), results=self.results
+        )
+
+    def combine(
+        self,
+        *predicates: str | Column,
+        as_: Sequence[str] = ("a", "b"),
+        tolerance: str | float | None = None,
+        delimiter: str = "_",
+        id_col: str | None = None,
+    ) -> "Pipeline":
+        """Pairwise self-join within (group, rounded time)
+        (/root/reference/combine.go:142-286): emits each unordered pair of
+        distinct points where slot predicates match. Two slots supported
+        (the reference's k-combinations generalization is rarely used).
+
+        ``id_col`` distinguishes points sharing a timestamp (the reference
+        uses full-point identity); defaults to a hash of all columns.
+        """
+        if len(predicates) != 2 or len(as_) != 2:
+            raise ValueError("combine() supports exactly two slots")
+        p1, p2 = (_col(p) for p in predicates)
+        us = round(parse_duration(tolerance) * 1_000_000) if tolerance else None
+        t = (
+            (F.floor(F.unix_micros(self.time) / us) * us)
+            if us
+            else F.unix_micros(self.time)
+        )
+        ident = F.col(id_col) if id_col else F.xxhash64(*[F.col(c) for c in self.df.columns])
+        base = self.df.withColumn("__ct", t).withColumn("__id", ident)
+        same = predicates[0] is predicates[1] or str(predicates[0]) == str(predicates[1])
+
+        def side(pred: Column, name: str) -> DataFrame:
+            df = base.filter(pred)
+            cols = [F.col("__ct"), F.col("__id").alias(f"__id_{name}")]
+            cols += [F.col(d) for d in self.dims]
+            for c in self.df.columns:
+                if c in self.dims or c == self.time_col:
+                    continue
+                cols.append(F.col(c).alias(f"{name}{delimiter}{c}"))
+            return df.select(*cols)
+
+        a, b = side(p1, as_[0]), side(p2, as_[1])
+        keys = ["__ct", *self.dims]
+        cond = (
+            F.col(f"__id_{as_[0]}") < F.col(f"__id_{as_[1]}")
+            if same
+            else F.col(f"__id_{as_[0]}") != F.col(f"__id_{as_[1]}")
+        )
+        out = (
+            a.join(b, keys, "inner")
+            .filter(cond)
+            .withColumn(self.time_col, F.timestamp_micros(F.col("__ct")))
+            .drop("__ct", f"__id_{as_[0]}", f"__id_{as_[1]}")
+        )
+        return Pipeline(df=out, time_col=self.time_col, dims=self.dims, results=self.results)
+
+    def union(self, *others: "Pipeline") -> "Pipeline":
+        """Merge streams (/root/reference/union.go:104-166). The reference's
+        global time-ordering buffer is unnecessary in Spark's declarative
+        model — downstream ordered ops sort within their window specs."""
+        df = self.df
+        for o in others:
+            df = df.unionByName(o.df, allowMissingColumns=True)
+        return self._with(df)
+
+    # ------------------------------------------------------------------ #
+    # §2.2 flatten (pivot) / sideload (broadcast enrich)
+    # ------------------------------------------------------------------ #
+
+    def flatten(
+        self,
+        on: Sequence[str],
+        fields: Sequence[str],
+        tolerance: str | float | None = None,
+        delimiter: str = "_",
+        values: Sequence[str] | None = None,
+    ) -> "Pipeline":
+        """Pivot points sharing remaining dims into one wide point whose
+        field names are prefixed by the flattened-dim values
+        (/root/reference/flatten.go:219-254). Passing ``values`` (the
+        expected dim values) lets Spark skip the extra distinct-scan job.
+        """
+        t = self.time
+        if tolerance:
+            us = round(parse_duration(tolerance) * 1_000_000)
+            t = F.timestamp_micros(F.floor(F.unix_micros(t) / us) * us)
+        rest = [d for d in self.dims if d not in on]
+        pivot_key = F.concat_ws(delimiter, *[F.col(c) for c in on])
+        df = self.df.withColumn("__t", t).withColumn("__pk", pivot_key)
+        gb = df.groupBy(F.col("__t").alias(self.time_col), *[F.col(d) for d in rest])
+        piv = gb.pivot("__pk", list(values) if values else None)
+        if len(fields) == 1:
+            out = piv.agg(F.first(fields[0]))
+            out = out.select(
+                self.time_col,
+                *rest,
+                *[
+                    F.col(c).alias(f"{c}{delimiter}{fields[0]}")
+                    for c in out.columns
+                    if c != self.time_col and c not in rest
+                ],
+            )
+        else:
+            out = piv.agg(*[F.first(f_).alias(f_) for f_ in fields])
+        return Pipeline(df=out, time_col=self.time_col, dims=tuple(rest), results=self.results)
+
+    def sideload(
+        self,
+        lookup: DataFrame,
+        on: Sequence[str],
+        fields: Sequence[str] | None = None,
+        defaults: dict | None = None,
+    ) -> "Pipeline":
+        """Enrich points from a small lookup table
+        (/root/reference/sideload.go): broadcast hash join — the Spark
+        analog of the reference's in-memory hierarchical source cache.
+        """
+        cols = fields or [c for c in lookup.columns if c not in on]
+        out = self.df.join(F.broadcast(lookup.select(*on, *cols)), list(on), "left")
+        for k, v in (defaults or {}).items():
+            out = out.withColumn(k, F.coalesce(F.col(k), F.lit(v)))
+        return self._with(out)
+
+    # ------------------------------------------------------------------ #
+    # §2.10 alert (batch mode — streaming state machine in streaming/)
+    # ------------------------------------------------------------------ #
+
+    def alert(
+        self,
+        crit: str | Column | None = None,
+        warn: str | Column | None = None,
+        info: str | Column | None = None,
+        state_changes_only: bool = False,
+        level_col: str = "level",
+        id_template: str | None = None,
+        message_template: str | None = None,
+    ) -> "Pipeline":
+        """Alert level evaluation (/root/reference/alert.go:915-950
+        determineLevel): first matching level of CRITICAL>WARNING>INFO else
+        OK. ``state_changes_only`` keeps only level transitions per group
+        (initial state OK — /root/reference/alert.go:989).
+
+        Batch mode: pure column expressions + one lag window — no state
+        UDF needed because event order is total within each group.
+        """
+        expr = F.lit("OK")
+        if info is not None:
+            expr = F.when(_col(info), "INFO").otherwise(expr)
+        if warn is not None:
+            expr = F.when(_col(warn), "WARNING").otherwise(expr)
+        if crit is not None:
+            expr = F.when(_col(crit), "CRITICAL").otherwise(expr)
+        df = self.df.withColumn(level_col, expr)
+        if state_changes_only:
+            w = self._ordered()
+            prev = F.coalesce(F.lag(level_col).over(w), F.lit("OK"))
+            df = df.withColumn("__prev", prev).filter(
+                F.col(level_col) != F.col("__prev")
+            ).drop("__prev")
+        if id_template:
+            df = df.withColumn("alert_id", F.expr(id_template))
+        if message_template:
+            df = df.withColumn("message", F.expr(message_template))
+        return self._with(df)
+
+    # ------------------------------------------------------------------ #
+    # sinks (§2.1)
+    # ------------------------------------------------------------------ #
+
+    def http_out(self, name: str) -> "Pipeline":
+        """Cache the result under a name (/root/reference/http_out.go —
+        the reference's test-oracle sink). Here: a named entry in the
+        pipeline's result registry; materialization stays lazy."""
+        self.results[name] = self.df
+        return self
+
+    def sort(self, *cols: str | Column) -> "Pipeline":
+        return self._with(self.df.orderBy(*[_col(c) for c in cols]))
+
+    def limit(self, n: int) -> "Pipeline":
+        return self._with(self.df.limit(n))

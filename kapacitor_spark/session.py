@@ -1,0 +1,87 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test target (local[32], single JVM); the configs below are
+chosen so the same code scales to a multi-executor cluster: AQE handles
+runtime coalescing + skew joins, shuffle partitions sized to cores locally
+(a cluster deployment would raise this to ~2-3x total cores), Arrow enabled
+for every Pandas-UDF boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kapacitor-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def read_table(spark: SparkSession, path: str):
+    """Read a parquet table, transparently handling TIMESTAMP(NANOS) columns.
+
+    Spark's parquet reader rejects INT64 TIMESTAMP(NANOS) outright
+    (PARQUET_TYPE_ILLEGAL); the driver's testdata uses nanos. We flip the
+    legacy nanosAsLong conf (runtime-settable), read nanos as long, and cast
+    back to TimestampType truncating to microseconds — the same truncation
+    DuckDB applies (its TIMESTAMP is µs), so oracle comparisons agree.
+
+    The cast is a cheap codegen'd projection on top of the scan; predicate
+    pushdown and column pruning on all other columns are unaffected.
+    """
+    from pyspark.sql import functions as F
+
+    try:
+        import pyarrow.parquet as pq
+
+        arrow_schema = pq.read_schema(path)
+        nanos_cols = [
+            f.name
+            for f in arrow_schema
+            if str(f.type) in ("timestamp[ns]", "timestamp[ns, tz=UTC]")
+        ]
+    except Exception:
+        nanos_cols = []
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        # integer DIV, not float division: ns epochs overflow double mantissa
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Read driver testdata parquet tables; returns dict name -> DataFrame.
+
+    Reads stay lazy/declarative so Catalyst gets full pushdown/pruning into
+    the scan; callers filter/select lazily.
+    """
+    names = names or (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+    return {n: read_table(spark, f"{sf_dir}/{n}.parquet") for n in names}
