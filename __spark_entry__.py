@@ -1,38 +1,824 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` exercises an operator from SURVEY.md §2 (or a
+dataprep operator) through the kapacitor_spark public API; ``oracle_sql()``
+holds the DuckDB-equivalent ANSI SQL.
+
+Determinism rules used throughout (so Spark and DuckDB hash-match):
+* sums/means of doubles go through exact DECIMAL accumulation, cast to
+  DOUBLE at the end (order-independent, engine-identical);
+* every ordered window has an explicit unique tiebreak (event_id/doc_id);
+* time bucketing is integer µs arithmetic (epoch_us - epoch_us % width);
+* residual float expressions mirror the exact same op sequence on both
+  sides and/or round(…, 6).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kapacitor_spark import Pipeline
+from kapacitor_spark.session import read_table
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark, sf_dir) -> Pipeline:
+    return Pipeline.from_df(
+        _t(spark, sf_dir, "events"),
+        time_col="ts",
+        dims=("event_type",),
+        tiebreak=("event_id",),
+    )
+
+
+def _events_by_user(spark, sf_dir) -> Pipeline:
+    return Pipeline.from_df(
+        _t(spark, sf_dir, "events"),
+        time_col="ts",
+        dims=("user_id",),
+        tiebreak=("event_id",),
+    )
+
+
+# exact decimal sum of a 2-dp double column, emitted as double
+def _dsum(col, scale="decimal(20,4)"):
+    return F.sum(F.col(col).cast(scale) if isinstance(col, str) else col.cast(scale)).cast(
+        "double"
+    )
+
+
+# ===================================================================== #
+# §2.2 projections / per-row transforms
+# ===================================================================== #
+
+
+@_q(
+    "where_filter",
+    """SELECT event_id, ts, user_id, value
+       FROM events WHERE event_type = 'click' AND value > 150""",
+)
+def where_filter(spark, sf_dir):
+    """from().where() — /root/reference/where.go:89."""
+    p = _events(spark, sf_dir).where("event_type = 'click' AND value > 150")
+    return p.result().select("event_id", "ts", "user_id", "value")
+
+
+@_q(
+    "eval_revenue",
+    """SELECT l_shipdate, l_orderkey, l_linenumber,
+              l_extendedprice * (1 - l_discount) AS revenue,
+              (l_extendedprice * (1 - l_discount)) * l_tax AS tax_amt
+       FROM lineitem""",
+)
+def eval_revenue(spark, sf_dir):
+    """eval() chained lambdas — /root/reference/eval.go:91 (each expression
+    sees prior results)."""
+    p = Pipeline.from_df(_t(spark, sf_dir, "lineitem"), time_col="l_shipdate")
+    return (
+        p.eval(
+            keep=["l_orderkey", "l_linenumber"],
+            revenue="l_extendedprice * (1 - l_discount)",
+            tax_amt="revenue * l_tax",
+        )
+        .result()
+    )
+
+
+@_q(
+    "default_delete_shift",
+    """SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type,
+              value, 'stream' AS source
+       FROM events""",
+)
+def default_delete_shift(spark, sf_dir):
+    """default() + delete() + shift() — /root/reference/default.go,
+    delete.go, shift.go."""
+    p = (
+        _events(spark, sf_dir)
+        .default(source="stream")
+        .delete("props")
+        .shift("1h")
+    )
+    return p.result()
+
+
+@_q(
+    "sample_nth",
+    """SELECT event_id, ts, event_type, value FROM (
+         SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+         FROM events) WHERE (rn - 1) % 10 = 0""",
+)
+def sample_nth(spark, sf_dir):
+    """sample(N) — keep every Nth point per group
+    (/root/reference/sample.go:97)."""
+    p = _events(spark, sf_dir).sample(n=10)
+    return p.result().select("event_id", "ts", "event_type", "value")
+
+
+# ===================================================================== #
+# §2.4 windowing + §2.5 aggregation
+# ===================================================================== #
+
+
+@_q(
+    "window_mean_1h",
+    """SELECT date_trunc('hour', ts) AS ts, event_type,
+              count(value) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value,
+              CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value) AS mean_value
+       FROM events GROUP BY 1, 2""",
+)
+def window_mean_1h(spark, sf_dir):
+    """window(1h tumbling) | mean — /root/reference/window.go:80 +
+    pipeline/influxql.go:224. Compiles to one hash-aggregate over
+    (F.window, dims) with map-side partial agg."""
+    s = _dsum("value")
+    return (
+        _events(spark, sf_dir)
+        .window_time("1h")
+        .agg(
+            F.count("value").alias("n"),
+            s.alias("sum_value"),
+            (s / F.count("value")).alias("mean_value"),
+        )
+        .result()
+    )
+
+
+@_q(
+    "window_sliding_count",
+    """WITH s AS (
+         SELECT date_trunc('hour', ts) AS w, event_type FROM events
+         UNION ALL
+         SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events)
+       SELECT w AS ts, event_type, count(*) AS n FROM s GROUP BY 1, 2""",
+)
+def window_sliding_count(spark, sf_dir):
+    """window(period=2h, every=1h) | count — sliding window
+    (/root/reference/window.go:188 emit logic); Spark's F.window handles
+    the multi-assignment natively."""
+    return (
+        _events(spark, sf_dir)
+        .window_time("2h", "1h")
+        .count("value", as_="n")
+        .result()
+    )
+
+
+@_q(
+    "tpch_q1_pricing",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,8))) AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS avg_qty,
+              CAST(SUM(CAST(l_discount AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS avg_disc,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1_pricing(spark, sf_dir):
+    """Batch aggregation suite (count/sum/mean in one pass) — the Spark-first
+    equivalent of chaining InfluxQL nodes (/root/reference/influxql.go:118):
+    ONE shuffle computes all aggregates."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    qty = _dsum("l_quantity")
+    base = _dsum("l_extendedprice")
+    disc_price = _dsum(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), "decimal(25,8)"
+    )
+    disc = _dsum("l_discount")
+    n = F.count(F.lit(1))
+    return (
+        Pipeline.from_df(li, time_col="l_shipdate", dims=("l_returnflag", "l_linestatus"))
+        .agg(
+            qty.alias("sum_qty"),
+            base.alias("sum_base_price"),
+            disc_price.alias("sum_disc_price"),
+            (qty / n).alias("avg_qty"),
+            (disc / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .result()
+    )
+
+
+@_q(
+    "spread_stats",
+    """SELECT event_type,
+              max(value) - min(value) AS spread,
+              round(stddev_samp(value), 6) AS stddev,
+              count(DISTINCT user_id) AS n_users
+       FROM events GROUP BY event_type""",
+)
+def spread_stats(spark, sf_dir):
+    """spread + stddev + distinct — /root/reference/pipeline/influxql.go:273,
+    :477, :200."""
+    return (
+        _events(spark, sf_dir)
+        .agg(
+            (F.max("value") - F.min("value")).alias("spread"),
+            F.round(F.stddev_samp("value"), 6).alias("stddev"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .result()
+    )
+
+
+@_q(
+    "median_percentile",
+    """SELECT event_type,
+              round(median(value), 6) AS median_value,
+              (list_sort(list(value)))[
+                 GREATEST(LEAST(CAST(floor(count(value) * 0.9 + 0.5) AS BIGINT),
+                                count(value)), 1)] AS p90
+       FROM events GROUP BY event_type""",
+)
+def median_percentile(spark, sf_dir):
+    """median + exact non-interpolating percentile — reference formula
+    idx=floor(n*p/100+0.5) (influxdb percentile; SURVEY §2.5). At 100 TB
+    scale swap in approx_percentile; exact variant bounded by group size."""
+    arr = F.array_sort(F.collect_list("value"))
+    n = F.count("value")
+    idx = F.greatest(F.least(F.floor(n * 0.9 + 0.5).cast("long"), n), F.lit(1).cast("long"))
+    return (
+        _events(spark, sf_dir)
+        .agg(
+            F.round(F.median("value"), 6).alias("median_value"),
+            F.get(arr, (idx - 1).cast("int")).alias("p90"),
+        )
+        .result()
+    )
+
+
+@_q(
+    "mode_deterministic",
+    """SELECT l_returnflag, l_quantity AS mode_qty FROM (
+         SELECT l_returnflag, l_quantity, count(*) AS c
+         FROM lineitem GROUP BY 1, 2)
+       QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY c DESC, l_quantity ASC) = 1""",
+)
+def mode_deterministic(spark, sf_dir):
+    """mode with deterministic ties (most-frequent, smallest wins) —
+    /root/reference/pipeline/influxql.go:257."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("c").desc(), F.col("l_quantity").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+
+
+@_q(
+    "first_last",
+    """SELECT DISTINCT user_id,
+              first_value(value) OVER w AS first_value,
+              last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_value,
+              min(ts) OVER w2 AS first_ts,
+              max(ts) OVER w2 AS last_ts
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+              w2 AS (PARTITION BY user_id)""",
+)
+def first_last(spark, sf_dir):
+    """first/last selectors — /root/reference/pipeline/influxql.go:312,:337;
+    min_by/max_by over a (time, tiebreak) struct = single hash-agg pass,
+    no sort."""
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        _events_by_user(spark, sf_dir)
+        .agg(
+            F.min_by("value", order).alias("first_value"),
+            F.max_by("value", order).alias("last_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .result()
+    )
+
+
+@_q(
+    "top3_per_type",
+    """SELECT ts, event_type, event_id, value FROM events
+       QUALIFY row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, ts ASC, event_id ASC) <= 3""",
+)
+def top3_per_type(spark, sf_dir):
+    """top(n, field, tags...) — /root/reference/pipeline/influxql.go:419;
+    row_number per group, no global sort."""
+    return _events(spark, sf_dir).top(3, "value", "event_id").result()
+
+
+# ===================================================================== #
+# §2.5 stream transforms (ordered window functions)
+# ===================================================================== #
+
+
+@_q(
+    "diff_cumsum",
+    """SELECT event_id, user_id,
+              value - lag(value) OVER w AS diff_value,
+              CAST(sum(CAST(value AS DECIMAL(20,4))) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       QUALIFY lag(value) OVER w IS NOT NULL""",
+)
+def diff_cumsum(spark, sf_dir):
+    """difference + cumulativeSum — /root/reference/pipeline/influxql.go:519,
+    :584. Cumulative sum in exact decimal so the running value is
+    order-stable at any scale."""
+    p = (
+        _events_by_user(spark, sf_dir)
+        .eval(value_dec=F.col("value").cast("decimal(20,4)"))
+        .cumulative_sum("value_dec", as_="cum_dec")
+        .eval(cum_value=F.col("cum_dec").cast("double"))
+        .difference("value", as_="diff_value")
+    )
+    return p.result().select("event_id", "user_id", "diff_value", "cum_value")
+
+
+@_q(
+    "derivative_rate",
+    """SELECT event_id, user_id, ts,
+              (value - lag(value) OVER w) /
+              (((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0) / 60.0) AS value
+       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       QUALIFY lag(value) OVER w IS NOT NULL""",
+)
+def derivative_rate(spark, sf_dir):
+    """derivative(unit=1m) — /root/reference/derivative.go:127: (Δv)/(Δt/unit),
+    first point per group dropped."""
+    p = _events_by_user(spark, sf_dir).derivative("value", unit="1m")
+    return p.result().select("event_id", "user_id", "ts", "value")
+
+
+@_q(
+    "elapsed_seconds",
+    """SELECT event_id, user_id,
+              CAST(floor((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0) AS BIGINT) AS elapsed
+       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       QUALIFY lag(ts) OVER w IS NOT NULL""",
+)
+def elapsed_seconds(spark, sf_dir):
+    """elapsed(1s) — /root/reference/pipeline/influxql.go:493."""
+    p = _events_by_user(spark, sf_dir).elapsed(unit="1s")
+    return p.result().select("event_id", "user_id", "elapsed")
+
+
+@_q(
+    "state_tracking",
+    """WITH base AS (
+         SELECT event_id, user_id, ts, (value > 100) AS ok,
+                CASE WHEN (value > 100) AND NOT coalesce(
+                     lag(value > 100) OVER (PARTITION BY user_id ORDER BY ts, event_id), false)
+                     THEN 1 ELSE 0 END AS boundary
+         FROM events),
+       s AS (SELECT *, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS streak FROM base)
+       SELECT event_id, user_id,
+              CASE WHEN ok THEN row_number() OVER (PARTITION BY user_id, streak
+                                                   ORDER BY ts, event_id)
+                   ELSE -1 END AS state_n,
+              CASE WHEN ok THEN (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id, streak))
+                                / 1000000.0
+                   ELSE -1.0 END AS state_dur
+       FROM s""",
+)
+def state_tracking(spark, sf_dir):
+    """stateCount + stateDuration — /root/reference/state_tracking.go:111-189:
+    consecutive-true counter / duration, -1 when false. Streak ids via a
+    running boundary sum (pure window functions, no Python state)."""
+    p = (
+        _events_by_user(spark, sf_dir)
+        .state_count("value > 100", as_="state_n")
+        .state_duration("value > 100", unit="1s", as_="state_dur")
+    )
+    return p.result().select("event_id", "user_id", "state_n", "state_dur")
+
+
+@_q(
+    "change_detect_type",
+    """SELECT event_id, user_id, event_type FROM (
+         SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         FROM events)
+       WHERE prev IS NULL OR event_type <> prev""",
+)
+def change_detect_type(spark, sf_dir):
+    """changeDetect — /root/reference/change_detect.go:110: drop consecutive
+    duplicates per group."""
+    p = _events_by_user(spark, sf_dir).change_detect("event_type")
+    return p.result().select("event_id", "user_id", "event_type")
+
+
+@_q(
+    "moving_avg5",
+    """SELECT event_id, event_type,
+              CAST(sum(CAST(value AS DECIMAL(20,4))) OVER (PARTITION BY event_type
+                   ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) / 5.0 AS ma5
+       FROM events
+       QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) >= 5""",
+)
+def moving_avg5(spark, sf_dir):
+    """movingAverage(5) — /root/reference/pipeline/influxql.go:536: trailing
+    window, emits once full. Decimal-exact numerator for engine-stable
+    values."""
+    p = _events(spark, sf_dir)
+    w = p._ordered()
+    df = (
+        p.df.withColumn(
+            "ma5",
+            F.sum(F.col("value").cast("decimal(20,4)"))
+            .over(w.rowsBetween(-4, 0))
+            .cast("double")
+            / 5.0,
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn >= 5")
+    )
+    return df.select("event_id", "event_type", "ma5")
+
+
+# ===================================================================== #
+# §2.3 joins / combine / union / flatten / sideload
+# ===================================================================== #
+
+
+@_q(
+    "join_tolerance",
+    """WITH a AS (SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 60000000) AS bt,
+                         user_id, value FROM events WHERE event_type = 'click'),
+            b AS (SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 60000000) AS bt,
+                         user_id, value FROM events WHERE event_type = 'purchase')
+       SELECT a.bt AS ts, a.user_id, a.value AS click_value, b.value AS purchase_value
+       FROM a JOIN b ON a.bt = b.bt AND a.user_id = b.user_id""",
+)
+def join_tolerance(spark, sf_dir):
+    """join().tolerance(1m) — /root/reference/join.go: time-bucketed
+    equi-join on (bucket, dims); AQE picks broadcast/skew handling."""
+    ev = _t(spark, sf_dir, "events")
+    mk = lambda typ: Pipeline.from_df(
+        ev.filter(F.col("event_type") == typ).select("ts", "user_id", "value"),
+        time_col="ts",
+        dims=("user_id",),
+    )
+    j = mk("click").join(mk("purchase"), prefixes=("click", "purchase"), tolerance="1m")
+    return j.result().select("ts", "user_id", "click_value", "purchase_value")
+
+
+@_q(
+    "combine_click_purchase",
+    """WITH e AS (SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bt,
+                         user_id, event_type, value FROM events)
+       SELECT a.bt AS ts, a.user_id, a.value AS click_value, b.value AS purchase_value
+       FROM e a JOIN e b ON a.bt = b.bt AND a.user_id = b.user_id
+       WHERE a.event_type = 'click' AND b.event_type = 'purchase'""",
+)
+def combine_click_purchase(spark, sf_dir):
+    """combine() self-join — /root/reference/combine.go:142: pair points in
+    the same (group, rounded time) matching per-slot lambdas."""
+    ev = _t(spark, sf_dir, "events").select("ts", "user_id", "event_type", "value")
+    p = Pipeline.from_df(ev, time_col="ts", dims=("user_id",))
+    c = p.combine(
+        "event_type = 'click'",
+        "event_type = 'purchase'",
+        as_=("click", "purchase"),
+        tolerance="1h",
+    )
+    return c.result().select("ts", "user_id", "click_value", "purchase_value")
+
+
+@_q(
+    "union_rename",
+    """SELECT event_id, ts, user_id, value, 'clicks' AS stream FROM events WHERE event_type = 'click'
+       UNION ALL
+       SELECT event_id, ts, user_id, value, 'purchases' AS stream FROM events WHERE event_type = 'purchase'""",
+)
+def union_rename(spark, sf_dir):
+    """union().rename() — /root/reference/union.go:104. unionByName; the
+    reference's global time-ordering buffer is unnecessary declaratively."""
+    ev = _t(spark, sf_dir, "events")
+    mk = lambda typ, nm: Pipeline.from_df(
+        ev.filter(F.col("event_type") == typ).select("event_id", "ts", "user_id", "value"),
+        time_col="ts",
+    ).default(stream=nm)
+    return mk("click", "clicks").union(mk("purchase", "purchases")).result()
+
+
+@_q(
+    "flatten_daily",
+    """WITH f AS (
+         SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS bt,
+                user_id, event_type, value,
+                row_number() OVER (PARTITION BY make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000),
+                                   user_id, event_type ORDER BY ts, event_id) AS rn
+         FROM events)
+       SELECT bt AS ts, user_id,
+              max(CASE WHEN event_type = 'click' THEN value END) AS click_value,
+              max(CASE WHEN event_type = 'error' THEN value END) AS error_value,
+              max(CASE WHEN event_type = 'purchase' THEN value END) AS purchase_value,
+              max(CASE WHEN event_type = 'signup' THEN value END) AS signup_value,
+              max(CASE WHEN event_type = 'view' THEN value END) AS view_value
+       FROM f WHERE rn = 1 GROUP BY 1, 2""",
+)
+def flatten_daily(spark, sf_dir):
+    """flatten().on(dim) — /root/reference/flatten.go:219: pivot the dim
+    values into field-name prefixes; earliest point per bucket wins.
+    Providing pivot values skips Spark's extra distinct-scan job."""
+    ev = _t(spark, sf_dir, "events").select("ts", "event_id", "user_id", "event_type", "value")
+    p = Pipeline.from_df(
+        ev, time_col="ts", dims=("user_id", "event_type"), tiebreak=("event_id",)
+    )
+    flat = p.flatten(
+        on=["event_type"],
+        fields=["value"],
+        tolerance="1d",
+        values=["click", "error", "purchase", "signup", "view"],
+    )
+    return flat.result()
+
+
+@_q(
+    "sideload_enrich",
+    """SELECT s_suppkey, s_name, s_acctbal, n_name
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
+)
+def sideload_enrich(spark, sf_dir):
+    """sideload() — /root/reference/sideload.go: broadcast-join enrichment
+    from a small lookup table."""
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    p = Pipeline.from_df(sup).sideload(nat, on=["s_nationkey"])
+    return p.result().select("s_suppkey", "s_name", "s_acctbal", "n_name")
+
+
+@_q(
+    "tpch_q3_topk",
+    """WITH rev AS (
+         SELECT l_orderkey,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,8))) AS DOUBLE) AS revenue
+         FROM lineitem GROUP BY 1)
+       SELECT o_orderkey, revenue, o_orderdate, o_orderpriority
+       FROM rev JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+       ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+)
+def tpch_q3_topk(spark, sf_dir):
+    """Multi-join + top-k: broadcast the small filtered dimension, shuffle
+    only the fact aggregation — the batch query() analog at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    rev = li.groupBy("l_orderkey").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "decimal(25,8)").alias(
+            "revenue"
+        )
+    )
+    out = (
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+    return out
+
+
+# ===================================================================== #
+# §2.10 alert
+# ===================================================================== #
+
+
+@_q(
+    "alert_state_changes",
+    """SELECT ts, user_id, value, level FROM (
+         SELECT ts, user_id, value,
+                CASE WHEN value > 180 THEN 'CRITICAL'
+                     WHEN value > 120 THEN 'WARNING' ELSE 'OK' END AS level,
+                lag(CASE WHEN value > 180 THEN 'CRITICAL'
+                         WHEN value > 120 THEN 'WARNING' ELSE 'OK' END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         FROM events)
+       WHERE level <> coalesce(prev, 'OK')""",
+)
+def alert_state_changes(spark, sf_dir):
+    """alert(warn, crit).stateChangesOnly() — /root/reference/alert.go:915
+    determineLevel + :989 state machine; batch mode = CASE + lag filter."""
+    p = _events_by_user(spark, sf_dir).alert(
+        crit="value > 180", warn="value > 120", state_changes_only=True
+    )
+    return p.result().select("ts", "user_id", "value", "level")
+
+
+# ===================================================================== #
+# dataprep: dedup / similarity / text / multimodal
+# ===================================================================== #
+
+
+@_q(
+    "dedup_exact",
+    """SELECT md5(text) AS digest, min(doc_id) AS keeper_id, count(*) AS dup_count
+       FROM documents GROUP BY 1""",
+)
+def dedup_exact_q(spark, sf_dir):
+    from kapacitor_spark.dataprep.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_fingerprint",
+    """SELECT md5(array_to_string(list_sort(list_distinct(
+                regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint,
+              min(doc_id) AS keeper_id, count(*) AS dup_count
+       FROM documents GROUP BY 1""",
+)
+def dedup_fingerprint_q(spark, sf_dir):
+    from kapacitor_spark.dataprep.dedup import fingerprint_dedup
+
+    return fingerprint_dedup(_t(spark, sf_dir, "documents"))
+
+
+@_q("minhash_near_dup")  # LSH is approximate — rows-only check by design
+def minhash_near_dup_q(spark, sf_dir):
+    from kapacitor_spark.dataprep.dedup import minhash_near_dup
+
+    return minhash_near_dup(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@_q("simhash_near_dup")  # xxhash64-based blocking — rows-only check
+def simhash_near_dup_q(spark, sf_dir):
+    from kapacitor_spark.dataprep.dedup import simhash_near_dup
+
+    return simhash_near_dup(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@_q(
+    "ngram_jaccard_dedup",
+    """WITH s AS (
+         SELECT doc_id, lang,
+                list_distinct(list_transform(range(0, greatest(len(t) - 2, 0) + 1),
+                    i -> array_to_string(list_slice(t, i + 1, i + 2), ' '))) AS sh
+         FROM (SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+               FROM documents))
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
+       FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.4""",
+)
+def ngram_jaccard_q(spark, sf_dir):
+    from kapacitor_spark.dataprep.dedup import ngram_jaccard_dedup
+
+    return ngram_jaccard_dedup(
+        _t(spark, sf_dir, "documents"), threshold=0.4, block_cols=("lang",), shingle_k=2
+    )
+
+
+@_q(
+    "embedding_near_dup",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+       FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3""",
+)
+def embedding_near_dup_q(spark, sf_dir):
+    from kapacitor_spark.dataprep.dedup import embedding_near_dup
+
+    return embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+@_q(
+    "ann_cosine_topk",
+    """WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
+            scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+         FROM q, embeddings c WHERE c.vec_id <> q.vec_id)
+       SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+       FROM scored
+       QUALIFY rank <= 5""",
+)
+def ann_cosine_topk_q(spark, sf_dir):
+    from kapacitor_spark.dataprep.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter("vec_id < 10"), k=5)
+
+
+@_q("rp_lsh_topk")  # approximate bucketed ANN — rows-only check
+def rp_lsh_topk_q(spark, sf_dir):
+    from kapacitor_spark.dataprep.similarity import rp_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return rp_lsh_topk(emb, emb.filter("vec_id < 10"), k=5, num_planes=4)
+
+
+@_q(
+    "text_token_stats",
+    """WITH t AS (SELECT doc_id, length(text) AS n_chars_computed,
+                         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                  FROM documents)
+       SELECT doc_id, n_chars_computed,
+              len(toks) AS n_tokens,
+              len(list_distinct(toks)) AS n_unique_tokens,
+              round(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks), 6)
+                  AS mean_token_len
+       FROM t""",
+)
+def text_token_stats_q(spark, sf_dir):
+    from kapacitor_spark.dataprep.text import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents")).drop("n_subtokens")
+
+
+@_q(
+    "doc_fingerprint",
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                  FROM documents)
+       SELECT doc_id,
+              md5(array_to_string(toks, ' ')) AS content_fp,
+              md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bag_fp
+       FROM t""",
+)
+def doc_fingerprint_q(spark, sf_dir):
+    from kapacitor_spark.dataprep.text import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "multimodal_meta",
+    """SELECT doc_id,
+              64 + ('0x' || substr(md5(text), 1, 2))::INT % 192 AS width,
+              64 + ('0x' || substr(md5(text), 3, 2))::INT % 192 AS height,
+              CASE ('0x' || substr(md5(text), 5, 2))::INT % 3
+                   WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+              CAST(length(text) AS BIGINT) AS size_bytes
+       FROM documents""",
+)
+def multimodal_meta_q(spark, sf_dir):
+    """Multimodal plumbing: binary payload column → Arrow-batched
+    mapInPandas metadata decode (deterministic fake decoder; the oracle
+    replicates its md5 arithmetic)."""
+    from kapacitor_spark.dataprep.multimodal import attach_binary_metadata
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    out = attach_binary_metadata(docs, "payload", fake=True)
+    return out.select("doc_id", "width", "height", "format", "size_bytes")
+
+
+# ===================================================================== #
+# driver API
+# ===================================================================== #
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return tpch_q1_pricing(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

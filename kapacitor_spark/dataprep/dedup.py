@@ -1,0 +1,307 @@
+"""Deduplication operators: exact, token-fingerprint, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale design notes (the point of this module is 100 TB corpora):
+
+* Exact + fingerprint dedup are single hash-aggregates on a digest — one
+  shuffle of (16-byte key, id), no text movement.
+* MinHash signatures are computed as pure array expressions (tokenize →
+  shingle → per-seed min of xxhash64) — NARROW, no shuffle, whole-stage
+  codegen; only the 64×8-byte signature shuffles afterwards.
+* LSH banding self-joins on (band index, band hash): candidate generation
+  is an equi-join that AQE can broadcast when bucket counts are small, and
+  skewed buckets (boilerplate docs) get AQE skew-split.
+* Exact verification joins the candidate pairs back to shingle sets —
+  proportional to candidates, not n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokenize",
+    "shingles",
+    "exact_dedup",
+    "fingerprint_dedup",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "minhash_near_dup",
+    "simhash",
+    "simhash_near_dup",
+    "ngram_jaccard_dedup",
+    "embedding_near_dup",
+]
+
+
+def tokenize(text_col: str = "text") -> "F.Column":
+    """Lowercased whitespace tokens — the shared normalization step."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def shingles(tokens: "F.Column", k: int = 3) -> "F.Column":
+    """Distinct word k-gram shingles as an array expression (no explode):
+    transform over a 0..n-k index sequence, concat_ws of token slices."""
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)))
+    # short docs (< k tokens) produce one short shingle; that's fine
+    return F.array_distinct(grams)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content digest: one hash-aggregate.
+
+    Returns (digest, keeper_id, dup_count); keeper = smallest id.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def fingerprint_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup by bag-of-words fingerprint: md5 over the sorted distinct
+    token set — catches word-order shuffles and repetition changes."""
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize(text_col)))))
+    return (
+        df.select(fp.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signatures as a narrow projection (no shuffle, no UDF).
+
+    h_i(doc) = min over shingles of xxhash64(seed_i, shingle); xxhash64 is
+    Spark-native (codegen'd) and seeding via the extra literal column keeps
+    the 64 hash families independent.
+    """
+    toks = tokenize(text_col)
+    sh = shingles(toks, shingle_k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signature and self-join on (band, band-hash).
+
+    Classic LSH: P(candidate) = 1-(1-j^r)^b; 16 bands × 4 rows targets
+    Jaccard ≳ 0.5. The explode is bands× row inflation of (id, 8B hash)
+    only; the join is an equi-join AQE can re-plan.
+    """
+    n = bands * rows_per_band
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.concat_ws(",", *[F.element_at("signature", b * rows_per_band + r + 1).cast("string")
+                                   for r in range(rows_per_band)]),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig_df.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification step)."""
+    sets = df.select(
+        F.col(id_col), shingles(tokenize(text_col), shingle_k).alias("sh")
+    )
+    out = (
+        pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return out.select(
+        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+    )
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signature → banded candidates →
+    exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+    cand = lsh_candidate_pairs(sig, id_col, bands, num_hashes // bands)
+    verified = jaccard_pairs(cand, df, text_col, id_col, shingle_k)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash as array expressions: per bit, the sign of the sum of
+    ±1 contributions from each token's xxhash64 bit. Narrow, codegen'd."""
+    # SQL lambda form: shiftright/shiftleft take column bit-counts only in
+    # SQL expressions (the Python F.shiftright requires a literal int).
+    toks_sql = (
+        f"array_distinct(split(lower(trim({text_col})), '\\\\s+'))"
+    )
+    packed = F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            transform(sequence(0, {bits - 1}),
+              j -> aggregate(transform({toks_sql}, t -> xxhash64(t)),
+                             0,
+                             (acc, h) -> acc + IF(((h >> j) & 1) = 1, 1, -1))),
+            sequence(0, {bits - 1}),
+            (v, j) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT),
+          (acc, x) -> acc | x)
+        """
+    )
+    return df.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ k over SimHash.
+
+    Blocking: split the 64-bit hash into (k+1) bands — any pair within
+    Hamming k agrees exactly on ≥1 band (pigeonhole), so band equi-joins
+    find all of them without n².
+    """
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    sh = simhash(df, text_col, id_col)
+    band_cols = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias(f"b{b}")
+            for b in range(nbands)
+        ]
+    )
+    banded = sh.select(id_col, "simhash", F.posexplode(band_cols).alias("band", "band_val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    threshold: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple = ("lang",),
+    shingle_k: int = 2,
+) -> DataFrame:
+    """Blocked exact n-gram Jaccard: pairs within the same block columns
+    (cheap blocking keys — language, source, length bucket) with shingle
+    Jaccard ≥ threshold. The block join bounds the pair count; at corpus
+    scale you'd tighten blocks or switch to minhash_near_dup."""
+    sets = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        shingles(tokenize(text_col), shingle_k).alias("sh"),
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    joined = a.join(b, list(block_cols)).filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    inter = F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+    union = F.size(F.array_union("a.sh", "b.sh")).cast("double")
+    return (
+        joined.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dup(
+    emb_df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine ≥ threshold.
+
+    Blocked self-join (by cluster/label when available) with the dot
+    product as a zip_with/aggregate expression — JVM-side, no UDF. For
+    unblocked 100 TB-scale input, use similarity.rp_lsh_buckets to
+    generate blocks first.
+    """
+    from kapacitor_spark.dataprep.similarity import with_norm, cosine_expr
+
+    base = with_norm(emb_df, vec_col)
+    a, b = base.alias("a"), base.alias("b")
+    on = [block_col] if block_col else []
+    joined = (
+        a.join(b, on) if on else a.crossJoin(b)
+    ).filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    cos = cosine_expr(f"a.{vec_col}", f"b.{vec_col}", "a.__norm", "b.__norm")
+    return joined.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(cos, 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

@@ -1,0 +1,126 @@
+"""Text analysis operators: token stats, quality scoring, language-ID
+heuristic, document fingerprinting. All pure column expressions — these run
+inside whole-stage codegen, no Python in the hot path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kapacitor_spark.dataprep.dedup import tokenize
+
+__all__ = ["token_stats", "quality_score", "lang_id", "doc_fingerprint"]
+
+# tiny built-in stopword list for the quality heuristic (public knowledge)
+_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be",
+]
+
+
+def token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace + BPE-ish token counts and length stats per document."""
+    toks = tokenize(text_col)
+    # BPE-ish proxy: alnum runs + individual punctuation marks
+    bpe = F.expr(
+        rf"size(filter(split(lower({text_col}), '(?<=\\W)|(?=\\W)'), x -> trim(x) != ''))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars_computed"),
+        F.size(toks).alias("n_tokens"),
+        bpe.alias("n_subtokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.round(
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.size(toks),
+            6,
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality signals per document (C4/Gopher-style filters):
+    length, stopword ratio, type-token ratio, punctuation density,
+    all-caps ratio; combined into [0,1] score.
+    """
+    toks = tokenize(text_col)
+    n = F.size(toks).cast("double")
+    uniq = F.size(F.array_distinct(toks)).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr)).cast("double")
+    punct = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^\p{Punct}]", "")).cast("double")
+        / F.greatest(F.length(text_col).cast("double"), F.lit(1.0))
+    )
+    ttr = uniq / F.greatest(n, F.lit(1.0))
+    len_ok = F.when((n >= 10) & (n <= 100000), 1.0).otherwise(0.0)
+    score = F.round(
+        (
+            len_ok
+            + F.least(ttr * 2, F.lit(1.0))
+            + F.least(n_stop / 5.0, F.lit(1.0))
+            + (1.0 - F.least(punct * 10, F.lit(1.0)))
+        )
+        / 4.0,
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(punct, 6).alias("punct_ratio"),
+        score.alias("quality"),
+    )
+
+
+# marker words per language for the n-gram/lexicon heuristic; with real
+# corpora you'd use character n-gram profiles — same join/expr shape.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "y", "es"],
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Language ID by lexicon hit-rate: argmax over per-language marker
+    matches; 'und' when nothing matches. Pure expressions (array_intersect
+    per language), so it vectorizes."""
+    toks = F.array_distinct(tokenize(text_col))
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in _LANG_MARKERS.items()
+    ]
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise("und").alias("lang_pred"),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stable document fingerprints: full-content digest plus a
+    word-order-insensitive digest (both md5 — portable across engines)."""
+    norm = F.concat_ws(" ", tokenize(text_col))
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize(text_col))))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("content_fp"),
+        F.md5(bag).alias("bag_fp"),
+    )

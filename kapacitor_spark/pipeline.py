@@ -75,6 +75,7 @@ class Pipeline:
     time_col: str = "time"
     dims: tuple[str, ...] = ()
     window: WindowSpec | None = None
+    tiebreak: tuple[str, ...] = ()
     results: dict = field(default_factory=dict, compare=False)
 
     # ------------------------------------------------------------------ #
@@ -84,9 +85,17 @@ class Pipeline:
 
     @classmethod
     def from_df(
-        cls, df: DataFrame, time_col: str = "time", dims: Sequence[str] = ()
+        cls,
+        df: DataFrame,
+        time_col: str = "time",
+        dims: Sequence[str] = (),
+        tiebreak: Sequence[str] = (),
     ) -> "Pipeline":
-        return cls(df=df, time_col=time_col, dims=tuple(dims))
+        """``tiebreak``: extra columns appended to every event-time ordering
+        so per-group sequences are total orders even when timestamps collide
+        (the reference relies on arrival order, which has no distributed
+        analog — a unique key column is the deterministic substitute)."""
+        return cls(df=df, time_col=time_col, dims=tuple(dims), tiebreak=tuple(tiebreak))
 
     @classmethod
     def from_parquet(
@@ -96,6 +105,7 @@ class Pipeline:
         time_col: str = "time",
         dims: Sequence[str] = (),
         where: str | Column | None = None,
+        tiebreak: Sequence[str] = (),
     ) -> "Pipeline":
         """``from()`` analog: scan + optional predicate.
 
@@ -108,7 +118,7 @@ class Pipeline:
         df = read_table(spark, path)
         if where is not None:
             df = df.filter(_col(where))
-        return cls(df=df, time_col=time_col, dims=tuple(dims))
+        return cls(df=df, time_col=time_col, dims=tuple(dims), tiebreak=tuple(tiebreak))
 
     # ------------------------------------------------------------------ #
     # plumbing
@@ -122,7 +132,7 @@ class Pipeline:
         """Per-group event-time window frame — the Spark analog of the
         reference's per-group receiver ordering (/root/reference/edge/grouped.go)."""
         w = Window.partitionBy(*[F.col(d) for d in self.dims]) if self.dims else Window.partitionBy()
-        return w.orderBy(self.time_col)
+        return w.orderBy(self.time_col, *self.tiebreak)
 
     @property
     def time(self) -> Column:
@@ -350,7 +360,7 @@ class Pipeline:
         df, ok = self._streak_id(_col(cond))
         w = (
             Window.partitionBy(*[F.col(d) for d in self.dims], F.col("__streak"))
-            .orderBy(self.time_col)
+            .orderBy(self.time_col, *self.tiebreak)
         )
         cnt = F.when(ok, F.row_number().over(w)).otherwise(F.lit(-1)).cast("long")
         return self._with(df.withColumn(as_, cnt).drop("__ok", "__streak"))
@@ -362,7 +372,7 @@ class Pipeline:
         false; 0 at streak start (/root/reference/state_tracking.go:111-151)."""
         df, ok = self._streak_id(_col(cond))
         w = Window.partitionBy(*[F.col(d) for d in self.dims], F.col("__streak")).orderBy(
-            self.time_col
+            self.time_col, *self.tiebreak
         )
         unit_us = round(parse_duration(unit) * 1_000_000)
         dur = (
@@ -561,7 +571,11 @@ class Pipeline:
 
     def _topk(self, n, fld, extra, descending, as_) -> "Pipeline":
         df, keys, dim_names = self._window_grouping()
-        order = [F.col(fld).desc() if descending else F.col(fld).asc(), F.col(self.time_col).asc()]
+        order = [
+            F.col(fld).desc() if descending else F.col(fld).asc(),
+            F.col(self.time_col).asc(),
+            *[F.col(c).asc() for c in self.tiebreak],
+        ]
         w = Window.partitionBy(*keys).orderBy(*order) if keys else Window.partitionBy().orderBy(*order)
         out = df.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= n).drop("__rk")
         keep = [self.time_col, *dim_names, *extra, fld]
@@ -602,7 +616,8 @@ class Pipeline:
         def bucket(p: "Pipeline") -> DataFrame:
             if tolerance:
                 us = round(parse_duration(tolerance) * 1_000_000)
-                b = (F.floor(F.unix_micros(F.col(p.time_col)) / us) * us)
+                um = F.unix_micros(F.col(p.time_col))
+                b = um - um % F.lit(us)  # integer floor-bucket, exact
                 return p.df.withColumn("__jt", b)
             return p.df.withColumn("__jt", F.unix_micros(F.col(p.time_col)))
 
@@ -653,7 +668,7 @@ class Pipeline:
         p1, p2 = (_col(p) for p in predicates)
         us = round(parse_duration(tolerance) * 1_000_000) if tolerance else None
         t = (
-            (F.floor(F.unix_micros(self.time) / us) * us)
+            (F.unix_micros(self.time) - F.unix_micros(self.time) % F.lit(us))
             if us
             else F.unix_micros(self.time)
         )
@@ -715,14 +730,18 @@ class Pipeline:
         t = self.time
         if tolerance:
             us = round(parse_duration(tolerance) * 1_000_000)
-            t = F.timestamp_micros(F.floor(F.unix_micros(t) / us) * us)
+            t = F.timestamp_micros(F.unix_micros(t) - F.unix_micros(t) % F.lit(us))
         rest = [d for d in self.dims if d not in on]
         pivot_key = F.concat_ws(delimiter, *[F.col(c) for c in on])
         df = self.df.withColumn("__t", t).withColumn("__pk", pivot_key)
         gb = df.groupBy(F.col("__t").alias(self.time_col), *[F.col(d) for d in rest])
         piv = gb.pivot("__pk", list(values) if values else None)
+        # earliest point per (bucket, pivot value) wins — the reference keeps
+        # the first arrival (flatten.go:219); min_by over (time, tiebreak)
+        # is the deterministic distributed equivalent.
+        order = F.struct(F.col(self.time_col), *[F.col(c) for c in self.tiebreak])
         if len(fields) == 1:
-            out = piv.agg(F.first(fields[0]))
+            out = piv.agg(F.min_by(fields[0], order))
             out = out.select(
                 self.time_col,
                 *rest,
@@ -733,7 +752,7 @@ class Pipeline:
                 ],
             )
         else:
-            out = piv.agg(*[F.first(f_).alias(f_) for f_ in fields])
+            out = piv.agg(*[F.min_by(f_, order).alias(f_) for f_ in fields])
         return Pipeline(df=out, time_col=self.time_col, dims=tuple(rest), results=self.results)
 
     def sideload(
