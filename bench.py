@@ -1,0 +1,90 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {...}, "sf": ...}.
+
+Mirrors the reference's benchmark shape (/root/reference/integrations/
+benchmark_test.go: filter / windowed-count / alert / join pipelines) plus
+the analytic + dataprep headliners. Each query is executed to completion
+with a noop write (full pipeline runs distributed; no driver collect cost,
+matching "all points processed" in the reference harness, benchmark_test.go:271).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the reference-benchmark shapes first (filter, windowed
+# count, alert, join), then the heavy analytic queries, then dataprep.
+HEADLINE = [
+    "where_filter",        # pass-through filter (BenchmarkSimpleTask)
+    "window_mean_1h",      # windowed agg (BenchmarkCountTask)
+    "alert_state_changes", # alert lambda (BenchmarkAlertTask)
+    "join_tolerance",      # two-stream join (BenchmarkJoinTask)
+    "tpch_q1_pricing",
+    "tpch_q3_topk",
+    "state_tracking",
+    "moving_avg5",
+    "flatten_daily",
+    "dedup_exact",
+    "minhash_near_dup",
+    "text_token_stats",
+    "ann_cosine_topk",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> int:
+    import __spark_entry__ as entry_mod
+    from kapacitor_spark import get_spark
+
+    spark = get_spark("kapacitor-spark-bench")
+    qs = entry_mod.queries()
+    names = [n for n in (sys.argv[1:] or HEADLINE) if n in qs]
+
+    # Warm the JVM + parquet footer caches once so per-query numbers measure
+    # execution, not first-touch JIT (the reference harness likewise runs
+    # inside an already-warm process under go test -bench).
+    qs["where_filter"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
