@@ -138,6 +138,47 @@ def sample_nth(spark, sf_dir):
     return p.result().select("event_id", "ts", "event_type", "value")
 
 
+@_q(
+    "lambda_where_regex",
+    """SELECT event_id, ts, event_type, value FROM events
+       WHERE regexp_matches(event_type, '^(click|view)$')
+         AND abs(value) > 150 AND upper(event_type) <> 'ERROR'""",
+)
+def lambda_where_regex(spark, sf_dir):
+    """TICK lambda language e2e: regex match + math fn + string fn compiled
+    to one codegen'd predicate — /root/reference/tick/stateful/expr.go per-
+    point interpreter replaced by Catalyst vectorization."""
+    p = _events(spark, sf_dir).where(
+        'lambda: "event_type" =~ /^(click|view)$/ AND abs("value") > 150.0 '
+        "AND strToUpper(\"event_type\") != 'ERROR'"
+    )
+    return p.result().select("event_id", "ts", "event_type", "value")
+
+
+@_q(
+    "sigma_outliers",
+    """SELECT event_id, user_id, value,
+              round(CASE WHEN count(value) OVER w < 2
+                           OR coalesce(stddev_samp(value) OVER w, 0) = 0 THEN 0
+                         ELSE abs(value - avg(value) OVER w) / (stddev_samp(value) OVER w)
+                    END, 6) AS sigma
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+       QUALIFY sigma > 2""",
+)
+def sigma_outliers(spark, sf_dir):
+    """Stateful sigma() lambda fn — /root/reference/tick/stateful/
+    functions.go:1131 (running #stddevs from running mean, 0 while n<2);
+    compiles to running-window aggregates, one shuffle on the group key."""
+    p = (
+        _events_by_user(spark, sf_dir)
+        .sigma("value", as_="sigma_raw")
+        .eval(sigma=F.round(F.col("sigma_raw"), 6))
+        .where("sigma > 2")
+    )
+    return p.result().select("event_id", "user_id", "value", "sigma")
+
+
 # ===================================================================== #
 # §2.4 windowing + §2.5 aggregation
 # ===================================================================== #

@@ -1,0 +1,255 @@
+"""TICK lambda-expression → Spark Column compiler.
+
+The reference evaluates lambdas per point with a compiled AST walker
+(/root/reference/tick/stateful/expr.go, eval_binary_node.go; syntax
+/root/reference/tick/ast/node.go). Here the same grammar compiles ONCE into
+a Spark ``Column`` tree — Catalyst codegen then vectorizes it, replacing the
+reference's per-point interpreter loop.
+
+Grammar (tick/ast operator precedence):
+
+    expr    := or
+    or      := and (OR and)*
+    and     := cmp (AND cmp)*
+    cmp     := add ((> >= < <= == !=) add | (=~ !~) regex)*
+    add     := mul ((+ -) mul)*
+    mul     := unary ((* / %) unary)*
+    unary   := (! -) unary | primary
+    primary := NUMBER | DURATION | STRING | "field_ref" | TRUE | FALSE
+             | ident(args...) | ident | ( expr )
+
+Literals: numbers; single-quoted strings; double-quoted field/tag refs;
+/regex/; durations (1s, 10m, …) → nanoseconds int64 (matching unixNano
+scale, functions.go:224). ``lambda:`` prefix is optional.
+
+Stateful functions sigma/count/spread (functions.go:1131-1213) need an
+event-time ordering — pass ``ordered_window`` (Pipeline does this
+automatically) and they compile to running-window aggregates.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from kapacitor_spark.durations import parse_duration
+from kapacitor_spark.functions import FUNCTIONS
+
+__all__ = ["compile_lambda", "is_lambda"]
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<dur>\d+(?:\.\d+)?(?:ns|us|µs|ms|s|m|h|d|w))(?![\w.])
+    | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+    | (?P<str>'(?:[^'\\]|\\.)*')
+    | (?P<ref>"(?:[^"\\]|\\.)*")
+    | (?P<regex>/(?:[^/\\]|\\.)+/)
+    | (?P<op><=|>=|==|!=|=~|!~|[-+*/%!<>(),])
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    )""",
+    re.VERBOSE,
+)
+
+
+def is_lambda(s: str) -> bool:
+    return isinstance(s, str) and s.lstrip().startswith("lambda:")
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            if src[pos:].strip() == "":
+                break
+            raise ValueError(f"lambda: cannot tokenize at {src[pos:pos+20]!r}")
+        pos = m.end()
+        for kind in ("dur", "num", "str", "ref", "regex", "op", "ident"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    out.append(("eof", ""))
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens, ordered_window: Window | None, time_col: str):
+        self.toks = tokens
+        self.i = 0
+        self.w = ordered_window
+        self.time_col = time_col
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect_op(self, op):
+        k, v = self.next()
+        if k != "op" or v != op:
+            raise ValueError(f"lambda: expected {op!r}, got {v!r}")
+
+    # --- precedence climb ------------------------------------------------
+    def parse(self) -> Column:
+        c = self.or_()
+        k, v = self.peek()
+        if k != "eof":
+            raise ValueError(f"lambda: trailing input at {v!r}")
+        return c
+
+    def or_(self) -> Column:
+        c = self.and_()
+        while self.peek() == ("ident", "OR"):
+            self.next()
+            c = c | self.and_()
+        return c
+
+    def and_(self) -> Column:
+        c = self.cmp()
+        while self.peek() == ("ident", "AND"):
+            self.next()
+            c = c & self.cmp()
+        return c
+
+    def cmp(self) -> Column:
+        c = self.add()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in (">", ">=", "<", "<=", "==", "!="):
+                self.next()
+                r = self.add()
+                c = {
+                    ">": c.__gt__, ">=": c.__ge__, "<": c.__lt__,
+                    "<=": c.__le__, "==": c.__eq__, "!=": c.__ne__,
+                }[v](r)
+            elif k == "op" and v in ("=~", "!~"):
+                self.next()
+                rk, rv = self.next()
+                if rk == "regex":
+                    pat = rv[1:-1]
+                elif rk == "str":
+                    pat = rv[1:-1]
+                else:
+                    raise ValueError(f"lambda: {v} needs a /regex/, got {rv!r}")
+                m = c.rlike(pat)
+                c = m if v == "=~" else ~m
+            else:
+                return c
+
+    def add(self) -> Column:
+        c = self.mul()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("+", "-"):
+                self.next()
+                c = (c + self.mul()) if v == "+" else (c - self.mul())
+            else:
+                return c
+
+    def mul(self) -> Column:
+        c = self.unary()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("*", "/", "%"):
+                self.next()
+                r = self.unary()
+                c = c * r if v == "*" else (c / r if v == "/" else c % r)
+            else:
+                return c
+
+    def unary(self) -> Column:
+        k, v = self.peek()
+        if k == "op" and v == "!":
+            self.next()
+            return ~self.unary()
+        if k == "op" and v == "-":
+            self.next()
+            return -self.unary()
+        return self.primary()
+
+    def primary(self) -> Column:
+        k, v = self.next()
+        if k == "num":
+            return F.lit(float(v) if ("." in v or "e" in v or "E" in v) else int(v))
+        if k == "dur":
+            # durations compare against unixNano deltas → int64 nanoseconds
+            return F.lit(int(parse_duration(v) * 1_000_000_000))
+        if k == "str":
+            return F.lit(v[1:-1].replace("\\'", "'"))
+        if k == "ref":
+            return F.col(v[1:-1])
+        if k == "op" and v == "(":
+            c = self.or_()
+            self.expect_op(")")
+            return c
+        if k == "ident":
+            if v == "TRUE":
+                return F.lit(True)
+            if v == "FALSE":
+                return F.lit(False)
+            if self.peek() == ("op", "("):
+                return self.call(v)
+            # bare identifier = column ref (convenience beyond the reference)
+            return F.col(v)
+        raise ValueError(f"lambda: unexpected token {v!r}")
+
+    def call(self, name: str) -> Column:
+        self.expect_op("(")
+        args: list[Column] = []
+        if self.peek() != ("op", ")"):
+            args.append(self.or_())
+            while self.peek() == ("op", ","):
+                self.next()
+                args.append(self.or_())
+        self.expect_op(")")
+
+        if name in ("sigma", "count", "spread"):
+            return self.stateful(name, args)
+        if name == "now":
+            return F.current_timestamp()
+        fn = FUNCTIONS.get(name)
+        if fn is None:
+            raise ValueError(f"lambda: unknown function {name!r}")
+        return fn(*args)
+
+    def stateful(self, name: str, args: list[Column]) -> Column:
+        """Running-state functions over the pipeline's event order
+        (/root/reference/tick/stateful/functions.go:1131-1213)."""
+        if self.w is None:
+            raise ValueError(
+                f"lambda: stateful {name}() needs event ordering — call via "
+                f"Pipeline.eval/where (or pass ordered_window)"
+            )
+        run = self.w.rowsBetween(Window.unboundedPreceding, 0)
+        if name == "count":
+            return F.count(F.lit(1)).over(run).cast("double")
+        x = args[0]
+        if name == "spread":
+            return F.max(x).over(run) - F.min(x).over(run)
+        # sigma: |x - running_mean| / running_stddev_samp, both including x;
+        # 0 while n<2 or variance==0 (functions.go:1146-1163)
+        mean = F.avg(x).over(run)
+        sd = F.stddev_samp(x).over(run)
+        n = F.count(x).over(run)
+        return (
+            F.when((n < 2) | sd.isNull() | (sd == 0), F.lit(0.0))
+            .otherwise(F.abs(x - mean) / sd)
+        )
+
+
+def compile_lambda(
+    src: str,
+    ordered_window: Window | None = None,
+    time_col: str = "time",
+) -> Column:
+    """Compile ``lambda: "value" > 10.0 AND sigma("value") > 3`` to a Column."""
+    body = src.lstrip()
+    if body.startswith("lambda:"):
+        body = body[len("lambda:"):]
+    return _Parser(_tokenize(body), ordered_window, time_col).parse()

@@ -38,12 +38,15 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kapacitor_spark.durations import parse_duration, to_interval
+from kapacitor_spark.functions.lambdas import compile_lambda, is_lambda
 
 __all__ = ["Pipeline", "WindowSpec"]
 
 
 def _col(c: str | Column) -> Column:
-    return F.expr(c) if isinstance(c, str) else c
+    if isinstance(c, str):
+        return compile_lambda(c) if is_lambda(c) else F.expr(c)
+    return c
 
 
 @dataclass(frozen=True)
@@ -149,9 +152,18 @@ class Pipeline:
     # §2.2 projections / per-row transforms
     # ------------------------------------------------------------------ #
 
+    def _expr(self, c: str | Column) -> Column:
+        """SQL/Column/TICK-lambda → Column; lambdas get this pipeline's
+        event ordering so stateful sigma/count/spread compile to running
+        windows (/root/reference/tick/stateful/functions.go:1131)."""
+        if isinstance(c, str) and is_lambda(c):
+            return compile_lambda(c, ordered_window=self._ordered(), time_col=self.time_col)
+        return _col(c)
+
     def where(self, cond: str | Column) -> "Pipeline":
-        """Filter points (/root/reference/where.go:89-99)."""
-        return self._with(self.df.filter(_col(cond)))
+        """Filter points (/root/reference/where.go:89-99). Accepts SQL,
+        Column, or a TICK lambda string (``lambda: "value" > 10``)."""
+        return self._with(self.df.filter(self._expr(cond)))
 
     def eval(
         self,
@@ -168,7 +180,7 @@ class Pipeline:
         """
         df = self.df
         for name, expr in named_exprs.items():
-            df = df.withColumn(name, _col(expr))
+            df = df.withColumn(name, self._expr(expr))
         if keep is True:
             return self._with(df)
         keep_cols = list(keep) if not isinstance(keep, bool) else []
@@ -357,7 +369,7 @@ class Pipeline:
     def state_count(self, cond: str | Column, as_: str = "state_count") -> "Pipeline":
         """Consecutive-true counter, -1 when false
         (/root/reference/state_tracking.go:153-189)."""
-        df, ok = self._streak_id(_col(cond))
+        df, ok = self._streak_id(self._expr(cond))
         w = (
             Window.partitionBy(*[F.col(d) for d in self.dims], F.col("__streak"))
             .orderBy(self.time_col, *self.tiebreak)
@@ -370,7 +382,7 @@ class Pipeline:
     ) -> "Pipeline":
         """Time spent with predicate continuously true, in units; -1 when
         false; 0 at streak start (/root/reference/state_tracking.go:111-151)."""
-        df, ok = self._streak_id(_col(cond))
+        df, ok = self._streak_id(self._expr(cond))
         w = Window.partitionBy(*[F.col(d) for d in self.dims], F.col("__streak")).orderBy(
             self.time_col, *self.tiebreak
         )
@@ -381,6 +393,20 @@ class Pipeline:
         )
         out = F.when(ok, dur).otherwise(F.lit(-1.0))
         return self._with(df.withColumn(as_, out).drop("__ok", "__streak"))
+
+    def sigma(self, fld: str, as_: str = "sigma") -> "Pipeline":
+        """Number of standard deviations from the running mean
+        (/root/reference/tick/stateful/functions.go:1131-1163, Welford):
+        |x-mean|/stddev over all points so far (inclusive); 0 while n<2 or
+        variance==0. One window shuffle; also available inside lambdas as
+        ``sigma("field")``."""
+        c = self._expr(f'lambda: sigma("{fld}")')
+        return self._with(self.df.withColumn(as_, c))
+
+    def trickle(self) -> "Pipeline":
+        """Batch edge → stream edge (/root/reference/trickle.go). DataFrames
+        are already row streams; this just clears any pending window spec."""
+        return replace(self, window=None)
 
     # ------------------------------------------------------------------ #
     # §2.4 windowing
@@ -665,7 +691,7 @@ class Pipeline:
         """
         if len(predicates) != 2 or len(as_) != 2:
             raise ValueError("combine() supports exactly two slots")
-        p1, p2 = (_col(p) for p in predicates)
+        p1, p2 = (self._expr(p) for p in predicates)
         us = round(parse_duration(tolerance) * 1_000_000) if tolerance else None
         t = (
             (F.unix_micros(self.time) - F.unix_micros(self.time) % F.lit(us))
@@ -796,11 +822,11 @@ class Pipeline:
         """
         expr = F.lit("OK")
         if info is not None:
-            expr = F.when(_col(info), "INFO").otherwise(expr)
+            expr = F.when(self._expr(info), "INFO").otherwise(expr)
         if warn is not None:
-            expr = F.when(_col(warn), "WARNING").otherwise(expr)
+            expr = F.when(self._expr(warn), "WARNING").otherwise(expr)
         if crit is not None:
-            expr = F.when(_col(crit), "CRITICAL").otherwise(expr)
+            expr = F.when(self._expr(crit), "CRITICAL").otherwise(expr)
         df = self.df.withColumn(level_col, expr)
         if state_changes_only:
             w = self._ordered()
