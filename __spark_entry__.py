@@ -380,6 +380,46 @@ def top3_per_type(spark, sf_dir):
     return _events(spark, sf_dir).top(3, "value", "event_id").result()
 
 
+@_q(
+    "window_count_agg",
+    """SELECT ts, event_type,
+              CAST(sum(CAST(value AS DECIMAL(20,4))) OVER
+                   (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum10,
+              count(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS n10
+       FROM events
+       QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) % 5 = 0
+          AND row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) >= 10""",
+)
+def window_count_agg(spark, sf_dir):
+    """Count-based window (periodCount=10, everyCount=5, fillPeriod) —
+    /root/reference/window.go:360-470: rowsBetween frame + row_number emit
+    filter, one shuffle, no Python."""
+    return (
+        _events(spark, sf_dir)
+        .window_count(10, 5, fill_period=True)
+        .agg_over(
+            sum10_dec=F.sum(F.col("value").cast("decimal(20,4)")),
+            n10=F.count("value"),
+        )
+        .eval(keep=["n10"], sum10=F.col("sum10_dec").cast("double"))
+        .result()
+        .select("ts", "event_type", "sum10", "n10")
+    )
+
+
+@_q("holt_winters_forecast")  # iterative fit — no closed-form SQL; rows-only
+def holt_winters_forecast(spark, sf_dir):
+    """holtWinters(value, h=6, m=24, 1h) per event_type —
+    /root/reference/pipeline/influxql.go:555; applyInPandas per group."""
+    return (
+        _events(spark, sf_dir)
+        .holt_winters("value", h=6, m=24, interval="1h")
+        .result()
+    )
+
+
 # ===================================================================== #
 # §2.5 stream transforms (ordered window functions)
 # ===================================================================== #

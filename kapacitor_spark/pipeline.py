@@ -71,6 +71,18 @@ class WindowSpec:
 
 
 @dataclass(frozen=True)
+class CountWindowSpec:
+    """Count-based window (/root/reference/window.go:360-470):
+    last ``period`` points per group, emitting every ``every`` points.
+    Compiles to rowsBetween(-(period-1), 0) + row_number emit filter —
+    no groupBy, one shuffle on the group key."""
+
+    period: int
+    every: int = 1
+    fill_period: bool = False
+
+
+@dataclass(frozen=True)
 class Pipeline:
     """One edge of the dataflow DAG = one DataFrame + point-model metadata."""
 
@@ -408,6 +420,26 @@ class Pipeline:
         are already row streams; this just clears any pending window spec."""
         return replace(self, window=None)
 
+    def holt_winters(
+        self,
+        fld: str,
+        h: int,
+        m: int,
+        interval: str | float,
+        include_fit: bool = False,
+        as_: str | None = None,
+    ) -> "Pipeline":
+        """Holt-Winters forecast per group (/root/reference/pipeline/
+        influxql.go:555-599) — see operators.holt_winters."""
+        from kapacitor_spark.operators.holt_winters import holt_winters as hw
+
+        out = hw(
+            self.df, fld, h, m, interval,
+            time_col=self.time_col, dims=self.dims,
+            include_fit=include_fit, as_=as_,
+        )
+        return Pipeline(df=out, time_col=self.time_col, dims=self.dims, results=self.results)
+
     # ------------------------------------------------------------------ #
     # §2.4 windowing
     # ------------------------------------------------------------------ #
@@ -441,12 +473,28 @@ class Pipeline:
     def window_(self, *a, **kw) -> "Pipeline":
         return self.window_time(*a, **kw)
 
+    def window_count(
+        self, period_count: int, every_count: int = 1, fill_period: bool = False
+    ) -> "Pipeline":
+        """Count-based window: last ``period_count`` points per group, emit
+        every ``every_count`` points (/root/reference/window.go:360-470;
+        pipeline/window.go:49-53). Consumed by the next single aggregation,
+        which compiles to an aggregate window function over
+        rowsBetween(-(period_count-1), 0) — point times are preserved
+        (the reference emits at the triggering point's time)."""
+        if period_count < 1 or every_count < 1:
+            raise ValueError("window_count period/every must be >= 1")
+        spec = CountWindowSpec(period=period_count, every=every_count, fill_period=fill_period)
+        return replace(self, window=spec)
+
     def _window_grouping(self) -> tuple[DataFrame, list[Column], list[str]]:
         """Resolve (df, groupBy columns, output key columns) for the pending
         window + dims."""
         dims_cols = [F.col(d) for d in self.dims]
         if self.window is None:
             return self.df, dims_cols, list(self.dims)
+        if isinstance(self.window, CountWindowSpec):
+            raise ValueError("count windows support single aggregates / agg_over() only")
         spec = self.window
         win = F.window(
             self.time,
@@ -492,6 +540,11 @@ class Pipeline:
         shuffle, map-side partial agg) so this is the primitive and the
         named methods below are sugar.
         """
+        if isinstance(self.window, CountWindowSpec):
+            raise ValueError(
+                "count windows aggregate via named single-agg methods "
+                "(.mean/.sum/...) or .agg_over(name=expr)"
+            )
         df, keys, dim_names = self._window_grouping()
         out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
         out = self._emit_window_time(out)
@@ -502,7 +555,40 @@ class Pipeline:
         dims = tuple(dim_names)
         return Pipeline(df=out, time_col=tc or self.time_col, dims=dims, results=self.results)
 
+    def agg_over(self, **named_aggs: Column) -> "Pipeline":
+        """Aggregates over a pending count window: each expression is
+        applied .over(rowsBetween(-(n-1), 0)); emit rows are every
+        ``every``-th point per group (and, with fillPeriod, only once
+        ``period`` points have accumulated) — reference emit logic
+        /root/reference/window.go:404-470."""
+        spec = self.window
+        if not isinstance(spec, CountWindowSpec):
+            raise ValueError("agg_over() requires a pending window_count()")
+        w = self._ordered()
+        frame = w.rowsBetween(-(spec.period - 1), 0)
+        df = self.df
+        for name, expr in named_aggs.items():
+            df = df.withColumn(name, expr.over(frame))
+        rn = F.row_number().over(w)
+        df = df.withColumn("__rn", rn)
+        conds = [(F.col("__rn") % spec.every) == 0] if spec.every > 1 else []
+        if spec.fill_period:
+            conds.append(F.col("__rn") >= spec.period)
+        for c in conds:
+            df = df.filter(c)
+        df = df.drop("__rn")
+        keep = [self.time_col, *self.dims, *named_aggs.keys()]
+        return Pipeline(
+            df=df.select(*dict.fromkeys(keep)),
+            time_col=self.time_col,
+            dims=self.dims,
+            tiebreak=self.tiebreak,
+            results=self.results,
+        )
+
     def _single_agg(self, expr: Column, alias: str) -> "Pipeline":
+        if isinstance(self.window, CountWindowSpec):
+            return self.agg_over(**{alias: expr})
         return self.agg(expr.alias(alias))
 
     def count(self, fld: str, as_: str = "count") -> "Pipeline":

@@ -19,6 +19,18 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # Pandas-UDF closures (holt_winters, multimodal, streaming state) are
+    # cloudpickled by reference to this package — the spawned Python workers
+    # must be able to import it. Local mode: inherit via PYTHONPATH (must be
+    # set before the JVM gateway starts). Cluster deployment: ship a wheel
+    # with --py-files instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
