@@ -33,7 +33,17 @@ _ORACLES: dict[str, str] = {}
 
 def _q(name: str, oracle: str | None = None):
     def deco(fn):
-        _QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # driver-owned sessions: ship the package to Python workers once
+            # (Pandas-UDF closures are pickled by reference to it)
+            from kapacitor_spark.session import ensure_worker_imports
+
+            ensure_worker_imports(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLES[name] = oracle
         return fn
@@ -136,6 +146,34 @@ def sample_nth(spark, sf_dir):
     (/root/reference/sample.go:97)."""
     p = _events(spark, sf_dir).sample(n=10)
     return p.result().select("event_id", "ts", "event_type", "value")
+
+
+@_q(
+    "lineprotocol_roundtrip",
+    """SELECT event_type AS name, user_id, event_id, value, ts
+       FROM events WHERE value IS NOT NULL""",
+)
+def lineprotocol_roundtrip(spark, sf_dir):
+    """Line-protocol egress → ingest roundtrip over the full events table —
+    /root/reference/services/udp/service.go:145 (ingest) +
+    /root/reference/influxdb_out.go (egress). Render is pure JVM concat;
+    parse is Arrow-batched mapInPandas at the ingest edge only."""
+    from kapacitor_spark.sources import parse_lines, to_line_protocol
+    from kapacitor_spark.sources.line_protocol import promote
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "user_id", "event_id", "value")
+    lines = to_line_protocol(
+        ev, F.col("event_type"), tag_cols=["user_id"],
+        field_cols=["event_id", "value"], time_col="ts",
+    )
+    parsed = parse_lines(lines, col="line")
+    return parsed.select(
+        "name",
+        F.col("tags").getItem("user_id").cast("long").alias("user_id"),
+        F.col("fields_i").getItem("event_id").alias("event_id"),
+        F.col("fields_f").getItem("value").alias("value"),
+        F.col("time").alias("ts"),
+    )
 
 
 @_q(

@@ -52,6 +52,34 @@ def get_spark(
     return spark
 
 
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make ``kapacitor_spark`` importable in Python workers for sessions we
+    did not create (e.g. the driver's own SparkSession): zip the package once
+    and ship it with addPyFile — workers unpack it onto their sys.path.
+    No-op on subsequent calls for the same SparkContext."""
+    sc = spark.sparkContext
+    if getattr(sc, "_kapacitor_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "kapacitor_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "kapacitor_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._kapacitor_spark_shipped = True
+
+
 def read_table(spark: SparkSession, path: str):
     """Read a parquet table, transparently handling TIMESTAMP(NANOS) columns.
 

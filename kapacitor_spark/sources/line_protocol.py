@@ -1,0 +1,256 @@
+"""InfluxDB line-protocol ingest/egress (SURVEY §2.1).
+
+The reference ingests line protocol over HTTP/UDP
+(/root/reference/services/httpd/handler.go, services/udp/service.go:145)
+and replays recorded ``.srpl`` fixtures (dbname/rpname header pairs + one
+point per line, /root/reference/replay.go:17-110). The wire format is the
+public InfluxDB line protocol:
+
+    measurement[,tag=val...] field=value[,field2=value2...] [timestamp_ns]
+
+Field value types: float (``1.0``), integer (``2i``), string (``"s"``),
+boolean (``t/true/f/false``); commas/spaces/equals in identifiers are
+backslash-escaped; string field values escape ``"``.
+
+Spark mapping: parsing is per-row string work (inherently scalar — the
+reference parses each line in Go too), so it runs in ``mapInPandas`` with a
+compiled regex tokenizer: Arrow-batched, parallel across partitions, and
+ONLY at the ingest edge — everything downstream is typed columns. Egress
+(``to_line_protocol``) is pure JVM concat/regexp (codegen'd).
+
+Parsed schema (the reference's schemaless point, /root/reference/models/
+point.go, typed by class):
+
+    name string, tags map<string,string>,
+    fields_f map<string,double>, fields_i map<string,long>,
+    fields_s map<string,string>, fields_b map<string,boolean>,
+    time timestamp
+
+``promote()`` turns that into the wide/typed layout (SURVEY §1.3) for one
+measurement: tags + chosen fields as top-level typed columns.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PARSED_SCHEMA = (
+    "name string, tags map<string,string>, "
+    "fields_f map<string,double>, fields_i map<string,long>, "
+    "fields_s map<string,string>, fields_b map<string,boolean>, "
+    "time timestamp"
+)
+
+# split on unescaped commas / spaces / equals
+_UNESC_COMMA = re.compile(r"(?<!\\),")
+_UNESC_SPACE = re.compile(r"(?<!\\) ")
+_UNESC_EQ = re.compile(r"(?<!\\)=")
+_UNESCAPE = re.compile(r"\\([, =])")
+
+# field values: "str" | 123i | 1.5 | true/false — strings may contain
+# escaped quotes and commas, so fields are tokenized with a real scanner.
+_FIELD_TOKEN = re.compile(
+    r'(?P<key>(?:[^\\,= ]|\\.)+)='
+    r'(?P<val>"(?:[^"\\]|\\.)*"|[^,]*)'
+)
+
+
+def _unescape(s: str) -> str:
+    return _UNESCAPE.sub(r"\1", s)
+
+
+def parse_line(line: str, precision_ns: bool = True):
+    """Parse one line → dict matching PARSED_SCHEMA (time in ns int) or
+    None for blank/comment lines."""
+    line = line.strip()
+    if not line or line.startswith("#"):
+        return None
+    # split into measurement+tags | fields | [timestamp]
+    parts = _UNESC_SPACE.split(line)
+    if len(parts) < 2:
+        raise ValueError(f"line protocol: need fields segment: {line!r}")
+    ts = None
+    if len(parts) >= 3 and re.fullmatch(r"-?\d+", parts[-1]):
+        ts = int(parts[-1])
+        head, field_part = parts[0], " ".join(parts[1:-1])
+    else:
+        head, field_part = parts[0], " ".join(parts[1:])
+
+    head_parts = _UNESC_COMMA.split(head)
+    name = _unescape(head_parts[0])
+    tags = {}
+    for t in head_parts[1:]:
+        k, _, v = t.partition("=")
+        tags[_unescape(k)] = _unescape(v)
+
+    ff, fi, fs, fb = {}, {}, {}, {}
+    pos = 0
+    while pos < len(field_part):
+        m = _FIELD_TOKEN.match(field_part, pos)
+        if not m:
+            raise ValueError(f"line protocol: bad fields at {field_part[pos:]!r}")
+        key = _unescape(m.group("key"))
+        raw = m.group("val")
+        if raw.startswith('"'):
+            fs[key] = raw[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+        elif raw.endswith(("i", "u")) and re.fullmatch(r"-?\d+[iu]", raw):
+            fi[key] = int(raw[:-1])
+        elif raw in ("t", "T", "true", "True", "TRUE"):
+            fb[key] = True
+        elif raw in ("f", "F", "false", "False", "FALSE"):
+            fb[key] = False
+        else:
+            ff[key] = float(raw)
+        pos = m.end()
+        if pos < len(field_part) and field_part[pos] == ",":
+            pos += 1
+
+    ts_us = (ts // 1000 if precision_ns else ts) if ts is not None else None
+    return {
+        "name": name,
+        "tags": tags,
+        "fields_f": ff,
+        "fields_i": fi,
+        "fields_s": fs,
+        "fields_b": fb,
+        "time": pd.Timestamp(ts_us, unit="us") if ts_us is not None else None,
+    }
+
+
+def parse_lines(df: DataFrame, col: str = "value", precision_ns: bool = True) -> DataFrame:
+    """Parse a DataFrame of raw lines (e.g. from ``spark.read.text`` or a
+    Kafka value column) into typed points. mapInPandas: Arrow in/out, no
+    shuffle, pipeline-parallel with the scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for line in pdf[col]:
+                try:
+                    r = parse_line(line, precision_ns)
+                except ValueError:
+                    r = None  # reference drops unparseable writes
+                if r is not None:
+                    rows.append(r)
+            yield pd.DataFrame(
+                rows,
+                columns=["name", "tags", "fields_f", "fields_i", "fields_s", "fields_b", "time"],
+            )
+
+    return df.mapInPandas(run, schema=PARSED_SCHEMA)
+
+
+def read_srpl(spark: SparkSession, path: str) -> DataFrame:
+    """Read a reference-format ``.srpl`` replay fixture: repeating
+    [dbname, rpname, point-line] triples (/root/reference/replay.go:49-70;
+    fixtures integrations/testdata/*.srpl). Driver-side read — fixtures are
+    tiny test inputs, not data-plane files."""
+    with open(path) as fh:
+        raw = [ln.rstrip("\n") for ln in fh]
+    rows = []
+    i = 0
+    while i + 2 < len(raw) + 1:
+        if i + 2 >= len(raw) + 1 or not raw[i].strip():
+            break
+        db, rp, pt = raw[i], raw[i + 1], raw[i + 2]
+        r = parse_line(pt)
+        if r is not None:
+            r["database"], r["retention_policy"] = db, rp
+            rows.append(r)
+        i += 3
+    pdf = pd.DataFrame(
+        rows,
+        columns=["name", "tags", "fields_f", "fields_i", "fields_s", "fields_b",
+                 "time", "database", "retention_policy"],
+    )
+    return spark.createDataFrame(
+        pdf, PARSED_SCHEMA + ", database string, retention_policy string"
+    )
+
+
+def promote(
+    parsed: DataFrame,
+    measurement: str,
+    float_fields: Sequence[str] = (),
+    int_fields: Sequence[str] = (),
+    str_fields: Sequence[str] = (),
+    bool_fields: Sequence[str] = (),
+    tag_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Schemaless → wide/typed layout (SURVEY §1.3): filter to one
+    measurement, lift chosen tags/fields to typed top-level columns."""
+    out = parsed.filter(F.col("name") == measurement)
+    cols: list[Column] = [F.col("time")]
+    for t in tag_cols:
+        cols.append(F.col("tags").getItem(t).alias(t))
+    for f_, src in (
+        *[(x, "fields_f") for x in float_fields],
+        *[(x, "fields_i") for x in int_fields],
+        *[(x, "fields_s") for x in str_fields],
+        *[(x, "fields_b") for x in bool_fields],
+    ):
+        cols.append(F.col(src).getItem(f_).alias(f_))
+    return out.select(*cols)
+
+
+def _escape_key(c: Column) -> Column:
+    out = F.regexp_replace(c, r"([,= ])", r"\\$1")
+    return out
+
+
+def to_line_protocol(
+    df: DataFrame,
+    measurement: str | Column,
+    tag_cols: Sequence[str] = (),
+    field_cols: Sequence[str] | None = None,
+    time_col: str = "time",
+) -> DataFrame:
+    """Render rows as line protocol — the influxDBOut/egress direction
+    (/root/reference/influxdb_out.go). Pure JVM expression (concat/
+    regexp_replace), codegen'd; returns a single-column ``line`` DataFrame
+    writable to text/Kafka."""
+    mcol = F.lit(measurement) if isinstance(measurement, str) else measurement
+    fields = field_cols or [
+        c for c in df.columns if c not in tag_cols and c != time_col
+    ]
+    parts: list[Column] = [_escape_key(mcol)]
+    for t in tag_cols:
+        parts.append(
+            F.when(
+                F.col(t).isNotNull(),
+                F.concat(F.lit(","), _escape_key(F.lit(t)), F.lit("="), _escape_key(F.col(t).cast("string"))),
+            ).otherwise(F.lit(""))
+        )
+    field_frags = []
+    for fld in fields:
+        dt = dict(df.dtypes)[fld]
+        v = F.col(fld)
+        if dt in ("bigint", "int", "smallint", "tinyint", "long"):
+            rendered = F.concat(v.cast("string"), F.lit("i"))
+        elif dt == "boolean":
+            rendered = F.when(v, "true").otherwise("false")
+        elif dt == "string":
+            rendered = F.concat(
+                F.lit('"'),
+                F.regexp_replace(F.regexp_replace(v, r"\\", r"\\\\"), '"', '\\\\"'),
+                F.lit('"'),
+            )
+        else:
+            # %.17g-style shortest-roundtrip float rendering: Spark's
+            # string cast of DoubleType is already round-trippable
+            rendered = v.cast("string")
+        field_frags.append(
+            F.when(
+                v.isNotNull(),
+                F.concat(_escape_key(F.lit(fld)), F.lit("="), rendered),
+            )
+        )
+    field_str = F.concat_ws(",", *field_frags)
+    ts = (F.unix_micros(F.col(time_col)) * 1000).cast("string")
+    line = F.concat(*parts, F.lit(" "), field_str, F.lit(" "), ts)
+    return df.select(line.alias("line"))
