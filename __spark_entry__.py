@@ -763,6 +763,40 @@ def alert_state_changes(spark, sf_dir):
     return p.result().select("ts", "user_id", "value", "level")
 
 
+@_q(
+    "alert_no_recoveries",
+    """SELECT ts, user_id, value, level FROM (
+         SELECT ts, user_id, value,
+                CASE WHEN value > 180 THEN 'CRITICAL'
+                     WHEN value > 120 THEN 'WARNING' ELSE 'OK' END AS level,
+                lag(CASE WHEN value > 180 THEN 'CRITICAL'
+                         WHEN value > 120 THEN 'WARNING' ELSE 'OK' END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         FROM events)
+       WHERE level <> coalesce(prev, 'OK') AND level <> 'OK'""",
+)
+def alert_no_recoveries(spark, sf_dir):
+    """alert().noRecoveries() — /root/reference/pipeline/alert.go:500: level
+    transitions, excluding transitions into OK. Sequential walk via
+    applyInPandas per group (shares the streaming state core)."""
+    p = _events_by_user(spark, sf_dir).alert(
+        crit="value > 180", warn="value > 120",
+        state_changes_only=True, no_recoveries=True,
+    )
+    return p.result().select("ts", "user_id", "value", "level")
+
+
+@_q("alert_flapping")  # hysteresis is sequential — rows-only check
+def alert_flapping(spark, sf_dir):
+    """alert().flapping(0.25, 0.5) — /root/reference/alert.go:1252-1286
+    weighted 21-level history change fraction with hysteresis; exact
+    formula port in streaming/state.py."""
+    p = _events_by_user(spark, sf_dir).alert(
+        crit="value > 150", state_changes_only=True, flapping=(0.25, 0.5)
+    )
+    return p.result().select("ts", "user_id", "value", "level")
+
+
 # ===================================================================== #
 # dataprep: dedup / similarity / text / multimodal
 # ===================================================================== #

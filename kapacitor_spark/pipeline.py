@@ -894,6 +894,9 @@ class Pipeline:
         warn: str | Column | None = None,
         info: str | Column | None = None,
         state_changes_only: bool = False,
+        no_recoveries: bool = False,
+        flapping: tuple[float, float] | None = None,
+        history: int = 21,
         level_col: str = "level",
         id_template: str | None = None,
         message_template: str | None = None,
@@ -901,10 +904,16 @@ class Pipeline:
         """Alert level evaluation (/root/reference/alert.go:915-950
         determineLevel): first matching level of CRITICAL>WARNING>INFO else
         OK. ``state_changes_only`` keeps only level transitions per group
-        (initial state OK — /root/reference/alert.go:989).
+        (initial state OK — /root/reference/alert.go:989);
+        ``no_recoveries`` drops transitions into OK (pipeline/alert.go:500);
+        ``flapping=(low, high)`` suppresses alerts while the weighted
+        level-change fraction flaps (alert.go:1252-1286, exact formula in
+        streaming/state.py).
 
-        Batch mode: pure column expressions + one lag window — no state
-        UDF needed because event order is total within each group.
+        Batch mode: the level CASE + transition filter are pure column
+        expressions; flapping hysteresis is sequential, so enabling it
+        switches the transition walk to applyInPandas per group (same core
+        the streaming mode uses across micro-batches).
         """
         expr = F.lit("OK")
         if info is not None:
@@ -914,7 +923,28 @@ class Pipeline:
         if crit is not None:
             expr = F.when(self._expr(crit), "CRITICAL").otherwise(expr)
         df = self.df.withColumn(level_col, expr)
-        if state_changes_only:
+        if flapping is not None or (no_recoveries and state_changes_only):
+            from kapacitor_spark.streaming.state import LEVEL_IDX, new_state, walk_levels
+
+            in_cols = list(df.columns)
+            time_col, tiebreak = self.time_col, list(self.tiebreak)
+            flap = flapping
+            sco, norec, hist = state_changes_only, no_recoveries, history
+
+            def machine(pdf):
+                pdf = pdf.sort_values([time_col, *tiebreak], kind="stable")
+                lv = pdf[level_col].map(LEVEL_IDX).to_numpy()
+                emit, _ = walk_levels(
+                    lv, new_state(hist), state_changes_only=sco,
+                    no_recoveries=norec,
+                    flap_low=flap[0] if flap else None,
+                    flap_high=flap[1] if flap else None,
+                )
+                return pdf.loc[emit, in_cols]
+
+            gb = df.groupBy(*[F.col(d) for d in self.dims]) if self.dims else df.groupBy()
+            df = gb.applyInPandas(machine, schema=df.schema)
+        elif state_changes_only:
             w = self._ordered()
             prev = F.coalesce(F.lag(level_col).over(w), F.lit("OK"))
             df = df.withColumn("__prev", prev).filter(

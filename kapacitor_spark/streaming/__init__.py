@@ -1,0 +1,222 @@
+"""Structured Streaming compile targets (SURVEY §2.8, build-plan step 8).
+
+The reference runs every pipeline as a stream of per-point messages with
+watermark barriers (/root/reference/edge/messages.go:880, barrier.go). The
+Spark mapping:
+
+* stream edge       = streaming DataFrame (``spark.readStream``)
+* barrier().idle/period = ``withWatermark(time, delay)`` — late points are
+  dropped natively (the reference drops points older than the last barrier,
+  /root/reference/pipeline/barrier.go:13-18)
+* window().period/every = ``F.window`` groupBy in append mode (emission on
+  watermark passing window end ≈ emission on barrier,
+  /root/reference/window.go:149-182)
+* stateful per-group operators (alert stateChangesOnly/flapping,
+  stateCount/stateDuration, count windows) = ``applyInPandasWithState``
+  keyed state — the analog of per-group receivers + snapshots
+  (/root/reference/edge/grouped.go, task.go:532-586); checkpointing
+  replaces snapshot/restore.
+
+The DECLARATIVE subset of Pipeline (where/eval/default/shift/union/
+window_time+agg) works unchanged on streaming DataFrames — Spark plans it
+incrementally. Only the ordered-window operators need the stateful forms
+below, because event order across micro-batches requires keyed state.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType,
+)
+
+from kapacitor_spark.durations import parse_duration, to_interval
+from kapacitor_spark.streaming.state import LEVEL_IDX, LEVELS, new_state, walk_levels
+
+__all__ = [
+    "barrier",
+    "alert_stream",
+    "state_count_stream",
+    "run_available_now",
+    "http_out_stream",
+]
+
+
+def barrier(df: DataFrame, time_col: str, delay: str | float) -> DataFrame:
+    """barrier().idle(d)/.period(d) → event-time watermark
+    (/root/reference/barrier.go:86-335). ``delay`` bounds state retention
+    and drops late data, exactly the reference's barrier contract."""
+    return df.withWatermark(time_col, to_interval(delay))
+
+
+def _level_expr(crit, warn, info) -> "F.Column":
+    expr = F.lit("OK")
+    if info is not None:
+        expr = F.when(F.expr(info) if isinstance(info, str) else info, "INFO").otherwise(expr)
+    if warn is not None:
+        expr = F.when(F.expr(warn) if isinstance(warn, str) else warn, "WARNING").otherwise(expr)
+    if crit is not None:
+        expr = F.when(F.expr(crit) if isinstance(crit, str) else crit, "CRITICAL").otherwise(expr)
+    return expr
+
+
+def alert_stream(
+    df: DataFrame,
+    time_col: str,
+    dims: Sequence[str],
+    crit: str | None = None,
+    warn: str | None = None,
+    info: str | None = None,
+    state_changes_only: bool = True,
+    no_recoveries: bool = False,
+    flapping: tuple[float, float] | None = None,
+    history: int = 21,
+) -> DataFrame:
+    """Streaming alert state machine (/root/reference/alert.go:989-1290):
+    level CASE is evaluated declaratively; transitions / flapping
+    suppression live in keyed state that persists across micro-batches
+    (checkpoint = the reference's snapshot/restore, task.go:532).
+
+    Output: input columns + ``level``. State per group: last level +
+    level-history ring + flapping flag — a few hundred bytes, safe at
+    millions of groups.
+    """
+    lv_df = df.withColumn("level", _level_expr(crit, warn, info)).withColumn(
+        "__lv", F.coalesce(
+            F.array_position(F.array(*[F.lit(x) for x in LEVELS]), F.col("level")) - 1,
+            F.lit(0),
+        ).cast("int")
+    )
+    out_schema = StructType(
+        [lv_df.schema[c] for c in df.columns] + [StructField("level", StringType())]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_level", LongType()),
+            StructField("history", StringType()),  # csv ring — tiny
+            StructField("idx", LongType()),
+            StructField("flapping", LongType()),
+        ]
+    )
+    flap_low, flap_high = flapping if flapping else (None, None)
+    in_cols = list(df.columns)
+
+    def machine(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_level, hist_csv, idx, flap = state.get
+            st = {
+                "last_level": int(last_level),
+                "history": [int(x) for x in hist_csv.split(",")],
+                "idx": int(idx),
+                "flapping": bool(flap),
+            }
+        else:
+            st = new_state(history)
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col, kind="stable")
+            emit, st = walk_levels(
+                pdf["__lv"].to_numpy(),
+                st,
+                state_changes_only=state_changes_only,
+                no_recoveries=no_recoveries,
+                flap_low=flap_low,
+                flap_high=flap_high,
+            )
+            outs.append(pdf.loc[emit, in_cols + ["level"]])
+        state.update(
+            (
+                st["last_level"],
+                ",".join(str(x) for x in st["history"]),
+                st["idx"],
+                int(st["flapping"]),
+            )
+        )
+        yield from outs
+
+    return lv_df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
+        machine,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def state_count_stream(
+    df: DataFrame,
+    time_col: str,
+    dims: Sequence[str],
+    cond: str,
+    as_: str = "state_count",
+) -> DataFrame:
+    """Streaming stateCount (/root/reference/state_tracking.go:153-189):
+    consecutive-true counter surviving micro-batch boundaries; -1 when
+    false. State per group: one int64."""
+    c_df = df.withColumn("__ok", F.expr(cond))
+    out_schema = StructType(
+        [c_df.schema[c] for c in df.columns] + [StructField(as_, LongType())]
+    )
+    state_schema = StructType([StructField("streak", LongType())])
+    in_cols = list(df.columns)
+
+    def machine(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        streak = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col, kind="stable")
+            ok = pdf["__ok"].fillna(False).to_numpy()
+            out = np.empty(len(ok), dtype="int64")
+            for i, o in enumerate(ok):
+                streak = streak + 1 if o else 0
+                out[i] = streak if o else -1
+            pdf = pdf[in_cols].copy()
+            pdf[as_] = out
+            yield pdf
+        state.update((int(streak),))
+
+    return c_df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
+        machine,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(stream_df: DataFrame, name: str, checkpoint: str) -> DataFrame:
+    """Execute a streaming query over all currently-available input and
+    return the result as a (batch) DataFrame from the memory sink — the
+    test-harness analog of the reference replay runner
+    (/root/reference/replay.go:17-110): deterministic, event-time driven,
+    no wall clock."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def http_out_stream(stream_df: DataFrame, name: str, checkpoint: str):
+    """httpOut analog for streams (/root/reference/http_out.go): latest
+    results queryable under a name via the memory sink; returns the
+    StreamingQuery handle."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1,0 +1,102 @@
+"""Per-group alert state machine (SURVEY §2.10) — the sequential core shared
+by batch mode (applyInPandas over complete groups) and streaming mode
+(applyInPandasWithState across micro-batches).
+
+Reference semantics (/root/reference/alert.go):
+* level per point = first matching of CRITICAL > WARNING > INFO else OK
+  (determineLevel, alert.go:915-950) — computed declaratively BEFORE this
+  machine (a CASE expression); the machine consumes the level column.
+* stateChangesOnly: emit only transitions; initial state OK
+  (alert.go:989-1290; pipeline/alert.go:549).
+* flapping detection (alert.go:1252-1286): ring of the last ``history``
+  levels (default 21, pipeline/alert.go DefaultFlapHistory); weighted
+  fraction of adjacent changes, newest weighted 1.5x the oldest
+  (weightDiff=1.5, maxWeight=1.2, alert.go:55-59); hysteresis: start
+  suppressing when pct > high, stop when pct < low. Alerts are suppressed
+  while flapping.
+* noRecoveries (pipeline/alert.go:500): drop transitions INTO OK.
+
+The walk is O(n) per group in plain Python over numpy arrays — it runs once
+per group per (micro)batch on Arrow-transferred data, not per point through
+an interpreter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LEVELS = ("OK", "INFO", "WARNING", "CRITICAL")
+LEVEL_IDX = {n: i for i, n in enumerate(LEVELS)}
+
+MAX_WEIGHT = 1.2   # alert.go:59
+WEIGHT_DIFF = 1.5  # alert.go:56
+
+
+def percent_change(history: list[int], idx: int) -> float:
+    """Weighted fraction of adjacent level changes in the ring buffer
+    (alert.go:1251-1272), walked oldest→newest from idx."""
+    l = len(history)
+    if l < 2:
+        return 0.0
+    changes = 0.0
+    weight = MAX_WEIGHT / WEIGHT_DIFF
+    step = (MAX_WEIGHT - weight) / float(l - 1)
+    for i in range(l - 1):
+        c = (i + idx) % l
+        p = c - 1 if c - 1 >= 0 else l - 1
+        if history[c] != history[p]:
+            changes += weight
+        weight += step
+    return changes / float(l - 1)
+
+
+def new_state(history_len: int = 21) -> dict:
+    return {
+        "last_level": 0,
+        "history": [0] * history_len,
+        "idx": 0,
+        "flapping": False,
+    }
+
+
+def walk_levels(
+    levels: np.ndarray,
+    state: dict,
+    state_changes_only: bool = True,
+    no_recoveries: bool = False,
+    flap_low: float | None = None,
+    flap_high: float | None = None,
+) -> tuple[np.ndarray, dict]:
+    """Run the state machine over an event-time-ordered level sequence
+    (ints per LEVEL_IDX). Returns (emit_mask, new_state)."""
+    use_flapping = flap_low is not None and flap_high is not None
+    last = state["last_level"]
+    history = list(state["history"])
+    idx = state["idx"]
+    flapping = state["flapping"]
+    l = len(history)
+    emit = np.zeros(len(levels), dtype=bool)
+    for i, lv in enumerate(levels):
+        lv = int(lv)
+        changed = lv != last
+        if use_flapping:
+            idx = (idx + 1) % l
+            history[idx] = lv
+            p = percent_change(history, idx)
+            if flapping and p < flap_low:
+                flapping = False
+            elif not flapping and p > flap_high:
+                flapping = True
+        keep = changed if state_changes_only else True
+        if no_recoveries and lv == 0 and changed:
+            keep = False
+        if use_flapping and flapping:
+            keep = False
+        emit[i] = keep
+        last = lv
+    return emit, {
+        "last_level": last,
+        "history": history,
+        "idx": idx,
+        "flapping": flapping,
+    }

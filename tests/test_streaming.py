@@ -1,0 +1,149 @@
+"""Structured Streaming mode (SURVEY §2.8) — deterministic replay tests:
+fixture rows written as parquet, read back with readStream + availableNow
+trigger into a memory sink, mirroring the reference's replay harness
+(/root/reference/replay.go, clock-driven determinism → event-time
+determinism here). Multi-file inputs exercise state across micro-batches."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kapacitor_spark.streaming import (
+    alert_stream,
+    barrier,
+    run_available_now,
+    state_count_stream,
+)
+
+SCHEMA = "t timestamp, host string, value double"
+
+
+def _write_batches(spark, path, batches):
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "t string, host string, value double").withColumn(
+            "t", F.to_timestamp("t")
+        )
+        df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_streaming_window_agg(spark, tmp_path):
+    path = str(tmp_path / "in")
+    # batch 1 fills window [:00,:30); batch 2 advances the watermark past
+    # its end so append mode emits it (watermark moves BETWEEN batches)
+    _write_batches(
+        spark,
+        path,
+        [
+            [
+                ("2024-01-01 00:00:00", "a", 10.0),
+                ("2024-01-01 00:00:10", "a", 95.0),
+                ("2024-01-01 00:00:20", "a", 96.0),
+            ],
+            [("2024-01-01 00:00:50", "b", 99.0)],
+        ],
+    )
+    src = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(path)
+    src = barrier(src, "t", "10s")
+    agg = (
+        src.groupBy(F.window("t", "30 seconds").alias("w"), "host")
+        .agg(F.count("value").alias("n"), F.avg("value").alias("m"))
+        .select(F.col("w.start").alias("t"), "host", "n", "m")
+    )
+    out = run_available_now(agg, "win_agg_t", str(tmp_path / "cp1"))
+    rows = {(r.t.second, r.host): r for r in out.collect()}
+    # closed window [:00,:30) for host a emitted; [:30,:60) still open
+    assert rows[(0, "a")].n == 3
+    assert rows[(0, "a")].m == pytest.approx((10 + 95 + 96) / 3)
+    assert (30, "b") not in rows
+
+
+def test_streaming_alert_state_across_batches(spark, tmp_path):
+    path = str(tmp_path / "in2")
+    # batch 1 ends CRITICAL; batch 2 starts CRITICAL (no transition) then OK
+    _write_batches(
+        spark,
+        path,
+        [
+            [
+                ("2024-01-01 00:00:00", "a", 10.0),
+                ("2024-01-01 00:00:10", "a", 95.0),
+            ],
+            [
+                ("2024-01-01 00:00:20", "a", 97.0),
+                ("2024-01-01 00:00:30", "a", 5.0),
+            ],
+        ],
+    )
+    src = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(path)
+    alerts = alert_stream(
+        src, "t", ["host"], crit="value > 90", state_changes_only=True
+    )
+    out = run_available_now(alerts, "alerts_t", str(tmp_path / "cp2")).orderBy("t")
+    got = [(r.t.second, r.level) for r in out.collect()]
+    # :00 OK start (no emit — initial state OK), :10 →CRITICAL, :20 stays
+    # CRITICAL across the micro-batch boundary (state!), :30 →OK
+    assert got == [(10, "CRITICAL"), (30, "OK")]
+
+
+def test_streaming_state_count(spark, tmp_path):
+    path = str(tmp_path / "in3")
+    _write_batches(
+        spark,
+        path,
+        [
+            [
+                ("2024-01-01 00:00:00", "a", 95.0),
+                ("2024-01-01 00:00:10", "a", 96.0),
+            ],
+            [
+                ("2024-01-01 00:00:20", "a", 97.0),
+                ("2024-01-01 00:00:30", "a", 5.0),
+                ("2024-01-01 00:00:40", "a", 98.0),
+            ],
+        ],
+    )
+    src = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(path)
+    sc = state_count_stream(src, "t", ["host"], "value > 90", as_="n")
+    out = run_available_now(sc, "sc_t", str(tmp_path / "cp3")).orderBy("t")
+    # streak continues across the micro-batch boundary: 1,2 | 3,-1,1
+    assert [r.n for r in out.collect()] == [1, 2, 3, -1, 1]
+
+
+def test_batch_alert_flapping(spark):
+    # rapidly flapping level sequence → suppressed once flapping detected
+    rows = []
+    for i in range(30):
+        rows.append((i, f"2024-01-01 00:00:{i:02d}", "a", 95.0 if i % 2 else 5.0))
+    df = spark.createDataFrame(rows, "id long, t string, host string, value double").withColumn(
+        "t", F.to_timestamp("t")
+    )
+    from kapacitor_spark import Pipeline
+
+    p = Pipeline.from_df(df, time_col="t", dims=("host",), tiebreak=("id",))
+    no_flap = p.alert(crit="value > 90", state_changes_only=True).result().count()
+    with_flap = (
+        p.alert(crit="value > 90", state_changes_only=True, flapping=(0.25, 0.5))
+        .result()
+        .count()
+    )
+    assert no_flap == 29  # every point transitions
+    assert 0 < with_flap < no_flap  # suppression kicks in once history fills
+
+
+def test_batch_alert_no_recoveries(spark):
+    rows = [
+        (0, "2024-01-01 00:00:00", "a", 95.0),
+        (1, "2024-01-01 00:00:10", "a", 5.0),
+        (2, "2024-01-01 00:00:20", "a", 96.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string, host string, value double").withColumn(
+        "t", F.to_timestamp("t")
+    )
+    from kapacitor_spark import Pipeline
+
+    p = Pipeline.from_df(df, time_col="t", dims=("host",), tiebreak=("id",))
+    out = p.alert(
+        crit="value > 90", state_changes_only=True, no_recoveries=True
+    ).result()
+    assert [r.level for r in out.orderBy("t").collect()] == ["CRITICAL", "CRITICAL"]
