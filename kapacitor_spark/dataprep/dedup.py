@@ -36,6 +36,18 @@ __all__ = [
 ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure compute-heavy per-doc work is spread across all cores: small
+    inputs arrive as one parquet split (one task), so hashing 5k docs would
+    run on 1 of 32 cores. At 100 TB the scan naturally yields thousands of
+    splits and this no-ops; the round-robin shuffle of the raw text is cheap
+    relative to the per-doc hashing it parallelizes."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokenize(text_col: str = "text") -> "F.Column":
     """Lowercased whitespace tokens — the shared normalization step."""
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
@@ -91,13 +103,28 @@ def minhash_signature(
     """
     toks = tokenize(text_col)
     sh = shingles(toks, shingle_k)
-    sig = F.array(
+    # Explode shingles and hash each STRING exactly once (two independent
+    # hashes); the i-th family is h_a + i*h_b (Kirsch-Mitzenmacher double
+    # hashing) and the signature is ONE codegen'd hash-aggregate of 64 mins
+    # — map-side partial agg reduces each doc to 64 longs before the
+    # doc_id shuffle, so this scales to corpus size. (The all-array
+    # alternative — 64 higher-order transforms — runs interpreted per
+    # element and is ~10x slower.) Masks keep h_a + i*h_b inside int64
+    # under ANSI mode (2^61 + 63*2^32 < 2^62).
+    ex = df.select(F.col(id_col), F.explode(sh).alias("__s"))
+    hh = ex.select(
+        F.col(id_col),
+        F.xxhash64("__s").bitwiseAND(F.lit((1 << 61) - 1)).alias("__a"),
+        F.xxhash64(F.lit(1), "__s").bitwiseAND(F.lit((1 << 32) - 1)).alias("__b"),
+    )
+    mins = hh.groupBy(id_col).agg(
         *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            F.min(F.col("__a") + F.lit(i) * F.col("__b")).alias(f"__h{i}")
             for i in range(num_hashes)
         ]
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    sig = F.array(*[F.col(f"__h{i}") for i in range(num_hashes)])
+    return mins.select(F.col(id_col), sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -146,8 +173,17 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (verification step)."""
-    sets = df.select(
+    """Exact shingle-set Jaccard for candidate pairs (verification step).
+
+    Shingle sets are built only for docs that appear in a candidate pair
+    (semi-join first): verification cost is proportional to candidates,
+    not corpus size."""
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = df.join(F.broadcast(ids), id_col, "leftsemi").select(
         F.col(id_col), shingles(tokenize(text_col), shingle_k).alias("sh")
     )
     out = (
@@ -172,6 +208,7 @@ def minhash_near_dup(
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signature → banded candidates →
     exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    df = _spread(df)
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
     cand = lsh_candidate_pairs(sig, id_col, bands, num_hashes // bands)
     verified = jaccard_pairs(cand, df, text_col, id_col, shingle_k)
@@ -183,26 +220,26 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash as array expressions: per bit, the sign of the sum of
     ±1 contributions from each token's xxhash64 bit. Narrow, codegen'd."""
-    # SQL lambda form: shiftright/shiftleft take column bit-counts only in
-    # SQL expressions (the Python F.shiftright requires a literal int).
-    toks_sql = (
-        f"array_distinct(split(lower(trim({text_col})), '\\\\s+'))"
+    # Hash each token once into a materialized array column, then fold bits
+    # over the numeric array (shiftright by a column bit-count needs the SQL
+    # lambda form — the Python F.shiftright requires a literal int).
+    toks_sql = f"array_distinct(split(lower(trim({text_col})), '\\\\s+'))"
+    with_h = df.select(
+        F.col(id_col), F.expr(f"transform({toks_sql}, t -> xxhash64(t))").alias("__h")
     )
     packed = F.expr(
         f"""
         aggregate(
           zip_with(
             transform(sequence(0, {bits - 1}),
-              j -> aggregate(transform({toks_sql}, t -> xxhash64(t)),
-                             0,
-                             (acc, h) -> acc + IF(((h >> j) & 1) = 1, 1, -1))),
+              j -> aggregate(__h, 0, (acc, h) -> acc + IF(((h >> j) & 1) = 1, 1, -1))),
             sequence(0, {bits - 1}),
             (v, j) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
           CAST(0 AS BIGINT),
           (acc, x) -> acc | x)
         """
     )
-    return df.select(F.col(id_col), packed.alias("simhash"))
+    return with_h.select(F.col(id_col), packed.alias("simhash"))
 
 
 def simhash_near_dup(
@@ -219,7 +256,7 @@ def simhash_near_dup(
     """
     nbands = max_hamming + 1
     width = 64 // nbands
-    sh = simhash(df, text_col, id_col)
+    sh = simhash(_spread(df), text_col, id_col)
     band_cols = F.array(
         *[
             F.shiftright(F.col("simhash"), b * width)
@@ -258,21 +295,32 @@ def ngram_jaccard_dedup(
     (cheap blocking keys — language, source, length bucket) with shingle
     Jaccard ≥ threshold. The block join bounds the pair count; at corpus
     scale you'd tighten blocks or switch to minhash_near_dup."""
-    sets = df.select(
+    # Inverted-index formulation: explode distinct shingles, self-join on
+    # (block, shingle) and COUNT matches per pair — intersection sizes come
+    # out of a codegen'd join+aggregate instead of per-pair interpreted
+    # array_intersect over every blocked pair. Pairs sharing no shingle are
+    # never materialized, and |A∪B| = |A|+|B|-|A∩B| from per-doc sizes.
+    base = _spread(df).select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         shingles(tokenize(text_col), shingle_k).alias("sh"),
     )
-    a, b = sets.alias("a"), sets.alias("b")
-    joined = a.join(b, list(block_cols)).filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    inter = F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
-    union = F.size(F.array_union("a.sh", "b.sh")).cast("double")
+    sizes = base.select(F.col(id_col), *block_cols, F.size("sh").alias("n"))
+    ex = base.select(F.col(id_col), *block_cols, F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, [*block_cols, "s"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    j = (F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni")).cast("double"))
     return (
-        joined.select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(inter / union, 6).alias("jaccard"),
-        )
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
