@@ -764,6 +764,70 @@ def alert_state_changes(spark, sf_dir):
 
 
 @_q(
+    "stats_emitted",
+    """WITH b AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % 3600000000 AS b FROM events),
+            c AS (SELECT event_type, b, count(*) AS emitted FROM b GROUP BY 1, 2),
+            s AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM b GROUP BY 1),
+            g AS (SELECT event_type, unnest(generate_series(lo, hi, 3600000000)) AS b FROM s)
+       SELECT make_timestamp(g.b) AS ts, g.event_type, coalesce(c.emitted, 0) AS emitted
+       FROM g LEFT JOIN c ON g.b = c.b AND g.event_type = c.event_type""",
+)
+def stats_emitted(spark, sf_dir):
+    """stats(1h) — /root/reference/stats.go: per-interval emitted counts
+    with zero-filled gap slots (dense grid generated per group, no data
+    inflation)."""
+    return _events(spark, sf_dir).stats("1h").result()
+
+
+@_q(
+    "deadman_alert",
+    """WITH b AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % 3600000000 AS b FROM events),
+            c AS (SELECT event_type, b, count(*) AS emitted FROM b GROUP BY 1, 2),
+            s AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM b GROUP BY 1),
+            g AS (SELECT event_type, unnest(generate_series(lo, hi, 3600000000)) AS b FROM s)
+       SELECT make_timestamp(g.b) AS ts, g.event_type,
+              coalesce(c.emitted, 0) AS emitted,
+              CASE WHEN coalesce(c.emitted, 0) <= 1 THEN 'CRITICAL' ELSE 'OK' END AS level
+       FROM g LEFT JOIN c ON g.b = c.b AND g.event_type = c.event_type""",
+)
+def deadman_alert(spark, sf_dir):
+    """deadman(1, 1h) — /root/reference/pipeline/node.go:282: alert when an
+    interval's point count drops to <= threshold."""
+    return _events(spark, sf_dir).deadman(1, "1h").result()
+
+
+@_q(
+    "batch_query_backfill",
+    """SELECT make_timestamp(CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) * 86400000000)
+              AS query_start,
+              count(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+       FROM events WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+       GROUP BY 1""",
+)
+def batch_query_backfill(spark, sf_dir):
+    """batch|query() backfill — /root/reference/batch.go:124-158 Queries()
+    enumeration + query.go time-bound injection: 7 daily windows, each a
+    pushed-down scan, unioned into one plan."""
+    from kapacitor_spark.tasks import BatchQuery
+
+    ev = _t(spark, sf_dir, "events")
+    q = BatchQuery(period="1d", every="1d")
+    out = q.backfill(
+        ev, "2024-01-01T00:00:00", "2024-01-08T00:00:00",
+        fn=None, time_col="ts",
+    )
+    return (
+        Pipeline.from_df(out, time_col="ts", dims=("query_start",))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("value").alias("sum_value"),
+        )
+        .result()
+    )
+
+
+@_q(
     "alert_no_recoveries",
     """SELECT ts, user_id, value, level FROM (
          SELECT ts, user_id, value,

@@ -21,6 +21,8 @@ Public API:
 
 from kapacitor_spark.session import get_spark
 from kapacitor_spark.pipeline import Pipeline
+from kapacitor_spark.tasks import BatchQuery
+from kapacitor_spark.udf import stateful_udf_node, udf_node
 
-__all__ = ["Pipeline", "get_spark"]
+__all__ = ["Pipeline", "get_spark", "BatchQuery", "udf_node", "stateful_udf_node"]
 __version__ = "0.1.0"

@@ -960,6 +960,32 @@ class Pipeline:
     # sinks (§2.1)
     # ------------------------------------------------------------------ #
 
+    def udf(self, udf_fn, **options) -> "Pipeline":
+        """Apply a @udf_node-declared operator (/root/reference/udf/agent/
+        udf.proto surface → applyInPandas; see kapacitor_spark.udf)."""
+        if not getattr(udf_fn, "__udf_node__", False):
+            raise TypeError("udf() expects a @udf_node-decorated function")
+        return udf_fn(self, **options)
+
+    def stats(self, interval: str | float) -> "Pipeline":
+        """Emitted-count stats per interval (/root/reference/stats.go)."""
+        from kapacitor_spark.stats import stats as _stats
+
+        return _stats(self, interval)
+
+    def deadman(self, threshold: float, interval: str | float) -> "Pipeline":
+        """deadman macro (/root/reference/pipeline/node.go:282)."""
+        from kapacitor_spark.stats import deadman as _deadman
+
+        return _deadman(self, threshold, interval)
+
+    def http_post(self, url: str, headers: dict | None = None) -> "Pipeline":
+        """POST rows to a URL, executor-side (/root/reference/http_post.go)."""
+        from kapacitor_spark.sinks import apply_sink, http_post as _hp
+
+        apply_sink(self.df, _hp(url, headers))
+        return self
+
     def http_out(self, name: str) -> "Pipeline":
         """Cache the result under a name (/root/reference/http_out.go —
         the reference's test-oracle sink). Here: a named entry in the

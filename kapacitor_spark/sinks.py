@@ -1,0 +1,138 @@
+"""Sinks and alert handlers (SURVEY §2.1, §2.10).
+
+The reference's side-effecting nodes: ``httpPost`` (POST each batch as JSON,
+/root/reference/http_post.go), ``influxDBOut`` (buffered line-protocol
+writes, /root/reference/influxdb_out.go), alert handlers log/post/exec/tcp
+(/root/reference/alert.go:61-1290; service handlers under
+/root/reference/services/).
+
+Spark mapping: a sink is a function applied per partition (batch) or via
+``foreachBatch`` (streaming). Handlers are plain Python callables invoked
+with row dicts — the heavy lifting (level computation, dedup of
+transitions) already happened declaratively upstream, so handler volume is
+small (alert events, not raw points).
+
+Scale note: handlers run ON EXECUTORS via foreachPartition — the driver
+never collects the stream. Events per partition are posted in one
+connection (the reference likewise buffers, influxdb_out.go buffer+flush).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import urllib.request
+from typing import Callable, Iterable, Sequence
+
+from pyspark.sql import DataFrame, Row
+
+
+def _rows_json(rows: Iterable[Row]) -> list[dict]:
+    out = []
+    for r in rows:
+        d = r.asDict(recursive=True)
+        for k, v in d.items():
+            if hasattr(v, "isoformat"):
+                d[k] = v.isoformat()
+        out.append(d)
+    return out
+
+
+def http_post(url: str, headers: dict | None = None, timeout: float = 10.0) -> Callable:
+    """httpPost(url) handler (/root/reference/http_post.go): POSTs each
+    partition's rows as one JSON array. Returns a foreachPartition fn."""
+
+    def send(rows: Iterable[Row]) -> None:
+        payload = _rows_json(rows)
+        if not payload:
+            return
+        req = urllib.request.Request(
+            url,
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json", **(headers or {})},
+            method="POST",
+        )
+        urllib.request.urlopen(req, timeout=timeout).read()
+
+    return send
+
+
+def log_handler(path: str) -> Callable:
+    """alert().log(path) (/root/reference/alert.go log handler): append one
+    JSON line per event."""
+
+    def write(rows: Iterable[Row]) -> None:
+        lines = [json.dumps(d, default=str) for d in _rows_json(rows)]
+        if lines:
+            with open(path, "a") as fh:
+                fh.write("\n".join(lines) + "\n")
+
+    return write
+
+
+def exec_handler(cmd: Sequence[str]) -> Callable:
+    """alert().exec(cmd...) (/root/reference/alert.go exec handler): spawn
+    the command once per partition, JSON events on stdin."""
+
+    def run(rows: Iterable[Row]) -> None:
+        payload = _rows_json(rows)
+        if not payload:
+            return
+        subprocess.run(
+            list(cmd), input=json.dumps(payload).encode(), check=True, timeout=60
+        )
+
+    return run
+
+
+def tcp_handler(host: str, port: int) -> Callable:
+    """alert().tcp(addr) (/root/reference/alert.go tcp handler): newline-
+    delimited JSON events over one socket per partition."""
+
+    def send(rows: Iterable[Row]) -> None:
+        import socket
+
+        payload = _rows_json(rows)
+        if not payload:
+            return
+        with socket.create_connection((host, port), timeout=10) as s:
+            for d in payload:
+                s.sendall((json.dumps(d, default=str) + "\n").encode())
+
+    return send
+
+
+def apply_sink(df: DataFrame, handler: Callable) -> None:
+    """Run a handler over a batch DataFrame (executor-side)."""
+    df.foreachPartition(handler)
+
+
+def stream_sink(stream_df: DataFrame, handler: Callable, checkpoint: str):
+    """Run a handler over a streaming DataFrame via foreachBatch."""
+
+    def per_batch(batch_df: DataFrame, _epoch: int) -> None:
+        batch_df.foreachPartition(handler)
+
+    return (
+        stream_df.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def influxdb_out(
+    df: DataFrame,
+    path: str,
+    measurement: str,
+    tag_cols: Sequence[str] = (),
+    time_col: str = "time",
+    mode: str = "append",
+) -> None:
+    """influxDBOut() analog (/root/reference/influxdb_out.go): render rows
+    as line protocol and write to a text target (a directory here; a real
+    deployment points this at a Kafka topic or HTTP gateway)."""
+    from kapacitor_spark.sources.line_protocol import to_line_protocol
+
+    to_line_protocol(df, measurement, tag_cols=tag_cols, time_col=time_col).write.mode(
+        mode
+    ).text(path)

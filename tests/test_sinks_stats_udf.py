@@ -1,0 +1,156 @@
+"""Sinks/handlers, stats/deadman, UDF surface, batch-query scheduling
+(SURVEY §2.1, §2.9) — handler tests run against a local HTTP/TCP server,
+mirroring the reference's mock-service integration tests
+(/root/reference/integrations/streamer_test.go:40-60)."""
+
+import http.server
+import json
+import socketserver
+import threading
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from kapacitor_spark import BatchQuery, Pipeline, udf_node
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", "a" if i % 2 else "b", float(i))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id long, t string, host string, value double")
+    return df.withColumn("t", F.to_timestamp("t"))
+
+
+def test_http_post_handler(pts):
+    received = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            received.extend(json.loads(self.rfile.read(n)))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as srv:
+        port = srv.server_address[1]
+        th = threading.Thread(target=srv.serve_forever, daemon=True)
+        th.start()
+        p = Pipeline.from_df(pts, time_col="t", dims=("host",))
+        p.where("value >= 8").http_post(f"http://127.0.0.1:{port}/alert")
+        srv.shutdown()
+    assert {r["id"] for r in received} == {8, 9}
+    assert all("t" in r and "value" in r for r in received)
+
+
+def test_log_and_exec_handlers(pts, tmp_path):
+    from kapacitor_spark.sinks import apply_sink, exec_handler, log_handler
+
+    log_path = tmp_path / "alerts.jsonl"
+    df = pts.filter("value > 7")
+    apply_sink(df, log_handler(str(log_path)))
+    lines = [json.loads(l) for l in log_path.read_text().splitlines()]
+    assert {l["id"] for l in lines} == {8, 9}
+
+    # one invocation per non-empty partition, each fed one JSON array
+    out_path = tmp_path / "exec.out"
+    apply_sink(
+        df,
+        exec_handler(["sh", "-c", f"cat >> {out_path}; echo >> {out_path}"]),
+    )
+    ids = set()
+    for line in out_path.read_text().splitlines():
+        if line.strip():
+            ids.update(r["id"] for r in json.loads(line))
+    assert ids == {8, 9}
+
+
+def test_influxdb_out_roundtrip(pts, tmp_path, spark):
+    from kapacitor_spark.sinks import influxdb_out
+    from kapacitor_spark.sources import parse_lines
+
+    path = str(tmp_path / "lp_out")
+    influxdb_out(pts, path, "m", tag_cols=["host"], time_col="t")
+    back = parse_lines(spark.read.text(path)).collect()
+    assert len(back) == 10
+    assert {r.fields_i["id"] for r in back} == set(range(10))
+
+
+def test_stats_zero_fill(pts):
+    p = Pipeline.from_df(pts, time_col="t", dims=("host",))
+    # host 'b' has minutes 0,2,4,6,8 — 1m stats must zero-fill odd minutes
+    s = p.stats("1m").result()
+    b = {r.t.minute: r.emitted for r in s.filter("host = 'b'").collect()}
+    assert b[0] == 1 and b[2] == 1
+    assert b[1] == 0 and b[3] == 0  # gap slots present with 0
+
+
+def test_deadman(pts):
+    p = Pipeline.from_df(pts, time_col="t", dims=("host",))
+    alerts = p.deadman(0, "1m").result().filter("level = 'CRITICAL'")
+    # every odd minute of each host's span has zero points
+    assert alerts.count() == 8  # hosts a,b each span 8-9 minutes with 4 gaps
+    assert set(alerts.select("host").distinct().toPandas()["host"]) == {"a", "b"}
+
+
+def test_udf_node_moving_avg(pts):
+    @udf_node("t timestamp, host string, avg double")
+    def moving_avg(pdf, size=3):
+        out = pdf[["t", "host"]].copy()
+        out["avg"] = pdf["value"].rolling(size, min_periods=1).mean()
+        return out
+
+    p = Pipeline.from_df(pts, time_col="t", dims=("host",), tiebreak=("id",))
+    out = p.udf(moving_avg, size=2).result()
+    a = [r.avg for r in out.filter("host='a'").orderBy("t").collect()]
+    # host a values: 1,3,5,7,9 → rolling(2): 1, 2, 4, 6, 8
+    assert a == [1.0, 2.0, 4.0, 6.0, 8.0]
+
+
+def test_udf_requires_decorator(pts):
+    p = Pipeline.from_df(pts, time_col="t")
+    with pytest.raises(TypeError):
+        p.udf(lambda pdf: pdf)
+
+
+def test_batch_query_windows():
+    q = BatchQuery(period="10m", every="5m")
+    ws = list(q.windows("2024-01-01T00:00:00", "2024-01-01T00:20:00"))
+    assert len(ws) == 4
+    # sliding: every 5m, each covering the prior 10m
+    assert ws[0][1] - ws[0][0] == ws[1][1] - ws[1][0]
+    assert (ws[1][0] - ws[0][0]).total_seconds() == 300
+    assert all((b - a).total_seconds() == 600 for a, b in ws)
+
+
+def test_batch_query_offset_align():
+    q = BatchQuery(period="5m", every="5m", offset="1m")
+    ws = list(q.windows("2024-01-01T00:03:00", "2024-01-01T00:13:00"))
+    # aligned ticks :05/:10; each window ends 1m before its tick
+    assert ws[0][1].minute == 4
+    assert (ws[0][1] - ws[0][0]).total_seconds() == 300
+
+
+def test_batch_query_run_window_pushdown(pts):
+    q = BatchQuery(period="3m", every="3m", align=True)
+    w = (
+        datetime(2024, 1, 1, 0, 0, tzinfo=timezone.utc),
+        datetime(2024, 1, 1, 0, 3, tzinfo=timezone.utc),
+    )
+    out = q.run_window(pts, w, time_col="t")
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "Filter" in plan
+
+
+def test_backfill(pts):
+    q = BatchQuery(period="5m", every="5m")
+    out = q.backfill(pts, "2024-01-01T00:00:00", "2024-01-01T00:10:00", time_col="t")
+    assert out.count() == 10
+    assert out.select("query_start").distinct().count() == 2
