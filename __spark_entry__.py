@@ -737,6 +737,49 @@ def tpch_q3_topk(spark, sf_dir):
     return out
 
 
+@_q(
+    "tickscript_e2e",
+    """SELECT date_trunc('hour', ts) AS ts, event_type,
+              count(value) AS n,
+              max(value) - min(value) AS spread_v
+       FROM events WHERE value > 20 GROUP BY 1, 2""",
+)
+def tickscript_e2e(spark, sf_dir):
+    """TICKscript front-end end-to-end — the reference's primary user
+    surface (/root/reference/tick/): script text → lexer/parser →
+    chain-method evaluation against Pipeline → DataFrame plan. Two
+    aggregations over one windowed source, joined on (ts, event_type)."""
+    from kapacitor_spark.tick import run_tickscript
+
+    script = """
+var base = stream
+    |from()
+        .measurement('events')
+        .where(lambda: "value" > 20.0)
+        .groupBy(['event_type'])
+    |window()
+        .period(1h)
+        .every(1h)
+
+base
+    |count('value')
+        .as('n')
+    |httpOut('counts')
+
+base
+    |spread('value')
+        .as('spread_v')
+    |httpOut('spreads')
+"""
+    outs = run_tickscript(
+        script,
+        sources={"events": _t(spark, sf_dir, "events")},
+        time_col="ts",
+        tiebreak=("event_id",),
+    )
+    return outs["counts"].join(outs["spreads"], ["ts", "event_type"])
+
+
 # ===================================================================== #
 # §2.10 alert
 # ===================================================================== #
@@ -998,6 +1041,85 @@ def doc_fingerprint_q(spark, sf_dir):
     from kapacitor_spark.dataprep.text import doc_fingerprint
 
     return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_quality",
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+                length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS np,
+                greatest(length(text), 1) AS nc
+         FROM documents)
+       SELECT doc_id, len(toks) AS n_tokens,
+              round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6)
+                  AS type_token_ratio,
+              round(CAST(np AS DOUBLE) / nc, 6) AS punct_ratio
+       FROM t""",
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring signals (C4/Gopher-style heuristics) — pure column
+    expressions, whole-stage codegen."""
+    from kapacitor_spark.dataprep.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents")).drop("quality")
+
+
+@_q(
+    "text_lang_id",
+    """WITH t AS (SELECT doc_id,
+                         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
+                  FROM documents),
+            s AS (SELECT doc_id,
+                         [struct_pack(hits := len(list_intersect(toks, ['the','and','of','to','is'])), lang := 'en'),
+                          struct_pack(hits := len(list_intersect(toks, ['der','die','und','ist','nicht'])), lang := 'de'),
+                          struct_pack(hits := len(list_intersect(toks, ['le','la','et','est','les'])), lang := 'fr'),
+                          struct_pack(hits := len(list_intersect(toks, ['el','la','que','y','es'])), lang := 'es')] AS sc
+                  FROM t),
+            m AS (SELECT doc_id, list_max(sc) AS best FROM s)
+       SELECT doc_id,
+              CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+              best.hits AS marker_hits
+       FROM m""",
+)
+def text_lang_id(spark, sf_dir):
+    """Language-ID by lexicon hit-rate (n-gram-profile shape) — argmax over
+    per-language marker intersections, all JVM-side."""
+    from kapacitor_spark.dataprep.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "multimodal_pixels",
+    """WITH d AS (SELECT doc_id, md5(text) AS h, length(text) AS n FROM documents)
+       SELECT doc_id,
+              round((('0x' || substr(h, 1, 2))::INT + ('0x' || substr(h, 3, 2))::INT +
+                     ('0x' || substr(h, 5, 2))::INT + ('0x' || substr(h, 7, 2))::INT +
+                     ('0x' || substr(h, 9, 2))::INT + ('0x' || substr(h, 11, 2))::INT +
+                     ('0x' || substr(h, 13, 2))::INT + ('0x' || substr(h, 15, 2))::INT)
+                    / (255.0 * 8), 6) AS pix_mean
+       FROM d""",
+)
+def multimodal_pixels(spark, sf_dir):
+    """Multimodal decode → feature-extract plumbing: binary payload →
+    mapInPandas pixel decode (deterministic fake; oracle replicates its
+    md5 arithmetic) → JVM-side feature aggregation."""
+    from kapacitor_spark.dataprep.multimodal import decode_image_batch
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    out = decode_image_batch(docs, "payload", fake=True)
+    # recover the exact byte values before dividing so Spark and the oracle
+    # evaluate the identical double expression (int_sum / (255*8))
+    byte_sum = F.aggregate(
+        F.transform(F.col("pixels"), lambda x: F.round(x * 255).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return out.select(
+        "doc_id", F.round(byte_sum / F.lit(255.0 * 8), 6).alias("pix_mean")
+    )
 
 
 @_q(

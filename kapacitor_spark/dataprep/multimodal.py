@@ -107,6 +107,46 @@ def decode_image_batch(df: DataFrame, binary_col: str = "payload", fake: bool = 
     return df.mapInPandas(gen, out_schema)
 
 
+def resize_image_batch(
+    df: DataFrame,
+    binary_col: str = "payload",
+    width: int = 224,
+    height: int = 224,
+    fake: bool = True,
+) -> DataFrame:
+    """Image resize → new binary payload + updated metadata. STUB: raises
+    unless fake (no imaging library in this container).
+
+    Contract (real impl = PIL thumbnail/resize): replaces ``payload`` with
+    the re-encoded bytes and sets width/height columns. The fake keeps the
+    plumbing honest: output payload is a deterministic digest-derived blob
+    whose length scales with the target area, so partition-size accounting
+    downstream behaves like real resized images.
+    """
+    out_fields = [f for f in df.schema.fields if f.name not in ("width", "height")]
+    out_schema = T.StructType(
+        out_fields
+        + [T.StructField("width", T.IntegerType()), T.StructField("height", T.IntegerType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("image resize requires an imaging library")
+
+            def fake_resize(b):
+                d = hashlib.md5(bytes(b) if b is not None else b"").digest()
+                return bytes(d * max(1, (width * height) // (16 * 64)))
+
+            pdf = pdf.drop(columns=[c for c in ("width", "height") if c in pdf.columns])
+            pdf[binary_col] = pdf[binary_col].map(fake_resize)
+            pdf["width"] = width
+            pdf["height"] = height
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
 def extract_image_features(df: DataFrame, pixels_col: str = "pixels") -> DataFrame:
     """Feature extraction over decoded pixels — mean/std as columns.
     Runs on the array column with JVM expressions (no second UDF hop)."""

@@ -1,0 +1,602 @@
+"""TICKscript front-end: parse the reference's DSL and compile it onto the
+Pipeline DataFrame compiler.
+
+Reference grammar: /root/reference/tick/ast/ (lexer lex.go, parser
+parser.go); evaluation semantics /root/reference/tick/eval.go — statements
+are ``var name = expr`` or bare chain expressions; a chain starts from
+``stream``/``batch``/a var and applies *chain methods* (``|method(...)``),
+*property methods* (``.prop(...)``), and UDF methods (``@name``).
+
+This implementation executes the script directly against Pipeline (the
+reference likewise interprets the AST reflectively against pipeline.*Node
+objects — there is no separate IR). Lambdas pass through to
+functions.lambdas.compile_lambda; durations to durations.parse_duration.
+
+Usage:
+    outs = run_tickscript(script, sources={"cpu": df_or_pipeline})
+    outs["TestStream_Window"]   # DataFrame named by |httpOut(name)
+
+Unsupported (documented): topology-level services (autoscale nodes,
+kapacitorLoopback, queryFlux), @UDF chaining (use Pipeline.udf), and
+'sideload' HTTP sources (pass a lookup DataFrame in ``sources``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kapacitor_spark.durations import parse_duration
+from kapacitor_spark.pipeline import Pipeline
+
+__all__ = ["run_tickscript", "TickError"]
+
+
+class TickError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------- #
+# lexer
+# --------------------------------------------------------------------- #
+
+_TOK = re.compile(
+    r"""\s*(?:
+      (?P<comment>//[^\n]*)
+    | (?P<dur>\d+(?:\.\d+)?(?:ns|us|µs|ms|s|m|h|d|w))(?![\w.])
+    | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+    | (?P<str>'(?:[^'\\]|\\.)*')
+    | (?P<regex>/(?:[^/\\\n]|\\.)+/)
+    | (?P<op>\|\||[|.@(),\[\]=])
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _scan_lambda_body(src: str, start: int) -> int:
+    """Return the end offset of a ``lambda: ...`` body beginning at
+    ``start`` (offset of the 'lambda' keyword): scan to the first comma or
+    close-paren at depth 0, skipping quoted strings/field refs."""
+    j = src.index(":", start) + 1
+    depth = 0
+    while j < len(src):
+        c = src[j]
+        if c == "'":
+            j = src.index("'", j + 1)
+        elif c == '"':
+            j = src.index('"', j + 1)
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif c == "," and depth == 0:
+            break
+        j += 1
+    return j
+
+
+def _tokenize(src: str):
+    toks, pos = [], 0
+    while pos < len(src):
+        m = _TOK.match(src, pos)
+        if not m:
+            if src[pos:].strip() == "":
+                break
+            raise TickError(f"cannot tokenize at {src[pos:pos+30]!r}")
+        if m.group("ident") == "lambda":
+            end = _scan_lambda_body(src, m.start("ident"))
+            toks.append(("lambda", src[m.start("ident"):end], m.start("ident")))
+            pos = end
+            continue
+        pos = m.end()
+        if m.group("comment"):
+            continue
+        for kind in ("dur", "num", "str", "regex", "op", "ident"):
+            v = m.group(kind)
+            if v is not None:
+                toks.append((kind, v, m.start()))
+                break
+    toks.append(("eof", "", len(src)))
+    return toks, src
+
+
+# --------------------------------------------------------------------- #
+# parser/evaluator (single pass, like tick/eval.go's stack machine)
+# --------------------------------------------------------------------- #
+
+
+class _P:
+    def __init__(self, toks, src, env):
+        self.toks, self.src, self.i = toks, src, 0
+        self.env = env
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_op(self, *ops):
+        k, v, _ = self.peek()
+        return k == "op" and v in ops
+
+    def expect(self, op):
+        k, v, p = self.next()
+        if k != "op" or v != op:
+            raise TickError(f"expected {op!r} at offset {p}, got {v!r}")
+
+    def run(self):
+        while self.peek()[0] != "eof":
+            k, v, _ = self.peek()
+            if k == "ident" and v == "var":
+                self.next()
+                _, name, _ = self.next()
+                self.expect("=")
+                self.env.vars[name] = self.expr()
+            else:
+                self.expr()
+
+    def expr(self):
+        node = self.primary()
+        while True:
+            if self.at_op("|"):
+                self.next()
+                _, name, _ = self.next()
+                args = self.call_args()
+                node = self.env.chain(node, name, args)
+            elif self.at_op("."):
+                self.next()
+                _, name, _ = self.next()
+                args = self.call_args()
+                node = self.env.prop(node, name, args)
+            elif self.at_op("@"):
+                raise TickError("@UDF chaining: use Pipeline.udf() in Python")
+            else:
+                return node
+
+    def primary(self):
+        k, v, p = self.next()
+        if k == "ident":
+            if v in ("stream", "batch"):
+                return _Source(v)
+            if v in ("TRUE", "FALSE"):
+                return v == "TRUE"
+            if v in self.env.vars:
+                return self.env.vars[v]
+            raise TickError(f"unknown identifier {v!r} at offset {p}")
+        if k == "str":
+            return v[1:-1].replace("\\'", "'")
+        if k == "dur":
+            return _Duration(v)
+        if k == "num":
+            return float(v) if "." in v or "e" in v.lower() else int(v)
+        if k == "regex":
+            return _Regex(v[1:-1])
+        raise TickError(f"unexpected token {v!r} at offset {p}")
+
+    def call_args(self):
+        """Arguments of a method call; lambdas are captured raw (paren/
+        comma-depth aware) and compiled later with the pipeline's event
+        ordering."""
+        if not self.at_op("("):
+            raise TickError(f"method call needs parentheses near offset {self.peek()[2]}")
+        self.expect("(")
+        args = []
+        while not self.at_op(")"):
+            k, v, p = self.peek()
+            if k == "lambda":
+                self.next()
+                args.append(_Lambda(v))
+            else:
+                args.append(self.arg_value())
+            if self.at_op(","):
+                self.next()
+        self.expect(")")
+        return args
+
+    def arg_value(self):
+        if self.at_op("["):
+            self.next()
+            out = []
+            while not self.at_op("]"):
+                out.append(self.arg_value())
+                if self.at_op(","):
+                    self.next()
+            self.expect("]")
+            return out
+        return self.primary()
+
+class _Source:
+    def __init__(self, kind):
+        self.kind = kind
+
+
+class _Duration:
+    def __init__(self, text):
+        self.text = text
+        self.seconds = parse_duration(text)
+
+
+class _Regex:
+    def __init__(self, pat):
+        self.pat = pat
+
+
+class _Lambda:
+    def __init__(self, src):
+        self.src = src
+
+
+class _Node:
+    """A chain node accumulating property calls until the next pipe
+    materializes it (mirrors pipeline/*Node defs + validation)."""
+
+    def __init__(self, name, args, parent):
+        self.name, self.args, self.parent = name, args, parent
+        self.props: list[tuple[str, list]] = []
+
+    def prop(self, name, args):
+        self.props.append((name, args))
+        return self
+
+    def prop_map(self):
+        return dict(self.props)
+
+
+def _dur(v) -> str | float:
+    if isinstance(v, _Duration):
+        return v.seconds
+    return v
+
+
+def _lam(p: Pipeline, v):
+    if isinstance(v, _Lambda):
+        from kapacitor_spark.functions.lambdas import compile_lambda
+
+        return compile_lambda(v.src, ordered_window=p._ordered(), time_col=p.time_col)
+    return v
+
+
+class _Env:
+    """Executes chain/property calls — the task-level createNode dispatch
+    (/root/reference/task.go:447-532) re-targeted at Pipeline."""
+
+    AGGS = {
+        "count", "sum", "mean", "median", "mode", "spread", "stddev",
+        "min", "max", "first", "last", "distinct", "percentile",
+        "top", "bottom", "derivative", "difference", "movingAverage",
+        "cumulativeSum", "elapsed", "changeDetect", "stateDuration",
+        "stateCount", "holtWinters", "holtWintersWithFit",
+    }
+    BUILDERS = {
+        "from", "window", "eval", "default", "delete", "alert", "join",
+        "query", "groupBy", "flatten", "combine",
+    }
+
+    def __init__(self, sources, time_col, dims, tiebreak, outputs):
+        self.vars: dict[str, Any] = {}
+        self.sources = sources
+        self.time_col, self.dims, self.tiebreak = time_col, dims, tiebreak
+        self.outputs = outputs
+
+    # -- source resolution ------------------------------------------- #
+
+    def _resolve_from(self, node: _Node) -> Pipeline:
+        props = node.prop_map()
+        meas = props.get("measurement", [None])[0]
+        src = self.sources
+        if isinstance(src, Pipeline):
+            p = src
+        elif isinstance(src, DataFrame):
+            p = Pipeline.from_df(src, time_col=self.time_col, dims=self.dims,
+                                 tiebreak=self.tiebreak)
+        elif callable(src):
+            p = src(meas)
+        else:
+            if meas is None and len(src) == 1:
+                meas = next(iter(src))
+            if meas not in src:
+                raise TickError(f"no source for measurement {meas!r}")
+            obj = src[meas]
+            p = obj if isinstance(obj, Pipeline) else Pipeline.from_df(
+                obj, time_col=self.time_col, dims=self.dims, tiebreak=self.tiebreak
+            )
+        for name, args in node.props:
+            if name == "where":
+                p = p.where(_lam(p, args[0]))
+            elif name == "groupBy":
+                tags = args[0] if args and isinstance(args[0], list) else list(args)
+                p = p.group_by(*[t for t in tags])
+            elif name == "truncate":
+                us = round(_dur(args[0]) * 1_000_000)
+                p = p._with(p.df.withColumn(
+                    p.time_col,
+                    F.timestamp_micros(F.unix_micros(p.time) - F.unix_micros(p.time) % F.lit(us)),
+                ))
+            elif name in ("database", "retentionPolicy", "measurement"):
+                pass  # routing metadata; single-table sources here
+            else:
+                raise TickError(f"from(): unsupported property .{name}()")
+        return p
+
+    # -- chain dispatch ----------------------------------------------- #
+
+    def chain(self, node, name, args):
+        # materialize any pending builder/aggregation the chain continues from
+        if isinstance(node, _Node):
+            node = self._materialize(node)
+        if isinstance(node, _PendingAgg):
+            node = node._build()
+        if isinstance(node, _Source):
+            if name == "from":
+                return _Node("from", args, node)
+            if name == "query":
+                raise TickError("batch|query(): use BatchQuery + run_tickscript per window")
+            raise TickError(f"{node.kind} source supports |from()")
+        if name in self.BUILDERS:
+            return _Node(name, args, node)
+        if isinstance(node, Pipeline):
+            return self._apply_chain(node, name, args)
+        raise TickError(f"cannot chain |{name}() here")
+
+    def prop(self, node, name, args):
+        if isinstance(node, _Node):
+            return node.prop(name, args)
+        raise TickError(f"property .{name}() without a node")
+
+    def _materialize(self, node: _Node):
+        p = node.parent
+        if isinstance(p, _Node):
+            p = self._materialize(p)
+        if isinstance(p, _PendingAgg):
+            p = p._build()
+        if node.name == "from":
+            return self._resolve_from(node)
+        if not isinstance(p, Pipeline):
+            raise TickError(f"|{node.name}() needs an upstream pipeline")
+        fn = getattr(self, f"_mk_{node.name}", None)
+        if fn is None:
+            raise TickError(f"unsupported node |{node.name}()")
+        return fn(p, node)
+
+    # -- builder materializers ---------------------------------------- #
+
+    def _mk_window(self, p: Pipeline, node: _Node) -> Pipeline:
+        props = node.prop_map()
+        if "periodCount" in props:
+            return p.window_count(
+                int(props["periodCount"][0]),
+                int(props.get("everyCount", [1])[0]),
+                fill_period="fillPeriod" in props,
+            )
+        period = _dur(props["period"][0])
+        every = _dur(props.get("every", [None])[0]) if "every" in props else None
+        return p.window_time(period, every, fill_period="fillPeriod" in props)
+
+    def _mk_eval(self, p: Pipeline, node: _Node) -> Pipeline:
+        props = node.prop_map()
+        names = props.get("as", [])
+        if len(names) != len(node.args):
+            raise TickError("eval(): .as() must name every expression")
+        keep = True
+        if "keep" in props:
+            keep = [a for a in props["keep"]] or True
+        exprs = {n: None for n in names}
+        out = p
+        for n, l in zip(names, node.args):
+            out = out.eval(keep=True, **{n: _lam(out, l)})
+        if keep is not True:
+            cols = [out.time_col, *out.dims, *keep, *names]
+            out = out._with(out.df.select(*[c for c in dict.fromkeys(cols) if c in out.df.columns]))
+        elif "keep" in props and not props["keep"]:
+            cols = [out.time_col, *out.dims, *names]
+            out = out._with(out.df.select(*dict.fromkeys(cols)))
+        return out
+
+    def _mk_default(self, p: Pipeline, node: _Node) -> Pipeline:
+        kv = {}
+        for name, args in node.props:
+            if name in ("field", "tag"):
+                kv[args[0]] = args[1]
+        return p.default(**kv)
+
+    def _mk_delete(self, p: Pipeline, node: _Node) -> Pipeline:
+        cols = [args[0] for name, args in node.props if name in ("field", "tag")]
+        return p.delete(*cols)
+
+    def _mk_groupBy(self, p: Pipeline, node: _Node) -> Pipeline:
+        tags = node.args[0] if node.args and isinstance(node.args[0], list) else list(node.args)
+        props = node.prop_map()
+        exclude = props.get("exclude", [])
+        return p.group_by(*tags, exclude=exclude)
+
+    def _mk_flatten(self, p: Pipeline, node: _Node) -> Pipeline:
+        props = node.prop_map()
+        on = props.get("on", [])
+        on = on[0] if on and isinstance(on[0], list) else on
+        tol = _dur(props["tolerance"][0]) if "tolerance" in props else None
+        fields = [c for c in p.df.columns if c not in (p.time_col, *p.dims)]
+        return p.flatten(on=on, fields=fields[:1], tolerance=tol)
+
+    def _mk_combine(self, p: Pipeline, node: _Node) -> Pipeline:
+        props = node.prop_map()
+        as_ = tuple(props.get("as", ("a", "b")))
+        tol = _dur(props["tolerance"][0]) if "tolerance" in props else None
+        preds = [l.src if isinstance(l, _Lambda) else l for l in node.args]
+        return p.combine(*preds, as_=as_, tolerance=tol)
+
+    def _mk_join(self, p: Pipeline, node: _Node) -> Pipeline:
+        other = node.args[0]
+        if isinstance(other, _Node):
+            other = self._materialize(other)
+        if isinstance(other, _PendingAgg):
+            other = other._build()
+        props = node.prop_map()
+        prefixes = tuple(props.get("as", ("a", "b")))
+        tol = _dur(props["tolerance"][0]) if "tolerance" in props else None
+        fill = props.get("fill", [None])[0]
+        on = props.get("on", [None])[0]
+        return p.join(other, prefixes=prefixes, tolerance=tol, fill=fill,
+                      on=on if isinstance(on, list) else None)
+
+    def _mk_alert(self, p: Pipeline, node: _Node) -> Pipeline:
+        props = node.prop_map()
+        kw = {}
+        for lvl, key in (("crit", "crit"), ("warn", "warn"), ("info", "info")):
+            if lvl in props:
+                kw[key] = _lam(p, props[lvl][0])
+        out = p.alert(
+            state_changes_only="stateChangesOnly" in props,
+            no_recoveries="noRecoveries" in props,
+            flapping=tuple(props["flapping"]) if "flapping" in props else None,
+            history=int(props.get("history", [21])[0]),
+            **kw,
+        )
+        for name, args in node.props:
+            if name == "log":
+                from kapacitor_spark.sinks import apply_sink, log_handler
+
+                apply_sink(out.df, log_handler(args[0]))
+            elif name == "post":
+                out = out.http_post(args[0])
+        return out
+
+    # -- simple chain methods ------------------------------------------ #
+
+    def _apply_chain(self, p: Pipeline, name, args):
+        if name in ("where",):
+            return p.where(_lam(p, args[0]))
+        if name == "shift":
+            return p.shift(_dur(args[0]))
+        if name == "sample":
+            a = args[0]
+            return p.sample(n=int(a)) if isinstance(a, (int, float)) else p.sample(every=_dur(a))
+        if name == "union":
+            others = [self._materialize(a) if isinstance(a, _Node)
+                      else (a._build() if isinstance(a, _PendingAgg) else a) for a in args]
+            return p.union(*others)
+        if name == "httpOut":
+            self.outputs[args[0]] = p.df
+            return p
+        if name == "log":
+            return p
+        if name == "trickle":
+            return p.trickle()
+        if name == "barrier":
+            return p  # batch mode: event-time complete; streaming: barrier()
+        if name == "stats":
+            return p.stats(_dur(args[0]))
+        if name == "deadman":
+            return p.deadman(args[0], _dur(args[1]))
+        if name == "httpPost":
+            return p.http_post(args[0])
+        if name == "influxDBOut":
+            return p
+        if name in self.AGGS:
+            return self._apply_agg(p, name, args)
+        raise TickError(f"unsupported chain method |{name}()")
+
+    def _apply_agg(self, p: Pipeline, name, args):
+        n = _PendingAgg(p, name, args)
+        return n
+
+
+class _PendingAgg:
+    """An aggregation chain node that still accepts .as()/.unit()/... props;
+    the next pipe (or output) materializes it with defaults applied.
+    Mirrors InfluxQLNode chaining (/root/reference/pipeline/influxql.go:
+    160-175)."""
+
+    def __init__(self, p, name, args):
+        self._src = p
+        self._name = name
+        self._args = args
+        self._props: dict[str, list] = {}
+        self._built = None
+
+    def _build(self) -> Pipeline:
+        if self._built is not None:
+            return self._built
+        p, name, args, props = self._src, self._name, self._args, self._props
+        as_ = props.get("as", [None])[0]
+        unit = _dur(props["unit"][0]) if "unit" in props else "1s"
+        if name in ("count", "sum", "mean", "median", "mode", "spread",
+                    "stddev", "min", "max", "first", "last"):
+            fld = args[0]
+            out = getattr(p, name)(fld, as_=as_ or name)
+        elif name == "distinct":
+            out = p.distinct(args[0])
+        elif name == "percentile":
+            out = p.percentile(args[0], float(args[1]), as_=as_ or "percentile")
+        elif name in ("top", "bottom"):
+            out = getattr(p, name)(int(args[0]), args[1], *args[2:], as_=as_)
+        elif name == "derivative":
+            out = p.derivative(args[0], unit=unit,
+                               non_negative="nonNegative" in props, as_=as_)
+        elif name == "difference":
+            out = p.difference(args[0], as_=as_)
+        elif name == "movingAverage":
+            out = p.moving_average(args[0], int(args[1]), as_=as_)
+        elif name == "cumulativeSum":
+            out = p.cumulative_sum(args[0], as_=as_)
+        elif name == "elapsed":
+            out = p.elapsed(unit=_dur(args[1]) if len(args) > 1 else unit,
+                            as_=as_ or "elapsed")
+        elif name == "changeDetect":
+            out = p.change_detect(*args)
+        elif name == "stateDuration":
+            lam = args[0].src if isinstance(args[0], _Lambda) else args[0]
+            out = p.state_duration(lam, unit=unit, as_=as_ or "state_duration")
+        elif name == "stateCount":
+            lam = args[0].src if isinstance(args[0], _Lambda) else args[0]
+            out = p.state_count(lam, as_=as_ or "state_count")
+        elif name in ("holtWinters", "holtWintersWithFit"):
+            out = p.holt_winters(args[0], int(args[1]), int(args[2]),
+                                 _dur(args[3]),
+                                 include_fit=name.endswith("WithFit"), as_=as_)
+        else:  # pragma: no cover
+            raise TickError(f"unsupported aggregation {name}")
+        self._built = out
+        return out
+
+    def prop(self, name, args):
+        self._props[name] = args
+        self._built = None
+        return self
+
+
+def run_tickscript(
+    script: str,
+    sources,
+    time_col: str = "time",
+    dims: tuple[str, ...] = (),
+    tiebreak: tuple[str, ...] = (),
+) -> dict[str, DataFrame]:
+    """Execute a TICKscript; returns {httpOut name: DataFrame}.
+
+    ``sources``: DataFrame | Pipeline | dict measurement→DataFrame/Pipeline
+    | callable(measurement)→Pipeline.
+    """
+    outputs: dict[str, DataFrame] = {}
+    env = _Env(sources, time_col, dims, tiebreak, outputs)
+    toks, src = _tokenize(script)
+    p = _P(toks, src, env)
+    # patch property dispatch for pending aggregations
+    orig_prop = env.prop
+
+    def prop(node, name, args):
+        if isinstance(node, _PendingAgg):
+            return node.prop(name, args)
+        return orig_prop(node, name, args)
+
+    env.prop = prop
+    p.run()
+    return outputs

@@ -1,0 +1,162 @@
+"""TICKscript front-end tests — script shapes mirror the reference's
+integration tests (/root/reference/integrations/streamer_test.go):
+TestStream_Window, TestStream_SimpleMR, alerts, joins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kapacitor_spark.tick import TickError, run_tickscript
+
+
+@pytest.fixture(scope="module")
+def cpu(spark):
+    rows = []
+    for i in range(10):
+        rows.append((i, f"2024-01-01 00:00:{i:02d}", "serverA", "idle", 90.0 + i))
+        rows.append((i + 100, f"2024-01-01 00:00:{i:02d}", "serverB", "idle", 50.0 + i))
+    df = spark.createDataFrame(rows, "id long, time string, host string, type string, value double")
+    return df.withColumn("time", F.to_timestamp("time"))
+
+
+def test_stream_window_mean(cpu):
+    script = """
+var period = 4s
+stream
+    |from()
+        .measurement('cpu')
+        .where(lambda: "host" == 'serverA')
+    |window()
+        .period(period)
+        .every(period)
+    |mean('value')
+        .as('mean_value')
+    |httpOut('TestStream_Window')
+"""
+    outs = run_tickscript(script, sources={"cpu": cpu}, time_col="time", tiebreak=("id",))
+    rows = sorted(outs["TestStream_Window"].collect(), key=lambda r: r.time)
+    # 10 points in 4s tumbling windows: [0-4)=4pts, [4-8)=4, [8-12)=2
+    assert len(rows) == 3
+    assert rows[0].mean_value == pytest.approx((90 + 91 + 92 + 93) / 4)
+    assert rows[2].mean_value == pytest.approx((98 + 99) / 2)
+
+
+def test_stream_simple_mr_groupby(cpu):
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy(['host'])
+    |window()
+        .period(10s)
+        .every(10s)
+    |count('value')
+        .as('n')
+    |httpOut('out')
+"""
+    outs = run_tickscript(script, sources={"cpu": cpu}, time_col="time")
+    got = {r.host: r.n for r in outs["out"].collect()}
+    assert got == {"serverA": 10, "serverB": 10}
+
+
+def test_alert_state_changes(cpu):
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy(['host'])
+    |alert()
+        .warn(lambda: "value" > 95.0)
+        .crit(lambda: "value" > 98.0)
+        .stateChangesOnly()
+    |httpOut('alerts')
+"""
+    outs = run_tickscript(script, sources={"cpu": cpu}, time_col="time", tiebreak=("id",))
+    rows = outs["alerts"].orderBy("time").collect()
+    a = [(r.value, r.level) for r in rows if r.host == "serverA"]
+    assert a == [(96.0, "WARNING"), (99.0, "CRITICAL")]
+    assert not [r for r in rows if r.host == "serverB"]
+
+
+def test_eval_and_where_chain(cpu):
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+    |eval(lambda: "value" * 2.0, lambda: "doubled" + 1.0)
+        .as('doubled', 'plus')
+    |where(lambda: "plus" > 190.0)
+    |httpOut('out')
+"""
+    outs = run_tickscript(script, sources={"cpu": cpu}, time_col="time")
+    rows = outs["out"].collect()
+    assert all(r.plus == r.value * 2 + 1 for r in rows)
+    assert all(r.plus > 190 for r in rows)
+
+
+def test_derivative_with_unit(cpu):
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .where(lambda: "host" == 'serverA')
+        .groupBy(['host'])
+    |derivative('value')
+        .unit(1s)
+    |httpOut('out')
+"""
+    outs = run_tickscript(script, sources={"cpu": cpu}, time_col="time", tiebreak=("id",))
+    vals = [r.value for r in outs["out"].orderBy("time").collect()]
+    assert vals == [1.0] * 9  # +1 per second
+
+
+def test_var_chain_reference_and_union(cpu):
+    script = """
+var base = stream
+    |from()
+        .measurement('cpu')
+        .groupBy(['host'])
+
+var hot = base
+    |where(lambda: "value" >= 95.0)
+
+var cold = base
+    |where(lambda: "value" < 55.0)
+
+hot
+    |union(cold)
+    |httpOut('out')
+"""
+    outs = run_tickscript(script, sources={"cpu": cpu}, time_col="time")
+    vals = sorted(r.value for r in outs["out"].collect())
+    assert vals == [50.0, 51.0, 52.0, 53.0, 54.0, 95.0, 96.0, 97.0, 98.0, 99.0]
+
+
+def test_window_count_script(cpu):
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .where(lambda: "host" == 'serverA')
+        .groupBy(['host'])
+    |window()
+        .periodCount(3)
+        .everyCount(1)
+    |sum('value')
+        .as('s3')
+    |httpOut('out')
+"""
+    outs = run_tickscript(script, sources={"cpu": cpu}, time_col="time", tiebreak=("id",))
+    rows = outs["out"].orderBy("time").collect()
+    assert rows[0].s3 == 90.0 and rows[2].s3 == 90 + 91 + 92
+
+
+def test_unknown_method_raises(cpu):
+    with pytest.raises(TickError, match="unsupported"):
+        run_tickscript(
+            "stream |from() |frobnicate()", sources={"cpu": cpu}, time_col="time"
+        )
+
+
+def test_unknown_var_raises(cpu):
+    with pytest.raises(TickError, match="unknown identifier"):
+        run_tickscript("nosuchvar |httpOut('x')", sources={"cpu": cpu})
