@@ -1010,6 +1010,16 @@ def rp_lsh_topk_q(spark, sf_dir):
     return rp_lsh_topk(emb, emb.filter("vec_id < 10"), k=5, num_planes=4)
 
 
+@_q("ivf_topk")  # approximate IVF ANN — rows-only check
+def ivf_topk_q(spark, sf_dir):
+    """IVF(-flat) ANN: deterministic k-means lists + nprobe search — the
+    scale path where candidates ≈ nprobe/n_lists of the corpus."""
+    from kapacitor_spark.dataprep.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter("vec_id < 10"), k=5, n_lists=8, nprobe=3)
+
+
 @_q(
     "text_token_stats",
     """WITH t AS (SELECT doc_id, length(text) AS n_chars_computed,

@@ -26,6 +26,8 @@ __all__ = [
     "brute_force_topk",
     "rp_lsh_buckets",
     "rp_lsh_topk",
+    "ivf_index",
+    "ivf_topk",
 ]
 
 
@@ -131,6 +133,133 @@ def rp_lsh_buckets(
             F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
         )
     return df.withColumn("bucket", bucket)
+
+
+def ivf_index(
+    df: DataFrame,
+    n_lists: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF(-flat) index: k-means lists with deterministic seeding.
+
+    Seeds = the vectors with the ``n_lists`` smallest xxhash64(id) values
+    (hash-ordered sample — reproducible, no RNG), refined by ``iters``
+    Lloyd rounds computed distributively: assign via broadcast of the tiny
+    centroid table (each row evaluates n_lists dot products JVM-side),
+    recenter via one hash-aggregate per round. Centroids are collected to
+    the driver — n_lists × dim doubles, kilobytes — the standard IVF
+    coarse-quantizer shape.
+
+    Returns (assigned DataFrame with ``list_id``, centroids).
+    """
+    import numpy as np
+
+    base = df.select(F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"))
+    seeds = (
+        base.withColumn("__h", F.xxhash64(F.col(id_col)))
+        .orderBy("__h")
+        .limit(n_lists)
+        .select("__v")
+        .collect()
+    )
+    cents = np.array([r["__v"] for r in seeds], dtype=float)
+
+    def assign(centroids: np.ndarray) -> "F.Column":
+        best_d, best_i = None, None
+        for i, c in enumerate(centroids):
+            arr = F.array(*[F.lit(float(x)) for x in c])
+            d = F.aggregate(
+                F.zip_with(F.col("__v"), arr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            if best_d is None:
+                best_d, best_i = d, F.lit(i)
+            else:
+                cond = d < best_d
+                best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+                best_d = F.when(cond, d).otherwise(best_d)
+        return best_i
+
+    for _ in range(iters):
+        assigned = base.withColumn("list_id", assign(cents))
+        dim = cents.shape[1]
+        sums = assigned.groupBy("list_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("__v", j + 1)).alias(f"s{j}")
+                for j in range(dim)
+            ],
+        )
+        for r in sums.collect():
+            if r["n"] > 0:
+                cents[r["list_id"]] = [r[f"s{j}"] / r["n"] for j in range(dim)]
+
+    out = df.join(
+        base.withColumn("list_id", assign(cents)).select(id_col, "list_id"), id_col
+    )
+    return out, cents.tolist()
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only corpus vectors in each query's
+    ``nprobe`` nearest lists — the classic inverted-file ANN search.
+
+    The probe map (query → candidate lists) is computed driver-side over
+    the kilobyte centroid table, then broadcast-joined against the indexed
+    corpus: one equi-join on list_id replaces the cross join, cutting the
+    scored fraction to ~nprobe/n_lists. Returns
+    (query_id, neighbor_id, cosine, rank).
+    """
+    import numpy as np
+    from pyspark.sql import Window
+
+    indexed, cents = ivf_index(corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
+    cent = np.array(cents)
+    spark = corpus.sparkSession
+
+    qrows = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+        F.col("__norm").alias("__qn"),
+    ).collect()
+    probe_rows = []
+    for r in qrows:
+        v = np.array(r["__qv"])
+        d = ((cent - v) ** 2).sum(axis=1)
+        for li in np.argsort(d)[:nprobe]:
+            probe_rows.append((r["query_id"], int(li), r["__qv"], r["__qn"]))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, list_id int, __qv array<double>, __qn double"
+    )
+
+    c = with_norm(indexed, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col("__norm").alias("__cn"),
+        "list_id",
+    )
+    scored = c.join(F.broadcast(probes), "list_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = cosine_expr("__qv", "__cv", "__qn", "__cn")
+    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", cos.alias("__cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("__cos", 6).alias("cosine"), "rank")
+    )
 
 
 def rp_lsh_topk(

@@ -1,0 +1,57 @@
+"""ANN similarity search: exact baseline vs LSH / IVF approximate paths —
+recall measured against the brute-force truth on real embeddings."""
+
+import pytest
+
+from kapacitor_spark.dataprep.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    rp_lsh_topk,
+)
+from kapacitor_spark.session import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, f"{SF}/embeddings.parquet")
+
+
+def _pairs(df):
+    return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+
+def test_brute_force_exact_and_ranked(emb):
+    out = brute_force_topk(emb, emb.filter("vec_id < 5"), k=3)
+    rows = out.collect()
+    assert len(rows) == 15  # 5 queries × k
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3]
+        assert rs[0].cosine >= rs[1].cosine >= rs[2].cosine
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_ivf_recall(emb):
+    truth = _pairs(brute_force_topk(emb, emb.filter("vec_id < 5"), k=3))
+    approx = _pairs(ivf_topk(emb, emb.filter("vec_id < 5"), k=3, n_lists=4, nprobe=2))
+    assert len(approx) == 15
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5  # nprobe=2/4 lists: at least half the true pairs
+
+
+def test_rp_lsh_shape(emb):
+    out = rp_lsh_topk(emb, emb.filter("vec_id < 5"), k=3, num_planes=3)
+    rows = out.collect()
+    assert 0 < len(rows) <= 15
+    assert all(r.rank <= 3 for r in rows)
+
+
+def test_ivf_deterministic(emb):
+    a = sorted(map(tuple, ivf_topk(emb, emb.filter("vec_id < 3"), k=3, n_lists=4).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, emb.filter("vec_id < 3"), k=3, n_lists=4).collect()))
+    assert a == b
