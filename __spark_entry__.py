@@ -893,6 +893,54 @@ def alert_no_recoveries(spark, sf_dir):
     return p.result().select("ts", "user_id", "value", "level")
 
 
+@_q(
+    "alert_all_window",
+    """SELECT date_trunc('hour', ts) AS ts, user_id,
+              ['OK','INFO','WARNING','CRITICAL'][
+                min(CASE WHEN value > 150 THEN 3 WHEN value > 50 THEN 2 ELSE 0 END) + 1] AS level
+       FROM events GROUP BY 1, 2""",
+)
+def alert_all_window(spark, sf_dir):
+    """alert().all() over 1h windows — /root/reference/pipeline/alert.go:490:
+    the window's level is the highest level ALL its points satisfy (one
+    hash-aggregate of min point-level)."""
+    return (
+        _events_by_user(spark, sf_dir)
+        .window_time("1h")
+        .alert_all(crit="value > 150", warn="value > 50")
+        .result()
+    )
+
+
+@_q(
+    "alert_inhibit",
+    """WITH a AS (
+         SELECT ts, user_id, value, 'CRITICAL' AS level FROM events
+         WHERE event_type = 'click' AND value > 150),
+       inh AS (
+         SELECT DISTINCT epoch_us(ts) - epoch_us(ts) % 3600000000 AS ib, user_id
+         FROM events WHERE event_type = 'error' AND value > 100)
+       SELECT a.ts, a.user_id, a.value, a.level FROM a
+       LEFT JOIN inh ON inh.ib = epoch_us(a.ts) - epoch_us(a.ts) % 3600000000
+                    AND inh.user_id = a.user_id
+       WHERE inh.user_id IS NULL""",
+)
+def alert_inhibit(spark, sf_dir):
+    """alert().inhibit(category, tags) — /root/reference/pipeline/alert.go:
+    606: suppress alerts while another category alerts on the same tags;
+    batch mode = broadcast anti-join on (time bucket, tags)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = Pipeline.from_df(
+        ev.filter("event_type = 'click'").select("ts", "user_id", "value"),
+        time_col="ts", dims=("user_id",),
+    ).alert(crit="value > 150").where("level != 'OK'")
+    errors = Pipeline.from_df(
+        ev.filter("event_type = 'error'").select("ts", "user_id", "value"),
+        time_col="ts", dims=("user_id",),
+    ).alert(crit="value > 100")
+    return clicks.inhibit(errors, on=["user_id"], tolerance="1h").result()
+
+
 @_q("alert_flapping")  # hysteresis is sequential — rows-only check
 def alert_flapping(spark, sf_dir):
     """alert().flapping(0.25, 0.5) — /root/reference/alert.go:1252-1286

@@ -35,8 +35,13 @@ HEADLINE = [
     "state_tracking",
     "moving_avg5",
     "flatten_daily",
+    "window_count_agg",
+    "sigma_outliers",
+    "tickscript_e2e",
+    "lineprotocol_roundtrip",
     "dedup_exact",
     "minhash_near_dup",
+    "simhash_near_dup",
     "text_token_stats",
     "ann_cosine_topk",
 ]

@@ -220,26 +220,31 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash as array expressions: per bit, the sign of the sum of
     ±1 contributions from each token's xxhash64 bit. Narrow, codegen'd."""
-    # Hash each token once into a materialized array column, then fold bits
-    # over the numeric array (shiftright by a column bit-count needs the SQL
-    # lambda form — the Python F.shiftright requires a literal int).
-    toks_sql = f"array_distinct(split(lower(trim({text_col})), '\\\\s+'))"
-    with_h = df.select(
-        F.col(id_col), F.expr(f"transform({toks_sql}, t -> xxhash64(t))").alias("__h")
+    # Explode distinct tokens, hash each once, then ONE codegen'd
+    # hash-aggregate computing all 64 per-bit ±1 sums (map-side partial agg
+    # reduces each doc to 64 longs before the shuffle); the sign bits are
+    # packed into the final long with a fold over the 64 columns. An
+    # interpreted per-bit array-aggregate was ~10x slower at the same
+    # result.
+    toks = F.array_distinct(tokenize(text_col))
+    ex = df.select(F.col(id_col), F.explode(toks).alias("__t"))
+    h = ex.select(F.col(id_col), F.xxhash64("__t").alias("__h"))
+    sums = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{j}")
+            for j in range(bits)
+        ]
     )
-    packed = F.expr(
-        f"""
-        aggregate(
-          zip_with(
-            transform(sequence(0, {bits - 1}),
-              j -> aggregate(__h, 0, (acc, h) -> acc + IF(((h >> j) & 1) = 1, 1, -1))),
-            sequence(0, {bits - 1}),
-            (v, j) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
-          CAST(0 AS BIGINT),
-          (acc, x) -> acc | x)
-        """
-    )
-    return with_h.select(F.col(id_col), packed.alias("simhash"))
+    packed = F.lit(0).cast("long")
+    for j in range(bits):
+        packed = packed.bitwiseOR(
+            F.when(
+                F.col(f"__b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select(F.col(id_col), packed.alias("simhash"))
 
 
 def simhash_near_dup(

@@ -960,6 +960,56 @@ class Pipeline:
     # sinks (§2.1)
     # ------------------------------------------------------------------ #
 
+    def alert_all(
+        self,
+        crit: str | Column | None = None,
+        warn: str | Column | None = None,
+        info: str | Column | None = None,
+        level_col: str = "level",
+    ) -> "Pipeline":
+        """alert().all() for batch/window edges (/root/reference/pipeline/
+        alert.go:490-497): the window's level is the highest level that ALL
+        its points satisfy — one hash-aggregate of min(point level) per
+        (window, group)."""
+        lv = F.lit(0)
+        if info is not None:
+            lv = F.when(self._expr(info), 1).otherwise(lv)
+        if warn is not None:
+            lv = F.when(self._expr(warn), 2).otherwise(lv)
+        if crit is not None:
+            lv = F.when(self._expr(crit), 3).otherwise(lv)
+        names = F.array(F.lit("OK"), F.lit("INFO"), F.lit("WARNING"), F.lit("CRITICAL"))
+        out = self.agg(F.min(lv).alias("__lv"))
+        df = out.df.withColumn(level_col, F.get(names, F.col("__lv"))).drop("__lv")
+        return Pipeline(df=df, time_col=out.time_col, dims=out.dims, results=self.results)
+
+    def inhibit(
+        self,
+        inhibitor: "Pipeline",
+        on: Sequence[str],
+        tolerance: str | float = "1m",
+        level_col: str = "level",
+    ) -> "Pipeline":
+        """alert().inhibit(category, tags) (/root/reference/pipeline/
+        alert.go:606; alert.go:800-812): suppress this pipeline's alerts
+        while the inhibitor category has a non-OK alert for the same tag
+        values in the same time bucket — an anti-join on (bucket, tags),
+        no state needed in batch mode."""
+        us = round(parse_duration(tolerance) * 1_000_000)
+
+        def bucket(p: "Pipeline") -> Column:
+            um = F.unix_micros(F.col(p.time_col))
+            return um - um % F.lit(us)
+
+        inh = (
+            inhibitor.df.filter(F.col(level_col) != "OK")
+            .select(bucket(inhibitor).alias("__ib"), *[F.col(c) for c in on])
+            .distinct()
+        )
+        mine = self.df.withColumn("__ib", bucket(self))
+        out = mine.join(F.broadcast(inh), ["__ib", *on], "left_anti").drop("__ib")
+        return self._with(out)
+
     def udf(self, udf_fn, **options) -> "Pipeline":
         """Apply a @udf_node-declared operator (/root/reference/udf/agent/
         udf.proto surface → applyInPandas; see kapacitor_spark.udf)."""

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    LongType, StringType, StructField, StructType,
+    DoubleType, LongType, StringType, StructField, StructType,
 )
 
 from kapacitor_spark.durations import parse_duration, to_interval
@@ -41,6 +41,7 @@ from kapacitor_spark.streaming.state import LEVEL_IDX, LEVELS, new_state, walk_l
 
 __all__ = [
     "barrier",
+    "window_count_stream",
     "alert_stream",
     "state_count_stream",
     "run_available_now",
@@ -183,6 +184,65 @@ def state_count_stream(
         state.update((int(streak),))
 
     return c_df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
+        machine,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def window_count_stream(
+    df: DataFrame,
+    time_col: str,
+    dims: Sequence[str],
+    fld: str,
+    period_count: int,
+    every_count: int = 1,
+    agg: str = "mean",
+    as_: str = "value",
+) -> DataFrame:
+    """Streaming count window (/root/reference/window.go:360-470): per
+    group, a ring of the last ``period_count`` values persists across
+    micro-batches; every ``every_count``-th point emits the aggregate of
+    the ring. every_count=1 is the reference's every-point emission mode
+    (window.go every=0 analog). State per group: ≤ period_count doubles."""
+    if agg not in ("mean", "sum", "count", "min", "max"):
+        raise ValueError(f"unsupported count-window agg {agg!r}")
+    out_schema = StructType(
+        [df.schema[time_col]]
+        + [df.schema[d] for d in dims]
+        + [StructField(as_, DoubleType())]
+    )
+    state_schema = StructType(
+        [StructField("ring", StringType()), StructField("since_emit", LongType())]
+    )
+
+    def machine(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            ring_csv, since = state.get
+            ring = [float(x) for x in ring_csv.split(",")] if ring_csv else []
+        else:
+            ring, since = [], 0
+        fns = {"mean": np.mean, "sum": np.sum, "count": len, "min": np.min, "max": np.max}
+        fn = fns[agg]
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col, kind="stable")
+            rows = []
+            for _, r in pdf.iterrows():
+                ring.append(float(r[fld]))
+                if len(ring) > period_count:
+                    ring.pop(0)
+                since += 1
+                if since >= every_count:
+                    since = 0
+                    rows.append(
+                        [r[time_col], *[r[d] for d in dims], float(fn(ring))]
+                    )
+            yield pd.DataFrame(rows, columns=[time_col, *dims, as_])
+        state.update((",".join(str(x) for x in ring), int(since)))
+
+    return df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
         machine,
         outputStructType=out_schema,
         stateStructType=state_schema,

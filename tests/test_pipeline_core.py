@@ -199,3 +199,41 @@ def test_alert_levels_and_state_changes(spark):
     )
     out2 = [(r.time.second, r.level) for r in p2.result().orderBy("time").collect()]
     assert out2 == [(1, "WARNING"), (2, "CRITICAL"), (4, "OK")]
+
+
+def test_alert_all_window(spark):
+    from pyspark.sql import functions as F
+    from kapacitor_spark import Pipeline
+
+    rows = [
+        # window 0: all > 90 → CRITICAL; window 1: one low point → OK
+        (0, "2024-01-01 00:00:00", "a", 95.0),
+        (1, "2024-01-01 00:00:10", "a", 96.0),
+        (2, "2024-01-01 00:01:00", "a", 97.0),
+        (3, "2024-01-01 00:01:10", "a", 10.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string, host string, value double").withColumn(
+        "t", F.to_timestamp("t")
+    )
+    p = Pipeline.from_df(df, time_col="t", dims=("host",))
+    out = p.window_time("1m").alert_all(crit="value > 90").result().orderBy("t").collect()
+    assert [r.level for r in out] == ["CRITICAL", "OK"]
+
+
+def test_alert_inhibit(spark):
+    from pyspark.sql import functions as F
+    from kapacitor_spark import Pipeline
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "t string, host string, value double"
+    ).withColumn("t", F.to_timestamp("t"))
+    alerts = Pipeline.from_df(
+        mk([("2024-01-01 00:00:05", "a", 99.0), ("2024-01-01 00:05:05", "b", 98.0)]),
+        time_col="t", dims=("host",),
+    ).alert(crit="value > 90")
+    # inhibitor: host a is down (non-OK) in minute 0 → suppress a's alert
+    inhibitor = Pipeline.from_df(
+        mk([("2024-01-01 00:00:30", "a", 1.0)]), time_col="t", dims=("host",)
+    ).alert(crit="value < 5")
+    out = alerts.inhibit(inhibitor, on=["host"], tolerance="1m").result().collect()
+    assert [r.host for r in out] == ["b"]

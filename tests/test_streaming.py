@@ -147,3 +147,22 @@ def test_batch_alert_no_recoveries(spark):
         crit="value > 90", state_changes_only=True, no_recoveries=True
     ).result()
     assert [r.level for r in out.orderBy("t").collect()] == ["CRITICAL", "CRITICAL"]
+
+
+def test_streaming_window_count(spark, tmp_path):
+    path = str(tmp_path / "in4")
+    _write_batches(
+        spark,
+        path,
+        [
+            [("2024-01-01 00:00:00", "a", 1.0), ("2024-01-01 00:00:10", "a", 2.0)],
+            [("2024-01-01 00:00:20", "a", 3.0), ("2024-01-01 00:00:30", "a", 4.0)],
+        ],
+    )
+    from kapacitor_spark.streaming import window_count_stream
+
+    src = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(path)
+    out = window_count_stream(src, "t", ["host"], "value", period_count=3, agg="sum", as_="s")
+    res = run_available_now(out, "wc_t", str(tmp_path / "cp4")).orderBy("t")
+    # ring persists across batches: 1 | 1+2 | 1+2+3 | 2+3+4
+    assert [r.s for r in res.collect()] == [1.0, 3.0, 6.0, 9.0]
