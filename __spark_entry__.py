@@ -738,6 +738,61 @@ def tpch_q3_topk(spark, sf_dir):
 
 
 @_q(
+    "session_windows",
+    """WITH s AS (
+         SELECT user_id, ts, value,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS brk
+         FROM events),
+       g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+       SELECT user_id, min(ts) AS session_start,
+              max(ts) + INTERVAL 30 MINUTE AS session_end,
+              count(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+       FROM g GROUP BY user_id, sid""",
+)
+def session_windows(spark, sf_dir):
+    """Session windows (gap=30m) per user — Spark-native F.session_window
+    (a bonus over the reference; SURVEY §2.8). Oracle = gaps-and-islands
+    sessionization."""
+    return (
+        _events_by_user(spark, sf_dir)
+        .session_window(
+            "30m",
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value").alias("sum_value"),
+        )
+        .result()
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    )
+
+
+@_q(
+    "alert_message_template",
+    """SELECT ts, user_id, value,
+              'host=' || user_id || ' is CRITICAL: value=' || CAST(value AS VARCHAR)
+                  AS message
+       FROM events WHERE value > 190""",
+)
+def alert_message_template(spark, sf_dir):
+    """Alert message templating — /root/reference/pipeline/alert.go:64-72
+    (Go text/template) compiled to one concat expression."""
+    p = (
+        _events_by_user(spark, sf_dir)
+        .alert(
+            crit="value > 190",
+            message_template='host={{ index .Tags "user_id" }} is {{ .Level }}: '
+                             'value={{ index .Fields "value" }}',
+        )
+        .where("level = 'CRITICAL'")
+    )
+    return p.result().select("ts", "user_id", "value", "message")
+
+
+@_q(
     "tickscript_e2e",
     """SELECT date_trunc('hour', ts) AS ts, event_type,
               count(value) AS n,

@@ -166,25 +166,28 @@ def ivf_index(
     )
     cents = np.array([r["__v"] for r in seeds], dtype=float)
 
-    def assign(centroids: np.ndarray) -> "F.Column":
-        best_d, best_i = None, None
-        for i, c in enumerate(centroids):
-            arr = F.array(*[F.lit(float(x)) for x in c])
-            d = F.aggregate(
-                F.zip_with(F.col("__v"), arr, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            if best_d is None:
-                best_d, best_i = d, F.lit(i)
-            else:
-                cond = d < best_d
-                best_i = F.when(cond, F.lit(i)).otherwise(best_i)
-                best_d = F.when(cond, d).otherwise(best_d)
-        return best_i
+    def assigned_df(centroids: np.ndarray):
+        """Nearest-centroid assignment as ONE vectorized numpy matmul per
+        Arrow batch (mapInPandas) — ||x-c||² = ||x||² - 2x·c + ||c||², so
+        argmin is an (n×d)@(d×k) product; interpreted per-centroid array
+        expressions were ~20x slower."""
+        cent = centroids.copy()
+        cnorm = (cent**2).sum(axis=1)
+
+        def run(batches):
+            for pdf in batches:
+                X = np.stack(pdf["__v"].to_numpy())
+                d = cnorm[None, :] - 2.0 * (X @ cent.T)
+                pdf = pdf.copy()
+                pdf["list_id"] = d.argmin(axis=1).astype("int32")
+                yield pdf
+
+        return base.mapInPandas(
+            run, schema=f"{id_col} long, __v array<double>, list_id int"
+        )
 
     for _ in range(iters):
-        assigned = base.withColumn("list_id", assign(cents))
+        assigned = assigned_df(cents)
         dim = cents.shape[1]
         sums = assigned.groupBy("list_id").agg(
             F.count(F.lit(1)).alias("n"),
@@ -197,9 +200,7 @@ def ivf_index(
             if r["n"] > 0:
                 cents[r["list_id"]] = [r[f"s{j}"] / r["n"] for j in range(dim)]
 
-    out = df.join(
-        base.withColumn("list_id", assign(cents)).select(id_col, "list_id"), id_col
-    )
+    out = df.join(assigned_df(cents).select(id_col, "list_id"), id_col)
     return out, cents.tolist()
 
 

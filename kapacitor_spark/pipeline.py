@@ -473,6 +473,24 @@ class Pipeline:
     def window_(self, *a, **kw) -> "Pipeline":
         return self.window_time(*a, **kw)
 
+    def session_window(self, gap: str | float, *aggs: Column) -> "Pipeline":
+        """Session windows — no reference equivalent (SURVEY §2.8 lists it
+        as a Spark-native bonus): per group, points closer than ``gap``
+        merge into one session; returns one row per session with
+        session_start/session_end + the aggregates. Uses F.session_window
+        (native, AQE-aware merge)."""
+        sw = F.session_window(self.time, to_interval(gap))
+        out = (
+            self.df.groupBy(sw.alias("__sw"), *[F.col(d) for d in self.dims])
+            .agg(*aggs)
+            .withColumn("session_start", F.col("__sw.start"))
+            .withColumn("session_end", F.col("__sw.end"))
+            .drop("__sw")
+        )
+        return Pipeline(
+            df=out, time_col="session_start", dims=self.dims, results=self.results
+        )
+
     def window_count(
         self, period_count: int, every_count: int = 1, fill_period: bool = False
     ) -> "Pipeline":
@@ -951,10 +969,44 @@ class Pipeline:
                 F.col(level_col) != F.col("__prev")
             ).drop("__prev")
         if id_template:
-            df = df.withColumn("alert_id", F.expr(id_template))
+            df = df.withColumn("alert_id", self._template(id_template, level_col))
         if message_template:
-            df = df.withColumn("message", F.expr(message_template))
+            df = df.withColumn("message", self._template(message_template, level_col))
         return self._with(df)
+
+    def _template(self, tmpl: str, level_col: str) -> Column:
+        """Alert ID/message templating (/root/reference/pipeline/alert.go:
+        64-72, Go text/template): supports {{ .Level }}, {{ .Time }},
+        {{ .Name }}, {{ index .Tags "k" }}, {{ index .Fields "k" }} — all
+        compiled to one concat expression (codegen'd, not per-row Python).
+        Plain SQL expressions (no '{{') pass through unchanged."""
+        if "{{" not in tmpl:
+            return F.expr(tmpl)
+        import re as _re
+
+        parts: list[Column] = []
+        pos = 0
+        for m in _re.finditer(r"\{\{\s*(.*?)\s*\}\}", tmpl):
+            if m.start() > pos:
+                parts.append(F.lit(tmpl[pos:m.start()]))
+            ph = m.group(1)
+            if ph == ".Level":
+                parts.append(F.col(level_col))
+            elif ph == ".Time":
+                parts.append(F.date_format(self.time, "yyyy-MM-dd HH:mm:ss"))
+            elif ph in (".ID", ".Name", ".TaskName"):
+                parts.append(F.lit(""))  # single-pipeline context: no task name
+            elif ph == ".Group":
+                parts.append(F.concat_ws(",", *[F.col(d) for d in self.dims]))
+            else:
+                im = _re.fullmatch(r'index\s+\.(Tags|Fields)\s+"([^"]+)"', ph)
+                if not im:
+                    raise ValueError(f"unsupported template placeholder {{{{ {ph} }}}}")
+                parts.append(F.col(im.group(2)).cast("string"))
+            pos = m.end()
+        if pos < len(tmpl):
+            parts.append(F.lit(tmpl[pos:]))
+        return F.concat(*parts)
 
     # ------------------------------------------------------------------ #
     # sinks (§2.1)
