@@ -835,6 +835,51 @@ base
     return outs["counts"].join(outs["spreads"], ["ts", "event_type"])
 
 
+@_q(
+    "tpch_q5_local_supplier",
+    """SELECT n_name,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,8))) AS DOUBLE)
+                  AS revenue
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation   ON s_nationkey = n_nationkey
+       JOIN region   ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA' AND o_orderdate >= DATE '1996-01-01'
+         AND o_orderdate < DATE '1998-01-01'
+       GROUP BY n_name""",
+)
+def tpch_q5_local_supplier(spark, sf_dir):
+    """Six-way join (TPC-H Q5 shape): region/nation/supplier/customer are
+    broadcast (small dims), only lineitem⋈orders shuffles — the plan a
+    1000-executor cluster wants. Date filter pushes into the orders scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "decimal(25,8)")
+            .alias("revenue")
+        )
+    )
+    return out
+
+
 # ===================================================================== #
 # §2.10 alert
 # ===================================================================== #
