@@ -122,10 +122,9 @@ def parse_line(line: str, precision_ns: bool = True):
     }
 
 
-def parse_lines(df: DataFrame, col: str = "value", precision_ns: bool = True) -> DataFrame:
-    """Parse a DataFrame of raw lines (e.g. from ``spark.read.text`` or a
-    Kafka value column) into typed points. mapInPandas: Arrow in/out, no
-    shuffle, pipeline-parallel with the scan."""
+def _parse_lines_python(df: DataFrame, col: str, precision_ns: bool) -> DataFrame:
+    """Full-fidelity per-line parser (escapes, quoted strings) via
+    mapInPandas — Arrow in/out, no shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -143,6 +142,78 @@ def parse_lines(df: DataFrame, col: str = "value", precision_ns: bool = True) ->
             )
 
     return df.mapInPandas(run, schema=PARSED_SCHEMA)
+
+
+def _parse_lines_jvm(df: DataFrame, col: str, precision_ns: bool) -> DataFrame:
+    """JVM fast path for SIMPLE lines (no quotes, no backslash escapes —
+    the overwhelmingly common telemetry shape): split + str_to_map +
+    regex-classified typed maps, all inside whole-stage codegen."""
+    line = F.col(col)
+    parts = F.split(line, " ")
+    head = F.element_at(parts, 1)
+    field_str = F.element_at(parts, 2)
+    ts_str = F.when(F.size(parts) >= 3, F.element_at(parts, 3))
+    name = F.substring_index(head, ",", 1)
+    tag_str = F.when(
+        F.instr(head, ",") > 0, F.expr(f"substring({'__head'}, instr(__head, ',') + 1)")
+    )
+    fmap = F.str_to_map(field_str, F.lit(","), F.lit("="))
+    is_int = lambda v: v.rlike(r"^-?\d+[iu]$")
+    is_bool = lambda v: v.rlike(r"^(t|T|true|True|TRUE|f|F|false|False|FALSE)$")
+    is_float = lambda v: v.rlike(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+    div = 1000 if precision_ns else 1
+    out = (
+        df.withColumn("__head", head)
+        .withColumn("__ts", ts_str.cast("long"))
+        .select(
+            name.alias("name"),
+            F.coalesce(
+                F.str_to_map(tag_str, F.lit(","), F.lit("=")),
+                F.expr("cast(map() as map<string,string>)"),
+            ).alias("tags"),
+            F.transform_values(
+                F.map_filter(fmap, lambda k, v: is_float(v)), lambda k, v: v.cast("double")
+            ).alias("fields_f"),
+            F.transform_values(
+                F.map_filter(fmap, lambda k, v: is_int(v)),
+                lambda k, v: v.substr(F.lit(1), F.length(v) - 1).cast("long"),
+            ).alias("fields_i"),
+            F.expr("cast(map() as map<string,string>)").alias("fields_s"),
+            F.transform_values(
+                F.map_filter(fmap, lambda k, v: is_bool(v)),
+                lambda k, v: v.rlike("^(t|T|true|True|TRUE)$"),
+            ).alias("fields_b"),
+            # integer div — float division of ns epochs loses µs precision
+            F.timestamp_micros(F.expr(f"__ts div {div}")).alias("time"),
+        )
+    )
+    return out
+
+
+def parse_lines(
+    df: DataFrame, col: str = "value", precision_ns: bool = True, fast: bool = True
+) -> DataFrame:
+    """Parse raw line-protocol rows (from ``spark.read.text``/Kafka) into
+    typed points.
+
+    Hybrid plan: lines without quotes/escapes parse fully JVM-side
+    (codegen'd split/str_to_map — the hot ingest path); the rest go through
+    the exact Python parser. Both branches read the same scan; Spark unions
+    them without an extra shuffle.
+    """
+    if not fast:
+        return _parse_lines_python(df, col, precision_ns)
+    line = F.col(col)
+    # strict structural shape: head + fields (+ numeric ts), no quotes or
+    # escapes anywhere — anything else takes the exact Python parser
+    simple = (
+        ~line.contains('"')
+        & ~line.contains("\\")
+        & line.rlike(r"^[^ #][^ ]* [^ ]+( -?\d+)?$")
+    )
+    fast_part = _parse_lines_jvm(df.filter(simple), col, precision_ns)
+    slow_part = _parse_lines_python(df.filter(~simple), col, precision_ns)
+    return fast_part.unionByName(slow_part)
 
 
 def read_srpl(spark: SparkSession, path: str) -> DataFrame:
