@@ -180,6 +180,7 @@ class Pipeline:
     def eval(
         self,
         keep: bool | Sequence[str] = True,
+        tags: Sequence[str] = (),
         **named_exprs: str | Column,
     ) -> "Pipeline":
         """Ordered expression evaluation (/root/reference/eval.go:91-172).
@@ -189,12 +190,17 @@ class Pipeline:
         scope updates). ``keep=False`` keeps only time+dims+outputs
         (the reference's default of dropping input fields,
         /root/reference/pipeline/eval.go:130); ``keep=[...]`` keeps a subset.
+        ``tags=[names]`` converts those outputs to tags — string-typed
+        dimension columns (pipeline/eval.go:191 Tags property; tags are
+        strings in the point model, /root/reference/models/point.go:63).
         """
         df = self.df
         for name, expr in named_exprs.items():
-            df = df.withColumn(name, self._expr(expr))
+            c = self._expr(expr)
+            df = df.withColumn(name, c.cast("string") if name in tags else c)
+        new_dims = self.dims + tuple(t for t in tags if t not in self.dims)
         if keep is True:
-            return self._with(df)
+            return self._with(df, dims=new_dims if tags else self.dims)
         keep_cols = list(keep) if not isinstance(keep, bool) else []
         out = [self.time_col, *self.dims, *keep_cols, *named_exprs.keys()]
         seen, cols = set(), []
@@ -202,7 +208,7 @@ class Pipeline:
             if c not in seen and c in df.columns:
                 seen.add(c)
                 cols.append(c)
-        return self._with(df.select(*cols))
+        return self._with(df.select(*cols), dims=new_dims if tags else self.dims)
 
     def default(self, **values) -> "Pipeline":
         """Fill missing fields/tags with constants (/root/reference/default.go:84-110)."""

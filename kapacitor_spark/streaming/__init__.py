@@ -78,11 +78,17 @@ def alert_stream(
     no_recoveries: bool = False,
     flapping: tuple[float, float] | None = None,
     history: int = 21,
+    idle_timeout: str | float | None = None,
 ) -> DataFrame:
     """Streaming alert state machine (/root/reference/alert.go:989-1290):
     level CASE is evaluated declaratively; transitions / flapping
     suppression live in keyed state that persists across micro-batches
     (checkpoint = the reference's snapshot/restore, task.go:532).
+
+    ``idle_timeout``: drop a group's state after this much processing-time
+    idleness — the ``barrier().delete()`` / DeleteGroup analog
+    (/root/reference/pipeline/barrier.go:13-56, edge/messages.go:932);
+    essential at high group cardinality (ephemeral hosts/containers).
 
     Output: input columns + ``level``. State per group: last level +
     level-history ring + flapping flag — a few hundred bytes, safe at
@@ -108,9 +114,18 @@ def alert_stream(
     flap_low, flap_high = flapping if flapping else (None, None)
     in_cols = list(df.columns)
 
+    timeout_ms = (
+        round(parse_duration(idle_timeout) * 1000) if idle_timeout is not None else None
+    )
+
     def machine(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if timeout_ms is not None and state.hasTimedOut:
+            # DeleteGroup: idle group — discard state, emit nothing
+            state.remove()
+            yield pd.DataFrame(columns=in_cols + ["level"])
+            return
         if state.exists:
             last_level, hist_csv, idx, flap = state.get
             st = {
@@ -141,6 +156,8 @@ def alert_stream(
                 int(st["flapping"]),
             )
         )
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         yield from outs
 
     return lv_df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
@@ -148,7 +165,11 @@ def alert_stream(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -166,3 +166,56 @@ def test_streaming_window_count(spark, tmp_path):
     res = run_available_now(out, "wc_t", str(tmp_path / "cp4")).orderBy("t")
     # ring persists across batches: 1 | 1+2 | 1+2+3 | 2+3+4
     assert [r.s for r in res.collect()] == [1.0, 3.0, 6.0, 9.0]
+
+
+def test_streaming_declarative_pipeline_subset(spark, tmp_path):
+    """The declarative Pipeline subset (where/eval/window_time/agg) compiles
+    unchanged on a streaming DataFrame — same code, incremental plan."""
+    from kapacitor_spark import Pipeline
+
+    path = str(tmp_path / "in5")
+    _write_batches(
+        spark,
+        path,
+        [
+            [
+                ("2024-01-01 00:00:00", "a", 10.0),
+                ("2024-01-01 00:00:10", "a", 20.0),
+                ("2024-01-01 00:00:20", "b", 30.0),
+            ],
+            # flush rows must PASS the filter: Catalyst pushes a
+            # non-time predicate below EventTimeWatermark, so filtered
+            # rows never advance the watermark
+            [("2024-01-01 00:01:40", "a", 100.0)],
+            # emission uses the PREVIOUS batch's watermark — a trailing
+            # batch flushes the closed [0,30) windows
+            [("2024-01-01 00:03:00", "a", 100.0)],
+        ],
+    )
+    src = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(path)
+    p = (
+        Pipeline.from_df(barrier(src, "t", "10s"), time_col="t", dims=("host",))
+        .where("value > 5")
+        .eval(doubled="value * 2")
+        .window_time("30s")
+        .agg(F.sum("doubled").alias("s"), F.count("doubled").alias("n"))
+    )
+    out = run_available_now(p.result(), "decl_t", str(tmp_path / "cp5"))
+    rows = {(r.t.second, r.host): r for r in out.collect()}
+    assert rows[(0, "a")].s == 60.0 and rows[(0, "a")].n == 2
+    assert rows[(0, "b")].s == 60.0
+
+
+def test_streaming_alert_idle_timeout(spark, tmp_path):
+    path = str(tmp_path / "in6")
+    _write_batches(
+        spark, path,
+        [[("2024-01-01 00:00:00", "a", 95.0), ("2024-01-01 00:00:10", "a", 5.0)]],
+    )
+    src = spark.readStream.schema(SCHEMA).parquet(path)
+    alerts = alert_stream(
+        src, "t", ["host"], crit="value > 90", state_changes_only=True,
+        idle_timeout="1h",
+    )
+    out = run_available_now(alerts, "alerts_to", str(tmp_path / "cp6")).orderBy("t")
+    assert [r.level for r in out.collect()] == ["CRITICAL", "OK"]
