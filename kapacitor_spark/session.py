@@ -111,6 +111,15 @@ def read_table(spark: SparkSession, path: str):
     for c in nanos_cols:
         # integer DIV, not float division: ns epochs overflow double mantissa
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # Parquet timestamp[us] without tz reads as TIMESTAMP_NTZ in Spark 4;
+    # normalize to TIMESTAMP (session tz is pinned UTC, so the cast is
+    # value-preserving) so downstream unix_micros/window() time math works
+    # on one timestamp flavor everywhere.
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
