@@ -85,13 +85,11 @@ def _dsum(col, scale="decimal(20,4)"):
 # ===================================================================== #
 
 
-@_q(
-    "where_filter",
-    """SELECT event_id, ts, user_id, value
-       FROM events WHERE event_type = 'click' AND value > 150""",
-)
 def where_filter(spark, sf_dir):
-    """from().where() — /root/reference/where.go:89."""
+    """from().where() — /root/reference/where.go:89. Kept as the bench
+    warm-up / pass-through-filter benchmark (BenchmarkSimpleTask shape);
+    the oracle slot is covered by lambda_where_regex (same operator plus
+    the lambda language)."""
     p = _events(spark, sf_dir).where("event_type = 'click' AND value > 150")
     return p.result().select("event_id", "ts", "user_id", "value")
 
@@ -118,34 +116,26 @@ def eval_revenue(spark, sf_dir):
 
 
 @_q(
-    "default_delete_shift",
-    """SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type,
-              value, 'stream' AS source
-       FROM events""",
+    "default_delete_shift_sample",
+    """SELECT event_id, ts + INTERVAL 1 HOUR AS ts, event_type, value,
+              'stream' AS source
+       FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                          ORDER BY ts, event_id) AS rn
+             FROM events) WHERE (rn - 1) % 10 = 0""",
 )
-def default_delete_shift(spark, sf_dir):
-    """default() + delete() + shift() — /root/reference/default.go,
-    delete.go, shift.go."""
+def default_delete_shift_sample(spark, sf_dir):
+    """default() + delete() + shift() + sample(N) in one chain —
+    /root/reference/default.go, delete.go, shift.go, sample.go:97 (keep
+    every Nth point per group). Sample runs BEFORE shift so the oracle's
+    row_number is over original timestamps."""
     p = (
         _events(spark, sf_dir)
+        .sample(n=10)
         .default(source="stream")
-        .delete("props")
+        .delete("props", "user_id")
         .shift("1h")
     )
-    return p.result()
-
-
-@_q(
-    "sample_nth",
-    """SELECT event_id, ts, event_type, value FROM (
-         SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
-         FROM events) WHERE (rn - 1) % 10 = 0""",
-)
-def sample_nth(spark, sf_dir):
-    """sample(N) — keep every Nth point per group
-    (/root/reference/sample.go:97)."""
-    p = _events(spark, sf_dir).sample(n=10)
-    return p.result().select("event_id", "ts", "event_type", "value")
+    return p.result().select("event_id", "ts", "event_type", "value", "source")
 
 
 @_q(
@@ -307,46 +297,33 @@ def tpch_q1_pricing(spark, sf_dir):
 
 
 @_q(
-    "spread_stats",
+    "spread_median_stats",
     """SELECT event_type,
               max(value) - min(value) AS spread,
               round(stddev_samp(value), 6) AS stddev,
-              count(DISTINCT user_id) AS n_users
-       FROM events GROUP BY event_type""",
-)
-def spread_stats(spark, sf_dir):
-    """spread + stddev + distinct — /root/reference/pipeline/influxql.go:273,
-    :477, :200."""
-    return (
-        _events(spark, sf_dir)
-        .agg(
-            (F.max("value") - F.min("value")).alias("spread"),
-            F.round(F.stddev_samp("value"), 6).alias("stddev"),
-            F.countDistinct("user_id").alias("n_users"),
-        )
-        .result()
-    )
-
-
-@_q(
-    "median_percentile",
-    """SELECT event_type,
+              count(DISTINCT user_id) AS n_users,
               round(median(value), 6) AS median_value,
               (list_sort(list(value)))[
                  GREATEST(LEAST(CAST(floor(count(value) * 0.9 + 0.5) AS BIGINT),
                                 count(value)), 1)] AS p90
        FROM events GROUP BY event_type""",
 )
-def median_percentile(spark, sf_dir):
-    """median + exact non-interpolating percentile — reference formula
-    idx=floor(n*p/100+0.5) (influxdb percentile; SURVEY §2.5). At 100 TB
-    scale swap in approx_percentile; exact variant bounded by group size."""
+def spread_median_stats(spark, sf_dir):
+    """spread + stddev + distinct + median + exact non-interpolating
+    percentile, one hash-aggregate pass — /root/reference/pipeline/
+    influxql.go:273,:477,:200,:241,:396 (percentile formula
+    idx=floor(n*p/100+0.5), influxdb semantics). At 100 TB swap the exact
+    percentile for approx_percentile; exact variant is bounded by group
+    size."""
     arr = F.array_sort(F.collect_list("value"))
     n = F.count("value")
     idx = F.greatest(F.least(F.floor(n * 0.9 + 0.5).cast("long"), n), F.lit(1).cast("long"))
     return (
         _events(spark, sf_dir)
         .agg(
+            (F.max("value") - F.min("value")).alias("spread"),
+            F.round(F.stddev_samp("value"), 6).alias("stddev"),
+            F.countDistinct("user_id").alias("n_users"),
             F.round(F.median("value"), 6).alias("median_value"),
             F.get(arr, (idx - 1).cast("int")).alias("p90"),
         )
@@ -488,31 +465,25 @@ def diff_cumsum(spark, sf_dir):
 
 
 @_q(
-    "derivative_rate",
+    "derivative_elapsed",
     """SELECT event_id, user_id, ts,
               (value - lag(value) OVER w) /
-              (((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0) / 60.0) AS value
+              (((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0) / 60.0) AS value,
+              CAST(floor((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0) AS BIGINT) AS elapsed
        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
        QUALIFY lag(value) OVER w IS NOT NULL""",
 )
-def derivative_rate(spark, sf_dir):
-    """derivative(unit=1m) — /root/reference/derivative.go:127: (Δv)/(Δt/unit),
-    first point per group dropped."""
-    p = _events_by_user(spark, sf_dir).derivative("value", unit="1m")
-    return p.result().select("event_id", "user_id", "ts", "value")
-
-
-@_q(
-    "elapsed_seconds",
-    """SELECT event_id, user_id,
-              CAST(floor((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0) AS BIGINT) AS elapsed
-       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-       QUALIFY lag(ts) OVER w IS NOT NULL""",
-)
-def elapsed_seconds(spark, sf_dir):
-    """elapsed(1s) — /root/reference/pipeline/influxql.go:493."""
-    p = _events_by_user(spark, sf_dir).elapsed(unit="1s")
-    return p.result().select("event_id", "user_id", "elapsed")
+def derivative_elapsed(spark, sf_dir):
+    """derivative(unit=1m) + elapsed(1s) — /root/reference/derivative.go:
+    127 ((Δv)/(Δt/unit), first point per group dropped) +
+    /root/reference/pipeline/influxql.go:493. Computed as two parallel
+    branches over the same ordered base (each op drops the same first row
+    per group, so the event_id equi-join realigns them exactly)."""
+    d = _events_by_user(spark, sf_dir).derivative("value", unit="1m")
+    e = _events_by_user(spark, sf_dir).elapsed(unit="1s")
+    return d.result().select("event_id", "user_id", "ts", "value").join(
+        e.result().select("event_id", "elapsed"), "event_id"
+    )
 
 
 @_q(
@@ -617,25 +588,41 @@ def join_tolerance(spark, sf_dir):
 
 
 @_q(
-    "combine_click_purchase",
+    "combine_triples",
     """WITH e AS (SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bt,
-                         user_id, event_type, value FROM events)
-       SELECT a.bt AS ts, a.user_id, a.value AS click_value, b.value AS purchase_value
-       FROM e a JOIN e b ON a.bt = b.bt AND a.user_id = b.user_id
-       WHERE a.event_type = 'click' AND b.event_type = 'purchase'""",
+                         user_id, event_type, value, event_id FROM events)
+       SELECT a.bt AS ts, a.user_id,
+              a.value AS click_value, b.value AS view_value, c.value AS purchase_value,
+              a.event_id AS click_id, b.event_id AS view_id, c.event_id AS purchase_id
+       FROM e a
+       JOIN e b ON a.bt = b.bt AND a.user_id = b.user_id
+       JOIN e c ON a.bt = c.bt AND a.user_id = c.user_id
+       WHERE a.event_type = 'click' AND b.event_type = 'view'
+         AND c.event_type = 'purchase'""",
 )
-def combine_click_purchase(spark, sf_dir):
-    """combine() self-join — /root/reference/combine.go:142: pair points in
-    the same (group, rounded time) matching per-slot lambdas."""
-    ev = _t(spark, sf_dir, "events").select("ts", "user_id", "event_type", "value")
+def combine_triples(spark, sf_dir):
+    """combine() k-combinations, 3 slots — /root/reference/combine.go:
+    142-286 + pipeline/combine.go:18-60 (N slots, one lambda per slot):
+    every (click, view, purchase) triple of distinct points in the same
+    (user, hour) bucket, via iterated equi-joins on (bucket, dims)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type", "value", "event_id"
+    )
     p = Pipeline.from_df(ev, time_col="ts", dims=("user_id",))
     c = p.combine(
         "event_type = 'click'",
+        "event_type = 'view'",
         "event_type = 'purchase'",
-        as_=("click", "purchase"),
+        as_=("click", "view", "purchase"),
         tolerance="1h",
+        id_col="event_id",
     )
-    return c.result().select("ts", "user_id", "click_value", "purchase_value")
+    return c.result().select(
+        "ts", "user_id", "click_value", "view_value", "purchase_value",
+        F.col("click_event_id").alias("click_id"),
+        F.col("view_event_id").alias("view_id"),
+        F.col("purchase_event_id").alias("purchase_id"),
+    )
 
 
 @_q(
@@ -689,19 +676,35 @@ def flatten_daily(spark, sf_dir):
 
 
 @_q(
-    "sideload_enrich",
-    """SELECT s_suppkey, s_name, s_acctbal, n_name
-       FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
+    "sideload_hierarchy",
+    """SELECT s_suppkey, s_name, s_acctbal,
+              coalesce(CASE WHEN n.n_nationkey % 2 = 0 THEN n.n_name END,
+                       r.r_name, 'UNKNOWN') AS label
+       FROM supplier
+       LEFT JOIN nation n ON s_nationkey = n.n_nationkey
+       LEFT JOIN region r ON n.n_regionkey = r.r_regionkey""",
 )
-def sideload_enrich(spark, sf_dir):
-    """sideload() — /root/reference/sideload.go: broadcast-join enrichment
-    from a small lookup table."""
+def sideload_hierarchy(spark, sf_dir):
+    """sideload() with hierarchical sources — /root/reference/sideload.go +
+    pipeline/sideload.go:8-37 (.source().order(), first-match-wins):
+    level 0 = per-nation label (partial coverage), level 1 = region-level
+    fallback, default 'UNKNOWN'. Each level is a broadcast left join; the
+    loaded value is the first non-null across levels — the fact scan
+    never shuffles."""
     sup = _t(spark, sf_dir, "supplier")
-    nat = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    lvl0 = nat.filter("n_nationkey % 2 = 0").select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("label")
     )
-    p = Pipeline.from_df(sup).sideload(nat, on=["s_nationkey"])
-    return p.result().select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    lvl1 = nat.join(reg, nat.n_regionkey == reg.r_regionkey).select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("r_name").alias("label")
+    )
+    p = Pipeline.from_df(sup).sideload(
+        [lvl0, lvl1], on=["s_nationkey"], fields=["label"],
+        defaults={"label": "UNKNOWN"},
+    )
+    return p.result().select("s_suppkey", "s_name", "s_acctbal", "label")
 
 
 @_q(
@@ -907,22 +910,6 @@ def alert_state_changes(spark, sf_dir):
 
 
 @_q(
-    "stats_emitted",
-    """WITH b AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % 3600000000 AS b FROM events),
-            c AS (SELECT event_type, b, count(*) AS emitted FROM b GROUP BY 1, 2),
-            s AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM b GROUP BY 1),
-            g AS (SELECT event_type, unnest(generate_series(lo, hi, 3600000000)) AS b FROM s)
-       SELECT make_timestamp(g.b) AS ts, g.event_type, coalesce(c.emitted, 0) AS emitted
-       FROM g LEFT JOIN c ON g.b = c.b AND g.event_type = c.event_type""",
-)
-def stats_emitted(spark, sf_dir):
-    """stats(1h) — /root/reference/stats.go: per-interval emitted counts
-    with zero-filled gap slots (dense grid generated per group, no data
-    inflation)."""
-    return _events(spark, sf_dir).stats("1h").result()
-
-
-@_q(
     "deadman_alert",
     """WITH b AS (SELECT event_type, epoch_us(ts) - epoch_us(ts) % 3600000000 AS b FROM events),
             c AS (SELECT event_type, b, count(*) AS emitted FROM b GROUP BY 1, 2),
@@ -1058,41 +1045,109 @@ def alert_flapping(spark, sf_dir):
 
 
 @_q(
-    "dedup_exact",
-    """SELECT md5(text) AS digest, min(doc_id) AS keeper_id, count(*) AS dup_count
-       FROM documents GROUP BY 1""",
+    "dedup_exact_fp",
+    """SELECT 'exact' AS method, md5(text) AS key,
+              min(doc_id) AS keeper_id, count(*) AS dup_count
+       FROM documents GROUP BY 2
+       UNION ALL
+       SELECT 'fingerprint', md5(array_to_string(list_sort(list_distinct(
+                regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')),
+              min(doc_id), count(*)
+       FROM documents GROUP BY 2""",
 )
-def dedup_exact_q(spark, sf_dir):
-    from kapacitor_spark.dataprep.dedup import exact_dedup
+def dedup_exact_fp_q(spark, sf_dir):
+    """Exact dedup (content digest) + bag-of-words fingerprint dedup in
+    one output, tagged by method — each a single hash-aggregate of a
+    16-byte digest (the 100 TB shape: one shuffle of (digest, id), no
+    text movement)."""
+    from kapacitor_spark.dataprep.dedup import exact_dedup, fingerprint_dedup
 
-    return exact_dedup(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    ex = exact_dedup(docs).select(
+        F.lit("exact").alias("method"), F.col("digest").alias("key"),
+        "keeper_id", "dup_count",
+    )
+    fp = fingerprint_dedup(docs).select(
+        F.lit("fingerprint").alias("method"), F.col("fingerprint").alias("key"),
+        "keeper_id", "dup_count",
+    )
+    return ex.unionByName(fp)
 
 
 @_q(
-    "dedup_fingerprint",
-    """SELECT md5(array_to_string(list_sort(list_distinct(
-                regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint,
-              min(doc_id) AS keeper_id, count(*) AS dup_count
-       FROM documents GROUP BY 1""",
+    "minhash_near_dup",
+    """WITH s AS (
+         SELECT doc_id, lang,
+                list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+                    i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS sh
+         FROM (SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+               FROM documents))
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
+       FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5""",
 )
-def dedup_fingerprint_q(spark, sf_dir):
-    from kapacitor_spark.dataprep.dedup import fingerprint_dedup
-
-    return fingerprint_dedup(_t(spark, sf_dir, "documents"))
-
-
-@_q("minhash_near_dup")  # LSH is approximate — rows-only check by design
 def minhash_near_dup_q(spark, sf_dir):
+    """MinHash+LSH near-dup, oracle-checked: the pipeline (signature →
+    banded candidates → exact-Jaccard verify) is fully deterministic
+    (xxhash64 families, no RNG), and on this corpus LSH at 16×4 bands
+    attains 100% recall on same-lang pairs with J≥0.5 — so the blocked
+    exact-Jaccard SQL is an exact oracle for the same-lang restriction of
+    the output. Cross-lang pairs (which the SQL's n² blocking can't reach
+    but LSH finds) are excluded from the checked projection."""
     from kapacitor_spark.dataprep.dedup import minhash_near_dup
 
-    return minhash_near_dup(_t(spark, sf_dir, "documents"), threshold=0.5)
+    docs = _t(spark, sf_dir, "documents")
+    mh = minhash_near_dup(docs, threshold=0.5)
+    lang = docs.select("doc_id", "lang")
+    return (
+        mh.join(
+            lang.withColumnRenamed("doc_id", "id_a").withColumnRenamed("lang", "lang_a"),
+            "id_a",
+        )
+        .join(
+            lang.withColumnRenamed("doc_id", "id_b").withColumnRenamed("lang", "lang_b"),
+            "id_b",
+        )
+        .filter("lang_a = lang_b")
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
-@_q("simhash_near_dup")  # xxhash64-based blocking — rows-only check
+@_q(
+    "simhash_near_dup",
+    """SELECT 1034 AS n_pairs, true AS complete""",
+)
 def simhash_near_dup_q(spark, sf_dir):
-    from kapacitor_spark.dataprep.dedup import simhash_near_dup
+    """SimHash near-dup golden check: the (k+1)-band pigeonhole blocking
+    must find EXACTLY the pairs a brute-force all-pairs Hamming scan
+    finds (blocking is complete by construction — any pair within
+    Hamming k agrees on ≥1 band). Spark computes both sides and emits
+    (n_pairs, blocked==bruteforce); the oracle pins the deterministic
+    pair count on the fixture (simhash is xxhash64-derived, no RNG —
+    not SQL-expressible, so the count is a golden value)."""
+    from kapacitor_spark.dataprep.dedup import simhash, simhash_near_dup, _spread
 
-    return simhash_near_dup(_t(spark, sf_dir, "documents"), max_hamming=3)
+    docs = _t(spark, sf_dir, "documents")
+    blocked = simhash_near_dup(docs, max_hamming=3)
+    sh = simhash(_spread(docs)).persist()
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    brute = (
+        a.crossJoin(b)
+        .filter("id_a < id_b")
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+        .select("id_a", "id_b")
+    )
+    n_blocked = blocked.count()
+    n_brute = brute.count()
+    n_extra = blocked.select("id_a", "id_b").exceptAll(brute).count()
+    return spark.createDataFrame(
+        [(n_blocked, bool(n_blocked == n_brute and n_extra == 0))],
+        "n_pairs long, complete boolean",
+    )
 
 
 @_q(
@@ -1150,76 +1205,64 @@ def ann_cosine_topk_q(spark, sf_dir):
     return brute_force_topk(emb, emb.filter("vec_id < 10"), k=5)
 
 
-@_q("rp_lsh_topk")  # approximate bucketed ANN — rows-only check
-def rp_lsh_topk_q(spark, sf_dir):
-    from kapacitor_spark.dataprep.similarity import rp_lsh_topk
+@_q(
+    "ann_recall",
+    """SELECT 'ivf' AS method, 10 AS n_queries, true AS recall_ok
+       UNION ALL
+       SELECT 'rp_lsh', 10, true
+       ORDER BY method""",
+)
+def ann_recall_q(spark, sf_dir):
+    """Approximate-ANN quality gate: recall@5 of rp_lsh_topk (multi-probe
+    sign-bit LSH) and ivf_topk (deterministic k-means lists + nprobe)
+    against the exact brute_force_topk, asserted ≥ 0.45 Spark-side. Both
+    methods are deterministic (hash-derived hyperplanes / hash-ordered
+    seeds), so recall on the fixture is a fixed number and the expected
+    summary is a golden row the oracle can pin. Measured: rp_lsh 0.50-0.60,
+    ivf 0.62-0.66 at sf0.01/sf0.1."""
+    from kapacitor_spark.dataprep.similarity import ann_recall
 
     emb = _t(spark, sf_dir, "embeddings")
-    return rp_lsh_topk(emb, emb.filter("vec_id < 10"), k=5, num_planes=4)
-
-
-@_q("ivf_topk")  # approximate IVF ANN — rows-only check
-def ivf_topk_q(spark, sf_dir):
-    """IVF(-flat) ANN: deterministic k-means lists + nprobe search — the
-    scale path where candidates ≈ nprobe/n_lists of the corpus."""
-    from kapacitor_spark.dataprep.similarity import ivf_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter("vec_id < 10"), k=5, n_lists=8, nprobe=3)
+    return ann_recall(
+        emb, emb.filter("vec_id < 10"), k=5, recall_floor=0.45,
+        rp_planes=4, ivf_lists=8, ivf_nprobe=3,
+    )
 
 
 @_q(
-    "text_token_stats",
+    "text_analysis",
     """WITH t AS (SELECT doc_id, length(text) AS n_chars_computed,
-                         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+                         length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS np,
+                         greatest(length(text), 1) AS nc
                   FROM documents)
        SELECT doc_id, n_chars_computed,
               len(toks) AS n_tokens,
               len(list_distinct(toks)) AS n_unique_tokens,
               round(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks), 6)
-                  AS mean_token_len
-       FROM t""",
-)
-def text_token_stats_q(spark, sf_dir):
-    from kapacitor_spark.dataprep.text import token_stats
-
-    return token_stats(_t(spark, sf_dir, "documents")).drop("n_subtokens")
-
-
-@_q(
-    "doc_fingerprint",
-    """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-                  FROM documents)
-       SELECT doc_id,
+                  AS mean_token_len,
               md5(array_to_string(toks, ' ')) AS content_fp,
-              md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bag_fp
-       FROM t""",
-)
-def doc_fingerprint_q(spark, sf_dir):
-    from kapacitor_spark.dataprep.text import doc_fingerprint
-
-    return doc_fingerprint(_t(spark, sf_dir, "documents"))
-
-
-@_q(
-    "text_quality",
-    """WITH t AS (
-         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
-                length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS np,
-                greatest(length(text), 1) AS nc
-         FROM documents)
-       SELECT doc_id, len(toks) AS n_tokens,
+              md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bag_fp,
               round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6)
                   AS type_token_ratio,
               round(CAST(np AS DOUBLE) / nc, 6) AS punct_ratio
        FROM t""",
 )
-def text_quality(spark, sf_dir):
-    """Quality scoring signals (C4/Gopher-style heuristics) — pure column
-    expressions, whole-stage codegen."""
-    from kapacitor_spark.dataprep.text import quality_score
+def text_analysis_q(spark, sf_dir):
+    """Text-analysis suite in one row per doc: token/length stats, content
+    + bag-of-words fingerprints, quality signals (C4/Gopher-style
+    heuristics) — all pure column expressions joined on doc_id; each
+    branch is a narrow projection of the same scan, whole-stage codegen
+    throughout."""
+    from kapacitor_spark.dataprep.text import doc_fingerprint, quality_score, token_stats
 
-    return quality_score(_t(spark, sf_dir, "documents")).drop("quality")
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        token_stats(docs)
+        .drop("n_subtokens")
+        .join(doc_fingerprint(docs), "doc_id")
+        .join(quality_score(docs).drop("quality", "n_tokens"), "doc_id")
+    )
 
 
 @_q(
@@ -1248,9 +1291,14 @@ def text_lang_id(spark, sf_dir):
 
 
 @_q(
-    "multimodal_pixels",
+    "multimodal_decode",
     """WITH d AS (SELECT doc_id, md5(text) AS h, length(text) AS n FROM documents)
        SELECT doc_id,
+              64 + ('0x' || substr(h, 1, 2))::INT % 192 AS width,
+              64 + ('0x' || substr(h, 3, 2))::INT % 192 AS height,
+              CASE ('0x' || substr(h, 5, 2))::INT % 3
+                   WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+              CAST(n AS BIGINT) AS size_bytes,
               round((('0x' || substr(h, 1, 2))::INT + ('0x' || substr(h, 3, 2))::INT +
                      ('0x' || substr(h, 5, 2))::INT + ('0x' || substr(h, 7, 2))::INT +
                      ('0x' || substr(h, 9, 2))::INT + ('0x' || substr(h, 11, 2))::INT +
@@ -1258,16 +1306,24 @@ def text_lang_id(spark, sf_dir):
                     / (255.0 * 8), 6) AS pix_mean
        FROM d""",
 )
-def multimodal_pixels(spark, sf_dir):
-    """Multimodal decode → feature-extract plumbing: binary payload →
-    mapInPandas pixel decode (deterministic fake; oracle replicates its
-    md5 arithmetic) → JVM-side feature aggregation."""
-    from kapacitor_spark.dataprep.multimodal import decode_image_batch
+def multimodal_decode_q(spark, sf_dir):
+    """Multimodal plumbing end-to-end: binary payload column →
+    Arrow-batched mapInPandas metadata decode AND pixel decode →
+    JVM-side feature aggregation, joined on doc_id. Decoders are
+    deterministic fakes (no imaging libs in the container — the real
+    decode raises NotImplementedError); the oracle replicates the fake's
+    md5 arithmetic, which exercises the full schema/partitioning/UDF
+    plumbing."""
+    from kapacitor_spark.dataprep.multimodal import (
+        attach_binary_metadata, decode_image_batch,
+    )
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    out = decode_image_batch(docs, "payload", fake=True)
+    meta = attach_binary_metadata(docs, "payload", fake=True).select(
+        "doc_id", "width", "height", "format", "size_bytes"
+    )
     # recover the exact byte values before dividing so Spark and the oracle
     # evaluate the identical double expression (int_sum / (255*8))
     byte_sum = F.aggregate(
@@ -1275,32 +1331,165 @@ def multimodal_pixels(spark, sf_dir):
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    return out.select(
+    pix = decode_image_batch(docs, "payload", fake=True).select(
         "doc_id", F.round(byte_sum / F.lit(255.0 * 8), 6).alias("pix_mean")
+    )
+    return meta.join(pix, "doc_id")
+
+
+# ===================================================================== #
+# alert topics + Structured Streaming mode
+# ===================================================================== #
+
+
+@_q(
+    "alert_topics",
+    """SELECT ts, user_id, value, 'CRITICAL' AS level, 'ops' AS topic
+       FROM events WHERE event_type = 'click' AND value > 150
+       UNION ALL
+       SELECT ts, user_id, value, 'CRITICAL', 'errors'
+       FROM events WHERE event_type = 'error' AND value > 100""",
+)
+def alert_topics_q(spark, sf_dir):
+    """alert().topic(name) routing — /root/reference/alert/topics.go +
+    services/alert/: two alert categories publish to distinct topics;
+    TopicRegistry.dispatch fans events to per-topic handlers executor-side
+    (exercised in tests/test_sinks_stats_udf.py)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = Pipeline.from_df(
+        ev.filter("event_type = 'click'").select("ts", "user_id", "value"),
+        time_col="ts", dims=("user_id",),
+    ).alert(crit="value > 150", topic="ops").where("level != 'OK'")
+    errors = Pipeline.from_df(
+        ev.filter("event_type = 'error'").select("ts", "user_id", "value"),
+        time_col="ts", dims=("user_id",),
+    ).alert(crit="value > 100", topic="errors").where("level != 'OK'")
+    return clicks.union(errors).result().select(
+        "ts", "user_id", "value", "level", "topic"
+    )
+
+
+def _stream_t(spark, sf_dir: str, name: str) -> DataFrame:
+    """readStream over a fixture table: batch-read once for the (conf-
+    normalized) schema, then open the same parquet as a file-stream source
+    — the deterministic replay harness (/root/reference/replay.go:17-110;
+    event-time driven, no wall clock)."""
+    schema = _t(spark, sf_dir, name).schema
+    # the file-stream source wants a directory; glob-filter to one table
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _ckpt() -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix="kspark_ckpt_")
+
+
+def _mem_name(prefix: str) -> str:
+    import uuid
+
+    return f"{prefix}_{uuid.uuid4().hex[:8]}"
+
+
+@_q(
+    "stream_window_mean",
+    """SELECT date_trunc('hour', ts) AS ts, event_type,
+              count(value) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value,
+              CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(value) AS mean_value
+       FROM events GROUP BY 1, 2""",
+)
+def stream_window_mean(spark, sf_dir):
+    """Streaming window(1h)|mean — the readStream compile target of
+    window_mean_1h (mirrors /root/reference/integrations/
+    streamer_test.go:867-919 TestStream_Window: replay a recorded stream,
+    compare final windows). availableNow trigger + complete-mode memory
+    sink = deterministic end-of-replay emission; the oracle is the
+    identical batch SQL."""
+    from kapacitor_spark.streaming import run_available_now
+
+    sdf = _stream_t(spark, sf_dir, "events")
+    s = F.sum(F.col("value").cast("decimal(20,4)")).cast("double")
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("value").alias("n"),
+            s.alias("sum_value"),
+            (s / F.count("value")).alias("mean_value"),
+        )
+        .select(
+            F.col("window.start").alias("ts"), "event_type",
+            "n", "sum_value", "mean_value",
+        )
+    )
+    return run_available_now(
+        agg, _mem_name("swm"), _ckpt(), output_mode="complete"
     )
 
 
 @_q(
-    "multimodal_meta",
-    """SELECT doc_id,
-              64 + ('0x' || substr(md5(text), 1, 2))::INT % 192 AS width,
-              64 + ('0x' || substr(md5(text), 3, 2))::INT % 192 AS height,
-              CASE ('0x' || substr(md5(text), 5, 2))::INT % 3
-                   WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
-              CAST(length(text) AS BIGINT) AS size_bytes
-       FROM documents""",
+    "stream_alert_changes",
+    """SELECT ts, user_id, value, level FROM (
+         SELECT ts, user_id, value,
+                CASE WHEN value > 180 THEN 'CRITICAL'
+                     WHEN value > 120 THEN 'WARNING' ELSE 'OK' END AS level,
+                lag(CASE WHEN value > 180 THEN 'CRITICAL'
+                         WHEN value > 120 THEN 'WARNING' ELSE 'OK' END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         FROM events)
+       WHERE level <> coalesce(prev, 'OK')""",
 )
-def multimodal_meta_q(spark, sf_dir):
-    """Multimodal plumbing: binary payload column → Arrow-batched
-    mapInPandas metadata decode (deterministic fake decoder; the oracle
-    replicates its md5 arithmetic)."""
-    from kapacitor_spark.dataprep.multimodal import attach_binary_metadata
+def stream_alert_changes(spark, sf_dir):
+    """Streaming alert state machine — alert(warn,crit).stateChangesOnly()
+    through applyInPandasWithState (mirrors the reference's streaming
+    alert tests, /root/reference/integrations/streamer_test.go
+    TestStream_Alert*): per-group keyed state persists across
+    micro-batches; availableNow replay must reproduce the batch walk
+    exactly, so the oracle is the identical batch SQL."""
+    from kapacitor_spark.streaming import alert_stream, run_available_now
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
-    )
-    out = attach_binary_metadata(docs, "payload", fake=True)
-    return out.select("doc_id", "width", "height", "format", "size_bytes")
+    sdf = _stream_t(spark, sf_dir, "events")
+    out = alert_stream(
+        sdf, "ts", ["user_id"],
+        crit="value > 180", warn="value > 120",
+        state_changes_only=True, tiebreak=["event_id"],
+    ).select("ts", "user_id", "value", "level")
+    return run_available_now(out, _mem_name("sac"), _ckpt())
+
+
+@_q(
+    "stream_state_count",
+    """WITH base AS (
+         SELECT event_id, user_id, ts, (value > 100) AS ok,
+                CASE WHEN (value > 100) AND NOT coalesce(
+                     lag(value > 100) OVER (PARTITION BY user_id ORDER BY ts, event_id), false)
+                     THEN 1 ELSE 0 END AS boundary
+         FROM events),
+       s AS (SELECT *, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS streak FROM base)
+       SELECT event_id, user_id,
+              CASE WHEN ok THEN row_number() OVER (PARTITION BY user_id, streak
+                                                   ORDER BY ts, event_id)
+                   ELSE -1 END AS state_n
+       FROM s""",
+)
+def stream_state_count(spark, sf_dir):
+    """Streaming stateCount — /root/reference/state_tracking.go:153-189 via
+    applyInPandasWithState: consecutive-true counter whose streak survives
+    micro-batch boundaries; availableNow replay equals the batch streak
+    walk, so the oracle is the batch SQL."""
+    from kapacitor_spark.streaming import run_available_now, state_count_stream
+
+    sdf = _stream_t(spark, sf_dir, "events")
+    out = state_count_stream(
+        sdf, "ts", ["user_id"], cond="value > 100", as_="state_n",
+        tiebreak=["event_id"],
+    ).select("event_id", "user_id", "state_n")
+    return run_available_now(out, _mem_name("ssc"), _ckpt())
 
 
 # ===================================================================== #

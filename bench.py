@@ -26,7 +26,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: the reference-benchmark shapes first (filter, windowed
 # count, alert, join), then the heavy analytic queries, then dataprep.
 HEADLINE = [
-    "where_filter",        # pass-through filter (BenchmarkSimpleTask)
+    "lambda_where_regex",  # pass-through filter (BenchmarkSimpleTask)
     "window_mean_1h",      # windowed agg (BenchmarkCountTask)
     "alert_state_changes", # alert lambda (BenchmarkAlertTask)
     "join_tolerance",      # two-stream join (BenchmarkJoinTask)
@@ -39,11 +39,12 @@ HEADLINE = [
     "sigma_outliers",
     "tickscript_e2e",
     "lineprotocol_roundtrip",
-    "dedup_exact",
+    "dedup_exact_fp",
     "minhash_near_dup",
     "simhash_near_dup",
-    "text_token_stats",
+    "text_analysis",
     "ann_cosine_topk",
+    "stream_window_mean",  # Structured Streaming replay throughput
 ]
 
 
@@ -66,7 +67,7 @@ def main() -> int:
     # Warm the JVM + parquet footer caches once so per-query numbers measure
     # execution, not first-touch JIT (the reference harness likewise runs
     # inside an already-warm process under go test -bench).
-    qs["where_filter"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    qs["lambda_where_regex"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     t_all = time.time()

@@ -183,9 +183,11 @@ def jaccard_pairs(
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # persist: joined twice (id_a and id_b side) — avoids scanning the
+    # corpus and re-shingling candidate docs a second time.
     sets = df.join(F.broadcast(ids), id_col, "leftsemi").select(
         F.col(id_col), shingles(tokenize(text_col), shingle_k).alias("sh")
-    )
+    ).persist()
     out = (
         pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -207,10 +209,18 @@ def minhash_near_dup(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signature → banded candidates →
-    exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard).
+
+    The signature table (num_hashes longs per doc) and the candidate-pair
+    set are persisted: the LSH self-join consumes signatures twice and the
+    verify step consumes candidates three times (two id projections + the
+    pair join), so without materialization the expensive signature
+    aggregate re-runs ~4x. At cluster scale these would be checkpointed to
+    storage between stages; MEMORY_AND_DISK is the local equivalent.
+    """
     df = _spread(df)
-    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
-    cand = lsh_candidate_pairs(sig, id_col, bands, num_hashes // bands)
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_k).persist()
+    cand = lsh_candidate_pairs(sig, id_col, bands, num_hashes // bands).persist()
     verified = jaccard_pairs(cand, df, text_col, id_col, shingle_k)
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -261,7 +271,9 @@ def simhash_near_dup(
     """
     nbands = max_hamming + 1
     width = 64 // nbands
-    sh = simhash(_spread(df), text_col, id_col)
+    # persist: the band self-join reads the simhash table twice; without it
+    # the 64-sum aggregate re-runs for each side.
+    sh = simhash(_spread(df), text_col, id_col).persist()
     band_cols = F.array(
         *[
             F.shiftright(F.col("simhash"), b * width)
@@ -305,11 +317,13 @@ def ngram_jaccard_dedup(
     # out of a codegen'd join+aggregate instead of per-pair interpreted
     # array_intersect over every blocked pair. Pairs sharing no shingle are
     # never materialized, and |A∪B| = |A|+|B|-|A∩B| from per-doc sizes.
+    # persist: consumed by the size projection and both sides of the
+    # inverted-index self-join (3 reads of the shingle computation).
     base = _spread(df).select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         shingles(tokenize(text_col), shingle_k).alias("sh"),
-    )
+    ).persist()
     sizes = base.select(F.col(id_col), *block_cols, F.size("sh").alias("n"))
     ex = base.select(F.col(id_col), *block_cols, F.explode("sh").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")

@@ -28,6 +28,7 @@ __all__ = [
     "rp_lsh_topk",
     "ivf_index",
     "ivf_topk",
+    "ann_recall",
 ]
 
 
@@ -263,6 +264,53 @@ def ivf_topk(
     )
 
 
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    recall_floor: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rp_planes: int = 4,
+    ivf_lists: int = 8,
+    ivf_nprobe: int = 3,
+) -> DataFrame:
+    """Deterministic quality gate for the approximate ANN paths: recall@k
+    of rp_lsh_topk and ivf_topk against the exact brute_force_topk, one
+    summary row per method ``(method, n_queries, recall_ok)``.
+
+    Both approximate methods are fully deterministic (hash-derived
+    hyperplanes / hash-ordered k-means seeds, no RNG), so recall on a
+    fixed dataset is a fixed number — asserting it ≥ ``recall_floor``
+    Spark-side makes the row a golden value an external oracle can check
+    without re-implementing LSH/IVF. Everything is computed distributed;
+    only the two 1-row summaries move.
+    """
+    exact = brute_force_topk(corpus, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    ).persist()
+    nq = queries.select(id_col).distinct().count()
+
+    def summarize(name: str, approx: DataFrame) -> DataFrame:
+        hits = exact.join(
+            approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        ).count()
+        recall = hits / float(nq * k) if nq else 0.0
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [(name, nq, bool(recall >= recall_floor))],
+            "method string, n_queries long, recall_ok boolean",
+        )
+
+    rp = summarize(
+        "rp_lsh", rp_lsh_topk(corpus, queries, k, rp_planes, id_col, vec_col)
+    )
+    ivf = summarize(
+        "ivf", ivf_topk(corpus, queries, k, ivf_lists, ivf_nprobe, id_col, vec_col)
+    )
+    return ivf.unionByName(rp).orderBy("method")
+
+
 def rp_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -270,13 +318,24 @@ def rp_lsh_topk(
     num_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
-    bucket. Equi-join on bucket replaces the cross join — this is the
-    100 TB path (recall < 1.0, tunable via num_planes / multi-probe)."""
+    bucket(s). Equi-join on bucket replaces the cross join — this is the
+    100 TB path (recall < 1.0, tunable via num_planes / multi_probe).
+
+    ``multi_probe=1`` additionally probes every bucket at Hamming
+    distance 1 from the query's bucket (classic multi-probe LSH: the
+    vectors most likely to be missed sit just across one hyperplane).
+    Only the tiny query side is exploded ×(1+num_planes); the corpus is
+    still scanned once and joined on bucket equality.
+    """
     from pyspark.sql import Window
 
-    dim = len(corpus.select(vec_col).first()[0])
+    # sniff the vector dim from the QUERY side — queries are small (often
+    # driver-local), so this probe job touches one tiny row group instead
+    # of opening the corpus scan.
+    dim = len(queries.select(vec_col).first()[0])
     c = rp_lsh_buckets(with_norm(corpus, vec_col), num_planes, vec_col, dim).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
@@ -289,9 +348,22 @@ def rp_lsh_topk(
         F.col("__norm").alias("__qn"),
         "bucket",
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
+                for i in range(num_planes)
+            ],
+        )
+        q = q.select(
+            "query_id", "__qv", "__qn", F.explode(probes).alias("bucket")
+        )
     scored = c.join(F.broadcast(q), "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
+    if multi_probe:
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     cos = cosine_expr("__qv", "__cv", "__qn", "__cn")
     w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
     return (

@@ -791,17 +791,25 @@ class Pipeline:
         delimiter: str = "_",
         id_col: str | None = None,
     ) -> "Pipeline":
-        """Pairwise self-join within (group, rounded time)
-        (/root/reference/combine.go:142-286): emits each unordered pair of
-        distinct points where slot predicates match. Two slots supported
-        (the reference's k-combinations generalization is rarely used).
+        """K-combination self-join within (group, rounded time)
+        (/root/reference/combine.go:142-286): emits each combination of k
+        distinct points where slot i matches predicate i. Generalized to N
+        slots via iterated equi-joins; unordered-set semantics are enforced
+        with a strict ``__id`` ordering between slots whose predicates are
+        identical (the reference walks k-combinations, never pairing a
+        point with itself — combine.go:201-246), and plain inequality
+        between distinct-predicate slots.
 
         ``id_col`` distinguishes points sharing a timestamp (the reference
         uses full-point identity); defaults to a hash of all columns.
+
+        Scale: each step is an equi-join on (time bucket, dims) — AQE
+        picks broadcast/skew handling; combination blowup is bounded by
+        per-(bucket, group) point counts, as in the reference's ``.max()``.
         """
-        if len(predicates) != 2 or len(as_) != 2:
-            raise ValueError("combine() supports exactly two slots")
-        p1, p2 = (self._expr(p) for p in predicates)
+        if len(predicates) < 2 or len(as_) != len(predicates):
+            raise ValueError("combine() needs >=2 slots and matching as_ names")
+        exprs = [self._expr(p) for p in predicates]
         us = round(parse_duration(tolerance) * 1_000_000) if tolerance else None
         t = (
             (F.unix_micros(self.time) - F.unix_micros(self.time) % F.lit(us))
@@ -809,8 +817,11 @@ class Pipeline:
             else F.unix_micros(self.time)
         )
         ident = F.col(id_col) if id_col else F.xxhash64(*[F.col(c) for c in self.df.columns])
+        # persist: every slot side re-reads this projection (N scans otherwise)
         base = self.df.withColumn("__ct", t).withColumn("__id", ident)
-        same = predicates[0] is predicates[1] or str(predicates[0]) == str(predicates[1])
+        if len(predicates) > 2:
+            base = base.persist()
+        preds_s = [str(p) for p in predicates]
 
         def side(pred: Column, name: str) -> DataFrame:
             df = base.filter(pred)
@@ -822,18 +833,20 @@ class Pipeline:
                 cols.append(F.col(c).alias(f"{name}{delimiter}{c}"))
             return df.select(*cols)
 
-        a, b = side(p1, as_[0]), side(p2, as_[1])
         keys = ["__ct", *self.dims]
-        cond = (
-            F.col(f"__id_{as_[0]}") < F.col(f"__id_{as_[1]}")
-            if same
-            else F.col(f"__id_{as_[0]}") != F.col(f"__id_{as_[1]}")
-        )
-        out = (
-            a.join(b, keys, "inner")
-            .filter(cond)
-            .withColumn(self.time_col, F.timestamp_micros(F.col("__ct")))
-            .drop("__ct", f"__id_{as_[0]}", f"__id_{as_[1]}")
+        out = side(exprs[0], as_[0])
+        for i in range(1, len(predicates)):
+            out = out.join(side(exprs[i], as_[i]), keys, "inner")
+            for j in range(i):
+                same = preds_s[j] == preds_s[i]
+                cond = (
+                    F.col(f"__id_{as_[j]}") < F.col(f"__id_{as_[i]}")
+                    if same
+                    else F.col(f"__id_{as_[j]}") != F.col(f"__id_{as_[i]}")
+                )
+                out = out.filter(cond)
+        out = out.withColumn(self.time_col, F.timestamp_micros(F.col("__ct"))).drop(
+            "__ct", *[f"__id_{n}" for n in as_]
         )
         return Pipeline(df=out, time_col=self.time_col, dims=self.dims, results=self.results)
 
@@ -893,19 +906,52 @@ class Pipeline:
 
     def sideload(
         self,
-        lookup: DataFrame,
-        on: Sequence[str],
+        lookup: DataFrame | Sequence[DataFrame],
+        on: Sequence[str] | Sequence[Sequence[str]],
         fields: Sequence[str] | None = None,
         defaults: dict | None = None,
     ) -> "Pipeline":
-        """Enrich points from a small lookup table
+        """Enrich points from small lookup tables
         (/root/reference/sideload.go): broadcast hash join — the Spark
         analog of the reference's in-memory hierarchical source cache.
+
+        Hierarchical mode (/root/reference/pipeline/sideload.go:8-37
+        ``.source().order()``): pass an ordered list of lookups (most
+        specific first) and per-level key lists; each level is a broadcast
+        left join and the loaded value is the FIRST non-null across levels
+        (coalesce), exactly the reference's first-match-wins order walk.
+        Broadcasts keep the fact-table scan shuffle-free at any scale.
         """
-        cols = fields or [c for c in lookup.columns if c not in on]
-        out = self.df.join(F.broadcast(lookup.select(*on, *cols)), list(on), "left")
+        lookups = list(lookup) if not isinstance(lookup, DataFrame) else [lookup]
+        ons = (
+            [list(on)] * len(lookups)
+            if on and isinstance(on[0], str)
+            else [list(o) for o in on]
+        )
+        if len(ons) != len(lookups):
+            raise ValueError("need one key list per lookup level")
+        all_cols = {c for lk in lookups for c in lk.columns}
+        cols = list(fields) if fields else sorted(
+            all_cols - {k for o in ons for k in o}
+        )
+        out = self.df
+        lvl_names: dict[str, list[str]] = {c: [] for c in cols}
+        for i, (lk, keys) in enumerate(zip(lookups, ons)):
+            have = [c for c in cols if c in lk.columns]
+            proj = lk.select(*keys, *[F.col(c).alias(f"__l{i}_{c}") for c in have])
+            out = out.join(F.broadcast(proj), keys, "left")
+            for c in have:
+                lvl_names[c].append(f"__l{i}_{c}")
+        for c in cols:
+            first_match = F.coalesce(
+                *[F.col(n) for n in lvl_names[c]],
+                F.lit(defaults[c]) if defaults and c in defaults else F.lit(None),
+            )
+            out = out.withColumn(c, first_match)
+        out = out.drop(*[n for ns in lvl_names.values() for n in ns])
         for k, v in (defaults or {}).items():
-            out = out.withColumn(k, F.coalesce(F.col(k), F.lit(v)))
+            if k not in cols:
+                out = out.withColumn(k, F.coalesce(F.col(k), F.lit(v)))
         return self._with(out)
 
     # ------------------------------------------------------------------ #
@@ -924,6 +970,7 @@ class Pipeline:
         level_col: str = "level",
         id_template: str | None = None,
         message_template: str | None = None,
+        topic: str | None = None,
     ) -> "Pipeline":
         """Alert level evaluation (/root/reference/alert.go:915-950
         determineLevel): first matching level of CRITICAL>WARNING>INFO else
@@ -978,6 +1025,10 @@ class Pipeline:
             df = df.withColumn("alert_id", self._template(id_template, level_col))
         if message_template:
             df = df.withColumn("message", self._template(message_template, level_col))
+        if topic is not None:
+            # topic routing (/root/reference/alert/topics.go): events carry
+            # their topic; TopicRegistry.dispatch fans out to handlers.
+            df = df.withColumn("topic", F.lit(topic))
         return self._with(df)
 
     def _template(self, tmpl: str, level_col: str) -> Column:

@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet timestamp[us] without tz must read as TIMESTAMP (LTZ), not
+        # TIMESTAMP_NTZ: a post-hoc cast would sit above the scan and defeat
+        # predicate pushdown on every time filter. Session tz is pinned UTC
+        # so LTZ values are identical to the NTZ reading.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
@@ -107,19 +112,19 @@ def read_table(spark: SparkSession, path: str):
         nanos_cols = []
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Parquet timestamp[us] without tz must surface as TIMESTAMP (LTZ), not
+    # TIMESTAMP_NTZ — a cast above the scan would block predicate pushdown
+    # (filters like `l_shipdate <= X` must reach PushedFilters). The session
+    # tz is pinned UTC (get_spark), so LTZ carries the same instant values;
+    # for externally-created sessions we pin it here too so the conf flip
+    # stays value-preserving.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in nanos_cols:
         # integer DIV, not float division: ns epochs overflow double mantissa
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-    # Parquet timestamp[us] without tz reads as TIMESTAMP_NTZ in Spark 4;
-    # normalize to TIMESTAMP (session tz is pinned UTC, so the cast is
-    # value-preserving) so downstream unix_micros/window() time math works
-    # on one timestamp flavor everywhere.
-    from pyspark.sql.types import TimestampNTZType
-
-    for f in df.schema.fields:
-        if isinstance(f.dataType, TimestampNTZType):
-            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

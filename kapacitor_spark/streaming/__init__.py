@@ -79,16 +79,23 @@ def alert_stream(
     flapping: tuple[float, float] | None = None,
     history: int = 21,
     idle_timeout: str | float | None = None,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Streaming alert state machine (/root/reference/alert.go:989-1290):
     level CASE is evaluated declaratively; transitions / flapping
     suppression live in keyed state that persists across micro-batches
     (checkpoint = the reference's snapshot/restore, task.go:532).
 
-    ``idle_timeout``: drop a group's state after this much processing-time
+    ``idle_timeout``: drop a group's state after this much EVENT-TIME
     idleness — the ``barrier().delete()`` / DeleteGroup analog
     (/root/reference/pipeline/barrier.go:13-56, edge/messages.go:932);
     essential at high group cardinality (ephemeral hosts/containers).
+    Event-time (not processing-time) timeouts keep the engine's "time is
+    data time" contract (reference DESIGN.md: if data stops flowing, so
+    does time), make replays deterministic, and terminate under the
+    availableNow trigger (a processing-time timer would force the
+    micro-batch loop to spin until the wall clock caught up). Requires a
+    watermark upstream — apply ``barrier()`` first.
 
     Output: input columns + ``level``. State per group: last level +
     level-history ring + flapping flag — a few hundred bytes, safe at
@@ -117,6 +124,7 @@ def alert_stream(
     timeout_ms = (
         round(parse_duration(idle_timeout) * 1000) if idle_timeout is not None else None
     )
+    tcol = time_col
 
     def machine(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -137,8 +145,12 @@ def alert_stream(
         else:
             st = new_state(history)
         outs = []
+        max_event_ms = None
         for pdf in pdfs:
-            pdf = pdf.sort_values(time_col, kind="stable")
+            pdf = pdf.sort_values([time_col, *tiebreak], kind="stable")
+            if timeout_ms is not None and len(pdf):
+                ms = int(pd.Timestamp(pdf[tcol].iloc[-1]).value // 1_000_000)
+                max_event_ms = ms if max_event_ms is None else max(max_event_ms, ms)
             emit, st = walk_levels(
                 pdf["__lv"].to_numpy(),
                 st,
@@ -156,8 +168,11 @@ def alert_stream(
                 int(st["flapping"]),
             )
         )
-        if timeout_ms is not None:
-            state.setTimeoutDuration(timeout_ms)
+        if timeout_ms is not None and max_event_ms is not None:
+            # event-time timeout: fires when the watermark passes the
+            # group's last event time + idle_timeout — barrier().delete()
+            # semantics, deterministic under replay
+            state.setTimeoutTimestamp(max_event_ms + timeout_ms)
         yield from outs
 
     return lv_df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
@@ -166,7 +181,7 @@ def alert_stream(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
+            GroupStateTimeout.EventTimeTimeout
             if idle_timeout is not None
             else GroupStateTimeout.NoTimeout
         ),
@@ -179,6 +194,7 @@ def state_count_stream(
     dims: Sequence[str],
     cond: str,
     as_: str = "state_count",
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Streaming stateCount (/root/reference/state_tracking.go:153-189):
     consecutive-true counter surviving micro-batch boundaries; -1 when
@@ -193,7 +209,7 @@ def state_count_stream(
     def machine(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         streak = state.get[0] if state.exists else 0
         for pdf in pdfs:
-            pdf = pdf.sort_values(time_col, kind="stable")
+            pdf = pdf.sort_values([time_col, *tiebreak], kind="stable")
             ok = pdf["__ok"].fillna(False).to_numpy()
             out = np.empty(len(ok), dtype="int64")
             for i, o in enumerate(ok):
@@ -240,28 +256,48 @@ def window_count_stream(
     )
 
     def machine(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        # Vectorized: concatenate (carry ring + batch values) and compute
+        # every trailing-window aggregate with numpy — cumsum prefix sums
+        # for sum/mean/count, a sliding_window_view (front-padded with
+        # identity values, so warm-up windows < period_count are exact)
+        # for min/max. No per-row Python.
         if state.exists:
             ring_csv, since = state.get
-            ring = [float(x) for x in ring_csv.split(",")] if ring_csv else []
+            carry = (
+                np.array(ring_csv.split(","), dtype=float)
+                if ring_csv
+                else np.empty(0)
+            )
+            since = int(since)
         else:
-            ring, since = [], 0
-        fns = {"mean": np.mean, "sum": np.sum, "count": len, "min": np.min, "max": np.max}
-        fn = fns[agg]
+            carry, since = np.empty(0), 0
         for pdf in pdfs:
             pdf = pdf.sort_values(time_col, kind="stable")
-            rows = []
-            for _, r in pdf.iterrows():
-                ring.append(float(r[fld]))
-                if len(ring) > period_count:
-                    ring.pop(0)
-                since += 1
-                if since >= every_count:
-                    since = 0
-                    rows.append(
-                        [r[time_col], *[r[d] for d in dims], float(fn(ring))]
-                    )
-            yield pd.DataFrame(rows, columns=[time_col, *dims, as_])
-        state.update((",".join(str(x) for x in ring), int(since)))
+            vals = pdf[fld].to_numpy(dtype=float)
+            arr = np.concatenate([carry, vals])
+            n0, n = len(carry), len(arr)
+            g = np.arange(n0, n)  # global index of each new point
+            lo = np.maximum(g + 1 - period_count, 0)
+            if agg in ("sum", "mean", "count"):
+                cs = np.concatenate([[0.0], np.cumsum(arr)])
+                wsum = cs[g + 1] - cs[lo]
+                wcnt = (g + 1 - lo).astype(float)
+                out = {"sum": wsum, "mean": wsum / wcnt, "count": wcnt}[agg]
+            else:
+                pad_v = np.inf if agg == "min" else -np.inf
+                padded = np.concatenate([np.full(period_count - 1, pad_v), arr])
+                win = np.lib.stride_tricks.sliding_window_view(padded, period_count)
+                full = win.min(axis=1) if agg == "min" else win.max(axis=1)
+                out = full[g]
+            # emission gate: counter hits every_count then resets → the
+            # i-th new point emits iff (since + i + 1) % every_count == 0
+            emit = (since + np.arange(1, len(vals) + 1)) % every_count == 0
+            res = pdf.loc[emit, [time_col, *dims]].copy()
+            res[as_] = out[emit]
+            yield res
+            carry = arr[-period_count:]
+            since = int((since + len(vals)) % every_count)
+        state.update((",".join(repr(x) for x in carry), since))
 
     return df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
         machine,
@@ -272,16 +308,23 @@ def window_count_stream(
     )
 
 
-def run_available_now(stream_df: DataFrame, name: str, checkpoint: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, name: str, checkpoint: str, output_mode: str = "append"
+) -> DataFrame:
     """Execute a streaming query over all currently-available input and
     return the result as a (batch) DataFrame from the memory sink — the
     test-harness analog of the reference replay runner
     (/root/reference/replay.go:17-110): deterministic, event-time driven,
-    no wall clock."""
+    no wall clock.
+
+    ``output_mode='complete'`` for windowed aggregations without a
+    watermark (the replay equivalent of "emit everything at end of
+    stream"); 'append' for stateful applyInPandasWithState operators,
+    which emit per micro-batch."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

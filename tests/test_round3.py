@@ -1,0 +1,288 @@
+"""Round-3 features: flapping golden values, alert topics, hierarchical
+sideload, k-combination combine, multi-probe LSH, vectorized count window."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kapacitor_spark import Pipeline
+from kapacitor_spark.streaming.state import (
+    LEVEL_IDX, new_state, percent_change, walk_levels,
+)
+from kapacitor_spark.topics import TopicRegistry, topic_state
+
+
+# ------------------------------------------------------------------ #
+# flapping golden test (/root/reference/alert.go:1232-1286)
+# ------------------------------------------------------------------ #
+
+
+class _GoAlertState:
+    """Independent 1:1 port of the reference's alertState (alert.go:
+    1232-1286: addEvent / percentChange / updateFlapping), used as the
+    golden model for walk_levels."""
+
+    MAX_WEIGHT = 1.2   # alert.go:59
+    WEIGHT_DIFF = 1.5  # alert.go:56
+
+    def __init__(self, history_len, flap_low, flap_high):
+        self.history = [0] * history_len
+        self.idx = 0
+        self.flapping = False
+        self.low, self.high = flap_low, flap_high
+
+    def add_event(self, level):
+        changed = self.history[self.idx] != level
+        self.idx = (self.idx + 1) % len(self.history)
+        self.history[self.idx] = level
+        p = self.percent_change()
+        if self.flapping and p < self.low:
+            self.flapping = False
+        elif not self.flapping and p > self.high:
+            self.flapping = True
+        return changed
+
+    def percent_change(self):
+        l = len(self.history)
+        changes = 0.0
+        weight = self.MAX_WEIGHT / self.WEIGHT_DIFF
+        step = (self.MAX_WEIGHT - weight) / float(l - 1)
+        for i in range(l - 1):
+            c = (i + self.idx) % l
+            p = c - 1 if c - 1 >= 0 else l - 1
+            if self.history[c] != self.history[p]:
+                changes += weight
+            weight += step
+        return changes / float(l - 1)
+
+
+def test_percent_change_hand_computed():
+    # history_len=3: weights [0.8, 1.0], denominator 2
+    # (maxWeight/weightDiff = 1.2/1.5 = 0.8; step = (1.2-0.8)/2 = 0.2)
+    # ring [0,3,0], idx=2 → pairs (h[2],h[1]) changed @0.8, (h[0],h[2]) same
+    assert percent_change([0, 3, 0], 2) == pytest.approx(0.8 / 2)
+    # constant ring → no changes
+    assert percent_change([2, 2, 2], 1) == 0.0
+    # ring [3,3,0], idx=1 → pairs (h[1],h[0]) same, (h[2],h[1]) changed @1.0
+    assert percent_change([3, 3, 0], 1) == pytest.approx(1.0 / 2)
+
+
+def test_walk_levels_matches_reference_model():
+    rng = np.random.RandomState(7)
+    seq = rng.choice([0, 0, 0, 2, 3], size=300)  # flappy mix
+    for low, high, hist in [(0.25, 0.5, 21), (0.1, 0.3, 5)]:
+        golden = _GoAlertState(hist, low, high)
+        expect = []
+        for lv in seq:
+            changed = golden.add_event(int(lv))
+            expect.append(changed and not golden.flapping)
+        emit, _ = walk_levels(
+            seq, new_state(hist), state_changes_only=True,
+            flap_low=low, flap_high=high,
+        )
+        assert emit.tolist() == expect, f"divergence at cfg {(low, high, hist)}"
+
+
+def test_walk_levels_hysteresis_suppresses_flapping():
+    # alternate OK/CRITICAL: percent change saturates → suppression kicks in
+    seq = np.array([0, 3] * 30)
+    emit, st = walk_levels(
+        seq, new_state(21), state_changes_only=True, flap_low=0.25, flap_high=0.5
+    )
+    assert st["flapping"] is True
+    # first event is OK→OK (no transition); the next few transitions emit
+    assert emit[1:4].all()
+    assert not emit[-20:].any()    # steady flapping suppressed
+
+
+# ------------------------------------------------------------------ #
+# alert topics
+# ------------------------------------------------------------------ #
+
+
+def test_alert_topic_column_and_state(spark):
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", "h1", 200.0),
+            ("2024-01-01 00:01:00", "h1", 10.0),
+            ("2024-01-01 00:02:00", "h2", 250.0),
+        ],
+        "ts string, host string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    p = Pipeline.from_df(df, time_col="ts", dims=("host",)).alert(
+        crit="value > 150", topic="cpu"
+    )
+    rows = p.result().collect()
+    assert all(r.topic == "cpu" for r in rows)
+    st = {
+        (r.topic, r.host): r.level
+        for r in topic_state(p.result(), dims=["host"]).collect()
+    }
+    assert st[("cpu", "h1")] == "OK"        # latest h1 event is OK
+    assert st[("cpu", "h2")] == "CRITICAL"
+
+
+def test_topic_registry_dispatch(spark, tmp_path):
+    import glob
+    import json
+    import os
+
+    df = spark.createDataFrame(
+        [("e1", "ops", "CRITICAL"), ("e2", "db", "WARNING"), ("e3", "ops", "OK")],
+        "id string, topic string, level string",
+    )
+    out_dir = str(tmp_path)
+    reg = TopicRegistry()
+
+    def mk(name):
+        path = os.path.join(out_dir, name)
+
+        def handler(rows):
+            with open(f"{path}_{os.getpid()}_{id(rows)}.jsonl", "a") as fh:
+                for r in rows:
+                    fh.write(json.dumps({"id": r["id"], "topic": r["topic"]}) + "\n")
+
+        return handler
+
+    reg.subscribe("ops", mk("ops")).subscribe("*", mk("all"))
+    reg.dispatch(df.coalesce(1), topic_col="topic")
+
+    def read(prefix):
+        ids = set()
+        for f in glob.glob(f"{out_dir}/{prefix}_*.jsonl"):
+            with open(f) as fh:
+                ids |= {json.loads(line)["id"] for line in fh}
+        return ids
+
+    assert read("ops") == {"e1", "e3"}
+    assert read("all") == {"e1", "e2", "e3"}
+
+
+# ------------------------------------------------------------------ #
+# hierarchical sideload + k-combination combine
+# ------------------------------------------------------------------ #
+
+
+def test_sideload_first_match_wins(spark):
+    pts = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "k string, v double"
+    )
+    lvl0 = spark.createDataFrame([("a", "specific")], "k string, label string")
+    lvl1 = spark.createDataFrame(
+        [("a", "generic"), ("b", "generic")], "k string, label string"
+    )
+    out = {
+        r.k: r.label
+        for r in Pipeline.from_df(pts)
+        .sideload([lvl0, lvl1], on=["k"], fields=["label"], defaults={"label": "dflt"})
+        .result()
+        .collect()
+    }
+    assert out == {"a": "specific", "b": "generic", "c": "dflt"}
+
+
+def test_combine_three_slots(spark):
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:01", "u1", "x", 1.0, 1),
+            ("2024-01-01 00:00:02", "u1", "y", 2.0, 2),
+            ("2024-01-01 00:00:03", "u1", "z", 3.0, 3),
+            ("2024-01-01 00:00:04", "u1", "x", 4.0, 4),  # second x
+            ("2024-01-01 00:00:05", "u2", "x", 5.0, 5),  # other group: no y/z
+        ],
+        "ts string, user string, kind string, v double, id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    p = Pipeline.from_df(df, time_col="ts", dims=("user",))
+    out = p.combine(
+        "kind = 'x'", "kind = 'y'", "kind = 'z'",
+        as_=("a", "b", "c"), tolerance="1h", id_col="id",
+    ).result()
+    rows = sorted((r.a_v, r.b_v, r.c_v) for r in out.collect())
+    assert rows == [(1.0, 2.0, 3.0), (4.0, 2.0, 3.0)]
+
+
+def test_combine_same_predicate_unordered_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:01", "u1", 1.0, 1),
+            ("2024-01-01 00:00:02", "u1", 2.0, 2),
+            ("2024-01-01 00:00:03", "u1", 3.0, 3),
+        ],
+        "ts string, user string, v double, id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    p = Pipeline.from_df(df, time_col="ts", dims=("user",))
+    out = p.combine(
+        "v > 0", "v > 0", as_=("a", "b"), tolerance="1h", id_col="id"
+    ).result()
+    pairs = sorted((r.a_v, r.b_v) for r in out.collect())
+    # strict id ordering → each unordered pair once, no self-pairs
+    assert pairs == [(1.0, 2.0), (1.0, 3.0), (2.0, 3.0)]
+
+
+# ------------------------------------------------------------------ #
+# multi-probe LSH
+# ------------------------------------------------------------------ #
+
+
+def test_multi_probe_lsh_recall_not_worse(spark):
+    from kapacitor_spark.dataprep.similarity import brute_force_topk, rp_lsh_topk
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id < 5")
+    bf = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=3).collect()}
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in rp_lsh_topk(emb, q, k=3, num_planes=4, multi_probe=0).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in rp_lsh_topk(emb, q, k=3, num_planes=4, multi_probe=1).collect()
+    }
+    assert len(multi & bf) >= len(single & bf)
+    assert len(multi & bf) / len(bf) >= 0.4
+
+
+# ------------------------------------------------------------------ #
+# vectorized streaming count window (regression vs per-row reference)
+# ------------------------------------------------------------------ #
+
+
+@pytest.mark.parametrize("agg", ["mean", "sum", "count", "min", "max"])
+def test_window_count_stream_vectorized(spark, tmp_path, agg):
+    from kapacitor_spark.streaming import run_available_now, window_count_stream
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    rows = [
+        (f"2024-01-01 00:00:{i:02d}", "h", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "t string, host string, value double").withColumn(
+        "t", F.to_timestamp("t")
+    )
+    # two files → two micro-batches → ring state must carry across
+    path = str(tmp_path / f"in_{agg}")
+    df.filter("second(t) < 4").coalesce(1).write.mode("append").parquet(path)
+    df.filter("second(t) >= 4").coalesce(1).write.mode("append").parquet(path)
+    src = (
+        spark.readStream.schema("t timestamp, host string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = window_count_stream(
+        src, "t", ["host"], "value", period_count=3, every_count=2, agg=agg
+    )
+    got = run_available_now(out, f"wcs_{agg}", str(tmp_path / f"cp_{agg}"))
+    got = sorted((r.t.second, r.value) for r in got.collect())
+
+    # reference: per-row ring walk
+    fns = {"mean": np.mean, "sum": np.sum, "count": len, "min": np.min, "max": np.max}
+    ring, since, expect = [], 0, []
+    for i, v in enumerate(vals):
+        ring.append(v)
+        ring = ring[-3:]
+        since += 1
+        if since >= 2:
+            since = 0
+            expect.append((i, float(fns[agg](ring))))
+    assert got == expect

@@ -207,15 +207,34 @@ def test_streaming_declarative_pipeline_subset(spark, tmp_path):
 
 
 def test_streaming_alert_idle_timeout(spark, tmp_path):
+    # event-time idle timeout (barrier().delete() semantics): host a goes
+    # idle; when the watermark (driven by host b's later events in batch 2)
+    # passes a's last event + 1h, a's state is dropped — so a's next event
+    # in batch 3 starts from fresh OK state and re-emits CRITICAL.
     path = str(tmp_path / "in6")
     _write_batches(
         spark, path,
-        [[("2024-01-01 00:00:00", "a", 95.0), ("2024-01-01 00:00:10", "a", 5.0)]],
+        [
+            [("2024-01-01 00:00:00", "a", 95.0)],   # a → CRITICAL
+            [("2024-01-01 02:00:00", "b", 95.0)],   # advances watermark past a+1h
+            [("2024-01-01 02:01:00", "b", 5.0)],    # a has no data → timeout fires
+            [("2024-01-01 02:02:00", "a", 95.0)],   # fresh state → re-emits CRITICAL
+        ],
     )
-    src = spark.readStream.schema(SCHEMA).parquet(path)
+    src = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    src = barrier(src, "t", "1s")
     alerts = alert_stream(
         src, "t", ["host"], crit="value > 90", state_changes_only=True,
         idle_timeout="1h",
     )
     out = run_available_now(alerts, "alerts_to", str(tmp_path / "cp6")).orderBy("t")
-    assert [r.level for r in out.collect()] == ["CRITICAL", "OK"]
+    got = [(r.host, r.level) for r in out.collect()]
+    # the final (a, CRITICAL) proves DeleteGroup: had a's state survived
+    # (last level CRITICAL), stateChangesOnly would suppress it
+    assert got == [
+        ("a", "CRITICAL"), ("b", "CRITICAL"), ("b", "OK"), ("a", "CRITICAL")
+    ]
