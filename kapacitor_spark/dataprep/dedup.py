@@ -228,30 +228,46 @@ def minhash_near_dup(
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash as array expressions: per bit, the sign of the sum of
-    ±1 contributions from each token's xxhash64 bit. Narrow, codegen'd."""
-    # Explode distinct tokens, hash each once, then ONE codegen'd
-    # hash-aggregate computing all 64 per-bit ±1 sums (map-side partial agg
-    # reduces each doc to 64 longs before the shuffle); the sign bits are
-    # packed into the final long with a fold over the 64 columns. An
-    # interpreted per-bit array-aggregate was ~10x slower at the same
-    # result.
+    """64-bit SimHash: per bit, the sign of the sum of ±1 contributions
+    from each token's xxhash64 bit. Narrow, codegen'd, one hash-aggregate.
+
+    Lane-packed aggregation: instead of 64 separate sums, 16 sums each
+    accumulating 4 bit-counters in 16-bit lanes of one long (popcount per
+    bit = lane value; bit set iff 2*popcount > n — the same sign as the
+    ±1 formulation). 4x fewer aggregate buffers halves the measured
+    aggregate time and shrinks codegen. Lane width bounds distinct
+    tokens per doc at 2^15-1 (top lane would overflow int64 beyond that)
+    — far above any realistic document; the map-side partial agg still
+    reduces each doc to 17 longs before the shuffle.
+    """
+    lanes = 4
+    lane_bits = 16
+    naggs = bits // lanes
+    assert bits % lanes == 0
     toks = F.array_distinct(tokenize(text_col))
     ex = df.select(F.col(id_col), F.explode(toks).alias("__t"))
     h = ex.select(F.col(id_col), F.xxhash64("__t").alias("__h"))
-    sums = h.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"__b{j}")
-            for j in range(bits)
-        ]
-    )
+    aggs = []
+    for a in range(naggs):
+        e = None
+        for l in range(lanes):
+            j = a + naggs * l
+            term = F.shiftleft(
+                F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)).cast("long"),
+                lane_bits * l,
+            )
+            e = term if e is None else e + term
+        aggs.append(F.sum(e).alias(f"__p{a}"))
+    sums = h.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *aggs)
     packed = F.lit(0).cast("long")
     for j in range(bits):
+        a, l = j % naggs, j // naggs
+        pc = F.shiftright(F.col(f"__p{a}"), lane_bits * l).bitwiseAND(
+            F.lit((1 << lane_bits) - 1)
+        )
         packed = packed.bitwiseOR(
             F.when(
-                F.col(f"__b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+                pc * 2 > F.col("__n"), F.shiftleft(F.lit(1).cast("long"), j)
             ).otherwise(F.lit(0).cast("long"))
         )
     return sums.select(F.col(id_col), packed.alias("simhash"))
@@ -262,18 +278,26 @@ def simhash_near_dup(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ k over SimHash.
 
     Blocking: split the 64-bit hash into (k+1) bands — any pair within
     Hamming k agrees exactly on ≥1 band (pigeonhole), so band equi-joins
     find all of them without n².
+
+    ``sig_df``: optionally pass an already-computed (ideally persisted)
+    simhash table to share it with other consumers.
     """
     nbands = max_hamming + 1
     width = 64 // nbands
     # persist: the band self-join reads the simhash table twice; without it
     # the 64-sum aggregate re-runs for each side.
-    sh = simhash(_spread(df), text_col, id_col).persist()
+    sh = (
+        sig_df
+        if sig_df is not None
+        else simhash(_spread(df), text_col, id_col).persist()
+    )
     band_cols = F.array(
         *[
             F.shiftright(F.col("simhash"), b * width)
