@@ -232,16 +232,33 @@ class Pipeline:
         shifted = F.col(self.time_col) + F.expr(f"INTERVAL {to_interval(duration)}")
         return self._with(self.df.withColumn(self.time_col, shifted))
 
-    def group_by(self, *dims: str, exclude: Sequence[str] = ()) -> "Pipeline":
+    def group_by(
+        self,
+        *dims: str,
+        exclude: Sequence[str] = (),
+        by_measurement: bool = False,
+    ) -> "Pipeline":
         """Re-key the stream on a dim subset (/root/reference/group_by.go:62-74).
+
+        ``group_by('*')`` = group by every tag (pipeline/group_by.go:139):
+        in the wide/typed model (SURVEY §1.3) tags are the string-typed
+        columns, so '*' selects all string columns except the time column,
+        tiebreaks, and the measurement ``name``. ``by_measurement=True``
+        adds ``name`` to the group key (pipeline/group_by.go:133
+        .byMeasurement()).
 
         In Spark this is pure metadata — the shuffle happens at the next
         aggregation/window-function, and Catalyst reuses partitioning
         across stages where possible.
         """
         if dims == ("*",):
-            raise ValueError("groupBy('*') requires explicit tag columns in the typed model")
+            skip = {self.time_col, "name", *self.tiebreak, *exclude}
+            dims = tuple(
+                c for c, t in self.df.dtypes if t == "string" and c not in skip
+            )
         new = tuple(d for d in dims if d not in exclude)
+        if by_measurement and "name" in self.df.columns and "name" not in new:
+            new = (*new, "name")
         return self._with(self.df, dims=new)
 
     def sample(self, n: int | None = None, every: str | None = None) -> "Pipeline":
@@ -734,6 +751,8 @@ class Pipeline:
         on: Sequence[str] | None = None,
         fill=None,
         delimiter: str = "_",
+        stream_name: str | None = None,
+        delete_all: bool = False,
     ) -> "Pipeline":
         """Time-aligned join (/root/reference/join.go): points with equal
         (tolerance-bucketed) timestamps and equal dims are paired; fields
@@ -741,11 +760,21 @@ class Pipeline:
         coarse parent to a fine-grained child on a dim subset
         (one-to-many, /root/reference/pipeline/join.go:204-236).
         fill: None/'none' → inner; 'null' → full outer; scalar → full
-        outer + constant fill.
+        outer + constant fill; dict → full outer + per-field fill values
+        (keys are prefixed output column names — the reference's
+        per-field fill, pipeline/join.go Fill applied per missing field).
+
+        ``stream_name`` sets the output measurement name as a ``name``
+        column (pipeline/join.go:16 .streamName()). ``delete_all`` is
+        accepted for API parity (pipeline/join.go .deleteAll() cascades
+        group-delete messages): batch mode has no delete messages, and in
+        streaming mode state cleanup is native via watermark timeouts —
+        so it is a recorded no-op.
 
         Scale: equi-join on (time bucket, dims) — Catalyst/AQE choose
         broadcast vs sort-merge; skewed buckets are split by AQE skew-join.
         """
+        del delete_all  # batch: no delete messages; streaming: watermarks
         lp, rp = prefixes
         join_dims = list(on) if on is not None else [d for d in self.dims if d in other.dims]
 
@@ -773,12 +802,16 @@ class Pipeline:
         how = "inner" if fill in (None, "none") else "full_outer"
         keys = ["__jt", *join_dims]
         out = left.join(right, keys, how)
-        if fill not in (None, "none", "null"):
+        if isinstance(fill, dict):
+            out = out.fillna(fill)
+        elif fill not in (None, "none", "null"):
             value_cols = [c for c in out.columns if c not in keys]
             out = out.fillna(fill, subset=value_cols)
         out = out.withColumn(
             self.time_col, F.timestamp_micros(F.col("__jt"))
         ).drop("__jt")
+        if stream_name is not None:
+            out = out.withColumn("name", F.lit(stream_name))
         return Pipeline(
             df=out, time_col=self.time_col, dims=tuple(join_dims), results=self.results
         )

@@ -245,6 +245,112 @@ def test_multi_probe_lsh_recall_not_worse(spark):
 
 
 # ------------------------------------------------------------------ #
+# UDF example ports (/root/reference/udf/agent/examples)
+# ------------------------------------------------------------------ #
+
+
+def test_udf_example_moving_avg(spark):
+    from kapacitor_spark.udf_examples import moving_avg_udf
+
+    df = spark.createDataFrame(
+        [(f"2024-01-01 00:00:{i:02d}", "h", float(v))
+         for i, v in enumerate([2, 4, 6, 8, 10])],
+        "t string, host string, value double",
+    ).withColumn("t", F.to_timestamp("t"))
+    p = Pipeline.from_df(df, time_col="t", dims=("host",))
+    ma = moving_avg_udf("t timestamp, host string, avg double", size=3)
+    out = [r.avg for r in p.udf(ma).result().orderBy("t").collect()]
+    # cumulative while filling (2, 3, 4), then trailing-3 (6, 8)
+    assert out == [2.0, 3.0, 4.0, 6.0, 8.0]
+
+
+def test_udf_example_outliers(spark):
+    from kapacitor_spark.udf_examples import outliers_udf, tukey_bounds
+
+    vals = [10.0, 11.0, 12.0, 11.5, 10.5, 11.2, 60.0, -40.0]
+    df = spark.createDataFrame(
+        [(f"2024-01-01 00:00:{i:02d}", "h", v) for i, v in enumerate(vals)],
+        "t string, host string, value double",
+    ).withColumn("t", F.to_timestamp("t"))
+    p = Pipeline.from_df(df, time_col="t", dims=("host",))
+    ou = outliers_udf("t timestamp, host string, value double", scale=1.5)
+    got = sorted(r.value for r in p.udf(ou).result().collect())
+    assert got == [-40.0, 60.0]
+    lower, upper = tukey_bounds(np.array(vals), 1.5)
+    assert lower > -40.0 and upper < 60.0
+
+
+def test_udf_example_mirror(spark):
+    from kapacitor_spark.udf_examples import mirror_udf
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "h", 1.0)], "t string, host string, value double"
+    ).withColumn("t", F.to_timestamp("t"))
+    p = Pipeline.from_df(df, time_col="t", dims=("host",))
+    mi = mirror_udf("t timestamp, host string, value double")
+    assert p.udf(mi).result().collect() == df.collect()
+
+
+# ------------------------------------------------------------------ #
+# join stream_name / per-field fill; groupBy('*') / byMeasurement
+# ------------------------------------------------------------------ #
+
+
+def test_join_per_field_fill_and_stream_name(spark):
+    mk = lambda rows: spark.createDataFrame(
+        rows, "ts string, host string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    a = Pipeline.from_df(
+        mk([("2024-01-01 00:00:00", "h1", 1.0), ("2024-01-01 00:01:00", "h1", 2.0)]),
+        time_col="ts", dims=("host",),
+    )
+    b = Pipeline.from_df(
+        mk([("2024-01-01 00:00:00", "h1", 10.0)]), time_col="ts", dims=("host",)
+    )
+    j = a.join(
+        b, prefixes=("l", "r"), tolerance="1m",
+        fill={"r_value": -1.0}, stream_name="joined",
+    ).result()
+    rows = {r.ts.minute: r for r in j.collect()}
+    assert rows[0].r_value == 10.0
+    assert rows[1].r_value == -1.0   # per-field fill on the missing side
+    assert all(r.name == "joined" for r in rows.values())
+
+
+def test_group_by_star_and_by_measurement(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "cpu", "h1", "us", 1.0, 7)],
+        "ts string, name string, host string, region string, value double, event_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    p = Pipeline.from_df(df, time_col="ts", tiebreak=("event_id",))
+    assert set(p.group_by("*").dims) == {"host", "region"}
+    assert set(p.group_by("*", by_measurement=True).dims) == {"host", "region", "name"}
+    assert set(p.group_by("*", exclude=["region"]).dims) == {"host"}
+
+
+# ------------------------------------------------------------------ #
+# Holt-Winters golden fixture (pins the deterministic fit)
+# ------------------------------------------------------------------ #
+
+
+def test_holt_winters_golden():
+    from kapacitor_spark.operators.holt_winters import _forecast
+
+    # linear trend x multiplicative season, period 4 — fully deterministic
+    # (hash-free Nelder-Mead); golden values pin the implementation
+    i = np.arange(24)
+    y = (10.0 + 0.5 * i) * np.array([1.0, 1.2, 0.8, 1.0] * 6)
+    _, fc = _forecast(y, h=8, m=4)
+    assert [round(v, 6) for v in fc] == [
+        21.97484, 26.963095, 18.365466, 23.444372,
+        23.918222, 29.296041, 19.920869, 25.388749,
+    ]
+    # pure linear series, no season: exact extrapolation
+    _, fc2 = _forecast(np.arange(1.0, 9.0), h=3, m=0)
+    assert [round(v, 6) for v in fc2] == [9.0, 10.0, 11.0]
+
+
+# ------------------------------------------------------------------ #
 # vectorized streaming count window (regression vs per-row reference)
 # ------------------------------------------------------------------ #
 
