@@ -1253,18 +1253,12 @@ def ann_recall_q(spark, sf_dir):
 def text_analysis_q(spark, sf_dir):
     """Text-analysis suite in one row per doc: token/length stats, content
     + bag-of-words fingerprints, quality signals (C4/Gopher-style
-    heuristics) — all pure column expressions joined on doc_id; each
-    branch is a narrow projection of the same scan, whole-stage codegen
-    throughout."""
-    from kapacitor_spark.dataprep.text import doc_fingerprint, quality_score, token_stats
+    heuristics) — ONE narrow projection of one scan (shared tokenize via
+    Catalyst subexpression elimination): zero joins, zero shuffles,
+    whole-stage codegen throughout."""
+    from kapacitor_spark.dataprep.text import analysis_suite
 
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        token_stats(docs)
-        .drop("n_subtokens")
-        .join(doc_fingerprint(docs), "doc_id")
-        .join(quality_score(docs).drop("quality", "n_tokens"), "doc_id")
-    )
+    return analysis_suite(_t(spark, sf_dir, "documents"))
 
 
 @_q(
@@ -1316,16 +1310,12 @@ def multimodal_decode_q(spark, sf_dir):
     decode raises NotImplementedError); the oracle replicates the fake's
     md5 arithmetic, which exercises the full schema/partitioning/UDF
     plumbing."""
-    from kapacitor_spark.dataprep.multimodal import (
-        attach_binary_metadata, decode_image_batch,
-    )
+    from kapacitor_spark.dataprep.multimodal import decode_full
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    meta = attach_binary_metadata(docs, "payload", fake=True).select(
-        "doc_id", "width", "height", "format", "size_bytes"
-    )
+    out = decode_full(docs, "payload", fake=True)
     # recover the exact byte values before dividing so Spark and the oracle
     # evaluate the identical double expression (int_sum / (255*8))
     byte_sum = F.aggregate(
@@ -1333,10 +1323,10 @@ def multimodal_decode_q(spark, sf_dir):
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    pix = decode_image_batch(docs, "payload", fake=True).select(
-        "doc_id", F.round(byte_sum / F.lit(255.0 * 8), 6).alias("pix_mean")
+    return out.select(
+        "doc_id", "width", "height", "format", "size_bytes",
+        F.round(byte_sum / F.lit(255.0 * 8), 6).alias("pix_mean"),
     )
-    return meta.join(pix, "doc_id")
 
 
 # ===================================================================== #

@@ -30,6 +30,7 @@ __all__ = [
     "IMAGE_SCHEMA",
     "attach_binary_metadata",
     "decode_image_batch",
+    "decode_full",
     "extract_image_features",
     "sample_frames",
 ]
@@ -102,6 +103,46 @@ def decode_image_batch(df: DataFrame, binary_col: str = "payload", fake: bool = 
                 return [x / 255.0 for x in d[:8]]
 
             pdf["pixels"] = pdf[binary_col].map(fake_pixels)
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def decode_full(
+    df: DataFrame, binary_col: str = "payload", fake: bool = True
+) -> DataFrame:
+    """Metadata + pixel decode in ONE mapInPandas pass (each payload's
+    digest computed once) — the shape a real pipeline wants: one Python
+    hop per binary row, not one per derived signal. Output = input +
+    IMAGE_SCHEMA fields + ``pixels array<float>``."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + list(IMAGE_SCHEMA.fields)
+        + [T.StructField("pixels", T.ArrayType(T.FloatType()))]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real decode requires an imaging library; pass fake=True"
+                )
+            metas, pixels = [], []
+            for b in pdf[binary_col]:
+                raw = bytes(b) if b is not None else b""
+                d = hashlib.md5(raw).digest()
+                metas.append(
+                    {
+                        "width": 64 + d[0] % 192,
+                        "height": 64 + d[1] % 192,
+                        "format": ["jpeg", "png", "webp"][d[2] % 3],
+                        "size_bytes": len(raw),
+                    }
+                )
+                pixels.append([x / 255.0 for x in d[:8]])
+            for fld in IMAGE_SCHEMA.fieldNames():
+                pdf[fld] = [m[fld] for m in metas]
+            pdf["pixels"] = pixels
             yield pdf
 
     return df.mapInPandas(gen, out_schema)

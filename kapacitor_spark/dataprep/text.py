@@ -9,7 +9,10 @@ from pyspark.sql import functions as F
 
 from kapacitor_spark.dataprep.dedup import tokenize
 
-__all__ = ["token_stats", "quality_score", "lang_id", "doc_fingerprint"]
+__all__ = [
+    "token_stats", "quality_score", "lang_id", "doc_fingerprint",
+    "analysis_suite",
+]
 
 # tiny built-in stopword list for the quality heuristic (public knowledge)
 _STOPWORDS = [
@@ -109,6 +112,47 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         F.col(id_col),
         F.when(best["hits"] > 0, best["lang"]).otherwise("und").alias("lang_pred"),
         best["hits"].alias("marker_hits"),
+    )
+
+
+def analysis_suite(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """All text-analysis signals in ONE narrow projection — token/length
+    stats, content + bag fingerprints, quality ratios. Zero joins, zero
+    shuffles: the tokenize expression is shared across outputs (Catalyst
+    subexpression elimination evaluates it once per row), so this is the
+    100 TB shape — one scan, one codegen'd project. The per-signal
+    functions (token_stats/quality_score/doc_fingerprint) remain for
+    selective use."""
+    toks = tokenize(text_col)
+    uniq = F.array_distinct(toks)
+    punct = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^\p{Punct}]", "")).cast("double")
+        / F.greatest(F.length(text_col).cast("double"), F.lit(1.0))
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars_computed"),
+        F.size(toks).alias("n_tokens"),
+        F.size(uniq).alias("n_unique_tokens"),
+        F.round(
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.size(toks),
+            6,
+        ).alias("mean_token_len"),
+        F.md5(F.concat_ws(" ", toks)).alias("content_fp"),
+        F.md5(F.concat_ws(" ", F.array_sort(uniq))).alias("bag_fp"),
+        F.round(
+            F.size(uniq).cast("double")
+            / F.greatest(F.size(toks).cast("double"), F.lit(1.0)),
+            6,
+        ).alias("type_token_ratio"),
+        F.round(punct, 6).alias("punct_ratio"),
     )
 
 

@@ -329,6 +329,43 @@ def test_group_by_star_and_by_measurement(spark):
 
 
 # ------------------------------------------------------------------ #
+# bucketed storage: co-located joins skip the shuffle
+# ------------------------------------------------------------------ #
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from kapacitor_spark.storage import read_table_catalog, write_bucketed
+
+    a = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, va double"
+    )
+    b = spark.createDataFrame(
+        [(i, float(i * 2)) for i in range(100)], "k long, vb double"
+    )
+    write_bucketed(a, "bk_a", ["k"], 4, sort_cols=["k"],
+                   path=str(tmp_path / "bk_a"))
+    write_bucketed(b, "bk_b", ["k"], 4, sort_cols=["k"],
+                   path=str(tmp_path / "bk_b"))
+    # small tables would broadcast (also shuffle-free, but trivially so);
+    # force the sort-merge path to prove bucket co-location elides the
+    # hash-partitioning exchange a big-table join would otherwise pay
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_table_catalog(spark, "bk_a").join(
+            read_table_catalog(spark, "bk_b"), "k"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, (
+            f"bucketed join should not shuffle:\n{plan}"
+        )
+        assert "SortMergeJoin" in plan
+        assert j.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ------------------------------------------------------------------ #
 # Holt-Winters golden fixture (pins the deterministic fit)
 # ------------------------------------------------------------------ #
 
