@@ -195,37 +195,64 @@ def state_count_stream(
     cond: str,
     as_: str = "state_count",
     tiebreak: Sequence[str] = (),
+    idle_timeout: str | float | None = None,
 ) -> DataFrame:
     """Streaming stateCount (/root/reference/state_tracking.go:153-189):
     consecutive-true counter surviving micro-batch boundaries; -1 when
-    false. State per group: one int64."""
+    false. State per group: one int64. ``idle_timeout``: event-time
+    DeleteGroup (see alert_stream) — requires an upstream watermark."""
     c_df = df.withColumn("__ok", F.expr(cond))
     out_schema = StructType(
         [c_df.schema[c] for c in df.columns] + [StructField(as_, LongType())]
     )
     state_schema = StructType([StructField("streak", LongType())])
     in_cols = list(df.columns)
+    timeout_ms = (
+        round(parse_duration(idle_timeout) * 1000) if idle_timeout is not None else None
+    )
 
     def machine(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=in_cols + [as_])
+            return
         streak = state.get[0] if state.exists else 0
+        max_event_ms = None
         for pdf in pdfs:
             pdf = pdf.sort_values([time_col, *tiebreak], kind="stable")
+            if timeout_ms is not None and len(pdf):
+                ms = int(pd.Timestamp(pdf[time_col].iloc[-1]).value // 1_000_000)
+                max_event_ms = ms if max_event_ms is None else max(max_event_ms, ms)
             ok = pdf["__ok"].fillna(False).to_numpy()
-            out = np.empty(len(ok), dtype="int64")
-            for i, o in enumerate(ok):
-                streak = streak + 1 if o else 0
-                out[i] = streak if o else -1
+            # vectorized streak: reset indices mark False rows; streak =
+            # running count since last False, seeded by the carried streak
+            n = len(ok)
+            idx = np.arange(n)
+            reset = np.where(~ok, idx, -1)
+            last_reset = np.maximum.accumulate(reset)
+            out = idx - last_reset
+            seen_reset = last_reset >= 0
+            # before any reset, out = i+1 already (idx - (-1)); add carry
+            out = np.where(seen_reset, out, out + streak)
+            out = np.where(ok, out, -1)
+            streak = int(out[-1]) if n and out[-1] > 0 else (0 if n else streak)
             pdf = pdf[in_cols].copy()
             pdf[as_] = out
             yield pdf
         state.update((int(streak),))
+        if timeout_ms is not None and max_event_ms is not None:
+            state.setTimeoutTimestamp(max_event_ms + timeout_ms)
 
     return c_df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
         machine,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if idle_timeout is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

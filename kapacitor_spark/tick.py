@@ -416,7 +416,9 @@ class _Env:
         tags = node.args[0] if node.args and isinstance(node.args[0], list) else list(node.args)
         props = node.prop_map()
         exclude = props.get("exclude", [])
-        return p.group_by(*tags, exclude=exclude)
+        return p.group_by(
+            *tags, exclude=exclude, by_measurement="byMeasurement" in props
+        )
 
     def _mk_flatten(self, p: Pipeline, node: _Node) -> Pipeline:
         props = node.prop_map()
@@ -444,8 +446,12 @@ class _Env:
         tol = _dur(props["tolerance"][0]) if "tolerance" in props else None
         fill = props.get("fill", [None])[0]
         on = props.get("on", [None])[0]
-        return p.join(other, prefixes=prefixes, tolerance=tol, fill=fill,
-                      on=on if isinstance(on, list) else None)
+        return p.join(
+            other, prefixes=prefixes, tolerance=tol, fill=fill,
+            on=on if isinstance(on, list) else None,
+            stream_name=props.get("streamName", [None])[0],
+            delete_all="deleteAll" in props,
+        )
 
     def _mk_alert(self, p: Pipeline, node: _Node) -> Pipeline:
         props = node.prop_map()
@@ -458,6 +464,9 @@ class _Env:
             no_recoveries="noRecoveries" in props,
             flapping=tuple(props["flapping"]) if "flapping" in props else None,
             history=int(props.get("history", [21])[0]),
+            topic=props.get("topic", [None])[0],
+            id_template=props.get("id", [None])[0],
+            message_template=props.get("message", [None])[0],
             **kw,
         )
         for name, args in node.props:

@@ -19,7 +19,7 @@ from typing import Callable, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["TopicRegistry", "topic_state"]
+__all__ = ["TopicRegistry", "topic_state", "save_topic_state", "load_topic_state"]
 
 
 class TopicRegistry:
@@ -77,3 +77,19 @@ def topic_state(
         F.max(time_col).alias("last_" + time_col),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def save_topic_state(
+    state: DataFrame, path: str, topic_col: str = "topic"
+) -> None:
+    """Persist topic state, partitioned by topic — the reference's
+    persisted EventState store (services/alert/ + alert/topics.go restore
+    on startup). Partitioning by topic makes per-topic restore a
+    partition-pruned scan."""
+    state.write.mode("overwrite").partitionBy(topic_col).parquet(path)
+
+
+def load_topic_state(spark, path: str) -> DataFrame:
+    """Restore persisted topic state (see save_topic_state). Filters on
+    the topic column prune to single partitions."""
+    return spark.read.parquet(path)

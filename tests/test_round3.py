@@ -122,6 +122,58 @@ def test_alert_topic_column_and_state(spark):
     assert st[("cpu", "h2")] == "CRITICAL"
 
 
+def test_topic_state_persist_roundtrip(spark, tmp_path):
+    from kapacitor_spark.topics import load_topic_state, save_topic_state
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", "cpu", "h1", "CRITICAL"),
+            ("2024-01-01 00:01:00", "cpu", "h1", "OK"),
+            ("2024-01-01 00:00:30", "disk", "h2", "WARNING"),
+        ],
+        "ts string, topic string, host string, level string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    st = topic_state(df, dims=["host"])
+    path = str(tmp_path / "topic_state")
+    save_topic_state(st, path)
+    back = load_topic_state(spark, path)
+    got = {(r.topic, r.host): (r.level, r.n_events) for r in back.collect()}
+    assert got == {("cpu", "h1"): ("OK", 2), ("disk", "h2"): ("WARNING", 1)}
+    # restore of one topic prunes partitions
+    assert back.filter("topic = 'disk'").count() == 1
+
+
+def test_state_count_stream_idle_timeout(spark, tmp_path):
+    from kapacitor_spark.streaming import (
+        barrier, run_available_now, state_count_stream,
+    )
+
+    rows = [
+        [("2024-01-01 00:00:00", "a", 200.0), ("2024-01-01 00:00:01", "a", 200.0)],
+        [("2024-01-01 02:00:00", "b", 200.0)],   # watermark passes a+1h
+        [("2024-01-01 02:01:00", "b", 200.0)],   # a times out here
+        [("2024-01-01 02:02:00", "a", 200.0)],   # fresh state → streak 1
+    ]
+    path = str(tmp_path / "in_sct")
+    for batch in rows:
+        spark.createDataFrame(batch, "t string, host string, value double").withColumn(
+            "t", F.to_timestamp("t")
+        ).coalesce(1).write.mode("append").parquet(path)
+    src = (
+        spark.readStream.schema("t timestamp, host string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = state_count_stream(
+        barrier(src, "t", "1s"), "t", ["host"], cond="value > 100",
+        as_="n", idle_timeout="1h",
+    )
+    got = run_available_now(out, "sct_to", str(tmp_path / "cp_sct")).orderBy("t")
+    rows_out = [(r.host, r.n) for r in got.collect()]
+    # a's final event restarts at 1 — without DeleteGroup it would be 3
+    assert rows_out == [("a", 1), ("a", 2), ("b", 1), ("b", 2), ("a", 1)]
+
+
 def test_topic_registry_dispatch(spark, tmp_path):
     import glob
     import json

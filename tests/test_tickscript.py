@@ -150,6 +150,44 @@ stream
     assert rows[0].s3 == 90.0 and rows[2].s3 == 90 + 91 + 92
 
 
+def test_alert_topic_and_message(cpu):
+    script = """
+stream
+    |from().measurement('cpu').groupBy(['host'])
+    |alert()
+        .crit(lambda: "value" > 95.0)
+        .topic('ops')
+        .message('{{ .Level }} on {{ index .Tags "host" }}')
+    |httpOut('alerts')
+"""
+    outs = run_tickscript(
+        script, sources={"cpu": cpu}, time_col="time", tiebreak=("id",)
+    )
+    rows = outs["alerts"].filter("level = 'CRITICAL'").collect()
+    assert rows and all(r.topic == "ops" for r in rows)
+    assert all(r.message == f"CRITICAL on {r.host}" for r in rows)
+
+
+def test_join_stream_name(cpu):
+    script = """
+var a = stream
+    |from().measurement('cpu').where(lambda: "host" == 'serverA').groupBy(['type'])
+var b = stream
+    |from().measurement('cpu').where(lambda: "host" == 'serverB').groupBy(['type'])
+a
+    |join(b)
+        .as('l', 'r')
+        .tolerance(1s)
+        .streamName('merged')
+    |httpOut('joined')
+"""
+    outs = run_tickscript(
+        script, sources={"cpu": cpu}, time_col="time", tiebreak=("id",)
+    )
+    rows = outs["joined"].collect()
+    assert rows and all(r.name == "merged" for r in rows)
+
+
 def test_unknown_method_raises(cpu):
     with pytest.raises(TickError, match="unsupported"):
         run_tickscript(
