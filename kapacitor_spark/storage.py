@@ -19,7 +19,12 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_bucketed", "read_table_catalog", "co_partition"]
+__all__ = [
+    "write_bucketed",
+    "read_table_catalog",
+    "co_partition",
+    "write_time_partitioned",
+]
 
 
 def write_bucketed(
@@ -51,6 +56,25 @@ def read_table_catalog(spark: SparkSession, table: str) -> DataFrame:
     """Read a catalog (bucketed) table — bucket metadata flows into the
     plan so Catalyst can elide exchanges."""
     return spark.table(table)
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    time_col: str = "time",
+    granularity: str = "day",
+    mode: str = "append",
+) -> None:
+    """Write a time-series table partitioned by a date-derived directory
+    column (``__pdate``). Time-range queries then prune whole partitions
+    at plan time (PartitionFilters in the scan) — the on-disk analog of
+    the reference's shard-by-time retention layout. ``granularity``:
+    'day' | 'month' | 'hour'."""
+    from pyspark.sql import functions as F
+
+    fmt = {"day": "yyyy-MM-dd", "month": "yyyy-MM", "hour": "yyyy-MM-dd-HH"}[granularity]
+    out = df.withColumn("__pdate", F.date_format(F.col(time_col), fmt))
+    out.write.mode(mode).partitionBy("__pdate").parquet(path)
 
 
 def co_partition(

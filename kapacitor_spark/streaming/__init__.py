@@ -44,6 +44,7 @@ __all__ = [
     "window_count_stream",
     "alert_stream",
     "state_count_stream",
+    "sigma_stream",
     "run_available_now",
     "http_out_stream",
 ]
@@ -253,6 +254,66 @@ def state_count_stream(
             if idle_timeout is not None
             else GroupStateTimeout.NoTimeout
         ),
+    )
+
+
+def sigma_stream(
+    df: DataFrame,
+    time_col: str,
+    dims: Sequence[str],
+    fld: str,
+    as_: str = "sigma",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Streaming stateful ``sigma()`` lambda fn (/root/reference/tick/
+    stateful/functions.go sigma: running #stddevs of the current value
+    from the running mean; 0 while n<2). Batch mode compiles to running
+    window aggregates (Pipeline.sigma); here the running (n, mean, M2)
+    Welford state persists across micro-batches — numerically stable,
+    12 bytes of state per group, vectorized per batch."""
+    out_schema = StructType(
+        [df.schema[c] for c in df.columns] + [StructField(as_, DoubleType())]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("mean", DoubleType()),
+            StructField("m2", DoubleType()),
+        ]
+    )
+    in_cols = list(df.columns)
+
+    def machine(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values([time_col, *tiebreak], kind="stable")
+            x = pdf[fld].to_numpy(dtype=float)
+            k = len(x)
+            # vectorized Welford: running means/M2 over (carry + batch)
+            # reconstructed from cumulative sums seeded with carry stats
+            cnt = n + np.arange(1, k + 1, dtype=float)
+            csum = n * mean + np.cumsum(x)
+            means = csum / cnt
+            prev_means = np.concatenate(([mean], means[:-1]))
+            dm2 = (x - prev_means) * (x - means)
+            m2s = m2 + np.cumsum(dm2)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sd = np.sqrt(m2s / np.maximum(cnt - 1, 1))
+                sig = np.abs(x - means) / sd
+            sig = np.where((cnt < 2) | (sd == 0) | ~np.isfinite(sig), 0.0, sig)
+            out = pdf[in_cols].copy()
+            out[as_] = sig
+            yield out
+            if k:
+                n, mean, m2 = int(cnt[-1]), float(means[-1]), float(m2s[-1])
+        state.update((n, mean, m2))
+
+    return df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
+        machine,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -417,6 +417,59 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_write_time_partitioned_prunes(spark, tmp_path):
+    from kapacitor_spark.storage import write_time_partitioned
+
+    df = spark.createDataFrame(
+        [(f"2024-01-{d:02d} 10:00:00", float(d)) for d in range(1, 6)],
+        "time string, value double",
+    ).withColumn("time", F.to_timestamp("time"))
+    path = str(tmp_path / "tp")
+    write_time_partitioned(df, path, granularity="day")
+    back = spark.read.parquet(path).filter("__pdate = '2024-01-03'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(__pdate" in plan
+    assert back.count() == 1
+
+
+def test_sigma_stream_matches_batch(spark, tmp_path):
+    from kapacitor_spark.streaming import run_available_now, sigma_stream
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (f"2024-01-01 00:00:{i:02d}", "h", float(v))
+        for i, v in enumerate(rng.randn(40) * 10 + 50)
+    ]
+    df = spark.createDataFrame(rows, "t string, host string, value double").withColumn(
+        "t", F.to_timestamp("t")
+    )
+    # batch reference: Pipeline.sigma running-window formulation
+    batch = {
+        r.t: r.sigma
+        for r in Pipeline.from_df(df, time_col="t", dims=("host",))
+        .sigma("value")
+        .result()
+        .collect()
+    }
+    # streaming: two micro-batches, Welford state carried across
+    path = str(tmp_path / "in_sig")
+    df.filter("second(t) < 20").coalesce(1).write.mode("append").parquet(path)
+    df.filter("second(t) >= 20").coalesce(1).write.mode("append").parquet(path)
+    src = (
+        spark.readStream.schema("t timestamp, host string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = run_available_now(
+        sigma_stream(src, "t", ["host"], "value"),
+        "sig_stream", str(tmp_path / "cp_sig"),
+    )
+    stream = {r.t: r.sigma for r in out.collect()}
+    assert set(stream) == set(batch)
+    for t, v in batch.items():
+        assert stream[t] == pytest.approx(v, rel=1e-9), t
+
+
 # ------------------------------------------------------------------ #
 # Holt-Winters golden fixture (pins the deterministic fit)
 # ------------------------------------------------------------------ #
