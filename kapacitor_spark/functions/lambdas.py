@@ -75,12 +75,38 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
     return out
 
 
+# string-returning registry functions: their results participate in the
+# reference's `+`-as-concatenation rule (tick/ast string concat via '+')
+_STR_RETURNING = {
+    "string", "strToUpper", "strToLower", "strTrim", "strTrimLeft",
+    "strTrimRight", "strTrimPrefix", "strTrimSuffix", "strTrimSpace",
+    "strReplace", "strSubstring", "regexReplace", "humanBytes",
+}
+
+
 class _Parser:
-    def __init__(self, tokens, ordered_window: Window | None, time_col: str):
+    def __init__(
+        self,
+        tokens,
+        ordered_window: Window | None,
+        time_col: str,
+        schema: dict | None = None,
+    ):
         self.toks = tokens
         self.i = 0
         self.w = ordered_window
         self.time_col = time_col
+        self.schema = schema or {}
+        # ids of sub-expression Columns known to be strings — drives the
+        # reference's '+'-is-concat rule for string operands
+        self._strs: set[int] = set()
+
+    def _mark_str(self, c: Column) -> Column:
+        self._strs.add(id(c))
+        return c
+
+    def _is_str(self, c: Column) -> bool:
+        return id(c) in self._strs
 
     def peek(self):
         return self.toks[self.i]
@@ -148,7 +174,13 @@ class _Parser:
             k, v = self.peek()
             if k == "op" and v in ("+", "-"):
                 self.next()
-                c = (c + self.mul()) if v == "+" else (c - self.mul())
+                r = self.mul()
+                if v == "+" and (self._is_str(c) or self._is_str(r)):
+                    # reference: '+' concatenates strings (tick/ast binary
+                    # ops; used as "str" + 'suffix' in eval lambdas)
+                    c = self._mark_str(F.concat(c, r))
+                else:
+                    c = (c + r) if v == "+" else (c - r)
             else:
                 return c
 
@@ -181,9 +213,11 @@ class _Parser:
             # durations compare against unixNano deltas → int64 nanoseconds
             return F.lit(int(parse_duration(v) * 1_000_000_000))
         if k == "str":
-            return F.lit(v[1:-1].replace("\\'", "'"))
+            return self._mark_str(F.lit(v[1:-1].replace("\\'", "'")))
         if k == "ref":
-            return F.col(v[1:-1])
+            name = v[1:-1]
+            c = F.col(name)
+            return self._mark_str(c) if self.schema.get(name) == "string" else c
         if k == "op" and v == "(":
             c = self.or_()
             self.expect_op(")")
@@ -196,7 +230,8 @@ class _Parser:
             if self.peek() == ("op", "("):
                 return self.call(v)
             # bare identifier = column ref (convenience beyond the reference)
-            return F.col(v)
+            c = F.col(v)
+            return self._mark_str(c) if self.schema.get(v) == "string" else c
         raise ValueError(f"lambda: unexpected token {v!r}")
 
     def call(self, name: str) -> Column:
@@ -216,7 +251,8 @@ class _Parser:
         fn = FUNCTIONS.get(name)
         if fn is None:
             raise ValueError(f"lambda: unknown function {name!r}")
-        return fn(*args)
+        out = fn(*args)
+        return self._mark_str(out) if name in _STR_RETURNING else out
 
     def stateful(self, name: str, args: list[Column]) -> Column:
         """Running-state functions over the pipeline's event order
@@ -247,9 +283,14 @@ def compile_lambda(
     src: str,
     ordered_window: Window | None = None,
     time_col: str = "time",
+    schema: dict | None = None,
 ) -> Column:
-    """Compile ``lambda: "value" > 10.0 AND sigma("value") > 3`` to a Column."""
+    """Compile ``lambda: "value" > 10.0 AND sigma("value") > 3`` to a Column.
+
+    ``schema`` (column name → Spark dtype string, e.g. dict(df.dtypes))
+    enables the reference's string semantics for ``+`` (concatenation
+    when either operand is a string column/literal/function result)."""
     body = src.lstrip()
     if body.startswith("lambda:"):
         body = body[len("lambda:"):]
-    return _Parser(_tokenize(body), ordered_window, time_col).parse()
+    return _Parser(_tokenize(body), ordered_window, time_col, schema).parse()

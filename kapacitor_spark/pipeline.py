@@ -64,6 +64,7 @@ class WindowSpec:
     align: bool = True
     fill_period: bool = False
     emit: str = "start"  # which boundary becomes the output time col
+    closed: str = "left"  # 'left' = [s, e); 'right' = (s, e] (reference)
 
     @property
     def is_sliding(self) -> bool:
@@ -169,7 +170,10 @@ class Pipeline:
         event ordering so stateful sigma/count/spread compile to running
         windows (/root/reference/tick/stateful/functions.go:1131)."""
         if isinstance(c, str) and is_lambda(c):
-            return compile_lambda(c, ordered_window=self._ordered(), time_col=self.time_col)
+            return compile_lambda(
+                c, ordered_window=self._ordered(), time_col=self.time_col,
+                schema=dict(self.df.dtypes),
+            )
         return _col(c)
 
     def where(self, cond: str | Column) -> "Pipeline":
@@ -474,22 +478,37 @@ class Pipeline:
         align: bool = True,
         fill_period: bool = False,
         emit: str = "start",
+        closed: str = "left",
     ) -> "Pipeline":
         """Declare a time window (/root/reference/window.go:80-358); consumed
         by the next aggregation, which compiles to
         ``groupBy(F.window(time, period, every), *dims)`` — Spark's native
         sliding/tumbling windows.
 
+        ``closed='left'`` (default) = [start, stop) half-open windows —
+        this matches the reference (verified against its own fixtures:
+        TestStream_Join's expected sums cover exactly [0s,10s),
+        tests/test_reference_fixtures.py). ``closed='right'`` = (start,
+        stop] for engines/pipelines that follow the
+        boundary-point-belongs-to-ending-window convention; implemented
+        as a 1µs shift on the assignment key only — emitted window
+        bounds stay on the grid.
+
         Divergences from the reference (documented per SURVEY §7): windows
-        are [start, stop) aligned to the epoch (reference default is
-        first-point-relative and (start, stop]); emitted time = window
-        start by default (reference emits at stop).
+        are epoch-aligned (reference default is first-point-relative);
+        emitted time = window start by default (reference emits at stop —
+        pass emit='end' for exact parity).
         """
         p = parse_duration(period)
         e = p if every is None else parse_duration(every)
         if e <= 0 or p <= 0:
             raise ValueError("window period/every must be > 0 (count windows: window_count())")
-        spec = WindowSpec(period=p, every=e, align=align, fill_period=fill_period, emit=emit)
+        if closed not in ("left", "right"):
+            raise ValueError("closed must be 'left' or 'right'")
+        spec = WindowSpec(
+            period=p, every=e, align=align, fill_period=fill_period,
+            emit=emit, closed=closed,
+        )
         return replace(self, window=spec)
 
     # alias matching the reference chain-method name
@@ -537,8 +556,13 @@ class Pipeline:
         if isinstance(self.window, CountWindowSpec):
             raise ValueError("count windows support single aggregates / agg_over() only")
         spec = self.window
+        assign_t = self.time
+        if spec.closed == "right":
+            # (start, stop] assignment: shift the KEY by 1µs so boundary
+            # points land in the ending window; emitted bounds stay exact
+            assign_t = F.timestamp_micros(F.unix_micros(self.time) - 1)
         win = F.window(
-            self.time,
+            assign_t,
             f"{round(spec.period * 1_000_000)} microseconds",
             f"{round(spec.every * 1_000_000)} microseconds",
         )

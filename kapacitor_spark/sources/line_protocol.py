@@ -64,9 +64,15 @@ def _unescape(s: str) -> str:
     return _UNESCAPE.sub(r"\1", s)
 
 
-def parse_line(line: str, precision_ns: bool = True):
-    """Parse one line → dict matching PARSED_SCHEMA (time in ns int) or
-    None for blank/comment lines."""
+_PRECISION_US = {"u": 1, "ms": 1_000, "s": 1_000_000}
+
+
+def parse_line(line: str, precision_ns: bool = True, precision: str | None = None):
+    """Parse one line → dict matching PARSED_SCHEMA or None for blank/
+    comment lines. ``precision`` ('ns'|'u'|'ms'|'s') overrides the legacy
+    precision_ns flag — the reference's replay/write paths carry an
+    explicit precision (replay.go ReplayStreamFromIO; the integration
+    harness replays .srpl at 's')."""
     line = line.strip()
     if not line or line.startswith("#"):
         return None
@@ -110,7 +116,14 @@ def parse_line(line: str, precision_ns: bool = True):
         if pos < len(field_part) and field_part[pos] == ",":
             pos += 1
 
-    ts_us = (ts // 1000 if precision_ns else ts) if ts is not None else None
+    if precision is None:
+        precision = "ns" if precision_ns else "u"
+    if ts is None:
+        ts_us = None
+    elif precision == "ns":
+        ts_us = ts // 1000
+    else:
+        ts_us = ts * _PRECISION_US[precision]
     return {
         "name": name,
         "tags": tags,
@@ -216,7 +229,7 @@ def parse_lines(
     return fast_part.unionByName(slow_part)
 
 
-def read_srpl(spark: SparkSession, path: str) -> DataFrame:
+def read_srpl(spark: SparkSession, path: str, precision: str = "ns") -> DataFrame:
     """Read a reference-format ``.srpl`` replay fixture: repeating
     [dbname, rpname, point-line] triples (/root/reference/replay.go:49-70;
     fixtures integrations/testdata/*.srpl). Driver-side read — fixtures are
@@ -229,7 +242,7 @@ def read_srpl(spark: SparkSession, path: str) -> DataFrame:
         if i + 2 >= len(raw) + 1 or not raw[i].strip():
             break
         db, rp, pt = raw[i], raw[i + 1], raw[i + 2]
-        r = parse_line(pt)
+        r = parse_line(pt, precision=precision)
         if r is not None:
             r["database"], r["retention_policy"] = db, rp
             rows.append(r)
@@ -241,6 +254,28 @@ def read_srpl(spark: SparkSession, path: str) -> DataFrame:
     )
     return spark.createDataFrame(
         pdf, PARSED_SCHEMA + ", database string, retention_policy string"
+    )
+
+
+def replay_srpl(
+    spark: SparkSession,
+    path: str,
+    precision: str = "s",
+    zero: str = "1971-01-01 00:00:00",
+) -> DataFrame:
+    """Replay an .srpl fixture exactly like the reference's test harness
+    (/root/reference/integrations/streamer_test.go: ReplayStreamFromIO
+    with precision 's', deterministic clock starting 1971-01-01,
+    recTime=false — replay.go:49-70 shifts every timestamp so the FIRST
+    point lands on clock zero). Event-time Spark needs no clock: the
+    shift is a column expression."""
+    df = read_srpl(spark, path, precision=precision)
+    first = df.agg(F.min("time")).first()[0]  # tiny driver agg
+    first_us = int(pd.Timestamp(first).value // 1000)
+    zero_us = int(pd.Timestamp(zero).value // 1000)
+    shift = zero_us - first_us
+    return df.withColumn(
+        "time", F.timestamp_micros(F.unix_micros(F.col("time")) + F.lit(shift))
     )
 
 

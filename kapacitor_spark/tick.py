@@ -261,7 +261,10 @@ def _lam(p: Pipeline, v):
     if isinstance(v, _Lambda):
         from kapacitor_spark.functions.lambdas import compile_lambda
 
-        return compile_lambda(v.src, ordered_window=p._ordered(), time_col=p.time_col)
+        return compile_lambda(
+            v.src, ordered_window=p._ordered(), time_col=p.time_col,
+            schema=dict(p.df.dtypes),
+        )
     return v
 
 
