@@ -948,11 +948,14 @@ class Pipeline:
         order = F.struct(F.col(self.time_col), *[F.col(c) for c in self.tiebreak])
         if len(fields) == 1:
             out = piv.agg(F.min_by(fields[0], order))
+            # backtick-quote: pivot values may contain '.' (e.g. a
+            # 'service.host' compound key), which bare F.col would treat
+            # as struct access
             out = out.select(
                 self.time_col,
                 *rest,
                 *[
-                    F.col(c).alias(f"{c}{delimiter}{fields[0]}")
+                    F.col(f"`{c}`").alias(f"{c}{delimiter}{fields[0]}")
                     for c in out.columns
                     if c != self.time_col and c not in rest
                 ],

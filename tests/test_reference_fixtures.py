@@ -147,6 +147,58 @@ cpuT
     assert outs["TestStream_Union"].count() > 0
 
 
+def test_stream_group_by_fixture(spark):
+    """TestStream_GroupBy (streamer_test.go:4209): groupBy('service') |
+    window(10s) | sum — per-service sums 47/45/32 over the first window
+    (the reference emits front's row at 11s only because its last point
+    arrives later in the replay; the sums are the parity check)."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_GroupBy.srpl")
+    errors = promote(
+        raw.filter("name = 'errors'"), "errors",
+        float_fields=["value"], tag_cols=["service"],
+    )
+    out = (
+        Pipeline.from_df(errors, time_col="time", dims=("service",))
+        .window_time("10s", emit="end")
+        .sum("value", as_="sum")
+        .result()
+        .filter("time = '1971-01-01 00:00:10'")
+        .collect()
+    )
+    assert {r["service"]: r["sum"] for r in out} == {
+        "cartA": 47.0, "login": 45.0, "front": 32.0,
+    }
+
+
+def test_stream_flatten_fixture(spark):
+    """TestStream_Flatten (streamer_test.go:4379): flatten on
+    (service, host), tolerance 1s, grouped by dc — one wide row per dc
+    with 'svc.host.value' columns, first arrival wins."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Flatten.srpl")
+    lat = promote(
+        raw.filter("name = 'request_latency'"), "request_latency",
+        float_fields=["value"], tag_cols=["dc", "service", "host"],
+    )
+    p = Pipeline.from_df(
+        lat, time_col="time", dims=("dc", "service", "host")
+    ).flatten(on=["service", "host"], fields=["value"], tolerance="1s", delimiter=".")
+    rows = {
+        r["dc"]: r
+        for r in p.result().filter("time = '1971-01-01 00:00:00'").collect()
+    }
+    expect = {
+        "A": (700.0, 702.0, 800.0, 802.0, 600.0, 602.0),
+        "B": (750.0, 752.0, 850.0, 852.0, 650.0, 652.0),
+    }
+    cols = [
+        "auth.server01.value", "auth.server02.value",
+        "cart.server01.value", "cart.server02.value",
+        "log.server01.value", "log.server02.value",
+    ]
+    for dc, vals in expect.items():
+        assert tuple(rows[dc][c] for c in cols) == vals, dc
+
+
 def test_stream_eval_all_types_fixture(spark):
     """TestStream_EvalAllTypes (streamer_test.go:2687): chained eval
     lambdas over all four value types → ('bobsuffix', true, 19, 84.0)."""
