@@ -1111,7 +1111,13 @@ class Pipeline:
                 parts.append(F.col(level_col))
             elif ph == ".Time":
                 parts.append(F.date_format(self.time, "yyyy-MM-dd HH:mm:ss"))
-            elif ph in (".ID", ".Name", ".TaskName"):
+            elif ph == ".Name":
+                # measurement name, when the point carries one (§1.3 wide
+                # layout keeps 'name' optional); empty otherwise
+                parts.append(
+                    F.col("name") if "name" in self.df.columns else F.lit("")
+                )
+            elif ph in (".ID", ".TaskName"):
                 parts.append(F.lit(""))  # single-pipeline context: no task name
             elif ph == ".Group":
                 parts.append(F.concat_ws(",", *[F.col(d) for d in self.dims]))

@@ -199,6 +199,76 @@ def test_stream_flatten_fixture(spark):
         assert tuple(rows[dc][c] for c in cols) == vals, dc
 
 
+def test_stream_alert_fixture(spark):
+    """TestStream_Alert (streamer_test.go: windowed count + threshold
+    ladder + templated id/message): count=10 ⇒ CRITICAL with
+    id 'kapacitor/cpu/serverA' and message '<id> is CRITICAL' at
+    00:00:10."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Alert.srpl")
+    cpu = promote(
+        raw.filter("name = 'cpu'"), "cpu",
+        float_fields=["value"], tag_cols=["host"],
+    ).withColumn("name", F.lit("cpu"))
+    # measurement name rides along as a group key so it survives the
+    # window aggregation (the reference's batches carry Name natively)
+    out = (
+        Pipeline.from_df(cpu, time_col="time", dims=("host", "name"))
+        .where("host = 'serverA'")
+        .window_time("10s", emit="end")
+        .count("value", as_="count")
+        .alert(
+            info="count > 6.0", warn="count > 7.0", crit="count > 8.0",
+            id_template='kapacitor/{{ .Name }}/{{ index .Tags "host" }}',
+            message_template='kapacitor/{{ .Name }}/{{ index .Tags "host" }}'
+                             " is {{ .Level }}",
+        )
+        .result()
+        .filter("time = '1971-01-01 00:00:10'")
+        .collect()
+    )
+    assert len(out) == 1
+    r = out[0]
+    assert (
+        r["count"], r["alert_id"], r["level"], r["message"]
+    ) == (10, "kapacitor/cpu/serverA", "CRITICAL", "kapacitor/cpu/serverA is CRITICAL")
+
+
+def test_stream_combine_triples_fixture(spark):
+    """TestStream_Combine_All_Triples (streamer_test.go:4614): 3-slot
+    combine of TRUE predicates per (dc, 1s bucket) → exactly one
+    unordered triple per bucket, value sums 2100/1500 (dc A) and
+    2250/2250 (dc B). Slot ASSIGNMENT order diverges (the reference
+    orders slots by arrival; DataFrames have no arrival order, slots
+    order by point identity) — the combination set and sums are the
+    parity check."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Combine.srpl")
+    lat = promote(
+        raw.filter("name = 'request_latency'"), "request_latency",
+        float_fields=["value"], tag_cols=["dc", "service"],
+    )
+    p = Pipeline.from_df(lat, time_col="time", dims=("dc",))
+    c = p.combine(
+        "TRUE", "TRUE", "TRUE", as_=("first", "second", "third"),
+        tolerance="1s", delimiter=".",
+    )
+    rows = c.result().collect()
+    got = {}
+    for r in rows:
+        key = (r["dc"], r["time"].second)
+        svcs = frozenset(
+            (r["first.service"], r["second.service"], r["third.service"])
+        )
+        total = r["first.value"] + r["second.value"] + r["third.value"]
+        got.setdefault(key, []).append((svcs, total))
+    trio = frozenset({"auth", "log", "cart"})
+    assert got == {
+        ("A", 0): [(trio, 2100.0)],
+        ("A", 1): [(trio, 1500.0)],
+        ("B", 0): [(trio, 2250.0)],
+        ("B", 1): [(trio, 2250.0)],
+    }
+
+
 def test_stream_eval_all_types_fixture(spark):
     """TestStream_EvalAllTypes (streamer_test.go:2687): chained eval
     lambdas over all four value types → ('bobsuffix', true, 19, 84.0)."""
