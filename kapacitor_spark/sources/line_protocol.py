@@ -257,6 +257,56 @@ def read_srpl(spark: SparkSession, path: str, precision: str = "ns") -> DataFram
     )
 
 
+def read_brpl(spark: SparkSession, path: str) -> DataFrame:
+    """Read a reference-format ``.brpl`` batch-replay fixture: one JSON
+    object per line = one batch {name, tags, points:[{fields, time}]}
+    (/root/reference/replay.go batch replay; fixtures
+    integrations/testdata/*.brpl). Emits one row per point with its
+    0-based ``batch_id`` — the reference's batch-edge grouping key (a
+    batch reduces to one point under aggregation, SURVEY §2.5)."""
+    import json
+
+    rows = []
+    with open(path) as fh:
+        for bid, line in enumerate(ln for ln in fh if ln.strip()):
+            b = json.loads(line)
+            for p in b["points"]:
+                ts = pd.Timestamp(p["time"])
+                if ts.tzinfo is not None:
+                    ts = ts.tz_convert("UTC").tz_localize(None)
+                rows.append(
+                    {
+                        "batch_id": bid,
+                        "name": b.get("name"),
+                        "tags": b.get("tags") or {},
+                        "fields_f": {
+                            k: float(v) for k, v in p.get("fields", {}).items()
+                            if isinstance(v, (int, float)) and not isinstance(v, bool)
+                        },
+                        "time": ts,
+                    }
+                )
+    pdf = pd.DataFrame(rows, columns=["batch_id", "name", "tags", "fields_f", "time"])
+    return spark.createDataFrame(
+        pdf,
+        "batch_id long, name string, tags map<string,string>, "
+        "fields_f map<string,double>, time timestamp",
+    )
+
+
+def replay_brpl(
+    spark: SparkSession, path: str, zero: str = "1971-01-01 00:00:00"
+) -> DataFrame:
+    """Replay a .brpl fixture with the reference harness's clock shift
+    (first point lands on 1971-01-01; see replay_srpl)."""
+    df = read_brpl(spark, path)
+    first = df.agg(F.min("time")).first()[0]
+    shift = int(pd.Timestamp(zero).value // 1000) - int(pd.Timestamp(first).value // 1000)
+    return df.withColumn(
+        "time", F.timestamp_micros(F.unix_micros(F.col("time")) + F.lit(shift))
+    )
+
+
 def replay_srpl(
     spark: SparkSession,
     path: str,

@@ -13,7 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from kapacitor_spark import Pipeline
-from kapacitor_spark.sources.line_protocol import promote, replay_srpl
+from kapacitor_spark.sources.line_protocol import promote, replay_brpl, replay_srpl
 
 FIXTURES = "/root/reference/integrations/testdata"
 Z = dt.timezone.utc
@@ -266,6 +266,42 @@ def test_stream_combine_triples_fixture(spark):
         ("A", 1): [(trio, 1500.0)],
         ("B", 0): [(trio, 2250.0)],
         ("B", 1): [(trio, 2250.0)],
+    }
+
+
+def test_batch_simple_mr_fixture(spark):
+    """TestBatch_SimpleMR (batcher_test.go): each replayed batch reduces
+    to one count point at the batch's max time (the reference's
+    batch-edge rule, edge/messages.go:376), then window(20s)|sum → 10
+    per cpu (2 batches × count 5). Emit-time alignment diverges (the
+    reference's batch windows are first-point-relative); the per-cpu
+    sums are the parity check."""
+    raw = replay_brpl(spark, f"{FIXTURES}/TestBatch_SimpleMR.0.brpl")
+    pts = raw.select(
+        "batch_id",
+        F.col("tags")["cpu"].alias("cpu"),
+        F.col("fields_f")["mean"].alias("mean"),
+        "time",
+    )
+    counts = (
+        Pipeline.from_df(pts, time_col="time", dims=("cpu", "batch_id"))
+        .agg(F.count("mean").alias("count"), F.max("time").alias("__bt"))
+        .result()
+        .withColumnRenamed("__bt", "time")
+    )
+    assert {r.batch_id: r["count"] for r in counts.collect()} == {
+        i: 5 for i in range(9)
+    }
+    summed = (
+        Pipeline.from_df(counts.drop("batch_id"), time_col="time", dims=("cpu",))
+        .window_time("20s")
+        .sum("count", as_="sum")
+        .result()
+        .filter("time = '1971-01-01 00:00:00'")  # batches at shifted 8s, 18s
+        .collect()
+    )
+    assert {r.cpu: r["sum"] for r in summed} == {
+        "cpu-total": 10.0, "cpu0": 10.0, "cpu1": 10.0,
     }
 
 
