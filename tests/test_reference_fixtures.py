@@ -305,6 +305,37 @@ def test_batch_simple_mr_fixture(spark):
     }
 
 
+def test_stream_state_tracking_fixture(spark):
+    """TestStream_StateCount + TestStream_StateDuration
+    (streamer_test.go:13625+): consecutive-true counter / duration per
+    host; the reference skips points missing the tracked field (serverB's
+    t=3 point only carries field 'x'), and the streak CONTINUES across
+    the gap."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_StateTracking.srpl")
+    cpu = promote(
+        raw.filter("name = 'cpu'"), "cpu",
+        float_fields=["value"], tag_cols=["host"],
+    ).filter("value IS NOT NULL")  # reference: field-less points skipped
+    p = (
+        Pipeline.from_df(cpu, time_col="time", dims=("host",))
+        .state_count("value > 95", as_="my_count")
+        .state_duration("value > 95", unit="1ms", as_="my_duration")
+    )
+    rows = {
+        (r.host, r.time.replace(tzinfo=Z)): (r.my_count, r.my_duration)
+        for r in p.result().filter("time < '1971-01-01 00:00:04'").collect()
+    }
+    assert rows == {
+        ("serverA", _ts(0)): (1, 0.0),
+        ("serverA", _ts(1)): (2, 1000.0),
+        ("serverA", _ts(2)): (-1, -1.0),
+        ("serverA", _ts(3)): (1, 0.0),
+        ("serverB", _ts(0)): (-1, -1.0),
+        ("serverB", _ts(1)): (1, 0.0),
+        ("serverB", _ts(3)): (2, 2000.0),
+    }
+
+
 def test_stream_eval_all_types_fixture(spark):
     """TestStream_EvalAllTypes (streamer_test.go:2687): chained eval
     lambdas over all four value types → ('bobsuffix', true, 19, 84.0)."""
