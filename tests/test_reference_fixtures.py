@@ -336,6 +336,55 @@ def test_stream_state_tracking_fixture(spark):
     }
 
 
+def test_stream_shift_fixture(spark):
+    """TestStream_Shift (streamer_test.go:2449): windowed counts shifted
+    one period forward joined against the unshifted stream —
+    current.count=5, past.count=4, diff=1 at 00:00:10."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Shift.srpl")
+    cpu = promote(
+        raw.filter("name = 'cpu'"), "cpu",
+        float_fields=["value"], tag_cols=["host"],
+    )
+
+    def counts():
+        return (
+            Pipeline.from_df(cpu, time_col="time")
+            .where("host = 'serverA'")
+            .window_time("5s", emit="end")
+            .count("value", as_="count")
+        )
+
+    j = counts().shift("5s").join(
+        counts(), prefixes=("past", "current"), delimiter=".",
+    ).eval(keep=True, diff=F.col("`current.count`") - F.col("`past.count`"))
+    rows = [
+        (r["current.count"], r["diff"], r["past.count"])
+        for r in j.result().filter("time = '1971-01-01 00:00:10'").collect()
+    ]
+    assert rows == [(5, 1, 4)]
+
+
+def test_stream_default_fixture(spark):
+    """TestStream_Default (streamer_test.go:3071): default() fills a
+    missing field and tag, then the filtered windowed sum is 57."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Default.srpl")
+    cpu = promote(
+        raw.filter("name = 'cpu'"), "cpu",
+        float_fields=["value"], tag_cols=["host"],
+    )
+    out = (
+        Pipeline.from_df(cpu, time_col="time")
+        .default(value=1.0, host="serverA")
+        .where("host = 'serverA'")
+        .window_time("10s", emit="end")
+        .sum("value", as_="sum")
+        .result()
+        .filter("time = '1971-01-01 00:00:10'")
+        .collect()
+    )
+    assert [r["sum"] for r in out] == [57.0]
+
+
 def test_stream_eval_all_types_fixture(spark):
     """TestStream_EvalAllTypes (streamer_test.go:2687): chained eval
     lambdas over all four value types → ('bobsuffix', true, 19, 84.0)."""
