@@ -385,6 +385,65 @@ def test_stream_default_fixture(spark):
     assert [r["sum"] for r in out] == [57.0]
 
 
+def test_stream_influxql_float_matrix(spark):
+    """TestStream_InfluxQL_Float (streamer_test.go:6012): the full
+    aggregation matrix over one window of serverA floats — every scalar
+    expectation inlined in the reference test (sum 940, count 10, mean
+    94, median 94, mode 95, min 91, max 98, spread 7, stddev 2.1602...,
+    first 98, last 95, percentile(50) 93) plus the top-2 / bottom-3
+    selector row sets."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_InfluxQL_Float.srpl")
+    cpu = promote(
+        raw.filter("name = 'cpu'"), "cpu",
+        float_fields=["value"], tag_cols=["host", "type"],
+    )
+
+    def win():
+        return (
+            Pipeline.from_df(cpu, time_col="time", dims=("host",))
+            .where("host = 'serverA'")
+            .window_time("10s", emit="end")
+        )
+
+    scalar_cases = [
+        ("sum", lambda p: p.sum("value"), "sum", 940.0),
+        ("count", lambda p: p.count("value"), "count", 10),
+        ("mean", lambda p: p.mean("value"), "mean", 94.0),
+        ("median", lambda p: p.median("value"), "median", 94.0),
+        ("mode", lambda p: p.mode("value"), "mode", 95.0),
+        ("min", lambda p: p.min("value"), "min", 91.0),
+        ("max", lambda p: p.max("value"), "max", 98.0),
+        ("spread", lambda p: p.spread("value"), "spread", 7.0),
+        ("stddev", lambda p: p.stddev("value"), "stddev", 2.160246899469287),
+        ("first", lambda p: p.first("value"), "first", 98.0),
+        ("last", lambda p: p.last("value"), "last", 95.0),
+        ("percentile", lambda p: p.percentile("value", 50.0), "percentile", 93.0),
+    ]
+    for name, build, col, expect in scalar_cases:
+        rows = build(win()).result().filter("time = '1971-01-01 00:00:10'").collect()
+        assert len(rows) == 1, name
+        got = rows[0][col]
+        assert got == pytest.approx(expect), f"{name}: {got} != {expect}"
+
+    # selectors keep point rows; compare the value multisets
+    top2 = (
+        Pipeline.from_df(cpu, time_col="time", dims=("host",))
+        .where("host = 'serverA' AND time < '1971-01-01 00:00:10'")
+        .top(2, "value")
+        .result()
+        .collect()
+    )
+    assert sorted(r.value for r in top2) == [96.0, 98.0]
+    bot3 = (
+        Pipeline.from_df(cpu, time_col="time", dims=("host",))
+        .where("host = 'serverA' AND time < '1971-01-01 00:00:10'")
+        .bottom(3, "value")
+        .result()
+        .collect()
+    )
+    assert sorted(r.value for r in bot3) == [91.0, 92.0, 92.0]
+
+
 def test_stream_eval_all_types_fixture(spark):
     """TestStream_EvalAllTypes (streamer_test.go:2687): chained eval
     lambdas over all four value types → ('bobsuffix', true, 19, 84.0)."""
