@@ -444,6 +444,56 @@ def test_stream_influxql_float_matrix(spark):
     assert sorted(r.value for r in bot3) == [91.0, 92.0, 92.0]
 
 
+def test_stream_influxql_integer_matrix(spark):
+    """TestStream_InfluxQL_Integer (streamer_test.go:6475): the same
+    aggregation matrix over an int64-typed field, plus the usePointTimes
+    selector variants — the emitted time is the SELECTED point's time
+    (min 91@00:00:01, first 98@00:00:00, last 95@00:00:09)."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_InfluxQL_Integer.srpl")
+    cpu = promote(
+        raw.filter("name = 'cpu'"), "cpu",
+        int_fields=["value"], tag_cols=["host", "type"],
+    )
+    assert dict(cpu.dtypes)["value"] == "bigint"
+
+    def win():
+        return (
+            Pipeline.from_df(cpu, time_col="time", dims=("host",))
+            .where("host = 'serverA'")
+            .window_time("10s", emit="end")
+        )
+
+    for name, build, col, expect in [
+        ("sum", lambda p: p.sum("value"), "sum", 940),
+        ("count", lambda p: p.count("value"), "count", 10),
+        ("mean", lambda p: p.mean("value"), "mean", 94.0),
+        ("median", lambda p: p.median("value"), "median", 94.0),
+        ("mode", lambda p: p.mode("value"), "mode", 95),
+        ("spread", lambda p: p.spread("value"), "spread", 7),
+        ("stddev", lambda p: p.stddev("value"), "stddev", 2.160246899469287),
+        ("percentile", lambda p: p.percentile("value", 50.0), "percentile", 93),
+    ]:
+        rows = build(win()).result().filter("time = '1971-01-01 00:00:10'").collect()
+        assert len(rows) == 1 and rows[0][col] == pytest.approx(expect), name
+
+    # usePointTimes selectors: emitted time = the selected point's time
+    base = (
+        Pipeline.from_df(cpu, time_col="time", dims=("host",))
+        .where("host = 'serverA' AND time < '1971-01-01 00:00:10'")
+    )
+    for name, build, col, t_exp, v_exp in [
+        ("min", lambda p: p.min_selector("value"), "min", 1, 91),
+        ("max", lambda p: p.max_selector("value"), "max", 0, 98),
+        ("first", lambda p: p.first("value", use_point_times=True), "first", 0, 98),
+        ("last", lambda p: p.last("value", use_point_times=True), "last", 9, 95),
+    ]:
+        rows = build(base).result().collect()
+        assert len(rows) == 1, name
+        assert (rows[0]["time"].replace(tzinfo=Z), rows[0][col]) == (
+            _ts(t_exp), v_exp,
+        ), name
+
+
 def test_stream_eval_all_types_fixture(spark):
     """TestStream_EvalAllTypes (streamer_test.go:2687): chained eval
     lambdas over all four value types → ('bobsuffix', true, 19, 84.0)."""
