@@ -494,6 +494,30 @@ def test_stream_influxql_integer_matrix(spark):
         ), name
 
 
+def test_stream_influxql_string_boolean_matrix(spark):
+    """TestStream_InfluxQL_String / _Boolean (streamer_test.go:6934,
+    7103): count/distinct/first/last over string- and boolean-typed
+    fields — the schemaless model's remaining two value types flowing
+    through the same aggregation machinery."""
+    for fixture, kind, first_v, last_v, n_distinct in [
+        ("TestStream_InfluxQL_String.srpl", "str", "98", "95", 6),
+        ("TestStream_InfluxQL_Boolean.srpl", "bool", False, True, 2),
+    ]:
+        raw = replay_srpl(spark, f"{FIXTURES}/{fixture}")
+        kwargs = {"str_fields": ["value"]} if kind == "str" else {"bool_fields": ["value"]}
+        cpu = promote(
+            raw.filter("name = 'cpu'"), "cpu", tag_cols=["host"], **kwargs
+        )
+        base = lambda: (
+            Pipeline.from_df(cpu, time_col="time", dims=("host",))
+            .where("host = 'serverA' AND time < '1971-01-01 00:00:10'")
+        )
+        assert base().count("value").result().collect()[0]["count"] == 10, kind
+        assert base().distinct("value").result().count() == n_distinct, kind
+        assert base().first("value").result().collect()[0]["first"] == first_v, kind
+        assert base().last("value").result().collect()[0]["last"] == last_v, kind
+
+
 def test_stream_eval_all_types_fixture(spark):
     """TestStream_EvalAllTypes (streamer_test.go:2687): chained eval
     lambdas over all four value types → ('bobsuffix', true, 19, 84.0)."""
