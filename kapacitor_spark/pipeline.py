@@ -309,13 +309,18 @@ class Pipeline:
         dt = (
             F.unix_micros(self.time) - F.unix_micros(F.lag(self.time_col).over(w))
         ) / 1_000_000.0
-        deriv = dv / (dt / F.lit(unit_s))
+        # zero elapsed ⇒ emit nothing but still advance prev
+        # (derivative.go:146-150) — NULL here, dropped by the filter below,
+        # and ANSI-safe (Spark 4 raises on /0 otherwise)
+        deriv = F.when(dt != 0, dv / (dt / F.lit(unit_s)))
         df = self.df.withColumn("__d", deriv).filter(F.col("__d").isNotNull())
         if non_negative:
             df = df.filter(F.col("__d") >= 0)
+        # with .as(alias) the reference KEEPS the source field and adds the
+        # alias alongside it (derivative.go:110-112 copies cur fields, then
+        # fields[As]=value; golden TestStream_DerivativeAs has columns
+        # time, derivative, value) — so never drop ``fld``.
         df = df.withColumn(out, F.col("__d")).drop("__d")
-        if out != fld:
-            df = df.drop(fld) if fld in df.columns and out != fld else df
         return self._with(df)
 
     def difference(self, fld: str, as_: str | None = None) -> "Pipeline":

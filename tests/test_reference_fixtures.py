@@ -543,3 +543,190 @@ stream
     r = rows[0]
     assert r.time.replace(tzinfo=Z) == _ts(0)
     assert (r.str, r.bool, r.int, r.float) == ("bobsuffix", True, 19, 84.0)
+
+
+def test_stream_derivative_as_fixture(spark):
+    """TestStream_DerivativeAs (streamer_test.go:293): with .as('derivative')
+    the source field RIDES ALONG (derivative.go:110-112 copies the point's
+    fields then adds the alias) — the golden rows are (time, derivative,
+    value) pairs, including the across-the-gap rate at 00:00:03 (the t=2
+    point carries only field value2 and is skipped; Δv=2 over Δt=2s ⇒ 1)."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Derivative.srpl")
+    pk = promote(raw, "packets", float_fields=["value"]).filter(
+        "value IS NOT NULL"  # reference skips points missing the field
+    )
+    rows = (
+        Pipeline.from_df(pk, time_col="time")
+        .derivative("value", as_="derivative")
+        .result()
+        .filter("time <= '1971-01-01 00:00:10'")
+        .orderBy("time")
+        .collect()
+    )
+    got = [(r.time.replace(tzinfo=Z), r["derivative"], r["value"]) for r in rows]
+    assert got == [
+        (_ts(1), 1.0, 1001.0),
+        (_ts(3), 1.0, 1003.0),
+        (_ts(4), 1.0, 1004.0),
+        (_ts(5), 2.0, 1006.0),
+        (_ts(6), 1.0, 1007.0),
+        (_ts(7), 0.0, 1007.0),
+        (_ts(8), 1.0, 1008.0),
+        (_ts(9), 1.0, 1009.0),
+        (_ts(10), 1.0, 1010.0),
+    ]
+    # TestStream_Derivative / _DerivativeUnit (streamer_test.go:264,394):
+    # windowed mean of the rate is 1.0 at unit=1s and 10.0 at unit=10s
+    for unit, expect in [("1s", 1.0), ("10s", 10.0)]:
+        mean = (
+            Pipeline.from_df(pk, time_col="time")
+            .derivative("value", unit=unit)
+            .window_time("10s", emit="end")
+            .mean("value")
+            .result()
+            .filter("time = '1971-01-01 00:00:10'")
+            .collect()
+        )
+        assert [r["mean"] for r in mean] == [pytest.approx(expect)], unit
+
+
+def test_stream_derivative_nn_fixture(spark):
+    """TestStream_DerivativeNN vs _DerivativeN (streamer_test.go:424,454):
+    same fixture, one with .nonNegative(). The -999 and -6 rates are
+    dropped under NN but STILL advance prev (derivative.go:152-155
+    returns store=true), so the mean over the remaining window is exactly
+    1.0; without NN the same window mean is -99.7."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_DerivativeNN.srpl")
+    pk = promote(raw, "packets", float_fields=["value"]).filter("value IS NOT NULL")
+
+    def mean_of(non_negative):
+        # the reference window here covers rates at 00:00:02..00:00:11
+        return (
+            Pipeline.from_df(pk, time_col="time")
+            .derivative("value", non_negative=non_negative)
+            .result()
+            .filter("time >= '1971-01-01 00:00:02' AND time <= '1971-01-01 00:00:11'")
+            .agg(F.avg("value").alias("mean"))
+            .collect()[0]["mean"]
+        )
+
+    assert mean_of(True) == pytest.approx(1.0)
+    assert mean_of(False) == pytest.approx(-99.7)
+
+
+def test_stream_derivative_zero_elapsed_fixture(spark):
+    """TestStream_DerivativeZeroElapsed (streamer_test.go:365): two points
+    share one timestamp — the zero-elapsed pair emits NOTHING (division
+    guard, derivative.go:146-150) but replaces prev, so the next rate
+    spans from the duplicate-time point: (1003-1002)/2s = 0.5. The
+    reference's window counts 9 rates; the full per-point set is 10."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_DerivativeZeroElapsed.srpl")
+    pk = promote(raw, "packets", float_fields=["value"]).filter("value IS NOT NULL")
+    d = (
+        Pipeline.from_df(pk, time_col="time", tiebreak=("value",))
+        .derivative("value")
+        .result()
+    )
+    rows = {r.time.replace(tzinfo=Z): r["value"] for r in d.collect()}
+    assert len(rows) == 10  # 12 points - first - zero-elapsed duplicate
+    assert rows[_ts(3)] == pytest.approx(0.5)
+    in_window = d.filter(
+        "time > '1971-01-01 00:00:01' AND time <= '1971-01-01 00:00:11'"
+    ).count()
+    assert in_window == 9  # the reference's golden count
+
+
+def test_stream_elapsed_fixture(spark):
+    """TestStream_Elapsed (streamer_test.go:603): elapsed('value', 1s) —
+    integer Δt per point, max over the window is the 4s gap
+    (00:00:05 → 00:00:09 after the replay shift)."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Elapsed.srpl")
+    pk = promote(raw, "packets", float_fields=["value"])
+    e = Pipeline.from_df(pk, time_col="time").elapsed(unit="1s", as_="elapsed")
+    rows = {r.time.replace(tzinfo=Z): r["elapsed"] for r in e.result().collect()}
+    assert rows == {
+        _ts(1): 1, _ts(2): 1, _ts(3): 1, _ts(4): 1, _ts(5): 1,
+        _ts(9): 4, _ts(10): 1, _ts(11): 1,
+    }
+    assert max(rows.values()) == 4  # the golden max
+
+
+def test_stream_difference_fixture(spark):
+    """TestStream_Difference (streamer_test.go:633): cur-prev per point;
+    the golden max over the window is 5 (1001 → 1006)."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Difference.srpl")
+    pk = promote(raw, "packets", float_fields=["value"])
+    d = Pipeline.from_df(pk, time_col="time").difference("value")
+    rows = {r.time.replace(tzinfo=Z): r["value"] for r in d.result().collect()}
+    assert rows == {
+        _ts(1): 1.0, _ts(2): 5.0, _ts(9): 3.0, _ts(10): 1.0, _ts(11): 1.0,
+    }
+
+
+def test_stream_moving_average_fixture(spark):
+    """TestStream_MovingAverage (streamer_test.go:663): movingAverage(4)
+    emits only once the window is full; all ten golden rows."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_MovingAverage.srpl")
+    pk = promote(raw, "packets", float_fields=["value"])
+    ma = Pipeline.from_df(pk, time_col="time").moving_average(
+        "value", 4, as_="movingAverage"
+    )
+    got = {
+        r.time.replace(tzinfo=Z): r["movingAverage"]
+        for r in ma.result().filter("time <= '1971-01-01 00:00:12'").collect()
+    }
+    assert got == {
+        _ts(3): 1001.5, _ts(4): 1005.0, _ts(5): 1008.5, _ts(6): 1012.0,
+        _ts(7): 1015.5, _ts(8): 1016.5, _ts(9): 1017.5, _ts(10): 1018.5,
+        _ts(11): 1019.5, _ts(12): 1020.5,
+    }
+
+
+def test_stream_cumulative_sum_fixture(spark):
+    """TestStream_CumulativeSum (streamer_test.go:730): running sum from
+    the first point; all ten golden rows."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_CumulativeSum.srpl")
+    pk = promote(raw, "packets", float_fields=["value"])
+    cs = Pipeline.from_df(pk, time_col="time").cumulative_sum(
+        "value", as_="cumulativeSum"
+    )
+    got = {
+        r.time.replace(tzinfo=Z): r["cumulativeSum"]
+        for r in cs.result().filter("time < '1971-01-01 00:00:10'").collect()
+    }
+    assert got == {
+        _ts(0): 0.0, _ts(1): 0.0, _ts(2): 1.0, _ts(3): 3.0, _ts(4): 6.0,
+        _ts(5): 10.0, _ts(6): 15.0, _ts(7): 21.0, _ts(8): 28.0, _ts(9): 36.0,
+    }
+
+
+def test_stream_change_detect_fixtures(spark):
+    """TestStream_ChangeDetect / _Many (streamer_test.go:169,218):
+    consecutive duplicates dropped per monitored field set; points missing
+    the monitored field are skipped (the t=6 point carries only value2).
+    Golden row sets from the reference, string + multi-field variants."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_ChangeDetect.srpl")
+    pk = promote(raw, "packets", str_fields=["value"]).filter("value IS NOT NULL")
+    cd = Pipeline.from_df(pk, time_col="time").change_detect("value")
+    got = [
+        (r.time.replace(tzinfo=Z), r["value"])
+        for r in cd.result().filter("time < '1971-01-01 00:00:10'")
+        .orderBy("time").collect()
+    ]
+    assert got == [
+        (_ts(0), "bad"), (_ts(1), "good"), (_ts(2), "bad"),
+        (_ts(5), "good"), (_ts(7), "bad"), (_ts(8), "good"),
+    ]
+
+    raw2 = replay_srpl(spark, f"{FIXTURES}/TestStream_ChangeDetect_Many.srpl")
+    pk2 = promote(raw2, "packets", str_fields=["a"], float_fields=["b"])
+    cd2 = Pipeline.from_df(pk2, time_col="time").change_detect("a", "b")
+    got2 = [
+        (r.time.replace(tzinfo=Z), r["a"], r["b"])
+        for r in cd2.result().filter("time < '1971-01-01 00:00:06'")
+        .orderBy("time").collect()
+    ]
+    assert got2 == [
+        (_ts(0), "bad", 0.0), (_ts(1), "good", 0.0),
+        (_ts(4), "bad", 1.0), (_ts(5), "bad", 0.0),
+    ]
