@@ -107,7 +107,7 @@ def eval_revenue(spark, sf_dir):
     p = Pipeline.from_df(_t(spark, sf_dir, "lineitem"), time_col="l_shipdate")
     return (
         p.eval(
-            keep=["l_orderkey", "l_linenumber"],
+            keep=["l_orderkey", "l_linenumber", "revenue", "tax_amt"],
             revenue="l_extendedprice * (1 - l_discount)",
             tax_amt="revenue * l_tax",
         )
@@ -418,7 +418,7 @@ def window_count_agg(spark, sf_dir):
             sum10_dec=F.sum(F.col("value").cast("decimal(20,4)")),
             n10=F.count("value"),
         )
-        .eval(keep=["n10"], sum10=F.col("sum10_dec").cast("double"))
+        .eval(keep=["n10", "sum10"], sum10=F.col("sum10_dec").cast("double"))
         .result()
         .select("ts", "event_type", "sum10", "n10")
     )

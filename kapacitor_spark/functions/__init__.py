@@ -84,7 +84,12 @@ FUNCTIONS: dict = {
     "bool": lambda x: _c(x).cast("boolean"),
     "int": lambda x: _c(x).cast("long"),
     "float": lambda x: _c(x).cast("double"),
-    "string": lambda x: _c(x).cast("string"),
+    # Go strconv.FormatFloat(-1) renders integral floats without the
+    # trailing ".0" (golden TestStream_Eval_Tags expects tag "0", not
+    # "0.0") — strip it when the rendering is exactly <digits>.0
+    "string": lambda x: F.regexp_replace(
+        _c(x).cast("string"), r"^(-?\d+)\.0$", r"$1"
+    ),
     "duration": lambda x, unit=1.0: _c(x).cast("double") * F.lit(unit),
     # math (functions.go:152-193)
     "abs": lambda x: F.abs(_c(x)),

@@ -191,7 +191,16 @@ class _Parser:
             if k == "op" and v in ("*", "/", "%"):
                 self.next()
                 r = self.unary()
-                c = c * r if v == "*" else (c / r if v == "/" else c % r)
+                if v == "*":
+                    c = c * r
+                else:
+                    # division/modulo by zero is an EVAL ERROR in the
+                    # reference (point dropped, integrations
+                    # TestStream_EvalDivisionByZero expects no output);
+                    # try_* yields NULL instead of the ANSI exception so
+                    # eval(drop_errors=True) can drop the point. (Float /0
+                    # is +Inf in Go — documented divergence: NULL here.)
+                    c = F.try_divide(c, r) if v == "/" else F.try_mod(c, r)
             else:
                 return c
 

@@ -185,6 +185,7 @@ class Pipeline:
         self,
         keep: bool | Sequence[str] = True,
         tags: Sequence[str] = (),
+        drop_errors: bool = False,
         **named_exprs: str | Column,
     ) -> "Pipeline":
         """Ordered expression evaluation (/root/reference/eval.go:91-172).
@@ -202,11 +203,25 @@ class Pipeline:
         for name, expr in named_exprs.items():
             c = self._expr(expr)
             df = df.withColumn(name, c.cast("string") if name in tags else c)
+        if drop_errors:
+            # reference semantics: an expression error (missing field,
+            # int division by zero → NULL via try_divide) drops the whole
+            # point (eval.go errors are logged and the point is skipped;
+            # TestStream_EvalDivisionByZero expects zero output rows)
+            for name in named_exprs:
+                df = df.filter(F.col(name).isNotNull())
         new_dims = self.dims + tuple(t for t in tags if t not in self.dims)
         if keep is True:
             return self._with(df, dims=new_dims if tags else self.dims)
-        keep_cols = list(keep) if not isinstance(keep, bool) else []
-        out = [self.time_col, *self.dims, *keep_cols, *named_exprs.keys()]
+        if isinstance(keep, bool):
+            # keep=False: only time+dims+outputs survive
+            out = [self.time_col, *self.dims, *named_exprs.keys()]
+        else:
+            # keep=[...] prunes EVAL OUTPUTS too: an intermediate output
+            # absent from the list is hidden (eval.go .keep(...);
+            # golden TestStream_Eval_KeepSomeWithHidden hides 'pos')
+            out = [self.time_col, *self.dims, *keep,
+                   *[t for t in tags if t in named_exprs]]
         seen, cols = set(), []
         for c in out:
             if c not in seen and c in df.columns:
@@ -691,38 +706,69 @@ class Pipeline:
     def max(self, fld: str, as_: str = "max") -> "Pipeline":
         return self._single_agg(F.max(fld), as_)
 
-    def first(self, fld: str, as_: str = "first", use_point_times: bool = False) -> "Pipeline":
+    def first(
+        self, fld: str, as_: str = "first", use_point_times: bool = False,
+        aux: Sequence[str] = (),
+    ) -> "Pipeline":
         """Value at earliest time (/root/reference/pipeline/influxql.go:312).
-        min_by keeps it a single hash-agg pass (no sort)."""
-        p = self._single_agg(F.min_by(fld, F.col(self.time_col)), as_)
-        if use_point_times:
-            return self._selector_with_time(fld, as_, F.min_by, order=self.time_col)
-        return p
+        min_by keeps it a single hash-agg pass (no sort). ``aux`` columns
+        ride along from the SELECTED point (the reference emits the whole
+        selected point — golden TestStream_Selectors carries field
+        'another' beside 'last')."""
+        if use_point_times or aux:
+            return self._selector_with_time(
+                fld, as_, F.min_by, order=self.time_col,
+                aux=aux, point_time=use_point_times,
+            )
+        return self._single_agg(F.min_by(fld, F.col(self.time_col)), as_)
 
-    def last(self, fld: str, as_: str = "last", use_point_times: bool = False) -> "Pipeline":
-        p = self._single_agg(F.max_by(fld, F.col(self.time_col)), as_)
-        if use_point_times:
-            return self._selector_with_time(fld, as_, F.max_by, order=self.time_col)
-        return p
+    def last(
+        self, fld: str, as_: str = "last", use_point_times: bool = False,
+        aux: Sequence[str] = (),
+    ) -> "Pipeline":
+        if use_point_times or aux:
+            return self._selector_with_time(
+                fld, as_, F.max_by, order=self.time_col,
+                aux=aux, point_time=use_point_times,
+            )
+        return self._single_agg(F.max_by(fld, F.col(self.time_col)), as_)
 
-    def _selector_with_time(self, fld, as_, fn, order) -> "Pipeline":
-        """Selector keeping the selected point's own time
-        (usePointTimes, /root/reference/pipeline/influxql.go:160-169)."""
+    def _selector_with_time(
+        self, fld, as_, fn, order, aux: Sequence[str] = (), point_time: bool = True
+    ) -> "Pipeline":
+        """Selector keeping the selected point's own time and aux fields
+        (usePointTimes, /root/reference/pipeline/influxql.go:160-169).
+        One struct min_by/max_by keeps time+value+aux from the SAME row
+        (separate per-column min_bys could mix rows on ties)."""
         df, keys, dim_names = self._window_grouping()
-        sel = fn(F.struct(F.col(self.time_col).alias("t"), F.col(fld).alias("v")), F.col(order))
+        s = F.struct(
+            F.col(self.time_col).alias("t"), F.col(fld).alias("v"),
+            *[F.col(a).alias(a) for a in aux],
+        )
+        sel = fn(s, F.col(order))
         out = (df.groupBy(*keys) if keys else df).agg(sel.alias("__s"))
-        out = out.withColumn(as_, F.col("__s.v")).withColumn(self.time_col, F.col("__s.t")).drop("__s")
-        if "__w" in out.columns:
-            out = out.drop("__w")
+        out = out.withColumn(as_, F.col("__s.v"))
+        for a in aux:
+            out = out.withColumn(a, F.col(f"__s.{a}"))
+        if point_time:
+            out = out.withColumn(self.time_col, F.col("__s.t")).drop("__s")
+            if "__w" in out.columns:
+                out = out.drop("__w")
+        else:
+            out = self._emit_window_time(out.drop("__s"))
         return Pipeline(df=out, time_col=self.time_col, dims=tuple(dim_names), results=self.results)
 
-    def min_selector(self, fld: str, as_: str = "min") -> "Pipeline":
+    def min_selector(
+        self, fld: str, as_: str = "min", aux: Sequence[str] = ()
+    ) -> "Pipeline":
         """min as a SELECTOR: keeps the point time of the minimum
         (/root/reference/pipeline/influxql.go:362)."""
-        return self._selector_with_time(fld, as_, F.min_by, order=fld)
+        return self._selector_with_time(fld, as_, F.min_by, order=fld, aux=aux)
 
-    def max_selector(self, fld: str, as_: str = "max") -> "Pipeline":
-        return self._selector_with_time(fld, as_, F.max_by, order=fld)
+    def max_selector(
+        self, fld: str, as_: str = "max", aux: Sequence[str] = ()
+    ) -> "Pipeline":
+        return self._selector_with_time(fld, as_, F.max_by, order=fld, aux=aux)
 
     def percentile(self, fld: str, p: float, as_: str = "percentile") -> "Pipeline":
         """Exact percentile WITHOUT interpolation, reference formula

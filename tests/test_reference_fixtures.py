@@ -730,3 +730,233 @@ def test_stream_change_detect_fixtures(spark):
         (_ts(0), "bad", 0.0), (_ts(1), "good", 0.0),
         (_ts(4), "bad", 1.0), (_ts(5), "bad", 0.0),
     ]
+
+
+def test_stream_sample_fixtures(spark):
+    """TestStream_Sample_Count / _Time (streamer_test.go:12778,12813):
+    sample(2) keeps every 2nd point starting with the first
+    (counter%N==0, sample.go:97-110); sample(3s) keeps points landing
+    exactly on 3s boundaries. Golden rows from the aligned [4s,8s)
+    window."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Sample.srpl")
+    pk = promote(raw, "packets", float_fields=["value"])
+    in_win = "time >= '1971-01-01 00:00:04' AND time < '1971-01-01 00:00:08'"
+
+    by_count = (
+        Pipeline.from_df(pk, time_col="time").sample(n=2).result()
+        .filter(in_win).orderBy("time").collect()
+    )
+    assert [(r.time.replace(tzinfo=Z), r.value) for r in by_count] == [
+        (_ts(4), 1004.0), (_ts(6), 1006.0),
+    ]
+
+    by_time = (
+        Pipeline.from_df(pk, time_col="time").sample(every="3s").result()
+        .filter(in_win).collect()
+    )
+    assert [(r.time.replace(tzinfo=Z), r.value) for r in by_time] == [
+        (_ts(6), 1006.0),
+    ]
+
+
+def test_stream_delete_fixtures(spark):
+    """TestStream_Delete / _Delete_GroupBy (streamer_test.go:3133,3179):
+    delete() drops fields/tags, and dropping a grouped-on tag REGROUPS —
+    the per-(host,type) points collapse into per-host groups whose
+    windowed sums are 18/12/6."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Delete.srpl")
+    cpu = promote(
+        raw, "cpu", float_fields=["value", "anothervalue"],
+        tag_cols=["host", "type"],
+    )
+    p = Pipeline.from_df(cpu, time_col="time", dims=("host", "type")).delete(
+        "anothervalue", "type"
+    ).group_by("*")
+    assert p.dims == ("host",)
+    assert set(p.result().columns) == {"time", "host", "value"}
+    assert {r.host: r.value for r in p.result().collect()} == {
+        "serverA": 9.0, "serverB": 6.0, "serverC": 3.0,
+    }
+
+    raw2 = replay_srpl(spark, f"{FIXTURES}/TestStream_Delete_GroupBy.srpl")
+    cpu2 = promote(
+        raw2, "cpu", float_fields=["value", "anothervalue"],
+        tag_cols=["host", "type"],
+    )
+    out = (
+        Pipeline.from_df(cpu2, time_col="time", dims=("host", "type"))
+        .delete("anothervalue", "type")
+        .window_time("2s", emit="end")
+        .sum("value", as_="value")
+        .result()
+        .filter("time = '1971-01-01 00:00:02'")
+        .collect()
+    )
+    assert {r.host: r.value for r in out} == {
+        "serverA": 18.0, "serverB": 12.0, "serverC": 6.0,
+    }
+
+
+def test_stream_selectors_fixture(spark):
+    """TestStream_Selectors (streamer_test.go:12697): last('value') emits
+    the selected POINT — its other fields ride along (golden columns are
+    time, another, last)."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Selectors.srpl")
+    cpu = promote(
+        raw, "cpu", float_fields=["value", "another"], tag_cols=["host", "type"],
+    )
+    out = (
+        Pipeline.from_df(cpu, time_col="time", dims=("host", "type"))
+        .where("host = 'serverA'")
+        .window_time("10s", emit="end")
+        .last("value", aux=("another",))
+        .result()
+        .filter("time = '1971-01-01 00:00:10'")
+        .collect()
+    )
+    assert len(out) == 1
+    r = out[0]
+    assert (r["another"], r["last"], r["host"], r["type"]) == (
+        5.0, 95.3, "serverA", "idle",
+    )
+
+
+def test_stream_top_selector_fixture(spark):
+    """TestStream_TopSelector (streamer_test.go:12727): last score per
+    (game, player) over the aligned [2s,4s) window, regrouped by game,
+    top(5, 'last', 'player') — both games' golden top-5 rosters."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_TopSelector.srpl")
+    sc = promote(raw, "scores", float_fields=["value"], tag_cols=["game", "player"])
+    lasts = (
+        Pipeline.from_df(sc, time_col="time", dims=("game", "player"))
+        .window_time("2s", emit="end")
+        .last("value", as_="last")
+        .result()
+        .filter("time = '1971-01-01 00:00:04'")
+    )
+    top5 = (
+        Pipeline.from_df(lasts, time_col="time", dims=("game",))
+        .top(5, "last", "player")
+        .result()
+        .collect()
+    )
+    got = {}
+    for r in top5:
+        got.setdefault(r.game, set()).add((r.player, r["last"]))
+    assert got == {
+        "g0": {("p7", 978.0), ("p10", 957.0), ("p9", 878.0),
+               ("p5", 877.0), ("p15", 791.0)},
+        "g1": {("p19", 926.0), ("p12", 887.0), ("p0", 879.0),
+               ("p15", 872.0), ("p16", 863.0)},
+    }
+
+
+def test_stream_eval_keep_fixtures(spark):
+    """TestStream_Eval_KeepAll / _KeepSome / _KeepSomeWithHidden
+    (streamer_test.go:2730-2817): ordered eval where later lambdas see
+    earlier outputs; keep() retains all input fields, keep(subset) prunes
+    — including hiding an intermediate output not in the keep list."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Eval_KeepSome.srpl")
+    types = promote(
+        raw, "types", float_fields=["value0", "value1", "other"]
+    )
+    base = lambda: Pipeline.from_df(types, time_col="time")
+
+    keep_all = base().eval(
+        keep=True,
+        pos=F.col("value0") + F.col("value1"),
+        neg=F.col("value0") - F.col("value1"),
+    ).result().collect()[0]
+    assert (keep_all["neg"], keep_all["pos"], keep_all["value0"],
+            keep_all["value1"]) == (-1.0, 1.0, 0.0, 1.0)
+
+    keep_some = base().eval(
+        keep=["value0", "pos", "neg", "other"],
+        pos=F.col("value0") + F.col("value1"),
+        neg=F.col("value0") - F.col("value1"),
+    ).result()
+    assert set(keep_some.columns) == {"time", "neg", "other", "pos", "value0"}
+    r = keep_some.collect()[0]
+    assert (r["neg"], r["other"], r["pos"], r["value0"]) == (-1.0, 5.0, 1.0, 0.0)
+
+    hidden = base().eval(
+        keep=["value0", "zero"],
+        pos=F.col("value0") + F.col("value1"),
+        zero=F.col("pos") - F.col("value1"),  # references the 1st output
+    ).result()
+    assert set(hidden.columns) == {"time", "value0", "zero"}
+    assert hidden.collect()[0]["zero"] == 0.0
+
+
+def test_stream_eval_tags_fixtures(spark):
+    """TestStream_Eval_Tags (+_Keep/_KeepSome, streamer_test.go:2818-2932):
+    eval outputs converted to TAGS become string-typed group dims."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Eval_Tags.srpl")
+    types = promote(raw, "types", float_fields=["value", "another"])
+
+    p = Pipeline.from_df(types, time_col="time").eval(
+        keep=["another", "value"], tags=("value_tag",),
+        value_tag='lambda: string("value")',
+    )
+    assert "value_tag" in p.dims
+    rows = {r["value_tag"]: r for r in p.result().collect()}
+    assert set(rows) == {"0", "1"}  # tag values are strings
+    assert all(isinstance(k, str) for k in rows)
+    assert rows["0"]["another"] == 2.0 and rows["0"]["value"] == 0.0
+    assert rows["1"]["another"] == 2.0 and rows["1"]["value"] == 1.0
+
+
+def test_stream_eval_groups_and_div_zero_fixtures(spark):
+    """TestStream_EvalGroups (streamer_test.go:2933): the stateful count()
+    lambda runs per GROUP — both groups reach count 2. And
+    TestStream_EvalDivisionByZero (:2716): integer division by zero is an
+    eval ERROR — the point is dropped, zero output rows."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_EvalGroups.srpl")
+    types = promote(raw, "types", float_fields=["value"], tag_cols=["group"])
+    p = Pipeline.from_df(types, time_col="time", dims=("group",)).eval(
+        keep=True, count="lambda: count()"
+    )
+    got = {
+        (r["group"], r.time.replace(tzinfo=Z)): r["count"]
+        for r in p.result().collect()
+    }
+    assert got == {
+        ("A", _ts(0)): 1, ("A", _ts(1)): 2,
+        ("B", _ts(0)): 1, ("B", _ts(1)): 2,
+    }
+
+    raw2 = replay_srpl(spark, f"{FIXTURES}/TestStream_EvalDivisionByZero.srpl")
+    data = promote(raw2, "data", int_fields=["n"], tag_cols=["t"])
+    out = Pipeline.from_df(data, time_col="time").eval(
+        drop_errors=True, n="lambda: 10 / \"n\""
+    )
+    assert out.result().count() == 0  # the reference's NoOutput assertion
+
+
+def test_stream_sideload_fixture(spark):
+    """TestStream_Sideload (streamer_test.go:12268): hierarchical ordered
+    lookup (t0 level beats t1 beats t2), defaults for unmatched keys —
+    the reference's three golden rows, including t1/o.yml's f1=42 LOSING
+    to t0/c.yml's f1=12."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Sideload.srpl")
+    m = promote(raw, "m", float_fields=["value"], tag_cols=["t0", "t1", "t2"])
+    # the reference's testdata/sideload yml files as lookup tables
+    l0 = spark.createDataFrame([("b", 2.0), ("c", 12.0)], "t0 string, f1 double")
+    l1 = spark.createDataFrame(
+        [("n", None, 3.5), ("o", 42.0, 13.5)], "t1 string, f1 double, f2 double"
+    )
+    l2 = spark.createDataFrame([("y", "why")], "t2 string, t3 string")
+    p = Pipeline.from_df(m, time_col="time", dims=("t0", "t1", "t2")).sideload(
+        [l0, l1, l2], on=[["t0"], ["t1"], ["t2"]],
+        fields=["f1", "f2", "t3"],
+        defaults={"f1": 0.0, "f2": 0.0, "t3": "one"},
+    )
+    got = {
+        (r.t0, r.t1, r.t2): (r.f1, r.f2, r.t3, r.value)
+        for r in p.result().collect()
+    }
+    assert got == {
+        ("a", "m", "x"): (0.0, 0.0, "one", 1.0),
+        ("b", "n", "y"): (2.0, 3.5, "why", 1.0),
+        ("c", "o", "y"): (12.0, 13.5, "why", 1.0),
+    }
