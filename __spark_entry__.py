@@ -567,21 +567,30 @@ def moving_avg5(spark, sf_dir):
 
 @_q(
     "join_tolerance",
-    """WITH a AS (SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 60000000) AS bt,
-                         user_id, value FROM events WHERE event_type = 'click'),
-            b AS (SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 60000000) AS bt,
-                         user_id, value FROM events WHERE event_type = 'purchase')
+    """WITH a AS (SELECT make_timestamp((epoch_us(ts) + 30000000) - (epoch_us(ts) + 30000000) % 60000000) AS bt,
+                         user_id, value,
+                         row_number() OVER (
+                           PARTITION BY make_timestamp((epoch_us(ts) + 30000000) - (epoch_us(ts) + 30000000) % 60000000), user_id
+                           ORDER BY ts, event_id) AS seq
+                  FROM events WHERE event_type = 'click'),
+            b AS (SELECT make_timestamp((epoch_us(ts) + 30000000) - (epoch_us(ts) + 30000000) % 60000000) AS bt,
+                         user_id, value,
+                         row_number() OVER (
+                           PARTITION BY make_timestamp((epoch_us(ts) + 30000000) - (epoch_us(ts) + 30000000) % 60000000), user_id
+                           ORDER BY ts, event_id) AS seq
+                  FROM events WHERE event_type = 'purchase')
        SELECT a.bt AS ts, a.user_id, a.value AS click_value, b.value AS purchase_value
-       FROM a JOIN b ON a.bt = b.bt AND a.user_id = b.user_id""",
+       FROM a JOIN b ON a.bt = b.bt AND a.user_id = b.user_id AND a.seq = b.seq""",
 )
 def join_tolerance(spark, sf_dir):
     """join().tolerance(1m) — /root/reference/join.go: time-bucketed
     equi-join on (bucket, dims); AQE picks broadcast/skew handling."""
     ev = _t(spark, sf_dir, "events")
     mk = lambda typ: Pipeline.from_df(
-        ev.filter(F.col("event_type") == typ).select("ts", "user_id", "value"),
+        ev.filter(F.col("event_type") == typ).select("ts", "user_id", "value", "event_id"),
         time_col="ts",
         dims=("user_id",),
+        tiebreak=("event_id",),
     )
     j = mk("click").join(mk("purchase"), prefixes=("click", "purchase"), tolerance="1m")
     return j.result().select("ts", "user_id", "click_value", "purchase_value")
@@ -589,7 +598,7 @@ def join_tolerance(spark, sf_dir):
 
 @_q(
     "combine_triples",
-    """WITH e AS (SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bt,
+    """WITH e AS (SELECT make_timestamp((epoch_us(ts) + 7200000000) - (epoch_us(ts) + 7200000000) % 14400000000) AS bt,
                          user_id, event_type, value, event_id FROM events)
        SELECT a.bt AS ts, a.user_id,
               a.value AS click_value, b.value AS view_value, c.value AS purchase_value,
@@ -604,7 +613,7 @@ def combine_triples(spark, sf_dir):
     """combine() k-combinations, 3 slots — /root/reference/combine.go:
     142-286 + pipeline/combine.go:18-60 (N slots, one lambda per slot):
     every (click, view, purchase) triple of distinct points in the same
-    (user, hour) bucket, via iterated equi-joins on (bucket, dims)."""
+    (user, 4h) bucket, via iterated equi-joins on (bucket, dims)."""
     ev = _t(spark, sf_dir, "events").select(
         "ts", "user_id", "event_type", "value", "event_id"
     )
@@ -614,7 +623,7 @@ def combine_triples(spark, sf_dir):
         "event_type = 'view'",
         "event_type = 'purchase'",
         as_=("click", "view", "purchase"),
-        tolerance="1h",
+        tolerance="4h",
         id_col="event_id",
     )
     return c.result().select(
@@ -645,9 +654,9 @@ def union_rename(spark, sf_dir):
 @_q(
     "flatten_daily",
     """WITH f AS (
-         SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS bt,
+         SELECT make_timestamp((epoch_us(ts) + 43200000000) - (epoch_us(ts) + 43200000000) % 86400000000) AS bt,
                 user_id, event_type, value,
-                row_number() OVER (PARTITION BY make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000),
+                row_number() OVER (PARTITION BY make_timestamp((epoch_us(ts) + 43200000000) - (epoch_us(ts) + 43200000000) % 86400000000),
                                    user_id, event_type ORDER BY ts, event_id) AS rn
          FROM events)
        SELECT bt AS ts, user_id,

@@ -225,7 +225,9 @@ class _Parser:
             return self._mark_str(F.lit(v[1:-1].replace("\\'", "'")))
         if k == "ref":
             name = v[1:-1]
-            c = F.col(name)
+            # backtick-quote: join-prefixed refs like "errors.value" are
+            # flat column names, not struct field access
+            c = F.col(f"`{name}`")
             return self._mark_str(c) if self.schema.get(name) == "string" else c
         if k == "op" and v == "(":
             c = self.or_()

@@ -49,6 +49,13 @@ def _col(c: str | Column) -> Column:
     return c
 
 
+def _flat(name: str) -> Column:
+    """Column ref for a FLAT name that may contain dots (join-prefixed
+    fields like 'errors.value') — backtick-quoted so it never reads as
+    struct-field access. df[name] does not quote either."""
+    return F.col(f"`{name}`")
+
+
 @dataclass(frozen=True)
 class WindowSpec:
     """Pending .window() — consumed by the next aggregation.
@@ -234,7 +241,9 @@ class Pipeline:
         df = self.df
         for name, v in values.items():
             if name in df.columns:
-                df = df.withColumn(name, F.coalesce(F.col(name), F.lit(v)))
+                # backtick-quoted ref: join-prefixed fields contain dots
+                # ('errors.value') which a bare ref would read as nesting
+                df = df.withColumn(name, F.coalesce(_flat(name), F.lit(v)))
             else:
                 df = df.withColumn(name, F.lit(v))
         return self._with(df)
@@ -846,8 +855,15 @@ class Pipeline:
         streaming mode state cleanup is native via watermark timeouts —
         so it is a recorded no-op.
 
-        Scale: equi-join on (time bucket, dims) — Catalyst/AQE choose
-        broadcast vs sort-merge; skewed buckets are split by AQE skew-join.
+        Pairing: within one (bucket, dims) cell the reference pairs points
+        SEQUENTIALLY in time order (join.go:538-762 builds per-time join
+        sets — the golden TestStream_JoinTolerance rows are 1st-with-1st,
+        2nd-with-2nd, never a cross product), so each side gets a
+        within-bucket sequence number that joins as part of the key.
+
+        Scale: equi-join on (time bucket, dims, seq) — Catalyst/AQE choose
+        broadcast vs sort-merge; skewed buckets are split by AQE skew-join,
+        and the sequence key also bounds any hot bucket to linear output.
         """
         del delete_all  # batch: no delete messages; streaming: watermarks
         lp, rp = prefixes
@@ -856,39 +872,73 @@ class Pipeline:
         def bucket(p: "Pipeline") -> DataFrame:
             if tolerance:
                 us = round(parse_duration(tolerance) * 1_000_000)
-                um = F.unix_micros(F.col(p.time_col))
-                b = um - um % F.lit(us)  # integer floor-bucket, exact
-                return p.df.withColumn("__jt", b)
-            return p.df.withColumn("__jt", F.unix_micros(F.col(p.time_col)))
+                um = F.unix_micros(F.col(p.time_col)) + F.lit(us // 2)
+                # Go Time.Round semantics (join.go rounds to the NEAREST
+                # multiple, half up — golden TestStream_JoinTolerance puts
+                # a t=3s point in the 4s bucket at tolerance 2s), done as
+                # exact integer math: floor(t + d/2, d)
+                b = um - um % F.lit(us)
+            else:
+                b = F.unix_micros(F.col(p.time_col))
+            df = p.df.withColumn("__jt", b)
+            # sequence within the side's OWN full group (join.go builds
+            # join sets per (time, group)); with an .on() subset join the
+            # coarse side's seq stays per its coarse group, so the single
+            # coarse point still matches every fine subgroup's first point
+            # (one-to-many, pipeline/join.go:204-236)
+            seq = F.row_number().over(
+                Window.partitionBy("__jt", *p.dims).orderBy(
+                    F.col(p.time_col), *[F.col(c) for c in p.tiebreak]
+                )
+            )
+            return df.withColumn("__jseq", seq)
 
-        def prefix(df: DataFrame, p: str, keep_dims: Iterable[str], tcol: str) -> DataFrame:
+        def prefix(df: DataFrame, p: str | None, keep_dims: Iterable[str], tcol: str) -> DataFrame:
+            """p=None → pass through unrenamed (chained N-way joins:
+            cpu.join(mem, ('cpu','mem')).join(disk, (None,'disk')))."""
             cols = []
             for c in df.columns:
-                if c == "__jt" or c in keep_dims:
-                    cols.append(F.col(c))
-                elif c == tcol:
-                    continue
+                if c == tcol:
+                    continue  # time is rebuilt from the bucket key
+                if c in ("__jt", "__jseq") or c in keep_dims or p is None:
+                    cols.append(_flat(c))
                 else:
-                    cols.append(F.col(c).alias(f"{p}{delimiter}{c}"))
+                    cols.append(_flat(c).alias(f"{p}{delimiter}{c}"))
             return df.select(*cols)
 
-        left = prefix(bucket(self), lp, join_dims, self.time_col)
-        right = prefix(bucket(other), rp, join_dims, other.time_col)
+        # each side's own dims stay unprefixed — the fine side's extra tags
+        # become output tags (golden TestStream_JoinOn keeps 'dc' a tag)
+        left = prefix(bucket(self), lp, {*self.dims, *join_dims}, self.time_col)
+        right = prefix(bucket(other), rp, {*other.dims, *join_dims}, other.time_col)
         how = "inner" if fill in (None, "none") else "full_outer"
-        keys = ["__jt", *join_dims]
+        keys = ["__jt", "__jseq", *join_dims]
         out = left.join(right, keys, how)
+        # explicit coalesce, not DataFrame.fillna: prefixed field names
+        # contain the delimiter ('errors.value') which fillna's column
+        # resolution can't address
+        def _fill(df: DataFrame, cols_vals) -> DataFrame:
+            dtypes = dict(df.dtypes)
+            for c, v in cols_vals:
+                t = dtypes.get(c, "")
+                if t.startswith("timestamp"):
+                    continue
+                if isinstance(v, str) != (t == "string"):
+                    continue  # type-mismatched fill: same skip rule as fillna
+                df = df.withColumn(c, F.coalesce(_flat(c), F.lit(v)))
+            return df
+
         if isinstance(fill, dict):
-            out = out.fillna(fill)
+            out = _fill(out, [(c, v) for c, v in fill.items() if c in out.columns])
         elif fill not in (None, "none", "null"):
-            value_cols = [c for c in out.columns if c not in keys]
-            out = out.fillna(fill, subset=value_cols)
+            out = _fill(out, [(c, fill) for c in out.columns if c not in keys])
         out = out.withColumn(
             self.time_col, F.timestamp_micros(F.col("__jt"))
-        ).drop("__jt")
+        ).drop("__jt", "__jseq")
         if stream_name is not None:
             out = out.withColumn("name", F.lit(stream_name))
+        out_dims = tuple(dict.fromkeys([*join_dims, *self.dims, *other.dims]))
         return Pipeline(
-            df=out, time_col=self.time_col, dims=tuple(join_dims), results=self.results
+            df=out, time_col=self.time_col, dims=out_dims, results=self.results
         )
 
     def combine(
@@ -919,11 +969,12 @@ class Pipeline:
             raise ValueError("combine() needs >=2 slots and matching as_ names")
         exprs = [self._expr(p) for p in predicates]
         us = round(parse_duration(tolerance) * 1_000_000) if tolerance else None
-        t = (
-            (F.unix_micros(self.time) - F.unix_micros(self.time) % F.lit(us))
-            if us
-            else F.unix_micros(self.time)
-        )
+        if us:
+            # Go Time.Round to the nearest multiple (combine.go:118)
+            um = F.unix_micros(self.time) + F.lit(us // 2)
+            t = um - um % F.lit(us)
+        else:
+            t = F.unix_micros(self.time)
         ident = F.col(id_col) if id_col else F.xxhash64(*[F.col(c) for c in self.df.columns])
         # persist: every slot side re-reads this projection (N scans otherwise)
         base = self.df.withColumn("__ct", t).withColumn("__id", ident)
@@ -987,7 +1038,9 @@ class Pipeline:
         t = self.time
         if tolerance:
             us = round(parse_duration(tolerance) * 1_000_000)
-            t = F.timestamp_micros(F.unix_micros(t) - F.unix_micros(t) % F.lit(us))
+            # Go Time.Round to the nearest multiple (flatten.go:44)
+            um = F.unix_micros(t) + F.lit(us // 2)
+            t = F.timestamp_micros(um - um % F.lit(us))
         rest = [d for d in self.dims if d not in on]
         pivot_key = F.concat_ws(delimiter, *[F.col(c) for c in on])
         df = self.df.withColumn("__t", t).withColumn("__pk", pivot_key)

@@ -960,3 +960,138 @@ def test_stream_sideload_fixture(spark):
         ("b", "n", "y"): (2.0, 3.5, "why", 1.0),
         ("c", "o", "y"): (12.0, 13.5, "why", 1.0),
     }
+
+
+def _service_side(spark, fixture, measurement, dims=("service",), tiebreak=("value",)):
+    raw = replay_srpl(spark, f"{FIXTURES}/{fixture}")
+    df = promote(
+        raw, measurement, float_fields=["value"], tag_cols=["service", "dc"],
+    ).select("time", *dims, "value")
+    return Pipeline.from_df(df, time_col="time", dims=dims, tiebreak=tiebreak)
+
+
+def test_stream_join_tolerance_fixture(spark):
+    """TestStream_JoinTolerance (streamer_test.go:4934): tolerance(2s)
+    buckets, and within one (bucket, service) cell points pair
+    SEQUENTIALLY (1st-with-1st — the golden cartA bucket at 00:00:06 has
+    TWO rows, (11,1100) and (12,1200), never the cross product)."""
+    j = _service_side(spark, "TestStream_JoinTolerance.srpl", "errors").join(
+        _service_side(spark, "TestStream_JoinTolerance.srpl", "views"),
+        prefixes=("errors", "views"), delimiter=".", tolerance="2s",
+        stream_name="error_view",
+    )
+    rows = j.result().filter("time < '1971-01-01 00:00:10'").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["service"], set()).add(
+            (r.time.replace(tzinfo=Z), r["errors.value"], r["views.value"])
+        )
+    assert got["cartA"] == {
+        (_ts(0), 7.0, 700.0), (_ts(2), 9.0, 900.0), (_ts(4), 3.0, 300.0),
+        (_ts(6), 11.0, 1100.0), (_ts(6), 12.0, 1200.0), (_ts(8), 6.0, 600.0),
+    }
+    assert got["login"] == {
+        (_ts(0), 9.0, 900.0), (_ts(2), 5.0, 500.0), (_ts(4), 9.0, 900.0),
+        (_ts(4), 2.0, 200.0), (_ts(6), 7.0, 700.0), (_ts(8), 10.0, 1000.0),
+    }
+    assert (r["name"] == "error_view" for r in rows)
+
+
+def test_stream_join_fill_fixtures(spark):
+    """TestStream_Join_Fill_Null / _Num (streamer_test.go:5082,5146):
+    fill('null') + default() vs fill(0.0) — either way every unmatched
+    (bucket, service) slot survives the outer join and the windowed count
+    is 7/7/8 per service."""
+    def build(fill, use_default):
+        j = _service_side(spark, "TestStream_Join_Fill.srpl", "errors").join(
+            _service_side(spark, "TestStream_Join_Fill.srpl", "views"),
+            prefixes=("errors", "views"), delimiter=".", fill=fill,
+            stream_name="error_view",
+        )
+        if use_default:
+            j = j.default(**{"errors.value": 0.0, "views.value": 0.0})
+        return (
+            j.eval(keep=True,
+                   error_percent='lambda: "errors.value" + "views.value"')
+            .window_time("10s", emit="end")
+            .count("error_percent", as_="count")
+            .result()
+            .filter("time = '1971-01-01 00:00:10'")
+            .collect()
+        )
+
+    for fill, use_default in [("null", True), (0.0, False)]:
+        out = {r["service"]: r["count"] for r in build(fill, use_default)}
+        assert out == {"cartA": 7, "login": 7, "front": 8}, fill
+
+
+def test_stream_join_n_fixture(spark):
+    """TestStream_JoinN (streamer_test.go:5207): three-source join via
+    chained binary joins (prefix None passes the already-prefixed left
+    side through); fill(0.0) keeps unmatched slots — 10 rows in the
+    first window."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_JoinN.srpl")
+
+    def side(measurement, tag, val):
+        df = promote(
+            raw, measurement, float_fields=["value"], tag_cols=[tag]
+        )
+        return Pipeline.from_df(
+            df.filter(F.col(tag) == val).select("time", "value"),
+            time_col="time", tiebreak=("value",),
+        )
+
+    j = (
+        side("cpu", "cpu", "total")
+        .join(side("memory", "type", "free"),
+              prefixes=("cpu", "mem"), delimiter=".", fill=0.0)
+        .join(side("disk", "device", "sda"),
+              prefixes=(None, "disk"), delimiter=".", fill=0.0)
+    )
+    n = (
+        j.result()
+        .filter("time < '1971-01-01 00:00:10'")
+        .count()
+    )
+    assert n == 10
+
+
+def test_stream_join_on_fixture(spark):
+    """TestStream_JoinOn (streamer_test.go:5252): service-level windowed
+    sums joined ONE-TO-MANY onto (dc, service) sums via .on('service');
+    the fine side's dc tag survives as a tag and each dc row carries the
+    same global sum — all seven golden rows."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_JoinOn.srpl")
+    errors = promote(
+        raw, "errors", float_fields=["value"], tag_cols=["service", "dc"],
+    )
+
+    def summed(dims):
+        return (
+            Pipeline.from_df(
+                errors.select("time", *dims, "value"),
+                time_col="time", dims=dims,
+            )
+            .window_time("10s", emit="end")
+            .sum("value", as_="sum")
+        )
+
+    j = summed(("service",)).join(
+        summed(("dc", "service")),
+        prefixes=("service", "dc"), delimiter=".", on=("service",),
+        stream_name="dc_error_percent",
+    ).eval(keep=True, value='lambda: "dc.sum" / "service.sum"')
+    rows = j.result().filter("time = '1971-01-01 00:00:10'").collect()
+    got = {
+        (r["dc"], r["service"]): (r["dc.sum"], r["service.sum"], round(r["value"], 10))
+        for r in rows
+    }
+    assert got == {
+        ("A", "cartA"): (15.0, 47.0, round(15.0 / 47.0, 10)),
+        ("B", "cartA"): (32.0, 47.0, round(32.0 / 47.0, 10)),
+        ("A", "login"): (15.0, 45.0, round(15.0 / 45.0, 10)),
+        ("B", "login"): (23.0, 45.0, round(23.0 / 45.0, 10)),
+        ("C", "login"): (7.0, 45.0, round(7.0 / 45.0, 10)),
+        ("A", "front"): (19.0, 32.0, round(19.0 / 32.0, 10)),
+        ("B", "front"): (13.0, 32.0, round(13.0 / 32.0, 10)),
+    }
