@@ -1127,11 +1127,16 @@ class Pipeline:
         crit: str | Column | None = None,
         warn: str | Column | None = None,
         info: str | Column | None = None,
+        crit_reset: str | Column | None = None,
+        warn_reset: str | Column | None = None,
+        info_reset: str | Column | None = None,
         state_changes_only: bool = False,
         no_recoveries: bool = False,
+        events_only: bool = False,
         flapping: tuple[float, float] | None = None,
         history: int = 21,
         level_col: str = "level",
+        duration_field: str | None = None,
         id_template: str | None = None,
         message_template: str | None = None,
         topic: str | None = None,
@@ -1150,14 +1155,102 @@ class Pipeline:
         switches the transition walk to applyInPandas per group (same core
         the streaming mode uses across micro-batches).
         """
-        expr = F.lit("OK")
-        if info is not None:
-            expr = F.when(self._expr(info), "INFO").otherwise(expr)
-        if warn is not None:
-            expr = F.when(self._expr(warn), "WARNING").otherwise(expr)
-        if crit is not None:
-            expr = F.when(self._expr(crit), "CRITICAL").otherwise(expr)
-        df = self.df.withColumn(level_col, expr)
+        resets = {1: info_reset, 2: warn_reset, 3: crit_reset}
+        preds = {1: info, 2: warn, 3: crit}
+        if any(r is not None for r in resets.values()):
+            # reset hysteresis (alert.go:915-930 determineLevel): the level
+            # can only FALL below the current one once the current level's
+            # reset lambda passes — a sequential walk per group over
+            # pre-evaluated (codegen'd) predicate columns
+            df = self.df
+            for l in (1, 2, 3):
+                df = df.withColumn(
+                    f"__m{l}",
+                    self._expr(preds[l]) if preds[l] is not None else F.lit(False),
+                )
+                df = df.withColumn(
+                    f"__r{l}",
+                    self._expr(resets[l]).cast("boolean")
+                    if resets[l] is not None
+                    else F.lit(None).cast("boolean"),
+                )
+            time_col, tiebreak = self.time_col, list(self.tiebreak)
+            defined = {l for l in (1, 2, 3) if preds[l] is not None}
+            out_schema = df.withColumn(level_col, F.lit("")).drop(
+                "__m1", "__m2", "__m3", "__r1", "__r2", "__r3"
+            ).schema
+            out_cols = [f.name for f in out_schema]
+            from kapacitor_spark.streaming.state import LEVELS as _LVS
+
+            def level_walk(pdf):
+                pdf = pdf.sort_values([time_col, *tiebreak], kind="stable")
+                m = {l: pdf[f"__m{l}"].fillna(False).to_numpy() for l in (1, 2, 3)}
+                r = {l: pdf[f"__r{l}"].to_numpy(dtype=object) for l in (1, 2, 3)}
+
+                def first_match(i, start, stop):
+                    # findFirstMatchLevel (alert.go:932-948): l in (stop, start]
+                    for l in range(start, max(stop, 0), -1):
+                        if l in defined and m[l][i]:
+                            return l, True
+                    return 0, False
+
+                cur = 0
+                out = []
+                for i in range(len(pdf)):
+                    new, found = first_match(i, 3, cur - 1)
+                    if not found:
+                        rv = r[cur][i] if cur else None
+                        if cur and resets[cur] is not None and rv is not None and not bool(rv):
+                            new = cur  # reset not passed: hold the level
+                        else:
+                            new, _ = first_match(i, cur, 0)
+                    cur = new
+                    out.append(_LVS[new])
+                pdf = pdf.assign(**{level_col: out})
+                return pdf[out_cols]
+
+            gb = df.groupBy(*[F.col(d) for d in self.dims]) if self.dims else df.groupBy()
+            df = gb.applyInPandas(level_walk, schema=out_schema)
+        else:
+            expr = F.lit("OK")
+            if info is not None:
+                expr = F.when(self._expr(info), "INFO").otherwise(expr)
+            if warn is not None:
+                expr = F.when(self._expr(warn), "WARNING").otherwise(expr)
+            if crit is not None:
+                expr = F.when(self._expr(crit), "CRITICAL").otherwise(expr)
+            df = self.df.withColumn(level_col, expr)
+        if duration_field:
+            # .durationField (alert.go event Duration): nanoseconds since
+            # the alert episode began (the OK→non-OK transition); an OK
+            # recovery event carries the ended episode's length; steady OK
+            # is 0 — pure window expressions, computed before any
+            # transition filtering so every candidate event has it
+            w = self._ordered()
+            df = df.withColumn(
+                "__prev_lv", F.coalesce(F.lag(level_col).over(w), F.lit("OK"))
+            ).withColumn(
+                "__ep_start",
+                F.when(
+                    (F.col(level_col) != "OK") & (F.col("__prev_lv") == "OK"),
+                    F.col(self.time_col),
+                ),
+            ).withColumn(
+                "__ep_start",
+                F.last("__ep_start", ignorenulls=True).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            in_episode = (F.col(level_col) != "OK") | (F.col("__prev_lv") != "OK")
+            dur_ns = (
+                F.unix_micros(F.col(self.time_col)) - F.unix_micros(F.col("__ep_start"))
+            ) * 1000
+            df = df.withColumn(
+                duration_field,
+                F.when(in_episode & F.col("__ep_start").isNotNull(), dur_ns)
+                .otherwise(F.lit(0))
+                .cast("long"),
+            ).drop("__prev_lv", "__ep_start")
         if flapping is not None or (no_recoveries and state_changes_only):
             from kapacitor_spark.streaming.state import LEVEL_IDX, new_state, walk_levels
 
@@ -1165,6 +1258,7 @@ class Pipeline:
             time_col, tiebreak = self.time_col, list(self.tiebreak)
             flap = flapping
             sco, norec, hist = state_changes_only, no_recoveries, history
+            evo = events_only
 
             def machine(pdf):
                 pdf = pdf.sort_values([time_col, *tiebreak], kind="stable")
@@ -1174,6 +1268,7 @@ class Pipeline:
                     no_recoveries=norec,
                     flap_low=flap[0] if flap else None,
                     flap_high=flap[1] if flap else None,
+                    events_only=evo,
                 )
                 return pdf.loc[emit, in_cols]
 
@@ -1184,6 +1279,14 @@ class Pipeline:
             prev = F.coalesce(F.lag(level_col).over(w), F.lit("OK"))
             df = df.withColumn("__prev", prev).filter(
                 F.col(level_col) != F.col("__prev")
+            ).drop("__prev")
+        elif events_only:
+            # the reference's trigger rule (alert.go:1068-1076): non-OK
+            # points always fire; OK fires only as a recovery transition
+            w = self._ordered()
+            prev = F.coalesce(F.lag(level_col).over(w), F.lit("OK"))
+            df = df.withColumn("__prev", prev).filter(
+                (F.col(level_col) != "OK") | (F.col("__prev") != "OK")
             ).drop("__prev")
         if id_template:
             df = df.withColumn("alert_id", self._template(id_template, level_col))

@@ -66,9 +66,16 @@ def walk_levels(
     no_recoveries: bool = False,
     flap_low: float | None = None,
     flap_high: float | None = None,
+    events_only: bool = False,
 ) -> tuple[np.ndarray, dict]:
     """Run the state machine over an event-time-ordered level sequence
-    (ints per LEVEL_IDX). Returns (emit_mask, new_state)."""
+    (ints per LEVEL_IDX). Returns (emit_mask, new_state).
+
+    ``events_only`` applies the reference's exact STREAM trigger rule
+    (alert.go:1115-1159 Point): an OK point fires only as a RECOVERY
+    (level changed), steady OK fires nothing; while flapping, EVERY event
+    including recoveries is suppressed (alert.go:1124 returns before the
+    level check — the batch path differs and lets recoveries through)."""
     use_flapping = flap_low is not None and flap_high is not None
     last = state["last_level"]
     history = list(state["history"])
@@ -87,7 +94,12 @@ def walk_levels(
                 flapping = False
             elif not flapping and p > flap_high:
                 flapping = True
-        keep = changed if state_changes_only else True
+        if state_changes_only:
+            keep = changed
+        elif events_only:
+            keep = lv != 0 or changed
+        else:
+            keep = True
         if no_recoveries and lv == 0 and changed:
             keep = False
         if use_flapping and flapping:

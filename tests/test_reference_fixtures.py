@@ -1095,3 +1095,120 @@ def test_stream_join_on_fixture(spark):
         ("A", "front"): (19.0, 32.0, round(19.0 / 32.0, 10)),
         ("B", "front"): (13.0, 32.0, round(13.0 / 32.0, 10)),
     }
+
+
+def test_stream_alert_duration_fixture(spark):
+    """TestStream_AlertDuration (streamer_test.go:8507): durationField —
+    nanoseconds since the episode's OK→non-OK transition; the recovery
+    event carries the ended episode's length; a fresh episode restarts at
+    0. The five golden (time, level, duration) events."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_AlertDuration.srpl")
+    cpu = promote(raw, "cpu", float_fields=["value"], tag_cols=["host"])
+    out = (
+        Pipeline.from_df(cpu, time_col="time", dims=("host",))
+        .where("host = 'serverA'")
+        .alert(
+            warn="value > 7.0", crit="value > 8.0",
+            state_changes_only=True, duration_field="duration",
+        )
+        .result()
+        .orderBy("time")
+        .collect()
+    )
+    got = [(r.time.replace(tzinfo=Z), r["level"], r["duration"]) for r in out]
+    S = 1_000_000_000
+    assert got == [
+        (_ts(0), "CRITICAL", 0),
+        (_ts(2), "WARNING", 2 * S),
+        (_ts(4), "OK", 4 * S),
+        (_ts(5), "WARNING", 0),
+        (_ts(8), "OK", 3 * S),
+    ]
+
+
+def test_stream_alert_with_reset_fixture(spark):
+    """TestStream_Alert_WithReset_0 (streamer_test.go:7713): reset
+    hysteresis — the level holds until its reset lambda passes
+    (determineLevel, alert.go:915-930). The full 12-point serverA level
+    sequence from the golden posts."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Alert_WithReset_0.srpl")
+    cpu = promote(raw, "cpu", float_fields=["value"], tag_cols=["host"])
+    out = (
+        Pipeline.from_df(cpu, time_col="time", dims=("host",))
+        .where("host = 'serverA'")
+        .alert(
+            info="value > 40.0", info_reset="value < 10.0",
+            warn="value > 60.0", warn_reset="value < 20.0",
+            crit="value > 80.0", crit_reset="value < 30.0",
+        )
+        .result()
+        .orderBy("time")
+        .collect()
+    )
+    got = [(r.time.replace(tzinfo=Z), r["level"]) for r in out]
+    assert got == [
+        (_ts(0), "INFO"),      # 45 > 40
+        (_ts(1), "INFO"),      # 40: pred false but reset (<10) not passed
+        (_ts(2), "INFO"),      # 30: still held
+        (_ts(3), "OK"),        # 9 < 10: reset fires
+        (_ts(4), "INFO"),      # 45
+        (_ts(5), "WARNING"),   # 61
+        (_ts(6), "WARNING"),   # 30: warn reset (<20) not passed
+        (_ts(7), "OK"),        # 19 < 20
+        (_ts(8), "INFO"),      # 45
+        (_ts(9), "WARNING"),   # 61
+        (_ts(10), "CRITICAL"), # 81
+        (_ts(11), "OK"),       # 29 < 30: crit reset fires
+    ]
+
+
+def test_stream_alert_state_changes_only_fixture(spark):
+    """TestStream_AlertStateChangesOnly (streamer_test.go:11303): 4 points
+    below the threshold ⇒ 8 transitions (4 in, 4 out)."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_AlertStateChangesOnly.srpl")
+    cpu = promote(raw, "cpu", float_fields=["value"], tag_cols=["host"])
+    n = (
+        Pipeline.from_df(cpu, time_col="time", dims=("host",))
+        .alert(crit="value < 93", state_changes_only=True)
+        .result()
+        .count()
+    )
+    assert n == 8
+
+
+def test_stream_alert_flapping_fixture(spark):
+    """TestStream_AlertFlapping (streamer_test.go:11397): weighted
+    level-change fraction over a 21-deep history with 0.25/0.50
+    hysteresis suppresses the tail alerts — exactly 9 of the candidate
+    events survive (the reference asserts 9 POSTs)."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_AlertFlapping.srpl")
+    cpu = promote(raw, "cpu", float_fields=["value"], tag_cols=["host"])
+    n = (
+        Pipeline.from_df(cpu, time_col="time", dims=("host",))
+        .where("host = 'serverA'")
+        .alert(
+            info="value < 95", warn="value < 94", crit="value < 93",
+            flapping=(0.25, 0.50), history=21, events_only=True,
+        )
+        .result()
+        .count()
+    )
+    assert n == 9
+
+
+def test_stream_alert_sigma_fixture(spark):
+    """TestStream_AlertSigma (streamer_test.go:11157): running sigma()
+    lambda feeding alert levels; the 16.0 outlier and its aftermath fire
+    exactly 2 events (the reference asserts 2 POSTs)."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_AlertSigma.srpl")
+    cpu = promote(raw, "cpu", float_fields=["value"], tag_cols=["host"])
+    p = (
+        Pipeline.from_df(cpu, time_col="time", dims=("host",))
+        .where("host = 'serverA'")
+        .eval(keep=True, sigma='lambda: sigma("value")')
+        .alert(
+            info="sigma > 2.0", warn="sigma > 3.0", crit="sigma > 3.5",
+            events_only=True,
+        )
+    )
+    assert p.result().count() == 2
