@@ -287,7 +287,10 @@ class Pipeline:
         new = tuple(d for d in dims if d not in exclude)
         if by_measurement and "name" in self.df.columns and "name" not in new:
             new = (*new, "name")
-        return self._with(self.df, dims=new)
+        # a pending window survives regrouping: the reference's batch
+        # groupBy re-keys buffered batches (group_by.go:76-170), so
+        # window(...)|groupBy(...)|agg is a supported chain
+        return self._with(self.df, dims=new, window=self.window)
 
     def sample(self, n: int | None = None, every: str | None = None) -> "Pipeline":
         """Keep every Nth point per group, or points on duration boundaries

@@ -1212,3 +1212,189 @@ def test_stream_alert_sigma_fixture(spark):
         )
     )
     assert p.result().count() == 2
+
+
+def test_stream_window_count_fixtures(spark):
+    """TestStream_Window_Count (+_Overlapping, _Every_1, _FillPeriod,
+    streamer_test.go:921-1155): count-based windows — periodCount points
+    per window, emit every everyCount points, fillPeriod waits for a full
+    window. All four golden emission patterns."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Window_Count.srpl")
+    cpu = promote(raw, "cpu", float_fields=["value"], tag_cols=["host"])
+    p = lambda: Pipeline.from_df(
+        cpu, time_col="time", dims=("host",), tiebreak=("value",)
+    )
+
+    # (10, 10): one full emission containing values 1..10; points 11,12
+    # haven't filled the next window
+    w = p().window_count(10, 10).agg_over(vals=F.collect_list("value")).result()
+    rows = w.collect()
+    assert [sorted(r["vals"]) for r in rows] == [[float(i) for i in range(1, 11)]]
+
+    # (3, 1) overlapping: emits on every point; the LAST window is 10,11,12
+    w = p().window_count(3, 1).agg_over(vals=F.collect_list("value")).result()
+    seqs = [r["vals"] for r in w.collect()]
+    assert seqs[-1] == [10.0, 11.0, 12.0]
+    assert len(seqs) == 12  # every point emits
+
+    # (3, 1) | count: the golden count sequence 1,2,3,3,...
+    counts = [
+        r["count"]
+        for r in p().window_count(3, 1).count("value", as_="count").result().collect()
+    ]
+    assert counts == [1, 2, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3]
+
+    # (4, 1, fillPeriod) | count: emission starts once 4 points buffered
+    counts = [
+        r["count"]
+        for r in p().window_count(4, 1, fill_period=True)
+        .count("value", as_="count").result().collect()
+    ]
+    assert counts == [4] * 9
+
+
+def test_stream_window_fill_period_fixtures(spark):
+    """TestStream_Window_FillPeriod (+_Aligned, streamer_test.go:1467,
+    1525): fillPeriod suppresses partial leading windows — the first
+    emitted 14s/10s window covers exactly points t0..t13; the aligned
+    variant's golden window [6s,20s) pins the same point set by value."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Window_FillPeriod.srpl")
+    cpu = promote(raw, "cpu", float_fields=["value"], tag_cols=["host"])
+    base = Pipeline.from_df(cpu, time_col="time").where("host = 'serverA'")
+    full = (
+        base.window_time("14s", "10s", fill_period=True, emit="both")
+        .count("value", as_="count")
+        .result()
+        .collect()
+    )
+    by_start = {r["window_start"].replace(tzinfo=Z): r["count"] for r in full}
+    assert by_start[_ts(0)] == 14          # the golden full window
+    assert _ts(0) == min(by_start)         # no partial window before it
+
+    raw2 = replay_srpl(spark, f"{FIXTURES}/TestStream_Window_FillPeriod_Aligned.srpl")
+    cpu2 = promote(raw2, "cpu", float_fields=["value"], tag_cols=["host"])
+    nums = [95.8, 92.7, 96.0, 93.4, 95.3, 96.4, 95.1, 91.1,
+            95.7, 96.2, 96.6, 91.2, 98.2, 96.1]
+    got = (
+        Pipeline.from_df(cpu2, time_col="time")
+        .where("host = 'serverA' AND time >= '1971-01-01 00:00:06'"
+               " AND time < '1971-01-01 00:00:20'")
+        .agg(F.count("value").alias("n"), F.round(F.sum("value"), 6).alias("s"))
+        .result()
+        .collect()[0]
+    )
+    assert (got["n"], got["s"]) == (len(nums), round(sum(nums), 6))
+
+
+def test_stream_group_by_where_fixture(spark):
+    """TestStream_GroupByWhere (streamer_test.go:4258): per-cpu points
+    joined one-to-many onto the cpu-total point via .on('host'), ratio
+    per point, windowed mean — the three golden means, including
+    cpu-total's exact 1.0."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_GroupByWhere.srpl")
+    cpu = promote(
+        raw, "cpu", float_fields=["value"], tag_cols=["cpu", "host"],
+    ).filter("host = 'serverA'")
+    by_cpu = Pipeline.from_df(cpu, time_col="time", dims=("host", "cpu"))
+    total = Pipeline.from_df(
+        cpu.filter("cpu = 'cpu-total'").select("time", "host", "value"),
+        time_col="time", dims=("host",),
+    )
+    out = (
+        by_cpu.join(total, prefixes=("cpu", "total"), delimiter=".", on=("host",))
+        .eval(keep=True, cpu_percent='lambda: "cpu.value" / "total.value"')
+        .window_time("10s", emit="end")
+        .mean("cpu_percent")
+        .result()
+        .filter("time = '1971-01-01 00:00:10'")
+        .collect()
+    )
+    got = {r["cpu"]: r["mean"] for r in out}
+    assert got["cpu-total"] == pytest.approx(1.0)
+    assert got["cpu0"] == pytest.approx(0.7823116704593873)
+    assert got["cpu1"] == pytest.approx(0.7676074281820646)
+
+
+def test_stream_group_by_measurement_fixture(spark):
+    """TestStream_GroupByMeasurement (streamer_test.go:4321): groupBy
+    ('service').byMeasurement() — measurement name joins the group key,
+    so same-named services in different measurements stay separate;
+    golden windowed sums incl. disk/sda 810."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_GroupByMeasurement.srpl")
+    df = raw.select(
+        "time", "name",
+        F.col("tags")["service"].alias("service"),
+        F.col("fields_f")["value"].alias("value"),
+    )
+    out = (
+        Pipeline.from_df(df, time_col="time", dims=("service",))
+        .group_by("service", by_measurement=True)
+        .window_time("10s", emit="end")
+        .sum("value", as_="sum")
+        .result()
+        .filter("time = '1971-01-01 00:00:10'")
+        .collect()
+    )
+    got = {(r["name"], r["service"]): r["sum"] for r in out}
+    assert got == {
+        ("errors", "cartA"): 47.0,
+        ("errors", "login"): 45.0,
+        ("errors", "front"): 32.0,
+        ("disk", "sda"): 810.0,
+    }
+
+
+def test_stream_batch_group_by_fixtures(spark):
+    """TestStream_BatchGroupBy / _All (streamer_test.go:3909,3957):
+    groupBy AFTER window() re-keys the buffered batch; '*' groups by
+    every tag. Golden [0s,5s) counts 5/5/1."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_BatchGroupBy.srpl")
+    cpu = promote(raw, "cpu", float_fields=["value"], tag_cols=["host", "type"])
+    p = Pipeline.from_df(cpu, time_col="time")
+
+    out = (
+        p.window_time("5s", emit="end").group_by("host")
+        .count("value", as_="count")
+        .result().filter("time = '1971-01-01 00:00:05'").collect()
+    )
+    assert {r["host"]: r["count"] for r in out} == {
+        "serverA": 5, "serverB": 5, "serverC": 1,
+    }
+
+    out_all = (
+        p.window_time("5s", emit="end").group_by("*")
+        .count("value", as_="count")
+        .result().filter("time = '1971-01-01 00:00:05'").collect()
+    )
+    assert {(r["host"], r["type"]): r["count"] for r in out_all} == {
+        ("serverA", "idle"): 5, ("serverB", "idle"): 5, ("serverC", "idle"): 1,
+    }
+
+
+def test_stream_holt_winters_fixture(spark):
+    """TestStream_HoltWinters (streamer_test.go:483): holtWinters('value',
+    3, 0, 1s) over the serverA window — the reference pins influxdb's
+    exact fit; our port asserts the same three golden forecast points."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_HoltWinters.srpl")
+    pk = promote(raw, "packets", float_fields=["value"], tag_cols=["host"]).filter(
+        "value IS NOT NULL"
+    )
+    out = (
+        Pipeline.from_df(pk, time_col="time", dims=("host",))
+        .where("host = 'serverA' AND time < '1971-01-01 00:00:10'")
+        .holt_winters("value", h=3, m=0, interval="1s", as_="holtWinters")
+        .result()
+        .orderBy("time")
+        .collect()
+    )
+    got = [(r.time.replace(tzinfo=Z), r["holtWinters"]) for r in out]
+    assert [t for t, _ in got] == [_ts(10), _ts(11), _ts(12)]
+    # the reference's exact floats come from influxdb's specific
+    # Nelder-Mead implementation (seed simplex + iteration schedule not
+    # published in this repo); our fit is the same published equations
+    # with a deterministic optimizer — assert the golden values within
+    # 0.5% (documented divergence; exact-value goldens for OUR fit are
+    # pinned in tests/test_operators.py)
+    expect = [1009.324690106368, 1009.7524349889708, 1010.105056042826]
+    for (_, v), e in zip(got, expect):
+        assert v == pytest.approx(e, rel=5e-3)
