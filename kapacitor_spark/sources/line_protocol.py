@@ -266,31 +266,55 @@ def read_brpl(spark: SparkSession, path: str) -> DataFrame:
     batch reduces to one point under aggregation, SURVEY §2.5)."""
     import json
 
+    # streaming decode: fixtures are EITHER one JSON object per line OR
+    # pretty-printed multi-line objects back to back — raw_decode walks both
+    dec = json.JSONDecoder()
+    text = open(path).read()
+    batches = []
+    i = 0
+    while True:
+        while i < len(text) and text[i] in " \t\r\n":
+            i += 1
+        if i >= len(text):
+            break
+        obj, end = dec.raw_decode(text, i)
+        batches.append(obj)
+        i = end
+
     rows = []
-    with open(path) as fh:
-        for bid, line in enumerate(ln for ln in fh if ln.strip()):
-            b = json.loads(line)
-            for p in b["points"]:
-                ts = pd.Timestamp(p["time"])
-                if ts.tzinfo is not None:
-                    ts = ts.tz_convert("UTC").tz_localize(None)
-                rows.append(
-                    {
-                        "batch_id": bid,
-                        "name": b.get("name"),
-                        "tags": b.get("tags") or {},
-                        "fields_f": {
-                            k: float(v) for k, v in p.get("fields", {}).items()
-                            if isinstance(v, (int, float)) and not isinstance(v, bool)
-                        },
-                        "time": ts,
-                    }
-                )
-    pdf = pd.DataFrame(rows, columns=["batch_id", "name", "tags", "fields_f", "time"])
+    for bid, b in enumerate(batches):
+        for p in b["points"]:
+            ts = pd.Timestamp(p["time"])
+            if ts.tzinfo is not None:
+                ts = ts.tz_convert("UTC").tz_localize(None)
+            flds = p.get("fields", {})
+            rows.append(
+                {
+                    "batch_id": bid,
+                    "name": b.get("name"),
+                    "tags": b.get("tags") or {},
+                    "fields_f": {
+                        k: float(v) for k, v in flds.items()
+                        if isinstance(v, (int, float)) and not isinstance(v, bool)
+                    },
+                    "fields_s": {
+                        k: v for k, v in flds.items() if isinstance(v, str)
+                    },
+                    "fields_b": {
+                        k: v for k, v in flds.items() if isinstance(v, bool)
+                    },
+                    "time": ts,
+                }
+            )
+    pdf = pd.DataFrame(
+        rows,
+        columns=["batch_id", "name", "tags", "fields_f", "fields_s", "fields_b", "time"],
+    )
     return spark.createDataFrame(
         pdf,
         "batch_id long, name string, tags map<string,string>, "
-        "fields_f map<string,double>, time timestamp",
+        "fields_f map<string,double>, fields_s map<string,string>, "
+        "fields_b map<string,boolean>, time timestamp",
     )
 
 

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from kapacitor_spark.durations import parse_duration
 
-__all__ = ["BatchQuery"]
+__all__ = ["BatchQuery", "batch_envelope", "batch_reduce"]
 
 
 def _floor_to(t: datetime, seconds: float) -> datetime:
@@ -108,3 +108,35 @@ class BatchQuery:
         for o in outs[1:]:
             out = out.unionByName(o)
         return out
+
+
+def batch_envelope(
+    points: DataFrame, keys: list[str], time_col: str = "time"
+) -> DataFrame:
+    """One row per (batch, group) key with the batch time = max point time
+    (/root/reference/edge/messages.go:376) — captured BEFORE any filter so
+    a batch whose points are all filtered away still exists as an edge
+    message (the reference's where() forwards the empty batch envelope)."""
+    return points.groupBy(*keys).agg(F.max(time_col).alias(time_col))
+
+
+def batch_reduce(
+    points: DataFrame,
+    envelope: DataFrame,
+    keys: list[str],
+    aggs: list,
+    fill: dict | None = None,
+) -> DataFrame:
+    """Reduce each batch to one point per (batch, group) — batch-edge
+    aggregation (SURVEY §2.5: on a batch edge the whole batch reduces to
+    one point). Joining back onto the envelope preserves the reference's
+    EMPTY-batch emission: count and sum over a fully-filtered batch emit
+    0 (golden TestBatch_CountEmptyBatch / _SumEmptyBatch,
+    /root/reference/integrations/batcher_test.go:765,816); ``fill`` maps
+    output columns to their empty-batch value. Both sides group on the
+    same keys — one shuffle, broadcast-friendly envelope."""
+    agg_df = points.groupBy(*keys).agg(*aggs)
+    out = envelope.join(agg_df, keys, "left")
+    for c, v in (fill or {}).items():
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+    return out

@@ -1398,3 +1398,66 @@ def test_stream_holt_winters_fixture(spark):
     expect = [1009.324690106368, 1009.7524349889708, 1010.105056042826]
     for (_, v), e in zip(got, expect):
         assert v == pytest.approx(e, rel=5e-3)
+
+
+def test_batch_change_detect_and_derivative_fixtures(spark):
+    """TestBatch_ChangeDetect / TestBatch_Derivative (batcher_test.go:103,
+    199): the same per-point transforms over a replayed batch edge —
+    points missing the field are skipped, rates span the gap."""
+    raw = replay_brpl(spark, f"{FIXTURES}/TestBatch_ChangeDetect.0.brpl")
+    pk = raw.select(
+        "batch_id", "time", F.col("fields_s")["value"].alias("value")
+    ).filter("value IS NOT NULL")
+    cd = (
+        Pipeline.from_df(pk, time_col="time", dims=("batch_id",))
+        .change_detect("value")
+        .result()
+        .orderBy("time")
+        .collect()
+    )
+    assert [(r.time.replace(tzinfo=Z), r["value"]) for r in cd] == [
+        (_ts(0), "bad"), (_ts(2), "good"), (_ts(6), "bad"), (_ts(8), "good"),
+    ]
+
+    raw2 = replay_brpl(spark, f"{FIXTURES}/TestBatch_Derivative.0.brpl")
+    pk2 = raw2.select(
+        "batch_id", "time", F.col("fields_f")["value"].alias("value")
+    ).filter("value IS NOT NULL")
+    dv = (
+        Pipeline.from_df(pk2, time_col="time", dims=("batch_id",))
+        .derivative("value")
+        .result()
+        .orderBy("time")
+        .collect()
+    )
+    assert [(r.time.replace(tzinfo=Z), r["value"]) for r in dv] == [
+        (_ts(2), 0.5), (_ts(4), 0.5), (_ts(6), 0.5), (_ts(8), 1.0),
+    ]
+
+
+def test_batch_empty_batch_aggregates_fixture(spark):
+    """TestBatch_CountEmptyBatch / _SumEmptyBatch (batcher_test.go:765,
+    816): a batch whose points are ALL filtered away still emits
+    count=0 / sum=0 — the envelope (captured before the filter) carries
+    the batch through. Golden: every (batch, cpu) yields 0, latest batch
+    time 00:00:28."""
+    from kapacitor_spark.tasks import batch_envelope, batch_reduce
+
+    raw = replay_brpl(spark, f"{FIXTURES}/TestBatch_CountEmptyBatch.0.brpl")
+    pts = raw.select(
+        "batch_id", "time",
+        F.col("tags")["cpu"].alias("cpu"),
+        F.col("fields_f")["mean"].alias("mean"),
+    )
+    env = batch_envelope(pts, ["batch_id", "cpu"])
+    filtered = pts.filter("mean < 10")  # filters away EVERY point
+    out = batch_reduce(
+        filtered, env, ["batch_id", "cpu"],
+        [F.count("mean").alias("count"), F.sum("mean").alias("sum")],
+        fill={"count": 0, "sum": 0.0},
+    )
+    rows = out.collect()
+    assert len(rows) == 9  # 3 batches x 3 cpus all survive
+    assert all(r["count"] == 0 and r["sum"] == 0.0 for r in rows)
+    latest = max(r["time"] for r in rows).replace(tzinfo=Z)
+    assert latest == _ts(28)
