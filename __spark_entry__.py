@@ -1498,6 +1498,124 @@ def stream_state_count(spark, sf_dir):
 # ===================================================================== #
 
 
+@_q(
+    "alert_duration_field",
+    """WITH lv AS (
+         SELECT event_id, user_id, ts,
+                CASE WHEN value > 250 THEN 'CRITICAL'
+                     WHEN value > 150 THEN 'WARNING' ELSE 'OK' END AS level
+         FROM events),
+       p AS (SELECT *, coalesce(lag(level) OVER w, 'OK') AS prev,
+                    CASE WHEN level <> 'OK'
+                         AND coalesce(lag(level) OVER w, 'OK') = 'OK'
+                         THEN ts END AS ep0
+             FROM lv WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (SELECT *, last_value(ep0 IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS ep
+             FROM p)
+       SELECT event_id, user_id, ts, level,
+              CASE WHEN (level <> 'OK' OR prev <> 'OK') AND ep IS NOT NULL
+                   THEN (epoch_us(ts) - epoch_us(ep)) * 1000 ELSE 0 END AS duration
+       FROM s WHERE level <> prev""",
+)
+def alert_duration_field(spark, sf_dir):
+    """alert().durationField — /root/reference/alert.go (event Duration =
+    ns since the episode's OK transition; recovery carries the episode
+    length). Pure window expressions; stateChangesOnly transitions."""
+    p = _events_by_user(spark, sf_dir).alert(
+        warn="value > 150", crit="value > 250",
+        state_changes_only=True, duration_field="duration",
+    )
+    return p.result().select("event_id", "user_id", "ts", "level", "duration")
+
+
+@_q(
+    "join_on_enrich",
+    """WITH t AS (SELECT date_trunc('day', ts) AS d, user_id, event_type,
+                         CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS t_sum
+                  FROM events GROUP BY 1, 2, 3),
+            u AS (SELECT date_trunc('day', ts) AS d, user_id,
+                         CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS u_sum
+                  FROM events GROUP BY 1, 2)
+       SELECT t.d AS ts, t.user_id, t.event_type, t.t_sum, u.u_sum,
+              t.t_sum / u.u_sum AS share
+       FROM t JOIN u ON t.d = u.d AND t.user_id = u.user_id""",
+)
+def join_on_enrich(spark, sf_dir):
+    """join().on(subset) — /root/reference/pipeline/join.go:204-236: the
+    coarse per-user daily total joins ONE-TO-MANY onto every per-(user,
+    event_type) daily sum; the fine side's event_type tag survives
+    unprefixed (golden TestStream_JoinOn shape on driver data)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def side(dims):
+        return Pipeline.from_df(
+            ev, time_col="ts", dims=dims, tiebreak=("event_id",)
+        ).window_time("1d").agg(_dsum("value").alias("sum"))
+
+    j = side(("user_id", "event_type")).join(
+        side(("user_id",)), prefixes=("t", "u"), delimiter="_", on=("user_id",)
+    ).eval(keep=True, share=F.col("t_sum") / F.col("u_sum"))
+    return j.result().select("ts", "user_id", "event_type", "t_sum", "u_sum", "share")
+
+
+@_q(
+    "selector_last_aux",
+    """WITH r AS (SELECT user_id, ts, event_type, value,
+                         row_number() OVER (
+                           PARTITION BY user_id, date_trunc('day', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+       SELECT user_id, ts, event_type, value AS last FROM r WHERE rn = 1""",
+)
+def selector_last_aux(spark, sf_dir):
+    """last() as a true SELECTOR — /root/reference/pipeline/influxql.go:337:
+    the selected POINT is emitted (its own time via usePointTimes, its
+    other fields via aux; golden TestStream_Selectors carries 'another')."""
+    p = _events_by_user(spark, sf_dir).window_time("1d").last(
+        "value", as_="last", use_point_times=True, aux=("event_type",)
+    )
+    return p.result().select("user_id", "ts", "event_type", "last")
+
+
+@_q(
+    "batch_empty_reduce",
+    """WITH base AS (
+         SELECT date_trunc('day', ts) AS batch_start, ts, event_type, value
+         FROM events WHERE ts >= '2024-01-01' AND ts < '2024-01-31'),
+       env AS (SELECT batch_start, event_type, max(ts) AS ts
+               FROM base GROUP BY 1, 2),
+       agg AS (SELECT batch_start, event_type, count(*) AS n,
+                      CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total
+               FROM base WHERE value > 290 GROUP BY 1, 2)
+       SELECT e.batch_start, e.event_type, e.ts,
+              coalesce(a.n, 0) AS n, coalesce(a.total, 0.0) AS total
+       FROM env e LEFT JOIN agg a USING (batch_start, event_type)""",
+)
+def batch_empty_reduce(spark, sf_dir):
+    """Batch-edge aggregation with EMPTY-batch emission — golden
+    TestBatch_CountEmptyBatch/_SumEmptyBatch semantics
+    (/root/reference/integrations/batcher_test.go:765,816): daily batch
+    windows per event_type; batches whose points all fail the filter
+    still emit count=0/sum=0 via the pre-filter envelope."""
+    from kapacitor_spark.tasks import BatchQuery, batch_envelope, batch_reduce
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    bq = BatchQuery(period="1d", every="1d")
+    win = bq.backfill(ev, "2024-01-01", "2024-01-31", time_col="ts")
+    base = win.select(
+        F.col("query_start").alias("batch_start"), "ts", "event_type", "value"
+    )
+    env = batch_envelope(base, ["batch_start", "event_type"], time_col="ts")
+    red = batch_reduce(
+        base.filter("value > 290"), env, ["batch_start", "event_type"],
+        [F.count("value").alias("n"), _dsum("value").alias("total")],
+        fill={"n": 0, "total": 0.0},
+    )
+    return red.select("batch_start", "event_type", "ts", "n", "total")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return tpch_q1_pricing(spark, "/root/testdata/sf0.001")

@@ -757,7 +757,15 @@ class Pipeline:
             F.col(self.time_col).alias("t"), F.col(fld).alias("v"),
             *[F.col(a).alias(a) for a in aux],
         )
-        sel = fn(s, F.col(order))
+        # deterministic tie-break: order by (order, *tiebreak) as a struct
+        # so equal-ordered points resolve stably (struct ordering is
+        # lexicographic and fully codegen'd)
+        order_expr = (
+            F.struct(F.col(order), *[F.col(c) for c in self.tiebreak])
+            if self.tiebreak
+            else F.col(order)
+        )
+        sel = fn(s, order_expr)
         out = (df.groupBy(*keys) if keys else df).agg(sel.alias("__s"))
         out = out.withColumn(as_, F.col("__s.v"))
         for a in aux:
