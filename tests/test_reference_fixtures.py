@@ -1461,3 +1461,187 @@ def test_batch_empty_batch_aggregates_fixture(spark):
     assert all(r["count"] == 0 and r["sum"] == 0.0 for r in rows)
     latest = max(r["time"] for r in rows).replace(tzinfo=Z)
     assert latest == _ts(28)
+
+
+def _batch_latency(spark, fixture):
+    raw = replay_brpl(spark, f"{FIXTURES}/{fixture}")
+    return raw.select(
+        "batch_id", "time",
+        F.col("tags")["dc"].alias("dc"),
+        F.col("tags")["service"].alias("service"),
+        F.col("fields_f")["value"].alias("value"),
+    )
+
+
+def test_batch_flatten_fixture(spark):
+    """TestBatch_Flatten (batcher_test.go:1724): regroup to dc, flatten
+    on service with 5s ROUND tolerance — the golden wide rows at
+    00:00:10 and 00:00:15 (t=16,17 round DOWN into the 15s bucket)."""
+    pts = _batch_latency(spark, "TestBatch_Flatten.0.brpl")
+    p = Pipeline.from_df(
+        pts, time_col="time", dims=("dc", "service")
+    ).flatten(on=["service"], fields=["value"], tolerance="5s", delimiter=".")
+    rows = {
+        (r["dc"], r.time.replace(tzinfo=Z)): (
+            r["auth.value"], r["cart.value"], r["log.value"]
+        )
+        for r in p.result()
+        .filter("time IN ('1971-01-01 00:00:10', '1971-01-01 00:00:15')")
+        .collect()
+    }
+    assert rows == {
+        ("A", _ts(10)): (4.0, 8.0, 7.0),
+        ("A", _ts(15)): (2.0, 3.0, 1.0),
+        ("B", _ts(10)): (9.0, 3.0, 5.0),
+        ("B", _ts(15)): (6.0, 7.0, 4.0),
+    }
+
+
+def test_batch_combine_fixtures(spark):
+    """TestBatch_Combine_All / _Filtered / _All_Triples (batcher_test.go:
+    1784,1864,1926): k-combinations within (dc, 5s-rounded bucket) —
+    same-predicate slots order by arrival (time), filtered slots pair
+    with ANY other point; all golden ratios/sums at 00:00:15."""
+    pts = _batch_latency(spark, "TestBatch_Combine.0.brpl").withColumn(
+        "__tk", F.unix_micros(F.col("time"))
+    )
+    p = Pipeline.from_df(pts, time_col="time", dims=("dc",))
+    at15 = "time = '1971-01-01 00:00:15'"
+
+    pairs = (
+        p.combine("TRUE", "TRUE", as_=("first", "second"),
+                  tolerance="5s", delimiter=".", id_col="__tk")
+        .eval(keep=True, ratio='lambda: "first.value" / "second.value"')
+        .result().filter(at15).collect()
+    )
+    got = {
+        (r["dc"], r["first.service"], r["second.service"]): r["ratio"]
+        for r in pairs
+    }
+    assert got == {
+        ("A", "cart", "auth"): 3.0 / 2.0,
+        ("A", "cart", "log"): 3.0 / 1.0,
+        ("A", "auth", "log"): 2.0 / 1.0,
+        ("B", "cart", "auth"): 7.0 / 6.0,
+        ("B", "cart", "log"): 7.0 / 4.0,
+        ("B", "auth", "log"): 6.0 / 4.0,
+    }
+
+    filtered = (
+        p.combine("service = 'auth'", "TRUE", as_=("auth", "other"),
+                  tolerance="5s", delimiter=".", id_col="__tk")
+        .eval(keep=True, ratio='lambda: "auth.value" / "other.value"')
+        .result().filter(at15).collect()
+    )
+    got_f = {
+        (r["dc"], r["other.service"]): r["ratio"] for r in filtered
+    }
+    assert got_f == {
+        ("A", "log"): 2.0 / 1.0, ("A", "cart"): 2.0 / 3.0,
+        ("B", "log"): 6.0 / 4.0, ("B", "cart"): 6.0 / 7.0,
+    }
+
+    triples = (
+        p.combine("TRUE", "TRUE", "TRUE", as_=("first", "second", "third"),
+                  tolerance="5s", delimiter=".", id_col="__tk")
+        .eval(keep=True,
+              total='lambda: "first.value" + "second.value" + "third.value"')
+        .result().filter(at15).collect()
+    )
+    got_t = {
+        (r["dc"], r["first.service"], r["second.service"], r["third.service"]):
+            r["total"]
+        for r in triples
+    }
+    assert got_t == {
+        ("A", "cart", "auth", "log"): 6.0,
+        ("B", "cart", "auth", "log"): 17.0,
+    }
+
+
+def test_stream_all_measurements_fixture(spark):
+    """TestStream_AllMeasurements (streamer_test.go:3230): from() with no
+    measurement filter sees every measurement — 23 points in [0,10s)."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_AllMeasurements.srpl")
+    pts = raw.select("time", F.col("fields_f")["value"].alias("value"))
+    out = (
+        Pipeline.from_df(pts, time_col="time")
+        .window_time("10s", emit="end")
+        .count("value", as_="count")
+        .result()
+        .filter("time = '1971-01-01 00:00:10'")
+        .collect()
+    )
+    assert [r["count"] for r in out] == [23]
+
+
+def test_batch_default_and_delete_fixtures(spark):
+    """TestBatch_Default / TestBatch_Delete (batcher_test.go:923,994):
+    default() fills the missing-field points (sum 444 = 90+86+91+87+90)
+    and a missing dc tag; delete() drops field+tag first so every point
+    defaults (sum 50 = 5x10). Batch time = max point time (00:00:08)."""
+    raw = replay_brpl(spark, f"{FIXTURES}/TestBatch_Default.0.brpl")
+    pts = raw.select(
+        "batch_id", "time",
+        F.col("tags")["dc"].alias("dc"),
+        F.col("fields_f")["mean"].alias("mean"),
+    )
+    out = (
+        Pipeline.from_df(pts, time_col="time", dims=("batch_id", "dc"))
+        .default(mean=90.0, dc="sfc")
+        .agg(F.sum("mean").alias("sum"), F.max("time").alias("__bt"))
+        .result()
+        .withColumnRenamed("__bt", "time")
+        .filter("batch_id = 0")
+        .collect()
+    )
+    assert [(r["dc"], r.time.replace(tzinfo=Z), r["sum"]) for r in out] == [
+        ("sfc", _ts(8), 444.0)
+    ]
+
+    raw2 = replay_brpl(spark, f"{FIXTURES}/TestBatch_Delete.0.brpl")
+    pts2 = raw2.select(
+        "batch_id", "time",
+        F.col("tags")["dc"].alias("dc"),
+        F.col("fields_f")["mean"].alias("mean"),
+    )
+    out2 = (
+        Pipeline.from_df(pts2, time_col="time", dims=("batch_id", "dc"))
+        .delete("mean", "dc")       # deleting the dc tag REGROUPS
+        .default(mean=10.0, dc="sfc")
+        .group_by("batch_id", "dc")  # the script's groupBy('dc')
+        .agg(F.sum("mean").alias("sum"), F.max("time").alias("__bt"))
+        .result()
+        .withColumnRenamed("__bt", "time")
+        .filter("batch_id = 0")
+        .collect()
+    )
+    assert [(r["dc"], r.time.replace(tzinfo=Z), r["sum"]) for r in out2] == [
+        ("sfc", _ts(8), 50.0)
+    ]
+
+
+def test_batch_double_group_by_fixture(spark):
+    """TestBatch_DoubleGroupBy (batcher_test.go:1071): groupBy() with no
+    dims MERGES the per-cpu batches; max('mean') selects across the
+    merged window — golden 95.98484848485191 from cpu1 in the second
+    window."""
+    raw = replay_brpl(spark, f"{FIXTURES}/TestBatch_SimpleMR.0.brpl")
+    pts = raw.select(
+        "batch_id", "time",
+        F.col("tags")["cpu"].alias("cpu"),
+        F.col("fields_f")["mean"].alias("mean"),
+    ).filter("cpu != 'cpu-total'")
+    win = F.floor(F.unix_micros(F.col("time")) / F.lit(10_000_000)).alias("win")
+    merged = pts.withColumn("win", win)
+    out = (
+        Pipeline.from_df(merged, time_col="time", dims=("win",))
+        .max_selector("mean", aux=("cpu",))
+        .result()
+        .filter("time >= '1971-01-01 00:00:10' AND time < '1971-01-01 00:00:20'")
+        .collect()
+    )
+    assert len(out) == 1
+    assert (out[0]["max"], out[0]["cpu"]) == (
+        pytest.approx(95.98484848485191), "cpu1",
+    )
