@@ -1645,3 +1645,44 @@ def test_batch_double_group_by_fixture(spark):
     assert (out[0]["max"], out[0]["cpu"]) == (
         pytest.approx(95.98484848485191), "cpu1",
     )
+
+
+def test_batch_join_fixtures(spark):
+    """TestBatch_Join / _JoinTolerance / _Join_NoFill (batcher_test.go:
+    1970,2120,2173): the cpu0/cpu1 batch series pair per timestamp (5
+    pairs per batch, 10 in the reference's 20s window), identically at
+    tolerance 1s, and the no-fill eval sum over the window's two batches
+    is the golden 876."""
+    a = replay_brpl(spark, f"{FIXTURES}/TestBatch_Join.0.brpl")
+    b = replay_brpl(spark, f"{FIXTURES}/TestBatch_Join.1.brpl")
+
+    def side(raw):
+        return Pipeline.from_df(
+            raw.select(
+                "batch_id", "time", F.col("fields_f")["mean"].alias("mean")
+            ),
+            time_col="time", dims=("batch_id",),
+        )
+
+    for tol in (None, "1s"):
+        j = side(a).join(
+            side(b), prefixes=("cpu0", "cpu1"), delimiter=".", tolerance=tol
+        )
+        per_batch = {
+            r["batch_id"]: r["n"]
+            for r in j.result().groupBy("batch_id")
+            .agg(F.count(F.col("`cpu0.mean`")).alias("n")).collect()
+        }
+        assert per_batch == {0: 5, 1: 5, 2: 5}, tol
+
+    fa = replay_brpl(spark, f"{FIXTURES}/TestBatch_Join_Fill.0.brpl")
+    fb = replay_brpl(spark, f"{FIXTURES}/TestBatch_Join_Fill.1.brpl")
+    j = side(fa).join(side(fb), prefixes=("cpu0", "cpu1"), delimiter=".")
+    total = (
+        j.eval(keep=True, cpu='lambda: "cpu0.mean" + "cpu1.mean"')
+        .where("time < '1971-01-01 00:00:20'")  # the window's two batches
+        .result()
+        .agg(F.sum("cpu").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total == pytest.approx(876.0)
