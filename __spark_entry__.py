@@ -1493,6 +1493,32 @@ def stream_state_count(spark, sf_dir):
     return run_available_now(out, _mem_name("ssc"), _ckpt())
 
 
+@_q(
+    "stream_count_window",
+    """SELECT ts, user_id,
+              round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS value
+       FROM events""",
+)
+def stream_count_window(spark, sf_dir):
+    """Streaming count window — /root/reference/window.go:360-470
+    (periodCount=5, everyCount=1) via applyInPandasWithState: the ring of
+    the last 5 values persists across micro-batches, numpy prefix-sum
+    aggregation, no per-row Python. availableNow replay equals the batch
+    trailing-window SQL, so the oracle is the identical window function."""
+    from kapacitor_spark.streaming import run_available_now, window_count_stream
+
+    sdf = _stream_t(spark, sf_dir, "events")
+    out = window_count_stream(
+        sdf, "ts", ["user_id"], "value",
+        period_count=5, every_count=1, agg="mean", as_="value",
+        tiebreak=["event_id"],
+    ).select("ts", "user_id", F.round("value", 4).alias("value"))
+    # rounded on BOTH sides: the ring's prefix-sum float accumulation and
+    # DuckDB's windowed avg differ in final ulps
+    return run_available_now(out, _mem_name("scw"), _ckpt())
+
+
 # ===================================================================== #
 # driver API
 # ===================================================================== #

@@ -326,6 +326,7 @@ def window_count_stream(
     every_count: int = 1,
     agg: str = "mean",
     as_: str = "value",
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Streaming count window (/root/reference/window.go:360-470): per
     group, a ring of the last ``period_count`` values persists across
@@ -360,7 +361,7 @@ def window_count_stream(
         else:
             carry, since = np.empty(0), 0
         for pdf in pdfs:
-            pdf = pdf.sort_values(time_col, kind="stable")
+            pdf = pdf.sort_values([time_col, *tiebreak], kind="stable")
             vals = pdf[fld].to_numpy(dtype=float)
             arr = np.concatenate([carry, vals])
             n0, n = len(carry), len(arr)
