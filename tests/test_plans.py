@@ -1,0 +1,97 @@
+"""Physical-plan assertions — the 100 TB contract, pinned.
+
+Correctness tests prove the small-SF answers; these prove the PLANS are
+the ones that survive a 1000-executor scale-up: filters reach the parquet
+scan (PushedFilters), scans read only needed columns (ReadSchema), hot
+paths stay inside WholeStageCodegen (no row-at-a-time Python), big joins
+are equi-joins (never cartesian), small dims broadcast, and aggregates do
+map-side partial combine before the exchange. A regression here is
+invisible at sf0.01 and catastrophic at 100 TB — exactly why it is
+asserted, not eyeballed.
+"""
+
+import contextlib
+import io
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def plan_of(spark, name: str) -> str:
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_time_filter_pushdown_and_column_pruning(spark):
+    """The round-2 regression class: a cast above the scan silently kills
+    pushdown. l_shipdate <= X must reach PushedFilters, and the 16-column
+    lineitem scan must be pruned to the 6 used columns."""
+    plan = plan_of(spark, "tpch_q1_pricing")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "LessThanOrEqual(l_shipdate" in pushed[0]
+    schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in schema and "l_partkey" not in schema
+
+
+def test_small_dims_broadcast(spark):
+    """TPC-H Q5 shape: every dimension side must broadcast — a shuffled
+    region/nation join at 100 TB is pure waste."""
+    plan = plan_of(spark, "tpch_q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_windowed_agg_partial_combine(spark):
+    """Windowed mean: two HashAggregates around one Exchange = map-side
+    partial combine; the shuffle moves per-window partials, not rows."""
+    plan = plan_of(spark, "window_mean_1h")
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning" in plan
+
+
+def test_hot_filters_stay_jvm(spark):
+    """Lambda-language filters compile to Column expressions inside
+    WholeStageCodegen — never BatchEvalPython in the scan path."""
+    plan = plan_of(spark, "lambda_where_regex")
+    assert "BatchEvalPython" not in plan
+    assert "codegen id" in plan  # inside WholeStageCodegen spans
+    assert [l for l in plan.splitlines() if "PushedFilters" in l]
+
+
+def test_ordered_transform_single_shuffle(spark):
+    """movingAverage: one Exchange (the group-key repartition), one Window,
+    no Python in the plan."""
+    plan = plan_of(spark, "moving_avg5")
+    assert plan.count("(3) Exchange") == 1 and plan.count("Exchange") <= 2
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_join_is_equi_join(spark):
+    """Tolerance joins must compile to equi-joins on (bucket, seq, dims) —
+    a nested-loop/cartesian fallback would be quadratic at scale."""
+    plan = plan_of(spark, "join_tolerance")
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_signature_is_codegen(spark):
+    """MinHash signatures: one codegen'd hash-aggregate over xxhash64
+    terms — the 64-hash family must NOT evaluate in Python."""
+    plan = plan_of(spark, "minhash_near_dup")
+    assert "BatchEvalPython" not in plan
+    assert "xxhash64" in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
