@@ -1359,11 +1359,19 @@ class Pipeline:
         warn: str | Column | None = None,
         info: str | Column | None = None,
         level_col: str = "level",
+        emit_points: bool = False,
     ) -> "Pipeline":
         """alert().all() for batch/window edges (/root/reference/pipeline/
         alert.go:490-497): the window's level is the highest level that ALL
         its points satisfy — one hash-aggregate of min(point level) per
-        (window, group)."""
+        (window, group).
+
+        ``emit_points=True`` reproduces the reference's event payload: the
+        batch's POINTS are emitted, level-augmented, and only for non-OK
+        batches (the event carries the whole batch, alert.go ToResult;
+        golden TestBatch_AlertAll shows every point of the all-critical
+        batch). A broadcast join of the tiny per-group level table back
+        onto the rows — no second shuffle of the fact side."""
         lv = F.lit(0)
         if info is not None:
             lv = F.when(self._expr(info), 1).otherwise(lv)
@@ -1373,8 +1381,20 @@ class Pipeline:
             lv = F.when(self._expr(crit), 3).otherwise(lv)
         names = F.array(F.lit("OK"), F.lit("INFO"), F.lit("WARNING"), F.lit("CRITICAL"))
         out = self.agg(F.min(lv).alias("__lv"))
-        df = out.df.withColumn(level_col, F.get(names, F.col("__lv"))).drop("__lv")
-        return Pipeline(df=df, time_col=out.time_col, dims=out.dims, results=self.results)
+        levels = out.df.withColumn(level_col, F.get(names, F.col("__lv"))).drop("__lv")
+        if not emit_points:
+            return Pipeline(df=levels, time_col=out.time_col, dims=out.dims, results=self.results)
+        if self.window is not None:
+            # the window identity isn't a row column post-agg; batch edges
+            # carry their batch key in dims instead
+            raise ValueError("emit_points requires group dims (e.g. a batch id), not a pending window")
+        keys = list(out.dims)
+        lk = levels.select(*keys, level_col)
+        df = (
+            self.df.join(F.broadcast(lk), keys, "inner")
+            .filter(F.col(level_col) != "OK")
+        )
+        return self._with(df)
 
     def inhibit(
         self,

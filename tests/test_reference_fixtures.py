@@ -1686,3 +1686,69 @@ def test_batch_join_fixtures(spark):
         .collect()[0]["s"]
     )
     assert total == pytest.approx(876.0)
+
+
+def test_batch_alert_all_fixture(spark):
+    """TestBatch_AlertAll (batcher_test.go:1263): .all() requires EVERY
+    point of the batch to match — crit>92 matches no batch (one point is
+    90.99), crit>90 matches exactly cpu1's third batch, whose five
+    level-augmented points are the golden payload."""
+    raw = replay_brpl(spark, f"{FIXTURES}/TestBatch_SimpleMR.0.brpl")
+    pts = raw.select(
+        "batch_id", "time",
+        F.col("tags")["cpu"].alias("cpu"),
+        F.col("fields_f")["mean"].alias("mean"),
+    ).filter("cpu != 'cpu-total'")
+    p = Pipeline.from_df(pts, time_col="time", dims=("batch_id", "cpu"))
+
+    none = p.alert_all(crit="mean > 92", emit_points=True).result()
+    assert none.count() == 0
+
+    all_rows = (
+        p.alert_all(crit="mean > 90", emit_points=True)
+        .result()
+        .orderBy("time")
+        .collect()
+    )
+    # cpu1's FIRST batch also satisfies all-points>90 (min 91.44) — the
+    # reference's httpOut just displays the latest batch; the golden
+    # payload is the third batch
+    assert {r["batch_id"] for r in all_rows} == {2, 8}
+    rows = [r for r in all_rows if r.time >= dt.datetime(1971, 1, 1, 0, 0, 20)]
+    got = [(r["cpu"], r.time.replace(tzinfo=Z), r["level"], r["mean"]) for r in rows]
+    assert got == [
+        ("cpu1", _ts(20), "CRITICAL", pytest.approx(96.49999999996908)),
+        ("cpu1", _ts(22), "CRITICAL", pytest.approx(93.46464646468584)),
+        ("cpu1", _ts(24), "CRITICAL", pytest.approx(95.00950095007724)),
+        ("cpu1", _ts(26), "CRITICAL", pytest.approx(92.99999999998636)),
+        ("cpu1", _ts(28), "CRITICAL", pytest.approx(90.99999999998545)),
+    ]
+
+
+def test_batch_where_no_side_effect_fixture(spark):
+    """TestBatch_Where_NoSideEffect (batcher_test.go:670): a second,
+    unused where() branch must not mutate the shared parent — DataFrame
+    immutability IS the reference's copy-on-filter guarantee; the parent
+    branch still yields the golden cpu-total rows."""
+    raw = replay_brpl(spark, f"{FIXTURES}/TestBatch_SimpleMR.0.brpl")
+    pts = raw.select(
+        "batch_id", "time",
+        F.col("tags")["cpu"].alias("cpu"),
+        F.col("fields_f")["mean"].alias("mean"),
+    )
+    data = Pipeline.from_df(pts, time_col="time", dims=("cpu",)).where("mean > 85")
+    dead_branch = data.where("FALSE")
+    assert dead_branch.result().count() == 0
+    got = [
+        (r.time.replace(tzinfo=Z), r["mean"])
+        for r in data.result()
+        .filter("cpu = 'cpu-total' AND time >= '1971-01-01 00:00:20'")
+        .orderBy("time").collect()
+    ]
+    assert got == [
+        (_ts(20), pytest.approx(91.06416290101595)),
+        (_ts(22), pytest.approx(85.9694442394385)),
+        (_ts(24), pytest.approx(90.62985736134186)),
+        (_ts(26), pytest.approx(86.45443196005628)),
+        (_ts(28), pytest.approx(88.97243107764031)),
+    ]
