@@ -1752,3 +1752,48 @@ def test_batch_where_no_side_effect_fixture(spark):
         (_ts(26), pytest.approx(86.45443196005628)),
         (_ts(28), pytest.approx(88.97243107764031)),
     ]
+
+
+def test_stream_http_post_fixture(spark):
+    """TestStream_HttpPost (streamer_test.go:12268ff): every replayed cpu
+    point is POSTed as JSON and the receiver sees the exact golden
+    (time, value) sequence. The reference posts one request per point;
+    this engine posts one request per PARTITION with the rows as a JSON
+    array (documented batching divergence — content is identical)."""
+    import http.server
+    import json as _json
+    import threading
+
+    received: list[dict] = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.extend(_json.loads(body))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from kapacitor_spark.sinks import http_post
+
+        raw = replay_srpl(spark, f"{FIXTURES}/TestStream_HttpPost.srpl")
+        cpu = promote(
+            raw, "cpu", float_fields=["value"], tag_cols=["host", "type"],
+        ).coalesce(2)
+        cpu.foreachPartition(http_post(f"http://127.0.0.1:{port}/post"))
+    finally:
+        srv.shutdown()
+    got = sorted((d["time"], d["value"]) for d in received)
+    nums = [97.1, 92.6, 95.6, 93.1, 92.6, 95.8]  # the fixture's six points
+    expect = sorted(
+        (f"1971-01-01T00:00:{i:02d}", v) for i, v in enumerate(nums)
+    )
+    assert got == expect
+    assert all(d["host"] == "serverA" and d["type"] == "idle" for d in received)
