@@ -16,9 +16,13 @@ Usage:
     outs = run_tickscript(script, sources={"cpu": df_or_pipeline})
     outs["TestStream_Window"]   # DataFrame named by |httpOut(name)
 
+``kapacitorLoopback()`` registers its points as ``loopback:<db>.<rp>`` in
+the returned outputs — feed that DataFrame to the subscribed script's
+sources (the reference's DBRP routing, task_master.go forkPoint).
+
 Unsupported (documented): topology-level services (autoscale nodes,
-kapacitorLoopback, queryFlux), @UDF chaining (use Pipeline.udf), and
-'sideload' HTTP sources (pass a lookup DataFrame in ``sources``).
+queryFlux), @UDF chaining (use Pipeline.udf), and 'sideload' HTTP
+sources (pass a lookup DataFrame in ``sources``).
 """
 
 from __future__ import annotations
@@ -142,7 +146,11 @@ class _P:
                 self.expect("=")
                 self.env.vars[name] = self.expr()
             else:
-                self.expr()
+                res = self.expr()
+                # terminal sink builders (kapacitorLoopback) register their
+                # output as a side effect of materialization
+                if isinstance(res, _Node) and res.name == "kapacitorLoopback":
+                    self.env._materialize(res)
 
     def expr(self):
         node = self.primary()
@@ -281,7 +289,7 @@ class _Env:
     }
     BUILDERS = {
         "from", "window", "eval", "default", "delete", "alert", "join",
-        "query", "groupBy", "flatten", "combine",
+        "query", "groupBy", "flatten", "combine", "kapacitorLoopback",
     }
 
     def __init__(self, sources, time_col, dims, tiebreak, outputs):
@@ -371,6 +379,21 @@ class _Env:
         return fn(p, node)
 
     # -- builder materializers ---------------------------------------- #
+
+    def _mk_kapacitorLoopback(self, p: Pipeline, node: _Node) -> Pipeline:
+        """kapacitorLoopback() (/root/reference/kapacitor_loopback.go;
+        pipeline/kapacitor_loopback.go:9-27): re-inject this node's points
+        under a target database/retentionPolicy. Spark mapping: the points
+        DataFrame is registered in outputs as ``loopback:<db>.<rp>`` — a
+        task-master layer (or the caller) feeds it to the subscribed
+        script's sources, exactly how the reference routes by DBRP
+        (task_master.go forkPoint). Ported fixture:
+        TestStream_KapacitorLoopback."""
+        props = node.prop_map()
+        db = props.get("database", ["dbname"])[0]
+        rp = props.get("retentionPolicy", ["rpname"])[0]
+        self.outputs[f"loopback:{db}.{rp}"] = p.df
+        return p
 
     def _mk_window(self, p: Pipeline, node: _Node) -> Pipeline:
         props = node.prop_map()

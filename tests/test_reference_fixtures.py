@@ -1797,3 +1797,40 @@ def test_stream_http_post_fixture(spark):
     )
     assert got == expect
     assert all(d["host"] == "serverA" and d["type"] == "idle" for d in received)
+
+
+def test_stream_kapacitor_loopback_fixture(spark):
+    """TestStream_KapacitorLoopback (streamer_test.go): the loop task
+    re-injects its cpu points under new-dbname/new-rpname; the count task
+    subscribed to that DBRP sees them — golden count 4 in the first 10s
+    window (points at shifted 0,1,2,9)."""
+    from kapacitor_spark.tick import run_tickscript
+
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_KapacitorLoopback.srpl")
+    cpu = promote(raw, "cpu", float_fields=["value"])
+    outs1 = run_tickscript(
+        """
+stream
+    |from().measurement('cpu')
+    |kapacitorLoopback()
+        .database('new-dbname')
+        .retentionPolicy('new-rpname')
+""",
+        sources={"cpu": cpu}, time_col="time",
+    )
+    looped = outs1["loopback:new-dbname.new-rpname"]
+    outs2 = run_tickscript(
+        """
+stream
+    |from().measurement('cpu')
+    |window().every(10s).period(10s)
+    |count('value')
+    |httpOut('TestStream_KapacitorLoopback')
+""",
+        sources={"cpu": looped}, time_col="time",
+    )
+    counts = {
+        r["time"].replace(tzinfo=Z): r["count"]
+        for r in outs2["TestStream_KapacitorLoopback"].collect()
+    }
+    assert counts[_ts(0)] == 4  # window [0,10) labeled at start
