@@ -1834,3 +1834,52 @@ stream
         for r in outs2["TestStream_KapacitorLoopback"].collect()
     }
     assert counts[_ts(0)] == 4  # window [0,10) labeled at start
+
+
+def test_stream_aggregate_changing_type_fixture(spark):
+    """TestStream_Aggregate_Changing_Type (streamer_test.go): where on a
+    BOOL field feeding a windowed count — exactly one true point lands in
+    [10s,20s), golden count 1 at 00:00:20."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Aggregate_Changing_Type.srpl")
+    m = promote(raw, "m", int_fields=["value"], bool_fields=["c"])
+    out = (
+        Pipeline.from_df(m, time_col="time")
+        .where('lambda: "c"')
+        .window_time("10s", emit="end")
+        .count("value", as_="count")
+        .result()
+        .filter("time = '1971-01-01 00:00:20'")
+        .collect()
+    )
+    assert [r["count"] for r in out] == [1]
+
+
+def test_stream_eval_missing_fixtures(spark):
+    """TestStream_Eval_Missing (+_isPresent): evaluating a missing field
+    is an eval error — the point is dropped (only the one row carrying
+    or_not_to_be survives); isPresent() guards it declaratively and
+    !isPresent is false on the surviving row."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Eval_Missing.srpl")
+    m = promote(
+        raw, "missing",
+        float_fields=["to_be", "or_not_to_be"], tag_cols=["t"],
+    )
+    p = Pipeline.from_df(m, time_col="time", dims=("t",))
+
+    out = p.eval(
+        drop_errors=True, that_is_the_question='lambda: "or_not_to_be"'
+    ).result().collect()
+    assert [
+        (r.time.replace(tzinfo=Z), r["t"], r["that_is_the_question"])
+        for r in out
+    ] == [(_ts(0), "t1", 42.0)]
+
+    guarded = (
+        p.where('lambda: isPresent("or_not_to_be")')
+        .eval(keep=True, that_is_the_question='lambda: !isPresent("or_not_to_be")')
+        .result()
+        .collect()
+    )
+    assert [(r.time.replace(tzinfo=Z), r["that_is_the_question"]) for r in guarded] == [
+        (_ts(0), False)
+    ]
