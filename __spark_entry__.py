@@ -1519,6 +1519,57 @@ def stream_count_window(spark, sf_dir):
     return run_available_now(out, _mem_name("scw"), _ckpt())
 
 
+@_q(
+    "bottom2_per_type",
+    """WITH r AS (SELECT event_type, ts, user_id, value,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY value ASC, ts ASC, event_id ASC) AS rk
+                  FROM events)
+       SELECT event_type, ts, user_id, value FROM r WHERE rk <= 2""",
+)
+def bottom2_per_type(spark, sf_dir):
+    """bottom(n, f, tags...) — /root/reference/pipeline/influxql.go:446:
+    the n smallest points per group with their tag columns; row_number
+    over asc(field), single shuffle, no global sort."""
+    p = _events(spark, sf_dir).bottom(2, "value", "user_id")
+    return p.result().select("event_type", "ts", "user_id", "value")
+
+
+@_q(
+    "lambda_time_misc_fns",
+    """SELECT event_id,
+              epoch_us(ts) * 1000 AS nano,
+              hour(ts) AS h, minute(ts) AS m,
+              dayofweek(ts) AS wd,
+              day(ts) AS dom, month(ts) AS mon, year(ts) AS yr,
+              CASE WHEN value > 100 THEN 'hi' ELSE 'lo' END AS bucket,
+              CASE WHEN value >= 1024 THEN
+                     concat(format('{:.1f}', CAST(value AS DOUBLE) / 1024), ' KiB')
+                   ELSE concat(format('{:.1f}', CAST(value AS DOUBLE)), ' B') END AS hb
+       FROM events""",
+)
+def lambda_time_misc_fns(spark, sf_dir):
+    """Lambda time + misc functions — /root/reference/tick/stateful/
+    functions.go:224-237 (unixNano/hour/minute/weekday/day/month/year,
+    if(), humanBytes): each compiles to a JVM column expression."""
+    p = _events(spark, sf_dir).eval(
+        keep=["event_id", "nano", "h", "m", "wd", "dom", "mon", "yr",
+              "bucket", "hb"],
+        nano='lambda: unixNano("time")',
+        h='lambda: hour("time")',
+        m='lambda: minute("time")',
+        wd='lambda: weekday("time")',
+        dom='lambda: day("time")',
+        mon='lambda: month("time")',
+        yr='lambda: year("time")',
+        bucket="lambda: if(\"value\" > 100.0, 'hi', 'lo')",
+        hb='lambda: humanBytes("value")',
+    )
+    return p.result().select(
+        "event_id", "nano", "h", "m", "wd", "dom", "mon", "yr", "bucket", "hb"
+    )
+
+
 # ===================================================================== #
 # driver API
 # ===================================================================== #

@@ -225,6 +225,11 @@ class _Parser:
             return self._mark_str(F.lit(v[1:-1].replace("\\'", "'")))
         if k == "ref":
             name = v[1:-1]
+            # the lambda scope always exposes "time" = the point time
+            # (tick/stateful scope; reference lambdas write hour("time"))
+            # even when the pipeline's event-time column has another name
+            if name == "time" and name not in self.schema:
+                name = self.time_col
             # backtick-quote: join-prefixed refs like "errors.value" are
             # flat column names, not struct field access
             c = F.col(f"`{name}`")
