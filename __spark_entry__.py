@@ -1570,6 +1570,47 @@ def lambda_time_misc_fns(spark, sf_dir):
     )
 
 
+@_q(
+    "lambda_string_fns",
+    """SELECT doc_id,
+              length(text) AS len,
+              upper(substring(text, 1, 12)) AS head_up,
+              contains(text, 'the') AS has_the,
+              CAST((length(text) - length(replace(text, 'e', '')))
+                   AS BIGINT) AS e_count,
+              instr(text, 'data') - 1 AS data_idx,
+              starts_with(text, 'The') AS pref,
+              trim(text) = text AS pretrimmed,
+              regexp_replace(substring(text, 1, 40), '[aeiou]', '_', 'g') AS devoweled
+       FROM documents""",
+)
+def lambda_string_fns(spark, sf_dir):
+    """Lambda string registry + regexReplace — /root/reference/tick/
+    stateful/functions.go:196-218: every expression compiles to a JVM
+    string function (length/upper/contains/replace-count/instr/
+    startswith/trim/regexp_replace); no Python in the plan."""
+    docs = Pipeline.from_df(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        time_col="doc_id",
+    )
+    p = docs.eval(
+        keep=["doc_id", "len", "head_up", "has_the", "e_count", "data_idx",
+              "pref", "pretrimmed", "devoweled"],
+        len='lambda: strLength("text")',
+        head_up="lambda: strToUpper(strSubstring(\"text\", 0, 12))",
+        has_the="lambda: strContains(\"text\", 'the')",
+        e_count="lambda: strCount(\"text\", 'e')",
+        data_idx="lambda: strIndex(\"text\", 'data')",
+        pref="lambda: strHasPrefix(\"text\", 'The')",
+        pretrimmed='lambda: strTrimSpace("text") == "text"',
+        devoweled="lambda: regexReplace('[aeiou]', strSubstring(\"text\", 0, 40), '_')",
+    )
+    return p.result().select(
+        "doc_id", "len", "head_up", "has_the", "e_count", "data_idx",
+        "pref", "pretrimmed", "devoweled",
+    )
+
+
 # ===================================================================== #
 # driver API
 # ===================================================================== #
