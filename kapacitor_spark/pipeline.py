@@ -1360,11 +1360,14 @@ class Pipeline:
         info: str | Column | None = None,
         level_col: str = "level",
         emit_points: bool = False,
+        require: str = "all",
     ) -> "Pipeline":
-        """alert().all() for batch/window edges (/root/reference/pipeline/
-        alert.go:490-497): the window's level is the highest level that ALL
-        its points satisfy — one hash-aggregate of min(point level) per
-        (window, group).
+        """Batch/window-edge alert level (/root/reference/alert.go:1036-1056
+        BufferedBatch): with ``require='all'`` (the .all() flag,
+        pipeline/alert.go:490-497) the batch's level is the highest level
+        ALL points satisfy (min over point levels); with ``require='any'``
+        (the reference's DEFAULT batch behavior) it is the HIGHEST point
+        level (max) — one hash-aggregate either way.
 
         ``emit_points=True`` reproduces the reference's event payload: the
         batch's POINTS are emitted, level-augmented, and only for non-OK
@@ -1379,8 +1382,10 @@ class Pipeline:
             lv = F.when(self._expr(warn), 2).otherwise(lv)
         if crit is not None:
             lv = F.when(self._expr(crit), 3).otherwise(lv)
+        if require not in ("all", "any"):
+            raise ValueError("require must be 'all' or 'any'")
         names = F.array(F.lit("OK"), F.lit("INFO"), F.lit("WARNING"), F.lit("CRITICAL"))
-        out = self.agg(F.min(lv).alias("__lv"))
+        out = self.agg((F.min(lv) if require == "all" else F.max(lv)).alias("__lv"))
         levels = out.df.withColumn(level_col, F.get(names, F.col("__lv"))).drop("__lv")
         if not emit_points:
             return Pipeline(df=levels, time_col=out.time_col, dims=out.dims, results=self.results)

@@ -1883,3 +1883,61 @@ def test_stream_eval_missing_fixtures(spark):
     assert [(r.time.replace(tzinfo=Z), r["that_is_the_question"]) for r in guarded] == [
         (_ts(0), False)
     ]
+
+
+def test_batch_alert_message_fixture(spark):
+    """TestBatch_AlertMessage (batcher_test.go:1517): the batch's level is
+    its HIGHEST point level (no .all()), the whole batch is emitted
+    message-augmented — golden third-cpu1-batch rows with
+    'cpu_usage_idle:cpu=cpu1 is CRITICAL'."""
+    raw = replay_brpl(spark, f"{FIXTURES}/TestBatch_SimpleMR.0.brpl")
+    pts = raw.select(
+        "batch_id", "time",
+        F.col("tags")["cpu"].alias("cpu"),
+        F.col("fields_f")["mean"].alias("mean"),
+    ).filter("cpu != 'cpu-total'")
+    p = Pipeline.from_df(pts, time_col="time", dims=("batch_id", "cpu"))
+    out = (
+        p.alert_all(crit="mean > 95", require="any", emit_points=True)
+        .eval(keep=True, msg=F.format_string(
+            "cpu_usage_idle:cpu=%s is %s", F.col("cpu"), F.col("level")))
+        .result()
+    )
+    # every cpu1 batch has a >95 point; cpu0 never does
+    assert {r["cpu"] for r in out.collect()} == {"cpu1"}
+    last = out.filter("time >= '1971-01-01 00:00:20'").orderBy("time").collect()
+    assert [(r.time.replace(tzinfo=Z), r["mean"], r["msg"]) for r in last][:3] == [
+        (_ts(20), pytest.approx(96.49999999996908), "cpu_usage_idle:cpu=cpu1 is CRITICAL"),
+        (_ts(22), pytest.approx(93.46464646468584), "cpu_usage_idle:cpu=cpu1 is CRITICAL"),
+        (_ts(24), pytest.approx(95.00950095007724), "cpu_usage_idle:cpu=cpu1 is CRITICAL"),
+    ]
+
+
+def test_batch_alert_state_changes_only_fixture(spark):
+    """TestBatch_AlertStateChangesOnly (batcher_test.go:1575): batch
+    levels C,C,C,OK under crit>90 — exactly 2 events (the initial
+    CRITICAL and the recovery), matching the reference's 2 POSTs."""
+    raw = replay_brpl(spark, f"{FIXTURES}/TestBatch_AlertStateChangesOnly.0.brpl")
+    pts = raw.select(
+        "batch_id", "time",
+        F.col("tags")["cpu"].alias("cpu"),
+        F.col("fields_f")["mean"].alias("mean"),
+    )
+    levels = (
+        Pipeline.from_df(pts, time_col="time", dims=("batch_id", "cpu"))
+        .alert_all(crit="mean > 90", require="any")
+        .result()
+        .select("batch_id", "cpu", "level")
+    )
+    bt = pts.groupBy("batch_id", "cpu").agg(F.max("time").alias("time"))
+    seq = levels.join(bt, ["batch_id", "cpu"])
+    events = (
+        Pipeline.from_df(seq, time_col="time", dims=("cpu",))
+        .alert(crit="level = 'CRITICAL'", state_changes_only=True,
+               level_col="level2")
+        .result()
+        .orderBy("time")
+        .collect()
+    )
+    got = [(r.time.replace(tzinfo=Z), r["level2"]) for r in events]
+    assert got == [(_ts(8), "CRITICAL"), (_ts(38), "OK")]
