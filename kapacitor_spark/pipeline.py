@@ -1187,6 +1187,8 @@ class Pipeline:
                 )
             time_col, tiebreak = self.time_col, list(self.tiebreak)
             defined = {l for l in (1, 2, 3) if preds[l] is not None}
+            # picklable closure state only (Columns hold JVM handles)
+            has_reset = {l: resets[l] is not None for l in (1, 2, 3)}
             out_schema = df.withColumn(level_col, F.lit("")).drop(
                 "__m1", "__m2", "__m3", "__r1", "__r2", "__r3"
             ).schema
@@ -1211,7 +1213,7 @@ class Pipeline:
                     new, found = first_match(i, 3, cur - 1)
                     if not found:
                         rv = r[cur][i] if cur else None
-                        if cur and resets[cur] is not None and rv is not None and not bool(rv):
+                        if cur and has_reset[cur] and rv is not None and not bool(rv):
                             new = cur  # reset not passed: hold the level
                         else:
                             new, _ = first_match(i, cur, 0)

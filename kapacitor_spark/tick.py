@@ -482,7 +482,11 @@ class _Env:
     def _mk_alert(self, p: Pipeline, node: _Node) -> Pipeline:
         props = node.prop_map()
         kw = {}
-        for lvl, key in (("crit", "crit"), ("warn", "warn"), ("info", "info")):
+        for lvl, key in (
+            ("crit", "crit"), ("warn", "warn"), ("info", "info"),
+            ("critReset", "crit_reset"), ("warnReset", "warn_reset"),
+            ("infoReset", "info_reset"),
+        ):
             if lvl in props:
                 kw[key] = _lam(p, props[lvl][0])
         out = p.alert(
@@ -490,6 +494,8 @@ class _Env:
             no_recoveries="noRecoveries" in props,
             flapping=tuple(props["flapping"]) if "flapping" in props else None,
             history=int(props.get("history", [21])[0]),
+            level_col=props.get("levelField", ["level"])[0],
+            duration_field=props.get("durationField", [None])[0],
             topic=props.get("topic", [None])[0],
             id_template=props.get("id", [None])[0],
             message_template=props.get("message", [None])[0],

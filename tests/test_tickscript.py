@@ -198,3 +198,46 @@ def test_unknown_method_raises(cpu):
 def test_unknown_var_raises(cpu):
     with pytest.raises(TickError, match="unknown identifier"):
         run_tickscript("nosuchvar |httpOut('x')", sources={"cpu": cpu})
+
+
+def test_alert_reset_and_duration_props(spark):
+    """TICKscript .infoReset/.warnReset/.critReset/.durationField/
+    .levelField map onto the alert() reset hysteresis and episode
+    duration (golden sequence from TestStream_Alert_WithReset_0)."""
+    import datetime as dt
+
+    from kapacitor_spark.sources.line_protocol import promote, replay_srpl
+    from kapacitor_spark.tick import run_tickscript
+
+    raw = replay_srpl(
+        spark,
+        "/root/reference/integrations/testdata/TestStream_Alert_WithReset_0.srpl",
+    )
+    cpu = promote(raw, "cpu", float_fields=["value"], tag_cols=["host"])
+    outs = run_tickscript(
+        """
+stream
+    |from().measurement('cpu').where(lambda: "host" == 'serverA').groupBy('host')
+    |alert()
+        .info(lambda: "value" > 40.0)
+        .infoReset(lambda: "value" < 10.0)
+        .warn(lambda: "value" > 60.0)
+        .warnReset(lambda: "value" < 20.0)
+        .crit(lambda: "value" > 80.0)
+        .critReset(lambda: "value" < 30.0)
+        .levelField('lvl')
+        .durationField('dur')
+    |httpOut('reset')
+""",
+        sources={"cpu": cpu}, time_col="time",
+    )
+    rows = sorted(outs["reset"].collect(), key=lambda r: r["time"])
+    levels = [r["lvl"] for r in rows]
+    assert levels == [
+        "INFO", "INFO", "INFO", "OK", "INFO", "WARNING", "WARNING", "OK",
+        "INFO", "WARNING", "CRITICAL", "OK",
+    ]
+    # episode durations in ns: the OK recoveries close the episodes
+    # opened at t0 and t4
+    assert rows[3]["dur"] == 3 * 1_000_000_000
+    assert rows[7]["dur"] == 3 * 1_000_000_000
