@@ -929,12 +929,20 @@ class Pipeline:
         # resolution can't address
         def _fill(df: DataFrame, cols_vals) -> DataFrame:
             dtypes = dict(df.dtypes)
+            numeric = ("tinyint", "smallint", "int", "bigint",
+                       "float", "double", "decimal")
             for c, v in cols_vals:
                 t = dtypes.get(c, "")
-                if t.startswith("timestamp"):
+                # same skip rule as DataFrame.fillna: only fill a column
+                # whose type matches the fill value's kind
+                if isinstance(v, bool):
+                    ok = t == "boolean"
+                elif isinstance(v, (int, float)):
+                    ok = t.startswith(numeric)
+                else:
+                    ok = isinstance(v, str) and t == "string"
+                if not ok:
                     continue
-                if isinstance(v, str) != (t == "string"):
-                    continue  # type-mismatched fill: same skip rule as fillna
                 df = df.withColumn(c, F.coalesce(_flat(c), F.lit(v)))
             return df
 
