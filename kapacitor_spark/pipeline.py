@@ -879,6 +879,15 @@ class Pipeline:
         del delete_all  # batch: no delete messages; streaming: watermarks
         lp, rp = prefixes
         join_dims = list(on) if on is not None else [d for d in self.dims if d in other.dims]
+        overlap = (set(self.dims) & set(other.dims)) - set(join_dims)
+        if overlap:
+            # both sides would emit the same unprefixed tag column — the
+            # reference's .on() likewise requires the coarse side's dims
+            # to be a subset of the join dims (pipeline/join.go:204-236)
+            raise ValueError(
+                f"join(): dims {sorted(overlap)} exist on both sides but are "
+                "not join keys; add them to on=[...] or drop them from one side"
+            )
 
         def bucket(p: "Pipeline") -> DataFrame:
             if tolerance:
