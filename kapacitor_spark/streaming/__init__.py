@@ -41,6 +41,7 @@ from kapacitor_spark.streaming.state import LEVEL_IDX, LEVELS, new_state, walk_l
 
 __all__ = [
     "barrier",
+    "join_stream",
     "window_count_stream",
     "alert_stream",
     "state_count_stream",
@@ -315,6 +316,55 @@ def sigma_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str,
+    dims: Sequence[str],
+    tolerance: str | float,
+    watermark: str | float = "1h",
+    prefixes: tuple[str, str] = ("a", "b"),
+    delimiter: str = "_",
+) -> DataFrame:
+    """Streaming tolerance join — the readStream compile target of
+    join().tolerance() (/root/reference/join.go; SURVEY §2.3 "Streaming:
+    stream-stream join with watermark").
+
+    Both sides are watermarked and keyed on the tolerance bucket computed
+    as a tumbling window over (time + tolerance/2) — i.e. Go Time.Round
+    buckets, same as the batch join — plus the shared dims. Joining on
+    the window STRUCT lets Spark's state store GC matched buckets once
+    both watermarks pass (no unbounded join state, the reference's
+    low-watermark eviction, join.go:137-310).
+
+    Divergence (documented): within one (bucket, dims) cell a
+    stream-stream join emits the cross product of that cell; the batch
+    join pairs sequentially. Pre-aggregate per bucket or include a
+    sequence column in ``dims`` when cells can hold >1 row per side.
+    """
+    half_us = round(parse_duration(tolerance) * 1_000_000) // 2
+    iv = to_interval(tolerance)
+
+    def keyed(df: DataFrame, p: str) -> DataFrame:
+        shifted = F.timestamp_micros(F.unix_micros(F.col(time_col)) + F.lit(half_us))
+        out = (
+            df.withWatermark(time_col, to_interval(watermark))
+            .withColumn("__jw", F.window(shifted, iv))
+        )
+        cols = [F.col("__jw"), *[F.col(d) for d in dims]]
+        for c in df.columns:
+            if c in dims:
+                continue
+            cols.append(F.col(c).alias(f"{p}{delimiter}{c}"))
+        return out.select(*cols)
+
+    lp, rp = prefixes
+    joined = keyed(left, lp).join(keyed(right, rp), ["__jw", *dims], "inner")
+    # the tumbling window over (t + tol/2) starts exactly at the Round
+    # multiple, so the window start IS the bucket label
+    return joined.withColumn(time_col, F.col("__jw.start")).drop("__jw")
 
 
 def window_count_stream(

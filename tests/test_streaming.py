@@ -238,3 +238,43 @@ def test_streaming_alert_idle_timeout(spark, tmp_path):
     assert got == [
         ("a", "CRITICAL"), ("b", "CRITICAL"), ("b", "OK"), ("a", "CRITICAL")
     ]
+
+
+def test_join_stream_matches_batch_join(spark, tmp_path):
+    """Stream-stream tolerance join: availableNow replay of the two sides
+    produces exactly the batch join()'s pairs (each (bucket, key) cell
+    holds one row per side, so sequential pairing == the cell join)."""
+    import datetime as dt
+
+    from kapacitor_spark import Pipeline
+    from kapacitor_spark.streaming import join_stream, run_available_now
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows_a = [(t0 + dt.timedelta(minutes=7 * i), f"k{i % 3}", float(i)) for i in range(20)]
+    rows_b = [(t0 + dt.timedelta(minutes=7 * i, seconds=90), f"k{i % 3}", 100.0 + i)
+              for i in range(20)]
+    schema = "ts timestamp, key string, value double"
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.createDataFrame(rows_a, schema).write.parquet(a_dir)
+    spark.createDataFrame(rows_b, schema).write.parquet(b_dir)
+
+    batch = Pipeline.from_df(
+        spark.read.parquet(a_dir), time_col="ts", dims=("key",)
+    ).join(
+        Pipeline.from_df(spark.read.parquet(b_dir), time_col="ts", dims=("key",)),
+        prefixes=("a", "b"), tolerance="5m",
+    ).result().select("ts", "key", "a_value", "b_value")
+
+    sa = spark.readStream.schema(schema).parquet(a_dir)
+    sb = spark.readStream.schema(schema).parquet(b_dir)
+    streamed = join_stream(
+        sa, sb, "ts", ["key"], tolerance="5m", watermark="1h",
+        prefixes=("a", "b"),
+    ).select("ts", "key", "a_value", "b_value")
+    got = run_available_now(
+        streamed, "join_stream_test", str(tmp_path / "ckpt")
+    )
+
+    key = lambda r: (r["ts"], r["key"], r["a_value"], r["b_value"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
+    assert batch.count() > 0
