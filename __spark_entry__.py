@@ -1611,6 +1611,38 @@ def lambda_string_fns(spark, sf_dir):
     )
 
 
+@_q(
+    "stream_join_tolerance",
+    """WITH a AS (SELECT make_timestamp((epoch_us(ts) + 30000000)
+                         - (epoch_us(ts) + 30000000) % 60000000) AS bt,
+                         user_id, value FROM events WHERE event_type = 'click'),
+            b AS (SELECT make_timestamp((epoch_us(ts) + 30000000)
+                         - (epoch_us(ts) + 30000000) % 60000000) AS bt,
+                         user_id, value FROM events WHERE event_type = 'purchase')
+       SELECT a.bt AS ts, a.user_id,
+              a.value AS click_value, b.value AS purchase_value
+       FROM a JOIN b ON a.bt = b.bt AND a.user_id = b.user_id""",
+)
+def stream_join_tolerance(spark, sf_dir):
+    """Stream-stream tolerance join — join_stream keys both watermarked
+    sides on Go-Round 1m buckets; the within-cell pairing of a streaming
+    join is the cell cross product, which is exactly SQL join semantics,
+    so the oracle is the plain bucket equi-join."""
+    from kapacitor_spark.streaming import join_stream, run_available_now
+
+    sdf = _stream_t(spark, sf_dir, "events")
+    clicks = sdf.filter("event_type = 'click'").select("ts", "user_id", "value")
+    buys = sdf.filter("event_type = 'purchase'").select("ts", "user_id", "value")
+    j = join_stream(
+        clicks, buys, "ts", ["user_id"], tolerance="1m", watermark="1h",
+        prefixes=("click", "purchase"),
+    ).select(
+        "ts", "user_id",
+        F.col("click_value"), F.col("purchase_value"),
+    )
+    return run_available_now(j, _mem_name("sjt"), _ckpt())
+
+
 # ===================================================================== #
 # driver API
 # ===================================================================== #
