@@ -278,3 +278,40 @@ def test_join_stream_matches_batch_join(spark, tmp_path):
     key = lambda r: (r["ts"], r["key"], r["a_value"], r["b_value"])
     assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
     assert batch.count() > 0
+
+
+def test_barrier_drops_late_data(spark, tmp_path):
+    """barrier() = watermark: a point older than the watermark is DROPPED
+    once its window has been emitted and evicted
+    (/root/reference/pipeline/barrier.go:13-18 — messages older than the
+    last barrier are discarded; Spark's guarantee is the same once state
+    is gone, and late rows within the grace window may still count —
+    documented divergence from the reference's hard cut)."""
+    path = str(tmp_path / "late_in")
+    _write_batches(
+        spark,
+        path,
+        [
+            [
+                ("2024-01-01 00:00:00", "a", 1.0),
+                ("2024-01-01 00:00:10", "a", 1.0),
+            ],
+            [("2024-01-01 00:01:30", "a", 1.0)],   # watermark -> past :30
+            [("2024-01-01 00:02:30", "a", 1.0)],   # flush: [:00,:30) emits+evicts
+            [("2024-01-01 00:00:20", "a", 1.0)],   # LATE into the EVICTED window
+            [("2024-01-01 00:04:00", "a", 1.0)],   # trailing flush batch
+        ],
+    )
+    src = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(path)
+    agg = (
+        barrier(src, "t", "10s")
+        .groupBy(F.window("t", "30 seconds").alias("w"), "host")
+        .agg(F.count("value").alias("n"))
+        .select(F.col("w.start").alias("t"), "host", "n")
+    )
+    out = run_available_now(agg, "late_drop_t", str(tmp_path / "cp_late"))
+    rows = [(r.t.minute, r.t.second, r.n) for r in out.collect()]
+    # the [:00,:30) window emitted exactly once with the 2 ON-TIME rows;
+    # the late third row neither re-emitted nor grew it
+    assert rows.count((0, 0, 2)) == 1
+    assert all(n == 2 for m, s, n in rows if (m, s) == (0, 0))
