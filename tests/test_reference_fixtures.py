@@ -1941,3 +1941,35 @@ def test_batch_alert_state_changes_only_fixture(spark):
     )
     got = [(r.time.replace(tzinfo=Z), r["level2"]) for r in events]
     assert got == [(_ts(8), "CRITICAL"), (_ts(38), "OK")]
+
+
+def test_batch_group_by_measurement_fixture(spark):
+    """TestBatch_GroupByMeasurement / _GroupByNodeByMeasurement
+    (batcher_test.go:1105,1183): measurement-keyed batches — the name
+    column joins the group key via byMeasurement, so cpu_usage_idle and
+    cpu_usage_user reduce separately; all six golden third-window maxes
+    at the batch time 00:00:28."""
+    raw = replay_brpl(spark, f"{FIXTURES}/TestBatch_GroupByMeasurement.0.brpl")
+    pts = raw.select(
+        "batch_id", "name", "time",
+        F.col("tags")["cpu"].alias("cpu"),
+        F.col("fields_f")["mean"].alias("mean"),
+    )
+    out = (
+        Pipeline.from_df(pts, time_col="time", dims=("batch_id", "cpu"))
+        .group_by("batch_id", "cpu", by_measurement=True)
+        .agg(F.max("mean").alias("max"), F.max("time").alias("__bt"))
+        .result()
+        .withColumnRenamed("__bt", "time")
+        .filter("time = '1971-01-01 00:00:28'")
+        .collect()
+    )
+    got = {(r["name"], r["cpu"]): r["max"] for r in out}
+    assert got == {
+        ("cpu_usage_user", "cpu-total"): pytest.approx(8.97243107764031),
+        ("cpu_usage_user", "cpu0"): pytest.approx(8.00000000002001),
+        ("cpu_usage_user", "cpu1"): pytest.approx(6.49999999996908),
+        ("cpu_usage_idle", "cpu-total"): pytest.approx(91.06416290101595),
+        ("cpu_usage_idle", "cpu0"): pytest.approx(85.08910891088406),
+        ("cpu_usage_idle", "cpu1"): pytest.approx(96.49999999996908),
+    }
