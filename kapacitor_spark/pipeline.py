@@ -1003,7 +1003,17 @@ class Pipeline:
             t = um - um % F.lit(us)
         else:
             t = F.unix_micros(self.time)
-        ident = F.col(id_col) if id_col else F.xxhash64(*[F.col(c) for c in self.df.columns])
+        if id_col:
+            ident = F.col(id_col)
+        else:
+            # default identity orders by (time, row-hash): same-predicate
+            # slots then assign in EVENT-TIME order, the reference's
+            # arrival-order slot assignment (combine.go:201-246) — the
+            # hash only breaks same-timestamp ties
+            ident = F.struct(
+                F.unix_micros(self.time).alias("t"),
+                F.xxhash64(*[F.col(c) for c in self.df.columns]).alias("h"),
+            )
         # persist: every slot side re-reads this projection (N scans otherwise)
         base = self.df.withColumn("__ct", t).withColumn("__id", ident)
         if len(predicates) > 2:
