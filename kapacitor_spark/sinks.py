@@ -40,19 +40,38 @@ def _rows_json(rows: Iterable[Row]) -> list[dict]:
 
 def http_post(url: str, headers: dict | None = None, timeout: float = 10.0) -> Callable:
     """httpPost(url) handler (/root/reference/http_post.go): POSTs each
-    partition's rows as one JSON array. Returns a foreachPartition fn."""
+    partition's rows as one JSON array. Returns a foreachPartition fn.
 
-    def send(rows: Iterable[Row]) -> None:
-        payload = _rows_json(rows)
-        if not payload:
-            return
+    ``url`` may be a TEMPLATE over row fields/tags using Python
+    ``{name}`` placeholders (the reference's .captureResponse URL
+    template, http_post.go rowTemplate / golden
+    TestStream_HttpPost_URL_Template posts to /cpu/?host=...&cpu=...):
+    rows are then grouped by rendered URL and each distinct URL gets one
+    request per partition."""
+
+    def _send_one(target: str, payload: list) -> None:
         req = urllib.request.Request(
-            url,
+            target,
             data=json.dumps(payload).encode(),
             headers={"Content-Type": "application/json", **(headers or {})},
             method="POST",
         )
         urllib.request.urlopen(req, timeout=timeout).read()
+
+    templated = "{" in url
+
+    def send(rows: Iterable[Row]) -> None:
+        payload = _rows_json(rows)
+        if not payload:
+            return
+        if not templated:
+            _send_one(url, payload)
+            return
+        by_url: dict[str, list] = {}
+        for d in payload:
+            by_url.setdefault(url.format(**d), []).append(d)
+        for target, part in by_url.items():
+            _send_one(target, part)
 
     return send
 

@@ -76,8 +76,11 @@ def parse_line(line: str, precision_ns: bool = True, precision: str | None = Non
     line = line.strip()
     if not line or line.startswith("#"):
         return None
-    # split into measurement+tags | fields | [timestamp]
-    parts = _UNESC_SPACE.split(line)
+    # split into measurement+tags | fields | [timestamp]; drop empty
+    # segments from repeated separator spaces — influx's parser is
+    # lenient there and reference fixtures contain double-space lines
+    # (TestStream_HttpPost_URL_Template.srpl line 5)
+    parts = [p for p in _UNESC_SPACE.split(line) if p != ""]
     if len(parts) < 2:
         raise ValueError(f"line protocol: need fields segment: {line!r}")
     ts = None

@@ -1973,3 +1973,45 @@ def test_batch_group_by_measurement_fixture(spark):
         ("cpu_usage_idle", "cpu0"): pytest.approx(85.08910891088406),
         ("cpu_usage_idle", "cpu1"): pytest.approx(96.49999999996908),
     }
+
+
+def test_stream_http_post_url_template_fixture(spark):
+    """TestStream_HttpPost_URL_Template (streamer_test.go): the POST URL
+    is templated from the point's tags — each cpu tag value posts to its
+    own /cpu/?host=...&cpu=... path with the matching rows."""
+    import http.server
+    import json as _json
+    import threading
+
+    received: dict[str, list] = {}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.setdefault(self.path, []).extend(_json.loads(body))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from kapacitor_spark.sinks import http_post
+
+        raw = replay_srpl(spark, f"{FIXTURES}/TestStream_HttpPost_URL_Template.srpl")
+        cpu = promote(
+            raw, "cpu", float_fields=["value"], tag_cols=["host", "type", "cpu"],
+        ).coalesce(1)
+        cpu.foreachPartition(
+            http_post(f"http://127.0.0.1:{port}/cpu/?host={{host}}&cpu={{cpu}}")
+        )
+    finally:
+        srv.shutdown()
+    # every cpu tag value hit its own templated path with its own rows
+    assert set(received) >= {"/cpu/?host=serverA&cpu=a", "/cpu/?host=serverA&cpu=b"}
+    for path, rows in received.items():
+        tag = path.split("cpu=")[-1]
+        assert rows and all(d["cpu"] == tag for d in rows), path
