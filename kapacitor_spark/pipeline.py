@@ -168,6 +168,15 @@ class Pipeline:
         self.df.explain(mode)
         return self
 
+    def cardinality(self) -> int:
+        """Working group cardinality — the reference's per-node
+        working_cardinality stat (/root/reference/node.go edge stats;
+        integration harness testStreamerCardinality). One distinct-count
+        over the group dims; ungrouped pipelines report 1."""
+        if not self.dims:
+            return 1
+        return self.df.select(*self.dims).distinct().count()
+
     # ------------------------------------------------------------------ #
     # §2.2 projections / per-row transforms
     # ------------------------------------------------------------------ #

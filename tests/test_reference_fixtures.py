@@ -2015,3 +2015,22 @@ def test_stream_http_post_url_template_fixture(spark):
     for path, rows in received.items():
         tag = path.split("cpu=")[-1]
         assert rows and all(d["cpu"] == tag for d in rows), path
+
+
+def test_stream_cardinality_fixtures(spark):
+    """TestStream_DerivativeCardinality / _WhereCardinality
+    (streamer_test.go:12844,12882): working_cardinality = live group
+    count per node — the 9 (host,cpu) groups of the fixture, and 1 group
+    once where() narrows to one host... the reference's fixture keys 9
+    cpus on one host, so the where keeps all 9."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Cardinality.srpl")
+    cpu = promote(
+        raw, "cpu", float_fields=["usage_user"], tag_cols=["host", "cpu"],
+    )
+    p = Pipeline.from_df(cpu, time_col="time", dims=("host", "cpu"))
+    assert p.cardinality() == 9          # derivative2 working_cardinality
+    d = p.derivative("usage_user")
+    assert d.cardinality() == 9
+    assert d.result().count() == 90 - 9  # first point per group dropped
+    w = p.where("host = 'localhost'")
+    assert w.cardinality() == 9          # all groups live on localhost
