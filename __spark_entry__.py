@@ -1643,6 +1643,29 @@ def stream_join_tolerance(spark, sf_dir):
     return run_available_now(j, _mem_name("sjt"), _ckpt())
 
 
+@_q(
+    "lambda_conversion_fns",
+    """SELECT event_id,
+              CAST(trunc(value) AS BIGINT) AS v_int,  -- Go int() truncates; DuckDB CAST rounds
+              CAST(CAST(trunc(value) AS BIGINT) AS DOUBLE) AS v_float,
+              CAST(value > 100 AS BOOLEAN) AS v_bool,
+              CAST(CAST(user_id AS VARCHAR) AS BIGINT) AS id_roundtrip
+       FROM events""",
+)
+def lambda_conversion_fns(spark, sf_dir):
+    """Lambda conversion functions — /root/reference/tick/stateful/
+    functions.go:145-149 (bool/int/float/string): plain casts, with the
+    string()→int() roundtrip proving the Go-style rendering parses back."""
+    p = _events(spark, sf_dir).eval(
+        keep=["event_id", "v_int", "v_float", "v_bool", "id_roundtrip"],
+        v_int='lambda: int("value")',
+        v_float='lambda: float(int("value"))',
+        v_bool='lambda: bool("value" > 100.0)',
+        id_roundtrip='lambda: int(string("user_id"))',
+    )
+    return p.result().select("event_id", "v_int", "v_float", "v_bool", "id_roundtrip")
+
+
 # ===================================================================== #
 # driver API
 # ===================================================================== #
