@@ -1789,6 +1789,34 @@ def batch_empty_reduce(spark, sf_dir):
     return red.select("batch_start", "event_type", "ts", "n", "total")
 
 
+@_q(
+    "udf_moving_avg",
+    """SELECT ts, user_id, event_id,
+              ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                    6) AS mavg
+       FROM events""",
+)
+def udf_moving_avg(spark, sf_dir):
+    """UDF surface (§2.9) under the oracle gate: the reference's
+    moving_avg UDF example (/root/reference/udf/agent/examples/moving_avg/
+    moving_avg.py, exercised in server/server_test.go) run through
+    ``Pipeline.udf`` — the @udf_node applyInPandas surface that replaces
+    the protobuf child-process protocol (udf/agent/udf.proto). Trailing
+    5-point average per user; cumulative while the window fills
+    (AvgHandler.state.update semantics)."""
+    from kapacitor_spark.udf_examples import moving_avg_udf
+
+    ev = _t(spark, sf_dir, "events").select("ts", "user_id", "event_id", "value")
+    p = Pipeline.from_df(ev, time_col="ts", dims=("user_id",), tiebreak=("event_id",))
+    op = moving_avg_udf(
+        "ts timestamp, user_id bigint, event_id bigint, mavg double",
+        field="value", size=5, as_="mavg",
+    )
+    out = p.udf(op).result()
+    return out.select("ts", "user_id", "event_id", F.round("mavg", 6).alias("mavg"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return tpch_q1_pricing(spark, "/root/testdata/sf0.001")

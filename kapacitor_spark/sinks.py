@@ -155,3 +155,60 @@ def influxdb_out(
     to_line_protocol(df, measurement, tag_cols=tag_cols, time_col=time_col).write.mode(
         mode
     ).text(path)
+
+
+def influxdb_http_out(
+    df: DataFrame,
+    url: str,
+    database: str,
+    measurement: str,
+    retention_policy: str = "",
+    precision: str = "ns",
+    tag_cols: Sequence[str] = (),
+    tags: dict | None = None,
+    time_col: str = "time",
+    timeout: float = 10.0,
+) -> None:
+    """influxDBOut() HTTP write path (/root/reference/influxdb_out.go
+    WriteTo: POST line protocol to the InfluxDB ``/write`` endpoint with
+    db/rp/precision query params; the reference's .database()/.
+    retentionPolicy()/.precision()/.tag() options map to the kwargs here).
+
+    Rendering is pure JVM (to_line_protocol); each partition flushes one
+    buffered POST from the executor — the reference likewise buffers and
+    flushes (influxdb_out.go buffer+flushInterval), and the driver never
+    collects the points."""
+    from urllib.parse import urlencode
+
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.sources.line_protocol import to_line_protocol
+
+    static = tags or {}
+    d = df
+    for k, v in static.items():
+        d = d.withColumn(k, F.lit(v))
+    lines = to_line_protocol(
+        d,
+        measurement,
+        tag_cols=[*tag_cols, *static],
+        field_cols=[c for c in df.columns if c not in tag_cols and c != time_col],
+        time_col=time_col,
+        precision=precision,
+    )
+    params = urlencode(
+        {"db": database, "rp": retention_policy, "precision": precision}
+    )
+    target = f"{url.rstrip('/')}/write?{params}"
+
+    def send(rows: Iterable[Row]) -> None:
+        body = "\n".join(r["line"] for r in rows)
+        if not body:
+            return
+        req = urllib.request.Request(
+            target, data=body.encode(), method="POST",
+            headers={"Content-Type": "text/plain; charset=utf-8"},
+        )
+        urllib.request.urlopen(req, timeout=timeout).read()
+
+    lines.foreachPartition(send)

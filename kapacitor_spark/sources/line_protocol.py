@@ -392,11 +392,14 @@ def to_line_protocol(
     tag_cols: Sequence[str] = (),
     field_cols: Sequence[str] | None = None,
     time_col: str = "time",
+    precision: str = "ns",
 ) -> DataFrame:
     """Render rows as line protocol — the influxDBOut/egress direction
     (/root/reference/influxdb_out.go). Pure JVM expression (concat/
     regexp_replace), codegen'd; returns a single-column ``line`` DataFrame
-    writable to text/Kafka."""
+    writable to text/Kafka. ``precision`` renders the trailing timestamp
+    in ns/u/ms/s units (the reference's .precision() option,
+    /root/reference/pipeline/influxdb_out.go)."""
     mcol = F.lit(measurement) if isinstance(measurement, str) else measurement
     fields = field_cols or [
         c for c in df.columns if c not in tag_cols and c != time_col
@@ -434,6 +437,16 @@ def to_line_protocol(
             )
         )
     field_str = F.concat_ws(",", *field_frags)
-    ts = (F.unix_micros(F.col(time_col)) * 1000).cast("string")
+    um = F.unix_micros(F.col(time_col))
+    scaled = {
+        "ns": um * 1000,
+        "u": um,
+        "ms": (um / 1000).cast("long"),
+        "s": (um / 1_000_000).cast("long"),
+    }
+    try:
+        ts = scaled[precision].cast("string")
+    except KeyError:
+        raise ValueError(f"precision must be one of {sorted(scaled)}, got {precision!r}")
     line = F.concat(*parts, F.lit(" "), field_str, F.lit(" "), ts)
     return df.select(line.alias("line"))

@@ -2034,3 +2034,62 @@ def test_stream_cardinality_fixtures(spark):
     assert d.result().count() == 90 - 9  # first point per group dropped
     w = p.where("host = 'localhost'")
     assert w.cardinality() == 9          # all groups live on localhost
+
+
+def test_stream_influxdb_out_fixture(spark):
+    """TestStream_InfluxDBOut (streamer_test.go:12491-12576): window(10s)
+    |count('value')|influxDBOut().database('db').retentionPolicy('rp')
+    .measurement('m').precision('s').tag('key','value') — the mock
+    InfluxDB /write endpoint receives db=db rp=rp precision=s and exactly
+    one point m,key=value count=10i @ 1971-01-01T00:00:10."""
+    import http.server
+    import threading
+    import urllib.parse
+
+    got: dict = {}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            u = urllib.parse.urlparse(self.path)
+            got["path"] = u.path
+            got["params"] = dict(urllib.parse.parse_qsl(u.query))
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            got.setdefault("lines", []).extend(
+                l for l in body.decode().splitlines() if l
+            )
+            self.send_response(204)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from kapacitor_spark.sinks import influxdb_http_out
+
+        raw = replay_srpl(spark, f"{FIXTURES}/TestStream_InfluxDBOut.srpl")
+        cpu = promote(
+            raw.filter("name = 'cpu'"), "cpu",
+            float_fields=["value"], tag_cols=["host"],
+        )
+        out = (
+            Pipeline.from_df(cpu, time_col="time")
+            .where("host = 'serverA'")
+            .window_time("10s", emit="end")
+            .count("value", as_="count")
+            .result()
+            .filter("time = '1971-01-01 00:00:10'")
+        )
+        influxdb_http_out(
+            out.coalesce(1), f"http://127.0.0.1:{port}", database="db",
+            measurement="m", retention_policy="rp", precision="s",
+            tags={"key": "value"},
+        )
+    finally:
+        srv.shutdown()
+    assert got["path"] == "/write"
+    assert got["params"] == {"db": "db", "rp": "rp", "precision": "s"}
+    # 1971-01-01T00:00:10 UTC = 31536010 s epoch (the golden point time)
+    assert got["lines"] == ["m,key=value count=10i 31536010"]
