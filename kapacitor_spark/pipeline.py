@@ -245,14 +245,28 @@ class Pipeline:
                 cols.append(c)
         return self._with(df.select(*cols), dims=new_dims if tags else self.dims)
 
-    def default(self, **values) -> "Pipeline":
-        """Fill missing fields/tags with constants (/root/reference/default.go:84-110)."""
+    def default(self, tags: dict | None = None, **values) -> "Pipeline":
+        """Fill missing fields/tags with constants (/root/reference/default.go:84-110).
+
+        ``tags``: tag defaults with the reference's TAG rule — a tag whose
+        value is the EMPTY STRING counts as missing (default.go:100
+        ``if v := tags[tag]; v == ""``; golden TestStream_DefaultEmptyTags
+        chains default('')→default('serverA')→default('serverB') and ends
+        at serverA). Field defaults (**values) fill NULL only."""
         df = self.df
         for name, v in values.items():
             if name in df.columns:
                 # backtick-quoted ref: join-prefixed fields contain dots
                 # ('errors.value') which a bare ref would read as nesting
                 df = df.withColumn(name, F.coalesce(_flat(name), F.lit(v)))
+            else:
+                df = df.withColumn(name, F.lit(v))
+        for name, v in (tags or {}).items():
+            if name in df.columns:
+                missing = _flat(name).isNull() | (_flat(name) == "")
+                df = df.withColumn(
+                    name, F.when(missing, F.lit(v)).otherwise(_flat(name))
+                )
             else:
                 df = df.withColumn(name, F.lit(v))
         return self._with(df)
@@ -1178,6 +1192,7 @@ class Pipeline:
         warn_reset: str | Column | None = None,
         info_reset: str | Column | None = None,
         state_changes_only: bool = False,
+        max_interval: str | float | None = None,
         no_recoveries: bool = False,
         events_only: bool = False,
         flapping: tuple[float, float] | None = None,
@@ -1300,7 +1315,11 @@ class Pipeline:
                 .otherwise(F.lit(0))
                 .cast("long"),
             ).drop("__prev_lv", "__ep_start")
-        if flapping is not None or (no_recoveries and state_changes_only):
+        if (
+            flapping is not None
+            or (no_recoveries and state_changes_only)
+            or max_interval is not None
+        ):
             from kapacitor_spark.streaming.state import LEVEL_IDX, new_state, walk_levels
 
             in_cols = list(df.columns)
@@ -1308,16 +1327,27 @@ class Pipeline:
             flap = flapping
             sco, norec, hist = state_changes_only, no_recoveries, history
             evo = events_only
+            mi_us = (
+                round(parse_duration(max_interval) * 1_000_000)
+                if max_interval is not None
+                else None
+            )
 
             def machine(pdf):
                 pdf = pdf.sort_values([time_col, *tiebreak], kind="stable")
                 lv = pdf[level_col].map(LEVEL_IDX).to_numpy()
+                tms = (
+                    pdf[time_col].to_numpy(dtype="datetime64[us]").astype("int64")
+                    if mi_us is not None
+                    else None
+                )
                 emit, _ = walk_levels(
                     lv, new_state(hist), state_changes_only=sco,
                     no_recoveries=norec,
                     flap_low=flap[0] if flap else None,
                     flap_high=flap[1] if flap else None,
                     events_only=evo,
+                    times=tms, max_interval_us=mi_us,
                 )
                 return pdf.loc[emit, in_cols]
 

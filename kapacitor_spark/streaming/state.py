@@ -67,6 +67,8 @@ def walk_levels(
     flap_low: float | None = None,
     flap_high: float | None = None,
     events_only: bool = False,
+    times: np.ndarray | None = None,
+    max_interval_us: int | None = None,
 ) -> tuple[np.ndarray, dict]:
     """Run the state machine over an event-time-ordered level sequence
     (ints per LEVEL_IDX). Returns (emit_mask, new_state).
@@ -75,12 +77,20 @@ def walk_levels(
     (alert.go:1115-1159 Point): an OK point fires only as a RECOVERY
     (level changed), steady OK fires nothing; while flapping, EVERY event
     including recoveries is suppressed (alert.go:1124 returns before the
-    level check — the batch path differs and lets recoveries through)."""
+    level check — the batch path differs and lets recoveries through).
+
+    ``max_interval_us`` + ``times`` (int64 event-time µs): the
+    stateChangesOnly(maxInterval) expiry (alert.go:1288-1290
+    updateExpired + pipeline/alert.go:549) — a steady non-OK level
+    re-fires once ``maxInterval`` has passed since the last triggered
+    event (lastTriggered updates per alert.go:1213-1214 whenever the
+    fire rule passes, including recoveries suppressed by noRecoveries)."""
     use_flapping = flap_low is not None and flap_high is not None
     last = state["last_level"]
     history = list(state["history"])
     idx = state["idx"]
     flapping = state["flapping"]
+    last_trig = state.get("last_triggered")
     l = len(history)
     emit = np.zeros(len(levels), dtype=bool)
     for i, lv in enumerate(levels):
@@ -94,8 +104,15 @@ def walk_levels(
                 flapping = False
             elif not flapping and p > flap_high:
                 flapping = True
+        expired = (
+            not changed
+            and max_interval_us is not None
+            and times is not None
+            and last_trig is not None
+            and int(times[i]) - last_trig >= max_interval_us
+        )
         if state_changes_only:
-            keep = changed
+            keep = changed or expired
         elif events_only:
             keep = lv != 0 or changed
         else:
@@ -105,10 +122,16 @@ def walk_levels(
         if use_flapping and flapping:
             keep = False
         emit[i] = keep
+        suppressed = (use_flapping and flapping) or (
+            state_changes_only and not changed and not expired
+        )
+        if times is not None and not suppressed and (lv != 0 or changed):
+            last_trig = int(times[i])
         last = lv
     return emit, {
         "last_level": last,
         "history": history,
         "idx": idx,
         "flapping": flapping,
+        "last_triggered": last_trig,
     }

@@ -428,11 +428,16 @@ class _Env:
         return out
 
     def _mk_default(self, p: Pipeline, node: _Node) -> Pipeline:
-        kv = {}
+        # .tag() defaults use the empty-string-counts-as-missing rule
+        # (default.go:100), applied one prop at a time so chained
+        # default() nodes compose like the reference's
+        out = p
         for name, args in node.props:
-            if name in ("field", "tag"):
-                kv[args[0]] = args[1]
-        return p.default(**kv)
+            if name == "field":
+                out = out.default(**{args[0]: args[1]})
+            elif name == "tag":
+                out = out.default(tags={args[0]: args[1]})
+        return out
 
     def _mk_delete(self, p: Pipeline, node: _Node) -> Pipeline:
         cols = [args[0] for name, args in node.props if name in ("field", "tag")]
@@ -489,8 +494,10 @@ class _Env:
         ):
             if lvl in props:
                 kw[key] = _lam(p, props[lvl][0])
+        sco_args = props.get("stateChangesOnly")
         out = p.alert(
             state_changes_only="stateChangesOnly" in props,
+            max_interval=_dur(sco_args[0]) if sco_args else None,
             no_recoveries="noRecoveries" in props,
             flapping=tuple(props["flapping"]) if "flapping" in props else None,
             history=int(props.get("history", [21])[0]),

@@ -2093,3 +2093,206 @@ def test_stream_influxdb_out_fixture(spark):
     assert got["params"] == {"db": "db", "rp": "rp", "precision": "s"}
     # 1971-01-01T00:00:10 UTC = 31536010 s epoch (the golden point time)
     assert got["lines"] == ["m,key=value count=10i 31536010"]
+
+
+def test_stream_join_delimiter_fixtures(spark):
+    """TestStream_Join_Delimiter / _DelimiterEmpty (streamer_test.go:4785,
+    4859): the joined field namespaces use a custom delimiter ('#', '')
+    and .streamName('error_view') names the output measurement. Same
+    golden sums as TestStream_Join."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Join.srpl")
+
+    def side(measurement):
+        df = promote(
+            raw.filter(F.col("name") == measurement), measurement,
+            float_fields=["value"], tag_cols=["service"],
+        )
+        return (
+            Pipeline.from_df(df, time_col="time", dims=("service",))
+            .window_time("10s", emit="end")
+            .sum("value", as_="sum")
+        )
+
+    for delim in ("#", ""):
+        ec, vc = f"errors{delim}sum", f"views{delim}sum"
+        j = side("errors").join(
+            side("views"), prefixes=("errors", "views"), delimiter=delim,
+            stream_name="error_view",
+        ).eval(keep=True, error_percent=F.col(f"`{ec}`") / F.col(f"`{vc}`"))
+        got = {
+            r["service"]: (r["name"], r["error_percent"], r[ec], r[vc])
+            for r in j.result().filter("time = '1971-01-01 00:00:10'").collect()
+        }
+        assert got == {
+            "cartA": ("error_view", 0.01, 47.0, 4700.0),
+            "login": ("error_view", 0.01, 45.0, 4500.0),
+            "front": ("error_view", 0.01, 32.0, 3200.0),
+        }, delim
+
+
+def test_stream_eval_time_now_fixtures(spark):
+    """TestStream_Eval_Time / _EvalNow (streamer_test.go:2973,11629):
+    time-category lambda functions inside eval — hour("time") of the
+    01:00:00 point is 1 (reference uses server-local; this engine pins
+    UTC), and year(now()) is the current wall-clock year."""
+    import datetime as _dt
+
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Eval_Time.srpl")
+    ty = promote(raw, "types", float_fields=["value"], tag_cols=["group"])
+    out = (
+        Pipeline.from_df(ty, time_col="time", dims=("group",))
+        .eval(hour='lambda: hour("time")')
+        .result()
+        .filter("time = '1971-01-01 01:00:00'")
+        .collect()
+    )
+    assert {(r["group"], r["hour"]) for r in out} == {("A", 1), ("B", 1)}
+
+    raw2 = replay_srpl(spark, f"{FIXTURES}/TestStream_EvalNow.srpl")
+    ac = promote(raw2, "account", int_fields=["expiration"], tag_cols=["owner"])
+    out2 = (
+        Pipeline.from_df(ac, time_col="time", dims=("owner",))
+        .eval(currentYear='lambda: year(now())')
+        .result()
+        .collect()
+    )
+    yr = _dt.datetime.now().year
+    assert [(r["owner"], r["currentYear"]) for r in out2] == [("ownerA", yr)]
+
+
+def test_stream_default_empty_tags_fixture(spark):
+    """TestStream_DefaultEmptyTags (streamer_test.go:3103): chained
+    default().tag() nodes where the EMPTY STRING counts as a missing tag
+    (default.go:100) — ''→'serverA'→'serverB' ends at serverA."""
+    from kapacitor_spark.tick import run_tickscript
+
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_DefaultEmptyTags.srpl")
+    cpu = promote(raw, "cpu", float_fields=["value"], tag_cols=["host", "cpu"])
+    outs = run_tickscript(
+        """
+stream
+    |from().measurement('cpu')
+    |default().tag('host', '')
+    |default().tag('host', 'serverA')
+    |default().tag('host', 'serverB')
+    |httpOut('TestStream_DefaultEmptyTags')
+""",
+        sources={"cpu": cpu},
+        time_col="time",
+    )
+    rows = outs["TestStream_DefaultEmptyTags"].collect()
+    assert [(r.time.replace(tzinfo=Z), r["cpu"], r["host"], r["value"]) for r in rows] == [
+        (_ts(0), "cpu-total", "serverA", 9.0)
+    ]
+
+
+def test_stream_union_stepped_fixture(spark):
+    """TestStream_Union_Stepped (streamer_test.go:5848): three filtered cpu
+    streams unioned then REGROUPED by the cpu tag; at the 6s step the last
+    point per group is cpu=0 (5s, 92), cpu=1 (5s, 92), cpu=total (4s, 93)."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Union_Stepped.srpl")
+    cpu = promote(raw, "cpu", float_fields=["value"], tag_cols=["cpu"])
+
+    def src(tag):
+        return Pipeline.from_df(cpu, time_col="time").where(f"cpu = '{tag}'")
+
+    u = src("total").union(src("0"), src("1")).group_by("cpu")
+    last = (
+        u.result()
+        .filter("time <= '1971-01-01 00:00:05'")
+        .groupBy("cpu")
+        .agg(F.max_by(F.struct("time", "value"), "time").alias("s"))
+        .select("cpu", "s.time", "s.value")
+        .collect()
+    )
+    assert {r["cpu"]: (r["time"].replace(tzinfo=Z), r["value"]) for r in last} == {
+        "0": (_ts(5), 92.0),
+        "1": (_ts(5), 92.0),
+        "total": (_ts(4), 93.0),
+    }
+
+
+def test_stream_alert_state_changes_only_expired_fixture(spark):
+    """TestStream_AlertStateChangesOnlyExpired (streamer_test.go:11327):
+    .stateChangesOnly(2s) re-fires a steady CRITICAL once 2s have passed
+    since the last triggered event (alert.go:1288-1290 updateExpired) —
+    CRIT fires at 1,3,5,7,9s with durations 0,2,4,6,8s, and the OK
+    recovery at 10s carries duration 9s."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_AlertStateChangesOnlyExpired.srpl")
+    cpu = promote(raw, "cpu", float_fields=["value"], tag_cols=["host", "type"])
+    out = (
+        Pipeline.from_df(cpu, time_col="time")
+        .alert(
+            crit='lambda: "value" < 97.0',
+            state_changes_only=True,
+            max_interval="2s",
+            duration_field="duration",
+        )
+        .result()
+        .orderBy("time")
+        .collect()
+    )
+    got = [(r.time.replace(tzinfo=Z), r["level"], r["duration"]) for r in out]
+    ns = 1_000_000_000
+    assert got == [
+        (_ts(1), "CRITICAL", 0),
+        (_ts(3), "CRITICAL", 2 * ns),
+        (_ts(5), "CRITICAL", 4 * ns),
+        (_ts(7), "CRITICAL", 6 * ns),
+        (_ts(9), "CRITICAL", 8 * ns),
+        (_ts(10), "OK", 9 * ns),
+    ]
+
+
+def test_stream_holt_winters_with_fit_fixture(spark):
+    """TestStream_HoltWintersWithFit (streamer_test.go:523): the fitted
+    curve over the 10 input points PLUS the 3 forecast points (13 rows,
+    first fit value = first observation exactly)."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_HoltWinters.srpl")
+    pk = promote(raw, "packets", float_fields=["value"], tag_cols=["host"]).filter(
+        "value IS NOT NULL"
+    )
+    out = (
+        Pipeline.from_df(pk, time_col="time", dims=("host",))
+        .where("host = 'serverA' AND time < '1971-01-01 00:00:10'")
+        .holt_winters("value", h=3, m=0, interval="1s", include_fit=True,
+                      as_="holtWinters")
+        .result()
+        .orderBy("time")
+        .collect()
+    )
+    got = [(r.time.replace(tzinfo=Z), r["holtWinters"]) for r in out]
+    assert [t for t, _ in got] == [_ts(i) for i in range(13)]
+    expect = [
+        1000.0, 1000.7349380776699, 1001.8935462884633, 1003.1750039651934,
+        1004.4245269000132, 1005.5685498251902, 1006.5782508658309,
+        1007.4488388165385, 1008.1877681696025, 1008.8080773333872,
+        1009.324690106368, 1009.7524349889708, 1010.105056042826,
+    ]
+    # same 0.5% documented-divergence tolerance as the forecast-only port
+    # (optimizer implementation differs; equations match)
+    for (_, v), e in zip(got, expect):
+        assert v == pytest.approx(e, rel=5e-3)
+
+
+def test_batch_trickle_fixture(spark):
+    """TestBatch_Trickle (batcher_test.go:2640): trickle() converts batch
+    edges to a point stream — the downstream window sees the exact batch
+    points per (measurement, cpu) group."""
+    raw = replay_brpl(spark, f"{FIXTURES}/TestBatch_Trickle.0.brpl")
+    pts = raw.select(
+        F.col("tags")["cpu"].alias("cpu"), "time",
+        F.col("fields_f")["mean"].alias("mean"),
+    )
+    out = (
+        Pipeline.from_df(pts, time_col="time", dims=("cpu",))
+        .trickle()
+        .result()
+        .orderBy("cpu", "time")
+        .collect()
+    )
+    assert [(r["cpu"], r.time.replace(tzinfo=Z), r["mean"]) for r in out] == [
+        ("cpu-total", _ts(0), 90.38281469458698),
+        ("cpu-total", _ts(1), 80.38281469458698),
+        ("cpu0", _ts(0), 83.56930693069836),
+    ]
