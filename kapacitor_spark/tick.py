@@ -20,9 +20,13 @@ Usage:
 the returned outputs — feed that DataFrame to the subscribed script's
 sources (the reference's DBRP routing, task_master.go forkPoint).
 
+``@name()`` chain methods dispatch to UDFs registered via
+``run_tickscript(udfs={...})`` — properties become kwargs (the
+reference's InitRequest option list, udf/agent/udf.proto).
+
 Unsupported (documented): topology-level services (autoscale nodes,
-queryFlux), @UDF chaining (use Pipeline.udf), and 'sideload' HTTP
-sources (pass a lookup DataFrame in ``sources``).
+queryFlux) and 'sideload' HTTP sources (pass a lookup DataFrame in
+``sources``).
 """
 
 from __future__ import annotations
@@ -166,7 +170,13 @@ class _P:
                 args = self.call_args()
                 node = self.env.prop(node, name, args)
             elif self.at_op("@"):
-                raise TickError("@UDF chaining: use Pipeline.udf() in Python")
+                # @UDF chain method (/root/reference/task_master.go:497-525
+                # dynamic UDF scope methods): dispatched to a registered
+                # @udf_node via run_tickscript(udfs={name: fn})
+                self.next()
+                _, name, _ = self.next()
+                args = self.call_args()
+                node = self.env.chain(node, "@" + name, args)
             else:
                 return node
 
@@ -292,11 +302,12 @@ class _Env:
         "query", "groupBy", "flatten", "combine", "kapacitorLoopback",
     }
 
-    def __init__(self, sources, time_col, dims, tiebreak, outputs):
+    def __init__(self, sources, time_col, dims, tiebreak, outputs, udfs=None):
         self.vars: dict[str, Any] = {}
         self.sources = sources
         self.time_col, self.dims, self.tiebreak = time_col, dims, tiebreak
         self.outputs = outputs
+        self.udfs = udfs
 
     # -- source resolution ------------------------------------------- #
 
@@ -352,7 +363,7 @@ class _Env:
             if name == "query":
                 raise TickError("batch|query(): use BatchQuery + run_tickscript per window")
             raise TickError(f"{node.kind} source supports |from()")
-        if name in self.BUILDERS:
+        if name in self.BUILDERS or name.startswith("@"):
             return _Node(name, args, node)
         if isinstance(node, Pipeline):
             return self._apply_chain(node, name, args)
@@ -373,10 +384,34 @@ class _Env:
             return self._resolve_from(node)
         if not isinstance(p, Pipeline):
             raise TickError(f"|{node.name}() needs an upstream pipeline")
+        if node.name.startswith("@"):
+            return self._mk_udf(p, node)
         fn = getattr(self, f"_mk_{node.name}", None)
         if fn is None:
             raise TickError(f"unsupported node |{node.name}()")
         return fn(p, node)
+
+    def _mk_udf(self, p: Pipeline, node: _Node) -> Pipeline:
+        """@UDF node (/root/reference/udf.go; integration golden
+        TestStream_CustomFunctions): properties become the Init option
+        list (udf/agent/udf.proto InitRequest/Option) — here plain kwargs
+        to the registered @udf_node (single-value props unwrap, durations
+        become seconds)."""
+        name = node.name[1:]
+        fn = (self.udfs or {}).get(name)
+        if fn is None:
+            raise TickError(
+                f"@{name}(): no UDF registered — pass run_tickscript(udfs={{{name!r}: fn}})"
+            )
+        opts = {}
+        for pname, args in node.props:
+            vals = [
+                _dur(a) if isinstance(a, _Duration) else a for a in args
+            ]
+            opts[pname] = vals[0] if len(vals) == 1 else tuple(vals)
+        if getattr(fn, "__udf_node__", False):
+            return p.udf(fn, **opts)
+        return fn(p, **opts)
 
     # -- builder materializers ---------------------------------------- #
 
@@ -627,14 +662,18 @@ def run_tickscript(
     time_col: str = "time",
     dims: tuple[str, ...] = (),
     tiebreak: tuple[str, ...] = (),
+    udfs: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Execute a TICKscript; returns {httpOut name: DataFrame}.
 
     ``sources``: DataFrame | Pipeline | dict measurement→DataFrame/Pipeline
     | callable(measurement)→Pipeline.
+    ``udfs``: registry for @name() chain methods — name → @udf_node
+    function (options become kwargs), the reference's configured-UDF
+    scope methods (/root/reference/task_master.go:497-525).
     """
     outputs: dict[str, DataFrame] = {}
-    env = _Env(sources, time_col, dims, tiebreak, outputs)
+    env = _Env(sources, time_col, dims, tiebreak, outputs, udfs)
     toks, src = _tokenize(script)
     p = _P(toks, src, env)
     # patch property dispatch for pending aggregations

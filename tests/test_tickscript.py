@@ -241,3 +241,55 @@ stream
     # opened at t0 and t4
     assert rows[3]["dur"] == 3 * 1_000_000_000
     assert rows[7]["dur"] == 3 * 1_000_000_000
+
+
+def test_custom_udf_chain_method(spark):
+    """TestStream_CustomFunctions (streamer_test.go:7256-7421): the
+    @customFunc() chain method dispatches to a registered UDF; its
+    properties arrive as the Init option list — opt1('count'),
+    opt2(FALSE, 1, 1.0, '1.0', 1s) — and the UDF's output flows to
+    httpOut. The golden output is (00:00:10, customField=42)."""
+    from kapacitor_spark.sources.line_protocol import promote, replay_srpl
+    from kapacitor_spark.tick import run_tickscript
+    from kapacitor_spark.udf import udf_node
+
+    @udf_node("time timestamp, customField double")
+    def custom_func(pdf, opt1=None, opt2=None):
+        # the Init handshake: options arrive as plain kwargs. The UDF runs
+        # on executors, so the option check is encoded in the OUTPUT value:
+        # 42 only when both options arrived exactly as declared.
+        ok = opt1 == "count" and opt2 == (False, 1, 1.0, "1.0", 1.0)
+        out = pdf[["time"]].copy()
+        out["customField"] = 42.0 if ok else -1.0
+        return out
+
+    raw = replay_srpl(
+        spark, "/root/reference/integrations/testdata/TestStream_CustomFunctions.srpl"
+    )
+    cpu = promote(
+        raw.filter("name = 'cpu'"), "cpu",
+        float_fields=["value"], tag_cols=["host", "type"],
+    )
+    outs = run_tickscript(
+        """
+stream
+    |from().measurement('cpu').where(lambda: "host" == 'serverA')
+    |window().period(10s).every(10s)
+    |count('value')
+    @customFunc()
+        .opt1('count')
+        .opt2(FALSE, 1, 1.0, '1.0', 1s)
+    |httpOut('TestStream_CustomFunctions')
+""",
+        sources={"cpu": cpu},
+        time_col="time",
+        udfs={"customFunc": custom_func},
+    )
+    rows = (
+        outs["TestStream_CustomFunctions"]
+        .filter("time = '1971-01-01 00:00:10'")
+        .collect()
+    )
+    assert [(str(r.time), r["customField"]) for r in rows] == [
+        ("1971-01-01 00:00:10", 42.0)
+    ]
