@@ -194,8 +194,24 @@ class Pipeline:
 
     def where(self, cond: str | Column) -> "Pipeline":
         """Filter points (/root/reference/where.go:89-99). Accepts SQL,
-        Column, or a TICK lambda string (``lambda: "value" > 10``)."""
-        return self._with(self.df.filter(self._expr(cond)))
+        Column, or a TICK lambda string (``lambda: "value" > 10``).
+
+        Stateful lambda fns (sigma/count/spread, golden
+        TestStream_AlertComplexWhere) compile to running-window
+        aggregates, which Spark forbids directly inside a filter — those
+        predicates are materialized as a column first (same plan shape:
+        one window pass, then the filter)."""
+        import re as _re
+
+        c = self._expr(cond)
+        if (
+            isinstance(cond, str)
+            and cond.lstrip().startswith("lambda:")
+            and _re.search(r"\b(?:sigma|count|spread)\s*\(", cond)
+        ):
+            df = self.df.withColumn("__wf", c).filter(F.col("__wf")).drop("__wf")
+            return self._with(df)
+        return self._with(self.df.filter(c))
 
     def eval(
         self,
@@ -1090,11 +1106,16 @@ class Pipeline:
         tolerance: str | float | None = None,
         delimiter: str = "_",
         values: Sequence[str] | None = None,
+        drop_original_field_name: bool = False,
     ) -> "Pipeline":
         """Pivot points sharing remaining dims into one wide point whose
         field names are prefixed by the flattened-dim values
         (/root/reference/flatten.go:219-254). Passing ``values`` (the
         expected dim values) lets Spark skip the extra distinct-scan job.
+        ``drop_original_field_name`` omits the source field suffix
+        (.dropOriginalFieldName(), pipeline/flatten.go — golden
+        TestStream_FlattenDropOriginalFieldName: 'auth.server01' instead
+        of 'auth.server01.value'); single-field flattens only.
         """
         t = self.time
         if tolerance:
@@ -1116,16 +1137,21 @@ class Pipeline:
             # backtick-quote: pivot values may contain '.' (e.g. a
             # 'service.host' compound key), which bare F.col would treat
             # as struct access
+            suffix = "" if drop_original_field_name else f"{delimiter}{fields[0]}"
             out = out.select(
                 self.time_col,
                 *rest,
                 *[
-                    F.col(f"`{c}`").alias(f"{c}{delimiter}{fields[0]}")
+                    F.col(f"`{c}`").alias(f"{c}{suffix}")
                     for c in out.columns
                     if c != self.time_col and c not in rest
                 ],
             )
         else:
+            if drop_original_field_name:
+                raise ValueError(
+                    "dropOriginalFieldName requires a single flattened field"
+                )
             out = piv.agg(*[F.min_by(f_, order).alias(f_) for f_ in fields])
         return Pipeline(df=out, time_col=self.time_col, dims=tuple(rest), results=self.results)
 

@@ -24,9 +24,12 @@ sources (the reference's DBRP routing, task_master.go forkPoint).
 ``run_tickscript(udfs={...})`` — properties become kwargs (the
 reference's InitRequest option list, udf/agent/udf.proto).
 
+``sideload()`` supports ``file://`` sources with order templates
+(sources/sideload.py); HTTP sideload endpoints are out of scope — pass a
+lookup DataFrame in ``sources`` instead.
+
 Unsupported (documented): topology-level services (autoscale nodes,
-queryFlux) and 'sideload' HTTP sources (pass a lookup DataFrame in
-``sources``).
+queryFlux).
 """
 
 from __future__ import annotations
@@ -300,6 +303,7 @@ class _Env:
     BUILDERS = {
         "from", "window", "eval", "default", "delete", "alert", "join",
         "query", "groupBy", "flatten", "combine", "kapacitorLoopback",
+        "sideload",
     }
 
     def __init__(self, sources, time_col, dims, tiebreak, outputs, udfs=None):
@@ -430,6 +434,27 @@ class _Env:
         self.outputs[f"loopback:{db}.{rp}"] = p.df
         return p
 
+    def _mk_sideload(self, p: Pipeline, node: _Node) -> Pipeline:
+        """sideload() (/root/reference/pipeline/sideload.go:8-37): file://
+        source + order templates load per-level lookup tables
+        (sources/sideload.py); .field()/.tag() declare loaded names and
+        defaults. Golden: TestStream_Sideload(_Multiple)."""
+        from kapacitor_spark.sources.sideload import load_sideload_levels
+
+        props = node.prop_map()
+        src = props.get("source", [None])[0]
+        if src is None:
+            raise TickError("sideload() needs .source('file://dir')")
+        order = [a for name, args in node.props if name == "order" for a in args]
+        defaults = {}
+        fields = []
+        for name, args in node.props:
+            if name in ("field", "tag"):
+                fields.append(args[0])
+                defaults[args[0]] = args[1]
+        lookups, ons = load_sideload_levels(p.df.sparkSession, src, order)
+        return p.sideload(lookups, on=ons, fields=fields or None, defaults=defaults)
+
     def _mk_window(self, p: Pipeline, node: _Node) -> Pipeline:
         props = node.prop_map()
         if "periodCount" in props:
@@ -491,8 +516,14 @@ class _Env:
         on = props.get("on", [])
         on = on[0] if on and isinstance(on[0], list) else on
         tol = _dur(props["tolerance"][0]) if "tolerance" in props else None
-        fields = [c for c in p.df.columns if c not in (p.time_col, *p.dims)]
-        return p.flatten(on=on, fields=fields[:1], tolerance=tol)
+        fields = [
+            c for c in p.df.columns if c not in (p.time_col, *p.dims, *on)
+        ]
+        return p.flatten(
+            on=on, fields=fields[:1], tolerance=tol,
+            delimiter=props.get("delimiter", ["."])[0],
+            drop_original_field_name="dropOriginalFieldName" in props,
+        )
 
     def _mk_combine(self, p: Pipeline, node: _Node) -> Pipeline:
         props = node.prop_map()

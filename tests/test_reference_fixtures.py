@@ -2296,3 +2296,152 @@ def test_batch_trickle_fixture(spark):
         ("cpu-total", _ts(1), 80.38281469458698),
         ("cpu0", _ts(0), 83.56930693069836),
     ]
+
+
+def test_stream_sideload_multiple_fixture(spark):
+    """TestStream_Sideload_Multiple (streamer_test.go:12412): TWO chained
+    sideload() nodes over the reference's ACTUAL testdata/sideload files
+    (file:// source + order templates) — the first loads f1/f2/t3 with
+    t0-beats-t1-beats-t2 precedence, the second loads 'other' (t2/y only,
+    default -1)."""
+    from kapacitor_spark.tick import run_tickscript
+
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Sideload.srpl")
+    m = promote(raw, "m", float_fields=["value"], tag_cols=["t0", "t1", "t2"])
+    outs = run_tickscript(
+        f"""
+stream
+    |from().measurement('m').groupBy('t0', 't1', 't2')
+    |sideload()
+        .source('file://{FIXTURES}/sideload')
+        .order('t0/{{{{.t0}}}}.yml', 't1/{{{{.t1}}}}.yml', 't2/{{{{.t2}}}}.yml')
+        .field('f1', 0)
+        .field('f2', 0.0)
+        .tag('t3', 'one')
+    |sideload()
+        .source('file://{FIXTURES}/sideload')
+        .order('t0/{{{{.t0}}}}.yml', 't1/{{{{.t1}}}}.yml', 't2/{{{{.t2}}}}.yml')
+        .field('other', -1.0)
+    |httpOut('TestStream_Sideload')
+""",
+        sources={"m": m},
+        time_col="time",
+    )
+    got = {
+        (r.t0, r.t1, r.t2): (
+            float(r.f1), float(r.f2), float(r.other), r.t3, r.value
+        )
+        for r in outs["TestStream_Sideload"].collect()
+    }
+    assert got == {
+        ("a", "m", "x"): (0.0, 0.0, -1.0, "one", 1.0),
+        ("b", "n", "y"): (2.0, 3.5, 56.0, "why", 1.0),
+        ("c", "o", "y"): (12.0, 13.5, 56.0, "why", 1.0),
+    }
+
+
+def test_stream_flatten_drop_original_field_name_fixture(spark):
+    """TestStream_FlattenDropOriginalFieldName (streamer_test.go:4427):
+    flatten on (service, host) with .dropOriginalFieldName() — wide
+    columns are 'auth.server01', not 'auth.server01.value'."""
+    from kapacitor_spark.tick import run_tickscript
+
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Flatten.srpl")
+    rl = promote(
+        raw, "request_latency",
+        float_fields=["value"], tag_cols=["service", "host", "dc"],
+    )
+    outs = run_tickscript(
+        """
+stream
+    |from().measurement('request_latency').groupBy('dc')
+    |flatten().on('service', 'host').tolerance(1s).dropOriginalFieldName()
+    |httpOut('TestStream_Flatten')
+""",
+        sources={"request_latency": rl},
+        time_col="time",
+        dims=("dc", "service", "host"),
+    )
+    cols = ["auth.server01", "auth.server02", "cart.server01",
+            "cart.server02", "log.server01", "log.server02"]
+    rows = {
+        r["dc"]: tuple(r[c] for c in cols)
+        for r in outs["TestStream_Flatten"]
+        .filter("time = '1971-01-01 00:00:00'")
+        .collect()
+    }
+    assert rows == {
+        "A": (700.0, 702.0, 800.0, 802.0, 600.0, 602.0),
+        "B": (750.0, 752.0, 850.0, 852.0, 650.0, 652.0),
+    }
+
+
+def test_stream_influxql_missing_value_fixtures(spark):
+    """TestStream_InfluxQLNodeMissingValue_Stream / _Batch
+    (streamer_test.go:126,143): aggregation functions SKIP points missing
+    the field — mean('is_missing_value') over the packets stream sees only
+    the single point carrying it (1011 @ :10); after derivative('value')
+    (which drops the field-less point) no value remains at all."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_InfluxQLNodeMissingValue.srpl")
+    pk = promote(
+        raw, "packets",
+        float_fields=["value", "is_missing_value"],
+    )
+    p = Pipeline.from_df(pk, time_col="time")
+    # stream variant: running mean over present values only
+    got = p.result().agg(F.avg("is_missing_value")).first()[0]
+    assert got == 1011.0
+
+    # batch variant: derivative consumes 'value' (skipping the points
+    # without it), so no is_missing_value survives into the window
+    d = p.where("value IS NOT NULL").derivative("value")
+    remaining = d.result().filter("is_missing_value IS NOT NULL").count()
+    assert remaining == 0
+
+
+def test_stream_alert_complex_where_fixture(spark):
+    """TestStream_AlertComplexWhere (streamer_test.go:11247): stateful
+    sigma() inside the from().where() lambda — exactly one point
+    (00:00:07, value 16) exceeds 2 sigma and fires CRITICAL."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_AlertComplexWhere.srpl")
+    cpu = promote(raw, "cpu", float_fields=["value"], tag_cols=["host", "type"])
+    out = (
+        Pipeline.from_df(cpu, time_col="time")
+        .where('lambda: "host" == \'serverA\' AND sigma("value") > 2.0')
+        .alert(crit="lambda: TRUE", events_only=True)
+        .result()
+        .collect()
+    )
+    assert [(r.time.replace(tzinfo=Z), r["value"], r["level"]) for r in out] == [
+        (_ts(7), 16.0, "CRITICAL")
+    ]
+
+
+def test_stream_http_out_pass_through_fixture(spark):
+    """TestStream_HttpOutPassThrough (streamer_test.go:3878): httpOut is a
+    pass-through — a second httpOut downstream sees the identical
+    windowed count."""
+    from kapacitor_spark.tick import run_tickscript
+
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_SimpleMR.srpl")
+    cpu = promote(
+        raw.filter("name = 'cpu'"), "cpu",
+        float_fields=["value"], tag_cols=["host"],
+    )
+    outs = run_tickscript(
+        """
+stream
+    |from().measurement('cpu').where(lambda: "host" == 'serverA')
+    |window().period(10s).every(10s)
+    |count('value')
+    |httpOut('unused')
+    |httpOut('TestStream_SimpleMR')
+""",
+        sources={"cpu": cpu},
+        time_col="time",
+    )
+    for name in ("unused", "TestStream_SimpleMR"):
+        rows = outs[name].filter("time = '1971-01-01 00:00:00'").collect()
+        assert [(r.time.replace(tzinfo=Z), r["count"]) for r in rows] == [
+            (_ts(0), 10)
+        ], name
