@@ -2445,3 +2445,126 @@ stream
         assert [(r.time.replace(tzinfo=Z), r["count"]) for r in rows] == [
             (_ts(0), 10)
         ], name
+
+
+def _batch_pts(spark, fixture, field="value", tags=()):
+    raw = replay_brpl(spark, f"{FIXTURES}/{fixture}")
+    cols = ["batch_id", "time"]
+    cols += [F.col("tags")[t].alias(t) for t in tags]
+    cols += [F.col("fields_f")[field].alias(field)]
+    return raw.select(*cols)
+
+
+def test_batch_ordered_transform_fixtures(spark):
+    """TestBatch_Difference / _Elapsed / _MovingAverage / _CumulativeSum /
+    _DerivativeNN (batcher_test.go:389-640): the ordered per-batch
+    transforms over replayed batch edges — each batch is its own group, so
+    the transform never spans a batch boundary."""
+    # difference: 1000,1005,1008,1009,1004 → 5,3,1,-5
+    d = _batch_pts(spark, "TestBatch_Difference.0.brpl")
+    out = (
+        Pipeline.from_df(d, time_col="time", dims=("batch_id",))
+        .difference("value", as_="difference")
+        .result().orderBy("time").collect()
+    )
+    assert [(r.time.replace(tzinfo=Z), r["difference"]) for r in out] == [
+        (_ts(2), 5.0), (_ts(4), 3.0), (_ts(6), 1.0), (_ts(8), -5.0)
+    ]
+
+    # elapsed(1ms): 2s spacing → 2000 per point after the first
+    e = _batch_pts(spark, "TestBatch_Elapsed.0.brpl")
+    out = (
+        Pipeline.from_df(e, time_col="time", dims=("batch_id",))
+        .elapsed("1ms")
+        .result().orderBy("time").collect()
+    )
+    assert [(r.time.replace(tzinfo=Z), r["elapsed"]) for r in out] == [
+        (_ts(2), 2000), (_ts(4), 2000), (_ts(6), 2000), (_ts(8), 2000)
+    ]
+
+    # movingAverage(2): emits once the window is FULL
+    m = _batch_pts(spark, "TestBatch_MovingAverage.0.brpl")
+    out = (
+        Pipeline.from_df(m, time_col="time", dims=("batch_id",))
+        .moving_average("value", 2, as_="movingAverage")
+        .result().orderBy("time").collect()
+    )
+    assert [(r.time.replace(tzinfo=Z), r["movingAverage"]) for r in out] == [
+        (_ts(2), 1002.5), (_ts(4), 1006.5), (_ts(6), 1008.5), (_ts(8), 1006.5)
+    ]
+
+    # cumulativeSum: the second batch (0,10,20,30,40) → 0,10,30,60,100
+    c = _batch_pts(spark, "TestBatch_CumulativeSum.0.brpl")
+    out = (
+        Pipeline.from_df(c, time_col="time", dims=("batch_id",))
+        .cumulative_sum("value", as_="cumulativeSum")
+        .result().filter("batch_id = 1").orderBy("time").collect()
+    )
+    assert [(r.time.replace(tzinfo=Z), r["cumulativeSum"]) for r in out] == [
+        (_ts(10), 0.0), (_ts(12), 10.0), (_ts(14), 30.0),
+        (_ts(16), 60.0), (_ts(18), 100.0)
+    ]
+
+    # derivative + nonNegative: drops the negative-rate point
+    n = _batch_pts(spark, "TestBatch_DerivativeNN.0.brpl")
+    out = (
+        Pipeline.from_df(n, time_col="time", dims=("batch_id",))
+        .derivative("value", non_negative=True)
+        .result().orderBy("time").collect()
+    )
+    assert [(r.time.replace(tzinfo=Z), r["value"]) for r in out] == [
+        (_ts(2), 0.5), (_ts(4), 0.5), (_ts(8), 0.5)
+    ]
+
+
+def test_batch_change_detect_many_fixture(spark):
+    """TestBatch_ChangeDetect_Many (batcher_test.go:149): changeDetect on
+    TWO fields (string a, float b) — a point is kept when ANY monitored
+    field changed; the c-only change at :05 is dropped."""
+    raw = replay_brpl(spark, f"{FIXTURES}/TestBatch_ChangeDetect_Many.0.brpl")
+    pts = raw.select(
+        "batch_id", "time",
+        F.col("fields_s")["a"].alias("a"), F.col("fields_f")["b"].alias("b"),
+    )
+    out = (
+        Pipeline.from_df(pts, time_col="time", dims=("batch_id",))
+        .change_detect("a", "b")
+        .result().orderBy("time").collect()
+    )
+    assert [(r.time.replace(tzinfo=Z), r["a"], r["b"]) for r in out] == [
+        (_ts(0), "bad", 0.0), (_ts(2), "good", 0.0),
+        (_ts(6), "bad", 1.0), (_ts(8), "bad", 0.0),
+    ]
+
+
+def test_batch_state_tracking_fixtures(spark):
+    """TestBatch_StateCount / _StateDuration (batcher_test.go:2568,2676):
+    per-batch state runs; points missing the field are skipped (serverB's
+    :06 null gap — duration 2000 spans :05→:07)."""
+    pts = _batch_pts(spark, "TestBatch_StateTracking.0.brpl", tags=("host",)).filter(
+        "value IS NOT NULL"
+    )
+    p = Pipeline.from_df(pts, time_col="time", dims=("host", "batch_id"))
+    got_c = {
+        (r["host"], r.time.replace(tzinfo=Z)): (r["my_count"], r["value"])
+        for r in p.state_count('lambda: "value" > 95.0', as_="my_count")
+        .result().filter("time >= '1971-01-01 00:00:04'").collect()
+    }
+    assert got_c == {
+        ("serverA", _ts(4)): (1, 97.1), ("serverA", _ts(5)): (2, 96.6),
+        ("serverA", _ts(6)): (-1, 83.6), ("serverA", _ts(7)): (1, 99.1),
+        ("serverB", _ts(4)): (-1, 47.0), ("serverB", _ts(5)): (1, 95.1),
+        ("serverB", _ts(7)): (2, 96.1),
+    }
+    got_d = {
+        (r["host"], r.time.replace(tzinfo=Z)): (r["my_duration"], r["value"])
+        for r in p.state_duration(
+            'lambda: "value" > 95.0', unit="1ms", as_="my_duration"
+        ).result().filter("time >= '1971-01-01 00:00:04'").collect()
+    }
+    assert got_d == {
+        ("serverA", _ts(4)): (0.0, 97.1), ("serverA", _ts(5)): (1000.0, 96.6),
+        ("serverA", _ts(6)): (-1.0, 83.6), ("serverA", _ts(7)): (0.0, 99.1),
+        ("serverB", _ts(4)): (-1.0, 47.0), ("serverB", _ts(5)): (0.0, 95.1),
+        ("serverB", _ts(7)): (2000.0, 96.1),
+    }
