@@ -1224,6 +1224,9 @@ class Pipeline:
         flapping: tuple[float, float] | None = None,
         history: int = 21,
         level_col: str = "level",
+        level_tag: str | None = None,
+        id_field: str | None = None,
+        id_tag: str | None = None,
         duration_field: str | None = None,
         id_template: str | None = None,
         message_template: str | None = None,
@@ -1393,6 +1396,17 @@ class Pipeline:
             df = df.withColumn("__prev", prev).filter(
                 (F.col(level_col) != "OK") | (F.col("__prev") != "OK")
             ).drop("__prev")
+        if level_tag:
+            # .levelTag (alert.go augmentTagsWithEventState): the level as
+            # a tag — same column model here, named independently
+            df = df.withColumn(level_tag, F.col(level_col))
+        if id_field or id_tag:
+            # .idField/.idTag (alert.go augment*WithEventState): the
+            # rendered event ID; default template per pipeline/alert.go:18
+            idc = self._template(id_template or "{{ .Name }}:{{ .Group }}", level_col)
+            for c in (id_field, id_tag):
+                if c:
+                    df = df.withColumn(c, idc)
         if id_template:
             df = df.withColumn("alert_id", self._template(id_template, level_col))
         if message_template:
@@ -1432,7 +1446,20 @@ class Pipeline:
             elif ph in (".ID", ".TaskName"):
                 parts.append(F.lit(""))  # single-pipeline context: no task name
             elif ph == ".Group":
-                parts.append(F.concat_ws(",", *[F.col(d) for d in self.dims]))
+                # models.ToGroupID (/root/reference/models/point.go:82):
+                # "tag=value" pairs comma-joined in sorted-tag order
+                if self.dims:
+                    parts.append(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.concat(F.lit(f"{d}="), F.col(d).cast("string"))
+                                for d in sorted(self.dims)
+                            ],
+                        )
+                    )
+                else:
+                    parts.append(F.lit("nil"))
             else:
                 im = _re.fullmatch(r'index\s+\.(Tags|Fields)\s+"([^"]+)"', ph)
                 if not im:

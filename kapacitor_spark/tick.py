@@ -568,6 +568,9 @@ class _Env:
             flapping=tuple(props["flapping"]) if "flapping" in props else None,
             history=int(props.get("history", [21])[0]),
             level_col=props.get("levelField", ["level"])[0],
+            level_tag=props.get("levelTag", [None])[0],
+            id_field=props.get("idField", [None])[0],
+            id_tag=props.get("idTag", [None])[0],
             duration_field=props.get("durationField", [None])[0],
             topic=props.get("topic", [None])[0],
             id_template=props.get("id", [None])[0],

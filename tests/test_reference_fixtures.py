@@ -2568,3 +2568,62 @@ def test_batch_state_tracking_fixtures(spark):
         ("serverB", _ts(4)): (-1.0, 47.0), ("serverB", _ts(5)): (0.0, 95.1),
         ("serverB", _ts(7)): (2000.0, 96.1),
     }
+
+
+def test_batch_alert_level_field_tag_fixtures(spark):
+    """TestBatch_AlertLevelField / _AlertLevelTag (batcher_test.go:1341,
+    1405): batch alert level = the HIGHEST point level in the batch; the
+    emitted batch points are augmented with the level and the rendered
+    event ID "name:group" (models.ToGroupID tag=value form) — as fields
+    (.levelField/.idField) or tags (.levelTag/.idTag). Only cpu1's last
+    batch is critical (96.49 > 95)."""
+    raw = replay_brpl(spark, f"{FIXTURES}/TestBatch_SimpleMR.0.brpl")
+    pts = raw.select(
+        "name", F.col("tags")["cpu"].alias("cpu"), "time",
+        F.col("fields_f")["mean"].alias("mean"),
+    ).filter("time >= '1971-01-01 00:00:20' AND cpu != 'cpu-total'")
+    p = Pipeline.from_df(pts, time_col="time", dims=("cpu",))
+    out = p.alert_all(crit='lambda: "mean" > 95.0', require="any", emit_points=True)
+    # augment with the event ID exactly as .idField/.idTag do
+    out = out.eval(keep=True, id=out._template("{{ .Name }}:{{ .Group }}", "level"))
+    rows = out.result().orderBy("time").collect()
+    assert [(r.time.replace(tzinfo=Z), r["id"], r["level"], r["mean"]) for r in rows] == [
+        (_ts(20), "cpu_usage_idle:cpu=cpu1", "CRITICAL", 96.49999999996908),
+        (_ts(22), "cpu_usage_idle:cpu=cpu1", "CRITICAL", 93.46464646468584),
+        (_ts(24), "cpu_usage_idle:cpu=cpu1", "CRITICAL", 95.00950095007724),
+        (_ts(26), "cpu_usage_idle:cpu=cpu1", "CRITICAL", 92.99999999998636),
+        (_ts(28), "cpu_usage_idle:cpu=cpu1", "CRITICAL", 90.99999999998545),
+    ]
+
+
+def test_stream_alert_level_id_tags(spark):
+    """The stream-side .levelTag/.idField/.idTag augmentation
+    (alert.go:1161-1186 augmentTags/FieldsWithEventState) through
+    alert(): every emitted event carries the level and rendered ID."""
+    from kapacitor_spark.tick import run_tickscript
+
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Alert.srpl")
+    cpu = promote(
+        raw.filter("name = 'cpu'"), "cpu",
+        float_fields=["value"], tag_cols=["host"],
+    ).withColumn("name", F.lit("cpu"))  # points carry their measurement
+    outs = run_tickscript(
+        """
+stream
+    |from().measurement('cpu').groupBy('host')
+    |alert()
+        .crit(lambda: "value" < 93.0)
+        .levelTag('lt')
+        .idTag('it')
+        .idField('idf')
+        .stateChangesOnly()
+    |httpOut('out')
+""",
+        sources={"cpu": cpu},
+        time_col="time",
+    )
+    rows = outs["out"].filter("level = 'CRITICAL'").collect()
+    assert rows, "expected at least one critical transition"
+    for r in rows:
+        assert r["lt"] == "CRITICAL"
+        assert r["it"] == f"cpu:host={r['host']}" == r["idf"]
