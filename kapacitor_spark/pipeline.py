@@ -295,9 +295,17 @@ class Pipeline:
         return self._with(df, dims=dims)
 
     def shift(self, duration: str | float) -> "Pipeline":
-        """Shift timestamps by ±duration (/root/reference/shift.go:43-65)."""
+        """Shift timestamps by ±duration (/root/reference/shift.go:43-65).
+
+        A pending window survives (golden TestStream_ShiftBatch:
+        window|shift|count shifts the batch onto the next window) — the
+        shifted times re-enter window assignment, equivalent to the
+        reference's batch-time shift for shifts that are multiples of
+        ``every`` (epoch-grid divergence documented at window_time)."""
         shifted = F.col(self.time_col) + F.expr(f"INTERVAL {to_interval(duration)}")
-        return self._with(self.df.withColumn(self.time_col, shifted))
+        return self._with(
+            self.df.withColumn(self.time_col, shifted), window=self.window
+        )
 
     def group_by(
         self,

@@ -57,11 +57,11 @@ class TickError(ValueError):
 _TOK = re.compile(
     r"""\s*(?:
       (?P<comment>//[^\n]*)
-    | (?P<dur>\d+(?:\.\d+)?(?:ns|us|µs|ms|s|m|h|d|w))(?![\w.])
+    | (?P<dur>-?\d+(?:\.\d+)?(?:ns|us|µs|ms|s|m|h|d|w))(?![\w.])
     | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
     | (?P<str>'(?:[^'\\]|\\.)*')
     | (?P<regex>/(?:[^/\\\n]|\\.)+/)
-    | (?P<op>\|\||[|.@(),\[\]=])
+    | (?P<op>\|\||[|.@(),\[\]=-])
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     )""",
     re.VERBOSE,
@@ -185,6 +185,16 @@ class _P:
 
     def primary(self):
         k, v, p = self.next()
+        if k == "op" and v == "-":
+            # unary minus on a literal or var (e.g. shift(-period))
+            inner = self.primary()
+            if isinstance(inner, (int, float)):
+                return -inner
+            if isinstance(inner, _Duration):
+                return _Duration(
+                    inner.text[1:] if inner.text.startswith("-") else "-" + inner.text
+                )
+            raise TickError(f"cannot negate {inner!r} at offset {p}")
         if k == "ident":
             if v in ("stream", "batch"):
                 return _Source(v)
@@ -472,19 +482,22 @@ class _Env:
         names = props.get("as", [])
         if len(names) != len(node.args):
             raise TickError("eval(): .as() must name every expression")
-        keep = True
-        if "keep" in props:
+        # reference keep semantics (pipeline/eval.go Keep): no .keep() →
+        # only time+dims+outputs survive; bare .keep() → keep everything;
+        # .keep('a','b') → keep the listed subset (+outputs named in it)
+        if "keep" not in props:
+            keep = False
+        else:
             keep = [a for a in props["keep"]] or True
-        exprs = {n: None for n in names}
         out = p
         for n, l in zip(names, node.args):
             out = out.eval(keep=True, **{n: _lam(out, l)})
-        if keep is not True:
-            cols = [out.time_col, *out.dims, *keep, *names]
-            out = out._with(out.df.select(*[c for c in dict.fromkeys(cols) if c in out.df.columns]))
-        elif "keep" in props and not props["keep"]:
+        if keep is False:
             cols = [out.time_col, *out.dims, *names]
             out = out._with(out.df.select(*dict.fromkeys(cols)))
+        elif keep is not True:
+            cols = [out.time_col, *out.dims, *keep, *names]
+            out = out._with(out.df.select(*[c for c in dict.fromkeys(cols) if c in out.df.columns]))
         return out
 
     def _mk_default(self, p: Pipeline, node: _Node) -> Pipeline:
@@ -546,6 +559,8 @@ class _Env:
         return p.join(
             other, prefixes=prefixes, tolerance=tol, fill=fill,
             on=on if isinstance(on, list) else None,
+            # reference default delimiter is '.' (pipeline/join.go:13)
+            delimiter=props.get("delimiter", ["."])[0],
             stream_name=props.get("streamName", [None])[0],
             delete_all="deleteAll" in props,
         )

@@ -2627,3 +2627,103 @@ stream
     for r in rows:
         assert r["lt"] == "CRITICAL"
         assert r["it"] == f"cpu:host={r['host']}" == r["idf"]
+
+
+def test_stream_shift_batch_fixtures(spark):
+    """TestStream_ShiftBatch / _ShiftNegative (streamer_test.go:2501,2553):
+    a window-count stream joined against its own ±period-shifted copy —
+    current window [5,10) holds 5 serverA points, the shifted past window
+    holds 4, diff 1. (Reference emits at window stop; this engine labels
+    windows at start — values are the parity check.)"""
+    from kapacitor_spark.tick import run_tickscript
+
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Shift.srpl")
+    cpu = promote(raw.filter("name = 'cpu'"), "cpu",
+                  float_fields=["value"], tag_cols=["host"])
+    outs = run_tickscript(
+        """
+var period = 5s
+var data = stream
+    |from().measurement('cpu').where(lambda: "host" == 'serverA')
+var past = data
+    |window().period(period).every(period).align()
+    |shift(period)
+    |count('value')
+var current = data
+    |window().period(period).every(period).align()
+    |count('value')
+past
+    |join(current)
+        .as('past', 'current')
+    |eval(lambda: "current.count" - "past.count")
+        .keep()
+        .as('diff')
+    |httpOut('TestStream_Shift')
+""",
+        sources={"cpu": cpu}, time_col="time",
+    )
+    rows = outs["TestStream_Shift"].filter("time = '1971-01-01 00:00:05'").collect()
+    assert [(r["current.count"], r["diff"], r["past.count"]) for r in rows] == [
+        (5, 1, 4)
+    ]
+
+    outs2 = run_tickscript(
+        """
+var period = 5s
+var data = stream
+    |from().measurement('cpu').where(lambda: "host" == 'serverA')
+var past = data
+    |window().period(period).every(period).align()
+    |count('value')
+var current = data
+    |window().period(period).every(period).align()
+    |count('value')
+    |shift(-period)
+past
+    |join(current)
+        .as('past', 'current')
+    |eval(lambda: "current.count" - "past.count")
+        .keep()
+        .as('diff')
+    |httpOut('TestStream_Shift')
+""",
+        sources={"cpu": cpu}, time_col="time",
+    )
+    rows2 = outs2["TestStream_Shift"].filter("time = '1971-01-01 00:00:00'").collect()
+    assert [(r["current.count"], r["diff"], r["past.count"]) for r in rows2] == [
+        (5, 1, 4)
+    ]
+
+
+def test_stream_alert_with_reset_1_fixture(spark):
+    """TestStream_Alert_WithReset_1 (streamer_test.go:8074): the full
+    three-level reset-hysteresis walk — levels can only FALL once the
+    current level's reset lambda passes — plus idField/idTag/levelField/
+    levelTag augmentation. Golden per-point level sequence transcribed
+    from the test's 15 expected POSTs."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Alert_WithReset_1.srpl")
+    cpu = promote(
+        raw.filter("name = 'cpu'"), "cpu",
+        float_fields=["value"], tag_cols=["host", "type"],
+    ).withColumn("name", F.lit("cpu"))
+    p = Pipeline.from_df(cpu, time_col="time", dims=("host",)).where(
+        "host = 'serverA'"
+    )
+    out = (
+        p.alert(
+            info='lambda: "value" > 40.0', info_reset='lambda: "value" < 30.0',
+            warn='lambda: "value" > 60.0', warn_reset='lambda: "value" < 50.0',
+            crit='lambda: "value" > 80.0', crit_reset='lambda: "value" < 70.0',
+            events_only=True,
+            id_template='kapacitor/{{ .Name }}/{{ index .Tags "host" }}',
+            id_field="id", level_tag="lt",
+        )
+        .result().orderBy("time").collect()
+    )
+    golden = [
+        "INFO", "INFO", "INFO", "OK", "INFO", "WARNING", "INFO", "OK",
+        "INFO", "WARNING", "CRITICAL", "WARNING", "WARNING", "INFO", "OK",
+    ]
+    assert [r["level"] for r in out] == golden
+    assert all(r["lt"] == r["level"] for r in out)
+    assert all(r["id"] == "kapacitor/cpu/serverA" for r in out)

@@ -84,6 +84,7 @@ stream
         .measurement('cpu')
     |eval(lambda: "value" * 2.0, lambda: "doubled" + 1.0)
         .as('doubled', 'plus')
+        .keep()
     |where(lambda: "plus" > 190.0)
     |httpOut('out')
 """
