@@ -91,12 +91,17 @@ class _Parser:
         ordered_window: Window | None,
         time_col: str,
         schema: dict | None = None,
+        variables: dict | None = None,
     ):
         self.toks = tokens
         self.i = 0
         self.w = ordered_window
         self.time_col = time_col
         self.schema = schema or {}
+        # TICKscript var scope: bare identifiers resolve here FIRST
+        # (reference lambdas close over script vars — tick/eval.go;
+        # golden TestStream_VarWhereRegex/String)
+        self.vars = variables or {}
         # ids of sub-expression Columns known to be strings — drives the
         # reference's '+'-is-concat rule for string operands
         self._strs: set[int] = set()
@@ -161,6 +166,12 @@ class _Parser:
                     pat = rv[1:-1]
                 elif rk == "str":
                     pat = rv[1:-1]
+                elif rk == "ident" and rv in self.vars:
+                    # regex held in a script var (TestStream_VarWhereRegex)
+                    val = self.vars[rv]
+                    pat = getattr(val, "pat", val)
+                    if not isinstance(pat, str):
+                        raise ValueError(f"lambda: var {rv!r} is not a regex/string")
                 else:
                     raise ValueError(f"lambda: {v} needs a /regex/, got {rv!r}")
                 m = c.rlike(pat)
@@ -245,10 +256,27 @@ class _Parser:
                 return F.lit(False)
             if self.peek() == ("op", "("):
                 return self.call(v)
+            if v in self.vars:
+                lit = self._var_lit(self.vars[v])
+                if lit is not None:
+                    return lit
             # bare identifier = column ref (convenience beyond the reference)
             c = F.col(v)
             return self._mark_str(c) if self.schema.get(v) == "string" else c
         raise ValueError(f"lambda: unexpected token {v!r}")
+
+    def _var_lit(self, val) -> Column | None:
+        """A script var as a literal: strings stay string-marked (concat
+        rule), durations become int64 NANOSECONDS (the lambda language's
+        duration representation, matching unixNano comparisons). Non-scalar
+        vars (pipelines/nodes) return None → column-ref fallback."""
+        if hasattr(val, "seconds"):  # tick._Duration
+            return F.lit(int(round(val.seconds * 1e9)))
+        if isinstance(val, str):
+            return self._mark_str(F.lit(val))
+        if isinstance(val, (bool, int, float)):
+            return F.lit(val)
+        return None
 
     def call(self, name: str) -> Column:
         self.expect_op("(")
@@ -300,13 +328,18 @@ def compile_lambda(
     ordered_window: Window | None = None,
     time_col: str = "time",
     schema: dict | None = None,
+    variables: dict | None = None,
 ) -> Column:
     """Compile ``lambda: "value" > 10.0 AND sigma("value") > 3`` to a Column.
 
     ``schema`` (column name → Spark dtype string, e.g. dict(df.dtypes))
     enables the reference's string semantics for ``+`` (concatenation
-    when either operand is a string column/literal/function result)."""
+    when either operand is a string column/literal/function result).
+    ``variables``: TICKscript var scope — bare identifiers resolve to
+    these values before falling back to column refs."""
     body = src.lstrip()
     if body.startswith("lambda:"):
         body = body[len("lambda:"):]
-    return _Parser(_tokenize(body), ordered_window, time_col, schema).parse()
+    return _Parser(
+        _tokenize(body), ordered_window, time_col, schema, variables
+    ).parse()

@@ -225,7 +225,7 @@ class _P:
             k, v, p = self.peek()
             if k == "lambda":
                 self.next()
-                args.append(_Lambda(v))
+                args.append(_Lambda(v, self.env.vars))
             else:
                 args.append(self.arg_value())
             if self.at_op(","):
@@ -262,8 +262,11 @@ class _Regex:
 
 
 class _Lambda:
-    def __init__(self, src):
+    def __init__(self, src, variables=None):
         self.src = src
+        # script var scope captured at parse (shared dict — vars are
+        # defined before use, TICKscript has no forward refs)
+        self.vars = variables
 
 
 class _Node:
@@ -294,7 +297,7 @@ def _lam(p: Pipeline, v):
 
         return compile_lambda(
             v.src, ordered_window=p._ordered(), time_col=p.time_col,
-            schema=dict(p.df.dtypes),
+            schema=dict(p.df.dtypes), variables=v.vars,
         )
     return v
 

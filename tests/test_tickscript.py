@@ -294,3 +294,44 @@ stream
     assert [(str(r.time), r["customField"]) for r in rows] == [
         ("1971-01-01 00:00:10", 42.0)
     ]
+
+
+def test_var_where_string_and_regex(spark):
+    """TestStream_VarWhereString / _VarWhereRegex (streamer_test.go:4150,
+    4178): lambdas close over script vars — a string var compares as a
+    literal, a regex var drives =~. Golden: 10 serverA points in [0,10)."""
+    from kapacitor_spark.sources.line_protocol import promote, replay_srpl
+    from kapacitor_spark.tick import run_tickscript
+
+    raw = replay_srpl(
+        spark, "/root/reference/integrations/testdata/TestStream_SimpleMR.srpl"
+    )
+    cpu = promote(
+        raw.filter("name = 'cpu'"), "cpu",
+        float_fields=["value"], tag_cols=["host"],
+    )
+    for where in (
+        "var serverStr = 'serverA'\n",
+        "var serverPattern = /^serverA$/\n",
+    ):
+        cond = (
+            '.where(lambda: "host" == serverStr)'
+            if "serverStr" in where
+            else '.where(lambda: "host" =~ serverPattern)'
+        )
+        outs = run_tickscript(
+            where
+            + f"""
+stream
+    |from().measurement('cpu'){cond}
+    |window().period(10s).every(10s)
+    |count('value')
+    |httpOut('TestStream_SimpleMR')
+""",
+            sources={"cpu": cpu},
+            time_col="time",
+        )
+        rows = outs["TestStream_SimpleMR"].filter(
+            "time = '1971-01-01 00:00:00'"
+        ).collect()
+        assert [r["count"] for r in rows] == [10], where
