@@ -77,6 +77,7 @@ def alert_stream(
     warn: str | None = None,
     info: str | None = None,
     state_changes_only: bool = True,
+    max_interval: str | float | None = None,
     no_recoveries: bool = False,
     flapping: tuple[float, float] | None = None,
     history: int = 21,
@@ -118,6 +119,9 @@ def alert_stream(
             StructField("history", StringType()),  # csv ring — tiny
             StructField("idx", LongType()),
             StructField("flapping", LongType()),
+            # lastTriggered event-time µs (stateChangesOnly(maxInterval)
+            # expiry, alert.go:1288-1290); -1 = never triggered
+            StructField("last_trig", LongType()),
         ]
     )
     flap_low, flap_high = flapping if flapping else (None, None)
@@ -125,6 +129,11 @@ def alert_stream(
 
     timeout_ms = (
         round(parse_duration(idle_timeout) * 1000) if idle_timeout is not None else None
+    )
+    mi_us = (
+        round(parse_duration(max_interval) * 1_000_000)
+        if max_interval is not None
+        else None
     )
     tcol = time_col
 
@@ -137,12 +146,13 @@ def alert_stream(
             yield pd.DataFrame(columns=in_cols + ["level"])
             return
         if state.exists:
-            last_level, hist_csv, idx, flap = state.get
+            last_level, hist_csv, idx, flap, last_trig = state.get
             st = {
                 "last_level": int(last_level),
                 "history": [int(x) for x in hist_csv.split(",")],
                 "idx": int(idx),
                 "flapping": bool(flap),
+                "last_triggered": None if last_trig == -1 else int(last_trig),
             }
         else:
             st = new_state(history)
@@ -153,6 +163,11 @@ def alert_stream(
             if timeout_ms is not None and len(pdf):
                 ms = int(pd.Timestamp(pdf[tcol].iloc[-1]).value // 1_000_000)
                 max_event_ms = ms if max_event_ms is None else max(max_event_ms, ms)
+            tms = (
+                pdf[tcol].to_numpy(dtype="datetime64[us]").astype("int64")
+                if mi_us is not None
+                else None
+            )
             emit, st = walk_levels(
                 pdf["__lv"].to_numpy(),
                 st,
@@ -160,14 +175,18 @@ def alert_stream(
                 no_recoveries=no_recoveries,
                 flap_low=flap_low,
                 flap_high=flap_high,
+                times=tms,
+                max_interval_us=mi_us,
             )
             outs.append(pdf.loc[emit, in_cols + ["level"]])
+        lt = st.get("last_triggered")
         state.update(
             (
                 st["last_level"],
                 ",".join(str(x) for x in st["history"]),
                 st["idx"],
                 int(st["flapping"]),
+                -1 if lt is None else int(lt),
             )
         )
         if timeout_ms is not None and max_event_ms is not None:

@@ -315,3 +315,34 @@ def test_barrier_drops_late_data(spark, tmp_path):
     # the late third row neither re-emitted nor grew it
     assert rows.count((0, 0, 2)) == 1
     assert all(n == 2 for m, s, n in rows if (m, s) == (0, 0))
+
+
+def test_streaming_alert_max_interval_expiry(spark, tmp_path):
+    """stateChangesOnly(maxInterval) in streaming: a steady CRITICAL
+    re-fires once maxInterval of EVENT time has passed since the last
+    triggered event — lastTriggered survives the micro-batch boundary
+    (alert.go:1288-1290 updateExpired)."""
+    path = str(tmp_path / "in_mi")
+    _write_batches(
+        spark,
+        path,
+        [
+            [
+                ("2024-01-01 00:00:00", "a", 95.0),   # OK→CRIT: fire
+                ("2024-01-01 00:00:05", "a", 96.0),   # +5s < 10s: suppressed
+            ],
+            [
+                ("2024-01-01 00:00:12", "a", 97.0),   # +12s >= 10s: re-fire
+                ("2024-01-01 00:00:15", "a", 98.0),   # +3s: suppressed
+                ("2024-01-01 00:00:30", "a", 5.0),    # recovery: fire
+            ],
+        ],
+    )
+    src = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(path)
+    alerts = alert_stream(
+        src, "t", ["host"], crit="value > 90",
+        state_changes_only=True, max_interval="10s",
+    )
+    out = run_available_now(alerts, "alerts_mi", str(tmp_path / "cp_mi")).orderBy("t")
+    got = [(r.t.second, r.level) for r in out.collect()]
+    assert got == [(0, "CRITICAL"), (12, "CRITICAL"), (30, "OK")]
