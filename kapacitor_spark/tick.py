@@ -61,7 +61,7 @@ _TOK = re.compile(
     | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
     | (?P<str>'(?:[^'\\]|\\.)*')
     | (?P<regex>/(?:[^/\\\n]|\\.)+/)
-    | (?P<op>\|\||[|.@(),\[\]=-])
+    | (?P<op>\|\||[|.@(),\[\]=*-])
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     )""",
     re.VERBOSE,
@@ -185,6 +185,10 @@ class _P:
 
     def primary(self):
         k, v, p = self.next()
+        if k == "op" and v == "*":
+            # groupBy(*) / groupBy(*).exclude(...) — group by every tag
+            # (pipeline/group_by.go:139)
+            return "*"
         if k == "op" and v == "-":
             # unary minus on a literal or var (e.g. shift(-period))
             inner = self.primary()

@@ -2727,3 +2727,102 @@ def test_stream_alert_with_reset_1_fixture(spark):
     assert [r["level"] for r in out] == golden
     assert all(r["lt"] == r["level"] for r in out)
     assert all(r["id"] == "kapacitor/cpu/serverA" for r in out)
+
+
+def test_stream_join_on_gap_fixture(spark):
+    """TestStream_JoinOnGap (streamer_test.go:5370): .on('service') join of
+    global service sums onto THREE-level (dc, service, rack) sums — dc C
+    exists only for login (the gap), and every rack row carries the same
+    global denominator. 13 golden rows."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_JoinOn.srpl")
+    errors = promote(
+        raw, "errors", float_fields=["value"], tag_cols=["service", "dc", "rack"],
+    )
+
+    def summed(dims):
+        return (
+            Pipeline.from_df(
+                errors.select("time", *dims, "value"),
+                time_col="time", dims=dims,
+            )
+            .window_time("10s", emit="end")
+            .sum("value", as_="sum")
+        )
+
+    j = summed(("service",)).join(
+        summed(("dc", "service", "rack")),
+        prefixes=("service", "loc"), delimiter=".", on=("service",),
+        stream_name="loc_error_percent",
+    ).eval(keep=True, value='lambda: "loc.sum" / "service.sum"')
+    rows = j.result().filter("time = '1971-01-01 00:00:10'").collect()
+    got = {
+        (r["dc"], r["service"], r["rack"]): (r["loc.sum"], r["service.sum"])
+        for r in rows
+    }
+    assert got == {
+        ("A", "cartA", "0"): (10.0, 47.0), ("A", "cartA", "1"): (5.0, 47.0),
+        ("B", "cartA", "0"): (14.0, 47.0), ("B", "cartA", "1"): (18.0, 47.0),
+        ("A", "login", "0"): (5.0, 45.0), ("A", "login", "1"): (10.0, 45.0),
+        ("B", "login", "0"): (3.0, 45.0), ("B", "login", "1"): (20.0, 45.0),
+        ("C", "login", "0"): (7.0, 45.0),
+        ("A", "front", "0"): (9.0, 32.0), ("A", "front", "1"): (10.0, 32.0),
+        ("B", "front", "0"): (4.0, 32.0), ("B", "front", "1"): (9.0, 32.0),
+    }
+    assert all(r["name"] == "loc_error_percent" for r in rows)
+
+
+def test_stream_join_on_across_measurement_fixture(spark):
+    """TestStream_JoinOn_AcrossMeasurement (streamer_test.go:5556):
+    per-point one-to-many join of building_power onto floor_power via
+    .on('building') — each floor's share of its building's power."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_JoinOn_AcrossMeasurement.srpl")
+    building = promote(
+        raw.filter("name = 'building_power'"), "building_power",
+        float_fields=["value"], tag_cols=["building"],
+    )
+    floor = promote(
+        raw.filter("name = 'floor_power'"), "floor_power",
+        float_fields=["value"], tag_cols=["building", "floor"],
+    )
+    bp = Pipeline.from_df(building, time_col="time", dims=("building",))
+    fp = Pipeline.from_df(floor, time_col="time", dims=("building", "floor"))
+    j = bp.join(
+        fp, prefixes=("building", "floor"), delimiter=".", on=("building",),
+        stream_name="power_floor_percentage",
+    ).eval(keep=False, value='lambda: "floor.value" / "building.value"')
+    rows = j.result().filter("time = '1971-01-01 00:00:00'").collect()
+    got = {(r["building"], r["floor"]): round(r["value"], 10) for r in rows}
+    assert got == {
+        ("shack", "1"): round(7.0 / 30.0, 10),
+        ("shack", "2"): round(11.0 / 30.0, 10),
+        ("shack", "3"): round(12.0 / 30.0, 10),
+        ("hut", "1"): round(19.0 / 40.0, 10),
+        ("hut", "2"): round(21.0 / 40.0, 10),
+    }
+
+
+def test_stream_group_by_all_exclude_fixture(spark):
+    """TestStream_GroupByAllExclude (streamer_test.go:4037): groupBy(*)
+    .exclude('s') — every tag except s keys the stream; the [0,2) window
+    counts 4 per t group."""
+    from kapacitor_spark.tick import run_tickscript
+
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_GroupByExclude.srpl")
+    mock = promote(raw, "mock", float_fields=["value"], tag_cols=["t", "s"])
+    outs = run_tickscript(
+        """
+stream
+    |from().measurement('mock')
+    |groupBy(*)
+        .exclude('s')
+    |window().period(2s).every(2s)
+    |count('value')
+    |httpOut('TestStream_GroupByExclude')
+""",
+        sources={"mock": mock},
+        time_col="time",
+    )
+    rows = outs["TestStream_GroupByExclude"].filter(
+        "time = '1971-01-01 00:00:00'"
+    ).collect()
+    assert {r["t"]: r["count"] for r in rows} == {"A": 4, "B": 4}
