@@ -2826,3 +2826,92 @@ stream
         "time = '1971-01-01 00:00:00'"
     ).collect()
     assert {r["t"]: r["count"] for r in rows} == {"A": 4, "B": 4}
+
+
+def test_stream_delete_join_fixture(spark):
+    """TestStream_Delete_Join (streamer_test.go:4730): two windowed sums
+    joined with tolerance + streamName; barrier().delete()/.deleteAll()
+    are state-cleanup directives (watermark-native here). Golden [0,10)
+    window: 18/18 → error_percent 1.0."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Delete_Join.srpl")
+
+    def side(measurement):
+        df = promote(
+            raw.filter(F.col("name") == measurement), measurement,
+            float_fields=["value"], tag_cols=["host"],
+        )
+        return (
+            Pipeline.from_df(df, time_col="time", dims=("host",))
+            .window_time("10s", emit="end")
+            .sum("value", as_="sum")
+        )
+
+    j = side("cpu").join(
+        side("views"), prefixes=("errors", "views"), delimiter=".",
+        tolerance="2s", stream_name="error_view", delete_all=True,
+    ).eval(keep=True, error_percent='lambda: "errors.sum" / "views.sum"')
+    rows = j.result().filter("time <= '1971-01-01 00:00:10'").collect()
+    assert [
+        (r["host"], r["name"], r["error_percent"], r["errors.sum"], r["views.sum"])
+        for r in rows
+    ] == [("serverA", "error_view", 1.0, 18.0, 18.0)]
+
+
+def test_stream_sideload_json_fixture(spark):
+    """TestStream_Sideload_JSON (streamer_test.go:12348): mixed .json/.yml
+    order templates over the same sideload tree — identical goldens to the
+    YAML variant."""
+    from kapacitor_spark.tick import run_tickscript
+
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Sideload.srpl")
+    m = promote(raw, "m", float_fields=["value"], tag_cols=["t0", "t1", "t2"])
+    outs = run_tickscript(
+        f"""
+stream
+    |from().measurement('m').groupBy('t0', 't1', 't2')
+    |sideload()
+        .source('file://{FIXTURES}/sideload')
+        .order('t0/{{{{.t0}}}}.json', 't1/{{{{.t1}}}}.json', 't2/{{{{.t2}}}}.yml')
+        .field('f1', 0)
+        .field('f2', 0.0)
+        .tag('t3', 'one')
+    |httpOut('TestStream_Sideload')
+""",
+        sources={"m": m},
+        time_col="time",
+    )
+    got = {
+        (r.t0, r.t1, r.t2): (float(r.f1), float(r.f2), r.t3, r.value)
+        for r in outs["TestStream_Sideload"].collect()
+    }
+    assert got == {
+        ("a", "m", "x"): (0.0, 0.0, "one", 1.0),
+        ("b", "n", "y"): (2.0, 3.5, "why", 1.0),
+        ("c", "o", "y"): (12.0, 13.5, "why", 1.0),
+    }
+
+
+def test_batch_default_empty_tag_fixture(spark):
+    """TestBatch_DefaultEmptyTag (batcher_test.go:960): a missing-field
+    point gets the field default (90) and the EMPTY dc tag counts as
+    missing so default('sfc') fills it — batch 2 sums to 441 at its max
+    point time."""
+    raw = replay_brpl(spark, f"{FIXTURES}/TestBatch_DefaultEmptyTag.0.brpl")
+    pts = raw.select(
+        "batch_id",
+        F.col("tags")["cpu"].alias("cpu"), F.col("tags")["dc"].alias("dc"),
+        "time", F.col("fields_f")["mean"].alias("mean"),
+    )
+    p = (
+        Pipeline.from_df(pts, time_col="time", dims=("cpu", "dc", "batch_id"))
+        .default(tags={"dc": "sfc"}, mean=90.0)
+    )
+    # regroup onto the defaulted dc, reduce at batch time (batch-edge rule)
+    out = (
+        p.group_by("cpu", "dc", "batch_id")
+        .agg(F.sum("mean").alias("sum"), F.max("time").alias("bt"))
+        .result().filter("batch_id = 1").collect()
+    )
+    assert [(r["cpu"], r["dc"], r["bt"].replace(tzinfo=Z), r["sum"]) for r in out] == [
+        ("cpu-total", "sfc", _ts(18), 441.0)
+    ]
