@@ -38,7 +38,12 @@ def _rows_json(rows: Iterable[Row]) -> list[dict]:
     return out
 
 
-def http_post(url: str, headers: dict | None = None, timeout: float = 10.0) -> Callable:
+def http_post(
+    url: str,
+    headers: dict | None = None,
+    timeout: float = 10.0,
+    body_template: str | None = None,
+) -> Callable:
     """httpPost(url) handler (/root/reference/http_post.go): POSTs each
     partition's rows as one JSON array. Returns a foreachPartition fn.
 
@@ -47,13 +52,26 @@ def http_post(url: str, headers: dict | None = None, timeout: float = 10.0) -> C
     template, http_post.go rowTemplate / golden
     TestStream_HttpPost_URL_Template posts to /cpu/?host=...&cpu=...):
     rows are then grouped by rendered URL and each distinct URL gets one
-    request per partition."""
+    request per partition.
+
+    ``body_template``: the endpoint row-template body
+    (/root/reference/services/httppost/service.go RowTemplate; golden
+    TestStream_HttpPostEndpoint_CustomBody) — each row renders through the
+    ``{name}``-style template and the partition's rendered rows POST as
+    newline-joined text/plain (the reference posts one request per point;
+    batching divergence as with the JSON path, content identical)."""
 
     def _send_one(target: str, payload: list) -> None:
+        if body_template is not None:
+            body = "\n".join(body_template.format(**d) for d in payload).encode()
+            ctype = "text/plain; charset=utf-8"
+        else:
+            body = json.dumps(payload).encode()
+            ctype = "application/json"
         req = urllib.request.Request(
             target,
-            data=json.dumps(payload).encode(),
-            headers={"Content-Type": "application/json", **(headers or {})},
+            data=body,
+            headers={"Content-Type": ctype, **(headers or {})},
             method="POST",
         )
         urllib.request.urlopen(req, timeout=timeout).read()
@@ -168,11 +186,15 @@ def influxdb_http_out(
     tags: dict | None = None,
     time_col: str = "time",
     timeout: float = 10.0,
+    create: bool = False,
 ) -> None:
     """influxDBOut() HTTP write path (/root/reference/influxdb_out.go
     WriteTo: POST line protocol to the InfluxDB ``/write`` endpoint with
     db/rp/precision query params; the reference's .database()/.
     retentionPolicy()/.precision()/.tag() options map to the kwargs here).
+    ``create=True`` first issues ``CREATE DATABASE "db" [WITH NAME "rp"]``
+    against ``/query`` (influxdb_out.go:64-86 CreateFlag), once from the
+    driver.
 
     Rendering is pure JVM (to_line_protocol); each partition flushes one
     buffered POST from the executor — the reference likewise buffers and
@@ -196,6 +218,15 @@ def influxdb_http_out(
         time_col=time_col,
         precision=precision,
     )
+    if create:
+        stmt = f'CREATE DATABASE "{database}"'
+        if retention_policy:
+            stmt += f' WITH NAME "{retention_policy}"'
+        qreq = urllib.request.Request(
+            f"{url.rstrip('/')}/query?{urlencode({'q': stmt})}", method="POST"
+        )
+        urllib.request.urlopen(qreq, timeout=timeout).read()
+
     params = urlencode(
         {"db": database, "rp": retention_policy, "precision": precision}
     )

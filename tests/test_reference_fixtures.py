@@ -2915,3 +2915,104 @@ def test_batch_default_empty_tag_fixture(spark):
     assert [(r["cpu"], r["dc"], r["bt"].replace(tzinfo=Z), r["sum"]) for r in out] == [
         ("cpu-total", "sfc", _ts(18), 441.0)
     ]
+
+
+def test_stream_http_post_custom_body_fixture(spark):
+    """TestStream_HttpPostEndpoint_CustomBody (streamer_test.go): the
+    endpoint row template renders each point as a custom text body with
+    custom headers. (Reference posts per point + Go time format; here one
+    newline-joined request per partition with ISO timestamps — content
+    fields identical.)"""
+    import http.server
+    import threading
+
+    got: dict = {}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            got["my"] = self.headers.get("my")
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            got.setdefault("lines", []).extend(body.decode().splitlines())
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from kapacitor_spark.sinks import http_post
+
+        raw = replay_srpl(spark, f"{FIXTURES}/TestStream_HttpPost.srpl")
+        cpu = promote(
+            raw, "cpu", float_fields=["value"], tag_cols=["host", "type"],
+        ).withColumn("name", F.lit("cpu")).coalesce(1)
+        cpu.orderBy("time").foreachPartition(
+            http_post(
+                f"http://127.0.0.1:{port}/post",
+                headers={"my": "header"},
+                body_template="{name} host={host} type={type} {time} {value}",
+            )
+        )
+    finally:
+        srv.shutdown()
+    assert got["my"] == "header"
+    nums = [97.1, 92.6, 95.6, 93.1, 92.6, 95.8]
+    assert sorted(got["lines"]) == sorted(
+        f"cpu host=serverA type=idle 1971-01-01T00:00:{i:02d} {v}"
+        for i, v in enumerate(nums)
+    )
+
+
+def test_stream_influxdb_out_create_database_fixtures(spark):
+    """TestStream_InfluxDBOut_CreateDatabase / _AndRP (streamer_test.go:
+    12577,12631): .create() issues CREATE DATABASE (WITH NAME rp) against
+    /query before writing."""
+    import http.server
+    import threading
+    import urllib.parse
+
+    got: dict = {"queries": []}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            u = urllib.parse.urlparse(self.path)
+            if u.path == "/query":
+                got["queries"].append(
+                    dict(urllib.parse.parse_qsl(u.query)).get("q")
+                )
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            del body
+            self.send_response(204)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from kapacitor_spark.sinks import influxdb_http_out
+
+        raw = replay_srpl(spark, f"{FIXTURES}/TestStream_InfluxDBOut.srpl")
+        cpu = promote(
+            raw.filter("name = 'cpu'"), "cpu",
+            float_fields=["value"], tag_cols=["host"],
+        ).filter("host = 'nonexistant'")  # reference: empty stream, create still fires
+        influxdb_http_out(
+            cpu.coalesce(1), f"http://127.0.0.1:{port}", database="db",
+            measurement="m", create=True,
+        )
+        influxdb_http_out(
+            cpu.coalesce(1), f"http://127.0.0.1:{port}", database="db",
+            measurement="m", retention_policy="myrp", create=True,
+        )
+    finally:
+        srv.shutdown()
+    assert got["queries"] == [
+        'CREATE DATABASE "db"',
+        'CREATE DATABASE "db" WITH NAME "myrp"',
+    ]
