@@ -1790,6 +1790,39 @@ def batch_empty_reduce(spark, sf_dir):
 
 
 @_q(
+    "multimodal_frames",
+    """SELECT doc_id,
+              unnest(range(0, (octet_length(CAST(text AS BLOB)) % 50) + 1, 10))
+                  AS frame_idx,
+              CAST((octet_length(CAST(text AS BLOB)) % 50) + 1 AS BIGINT) AS n_frames,
+              CAST(784 AS BIGINT) AS resized_bytes
+       FROM documents""",
+)
+def multimodal_frames(spark, sf_dir):
+    """Video frame-sampling + image-resize plumbing under the oracle gate
+    (SURVEY dataprep §multimodal): sample_frames is a pure explode-over-
+    sequence plan (no decode touch — the 100 TB point: pick frames BEFORE
+    the expensive UDF), and resize_image_batch is the Arrow-batched
+    mapInPandas resize stub whose deterministic fake output length the
+    oracle pins (16-byte digest × 224·224/(16·64) = 784 bytes)."""
+    from kapacitor_spark.dataprep.multimodal import resize_image_batch, sample_frames
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    vid = docs.withColumn(
+        "n_frames", (F.octet_length("payload") % 50 + 1).cast("long")
+    )
+    frames = sample_frames(vid, "n_frames", every=10).select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx"), "n_frames"
+    )
+    rs = resize_image_batch(docs, "payload", width=224, height=224).select(
+        "doc_id", F.octet_length("payload").cast("long").alias("resized_bytes")
+    )
+    return frames.join(rs, "doc_id")
+
+
+@_q(
     "udf_moving_avg",
     """SELECT ts, user_id, event_id,
               ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
