@@ -43,6 +43,7 @@ def http_post(
     headers: dict | None = None,
     timeout: float = 10.0,
     body_template: str | None = None,
+    tolerant: bool = False,
 ) -> Callable:
     """httpPost(url) handler (/root/reference/http_post.go): POSTs each
     partition's rows as one JSON array. Returns a foreachPartition fn.
@@ -59,7 +60,13 @@ def http_post(
     TestStream_HttpPostEndpoint_CustomBody) — each row renders through the
     ``{name}``-style template and the partition's rendered rows POST as
     newline-joined text/plain (the reference posts one request per point;
-    batching divergence as with the JSON path, content identical)."""
+    batching divergence as with the JSON path, content identical).
+
+    ``tolerant=True``: a failed request (timeout, non-2xx — golden
+    TestStream_HttpPostEndpoint_StatusCodes / TestBatch_HttpPost_Timeout)
+    is logged to stderr and the stream CONTINUES, matching the
+    reference's diag.Error-and-keep-going handler contract — a flaky
+    alert endpoint must never kill the pipeline."""
 
     def _send_one(target: str, payload: list) -> None:
         if body_template is not None:
@@ -74,7 +81,14 @@ def http_post(
             headers={"Content-Type": ctype, **(headers or {})},
             method="POST",
         )
-        urllib.request.urlopen(req, timeout=timeout).read()
+        try:
+            urllib.request.urlopen(req, timeout=timeout).read()
+        except Exception as e:  # noqa: BLE001 — handler contract: log, go on
+            if not tolerant:
+                raise
+            import sys as _sys
+
+            print(f"http_post error for {target}: {e}", file=_sys.stderr)
 
     templated = "{" in url
 

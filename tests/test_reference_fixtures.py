@@ -3066,3 +3066,49 @@ def test_stream_window_overlapping_fixture(spark):
     # [-10,4)={0..3}, [0,14)={0..13} (all 14 points re-counted), [10,24)=
     # {10..15} — the shared points appear in every covering window
     assert got == {_ts(4): 4, _ts(14): 14, _ts(24): 6}
+
+
+def test_stream_http_post_status_codes_fixture(spark):
+    """TestStream_HttpPostEndpoint_StatusCodes / TestBatch_HttpPost_Timeout
+    (streamer/batcher_test.go): a non-2xx response or timeout is LOGGED
+    and the stream continues — the tolerant handler must deliver every
+    subsequent request instead of killing the task."""
+    import http.server
+    import threading
+
+    seen: list[str] = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            seen.append(self.path)
+            # fail the /bad endpoint, accept /good
+            self.send_response(404 if self.path.startswith("/bad") else 200)
+            self.end_headers()
+            del body
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from kapacitor_spark.sinks import http_post
+
+        raw = replay_srpl(spark, f"{FIXTURES}/TestStream_HttpPost.srpl")
+        cpu = promote(
+            raw, "cpu", float_fields=["value"], tag_cols=["host", "type"],
+        ).coalesce(2)
+        # the failing endpoint first: tolerant=True must not raise, and
+        # the later good-endpoint post must still be delivered
+        cpu.foreachPartition(
+            http_post(f"http://127.0.0.1:{port}/bad", tolerant=True)
+        )
+        cpu.foreachPartition(
+            http_post(f"http://127.0.0.1:{port}/good", tolerant=True)
+        )
+    finally:
+        srv.shutdown()
+    assert any(p.startswith("/good") for p in seen)
+    assert any(p.startswith("/bad") for p in seen)  # attempted, not fatal
