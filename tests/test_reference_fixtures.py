@@ -3112,3 +3112,42 @@ def test_stream_http_post_status_codes_fixture(spark):
         srv.shutdown()
     assert any(p.startswith("/good") for p in seen)
     assert any(p.startswith("/bad") for p in seen)  # attempted, not fatal
+
+
+def test_stream_cardinality_node_matrix(spark):
+    """TestStream_{Eval,Sample,Window,GroupBy,Combine,Alert,Mixed}Cardinality
+    (streamer_test.go:12920-13530): working_cardinality per node over the
+    9-group (host,cpu) fixture — ungrouped windows hold ONE group,
+    groupBy('cpu') re-keys to 9, and narrowing the cpu tag set drops the
+    downstream ordered-transform/alert cardinality to 3."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Cardinality.srpl")
+    cpu = promote(
+        raw, "cpu", float_fields=["usage_user"], tag_cols=["host", "cpu"],
+    )
+    grouped = Pipeline.from_df(cpu, time_col="time", dims=("host", "cpu"))
+
+    # EvalCardinality: stateful sigma eval keeps the 9 groups
+    assert grouped.eval(sigma='lambda: sigma("usage_user")').cardinality() == 9
+    # SampleCardinality
+    assert grouped.sample(n=2).cardinality() == 9
+    # CombineCardinality (tolerance buckets the per-second points so every
+    # group forms combinations; the reference counts buffered groups)
+    assert grouped.combine(
+        "lambda: TRUE", "lambda: TRUE", as_=("a", "b"), tolerance="1h"
+    ).cardinality() == 9
+    # Window/GroupByCardinality: ungrouped window = ONE group; regroup = 9
+    ungrouped = Pipeline.from_df(cpu, time_col="time")
+    assert ungrouped.cardinality() == 1
+    assert ungrouped.group_by("cpu").cardinality() == 9
+    # AlertCardinality
+    assert grouped.alert(crit='lambda: "usage_user" > 90.0').cardinality() == 9
+    # MixedCardinality: narrowing cpu to 3 values drops downstream nodes to 3
+    mixed = (
+        grouped.where("host = 'localhost'")
+        .eval(keep=True, sigma='lambda: sigma("usage_user")')
+        .where("cpu IN ('cpu-total', 'cpu0', 'cpu1')")
+    )
+    assert mixed.cardinality() == 3
+    d = mixed.derivative("sigma")
+    assert d.cardinality() == 3
+    assert d.alert(crit='lambda: "sigma" > 2.0').cardinality() == 3
