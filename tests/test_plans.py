@@ -95,3 +95,31 @@ def test_minhash_signature_is_codegen(spark):
     assert "BatchEvalPython" not in plan
     assert "xxhash64" in plan
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_sideload_levels_broadcast(spark):
+    """Every sideload level must be a BROADCAST join — the lookup tables
+    are config-sized and the fact scan must stay shuffle-free."""
+    plan = plan_of(spark, "sideload_hierarchy")
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the fact side must stay shuffle-free: every Exchange in the plan is
+    # a broadcast of a lookup level, never a hash repartition
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_multimodal_frames_projection_pruned(spark):
+    """Frame sampling must read only (doc_id, text) — picking frames
+    BEFORE decode is the whole point; a full-column documents scan at
+    100 TB defeats it."""
+    plan = plan_of(spark, "multimodal_frames")
+    schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema and all("lang" not in l and "source" not in l for l in schema)
+
+
+def test_udf_moving_avg_single_shuffle(spark):
+    """The UDF surface (applyInPandas) must shuffle ONCE on the group key
+    and run Arrow-batched — no extra exchanges around the Python stage."""
+    plan = plan_of(spark, "udf_moving_avg")
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) <= 1
