@@ -346,3 +346,61 @@ def test_streaming_alert_max_interval_expiry(spark, tmp_path):
     out = run_available_now(alerts, "alerts_mi", str(tmp_path / "cp_mi")).orderBy("t")
     got = [(r.t.second, r.level) for r in out.collect()]
     assert got == [(0, "CRITICAL"), (12, "CRITICAL"), (30, "OK")]
+
+
+def test_checkpoint_restart_restores_state(spark, tmp_path):
+    """Snapshot/restore parity (/root/reference/task.go:532-586 — node
+    state survives a task restart): run the stateful alert machine over
+    phase-1 files, STOP, append phase-2 files, and resume from the SAME
+    checkpoint — the restored state must see phase 2's first CRITICAL as
+    a steady level (no re-fire), exactly as one continuous run would."""
+    path = str(tmp_path / "in_ckpt")
+    ckpt = str(tmp_path / "cp_ckpt")
+    phase1 = [
+        [
+            ("2024-01-01 00:00:00", "a", 95.0),   # OK→CRIT: fire
+            ("2024-01-01 00:00:10", "a", 96.0),   # steady: suppressed
+        ],
+    ]
+    phase2 = [
+        [
+            ("2024-01-01 00:00:20", "a", 97.0),   # steady ACROSS RESTART
+            ("2024-01-01 00:00:30", "a", 5.0),    # recovery: fire
+        ],
+    ]
+    _write_batches(spark, path, phase1)
+
+    out_dir = str(tmp_path / "out_ckpt")
+
+    def run():
+        # file sink: the one sink kind that supports checkpoint RECOVERY
+        # (the memory sink cannot resume)
+        src = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        alerts = alert_stream(
+            src, "t", ["host"], crit="value > 90", state_changes_only=True
+        )
+        q = (
+            alerts.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir)
+
+    out1 = run().collect()
+    assert [(r.t.second, r.level) for r in out1] == [(0, "CRITICAL")]
+
+    _write_batches(spark, path, phase2)
+    out2 = run().collect()
+    # resumed run processes ONLY the new files; :20 must NOT re-fire
+    # (last_level CRITICAL restored from the checkpoint), :30 recovers
+    assert [(r.t.second, r.level) for r in sorted(out2, key=lambda r: r.t)] == [
+        (0, "CRITICAL"),
+        (30, "OK"),
+    ]
