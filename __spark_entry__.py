@@ -1790,6 +1790,107 @@ def batch_empty_reduce(spark, sf_dir):
 
 
 @_q(
+    "window_fill_period",
+    """WITH g AS (SELECT event_type, min(ts) AS t0 FROM events GROUP BY 1),
+            b AS (SELECT date_trunc('hour', ts) AS ts, event_type,
+                         count(value) AS n
+                  FROM events GROUP BY 1, 2)
+       SELECT b.ts, b.event_type, b.n
+       FROM b JOIN g USING (event_type) WHERE b.ts >= g.t0""",
+)
+def window_fill_period(spark, sf_dir):
+    """window().fillPeriod() under the oracle gate
+    (/root/reference/window.go:108-123 nextEmit=t.Add(period)): only
+    windows FULLY covered by data emit — the leading partial window per
+    group is suppressed via a broadcast of the per-group first event
+    time."""
+    p = (
+        _events(spark, sf_dir)
+        .window_time("1h", fill_period=True)
+        .count("value", as_="n")
+    )
+    return p.result().select("ts", "event_type", "n")
+
+
+@_q(
+    "group_by_star",
+    """SELECT event_type, props, count(value) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total
+       FROM events GROUP BY 1, 2""",
+)
+def group_by_star(spark, sf_dir):
+    """groupBy('*') under the oracle gate (pipeline/group_by.go:139):
+    every tag (string column) becomes a group key — here (event_type,
+    props) — and the aggregation shuffles per composite group."""
+    ev = _t(spark, sf_dir, "events")
+    p = Pipeline.from_df(ev, time_col="ts", tiebreak=("event_id",))
+    out = p.group_by("*").agg(
+        F.count("value").alias("n"), _dsum("value").alias("total")
+    )
+    return out.result().select("event_type", "props", "n", "total")
+
+
+@_q(
+    "alert_augmented",
+    """WITH lv AS (
+         SELECT event_id, ts, event_type,
+                CASE WHEN value > 250 THEN 'CRITICAL'
+                     WHEN value > 150 THEN 'WARNING' ELSE 'OK' END AS level,
+                LAG(CASE WHEN value > 250 THEN 'CRITICAL'
+                         WHEN value > 150 THEN 'WARNING' ELSE 'OK' END,
+                    1, 'OK')
+                  OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+         FROM events)
+       SELECT event_id, ts, level, level AS lt, 'ev/' || event_type AS id
+       FROM lv WHERE level <> 'OK' OR prev <> 'OK'""",
+)
+def alert_augmented(spark, sf_dir):
+    """Alert event-state augmentation under the oracle gate
+    (alert.go:1161-1186 augmentTags/FieldsWithEventState): every non-OK
+    event carries the level as an extra tag and the rendered ID template
+    as a field."""
+    p = _events(spark, sf_dir).alert(
+        crit='lambda: "value" > 250.0',
+        warn='lambda: "value" > 150.0',
+        events_only=True,
+        level_tag="lt",
+        id_field="id",
+        id_template='ev/{{ index .Tags "event_type" }}',
+    )
+    return p.result().select("event_id", "ts", "level", "lt", "id")
+
+
+@_q(
+    "shift_window_join",
+    """WITH c AS (SELECT date_trunc('hour', ts) AS ts, event_type,
+                         count(value) AS cnt
+                  FROM events GROUP BY 1, 2)
+       SELECT cur.ts, cur.event_type,
+              p.cnt AS past_count, cur.cnt AS current_count,
+              cur.cnt - p.cnt AS diff
+       FROM c cur JOIN c p
+         ON cur.event_type = p.event_type
+        AND p.ts + INTERVAL 1 HOUR = cur.ts""",
+)
+def shift_window_join(spark, sf_dir):
+    """The ShiftBatch shape (golden TestStream_ShiftBatch) on real data:
+    hourly counts joined against their own +1h-shifted copy, emitting the
+    hour-over-hour delta — shift composes with window assignment and the
+    self-join stays a (time, dims) equi-join."""
+    def counts():
+        return _events(spark, sf_dir).window_time("1h").count("value", as_="count")
+
+    past = counts().shift("1h")
+    j = past.join(counts(), prefixes=("past", "current"), delimiter="_")
+    out = j.eval(
+        keep=True, diff=F.col("current_count") - F.col("past_count")
+    )
+    return out.result().select(
+        "ts", "event_type", "past_count", "current_count", "diff"
+    )
+
+
+@_q(
     "multimodal_frames",
     """SELECT doc_id,
               unnest(range(0, (octet_length(CAST(text AS BLOB)) % 50) + 1, 10))
