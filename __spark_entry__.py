@@ -1494,6 +1494,31 @@ def stream_state_count(spark, sf_dir):
 
 
 @_q(
+    "stream_derivative",
+    """SELECT event_id, user_id, ts,
+              (value - lag(value) OVER w) /
+              ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0) AS value
+       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       QUALIFY lag(value) OVER w IS NOT NULL""",
+)
+def stream_derivative(spark, sf_dir):
+    """Streaming derivative — /root/reference/derivative.go:127-170 via
+    applyInPandasWithState: the previous point carries across micro-batch
+    boundaries in keyed state, so availableNow replay equals the batch
+    lag; oracle is the batch SQL."""
+    from kapacitor_spark.streaming import ordered_transform_stream, run_available_now
+
+    sdf = _stream_t(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_id", "value"
+    )
+    out = ordered_transform_stream(
+        sdf, "ts", ["user_id"], "value", op="derivative", unit="1s",
+        tiebreak=["event_id"],
+    ).select("event_id", "user_id", "ts", "value")
+    return run_available_now(out, _mem_name("sdrv"), _ckpt())
+
+
+@_q(
     "stream_count_window",
     """SELECT ts, user_id,
               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -46,6 +46,7 @@ __all__ = [
     "alert_stream",
     "state_count_stream",
     "sigma_stream",
+    "ordered_transform_stream",
     "run_available_now",
     "http_out_stream",
 ]
@@ -327,6 +328,96 @@ def sigma_stream(
             if k:
                 n, mean, m2 = int(cnt[-1]), float(means[-1]), float(m2s[-1])
         state.update((n, mean, m2))
+
+    return df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
+        machine,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def ordered_transform_stream(
+    df: DataFrame,
+    time_col: str,
+    dims: Sequence[str],
+    fld: str,
+    op: str = "derivative",
+    unit: str | float = "1s",
+    as_: str | None = None,
+    non_negative: bool = False,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Streaming derivative/difference/elapsed/cumulativeSum — the
+    readStream compile targets of the per-point ordered transforms
+    (/root/reference/derivative.go:127-170, pipeline/influxql.go:493-584).
+
+    Keyed state carries exactly (last event time, last value, running
+    sum) per group — the previous-point memory the reference's per-group
+    receiver holds — so the transform spans micro-batch boundaries.
+    Batch-mode parity: the first point per group is dropped (except
+    cumulativeSum), zero-elapsed derivative points emit nothing but still
+    advance prev, nonNegative drops negative rates. All arithmetic is
+    numpy over the Arrow batch; state is 3 scalars per group.
+    """
+    if op not in ("derivative", "difference", "elapsed", "cumulative_sum"):
+        raise ValueError(f"unknown ordered op {op!r}")
+    unit_us = round(parse_duration(unit) * 1_000_000)
+    out = as_ or ("elapsed" if op == "elapsed" else fld)
+    out_type = LongType() if op == "elapsed" else DoubleType()
+    base = [df.schema[c] for c in df.columns if c != out]
+    out_schema = StructType(base + [StructField(out, out_type)])
+    schema_cols = [f.name for f in out_schema]
+    state_schema = StructType(
+        [
+            StructField("has_prev", LongType()),
+            StructField("last_t", LongType()),
+            StructField("last_v", DoubleType()),
+            StructField("run_sum", DoubleType()),
+        ]
+    )
+    tcol, tb = time_col, list(tiebreak)
+
+    def machine(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        has_prev, last_t, last_v, run_sum = (
+            state.get if state.exists else (0, 0, 0.0, 0.0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values([tcol, *tb], kind="stable")
+            x = pdf[fld].to_numpy(dtype=float)
+            k = len(x)
+            if k == 0:
+                continue
+            if op == "cumulative_sum":
+                res = pdf.copy()
+                res[out] = run_sum + np.cumsum(x)
+                run_sum = float(res[out].iloc[-1])
+                yield res[schema_cols]
+                continue
+            t = pdf[tcol].to_numpy(dtype="datetime64[us]").astype("int64")
+            pt = np.concatenate(([last_t], t))
+            pv = np.concatenate(([last_v], x))
+            dv = np.diff(pv)
+            dt = np.diff(pt)
+            keep = np.ones(k, dtype=bool)
+            if not has_prev:
+                keep[0] = False
+            if op == "derivative":
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    vals = dv / (dt / float(unit_us))
+                keep &= dt != 0  # zero elapsed: emit nothing, advance prev
+                if non_negative:
+                    keep &= ~(vals < 0)
+            elif op == "difference":
+                vals = dv
+            else:  # elapsed
+                vals = dt // unit_us
+            res = pdf.copy()
+            res[out] = vals
+            yield res.loc[keep, schema_cols]
+            has_prev, last_t, last_v = 1, int(t[-1]), float(x[-1])
+        state.update((has_prev, last_t, last_v, run_sum))
 
     return df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
         machine,

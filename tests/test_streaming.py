@@ -404,3 +404,53 @@ def test_checkpoint_restart_restores_state(spark, tmp_path):
         (0, "CRITICAL"),
         (30, "OK"),
     ]
+
+
+def test_ordered_transform_stream_matches_batch(spark, tmp_path):
+    """Streaming derivative/difference/elapsed/cumulativeSum must equal
+    the batch operators even when the series is split across micro-batch
+    boundaries — the carry state holds exactly the previous point."""
+    from kapacitor_spark import Pipeline
+    from kapacitor_spark.streaming import ordered_transform_stream
+
+    path = str(tmp_path / "in_ord")
+    batches = [
+        [
+            ("2024-01-01 00:00:00", "a", 10.0),
+            ("2024-01-01 00:00:02", "a", 16.0),
+            ("2024-01-01 00:00:03", "b", 5.0),
+        ],
+        [
+            ("2024-01-01 00:00:05", "a", 7.0),   # negative rate
+            ("2024-01-01 00:00:06", "b", 11.0),
+            ("2024-01-01 00:00:09", "a", 13.0),
+        ],
+    ]
+    _write_batches(spark, path, batches)
+    all_rows = spark.read.parquet(path)
+    batch_p = Pipeline.from_df(all_rows, time_col="t", dims=("host",))
+
+    cases = {
+        "derivative": (dict(op="derivative", unit="1s"), batch_p.derivative("value")),
+        "difference": (dict(op="difference"), batch_p.difference("value")),
+        "elapsed": (dict(op="elapsed", unit="1s", as_="elapsed"),
+                    batch_p.elapsed("1s")),
+        "cumulative_sum": (dict(op="cumulative_sum"),
+                           batch_p.cumulative_sum("value")),
+    }
+    for name, (kw, expected_p) in cases.items():
+        src = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        got_df = ordered_transform_stream(src, "t", ["host"], "value", **kw)
+        got = run_available_now(got_df, f"ord_{name}", str(tmp_path / f"cp_{name}"))
+        out_col = kw.get("as_", "value" if name != "elapsed" else "elapsed")
+        key = lambda r: (r["host"], r["t"])
+        g = [(r["host"], r["t"], r[out_col]) for r in sorted(got.collect(), key=key)]
+        e = [
+            (r["host"], r["t"], r[out_col])
+            for r in sorted(expected_p.result().collect(), key=key)
+        ]
+        assert g == e, name
