@@ -1494,6 +1494,36 @@ def stream_state_count(spark, sf_dir):
 
 
 @_q(
+    "stream_sigma",
+    """SELECT event_id, user_id, value,
+              round(CASE WHEN count(value) OVER w < 2
+                           OR coalesce(stddev_samp(value) OVER w, 0) = 0 THEN 0
+                         ELSE abs(value - avg(value) OVER w)
+                              / (stddev_samp(value) OVER w)
+                    END, 6) AS sigma
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING)""",
+)
+def stream_sigma(spark, sf_dir):
+    """Streaming stateful sigma() — /root/reference/tick/stateful/
+    functions.go:1131 via applyInPandasWithState: Welford (n, mean, M2)
+    state persists across micro-batches, so the availableNow replay
+    equals the batch running-window SQL."""
+    from kapacitor_spark.streaming import run_available_now, sigma_stream
+
+    sdf = _stream_t(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_id", "value"
+    )
+    out = sigma_stream(
+        sdf, "ts", ["user_id"], "value", as_="sigma_raw", tiebreak=["event_id"]
+    ).select(
+        "event_id", "user_id", "value", F.round("sigma_raw", 6).alias("sigma")
+    )
+    return run_available_now(out, _mem_name("ssig"), _ckpt())
+
+
+@_q(
     "stream_derivative",
     """SELECT event_id, user_id, ts,
               (value - lag(value) OVER w) /
