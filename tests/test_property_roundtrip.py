@@ -1,0 +1,92 @@
+"""Property-based roundtrip tests (hypothesis) — the fuzz layer of the
+test strategy (SURVEY §5): the reference pins its wire format with
+hand-picked escape cases; here hypothesis generates adversarial tag/field
+content (commas, spaces, equals, quotes, backslashes, unicode) and asserts
+render → parse is the identity through the REAL Spark path.
+
+The Spark session is reused; each case renders via to_line_protocol (JVM
+concat/escape) and parses via parse_lines' exact parser, so both
+directions of the escaping contract are exercised together.
+"""
+
+import datetime as dt
+import math
+import os
+import sys
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+# identifier-ish text: printable, no newlines; includes the escape-relevant
+# characters , = space " \
+_ident = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        exclude_categories=("Cs", "Cc"),
+        include_characters=', ="\\',
+    ),
+    min_size=1,
+    max_size=12,
+).filter(lambda s: s.strip() and "\n" not in s and "\r" not in s)
+
+_float = st.floats(
+    allow_nan=False, allow_infinity=False, width=64,
+    min_value=-1e12, max_value=1e12,
+)
+
+
+@pytest.fixture(scope="module")
+def _spark(spark):
+    return spark
+
+
+@given(meas=_ident, tagv=_ident, sval=_ident, fval=_float, ival=st.integers(-2**60, 2**60))
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_line_protocol_roundtrip_property(_spark, meas, tagv, sval, fval, ival):
+    """render(point) → parse → the same point, for arbitrary measurement /
+    tag / string-field content and full-range numeric fields."""
+    spark = _spark
+    ts = dt.datetime(2024, 1, 1, 12, 30, 45, 123456)
+    src = spark.createDataFrame(
+        [(ts, tagv, fval, ival, sval)],
+        "time timestamp, host string, value double, n long, note string",
+    )
+    from kapacitor_spark.sources.line_protocol import parse_lines, to_line_protocol
+
+    lines = to_line_protocol(
+        src, meas, tag_cols=["host"], field_cols=["value", "n", "note"],
+    )
+    # exact parser branch: quotes/escapes route here in the hybrid plan too
+    parsed = parse_lines(lines, col="line", fast=False).collect()
+    assert len(parsed) == 1
+    r = parsed[0]
+    assert r["name"] == meas
+    assert r["tags"]["host"] == tagv
+    assert r["fields_i"]["n"] == ival
+    assert r["fields_s"]["note"] == sval
+    got_f = r["fields_f"]["value"]
+    assert got_f == fval or math.isclose(got_f, fval, rel_tol=1e-15)
+    assert r["time"] == ts
+
+
+@given(
+    secs=st.integers(min_value=0, max_value=10**9),
+    unit=st.sampled_from(["ns", "us", "ms", "s", "m", "h", "d", "w"]),
+)
+@settings(max_examples=50, deadline=None)
+def test_duration_parse_scale_property(secs, unit):
+    """parse_duration is linear in its numeric part for every unit."""
+    from kapacitor_spark.durations import parse_duration
+
+    one = parse_duration(f"1{unit}")
+    many = parse_duration(f"{secs}{unit}")
+    assert math.isclose(many, secs * one, rel_tol=1e-12, abs_tol=1e-15)
