@@ -1494,6 +1494,39 @@ def stream_state_count(spark, sf_dir):
 
 
 @_q(
+    "stream_state_duration",
+    """WITH base AS (
+         SELECT event_id, user_id, ts, (value > 100) AS ok,
+                CASE WHEN (value > 100) AND NOT coalesce(
+                     lag(value > 100) OVER (PARTITION BY user_id ORDER BY ts, event_id), false)
+                     THEN 1 ELSE 0 END AS boundary
+         FROM events),
+       s AS (SELECT *, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS streak FROM base)
+       SELECT event_id, user_id,
+              CASE WHEN ok THEN (epoch_us(ts) - min(epoch_us(ts))
+                                 OVER (PARTITION BY user_id, streak)) / 1000000.0
+                   ELSE -1.0 END AS state_dur
+       FROM s""",
+)
+def stream_state_duration(spark, sf_dir):
+    """Streaming stateDuration — /root/reference/state_tracking.go:111-152
+    via applyInPandasWithState: the episode start time carries across
+    micro-batches, so durations keep accruing; oracle is the batch streak
+    SQL."""
+    from kapacitor_spark.streaming import run_available_now, state_duration_stream
+
+    sdf = _stream_t(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_id", "value"
+    )
+    out = state_duration_stream(
+        sdf, "ts", ["user_id"], cond="value > 100", unit="1s",
+        as_="state_dur", tiebreak=["event_id"],
+    ).select("event_id", "user_id", "state_dur")
+    return run_available_now(out, _mem_name("ssd"), _ckpt())
+
+
+@_q(
     "stream_sigma",
     """SELECT event_id, user_id, value,
               round(CASE WHEN count(value) OVER w < 2

@@ -45,6 +45,7 @@ __all__ = [
     "window_count_stream",
     "alert_stream",
     "state_count_stream",
+    "state_duration_stream",
     "sigma_stream",
     "ordered_transform_stream",
     "run_available_now",
@@ -275,6 +276,62 @@ def state_count_stream(
             if idle_timeout is not None
             else GroupStateTimeout.NoTimeout
         ),
+    )
+
+
+def state_duration_stream(
+    df: DataFrame,
+    time_col: str,
+    dims: Sequence[str],
+    cond: str,
+    unit: str | float = "1s",
+    as_: str = "state_duration",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Streaming stateDuration (/root/reference/state_tracking.go:111-152):
+    event time since the current true-state began, in ``unit``s (0 at the
+    state's first point); -1 while false. State per group: the episode's
+    start time (one int64) — it survives micro-batch boundaries, so a
+    state entered in one batch keeps accruing duration in the next."""
+    c_df = df.withColumn("__ok", F.expr(cond))
+    out_schema = StructType(
+        [c_df.schema[c] for c in df.columns] + [StructField(as_, DoubleType())]
+    )
+    state_schema = StructType([StructField("start_us", LongType())])
+    unit_us = float(round(parse_duration(unit) * 1_000_000))
+    tcol, tb = time_col, list(tiebreak)
+    in_cols = list(df.columns)
+
+    def machine(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        start = state.get[0] if state.exists else -1
+        for pdf in pdfs:
+            pdf = pdf.sort_values([tcol, *tb], kind="stable")
+            ok = pdf["__ok"].fillna(False).to_numpy()
+            t = pdf[tcol].to_numpy(dtype="datetime64[us]").astype("int64")
+            n = len(ok)
+            idx = np.arange(n)
+            # first index of each true-run; rows before any in-batch reset
+            # belong to the carried episode (if one is open)
+            reset = np.where(~ok, idx, -1)
+            last_reset = np.maximum.accumulate(reset)
+            run_first = np.clip(last_reset + 1, 0, max(n - 1, 0))
+            starts = t[run_first]
+            if start >= 0:
+                starts = np.where(last_reset < 0, start, starts)
+            dur = np.where(ok, (t - starts) / unit_us, -1.0)
+            out = pdf[in_cols].copy()
+            out[as_] = dur
+            yield out
+            if n:
+                start = int(starts[-1]) if ok[-1] else -1
+        state.update((int(start),))
+
+    return c_df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
+        machine,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -454,3 +454,32 @@ def test_ordered_transform_stream_matches_batch(spark, tmp_path):
             for r in sorted(expected_p.result().collect(), key=key)
         ]
         assert g == e, name
+
+
+def test_state_duration_stream_across_batches(spark, tmp_path):
+    """stateDuration's episode START survives the micro-batch boundary —
+    a state entered in batch 1 keeps accruing duration in batch 2."""
+    from kapacitor_spark.streaming import state_duration_stream
+
+    path = str(tmp_path / "in_sd")
+    _write_batches(
+        spark,
+        path,
+        [
+            [
+                ("2024-01-01 00:00:00", "a", 50.0),   # false: -1
+                ("2024-01-01 00:00:10", "a", 95.0),   # episode start: 0
+            ],
+            [
+                ("2024-01-01 00:00:25", "a", 96.0),   # +15s ACROSS RESTART
+                ("2024-01-01 00:00:30", "a", 5.0),    # false: -1
+                ("2024-01-01 00:00:40", "a", 97.0),   # new episode: 0
+            ],
+        ],
+    )
+    src = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(path)
+    out = state_duration_stream(src, "t", ["host"], cond="value > 90", unit="1s")
+    got = run_available_now(out, "sd_t", str(tmp_path / "cp_sd")).orderBy("t")
+    assert [(r.t.second, r.state_duration) for r in got.collect()] == [
+        (0, -1.0), (10, 0.0), (25, 15.0), (30, -1.0), (40, 0.0)
+    ]
