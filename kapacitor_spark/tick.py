@@ -28,6 +28,12 @@ reference's InitRequest option list, udf/agent/udf.proto).
 (sources/sideload.py); HTTP sideload endpoints are out of scope — pass a
 lookup DataFrame in ``sources`` instead.
 
+``batch|query('SELECT ...')`` runs the InfluxQL projection engine-side:
+windows enumerate deterministically over the source's event-time range,
+``groupBy(time(d), tags...)`` buckets inside each window, and rows carry
+their window's ``query_start`` as a group key (per-batch state, the
+reference's batch edges).
+
 Unsupported (documented): topology-level services (autoscale nodes,
 queryFlux).
 """
@@ -200,6 +206,10 @@ class _P:
                 )
             raise TickError(f"cannot negate {inner!r} at offset {p}")
         if k == "ident":
+            if v == "time" and self.at_op("("):
+                # groupBy(time(2s[, offset])) — InfluxQL time bucketing
+                # inside a batch query's groupBy (pipeline/batch.go GroupBy)
+                return _TimeGroup(*self.call_args())
             if v in ("stream", "batch"):
                 return _Source(v)
             if v in ("TRUE", "FALSE"):
@@ -248,6 +258,14 @@ class _P:
             self.expect("]")
             return out
         return self.primary()
+
+class _TimeGroup:
+    """groupBy(time(d[, offset])) marker — InfluxQL downsampling buckets."""
+
+    def __init__(self, interval, offset=None):
+        self.interval = interval
+        self.offset = offset
+
 
 class _Source:
     def __init__(self, kind):
@@ -332,26 +350,28 @@ class _Env:
 
     # -- source resolution ------------------------------------------- #
 
+    def _source_pipeline(self, meas: str | None) -> Pipeline:
+        src = self.sources
+        if isinstance(src, Pipeline):
+            return src
+        if isinstance(src, DataFrame):
+            return Pipeline.from_df(src, time_col=self.time_col, dims=self.dims,
+                                    tiebreak=self.tiebreak)
+        if callable(src):
+            return src(meas)
+        if meas is None and len(src) == 1:
+            meas = next(iter(src))
+        if meas not in src:
+            raise TickError(f"no source for measurement {meas!r}")
+        obj = src[meas]
+        return obj if isinstance(obj, Pipeline) else Pipeline.from_df(
+            obj, time_col=self.time_col, dims=self.dims, tiebreak=self.tiebreak
+        )
+
     def _resolve_from(self, node: _Node) -> Pipeline:
         props = node.prop_map()
         meas = props.get("measurement", [None])[0]
-        src = self.sources
-        if isinstance(src, Pipeline):
-            p = src
-        elif isinstance(src, DataFrame):
-            p = Pipeline.from_df(src, time_col=self.time_col, dims=self.dims,
-                                 tiebreak=self.tiebreak)
-        elif callable(src):
-            p = src(meas)
-        else:
-            if meas is None and len(src) == 1:
-                meas = next(iter(src))
-            if meas not in src:
-                raise TickError(f"no source for measurement {meas!r}")
-            obj = src[meas]
-            p = obj if isinstance(obj, Pipeline) else Pipeline.from_df(
-                obj, time_col=self.time_col, dims=self.dims, tiebreak=self.tiebreak
-            )
+        p = self._source_pipeline(meas)
         for name, args in node.props:
             if name == "where":
                 p = p.where(_lam(p, args[0]))
@@ -370,6 +390,110 @@ class _Env:
                 raise TickError(f"from(): unsupported property .{name}()")
         return p
 
+    _QUERY_AGGS = {
+        "mean": F.avg, "sum": F.sum, "count": F.count, "min": F.min,
+        "max": F.max, "median": F.median, "first": F.first, "last": F.last,
+    }
+
+    def _resolve_query(self, node: _Node) -> Pipeline:
+        """batch|query('SELECT ... FROM "db"."rp".meas [WHERE ...]')
+        .period(p).every(e).offset(o).align().groupBy(time(d), tags...)
+        (/root/reference/pipeline/batch.go:53-200; batch.go:168-566):
+        windows are enumerated over the source's event-time range
+        (deterministic, clock-free), each window's [start, stop) filter
+        pushes into the scan, and the InfluxQL projection runs per
+        (window, time-bucket, tags) — the engine-side analog of the
+        query InfluxDB would execute. Rows carry ``query_start`` and it
+        joins the dims, so downstream nodes see per-batch groups exactly
+        like the reference's batch edges (state resets per batch)."""
+        import re as _re
+
+        from kapacitor_spark.tasks import BatchQuery
+
+        props = node.prop_map()
+        sql = node.args[0]
+        m = _re.match(
+            r"(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\S+)(?:\s+WHERE\s+(.*?))?\s*$",
+            sql.strip(),
+        )
+        if not m:
+            raise TickError(f"query(): cannot parse {sql!r}")
+        sel, table, where = m.group(1).strip(), m.group(2), m.group(3)
+        meas = table.split(".")[-1].strip('"').strip("'")
+        p = self._source_pipeline(meas)
+        if where:
+            # InfluxQL double-quoted identifiers → Spark backticks (a
+            # double-quoted token is a STRING literal to Spark SQL)
+            p = p.where(_re.sub(r'"(\w+)"', r"`\1`", where))
+
+        tags: list[str] = []
+        bucket = None
+        for name, args in node.props:
+            if name == "groupBy":
+                vals = args[0] if args and isinstance(args[0], list) else list(args)
+                for a in vals:
+                    if isinstance(a, _TimeGroup):
+                        bucket = _dur(a.interval)
+                    else:
+                        tags.append(a)
+        p = p.group_by(*tags) if tags else p
+
+        bq = BatchQuery(
+            period=_dur(props["period"][0]),
+            every=_dur(props["every"][0]) if "every" in props else None,
+            offset=_dur(props["offset"][0]) if "offset" in props else 0.0,
+            align="align" in props,
+        )
+        tmin, tmax = p.df.agg(
+            F.min(p.time_col), F.max(p.time_col)
+        ).first()  # tiny driver agg: the replay range
+        import datetime as _dt
+
+        ev = _dur(props.get("every", props["period"])[0])
+        every_s = ev if isinstance(ev, float) else float(ev)
+        win = bq.backfill(
+            p.df,
+            tmin.replace(tzinfo=_dt.timezone.utc),
+            # ticks fall on t0+k·every; extend the stop so the final window
+            # covers the last point
+            tmax.replace(tzinfo=_dt.timezone.utc) + _dt.timedelta(seconds=every_s),
+            time_col=p.time_col,
+        )
+        out = Pipeline(
+            df=win, time_col=p.time_col,
+            dims=(*tags, "query_start"), tiebreak=p.tiebreak,
+            results=p.results,
+        )
+
+        am = _re.fullmatch(r'(\w+)\(\s*"?(\w+)"?\s*\)(?:\s+AS\s+"?(\w+)"?)?', sel, _re.I)
+        if am and am.group(1).lower() in self._QUERY_AGGS:
+            fn, fld = self._QUERY_AGGS[am.group(1).lower()], am.group(2)
+            alias = am.group(3) or am.group(1).lower()
+            if bucket is not None:
+                out = out.window_time(bucket, bucket)
+            # InfluxQL emits the bucket/window START as the row time
+            out = out._single_agg(fn(fld), alias)
+        elif sel not in ("*",):
+            # plain projection: keep time/dims + the selected fields;
+            # rows with NO selected field are dropped (InfluxQL returns
+            # only rows carrying a selected value — golden serverB null
+            # gap in TestBatch_StateTracking)
+            flds = [
+                f.strip().strip('"') for f in sel.split(",") if f.strip()
+            ]
+            keep = [out.time_col, *out.dims, *flds]
+            df = out.df.select(
+                *[c for c in dict.fromkeys(keep) if c in out.df.columns]
+            )
+            present = [F.col(f) for f in flds if f in df.columns]
+            if present:
+                cond = present[0].isNotNull()
+                for c in present[1:]:
+                    cond = cond | c.isNotNull()
+                df = df.filter(cond)
+            out = out._with(df, dims=out.dims)
+        return out
+
     # -- chain dispatch ----------------------------------------------- #
 
     def chain(self, node, name, args):
@@ -382,7 +506,9 @@ class _Env:
             if name == "from":
                 return _Node("from", args, node)
             if name == "query":
-                raise TickError("batch|query(): use BatchQuery + run_tickscript per window")
+                if node.kind != "batch":
+                    raise TickError("query() requires a batch source")
+                return _Node("query", args, node)
             raise TickError(f"{node.kind} source supports |from()")
         if name in self.BUILDERS or name.startswith("@"):
             return _Node(name, args, node)
@@ -403,6 +529,8 @@ class _Env:
             p = p._build()
         if node.name == "from":
             return self._resolve_from(node)
+        if node.name == "query":
+            return self._resolve_query(node)
         if not isinstance(p, Pipeline):
             raise TickError(f"|{node.name}() needs an upstream pipeline")
         if node.name.startswith("@"):

@@ -335,3 +335,93 @@ stream
             "time = '1971-01-01 00:00:00'"
         ).collect()
         assert [r["count"] for r in rows] == [10], where
+
+
+def test_batch_query_state_tracking_script(spark):
+    """batch|query() end-to-end through the front-end — the
+    TestBatch_StateCount / _StateDuration scripts (batcher_test.go:2568,
+    2676) verbatim: windows are enumerated over the replayed range,
+    groupBy('host') + the per-window batch key group the state walks, and
+    the null-value point is absent (InfluxQL returns only rows carrying a
+    selected field)."""
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.sources.line_protocol import replay_brpl
+    from kapacitor_spark.tick import run_tickscript
+
+    raw = replay_brpl(
+        spark, "/root/reference/integrations/testdata/TestBatch_StateTracking.0.brpl"
+    )
+    pts = raw.select(
+        "time", F.col("tags")["host"].alias("host"),
+        F.col("fields_f")["value"].alias("value"),
+    )
+    outs = run_tickscript(
+        """
+var data = batch
+    |query('SELECT value FROM "telegraf"."default"."cpu"')
+        .period(4s)
+        .every(4s)
+        .groupBy('host')
+data
+    |stateCount(lambda: "value" > 95)
+        .as('my_count')
+    |httpOut('counts')
+data
+    |stateDuration(lambda: "value" > 95)
+        .unit(1ms)
+        .as('my_duration')
+    |httpOut('durations')
+""",
+        sources={"cpu": pts},
+        time_col="time",
+    )
+    import datetime as dt
+
+    Z = dt.timezone.utc
+
+    def ts(s):
+        return dt.datetime(1971, 1, 1, 0, 0, s, tzinfo=Z)
+
+    got_c = {
+        (r["host"], r.time.replace(tzinfo=Z)): (r["my_count"], r["value"])
+        for r in outs["counts"].filter("time >= '1971-01-01 00:00:04'").collect()
+    }
+    assert got_c == {
+        ("serverA", ts(4)): (1, 97.1), ("serverA", ts(5)): (2, 96.6),
+        ("serverA", ts(6)): (-1, 83.6), ("serverA", ts(7)): (1, 99.1),
+        ("serverB", ts(4)): (-1, 47.0), ("serverB", ts(5)): (1, 95.1),
+        ("serverB", ts(7)): (2, 96.1),
+    }
+    got_d = {
+        (r["host"], r.time.replace(tzinfo=Z)): (r["my_duration"], r["value"])
+        for r in outs["durations"].filter("time >= '1971-01-01 00:00:04'").collect()
+    }
+    assert got_d == {
+        ("serverA", ts(4)): (0.0, 97.1), ("serverA", ts(5)): (1000.0, 96.6),
+        ("serverA", ts(6)): (-1.0, 83.6), ("serverA", ts(7)): (0.0, 99.1),
+        ("serverB", ts(4)): (-1.0, 47.0), ("serverB", ts(5)): (0.0, 95.1),
+        ("serverB", ts(7)): (2000.0, 96.1),
+    }
+
+
+def test_batch_query_aggregate_time_bucket(cpu):
+    """query('SELECT mean("value") ...').groupBy(time(4s), 'host'): the
+    InfluxQL projection runs engine-side — per (window, 4s bucket, host)
+    means, rows timed at the bucket start."""
+    outs = run_tickscript(
+        """
+batch
+    |query('SELECT mean("value") FROM "db"."rp"."cpu" WHERE "host" = \\'serverA\\'')
+        .period(8s)
+        .every(8s)
+        .groupBy(time(4s), 'host')
+    |httpOut('means')
+""",
+        sources={"cpu": cpu},
+        time_col="time",
+    )
+    rows = {r.time.second: r["mean"] for r in outs["means"].collect()}
+    # fixture: serverA values 90..99 at :00-:09 → buckets [0,4)=91.5,
+    # [4,8)=95.5, [8,12)=98.5
+    assert rows == {0: 91.5, 4: 95.5, 8: 98.5}
