@@ -1878,6 +1878,45 @@ def batch_empty_reduce(spark, sf_dir):
 
 
 @_q(
+    "lambda_math_fns",
+    """SELECT event_id,
+              round(sqrt(abs(value)), 6) AS sq,
+              round(cbrt(value), 6) AS cb,
+              round(sin(value / 100), 6) AS sn,
+              round(ln(abs(value) + 1), 6) AS lg,
+              round(atan2(value, 10), 6) AS at2,
+              round(sqrt(value * value + 100), 6) AS hyp,
+              floor(value) AS fl,
+              ceiling(value) AS ce,
+              round(pow(abs(value), 0.3), 6) AS pw
+       FROM events""",
+)
+def lambda_math_fns(spark, sf_dir):
+    """Math-category lambda registry under the oracle gate —
+    /root/reference/tick/stateful/functions.go:152-193: each compiles to
+    the JVM math builtin (round(…,6) absorbs last-ulp libm divergence
+    between engines)."""
+    p = _events(spark, sf_dir).eval(
+        keep=["event_id", "sq", "cb", "sn", "lg", "at2", "hyp", "fl", "ce", "pw"],
+        sq='lambda: sqrt(abs("value"))',
+        cb='lambda: cbrt("value")',
+        sn='lambda: sin("value" / 100.0)',
+        lg='lambda: log(abs("value") + 1.0)',
+        at2='lambda: atan2("value", 10.0)',
+        hyp='lambda: hypot("value", 10.0)',
+        fl='lambda: floor("value")',
+        ce='lambda: ceil("value")',
+        pw='lambda: pow(abs("value"), 0.3)',
+    )
+    out = p.result()
+    return out.select(
+        "event_id",
+        *[F.round(c, 6).alias(c) for c in ("sq", "cb", "sn", "lg", "at2", "hyp", "pw")],
+        "fl", "ce",
+    ).select("event_id", "sq", "cb", "sn", "lg", "at2", "hyp", "fl", "ce", "pw")
+
+
+@_q(
     "window_fill_period",
     """WITH g AS (SELECT event_type, min(ts) AS t0 FROM events GROUP BY 1),
             b AS (SELECT date_trunc('hour', ts) AS ts, event_type,
