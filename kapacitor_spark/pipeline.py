@@ -1482,6 +1482,66 @@ class Pipeline:
     # sinks (§2.1)
     # ------------------------------------------------------------------ #
 
+    def alert_batch(
+        self,
+        crit: str | Column | None = None,
+        warn: str | Column | None = None,
+        info: str | Column | None = None,
+        batch_key: str = "query_start",
+        require: str = "any",
+        **alert_kwargs,
+    ) -> "Pipeline":
+        """ONE alert event per batch (/root/reference/alert.go:1036-1100
+        BufferedBatch): the batch's level is its highest point level
+        (``require='all'`` → lowest, the .all() flag); the event time is
+        the FIRST point at that level, or the batch time (max point time,
+        edge/messages.go:376) for OK batches. The resulting per-group
+        event sequence then runs through the regular alert state machine —
+        ``state_changes_only`` / ``max_interval`` / ``no_recoveries`` /
+        ``duration_field`` etc. pass through (**alert_kwargs), so
+        stateChangesOnly(15s) expiry works across batches exactly as the
+        golden TestBatch_AlertStateChangesOnlyExpired sequence.
+
+        Scale: two window passes over (group, batch) + a per-group walk of
+        BATCH-COUNT-sized data — events, not points, hit the sequential
+        machine."""
+        lv = F.lit(0)
+        if info is not None:
+            lv = F.when(self._expr(info), 1).otherwise(lv)
+        if warn is not None:
+            lv = F.when(self._expr(warn), 2).otherwise(lv)
+        if crit is not None:
+            lv = F.when(self._expr(crit), 3).otherwise(lv)
+        if require not in ("all", "any"):
+            raise ValueError("require must be 'all' or 'any'")
+        if batch_key not in self.dims:
+            raise ValueError(f"batch_key {batch_key!r} must be one of dims {self.dims}")
+        group = tuple(d for d in self.dims if d != batch_key)
+        w = Window.partitionBy(*[F.col(d) for d in self.dims])
+        agg = F.min if require == "all" else F.max
+        df = self.df.withColumn("__plv", lv)
+        df = df.withColumn("__L", agg("__plv").over(w))
+        df = df.withColumn("__tb", F.max(self.time_col).over(w)).withColumn(
+            "__th",
+            F.min(F.when(F.col("__plv") == F.col("__L"), self.time)).over(w),
+        )
+        event_t = F.when(F.col("__L") == 0, F.col("__tb")).otherwise(F.col("__th"))
+        events = (
+            df.withColumn(self.time_col, event_t)
+            .select(self.time_col, *self.dims, "__L")
+            .dropDuplicates([*self.dims])
+        )
+        ep = Pipeline(
+            df=events, time_col=self.time_col, dims=group, results=self.results
+        )
+        out = ep.alert(
+            crit=F.col("__L") >= 3,
+            warn=F.col("__L") >= 2,
+            info=F.col("__L") >= 1,
+            **alert_kwargs,
+        )
+        return out._with(out.df.drop("__L"), dims=group)
+
     def alert_all(
         self,
         crit: str | Column | None = None,

@@ -3151,3 +3151,31 @@ def test_stream_cardinality_node_matrix(spark):
     d = mixed.derivative("sigma")
     assert d.cardinality() == 3
     assert d.alert(crit='lambda: "sigma" > 2.0').cardinality() == 3
+
+
+def test_batch_alert_state_changes_only_expired_fixture(spark):
+    """TestBatch_AlertStateChangesOnlyExpired (batcher_test.go): one event
+    per batch — highest point level, event time = first point at that
+    level (batch max time for OK) — with stateChangesOnly(15s) expiry:
+    CRIT @ 0s (dur 0), the 10s batch suppressed, re-fire @ 20s (dur 20),
+    OK recovery @ 38s (dur 38)."""
+    pts = _batch_pts(
+        spark, "TestBatch_AlertStateChangesOnly.0.brpl", field="mean", tags=("cpu",)
+    )
+    p = Pipeline.from_df(pts, time_col="time", dims=("cpu", "batch_id"))
+    out = (
+        p.alert_batch(
+            crit='lambda: "mean" > 90.0',
+            batch_key="batch_id",
+            state_changes_only=True,
+            max_interval="15s",
+            duration_field="duration",
+        )
+        .result().orderBy("time").collect()
+    )
+    ns = 1_000_000_000
+    assert [(r.time.replace(tzinfo=Z), r["level"], r["duration"]) for r in out] == [
+        (_ts(0), "CRITICAL", 0),
+        (_ts(20), "CRITICAL", 20 * ns),
+        (_ts(38), "OK", 38 * ns),
+    ]
