@@ -1878,6 +1878,46 @@ def batch_empty_reduce(spark, sf_dir):
 
 
 @_q(
+    "alert_batch_events",
+    """WITH pts AS (
+         SELECT event_type, date_trunc('day', ts) AS day, ts,
+                CASE WHEN value > 250 THEN 3
+                     WHEN value > 150 THEN 2 ELSE 0 END AS plv
+         FROM events),
+       agg AS (SELECT event_type, day, max(plv) AS L, max(ts) AS tb
+               FROM pts GROUP BY 1, 2),
+       th AS (SELECT p.event_type, p.day, min(p.ts) AS th
+              FROM pts p JOIN agg a USING (event_type, day)
+              WHERE p.plv = a.L GROUP BY 1, 2),
+       ev AS (SELECT a.event_type,
+                     CASE WHEN a.L = 0 THEN a.tb ELSE t.th END AS ts,
+                     CASE a.L WHEN 3 THEN 'CRITICAL'
+                              WHEN 2 THEN 'WARNING' ELSE 'OK' END AS level
+              FROM agg a JOIN th t USING (event_type, day)),
+       seq AS (SELECT *, lag(level, 1, 'OK')
+                          OVER (PARTITION BY event_type ORDER BY ts) AS prev
+               FROM ev)
+       SELECT event_type, ts, level FROM seq WHERE level <> prev""",
+)
+def alert_batch_events(spark, sf_dir):
+    """Batch alert path under the oracle gate (alert.go:1036-1100
+    BufferedBatch): daily batches per event_type — one event per batch
+    (highest point level; event time = first point at that level, batch
+    max time for OK) with stateChangesOnly transitions."""
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.date_trunc("day", "ts"))
+    p = Pipeline.from_df(
+        ev, time_col="ts", dims=("event_type", "day"), tiebreak=("event_id",)
+    )
+    out = p.alert_batch(
+        crit='lambda: "value" > 250.0',
+        warn='lambda: "value" > 150.0',
+        batch_key="day",
+        state_changes_only=True,
+    )
+    return out.result().select("event_type", "ts", "level")
+
+
+@_q(
     "lambda_math_fns",
     """SELECT event_id,
               round(sqrt(abs(value)), 6) AS sq,
