@@ -425,3 +425,68 @@ batch
     # fixture: serverA values 90..99 at :00-:09 → buckets [0,4)=91.5,
     # [4,8)=95.5, [8,12)=98.5
     assert rows == {0: 91.5, 4: 95.5, 8: 98.5}
+
+
+def test_batch_query_transform_scripts(spark):
+    """TestBatch_Difference / _CumulativeSum scripts (batcher_test.go:477,
+    566) verbatim through batch|query(): plain SELECT + per-batch ordered
+    transforms, golden values from the reference."""
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.sources.line_protocol import replay_brpl
+    from kapacitor_spark.tick import run_tickscript
+
+    import datetime as dt
+
+    Z = dt.timezone.utc
+
+    def ts(s):
+        return dt.datetime(1971, 1, 1, 0, 0, s, tzinfo=Z)
+
+    def pts(fixture):
+        raw = replay_brpl(
+            spark, f"/root/reference/integrations/testdata/{fixture}"
+        )
+        return raw.select(
+            "time", F.col("fields_f")["value"].alias("value")
+        ).filter("value IS NOT NULL")
+
+    outs = run_tickscript(
+        """
+batch
+    |query('SELECT "value" FROM "telegraf"."default".packets')
+        .period(10s)
+        .every(10s)
+    |difference('value')
+    |httpOut('TestBatch_Difference')
+""",
+        sources={"packets": pts("TestBatch_Difference.0.brpl")},
+        time_col="time",
+    )
+    got = [
+        (r.time.replace(tzinfo=Z), r["value"])
+        for r in outs["TestBatch_Difference"].orderBy("time").collect()
+    ]
+    assert got == [(ts(2), 5.0), (ts(4), 3.0), (ts(6), 1.0), (ts(8), -5.0)]
+
+    outs2 = run_tickscript(
+        """
+batch
+    |query('SELECT "value" FROM "telegraf"."default".packets')
+        .period(10s)
+        .every(10s)
+    |cumulativeSum('value')
+    |httpOut('TestBatch_CumulativeSum')
+""",
+        sources={"packets": pts("TestBatch_CumulativeSum.0.brpl")},
+        time_col="time",
+    )
+    got2 = [
+        (r.time.replace(tzinfo=Z), r["value"])
+        for r in outs2["TestBatch_CumulativeSum"]
+        .filter("time >= '1971-01-01 00:00:10'").orderBy("time").collect()
+    ]
+    assert got2 == [
+        (ts(10), 0.0), (ts(12), 10.0), (ts(14), 30.0),
+        (ts(16), 60.0), (ts(18), 100.0),
+    ]
