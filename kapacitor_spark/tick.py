@@ -713,6 +713,10 @@ class _Env:
         sco_args = props.get("stateChangesOnly")
         out = p.alert(
             state_changes_only="stateChangesOnly" in props,
+            # the reference's STREAM trigger rule is always on
+            # (alert.go:1127 — non-OK fires, OK fires only as recovery);
+            # stateChangesOnly is the stricter filter when present
+            events_only="stateChangesOnly" not in props,
             max_interval=_dur(sco_args[0]) if sco_args else None,
             no_recoveries="noRecoveries" in props,
             flapping=tuple(props["flapping"]) if "flapping" in props else None,
