@@ -519,6 +519,12 @@ class _Env:
     def prop(self, node, name, args):
         if isinstance(node, _Node):
             return node.prop(name, args)
+        if isinstance(node, Pipeline) and name == "rename":
+            # union(...).rename(m) (/root/reference/pipeline/union.go:
+            # .rename sets the output measurement name)
+            return node._with(
+                node.df.withColumn("name", F.lit(args[0])), dims=node.dims
+            )
         raise TickError(f"property .{name}() without a node")
 
     def _materialize(self, node: _Node):
@@ -738,6 +744,15 @@ class _Env:
                 apply_sink(out.df, log_handler(args[0]))
             elif name == "post":
                 out = out.http_post(args[0])
+            elif name == "tcp":
+                from kapacitor_spark.sinks import apply_sink, tcp_handler
+
+                host, _, port = args[0].rpartition(":")
+                apply_sink(out.df, tcp_handler(host, int(port)))
+            elif name == "exec":
+                from kapacitor_spark.sinks import apply_sink, exec_handler
+
+                apply_sink(out.df, exec_handler(list(args)))
         return out
 
     # -- simple chain methods ------------------------------------------ #

@@ -490,3 +490,52 @@ batch
         (ts(10), 0.0), (ts(12), 10.0), (ts(14), 30.0),
         (ts(16), 60.0), (ts(18), 100.0),
     ]
+
+
+def test_union_rename_script(spark):
+    """TestStream_Union_Stepped's script shape (streamer_test.go:5848)
+    verbatim: union(...).rename('cpu_all') |groupBy('cpu') — the renamed
+    measurement and re-keyed groups, last point per group at the 6s step."""
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.sources.line_protocol import promote, replay_srpl
+    from kapacitor_spark.tick import run_tickscript
+
+    raw = replay_srpl(
+        spark, "/root/reference/integrations/testdata/TestStream_Union_Stepped.srpl"
+    )
+    cpu = promote(raw, "cpu", float_fields=["value"], tag_cols=["cpu"])
+    outs = run_tickscript(
+        """
+var cpuT = stream
+    |from().measurement('cpu').where(lambda: "cpu" == 'total')
+var cpu0 = stream
+    |from().measurement('cpu').where(lambda: "cpu" == '0')
+var cpu1 = stream
+    |from().measurement('cpu').where(lambda: "cpu" == '1')
+cpuT
+    |union(cpu0, cpu1)
+        .rename('cpu_all')
+    |groupBy('cpu')
+    |httpOut('TestStream_Union_Stepped')
+""",
+        sources={"cpu": cpu},
+        time_col="time",
+    )
+    import datetime as dt
+
+    Z = dt.timezone.utc
+    last = (
+        outs["TestStream_Union_Stepped"]
+        .filter("time <= '1971-01-01 00:00:05'")
+        .groupBy("cpu")
+        .agg(F.max_by(F.struct("time", "value", "name"), "time").alias("s"))
+        .select("cpu", "s.time", "s.value", "s.name")
+        .collect()
+    )
+    got = {r["cpu"]: (r["time"].replace(tzinfo=Z).second, r["value"], r["name"]) for r in last}
+    assert got == {
+        "0": (5, 92.0, "cpu_all"),
+        "1": (5, 92.0, "cpu_all"),
+        "total": (4, 93.0, "cpu_all"),
+    }
