@@ -338,7 +338,7 @@ class _Env:
     BUILDERS = {
         "from", "window", "eval", "default", "delete", "alert", "join",
         "query", "groupBy", "flatten", "combine", "kapacitorLoopback",
-        "sideload",
+        "sideload", "barrier",
     }
 
     def __init__(self, sources, time_col, dims, tiebreak, outputs, udfs=None):
@@ -583,6 +583,14 @@ class _Env:
         db = props.get("database", ["dbname"])[0]
         rp = props.get("retentionPolicy", ["rpname"])[0]
         self.outputs[f"loopback:{db}.{rp}"] = p.df
+        return p
+
+    def _mk_barrier(self, p: Pipeline, node: _Node) -> Pipeline:
+        """barrier().idle(d)/.period(d)/.delete(b) (/root/reference/
+        barrier.go): in this BATCH evaluation context event time is
+        already complete, so the barrier is a recorded no-op; the
+        streaming compile target is kapacitor_spark.streaming.barrier
+        (withWatermark) where idle/period bound state and drop late data."""
         return p
 
     def _mk_sideload(self, p: Pipeline, node: _Node) -> Pipeline:

@@ -539,3 +539,57 @@ cpuT
         "1": (5, 92.0, "cpu_all"),
         "total": (4, 93.0, "cpu_all"),
     }
+
+
+def test_delete_join_script_verbatim(spark):
+    """TestStream_Delete_Join's script (streamer_test.go:4730) verbatim —
+    barrier().idle().delete() parses (state-cleanup directive; a batch
+    no-op), the tolerance join + streamName + eval division produce the
+    golden [0,10) row 18/18 → 1.0."""
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.sources.line_protocol import promote, replay_srpl
+    from kapacitor_spark.tick import run_tickscript
+
+    raw = replay_srpl(
+        spark, "/root/reference/integrations/testdata/TestStream_Delete_Join.srpl"
+    )
+    srcs = {
+        m: promote(
+            raw.filter(F.col("name") == m), m,
+            float_fields=["value"], tag_cols=["host"],
+        )
+        for m in ("cpu", "views")
+    }
+    outs = run_tickscript(
+        """
+var errorCounts = stream
+    |from().measurement('cpu').groupBy('host')
+    |window().period(10s).every(10s).align()
+    |sum('value')
+    |barrier().idle(1s).delete(TRUE)
+var viewCounts = stream
+    |from().measurement('views').groupBy('host')
+    |window().period(10s).every(10s).align()
+    |sum('value')
+errorCounts
+    |join(viewCounts)
+        .as('errors', 'views')
+        .streamName('error_view')
+        .tolerance(2s)
+        .deleteAll(TRUE)
+    |eval(lambda: "errors.sum" / "views.sum")
+        .as('error_percent')
+        .keep()
+    |httpOut('TestStream_Delete_Join')
+""",
+        sources=srcs,
+        time_col="time",
+    )
+    rows = outs["TestStream_Delete_Join"].filter(
+        "time <= '1971-01-01 00:00:10'"
+    ).collect()
+    assert [
+        (r["host"], r["name"], r["error_percent"], r["errors.sum"], r["views.sum"])
+        for r in rows
+    ] == [("serverA", "error_view", 1.0, 18.0, 18.0)]
