@@ -160,9 +160,10 @@ class _P:
                 self.env.vars[name] = self.expr()
             else:
                 res = self.expr()
-                # terminal sink builders (kapacitorLoopback) register their
-                # output as a side effect of materialization
-                if isinstance(res, _Node) and res.name == "kapacitorLoopback":
+                # terminal sink builders (kapacitorLoopback, httpPost with
+                # endpoint/header props) fire their side effect when the
+                # statement ends without further chaining
+                if isinstance(res, _Node) and res.name in ("kapacitorLoopback", "httpPost"):
                     self.env._materialize(res)
 
     def expr(self):
@@ -338,15 +339,18 @@ class _Env:
     BUILDERS = {
         "from", "window", "eval", "default", "delete", "alert", "join",
         "query", "groupBy", "flatten", "combine", "kapacitorLoopback",
-        "sideload", "barrier",
+        "sideload", "barrier", "httpPost",
     }
 
-    def __init__(self, sources, time_col, dims, tiebreak, outputs, udfs=None):
+    def __init__(
+        self, sources, time_col, dims, tiebreak, outputs, udfs=None, endpoints=None
+    ):
         self.vars: dict[str, Any] = {}
         self.sources = sources
         self.time_col, self.dims, self.tiebreak = time_col, dims, tiebreak
         self.outputs = outputs
         self.udfs = udfs
+        self.endpoints = endpoints
 
     # -- source resolution ------------------------------------------- #
 
@@ -585,6 +589,39 @@ class _Env:
         self.outputs[f"loopback:{db}.{rp}"] = p.df
         return p
 
+    def _mk_httpPost(self, p: Pipeline, node: _Node) -> Pipeline:
+        """httpPost('url') or httpPost().endpoint(name).header(k,v)
+        (/root/reference/pipeline/http_post.go; services/httppost
+        endpoint configs): endpoints resolve through
+        ``run_tickscript(endpoints={name: url-or-config})`` — a config
+        may be a plain URL string or ``{"url": ..., "headers": {...},
+        "body_template": ...}``."""
+        from kapacitor_spark.sinks import apply_sink, http_post
+
+        props = node.prop_map()
+        headers = {a[0]: a[1] for n, a in node.props if n == "header"}
+        body_template = None
+        if node.args:
+            url = node.args[0]
+        else:
+            ep = props.get("endpoint", [None])[0]
+            conf = (self.endpoints or {}).get(ep)
+            if conf is None:
+                raise TickError(
+                    f"httpPost(): unknown endpoint {ep!r} — pass "
+                    f"run_tickscript(endpoints={{{ep!r}: url-or-config}})"
+                )
+            if isinstance(conf, str):
+                url = conf
+            else:
+                url = conf["url"]
+                headers = {**conf.get("headers", {}), **headers}
+                body_template = conf.get("body_template")
+        apply_sink(
+            p.df, http_post(url, headers=headers or None, body_template=body_template)
+        )
+        return p
+
     def _mk_barrier(self, p: Pipeline, node: _Node) -> Pipeline:
         """barrier().idle(d)/.period(d)/.delete(b) (/root/reference/
         barrier.go): in this BATCH evaluation context event time is
@@ -790,8 +827,6 @@ class _Env:
             return p.stats(_dur(args[0]))
         if name == "deadman":
             return p.deadman(args[0], _dur(args[1]))
-        if name == "httpPost":
-            return p.http_post(args[0])
         if name == "influxDBOut":
             return p
         if name in self.AGGS:
@@ -874,6 +909,7 @@ def run_tickscript(
     dims: tuple[str, ...] = (),
     tiebreak: tuple[str, ...] = (),
     udfs: dict | None = None,
+    endpoints: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Execute a TICKscript; returns {httpOut name: DataFrame}.
 
@@ -882,9 +918,12 @@ def run_tickscript(
     ``udfs``: registry for @name() chain methods — name → @udf_node
     function (options become kwargs), the reference's configured-UDF
     scope methods (/root/reference/task_master.go:497-525).
+    ``endpoints``: httpPost().endpoint(name) registry — name → url string
+    or {"url", "headers", "body_template"} (the reference's
+    services/httppost endpoint configs).
     """
     outputs: dict[str, DataFrame] = {}
-    env = _Env(sources, time_col, dims, tiebreak, outputs, udfs)
+    env = _Env(sources, time_col, dims, tiebreak, outputs, udfs, endpoints)
     toks, src = _tokenize(script)
     p = _P(toks, src, env)
     # patch property dispatch for pending aggregations

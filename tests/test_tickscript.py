@@ -593,3 +593,58 @@ errorCounts
         (r["host"], r["name"], r["error_percent"], r["errors.sum"], r["views.sum"])
         for r in rows
     ] == [("serverA", "error_view", 1.0, 18.0, 18.0)]
+
+
+def test_http_post_endpoint_script(spark):
+    """TestStream_HttpPostEndpoint(+_CustomBody) (streamer_test.go): the
+    httpPost().endpoint(name).header(k,v) form resolves through the
+    endpoint registry and fires as a terminal node — the receiver sees
+    the rows and the custom header."""
+    import http.server
+    import threading
+
+    from kapacitor_spark.sources.line_protocol import promote, replay_srpl
+    from kapacitor_spark.tick import run_tickscript
+
+    got: dict = {"rows": []}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            import json as _json
+
+            got["my"] = self.headers.get("my")
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            got["rows"].extend(_json.loads(body))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        raw = replay_srpl(
+            spark, "/root/reference/integrations/testdata/TestStream_HttpPost.srpl"
+        )
+        cpu = promote(
+            raw, "cpu", float_fields=["value"], tag_cols=["host", "type"]
+        ).coalesce(1)
+        run_tickscript(
+            """
+stream
+    |from().measurement('cpu').where(lambda: "host" == 'serverA')
+    |httpPost()
+        .endpoint('test')
+        .header('my', 'header')
+""",
+            sources={"cpu": cpu},
+            time_col="time",
+            endpoints={"test": f"http://127.0.0.1:{port}/post"},
+        )
+    finally:
+        srv.shutdown()
+    assert got["my"] == "header"
+    nums = [97.1, 92.6, 95.6, 93.1, 92.6, 95.8]
+    assert sorted(d["value"] for d in got["rows"]) == sorted(nums)
