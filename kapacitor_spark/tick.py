@@ -163,7 +163,9 @@ class _P:
                 # terminal sink builders (kapacitorLoopback, httpPost with
                 # endpoint/header props) fire their side effect when the
                 # statement ends without further chaining
-                if isinstance(res, _Node) and res.name in ("kapacitorLoopback", "httpPost"):
+                if isinstance(res, _Node) and res.name in (
+                    "kapacitorLoopback", "httpPost", "influxDBOut"
+                ):
                     self.env._materialize(res)
 
     def expr(self):
@@ -339,11 +341,12 @@ class _Env:
     BUILDERS = {
         "from", "window", "eval", "default", "delete", "alert", "join",
         "query", "groupBy", "flatten", "combine", "kapacitorLoopback",
-        "sideload", "barrier", "httpPost",
+        "sideload", "barrier", "httpPost", "influxDBOut",
     }
 
     def __init__(
-        self, sources, time_col, dims, tiebreak, outputs, udfs=None, endpoints=None
+        self, sources, time_col, dims, tiebreak, outputs, udfs=None,
+        endpoints=None, influxdb=None,
     ):
         self.vars: dict[str, Any] = {}
         self.sources = sources
@@ -351,6 +354,7 @@ class _Env:
         self.outputs = outputs
         self.udfs = udfs
         self.endpoints = endpoints
+        self.influxdb = influxdb
 
     # -- source resolution ------------------------------------------- #
 
@@ -622,6 +626,31 @@ class _Env:
         )
         return p
 
+    def _mk_influxDBOut(self, p: Pipeline, node: _Node) -> Pipeline:
+        """influxDBOut().database(db).retentionPolicy(rp).measurement(m)
+        .precision(pr).tag(k,v).create() (/root/reference/influxdb_out.go):
+        writes line protocol to the InfluxDB configured via
+        ``run_tickscript(influxdb='http://...')``. Without a configured
+        URL the node is a recorded no-op (the reference likewise needs a
+        configured cluster)."""
+        if not self.influxdb:
+            return p
+        from kapacitor_spark.sinks import influxdb_http_out
+
+        props = node.prop_map()
+        influxdb_http_out(
+            p.df,
+            self.influxdb,
+            database=props.get("database", ["db"])[0],
+            measurement=props.get("measurement", ["m"])[0],
+            retention_policy=props.get("retentionPolicy", [""])[0],
+            precision=props.get("precision", ["ns"])[0],
+            tags={a[0]: a[1] for n, a in node.props if n == "tag"},
+            time_col=p.time_col,
+            create="create" in props,
+        )
+        return p
+
     def _mk_barrier(self, p: Pipeline, node: _Node) -> Pipeline:
         """barrier().idle(d)/.period(d)/.delete(b) (/root/reference/
         barrier.go): in this BATCH evaluation context event time is
@@ -827,8 +856,6 @@ class _Env:
             return p.stats(_dur(args[0]))
         if name == "deadman":
             return p.deadman(args[0], _dur(args[1]))
-        if name == "influxDBOut":
-            return p
         if name in self.AGGS:
             return self._apply_agg(p, name, args)
         raise TickError(f"unsupported chain method |{name}()")
@@ -910,6 +937,7 @@ def run_tickscript(
     tiebreak: tuple[str, ...] = (),
     udfs: dict | None = None,
     endpoints: dict | None = None,
+    influxdb: str | None = None,
 ) -> dict[str, DataFrame]:
     """Execute a TICKscript; returns {httpOut name: DataFrame}.
 
@@ -921,9 +949,11 @@ def run_tickscript(
     ``endpoints``: httpPost().endpoint(name) registry — name → url string
     or {"url", "headers", "body_template"} (the reference's
     services/httppost endpoint configs).
+    ``influxdb``: base URL for influxDBOut() writes (the reference's
+    configured InfluxDB cluster).
     """
     outputs: dict[str, DataFrame] = {}
-    env = _Env(sources, time_col, dims, tiebreak, outputs, udfs, endpoints)
+    env = _Env(sources, time_col, dims, tiebreak, outputs, udfs, endpoints, influxdb)
     toks, src = _tokenize(script)
     p = _P(toks, src, env)
     # patch property dispatch for pending aggregations

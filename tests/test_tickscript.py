@@ -648,3 +648,72 @@ stream
     assert got["my"] == "header"
     nums = [97.1, 92.6, 95.6, 93.1, 92.6, 95.8]
     assert sorted(d["value"] for d in got["rows"]) == sorted(nums)
+
+
+def test_influxdb_out_script_verbatim(spark):
+    """TestStream_InfluxDBOut's script (streamer_test.go:12491) verbatim:
+    the windowed count writes one line-protocol point to the configured
+    InfluxDB /write endpoint with db/rp/precision params and the static
+    tag."""
+    import http.server
+    import threading
+    import urllib.parse
+
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.sources.line_protocol import promote, replay_srpl
+    from kapacitor_spark.tick import run_tickscript
+
+    got: dict = {}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            u = urllib.parse.urlparse(self.path)
+            got["params"] = dict(urllib.parse.parse_qsl(u.query))
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            got.setdefault("lines", []).extend(
+                l for l in body.decode().splitlines() if l
+            )
+            self.send_response(204)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        raw = replay_srpl(
+            spark, "/root/reference/integrations/testdata/TestStream_InfluxDBOut.srpl"
+        )
+        cpu = promote(
+            raw.filter("name = 'cpu'"), "cpu",
+            float_fields=["value"], tag_cols=["host"],
+        )
+        run_tickscript(
+            """
+stream
+    |from()
+        .measurement('cpu')
+        .where(lambda: "host" == 'serverA')
+    |window()
+        .period(10s)
+        .every(10s)
+    |count('value')
+    |influxDBOut()
+        .database('db')
+        .retentionPolicy('rp')
+        .measurement('m')
+        .precision('s')
+        .tag('key', 'value')
+""",
+            sources={"cpu": cpu},
+            time_col="time",
+            influxdb=f"http://127.0.0.1:{port}",
+        )
+    finally:
+        srv.shutdown()
+    assert got["params"] == {"db": "db", "rp": "rp", "precision": "s"}
+    # tick windows label at start (:00); content count 10 matches the golden
+    assert "m,key=value count=10i 31536000" in got["lines"]
