@@ -90,3 +90,97 @@ def test_duration_parse_scale_property(secs, unit):
     one = parse_duration(f"1{unit}")
     many = parse_duration(f"{secs}{unit}")
     assert math.isclose(many, secs * one, rel_tol=1e-12, abs_tol=1e-15)
+
+
+# --------------------------------------------------------------------- #
+# lambda-language fuzz: random expression trees evaluated through the
+# Catalyst compiler AND a direct Python reference must agree
+# --------------------------------------------------------------------- #
+
+_num = st.floats(min_value=-100, max_value=100, allow_nan=False, width=32).map(
+    lambda x: round(x, 3)
+)
+
+
+def _arith(depth):
+    leaf = st.one_of(
+        st.just(('"a"', lambda r: r["a"])),
+        st.just(('"b"', lambda r: r["b"])),
+        _num.map(lambda v: (repr(float(v)), lambda r, v=v: float(v))),
+    )
+    if depth <= 0:
+        return leaf
+
+    def combine(args):
+        (ls, lf), op, (rs, rf) = args
+        py = {
+            "+": lambda r: lf(r) + rf(r),
+            "-": lambda r: lf(r) - rf(r),
+            "*": lambda r: lf(r) * rf(r),
+        }[op]
+        return (f"({ls} {op} {rs})", py)
+
+    inner = _arith(depth - 1)
+    return st.one_of(
+        leaf,
+        st.tuples(inner, st.sampled_from("+-*"), inner).map(combine),
+    )
+
+
+def _boolean(depth):
+    def cmp_(args):
+        (ls, lf), op, (rs, rf) = args
+        py = {
+            ">": lambda r: lf(r) > rf(r),
+            "<": lambda r: lf(r) < rf(r),
+            ">=": lambda r: lf(r) >= rf(r),
+            "<=": lambda r: lf(r) <= rf(r),
+        }[op]
+        return (f"{ls} {op} {rs}", py)
+
+    base = st.tuples(
+        _arith(depth), st.sampled_from([">", "<", ">=", "<="]), _arith(depth)
+    ).map(cmp_)
+    if depth <= 0:
+        return base
+
+    def logic(args):
+        (ls, lf), op, (rs, rf) = args
+        py = (
+            (lambda r: lf(r) and rf(r))
+            if op == "AND"
+            else (lambda r: lf(r) or rf(r))
+        )
+        return (f"({ls} {op} {rs})", py)
+
+    inner = _boolean(depth - 1)
+    return st.one_of(base, st.tuples(inner, st.sampled_from(["AND", "OR"]), inner).map(logic))
+
+
+@given(expr=_boolean(2), seed=st.integers(0, 2**31))
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_lambda_compiler_matches_python(_spark, expr, seed):
+    """compile_lambda(src) over a DataFrame selects exactly the rows the
+    equivalent Python predicate selects — arithmetic, comparisons, and
+    AND/OR at arbitrary nesting."""
+    import random
+
+    from kapacitor_spark.functions.lambdas import compile_lambda
+
+    src, py = expr
+    rng = random.Random(seed)
+    rows = [
+        (i, round(rng.uniform(-50, 50), 3), round(rng.uniform(-50, 50), 3))
+        for i in range(25)
+    ]
+    df = _spark.createDataFrame(rows, "i long, a double, b double")
+    got = {
+        r["i"]
+        for r in df.filter(compile_lambda("lambda: " + src)).collect()
+    }
+    want = {i for i, a, b in rows if py({"a": a, "b": b})}
+    assert got == want, src
