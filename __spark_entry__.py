@@ -1878,6 +1878,37 @@ def batch_empty_reduce(spark, sf_dir):
 
 
 @_q(
+    "boilerplate_removal",
+    """WITH split AS (
+         SELECT doc_id, string_split(text, ' a ') AS arr FROM documents),
+       parts0 AS (
+         SELECT doc_id, unnest(arr) AS para,
+                generate_subscripts(arr, 1) AS pos
+         FROM split),
+       parts AS (SELECT * FROM parts0 WHERE trim(para) <> ''),
+       freq AS (SELECT para, count(DISTINCT doc_id) AS docs
+                FROM parts GROUP BY 1),
+       kept AS (SELECT p.doc_id, p.para, p.pos
+                FROM parts p JOIN freq f USING (para) WHERE f.docs <= 2)
+       SELECT doc_id,
+              string_agg(para, ' a ' ORDER BY pos) AS text,
+              count(*) AS kept_paragraphs
+       FROM kept GROUP BY doc_id""",
+)
+def boilerplate_removal(spark, sf_dir):
+    """Boilerplate paragraph removal (the CCNet-style cross-document
+    paragraph-dedup pass): segments appearing in more than max_df distinct
+    documents are dropped and each document is reassembled in order —
+    digest hash-aggregate + equi-join, cost ∝ paragraphs, no Python."""
+    from kapacitor_spark.dataprep.text import remove_boilerplate_paragraphs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_boilerplate_paragraphs(
+        docs, max_df=2, sep=" a "
+    ).select("doc_id", "text", "kept_paragraphs")
+
+
+@_q(
     "alert_batch_events",
     """WITH pts AS (
          SELECT event_type, date_trunc('day', ts) AS day, ts,

@@ -11,7 +11,7 @@ from kapacitor_spark.dataprep.dedup import tokenize
 
 __all__ = [
     "token_stats", "quality_score", "lang_id", "doc_fingerprint",
-    "analysis_suite",
+    "analysis_suite", "remove_boilerplate_paragraphs",
 ]
 
 # tiny built-in stopword list for the quality heuristic (public knowledge)
@@ -167,4 +167,48 @@ def doc_fingerprint(
         F.col(id_col),
         F.md5(norm).alias("content_fp"),
         F.md5(bag).alias("bag_fp"),
+    )
+
+
+def remove_boilerplate_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 5,
+    sep: str = "\n",
+) -> DataFrame:
+    """Boilerplate removal (the CCNet-style paragraph-dedup pass of a
+    training-data pipeline): drop every paragraph that appears in MORE
+    THAN ``max_df`` distinct documents (headers, footers, cookie banners),
+    then reassemble each document from its surviving paragraphs in
+    original order.
+
+    Plan shape for 100 TB: explode to (doc, pos, paragraph) → paragraph
+    document-frequency by md5 digest (hash-aggregate over 16-byte keys,
+    never the text) → equi-join back on the digest → order-preserving
+    re-aggregation per document. Cost scales with paragraph count; no
+    driver-side state and no Python.
+    """
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).filter(F.trim("para") != "")
+    parts = parts.withColumn("__pd", F.md5(F.col("para")))
+    dfreq = parts.groupBy("__pd").agg(
+        F.count_distinct(id_col).alias("__docs")
+    )
+    kept = (
+        parts.join(dfreq, "__pd")
+        .filter(F.col("__docs") <= max_df)
+        .drop("__pd", "__docs")
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("kept_paragraphs"),
     )
