@@ -1878,6 +1878,37 @@ def batch_empty_reduce(spark, sf_dir):
 
 
 @_q(
+    "decontamination",
+    """WITH tok AS (
+         SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+         FROM documents),
+       idx AS (
+         SELECT doc_id, t,
+                unnest(range(1, greatest(len(t) - 8 + 2, 2))) AS i
+         FROM tok),
+       grams AS (
+         SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g FROM idx),
+       bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+       dirty AS (SELECT DISTINCT d.doc_id
+                 FROM grams d JOIN bench USING (g) WHERE d.doc_id >= 20)
+       SELECT doc_id FROM documents
+       WHERE doc_id >= 20
+         AND doc_id NOT IN (SELECT doc_id FROM dirty)""",
+)
+def decontamination(spark, sf_dir):
+    """Benchmark decontamination under the oracle gate: docs 0-19 act as
+    the eval set; any corpus document sharing an 8-word n-gram with them
+    is dropped (broadcast of the benchmark's distinct grams + anti-join,
+    the only shape that survives a 100 TB corpus scan)."""
+    from kapacitor_spark.dataprep.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter("doc_id < 20")
+    corpus = docs.filter("doc_id >= 20")
+    return decontaminate(corpus, bench, n=8).select("doc_id")
+
+
+@_q(
     "boilerplate_removal",
     """WITH split AS (
          SELECT doc_id, string_split(text, ' a ') AS arr FROM documents),

@@ -33,6 +33,7 @@ __all__ = [
     "simhash_near_dup",
     "ngram_jaccard_dedup",
     "embedding_near_dup",
+    "decontaminate",
 ]
 
 
@@ -396,3 +397,35 @@ def embedding_near_dup(
         F.col(f"b.{id_col}").alias("id_b"),
         F.round(cos, 6).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Pile n-gram overlap rule):
+    drop every training document sharing ANY word n-gram with the
+    benchmark/eval set.
+
+    100 TB shape: the benchmark side is small by definition — its distinct
+    n-grams BROADCAST; the corpus explodes to (id, gram) and a broadcast
+    semi-join marks contaminated ids, then a left-anti join drops them.
+    The corpus text is scanned once; nothing wider than (id, gram) moves.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(shingles(tokenize(text_col), n)).alias("__g")
+        ).distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col), F.explode(shingles(tokenize(text_col), n)).alias("__g")
+    )
+    dirty = (
+        doc_grams.join(F.broadcast(bench_grams), "__g")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(dirty, id_col, "left_anti")
