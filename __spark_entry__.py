@@ -1878,6 +1878,47 @@ def batch_empty_reduce(spark, sf_dir):
 
 
 @_q(
+    "pii_scrub",
+    """WITH aug AS (
+         SELECT doc_id,
+                text || ' contact user' || doc_id ||
+                '@example.com from 10.0.' || (doc_id % 256) ||
+                '.1 tel +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0')
+                    AS text
+         FROM documents)
+       SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                  '(\\d{1,3}\\.){3}\\d{1,3}', '<IP>', 'g'),
+                '\\+?\\d[\\d\\-]{7,}\\d', '<PHONE>', 'g') AS text
+       FROM aug""",
+)
+def pii_scrub(spark, sf_dir):
+    """PII redaction under the oracle gate: documents augmented with
+    deterministic synthetic emails/IPs/phone numbers, scrubbed by the
+    codegen'd regexp_replace chain — byte-identical output on both
+    engines (RE2/Java-compatible pattern subset)."""
+    from kapacitor_spark.dataprep.text import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 tel +1555"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 7, "0"),
+        ).alias("text"),
+    )
+    return scrub_pii(docs)
+
+
+@_q(
     "decontamination",
     """WITH tok AS (
          SELECT doc_id, string_split(lower(trim(text)), ' ') AS t

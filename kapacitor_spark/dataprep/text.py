@@ -11,7 +11,7 @@ from kapacitor_spark.dataprep.dedup import tokenize
 
 __all__ = [
     "token_stats", "quality_score", "lang_id", "doc_fingerprint",
-    "analysis_suite", "remove_boilerplate_paragraphs",
+    "analysis_suite", "remove_boilerplate_paragraphs", "scrub_pii",
 ]
 
 # tiny built-in stopword list for the quality heuristic (public knowledge)
@@ -212,3 +212,27 @@ def remove_boilerplate_paragraphs(
         ).alias(text_col),
         F.count(F.lit(1)).alias("kept_paragraphs"),
     )
+
+
+# (pattern, replacement) pairs — deliberately RE2/Java-compatible subset
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"(\d{1,3}\.){3}\d{1,3}", "<IP>"),
+    (r"\+?\d[\d\-]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: list[tuple[str, str]] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """PII redaction (emails, IPv4, phone-shaped digit runs) — the
+    scrubbing pass every training-data pipeline runs before tokenization.
+    A chain of codegen'd regexp_replace column expressions: zero Python,
+    zero shuffles, scales with the scan."""
+    c = F.col(text_col)
+    for pat, rep in patterns or PII_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    return df.withColumn(out_col or text_col, c)
