@@ -1878,6 +1878,37 @@ def batch_empty_reduce(spark, sf_dir):
 
 
 @_q(
+    "repetition_stats",
+    """WITH tok AS (
+         SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+         FROM documents),
+       g AS (
+         SELECT doc_id,
+                [array_to_string(t[i:i+1], ' ')
+                 FOR i IN range(1, greatest(len(t) - 2, 0) + 2)] AS g2,
+                [array_to_string(t[i:i+2], ' ')
+                 FOR i IN range(1, greatest(len(t) - 3, 0) + 2)] AS g3
+         FROM tok)
+       SELECT doc_id,
+              round(CASE WHEN len(g2) > 0
+                         THEN (len(g2) - len(list_distinct(g2))) * 1.0 / len(g2)
+                         ELSE 0 END, 6) AS dup_2gram_frac,
+              round(CASE WHEN len(g3) > 0
+                         THEN (len(g3) - len(list_distinct(g3))) * 1.0 / len(g3)
+                         ELSE 0 END, 6) AS dup_3gram_frac
+       FROM g""",
+)
+def repetition_stats_q(spark, sf_dir):
+    """Gopher repetition signals under the oracle gate: per-document
+    duplicate 2-/3-gram fractions as pure array expressions — one scan,
+    no explode, no shuffle."""
+    from kapacitor_spark.dataprep.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs, ns=(2, 3))
+
+
+@_q(
     "pii_scrub",
     """WITH aug AS (
          SELECT doc_id,

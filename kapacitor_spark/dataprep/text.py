@@ -12,6 +12,7 @@ from kapacitor_spark.dataprep.dedup import tokenize
 __all__ = [
     "token_stats", "quality_score", "lang_id", "doc_fingerprint",
     "analysis_suite", "remove_boilerplate_paragraphs", "scrub_pii",
+    "repetition_stats",
 ]
 
 # tiny built-in stopword list for the quality heuristic (public knowledge)
@@ -236,3 +237,33 @@ def scrub_pii(
     for pat, rep in patterns or PII_PATTERNS:
         c = F.regexp_replace(c, pat, rep)
     return df.withColumn(out_col or text_col, c)
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple = (2, 3),
+) -> DataFrame:
+    """Gopher-style repetition signals: for each n in ``ns``, the fraction
+    of the document's word n-grams that are duplicates
+    (1 − distinct/total). High values flag machine-generated or boiler-
+    plate text. Pure array expressions over the tokenized column — no
+    explode, no shuffle; one scan yields every n."""
+    from kapacitor_spark.dataprep.dedup import tokenize
+
+    toks = tokenize(text_col)
+
+    def _frac(n: int):
+        # NB: the transform lambda must be single-arg — a second parameter
+        # (even defaulted) makes Spark pass the element INDEX into it
+        cnt = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        total = F.size(grams).cast("double")
+        dup = (F.size(grams) - F.size(F.array_distinct(grams))).cast("double")
+        return F.round(
+            F.when(total > 0, dup / total).otherwise(F.lit(0.0)), 6
+        ).alias(f"dup_{n}gram_frac")
+
+    return df.select(F.col(id_col), *[_frac(n) for n in ns])
