@@ -1,0 +1,87 @@
+"""Edge cases for the cleaning-stage dataprep ops (boilerplate removal,
+decontamination, PII scrubbing, repetition signals) — the oracle gate
+covers the bulk behavior; these pin the boundary semantics."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_boilerplate_removal_edges(spark):
+    from kapacitor_spark.dataprep.text import remove_boilerplate_paragraphs
+
+    rows = [
+        (1, "unique one\nCOMMON\nunique two"),
+        (2, "COMMON\nother text"),
+        (3, "COMMON"),          # all-boilerplate: document disappears
+        (4, ""),                # empty: no paragraphs at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text"], r["kept_paragraphs"])
+        for r in remove_boilerplate_paragraphs(df, max_df=2).collect()
+    }
+    # COMMON appears in 3 docs > max_df=2 → dropped everywhere; docs whose
+    # every paragraph was boilerplate (or empty) emit no row
+    assert out == {
+        1: ("unique one\nunique two", 2),
+        2: ("other text", 1),
+    }
+
+
+def test_decontaminate_edges(spark):
+    from kapacitor_spark.dataprep.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "totally unrelated content here now"),
+            (11, "prefix the quick brown fox jumps suffix"),  # contains the 5-gram
+            (12, "the quick brown cat naps today"),           # shares no 5-gram
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(corpus, bench, n=5).collect()
+    )
+    assert kept == [10, 12]
+
+
+def test_scrub_pii_edges(spark):
+    from kapacitor_spark.dataprep.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.org end"),
+            (2, "ip 192.168.0.1 and phone +1-555-0100-200"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in scrub_pii(df).collect()}
+    assert out[1] == "mail <EMAIL> end"
+    assert out[2] == "ip <IP> and phone <PHONE>"
+    assert out[3] == "clean text with no pii at all"
+
+
+def test_repetition_stats_edges(spark):
+    from kapacitor_spark.dataprep.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # 2-grams: ab ba ab ba ab → 5 total 2 distinct
+            (2, "w x y z"),       # all unique
+            (3, "solo"),          # shorter than n: one truncated gram, no dups
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["dup_2gram_frac"], r["dup_3gram_frac"])
+        for r in repetition_stats(df, ns=(2, 3)).collect()
+    }
+    assert out[1] == (round(3 / 5, 6), round(2 / 4, 6))
+    assert out[2] == (0.0, 0.0)
+    assert out[3] == (0.0, 0.0)
