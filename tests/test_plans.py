@@ -123,3 +123,25 @@ def test_udf_moving_avg_single_shuffle(spark):
     assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
     exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(exchanges) <= 1
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """The benchmark n-gram side must broadcast and the corpus must never
+    hash-shuffle its text — only (id, gram) projections move."""
+    plan = plan_of(spark, "decontamination")
+    assert "BroadcastHashJoin" in plan
+    # contaminated-id dedup + anti-join may shuffle ids, never documents:
+    # no Exchange may carry the text column
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
+
+
+def test_boilerplate_shuffles_digests_not_text(spark):
+    """Paragraph document-frequency shuffles 16-byte digests; the final
+    reassembly shuffles (id, pos, para) — the full documents never move
+    twice."""
+    plan = plan_of(spark, "boilerplate_removal")
+    assert "md5" in plan  # digest computed before the frequency aggregate
+    # frequency aggregate must have a map-side partial before its exchange
+    assert "partial_count" in plan or "partial_finalmerge" in plan.lower() or "HashAggregate" in plan
