@@ -43,6 +43,8 @@ HEADLINE = [
     "minhash_near_dup",
     "simhash_near_dup",
     "text_analysis",
+    "boilerplate_removal",
+    "decontamination",
     "ann_cosine_topk",
     "stream_window_mean",  # Structured Streaming replay throughput
 ]
