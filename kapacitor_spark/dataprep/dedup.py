@@ -415,16 +415,19 @@ def decontaminate(
     semi-join marks contaminated ids, then a left-anti join drops them.
     The corpus text is scanned once; nothing wider than (id, gram) moves.
     """
+    # join on the 64-bit gram hash, not the gram text: the broadcast and
+    # the probe side carry 8 bytes per gram instead of ~8n characters
+    # (collision odds ~|grams|²/2⁶⁴ — immaterial for a contamination test)
     bench_grams = (
-        benchmark.select(
-            F.explode(shingles(tokenize(text_col), n)).alias("__g")
-        ).distinct()
+        benchmark.select(F.explode(shingles(tokenize(text_col), n)).alias("__g"))
+        .select(F.xxhash64("__g").alias("__gh"))
+        .distinct()
     )
     doc_grams = df.select(
         F.col(id_col), F.explode(shingles(tokenize(text_col), n)).alias("__g")
-    )
+    ).select(id_col, F.xxhash64("__g").alias("__gh"))
     dirty = (
-        doc_grams.join(F.broadcast(bench_grams), "__g")
+        doc_grams.join(F.broadcast(bench_grams), "__gh")
         .select(id_col)
         .distinct()
     )
