@@ -65,6 +65,7 @@ _TOK = re.compile(
       (?P<comment>//[^\n]*)
     | (?P<dur>-?\d+(?:\.\d+)?(?:ns|us|µs|ms|s|m|h|d|w))(?![\w.])
     | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+    | (?P<str3>'''(?:[^']|'(?!''))*''')
     | (?P<str>'(?:[^'\\]|\\.)*')
     | (?P<regex>/(?:[^/\\\n]|\\.)+/)
     | (?P<op>\|\||[|.@(),\[\]=*-])
@@ -114,7 +115,7 @@ def _tokenize(src: str):
         pos = m.end()
         if m.group("comment"):
             continue
-        for kind in ("dur", "num", "str", "regex", "op", "ident"):
+        for kind in ("dur", "num", "str3", "str", "regex", "op", "ident"):
             v = m.group(kind)
             if v is not None:
                 toks.append((kind, v, m.start()))
@@ -220,6 +221,10 @@ class _P:
             if v in self.env.vars:
                 return self.env.vars[v]
             raise TickError(f"unknown identifier {v!r} at offset {p}")
+        if k == "str3":
+            # triple-quoted string (batch query bodies in the reference's
+            # own scripts: query('''SELECT ...'''))
+            return v[3:-3]
         if k == "str":
             return v[1:-1].replace("\\'", "'")
         if k == "dur":

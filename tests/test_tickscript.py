@@ -717,3 +717,26 @@ stream
     assert got["params"] == {"db": "db", "rp": "rp", "precision": "s"}
     # tick windows label at start (:00); content count 10 matches the golden
     assert "m,key=value count=10i 31536000" in got["lines"]
+
+
+def test_triple_quoted_query_string(cpu):
+    """The reference's batch scripts write query bodies as '''...''' —
+    the lexer must treat them as one string token (multi-line)."""
+    outs = run_tickscript(
+        """
+batch
+    |query('''
+        SELECT mean("value")
+        FROM "db"."rp".cpu
+        WHERE "host" = 'serverA'
+''')
+        .period(8s)
+        .every(8s)
+        .groupBy(time(4s), 'host')
+    |httpOut('means')
+""",
+        sources={"cpu": cpu},
+        time_col="time",
+    )
+    rows = {r.time.second: r["mean"] for r in outs["means"].collect()}
+    assert rows == {0: 91.5, 4: 95.5, 8: 98.5}
