@@ -145,3 +145,29 @@ def test_boilerplate_shuffles_digests_not_text(spark):
     assert "md5" in plan  # digest computed before the frequency aggregate
     # frequency aggregate must have a map-side partial before its exchange
     assert "partial_count" in plan or "partial_finalmerge" in plan.lower() or "HashAggregate" in plan
+
+
+def test_no_row_python_in_any_headline_plan(spark):
+    """Sweep every bench headline query: row-at-a-time Python
+    (BatchEvalPython) must never appear — Python is allowed only in
+    Arrow-batched form (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas) and only where the operator is inherently
+    stateful or a parser edge."""
+    import bench
+
+    arrow_ok = {
+        "lineprotocol_roundtrip",   # ingest-edge parser (Arrow mapInPandas)
+        "tickscript_e2e",
+        "minhash_near_dup",
+        "simhash_near_dup",
+        "stream_window_mean",
+        "boilerplate_removal",
+        "decontamination",
+    }
+    for name in bench.HEADLINE:
+        if name.startswith("stream_"):
+            continue  # streaming plans print differently; covered elsewhere
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        if name not in arrow_ok:
+            assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, name
