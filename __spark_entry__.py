@@ -1105,7 +1105,10 @@ def minhash_near_dup_q(spark, sf_dir):
     attains 100% recall on same-lang pairs with J≥0.5 — so the blocked
     exact-Jaccard SQL is an exact oracle for the same-lang restriction of
     the output. Cross-lang pairs (which the SQL's n² blocking can't reach
-    but LSH finds) are excluded from the checked projection."""
+    but LSH finds) are excluded from the checked projection. The recall
+    guarantee is calibrated on the driver's sf0.01 corpus; other SFs can
+    expose the method's inherent approximation (e.g. one missed pair at
+    sf0.001) — the probabilistic bound, not a bug."""
     from kapacitor_spark.dataprep.dedup import minhash_near_dup
 
     docs = _t(spark, sf_dir, "documents")

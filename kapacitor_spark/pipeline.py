@@ -1238,6 +1238,7 @@ class Pipeline:
         duration_field: str | None = None,
         id_template: str | None = None,
         message_template: str | None = None,
+        message_field: str = "message",
         topic: str | None = None,
     ) -> "Pipeline":
         """Alert level evaluation (/root/reference/alert.go:915-950
@@ -1418,7 +1419,11 @@ class Pipeline:
         if id_template:
             df = df.withColumn("alert_id", self._template(id_template, level_col))
         if message_template:
-            df = df.withColumn("message", self._template(message_template, level_col))
+            # .messageField names the rendered-message column
+            # (alert.go MessageField augment; default 'message')
+            df = df.withColumn(
+                message_field, self._template(message_template, level_col)
+            )
         if topic is not None:
             # topic routing (/root/reference/alert/topics.go): events carry
             # their topic; TopicRegistry.dispatch fans out to handlers.

@@ -814,6 +814,7 @@ class _Env:
             topic=props.get("topic", [None])[0],
             id_template=props.get("id", [None])[0],
             message_template=props.get("message", [None])[0],
+            message_field=props.get("messageField", ["message"])[0],
             **kw,
         )
         for name, args in node.props:
