@@ -451,6 +451,8 @@ class _Env:
                         tags.append(a)
         p = p.group_by(*tags) if tags else p
 
+        if "period" not in props:
+            raise TickError("query() needs .period(d)")
         bq = BatchQuery(
             period=_dur(props["period"][0]),
             every=_dur(props["every"][0]) if "every" in props else None,
