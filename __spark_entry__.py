@@ -1881,6 +1881,33 @@ def batch_empty_reduce(spark, sf_dir):
 
 
 @_q(
+    "sequence_packing",
+    """WITH t AS (
+         SELECT doc_id, lang,
+                len(string_split(lower(trim(text)), ' ')) AS n_tokens
+         FROM documents)
+       SELECT doc_id, lang, n_tokens,
+              coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS token_offset,
+              CAST(floor(coalesce(sum(n_tokens)
+                       OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) / 2048) AS BIGINT) AS seq_id
+       FROM t""",
+)
+def sequence_packing(spark, sf_dir):
+    """Sequence packing for pretraining batches under the oracle gate:
+    per-shard concat-and-chunk token offsets (the GPT-style rule) — a
+    window running sum partitioned by the shard key, so no global sort
+    exists at any scale."""
+    from kapacitor_spark.dataprep.text import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return pack_sequences(docs, window_tokens=2048, shard_col="lang")
+
+
+@_q(
     "repetition_stats",
     """WITH tok AS (
          SELECT doc_id, string_split(lower(trim(text)), ' ') AS t

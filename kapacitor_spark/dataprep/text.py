@@ -12,7 +12,7 @@ from kapacitor_spark.dataprep.dedup import tokenize
 __all__ = [
     "token_stats", "quality_score", "lang_id", "doc_fingerprint",
     "analysis_suite", "remove_boilerplate_paragraphs", "scrub_pii",
-    "repetition_stats",
+    "repetition_stats", "pack_sequences",
 ]
 
 # tiny built-in stopword list for the quality heuristic (public knowledge)
@@ -267,3 +267,37 @@ def repetition_stats(
         ).alias(f"dup_{n}gram_frac")
 
     return df.select(F.col(id_col), *[_frac(n) for n in ns])
+
+
+def pack_sequences(
+    df: DataFrame,
+    window_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "lang",
+) -> DataFrame:
+    """Sequence-packing assignment for pretraining batches: documents are
+    concatenated in ``id_col`` order and cut every ``window_tokens``
+    tokens (the GPT-style concat-and-chunk rule) — each doc gets its
+    running token offset and the sequence id its first token lands in.
+
+    Scale: the running sum is a window function PARTITIONED BY
+    ``shard_col`` (language/source/hash bucket) — packing is per-shard by
+    design, so no global single-partition sort exists; each shard's
+    ordering shuffles independently."""
+    from pyspark.sql import Window as W
+
+    from kapacitor_spark.dataprep.dedup import tokenize
+
+    toks = F.size(tokenize(text_col))
+    w = W.partitionBy(shard_col).orderBy(id_col)
+    cum_before = F.coalesce(
+        F.sum(toks).over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(shard_col),
+        toks.alias("n_tokens"),
+        cum_before.alias("token_offset"),
+        F.floor(cum_before / window_tokens).cast("long").alias("seq_id"),
+    )
