@@ -1881,6 +1881,30 @@ def batch_empty_reduce(spark, sf_dir):
 
 
 @_q(
+    "stratified_sample",
+    """SELECT doc_id, lang
+       FROM documents
+       WHERE (lang = 'en' AND substr(md5('mix-v1' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 < '8000')
+          OR (lang = 'de' AND substr(md5('mix-v1' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 < '4000')
+          OR (lang = 'fr' AND substr(md5('mix-v1' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 < '1000')""",
+)
+def stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (training-mix construction) under
+    the oracle gate: per-language keep fractions (en 50%, de 25%,
+    fr ~6%) decided by salted md5-prefix thresholds — reproducible on any
+    engine with no RNG, a pure scan-level filter."""
+    from kapacitor_spark.dataprep.text import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return deterministic_sample(
+        docs, {"en": 0.5, "de": 0.25, "fr": 0.0625}, shard_col="lang"
+    )
+
+
+@_q(
     "sequence_packing",
     """WITH t AS (
          SELECT doc_id, lang,

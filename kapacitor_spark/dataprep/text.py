@@ -12,7 +12,7 @@ from kapacitor_spark.dataprep.dedup import tokenize
 __all__ = [
     "token_stats", "quality_score", "lang_id", "doc_fingerprint",
     "analysis_suite", "remove_boilerplate_paragraphs", "scrub_pii",
-    "repetition_stats", "pack_sequences",
+    "repetition_stats", "pack_sequences", "deterministic_sample",
 ]
 
 # tiny built-in stopword list for the quality heuristic (public knowledge)
@@ -301,3 +301,30 @@ def pack_sequences(
         cum_before.alias("token_offset"),
         F.floor(cum_before / window_tokens).cast("long").alias("seq_id"),
     )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fractions: dict,
+    id_col: str = "doc_id",
+    shard_col: str = "lang",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Stratified corpus sampling for training-mix construction: keep a
+    per-shard fraction of documents, DETERMINISTICALLY — membership is
+    decided by the document's salted md5 prefix against a per-shard hex
+    threshold (floor(frac·65536) as 4 hex digits), so the same (salt, id)
+    always lands on the same side on any engine, any run, any cluster
+    size. No RNG, no shuffle: a scan-level filter that composes with
+    pushdown. Change ``salt`` to draw an independent sample."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
+    )
+    cond = None
+    for shard, frac in fractions.items():
+        thr = format(min(int(frac * 65536), 65536), "04x") if frac < 1.0 else "g"
+        c = (F.col(shard_col) == shard) & (h < F.lit(thr))
+        cond = c if cond is None else cond | c
+    if cond is None:
+        raise ValueError("fractions must not be empty")
+    return df.filter(cond)
