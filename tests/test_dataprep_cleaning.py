@@ -85,3 +85,54 @@ def test_repetition_stats_edges(spark):
     assert out[1] == (round(3 / 5, 6), round(2 / 4, 6))
     assert out[2] == (0.0, 0.0)
     assert out[3] == (0.0, 0.0)
+
+
+def test_pack_sequences_edges(spark):
+    from kapacitor_spark.dataprep.text import pack_sequences
+
+    rows = [
+        (1, "en", "a b c"),        # 3 tokens, offset 0, seq 0
+        (2, "en", "d e f g"),      # offset 3, seq 0
+        (3, "en", "h i"),          # offset 7, seq 1 (window 4)
+        (1, "de", "x y z w v"),    # independent shard: offset 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        (r["lang"], r["doc_id"]): (r["n_tokens"], r["token_offset"], r["seq_id"])
+        for r in pack_sequences(df, window_tokens=4).collect()
+    }
+    assert out == {
+        ("en", 1): (3, 0, 0),
+        ("en", 2): (4, 3, 0),
+        ("en", 3): (2, 7, 1),
+        ("de", 1): (5, 0, 0),
+    }
+
+
+def test_deterministic_sample_reproducible(spark):
+    from kapacitor_spark.dataprep.text import deterministic_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    kept1 = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(df, {"en": 0.5, "de": 0.1}).collect()
+    )
+    kept2 = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(df, {"en": 0.5, "de": 0.1}).collect()
+    )
+    assert kept1 == kept2  # same salt → identical membership
+    other = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(
+            df, {"en": 0.5, "de": 0.1}, salt="mix-v2"
+        ).collect()
+    )
+    assert other != kept1  # new salt → independent draw
+    # rough rate sanity: en ≈ 100/200, de ≈ 20/200 (md5 is uniform)
+    en = sum(1 for i in kept1 if i % 2 == 0)
+    de = len(kept1) - en
+    assert 70 <= en <= 130 and 5 <= de <= 40
