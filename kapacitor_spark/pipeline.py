@@ -79,6 +79,20 @@ class WindowSpec:
 
 
 @dataclass(frozen=True)
+class TrailingWindowSpec:
+    """window().period(p).every(0) — emit on EVERY point, each row
+    aggregating the trailing (t-p, t] right-aligned window
+    (/root/reference/window.go:150-165 "Since we are emitting every point
+    we can use a right aligned window (oldest, now]"). Compiles to a
+    range-frame window function over event-time µs — one shuffle on the
+    group key, no per-point Python. ``fill_period`` suppresses rows until
+    a full period has elapsed since the group's first point."""
+
+    period: float  # seconds
+    fill_period: bool = False
+
+
+@dataclass(frozen=True)
 class CountWindowSpec:
     """Count-based window (/root/reference/window.go:360-470):
     last ``period`` points per group, emitting every ``every`` points.
@@ -580,8 +594,16 @@ class Pipeline:
         """
         p = parse_duration(period)
         e = p if every is None else parse_duration(every)
-        if e <= 0 or p <= 0:
-            raise ValueError("window period/every must be > 0 (count windows: window_count())")
+        if p <= 0:
+            raise ValueError("window period must be > 0 (count windows: window_count())")
+        if e == 0:
+            # every=0: emit the trailing window on every point
+            # (window.go:150-165)
+            return replace(
+                self, window=TrailingWindowSpec(period=p, fill_period=fill_period)
+            )
+        if e < 0:
+            raise ValueError("window every must be >= 0")
         if closed not in ("left", "right"):
             raise ValueError("closed must be 'left' or 'right'")
         spec = WindowSpec(
@@ -632,8 +654,10 @@ class Pipeline:
         dims_cols = [F.col(d) for d in self.dims]
         if self.window is None:
             return self.df, dims_cols, list(self.dims)
-        if isinstance(self.window, CountWindowSpec):
-            raise ValueError("count windows support single aggregates / agg_over() only")
+        if isinstance(self.window, (CountWindowSpec, TrailingWindowSpec)):
+            raise ValueError(
+                "count/trailing windows support single aggregates only"
+            )
         spec = self.window
         assign_t = self.time
         if spec.closed == "right":
@@ -684,10 +708,10 @@ class Pipeline:
         shuffle, map-side partial agg) so this is the primitive and the
         named methods below are sugar.
         """
-        if isinstance(self.window, CountWindowSpec):
+        if isinstance(self.window, (CountWindowSpec, TrailingWindowSpec)):
             raise ValueError(
-                "count windows aggregate via named single-agg methods "
-                "(.mean/.sum/...) or .agg_over(name=expr)"
+                "count/trailing windows aggregate via named single-agg "
+                "methods (.mean/.sum/...) or .agg_over(name=expr)"
             )
         df, keys, dim_names = self._window_grouping()
         out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
@@ -733,7 +757,41 @@ class Pipeline:
     def _single_agg(self, expr: Column, alias: str) -> "Pipeline":
         if isinstance(self.window, CountWindowSpec):
             return self.agg_over(**{alias: expr})
+        if isinstance(self.window, TrailingWindowSpec):
+            return self._agg_trailing(expr, alias)
         return self.agg(expr.alias(alias))
+
+    def _agg_trailing(self, expr: Column, alias: str) -> "Pipeline":
+        """Per-point trailing aggregate for every=0 windows: a range-frame
+        window over event-time µs covering (t-period, t], emitted on every
+        row (golden TestStream_Window_Every_0: counts 1..10 as points
+        arrive)."""
+        spec = self.window
+        p_us = round(spec.period * 1_000_000)
+        w = (
+            Window.partitionBy(*[F.col(d) for d in self.dims])
+            if self.dims
+            else Window.partitionBy()
+        )
+        frame = w.orderBy(F.unix_micros(self.time)).rangeBetween(-(p_us - 1), 0)
+        df = self.df.withColumn(alias, expr.over(frame))
+        if spec.fill_period:
+            g = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            df = (
+                df.withColumn("__t0", F.min(self.time_col).over(g))
+                .filter(
+                    F.unix_micros(self.time) - F.unix_micros(F.col("__t0")) >= p_us
+                )
+                .drop("__t0")
+            )
+        keep = [self.time_col, *self.dims, alias]
+        return Pipeline(
+            df=df.select(*dict.fromkeys(keep)),
+            time_col=self.time_col,
+            dims=self.dims,
+            tiebreak=self.tiebreak,
+            results=self.results,
+        )
 
     def count(self, fld: str, as_: str = "count") -> "Pipeline":
         return self._single_agg(F.count(fld), as_)

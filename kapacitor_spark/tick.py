@@ -712,8 +712,11 @@ class _Env:
         else:
             keep = [a for a in props["keep"]] or True
         out = p
+        quiet = "quiet" in props
         for n, l in zip(names, node.args):
-            out = out.eval(keep=True, **{n: _lam(out, l)})
+            # .quiet() (pipeline/eval.go QuietFlag): an eval error (missing
+            # field / div-by-zero NULL) drops the point silently
+            out = out.eval(keep=True, drop_errors=quiet, **{n: _lam(out, l)})
         if keep is False:
             cols = [out.time_col, *out.dims, *names]
             out = out._with(out.df.select(*dict.fromkeys(cols)))

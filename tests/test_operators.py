@@ -38,7 +38,7 @@ def test_window_count_fill_period(series):
 
 def test_window_count_rejects_multi_agg(series):
     p = Pipeline.from_df(series, time_col="t", dims=("g",))
-    with pytest.raises(ValueError, match="count windows"):
+    with pytest.raises(ValueError, match="count/trailing windows"):
         p.window_count(3).agg(F.sum("v").alias("s"))
 
 

@@ -3179,3 +3179,62 @@ def test_batch_alert_state_changes_only_expired_fixture(spark):
         (_ts(20), "CRITICAL", 20 * ns),
         (_ts(38), "OK", 38 * ns),
     ]
+
+
+def test_stream_window_every_0_fixture(spark):
+    """TestStream_Window_Every_0 (streamer_test.go:1158): every=0 emits
+    the trailing (t-10s, t] window on EVERY point — per-host counts climb
+    1..10 as the ten points arrive."""
+    from kapacitor_spark.tick import run_tickscript
+
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Window.srpl")
+    cpu = promote(
+        raw.filter("name = 'cpu'"), "cpu",
+        float_fields=["value"], tag_cols=["host"],
+    )
+    outs = run_tickscript(
+        """
+var period = 10s
+var every = 0s
+stream
+    |from().measurement('cpu').groupBy('host')
+    |window().period(period).every(every)
+    |count('value')
+    |httpOut('TestStream_Window')
+""",
+        sources={"cpu": cpu},
+        time_col="time",
+    )
+    rows = (
+        outs["TestStream_Window"]
+        .filter("time < '1971-01-01 00:00:10'")
+        .orderBy("host", "time")
+        .collect()
+    )
+    for host in ("serverA", "serverB"):
+        counts = [r["count"] for r in rows if r["host"] == host]
+        assert counts == list(range(1, 11)), host
+
+    # _Every_0_FillPeriod (streamer_test.go:1297): period 5s, fillPeriod —
+    # first emission at t=5 once a full period elapsed; trailing (t-5,t]
+    # holds exactly 5 points from then on
+    outs2 = run_tickscript(
+        """
+stream
+    |from().measurement('cpu').groupBy('host')
+    |window().period(5s).every(0s).fillPeriod()
+    |count('value')
+    |httpOut('TestStream_Window')
+""",
+        sources={"cpu": cpu},
+        time_col="time",
+    )
+    fp = (
+        outs2["TestStream_Window"]
+        .filter("host = 'serverA' AND time < '1971-01-01 00:00:09'")
+        .orderBy("time")
+        .collect()
+    )
+    assert [(r.time.replace(tzinfo=Z).second, r["count"]) for r in fp] == [
+        (5, 5), (6, 5), (7, 5), (8, 5)
+    ]
