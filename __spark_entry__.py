@@ -1881,6 +1881,22 @@ def batch_empty_reduce(spark, sf_dir):
 
 
 @_q(
+    "trailing_window_count",
+    """SELECT ts, event_type,
+              count(value) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)
+                                 RANGE BETWEEN 3599999999 PRECEDING
+                                       AND CURRENT ROW) AS n_1h
+       FROM events""",
+)
+def trailing_window_count(spark, sf_dir):
+    """window().every(0) under the oracle gate — the reference's
+    emit-on-every-point mode (window.go:150-165): each row counts its
+    trailing (t-1h, t] window via a range-frame window function."""
+    p = _events(spark, sf_dir).window_time("1h", every=0)
+    return p.count("value", as_="n_1h").result().select("ts", "event_type", "n_1h")
+
+
+@_q(
     "stratified_sample",
     """SELECT doc_id, lang
        FROM documents
