@@ -23,8 +23,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 # identifier-ish text: printable, no newlines; includes the escape-relevant
-# characters , = space " \
+# characters , = space "
+#
+# Backslash is EXCLUDED from measurement/tag content: the line-protocol
+# wire format has no backslash escape outside quoted string fields (the
+# reference's models parser treats \ before a delimiter as an escape and
+# passes it through otherwise), so a bare trailing backslash is
+# unrepresentable there — InfluxDB's own documented wart, faithfully
+# shared. Quoted STRING FIELD values do escape backslashes and are fuzzed
+# with them below.
 _ident = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        exclude_categories=("Cs", "Cc"),
+        include_characters=', ="',
+        exclude_characters="\\",
+    ),
+    min_size=1,
+    max_size=12,
+).filter(lambda s: s.strip() and "\n" not in s and "\r" not in s)
+
+_strfield = st.text(
     alphabet=st.characters(
         codec="utf-8",
         exclude_categories=("Cs", "Cc"),
@@ -45,7 +64,7 @@ def _spark(spark):
     return spark
 
 
-@given(meas=_ident, tagv=_ident, sval=_ident, fval=_float, ival=st.integers(-2**60, 2**60))
+@given(meas=_ident, tagv=_ident, sval=_strfield, fval=_float, ival=st.integers(-2**60, 2**60))
 @settings(
     max_examples=30,
     deadline=None,
