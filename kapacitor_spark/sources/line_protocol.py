@@ -73,7 +73,10 @@ def parse_line(line: str, precision_ns: bool = True, precision: str | None = Non
     precision_ns flag — the reference's replay/write paths carry an
     explicit precision (replay.go ReplayStreamFromIO; the integration
     harness replays .srpl at 's')."""
-    line = line.strip()
+    # ASCII-only trim: Python's bare strip() also eats unicode whitespace
+    # (e.g. U+00A0), which the reference's Go parser treats as measurement
+    # content — found by the hypothesis roundtrip fuzz
+    line = line.strip(" \t\r\n")
     if not line or line.startswith("#"):
         return None
     # split into measurement+tags | fields | [timestamp]; drop empty

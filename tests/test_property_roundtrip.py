@@ -43,6 +43,10 @@ _ident = st.text(
     max_size=12,
 ).filter(lambda s: s.strip() and "\n" not in s and "\r" not in s)
 
+# a LEADING '#' marks a comment line in the wire format (unescapable —
+# same in the reference's parser), so measurements can't start with it
+_meas = _ident.filter(lambda s: not s.startswith("#"))
+
 _strfield = st.text(
     alphabet=st.characters(
         codec="utf-8",
@@ -64,7 +68,7 @@ def _spark(spark):
     return spark
 
 
-@given(meas=_ident, tagv=_ident, sval=_strfield, fval=_float, ival=st.integers(-2**60, 2**60))
+@given(meas=_meas, tagv=_ident, sval=_strfield, fval=_float, ival=st.integers(-2**60, 2**60))
 @settings(
     max_examples=30,
     deadline=None,
