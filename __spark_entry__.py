@@ -2020,6 +2020,45 @@ def pii_scrub(spark, sf_dir):
 
 
 @_q(
+    "dedup_clusters",
+    """WITH RECURSIVE s AS (
+         SELECT doc_id, lang,
+                list_distinct(list_transform(range(0, greatest(len(t) - 2, 0) + 1),
+                    i -> array_to_string(list_slice(t, i + 1, i + 2), ' '))) AS sh
+         FROM (SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+               FROM documents)),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   >= 0.4),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+                WHERE e.dst <> r.src)
+       SELECT src AS doc_id, least(src, min(dst)) AS keeper
+       FROM reach GROUP BY src""",
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING under the oracle gate: exact n-gram Jaccard
+    pairs → connected components by label propagation (each round = one
+    equi-join + min-aggregate), one keeper per transitive dup group —
+    A~B, B~C collapse together even though A~C was never a candidate.
+    Oracle: recursive-CTE reachability over the same exact pair set."""
+    from kapacitor_spark.dataprep.dedup import near_dup_clusters, ngram_jaccard_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_dedup(
+        docs, threshold=0.4, block_cols=("lang",), shingle_k=2
+    )
+    return near_dup_clusters(pairs)
+
+
+@_q(
     "decontamination",
     """WITH tok AS (
          SELECT doc_id, string_split(lower(trim(text)), ' ') AS t

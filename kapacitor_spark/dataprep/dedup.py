@@ -34,6 +34,7 @@ __all__ = [
     "ngram_jaccard_dedup",
     "embedding_near_dup",
     "decontaminate",
+    "near_dup_clusters",
 ]
 
 
@@ -432,3 +433,65 @@ def decontaminate(
         .distinct()
     )
     return df.join(dirty, id_col, "left_anti")
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate PAIRS → one cluster keeper
+    per document (pairs alone don't dedup a corpus; transitive groups do:
+    A~B, B~C must collapse to one keeper even when A~C was never a
+    candidate).
+
+    Label propagation: every node starts labeled with itself; each round
+    takes the min label over {self} ∪ neighbors; converge when no label
+    changes. Each round is one equi-join + one min-aggregate (map-side
+    partial) — the standard Spark CC without any graph library; rounds ≈
+    component diameter (near-dup clusters are shallow). The driver loop
+    checks convergence with a count — bounded by ``max_iter``.
+
+    Returns (doc_id, keeper) for every node appearing in a pair.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("keeper"))
+    edges.unpersist()
+    return out

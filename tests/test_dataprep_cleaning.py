@@ -136,3 +136,17 @@ def test_deterministic_sample_reproducible(spark):
     en = sum(1 for i in kept1 if i % 2 == 0)
     de = len(kept1) - en
     assert 70 <= en <= 130 and 5 <= de <= 40
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B, B~C, D~E: two components, keepers = min ids; a chain longer
+    than one hop collapses (the pairs alone never contained A~C)."""
+    from kapacitor_spark.dataprep.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: r["keeper"] for r in near_dup_clusters(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
