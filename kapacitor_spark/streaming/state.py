@@ -112,7 +112,10 @@ def walk_levels(
             and int(times[i]) - last_trig >= max_interval_us
         )
         if state_changes_only:
-            keep = changed or expired
+            # Expiry re-fires only non-OK levels: the reference's trigger
+            # gate (alert.go:1128) is `level != OK || changed`, so a steady
+            # OK past maxInterval never re-emits.
+            keep = changed or (expired and lv != 0)
         elif events_only:
             keep = lv != 0 or changed
         else:

@@ -348,6 +348,53 @@ def test_streaming_alert_max_interval_expiry(spark, tmp_path):
     assert got == [(0, "CRITICAL"), (12, "CRITICAL"), (30, "OK")]
 
 
+def test_streaming_alert_max_interval_steady_ok_never_refires(spark, tmp_path):
+    """Steady OK past maxInterval must NOT re-fire: the reference's
+    trigger gate (alert.go:1128) is `level != OK || changed`, so expiry
+    only re-emits non-OK levels. Levels CRIT,OK,OK,OK,OK with
+    maxInterval=2s emit exactly the first two rows."""
+    path = str(tmp_path / "in_mi_ok")
+    _write_batches(
+        spark,
+        path,
+        [
+            [
+                ("2024-01-01 00:00:00", "a", 95.0),   # OK→CRIT: fire
+                ("2024-01-01 00:00:01", "a", 5.0),    # recovery: fire
+                ("2024-01-01 00:00:05", "a", 5.0),    # steady OK +4s: silent
+            ],
+            [
+                ("2024-01-01 00:00:09", "a", 5.0),    # steady OK +8s: silent
+                ("2024-01-01 00:00:30", "a", 5.0),    # steady OK +29s: silent
+            ],
+        ],
+    )
+    src = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(path)
+    alerts = alert_stream(
+        src, "t", ["host"], crit="value > 90",
+        state_changes_only=True, max_interval="2s",
+    )
+    out = run_available_now(alerts, "alerts_mi_ok", str(tmp_path / "cp_mi_ok")).orderBy("t")
+    got = [(r.t.second, r.level) for r in out.collect()]
+    assert got == [(0, "CRITICAL"), (1, "OK")]
+
+
+def test_walk_levels_steady_ok_expiry_unit():
+    """Unit repro from the machine itself: [CRIT,OK,OK,OK,OK] at 1s
+    spacing with maxInterval=2s keeps exactly rows 0 and 1."""
+    import numpy as np
+
+    from kapacitor_spark.streaming.state import new_state, walk_levels
+
+    levels = np.array([3, 0, 0, 0, 0], dtype=np.int64)
+    times = np.arange(5, dtype=np.int64) * 1_000_000
+    emit, _ = walk_levels(
+        levels, new_state(), state_changes_only=True,
+        times=times, max_interval_us=2_000_000,
+    )
+    assert emit.tolist() == [True, True, False, False, False]
+
+
 def test_checkpoint_restart_restores_state(spark, tmp_path):
     """Snapshot/restore parity (/root/reference/task.go:532-586 — node
     state survives a task restart): run the stateful alert machine over
