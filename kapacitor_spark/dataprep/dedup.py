@@ -37,15 +37,35 @@ __all__ = [
     "near_dup_clusters",
 ]
 
+# embedding_near_dup(block_col=None) is an explicit all-pairs escape hatch;
+# refuse to build an n² join above this many rows.
+_CROSSJOIN_MAX_ROWS = 50_000
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure compute-heavy per-doc work is spread across all cores: small
     inputs arrive as one parquet split (one task), so hashing 5k docs would
     run on 1 of 32 cores. At 100 TB the scan naturally yields thousands of
     splits and this no-ops; the round-robin shuffle of the raw text is cheap
-    relative to the per-doc hashing it parallelizes."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    relative to the per-doc hashing it parallelizes.
+
+    The small-input check uses Catalyst's plan-size estimate (optimizedPlan
+    stats), NOT ``df.rdd`` — converting to RDD would materialize a second,
+    unoptimized copy of the scan plan on every dedup entry point."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        digits = "".join(ch for ch in raw if ch.isdigit())
+        max_split = int(digits) if digits else 128 * 1024 * 1024
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:
+        # estimate unavailable → assume small (repartition is the safe side
+        # for the CPU-bound per-doc work this wraps)
+        return df.repartition(target)
+    if size < target * max_split:
         return df.repartition(target)
     return df
 
@@ -382,10 +402,20 @@ def embedding_near_dup(
     Blocked self-join (by cluster/label when available) with the dot
     product as a zip_with/aggregate expression — JVM-side, no UDF. For
     unblocked 100 TB-scale input, use similarity.rp_lsh_buckets to
-    generate blocks first.
+    generate blocks first; ``block_col=None`` (explicit cross join) is
+    guarded: it raises above ``_CROSSJOIN_MAX_ROWS`` rows so an
+    accidental n² can't ship.
     """
     from kapacitor_spark.dataprep.similarity import with_norm, cosine_expr
 
+    if block_col is None:
+        n = emb_df.limit(_CROSSJOIN_MAX_ROWS + 1).count()
+        if n > _CROSSJOIN_MAX_ROWS:
+            raise ValueError(
+                f"embedding_near_dup(block_col=None) on >{_CROSSJOIN_MAX_ROWS} "
+                "rows would build an n² cross join. Block first: "
+                "similarity.rp_lsh_buckets(df) and pass block_col='bucket'."
+            )
     base = with_norm(emb_df, vec_col)
     a, b = base.alias("a"), base.alias("b")
     on = [block_col] if block_col else []
@@ -446,12 +476,20 @@ def near_dup_clusters(
     A~B, B~C must collapse to one keeper even when A~C was never a
     candidate).
 
-    Label propagation: every node starts labeled with itself; each round
-    takes the min label over {self} ∪ neighbors; converge when no label
-    changes. Each round is one equi-join + one min-aggregate (map-side
-    partial) — the standard Spark CC without any graph library; rounds ≈
-    component diameter (near-dup clusters are shallow). The driver loop
+    Label propagation with POINTER JUMPING: every node starts labeled with
+    itself; each round takes the min label over {self} ∪ neighbors, then
+    additionally hops label ← min(label, label[label]) — doubling the
+    propagation reach so rounds ≈ O(log diameter) instead of O(diameter).
+    Each round is two equi-joins + one min-aggregate (map-side partial) —
+    the standard Spark CC without any graph library. The driver loop
     checks convergence with a count — bounded by ``max_iter``.
+
+    Every round ends in ``localCheckpoint`` — WITHOUT lineage truncation
+    the iterative plan doubles per round and kills the driver with a
+    multi-GB plan string / heap OOM around 12 rounds (measured). On a
+    real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
+    ``.checkpoint()`` for executor-loss tolerance; localCheckpoint is the
+    single-node stand-in.
 
     Returns (doc_id, keeper) for every node appearing in a pair.
     """
@@ -464,7 +502,7 @@ def near_dup_clusters(
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -472,15 +510,28 @@ def near_dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: follow my label's label (labels only ever
+        # decrease toward the component min, so min() keeps correctness)
+        lab2 = stepped.select(
+            F.col("node").alias("__ln"), F.col("label").alias("__ll")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            stepped.join(lab2, stepped.label == lab2.__ln, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("__ll"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -488,10 +539,21 @@ def near_dup_clusters(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # duplicate chains deeper than max_iter hops would silently split
+        # a transitive group into several keepers — surface it
+        import warnings
+
+        warnings.warn(
+            f"near_dup_clusters: label propagation did not converge after "
+            f"{max_iter} rounds ({changed} labels still changing); clusters "
+            "with diameter > max_iter are split. Raise max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("keeper"))
     edges.unpersist()
     return out

@@ -217,32 +217,42 @@ def ivf_topk(
     """IVF approximate top-k: score only corpus vectors in each query's
     ``nprobe`` nearest lists — the classic inverted-file ANN search.
 
-    The probe map (query → candidate lists) is computed driver-side over
-    the kilobyte centroid table, then broadcast-joined against the indexed
-    corpus: one equi-join on list_id replaces the cross join, cutting the
-    scored fraction to ~nprobe/n_lists. Returns
-    (query_id, neighbor_id, cosine, rank).
+    The probe map (query → candidate lists) is computed DISTRIBUTED: the
+    kilobyte centroid table rides into a mapInPandas closure and each
+    Arrow batch of queries is assigned its nprobe nearest lists with one
+    numpy matmul — the query side never funnels through the driver, so it
+    scales with |Q| exactly like the corpus side. The probe map is then
+    broadcast-joined against the indexed corpus: one equi-join on list_id
+    replaces the cross join, cutting the scored fraction to
+    ~nprobe/n_lists. Returns (query_id, neighbor_id, cosine, rank).
     """
     import numpy as np
     from pyspark.sql import Window
 
     indexed, cents = ivf_index(corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
     cent = np.array(cents)
-    spark = corpus.sparkSession
+    cnorm = (cent**2).sum(axis=1)
 
-    qrows = with_norm(queries, vec_col).select(
+    qbase = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
         F.col("__norm").alias("__qn"),
-    ).collect()
-    probe_rows = []
-    for r in qrows:
-        v = np.array(r["__qv"])
-        d = ((cent - v) ** 2).sum(axis=1)
-        for li in np.argsort(d)[:nprobe]:
-            probe_rows.append((r["query_id"], int(li), r["__qv"], r["__qn"]))
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, list_id int, __qv array<double>, __qn double"
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["__qv"].to_numpy())
+            # argmin of ||q-c||² = ||c||² - 2q·c (+||q||², constant per row)
+            d = cnorm[None, :] - 2.0 * (X @ cent.T)
+            lists = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+            out = pdf.loc[pdf.index.repeat(nprobe)].copy()
+            out["list_id"] = lists.reshape(-1).astype("int32")
+            yield out
+
+    probes = qbase.mapInPandas(
+        probe, schema="query_id long, __qv array<double>, __qn double, list_id int"
     )
 
     c = with_norm(indexed, vec_col).select(
@@ -319,6 +329,7 @@ def rp_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multi_probe: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
     bucket(s). Equi-join on bucket replaces the cross join — this is the
@@ -329,13 +340,17 @@ def rp_lsh_topk(
     vectors most likely to be missed sit just across one hyperplane).
     Only the tiny query side is exploded ×(1+num_planes); the corpus is
     still scanned once and joined on bucket equality.
+
+    Pass ``dim`` when the embedding dimension is known to skip the
+    dim-sniffing probe job entirely.
     """
     from pyspark.sql import Window
 
-    # sniff the vector dim from the QUERY side — queries are small (often
-    # driver-local), so this probe job touches one tiny row group instead
-    # of opening the corpus scan.
-    dim = len(queries.select(vec_col).first()[0])
+    if dim is None:
+        # sniff the vector dim from the QUERY side — queries are small
+        # (often driver-local), so this probe job touches one tiny row
+        # group instead of opening the corpus scan.
+        dim = len(queries.select(vec_col).first()[0])
     c = rp_lsh_buckets(with_norm(corpus, vec_col), num_planes, vec_col, dim).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),

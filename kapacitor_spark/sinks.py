@@ -69,19 +69,23 @@ def http_post(
     alert endpoint must never kill the pipeline."""
 
     def _send_one(target: str, payload: list) -> None:
-        if body_template is not None:
-            body = "\n".join(body_template.format(**d) for d in payload).encode()
-            ctype = "text/plain; charset=utf-8"
-        else:
-            body = json.dumps(payload).encode()
-            ctype = "application/json"
-        req = urllib.request.Request(
-            target,
-            data=body,
-            headers={"Content-Type": ctype, **(headers or {})},
-            method="POST",
-        )
+        # body rendering sits INSIDE the tolerant guard: a row missing a
+        # template key (KeyError) or a template with stray braces
+        # (ValueError) is a per-request failure too — the log-and-continue
+        # handler contract covers render errors, not just transport ones
         try:
+            if body_template is not None:
+                body = "\n".join(body_template.format(**d) for d in payload).encode()
+                ctype = "text/plain; charset=utf-8"
+            else:
+                body = json.dumps(payload).encode()
+                ctype = "application/json"
+            req = urllib.request.Request(
+                target,
+                data=body,
+                headers={"Content-Type": ctype, **(headers or {})},
+                method="POST",
+            )
             urllib.request.urlopen(req, timeout=timeout).read()
         except Exception as e:  # noqa: BLE001 — handler contract: log, go on
             if not tolerant:

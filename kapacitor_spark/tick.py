@@ -462,6 +462,12 @@ class _Env:
         tmin, tmax = p.df.agg(
             F.min(p.time_col), F.max(p.time_col)
         ).first()  # tiny driver agg: the replay range
+        if tmin is None:
+            raise TickError(
+                "batch|query(): source has no rows — nothing to replay "
+                "(the reference would simply issue empty queries; here an "
+                "empty replay range is almost certainly a wrong source path)"
+            )
         import datetime as _dt
 
         ev = _dur(props.get("every", props["period"])[0])

@@ -55,3 +55,27 @@ def test_ivf_deterministic(emb):
     a = sorted(map(tuple, ivf_topk(emb, emb.filter("vec_id < 3"), k=3, n_lists=4).collect()))
     b = sorted(map(tuple, ivf_topk(emb, emb.filter("vec_id < 3"), k=3, n_lists=4).collect()))
     assert a == b
+
+
+def test_ivf_probe_map_is_distributed(emb):
+    """VERDICT r3 #4: the query-side probe assignment must run as
+    mapInPandas over broadcast centroids — no driver-side collect +
+    re-createDataFrame of the query set (which would bottleneck on |Q|)."""
+    import contextlib
+    import io
+
+    df = ivf_topk(emb, emb.filter("vec_id < 5"), k=3, n_lists=4, nprobe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan
+    assert "LocalTableScan" not in plan
+    assert "ExistingRDD" not in plan
+
+
+def test_rp_lsh_topk_explicit_dim_skips_sniff(emb):
+    """dim= must bypass the first() probe job and give identical results."""
+    sniffed = sorted(map(tuple, rp_lsh_topk(emb, emb.filter("vec_id < 3"), k=3, num_planes=3).collect()))
+    given = sorted(map(tuple, rp_lsh_topk(emb, emb.filter("vec_id < 3"), k=3, num_planes=3, dim=64).collect()))
+    assert sniffed == given

@@ -154,3 +154,26 @@ def test_backfill(pts):
     out = q.backfill(pts, "2024-01-01T00:00:00", "2024-01-01T00:10:00", time_col="t")
     assert out.count() == 10
     assert out.select("query_start").distinct().count() == 2
+
+
+def test_http_post_tolerant_covers_template_errors(pts, capsys):
+    """ADVICE r3: tolerant=True must also log-and-continue when the BODY
+    TEMPLATE fails to render (missing key / stray braces), not just when
+    the transport fails — a render error must never kill the partition."""
+    from kapacitor_spark.sinks import http_post
+
+    # template references a field the rows don't have → KeyError in render
+    send = http_post(
+        "http://127.0.0.1:1/unreachable",
+        body_template="{no_such_field}",
+        tolerant=True,
+    )
+    rows = pts.limit(2).collect()
+    send(rows)  # must not raise
+    assert "http_post error" in capsys.readouterr().err
+
+    strict = http_post(
+        "http://127.0.0.1:1/unreachable", body_template="{no_such_field}"
+    )
+    with pytest.raises(KeyError):
+        strict(rows)

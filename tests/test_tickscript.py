@@ -740,3 +740,33 @@ batch
     )
     rows = {r.time.second: r["mean"] for r in outs["means"].collect()}
     assert rows == {0: 91.5, 4: 95.5, 8: 98.5}
+
+
+def test_batch_query_empty_source_raises_clear_error(spark):
+    """ADVICE r3: batch|query() over an empty source must raise a clear
+    TickError, not AttributeError on the None replay range."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.tick import TickError, run_tickscript
+
+    empty = (
+        spark.range(0)
+        .select(
+            F.current_timestamp().alias("time"),
+            F.lit("h").alias("host"),
+            F.col("id").cast("double").alias("value"),
+        )
+    )
+    with _pytest.raises(TickError, match="no rows"):
+        run_tickscript(
+            """
+batch
+    |query('SELECT value FROM "db"."rp"."cpu"')
+        .period(4s)
+        .every(4s)
+    |httpOut('out')
+""",
+            sources={"cpu": empty},
+            time_col="time",
+        )
