@@ -1361,36 +1361,47 @@ def text_lang_id(spark, sf_dir):
 
 @_q(
     "multimodal_decode",
-    """WITH d AS (SELECT doc_id, md5(text) AS h, length(text) AS n FROM documents)
-       SELECT doc_id,
-              64 + ('0x' || substr(h, 1, 2))::INT % 192 AS width,
-              64 + ('0x' || substr(h, 3, 2))::INT % 192 AS height,
-              CASE ('0x' || substr(h, 5, 2))::INT % 3
-                   WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
-              CAST(n AS BIGINT) AS size_bytes,
+    """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents)
+       SELECT doc_id, 2 AS width, 2 AS height, 'pgm' AS format,
+              CAST(15 AS BIGINT) AS size_bytes,
+              round((('0x' || substr(h, 1, 2))::INT + ('0x' || substr(h, 3, 2))::INT +
+                     ('0x' || substr(h, 5, 2))::INT + ('0x' || substr(h, 7, 2))::INT)
+                    / (255.0 * 4), 6) AS pix_mean
+       FROM d WHERE doc_id % 2 = 0
+       UNION ALL
+       SELECT doc_id, 2, 2, 'ppm', CAST(23 AS BIGINT),
               round((('0x' || substr(h, 1, 2))::INT + ('0x' || substr(h, 3, 2))::INT +
                      ('0x' || substr(h, 5, 2))::INT + ('0x' || substr(h, 7, 2))::INT +
                      ('0x' || substr(h, 9, 2))::INT + ('0x' || substr(h, 11, 2))::INT +
-                     ('0x' || substr(h, 13, 2))::INT + ('0x' || substr(h, 15, 2))::INT)
-                    / (255.0 * 8), 6) AS pix_mean
-       FROM d""",
+                     ('0x' || substr(h, 13, 2))::INT + ('0x' || substr(h, 15, 2))::INT +
+                     ('0x' || substr(h, 17, 2))::INT + ('0x' || substr(h, 19, 2))::INT +
+                     ('0x' || substr(h, 21, 2))::INT + ('0x' || substr(h, 23, 2))::INT)
+                    / (255.0 * 12), 6)
+       FROM d WHERE doc_id % 2 = 1""",
 )
 def multimodal_decode_q(spark, sf_dir):
-    """Multimodal plumbing end-to-end: binary payload column →
-    Arrow-batched mapInPandas metadata decode AND pixel decode →
-    JVM-side feature aggregation, joined on doc_id. Decoders are
-    deterministic fakes (no imaging libs in the container — the real
-    decode raises NotImplementedError); the oracle replicates the fake's
-    md5 arithmetic, which exercises the full schema/partitioning/UDF
-    plumbing."""
+    """Multimodal decode end-to-end with REAL image decoding: each doc
+    becomes a real 2×2 Netpbm image (P5 grayscale for even ids, P6 RGB
+    for odd) whose pixel bytes come from md5(text) — the payload is
+    assembled entirely JVM-side (concat of a binary header literal with
+    unhex'd digest bytes), then decode_full(fake=False) runs the
+    stdlib codec (imagecodec.py: the same code path that handles
+    PNG/BMP) inside Arrow-batched mapInPandas, and the pixel means are
+    re-aggregated JVM-side. The oracle recomputes the identical bytes
+    from the hex digest — so a wrong header parse, wrong pixel order,
+    or wrong normalization fails the hash match."""
     from kapacitor_spark.dataprep.multimodal import decode_full
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
+    d = _t(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("h"))
+    gray = F.concat(F.lit(b"P5\n2 2\n255\n"), F.unhex(F.substring("h", 1, 8)))
+    rgb = F.concat(F.lit(b"P6\n2 2\n255\n"), F.unhex(F.substring("h", 1, 24)))
+    docs = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, gray).otherwise(rgb).alias("payload"),
     )
-    out = decode_full(docs, "payload", fake=True)
+    out = decode_full(docs, "payload", fake=False)
     # recover the exact byte values before dividing so Spark and the oracle
-    # evaluate the identical double expression (int_sum / (255*8))
+    # evaluate the identical double expression (int_sum / (255*n))
     byte_sum = F.aggregate(
         F.transform(F.col("pixels"), lambda x: F.round(x * 255).cast("long")),
         F.lit(0).cast("long"),
@@ -1398,7 +1409,7 @@ def multimodal_decode_q(spark, sf_dir):
     )
     return out.select(
         "doc_id", "width", "height", "format", "size_bytes",
-        F.round(byte_sum / F.lit(255.0 * 8), 6).alias("pix_mean"),
+        F.round(byte_sum / (F.lit(255.0) * F.size("pixels")), 6).alias("pix_mean"),
     )
 
 

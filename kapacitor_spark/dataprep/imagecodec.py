@@ -1,0 +1,313 @@
+"""Stdlib-only image codec for the multimodal dataprep path.
+
+The container has no imaging libraries (PIL/opencv), but a large share of
+real-world image bytes are decodable with nothing beyond ``zlib``/``struct``
+— PNG (deflate + per-row filters), uncompressed BMP, and the Netpbm
+formats. This module implements those plus header-only dimension parsing
+for JPEG/GIF, so the multimodal operators' ``fake=False`` paths produce
+REAL pixels in this container; only formats whose entropy coding genuinely
+needs an external library (JPEG, WebP) still raise ``NotImplementedError``
+at full-decode time.
+
+All decoders return interleaved uint8 rows ``(width, height, channels,
+pixel_bytes)``; pixel order is HWC (row-major, channels innermost).
+Per-pixel work is numpy-vectorized where the format allows (PNG filter
+types 1/3/4 are inherently sequential along the row and fall back to a
+Python loop — acceptable because payload decode always runs inside an
+Arrow-batched mapInPandas worker, never on the driver).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = [
+    "sniff_format",
+    "parse_header",
+    "decode",
+    "encode_png",
+    "encode_ppm",
+    "encode_bmp",
+    "resize_nearest",
+]
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# --------------------------------------------------------------------- #
+# sniffing + header-only metadata (cheap: no pixel decode)
+# --------------------------------------------------------------------- #
+
+
+def sniff_format(data: bytes) -> str | None:
+    """Magic-byte format sniff. Returns None for unknown payloads."""
+    if data.startswith(PNG_SIG):
+        return "png"
+    if data.startswith(b"BM"):
+        return "bmp"
+    if data.startswith(b"P6"):
+        return "ppm"
+    if data.startswith(b"P5"):
+        return "pgm"
+    if data.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if data.startswith(b"GIF87a") or data.startswith(b"GIF89a"):
+        return "gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
+    return None
+
+
+def _pnm_header(data: bytes):
+    """Parse 'P5|P6 <w> <h> <maxval>' allowing comments/whitespace.
+    Returns (width, height, maxval, pixel_offset)."""
+    pos = 2
+    vals = []
+    while len(vals) < 3:
+        # skip whitespace and '#' comments
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PNM header")
+        vals.append(int(data[start:pos]))
+    return vals[0], vals[1], vals[2], pos + 1  # single whitespace after maxval
+
+
+def _jpeg_dims(data: bytes):
+    """Scan JPEG markers for the SOFn frame header (dims live there)."""
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+            return w, h
+        pos += 2 + seg_len
+    return None, None
+
+
+def parse_header(data: bytes):
+    """(format, width, height) from the header bytes alone — the cheap
+    metadata pass (attach_binary_metadata). Dims are None when the format
+    is unknown or its header isn't parseable without a full decode."""
+    fmt = sniff_format(data)
+    try:
+        if fmt == "png":
+            w, h = struct.unpack(">II", data[16:24])
+            return fmt, w, h
+        if fmt == "bmp":
+            w, h = struct.unpack("<ii", data[18:26])
+            return fmt, w, abs(h)
+        if fmt in ("ppm", "pgm"):
+            w, h, _, _ = _pnm_header(data)
+            return fmt, w, h
+        if fmt == "jpeg":
+            w, h = _jpeg_dims(data)
+            return fmt, w, h
+        if fmt == "gif":
+            w, h = struct.unpack("<HH", data[6:10])
+            return fmt, w, h
+    except (struct.error, ValueError, IndexError):
+        return fmt, None, None
+    return fmt, None, None
+
+
+# --------------------------------------------------------------------- #
+# full decode
+# --------------------------------------------------------------------- #
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, channels: int) -> bytes:
+    stride = w * channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).copy()
+        pos += 1 + stride
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 2:  # Up (vectorized; uint8 add wraps mod 256)
+            cur = row + prev
+        elif ftype == 1:  # Sub — sequential along the row
+            cur = row
+            for x in range(channels, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - channels])) & 0xFF
+        elif ftype == 3:  # Average
+            cur = row
+            for x in range(stride):
+                left = int(cur[x - channels]) if x >= channels else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = row
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                c = int(prev[x - channels]) if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+        prev = out[y]
+    return out.tobytes()
+
+
+def _decode_png(data: bytes):
+    pos = 8
+    idat = []
+    w = h = None
+    bit_depth = color_type = interlace = None
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack(">I4s", data[pos : pos + 8])
+        chunk = data[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth} (only 8 supported)")
+    if interlace:
+        raise NotImplementedError("interlaced PNG")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color_type} (palette unsupported)")
+    raw = zlib.decompress(b"".join(idat))
+    return w, h, channels, _png_unfilter(raw, w, h, channels)
+
+
+def _decode_bmp(data: bytes):
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pix_off,) = struct.unpack("<I", data[10:14])
+    w, h_signed = struct.unpack("<ii", data[18:26])
+    (bpp,) = struct.unpack("<H", data[28:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if compression != 0:
+        raise NotImplementedError("compressed BMP")
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP (only 24/32 supported)")
+    h = abs(h_signed)
+    bytes_pp = bpp // 8
+    row_stride = (w * bytes_pp + 3) & ~3
+    arr = np.frombuffer(
+        data[pix_off : pix_off + row_stride * h], dtype=np.uint8
+    ).reshape(h, row_stride)[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    if h_signed > 0:  # bottom-up storage
+        arr = arr[::-1]
+    rgb = arr[:, :, [2, 1, 0]]  # BGR(A) → RGB, alpha dropped
+    return w, h, 3, np.ascontiguousarray(rgb).tobytes()
+
+
+def _decode_pnm(data: bytes):
+    channels = 3 if data[:2] == b"P6" else 1
+    w, h, maxval, off = _pnm_header(data)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM")
+    n = w * h * channels
+    pix = data[off : off + n]
+    if len(pix) < n:
+        raise ValueError("truncated PNM pixel data")
+    return w, h, channels, pix
+
+
+def decode(data: bytes):
+    """Full pixel decode → (width, height, channels, uint8 HWC bytes).
+    Raises NotImplementedError for formats needing an external library
+    (JPEG/WebP/GIF entropy coding)."""
+    fmt = sniff_format(data)
+    if fmt == "png":
+        return _decode_png(data)
+    if fmt == "bmp":
+        return _decode_bmp(data)
+    if fmt in ("ppm", "pgm"):
+        return _decode_pnm(data)
+    if fmt in ("jpeg", "webp", "gif"):
+        raise NotImplementedError(
+            f"{fmt} full decode requires an imaging library not present in "
+            "this container (header metadata via parse_header still works)"
+        )
+    raise ValueError("unrecognized image payload")
+
+
+# --------------------------------------------------------------------- #
+# encode (round-trip tests + resize re-encode)
+# --------------------------------------------------------------------- #
+
+
+def encode_png(w: int, h: int, pixels: bytes, channels: int = 3) -> bytes:
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = w * channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(h)
+    )
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_ppm(w: int, h: int, pixels: bytes, channels: int = 3) -> bytes:
+    magic = b"P6" if channels == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + pixels
+
+
+def encode_bmp(w: int, h: int, pixels: bytes) -> bytes:
+    """24-bit uncompressed BMP from RGB HWC bytes (bottom-up rows)."""
+    rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+    bgr = rgb[::-1, :, [2, 1, 0]]
+    row_stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    pix = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + info + pix
+
+
+def resize_nearest(
+    pixels: bytes, w: int, h: int, channels: int, new_w: int, new_h: int
+) -> bytes:
+    """Nearest-neighbor resize over the uint8 HWC buffer (numpy gather)."""
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels)
+    ys = (np.arange(new_h) * h) // new_h
+    xs = (np.arange(new_w) * w) // new_w
+    return np.ascontiguousarray(arr[ys][:, xs]).tobytes()

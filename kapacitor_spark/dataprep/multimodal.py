@@ -2,12 +2,18 @@
 with typed metadata, processed via Arrow-batched Pandas UDFs over
 mapInPandas.
 
-The decode step is STUBBED (the container has no image/audio libraries):
-``decode_image`` raises NotImplementedError unless ``fake=True``, in which
-case a deterministic fake decoder produces metadata derived from the bytes.
-Everything around the stub — schema, batch iteration, partition sizing,
-UDF signatures — is real and tested; swapping in PIL/torchaudio is a
-one-function change.
+Decode comes in two flavors:
+
+* ``fake=False`` (REAL): decode via the stdlib-only codec in
+  ``imagecodec`` — PNG (zlib inflate + filter reconstruction),
+  uncompressed BMP, and PPM/PGM produce real pixels; JPEG/GIF still get
+  real header metadata (dimensions from SOFn / logical screen descriptor)
+  but raise ``NotImplementedError`` on full decode, since their entropy
+  coding genuinely needs an imaging library this container lacks.
+* ``fake=True``: a deterministic digest-derived decoder — useful for
+  exercising the schema/partitioning/UDF plumbing against payloads that
+  aren't actual images (and as the oracle-replicable arithmetic in
+  fixture queries).
 
 Scale notes: binary payloads dominate partition size — repartition so that
 ``rows_per_partition × avg_payload ≲ 128 MB`` before mapInPandas (Arrow
@@ -58,24 +64,36 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
+def _real_header(payload: bytes) -> dict:
+    from kapacitor_spark.dataprep import imagecodec
+
+    fmt, w, h = imagecodec.parse_header(payload)
+    return {
+        "width": w,
+        "height": h,
+        "format": fmt,
+        "size_bytes": len(payload),
+    }
+
+
 def attach_binary_metadata(
     df: DataFrame, binary_col: str = "payload", fake: bool = True
 ) -> DataFrame:
     """Decode header metadata for a binary media column via mapInPandas.
 
-    Real implementation would parse magic bytes / headers (cheap, no full
-    decode). Output schema = input schema + IMAGE_SCHEMA fields.
+    ``fake=False`` parses real magic bytes / headers (cheap, no pixel
+    decode — PNG IHDR, BMP info header, PNM header, JPEG SOFn, GIF
+    descriptor; unknown formats get format=None and null dims). Output
+    schema = input schema + IMAGE_SCHEMA fields.
     """
     out_schema = T.StructType(df.schema.fields + list(IMAGE_SCHEMA.fields))
+    decode_one = _fake_decode if fake else _real_header
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image header parsing requires an imaging library "
-                    "not present in this container; pass fake=True"
-                )
-            meta = pdf[binary_col].map(lambda b: _fake_decode(bytes(b) if b is not None else b""))
+            meta = pdf[binary_col].map(
+                lambda b: decode_one(bytes(b) if b is not None else b"")
+            )
             for fld in IMAGE_SCHEMA.fieldNames():
                 pdf[fld] = meta.map(lambda m, f=fld: m[f])
             yield pdf
@@ -84,25 +102,35 @@ def attach_binary_metadata(
 
 
 def decode_image_batch(df: DataFrame, binary_col: str = "payload", fake: bool = True):
-    """Full image decode → pixel tensor. STUB: raises unless fake.
+    """Full image decode → pixel tensor.
 
-    Contract (for the real impl): adds `pixels array<float>` (CHW
-    flattened) — the shape a downstream embedding/feature UDF expects.
+    Adds ``pixels array<float>`` (HWC flattened, values in [0, 1]) — the
+    shape a downstream embedding/feature UDF expects. ``fake=False``
+    decodes real PNG/BMP/PPM/PGM payloads via ``imagecodec``; JPEG/WebP/
+    GIF raise NotImplementedError (entropy coding needs an external lib).
     """
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("pixels", T.ArrayType(T.FloatType()))]
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake:
-                raise NotImplementedError("image decoding library not available")
+        if fake:
             # deterministic fake: 8 'pixels' from the digest
-            def fake_pixels(b):
-                d = hashlib.md5(bytes(b) if b is not None else b"").digest()
+            def to_pixels(b):
+                d = hashlib.md5(b).digest()
                 return [x / 255.0 for x in d[:8]]
 
-            pdf["pixels"] = pdf[binary_col].map(fake_pixels)
+        else:
+            from kapacitor_spark.dataprep import imagecodec
+
+            def to_pixels(b):
+                _, _, _, pix = imagecodec.decode(b)
+                return [x / 255.0 for x in pix]
+
+        for pdf in batches:
+            pdf["pixels"] = pdf[binary_col].map(
+                lambda b: to_pixels(bytes(b) if b is not None else b"")
+            )
             yield pdf
 
     return df.mapInPandas(gen, out_schema)
@@ -122,24 +150,31 @@ def decode_full(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            from kapacitor_spark.dataprep import imagecodec
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real decode requires an imaging library; pass fake=True"
-                )
             metas, pixels = [], []
             for b in pdf[binary_col]:
                 raw = bytes(b) if b is not None else b""
-                d = hashlib.md5(raw).digest()
-                metas.append(
-                    {
-                        "width": 64 + d[0] % 192,
-                        "height": 64 + d[1] % 192,
-                        "format": ["jpeg", "png", "webp"][d[2] % 3],
-                        "size_bytes": len(raw),
-                    }
-                )
-                pixels.append([x / 255.0 for x in d[:8]])
+                if fake:
+                    d = hashlib.md5(raw).digest()
+                    metas.append(
+                        {
+                            "width": 64 + d[0] % 192,
+                            "height": 64 + d[1] % 192,
+                            "format": ["jpeg", "png", "webp"][d[2] % 3],
+                            "size_bytes": len(raw),
+                        }
+                    )
+                    pixels.append([x / 255.0 for x in d[:8]])
+                else:
+                    fmt, _, _ = imagecodec.parse_header(raw)
+                    w, h, _, pix = imagecodec.decode(raw)
+                    metas.append(
+                        {"width": w, "height": h, "format": fmt, "size_bytes": len(raw)}
+                    )
+                    pixels.append([x / 255.0 for x in pix])
             for fld in IMAGE_SCHEMA.fieldNames():
                 pdf[fld] = [m[fld] for m in metas]
             pdf["pixels"] = pixels
@@ -155,14 +190,14 @@ def resize_image_batch(
     height: int = 224,
     fake: bool = True,
 ) -> DataFrame:
-    """Image resize → new binary payload + updated metadata. STUB: raises
-    unless fake (no imaging library in this container).
+    """Image resize → new binary payload + updated metadata.
 
-    Contract (real impl = PIL thumbnail/resize): replaces ``payload`` with
-    the re-encoded bytes and sets width/height columns. The fake keeps the
-    plumbing honest: output payload is a deterministic digest-derived blob
-    whose length scales with the target area, so partition-size accounting
-    downstream behaves like real resized images.
+    ``fake=False``: real nearest-neighbor resize — decode via
+    ``imagecodec``, numpy index-gather to the target size, re-encode as
+    PNG. ``fake=True``: the payload is a deterministic digest-derived
+    blob whose length scales with the target area, so partition-size
+    accounting downstream behaves like real resized images even when the
+    input bytes aren't actual images.
     """
     out_fields = [f for f in df.schema.fields if f.name not in ("width", "height")]
     out_schema = T.StructType(
@@ -171,16 +206,25 @@ def resize_image_batch(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake:
-                raise NotImplementedError("image resize requires an imaging library")
+        if fake:
 
-            def fake_resize(b):
-                d = hashlib.md5(bytes(b) if b is not None else b"").digest()
+            def do_resize(b):
+                d = hashlib.md5(b).digest()
                 return bytes(d * max(1, (width * height) // (16 * 64)))
 
+        else:
+            from kapacitor_spark.dataprep import imagecodec
+
+            def do_resize(b):
+                w0, h0, ch, pix = imagecodec.decode(b)
+                out = imagecodec.resize_nearest(pix, w0, h0, ch, width, height)
+                return imagecodec.encode_png(width, height, out, channels=ch)
+
+        for pdf in batches:
             pdf = pdf.drop(columns=[c for c in ("width", "height") if c in pdf.columns])
-            pdf[binary_col] = pdf[binary_col].map(fake_resize)
+            pdf[binary_col] = pdf[binary_col].map(
+                lambda b: do_resize(bytes(b) if b is not None else b"")
+            )
             pdf["width"] = width
             pdf["height"] = height
             yield pdf
