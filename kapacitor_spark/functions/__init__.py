@@ -183,6 +183,17 @@ FUNCTIONS: dict = {
     # humanize + conditional (functions.go:234-237)
     "humanBytes": _human_bytes,
     "if": lambda cond, a, b: F.when(_c(cond), _c(a)).otherwise(_c(b)),
+    # rand (functions.go rand.Int63/Int63n; golden TestStream_EvalRand):
+    # rand() → int64 in [0, 2^63); rand(n) → [0, n), rand(0) → 0.
+    # DIVERGENCE (documented, MIGRATION.md): the reference draws from one
+    # sequential seeded RNG stream — inherently single-threaded. Here the
+    # draw is Spark's per-partition RNG, so values differ run-to-run
+    # unless the plan seeds it; the CONTRACT (ranges, rand(0)==0) holds.
+    "rand": lambda n=None: (
+        (F.rand() * F.lit(float(2**62))).cast("long")
+        if n is None
+        else F.floor(F.rand() * F.greatest(_c(n).cast("double"), F.lit(1.0))).cast("long")
+    ),
 }
 
 

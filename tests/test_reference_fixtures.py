@@ -519,7 +519,8 @@ def test_stream_influxql_string_boolean_matrix(spark):
 
 
 def test_stream_eval_all_types_fixture(spark):
-    """TestStream_EvalAllTypes (streamer_test.go:2687): chained eval
+    """TestStream_Eval_AllTypes ("TestStream_EvalAllTypes" fixture,
+    streamer_test.go:2687): chained eval
     lambdas over all four value types → ('bobsuffix', true, 19, 84.0)."""
     from kapacitor_spark.tick import run_tickscript
 
@@ -575,7 +576,8 @@ def test_stream_derivative_as_fixture(spark):
         (_ts(9), 1.0, 1009.0),
         (_ts(10), 1.0, 1010.0),
     ]
-    # TestStream_Derivative / _DerivativeUnit (streamer_test.go:264,394):
+    # TestStream_Derivative / TestStream_DerivativeN / TestStream_DerivativeUnit
+    # (streamer_test.go:264,454,394):
     # windowed mean of the rate is 1.0 at unit=1s and 10.0 at unit=10s
     for unit, expect in [("1s", 1.0), ("10s", 10.0)]:
         mean = (
@@ -591,7 +593,7 @@ def test_stream_derivative_as_fixture(spark):
 
 
 def test_stream_derivative_nn_fixture(spark):
-    """TestStream_DerivativeNN vs _DerivativeN (streamer_test.go:424,454):
+    """TestStream_DerivativeNN vs TestStream_DerivativeN (streamer_test.go:424,454):
     same fixture, one with .nonNegative(). The -999 and -6 rates are
     dropped under NN but STILL advance prev (derivative.go:152-155
     returns store=true), so the mean over the remaining window is exactly
@@ -852,7 +854,8 @@ def test_stream_top_selector_fixture(spark):
 
 
 def test_stream_eval_keep_fixtures(spark):
-    """TestStream_Eval_KeepAll / _KeepSome / _KeepSomeWithHidden
+    """TestStream_Eval_KeepAll / TestStream_Eval_KeepSome /
+    TestStream_Eval_KeepSomeWithHidden
     (streamer_test.go:2730-2817): ordered eval where later lambdas see
     earlier outputs; keep() retains all input fields, keep(subset) prunes
     — including hiding an intermediate output not in the keep list."""
@@ -1436,7 +1439,7 @@ def test_batch_change_detect_and_derivative_fixtures(spark):
 
 
 def test_batch_empty_batch_aggregates_fixture(spark):
-    """TestBatch_CountEmptyBatch / _SumEmptyBatch (batcher_test.go:765,
+    """TestBatch_CountEmptyBatch / TestBatch_SumEmptyBatch (batcher_test.go:765,
     816): a batch whose points are ALL filtered away still emits
     count=0 / sum=0 — the envelope (captured before the filter) carries
     the batch through. Golden: every (batch, cpu) yields 0, latest batch
@@ -1648,7 +1651,7 @@ def test_batch_double_group_by_fixture(spark):
 
 
 def test_batch_join_fixtures(spark):
-    """TestBatch_Join / _JoinTolerance / _Join_NoFill (batcher_test.go:
+    """TestBatch_Join / TestBatch_JoinTolerance / TestBatch_Join_NoFill (batcher_test.go:
     1970,2120,2173): the cpu0/cpu1 batch series pair per timestamp (5
     pairs per batch, 10 in the reference's 20s window), identically at
     tolerance 1s, and the no-fill eval sum over the window's two batches
@@ -1944,7 +1947,7 @@ def test_batch_alert_state_changes_only_fixture(spark):
 
 
 def test_batch_group_by_measurement_fixture(spark):
-    """TestBatch_GroupByMeasurement / _GroupByNodeByMeasurement
+    """TestBatch_GroupByMeasurement / TestBatch_GroupByNodeByMeasurement
     (batcher_test.go:1105,1183): measurement-keyed batches — the name
     column joins the group key via byMeasurement, so cpu_usage_idle and
     cpu_usage_user reduce separately; all six golden third-window maxes
@@ -2456,10 +2459,11 @@ def _batch_pts(spark, fixture, field="value", tags=()):
 
 
 def test_batch_ordered_transform_fixtures(spark):
-    """TestBatch_Difference / _Elapsed / _MovingAverage / _CumulativeSum /
-    _DerivativeNN (batcher_test.go:389-640): the ordered per-batch
-    transforms over replayed batch edges — each batch is its own group, so
-    the transform never spans a batch boundary."""
+    """TestBatch_Difference / TestBatch_Elapsed / TestBatch_MovingAverage /
+    TestBatch_CumulativeSum / TestBatch_DerivativeNN
+    (batcher_test.go:389-640): the ordered per-batch transforms over
+    replayed batch edges — each batch is its own group, so the transform
+    never spans a batch boundary."""
     # difference: 1000,1005,1008,1009,1004 → 5,3,1,-5
     d = _batch_pts(spark, "TestBatch_Difference.0.brpl")
     out = (
@@ -2571,7 +2575,7 @@ def test_batch_state_tracking_fixtures(spark):
 
 
 def test_batch_alert_level_field_tag_fixtures(spark):
-    """TestBatch_AlertLevelField / _AlertLevelTag (batcher_test.go:1341,
+    """TestBatch_AlertLevelField / TestBatch_AlertLevelTag (batcher_test.go:1341,
     1405): batch alert level = the HIGHEST point level in the batch; the
     emitted batch points are augmented with the level and the rendered
     event ID "name:group" (models.ToGroupID tag=value form) — as fields
@@ -2630,7 +2634,7 @@ stream
 
 
 def test_stream_shift_batch_fixtures(spark):
-    """TestStream_ShiftBatch / _ShiftNegative (streamer_test.go:2501,2553):
+    """TestStream_ShiftBatch / TestStream_ShiftNegative (streamer_test.go:2501,2553):
     a window-count stream joined against its own ±period-shifted copy —
     current window [5,10) holds 5 serverA points, the shifted past window
     holds 4, diff 1. (Reference emits at window stop; this engine labels
@@ -3238,3 +3242,310 @@ stream
     assert [(r.time.replace(tzinfo=Z).second, r["count"]) for r in fp] == [
         (5, 5), (6, 5), (7, 5), (8, 5)
     ]
+
+
+def test_batch_derivative_plain_unit_n_fixtures(spark):
+    """TestBatch_Derivative / TestBatch_DerivativeUnit /
+    TestBatch_DerivativeN (batcher_test.go:199,292,343): plain per-batch
+    rate is 0.5,0.5,0.5,1.0; unit=2s doubles every rate; the plain walk
+    over the NN fixture keeps the -501 negative rate that nonNegative()
+    drops. The t=5 point carries only field value2 — the reference skips
+    points missing the selected field, so the rate at t=6 spans the 2s
+    from t=4."""
+    d = _batch_pts(spark, "TestBatch_Derivative.0.brpl").filter("value IS NOT NULL")
+
+    def rates(df, **kw):
+        out = (
+            Pipeline.from_df(df, time_col="time", dims=("batch_id",))
+            .derivative("value", **kw)
+            .result().orderBy("time").collect()
+        )
+        return [(r.time.replace(tzinfo=Z), r["value"]) for r in out]
+
+    assert rates(d) == [
+        (_ts(2), 0.5), (_ts(4), 0.5), (_ts(6), 0.5), (_ts(8), 1.0)
+    ]
+    assert rates(d, unit="2s") == [
+        (_ts(2), 1.0), (_ts(4), 1.0), (_ts(6), 1.0), (_ts(8), 2.0)
+    ]
+    n = _batch_pts(spark, "TestBatch_DerivativeNN.0.brpl").filter("value IS NOT NULL")
+    assert rates(n) == [
+        (_ts(2), 0.5), (_ts(4), 0.5), (_ts(6), -501.0), (_ts(8), 0.5)
+    ]
+
+
+def test_stream_where_variants_fixtures(spark):
+    """TestStream_SimpleWhere / TestStream_Where_NoSideEffect /
+    TestStream_VarWhereString / TestStream_VarWhereRegex
+    (streamer_test.go:4076-4209): chained .where() on from(), post-agg
+    where on the count, an unused `|where(lambda: FALSE)` branch that must
+    NOT side-effect the shared parent, and var-bound string/regex
+    predicates — all reduce to the SimpleMR golden count=10 (reference
+    emits at window stop 00:00:10; this engine labels windows at START
+    00:00:00 — documented divergence, MIGRATION.md)."""
+    from kapacitor_spark.tick import run_tickscript
+
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_SimpleMR.srpl")
+    cpu = promote(
+        raw.filter("name = 'cpu'"), "cpu",
+        float_fields=["value"], tag_cols=["host"],
+    )
+    scripts = {
+        "simple_where": """
+stream
+    |from()
+        .measurement('cpu')
+        .where(lambda: "host" == 'serverA')
+        .where(lambda: "host" != 'serverB')
+    |window()
+        .period(10s)
+        .every(10s)
+    |count('value')
+    |where(lambda: "count" > 0)
+    |where(lambda: "count" < 12)
+    |httpOut('TestStream_SimpleMR')
+""",
+        "no_side_effect": """
+var data = stream
+    |from()
+        .measurement('cpu')
+        .where(lambda: "host" == 'serverA')
+        .where(lambda: "host" != 'serverB')
+    |window()
+        .period(10s)
+        .every(10s)
+    |count('value')
+    |where(lambda: "count" > 0)
+
+data
+    |where(lambda: FALSE)
+
+data
+    |httpOut('TestStream_SimpleMR')
+""",
+        "var_where_string": """
+var serverStr = 'serverA'
+stream
+    |from()
+        .measurement('cpu')
+        .where(lambda: "host" == serverStr)
+    |window()
+        .period(10s)
+        .every(10s)
+    |count('value')
+    |httpOut('TestStream_SimpleMR')
+""",
+        "var_where_regex": """
+var serverPattern = /^serverA$/
+stream
+    |from()
+        .measurement('cpu')
+        .where(lambda: "host" =~ serverPattern)
+    |window()
+        .period(10s)
+        .every(10s)
+    |count('value')
+    |httpOut('TestStream_SimpleMR')
+""",
+    }
+    for name, script in scripts.items():
+        outs = run_tickscript(script, sources={"cpu": cpu}, time_col="time")
+        rows = outs["TestStream_SimpleMR"].filter(
+            "time = '1971-01-01 00:00:00'"
+        ).collect()
+        assert [(r.time.replace(tzinfo=Z), r["count"]) for r in rows] == [
+            (_ts(0), 10)
+        ], name
+
+
+def test_stream_eval_missing_is_present_fixture(spark):
+    """TestStream_Eval_Missing_isPresent (streamer_test.go:3042): where
+    isPresent(f) keeps only the point carrying the field; eval of
+    !isPresent over the survivor is false. The reference carries point
+    tags through eval implicitly; this engine models tags as group dims,
+    so the port declares groupBy('t')."""
+    from kapacitor_spark.tick import run_tickscript
+
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Eval_Missing.srpl")
+    missing = promote(
+        raw, "missing",
+        float_fields=["to_be", "or_not_to_be"], tag_cols=["t"],
+    )
+    outs = run_tickscript(
+        """
+stream
+    |from()
+        .measurement('missing')
+        .groupBy('t')
+    |where(lambda: isPresent("or_not_to_be"))
+    |eval(lambda: !isPresent("or_not_to_be"))
+        .as('that_is_the_question')
+    |httpOut('TestStream_Eval_Missing')
+""",
+        sources={"missing": missing},
+        time_col="time",
+    )
+    rows = outs["TestStream_Eval_Missing"].collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.time.replace(tzinfo=Z) == _ts(0)
+    assert r["t"] == "t1" and r["that_is_the_question"] is False
+
+
+def test_stream_eval_rand_fixture(spark):
+    """TestStream_EvalRand (streamer_test.go:11581) — CONTRACT port: the
+    reference pins its sequential seeded RNG's exact draws; a distributed
+    engine draws per-partition, so the port asserts the rand() contract
+    instead (rand(0)==0, rand(1)==0, 0<=rand(20)<20, rand()>=0). See
+    MIGRATION.md."""
+    from kapacitor_spark.tick import run_tickscript
+
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_EvalRand.srpl")
+    data = promote(raw, "data", int_fields=["value"], tag_cols=["owner"])
+    outs = run_tickscript(
+        """
+stream
+    |from()
+        .measurement('data')
+    |eval(lambda: rand(0), lambda: rand(20), lambda: rand(1), lambda: rand())
+        .as('rand0', 'rand20', 'rand1', 'rand')
+    |httpOut('TestStream_EvalRand')
+""",
+        sources={"data": data},
+        time_col="time",
+    )
+    r = outs["TestStream_EvalRand"].collect()[0]
+    assert r["rand0"] == 0
+    assert r["rand1"] == 0
+    assert 0 <= r["rand20"] < 20
+    assert r["rand"] >= 0
+
+
+def test_stream_window_count_variants_fixtures(spark):
+    """TestStream_Window_Count_Every_1 / TestStream_Window_Count_FillPeriod
+    / TestStream_Window_Count_Overlapping (streamer_test.go:1005,1087,963):
+    12 same-timestamp points (values 1..12) walked in tiebreak order —
+    running counts 1,2,3,3,...; fillPeriod(4) emits only the 9 full
+    windows; the final overlapping periodCount=3 window holds exactly
+    {10,11,12}."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Window_Count.srpl")
+    cpu = promote(
+        raw.filter("name = 'cpu'"), "cpu",
+        float_fields=["value"], tag_cols=["host", "type"],
+    )
+    base = lambda: Pipeline.from_df(
+        cpu.filter("host = 'serverA'"), time_col="time", tiebreak=("value",)
+    )
+
+    counts = [
+        r["count"]
+        for r in base().window_count(3, 1).count("value", as_="count")
+        .result().orderBy("count").collect()
+    ]
+    assert counts == [1, 2] + [3] * 10
+
+    fill = [
+        r["count"]
+        for r in base().window_count(4, 1, fill_period=True)
+        .count("value", as_="count").result().collect()
+    ]
+    assert fill == [4] * 9
+
+    last_window = (
+        base().window_count(3, 1)
+        .agg_over(vals=F.collect_list("value"))
+        .result().select(F.array_sort("vals").alias("vals"))
+        .orderBy(F.element_at("vals", -1).desc()).limit(1)
+        .collect()[0]["vals"]
+    )
+    assert last_window == [10.0, 11.0, 12.0]
+
+
+def test_stream_window_missing_aligned_fixture(spark):
+    """TestStream_WindowMissingAligned (streamer_test.go:831): period 3s /
+    every 2s with .align() over the gappy fixture — the aligned window
+    holding {8,9,10} counts 3 (the golden; the reference labels it by its
+    own emit clock, this engine by the epoch-aligned window bounds —
+    documented divergence)."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_WindowMissing.srpl")
+    cpu = promote(
+        raw.filter("name = 'cpu'"), "cpu",
+        float_fields=["value"], tag_cols=["host", "type"],
+    )
+    out = (
+        Pipeline.from_df(cpu, time_col="time")
+        .where("host = 'serverA'")
+        .window_time("3s", "2s", align=True, emit="end")
+        .count("value", as_="count")
+        .result()
+        .filter("time = '1971-01-01 00:00:11'")
+        .collect()
+    )
+    assert [(r.time.replace(tzinfo=Z), r["count"]) for r in out] == [(_ts(11), 3)]
+
+
+def test_stream_window_every_0_fill_period_fixture(spark):
+    """TestStream_Window_Every_0_FillPeriod (streamer_test.go:1297):
+    period 5s, every 0 (emit per point), fillPeriod — serverA emits
+    count=5 on every point once a full period has elapsed since its
+    first point; sparse serverC only ever holds its own points."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Window.srpl")
+    cpu = promote(
+        raw.filter("name = 'cpu'"), "cpu",
+        float_fields=["value"], tag_cols=["host"],
+    )
+    out = (
+        Pipeline.from_df(cpu, time_col="time", dims=("host",))
+        .window_time("5s", every=0, fill_period=True)
+        .count("value", as_="count")
+        .result()
+    )
+    a = [
+        (r.time.replace(tzinfo=Z), r["count"])
+        for r in out.filter("host = 'serverA'").orderBy("time").collect()
+    ]
+    assert a == [(_ts(s), 5) for s in range(5, 12)]
+
+
+def test_stream_sample_time_fixture(spark):
+    """TestStream_Sample_Time (streamer_test.go:12813): sample(3s) keeps
+    points whose time truncates to itself (t % 3s == 0); the aligned
+    [4s,8s) window then holds only the t=6 point, value 1006."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Sample.srpl")
+    pk = promote(raw, "packets", float_fields=["value"])
+    out = (
+        Pipeline.from_df(pk, time_col="time")
+        .sample(every="3s")
+        .result()
+        .filter("time >= '1971-01-01 00:00:04' AND time < '1971-01-01 00:00:08'")
+        .collect()
+    )
+    assert [(r.time.replace(tzinfo=Z), r["value"]) for r in out] == [
+        (_ts(6), 1006.0)
+    ]
+
+
+def test_stream_lambda_now_fixture(spark):
+    """TestStream_LambdaNow (streamer_test.go:11581): where(lambda:
+    "expiration" < unixNano(now())) — the 1980/1990 expirations pass, the
+    2100 one (ownerB) is filtered out."""
+    from kapacitor_spark.tick import run_tickscript
+
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_LambdaNow.srpl")
+    account = promote(
+        raw, "account", int_fields=["expiration"], tag_cols=["owner"]
+    )
+    outs = run_tickscript(
+        """
+stream
+    |from()
+        .measurement('account')
+    |where(lambda: "expiration" < unixNano(now()))
+    |groupBy('owner')
+    |httpOut('TestStream_LambdaNow')
+""",
+        sources={"account": account},
+        time_col="time",
+    )
+    rows = {r["owner"]: r["expiration"] for r in outs["TestStream_LambdaNow"].collect()}
+    assert rows == {"ownerA": 315533000000000000, "ownerC": 656419000000000000}

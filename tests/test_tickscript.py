@@ -339,7 +339,7 @@ stream
 
 def test_batch_query_state_tracking_script(spark):
     """batch|query() end-to-end through the front-end — the
-    TestBatch_StateCount / _StateDuration scripts (batcher_test.go:2568,
+    TestBatch_StateCount / TestBatch_StateDuration scripts (batcher_test.go:2568,
     2676) verbatim: windows are enumerated over the replayed range,
     groupBy('host') + the per-window batch key group the state walks, and
     the null-value point is absent (InfluxQL returns only rows carrying a
