@@ -1,0 +1,406 @@
+"""Alert handler payload formatters — the reference's alert-service
+matrix (slack, pagerDuty2, opsGenie2, victorOps, teams, telegram, alerta,
+sensu, pushover, hipChat, discord, talk) re-implemented as PURE payload
+builders over an :class:`AlertEvent`, verified field-for-field against
+the reference's own integration goldens
+(tests/test_alert_handlers.py ← /root/reference/integrations/
+streamer_test.go TestStream_AlertSlack etc.).
+
+Design: the reference couples each service to its config/HTTP client
+(/root/reference/services/<name>/service.go preparePost); here the
+payload construction is a pure function (event, handler options) →
+(url-or-path, JSON-able dict), and delivery is one generic
+:func:`post_payload` (urllib, tolerant-mode like sinks.http_post). On a
+cluster the formatters run driver-side over the COLLECTED alert events —
+alert streams are tiny by construction (they are the filtered
+state-change output, not the raw data), so this never becomes a data-path
+bottleneck; for firehose-scale fan-out use ``sinks.http_post`` which
+posts per-partition.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as dt
+import json
+import urllib.request
+from dataclasses import dataclass, field
+from typing import Any
+
+__all__ = [
+    "AlertEvent",
+    "slack_payload",
+    "pagerduty2_payload",
+    "opsgenie2_payload",
+    "victorops_payload",
+    "teams_payload",
+    "telegram_payload",
+    "alerta_payload",
+    "sensu_payload",
+    "pushover_payload",
+    "hipchat_payload",
+    "discord_payload",
+    "talk_payload",
+    "post_payload",
+]
+
+# alert.Level ints and names (reference alert/types.go)
+LEVELS = ("OK", "INFO", "WARNING", "CRITICAL")
+
+
+@dataclass
+class AlertEvent:
+    """One alert event — the reference's alert.Data
+    (/root/reference/alert/types.go): rendered id + message, event time,
+    level, and the triggering data window as a models.Result-shaped dict
+    ``{"series": [{"name", "tags", "columns", "values"}]}``."""
+
+    id: str
+    message: str
+    time: dt.datetime
+    level: str = "CRITICAL"
+    prev_level: str = "OK"
+    duration_ns: int = 0
+    details: str = ""
+    task_name: str = ""
+    recoverable: bool = True
+    data: dict = field(default_factory=lambda: {"series": []})
+
+    @property
+    def tags(self) -> dict:
+        s = self.data.get("series") or [{}]
+        return dict(s[0].get("tags") or {})
+
+
+def _go_json(obj: Any) -> str:
+    """json.Marshal parity: integral floats render as ints (Go prints
+    float64(10) as '10'), no spaces."""
+
+    def fix(o):
+        if isinstance(o, float) and o.is_integer():
+            return int(o)
+        if isinstance(o, dict):
+            return {k: fix(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return [fix(v) for v in o]
+        if isinstance(o, dt.datetime):
+            return _rfc3339(o)
+        return o
+
+    return json.dumps(fix(obj), separators=(",", ":"))
+
+
+def _rfc3339(t: dt.datetime) -> str:
+    """Go time.Time JSON encoding (RFC3339, 'Z', no sub-second zeros)."""
+    base = t.strftime("%Y-%m-%dT%H:%M:%S")
+    if t.microsecond:
+        base += f".{t.microsecond:06d}".rstrip("0")
+    return base + "Z"
+
+
+def _go_time_string(t: dt.datetime) -> str:
+    """Go time.Time.String(): '1971-01-01 00:00:10 +0000 UTC'."""
+    return t.strftime("%Y-%m-%d %H:%M:%S") + " +0000 UTC"
+
+
+def slack_payload(
+    ev: AlertEvent,
+    channel: str,
+    username: str = "kapacitor",
+    icon_emoji: str = "",
+) -> dict:
+    """slack/service.go preparePost: one attachment, color by level."""
+    color = {"WARNING": "warning", "CRITICAL": "danger"}.get(ev.level, "good")
+    return {
+        "channel": channel,
+        "text": "",
+        "attachments": [
+            {
+                "fallback": ev.message,
+                "color": color,
+                "text": ev.message,
+                "mrkdwn_in": ["text"],
+            }
+        ],
+        "username": username,
+        "icon_emoji": icon_emoji,
+    }
+
+
+def pagerduty2_payload(
+    ev: AlertEvent,
+    routing_key: str,
+    client_url: str = "",
+    links: list[dict] | None = None,
+) -> dict:
+    """pagerduty2/service.go preparePost: PD-CEF event. OK → resolve."""
+    severity = {"WARNING": "warning", "CRITICAL": "critical", "INFO": "info"}.get(
+        ev.level, "info"
+    )
+    action = "resolve" if ev.level == "OK" else "trigger"
+    ts = ev.time.strftime("%Y-%m-%dT%H:%M:%S") + f".{ev.time.microsecond * 1000:09d}Z"
+    out = {
+        "routing_key": routing_key,
+        "event_action": action,
+        "dedup_key": ev.id,
+        "payload": {
+            "summary": ev.message,
+            "source": ev.tags.get("host", "unknown"),
+            "severity": severity,
+            "timestamp": ts,
+            "class": ev.task_name,
+            "component": "",
+            "group": "",
+            "custom_details": {"result": ev.data},
+        },
+        "images": None,
+        "links": [{"href": l["href"], "text": l.get("text", "")} for l in links]
+        if links
+        else None,
+        "client": "kapacitor",
+        "client_url": client_url,
+    }
+    return out
+
+
+def opsgenie2_payload(
+    ev: AlertEvent,
+    teams: list[str] = (),
+    recipients: list[str] = (),
+    recovery_action: str = "close",
+) -> tuple[str, dict]:
+    """opsgenie2/service.go preparePost → (url path, payload). Non-OK
+    levels create alerts (priority P5/P3/P1); OK routes to the recovery
+    action endpoint with the alias."""
+    alias = base64.urlsafe_b64encode(ev.id.encode()).decode()
+    if ev.level == "OK":
+        return f"/{alias}/{recovery_action}?identifierType=alias", {"note": ev.message}
+    priority = {"INFO": "P5", "WARNING": "P3", "CRITICAL": "P1"}[ev.level]
+    details = {"Monitoring Tool": "Kapacitor", "Level": ev.level}
+    series = ev.data.get("series") or []
+    if series:
+        details.update(series[0].get("tags") or {})
+        details["Kapacitor Task Name"] = series[0].get("name", "")
+    responders = [{"name": t, "type": "team"} for t in teams] + [
+        {"username": r, "type": "user"} for r in recipients
+    ]
+    out = {
+        "entity": ev.id,
+        "alias": alias,
+        "message": ev.message,
+        "note": "",
+        "priority": priority,
+        "description": ev.details if ev.details else _go_json(ev.data),
+        "details": details,
+    }
+    if responders:
+        out["responders"] = responders
+    return "/", out
+
+
+def victorops_payload(ev: AlertEvent, json_data: bool = False) -> dict:
+    """victorops/service.go preparePost."""
+    return {
+        "message_type": ev.level,
+        "entity_id": ev.id,
+        "state_message": ev.message,
+        "timestamp": int(ev.time.replace(tzinfo=dt.timezone.utc).timestamp()),
+        "monitoring_tool": "kapacitor",
+        "data": ev.data if json_data else _go_json(ev.data),
+    }
+
+
+_TEAMS_SUMMARY_CUTOFF = 70
+
+
+def teams_payload(ev: AlertEvent, alert_topic: str = "") -> dict:
+    """teams/service.go preparePost: an Office 365 MessageCard."""
+    if not ev.id and not alert_topic:
+        title = ev.level
+        summary = f"{title}: {ev.message}"
+    elif not ev.id:
+        title = f"{ev.level}: [{alert_topic}]"
+        summary = f"{title} - {ev.message}"
+    else:
+        title = f"{ev.level}: [{ev.id}]"
+        summary = f"{title} - {ev.message}"
+    color = {"WARNING": "FFA533", "CRITICAL": "CC4A31"}.get(ev.level, "34CC25")
+    return {
+        "@type": "MessageCard",
+        "@context": "http://schema.org/extensions",
+        "title": title,
+        "text": ev.message,
+        "summary": summary[:_TEAMS_SUMMARY_CUTOFF] + "...",
+        "themeColor": color,
+    }
+
+
+def telegram_payload(
+    ev: AlertEvent,
+    chat_id: str,
+    parse_mode: str = "",
+    disable_web_page_preview: bool = False,
+    disable_notification: bool = False,
+) -> dict:
+    """telegram/service.go preparePost (POST to /bot<token>/sendMessage)."""
+    if parse_mode and parse_mode.lower() not in ("markdown", "html"):
+        raise ValueError(
+            f"parseMode {parse_mode} is not valid, please use 'Markdown' or 'HTML'"
+        )
+    out = {"chat_id": chat_id, "text": ev.message}
+    if parse_mode:
+        out["parse_mode"] = parse_mode
+    if disable_web_page_preview:
+        out["disable_web_page_preview"] = True
+    if disable_notification:
+        out["disable_notification"] = True
+    return out
+
+
+def alerta_payload(
+    ev: AlertEvent,
+    resource: str,
+    event: str,
+    environment: str = "",
+    group: str = "",
+    value: str = "",
+    origin: str = "Kapacitor",
+    service: list[str] = (),
+    correlate: list[str] = (),
+    attributes: dict | None = None,
+    timeout_s: int = 86400,
+) -> dict:
+    """alerta/service.go preparePost: severity mapped from the level by
+    the handler (alerta.go), message rendered 'msg @go-time'."""
+    out = {
+        "resource": resource,
+        "event": event,
+        "environment": environment,
+        "severity": {
+            "OK": "ok", "INFO": "informational",
+            "WARNING": "warning", "CRITICAL": "critical",
+        }[ev.level],
+        "group": group,
+        "value": value,
+        "text": f"{ev.message} @{_go_time_string(ev.time)}",
+        "origin": origin,
+        "rawData": ev.data,
+        "timeout": timeout_s,
+        "tags": [f"{k}={v}" for k, v in ev.tags.items()],
+    }
+    if service:
+        out["service"] = list(service)
+    if correlate:
+        out["correlate"] = list(correlate)
+    if attributes:
+        out["attributes"] = attributes
+    return out
+
+
+def sensu_payload(
+    ev: AlertEvent,
+    name: str,
+    source: str = "Kapacitor",
+    handlers: list[str] = (),
+    metadata: dict | None = None,
+) -> dict:
+    """sensu/service.go prepareData: status 0/0/1/2 by level; metadata
+    keys merge without overriding the core fields."""
+    status = {"OK": 0, "INFO": 0, "WARNING": 1, "CRITICAL": 2}.get(ev.level, 3)
+    out = {
+        "name": name,
+        "source": source,
+        "output": ev.message,
+        "status": status,
+        "handlers": list(handlers),
+    }
+    for k, v in (metadata or {}).items():
+        out.setdefault(k, v)
+    return out
+
+
+def pushover_payload(
+    ev: AlertEvent,
+    token: str,
+    user_key: str,
+    device: str = "",
+    title: str = "",
+    url: str = "",
+    url_title: str = "",
+    sound: str = "",
+) -> dict:
+    """pushover/service.go preparePost: priority -2/-1/0/1 by level;
+    message rendered 'msg @go-time' by the handler."""
+    priority = {"OK": -2, "INFO": -1, "WARNING": 0, "CRITICAL": 1}[ev.level]
+    return {
+        "token": token,
+        "user": user_key,
+        "message": f"{ev.message} @{_go_time_string(ev.time)}",
+        "device": device,
+        "title": title,
+        "url": url,
+        "url_title": url_title,
+        "sound": sound,
+        "priority": priority,
+    }
+
+
+def hipchat_payload(ev: AlertEvent) -> dict:
+    """hipchat/service.go preparePost (room/token live in the URL)."""
+    color = {"WARNING": "yellow", "CRITICAL": "red"}.get(ev.level, "green")
+    return {
+        "from": "kapacitor",
+        "color": color,
+        "message": ev.message,
+        "notify": True,
+    }
+
+
+def discord_payload(
+    ev: AlertEvent, username: str = "kapacitor", avatar_url: str = "",
+    embed_title: str = "", timestamp: str = "",
+) -> dict:
+    """discord/service.go preparePost: one embed, color by level."""
+    color = {"CRITICAL": 0xF95F53, "WARNING": 0xF48D38}.get(ev.level, 0x7A65F2)
+    return {
+        "username": username,
+        "avatar_url": avatar_url,
+        "embeds": [
+            {
+                "color": color,
+                "description": ev.message,
+                "title": embed_title,
+                "timestamp": timestamp,
+            }
+        ],
+    }
+
+
+def talk_payload(ev: AlertEvent, author_name: str = "Kapacitor") -> dict:
+    """talk/service.go preparePost."""
+    return {"title": ev.id, "text": ev.message, "authorName": author_name}
+
+
+def post_payload(
+    url: str,
+    payload: dict,
+    headers: dict | None = None,
+    timeout: float = 10.0,
+    tolerant: bool = False,
+) -> None:
+    """Generic JSON POST used by every handler — same log-and-continue
+    contract as sinks.http_post when ``tolerant``."""
+    try:
+        req = urllib.request.Request(
+            url,
+            data=_go_json(payload).encode(),
+            headers={"Content-Type": "application/json", **(headers or {})},
+            method="POST",
+        )
+        urllib.request.urlopen(req, timeout=timeout).read()
+    except Exception as e:  # noqa: BLE001
+        if not tolerant:
+            raise
+        import sys
+
+        print(f"alert handler error for {url}: {e}", file=sys.stderr)

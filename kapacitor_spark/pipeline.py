@@ -1457,12 +1457,18 @@ class Pipeline:
             ).drop("__prev")
         elif events_only:
             # the reference's trigger rule (alert.go:1068-1076): non-OK
-            # points always fire; OK fires only as a recovery transition
-            w = self._ordered()
-            prev = F.coalesce(F.lag(level_col).over(w), F.lit("OK"))
-            df = df.withColumn("__prev", prev).filter(
-                (F.col(level_col) != "OK") | (F.col("__prev") != "OK")
-            ).drop("__prev")
+            # points always fire; OK fires only as a recovery transition —
+            # and .noRecoveries() silences exactly those recovery events
+            # (golden TestStream_Alert_NoRecoveries: six non-OK events,
+            # no OK rows)
+            if no_recoveries:
+                df = df.filter(F.col(level_col) != "OK")
+            else:
+                w = self._ordered()
+                prev = F.coalesce(F.lag(level_col).over(w), F.lit("OK"))
+                df = df.withColumn("__prev", prev).filter(
+                    (F.col(level_col) != "OK") | (F.col("__prev") != "OK")
+                ).drop("__prev")
         if level_tag:
             # .levelTag (alert.go augmentTagsWithEventState): the level as
             # a tag — same column model here, named independently

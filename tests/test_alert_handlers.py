@@ -1,0 +1,343 @@
+"""Alert handler payload parity — field-for-field against the
+reference's own handler integration goldens (TestStream_AlertSlack,
+TestStream_AlertPagerDuty2, TestStream_AlertOpsGenie2,
+TestStream_AlertVictorOps, TestStream_AlertTeams,
+TestStream_AlertTelegram, TestStream_AlertAlerta, TestStream_AlertSensu,
+TestStream_AlertPushover, TestStream_AlertHipChat,
+TestStream_AlertDiscord, TestStream_AlertTalk —
+/root/reference/integrations/streamer_test.go)."""
+
+import datetime as dt
+import http.server
+import json
+import os
+import socketserver
+import sys
+import threading
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kapacitor_spark.handlers import (
+    AlertEvent,
+    alerta_payload,
+    discord_payload,
+    hipchat_payload,
+    opsgenie2_payload,
+    pagerduty2_payload,
+    post_payload,
+    pushover_payload,
+    sensu_payload,
+    slack_payload,
+    talk_payload,
+    teams_payload,
+    telegram_payload,
+    victorops_payload,
+)
+
+Z = dt.timezone.utc
+T10 = dt.datetime(1971, 1, 1, 0, 0, 10, tzinfo=Z)
+DATA = {
+    "series": [
+        {
+            "name": "cpu",
+            "tags": {"host": "serverA"},
+            "columns": ["time", "count"],
+            "values": [[T10, 10.0]],
+        }
+    ]
+}
+EV = AlertEvent(
+    id="kapacitor/cpu/serverA",
+    message="kapacitor/cpu/serverA is CRITICAL",
+    time=T10,
+    level="CRITICAL",
+    task_name="TestStream_Alert",
+    data=DATA,
+)
+# the Go-marshaled details string every service embeds
+GO_DATA = (
+    '{"series":[{"name":"cpu","tags":{"host":"serverA"},'
+    '"columns":["time","count"],"values":[["1971-01-01T00:00:10Z",10]]}]}'
+)
+
+
+def test_slack_golden():
+    """TestStream_AlertSlack: attachment fallback/text = message, color
+    danger, mrkdwn_in [text], default username kapacitor."""
+    p = slack_payload(EV, channel="@jim")
+    assert p == {
+        "channel": "@jim",
+        "text": "",
+        "attachments": [
+            {
+                "fallback": "kapacitor/cpu/serverA is CRITICAL",
+                "color": "danger",
+                "text": "kapacitor/cpu/serverA is CRITICAL",
+                "mrkdwn_in": ["text"],
+            }
+        ],
+        "username": "kapacitor",
+        "icon_emoji": "",
+    }
+    assert slack_payload(
+        AlertEvent(**{**EV.__dict__, "level": "WARNING"}), channel="#alerts"
+    )["attachments"][0]["color"] == "warning"
+
+
+def test_pagerduty2_golden():
+    """TestStream_AlertPagerDuty2: PD-CEF with severity critical, source
+    = host tag, class = task name, ns-precision RFC3339 timestamp."""
+    ev = AlertEvent(**{**EV.__dict__, "message": "CRITICAL alert for kapacitor/cpu/serverA"})
+    p = pagerduty2_payload(ev, routing_key="routing_key", client_url="http://kapacitor")
+    assert p["event_action"] == "trigger"
+    assert p["dedup_key"] == "kapacitor/cpu/serverA"
+    assert p["client"] == "kapacitor"
+    pl = p["payload"]
+    assert pl["summary"] == "CRITICAL alert for kapacitor/cpu/serverA"
+    assert pl["source"] == "serverA"
+    assert pl["severity"] == "critical"
+    assert pl["class"] == "TestStream_Alert"
+    assert pl["timestamp"] == "1971-01-01T00:00:10.000000000Z"
+    assert pl["custom_details"] == {"result": DATA}
+    # OK → resolve, severity info
+    ok = pagerduty2_payload(
+        AlertEvent(**{**EV.__dict__, "level": "OK"}), routing_key="k"
+    )
+    assert ok["event_action"] == "resolve" and ok["payload"]["severity"] == "info"
+
+
+def test_opsgenie2_golden():
+    """TestStream_AlertOpsGenie2: urlsafe-base64 alias, P1 priority,
+    details carry tags + task name, responders teams-then-users,
+    description = Go-marshaled result."""
+    path, p = opsgenie2_payload(
+        EV, teams=["test_team", "another_team"],
+        recipients=["test_recipient", "another_recipient"],
+    )
+    assert path == "/"
+    assert p["message"] == "kapacitor/cpu/serverA is CRITICAL"
+    assert p["entity"] == "kapacitor/cpu/serverA"
+    assert p["alias"] == "a2FwYWNpdG9yL2NwdS9zZXJ2ZXJB"
+    assert p["note"] == "" and p["priority"] == "P1"
+    assert p["details"] == {
+        "Level": "CRITICAL",
+        "Monitoring Tool": "Kapacitor",
+        "Kapacitor Task Name": "cpu",
+        "host": "serverA",
+    }
+    assert p["description"] == GO_DATA
+    assert p["responders"] == [
+        {"name": "test_team", "type": "team"},
+        {"name": "another_team", "type": "team"},
+        {"username": "test_recipient", "type": "user"},
+        {"username": "another_recipient", "type": "user"},
+    ]
+    # TestStream_AlertOpsGenie2_Recovery: OK routes to the alias recovery
+    # endpoint with the message as a note
+    rpath, rp = opsgenie2_payload(
+        AlertEvent(**{**EV.__dict__, "level": "OK",
+                      "message": "kapacitor/cpu/serverA is OK"}),
+        recovery_action="notes",
+    )
+    assert rpath == "/a2FwYWNpdG9yL2NwdS9zZXJ2ZXJB/notes?identifierType=alias"
+    assert rp == {"note": "kapacitor/cpu/serverA is OK"}
+
+
+def test_victorops_golden():
+    """TestStream_AlertVictorOps (+_JSON_Data): unix-seconds timestamp
+    31536010, data as a Go-marshaled string (or raw JSON when the
+    json-data config is on)."""
+    p = victorops_payload(EV)
+    assert p == {
+        "message_type": "CRITICAL",
+        "entity_id": "kapacitor/cpu/serverA",
+        "state_message": "kapacitor/cpu/serverA is CRITICAL",
+        "timestamp": 31536010,
+        "monitoring_tool": "kapacitor",
+        "data": GO_DATA,
+    }
+    assert victorops_payload(EV, json_data=True)["data"] == DATA
+
+
+def test_teams_golden():
+    """TestStream_AlertTeams: MessageCard with level-bracketed title and
+    70-char summary cutoff."""
+    p = teams_payload(EV)
+    assert p == {
+        "@type": "MessageCard",
+        "@context": "http://schema.org/extensions",
+        "title": "CRITICAL: [kapacitor/cpu/serverA]",
+        "text": "kapacitor/cpu/serverA is CRITICAL",
+        "summary": "CRITICAL: [kapacitor/cpu/serverA] - "
+                   "kapacitor/cpu/serverA is CRITICAL...",
+        "themeColor": "CC4A31",
+    }
+
+
+def test_telegram_golden():
+    """TestStream_AlertTelegram: chat_id + text; parse_mode only when
+    set; disable flags only when true; invalid parse mode rejected."""
+    p = telegram_payload(
+        EV, chat_id="12345678", parse_mode="HTML",
+        disable_web_page_preview=True, disable_notification=True,
+    )
+    assert p == {
+        "chat_id": "12345678",
+        "text": "kapacitor/cpu/serverA is CRITICAL",
+        "parse_mode": "HTML",
+        "disable_web_page_preview": True,
+        "disable_notification": True,
+    }
+    p2 = telegram_payload(EV, chat_id="87654321", disable_web_page_preview=True)
+    assert p2 == {
+        "chat_id": "87654321",
+        "text": "kapacitor/cpu/serverA is CRITICAL",
+        "disable_web_page_preview": True,
+    }
+    with pytest.raises(ValueError, match="parseMode"):
+        telegram_payload(EV, chat_id="1", parse_mode="bogus")
+
+
+def test_alerta_golden():
+    """TestStream_AlertAlerta: both handler configs — defaults (origin
+    Kapacitor, service [measurement], 1h timeout) and the fully
+    templated override."""
+    p = alerta_payload(
+        EV, resource="cpu", event="serverA", environment="production",
+        group="host=serverA", service=["cpu"], correlate=["cpu"],
+        timeout_s=3600,
+    )
+    assert p["resource"] == "cpu" and p["event"] == "serverA"
+    assert p["environment"] == "production"
+    assert p["group"] == "host=serverA"
+    assert p["text"] == (
+        "kapacitor/cpu/serverA is CRITICAL @1971-01-01 00:00:10 +0000 UTC"
+    )
+    assert p["origin"] == "Kapacitor"
+    assert p["service"] == ["cpu"] and p["correlate"] == ["cpu"]
+    assert p["timeout"] == 3600 and "attributes" not in p
+    assert p["severity"] == "critical"
+
+    p2 = alerta_payload(
+        EV, resource="resource: serverA", event="event: TestStream_Alert",
+        environment="serverA", group="serverA", value="10",
+        origin="override", service=["serviceA", "serviceB", "cpu"],
+        correlate=["cpu"],
+        attributes={"attributeA": "cpu", "attributeB": True, "attributeC": 9001.0},
+        timeout_s=86400,
+    )
+    assert p2["origin"] == "override" and p2["value"] == "10"
+    assert p2["attributes"] == {
+        "attributeA": "cpu", "attributeB": True, "attributeC": 9001.0,
+    }
+    assert p2["timeout"] == 86400
+
+
+def test_sensu_golden():
+    """TestStream_AlertSensu: status 2 for CRITICAL; metadata merges
+    without clobbering core fields."""
+    ev = AlertEvent(**{**EV.__dict__,
+                       "id": "kapacitor.cpu.serverA",
+                       "message": "kapacitor.cpu.serverA is CRITICAL"})
+    p = sensu_payload(
+        ev, name="kapacitor.cpu.serverA",
+        metadata={"k1": "v1", "k2": 5, "name": "ignored"},
+    )
+    assert p == {
+        "name": "kapacitor.cpu.serverA",
+        "source": "Kapacitor",
+        "output": "kapacitor.cpu.serverA is CRITICAL",
+        "status": 2,
+        "handlers": [],
+        "k1": "v1",
+        "k2": 5,
+    }
+
+
+def test_pushover_golden():
+    """TestStream_AlertPushover: priority by level (CRITICAL → 1), the
+    @go-time message suffix, device/title/url/sound pass-through."""
+    p = pushover_payload(
+        EV, token="KzGDORePKggMaC0QOYAMyEEuzJnyUi", user_key="user",
+        device="mydev", title="mytitle", url="http://example.com",
+        url_title="myurltitle", sound="siren",
+    )
+    assert p == {
+        "token": "KzGDORePKggMaC0QOYAMyEEuzJnyUi",
+        "user": "user",
+        "message": "kapacitor/cpu/serverA is CRITICAL "
+                   "@1971-01-01 00:00:10 +0000 UTC",
+        "device": "mydev",
+        "title": "mytitle",
+        "url": "http://example.com",
+        "url_title": "myurltitle",
+        "sound": "siren",
+        "priority": 1,
+    }
+    assert pushover_payload(
+        AlertEvent(**{**EV.__dict__, "level": "INFO"}), token="t", user_key="u"
+    )["priority"] == -1
+
+
+def test_hipchat_discord_talk_goldens():
+    """TestStream_AlertHipChat / TestStream_AlertDiscord /
+    TestStream_AlertTalk payload shapes."""
+    assert hipchat_payload(EV) == {
+        "from": "kapacitor",
+        "color": "red",
+        "message": "kapacitor/cpu/serverA is CRITICAL",
+        "notify": True,
+    }
+    d = discord_payload(EV, username="testy")
+    assert d == {
+        "username": "testy",
+        "avatar_url": "",
+        "embeds": [
+            {
+                "color": 0xF95F53,
+                "description": "kapacitor/cpu/serverA is CRITICAL",
+                "title": "",
+                "timestamp": "",
+            }
+        ],
+    }
+    t = talk_payload(AlertEvent(**{**EV.__dict__}))
+    assert t == {
+        "title": "kapacitor/cpu/serverA",
+        "text": "kapacitor/cpu/serverA is CRITICAL",
+        "authorName": "Kapacitor",
+    }
+
+
+def test_post_payload_delivery_and_go_json():
+    """Delivery glue: the wire bytes are Go-marshal-compatible (integral
+    floats as ints, RFC3339 Z times, no spaces)."""
+    received = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            received.append(self.rfile.read(n))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as srv:
+        port = srv.server_address[1]
+        th = threading.Thread(target=srv.serve_forever, daemon=True)
+        th.start()
+        post_payload(
+            f"http://127.0.0.1:{port}/", victorops_payload(EV),
+        )
+        srv.shutdown()
+    body = json.loads(received[0])
+    assert body["timestamp"] == 31536010
+    assert body["data"] == GO_DATA
+    # tolerant mode swallows connection errors
+    post_payload("http://127.0.0.1:1/unreachable", {}, tolerant=True)
+    with pytest.raises(Exception):
+        post_payload("http://127.0.0.1:1/unreachable", {})

@@ -1348,9 +1348,11 @@ def test_stream_group_by_measurement_fixture(spark):
 
 
 def test_stream_batch_group_by_fixtures(spark):
-    """TestStream_BatchGroupBy / _All (streamer_test.go:3909,3957):
+    """TestStream_BatchGroupBy / TestStream_BatchGroupByAll /
+    TestStream_BatchGroupByAllExclude (streamer_test.go:3909,3957,4005):
     groupBy AFTER window() re-keys the buffered batch; '*' groups by
-    every tag. Golden [0s,5s) counts 5/5/1."""
+    every tag; .exclude('host') drops it from the star set. Golden
+    [0s,5s) counts 5/5/1, and 11 for the excluded single-type group."""
     raw = replay_srpl(spark, f"{FIXTURES}/TestStream_BatchGroupBy.srpl")
     cpu = promote(raw, "cpu", float_fields=["value"], tag_cols=["host", "type"])
     p = Pipeline.from_df(cpu, time_col="time")
@@ -1372,6 +1374,13 @@ def test_stream_batch_group_by_fixtures(spark):
     assert {(r["host"], r["type"]): r["count"] for r in out_all} == {
         ("serverA", "idle"): 5, ("serverB", "idle"): 5, ("serverC", "idle"): 1,
     }
+
+    out_excl = (
+        p.window_time("5s", emit="end").group_by("*", exclude=("host",))
+        .count("value", as_="count")
+        .result().filter("time = '1971-01-01 00:00:05'").collect()
+    )
+    assert {r["type"]: r["count"] for r in out_excl} == {"idle": 11}
 
 
 def test_stream_holt_winters_fixture(spark):
@@ -1501,7 +1510,8 @@ def test_batch_flatten_fixture(spark):
 
 
 def test_batch_combine_fixtures(spark):
-    """TestBatch_Combine_All / _Filtered / _All_Triples (batcher_test.go:
+    """TestBatch_Combine_All / TestBatch_Combine_Filtered /
+    TestBatch_Combine_All_Triples (batcher_test.go:
     1784,1864,1926): k-combinations within (dc, 5s-rounded bucket) —
     same-predicate slots order by arrival (time), filtered slots pair
     with ANY other point; all golden ratios/sums at 00:00:15."""
@@ -3549,3 +3559,212 @@ stream
     )
     rows = {r["owner"]: r["expiration"] for r in outs["TestStream_LambdaNow"].collect()}
     assert rows == {"ownerA": 315533000000000000, "ownerC": 656419000000000000}
+
+
+def test_stream_join_on_fill_fixtures(spark):
+    """TestStream_JoinOn_Fill_Null / TestStream_JoinOn_Fill_Num
+    (streamer_test.go:5535,5631): one-to-many .on('host') join of
+    (host,path)-grouped disk against host-grouped maintlock with
+    tolerance(1s) — seconds with no maintlock point fill to null/0 and
+    default() patches the count; the t=3 maintenance point joins onto
+    BOTH paths. All eight golden rows per fill mode."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_JoinOn_Fill.srpl")
+    disk = promote(
+        raw.filter("name = 'disk'"), "disk",
+        float_fields=["used_percent"], tag_cols=["host", "path"],
+    )
+    maint = promote(
+        raw.filter("name = 'maintlock'"), "maintlock",
+        float_fields=["count"], tag_cols=["host"],
+    )
+    golden = {
+        ("A", "/"): [(0, 50.0, 0.0), (1, 60.0, 0.0), (2, 70.0, 0.0), (3, 80.0, 1.0)],
+        ("A", "/tmp"): [(0, 40.0, 0.0), (1, 30.0, 0.0), (2, 20.0, 0.0), (3, 10.0, 1.0)],
+    }
+    for fill in ("null", 0.0):
+        j = (
+            Pipeline.from_df(disk, time_col="time", dims=("host", "path"))
+            .join(
+                Pipeline.from_df(maint, time_col="time", dims=("host",)),
+                prefixes=("disk", "maintlock"), delimiter=".",
+                on=("host",), tolerance="1s", fill=fill, stream_name="disk",
+            )
+            .default(**{"maintlock.count": 0.0, "disk.used_percent": 0.0})
+        )
+        rows = j.result().filter("time < '1971-01-01 00:00:04'").collect()
+        got = {}
+        for r in rows:
+            got.setdefault((r["host"], r["path"]), []).append(
+                (r.time.second, r["disk.used_percent"], r["maintlock.count"])
+            )
+        got = {k: sorted(v) for k, v in got.items()}
+        assert got == golden, fill
+
+
+def test_stream_join_fill_num_fixture(spark):
+    """TestStream_Join_Fill_Num (streamer_test.go:5146): POINT-level outer
+    join of errors/views per service with fill(0.0) — the eval over both
+    sides is defined on every second either side emitted, so the window
+    counts are the union-of-times sizes: cartA 7, login 7, front 8."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Join_Fill.srpl")
+
+    def side(name):
+        df = promote(
+            raw.filter(F.col("name") == name), name,
+            float_fields=["value"], tag_cols=["service"],
+        )
+        return Pipeline.from_df(
+            df.select("time", "service", "value"),
+            time_col="time", dims=("service",),
+        )
+
+    j = (
+        side("errors")
+        .join(side("views"), prefixes=("errors", "views"), delimiter=".",
+              fill=0.0, stream_name="error_view")
+        .eval(error_percent='lambda: "errors.value" + "views.value"')
+        .window_time("10s", emit="end")
+        .count("error_percent", as_="count")
+    )
+    got = {
+        r["service"]: r["count"]
+        for r in j.result().filter("time = '1971-01-01 00:00:10'").collect()
+    }
+    assert got == {"cartA": 7, "login": 7, "front": 8}
+
+
+def test_stream_join_delimiter_fixtures(spark):
+    """TestStream_Join_Delimiter / TestStream_Join_DelimiterEmpty
+    (streamer_test.go:4785,4859): the join field-namespace delimiter is
+    configurable — '#' yields errors#sum, '' concatenates to errorssum —
+    same three golden error_percent rows as the base join."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Join.srpl")
+
+    def side(measurement):
+        df = promote(
+            raw.filter(F.col("name") == measurement), measurement,
+            float_fields=["value"], tag_cols=["service"],
+        )
+        return (
+            Pipeline.from_df(df, time_col="time", dims=("service",))
+            .window_time("10s", emit="end")
+            .sum("value", as_="sum")
+        )
+
+    for delim in ("#", ""):
+        ec, vc = f"errors{delim}sum", f"views{delim}sum"
+        j = side("errors").join(
+            side("views"), prefixes=("errors", "views"), delimiter=delim,
+            stream_name="error_view",
+        ).eval(keep=True, error_percent=F.col(f"`{ec}`") / F.col(f"`{vc}`"))
+        got = {
+            r["service"]: (r["error_percent"], r[ec], r[vc])
+            for r in j.result().filter("time = '1971-01-01 00:00:10'").collect()
+        }
+        assert got == {
+            "cartA": (0.01, 47.0, 4700.0),
+            "login": (0.01, 45.0, 4500.0),
+            "front": (0.01, 32.0, 3200.0),
+        }, delim
+
+
+def test_stream_combine_pairs_fixtures(spark):
+    """TestStream_Combine_All / TestStream_Combine_Filtered
+    (streamer_test.go:4455,4536): 2-slot combine per (dc, 1s bucket).
+    All-pairs yields the three unordered service pairs per dc; filtering
+    slot one to service=='auth' keeps only the auth-anchored pairs. The
+    parity check is the pair set + value ratio per pair (slot assignment
+    order diverges as in the triples port)."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Combine.srpl")
+    lat = promote(
+        raw.filter("name = 'request_latency'"), "request_latency",
+        float_fields=["value"], tag_cols=["dc", "service"],
+    )
+    first_sec = "time = '1971-01-01 00:00:00'"
+    p = lambda: Pipeline.from_df(lat, time_col="time", dims=("dc",))
+
+    c_all = p().combine(
+        "TRUE", "TRUE", as_=("first", "second"), tolerance="1s", delimiter=".",
+    ).result().filter(first_sec).collect()
+    got = {
+        (r["dc"], frozenset((r["first.service"], r["second.service"]))):
+            sorted((r["first.value"], r["second.value"]))
+        for r in c_all
+    }
+    assert got == {
+        ("A", frozenset({"auth", "log"})): [600.0, 700.0],
+        ("A", frozenset({"auth", "cart"})): [700.0, 800.0],
+        ("A", frozenset({"log", "cart"})): [600.0, 800.0],
+        ("B", frozenset({"auth", "log"})): [650.0, 750.0],
+        ("B", frozenset({"auth", "cart"})): [750.0, 850.0],
+        ("B", frozenset({"log", "cart"})): [650.0, 850.0],
+    }
+
+    c_filt = p().combine(
+        "service = 'auth'", "TRUE", as_=("auth", "other"),
+        tolerance="1s", delimiter=".",
+    ).result().filter(first_sec).collect()
+    gotf = {
+        (r["dc"], r["other.service"]): r["auth.value"] / r["other.value"]
+        for r in c_filt
+    }
+    assert gotf == {
+        ("A", "log"): 700.0 / 600.0,
+        ("A", "cart"): 700.0 / 800.0,
+        ("B", "log"): 750.0 / 650.0,
+        ("B", "cart"): 750.0 / 850.0,
+    }
+
+
+def test_stream_alert_no_recoveries_fixture(spark):
+    """TestStream_Alert_NoRecoveries (streamer_test.go:9950): with
+    .noRecoveries() every non-OK point emits (including WARN→WARN
+    repeats), transitions into OK are silent, and Duration counts from
+    the episode's first non-OK point after an OK. All six golden
+    (time, level, duration) events."""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Alert_NoRecoveries.srpl")
+    cpu = promote(raw, "cpu", float_fields=["value"], tag_cols=["host"])
+    out = (
+        Pipeline.from_df(cpu, time_col="time", dims=("host",))
+        .alert(
+            info="value >= 6", warn="value >= 7", crit="value >= 8",
+            events_only=True, no_recoveries=True, duration_field="duration",
+        )
+        .result().orderBy("time").collect()
+    )
+    got = [
+        (r.time.replace(tzinfo=Z), r["level"], r["duration"]) for r in out
+    ]
+    S = 1_000_000_000
+    assert got == [
+        (_ts(0), "WARNING", 0),
+        (_ts(2), "INFO", 0),
+        (_ts(3), "WARNING", 1 * S),
+        (_ts(4), "WARNING", 2 * S),
+        (_ts(5), "CRITICAL", 3 * S),
+        (_ts(7), "INFO", 0),
+    ]
+
+
+def test_stream_alert_reset_fixture(spark):
+    """TestStream_AlertReset (streamer_test.go:6372): .critReset() reset
+    hysteresis — once CRITICAL (value > 80), the level holds until the
+    reset lambda (value < 70) passes, so 75 stays CRITICAL and only 65
+    recovers. (The reference's test also exercises the alert topic
+    store's delete-on-recovery; topic-state persistence is covered in
+    tests/test_round3.py.)"""
+    import datetime as dtm
+
+    rows = [
+        (dtm.datetime(1971, 1, 1, 0, 0, s, tzinfo=Z), "serverA", v)
+        for s, v in enumerate([85.0, 95.0, 75.0, 65.0, 85.0])
+    ]
+    cpu = spark.createDataFrame(rows, "time timestamp, host string, value double")
+    out = (
+        Pipeline.from_df(cpu, time_col="time", dims=("host",))
+        .alert(crit="value > 80", crit_reset="value < 70")
+        .result().orderBy("time").collect()
+    )
+    assert [r["level"] for r in out] == [
+        "CRITICAL", "CRITICAL", "CRITICAL", "OK", "CRITICAL"
+    ]
