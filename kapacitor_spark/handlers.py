@@ -30,7 +30,12 @@ from typing import Any
 __all__ = [
     "AlertEvent",
     "slack_payload",
+    "pagerduty_payload",
     "pagerduty2_payload",
+    "opsgenie_payload",
+    "servicenow_event",
+    "zenoss_event",
+    "bigpanda_payload",
     "opsgenie2_payload",
     "victorops_payload",
     "teams_payload",
@@ -379,6 +384,168 @@ def discord_payload(
 def talk_payload(ev: AlertEvent, author_name: str = "Kapacitor") -> dict:
     """talk/service.go preparePost."""
     return {"title": ev.id, "text": ev.message, "authorName": author_name}
+
+
+def pagerduty_payload(
+    ev: AlertEvent,
+    service_key: str,
+    client_url: str = "",
+    incident_key: str = "",
+) -> dict:
+    """pagerduty/service.go (v1 API) preparePost: WARNING/CRITICAL →
+    trigger, OK → resolve; INFO is rejected (the reference ignores it
+    with an error)."""
+    if ev.level == "INFO":
+        raise ValueError(
+            "AlertLevel 'info' is currently ignored by the PagerDuty service"
+        )
+    event_type = "trigger" if ev.level in ("WARNING", "CRITICAL") else "resolve"
+    return {
+        "service_key": service_key,
+        "event_type": event_type,
+        "description": ev.message,
+        "incident_key": incident_key,
+        "client": "kapacitor",
+        "client_url": client_url,
+        "details": ev.details if ev.details else _go_json(ev.data),
+    }
+
+
+def opsgenie_payload(
+    ev: AlertEvent,
+    api_key: str,
+    teams: list[str] = (),
+    recipients: list[str] = (),
+) -> dict:
+    """opsgenie/service.go (v1 API) preparePost: plain-id alias, flat
+    teams/recipients lists, two-key details map."""
+    out = {
+        "apiKey": api_key,
+        "entity": ev.id,
+        "alias": ev.id,
+        "message": ev.message,
+        "note": "",
+        "details": {"Level": ev.level, "Monitoring Tool": "Kapacitor"},
+        "description": ev.details if ev.details else _go_json(ev.data),
+    }
+    if teams:
+        out["teams"] = list(teams)
+    if recipients:
+        out["recipients"] = list(recipients)
+    return out
+
+
+def servicenow_event(
+    ev: AlertEvent,
+    source: str = "Kapacitor",
+    node: str = "",
+    type_: str = "",
+    resource: str = "",
+    metric_name: str = "",
+    message_key: str = "",
+    additional_info: dict | None = None,
+) -> dict:
+    """servicenow/service.go: one em/jsonv2 record — severity OK(5)/
+    Warning(4)/Critical(1), message_key defaults to the alert id, empty
+    optional fields are omitted (json omitempty)."""
+    severity = {"OK": 5, "WARNING": 4, "CRITICAL": 1}.get(ev.level, 0)
+    out = {
+        "source": source,
+        "severity": str(severity),
+        "description": ev.message,
+        "message_key": message_key or ev.id,
+    }
+    for k, v in (
+        ("node", node), ("type", type_), ("resource", resource),
+        ("metric_name", metric_name),
+    ):
+        if v:
+            out[k] = v
+    if additional_info:
+        out["additional_info"] = _go_json(additional_info)
+    return out
+
+
+def zenoss_event(
+    ev: AlertEvent,
+    device: str = "",
+    component: str = "",
+    event_class_key: str = "",
+    event_class: str = "",
+    collector: str = "",
+    summary: str = "",
+    severity_map: dict | None = None,
+    tid: int = 1,
+    action: str = "EventsRouter",
+    method: str = "add_event",
+    message: str = "",
+    extra: dict | None = None,
+) -> dict:
+    """zenoss/service.go: an EventsRouter add_event RPC envelope; the
+    severity renders through the configurable map (default Zenoss names,
+    numeric maps supported — golden TestStream_AlertZenoss_Custom),
+    summary falls back to the alert message (256-char cutoff), and custom
+    handlers may override action/method and attach extra data fields."""
+    sev_map = severity_map or {
+        "OK": "Clear", "INFO": "Info", "WARNING": "Warning",
+        "CRITICAL": "Critical",
+    }
+    data = {
+        "summary": (summary or ev.message)[:256],
+        "device": device,
+        "component": component,
+        "severity": sev_map[ev.level],
+        "evclasskey": event_class_key,
+        "evclass": event_class,
+    }
+    if collector:
+        data["collector"] = collector
+    if message:
+        data["message"] = message[:4096]
+    for k, v in (extra or {}).items():
+        data.setdefault(k, v)
+    return {
+        "action": action,
+        "method": method,
+        "data": [data],
+        "type": "rpc",
+        "tid": tid,
+    }
+
+
+def bigpanda_payload(
+    ev: AlertEvent,
+    app_key: str,
+    primary_property: str = "",
+    secondary_property: str = "",
+    attributes: dict | None = None,
+) -> dict:
+    """bigpanda/service.go preparePost: status ok/warning/critical by
+    level, task '<task>:<measurement>', unix-seconds timestamp; details
+    carry the (non-JSON) alert details; extra attributes (auto-attributes
+    tags/fields) merge flat into the payload."""
+    status = {"OK": "ok", "INFO": "ok", "WARNING": "warning",
+              "CRITICAL": "critical"}.get(ev.level, "critical")
+    series = ev.data.get("series") or [{}]
+    name = series[0].get("name", "")
+    out: dict = {}
+    if ev.message:
+        out["description"] = f"{ev.message} @{_go_time_string(ev.time)}"
+    if ev.details and not ev.details.startswith("{"):
+        out["details"] = ev.details
+    if ev.id:
+        out["check"] = ev.id
+    out["task"] = f"{ev.task_name}:{name}"
+    out["timestamp"] = int(ev.time.replace(tzinfo=dt.timezone.utc).timestamp())
+    out["status"] = status
+    if primary_property:
+        out["primary_property"] = primary_property
+    if secondary_property:
+        out["secondary_property"] = secondary_property
+    out["app_key"] = app_key
+    for k, v in (attributes or {}).items():
+        out.setdefault(k, v)
+    return out
 
 
 def post_payload(

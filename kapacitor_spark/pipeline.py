@@ -72,6 +72,7 @@ class WindowSpec:
     fill_period: bool = False
     emit: str = "start"  # which boundary becomes the output time col
     closed: str = "left"  # 'left' = [s, e); 'right' = (s, e] (reference)
+    offset: float = 0.0  # bucket-boundary shift (InfluxQL time(d, offset))
 
     @property
     def is_sliding(self) -> bool:
@@ -572,6 +573,7 @@ class Pipeline:
         fill_period: bool = False,
         emit: str = "start",
         closed: str = "left",
+        offset: str | float = 0.0,
     ) -> "Pipeline":
         """Declare a time window (/root/reference/window.go:80-358); consumed
         by the next aggregation, which compiles to
@@ -608,7 +610,7 @@ class Pipeline:
             raise ValueError("closed must be 'left' or 'right'")
         spec = WindowSpec(
             period=p, every=e, align=align, fill_period=fill_period,
-            emit=emit, closed=closed,
+            emit=emit, closed=closed, offset=parse_duration(offset),
         )
         return replace(self, window=spec)
 
@@ -668,6 +670,9 @@ class Pipeline:
             assign_t,
             f"{round(spec.period * 1_000_000)} microseconds",
             f"{round(spec.every * 1_000_000)} microseconds",
+            # InfluxQL time(d, offset): shift bucket boundaries off the
+            # epoch grid (Spark's startTime)
+            f"{round(getattr(spec, 'offset', 0.0) * 1_000_000)} microseconds",
         )
         df = self.df.withColumn("__w", win)
         if spec.fill_period:

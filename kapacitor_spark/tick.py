@@ -351,8 +351,9 @@ class _Env:
 
     def __init__(
         self, sources, time_col, dims, tiebreak, outputs, udfs=None,
-        endpoints=None, influxdb=None,
+        endpoints=None, influxdb=None, dbrp=None,
     ):
+        self.dbrp = dbrp
         self.vars: dict[str, Any] = {}
         self.sources = sources
         self.time_col, self.dims, self.tiebreak = time_col, dims, tiebreak
@@ -425,8 +426,18 @@ class _Env:
 
         props = node.prop_map()
         sql = node.args[0]
+        # validation parity (golden TestBatch_InvalidQuery, task.go
+        # newQueryNode): exactly ONE statement, and it must be a SELECT —
+        # 'SELECT ...; DROP DATABASE x' style injections are rejected
+        stmts = [x for x in sql.split(";") if x.strip()]
+        if len(stmts) > 1:
+            raise TickError(
+                f"query must be a single select statement, got {len(stmts)} statements"
+            )
+        if not _re.match(r"(?is)\s*SELECT\b", sql):
+            raise TickError(f"query is not a select statement {sql!r}")
         m = _re.match(
-            r"(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\S+)(?:\s+WHERE\s+(.*?))?\s*$",
+            r"(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\S+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
             sql.strip(),
         )
         if not m:
@@ -441,12 +452,14 @@ class _Env:
 
         tags: list[str] = []
         bucket = None
+        bucket_offset = 0.0
         for name, args in node.props:
             if name == "groupBy":
                 vals = args[0] if args and isinstance(args[0], list) else list(args)
                 for a in vals:
                     if isinstance(a, _TimeGroup):
                         bucket = _dur(a.interval)
+                        bucket_offset = _dur(a.offset) if a.offset is not None else 0.0
                     else:
                         tags.append(a)
         p = p.group_by(*tags) if tags else p
@@ -491,7 +504,7 @@ class _Env:
             fn, fld = self._QUERY_AGGS[am.group(1).lower()], am.group(2)
             alias = am.group(3) or am.group(1).lower()
             if bucket is not None:
-                out = out.window_time(bucket, bucket)
+                out = out.window_time(bucket, bucket, offset=bucket_offset)
             # InfluxQL emits the bucket/window START as the row time
             out = out._single_agg(fn(fld), alias)
         elif sel not in ("*",):
@@ -603,6 +616,16 @@ class _Env:
         props = node.prop_map()
         db = props.get("database", ["dbname"])[0]
         rp = props.get("retentionPolicy", ["rpname"])[0]
+        # loop prevention (golden TestStream_KapacitorLoopback_PreventLoop;
+        # task_master.go checks the loopback DBRP against the task's
+        # subscriptions): writing back into the DBRP this task reads from
+        # would feed the task its own output forever
+        if self.dbrp is not None and f"{db}.{rp}" == self.dbrp:
+            raise TickError(
+                f"kapacitorLoopback(): loopback to {db}.{rp} would create "
+                "a loop — the task subscribes to that same database/"
+                "retention policy"
+            )
         self.outputs[f"loopback:{db}.{rp}"] = p.df
         return p
 
@@ -904,6 +927,20 @@ class _PendingAgg:
         if name in ("count", "sum", "mean", "median", "mode", "spread",
                     "stddev", "min", "max", "first", "last"):
             fld = args[0]
+            if fld not in p.df.columns:
+                # InfluxQL over a field the points don't carry yields NO
+                # rows (golden TestStream_InfluxQLNodeMissingValue_Batch:
+                # empty result, not an error). dataclasses.replace keeps
+                # the pending window spec so the agg stays windowed (a
+                # global agg over empty input would emit one null row).
+                from dataclasses import replace as _dc_replace
+
+                p = _dc_replace(
+                    p,
+                    df=p.df.withColumn(fld, F.lit(None).cast("double")).filter(
+                        F.lit(False)
+                    ),
+                )
             out = getattr(p, name)(fld, as_=as_ or name)
         elif name == "distinct":
             out = p.distinct(args[0])
@@ -955,6 +992,7 @@ def run_tickscript(
     udfs: dict | None = None,
     endpoints: dict | None = None,
     influxdb: str | None = None,
+    dbrp: str | None = None,
 ) -> dict[str, DataFrame]:
     """Execute a TICKscript; returns {httpOut name: DataFrame}.
 
@@ -968,9 +1006,14 @@ def run_tickscript(
     services/httppost endpoint configs).
     ``influxdb``: base URL for influxDBOut() writes (the reference's
     configured InfluxDB cluster).
+    ``dbrp``: the task's subscribed "db.rp" — kapacitorLoopback() into the
+    same DBRP raises (the reference's loop-prevention check).
     """
     outputs: dict[str, DataFrame] = {}
-    env = _Env(sources, time_col, dims, tiebreak, outputs, udfs, endpoints, influxdb)
+    env = _Env(
+        sources, time_col, dims, tiebreak, outputs, udfs, endpoints,
+        influxdb, dbrp,
+    )
     toks, src = _tokenize(script)
     p = _P(toks, src, env)
     # patch property dispatch for pending aggregations

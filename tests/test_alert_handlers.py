@@ -22,6 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from kapacitor_spark.handlers import (
     AlertEvent,
     alerta_payload,
+    bigpanda_payload,
+    opsgenie_payload,
+    pagerduty_payload,
+    servicenow_event,
+    zenoss_event,
     discord_payload,
     hipchat_payload,
     opsgenie2_payload,
@@ -341,3 +346,162 @@ def test_post_payload_delivery_and_go_json():
     post_payload("http://127.0.0.1:1/unreachable", {}, tolerant=True)
     with pytest.raises(Exception):
         post_payload("http://127.0.0.1:1/unreachable", {})
+
+
+def test_pagerduty_v1_golden():
+    """TestStream_AlertPagerDuty (+ TestStream_AlertPagerDuty2_ServiceKey
+    covers the v2 routing-key override already asserted above): v1 events
+    are service_key + event_type trigger/resolve; INFO is rejected."""
+    ev = AlertEvent(**{**EV.__dict__,
+                       "message": "CRITICAL alert for kapacitor/cpu/serverA"})
+    p = pagerduty_payload(ev, service_key="service_key", client_url="http://kap")
+    assert p == {
+        "service_key": "service_key",
+        "event_type": "trigger",
+        "description": "CRITICAL alert for kapacitor/cpu/serverA",
+        "incident_key": "",
+        "client": "kapacitor",
+        "client_url": "http://kap",
+        "details": GO_DATA,
+    }
+    assert pagerduty_payload(
+        AlertEvent(**{**EV.__dict__, "level": "OK"}), service_key="k"
+    )["event_type"] == "resolve"
+    with pytest.raises(ValueError, match="info"):
+        pagerduty_payload(AlertEvent(**{**EV.__dict__, "level": "INFO"}), "k")
+
+
+def test_opsgenie_v1_golden():
+    """TestStream_AlertOpsGenie: v1 payload — plain-id alias, flat
+    teams/recipients, two-key details."""
+    p = opsgenie_payload(
+        EV, api_key="api_key", teams=["test_team", "another_team"],
+        recipients=["test_recipient", "another_recipient"],
+    )
+    assert p == {
+        "apiKey": "api_key",
+        "entity": "kapacitor/cpu/serverA",
+        "alias": "kapacitor/cpu/serverA",
+        "message": "kapacitor/cpu/serverA is CRITICAL",
+        "note": "",
+        "details": {"Level": "CRITICAL", "Monitoring Tool": "Kapacitor"},
+        "description": GO_DATA,
+        "teams": ["test_team", "another_team"],
+        "recipients": ["test_recipient", "another_recipient"],
+    }
+
+
+def test_servicenow_golden():
+    """TestStream_AlertServiceNow: em/jsonv2 record — severity '1' for
+    CRITICAL, templated node/type/resource/metric fields, message_key
+    defaulting to the alert id, additional_info as marshaled JSON."""
+    p = servicenow_event(
+        EV, node="serverA", type_="CPU", resource="CPU-Total",
+        metric_name="idle", message_key="Alert: kapacitor/cpu/serverA",
+        additional_info={
+            "link": "http://push/alert?id=kapacitor/cpu/serverA",
+            "ticks": "666",
+        },
+    )
+    assert p == {
+        "source": "Kapacitor",
+        "node": "serverA",
+        "type": "CPU",
+        "resource": "CPU-Total",
+        "metric_name": "idle",
+        "message_key": "Alert: kapacitor/cpu/serverA",
+        "severity": "1",
+        "description": "kapacitor/cpu/serverA is CRITICAL",
+        "additional_info":
+            '{"link":"http://push/alert?id=kapacitor/cpu/serverA","ticks":"666"}',
+    }
+    bare = servicenow_event(EV)
+    assert bare == {
+        "source": "Kapacitor",
+        "message_key": "kapacitor/cpu/serverA",
+        "severity": "1",
+        "description": "kapacitor/cpu/serverA is CRITICAL",
+    }
+
+
+def test_zenoss_goldens():
+    """TestStream_AlertZenoss / TestStream_AlertZenoss_Custom: the
+    default add_event RPC envelope with named severities, and the custom
+    handler with a numeric severity map, ScriptsRouter action, and extra
+    data fields."""
+    p = zenoss_event(EV, device="#DEVICE001", component="CPU",
+                     event_class="/App")
+    assert p == {
+        "action": "EventsRouter",
+        "method": "add_event",
+        "data": [{
+            "summary": "kapacitor/cpu/serverA is CRITICAL",
+            "device": "#DEVICE001",
+            "component": "CPU",
+            "severity": "Critical",
+            "evclasskey": "",
+            "evclass": "/App",
+        }],
+        "type": "rpc",
+        "tid": 1,
+    }
+    c = zenoss_event(
+        EV, event_class="/App",
+        severity_map={"OK": 0, "INFO": 2, "WARNING": 3, "CRITICAL": 5},
+        action="ScriptsRouter", method="kapa_handler",
+        collector="serverA",
+        message="This is message for alert kapacitor/cpu/serverA",
+        extra={
+            "data": {
+                "id": "kapacitor/cpu/serverA",
+                "level": "CRITICAL",
+                "message": "kapacitor/cpu/serverA is CRITICAL",
+                "time": "1971-01-01 00:00:10 +0000 UTC",
+                "duration": "0s",
+                "recoverable": True,
+            },
+            "ticks": 33,
+        },
+    )
+    assert c["action"] == "ScriptsRouter" and c["method"] == "kapa_handler"
+    d = c["data"][0]
+    assert d["severity"] == 5 and d["collector"] == "serverA"
+    assert d["data"]["time"] == "1971-01-01 00:00:10 +0000 UTC"
+    assert d["ticks"] == 33
+
+
+def test_bigpanda_golden():
+    """TestStream_AlertBigPanda: status critical, '@go-time' description
+    suffix, task '<task>:<measurement>', unix timestamp, app key +
+    primary/secondary property; JSON default details are dropped while
+    plain-text details pass through."""
+    p = bigpanda_payload(
+        AlertEvent(**{**EV.__dict__, "details": "https://example.org/link"}),
+        app_key="111111", primary_property="host",
+        attributes={"host": "serverA"},
+    )
+    assert p == {
+        "description": "kapacitor/cpu/serverA is CRITICAL "
+                       "@1971-01-01 00:00:10 +0000 UTC",
+        "details": "https://example.org/link",
+        "check": "kapacitor/cpu/serverA",
+        "task": "TestStream_Alert:cpu",
+        "timestamp": 31536010,
+        "status": "critical",
+        "primary_property": "host",
+        "app_key": "111111",
+        "host": "serverA",
+    }
+    # a JSON-shaped details blob (the default full-event template) is NOT
+    # forwarded as details
+    pj = bigpanda_payload(
+        AlertEvent(**{**EV.__dict__, "details": '{"full": "event"}'}),
+        app_key="012345",
+    )
+    assert "details" not in pj
+
+
+def test_victorops_json_data_full_name():
+    """TestStream_AlertVictorOps_JSON_Data: with the json-data config the
+    payload embeds the raw result object instead of a marshaled string."""
+    assert victorops_payload(EV, json_data=True)["data"] is DATA

@@ -1661,11 +1661,14 @@ def test_batch_double_group_by_fixture(spark):
 
 
 def test_batch_join_fixtures(spark):
-    """TestBatch_Join / TestBatch_JoinTolerance / TestBatch_Join_NoFill (batcher_test.go:
-    1970,2120,2173): the cpu0/cpu1 batch series pair per timestamp (5
-    pairs per batch, 10 in the reference's 20s window), identically at
-    tolerance 1s, and the no-fill eval sum over the window's two batches
-    is the golden 876."""
+    """TestBatch_Join / TestBatch_JoinTolerance / TestBatch_Join_NoFill /
+    TestBatch_Join_Fill_Num / TestBatch_Join_Delimiter /
+    TestBatch_Join_DelimiterEmpty (batcher_test.go:1970,2120,2173,2228,
+    2010,2069): the cpu0/cpu1 batch series pair per timestamp (5 pairs
+    per batch, 10 in the reference's 20s window), identically at
+    tolerance 1s; the no-fill eval sum over the window's two batches is
+    the golden 876 and fill(100.0) patches the missing rows up to the
+    golden 1178; '~' and '' delimiters rename the joined fields."""
     a = replay_brpl(spark, f"{FIXTURES}/TestBatch_Join.0.brpl")
     b = replay_brpl(spark, f"{FIXTURES}/TestBatch_Join.1.brpl")
 
@@ -1699,6 +1702,29 @@ def test_batch_join_fixtures(spark):
         .collect()[0]["s"]
     )
     assert total == pytest.approx(876.0)
+
+    # fill(100.0): each missing side patches to 100, total 1178
+    jf = side(fa).join(
+        side(fb), prefixes=("cpu0", "cpu1"), delimiter=".", fill=100.0
+    )
+    total_f = (
+        jf.eval(keep=True, cpu='lambda: "cpu0.mean" + "cpu1.mean"')
+        .where("time < '1971-01-01 00:00:20'")
+        .result().agg(F.sum("cpu").alias("s")).collect()[0]["s"]
+    )
+    assert total_f == pytest.approx(1178.0)
+
+    # delimiter variants rename the namespaced fields: '~' and ''
+    for delim in ("~", ""):
+        jd = side(a).join(side(b), prefixes=("cpu0", "cpu1"), delimiter=delim)
+        cols = set(jd.result().columns)
+        assert f"cpu0{delim}mean" in cols and f"cpu1{delim}mean" in cols, delim
+        n = (
+            jd.result()
+            .where("time < '1971-01-01 00:00:20'")
+            .filter(F.col(f"`cpu0{delim}mean`").isNotNull()).count()
+        )
+        assert n == 10, delim  # the golden windowed count
 
 
 def test_batch_alert_all_fixture(spark):
@@ -2981,7 +3007,8 @@ def test_stream_http_post_custom_body_fixture(spark):
 
 
 def test_stream_influxdb_out_create_database_fixtures(spark):
-    """TestStream_InfluxDBOut_CreateDatabase / _AndRP (streamer_test.go:
+    """TestStream_InfluxDBOut_CreateDatabase /
+    TestStream_InfluxDBOut_CreateDatabaseAndRP (streamer_test.go:
     12577,12631): .create() issues CREATE DATABASE (WITH NAME rp) against
     /query before writing."""
     import http.server
@@ -3767,4 +3794,166 @@ def test_stream_alert_reset_fixture(spark):
     )
     assert [r["level"] for r in out] == [
         "CRITICAL", "CRITICAL", "CRITICAL", "OK", "CRITICAL"
+    ]
+
+
+def test_batch_join_on_fixtures(spark):
+    """TestBatch_JoinOn / TestBatch_JoinOn_Fill_Null /
+    TestBatch_JoinOn_Fill_Num (batcher_test.go:2290,2510,2400): batch
+    one-to-many .on() joins — global per-service sums against per-dc
+    values (all eight golden ratios), and the disk/maintlock fill
+    variants with the same eight golden rows as the stream ports."""
+    g = replay_brpl(spark, f"{FIXTURES}/TestBatch_JoinOn.1.brpl")
+    d = replay_brpl(spark, f"{FIXTURES}/TestBatch_JoinOn.0.brpl")
+    glob = Pipeline.from_df(
+        g.select("time", F.col("tags")["service"].alias("service"),
+                 F.col("fields_f")["sum"].alias("sum")),
+        time_col="time", dims=("service",),
+    )
+    dc = Pipeline.from_df(
+        d.select("time", F.col("tags")["service"].alias("service"),
+                 F.col("tags")["dc"].alias("dc"),
+                 F.col("fields_f")["value"].alias("value")),
+        time_col="time", dims=("dc", "service"),
+    )
+    j = glob.join(
+        dc, prefixes=("service", "dc"), delimiter=".", on=("service",),
+        stream_name="dc_error_percent",
+    ).eval(keep=True, value='lambda: "dc.value" / "service.sum"')
+    got = {
+        (r["dc"], r["service"], r["time"].second):
+            (r["dc.value"], r["service.sum"], round(r["value"], 10))
+        for r in j.result().collect()
+    }
+    assert got == {
+        ("slc", "cart", 0): (8.0, 11.0, round(8 / 11, 10)),
+        ("slc", "cart", 5): (3.0, 10.0, round(3 / 10, 10)),
+        ("nyc", "cart", 0): (3.0, 11.0, round(3 / 11, 10)),
+        ("nyc", "cart", 5): (7.0, 10.0, round(7 / 10, 10)),
+        ("slc", "login", 0): (4.0, 13.0, round(4 / 13, 10)),
+        ("slc", "login", 5): (2.0, 8.0, round(2 / 8, 10)),
+        ("nyc", "login", 0): (9.0, 13.0, round(9 / 13, 10)),
+        ("nyc", "login", 5): (6.0, 8.0, round(6 / 8, 10)),
+    }
+
+    raw_d = replay_brpl(spark, f"{FIXTURES}/TestBatch_JoinOn_Fill.0.brpl")
+    raw_m = replay_brpl(spark, f"{FIXTURES}/TestBatch_JoinOn_Fill.1.brpl")
+
+    def pick(raw, fld, tags):
+        return raw.select(
+            "time", *[F.col("tags")[t].alias(t) for t in tags],
+            F.col("fields_f")[fld].alias(fld),
+        )
+
+    golden = {
+        ("A", "/"): [(0, 50.0, 0.0), (1, 60.0, 0.0), (2, 70.0, 0.0), (3, 80.0, 1.0)],
+        ("A", "/tmp"): [(0, 40.0, 0.0), (1, 30.0, 0.0), (2, 20.0, 0.0), (3, 10.0, 1.0)],
+    }
+    # the disk side may live in file 0 or 1 depending on recording order
+    disk_raw, maint_raw = raw_d, raw_m
+    if disk_raw.filter(F.col("fields_f")["used_percent"].isNotNull()).count() == 0:
+        disk_raw, maint_raw = raw_m, raw_d
+    for fill in ("null", 0.0):
+        j2 = (
+            Pipeline.from_df(
+                pick(disk_raw, "used_percent", ("host", "path")),
+                time_col="time", dims=("host", "path"),
+            )
+            .join(
+                Pipeline.from_df(
+                    pick(maint_raw, "count", ("host",)),
+                    time_col="time", dims=("host",),
+                ),
+                prefixes=("disk", "maintlock"), delimiter=".",
+                on=("host",), tolerance="1s", fill=fill, stream_name="disk",
+            )
+            .default(**{"maintlock.count": 0.0})
+        )
+        rows = j2.result().filter("time < '1971-01-01 00:00:04'").collect()
+        got2 = {}
+        for r in rows:
+            got2.setdefault((r["host"], r["path"]), []).append(
+                (r.time.second, r["disk.used_percent"], r["maintlock.count"])
+            )
+        assert {k: sorted(v) for k, v in got2.items()} == golden, fill
+
+
+def test_batch_group_by_time_offset_fixture(spark):
+    """TestBatch_GroupBy_TimeOffset (batcher_test.go:1044): groupBy(
+    time(2s, 1s), 'cpu') — the 1s offset puts bucket starts on the odd
+    grid, and the 20s window's bucket count is the golden 10 per cpu."""
+    raw = _batch_pts(spark, "TestBatch_SimpleMR.0.brpl", field="mean", tags=("cpu",))
+    # the reference's 20s output window covers the last two 10s batches —
+    # filter the POINTS (buckets are assigned inside the window)
+    p = Pipeline.from_df(
+        raw.select("time", "cpu", "mean").filter(
+            "time >= '1971-01-01 00:00:10'"
+        ),
+        time_col="time", dims=("cpu",),
+    )
+    bucketed = (
+        p.window_time("2s", offset="1s", emit="start")
+        .count("mean", as_="count")
+        .result()
+    )
+    # offset buckets start on odd seconds only
+    assert bucketed.filter(F.second("time") % 2 == 0).count() == 0
+    per_cpu = {
+        r["cpu"]: r["s"]
+        for r in bucketed.groupBy("cpu").agg(F.sum("count").alias("s")).collect()
+    }
+    assert per_cpu == {"cpu-total": 10, "cpu0": 10, "cpu1": 10}
+
+
+def test_batch_delete_group_by_fixture(spark):
+    """TestBatch_Delete_GroupBy (batcher_test.go:894): deleting the 'dc'
+    TAG regroups the batch, the deleted 'mean' FIELD comes back via
+    default(10.0), and the per-batch sum is the golden 50."""
+    raw = replay_brpl(spark, f"{FIXTURES}/TestBatch_Delete_GroupBy.0.brpl")
+    pts = raw.select(
+        "batch_id", "time",
+        F.col("tags")["dc"].alias("dc"),
+        F.col("fields_f")["mean"].alias("mean"),
+    )
+    p = Pipeline.from_df(pts, time_col="time", dims=("batch_id", "dc"))
+    out = p.delete("mean", "dc").default(mean=10.0).sum("mean", as_="sum")
+    sums = {r["batch_id"]: r["sum"] for r in out.result().collect()}
+    assert sums == {0: 50.0, 1: 50.0}
+
+
+def test_batch_derivative_as_fixture(spark):
+    """TestBatch_DerivativeAs (batcher_test.go:243): .as('derivative')
+    keeps the source field beside the rate — the four golden
+    (time, derivative, value) rows."""
+    d = _batch_pts(spark, "TestBatch_Derivative.0.brpl").filter("value IS NOT NULL")
+    out = (
+        Pipeline.from_df(d, time_col="time", dims=("batch_id",))
+        .derivative("value", as_="derivative")
+        .result().orderBy("time").collect()
+    )
+    assert [(r.time.replace(tzinfo=Z), r["derivative"], r["value"]) for r in out] == [
+        (_ts(2), 0.5, 1001.0), (_ts(4), 0.5, 1002.0),
+        (_ts(6), 0.5, 1003.0), (_ts(8), 1.0, 1005.0),
+    ]
+
+
+def test_batch_alert_duration_fixture(spark):
+    """TestBatch_AlertDuration (batcher_test.go:1179): batch alert events
+    are timed at the batch's FIRST critical point, and durationField
+    counts from the episode's first event — cpu1's three critical batches
+    carry durations 0s, 4s, and the golden 14s."""
+    pts = _batch_pts(spark, "TestBatch_SimpleMR.0.brpl", field="mean", tags=("cpu",))
+    p = Pipeline.from_df(pts, time_col="time", dims=("batch_id", "cpu"))
+    out = (
+        p.alert_batch(crit="mean > 95", batch_key="batch_id",
+                      duration_field="duration")
+        .result().filter("cpu = 'cpu1'").orderBy("time").collect()
+    )
+    S = 1_000_000_000
+    assert [
+        (r.time.replace(tzinfo=Z), r["level"], r["duration"]) for r in out
+    ] == [
+        (_ts(6), "CRITICAL", 0),
+        (_ts(10), "CRITICAL", 4 * S),
+        (_ts(20), "CRITICAL", 14 * S),
     ]

@@ -177,3 +177,73 @@ def test_http_post_tolerant_covers_template_errors(pts, capsys):
     )
     with pytest.raises(KeyError):
         strict(rows)
+
+
+def test_alert_event_handlers_log_exec_tcp_post(pts, tmp_path):
+    """The alert-event delivery handlers, mirroring the reference's
+    TestStream_AlertLog / TestStream_AlertExec / TestStream_AlertTCP /
+    TestStream_AlertHTTPPost / TestStream_AlertHTTPPostEndpoint /
+    TestBatch_HttpPost / TestBatch_HttpPost_URL_Template /
+    TestBatch_AlertPost_Timeout: alert output rows flow to a JSONL log, a
+    subprocess stdin, a TCP socket, and (templated-URL, tolerant-timeout)
+    HTTP posts."""
+    import socket
+    import threading
+
+    from kapacitor_spark.sinks import (
+        apply_sink, exec_handler, http_post, log_handler, tcp_handler,
+    )
+
+    alerts = (
+        Pipeline.from_df(pts, time_col="t", dims=("host",))
+        .alert(crit="value >= 8", state_changes_only=True)
+        .result()
+        .filter("level = 'CRITICAL'")
+    )
+
+    # log handler (TestStream_AlertLog): one JSON object per event
+    log_path = tmp_path / "alert_log.jsonl"
+    apply_sink(alerts, log_handler(str(log_path)))
+    lines = [json.loads(l) for l in log_path.read_text().splitlines()]
+    assert all(l["level"] == "CRITICAL" for l in lines) and lines
+
+    # exec handler (TestStream_AlertExec): events on the child's stdin
+    out_path = tmp_path / "alert_exec.out"
+    apply_sink(alerts, exec_handler(["sh", "-c", f"cat >> {out_path}"]))
+    assert "CRITICAL" in out_path.read_text()
+
+    # tcp handler (TestStream_AlertTCP): newline-delimited JSON
+    received = []
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+
+    def accept_loop():
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            with conn:
+                buf = b""
+                while True:
+                    chunk = conn.recv(4096)
+                    if not chunk:
+                        break
+                    buf += chunk
+                received.append(buf)
+
+    th = threading.Thread(target=accept_loop, daemon=True)
+    th.start()
+    apply_sink(alerts, tcp_handler("127.0.0.1", port))
+    srv.close()
+    th.join(timeout=5)
+    events = [json.loads(l) for b in received for l in b.splitlines() if l.strip()]
+    assert events and all(e["level"] == "CRITICAL" for e in events)
+
+    # http post with a templated URL (TestBatch_HttpPost_URL_Template) and
+    # timeout tolerance (TestBatch_AlertPost_Timeout): the unreachable
+    # endpoint must not kill the partition when tolerant
+    send = http_post("http://127.0.0.1:1/alert/{host}", tolerant=True)
+    send(alerts.collect())  # must not raise

@@ -770,3 +770,100 @@ batch
             sources={"cpu": empty},
             time_col="time",
         )
+
+
+def test_kapacitor_loopback_prevent_loop(spark):
+    """TestStream_KapacitorLoopback_PreventLoop (streamer_test.go): a
+    loopback into the DBRP the task subscribes to must be rejected at
+    task-build time."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.tick import TickError, run_tickscript
+
+    pts = (
+        spark.range(3)
+        .select(
+            F.current_timestamp().alias("time"),
+            F.lit("h").alias("host"),
+            F.col("id").cast("double").alias("value"),
+        )
+    )
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .where(lambda: "host" == 'serverA')
+    |kapacitorLoopback()
+        .database('dbname')
+        .retentionPolicy('rpname')
+"""
+    with _pytest.raises(TickError, match="loop"):
+        run_tickscript(script, sources={"cpu": pts}, time_col="time",
+                       dbrp="dbname.rpname")
+    # a different target DBRP is fine and registers the loopback output
+    outs = run_tickscript(script, sources={"cpu": pts}, time_col="time",
+                          dbrp="other.rp")
+    assert "loopback:dbname.rpname" in outs
+
+
+def test_batch_invalid_query(spark):
+    """TestBatch_InvalidQuery (batcher_test.go): query() must be exactly
+    one SELECT statement — multi-statement injection and non-SELECT
+    statements are rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.tick import TickError, run_tickscript
+
+    pts = spark.range(3).select(
+        F.current_timestamp().alias("time"),
+        F.col("id").cast("double").alias("value"),
+    )
+    for q, msg in [
+        ("SELECT value FROM db.rp.m; DROP DATABASE _internal",
+         "single select statement"),
+        ("DROP DATABASE _internal", "not a select statement"),
+    ]:
+        with _pytest.raises(TickError, match=msg):
+            run_tickscript(
+                f"""
+batch
+    |query('{q}')
+        .period(1s)
+        .every(1s)
+    |httpOut('out')
+""",
+                sources={"m": pts},
+                time_col="time",
+            )
+
+
+def test_influxql_missing_value_batch(spark):
+    """TestStream_InfluxQLNodeMissingValue_Batch (streamer_test.go):
+    aggregating a field the points don't carry yields an EMPTY result,
+    not an error."""
+    import datetime as dt
+
+    from kapacitor_spark.tick import run_tickscript
+
+    rows = [
+        (dt.datetime(1971, 1, 1, 0, 0, s, tzinfo=dt.timezone.utc), 1000.0 + s)
+        for s in range(12)
+    ]
+    pts = spark.createDataFrame(rows, "time timestamp, value double")
+    outs = run_tickscript(
+        """
+stream
+    |from().measurement('packets')
+    |derivative('value')
+    |window()
+        .period(10s)
+        .every(10s)
+    |mean('is_missing_value')
+    |httpOut('TestStream_InfluxQLNodeMissingValue')
+""",
+        sources={"packets": pts},
+        time_col="time",
+    )
+    assert outs["TestStream_InfluxQLNodeMissingValue"].count() == 0
