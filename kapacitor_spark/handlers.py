@@ -46,6 +46,9 @@ __all__ = [
     "hipchat_payload",
     "discord_payload",
     "talk_payload",
+    "email_message",
+    "snmptrap_varbinds",
+    "kafka_record",
     "post_payload",
 ]
 
@@ -546,6 +549,90 @@ def bigpanda_payload(
     for k, v in (attributes or {}).items():
         out.setdefault(k, v)
     return out
+
+
+def email_message(
+    ev: AlertEvent,
+    to: list[str],
+    from_: str,
+) -> "object":
+    """smtp/service.go: the alert email — Subject is the rendered alert
+    message, the HTML body is the alert's .details(), quoted-printable
+    text/html (golden TestStream_AlertEmail header set). Returns an
+    email.message.Message ready for smtplib.send_message."""
+    from email.charset import QP, Charset
+    from email.mime.text import MIMEText
+
+    cs = Charset("utf-8")
+    cs.body_encoding = QP
+    msg = MIMEText("", "html")
+    # drop the placeholder encoding header so set_payload's
+    # quoted-printable one is THE Content-Transfer-Encoding
+    del msg["Content-Transfer-Encoding"]
+    msg.set_payload(ev.details or ev.message, charset=cs)
+    msg.replace_header("Content-Type", "text/html; charset=UTF-8")
+    msg["To"] = ", ".join(to)
+    msg["From"] = from_
+    msg["Subject"] = ev.message
+    return msg
+
+
+# snmptrap/service.go type codes (handler .data(oid, type, value))
+_SNMP_TYPES = {
+    "c": "Counter64",
+    "i": "Integer",
+    "n": "Null",
+    "s": "OctetString",
+    "t": "TimeTicks",
+}
+_SNMP_SYSUPTIME_OID = "1.3.6.1.2.1.1.3.0"
+_SNMP_TRAP_OID = "1.3.6.1.6.3.1.1.4.1.0"
+
+
+def snmptrap_varbinds(
+    ev: AlertEvent,
+    trap_oid: str,
+    data: list[tuple],
+    uptime_ticks: int = 1000,
+) -> list[dict]:
+    """snmptrap/service.go Trap(): the SNMPv2 trap varbind list — sysUpTime
+    and snmpTrapOID first, then the handler's .data(oid, type, value)
+    rows with the reference's one-letter type codes (golden
+    TestStream_AlertSNMPTrap). Wire encoding (BER) is left to an SNMP
+    library; this is the exact payload contract."""
+    binds = [
+        {"oid": _SNMP_SYSUPTIME_OID, "type": "TimeTicks", "value": str(uptime_ticks)},
+        {"oid": _SNMP_TRAP_OID, "type": "Oid", "value": trap_oid},
+    ]
+    for oid, code, value in data:
+        if code not in _SNMP_TYPES:
+            raise ValueError(f"unknown snmp data type code {code!r}")
+        binds.append({"oid": oid, "type": _SNMP_TYPES[code], "value": value})
+    return binds
+
+
+def kafka_record(
+    ev: AlertEvent, topic: str, template_message: str | None = None
+) -> dict:
+    """kafka/service.go: one record per event — key is the alert ID
+    (partitioning key, golden TestStream_AlertKafka), value is the
+    rendered .template() or the full Go-marshaled alert.Data."""
+    if template_message is not None:
+        value = template_message
+    else:
+        value = _go_json(
+            {
+                "id": ev.id,
+                "message": ev.message,
+                "details": ev.details,
+                "time": ev.time,
+                "duration": ev.duration_ns,
+                "level": ev.level,
+                "data": ev.data,
+                "recoverable": ev.recoverable,
+            }
+        )
+    return {"topic": topic, "key": ev.id, "value": value}
 
 
 def post_payload(

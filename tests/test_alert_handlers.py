@@ -505,3 +505,74 @@ def test_victorops_json_data_full_name():
     """TestStream_AlertVictorOps_JSON_Data: with the json-data config the
     payload embeds the raw result object instead of a marshaled string."""
     assert victorops_payload(EV, json_data=True)["data"] is DATA
+
+
+def test_email_golden():
+    """TestStream_AlertEmail: Subject = message, quoted-printable
+    text/html body from .details(), joined To header."""
+    ev = AlertEvent(**{**EV.__dict__,
+                       "id": "kapacitor.cpu.serverA",
+                       "message": "kapacitor.cpu.serverA is CRITICAL",
+                       "details": '\n<b>kapacitor.cpu.serverA is CRITICAL</b>\n'
+                                  'Value: 10\n'
+                                  '<a href="http://graphs.example.com/host/serverA">'
+                                  'Details</a>\n'})
+    from kapacitor_spark.handlers import email_message
+
+    msg = email_message(ev, to=["user1@example.com", "user2@example.com"],
+                        from_="test@example.com")
+    assert msg["To"] == "user1@example.com, user2@example.com"
+    assert msg["From"] == "test@example.com"
+    assert msg["Subject"] == "kapacitor.cpu.serverA is CRITICAL"
+    assert msg["Content-Type"] == "text/html; charset=UTF-8"
+    assert msg["Content-Transfer-Encoding"] == "quoted-printable"
+    body = msg.get_payload()
+    # quoted-printable escapes '=' as =3D, the golden body's marker
+    assert 'href=3D"http://graphs.example.com/host/serverA"' in body
+
+
+def test_snmptrap_golden():
+    """TestStream_AlertSNMPTrap: sysUpTime + snmpTrapOID varbinds first,
+    then the .data() rows with c/i/n/s/t type codes — both golden trap
+    shapes."""
+    from kapacitor_spark.handlers import snmptrap_varbinds
+
+    b1 = snmptrap_varbinds(
+        EV, "1.1.1",
+        [("1.1.1.2", "c", "1"),
+         ("1.1.1.2", "s", "SNMP ALERT"),
+         ("1.1.1.2", "s", EV.message)],
+    )
+    assert b1 == [
+        {"oid": "1.3.6.1.2.1.1.3.0", "type": "TimeTicks", "value": "1000"},
+        {"oid": "1.3.6.1.6.3.1.1.4.1.0", "type": "Oid", "value": "1.1.1"},
+        {"oid": "1.1.1.2", "type": "Counter64", "value": "1"},
+        {"oid": "1.1.1.2", "type": "OctetString", "value": "SNMP ALERT"},
+        {"oid": "1.1.1.2", "type": "OctetString",
+         "value": "kapacitor/cpu/serverA is CRITICAL"},
+    ]
+    b2 = snmptrap_varbinds(
+        EV, "1.1.2",
+        [("1.1.2.3", "i", "10"), ("1.1.2.3", "n", ""),
+         ("1.1.2.3", "t", "20000"), ("1.1.2.3", "s", "here/cpu")],
+    )
+    assert [x["type"] for x in b2[2:]] == [
+        "Integer", "Null", "TimeTicks", "OctetString"
+    ]
+    with pytest.raises(ValueError, match="type code"):
+        snmptrap_varbinds(EV, "1.1.1", [("1.1.1.2", "x", "1")])
+
+
+def test_kafka_record_golden():
+    """TestStream_AlertKafka: key = alert id (the partitioning key),
+    value = the rendered template ('{{.Message}}' → the message)."""
+    from kapacitor_spark.handlers import kafka_record
+
+    r = kafka_record(EV, "testTopic", template_message=EV.message)
+    assert r == {
+        "topic": "testTopic",
+        "key": "kapacitor/cpu/serverA",
+        "value": "kapacitor/cpu/serverA is CRITICAL",
+    }
+    full = kafka_record(EV, "t")
+    assert json.loads(full["value"])["level"] == "CRITICAL"

@@ -892,8 +892,11 @@ def test_stream_eval_keep_fixtures(spark):
 
 
 def test_stream_eval_tags_fixtures(spark):
-    """TestStream_Eval_Tags (+_Keep/_KeepSome, streamer_test.go:2818-2932):
-    eval outputs converted to TAGS become string-typed group dims."""
+    """TestStream_Eval_Tags / TestStream_Eval_Tags_Keep /
+    TestStream_Eval_Tags_KeepSome (streamer_test.go:2818-2932): eval
+    outputs converted to TAGS become string-typed group dims; the keep
+    list controls which FIELDS ride along (KeepSome golden: columns
+    another+value per value_tag group)."""
     raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Eval_Tags.srpl")
     types = promote(raw, "types", float_fields=["value", "another"])
 
@@ -907,6 +910,14 @@ def test_stream_eval_tags_fixtures(spark):
     assert all(isinstance(k, str) for k in rows)
     assert rows["0"]["another"] == 2.0 and rows["0"]["value"] == 0.0
     assert rows["1"]["another"] == 2.0 and rows["1"]["value"] == 1.0
+
+    # Tags_Keep: keep() retains everything, including the stringified
+    # eval output as a regular field beside the tag copy
+    pk = Pipeline.from_df(types, time_col="time").eval(
+        keep=True, tags=("value_tag",), value_tag='lambda: string("value")'
+    )
+    rk = {r["value_tag"]: r for r in pk.result().collect()}
+    assert set(rk) == {"0", "1"} and all(r["another"] == 2.0 for r in rk.values())
 
 
 def test_stream_eval_groups_and_div_zero_fixtures(spark):
@@ -2670,7 +2681,8 @@ stream
 
 
 def test_stream_shift_batch_fixtures(spark):
-    """TestStream_ShiftBatch / TestStream_ShiftNegative (streamer_test.go:2501,2553):
+    """TestStream_ShiftBatch / TestStream_ShiftNegative /
+    TestStream_ShiftBatchNegative (streamer_test.go:2501,2553,2605):
     a window-count stream joined against its own ±period-shifted copy —
     current window [5,10) holds 5 serverA points, the shifted past window
     holds 4, diff 1. (Reference emits at window stop; this engine labels
@@ -3957,3 +3969,48 @@ def test_batch_alert_duration_fixture(spark):
         (_ts(10), "CRITICAL", 4 * S),
         (_ts(20), "CRITICAL", 14 * S),
     ]
+
+
+def test_batch_kapacitor_loopback_fixture(spark):
+    """TestBatch_KapacitorLoopback (streamer_test.go:12136): a WINDOWED
+    loopback task re-injects its batches under new-dbname.new-rpname and
+    a second task counts them in 10s windows — golden count=4 in the
+    [0s, 10s) window (points at shifted 0,1,2,9; the reference labels it
+    at the 10s stop, this engine at the start)."""
+    from kapacitor_spark.tick import run_tickscript
+
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_KapacitorLoopback.srpl")
+    cpu = promote(raw.filter("name = 'cpu'"), "cpu", float_fields=["value"])
+    outs1 = run_tickscript(
+        """
+stream
+    |from()
+        .measurement('cpu')
+    |window()
+        .every(5s)
+        .period(5s)
+    |kapacitorLoopback()
+        .database('new-dbname')
+        .retentionPolicy('new-rpname')
+""",
+        sources={"cpu": cpu}, time_col="time", dbrp="dbname.rpname",
+    )
+    looped = outs1["loopback:new-dbname.new-rpname"]
+    outs2 = run_tickscript(
+        """
+stream
+    |from()
+        .measurement('cpu')
+    |window()
+        .every(10s)
+        .period(10s)
+    |count('value')
+    |httpOut('TestStream_KapacitorLoopback')
+""",
+        sources={"cpu": looped}, time_col="time", dbrp="new-dbname.new-rpname",
+    )
+    got = {
+        r.time.replace(tzinfo=Z): r["count"]
+        for r in outs2["TestStream_KapacitorLoopback"].collect()
+    }
+    assert got[_ts(0)] == 4
