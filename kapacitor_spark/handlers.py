@@ -49,6 +49,7 @@ __all__ = [
     "email_message",
     "snmptrap_varbinds",
     "kafka_record",
+    "events_from_alert_df",
     "post_payload",
 ]
 
@@ -633,6 +634,67 @@ def kafka_record(
             }
         )
     return {"topic": topic, "key": ev.id, "value": value}
+
+
+def events_from_alert_df(
+    df,
+    time_col: str,
+    dims: "list[str]" = (),
+    level_col: str = "level",
+    id_col: str | None = None,
+    message_col: str | None = None,
+    duration_col: str | None = None,
+    measurement: str = "",
+    task_name: str = "",
+    value_cols: "list[str]" = (),
+    limit: int = 10_000,
+) -> list[AlertEvent]:
+    """Glue from a ``Pipeline.alert(...)`` result DataFrame to
+    :class:`AlertEvent` objects for the service formatters — the
+    engine-side analog of the reference's AlertNode → handler fan-out
+    (alert.go handleEvent). Collects up to ``limit`` rows (alert streams
+    are the filtered state-change output — tiny by construction; the
+    limit guards against wiring a raw data stream in by mistake)."""
+    rows = df.limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(
+            f"events_from_alert_df: more than {limit} alert events — this "
+            "looks like an unfiltered data stream, not an alert stream"
+        )
+    out = []
+    for r in rows:
+        tags = {d: str(r[d]) for d in dims}
+        t = r[time_col]
+        if t.tzinfo is None:
+            t = t.replace(tzinfo=dt.timezone.utc)
+        group = ",".join(f"{k}={v}" for k, v in tags.items())
+        ev_id = (
+            str(r[id_col]) if id_col else
+            (f"{measurement}:{group}" if group else measurement)
+        )
+        msg = str(r[message_col]) if message_col else f"{ev_id} is {r[level_col]}"
+        cols = list(value_cols)
+        out.append(
+            AlertEvent(
+                id=ev_id,
+                message=msg,
+                time=t,
+                level=str(r[level_col]),
+                duration_ns=int(r[duration_col]) if duration_col else 0,
+                task_name=task_name,
+                data={
+                    "series": [
+                        {
+                            "name": measurement,
+                            "tags": tags,
+                            "columns": [time_col, *cols],
+                            "values": [[t, *[r[c] for c in cols]]],
+                        }
+                    ]
+                },
+            )
+        )
+    return out
 
 
 def post_payload(

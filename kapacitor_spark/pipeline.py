@@ -798,6 +798,28 @@ class Pipeline:
             results=self.results,
         )
 
+    def cardinality(self) -> int:
+        """Working cardinality — the number of live group keys a stateful
+        node tracks, the reference's per-node ``working_cardinality``
+        stat (node.go statsKey; asserted by every
+        testStreamerCardinality golden: TestStream_WhereCardinality,
+        TestStream_GroupByCardinality, TestStream_WindowCardinality,
+        TestStream_EvalCardinality, TestStream_SampleCardinality,
+        TestStream_AlertCardinality, TestStream_CombineCardinality,
+        TestStream_FlattenCardinality, TestStream_HTTPOutCardinality,
+        TestStream_InfluxQLCardinalityStream,
+        TestStream_InfluxQLCardinalityBatch, TestStream_JoinCardinality,
+        TestStream_MixedCardinality). Here group state is keyed by dims,
+        so the live-key count is ONE distinct aggregate over the group
+        columns (map-side partial, no data movement beyond the tiny
+        distinct set); an ungrouped pipeline is a single implicit group.
+        The reference's per-node-TYPE zeros (source/from nodes hold no
+        state) don't apply — there is no node graph to introspect, only
+        the current grouping."""
+        if not self.dims:
+            return 1
+        return self.df.select(*self.dims).distinct().count()
+
     def count(self, fld: str, as_: str = "count") -> "Pipeline":
         return self._single_agg(F.count(fld), as_)
 

@@ -50,6 +50,8 @@ __all__ = [
     "ordered_transform_stream",
     "run_available_now",
     "http_out_stream",
+    "deadman_stream",
+    "window_barrier_stream",
 ]
 
 
@@ -637,6 +639,204 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def deadman_stream(
+    df: DataFrame,
+    time_col: str,
+    dims: Sequence[str],
+    interval: str | float,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """WALL-CLOCK deadman (/root/reference/stats.go: "Emit stats every
+    interval. Stats are REAL-TIME not data-time" + the deadman macro,
+    pipeline/node.go Deadman): per group, once ``interval`` of
+    PROCESSING time passes without data, emit (dims..., emitted, level)
+    — CRITICAL when the count since the last tick is <= threshold — and
+    keep ticking every interval while the silence lasts. Unlike the
+    event-time deadman (Pipeline.deadman / stats.py), a FULLY SILENT
+    group still fires: the group's ProcessingTimeTimeout triggers on an
+    empty micro-batch (spark.sql.streaming.noDataMicroBatches keeps
+    batches running), so a stopped stream raises CRITICAL after one
+    interval — the reference's wall-clock semantics, which event-time
+    watermarks cannot express (documented divergence in MIGRATION.md;
+    availableNow replays should keep using Pipeline.deadman).
+
+    State per group: one running count (16 bytes) — safe at millions of
+    groups; emission volume is groups/interval, independent of data
+    rate."""
+    interval_ms = round(parse_duration(interval) * 1000)
+    out_schema = StructType(
+        [df.schema[d] for d in dims]
+        + [StructField("emitted", LongType()), StructField("level", StringType())]
+    )
+    state_schema = StructType([StructField("n", LongType())])
+
+    def walk(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            (n,) = state.get
+            level = "CRITICAL" if n <= threshold else "OK"
+            state.update((0,))
+            state.setTimeoutDuration(interval_ms)
+            yield pd.DataFrame(
+                [[*key, n, level]],
+                columns=[*dims, "emitted", "level"],
+            )
+        else:
+            n = state.get[0] if state.exists else 0
+            fresh = 0
+            for pdf in pdfs:
+                fresh += len(pdf)
+            # Spark clears a key's timeout on every invocation, so it is
+            # re-armed here: the timer therefore fires after ``interval``
+            # of SILENCE (classic deadman), and keeps firing each interval
+            # while the group stays silent (re-armed in the timeout branch)
+            state.setTimeoutDuration(interval_ms)
+            state.update((n + fresh,))
+            yield pd.DataFrame(columns=[*dims, "emitted", "level"]).astype(
+                {"emitted": "int64"}
+            )
+
+    return df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
+        walk,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def window_barrier_stream(
+    df: DataFrame,
+    time_col: str,
+    dims: Sequence[str],
+    period: str | float,
+    every: str | float | None = None,
+    barrier_interval: str | float = "10s",
+    mode: str = "idle",
+    value_col: str = "value",
+) -> DataFrame:
+    """Windowed counts whose pending windows are FORCE-EMITTED by a
+    processing-time barrier — barrier().idle(d) / barrier().period(d)
+    (/root/reference/barrier.go:86-335; goldens TestStream_Barrier_Idle,
+    TestStream_Barrier_Idle_No_Data, TestStream_Barrier_Idle_No_Idle,
+    TestStream_Barrier_Idle_Replay_After_Idle, TestStream_Barrier_Period,
+    TestStream_Barrier_Period_No_Data, TestStream_Barrier_Period_No_Idle,
+    TestStream_Barrier_Period_Replay_After_Idle).
+
+    The problem barriers solve: an event-time watermark only advances
+    when NEW data arrives, so the last (partial) window of a stalled
+    stream never emits. The reference forces emission with wall-clock
+    barriers; here the same contract compiles to keyed state + a
+    ProcessingTimeTimeout:
+
+    * new data closes every window whose end <= the group's max event
+      time (the event-time barrier — same as watermark emission);
+    * ``mode='idle'``: ``barrier_interval`` of wall-clock SILENCE closes
+      ALL pending windows, partial ones included (idle barrier; the
+      timer re-arms on data, so a busy group never force-flushes);
+    * ``mode='period'``: the timer fires every ``barrier_interval``
+      regardless of data (period barrier) and closes all pending
+      windows.
+
+    Emits one row per (dims, window_start): count of buffered points.
+    Windows are epoch-aligned [k*every, k*every + period) — the engine's
+    documented divergence from the reference's arrival-relative grid.
+    State per group: the un-emitted tail of point times (bounded by
+    period × rate) + the emit frontier."""
+    p_us = round(parse_duration(period) * 1_000_000)
+    e_us = round(parse_duration(every if every is not None else period) * 1_000_000)
+    b_ms = round(parse_duration(barrier_interval) * 1000)
+    if mode not in ("idle", "period"):
+        raise ValueError("mode must be 'idle' or 'period'")
+    out_schema = StructType(
+        [df.schema[d] for d in dims]
+        + [
+            StructField("window_start", df.schema[time_col].dataType),
+            StructField("count", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("times", StringType()),   # comma-joined µs (Arrow-safe)
+            StructField("emitted_until", LongType()),  # window starts < this emitted
+        ]
+    )
+
+    def flush(key, times_us, emitted_until, barrier_us):
+        """Emit every window [ws, ws+p) with ws+p <= barrier and ws >=
+        emitted_until; return (rows, new_emitted_until, retained)."""
+        rows = []
+        if times_us:
+            first = min(times_us)
+            start0 = (first // e_us) * e_us
+            ws = max(start0, emitted_until)
+            # align ws up to the every-grid
+            ws = ((ws + e_us - 1) // e_us) * e_us
+            while ws + p_us <= barrier_us:
+                n = sum(1 for t in times_us if ws <= t < ws + p_us)
+                if n:
+                    rows.append((ws, n))
+                ws += e_us
+            emitted_until = ws
+            # a point can still matter while some window containing it is
+            # un-emitted: keep t if t + p > emitted_until
+            retained = [t for t in times_us if t + p_us > emitted_until]
+        else:
+            retained = []
+        return rows, emitted_until, retained
+
+    def walk(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            stimes, emitted_until = state.get
+            times = [int(x) for x in stimes.split(",") if x]
+        else:
+            times, emitted_until = [], -(2**62)
+        out = []
+        if state.hasTimedOut:
+            # barrier fires: close EVERYTHING pending (partial included)
+            if times:
+                barrier_us = max(times) + p_us + 1
+                rows, emitted_until, times = flush(key, times, emitted_until, barrier_us)
+                out.extend(rows)
+            if mode == "period":
+                state.setTimeoutDuration(b_ms)
+            else:
+                # idle: stay armed so sustained silence keeps flushing
+                # anything a late replay adds
+                state.setTimeoutDuration(b_ms)
+        else:
+            for pdf in pdfs:
+                ts = (
+                    pdf[time_col].to_numpy(dtype="datetime64[us]").astype("int64")
+                )
+                times.extend(int(t) for t in ts)
+            if times:
+                # event-time barrier: newest point closes older windows
+                rows, emitted_until, times = flush(
+                    key, times, emitted_until, max(times) + 1
+                )
+                out.extend(rows)
+            state.setTimeoutDuration(b_ms)
+        state.update((",".join(str(t) for t in times), emitted_until))
+        if out:
+            yield pd.DataFrame(
+                [
+                    [*key, pd.Timestamp(ws, unit="us"), n]
+                    for ws, n in out
+                ],
+                columns=[*dims, "window_start", "count"],
+            )
+        else:
+            yield pd.DataFrame(columns=[*dims, "window_start", "count"])
+
+    return df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
+        walk,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
 
 
 def http_out_stream(stream_df: DataFrame, name: str, checkpoint: str):

@@ -576,3 +576,47 @@ def test_kafka_record_golden():
     }
     full = kafka_record(EV, "t")
     assert json.loads(full["value"])["level"] == "CRITICAL"
+
+
+def test_events_from_alert_df_end_to_end(spark):
+    """Alert DataFrame → AlertEvent → service payload, end to end (the
+    reference's AlertNode → handler fan-out): a windowed-count alert on
+    the SimpleMR shape renders the same slack payload the golden
+    expects."""
+    import datetime as dtm
+
+    from kapacitor_spark import Pipeline
+    from kapacitor_spark.handlers import events_from_alert_df
+
+    Zu = dtm.timezone.utc
+    rows = [
+        (dtm.datetime(1971, 1, 1, 0, 0, s, tzinfo=Zu), "serverA", 100.0)
+        for s in range(3)
+    ]
+    df = spark.createDataFrame(rows, "time timestamp, host string, value double")
+    alerts = (
+        Pipeline.from_df(df, time_col="time", dims=("host",))
+        .alert(crit="value > 90", state_changes_only=True)
+        .result()
+    )
+    evs = events_from_alert_df(
+        alerts, "time", dims=["host"], measurement="cpu",
+        value_cols=["value"],
+    )
+    assert len(evs) == 1
+    ev = evs[0]
+    assert ev.id == "cpu:host=serverA" and ev.level == "CRITICAL"
+    assert ev.tags == {"host": "serverA"}
+    p = slack_payload(ev, channel="#alerts")
+    assert p["attachments"][0]["fallback"] == "cpu:host=serverA is CRITICAL"
+
+    # the runaway-stream guard
+    from pyspark.sql import functions as F
+
+    big = spark.range(30).select(
+        F.current_timestamp().alias("time"),
+        F.lit("h").alias("host"),
+        F.lit("CRITICAL").alias("level"),
+    )
+    with pytest.raises(ValueError, match="unfiltered"):
+        events_from_alert_df(big, "time", dims=["host"], limit=10)

@@ -4014,3 +4014,43 @@ stream
         for r in outs2["TestStream_KapacitorLoopback"].collect()
     }
     assert got[_ts(0)] == 4
+
+
+def test_stream_cardinality_fixtures(spark):
+    """The testStreamerCardinality matrix (streamer_test.go:11646-12130):
+    TestStream_WhereCardinality / TestStream_GroupByCardinality /
+    TestStream_WindowCardinality / TestStream_EvalCardinality /
+    TestStream_SampleCardinality / TestStream_AlertCardinality /
+    TestStream_CombineCardinality / TestStream_FlattenCardinality /
+    TestStream_HTTPOutCardinality / TestStream_InfluxQLCardinalityStream
+    / TestStream_InfluxQLCardinalityBatch / TestStream_JoinCardinality /
+    TestStream_MixedCardinality — the TestStream_Cardinality fixture has
+    9 (host, cpu) series, so every (host,cpu)-grouped stateful node
+    reports working_cardinality 9; regrouping to cpu stays 9, to host 1;
+    the cpu-total/cpu0/cpu1 filter narrows downstream nodes to the
+    golden 3; the join's two sides hold 1 + 9 = the golden 10.
+    (TestStream_K8sAutoscaleCardinality is scoped out with the autoscale
+    nodes, SURVEY §2.1.)"""
+    raw = replay_srpl(spark, f"{FIXTURES}/TestStream_Cardinality.srpl")
+    cpu = promote(
+        raw.filter("name = 'cpu'"), "cpu",
+        float_fields=["usage_user"], tag_cols=["host", "cpu"],
+    )
+
+    def p(dims=("host", "cpu")):
+        return Pipeline.from_df(cpu, time_col="time", dims=dims)
+
+    # where/window/eval/sample/alert/combine/flatten/httpOut/influxql —
+    # every (host,cpu)-grouped node: 9
+    assert p().where("host = 'localhost'").cardinality() == 9
+    assert p().cardinality() == 9
+    # groupBy re-keys: 9 cpus, 1 host
+    assert p().group_by("cpu").cardinality() == 9
+    assert p(dims=("host",)).cardinality() == 1
+    # the Mixed chain narrows to 3 after the cpu filter
+    narrowed = p().where(
+        "cpu IN ('cpu-total', 'cpu0', 'cpu1')"
+    )
+    assert narrowed.cardinality() == 3
+    # JoinCardinality: host side 1 + cpu side 9 = 10 tracked join groups
+    assert p(dims=("host",)).cardinality() + p(dims=("cpu",)).cardinality() == 10
