@@ -171,3 +171,62 @@ def test_no_row_python_in_any_headline_plan(spark):
         assert "BatchEvalPython" not in plan, name
         if name not in arrow_ok:
             assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, name
+
+
+def test_lambda_scalar_suite_is_pure_codegen(spark):
+    """The merged scalar-lambda registry query (22 expressions) must be
+    one WholeStageCodegen projection — no Python, no shuffle."""
+    plan = plan_of(spark, "lambda_scalar_fns")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "codegen id" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_multimodal_decode_payload_built_jvm_side(spark):
+    """multimodal_decode builds its Netpbm payloads with concat/unhex IN
+    THE PLAN (no Python payload synthesis) and decodes with exactly one
+    Arrow-batched MapInPandas hop."""
+    plan = plan_of(spark, "multimodal_decode")
+    # one operator = one tree entry "MapInPandas (n)" (the node id also
+    # appears in the detail section as "(n) MapInPandas")
+    assert plan.count("MapInPandas (") == 1
+    assert "BatchEvalPython" not in plan
+    assert "unhex" in plan  # payload assembly is a column expression
+
+
+def test_point_transforms_no_python_no_cartesian(spark):
+    """The merged difference/cumsum/derivative/elapsed query: pure window
+    functions realigned by event_id equi-joins — no Python, never a
+    nested-loop join."""
+    plan = plan_of(spark, "point_transforms")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spread_median_stats_mode_join_broadcasts(spark):
+    """The deterministic-mode branch joins 5 rows a side — it must
+    broadcast, never shuffle the stats."""
+    plan = plan_of(spark, "spread_median_stats")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_probe_assignment_distributed(spark):
+    """VERDICT r3 #4 pinned at the plan level: ann_recall's IVF path must
+    not re-createDataFrame the query set on the driver (no
+    LocalTableScan feeding the probe join)."""
+    from kapacitor_spark.dataprep.similarity import ivf_topk
+    from kapacitor_spark.session import read_table
+
+    emb = read_table(spark, f"{SF_DIR}/embeddings.parquet")
+    df = ivf_topk(emb, emb.limit(8), k=3, n_lists=4, nprobe=2)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan
+    assert "LocalTableScan" not in plan
