@@ -2506,6 +2506,37 @@ def udf_moving_avg(spark, sf_dir):
     return out.select("ts", "user_id", "event_id", F.round("mavg", 6).alias("mavg"))
 
 
+@_q(
+    "dup_gram_stats",
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                  FROM documents),
+       s AS (SELECT doc_id,
+                    list_distinct(list_transform(range(0, greatest(len(t) - 8, 0) + 1),
+                        i -> array_to_string(list_slice(t, i + 1, i + 8), ' '))) AS sh
+             FROM t),
+       g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+       f AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+       d AS (SELECT g.doc_id,
+                    count(*) AS n_grams,
+                    sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS dup_grams
+             FROM g JOIN f USING (gram) GROUP BY g.doc_id)
+       SELECT doc_id, n_grams, CAST(dup_grams AS BIGINT) AS dup_grams,
+              round(CAST(dup_grams AS DOUBLE) / n_grams, 6) AS dup_fraction
+       FROM d""",
+)
+def dup_gram_stats(spark, sf_dir):
+    """Corpus-level duplicated-substring signal (Lee et al. 2021 adapted
+    to word 8-grams): per doc, the fraction of its distinct 8-grams
+    occurring in >= 2 documents corpus-wide. Grams shuffle as 64-bit
+    hashes only (dedup.hashed_shingles); the oracle recomputes with
+    string grams — identical up to 2^-64 collisions."""
+    from kapacitor_spark.dataprep.dedup import duplicated_gram_stats
+
+    return duplicated_gram_stats(
+        _t(spark, sf_dir, "documents"), k=8, min_docs=2
+    )
+
+
 # ===================================================================== #
 # scored-window curation
 # ===================================================================== #

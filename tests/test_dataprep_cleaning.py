@@ -200,3 +200,29 @@ def test_embedding_near_dup_crossjoin_guarded(spark):
     # under the cap the hatch still works
     small = big.limit(10)
     assert embedding_near_dup(small, block_col=None, threshold=0.99).count() == 45
+
+
+def test_duplicated_gram_stats_edges(spark):
+    """Corpus-level duplicated-gram fractions: twins share ALL grams, a
+    unique doc shares none, and a doc overlapping a twin pair partially
+    lands in between."""
+    from kapacitor_spark.dataprep.dedup import duplicated_gram_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),          # exact twin of 1
+            (3, "z y x w v"),          # unique
+            (4, "a b c d q"),          # shares gram 'a b c' (k=3) with 1/2
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["dup_grams"], r["dup_fraction"])
+        for r in duplicated_gram_stats(docs, k=3, min_docs=2).collect()
+    }
+    # k=3 over 5 tokens -> 3 grams per doc
+    assert out[1] == (3, 3, 1.0) and out[2] == (3, 3, 1.0)
+    assert out[3] == (3, 0, 0.0)
+    # doc 4: grams {abc, bcd, cdq}; abc+bcd shared with the twins
+    assert out[4] == (3, 2, round(2 / 3, 6))
