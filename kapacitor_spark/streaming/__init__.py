@@ -647,6 +647,7 @@ def deadman_stream(
     dims: Sequence[str],
     interval: str | float,
     threshold: float = 0.0,
+    max_silent_intervals: int | None = None,
 ) -> DataFrame:
     """WALL-CLOCK deadman (/root/reference/stats.go: "Emit stats every
     interval. Stats are REAL-TIME not data-time" + the deadman macro,
@@ -662,28 +663,43 @@ def deadman_stream(
     watermarks cannot express (documented divergence in MIGRATION.md;
     availableNow replays should keep using Pipeline.deadman).
 
-    State per group: one running count (16 bytes) — safe at millions of
-    groups; emission volume is groups/interval, independent of data
-    rate."""
+    ``max_silent_intervals``: after this many consecutive silent ticks
+    the group's state is REMOVED (the reference's barrier().delete() /
+    DeleteGroup analog) — without it, every host that ever reported and
+    then vanished forever would alert forever and hold state forever;
+    with it, a departed group alerts for the grace window and is then
+    garbage-collected (it re-registers on its next point).
+
+    State per group: a running count + silent-tick counter (24 bytes) —
+    safe at millions of groups; emission volume is groups/interval,
+    independent of data rate."""
     interval_ms = round(parse_duration(interval) * 1000)
     out_schema = StructType(
         [df.schema[d] for d in dims]
         + [StructField("emitted", LongType()), StructField("level", StringType())]
     )
-    state_schema = StructType([StructField("n", LongType())])
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("silent", LongType())]
+    )
 
     def walk(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
-            (n,) = state.get
+            n, silent = state.get
             level = "CRITICAL" if n <= threshold else "OK"
-            state.update((0,))
-            state.setTimeoutDuration(interval_ms)
+            silent = silent + 1 if n <= threshold else 0
+            if max_silent_intervals is not None and silent >= max_silent_intervals:
+                # departed group: grace window exhausted — GC its state
+                # (it re-registers on its next point, like DeleteGroup)
+                state.remove()
+            else:
+                state.update((0, silent))
+                state.setTimeoutDuration(interval_ms)
             yield pd.DataFrame(
                 [[*key, n, level]],
                 columns=[*dims, "emitted", "level"],
             )
         else:
-            n = state.get[0] if state.exists else 0
+            n, silent = state.get if state.exists else (0, 0)
             fresh = 0
             for pdf in pdfs:
                 fresh += len(pdf)
@@ -692,7 +708,7 @@ def deadman_stream(
             # of SILENCE (classic deadman), and keeps firing each interval
             # while the group stays silent (re-armed in the timeout branch)
             state.setTimeoutDuration(interval_ms)
-            state.update((n + fresh,))
+            state.update((n + fresh, 0))
             yield pd.DataFrame(columns=[*dims, "emitted", "level"]).astype(
                 {"emitted": "int64"}
             )

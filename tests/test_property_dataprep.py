@@ -1,0 +1,132 @@
+"""Property-based tests for the dataprep algorithms: hypothesis generates
+random small corpora / pair sets and the Spark implementations must agree
+with independent pure-Python references (a dict-based gram counter, a
+union-find). This is the fuzz layer over the operators whose scored
+oracles only see the fixed testdata distributions.
+
+Cases are batched per Spark job (one createDataFrame per example would
+dominate runtime), so each @given example runs the REAL distributed code.
+"""
+
+import os
+import sys
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_token = st.sampled_from(["a", "b", "c", "dog", "cat", "x1"])
+_doc = st.lists(_token, min_size=0, max_size=12).map(" ".join)
+
+
+def _py_dup_gram_stats(texts, k, min_docs):
+    """Independent reference: dict-of-sets gram counting."""
+    import collections
+
+    def grams(t):
+        toks = t.strip().lower().split()
+        if not toks or toks == [""]:
+            toks = [""]
+        n = len(toks)
+        out = set()
+        for i in range(max(n - k, 0) + 1):
+            out.add(tuple(toks[i : i + k]))
+        return out
+
+    per_doc = {i: grams(t) for i, t in enumerate(texts)}
+    df_count = collections.Counter()
+    for gs in per_doc.values():
+        for g in gs:
+            df_count[g] += 1
+    res = {}
+    for i, gs in per_doc.items():
+        dup = sum(1 for g in gs if df_count[g] >= min_docs)
+        res[i] = (len(gs), dup)
+    return res
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_doc, min_size=1, max_size=10), st.integers(1, 4))
+def test_duplicated_gram_stats_matches_python_reference(spark, texts, k):
+    from kapacitor_spark.dataprep.dedup import duplicated_gram_stats
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dup_grams"])
+        for r in duplicated_gram_stats(df, k=k, min_docs=2).collect()
+    }
+    # whitespace-split of "" yields [""] both sides (one empty token)
+    exp = _py_dup_gram_stats(texts, k, 2)
+    assert got == exp
+
+
+def _py_components(pairs):
+    """Independent reference: union-find with path compression."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    return {x: find(x) for x in parent}
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_near_dup_clusters_matches_union_find(spark, pairs):
+    from kapacitor_spark.dataprep.dedup import near_dup_clusters
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["keeper"] for r in near_dup_clusters(df).collect()
+    }
+    assert got == _py_components(pairs)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_doc, min_size=1, max_size=8), st.lists(_doc, min_size=1, max_size=3))
+def test_decontaminate_matches_python_reference(spark, corpus, bench):
+    from kapacitor_spark.dataprep.dedup import decontaminate
+
+    k = 3
+
+    def grams(t):
+        toks = t.strip().lower().split() or [""]
+        n = len(toks)
+        return {tuple(toks[i : i + k]) for i in range(max(n - k, 0) + 1)}
+
+    bench_grams = set().union(*[grams(t) for t in bench])
+    exp_kept = sorted(
+        i for i, t in enumerate(corpus) if not (grams(t) & bench_grams)
+    )
+    cdf = spark.createDataFrame(list(enumerate(corpus)), "doc_id long, text string")
+    bdf = spark.createDataFrame(list(enumerate(bench)), "doc_id long, text string")
+    got = sorted(r["doc_id"] for r in decontaminate(cdf, bdf, n=k).collect())
+    assert got == exp_kept

@@ -747,3 +747,36 @@ def test_stream_barrier_period_forces_partial_windows(spark, tmp_path):
         q.stop()
     got = {r["window_start"].second: r["count"] for r in rows}
     assert got == {0: 14, 10: 11, 20: 1}
+
+
+def test_deadman_stream_gc_after_max_silent_intervals(spark, tmp_path):
+    """A departed group alerts for the grace window, then its state is
+    garbage-collected (barrier().delete()/DeleteGroup analog): with
+    max_silent_intervals=2 the silent group emits at most 2 CRITICAL
+    ticks and then goes quiet — state removed, no eternal alerting."""
+    import time
+
+    from kapacitor_spark.streaming import deadman_stream
+
+    path = str(tmp_path / "in_dmgc")
+    _write_batches(spark, path, [[("2024-01-01 00:00:00", "gone", 1.0)]])
+    src = spark.readStream.schema(SCHEMA).parquet(path)
+    out = deadman_stream(src, "t", ["host"], interval="1s",
+                         max_silent_intervals=2)
+    q = (
+        out.writeStream.format("memory").queryName("dmgc")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dmgc"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        # run long enough for ~6 intervals; only 2 critical ticks may land
+        deadline = time.time() + 12
+        while time.time() < deadline:
+            time.sleep(0.5)
+        rows = spark.table("dmgc").collect()
+    finally:
+        q.stop()
+    crit = [r for r in rows if r["level"] == "CRITICAL"]
+    assert 1 <= len(crit) <= 2, rows
