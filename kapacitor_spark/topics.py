@@ -19,7 +19,18 @@ from typing import Callable, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["TopicRegistry", "topic_state", "save_topic_state", "load_topic_state"]
+__all__ = [
+    "TopicRegistry",
+    "topic_state",
+    "save_topic_state",
+    "load_topic_state",
+    "aggregate_topic_events",
+    "publish_to_topics",
+    "match_filter",
+]
+
+# alert.Level severity order (reference alert/types.go)
+_LEVEL_SEVERITY = {"OK": 0, "INFO": 1, "WARNING": 2, "CRITICAL": 3}
 
 
 class TopicRegistry:
@@ -59,6 +70,127 @@ class TopicRegistry:
                     handler(matched)
 
         events.foreachPartition(per_partition)
+
+
+def aggregate_topic_events(
+    events: DataFrame,
+    interval: str | float,
+    time_col: str = "ts",
+    level_col: str = "level",
+    message_col: str | None = None,
+    duration_col: str | None = None,
+    agg_id: str = "aggregate",
+    out_topic: str | None = None,
+    message_template: str = "Received {count} events in the last {interval}.",
+) -> DataFrame:
+    """The topic AGGREGATE handler (/root/reference/services/alert/
+    handlers.go:199-306 aggregateHandler.run): collapse each interval's
+    events into ONE event whose level/time/duration are the interval
+    maxima, whose message is the count template, and whose details join
+    the member messages. The reference ticks on a wall clock; here the
+    interval is an event-time bucket (the engine's time-is-data-time
+    contract), which a live deployment can drive with
+    streaming.window_barrier_stream.
+
+    One hash-aggregate per interval bucket — map-side combine, no
+    per-event Python."""
+    from kapacitor_spark.durations import parse_duration
+
+    us = round(parse_duration(interval) * 1_000_000)
+    bucket = F.timestamp_micros(
+        F.unix_micros(F.col(time_col)) - F.unix_micros(F.col(time_col)) % F.lit(us)
+    )
+    sev = F.lit(0)
+    for name, rank in _LEVEL_SEVERITY.items():
+        sev = F.when(F.col(level_col) == name, rank).otherwise(sev)
+    aggs = [
+        F.count(F.lit(1)).alias("count"),
+        F.max_by(F.col(level_col), sev).alias(level_col),
+        F.max(time_col).alias(time_col),
+    ]
+    if duration_col:
+        aggs.append(F.max(duration_col).alias(duration_col))
+    if message_col:
+        aggs.append(
+            F.concat_ws("\n", F.collect_list(message_col)).alias("details")
+        )
+    out = (
+        events.withColumn("__b", bucket)
+        .groupBy("__b")
+        .agg(*aggs)
+        .withColumn("id", F.lit(agg_id))
+        .withColumn(
+            "message",
+            F.format_string(
+                message_template.replace("{count}", "%s").replace(
+                    "{interval}", interval if isinstance(interval, str) else str(interval)
+                ),
+                F.col("count"),
+            ),
+        )
+        .drop("__b")
+    )
+    if out_topic is not None:
+        out = out.withColumn("topic", F.lit(out_topic))
+    return out
+
+
+def publish_to_topics(
+    events: DataFrame, topics: Sequence[str], topic_col: str = "topic"
+) -> DataFrame:
+    """The topic PUBLISH handler (/root/reference/services/alert/
+    handlers.go:313-345 publishHandler): re-publish every event to each
+    of ``topics`` — a small explode over the (tiny) event stream."""
+    arr = F.array(*[F.lit(t) for t in topics])
+    return events.drop(topic_col).withColumn(topic_col, F.explode(arr))
+
+
+def match_filter(
+    events: DataFrame,
+    match: str,
+    level_col: str = "level",
+    prev_level_col: str | None = None,
+    name_col: str = "name",
+    duration_col: str | None = None,
+    task_name: str = "",
+) -> DataFrame:
+    """The handler MATCH condition (/root/reference/services/alert/
+    handlers.go:386-460 matchHandler): a lambda over event attributes —
+    ``level()``, ``changed()``, ``name()``, ``taskName()``,
+    ``duration()`` and the OK/INFO/WARNING/CRITICAL identifiers — that
+    gates which events reach a handler. Compiles to one Column filter:
+
+        match_filter(ev, "level() == CRITICAL")
+        match_filter(ev, "changed() == TRUE", prev_level_col="prev")
+    """
+    sev = F.lit(0)
+    for name, rank in _LEVEL_SEVERITY.items():
+        sev = F.when(F.col(level_col) == name, rank).otherwise(sev)
+    import re
+
+    expr = match
+    expr = re.sub(r"\blevel\(\)", "__sev", expr)
+    if "changed()" in expr:
+        if prev_level_col is None:
+            raise ValueError(
+                "match uses changed() — pass prev_level_col (the previous "
+                "level column, e.g. from a lag window)"
+            )
+        expr = expr.replace(
+            "changed()", f"({level_col} != {prev_level_col})"
+        )
+    expr = re.sub(r"\bname\(\)", name_col, expr)
+    expr = re.sub(r"\btaskName\(\)", f"'{task_name}'", expr)
+    if "duration()" in expr:
+        if duration_col is None:
+            raise ValueError("match uses duration() — pass duration_col")
+        expr = expr.replace("duration()", duration_col)
+    for name, rank in _LEVEL_SEVERITY.items():
+        expr = re.sub(rf"\b{name}\b", str(rank), expr)
+    expr = re.sub(r"\bTRUE\b", "true", expr)
+    expr = re.sub(r"\bFALSE\b", "false", expr)
+    expr = expr.replace("==", "=")
+    return events.withColumn("__sev", sev).filter(F.expr(expr)).drop("__sev")
 
 
 def topic_state(

@@ -534,3 +534,74 @@ def test_window_count_stream_vectorized(spark, tmp_path, agg):
             since = 0
             expect.append((i, float(fns[agg](ring))))
     assert got == expect
+
+
+# ------------------------------------------------------------------ #
+# topic handler actions (services/alert/handlers.go)
+# ------------------------------------------------------------------ #
+
+
+def _events_df(spark):
+    import datetime as dt
+
+    Z = dt.timezone.utc
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, 5, tzinfo=Z), "cpu", "CRITICAL", "OK", "c1", 5_000_000_000),
+        (dt.datetime(2024, 1, 1, 0, 0, 20, tzinfo=Z), "cpu", "WARNING", "CRITICAL", "w1", 1_000_000_000),
+        (dt.datetime(2024, 1, 1, 0, 0, 40, tzinfo=Z), "mem", "OK", "WARNING", "ok1", 0),
+        (dt.datetime(2024, 1, 1, 0, 1, 10, tzinfo=Z), "cpu", "INFO", "INFO", "i1", 0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "ts timestamp, name string, level string, prev string, "
+        "message string, duration long",
+    )
+
+
+def test_aggregate_topic_events(spark):
+    """Aggregate handler (services/alert/handlers.go:199-306): one event
+    per interval with max level/time/duration, count-templated message,
+    newline-joined member messages as details."""
+    from kapacitor_spark.topics import aggregate_topic_events
+
+    out = {
+        r["count"]: r
+        for r in aggregate_topic_events(
+            _events_df(spark), "1m", time_col="ts",
+            message_col="message", duration_col="duration",
+            out_topic="agg",
+        ).collect()
+    }
+    first = out[3]  # minute 0: CRITICAL+WARNING+OK
+    assert first["level"] == "CRITICAL"
+    assert first["ts"].second == 40  # max member time
+    assert first["duration"] == 5_000_000_000
+    assert first["message"] == "Received 3 events in the last 1m."
+    assert first["details"].split("\n") == ["c1", "w1", "ok1"]
+    assert first["topic"] == "agg"
+    assert out[1]["level"] == "INFO"
+
+
+def test_publish_and_match_handlers(spark):
+    """Publish handler re-routes events to every listed topic; match
+    conditions (level()/changed()/name() with level identifiers) gate
+    handler delivery — services/alert/handlers.go:313-345,386-460."""
+    from kapacitor_spark.topics import match_filter, publish_to_topics
+
+    ev = _events_df(spark).withColumn("topic", F.lit("src"))
+    pub = publish_to_topics(ev, ["a", "b"])
+    assert pub.count() == 8
+    assert set(r["topic"] for r in pub.select("topic").distinct().collect()) == {"a", "b"}
+
+    crit = match_filter(ev, "level() == CRITICAL")
+    assert [r["message"] for r in crit.collect()] == ["c1"]
+    ge_warn = match_filter(ev, "level() >= WARNING")
+    assert sorted(r["message"] for r in ge_warn.collect()) == ["c1", "w1"]
+    changed = match_filter(ev, "changed() == TRUE", prev_level_col="prev")
+    assert sorted(r["message"] for r in changed.collect()) == ["c1", "ok1", "w1"]
+    named = match_filter(ev, "name() == 'mem'")
+    assert [r["message"] for r in named.collect()] == ["ok1"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="changed"):
+        match_filter(ev, "changed() == TRUE")
