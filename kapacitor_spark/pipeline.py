@@ -719,6 +719,13 @@ class Pipeline:
                 "methods (.mean/.sum/...) or .agg_over(name=expr)"
             )
         df, keys, dim_names = self._window_grouping()
+        # the measurement name is part of the reference's group identity
+        # (models.ToGroupID(name, tags)) and rides through every
+        # aggregation (golden alert IDs template {{ .Name }} off windowed
+        # counts) — carry it when the source has one and it isn't already
+        # a group key
+        if "name" in df.columns and "name" not in dim_names:
+            aggs = (*aggs, F.any_value("name").alias("name"))
         out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
         out = self._emit_window_time(out)
         if emit_time and self.window is None:
@@ -751,6 +758,8 @@ class Pipeline:
             df = df.filter(c)
         df = df.drop("__rn")
         keep = [self.time_col, *self.dims, *named_aggs.keys()]
+        if "name" in df.columns and "name" not in self.dims:
+            keep.append("name")
         return Pipeline(
             df=df.select(*dict.fromkeys(keep)),
             time_col=self.time_col,
@@ -790,6 +799,8 @@ class Pipeline:
                 .drop("__t0")
             )
         keep = [self.time_col, *self.dims, alias]
+        if "name" in df.columns and "name" not in self.dims:
+            keep.append("name")
         return Pipeline(
             df=df.select(*dict.fromkeys(keep)),
             time_col=self.time_col,

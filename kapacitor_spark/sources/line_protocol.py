@@ -367,11 +367,18 @@ def promote(
     str_fields: Sequence[str] = (),
     bool_fields: Sequence[str] = (),
     tag_cols: Sequence[str] = (),
+    keep_name: bool = False,
 ) -> DataFrame:
     """Schemaless → wide/typed layout (SURVEY §1.3): filter to one
-    measurement, lift chosen tags/fields to typed top-level columns."""
+    measurement, lift chosen tags/fields to typed top-level columns.
+    ``keep_name=True`` carries the measurement as a ``name`` column —
+    the reference's points always know their measurement (group identity
+    is models.ToGroupID(name, tags), and alert templates render
+    {{ .Name }}); aggregations ride it along automatically."""
     out = parsed.filter(F.col("name") == measurement)
     cols: list[Column] = [F.col("time")]
+    if keep_name:
+        cols.append(F.lit(measurement).alias("name"))
     for t in tag_cols:
         cols.append(F.col("tags").getItem(t).alias(t))
     for f_, src in (

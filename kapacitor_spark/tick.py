@@ -56,6 +56,163 @@ class TickError(ValueError):
     pass
 
 
+# alert-node service handler kinds (pipeline/alert.go:39-61 chain list)
+_ALERT_HANDLER_KINDS = {
+    "slack", "victorOps", "pagerDuty", "pagerDuty2", "opsGenie", "opsGenie2",
+    "telegram", "teams", "talk", "hipChat", "discord", "pushover", "alerta",
+    "sensu", "serviceNow", "zenoss", "bigPanda", "email", "snmpTrap", "kafka",
+}
+# alert-node OWN props — anything here closes a pending handler spec
+_ALERT_LEVEL_PROPS = {
+    "crit", "warn", "info", "critReset", "warnReset", "infoReset",
+    "stateChangesOnly", "noRecoveries", "flapping", "history", "all",
+    "levelField", "levelTag", "idField", "idTag", "durationField",
+    "topic", "id", "message", "messageField", "details", "inhibit",
+    "log", "post", "tcp", "exec",
+}
+
+
+def _dispatch_alert_handlers(out, specs, services, time_col):
+    """Deliver alert events through the service-handler chains parsed off
+    the alert node (pipeline/alert.go handler list → services/<kind>).
+
+    Events collect driver-side (tiny by construction — the filtered alert
+    output) and each spec renders through the matching
+    kapacitor_spark.handlers formatter; delivery is handlers.post_payload
+    against the URL from ``run_tickscript(alert_services={kind: cfg})``
+    (the reference's service config section). Unconfigured kinds raise —
+    a silently dropped page is the one failure mode alerting must not
+    have."""
+    from kapacitor_spark import handlers as H
+
+    dims = [d for d in out.dims if d != "name"]
+    df = out.df
+    value_cols = [
+        c for c in df.columns
+        if c not in (time_col, "level", "alert_id", "message", "topic", "name", *dims)
+        and not c.startswith("__")
+    ]
+    events = H.events_from_alert_df(
+        df.filter(F.col("level") != "OK") if "level" in df.columns else df,
+        time_col,
+        dims=dims,
+        level_col="level",
+        id_col="alert_id" if "alert_id" in df.columns else None,
+        message_col="message" if "message" in df.columns else None,
+        duration_col=None,
+        measurement="",
+        value_cols=value_cols[:4],
+    )
+    for kind, opts in specs:
+        cfg = dict(services.get(kind) or {})
+        if not cfg:
+            raise TickError(
+                f"alert handler .{kind}() used but no config passed via "
+                f"run_tickscript(alert_services={{{kind!r}: {{...}}}})"
+            )
+        if kind == "slack":
+            ws = opts.get("workspace", "")
+            c = (cfg.get("workspaces", {}) or {}).get(ws, cfg) if ws else cfg
+            headers = (
+                {"Authorization": f"Bearer {c['token']}"} if c.get("token") else {}
+            )
+            for ev in events:
+                H.post_payload(
+                    c["url"],
+                    H.slack_payload(
+                        ev,
+                        channel=opts.get("channel", c.get("channel", "")),
+                        username=opts.get("username", c.get("username", "kapacitor")),
+                        icon_emoji=opts.get("iconEmoji", c.get("icon_emoji", "")),
+                    ),
+                    headers,
+                )
+        elif kind == "victorOps":
+            rk = opts.get("routingKey", cfg.get("routing_key", ""))
+            base = cfg["url"].rstrip("/")
+            for ev in events:
+                H.post_payload(
+                    f"{base}/{cfg.get('api_key', '')}/{rk}",
+                    H.victorops_payload(ev, json_data=cfg.get("json_data", False)),
+                )
+        elif kind == "pagerDuty2":
+            rk = opts.get("routingKey", cfg.get("routing_key", ""))
+            for ev in events:
+                H.post_payload(
+                    cfg["url"],
+                    H.pagerduty2_payload(
+                        ev, routing_key=rk, client_url=cfg.get("client_url", "")
+                    ),
+                )
+        elif kind == "telegram":
+            for ev in events:
+                H.post_payload(
+                    f"{cfg['url'].rstrip('/')}/bot{cfg.get('token', '')}/sendMessage",
+                    H.telegram_payload(
+                        ev,
+                        chat_id=opts.get("chatId", cfg.get("chat_id", "")),
+                        parse_mode=opts.get("parseMode", cfg.get("parse_mode", "")),
+                        disable_web_page_preview=bool(
+                            opts.get("disableWebPagePreview",
+                                     cfg.get("disable_web_page_preview", False))
+                        ),
+                        disable_notification=bool(
+                            opts.get("disableNotification",
+                                     cfg.get("disable_notification", False))
+                        ),
+                    ),
+                )
+        elif kind == "teams":
+            for ev in events:
+                H.post_payload(
+                    opts.get("channelURL", cfg["url"]), H.teams_payload(ev)
+                )
+        elif kind == "talk":
+            for ev in events:
+                H.post_payload(
+                    cfg["url"],
+                    H.talk_payload(ev, author_name=cfg.get("author_name", "Kapacitor")),
+                )
+        elif kind == "discord":
+            for ev in events:
+                H.post_payload(
+                    cfg["url"],
+                    H.discord_payload(
+                        ev, username=opts.get("username", cfg.get("username", "kapacitor"))
+                    ),
+                )
+        elif kind == "hipChat":
+            room = opts.get("room", cfg.get("room", ""))
+            token = opts.get("token", cfg.get("token", ""))
+            for ev in events:
+                H.post_payload(
+                    f"{cfg['url'].rstrip('/')}/{room}/notification?auth_token={token}",
+                    H.hipchat_payload(ev),
+                )
+        elif kind == "pushover":
+            for ev in events:
+                H.post_payload(
+                    cfg["url"],
+                    H.pushover_payload(
+                        ev, token=cfg.get("token", ""),
+                        user_key=opts.get("userKey", cfg.get("user_key", "")),
+                        device=opts.get("device", ""),
+                        title=opts.get("title", ""),
+                        url=opts.get("URL", ""),
+                        url_title=opts.get("URLTitle", ""),
+                        sound=opts.get("sound", ""),
+                    ),
+                )
+        else:
+            raise TickError(
+                f"alert handler .{kind}(): payload formatter exists in "
+                "kapacitor_spark.handlers — call it directly with "
+                "events_from_alert_df (TICK-chain delivery implemented for "
+                "slack/victorOps/pagerDuty2/telegram/teams/talk/discord/"
+                "hipChat/pushover)"
+            )
+
+
 # --------------------------------------------------------------------- #
 # lexer
 # --------------------------------------------------------------------- #
@@ -162,10 +319,11 @@ class _P:
             else:
                 res = self.expr()
                 # terminal sink builders (kapacitorLoopback, httpPost with
-                # endpoint/header props) fire their side effect when the
+                # endpoint/header props, alert nodes ending in handler
+                # chains like .slack()) fire their side effect when the
                 # statement ends without further chaining
                 if isinstance(res, _Node) and res.name in (
-                    "kapacitorLoopback", "httpPost", "influxDBOut"
+                    "kapacitorLoopback", "httpPost", "influxDBOut", "alert"
                 ):
                     self.env._materialize(res)
 
@@ -351,9 +509,10 @@ class _Env:
 
     def __init__(
         self, sources, time_col, dims, tiebreak, outputs, udfs=None,
-        endpoints=None, influxdb=None, dbrp=None,
+        endpoints=None, influxdb=None, dbrp=None, alert_services=None,
     ):
         self.dbrp = dbrp
+        self.alert_services = alert_services
         self.vars: dict[str, Any] = {}
         self.sources = sources
         self.time_col, self.dims, self.tiebreak = time_col, dims, tiebreak
@@ -851,6 +1010,22 @@ class _Env:
             message_field=props.get("messageField", ["message"])[0],
             **kw,
         )
+        # Service-handler chains (pipeline/alert.go:39-61): each handler
+        # kind prop (.slack() etc.) OPENS a handler spec; the props that
+        # follow (.channel/.workspace/.routingKey/...) configure THAT
+        # handler until the next handler kind or alert-level prop. Specs
+        # deliver through kapacitor_spark.handlers using the service
+        # configs passed as run_tickscript(alert_services={...}).
+        specs: list[tuple[str, dict]] = []
+        current: dict | None = None
+        for name, args in node.props:
+            if name in _ALERT_HANDLER_KINDS:
+                current = {}
+                specs.append((name, current))
+            elif current is not None and name not in _ALERT_LEVEL_PROPS:
+                current[name] = args[0] if len(args) == 1 else list(args)
+            else:
+                current = None
         for name, args in node.props:
             if name == "log":
                 from kapacitor_spark.sinks import apply_sink, log_handler
@@ -867,6 +1042,10 @@ class _Env:
                 from kapacitor_spark.sinks import apply_sink, exec_handler
 
                 apply_sink(out.df, exec_handler(list(args)))
+        if specs:
+            _dispatch_alert_handlers(
+                out, specs, self.alert_services or {}, self.time_col
+            )
         return out
 
     # -- simple chain methods ------------------------------------------ #
@@ -993,6 +1172,7 @@ def run_tickscript(
     endpoints: dict | None = None,
     influxdb: str | None = None,
     dbrp: str | None = None,
+    alert_services: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Execute a TICKscript; returns {httpOut name: DataFrame}.
 
@@ -1008,11 +1188,14 @@ def run_tickscript(
     configured InfluxDB cluster).
     ``dbrp``: the task's subscribed "db.rp" — kapacitorLoopback() into the
     same DBRP raises (the reference's loop-prevention check).
+    ``alert_services``: service configs for alert handler chains
+    (.slack()/.victorOps()/... — the reference's [slack] etc. config
+    sections): {kind: {"url": ..., "token": ..., "workspaces": {...}}}.
     """
     outputs: dict[str, DataFrame] = {}
     env = _Env(
         sources, time_col, dims, tiebreak, outputs, udfs, endpoints,
-        influxdb, dbrp,
+        influxdb, dbrp, alert_services,
     )
     toks, src = _tokenize(script)
     p = _P(toks, src, env)

@@ -620,3 +620,174 @@ def test_events_from_alert_df_end_to_end(spark):
     )
     with pytest.raises(ValueError, match="unfiltered"):
         events_from_alert_df(big, "time", dims=["host"], limit=10)
+
+
+def test_tickscript_slack_handler_chain_golden(spark):
+    """The ACTUAL TestStream_AlertSlack script (streamer_test.go:8824)
+    through the TICK front-end: two .slack() handler chains — default
+    workspace (url1, no auth) to '@jim', 'company_private' workspace
+    (url2, Bearer token) to '#alerts' — each receives the golden
+    CRITICAL payload for kapacitor/cpu/serverA."""
+    import http.server
+    import socketserver
+    import threading
+
+    from kapacitor_spark.sources.line_protocol import promote, replay_srpl
+    from kapacitor_spark.tick import run_tickscript
+
+    received = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            received.append(
+                (self.path, self.headers.get("Authorization", ""),
+                 json.loads(self.rfile.read(n)))
+            )
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as srv:
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        raw = replay_srpl(
+            spark,
+            "/root/reference/integrations/testdata/TestStream_Alert.srpl",
+        )
+        cpu = promote(
+            raw, "cpu", float_fields=["value"], tag_cols=["host"],
+            keep_name=True,
+        )
+        run_tickscript(
+            """
+stream
+    |from()
+        .measurement('cpu')
+        .where(lambda: "host" == 'serverA')
+        .groupBy('host')
+    |window()
+        .period(10s)
+        .every(10s)
+    |count('value')
+    |alert()
+        .id('kapacitor/{{ .Name }}/{{ index .Tags "host" }}')
+        .info(lambda: "count" > 6.0)
+        .warn(lambda: "count" > 7.0)
+        .crit(lambda: "count" > 8.0)
+        .slack()
+        .workspace('company_private')
+        .channel('#alerts')
+        .slack()
+        .channel('@jim')
+""",
+            sources={"cpu": cpu},
+            time_col="time",
+            alert_services={
+                "slack": {
+                    "url": f"http://127.0.0.1:{port}/test/slack/url",
+                    "channel": "#channel",
+                    "workspaces": {
+                        "company_private": {
+                            "url": f"http://127.0.0.1:{port}/test/slack/url2",
+                            "token": "my_secret_token",
+                            "channel": "#channel",
+                        }
+                    },
+                }
+            },
+        )
+        srv.shutdown()
+    assert len(received) == 2
+    got = {path: (auth, body) for path, auth, body in received}
+    exp_attach = [{
+        "fallback": "kapacitor/cpu/serverA is CRITICAL",
+        "color": "danger",
+        "text": "kapacitor/cpu/serverA is CRITICAL",
+        "mrkdwn_in": ["text"],
+    }]
+    auth1, b1 = got["/test/slack/url"]
+    assert auth1 == "" and b1["channel"] == "@jim"
+    assert b1["attachments"] == exp_attach
+    auth2, b2 = got["/test/slack/url2"]
+    assert auth2 == "Bearer my_secret_token" and b2["channel"] == "#alerts"
+    assert b2["attachments"] == exp_attach
+
+
+def test_tickscript_victorops_handler_chain_golden(spark):
+    """TestStream_AlertVictorOps (streamer_test.go:9462) through the TICK
+    front-end: default handler uses the config routing key, the second
+    chain overrides with .routingKey('test_key2') — both POST the golden
+    CRITICAL state to /<api_key>/<routing_key>."""
+    import http.server
+    import socketserver
+    import threading
+
+    from kapacitor_spark.sources.line_protocol import promote, replay_srpl
+    from kapacitor_spark.tick import run_tickscript
+
+    received = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            received.append((self.path, json.loads(self.rfile.read(n))))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as srv:
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        raw = replay_srpl(
+            spark,
+            "/root/reference/integrations/testdata/TestStream_Alert.srpl",
+        )
+        cpu = promote(
+            raw, "cpu", float_fields=["value"], tag_cols=["host"],
+            keep_name=True,
+        )
+        run_tickscript(
+            """
+stream
+    |from()
+        .measurement('cpu')
+        .where(lambda: "host" == 'serverA')
+        .groupBy('host')
+    |window()
+        .period(10s)
+        .every(10s)
+    |count('value')
+    |alert()
+        .id('kapacitor/{{ .Name }}/{{ index .Tags "host" }}')
+        .info(lambda: "count" > 6.0)
+        .warn(lambda: "count" > 7.0)
+        .crit(lambda: "count" > 8.0)
+        .victorOps()
+        .victorOps()
+        .routingKey('test_key2')
+""",
+            sources={"cpu": cpu},
+            time_col="time",
+            alert_services={
+                "victorOps": {
+                    "url": f"http://127.0.0.1:{port}",
+                    "api_key": "api_key",
+                    "routing_key": "test_key",
+                }
+            },
+        )
+        srv.shutdown()
+    assert sorted(p for p, _ in received) == [
+        "/api_key/test_key", "/api_key/test_key2",
+    ]
+    for _, body in received:
+        assert body["message_type"] == "CRITICAL"
+        assert body["entity_id"] == "kapacitor/cpu/serverA"
+        assert body["state_message"] == "kapacitor/cpu/serverA is CRITICAL"
+        assert body["monitoring_tool"] == "kapacitor"
+        assert body["timestamp"] == 31536000  # window start 1971-01-01T00:00:00Z
