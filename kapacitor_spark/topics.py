@@ -27,6 +27,7 @@ __all__ = [
     "aggregate_topic_events",
     "publish_to_topics",
     "match_filter",
+    "register_handler_spec",
 ]
 
 # alert.Level severity order (reference alert/types.go)
@@ -191,6 +192,154 @@ def match_filter(
     expr = re.sub(r"\bFALSE\b", "false", expr)
     expr = expr.replace("==", "=")
     return events.withColumn("__sev", sev).filter(F.expr(expr)).drop("__sev")
+
+
+import re as _re
+
+_VALID_HANDLER_ID = _re.compile(r"^[-\._A-Za-z0-9]+$")
+_VALID_TOPIC_ID = _re.compile(r"^[-:\._A-Za-z0-9]+$")
+
+
+def register_handler_spec(
+    registry: TopicRegistry,
+    spec: dict,
+    services: dict | None = None,
+    prev_level_col: str | None = None,
+) -> TopicRegistry:
+    """The reference's define-topic-handler contract
+    (/root/reference/services/alert/types.go HandlerSpec +
+    api.go RegisterHandlerSpec): a spec dict
+    ``{"id", "topic", "kind", "options": {...}, "match": "..."}`` —
+    exactly the YAML/JSON the reference CLI accepts — validates, builds a
+    delivery callable from the kind (the handlers-module formatter for
+    service kinds; log/post/exec/tcp via sinks), wraps it in the optional
+    match condition, and subscribes it to the topic.
+
+    ``services``: per-kind base configs ({"slack": {"url": ...}}), the
+    reference's config-file sections.
+    """
+    from kapacitor_spark import handlers as H
+
+    spec_id = spec.get("id", "")
+    topic = spec.get("topic", "")
+    kind = spec.get("kind", "")
+    options = dict(spec.get("options") or {})
+    match = spec.get("match", "")
+    if not _VALID_TOPIC_ID.match(topic):
+        raise ValueError(
+            f"handler topic must contain only letters, numbers, '-', '.' "
+            f"and '_'. {spec_id!r}"
+        )
+    if not _VALID_HANDLER_ID.match(spec_id):
+        raise ValueError(
+            f"handler ID must contain only letters, numbers, '-', '.' "
+            f"and '_'. {spec_id!r}"
+        )
+    cfg = {**(services or {}).get(kind, {}), **options}
+
+    def _event(row) -> "H.AlertEvent":
+        import datetime as dt
+
+        t = row["ts"] if "ts" in row.__fields__ else row["time"]
+        if t.tzinfo is None:
+            t = t.replace(tzinfo=dt.timezone.utc)
+        return H.AlertEvent(
+            id=str(row["alert_id"]) if "alert_id" in row.__fields__ else spec_id,
+            message=str(row["message"])
+            if "message" in row.__fields__
+            else f"{spec_id} is {row['level']}",
+            time=t,
+            level=str(row["level"]),
+        )
+
+    if kind == "log":
+        from kapacitor_spark.sinks import log_handler
+
+        deliver = log_handler(cfg["path"])
+    elif kind == "post":
+        from kapacitor_spark.sinks import http_post
+
+        deliver = http_post(cfg["url"], tolerant=bool(cfg.get("tolerant")))
+    elif kind == "exec":
+        from kapacitor_spark.sinks import exec_handler
+
+        deliver = exec_handler(list(cfg["prog"]) if isinstance(cfg.get("prog"), (list, tuple)) else [cfg["prog"], *cfg.get("args", [])])
+    elif kind == "tcp":
+        from kapacitor_spark.sinks import tcp_handler
+
+        host, _, port = cfg["address"].rpartition(":")
+        deliver = tcp_handler(host, int(port))
+    elif kind == "slack":
+        def deliver(rows):
+            for row in rows:
+                H.post_payload(
+                    cfg["url"],
+                    H.slack_payload(
+                        _event(row), channel=cfg.get("channel", "")
+                    ),
+                    {"Authorization": f"Bearer {cfg['token']}"}
+                    if cfg.get("token")
+                    else {},
+                )
+    elif kind == "victorops":
+        def deliver(rows):
+            for row in rows:
+                H.post_payload(
+                    f"{cfg['url'].rstrip('/')}/{cfg.get('api_key', '')}/"
+                    f"{cfg.get('routing_key', '')}",
+                    H.victorops_payload(_event(row)),
+                )
+    elif kind == "pagerduty2":
+        def deliver(rows):
+            for row in rows:
+                H.post_payload(
+                    cfg["url"],
+                    H.pagerduty2_payload(
+                        _event(row), routing_key=cfg.get("routing_key", "")
+                    ),
+                )
+    else:
+        raise ValueError(
+            f"unsupported handler kind {kind!r} (spec kinds implemented: "
+            "log/post/exec/tcp/slack/victorops/pagerduty2; other services "
+            "via kapacitor_spark.handlers formatters directly)"
+        )
+
+    if match:
+        inner = deliver
+
+        def deliver(rows):  # noqa: F811 — intentional wrap
+            # per-row match evaluation mirrors matchHandler.Handle; the
+            # expressions are tiny (level()/changed()/name() comparisons)
+            import pyspark.sql as _sql
+
+            del _sql  # no Spark here: rows are plain Rows — evaluate in python
+            kept = [r for r in rows if _match_row(r, match, prev_level_col)]
+            if kept:
+                inner(kept)
+
+    registry.subscribe(topic, deliver)
+    return registry
+
+
+def _match_row(row, match: str, prev_level_col: str | None) -> bool:
+    """Evaluate a handler match expression against one event Row —
+    the row-level twin of match_filter (same identifier set)."""
+    sev = _LEVEL_SEVERITY.get(str(row["level"]), 0)
+    env = {
+        "level": lambda: sev,
+        "name": lambda: row["name"] if "name" in row.__fields__ else "",
+        "taskName": lambda: "",
+        "duration": lambda: row["duration"] if "duration" in row.__fields__ else 0,
+        "changed": lambda: (
+            str(row["level"]) != str(row[prev_level_col])
+            if prev_level_col and prev_level_col in row.__fields__
+            else False
+        ),
+        "OK": 0, "INFO": 1, "WARNING": 2, "CRITICAL": 3,
+        "TRUE": True, "FALSE": False,
+    }
+    return bool(eval(match, {"__builtins__": {}}, env))  # noqa: S307 — spec-author-provided expr, no builtins
 
 
 def topic_state(

@@ -605,3 +605,49 @@ def test_publish_and_match_handlers(spark):
 
     with _pytest.raises(ValueError, match="changed"):
         match_filter(ev, "changed() == TRUE")
+
+
+def test_register_handler_spec_end_to_end(spark, tmp_path):
+    """define-topic-handler parity (services/alert/types.go HandlerSpec +
+    api.go): a spec dict {id, topic, kind, options, match} validates,
+    builds its delivery callable, honors the match condition, and routes
+    through TopicRegistry.dispatch — here a log handler receiving only
+    the CRITICAL events of its topic."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from kapacitor_spark.topics import TopicRegistry, register_handler_spec
+
+    ev = _events_df(spark).withColumn(
+        "topic",
+        F.when(F.col("name") == "cpu", "cpu-alerts").otherwise("other"),
+    )
+    log_path = tmp_path / "spec_log.jsonl"
+    reg = TopicRegistry()
+    register_handler_spec(
+        reg,
+        {
+            "id": "crit-log",
+            "topic": "cpu-alerts",
+            "kind": "log",
+            "options": {"path": str(log_path)},
+            "match": "level() == CRITICAL",
+        },
+    )
+    reg.dispatch(ev)
+    lines = [_json.loads(l) for l in log_path.read_text().splitlines()]
+    assert [l["message"] for l in lines] == ["c1"]
+
+    # spec validation mirrors the reference's ID/topic character rules
+    with _pytest.raises(ValueError, match="topic"):
+        register_handler_spec(
+            TopicRegistry(),
+            {"id": "x", "topic": "bad topic!", "kind": "log",
+             "options": {"path": "/tmp/x"}},
+        )
+    with _pytest.raises(ValueError, match="kind"):
+        register_handler_spec(
+            TopicRegistry(),
+            {"id": "x", "topic": "t", "kind": "nosuch", "options": {}},
+        )
