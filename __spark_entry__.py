@@ -2537,6 +2537,34 @@ def dup_gram_stats(spark, sf_dir):
     )
 
 
+@_q(
+    "html_strip",
+    """SELECT doc_id,
+              'T' || chr(10) || trim(regexp_replace(text, ' +', ' ', 'g'))
+                  AS text
+       FROM documents""",
+)
+def html_strip(spark, sf_dir):
+    """HTML -> text extraction under the oracle gate: each document wraps
+    in markup (heading/paragraph/script/comment blocks) JVM-side and
+    strip_html must recover exactly 'T<newline><original text>' — the
+    documents corpus is verified plain (no tags/entities/newlines), so
+    the expected output is closed-form and every regex in the chain is
+    value-hash-checked on 500 real texts. (Replicating the Java regexes
+    in DuckDB is not possible: RE2 lacks the lookahead/backreference
+    forms the block-removal patterns use.)"""
+    from kapacitor_spark.dataprep.text import strip_html
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<h1>T</h1><p>"), F.col("text"),
+            F.lit("</p><style>p{}</style><script>var x = 1;</script><!-- c -->"),
+        ).alias("text"),
+    )
+    return strip_html(docs).select("doc_id", "text")
+
+
 # ===================================================================== #
 # scored-window curation
 # ===================================================================== #

