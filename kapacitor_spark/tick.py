@@ -566,6 +566,12 @@ class _Env:
     _QUERY_AGGS = {
         "mean": F.avg, "sum": F.sum, "count": F.count, "min": F.min,
         "max": F.max, "median": F.median, "first": F.first, "last": F.last,
+        # the rest of the InfluxQL SELECT function set (influxql.gen.go);
+        # percentile("f", N) dispatches to Pipeline.percentile below
+        "stddev": F.stddev_samp,
+        "spread": lambda fld: F.max(fld) - F.min(fld),
+        "mode": F.mode,
+        "distinct": F.count_distinct,
     }
 
     def _resolve_query(self, node: _Node) -> Pipeline:
@@ -658,14 +664,26 @@ class _Env:
             results=p.results,
         )
 
-        am = _re.fullmatch(r'(\w+)\(\s*"?(\w+)"?\s*\)(?:\s+AS\s+"?(\w+)"?)?', sel, _re.I)
-        if am and am.group(1).lower() in self._QUERY_AGGS:
-            fn, fld = self._QUERY_AGGS[am.group(1).lower()], am.group(2)
-            alias = am.group(3) or am.group(1).lower()
+        am = _re.fullmatch(
+            r'(\w+)\(\s*"?(\w+)"?\s*(?:,\s*([\d.]+)\s*)?\)'
+            r'(?:\s+AS\s+"?(\w+)"?)?',
+            sel, _re.I,
+        )
+        if am and (
+            am.group(1).lower() in self._QUERY_AGGS
+            or am.group(1).lower() == "percentile"
+        ):
+            fname, fld, extra = am.group(1).lower(), am.group(2), am.group(3)
+            alias = am.group(4) or fname
             if bucket is not None:
                 out = out.window_time(bucket, bucket, offset=bucket_offset)
             # InfluxQL emits the bucket/window START as the row time
-            out = out._single_agg(fn(fld), alias)
+            if fname == "percentile":
+                # percentile("f", N): influxdb's exact non-interpolating
+                # formula (Pipeline.percentile)
+                out = out.percentile(fld, float(extra), as_=alias)
+            else:
+                out = out._single_agg(self._QUERY_AGGS[fname](fld), alias)
         elif sel not in ("*",):
             # plain projection: keep time/dims + the selected fields;
             # rows with NO selected field are dropped (InfluxQL returns

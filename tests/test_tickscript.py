@@ -867,3 +867,45 @@ stream
         time_col="time",
     )
     assert outs["TestStream_InfluxQLNodeMissingValue"].count() == 0
+
+
+def test_batch_query_extended_aggregates(spark):
+    """The rest of the InfluxQL SELECT function set through batch|query():
+    stddev/spread/mode/distinct/percentile(f, N) — influxql.gen.go's
+    generated reduce matrix, dispatched engine-side."""
+    import datetime as dt
+
+    from kapacitor_spark.tick import run_tickscript
+
+    Z = dt.timezone.utc
+    rows = [
+        (dt.datetime(1971, 1, 1, 0, 0, s, tzinfo=Z), "h", float(v))
+        for s, v in enumerate([1, 1, 2, 3, 5, 8, 8, 8])
+    ]
+    pts = spark.createDataFrame(rows, "time timestamp, host string, value double")
+
+    def q(sel):
+        outs = run_tickscript(
+            f"""
+batch
+    |query('SELECT {sel} FROM "db"."rp"."m"')
+        .period(8s)
+        .every(8s)
+        .align()
+    |httpOut('out')
+""",
+            sources={"m": pts},
+            time_col="time",
+        )
+        return outs["out"].collect()
+
+    assert q('spread("value")')[0]["spread"] == 7.0
+    assert q('distinct("value")')[0]["distinct"] == 5
+    assert q('mode("value")')[0]["mode"] == 8.0
+    assert q('percentile("value", 50)')[0]["percentile"] == 3.0
+    import math
+
+    vals = [1, 1, 2, 3, 5, 8, 8, 8]
+    mean = sum(vals) / len(vals)
+    exp_sd = math.sqrt(sum((v - mean) ** 2 for v in vals) / (len(vals) - 1))
+    assert abs(q('stddev("value")')[0]["stddev"] - exp_sd) < 1e-9
