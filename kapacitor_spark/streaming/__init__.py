@@ -51,6 +51,7 @@ __all__ = [
     "run_available_now",
     "http_out_stream",
     "deadman_stream",
+    "stats_stream",
     "window_barrier_stream",
 ]
 
@@ -710,6 +711,64 @@ def deadman_stream(
             state.setTimeoutDuration(interval_ms)
             state.update((n + fresh, 0))
             yield pd.DataFrame(columns=[*dims, "emitted", "level"]).astype(
+                {"emitted": "int64"}
+            )
+
+    return df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
+        walk,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def stats_stream(
+    df: DataFrame,
+    time_col: str,
+    dims: Sequence[str],
+    interval: str | float,
+) -> DataFrame:
+    """WALL-CLOCK stats() (/root/reference/stats.go: "Emit stats every
+    interval. Stats are REAL-TIME not data-time"): per group, one
+    (dims..., emitted) row every ``interval`` of processing time — under
+    steady traffic AND through silence (emitted=0), exactly the
+    reference's ticker.
+
+    Spark clears a key's processing-time timer on every invocation, so a
+    steady ticker needs the ABSOLUTE next-tick time in state: data
+    batches re-arm the timer with the REMAINING duration (next_tick -
+    now) instead of a full interval; the timeout branch emits, advances
+    next_tick by one interval, and re-arms. deadman_stream is the
+    silence-only variant (its timer resets on data)."""
+    import time as _time
+
+    interval_ms = round(parse_duration(interval) * 1000)
+    out_schema = StructType(
+        [df.schema[d] for d in dims] + [StructField("emitted", LongType())]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("next_tick_ms", LongType())]
+    )
+
+    def walk(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        now_ms = int(_time.time() * 1000)
+        if state.hasTimedOut:
+            n, next_tick = state.get
+            state.update((0, next_tick + interval_ms))
+            state.setTimeoutDuration(max(next_tick + interval_ms - now_ms, 1))
+            yield pd.DataFrame([[*key, n]], columns=[*dims, "emitted"])
+        else:
+            if state.exists:
+                n, next_tick = state.get
+            else:
+                n, next_tick = 0, now_ms + interval_ms
+            fresh = 0
+            for pdf in pdfs:
+                fresh += len(pdf)
+            state.update((n + fresh, next_tick))
+            state.setTimeoutDuration(max(next_tick - now_ms, 1))
+            yield pd.DataFrame(columns=[*dims, "emitted"]).astype(
                 {"emitted": "int64"}
             )
 

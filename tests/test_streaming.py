@@ -780,3 +780,43 @@ def test_deadman_stream_gc_after_max_silent_intervals(spark, tmp_path):
         q.stop()
     crit = [r for r in rows if r["level"] == "CRITICAL"]
     assert 1 <= len(crit) <= 2, rows
+
+
+def test_stats_stream_ticks_through_traffic_and_silence(spark, tmp_path):
+    """Wall-clock stats() (stats.go "real-time not data-time"): the
+    ticker emits per interval while data flows AND keeps emitting
+    (emitted=0) once it stops — data arrival must not postpone the tick
+    (the absolute next-tick time lives in state)."""
+    import time
+
+    from kapacitor_spark.streaming import stats_stream
+
+    path = str(tmp_path / "in_ss")
+    _write_batches(
+        spark, path,
+        [[("2024-01-01 00:00:00", "a", 1.0), ("2024-01-01 00:00:01", "a", 2.0)]],
+    )
+    src = spark.readStream.schema(SCHEMA).parquet(path)
+    out = stats_stream(src, "t", ["host"], interval="1s")
+    q = (
+        out.writeStream.format("memory").queryName("ss_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ss"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            rows = spark.table("ss_out").collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(rows) >= 3, rows
+    counts = [r["emitted"] for r in rows]
+    # first tick carries the 2 ingested points; silent ticks carry 0
+    assert counts[0] == 2 or 2 in counts
+    assert counts.count(0) >= 1
