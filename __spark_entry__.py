@@ -2451,30 +2451,41 @@ def shift_window_join(spark, sf_dir):
               unnest(range(0, (octet_length(CAST(text AS BLOB)) % 50) + 1, 10))
                   AS frame_idx,
               CAST((octet_length(CAST(text AS BLOB)) % 50) + 1 AS BIGINT) AS n_frames,
-              CAST(784 AS BIGINT) AS resized_bytes
+              CAST(CASE WHEN doc_id % 2 = 0 THEN 27 ELSE 59 END AS BIGINT)
+                  AS resized_bytes
        FROM documents""",
 )
 def multimodal_frames(spark, sf_dir):
-    """Video frame-sampling + image-resize plumbing under the oracle gate
+    """Video frame-sampling + REAL image resize under the oracle gate
     (SURVEY dataprep §multimodal): sample_frames is a pure explode-over-
     sequence plan (no decode touch — the 100 TB point: pick frames BEFORE
-    the expensive UDF), and resize_image_batch is the Arrow-batched
-    mapInPandas resize stub whose deterministic fake output length the
-    oracle pins (16-byte digest × 224·224/(16·64) = 784 bytes)."""
+    the expensive UDF), and resize_image_batch(fake=False) decodes the
+    real 2x2 Netpbm payloads (the multimodal_decode construction),
+    nearest-neighbor-resizes to 4x4 with numpy, and re-encodes as Netpbm
+    — whose size is closed-form: 11-byte header + 4*4*channels pixels =
+    27 (gray, even ids) / 59 (RGB, odd ids), which the oracle pins."""
     from kapacitor_spark.dataprep.multimodal import resize_image_batch, sample_frames
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("text"), F.md5("text").alias("h")
+    )
+    gray = F.concat(F.lit(b"P5\n2 2\n255\n"), F.unhex(F.substring("h", 1, 8)))
+    rgb = F.concat(F.lit(b"P6\n2 2\n255\n"), F.unhex(F.substring("h", 1, 24)))
+    docs = d.select(
+        "doc_id",
+        F.col("text"),
+        F.when(F.col("doc_id") % 2 == 0, gray).otherwise(rgb).alias("payload"),
     )
     vid = docs.withColumn(
-        "n_frames", (F.octet_length("payload") % 50 + 1).cast("long")
+        "n_frames", (F.octet_length(F.col("text").cast("binary")) % 50 + 1).cast("long")
     )
     frames = sample_frames(vid, "n_frames", every=10).select(
         "doc_id", F.col("frame_idx").cast("long").alias("frame_idx"), "n_frames"
     )
-    rs = resize_image_batch(docs, "payload", width=224, height=224).select(
-        "doc_id", F.octet_length("payload").cast("long").alias("resized_bytes")
-    )
+    rs = resize_image_batch(
+        docs.select("doc_id", "payload"), "payload",
+        width=4, height=4, fake=False, encoder="ppm",
+    ).select("doc_id", F.octet_length("payload").cast("long").alias("resized_bytes"))
     return frames.join(rs, "doc_id")
 
 

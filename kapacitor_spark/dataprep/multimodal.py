@@ -189,12 +189,15 @@ def resize_image_batch(
     width: int = 224,
     height: int = 224,
     fake: bool = True,
+    encoder: str = "png",
 ) -> DataFrame:
     """Image resize → new binary payload + updated metadata.
 
     ``fake=False``: real nearest-neighbor resize — decode via
     ``imagecodec``, numpy index-gather to the target size, re-encode as
-    PNG. ``fake=True``: the payload is a deterministic digest-derived
+    ``encoder`` ('png', or 'ppm' when a content-independent output size
+    matters — Netpbm payloads are header + w*h*channels bytes exactly).
+    ``fake=True``: the payload is a deterministic digest-derived
     blob whose length scales with the target area, so partition-size
     accounting downstream behaves like real resized images even when the
     input bytes aren't actual images.
@@ -215,10 +218,15 @@ def resize_image_batch(
         else:
             from kapacitor_spark.dataprep import imagecodec
 
+            enc = {
+                "png": imagecodec.encode_png,
+                "ppm": imagecodec.encode_ppm,
+            }[encoder]
+
             def do_resize(b):
                 w0, h0, ch, pix = imagecodec.decode(b)
                 out = imagecodec.resize_nearest(pix, w0, h0, ch, width, height)
-                return imagecodec.encode_png(width, height, out, channels=ch)
+                return enc(width, height, out, channels=ch)
 
         for pdf in batches:
             pdf = pdf.drop(columns=[c for c in ("width", "height") if c in pdf.columns])
