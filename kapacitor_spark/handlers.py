@@ -643,6 +643,7 @@ def events_from_alert_df(
     level_col: str = "level",
     id_col: str | None = None,
     message_col: str | None = None,
+    details_col: str | None = None,
     duration_col: str | None = None,
     measurement: str = "",
     task_name: str = "",
@@ -673,6 +674,7 @@ def events_from_alert_df(
             (f"{measurement}:{group}" if group else measurement)
         )
         msg = str(r[message_col]) if message_col else f"{ev_id} is {r[level_col]}"
+        details = str(r[details_col]) if details_col else ""
         cols = list(value_cols)
         out.append(
             AlertEvent(
@@ -680,6 +682,7 @@ def events_from_alert_df(
                 message=msg,
                 time=t,
                 level=str(r[level_col]),
+                details=details,
                 duration_ns=int(r[duration_col]) if duration_col else 0,
                 task_name=task_name,
                 data={

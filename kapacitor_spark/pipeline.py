@@ -1335,6 +1335,8 @@ class Pipeline:
         id_template: str | None = None,
         message_template: str | None = None,
         message_field: str = "message",
+        details_template: str | None = None,
+        details_field: str = "details",
         topic: str | None = None,
     ) -> "Pipeline":
         """Alert level evaluation (/root/reference/alert.go:915-950
@@ -1526,13 +1528,33 @@ class Pipeline:
             df = df.withColumn(
                 message_field, self._template(message_template, level_col)
             )
+        if details_template:
+            # .details() (pipeline/alert.go Details — the larger body
+            # template handler payloads embed: email HTML, pagerDuty
+            # details, opsGenie description) — same template compiler,
+            # one concat expression; renders AFTER message so
+            # {{ .Message }} embeds the rendered message
+            df = df.withColumn(
+                details_field,
+                self._template(
+                    details_template, level_col,
+                    message_col=message_field if message_template else None,
+                    cols=set(df.columns),
+                ),
+            )
         if topic is not None:
             # topic routing (/root/reference/alert/topics.go): events carry
             # their topic; TopicRegistry.dispatch fans out to handlers.
             df = df.withColumn("topic", F.lit(topic))
         return self._with(df)
 
-    def _template(self, tmpl: str, level_col: str) -> Column:
+    def _template(
+        self,
+        tmpl: str,
+        level_col: str,
+        message_col: str | None = None,
+        cols: "set[str] | None" = None,
+    ) -> Column:
         """Alert ID/message templating (/root/reference/pipeline/alert.go:
         64-72, Go text/template): supports {{ .Level }}, {{ .Time }},
         {{ .Name }}, {{ index .Tags "k" }}, {{ index .Fields "k" }} — all
@@ -1540,6 +1562,8 @@ class Pipeline:
         Plain SQL expressions (no '{{') pass through unchanged."""
         if "{{" not in tmpl:
             return F.expr(tmpl)
+        if cols is None:
+            cols = set(self.df.columns)
         import re as _re
 
         parts: list[Column] = []
@@ -1550,15 +1574,31 @@ class Pipeline:
             ph = m.group(1)
             if ph == ".Level":
                 parts.append(F.col(level_col))
+            elif ph == ".Message":
+                # the already-rendered message (details templates embed it,
+                # pipeline/alert.go Details docs); without an explicit
+                # .message() the reference's default template applies —
+                # "{{ .ID }} is {{ .Level }}" (pipeline/alert.go:21)
+                if message_col:
+                    parts.append(F.col(message_col))
+                elif "alert_id" in cols:
+                    parts.append(
+                        F.concat(F.col("alert_id"), F.lit(" is "), F.col(level_col))
+                    )
+                else:
+                    parts.append(F.lit(""))
             elif ph == ".Time":
                 parts.append(F.date_format(self.time, "yyyy-MM-dd HH:mm:ss"))
             elif ph == ".Name":
                 # measurement name, when the point carries one (§1.3 wide
                 # layout keeps 'name' optional); empty otherwise
+                parts.append(F.col("name") if "name" in cols else F.lit(""))
+            elif ph == ".ID":
+                # the rendered alert id when the chain produced one
                 parts.append(
-                    F.col("name") if "name" in self.df.columns else F.lit("")
+                    F.col("alert_id") if "alert_id" in cols else F.lit("")
                 )
-            elif ph in (".ID", ".TaskName"):
+            elif ph == ".TaskName":
                 parts.append(F.lit(""))  # single-pipeline context: no task name
             elif ph == ".Group":
                 # models.ToGroupID (/root/reference/models/point.go:82):

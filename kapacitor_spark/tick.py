@@ -89,7 +89,8 @@ def _dispatch_alert_handlers(out, specs, services, time_col):
     df = out.df
     value_cols = [
         c for c in df.columns
-        if c not in (time_col, "level", "alert_id", "message", "topic", "name", *dims)
+        if c not in (time_col, "level", "alert_id", "message", "details",
+                     "topic", "name", *dims)
         and not c.startswith("__")
     ]
     events = H.events_from_alert_df(
@@ -99,6 +100,7 @@ def _dispatch_alert_handlers(out, specs, services, time_col):
         level_col="level",
         id_col="alert_id" if "alert_id" in df.columns else None,
         message_col="message" if "message" in df.columns else None,
+        details_col="details" if "details" in df.columns else None,
         duration_col=None,
         measurement="",
         value_cols=value_cols[:4],
@@ -1026,6 +1028,7 @@ class _Env:
             id_template=props.get("id", [None])[0],
             message_template=props.get("message", [None])[0],
             message_field=props.get("messageField", ["message"])[0],
+            details_template=props.get("details", [None])[0],
             **kw,
         )
         # Service-handler chains (pipeline/alert.go:39-61): each handler

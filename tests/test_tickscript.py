@@ -909,3 +909,28 @@ batch
     mean = sum(vals) / len(vals)
     exp_sd = math.sqrt(sum((v - mean) ** 2 for v in vals) / (len(vals) - 1))
     assert abs(q('stddev("value")')[0]["stddev"] - exp_sd) < 1e-9
+
+
+def test_alert_details_template(cpu):
+    """.details() — pipeline/alert.go Details: the larger body template
+    handler payloads embed (email HTML, opsGenie description) renders to
+    a details column with the same template compiler."""
+    script = """
+stream
+    |from().measurement('cpu').groupBy(['host'])
+    |alert()
+        .crit(lambda: "value" > 98.0)
+        .id('kapacitor/{{ index .Tags "host" }}')
+        .details('<b>{{ .Message }}</b> host={{ index .Tags "host" }}')
+    |httpOut('alerts')
+"""
+    outs = run_tickscript(script, sources={"cpu": cpu}, time_col="time",
+                          tiebreak=("id",))
+    rows = outs["alerts"].filter("level = 'CRITICAL'").collect()
+    assert rows
+    for r in rows:
+        # {{ .Message }} falls back to the reference's default message
+        # template "{{ .ID }} is {{ .Level }}" when .message() is absent
+        assert r["details"] == (
+            f"<b>kapacitor/{r['host']} is CRITICAL</b> host={r['host']}"
+        )
