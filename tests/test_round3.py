@@ -1,5 +1,7 @@
-"""Round-3 features: flapping golden values, alert topics, hierarchical
-sideload, k-combination combine, multi-probe LSH, vectorized count window."""
+"""Feature tests spanning builds: flapping golden values, alert topics
+(+ the round-4 topic handler actions: aggregate/publish/match and
+define-topic-handler specs), hierarchical sideload, k-combination
+combine, multi-probe LSH, vectorized count window."""
 
 import numpy as np
 import pytest
