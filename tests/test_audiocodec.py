@@ -1,0 +1,100 @@
+"""Real (stdlib-only) audio codec: WAV PCM round-trips, header parsing,
+mono/resample, and the Spark decode_audio_batch / extract_audio_features
+path with real samples."""
+
+import math
+import os
+import struct
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kapacitor_spark.dataprep import audiocodec as ac
+
+
+def _sine(freq, rate=8000, seconds=0.01, channels=1):
+    t = np.arange(int(rate * seconds)) / rate
+    s = np.sin(2 * math.pi * freq * t)
+    return np.stack([s] * channels, axis=1)
+
+
+def test_wav_roundtrip_16bit():
+    s = _sine(440, channels=2)
+    data = ac.encode_wav(s, 8000)
+    assert ac.sniff_format(data) == "wav"
+    ch, rate, bits, n_frames, fmt = ac.parse_wav_header(data)
+    assert (ch, rate, bits, n_frames, fmt) == (2, 8000, 16, s.shape[0], 1)
+    ch2, rate2, out = ac.decode_wav(data)
+    assert (ch2, rate2) == (2, 8000)
+    assert out.shape == s.shape
+    # encode scales by 32767, decode by 32768 (the PCM convention), so the
+    # round-trip error is quantization + one part in 32768 of amplitude
+    assert np.abs(out - s).max() < 1.0 / 10000
+
+
+def test_wav_8bit_and_float32():
+    s = _sine(100, seconds=0.005)
+    # hand-build an 8-bit PCM file
+    pcm8 = np.clip(np.round(s.reshape(-1) * 127 + 128), 0, 255).astype(np.uint8)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    raw = pcm8.tobytes()
+    data = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(raw)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    _, _, out = ac.decode_wav(data)
+    # 8-bit step is 1/128; the +128 bias rounding makes worst case ~1.5 steps
+    assert np.abs(out.reshape(-1) - s.reshape(-1)).max() < 1.5 / 128
+    # float32 PCM (audio_format 3)
+    f32 = s.reshape(-1).astype("<f4").tobytes()
+    fmtf = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    dataf = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmtf) + 8 + len(f32)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmtf)) + fmtf
+        + b"data" + struct.pack("<I", len(f32)) + f32
+    )
+    _, _, outf = ac.decode_wav(dataf)
+    assert np.abs(outf.reshape(-1) - s.reshape(-1)).max() < 1e-6
+
+
+def test_mono_and_resample():
+    s = np.stack([np.ones(10), -np.ones(10)], axis=1)
+    assert np.all(ac.to_mono(s) == 0.0)
+    r = ac.resample_nearest(np.arange(10, dtype=float)[:, None], 5)
+    assert r.reshape(-1).tolist() == [0.0, 2.0, 4.0, 6.0, 8.0]
+
+
+def test_compressed_sniff_and_decode_refusal():
+    assert ac.sniff_format(b"ID3\x04rest") == "mp3"
+    assert ac.sniff_format(b"OggSjunk") == "ogg"
+    assert ac.sniff_format(b"fLaCjunk") == "flac"
+    with pytest.raises(ValueError, match="RIFF"):
+        ac.decode_wav(b"OggSjunk")
+
+
+def test_decode_audio_batch_spark(spark):
+    """decode_audio_batch: REAL WAV decode inside mapInPandas — metadata,
+    mono mixdown, in-hop resampling — then JVM-side RMS/zero-crossing
+    features with the known analytics of a sine wave."""
+    from kapacitor_spark.dataprep.multimodal import (
+        decode_audio_batch, extract_audio_features,
+    )
+
+    rate, seconds, freq = 8000, 0.05, 440
+    wav = ac.encode_wav(_sine(freq, rate, seconds, channels=2), rate)
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    out = decode_audio_batch(df, target_frames=200).drop("payload")
+    r = extract_audio_features(out).collect()[0]
+    assert (r["channels"], r["sample_rate"]) == (2, rate)
+    assert r["n_frames"] == int(rate * seconds)
+    assert r["audio_format"] == "wav"
+    assert len(r["samples"]) == 200
+    # a full-scale sine has RMS 1/sqrt(2); zero crossings ≈ 2*freq*seconds
+    # scaled by the resample ratio
+    assert abs(r["rms"] - 1 / math.sqrt(2)) < 0.02
+    expected_zc = 2 * freq * seconds
+    assert abs(r["zero_crossings"] - expected_zc) <= 4
