@@ -1,0 +1,101 @@
+"""Video container metadata (stdlib-only): hand-built minimal MP4 and
+AVI headers parse to (dims, duration, frame count) — the inputs the
+frame-sampling planner needs before any decode."""
+
+import os
+import struct
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kapacitor_spark.dataprep import videocodec as vc
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(payload), btype) + payload
+
+
+def _minimal_mp4(w=640, h=360, scale=1000, dur=2500, frames=60) -> bytes:
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mvhd = _box(
+        b"mvhd",
+        b"\x00" + b"\x00" * 3          # version 0 + flags
+        + b"\x00" * 8                   # ctime/mtime
+        + struct.pack(">II", scale, dur)
+        + b"\x00" * 80,
+    )
+    tkhd = _box(
+        b"tkhd",
+        b"\x00" + b"\x00" * 3
+        + b"\x00" * 72                 # up to the fixed-point dims
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    stsz = _box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, frames))
+    stbl = _box(b"stbl", stsz)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
+def _minimal_avi(w=320, h=240, usec_pf=40000, frames=100) -> bytes:
+    avih = (
+        struct.pack("<IIIII", usec_pf, 0, 0, 0, frames)
+        + struct.pack("<III", 0, 0, 0)
+        + struct.pack("<II", w, h)
+        + b"\x00" * 16
+    )
+    avih_chunk = b"avih" + struct.pack("<I", len(avih)) + avih
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih_chunk)) + b"hdrl" + avih_chunk
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+
+
+def test_mp4_header():
+    data = _minimal_mp4()
+    assert vc.sniff_format(data) == "mp4"
+    fmt, w, h, dur, frames = vc.parse_video_header(data)
+    assert (fmt, w, h, frames) == ("mp4", 640, 360, 60)
+    assert dur == pytest.approx(2.5)
+
+
+def test_avi_header():
+    data = _minimal_avi()
+    fmt, w, h, dur, frames = vc.parse_video_header(data)
+    assert (fmt, w, h, frames) == ("avi", 320, 240, 100)
+    assert dur == pytest.approx(4.0)
+
+
+def test_mkv_sniff_and_unknown():
+    fmt, w, h, dur, frames = vc.parse_video_header(b"\x1a\x45\xdf\xa3junk")
+    assert fmt == "mkv" and w is None
+    with pytest.raises(ValueError):
+        vc.parse_video_header(b"not a video")
+
+
+def test_header_drives_frame_sampling(spark):
+    """The 100 TB contract: container metadata (no decode) feeds
+    sample_frames' explode plan — frame indices chosen declaratively
+    from parsed n_frames."""
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.dataprep.multimodal import sample_frames
+    from kapacitor_spark.dataprep.videocodec import parse_video_header
+
+    payloads = [(1, bytearray(_minimal_mp4(frames=25))),
+                (2, bytearray(_minimal_avi(frames=7)))]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+
+    @F.udf("long")
+    def n_frames_of(b):
+        return parse_video_header(bytes(b))[4]
+
+    vid = df.withColumn("n_frames", n_frames_of("payload"))
+    out = sample_frames(vid, "n_frames", every=10).select("doc_id", "frame_idx")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert sorted(got[1]) == [0, 10, 20]
+    assert sorted(got[2]) == [0]
