@@ -205,13 +205,98 @@ def _dispatch_alert_handlers(out, specs, services, time_col):
                         sound=opts.get("sound", ""),
                     ),
                 )
+        elif kind == "opsGenie2":
+            headers = {"Authorization": f"GenieKey {cfg.get('api_key', '')}"}
+            teams_ = opts.get("teams", cfg.get("teams", []))
+            recips = opts.get("recipients", cfg.get("recipients", []))
+            for ev in events:
+                path, payload = H.opsgenie2_payload(
+                    ev,
+                    teams=teams_ if isinstance(teams_, list) else [teams_],
+                    recipients=recips if isinstance(recips, list) else [recips],
+                )
+                H.post_payload(cfg["url"].rstrip("/") + path, payload, headers)
+        elif kind == "alerta":
+            headers = {
+                "Authorization": f"{cfg.get('token_prefix', 'Bearer')} "
+                                 f"{opts.get('token', cfg.get('token', ''))}"
+            }
+            for ev in events:
+                H.post_payload(
+                    cfg["url"].rstrip("/") + "/alert",
+                    H.alerta_payload(
+                        ev,
+                        resource=opts.get("resource", ""),
+                        event=opts.get("event", ""),
+                        environment=opts.get(
+                            "environment", cfg.get("environment", "")
+                        ),
+                        group=opts.get("group", ""),
+                        value=opts.get("value", ""),
+                        origin=opts.get("origin", cfg.get("origin", "Kapacitor")),
+                        service=opts.get("services", []),
+                    ),
+                    headers,
+                )
+        elif kind == "bigPanda":
+            headers = (
+                {"Authorization": f"Bearer {cfg['token']}"}
+                if cfg.get("token") else {}
+            )
+            for ev in events:
+                H.post_payload(
+                    cfg["url"],
+                    H.bigpanda_payload(
+                        ev,
+                        app_key=opts.get("appKey", cfg.get("app_key", "")),
+                        primary_property=opts.get(
+                            "primaryProperty", cfg.get("primary_property", "")
+                        ),
+                        secondary_property=opts.get(
+                            "secondaryProperty", cfg.get("secondary_property", "")
+                        ),
+                    ),
+                    headers,
+                )
+        elif kind == "serviceNow":
+            for ev in events:
+                H.post_payload(
+                    cfg["url"],
+                    {"records": [
+                        H.servicenow_event(
+                            ev,
+                            source=opts.get("source", cfg.get("source", "Kapacitor")),
+                            node=opts.get("node", ""),
+                            type_=opts.get("type", ""),
+                            resource=opts.get("resource", ""),
+                            metric_name=opts.get("metricName", ""),
+                            message_key=opts.get("messageKey", ""),
+                        )
+                    ]},
+                )
+        elif kind == "zenoss":
+            for ev in events:
+                H.post_payload(
+                    cfg["url"],
+                    H.zenoss_event(
+                        ev,
+                        device=opts.get("device", ""),
+                        component=opts.get("component", ""),
+                        event_class=opts.get(
+                            "eventClass", cfg.get("event_class", "")
+                        ),
+                        collector=opts.get("collector", cfg.get("collector", "")),
+                    ),
+                )
         else:
             raise TickError(
                 f"alert handler .{kind}(): payload formatter exists in "
                 "kapacitor_spark.handlers — call it directly with "
                 "events_from_alert_df (TICK-chain delivery implemented for "
-                "slack/victorOps/pagerDuty2/telegram/teams/talk/discord/"
-                "hipChat/pushover)"
+                "the HTTP services: slack/victorOps/pagerDuty2/opsGenie2/"
+                "telegram/teams/talk/discord/hipChat/pushover/alerta/"
+                "bigPanda/serviceNow/zenoss; email needs SMTP, snmpTrap/"
+                "kafka need their transports)"
             )
 
 

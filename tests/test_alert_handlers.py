@@ -791,3 +791,79 @@ stream
         assert body["state_message"] == "kapacitor/cpu/serverA is CRITICAL"
         assert body["monitoring_tool"] == "kapacitor"
         assert body["timestamp"] == 31536000  # window start 1971-01-01T00:00:00Z
+
+
+def test_tickscript_opsgenie2_handler_chain(spark):
+    """TestStream_AlertOpsGenie2 through the TICK front-end: the GenieKey
+    auth header and golden alias/priority/responders payload."""
+    import http.server
+    import socketserver
+    import threading
+
+    from kapacitor_spark.sources.line_protocol import promote, replay_srpl
+    from kapacitor_spark.tick import run_tickscript
+
+    received = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            received.append(
+                (self.path, self.headers.get("Authorization", ""),
+                 json.loads(self.rfile.read(n)))
+            )
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as srv:
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        raw = replay_srpl(
+            spark,
+            "/root/reference/integrations/testdata/TestStream_Alert.srpl",
+        )
+        cpu = promote(
+            raw, "cpu", float_fields=["value"], tag_cols=["host"],
+            keep_name=True,
+        )
+        run_tickscript(
+            """
+stream
+    |from()
+        .measurement('cpu')
+        .where(lambda: "host" == 'serverA')
+        .groupBy('host')
+    |window()
+        .period(10s)
+        .every(10s)
+    |count('value')
+    |alert()
+        .id('kapacitor/{{ .Name }}/{{ index .Tags "host" }}')
+        .crit(lambda: "count" > 8.0)
+        .opsGenie2()
+""",
+            sources={"cpu": cpu},
+            time_col="time",
+            alert_services={
+                "opsGenie2": {
+                    "url": f"http://127.0.0.1:{port}",
+                    "api_key": "api_key",
+                    "teams": ["test_team"],
+                    "recipients": ["test_recipient"],
+                }
+            },
+        )
+        srv.shutdown()
+    assert len(received) == 1
+    path, auth, body = received[0]
+    assert path == "/" and auth == "GenieKey api_key"
+    assert body["entity"] == "kapacitor/cpu/serverA"
+    assert body["alias"] == "a2FwYWNpdG9yL2NwdS9zZXJ2ZXJB"
+    assert body["priority"] == "P1"
+    assert body["responders"] == [
+        {"name": "test_team", "type": "team"},
+        {"username": "test_recipient", "type": "user"},
+    ]
