@@ -2576,6 +2576,48 @@ def html_strip(spark, sf_dir):
     return strip_html(docs).select("doc_id", "text")
 
 
+@_q(
+    "audio_decode",
+    """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+       v AS (SELECT doc_id,
+                    ('0x' || substr(h, 3, 2) || substr(h, 1, 2))::INT AS v0,
+                    ('0x' || substr(h, 7, 2) || substr(h, 5, 2))::INT AS v1
+             FROM d)
+       SELECT doc_id, 1 AS channels, 8000 AS sample_rate,
+              CAST(2 AS BIGINT) AS n_frames, 'wav' AS audio_format,
+              (CASE WHEN v0 >= 32768 THEN v0 - 65536 ELSE v0 END) / 32768.0 AS s0,
+              (CASE WHEN v1 >= 32768 THEN v1 - 65536 ELSE v1 END) / 32768.0 AS s1
+       FROM v""",
+)
+def audio_decode(spark, sf_dir):
+    """REAL audio decode under the oracle gate: each document becomes a
+    genuine RIFF/WAVE payload (constant 44-byte header literal +
+    unhex'd md5 bytes as two little-endian int16 PCM samples, assembled
+    entirely JVM-side), decode_audio_batch runs the stdlib WAV codec
+    (audiocodec.py) inside Arrow-batched mapInPandas, and the oracle
+    recomputes the int16-LE normalization from the hex digest — a wrong
+    endianness, sign handling, or scale fails the hash match. Sample
+    values k/2^15 are exact dyadic rationals, identical in float32 and
+    DuckDB's float64."""
+    from kapacitor_spark.dataprep.multimodal import decode_audio_batch
+
+    header = bytes.fromhex(
+        "524946462800000057415645666d7420100000000100"
+        "0100401f0000803e0000020010006461746104000000"
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("h"))
+    docs = d.select(
+        "doc_id",
+        F.concat(F.lit(header), F.unhex(F.substring("h", 1, 8))).alias("payload"),
+    )
+    out = decode_audio_batch(docs, mono=False)
+    return out.select(
+        "doc_id", "channels", "sample_rate", "n_frames", "audio_format",
+        F.element_at("samples", 1).cast("double").alias("s0"),
+        F.element_at("samples", 2).cast("double").alias("s1"),
+    )
+
+
 # ===================================================================== #
 # scored-window curation
 # ===================================================================== #
