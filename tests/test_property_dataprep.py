@@ -130,3 +130,79 @@ def test_decontaminate_matches_python_reference(spark, corpus, bench):
     bdf = spark.createDataFrame(list(enumerate(bench)), "doc_id long, text string")
     got = sorted(r["doc_id"] for r in decontaminate(cdf, bdf, n=k).collect())
     assert got == exp_kept
+
+
+# ------------------------------------------------------------------ #
+# codec round-trip fuzz (pure python — no Spark session needed)
+# ------------------------------------------------------------------ #
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 12), st.integers(1, 12),
+    st.sampled_from([1, 2, 3, 4]), st.integers(0, 2**32 - 1),
+)
+def test_png_roundtrip_fuzz(w, h, ch, seed):
+    import numpy as np
+
+    from kapacitor_spark.dataprep import imagecodec as ic
+
+    rng = np.random.RandomState(seed % (2**31))
+    pixels = rng.randint(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+    data = ic.encode_png(w, h, pixels, channels=ch)
+    assert ic.parse_header(data) == ("png", w, h)
+    assert ic.decode(data) == (w, h, ch, pixels)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1))
+def test_bmp_roundtrip_fuzz(w, h, seed):
+    import numpy as np
+
+    from kapacitor_spark.dataprep import imagecodec as ic
+
+    rng = np.random.RandomState(seed % (2**31))
+    pixels = rng.randint(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    data = ic.encode_bmp(w, h, pixels)
+    assert ic.decode(data) == (w, h, 3, pixels)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 64), st.sampled_from([1, 2]), st.integers(0, 2**32 - 1))
+def test_wav_roundtrip_fuzz(n_frames, channels, seed):
+    import numpy as np
+
+    from kapacitor_spark.dataprep import audiocodec as ac
+
+    rng = np.random.RandomState(seed % (2**31))
+    s = rng.uniform(-1, 1, size=(n_frames, channels))
+    data = ac.encode_wav(s, 8000)
+    ch, rate, bits, nf, fmt = ac.parse_wav_header(data)
+    assert (ch, rate, nf) == (channels, 8000, n_frames)
+    _, _, out = ac.decode_wav(data)
+    assert out.shape == s.shape
+    assert np.abs(out - s).max() < 1.0 / 10000
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 10), st.integers(1, 10), st.sampled_from([1, 3]),
+    st.integers(1, 10), st.integers(1, 10), st.integers(0, 2**32 - 1),
+)
+def test_resize_nearest_fuzz(w, h, ch, nw, nh, seed):
+    """Nearest resize picks only EXISTING pixel values, preserves the
+    corner pixel, and always produces exactly nw*nh*ch bytes."""
+    import numpy as np
+
+    from kapacitor_spark.dataprep import imagecodec as ic
+
+    rng = np.random.RandomState(seed % (2**31))
+    pixels = rng.randint(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+    out = ic.resize_nearest(pixels, w, h, ch, nw, nh)
+    assert len(out) == nw * nh * ch
+    src = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, ch)
+    dst = np.frombuffer(out, dtype=np.uint8).reshape(nh, nw, ch)
+    assert (dst[0, 0] == src[0, 0]).all()
+    # every output pixel vector exists somewhere in the source
+    src_set = {bytes(px) for row in src for px in row}
+    assert all(bytes(px) in src_set for row in dst for px in row)
