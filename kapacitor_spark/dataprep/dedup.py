@@ -43,6 +43,22 @@ __all__ = [
 # refuse to build an n² join above this many rows.
 _CROSSJOIN_MAX_ROWS = 50_000
 
+# A plan-size estimate at or under this proves the cross-join input small
+# enough (50k rows of ~128-d embeddings is ~55 MB; Catalyst over-estimates
+# parquet scans, so the bound has headroom) without paying a count job.
+_CROSSJOIN_SMALL_BYTES = 256 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate, or None if unavailable.
+    Free (no job): reads stats off the plan, never touches df.rdd."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:
+        return None
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure compute-heavy per-doc work is spread across all cores: small
@@ -60,9 +76,9 @@ def _spread(df: DataFrame) -> DataFrame:
         raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
         digits = "".join(ch for ch in raw if ch.isdigit())
         max_split = int(digits) if digits else 128 * 1024 * 1024
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
+        size = _plan_size_bytes(df)
+        if size is None:
+            raise ValueError("no plan-size estimate")
     except Exception:
         # estimate unavailable → assume small (repartition is the safe side
         # for the CPU-bound per-doc work this wraps)
@@ -425,7 +441,14 @@ def embedding_near_dup(
     from kapacitor_spark.dataprep.similarity import with_norm, cosine_expr
 
     if block_col is None:
-        n = emb_df.limit(_CROSSJOIN_MAX_ROWS + 1).count()
+        # plan-size estimate first — proves small inputs small for free;
+        # only an inconclusive estimate pays the bounded count job
+        size = _plan_size_bytes(emb_df)
+        n = (
+            0
+            if size is not None and size <= _CROSSJOIN_SMALL_BYTES
+            else emb_df.limit(_CROSSJOIN_MAX_ROWS + 1).count()
+        )
         if n > _CROSSJOIN_MAX_ROWS:
             raise ValueError(
                 f"embedding_near_dup(block_col=None) on >{_CROSSJOIN_MAX_ROWS} "

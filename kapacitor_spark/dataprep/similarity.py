@@ -239,6 +239,10 @@ def ivf_topk(
         F.col("__norm").alias("__qn"),
     )
 
+    # can't probe more lists than exist (nprobe > n_lists would make the
+    # argsort slice narrower than the index repeat and crash the Arrow worker)
+    k_probe = min(nprobe, cent.shape[0])
+
     def probe(batches):
         for pdf in batches:
             if not len(pdf):
@@ -246,8 +250,8 @@ def ivf_topk(
             X = np.stack(pdf["__qv"].to_numpy())
             # argmin of ||q-c||² = ||c||² - 2q·c (+||q||², constant per row)
             d = cnorm[None, :] - 2.0 * (X @ cent.T)
-            lists = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
-            out = pdf.loc[pdf.index.repeat(nprobe)].copy()
+            lists = np.argsort(d, axis=1, kind="stable")[:, :k_probe]
+            out = pdf.loc[pdf.index.repeat(k_probe)].copy()
             out["list_id"] = lists.reshape(-1).astype("int32")
             yield out
 

@@ -326,7 +326,9 @@ def pack_sequences(
 
     from kapacitor_spark.dataprep.dedup import tokenize
 
-    toks = F.size(tokenize(text_col))
+    # long, not int32: the driver's oracle compares typed (Arrow) bytes and
+    # DuckDB len() is BIGINT — F.size alone would hash-diverge on equal values
+    toks = F.size(tokenize(text_col)).cast("long")
     w = W.partitionBy(shard_col).orderBy(id_col)
     cum_before = F.coalesce(
         F.sum(toks).over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)

@@ -190,7 +190,12 @@ FUNCTIONS: dict = {
     # draw is Spark's per-partition RNG, so values differ run-to-run
     # unless the plan seeds it; the CONTRACT (ranges, rand(0)==0) holds.
     "rand": lambda n=None: (
-        (F.rand() * F.lit(float(2**62))).cast("long")
+        # full [0, 2^63) range per rand.Int63; least() clamps the one
+        # double-rounding edge where rand()*2^63 rounds up to exactly 2^63
+        F.least(
+            (F.rand() * F.lit(float(2**63))).cast("long"),
+            F.lit(2**63 - 1),
+        )
         if n is None
         else F.floor(F.rand() * F.greatest(_c(n).cast("double"), F.lit(1.0))).cast("long")
     ),

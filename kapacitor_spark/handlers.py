@@ -208,9 +208,9 @@ def opsgenie2_payload(
 
 
 def victorops_payload(ev: AlertEvent, json_data: bool = False) -> dict:
-    """victorops/service.go preparePost."""
+    """victorops/service.go preparePost; OK → RECOVERY (service.go:196)."""
     return {
-        "message_type": ev.level,
+        "message_type": "RECOVERY" if ev.level == "OK" else ev.level,
         "entity_id": ev.id,
         "state_message": ev.message,
         "timestamp": int(ev.time.replace(tzinfo=dt.timezone.utc).timestamp()),

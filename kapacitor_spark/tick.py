@@ -70,6 +70,15 @@ _ALERT_LEVEL_PROPS = {
     "topic", "id", "message", "messageField", "details", "inhibit",
     "log", "post", "tcp", "exec",
 }
+# Option names that collide with handler-kind names: while a spec of the
+# keyed kind is open, these parse as ITS options, not a new handler —
+# .opsGenie2().teams('t1') routes teams to OpsGenie, not MS-Teams
+# (reference pipeline/alert.go:1957,2043 — the typed receiver disambiguates
+# there; the flat prop scan needs this whitelist).
+_HANDLER_KIND_OPTIONS = {
+    "opsGenie": {"teams", "recipients"},
+    "opsGenie2": {"teams", "recipients"},
+}
 
 
 def _dispatch_alert_handlers(out, specs, services, time_col):
@@ -93,8 +102,12 @@ def _dispatch_alert_handlers(out, specs, services, time_col):
                      "topic", "name", *dims)
         and not c.startswith("__")
     ]
+    # OK rows pass through: the alert node's events_only/stateChangesOnly
+    # logic already restricts OK to genuine recovery transitions, and the
+    # reference delivers those to handlers (pagerduty2 'resolve', opsGenie2
+    # close, victorops RECOVERY — streamer_test.go expects alert.OK events)
     events = H.events_from_alert_df(
-        df.filter(F.col("level") != "OK") if "level" in df.columns else df,
+        df,
         time_col,
         dims=dims,
         level_col="level",
@@ -1124,14 +1137,23 @@ class _Env:
         # configs passed as run_tickscript(alert_services={...}).
         specs: list[tuple[str, dict]] = []
         current: dict | None = None
+        cur_kind: str | None = None
         for name, args in node.props:
-            if name in _ALERT_HANDLER_KINDS:
+            if current is not None and name in _HANDLER_KIND_OPTIONS.get(
+                cur_kind, ()
+            ):
+                # collides with a handler-kind name but belongs to the open
+                # spec (.opsGenie2().teams(...))
+                current[name] = args[0] if len(args) == 1 else list(args)
+            elif name in _ALERT_HANDLER_KINDS:
                 current = {}
+                cur_kind = name
                 specs.append((name, current))
             elif current is not None and name not in _ALERT_LEVEL_PROPS:
                 current[name] = args[0] if len(args) == 1 else list(args)
             else:
                 current = None
+                cur_kind = None
         for name, args in node.props:
             if name == "log":
                 from kapacitor_spark.sinks import apply_sink, log_handler

@@ -146,6 +146,46 @@ def publish_to_topics(
     return events.drop(topic_col).withColumn(topic_col, F.explode(arr))
 
 
+import re as _match_re
+
+# The handler-match grammar is closed (reference services/alert/handlers.go
+# matchHandler: level()/changed()/name()/taskName()/duration(), level
+# identifiers, comparisons, boolean ops). One tokenizer feeds BOTH the
+# Column compiler (match_filter) and the row evaluator (_match_row) — no
+# regex rewriting over raw strings, no eval.
+_MATCH_TOK = _match_re.compile(
+    r"""\s*(?:
+      (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+    | (?P<num>\d+(?:\.\d+)?)
+    | (?P<fn>[A-Za-z_][A-Za-z_0-9]*\s*\(\s*\))
+    | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
+    | (?P<op>==|!=|<=|>=|&&|\|\||[!<>()])
+    )""",
+    _match_re.X,
+)
+
+
+def _match_tokens(expr: str) -> list[tuple[str, str]]:
+    """Lex a match expression into (kind, text) pairs; raises on garbage."""
+    toks: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(expr):
+        m = _MATCH_TOK.match(expr, pos)
+        if not m:
+            if expr[pos:].strip():
+                raise ValueError(
+                    f"bad match expression at {expr[pos:pos + 20]!r}"
+                )
+            break
+        pos = m.end()
+        kind = m.lastgroup
+        text = m.group(kind)
+        if kind == "fn":
+            text = _match_re.sub(r"\s+", "", text)
+        toks.append((kind, text))
+    return toks
+
+
 def match_filter(
     events: DataFrame,
     match: str,
@@ -167,30 +207,51 @@ def match_filter(
     sev = F.lit(0)
     for name, rank in _LEVEL_SEVERITY.items():
         sev = F.when(F.col(level_col) == name, rank).otherwise(sev)
-    import re
-
-    expr = match
-    expr = re.sub(r"\blevel\(\)", "__sev", expr)
-    if "changed()" in expr:
-        if prev_level_col is None:
-            raise ValueError(
-                "match uses changed() — pass prev_level_col (the previous "
-                "level column, e.g. from a lag window)"
+    # Token-wise rewrite (never regex over the raw string): identifiers
+    # inside string literals — "name() == 'svc-OK'" — must survive intact.
+    out_toks: list[str] = []
+    for kind, text in _match_tokens(match):
+        if kind == "str":
+            out_toks.append(text)
+        elif kind == "fn":
+            fname = text[: -2]
+            if fname == "level":
+                out_toks.append("__sev")
+            elif fname == "changed":
+                if prev_level_col is None:
+                    raise ValueError(
+                        "match uses changed() — pass prev_level_col (the "
+                        "previous level column, e.g. from a lag window)"
+                    )
+                out_toks.append(f"({level_col} != {prev_level_col})")
+            elif fname == "name":
+                out_toks.append(name_col)
+            elif fname == "taskName":
+                out_toks.append(f"'{task_name}'")
+            elif fname == "duration":
+                if duration_col is None:
+                    raise ValueError("match uses duration() — pass duration_col")
+                out_toks.append(duration_col)
+            else:
+                raise ValueError(f"unknown match function {fname}()")
+        elif kind == "ident":
+            if text in _LEVEL_SEVERITY:
+                out_toks.append(str(_LEVEL_SEVERITY[text]))
+            elif text == "TRUE":
+                out_toks.append("true")
+            elif text == "FALSE":
+                out_toks.append("false")
+            elif text in ("AND", "OR", "NOT"):
+                out_toks.append(text)
+            else:
+                out_toks.append(text)
+        elif kind == "op":
+            out_toks.append(
+                {"==": "=", "&&": "AND", "||": "OR", "!": "NOT"}.get(text, text)
             )
-        expr = expr.replace(
-            "changed()", f"({level_col} != {prev_level_col})"
-        )
-    expr = re.sub(r"\bname\(\)", name_col, expr)
-    expr = re.sub(r"\btaskName\(\)", f"'{task_name}'", expr)
-    if "duration()" in expr:
-        if duration_col is None:
-            raise ValueError("match uses duration() — pass duration_col")
-        expr = expr.replace("duration()", duration_col)
-    for name, rank in _LEVEL_SEVERITY.items():
-        expr = re.sub(rf"\b{name}\b", str(rank), expr)
-    expr = re.sub(r"\bTRUE\b", "true", expr)
-    expr = re.sub(r"\bFALSE\b", "false", expr)
-    expr = expr.replace("==", "=")
+        else:  # num
+            out_toks.append(text)
+    expr = " ".join(out_toks)
     return events.withColumn("__sev", sev).filter(F.expr(expr)).drop("__sev")
 
 
@@ -323,23 +384,109 @@ def register_handler_spec(
 
 
 def _match_row(row, match: str, prev_level_col: str | None) -> bool:
-    """Evaluate a handler match expression against one event Row —
-    the row-level twin of match_filter (same identifier set)."""
-    sev = _LEVEL_SEVERITY.get(str(row["level"]), 0)
-    env = {
-        "level": lambda: sev,
-        "name": lambda: row["name"] if "name" in row.__fields__ else "",
-        "taskName": lambda: "",
-        "duration": lambda: row["duration"] if "duration" in row.__fields__ else 0,
-        "changed": lambda: (
-            str(row["level"]) != str(row[prev_level_col])
-            if prev_level_col and prev_level_col in row.__fields__
-            else False
-        ),
-        "OK": 0, "INFO": 1, "WARNING": 2, "CRITICAL": 3,
-        "TRUE": True, "FALSE": False,
+    """Evaluate a handler match expression against one event Row — the
+    row-level twin of match_filter: same tokens, same closed grammar,
+    evaluated by a tiny recursive-descent parser (NOT eval — the
+    reference's matchHandler grammar is closed; spec-provided strings
+    must not reach a general evaluator)."""
+    fields = set(row.__fields__)
+
+    def fn_value(fname: str):
+        if fname == "level":
+            return _LEVEL_SEVERITY.get(str(row["level"]), 0)
+        if fname == "name":
+            return row["name"] if "name" in fields else ""
+        if fname == "taskName":
+            return ""
+        if fname == "duration":
+            return row["duration"] if "duration" in fields else 0
+        if fname == "changed":
+            return (
+                str(row["level"]) != str(row[prev_level_col])
+                if prev_level_col and prev_level_col in fields
+                else False
+            )
+        raise ValueError(f"unknown match function {fname}()")
+
+    toks = _match_tokens(match)
+    i = 0
+
+    def peek():
+        return toks[i] if i < len(toks) else (None, None)
+
+    def take():
+        nonlocal i
+        t = toks[i]
+        i += 1
+        return t
+
+    def parse_or():
+        v = parse_and()
+        while peek()[1] in ("||", "OR"):
+            take()
+            rhs = parse_and()
+            v = bool(v) or bool(rhs)
+        return v
+
+    def parse_and():
+        v = parse_not()
+        while peek()[1] in ("&&", "AND"):
+            take()
+            rhs = parse_not()
+            v = bool(v) and bool(rhs)
+        return v
+
+    def parse_not():
+        if peek()[1] in ("!", "NOT"):
+            take()
+            return not bool(parse_not())
+        return parse_cmp()
+
+    _CMP = {
+        "==": lambda a, b: a == b,
+        "!=": lambda a, b: a != b,
+        "<=": lambda a, b: a <= b,
+        ">=": lambda a, b: a >= b,
+        "<": lambda a, b: a < b,
+        ">": lambda a, b: a > b,
     }
-    return bool(eval(match, {"__builtins__": {}}, env))  # noqa: S307 — spec-author-provided expr, no builtins
+
+    def parse_cmp():
+        v = parse_primary()
+        if peek()[1] in _CMP:
+            op = take()[1]
+            return _CMP[op](v, parse_primary())
+        return v
+
+    def parse_primary():
+        kind, text = take()
+        if kind == "op" and text == "(":
+            v = parse_or()
+            kind2, text2 = take()
+            if text2 != ")":
+                raise ValueError("unbalanced parens in match expression")
+            return v
+        if kind == "str":
+            body = text[1:-1]
+            return body.replace("\\'", "'").replace('\\"', '"').replace("\\\\", "\\")
+        if kind == "num":
+            return float(text) if "." in text else int(text)
+        if kind == "fn":
+            return fn_value(text[:-2])
+        if kind == "ident":
+            if text in _LEVEL_SEVERITY:
+                return _LEVEL_SEVERITY[text]
+            if text == "TRUE":
+                return True
+            if text == "FALSE":
+                return False
+            raise ValueError(f"unknown identifier {text!r} in match expression")
+        raise ValueError(f"unexpected token {text!r} in match expression")
+
+    result = parse_or()
+    if i != len(toks):
+        raise ValueError(f"trailing tokens in match expression {match!r}")
+    return bool(result)
 
 
 def topic_state(

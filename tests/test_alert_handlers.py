@@ -700,20 +700,31 @@ stream
             },
         )
         srv.shutdown()
-    assert len(received) == 2
-    got = {path: (auth, body) for path, auth, body in received}
-    exp_attach = [{
-        "fallback": "kapacitor/cpu/serverA is CRITICAL",
-        "color": "danger",
-        "text": "kapacitor/cpu/serverA is CRITICAL",
-        "mrkdwn_in": ["text"],
-    }]
-    auth1, b1 = got["/test/slack/url"]
-    assert auth1 == "" and b1["channel"] == "@jim"
-    assert b1["attachments"] == exp_attach
-    auth2, b2 = got["/test/slack/url2"]
-    assert auth2 == "Bearer my_secret_token" and b2["channel"] == "#alerts"
-    assert b2["attachments"] == exp_attach
+    # 2 specs × 2 events: the CRITICAL fire AND the OK recovery — the
+    # reference delivers recoveries to handlers (its TestStream_Alert run
+    # stops at 13s before the recovering window emits; ours replays it)
+    assert len(received) == 4
+
+    def attach(level, color):
+        msg = f"kapacitor/cpu/serverA is {level}"
+        return [{
+            "fallback": msg, "color": color, "text": msg,
+            "mrkdwn_in": ["text"],
+        }]
+
+    by_path: dict = {}
+    for path, auth, body in received:
+        by_path.setdefault(path, []).append((auth, body))
+    for path, posts in by_path.items():
+        assert [b["attachments"] for _, b in posts] == [
+            attach("CRITICAL", "danger"), attach("OK", "good"),
+        ]
+    auths1 = {a for a, b in by_path["/test/slack/url"]}
+    chans1 = {b["channel"] for _, b in by_path["/test/slack/url"]}
+    assert auths1 == {""} and chans1 == {"@jim"}
+    auths2 = {a for a, b in by_path["/test/slack/url2"]}
+    chans2 = {b["channel"] for _, b in by_path["/test/slack/url2"]}
+    assert auths2 == {"Bearer my_secret_token"} and chans2 == {"#alerts"}
 
 
 def test_tickscript_victorops_handler_chain_golden(spark):
@@ -782,14 +793,21 @@ stream
             },
         )
         srv.shutdown()
+    # each routing key gets the CRITICAL fire and the OK RECOVERY
+    # (victorops/service.go:196 maps alert.OK → message_type RECOVERY)
     assert sorted(p for p, _ in received) == [
-        "/api_key/test_key", "/api_key/test_key2",
+        "/api_key/test_key", "/api_key/test_key",
+        "/api_key/test_key2", "/api_key/test_key2",
     ]
     for _, body in received:
-        assert body["message_type"] == "CRITICAL"
+        assert body["message_type"] in ("CRITICAL", "RECOVERY")
+        level = "CRITICAL" if body["message_type"] == "CRITICAL" else "OK"
         assert body["entity_id"] == "kapacitor/cpu/serverA"
-        assert body["state_message"] == "kapacitor/cpu/serverA is CRITICAL"
+        assert body["state_message"] == f"kapacitor/cpu/serverA is {level}"
         assert body["monitoring_tool"] == "kapacitor"
+    crit = [b for _, b in received if b["message_type"] == "CRITICAL"]
+    assert len(crit) == 2
+    for body in crit:
         assert body["timestamp"] == 31536000  # window start 1971-01-01T00:00:00Z
 
 
@@ -857,7 +875,9 @@ stream
             },
         )
         srv.shutdown()
-    assert len(received) == 1
+    # the CRITICAL create plus the OK recovery's close call
+    # (opsgenie2/service.go recovery path — alias-addressed /close)
+    assert len(received) == 2
     path, auth, body = received[0]
     assert path == "/" and auth == "GenieKey api_key"
     assert body["entity"] == "kapacitor/cpu/serverA"
@@ -866,4 +886,81 @@ stream
     assert body["responders"] == [
         {"name": "test_team", "type": "team"},
         {"username": "test_recipient", "type": "user"},
+    ]
+    path2, auth2, body2 = received[1]
+    assert path2 == (
+        "/a2FwYWNpdG9yL2NwdS9zZXJ2ZXJB/close?identifierType=alias"
+    )
+    assert auth2 == "GenieKey api_key"
+    assert body2 == {"note": "kapacitor/cpu/serverA is OK"}
+
+
+def test_tickscript_opsgenie2_teams_option_not_msteams(spark):
+    """`.opsGenie2().teams('t1','t2')` (pipeline/alert.go:2043): `teams`
+    is an OPTION of the open opsGenie2 spec, not the MS-Teams handler —
+    the typed receiver disambiguates in the reference; the flat prop scan
+    must too. The teams land as responders and NO MS-Teams spec opens
+    (which would raise TickError: no 'teams' service config)."""
+    import http.server
+    import socketserver
+    import threading
+
+    from kapacitor_spark.sources.line_protocol import promote, replay_srpl
+    from kapacitor_spark.tick import run_tickscript
+
+    received = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            received.append((self.path, json.loads(self.rfile.read(n))))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as srv:
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        raw = replay_srpl(
+            spark,
+            "/root/reference/integrations/testdata/TestStream_Alert.srpl",
+        )
+        cpu = promote(
+            raw, "cpu", float_fields=["value"], tag_cols=["host"],
+            keep_name=True,
+        )
+        run_tickscript(
+            """
+stream
+    |from()
+        .measurement('cpu')
+        .where(lambda: "host" == 'serverA')
+        .groupBy('host')
+    |window()
+        .period(10s)
+        .every(10s)
+    |count('value')
+    |alert()
+        .id('kapacitor/{{ .Name }}/{{ index .Tags "host" }}')
+        .crit(lambda: "count" > 8.0)
+        .opsGenie2()
+        .teams('test_team', 'another_team')
+""",
+            sources={"cpu": cpu},
+            time_col="time",
+            alert_services={
+                "opsGenie2": {
+                    "url": f"http://127.0.0.1:{port}",
+                    "api_key": "api_key",
+                }
+            },
+        )
+        srv.shutdown()
+    creates = [b for p, b in received if p == "/"]
+    assert len(creates) == 1
+    assert creates[0]["responders"] == [
+        {"name": "test_team", "type": "team"},
+        {"name": "another_team", "type": "team"},
     ]
