@@ -34,10 +34,10 @@ def token_stats(
     )
     return df.select(
         F.col(id_col),
-        F.length(text_col).alias("n_chars_computed"),
-        F.size(toks).alias("n_tokens"),
-        bpe.alias("n_subtokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.length(text_col).cast("long").alias("n_chars_computed"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        bpe.cast("long").alias("n_subtokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
         F.round(
             F.aggregate(
                 F.transform(toks, lambda t: F.length(t).cast("double")),
@@ -80,7 +80,7 @@ def quality_score(
     )
     return df.select(
         F.col(id_col),
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.round(ttr, 6).alias("type_token_ratio"),
         F.round(punct, 6).alias("punct_ratio"),
         score.alias("quality"),
@@ -113,7 +113,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(
         F.col(id_col),
         F.when(best["hits"] > 0, best["lang"]).otherwise("und").alias("lang_pred"),
-        best["hits"].alias("marker_hits"),
+        best["hits"].cast("long").alias("marker_hits"),
     )
 
 
@@ -135,9 +135,9 @@ def analysis_suite(
     )
     return df.select(
         F.col(id_col),
-        F.length(text_col).alias("n_chars_computed"),
-        F.size(toks).alias("n_tokens"),
-        F.size(uniq).alias("n_unique_tokens"),
+        F.length(text_col).cast("long").alias("n_chars_computed"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(uniq).cast("long").alias("n_unique_tokens"),
         F.round(
             F.aggregate(
                 F.transform(toks, lambda t: F.length(t).cast("double")),
