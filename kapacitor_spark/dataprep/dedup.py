@@ -53,9 +53,10 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
     """Catalyst's optimized-plan size estimate, or None if unavailable.
     Free (no job): reads stats off the plan, never touches df.rdd."""
     try:
-        return int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j maps scala BigInt to a Python int on recent Sparks; older
+        # bridges hand back the JVM object
+        return size if isinstance(size, int) else int(size.toString())
     except Exception:
         return None
 

@@ -21,11 +21,16 @@ Carried metadata:
 Scale notes: every per-group ordered transform (derivative, difference,
 stateCount, …) compiles to a window function over
 ``partitionBy(dims).orderBy(time)`` — one shuffle on the group key, then
-sorted within partitions; at 100 TB the dims must be reasonably
+sorted within partitions; at 100 TB the dims should be reasonably
 high-cardinality (hosts, services) which matches the reference's data
-model. Aggregations are plain hash aggregates with map-side partial
-aggregation. Joins are equi-joins on (bucketed time, dims) which AQE can
-convert to broadcast when one side is small.
+model. A big NO-DIMS pipeline — the one case where that window would
+funnel everything through a single sorting task — routes
+derivative/difference/elapsed/movingAverage/cumulativeSum/changeDetect
+through the salted two-phase plan in ``operators/ordered.py`` (chunk-local
+windows + broadcast recombination; see ``_lag_frame``). Aggregations are
+plain hash aggregates with map-side partial aggregation. Joins are
+equi-joins on (bucketed time, dims) which AQE can convert to broadcast
+when one side is small.
 """
 
 from __future__ import annotations
@@ -171,6 +176,38 @@ class Pipeline:
         reference's per-group receiver ordering (/root/reference/edge/grouped.go)."""
         w = Window.partitionBy(*[F.col(d) for d in self.dims]) if self.dims else Window.partitionBy()
         return w.orderBy(self.time_col, *self.tiebreak)
+
+    def _lag_frame(self, tail_rows: int = 1):
+        """(df, window, finish) — the giant-single-group-safe ordered frame
+        for lag/trailing-rows transforms. Grouped or small pipelines get
+        the plain per-group window (finish = identity). A big NO-DIMS
+        pipeline would funnel the whole input through one sorting task
+        (the one scale wall the reference's per-group goroutines never
+        hit), so it routes through operators.ordered.chunked_frame: a
+        salted two-phase plan whose ghost rows carry each chunk's trailing
+        ``tail_rows`` across the cut; ``finish`` strips the ghosts."""
+        from kapacitor_spark.operators.ordered import (
+            chunked_frame,
+            chunks_support_tail,
+            should_chunk,
+        )
+
+        if self.dims or not should_chunk(self.df, self.dims):
+            return self.df, self._ordered(), lambda d: d
+        if tail_rows > 1 and not chunks_support_tail(
+            self.df, self.time_col, tail_rows
+        ):
+            # a chunk thinner than the trailing window can't feed full
+            # ghosts — fall back to the exact single-window plan
+            return self.df, self._ordered(), lambda d: d
+        aug, w = chunked_frame(
+            self.df, self.time_col, list(self.tiebreak), tail_rows=tail_rows
+        )
+        return (
+            aug,
+            w,
+            lambda d: d.filter(F.col("__real")).drop("__chunk", "__real"),
+        )
 
     @property
     def time(self) -> Column:
@@ -392,7 +429,7 @@ class Pipeline:
         (cur-prev)/(Δt/unit); the first point per group is dropped; with
         nonNegative(), negative results are dropped too."""
         out = as_ or fld
-        w = self._ordered()
+        df0, w, finish = self._lag_frame()
         unit_s = parse_duration(unit)
         dv = F.col(fld) - F.lag(fld).over(w)
         dt = (
@@ -402,7 +439,7 @@ class Pipeline:
         # (derivative.go:146-150) — NULL here, dropped by the filter below,
         # and ANSI-safe (Spark 4 raises on /0 otherwise)
         deriv = F.when(dt != 0, dv / (dt / F.lit(unit_s)))
-        df = self.df.withColumn("__d", deriv).filter(F.col("__d").isNotNull())
+        df = finish(df0.withColumn("__d", deriv)).filter(F.col("__d").isNotNull())
         if non_negative:
             df = df.filter(F.col("__d") >= 0)
         # with .as(alias) the reference KEEPS the source field and adds the
@@ -416,10 +453,10 @@ class Pipeline:
         """cur - prev per group (/root/reference/pipeline/influxql.go:519);
         first point dropped."""
         out = as_ or fld
-        w = self._ordered()
+        df0, w, finish = self._lag_frame()
         d = F.col(fld) - F.lag(fld).over(w)
         return self._with(
-            self.df.withColumn("__d", d)
+            finish(df0.withColumn("__d", d))
             .filter(F.col("__d").isNotNull())
             .withColumn(out, F.col("__d"))
             .drop("__d")
@@ -429,14 +466,14 @@ class Pipeline:
         """Δt from previous point in units (/root/reference/pipeline/influxql.go:493);
         first point dropped. Output is an integer count of units, matching
         influxdb's elapsed()."""
-        w = self._ordered()
+        df0, w, finish = self._lag_frame()
         unit_us = round(parse_duration(unit) * 1_000_000)
         e = (
             (F.unix_micros(self.time) - F.unix_micros(F.lag(self.time_col).over(w)))
             / F.lit(unit_us)
         ).cast("long")
         return self._with(
-            self.df.withColumn(as_, e).filter(F.col(as_).isNotNull())
+            finish(df0.withColumn(as_, e)).filter(F.col(as_).isNotNull())
         )
 
     def moving_average(self, fld: str, window: int, as_: str | None = None) -> "Pipeline":
@@ -444,12 +481,14 @@ class Pipeline:
         (/root/reference/pipeline/influxql.go:536); emits only once the
         window is full (influxdb semantics)."""
         out = as_ or fld
-        w = self._ordered()
+        # ghost rows make chunk-local row_number equal the TRUE trailing
+        # count for every real row (chunk 0 has none, later chunks carry
+        # exactly window-1 ghosts), so the warmup filter stays correct
+        df0, w, finish = self._lag_frame(tail_rows=window - 1)
         avg = F.avg(fld).over(w.rowsBetween(-(window - 1), 0))
         rn = F.row_number().over(w)
         df = (
-            self.df.withColumn("__ma", avg)
-            .withColumn("__rn", rn)
+            finish(df0.withColumn("__ma", avg).withColumn("__rn", rn))
             .filter(F.col("__rn") >= window)
             .withColumn(out, F.col("__ma"))
             .drop("__ma", "__rn")
@@ -459,13 +498,26 @@ class Pipeline:
     def cumulative_sum(self, fld: str, as_: str | None = None) -> "Pipeline":
         """Running sum per group (/root/reference/pipeline/influxql.go:584)."""
         out = as_ or fld
+        from kapacitor_spark.operators.ordered import (
+            chunked_cumulative_sum,
+            should_chunk,
+        )
+
+        if not self.dims and should_chunk(self.df, self.dims):
+            # one giant group: chunk-local prefix + broadcast offsets
+            # instead of a single-task global sort
+            return self._with(
+                chunked_cumulative_sum(
+                    self.df, fld, out, self.time_col, list(self.tiebreak)
+                )
+            )
         w = self._ordered().rowsBetween(Window.unboundedPreceding, 0)
         return self._with(self.df.withColumn(out, F.sum(fld).over(w)))
 
     def change_detect(self, *flds: str) -> "Pipeline":
         """Drop points whose monitored fields all equal the previous point's
         (/root/reference/change_detect.go:110-140)."""
-        w = self._ordered()
+        df0, w, finish = self._lag_frame()
         conds = []
         for f_ in flds:
             lagged = F.lag(f_).over(w)
@@ -476,7 +528,9 @@ class Pipeline:
         for c in conds[1:]:
             keep = keep | c
         return self._with(
-            self.df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")
+            finish(df0.withColumn("__keep", keep))
+            .filter(F.col("__keep"))
+            .drop("__keep")
         )
 
     def _streak_id(self, cond: Column) -> tuple[DataFrame, Column]:
