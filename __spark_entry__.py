@@ -1367,7 +1367,7 @@ def text_lang_id(spark, sf_dir):
               round((('0x' || substr(h, 1, 2))::INT + ('0x' || substr(h, 3, 2))::INT +
                      ('0x' || substr(h, 5, 2))::INT + ('0x' || substr(h, 7, 2))::INT)
                     / (255.0 * 4), 6) AS pix_mean
-       FROM d WHERE doc_id % 2 = 0
+       FROM d WHERE doc_id % 3 = 0
        UNION ALL
        SELECT doc_id, 2, 2, 'ppm', CAST(23 AS BIGINT),
               round((('0x' || substr(h, 1, 2))::INT + ('0x' || substr(h, 3, 2))::INT +
@@ -1377,28 +1377,50 @@ def text_lang_id(spark, sf_dir):
                      ('0x' || substr(h, 17, 2))::INT + ('0x' || substr(h, 19, 2))::INT +
                      ('0x' || substr(h, 21, 2))::INT + ('0x' || substr(h, 23, 2))::INT)
                     / (255.0 * 12), 6)
-       FROM d WHERE doc_id % 2 = 1""",
+       FROM d WHERE doc_id % 3 = 1
+       UNION ALL
+       SELECT doc_id, 8, 8, 'jpeg', CAST(NULL AS BIGINT),
+              round(('0x' || substr(h, 1, 2))::INT / 255.0, 6)
+       FROM d WHERE doc_id % 3 = 2""",
 )
 def multimodal_decode_q(spark, sf_dir):
-    """Multimodal decode end-to-end with REAL image decoding: each doc
-    becomes a real 2×2 Netpbm image (P5 grayscale for even ids, P6 RGB
-    for odd) whose pixel bytes come from md5(text) — the payload is
-    assembled entirely JVM-side (concat of a binary header literal with
-    unhex'd digest bytes), then decode_full(fake=False) runs the
-    stdlib codec (imagecodec.py: the same code path that handles
-    PNG/BMP) inside Arrow-batched mapInPandas, and the pixel means are
-    re-aggregated JVM-side. The oracle recomputes the identical bytes
-    from the hex digest — so a wrong header parse, wrong pixel order,
-    or wrong normalization fails the hash match."""
+    """Multimodal decode end-to-end with REAL image decoding across THREE
+    codecs: each doc becomes a real 2×2 Netpbm image (P5 grayscale /
+    P6 RGB, assembled JVM-side from md5(text) bytes) or a real baseline
+    JPEG (flat 8×8 gray at the first digest byte — flat blocks are
+    DC-only, and at quality 90 the DC quantizer is ≤8 so the lossy
+    round-trip is EXACT, making the decoded mean SQL-predictable).
+    decode_full(fake=False) runs the stdlib codecs (imagecodec.py +
+    jpegcodec.py: canonical Huffman + IDCT) inside Arrow-batched
+    mapInPandas; pixel means re-aggregate JVM-side. The oracle recomputes
+    the exact bytes from the hex digest — a wrong header parse, Huffman
+    table, IDCT, or normalization fails the hash match. JPEG payload
+    size is entropy-coded (not SQL-predictable) → NULL by design."""
     from kapacitor_spark.dataprep.multimodal import decode_full
 
     d = _t(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("h"))
     gray = F.concat(F.lit(b"P5\n2 2\n255\n"), F.unhex(F.substring("h", 1, 8)))
     rgb = F.concat(F.lit(b"P6\n2 2\n255\n"), F.unhex(F.substring("h", 1, 24)))
-    docs = d.select(
+    third = F.col("doc_id") % 3
+    base = d.select(
         "doc_id",
-        F.when(F.col("doc_id") % 2 == 0, gray).otherwise(rgb).alias("payload"),
+        F.when(third == 0, gray).when(third == 1, rgb).alias("payload"),
+        F.when(third == 2, F.unhex(F.substring("h", 1, 2))).alias("__jv"),
     )
+
+    def fill_jpeg(batches):
+        from kapacitor_spark.dataprep import jpegcodec
+
+        for pdf in batches:
+            mask = pdf["payload"].isna()
+            pdf.loc[mask, "payload"] = pdf.loc[mask, "__jv"].map(
+                lambda b: jpegcodec.encode(
+                    8, 8, bytes([bytes(b)[0]]) * 64, channels=1, quality=90
+                )
+            )
+            yield pdf.drop(columns=["__jv"])
+
+    docs = base.mapInPandas(fill_jpeg, schema="doc_id long, payload binary")
     out = decode_full(docs, "payload", fake=False)
     # recover the exact byte values before dividing so Spark and the oracle
     # evaluate the identical double expression (int_sum / (255*n))
@@ -1408,7 +1430,9 @@ def multimodal_decode_q(spark, sf_dir):
         lambda a, x: a + x,
     )
     return out.select(
-        "doc_id", "width", "height", "format", "size_bytes",
+        "doc_id", "width", "height", "format",
+        F.when(F.col("format") == "jpeg", F.lit(None).cast("long"))
+         .otherwise(F.col("size_bytes")).alias("size_bytes"),
         F.round(byte_sum / (F.lit(255.0) * F.size("pixels")), 6).alias("pix_mean"),
     )
 

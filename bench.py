@@ -71,20 +71,25 @@ def main() -> int:
     # inside an already-warm process under go test -bench).
     qs["lambda_where_regex"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    # Best-of-2 per query: the reference harness (go test -bench) loops
-    # b.N iterations and reports steady-state per-op time; min-of-2 is the
-    # closest one-process analog and shields the number from transient
-    # host load (observed >6x swings on an otherwise idle box).
+    # Median-of-3 per query (after the process-wide warmup above): the
+    # reference harness (go test -bench) loops b.N iterations and reports
+    # steady-state per-op time. Single-run numbers on a shared box moved
+    # ±30-45% round-over-round on diff-identical code; the median absorbs
+    # one bad run per query while staying honest about steady-state cost
+    # (min is reported alongside for the optimistic bound).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for name in names:
-        best = None
-        for _ in range(2):
+        samples = []
+        for _ in range(runs):
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        mins[name] = round(samples[0], 3)
     total = round(sum(timings.values()), 3)
 
     print(
@@ -94,6 +99,9 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": mins,
+                "min_total_sec": round(sum(mins.values()), 3),
+                "runs_per_query": runs,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

@@ -2,12 +2,13 @@
 
 The container has no imaging libraries (PIL/opencv), but a large share of
 real-world image bytes are decodable with nothing beyond ``zlib``/``struct``
-— PNG (deflate + per-row filters), uncompressed BMP, and the Netpbm
-formats. This module implements those plus header-only dimension parsing
-for JPEG/GIF, so the multimodal operators' ``fake=False`` paths produce
-REAL pixels in this container; only formats whose entropy coding genuinely
-needs an external library (JPEG, WebP) still raise ``NotImplementedError``
-at full-decode time.
+— PNG (deflate + per-row filters), uncompressed BMP, the Netpbm
+formats, and baseline-sequential JPEG (via the ``jpegcodec`` sibling:
+canonical Huffman + IDCT in numpy). This module routes those plus
+header-only dimension parsing for GIF, so the multimodal operators'
+``fake=False`` paths produce REAL pixels in this container; only
+WebP/GIF (and progressive JPEG) still raise ``NotImplementedError`` at
+full-decode time.
 
 All decoders return interleaved uint8 rows ``(width, height, channels,
 pixel_bytes)``; pixel order is HWC (row-major, channels innermost).
@@ -239,8 +240,10 @@ def _decode_pnm(data: bytes):
 
 def decode(data: bytes):
     """Full pixel decode → (width, height, channels, uint8 HWC bytes).
-    Raises NotImplementedError for formats needing an external library
-    (JPEG/WebP/GIF entropy coding)."""
+    Baseline JPEG decodes via the stdlib+numpy codec in ``jpegcodec``;
+    only WebP/GIF (and progressive JPEG) still raise NotImplementedError
+    (their entropy coding is out of scope — header metadata via
+    parse_header still works)."""
     fmt = sniff_format(data)
     if fmt == "png":
         return _decode_png(data)
@@ -248,7 +251,11 @@ def decode(data: bytes):
         return _decode_bmp(data)
     if fmt in ("ppm", "pgm"):
         return _decode_pnm(data)
-    if fmt in ("jpeg", "webp", "gif"):
+    if fmt == "jpeg":
+        from kapacitor_spark.dataprep import jpegcodec
+
+        return jpegcodec.decode(data)
+    if fmt in ("webp", "gif"):
         raise NotImplementedError(
             f"{fmt} full decode requires an imaging library not present in "
             "this container (header metadata via parse_header still works)"

@@ -636,6 +636,125 @@ def kafka_record(
     return {"topic": topic, "key": ev.id, "value": value}
 
 
+# ------------------------------------------------------------------ #
+# kafka partitioning (services/kafka/hash.go + config.go:104-121)
+# ------------------------------------------------------------------ #
+# The reference's partitionById contract (golden
+# TestStream_AlertKafka_Partitioning: every record key maps to exactly
+# one partition): key-hash mod numPartitions with four selectable
+# algorithms kept bit-compatible with older kapacitor/kafka clients.
+
+_MURMUR2_SEED = 0x9747B28C  # hash.go:52 (the Java client's constant)
+_M32 = 0xFFFFFFFF
+
+
+def _murmur2(data: bytes) -> int:
+    """Kafka-compatible murmur2 (hash.go:49-91, itself the Go port of
+    org.apache.kafka.common.utils.Utils#murmur2)."""
+    length = len(data)
+    m, r = 0x5BD1E995, 24
+    h = (_MURMUR2_SEED ^ length) & _M32
+    n4 = length // 4
+    for i in range(n4):
+        k = int.from_bytes(data[i * 4 : i * 4 + 4], "little")
+        k = (k * m) & _M32
+        k ^= k >> r
+        k = (k * m) & _M32
+        h = (h * m) & _M32
+        h ^= k
+    extra = length % 4
+    base = length & ~3
+    if extra >= 3:
+        h ^= (data[base + 2] & 0xFF) << 16
+    if extra >= 2:
+        h ^= (data[base + 1] & 0xFF) << 8
+    if extra >= 1:
+        h ^= data[base] & 0xFF
+        h = (h * m) & _M32
+    h ^= h >> 13
+    h = (h * m) & _M32
+    h ^= h >> 15
+    return h
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (the published algorithm sarama's
+    NewCustomHashPartitioner(murmur3.New32) wraps)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & _M32
+    n4 = len(data) // 4
+    for i in range(n4):
+        k = int.from_bytes(data[i * 4 : i * 4 + 4], "little")
+        k = (k * c1) & _M32
+        k = ((k << 15) | (k >> 17)) & _M32
+        k = (k * c2) & _M32
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & _M32
+        h = (h * 5 + 0xE6546B64) & _M32
+    k = 0
+    tail = data[n4 * 4 :]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & _M32
+        k = ((k << 15) | (k >> 17)) & _M32
+        k = (k * c2) & _M32
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _M32
+    h ^= h >> 16
+    return h
+
+
+def _fnv1a_32(data: bytes) -> int:
+    h = 0x811C9DC5
+    for b in data:
+        h ^= b
+        h = (h * 0x01000193) & _M32
+    return h
+
+
+def kafka_partition(
+    key: str | bytes, num_partitions: int, algorithm: str = "crc32"
+) -> int:
+    """Partition a record key exactly as the reference's partitionById
+    producers do (services/kafka/config.go:104-121 selects the
+    constructor; hash.go implements crc32/murmur2):
+
+    - ``crc32`` (default): ``crc32.ChecksumIEEE(key) % n`` (hash.go:118)
+    - ``murmur2``: ``(murmur2(key) & 0x7fffffff) % n`` (hash.go:39)
+    - ``murmur3``: sarama custom-hash rule ``int32(h) % n``, negative
+      result += n
+    - ``fnv-1a``: same sarama rule over FNV-1a 32
+
+    Deterministic per key by construction — the property the golden
+    TestStream_AlertKafka_Partitioning asserts (every key lands on ONE
+    partition)."""
+    import zlib
+
+    if num_partitions <= 0:
+        raise ValueError("number of partitions must be positive")
+    data = key.encode() if isinstance(key, str) else bytes(key)
+    if algorithm in ("crc32", ""):
+        return (zlib.crc32(data) % num_partitions) & 0x7FFFFFFF
+    if algorithm == "murmur2":
+        return (_murmur2(data) & 0x7FFFFFFF) % num_partitions
+    if algorithm in ("murmur3", "fnv-1a"):
+        h = _murmur3_32(data) if algorithm == "murmur3" else _fnv1a_32(data)
+        # sarama hashPartitioner: Go-truncated signed-int32 modulo, then
+        # negate if negative
+        signed = h - (1 << 32) if h >= (1 << 31) else h
+        p = abs(signed) % num_partitions  # |a| % n == |a % n| for Go's %
+        return p
+    raise ValueError(f"invalid partition algorithm: {algorithm!r}")
+
+
 def events_from_alert_df(
     df,
     time_col: str,

@@ -964,3 +964,78 @@ stream
         {"name": "test_team", "type": "team"},
         {"name": "another_team", "type": "team"},
     ]
+
+
+def test_kafka_partitioning_golden(spark):
+    """TestStream_AlertKafka_Partitioning (streamer_test.go:8929): with
+    partitionById, every record key maps to EXACTLY ONE partition. Run the
+    same script shape (.id = host tag, crit TRUE), render kafka records,
+    and drive the reference's partitioners (services/kafka/hash.go +
+    config.go:104-121) over a simulated 12-partition topic — no broker
+    needed; the contract is the key->partition function itself."""
+    from kapacitor_spark.handlers import (
+        events_from_alert_df,
+        kafka_partition,
+        kafka_record,
+    )
+    from kapacitor_spark.pipeline import Pipeline
+    from kapacitor_spark.sources.line_protocol import promote, replay_srpl
+
+    raw = replay_srpl(
+        spark, "/root/reference/integrations/testdata/TestStream_Alert.srpl"
+    )
+    cpu = promote(
+        raw, "cpu", float_fields=["value"], tag_cols=["host"], keep_name=True
+    )
+    out = (
+        Pipeline.from_df(cpu, time_col="time", dims=("host",))
+        .alert(crit="TRUE", events_only=False, id_template="{{ index .Tags \"host\" }}")
+    )
+    events = events_from_alert_df(out.df, "time", dims=["host"])
+    assert len(events) > 1 and len({e.id for e in events}) >= 1
+
+    for algo in ("crc32", "murmur2", "murmur3", "fnv-1a"):
+        seen: dict = {}
+        for ev in events:
+            rec = kafka_record(ev, topic="testTopic", template_message=ev.message)
+            part = kafka_partition(rec["key"], 12, algorithm=algo)
+            assert 0 <= part < 12
+            seen.setdefault(rec["key"], set()).add(part)
+        # the reference's assertion: one partition per key
+        assert all(len(ps) == 1 for ps in seen.values()), (algo, seen)
+
+
+def test_kafka_partition_hash_vectors():
+    """Known-answer cross-checks for the hash primitives behind
+    kafka_partition, plus the sarama/librdkafka edge rules."""
+    import zlib
+
+    from kapacitor_spark.handlers import (
+        _fnv1a_32,
+        _murmur2,
+        _murmur3_32,
+        kafka_partition,
+    )
+
+    # CRC-32/IEEE published check value
+    assert zlib.crc32(b"123456789") == 0xCBF43926
+    # FNV-1a 32 published values
+    assert _fnv1a_32(b"") == 0x811C9DC5
+    assert _fnv1a_32(b"a") == 0xE40C292C
+    # MurmurHash3 x86-32 published values (mmh3.hash("hello") == 613153351)
+    assert _murmur3_32(b"") == 0
+    assert _murmur3_32(b"hello") == 0x248BFA47
+    # murmur2: deterministic, full 32-bit, and the partition rule masks the
+    # sign bit exactly as hash.go:39 does
+    h = _murmur2(b"kapacitor/cpu/serverA")
+    assert 0 <= h <= 0xFFFFFFFF and h == _murmur2(b"kapacitor/cpu/serverA")
+    assert kafka_partition("kapacitor/cpu/serverA", 7, "murmur2") == (
+        (h & 0x7FFFFFFF) % 7
+    )
+    # empty-ish keys still partition deterministically; bad algorithm and
+    # non-positive partition counts raise like the reference
+    assert kafka_partition("", 5, "crc32") == kafka_partition("", 5, "crc32")
+    with pytest.raises(ValueError):
+        kafka_partition("k", 0, "crc32")
+    with pytest.raises(ValueError):
+        kafka_partition("k", 5, "sha1")

@@ -115,11 +115,14 @@ def test_pnm_header_comments():
     assert ic.decode(data) == (2, 2, 1, bytes(4))
 
 
-def test_jpeg_header_dims_but_no_decode():
+def test_jpeg_header_dims_and_scanless_decode_fails():
     sof = struct.pack(">BBHBHHB", 0xFF, 0xC0, 11, 8, 31, 47, 1)
     data = b"\xff\xd8\xff\xe0\x00\x04aa" + sof + b"\xff\xd9"
     assert ic.parse_header(data) == ("jpeg", 47, 31)
-    with pytest.raises(NotImplementedError):
+    # baseline JPEG decodes for real now (test_jpegcodec.py); this
+    # header-only stub has no scan data and must fail loudly, not
+    # fabricate pixels
+    with pytest.raises(ValueError):
         ic.decode(data)
 
 
@@ -195,9 +198,23 @@ def test_resize_real_roundtrips_through_png(spark):
 
 
 def test_decode_image_batch_raises_only_for_entropy_coded(spark):
+    """webp stays out of scope (baseline JPEG decodes for real now)."""
     from kapacitor_spark.dataprep.multimodal import decode_image_batch
 
-    jpeg = b"\xff\xd8\xff\xe0\x00\x04aarest"
-    df = spark.createDataFrame([(1, jpeg)], "doc_id long, payload binary")
+    webp = b"RIFF\x00\x00\x00\x00WEBPVP8 rest"
+    df = spark.createDataFrame([(1, webp)], "doc_id long, payload binary")
     with pytest.raises(Exception, match="imaging library"):
         decode_image_batch(df, fake=False).collect()
+
+
+def test_decode_image_batch_decodes_real_jpeg(spark):
+    from kapacitor_spark.dataprep import jpegcodec
+    from kapacitor_spark.dataprep.multimodal import decode_image_batch
+
+    img = np.full((8, 8, 1), 77, dtype=np.uint8)
+    payload = jpegcodec.encode(8, 8, img.tobytes(), channels=1, quality=90)
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    rows = decode_image_batch(df, fake=False).collect()
+    assert len(rows) == 1
+    pix = rows[0]["pixels"]
+    assert len(pix) == 64 and all(abs(p - 77 / 255.0) < 1e-6 for p in pix)
