@@ -537,9 +537,40 @@ class Pipeline:
         """Shared streak machinery for stateDuration/stateCount
         (/root/reference/state_tracking.go:111-189): a new streak starts
         whenever the predicate flips false→true; implemented as a running
-        count of predicate-boundaries — one shuffle, no Python."""
+        count of predicate-boundaries — one shuffle, no Python.
+
+        A big NO-DIMS pipeline composes the two chunked primitives instead
+        of funneling one task: boundary detection through the ghost-row
+        lag frame, then the running boundary count through the chunked
+        prefix-sum (integers — exact under reassociation). The per-streak
+        windows downstream partition by streak id, which distributes
+        across streaks like the reference's per-group goroutines."""
+        from kapacitor_spark.operators.ordered import (
+            chunked_cumulative_sum,
+            chunked_frame,
+            should_chunk,
+        )
+
+        df0 = self.df.withColumn("__ok", cond)
+        if not self.dims and should_chunk(self.df, self.dims):
+            aug, w = chunked_frame(
+                df0, self.time_col, list(self.tiebreak), tail_rows=1
+            )
+            boundary = F.when(
+                F.col("__ok")
+                & ~F.coalesce(F.lag("__ok").over(w), F.lit(False)),
+                1,
+            ).otherwise(0)
+            bdf = (
+                aug.withColumn("__bnd", boundary)
+                .filter(F.col("__real"))
+                .drop("__chunk", "__real")
+            )
+            sdf = chunked_cumulative_sum(
+                bdf, "__bnd", "__streak", self.time_col, list(self.tiebreak)
+            ).drop("__bnd")
+            return sdf, F.col("__ok")
         w = self._ordered()
-        df = self.df.withColumn("__ok", cond)
         boundary = (
             F.when(
                 F.col("__ok")
@@ -547,7 +578,7 @@ class Pipeline:
                 1,
             ).otherwise(0)
         )
-        df = df.withColumn(
+        df = df0.withColumn(
             "__streak",
             F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )

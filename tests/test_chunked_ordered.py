@@ -117,3 +117,18 @@ def test_chunked_double_cumsum_close(spark, sf_dir, force_chunking):
     spark.conf.set(CONF_KEY, "1")
     assert a.keys() == b.keys()
     assert all(abs(a[k] - b[k]) <= 1e-6 * max(1.0, abs(b[k])) for k in a)
+
+
+@pytest.mark.parametrize("op", [
+    lambda p: p.state_count("value > 50", as_="sc"),
+    lambda p: p.state_duration("value > 50", unit="1s", as_="sd"),
+], ids=["state_count", "state_duration"])
+def test_chunked_streaks_equal_single_window(spark, sf_dir, op, force_chunking):
+    """stateCount/stateDuration compose the ghost-lag frame with the
+    chunked integer prefix-sum — exact parity with the single window."""
+    chunked = _collect(op(_events(spark, sf_dir)))
+    spark.conf.unset(CONF_KEY)
+    plain = _collect(op(_events(spark, sf_dir)))
+    spark.conf.set(CONF_KEY, "1")
+    assert len(chunked) == len(plain) and len(plain) > 0
+    assert chunked == plain
