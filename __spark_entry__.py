@@ -1391,36 +1391,41 @@ def multimodal_decode_q(spark, sf_dir):
     DC-only, and at quality 90 the DC quantizer is ≤8 so the lossy
     round-trip is EXACT, making the decoded mean SQL-predictable).
     decode_full(fake=False) runs the stdlib codecs (imagecodec.py +
-    jpegcodec.py: canonical Huffman + IDCT) inside Arrow-batched
-    mapInPandas; pixel means re-aggregate JVM-side. The oracle recomputes
-    the exact bytes from the hex digest — a wrong header parse, Huffman
-    table, IDCT, or normalization fails the hash match. JPEG payload
-    size is entropy-coded (not SQL-predictable) → NULL by design."""
+    jpegcodec.py: canonical Huffman + IDCT) inside ONE Arrow-batched
+    mapInPandas hop; pixel means re-aggregate JVM-side. JPEG payloads are
+    a 256-entry BROADCAST LOOKUP (a flat-gray payload is a pure function
+    of its one byte value — encoded once on the driver, joined in the
+    plan), so payload assembly stays plan-side for all three codecs. The
+    oracle recomputes the exact bytes from the hex digest — a wrong
+    header parse, Huffman table, IDCT, or normalization fails the hash
+    match. JPEG payload size is entropy-coded (not SQL-predictable) →
+    NULL by design."""
+    from kapacitor_spark.dataprep import jpegcodec
     from kapacitor_spark.dataprep.multimodal import decode_full
 
     d = _t(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("h"))
     gray = F.concat(F.lit(b"P5\n2 2\n255\n"), F.unhex(F.substring("h", 1, 8)))
     rgb = F.concat(F.lit(b"P6\n2 2\n255\n"), F.unhex(F.substring("h", 1, 24)))
+    jpeg_lut = spark.createDataFrame(
+        [(v, jpegcodec.encode(8, 8, bytes([v]) * 64, channels=1, quality=90))
+         for v in range(256)],
+        "__jv int, __jpayload binary",
+    )
     third = F.col("doc_id") % 3
     base = d.select(
         "doc_id",
-        F.when(third == 0, gray).when(third == 1, rgb).alias("payload"),
-        F.when(third == 2, F.unhex(F.substring("h", 1, 2))).alias("__jv"),
+        F.when(third == 0, gray).when(third == 1, rgb).alias("__pnm"),
+        F.when(
+            third == 2, F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
+        ).alias("__jv"),
     )
-
-    def fill_jpeg(batches):
-        from kapacitor_spark.dataprep import jpegcodec
-
-        for pdf in batches:
-            mask = pdf["payload"].isna()
-            pdf.loc[mask, "payload"] = pdf.loc[mask, "__jv"].map(
-                lambda b: jpegcodec.encode(
-                    8, 8, bytes([bytes(b)[0]]) * 64, channels=1, quality=90
-                )
-            )
-            yield pdf.drop(columns=["__jv"])
-
-    docs = base.mapInPandas(fill_jpeg, schema="doc_id long, payload binary")
+    docs = (
+        base.join(F.broadcast(jpeg_lut), "__jv", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__pnm"), F.col("__jpayload")).alias("payload"),
+        )
+    )
     out = decode_full(docs, "payload", fake=False)
     # recover the exact byte values before dividing so Spark and the oracle
     # evaluate the identical double expression (int_sum / (255*n))
@@ -2041,6 +2046,68 @@ def sequence_packing(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     return pack_sequences(docs, window_tokens=2048, shard_col="lang")
+
+
+@_q(
+    "text_quality",
+    """WITH t AS (SELECT doc_id,
+                         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+                         length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                             * 1.0 / greatest(length(text), 1) AS punct
+                  FROM documents),
+       s AS (SELECT doc_id, punct,
+                    CAST(len(toks) AS DOUBLE) AS n,
+                    CAST(len(list_distinct(toks)) AS DOUBLE) AS uniq,
+                    CAST(len(list_intersect(list_distinct(toks),
+                         ['the','a','an','and','or','of','to','in','is','it',
+                          'that','for','on','with','as','was','at','by','be']))
+                         AS DOUBLE) AS n_stop
+             FROM t)
+       SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+              round(uniq / greatest(n, 1), 6) AS type_token_ratio,
+              round(punct, 6) AS punct_ratio,
+              round((CASE WHEN n >= 10 AND n <= 100000 THEN 1.0 ELSE 0.0 END
+                     + least(uniq / greatest(n, 1) * 2, 1.0)
+                     + least(n_stop / 5.0, 1.0)
+                     + (1.0 - least(punct * 10, 1.0))) / 4.0, 6) AS quality
+       FROM s""",
+)
+def text_quality_q(spark, sf_dir):
+    """C4/Gopher-style quality heuristic under the oracle gate: length
+    gate, type-token ratio, stopword hit-rate, punctuation density folded
+    into one [0,1] score — pure column expressions, zero shuffles."""
+    from kapacitor_spark.dataprep.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+@_q(
+    "token_stats",
+    """SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars_computed,
+              CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS BIGINT) AS n_tokens,
+              CAST(len(regexp_extract_all(lower(text), '\\w+'))
+                   + length(regexp_replace(lower(text), '[\\w ]', '', 'g'))
+                   AS BIGINT) AS n_subtokens,
+              CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)),
+                   '\\s+'))) AS BIGINT) AS n_unique_tokens,
+              round(list_sum(list_transform(
+                        regexp_split_to_array(lower(trim(text)), '\\s+'),
+                        x -> CAST(length(x) AS DOUBLE)))
+                    / len(regexp_split_to_array(lower(trim(text)), '\\s+')), 6)
+                  AS mean_token_len
+       FROM documents""",
+)
+def token_stats_q(spark, sf_dir):
+    """Whitespace + BPE-ish token counting under the oracle gate. The
+    subtoken rule (alnum runs + each standalone mark) is expressed in
+    Spark via a lookaround split; the oracle recomputes it RE2-style as
+    word-run count + non-word-non-space char count — two independent
+    formulations of the same quantity."""
+    from kapacitor_spark.dataprep.text import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
 @_q(

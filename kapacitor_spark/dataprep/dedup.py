@@ -43,10 +43,11 @@ __all__ = [
 # refuse to build an n² join above this many rows.
 _CROSSJOIN_MAX_ROWS = 50_000
 
-# A plan-size estimate at or under this proves the cross-join input small
-# enough (50k rows of ~128-d embeddings is ~55 MB; Catalyst over-estimates
-# parquet scans, so the bound has headroom) without paying a count job.
-_CROSSJOIN_SMALL_BYTES = 256 * 1024 * 1024
+# A plan-size estimate at or under _CROSSJOIN_MAX_ROWS * this many bytes
+# PROVES the input is under the row cap (no real embedding row is smaller
+# than 8 bytes) without paying a count job; bigger estimates fall back to
+# the bounded count.
+_CROSSJOIN_MIN_ROW_BYTES = 8
 
 
 def _plan_size_bytes(df: DataFrame) -> int | None:
@@ -447,7 +448,8 @@ def embedding_near_dup(
         size = _plan_size_bytes(emb_df)
         n = (
             0
-            if size is not None and size <= _CROSSJOIN_SMALL_BYTES
+            if size is not None
+            and size <= _CROSSJOIN_MAX_ROWS * _CROSSJOIN_MIN_ROW_BYTES
             else emb_df.limit(_CROSSJOIN_MAX_ROWS + 1).count()
         )
         if n > _CROSSJOIN_MAX_ROWS:
