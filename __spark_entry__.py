@@ -1367,7 +1367,7 @@ def text_lang_id(spark, sf_dir):
               round((('0x' || substr(h, 1, 2))::INT + ('0x' || substr(h, 3, 2))::INT +
                      ('0x' || substr(h, 5, 2))::INT + ('0x' || substr(h, 7, 2))::INT)
                     / (255.0 * 4), 6) AS pix_mean
-       FROM d WHERE doc_id % 3 = 0
+       FROM d WHERE doc_id % 4 = 0
        UNION ALL
        SELECT doc_id, 2, 2, 'ppm', CAST(23 AS BIGINT),
               round((('0x' || substr(h, 1, 2))::INT + ('0x' || substr(h, 3, 2))::INT +
@@ -1377,53 +1377,66 @@ def text_lang_id(spark, sf_dir):
                      ('0x' || substr(h, 17, 2))::INT + ('0x' || substr(h, 19, 2))::INT +
                      ('0x' || substr(h, 21, 2))::INT + ('0x' || substr(h, 23, 2))::INT)
                     / (255.0 * 12), 6)
-       FROM d WHERE doc_id % 3 = 1
+       FROM d WHERE doc_id % 4 = 1
        UNION ALL
        SELECT doc_id, 8, 8, 'jpeg', CAST(NULL AS BIGINT),
               round(('0x' || substr(h, 1, 2))::INT / 255.0, 6)
-       FROM d WHERE doc_id % 3 = 2""",
+       FROM d WHERE doc_id % 4 = 2
+       UNION ALL
+       SELECT doc_id, 2, 2, 'gif', CAST(35 AS BIGINT),
+              round(('0x' || substr(h, 1, 2))::INT / 255.0, 6)
+       FROM d WHERE doc_id % 4 = 3""",
 )
 def multimodal_decode_q(spark, sf_dir):
-    """Multimodal decode end-to-end with REAL image decoding across THREE
+    """Multimodal decode end-to-end with REAL image decoding across FOUR
     codecs: each doc becomes a real 2×2 Netpbm image (P5 grayscale /
-    P6 RGB, assembled JVM-side from md5(text) bytes) or a real baseline
+    P6 RGB, assembled JVM-side from md5(text) bytes), a real baseline
     JPEG (flat 8×8 gray at the first digest byte — flat blocks are
     DC-only, and at quality 90 the DC quantizer is ≤8 so the lossy
-    round-trip is EXACT, making the decoded mean SQL-predictable).
+    round-trip is EXACT, making the decoded mean SQL-predictable), or a
+    real GIF (flat 2×2 at the first digest byte — LZW is lossless, and
+    the flat payload is a constant 35 bytes the oracle pins).
     decode_full(fake=False) runs the stdlib codecs (imagecodec.py +
-    jpegcodec.py: canonical Huffman + IDCT) inside ONE Arrow-batched
-    mapInPandas hop; pixel means re-aggregate JVM-side. JPEG payloads are
-    a 256-entry BROADCAST LOOKUP (a flat-gray payload is a pure function
-    of its one byte value — encoded once on the driver, joined in the
-    plan), so payload assembly stays plan-side for all three codecs. The
-    oracle recomputes the exact bytes from the hex digest — a wrong
-    header parse, Huffman table, IDCT, or normalization fails the hash
-    match. JPEG payload size is entropy-coded (not SQL-predictable) →
-    NULL by design."""
-    from kapacitor_spark.dataprep import jpegcodec
+    jpegcodec.py + gifcodec.py) inside ONE Arrow-batched mapInPandas hop;
+    pixel means re-aggregate JVM-side. JPEG/GIF payloads are 256-entry
+    BROADCAST LOOKUPS (a flat payload is a pure function of its one byte
+    value — encoded once on the driver, joined in the plan), so payload
+    assembly stays plan-side for all four codecs. The oracle recomputes
+    the exact bytes from the hex digest — a wrong header parse, Huffman
+    table, IDCT, LZW step, or normalization fails the hash match. JPEG
+    payload size is entropy-coded (not SQL-predictable) → NULL by
+    design."""
+    from kapacitor_spark.dataprep import gifcodec, jpegcodec
     from kapacitor_spark.dataprep.multimodal import decode_full
 
     d = _t(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("h"))
     gray = F.concat(F.lit(b"P5\n2 2\n255\n"), F.unhex(F.substring("h", 1, 8)))
     rgb = F.concat(F.lit(b"P6\n2 2\n255\n"), F.unhex(F.substring("h", 1, 24)))
-    jpeg_lut = spark.createDataFrame(
-        [(v, jpegcodec.encode(8, 8, bytes([v]) * 64, channels=1, quality=90))
+    lut = spark.createDataFrame(
+        [(v,
+          jpegcodec.encode(8, 8, bytes([v]) * 64, channels=1, quality=90),
+          gifcodec.encode(2, 2, bytes([v]) * 12, channels=3))
          for v in range(256)],
-        "__jv int, __jpayload binary",
+        "__bv int, __jpayload binary, __gpayload binary",
     )
-    third = F.col("doc_id") % 3
+    quarter = F.col("doc_id") % 4
     base = d.select(
         "doc_id",
-        F.when(third == 0, gray).when(third == 1, rgb).alias("__pnm"),
+        F.when(quarter == 0, gray).when(quarter == 1, rgb).alias("__pnm"),
         F.when(
-            third == 2, F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
-        ).alias("__jv"),
+            quarter >= 2, F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
+        ).alias("__bv"),
+        quarter.alias("__q"),
     )
     docs = (
-        base.join(F.broadcast(jpeg_lut), "__jv", "left")
+        base.join(F.broadcast(lut), "__bv", "left")
         .select(
             "doc_id",
-            F.coalesce(F.col("__pnm"), F.col("__jpayload")).alias("payload"),
+            F.coalesce(
+                F.col("__pnm"),
+                F.when(F.col("__q") == 2, F.col("__jpayload"))
+                 .otherwise(F.col("__gpayload")),
+            ).alias("payload"),
         )
     )
     out = decode_full(docs, "payload", fake=False)

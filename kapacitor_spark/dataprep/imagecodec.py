@@ -3,12 +3,12 @@
 The container has no imaging libraries (PIL/opencv), but a large share of
 real-world image bytes are decodable with nothing beyond ``zlib``/``struct``
 — PNG (deflate + per-row filters), uncompressed BMP, the Netpbm
-formats, and baseline-sequential JPEG (via the ``jpegcodec`` sibling:
-canonical Huffman + IDCT in numpy). This module routes those plus
-header-only dimension parsing for GIF, so the multimodal operators'
-``fake=False`` paths produce REAL pixels in this container; only
-WebP/GIF (and progressive JPEG) still raise ``NotImplementedError`` at
-full-decode time.
+formats, baseline-sequential JPEG (via the ``jpegcodec`` sibling:
+canonical Huffman + IDCT in numpy), and GIF (via ``gifcodec``: variable-
+width LZW, interlace, color tables). This module routes them all, so the
+multimodal operators' ``fake=False`` paths produce REAL pixels in this
+container; only WebP (and progressive JPEG) still raise
+``NotImplementedError`` at full-decode time.
 
 All decoders return interleaved uint8 rows ``(width, height, channels,
 pixel_bytes)``; pixel order is HWC (row-major, channels innermost).
@@ -255,9 +255,13 @@ def decode(data: bytes):
         from kapacitor_spark.dataprep import jpegcodec
 
         return jpegcodec.decode(data)
-    if fmt in ("webp", "gif"):
+    if fmt == "gif":
+        from kapacitor_spark.dataprep import gifcodec
+
+        return gifcodec.decode(data)
+    if fmt == "webp":
         raise NotImplementedError(
-            f"{fmt} full decode requires an imaging library not present in "
+            "webp full decode requires an imaging library not present in "
             "this container (header metadata via parse_header still works)"
         )
     raise ValueError("unrecognized image payload")

@@ -1,0 +1,124 @@
+"""GIF codec (dataprep/gifcodec.py): lossless LZW round-trip laws,
+interlacing, sub-screen frame composition, table-overflow stress, and
+routing through imagecodec."""
+
+import os
+import struct
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kapacitor_spark.dataprep import gifcodec, imagecodec
+
+
+def _roundtrip(img, interlace=False):
+    h, w, ch = img.shape
+    data = gifcodec.encode(w, h, img.tobytes(), channels=ch, interlace=interlace)
+    w2, h2, c2, pix = gifcodec.decode(data)
+    assert (w2, h2, c2) == (w, h, 3)
+    return np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3), data
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_rgb_roundtrip_lossless(interlace):
+    rng = np.random.default_rng(1)
+    img = (rng.integers(0, 4, (13, 17, 3)) * 80).astype(np.uint8)
+    arr, _ = _roundtrip(img, interlace=interlace)
+    assert np.array_equal(arr, img)
+
+
+def test_grayscale_256_colors_roundtrip():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (64, 64, 1), dtype=np.uint8)
+    arr, _ = _roundtrip(img)
+    assert np.array_equal(arr, np.repeat(img, 3, axis=2))
+
+
+def test_long_runs_exercise_table_overflow():
+    """300x200 two-color stripes: LZW strings grow until the 12-bit table
+    fills and the encoder emits CLEAR — decode must resync exactly."""
+    img = np.zeros((200, 300, 3), dtype=np.uint8)
+    img[::2] = 255
+    arr, data = _roundtrip(img)
+    assert np.array_equal(arr, img)
+    assert len(data) < 200 * 300  # actually compressed
+
+
+def test_high_entropy_roundtrip():
+    """Worst-case incompressible indices still round-trip exactly (table
+    churns constantly)."""
+    rng = np.random.default_rng(3)
+    img = np.repeat(rng.integers(0, 256, (97, 53, 1), dtype=np.uint8), 3, axis=2)
+    arr, _ = _roundtrip(img)
+    assert np.array_equal(arr, img)
+
+
+def test_too_many_colors_raises():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    assert len(np.unique(img.reshape(-1, 3), axis=0)) > 256
+    with pytest.raises(ValueError, match="quantize"):
+        gifcodec.encode(32, 32, img.tobytes(), channels=3)
+
+
+def test_subscreen_frame_composes_on_background():
+    """A frame smaller than the logical screen paints onto the background
+    color at its (left, top) offset — hand-built GIF, not our encoder."""
+    inner = np.full((2, 3, 3), 200, dtype=np.uint8)
+    frame = gifcodec.encode(3, 2, inner.tobytes(), channels=3)
+    # rewrite: screen 5x4, image descriptor at (1,1); palette color 0 is
+    # the background. Our encoder's palette: [200,200,200] only → index 0
+    # is 200 — craft a 2-color palette instead.
+    pal = bytes([10, 20, 30, 200, 200, 200])  # bg, fg
+    idx = bytes([1] * 6)
+    lzw = gifcodec._lzw_encode(idx, 2)
+    data = (
+        b"GIF89a" + struct.pack("<HH", 5, 4) + bytes([0x80, 0, 0]) + pal
+        + b"\x2c" + struct.pack("<HHHH", 1, 1, 3, 2) + b"\x00" + bytes([2])
+        + bytes([len(lzw)]) + lzw + b"\x00\x3b"
+    )
+    w, h, c, pix = gifcodec.decode(data)
+    arr = np.frombuffer(pix, dtype=np.uint8).reshape(4, 5, 3)
+    assert (w, h, c) == (5, 4, 3)
+    assert arr[0, 0].tolist() == [10, 20, 30]  # background
+    assert arr[1, 1].tolist() == [200, 200, 200]  # frame content
+    assert arr[2, 3].tolist() == [200, 200, 200]
+    assert arr[3, 4].tolist() == [10, 20, 30]
+    del frame
+
+
+def test_gce_extension_skipped():
+    """89a graphic-control extensions (and any other extension) are walked
+    over without disturbing the image decode."""
+    img = np.full((3, 3, 3), 66, dtype=np.uint8)
+    data = bytearray(gifcodec.encode(3, 3, img.tobytes(), channels=3))
+    desc = data.find(b"\x2c")
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    data2 = bytes(data[:desc]) + gce + bytes(data[desc:])
+    w, h, c, pix = gifcodec.decode(data2)
+    assert np.array_equal(
+        np.frombuffer(pix, dtype=np.uint8).reshape(3, 3, 3), img
+    )
+
+
+def test_corrupt_raises():
+    with pytest.raises(ValueError):
+        gifcodec.decode(b"NOTGIF")
+    img = np.full((4, 4, 3), 5, dtype=np.uint8)
+    data = gifcodec.encode(4, 4, img.tobytes(), channels=3)
+    with pytest.raises(ValueError):
+        gifcodec.decode(data[:20])  # truncated before any image block
+
+
+def test_imagecodec_routes_gif():
+    img = (np.indices((6, 7)).sum(axis=0)[..., None] % 4 * 60).astype(np.uint8)
+    rgb = np.repeat(img, 3, axis=2)
+    data = gifcodec.encode(7, 6, rgb.tobytes(), channels=3)
+    assert imagecodec.sniff_format(data) == "gif"
+    assert imagecodec.parse_header(data) == ("gif", 7, 6)
+    w, h, c, pix = imagecodec.decode(data)
+    assert (w, h, c) == (7, 6, 3)
+    assert np.array_equal(np.frombuffer(pix, dtype=np.uint8).reshape(6, 7, 3), rgb)
