@@ -2686,33 +2686,60 @@ def html_strip(spark, sf_dir):
        v AS (SELECT doc_id,
                     ('0x' || substr(h, 3, 2) || substr(h, 1, 2))::INT AS v0,
                     ('0x' || substr(h, 7, 2) || substr(h, 5, 2))::INT AS v1
-             FROM d)
+             FROM d WHERE doc_id % 2 = 0)
        SELECT doc_id, 1 AS channels, 8000 AS sample_rate,
               CAST(2 AS BIGINT) AS n_frames, 'wav' AS audio_format,
               (CASE WHEN v0 >= 32768 THEN v0 - 65536 ELSE v0 END) / 32768.0 AS s0,
               (CASE WHEN v1 >= 32768 THEN v1 - 65536 ELSE v1 END) / 32768.0 AS s1
-       FROM v""",
+       FROM v
+       UNION ALL
+       -- G.711 µ-law recomputed from the PUBLISHED formula, not a table:
+       -- u = ~code; mag = ((mant*8+132) << exp) - 132; sign bit negates
+       SELECT doc_id, 1, 8000, CAST(2 AS BIGINT), 'wav',
+              (CASE WHEN u0 >= 128 THEN -1 ELSE 1 END)
+                * (((u0 % 128) % 16 * 8 + 132) * (1 << ((u0 % 128) // 16)) - 132)
+                / 32768.0,
+              (CASE WHEN u1 >= 128 THEN -1 ELSE 1 END)
+                * (((u1 % 128) % 16 * 8 + 132) * (1 << ((u1 % 128) // 16)) - 132)
+                / 32768.0
+       FROM (SELECT doc_id,
+                    255 - ('0x' || substr(md5(text), 1, 2))::INT AS u0,
+                    255 - ('0x' || substr(md5(text), 3, 2))::INT AS u1
+             FROM documents WHERE doc_id % 2 = 1)""",
 )
 def audio_decode(spark, sf_dir):
-    """REAL audio decode under the oracle gate: each document becomes a
-    genuine RIFF/WAVE payload (constant 44-byte header literal +
-    unhex'd md5 bytes as two little-endian int16 PCM samples, assembled
-    entirely JVM-side), decode_audio_batch runs the stdlib WAV codec
-    (audiocodec.py) inside Arrow-batched mapInPandas, and the oracle
-    recomputes the int16-LE normalization from the hex digest — a wrong
-    endianness, sign handling, or scale fails the hash match. Sample
-    values k/2^15 are exact dyadic rationals, identical in float32 and
-    DuckDB's float64."""
+    """REAL audio decode under the oracle gate across TWO codecs: even
+    docs become genuine PCM16 RIFF/WAVE payloads (constant header literal
+    + unhex'd md5 bytes as two little-endian int16 samples), odd docs
+    become G.711 µ-LAW WAVs (format 7; two µ-law code bytes from the
+    digest). Payloads are assembled entirely JVM-side;
+    decode_audio_batch runs the stdlib WAV codec (audiocodec.py) inside
+    Arrow-batched mapInPandas. The oracle recomputes the int16-LE
+    normalization AND the µ-law expansion from the published G.711
+    formula — a wrong endianness, sign rule, bias, or segment shift
+    fails the hash match. All values are exact dyadic rationals k/2^15,
+    identical in float32 and DuckDB's float64."""
+    from kapacitor_spark.dataprep import audiocodec
     from kapacitor_spark.dataprep.multimodal import decode_audio_batch
 
     header = bytes.fromhex(
         "524946462800000057415645666d7420100000000100"
         "0100401f0000803e0000020010006461746104000000"
     )
+    import numpy as np
+
+    ulaw_header = audiocodec.encode_wav(
+        np.zeros((2, 1)), 8000, codec="ulaw"
+    )[:-2]
     d = _t(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("h"))
     docs = d.select(
         "doc_id",
-        F.concat(F.lit(header), F.unhex(F.substring("h", 1, 8))).alias("payload"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(header), F.unhex(F.substring("h", 1, 8))),
+        ).otherwise(
+            F.concat(F.lit(ulaw_header), F.unhex(F.substring("h", 1, 4)))
+        ).alias("payload"),
     )
     out = decode_audio_batch(docs, mono=False)
     return out.select(

@@ -98,3 +98,85 @@ def test_decode_audio_batch_spark(spark):
     assert abs(r["rms"] - 1 / math.sqrt(2)) < 0.02
     expected_zc = 2 * freq * seconds
     assert abs(r["zero_crossings"] - expected_zc) <= 4
+
+
+# ------------------------------------------------------------------ #
+# compressed WAV codecs: G.711 µ-law / A-law + IMA ADPCM
+# ------------------------------------------------------------------ #
+
+
+def test_g711_tables_match_audioop_exhaustively():
+    """Both directions, all values: decode tables over all 256 codes and
+    encoders over every int16, bit-for-bit against CPython's audioop
+    (present through 3.12) — an independent reference implementation."""
+    audioop = pytest.importorskip("audioop")
+    import numpy as np
+
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(
+        ac._ULAW_TABLE[codes],
+        np.frombuffer(audioop.ulaw2lin(codes.tobytes(), 2), dtype=np.int16),
+    )
+    assert np.array_equal(
+        ac._ALAW_TABLE[codes],
+        np.frombuffer(audioop.alaw2lin(codes.tobytes(), 2), dtype=np.int16),
+    )
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    assert np.array_equal(
+        ac.ulaw_encode(x),
+        np.frombuffer(audioop.lin2ulaw(x.tobytes(), 2), dtype=np.uint8),
+    )
+    assert np.array_equal(
+        ac.alaw_encode(x),
+        np.frombuffer(audioop.lin2alaw(x.tobytes(), 2), dtype=np.uint8),
+    )
+
+
+@pytest.mark.parametrize("codec,tol", [("ulaw", 0.02), ("alaw", 0.02),
+                                       ("ima_adpcm", 0.08)])
+def test_compressed_wav_roundtrip(codec, tol):
+    import numpy as np
+
+    t = np.arange(2000) / 8000.0
+    sig = (0.6 * np.sin(2 * np.pi * 440 * t)
+           + 0.2 * np.sin(2 * np.pi * 1000 * t))[:, None]
+    data = ac.encode_wav(sig, 8000, codec=codec)
+    ch, rate, out = ac.decode_wav(data)
+    assert (ch, rate) == (1, 8000)
+    assert out.shape[0] == 2000  # fact chunk truncates block padding
+    assert float(np.abs(out - sig).max()) < tol
+
+
+def test_compressed_wav_headers():
+    import numpy as np
+
+    sig = np.zeros((100, 1))
+    for codec, fmt_code, bits in [("ulaw", 7, 8), ("alaw", 6, 8),
+                                  ("ima_adpcm", 0x11, 4)]:
+        data = ac.encode_wav(sig, 8000, codec=codec)
+        channels, rate, b, n_frames, audio_format = ac.parse_wav_header(data)
+        assert (channels, rate, b, audio_format) == (1, 8000, bits, fmt_code)
+        assert n_frames == 100  # from the fact chunk
+
+
+def test_stereo_ulaw_roundtrip():
+    import numpy as np
+
+    t = np.arange(500) / 8000.0
+    sig = np.stack([np.sin(2 * np.pi * 440 * t),
+                    np.cos(2 * np.pi * 220 * t)], axis=1) * 0.5
+    data = ac.encode_wav(sig, 8000, codec="ulaw")
+    ch, rate, out = ac.decode_wav(data)
+    assert (ch, out.shape) == (2, (500, 2))
+    assert float(np.abs(out - sig).max()) < 0.02
+
+
+def test_perceptual_codecs_still_raise():
+    import struct as st
+
+    fake = (b"RIFF" + st.pack("<I", 36) + b"WAVE"
+            + b"fmt " + st.pack("<I", 16)
+            + st.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 0)  # MP3-in-WAV
+            + b"data" + st.pack("<I", 0))
+    with pytest.raises(NotImplementedError, match="audio library"):
+        ac.decode_wav(fake)
