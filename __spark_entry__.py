@@ -1367,7 +1367,7 @@ def text_lang_id(spark, sf_dir):
               round((('0x' || substr(h, 1, 2))::INT + ('0x' || substr(h, 3, 2))::INT +
                      ('0x' || substr(h, 5, 2))::INT + ('0x' || substr(h, 7, 2))::INT)
                     / (255.0 * 4), 6) AS pix_mean
-       FROM d WHERE doc_id % 4 = 0
+       FROM d WHERE doc_id % 5 = 0
        UNION ALL
        SELECT doc_id, 2, 2, 'ppm', CAST(23 AS BIGINT),
               round((('0x' || substr(h, 1, 2))::INT + ('0x' || substr(h, 3, 2))::INT +
@@ -1377,28 +1377,34 @@ def text_lang_id(spark, sf_dir):
                      ('0x' || substr(h, 17, 2))::INT + ('0x' || substr(h, 19, 2))::INT +
                      ('0x' || substr(h, 21, 2))::INT + ('0x' || substr(h, 23, 2))::INT)
                     / (255.0 * 12), 6)
-       FROM d WHERE doc_id % 4 = 1
+       FROM d WHERE doc_id % 5 = 1
        UNION ALL
        SELECT doc_id, 8, 8, 'jpeg', CAST(NULL AS BIGINT),
               round(('0x' || substr(h, 1, 2))::INT / 255.0, 6)
-       FROM d WHERE doc_id % 4 = 2
+       FROM d WHERE doc_id % 5 = 2
        UNION ALL
        SELECT doc_id, 2, 2, 'gif', CAST(35 AS BIGINT),
               round(('0x' || substr(h, 1, 2))::INT / 255.0, 6)
-       FROM d WHERE doc_id % 4 = 3""",
+       FROM d WHERE doc_id % 5 = 3
+       UNION ALL
+       SELECT doc_id, 2, 2, 'webp', CAST(32 AS BIGINT),
+              round(('0x' || substr(h, 1, 2))::INT / 255.0, 6)
+       FROM d WHERE doc_id % 5 = 4""",
 )
 def multimodal_decode_q(spark, sf_dir):
-    """Multimodal decode end-to-end with REAL image decoding across FOUR
+    """Multimodal decode end-to-end with REAL image decoding across FIVE
     codecs: each doc becomes a real 2×2 Netpbm image (P5 grayscale /
     P6 RGB, assembled JVM-side from md5(text) bytes), a real baseline
     JPEG (flat 8×8 gray at the first digest byte — flat blocks are
     DC-only, and at quality 90 the DC quantizer is ≤8 so the lossy
     round-trip is EXACT, making the decoded mean SQL-predictable), or a
-    real GIF (flat 2×2 at the first digest byte — LZW is lossless, and
-    the flat payload is a constant 35 bytes the oracle pins).
+    real GIF (flat 2×2 at the first digest byte — LZW is lossless, the
+    constant 35-byte payload pinned by the oracle), or a real LOSSLESS
+    WebP (flat 2×2 VP8L, canonical-Huffman literals — constant 32
+    bytes, also pinned).
     decode_full(fake=False) runs the stdlib codecs (imagecodec.py +
-    jpegcodec.py + gifcodec.py) inside ONE Arrow-batched mapInPandas hop;
-    pixel means re-aggregate JVM-side. JPEG/GIF payloads are 256-entry
+    jpegcodec.py + gifcodec.py + webpcodec.py) inside ONE Arrow-batched mapInPandas hop;
+    pixel means re-aggregate JVM-side. JPEG/GIF/WebP payloads are 256-entry
     BROADCAST LOOKUPS (a flat payload is a pure function of its one byte
     value — encoded once on the driver, joined in the plan), so payload
     assembly stays plan-side for all four codecs. The oracle recomputes
@@ -1406,7 +1412,7 @@ def multimodal_decode_q(spark, sf_dir):
     table, IDCT, LZW step, or normalization fails the hash match. JPEG
     payload size is entropy-coded (not SQL-predictable) → NULL by
     design."""
-    from kapacitor_spark.dataprep import gifcodec, jpegcodec
+    from kapacitor_spark.dataprep import gifcodec, jpegcodec, webpcodec
     from kapacitor_spark.dataprep.multimodal import decode_full
 
     d = _t(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("h"))
@@ -1415,11 +1421,12 @@ def multimodal_decode_q(spark, sf_dir):
     lut = spark.createDataFrame(
         [(v,
           jpegcodec.encode(8, 8, bytes([v]) * 64, channels=1, quality=90),
-          gifcodec.encode(2, 2, bytes([v]) * 12, channels=3))
+          gifcodec.encode(2, 2, bytes([v]) * 12, channels=3),
+          webpcodec.encode(2, 2, bytes([v]) * 12, channels=3))
          for v in range(256)],
-        "__bv int, __jpayload binary, __gpayload binary",
+        "__bv int, __jpayload binary, __gpayload binary, __wpayload binary",
     )
-    quarter = F.col("doc_id") % 4
+    quarter = F.col("doc_id") % 5
     base = d.select(
         "doc_id",
         F.when(quarter == 0, gray).when(quarter == 1, rgb).alias("__pnm"),
@@ -1435,7 +1442,8 @@ def multimodal_decode_q(spark, sf_dir):
             F.coalesce(
                 F.col("__pnm"),
                 F.when(F.col("__q") == 2, F.col("__jpayload"))
-                 .otherwise(F.col("__gpayload")),
+                 .when(F.col("__q") == 3, F.col("__gpayload"))
+                 .otherwise(F.col("__wpayload")),
             ).alias("payload"),
         )
     )

@@ -260,10 +260,10 @@ def decode(data: bytes):
 
         return gifcodec.decode(data)
     if fmt == "webp":
-        raise NotImplementedError(
-            "webp full decode requires an imaging library not present in "
-            "this container (header metadata via parse_header still works)"
-        )
+        from kapacitor_spark.dataprep import webpcodec
+
+        # lossless VP8L decodes; lossy VP8 raises NotImplementedError there
+        return webpcodec.decode(data)
     raise ValueError("unrecognized image payload")
 
 

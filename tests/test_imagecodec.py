@@ -198,12 +198,13 @@ def test_resize_real_roundtrips_through_png(spark):
 
 
 def test_decode_image_batch_raises_only_for_entropy_coded(spark):
-    """webp stays out of scope (baseline JPEG decodes for real now)."""
+    """Lossy WebP (VP8 arithmetic coding) stays out of scope — lossless
+    VP8L, baseline JPEG, and GIF all decode for real now."""
     from kapacitor_spark.dataprep.multimodal import decode_image_batch
 
-    webp = b"RIFF\x00\x00\x00\x00WEBPVP8 rest"
+    webp = b"RIFF\x0c\x00\x00\x00WEBPVP8 \x04\x00\x00\x00rest"
     df = spark.createDataFrame([(1, webp)], "doc_id long, payload binary")
-    with pytest.raises(Exception, match="imaging library"):
+    with pytest.raises(Exception, match="libwebp"):
         decode_image_batch(df, fake=False).collect()
 
 
