@@ -106,16 +106,119 @@ def _avi_header(data: bytes):
     return None, None, None, None
 
 
+# ------------------------------------------------------------------ #
+# Matroska / EBML (public spec: varint IDs + sizes, master elements)
+# ------------------------------------------------------------------ #
+
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TIMECODE_SCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_TRACK_TYPE = 0x83
+_MKV_VIDEO = 0xE0
+_MKV_PIXEL_W = 0xB0
+_MKV_PIXEL_H = 0xBA
+
+
+def _ebml_id(data: bytes, pos: int) -> tuple[int, int]:
+    """EBML element ID: length from leading zeros, marker bits KEPT."""
+    first = data[pos]
+    for n in range(1, 5):
+        if first & (0x100 >> n):
+            return int.from_bytes(data[pos : pos + n], "big"), pos + n
+    raise ValueError("corrupt EBML: bad element id")
+
+
+def _ebml_size(data: bytes, pos: int) -> tuple[int | None, int]:
+    """EBML data size: marker bit STRIPPED; all-ones = unknown size."""
+    first = data[pos]
+    for n in range(1, 9):
+        if first & (0x100 >> n):
+            raw = int.from_bytes(data[pos : pos + n], "big")
+            raw &= (1 << (7 * n)) - 1
+            unknown = raw == (1 << (7 * n)) - 1
+            return (None if unknown else raw), pos + n
+    raise ValueError("corrupt EBML: bad size")
+
+
+def _ebml_walk(data: bytes, start: int, end: int):
+    pos = start
+    while pos < end:
+        try:
+            eid, pos = _ebml_id(data, pos)
+            size, pos = _ebml_size(data, pos)
+        except (IndexError, ValueError):
+            return
+        body_end = end if size is None else min(pos + size, end)
+        yield eid, pos, body_end
+        if size is None:
+            return  # unknown-size element runs to the end
+        pos = body_end
+
+
+def _ebml_uint(data: bytes, start: int, end: int) -> int:
+    return int.from_bytes(data[start:end], "big")
+
+
+def _ebml_float(data: bytes, start: int, end: int) -> float:
+    n = end - start
+    if n == 4:
+        return struct.unpack(">f", data[start:end])[0]
+    if n == 8:
+        return struct.unpack(">d", data[start:end])[0]
+    return float(_ebml_uint(data, start, end))
+
+
+def _mkv_header(data: bytes):
+    width = height = None
+    duration_s = None
+    scale_ns = 1_000_000  # TimecodeScale default: 1 ms
+    duration_tc = None
+    for eid, body, bend in _ebml_walk(data, 0, len(data)):
+        if eid != _MKV_SEGMENT:
+            continue
+        for e2, o2, e2end in _ebml_walk(data, body, bend):
+            if e2 == _MKV_INFO:
+                for e3, o3, e3end in _ebml_walk(data, o2, e2end):
+                    if e3 == _MKV_TIMECODE_SCALE:
+                        scale_ns = _ebml_uint(data, o3, e3end)
+                    elif e3 == _MKV_DURATION:
+                        duration_tc = _ebml_float(data, o3, e3end)
+            elif e2 == _MKV_TRACKS:
+                for e3, o3, e3end in _ebml_walk(data, o2, e2end):
+                    if e3 != _MKV_TRACK_ENTRY:
+                        continue
+                    is_video = False
+                    vw = vh = None
+                    for e4, o4, e4end in _ebml_walk(data, o3, e3end):
+                        if e4 == _MKV_TRACK_TYPE:
+                            is_video = _ebml_uint(data, o4, e4end) == 1
+                        elif e4 == _MKV_VIDEO:
+                            for e5, o5, e5end in _ebml_walk(data, o4, e4end):
+                                if e5 == _MKV_PIXEL_W:
+                                    vw = _ebml_uint(data, o5, e5end)
+                                elif e5 == _MKV_PIXEL_H:
+                                    vh = _ebml_uint(data, o5, e5end)
+                    if is_video and vw and width is None:
+                        width, height = vw, vh
+    if duration_tc is not None:
+        duration_s = duration_tc * scale_ns / 1e9
+    return width, height, duration_s, None  # frame count needs a demux
+
+
 def parse_video_header(data: bytes):
     """(format, width, height, duration_s, n_frames) from container
-    headers alone — MP4/MOV (moov/mvhd/tkhd/stsz box walk) and AVI
-    (avih). MKV sniffs by EBML magic but its variable-length integer
-    tree is left to a real demuxer (dims None)."""
+    headers alone — MP4/MOV (moov/mvhd/tkhd/stsz box walk), AVI (avih),
+    and Matroska/MKV (EBML varint walk: Segment → Info TimecodeScale/
+    Duration, Tracks → video TrackEntry PixelWidth/Height; frame count
+    needs a full demux, so it stays None)."""
     fmt = sniff_format(data)
     if fmt == "mp4":
         return (fmt, *_mp4_header(data))
     if fmt == "avi":
         return (fmt, *_avi_header(data))
     if fmt == "mkv":
-        return (fmt, None, None, None, None)
+        return (fmt, *_mkv_header(data))
     raise ValueError("unrecognized video payload")

@@ -99,3 +99,69 @@ def test_header_drives_frame_sampling(spark):
         got.setdefault(r["doc_id"], []).append(r["frame_idx"])
     assert sorted(got[1]) == [0, 10, 20]
     assert sorted(got[2]) == [0]
+
+
+# ------------------------------------------------------------------ #
+# Matroska / EBML
+# ------------------------------------------------------------------ #
+
+
+def _ebml_encode_id(eid):
+    n = (eid.bit_length() + 7) // 8
+    return eid.to_bytes(n, "big")
+
+
+def _ebml_encode_size(size):
+    # 1-byte form when it fits (marker 0x80), else 2-byte (0x4000)
+    if size < 0x7F:
+        return bytes([0x80 | size])
+    return (0x4000 | size).to_bytes(2, "big")
+
+
+def _ebml_el(eid, payload):
+    return _ebml_encode_id(eid) + _ebml_encode_size(len(payload)) + payload
+
+
+def _build_mkv(width=640, height=360, scale_ns=1_000_000, duration_tc=2500.0):
+    import struct as st
+
+    from kapacitor_spark.dataprep import videocodec as vc
+
+    video = _ebml_el(vc._MKV_PIXEL_W, width.to_bytes(2, "big")) + _ebml_el(
+        vc._MKV_PIXEL_H, height.to_bytes(2, "big")
+    )
+    track = _ebml_el(vc._MKV_TRACK_TYPE, b"\x01") + _ebml_el(vc._MKV_VIDEO, video)
+    tracks = _ebml_el(vc._MKV_TRACK_ENTRY, track)
+    info = _ebml_el(
+        vc._MKV_TIMECODE_SCALE, scale_ns.to_bytes(3, "big")
+    ) + _ebml_el(vc._MKV_DURATION, st.pack(">d", duration_tc))
+    segment = _ebml_el(vc._MKV_INFO, info) + _ebml_el(vc._MKV_TRACKS, tracks)
+    ebml_head = b"\x1a\x45\xdf\xa3" + _ebml_encode_size(0)
+    return ebml_head + _ebml_el(vc._MKV_SEGMENT, segment)
+
+
+def test_mkv_header_parses():
+    data = _build_mkv()
+    fmt, w, h, dur, n = vc.parse_video_header(data)
+    assert (fmt, w, h) == ("mkv", 640, 360)
+    assert dur == pytest.approx(2.5)  # 2500 ticks at 1 ms
+    assert n is None  # frame count needs a demux — honest
+
+
+def test_mkv_audio_only_track_ignored():
+    from kapacitor_spark.dataprep import videocodec as vc
+
+    track = _ebml_el(vc._MKV_TRACK_TYPE, b"\x02")  # audio
+    tracks = _ebml_el(vc._MKV_TRACK_ENTRY, track)
+    segment = _ebml_el(vc._MKV_TRACKS, tracks)
+    data = b"\x1a\x45\xdf\xa3" + _ebml_encode_size(0) + _ebml_el(
+        vc._MKV_SEGMENT, segment
+    )
+    fmt, w, h, dur, n = vc.parse_video_header(data)
+    assert (fmt, w, h, dur, n) == ("mkv", None, None, None, None)
+
+
+def test_mkv_custom_timecode_scale():
+    data = _build_mkv(scale_ns=500_000, duration_tc=1000.0)
+    fmt, w, h, dur, n = vc.parse_video_header(data)
+    assert dur == pytest.approx(0.5)
