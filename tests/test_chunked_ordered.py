@@ -132,3 +132,69 @@ def test_chunked_streaks_equal_single_window(spark, sf_dir, op, force_chunking):
     spark.conf.set(CONF_KEY, "1")
     assert len(chunked) == len(plain) and len(plain) > 0
     assert chunked == plain
+
+
+def test_chunked_all_equal_timestamps_degrades_gracefully(spark, force_chunking):
+    """Adversarial: every row shares ONE timestamp → one time bucket →
+    one chunk. Correctness must hold (equal times can never split, so the
+    plan degrades to the single-window result, not a wrong answer)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, t0, float(i % 7)) for i in range(300)],
+        "event_id long, ts timestamp, value double",
+    )
+    p = Pipeline.from_df(df, time_col="ts", dims=(), tiebreak=("event_id",))
+    got = {r["event_id"]: r["d"] for r in
+           p.difference("value", as_="d").result().collect()}
+    spark.conf.unset(CONF_KEY)
+    want = {r["event_id"]: r["d"] for r in
+            Pipeline.from_df(df, time_col="ts", dims=(), tiebreak=("event_id",))
+            .difference("value", as_="d").result().collect()}
+    spark.conf.set(CONF_KEY, "1")
+    assert got == want and len(want) == 299
+
+
+def test_chunked_random_time_distributions_property(spark, force_chunking):
+    """Property sweep: clustered/uniform/tie-heavy random time layouts,
+    lag + cumsum + moving_average all equal the single-window plan."""
+    import datetime as dt
+    import random
+
+    rnd = random.Random(1234)
+    t0 = dt.datetime(2024, 1, 1)
+    for trial in range(3):
+        rows = []
+        cursor = 0
+        for i in range(400):
+            style = rnd.random()
+            if style < 0.3:
+                pass  # tie: same timestamp as previous
+            elif style < 0.8:
+                cursor += rnd.randint(1, 50)
+            else:
+                cursor += rnd.randint(10_000, 500_000)  # cluster gap
+            rows.append((i, t0 + dt.timedelta(seconds=cursor), rnd.uniform(-5, 5)))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, value double"
+        )
+
+        def run(op):
+            return sorted(
+                op(Pipeline.from_df(df, time_col="ts", dims=(),
+                                    tiebreak=("event_id",))).result().collect(),
+                key=lambda r: r["event_id"],
+            )
+
+        for op in (
+            lambda p: p.difference("value", as_="d"),
+            lambda p: p.moving_average("value", 7, as_="m"),
+            lambda p: p.eval(vd=F.col("value").cast("decimal(20,6)"))
+                       .cumulative_sum("vd", as_="c"),
+        ):
+            chunked = run(op)
+            spark.conf.unset(CONF_KEY)
+            plain = run(op)
+            spark.conf.set(CONF_KEY, "1")
+            assert chunked == plain, f"trial {trial} diverged"
