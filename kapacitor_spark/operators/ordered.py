@@ -161,6 +161,34 @@ def chunks_support_tail(
     return all(r["count"] >= tail_rows for r in counts if r["__chunk"] != last)
 
 
+def chunked_row_number(
+    df: DataFrame,
+    out: str,
+    time_col: str,
+    tiebreak: list[str],
+    n_chunks: int | None = None,
+) -> DataFrame:
+    """Global event-time row number over one giant group without a
+    single-task sort: chunk-local row_number plus broadcast per-chunk
+    row-count prefix offsets (the counting twin of the cumsum plan)."""
+    n_chunks = n_chunks or df.sparkSession.sparkContext.defaultParallelism
+    c = _with_chunks(df, time_col, n_chunks)
+    wloc = Window.partitionBy("__chunk").orderBy(time_col, *tiebreak)
+    local = c.withColumn("__lrn", F.row_number().over(wloc))
+    counts = c.groupBy("__chunk").count()
+    woff = Window.orderBy("__chunk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "__chunk",
+        F.coalesce(F.sum("count").over(woff), F.lit(0)).alias("__off"),
+    )
+    cols = df.columns + [out]
+    return (
+        local.join(F.broadcast(offs), "__chunk")
+        .withColumn(out, F.col("__lrn") + F.col("__off"))
+        .select(*cols)
+    )
+
+
 def chunked_cumulative_sum(
     df: DataFrame,
     fld: str,

@@ -396,12 +396,20 @@ class Pipeline:
         (/root/reference/sample.go:97-110: counter%N==0, or
         t.Truncate(d)==t)."""
         if n is not None:
-            rn = F.row_number().over(self._ordered())
-            df = (
-                self.df.withColumn("__rn", rn)
-                .filter((F.col("__rn") - 1) % n == 0)
-                .drop("__rn")
+            from kapacitor_spark.operators.ordered import (
+                chunked_row_number,
+                should_chunk,
             )
+
+            if not self.dims and should_chunk(self.df, self.dims):
+                df = chunked_row_number(
+                    self.df, "__rn", self.time_col, list(self.tiebreak)
+                )
+            else:
+                df = self.df.withColumn(
+                    "__rn", F.row_number().over(self._ordered())
+                )
+            df = df.filter((F.col("__rn") - 1) % n == 0).drop("__rn")
             return self._with(df)
         if every is not None:
             us = round(parse_duration(every) * 1_000_000)

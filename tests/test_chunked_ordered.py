@@ -198,3 +198,15 @@ def test_chunked_random_time_distributions_property(spark, force_chunking):
             plain = run(op)
             spark.conf.set(CONF_KEY, "1")
             assert chunked == plain, f"trial {trial} diverged"
+
+
+def test_chunked_sample_n_equals_single_window(spark, sf_dir, force_chunking):
+    """sample(N) routes through the chunked global row number — same kept
+    rows as the single-window plan."""
+    got = sorted(r["event_id"] for r in
+                 _events(spark, sf_dir).sample(n=7).result().collect())
+    spark.conf.unset(CONF_KEY)
+    want = sorted(r["event_id"] for r in
+                  _events(spark, sf_dir).sample(n=7).result().collect())
+    spark.conf.set(CONF_KEY, "1")
+    assert got == want and len(want) > 0
