@@ -43,21 +43,17 @@ __all__ = [
 # refuse to build an n² join above this many rows.
 _CROSSJOIN_MAX_ROWS = 50_000
 
-# A plan-size estimate at or under _CROSSJOIN_MAX_ROWS * this many bytes
-# PROVES the input is under the row cap (no real embedding row is smaller
-# than 8 bytes) without paying a count job; bigger estimates fall back to
-# the bounded count.
-_CROSSJOIN_MIN_ROW_BYTES = 8
-
-
-def _plan_size_bytes(df: DataFrame) -> int | None:
-    """Catalyst's optimized-plan size estimate, or None if unavailable.
-    Free (no job): reads stats off the plan, never touches df.rdd."""
+def _plan_row_count(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan ROW-COUNT estimate, or None. Only a row
+    count can prove the cross-join guard's cap — sizeInBytes is the
+    compressed on-disk size for file scans, which a heavily RLE'd
+    embedding table of millions of rows could keep tiny. Free (no job)."""
     try:
-        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        # py4j maps scala BigInt to a Python int on recent Sparks; older
-        # bridges hand back the JVM object
-        return size if isinstance(size, int) else int(size.toString())
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if not rc.isDefined():
+            return None
+        v = rc.get()
+        return v if isinstance(v, int) else int(v.toString())
     except Exception:
         return None
 
@@ -70,8 +66,11 @@ def _spread(df: DataFrame) -> DataFrame:
     relative to the per-doc hashing it parallelizes.
 
     The small-input check uses Catalyst's plan-size estimate (optimizedPlan
-    stats), NOT ``df.rdd`` — converting to RDD would materialize a second,
-    unoptimized copy of the scan plan on every dedup entry point."""
+    stats, shared helper in operators.ordered), NOT ``df.rdd`` — converting
+    to RDD would materialize a second, unoptimized copy of the scan plan on
+    every dedup entry point."""
+    from kapacitor_spark.operators.ordered import _plan_size_bytes
+
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
@@ -443,13 +442,12 @@ def embedding_near_dup(
     from kapacitor_spark.dataprep.similarity import with_norm, cosine_expr
 
     if block_col is None:
-        # plan-size estimate first — proves small inputs small for free;
-        # only an inconclusive estimate pays the bounded count job
-        size = _plan_size_bytes(emb_df)
+        # plan ROW-COUNT estimate first — proves small inputs small for
+        # free; an absent estimate pays the bounded count job
+        rc = _plan_row_count(emb_df)
         n = (
-            0
-            if size is not None
-            and size <= _CROSSJOIN_MAX_ROWS * _CROSSJOIN_MIN_ROW_BYTES
+            rc
+            if rc is not None and rc <= _CROSSJOIN_MAX_ROWS
             else emb_df.limit(_CROSSJOIN_MAX_ROWS + 1).count()
         )
         if n > _CROSSJOIN_MAX_ROWS:

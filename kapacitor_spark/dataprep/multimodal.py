@@ -109,8 +109,9 @@ def decode_image_batch(df: DataFrame, binary_col: str = "payload", fake: bool = 
 
     Adds ``pixels array<float>`` (HWC flattened, values in [0, 1]) — the
     shape a downstream embedding/feature UDF expects. ``fake=False``
-    decodes real PNG/BMP/PPM/PGM payloads via ``imagecodec`` and baseline
-    JPEG via ``jpegcodec``; WebP/GIF and progressive JPEG raise
+    decodes real PNG/BMP/PPM/PGM payloads via ``imagecodec``, baseline
+    JPEG via ``jpegcodec``, GIF via ``gifcodec``, and lossless WebP via
+    ``webpcodec``; only lossy VP8 and progressive JPEG raise
     NotImplementedError (their entropy coding needs an external lib).
     """
     out_schema = T.StructType(

@@ -455,7 +455,9 @@ def _inv_predictor(img: np.ndarray, tiles: np.ndarray, bits: int) -> np.ndarray:
                 L = int(out[y, x - 1])
                 T = int(out[y - 1, x])
                 TL = int(out[y - 1, x - 1])
-                TR = int(out[y - 1, x + 1]) if x + 1 < w else int(out[y - 1, 0])
+                # flattened addressing: TR = data[pos - width + 1]; at the
+                # last column that lands on the CURRENT row's first pixel
+                TR = int(out[y - 1, x + 1]) if x + 1 < w else int(out[y, 0])
                 if mode == 0:
                     pred = 0xFF000000
                 elif mode == 1:
@@ -494,7 +496,10 @@ def _inv_predictor(img: np.ndarray, tiles: np.ndarray, bits: int) -> np.ndarray:
                     for sh in (24, 16, 8, 0):
                         a_ = (av >> sh) & 0xFF
                         tl_ = (TL >> sh) & 0xFF
-                        v = a_ + ((a_ - tl_) >> 1)
+                        d = a_ - tl_
+                        # C integer division truncates toward zero (spec
+                        # ClampAddSubtractHalf), unlike >>1 which floors
+                        v = a_ + int(d / 2)
                         v = 0 if v < 0 else (255 if v > 255 else v)
                         res |= v << sh
                     pred = res
@@ -549,9 +554,15 @@ def _decode_vp8l(body: bytes):
         else:  # color indexing (palette)
             n_colors = br.read(8) + 1
             pal = _decode_entropy_image(br, n_colors, 1, allow_meta=False)[0]
-            # palette is delta-coded
-            pal = np.cumsum(pal.astype(np.int64), dtype=np.int64)
-            pal = (pal & 0xFFFFFFFF).astype(np.uint32)
+            # palette is delta-coded PER CHANNEL (componentwise mod-256
+            # addition — a packed cumsum would carry across channel bytes)
+            ch = np.stack(
+                [(pal >> s) & 0xFF for s in (24, 16, 8, 0)], axis=0
+            ).astype(np.int64)
+            ch = np.cumsum(ch, axis=1) % 256
+            pal = (
+                (ch[0] << 24) | (ch[1] << 16) | (ch[2] << 8) | ch[3]
+            ).astype(np.uint32)
             width_bits = 0 if n_colors > 16 else (1 if n_colors > 4 else (2 if n_colors > 2 else 3))
             transforms.append((3, (width_bits, pal), None))
             xsize = _subsample(xsize, width_bits)

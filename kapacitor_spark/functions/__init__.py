@@ -190,12 +190,13 @@ FUNCTIONS: dict = {
     # draw is Spark's per-partition RNG, so values differ run-to-run
     # unless the plan seeds it; the CONTRACT (ranges, rand(0)==0) holds.
     "rand": lambda n=None: (
-        # full [0, 2^63) range per rand.Int63; least() clamps the one
-        # double-rounding edge where rand()*2^63 rounds up to exactly 2^63
+        # full [0, 2^63) range per rand.Int63. The clamp must wrap the
+        # DOUBLE (before the cast): rand()*2^63 can round up to exactly
+        # 2^63, and under ANSI mode the long cast would throw on it.
+        # 2^63-1024 is the largest double below 2^63 (ulp there is 1024).
         F.least(
-            (F.rand() * F.lit(float(2**63))).cast("long"),
-            F.lit(2**63 - 1),
-        )
+            F.rand() * F.lit(float(2**63)), F.lit(float(2**63 - 1024))
+        ).cast("long")
         if n is None
         else F.floor(F.rand() * F.greatest(_c(n).cast("double"), F.lit(1.0))).cast("long")
     ),

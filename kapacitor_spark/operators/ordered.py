@@ -199,8 +199,12 @@ def chunked_cumulative_sum(
 ) -> DataFrame:
     """Running sum over one giant group without a single-task sort:
     chunk-local prefix sums plus broadcast per-chunk offsets (the classic
-    scan-sum recombination). Exactly equal to the single-window result for
-    any chunking, since addition reassociates."""
+    scan-sum recombination). Exactly equal to the single-window result
+    for integral and decimal fields (their addition reassociates); DOUBLE
+    fields agree to float tolerance only — the recombination reorders the
+    additions, so the last ulps can differ from the sequential sum (pin
+    exactness with a decimal cast when it matters, as the scored
+    point_transforms query does)."""
     n_chunks = n_chunks or df.sparkSession.sparkContext.defaultParallelism
     c = _with_chunks(df, time_col, n_chunks)
     wloc = (

@@ -1139,11 +1139,15 @@ class _Env:
         current: dict | None = None
         cur_kind: str | None = None
         for name, args in node.props:
-            if current is not None and name in _HANDLER_KIND_OPTIONS.get(
-                cur_kind, ()
+            if (
+                current is not None
+                and name in _HANDLER_KIND_OPTIONS.get(cur_kind, ())
+                and args
             ):
                 # collides with a handler-kind name but belongs to the open
-                # spec (.opsGenie2().teams(...))
+                # spec (.opsGenie2().teams('t1')). A ZERO-ARG .teams() is
+                # the MS-Teams handler itself (its options are config-
+                # driven), so only an argumented call binds as an option.
                 current[name] = args[0] if len(args) == 1 else list(args)
             elif name in _ALERT_HANDLER_KINDS:
                 current = {}

@@ -249,3 +249,32 @@ def test_color_indexing_packed_palette():
     arr = np.frombuffer(pix, dtype=np.uint8).reshape(1, 8, 3)
     want = np.array([[C0 if b == 0 else C1 for b in pattern]], dtype=np.uint8)
     assert np.array_equal(arr, want)
+
+
+def test_color_indexing_delta_overflow_wraps_per_channel():
+    """Palette deltas add componentwise mod 256 — a packed cumsum would
+    carry a blue-channel overflow into green (the bug class this pins)."""
+    C0 = (40, 60, 200)
+    C1 = (45, 61, 44)  # blue 200 + delta 100 → 300 wraps to 44
+    bw = _BitWriter()
+    _vp8l_header(bw, 4, 1)
+    bw.write(1, 1)
+    bw.write(3, 2)
+    bw.write(2 - 1, 8)
+    d1 = [(C1[i] - C0[i]) % 256 for i in range(3)]
+    pal_img = np.array(
+        [[[C0[0], C0[1], C0[2], 255], [d1[0], d1[1], d1[2], 0]]], dtype=np.uint8
+    )
+    _emit_literal_image(bw, pal_img, sub=True)
+    bw.write(0, 1)
+    pattern = [0, 1, 0, 1]
+    packed_lo = pattern[0] | (pattern[1] << 2) | (pattern[2] << 4) | (pattern[3] << 6)
+    # n_colors=2 → width_bits 3 → 8 px/byte, but only 4 pixels used
+    packed = pattern[0] | (pattern[1] << 1) | (pattern[2] << 2) | (pattern[3] << 3)
+    idx_img = np.array([[[0, packed, 0, 255]]], dtype=np.uint8)
+    _emit_literal_image(bw, idx_img)
+    w, h, c, pix = webpcodec.decode(_wrap(bw))
+    arr = np.frombuffer(pix, dtype=np.uint8).reshape(1, 4, 3)
+    want = np.array([[C0, C1, C0, C1]], dtype=np.uint8)
+    assert np.array_equal(arr, want)
+    del packed_lo
