@@ -491,6 +491,7 @@ def decontaminate(
     # (collision odds ~|grams|²/2⁶⁴ — immaterial for a contamination test).
     # hashed_shingles hashes the raw token SLICE — the ~8n-char gram
     # string is never materialized on either side.
+    df = _spread(df)  # small corpora arrive as one split; hash on all cores
     bench_grams = (
         benchmark.select(
             F.explode(hashed_shingles(tokenize(text_col), n)).alias("__gh")
