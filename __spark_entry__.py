@@ -1181,8 +1181,10 @@ def minhash_near_dup_q(spark, sf_dir):
     the output. Cross-lang pairs (which the SQL's n² blocking can't reach
     but LSH finds) are excluded from the checked projection. The recall
     guarantee is calibrated on the driver's sf0.01 corpus; other SFs can
-    expose the method's inherent approximation (e.g. one missed pair at
-    sf0.001) — the probabilistic bound, not a bug."""
+    expose the method's inherent approximation (measured: one missed pair
+    at sf0.001; 76/79 at sf0.1 — pairs sitting AT the J=0.5 threshold,
+    where 16×4 banding's catch probability is ~64%) — the probabilistic
+    bound, not a bug."""
     from kapacitor_spark.dataprep.dedup import minhash_near_dup
 
     docs = _t(spark, sf_dir, "documents")
