@@ -2,7 +2,9 @@
 
 The container has no imaging libraries (PIL/opencv), but a large share of
 real-world image bytes are decodable with nothing beyond ``zlib``/``struct``
-— PNG (deflate + per-row filters), uncompressed BMP, the Netpbm
+— PNG (deflate + per-row filters; gray/RGB/palette incl. sub-byte
+packing and tRNS alpha, 16-bit high-byte downconversion, Adam7
+interlace), uncompressed BMP, the Netpbm
 formats, baseline-sequential JPEG (via the ``jpegcodec`` sibling:
 canonical Huffman + IDCT in numpy), and GIF (via ``gifcodec``: variable-
 width LZW, interlace, color tables). This module routes them all, so the
@@ -134,8 +136,10 @@ def parse_header(data: bytes):
 # --------------------------------------------------------------------- #
 
 
-def _png_unfilter(raw: bytes, w: int, h: int, channels: int) -> bytes:
-    stride = w * channels
+def _png_unfilter(raw: bytes, stride: int, h: int, left: int) -> np.ndarray:
+    """Undo per-row PNG filters over ``h`` scanlines of ``stride`` bytes;
+    ``left`` is the byte distance to the left reference (max(1, bpp//8)
+    per the spec — sub-byte depths filter with distance 1)."""
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     pos = 0
@@ -149,19 +153,19 @@ def _png_unfilter(raw: bytes, w: int, h: int, channels: int) -> bytes:
             cur = row + prev
         elif ftype == 1:  # Sub — sequential along the row
             cur = row
-            for x in range(channels, stride):
-                cur[x] = (int(cur[x]) + int(cur[x - channels])) & 0xFF
+            for x in range(left, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - left])) & 0xFF
         elif ftype == 3:  # Average
             cur = row
             for x in range(stride):
-                left = int(cur[x - channels]) if x >= channels else 0
-                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+                lv = int(cur[x - left]) if x >= left else 0
+                cur[x] = (int(cur[x]) + ((lv + int(prev[x])) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             cur = row
             for x in range(stride):
-                a = int(cur[x - channels]) if x >= channels else 0
+                a = int(cur[x - left]) if x >= left else 0
                 b = int(prev[x])
-                c = int(prev[x - channels]) if x >= channels else 0
+                c = int(prev[x - left]) if x >= left else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -170,7 +174,35 @@ def _png_unfilter(raw: bytes, w: int, h: int, channels: int) -> bytes:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = cur
         prev = out[y]
-    return out.tobytes()
+    return out
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 passes: (x0, y0, dx, dy)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_rows_to_samples(rows: np.ndarray, w: int, depth: int, nch: int) -> np.ndarray:
+    """(h, stride) filtered bytes → (h, w, nch) uint8 raw samples
+    (palette indices stay indices; 16-bit keeps the high byte)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * nch].reshape(h, w, nch)
+    if depth == 16:
+        return rows[:, : w * nch * 2].reshape(h, w * nch, 2)[:, :, 0].reshape(
+            h, w, nch
+        )
+    # 1/2/4-bit (gray or palette → single channel), MSB-first packing
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    cols = [
+        (rows >> (8 - depth * (k + 1))) & mask for k in range(per)
+    ]
+    unpacked = np.stack(cols, axis=-1).reshape(h, -1)[:, :w]
+    return unpacked[..., None]
 
 
 def _decode_png(data: bytes):
@@ -178,6 +210,8 @@ def _decode_png(data: bytes):
     idat = []
     w = h = None
     bit_depth = color_type = interlace = None
+    palette = None
+    trns = None
     while pos + 8 <= len(data):
         ln, typ = struct.unpack(">I4s", data[pos : pos + 8])
         chunk = data[pos + 8 : pos + 8 + ln]
@@ -185,6 +219,10 @@ def _decode_png(data: bytes):
             w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
+        elif typ == b"PLTE":
+            palette = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(chunk, dtype=np.uint8)
         elif typ == b"IDAT":
             idat.append(chunk)
         elif typ == b"IEND":
@@ -192,15 +230,54 @@ def _decode_png(data: bytes):
         pos += 12 + ln
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8:
-        raise NotImplementedError(f"PNG bit depth {bit_depth} (only 8 supported)")
-    if interlace:
-        raise NotImplementedError("interlaced PNG")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if channels is None:
-        raise NotImplementedError(f"PNG color type {color_type} (palette unsupported)")
+    nch = _PNG_CHANNELS.get(color_type)
+    if nch is None:
+        raise NotImplementedError(f"PNG color type {color_type}")
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"bad PNG bit depth {bit_depth}")
+    if bit_depth < 8 and color_type not in (0, 3):
+        raise ValueError("sub-byte depth is only valid for gray/palette PNG")
+    bits_pp = nch * bit_depth
+    left = max(1, bits_pp // 8)
     raw = zlib.decompress(b"".join(idat))
-    return w, h, channels, _png_unfilter(raw, w, h, channels)
+    if not interlace:
+        stride = (w * bits_pp + 7) // 8
+        rows = _png_unfilter(raw, stride, h, left)
+        samples = _png_rows_to_samples(rows, w, bit_depth, nch)
+    elif interlace == 1:  # Adam7
+        samples = np.zeros((h, w, nch), dtype=np.uint8)
+        at = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * bits_pp + 7) // 8
+            need = ph * (1 + stride)
+            rows = _png_unfilter(raw[at : at + need], stride, ph, left)
+            at += need
+            samples[y0::dy, x0::dx] = _png_rows_to_samples(
+                rows, pw, bit_depth, nch
+            )
+    else:
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = samples[..., 0]
+        rgb = palette[np.minimum(idx, len(palette) - 1)]
+        if trns is not None:
+            alpha = np.full(256, 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            out = np.dstack([rgb, alpha[np.minimum(idx, 255)]])
+            return w, h, 4, np.ascontiguousarray(out).tobytes()
+        return w, h, 3, np.ascontiguousarray(rgb).tobytes()
+    if color_type == 0 and bit_depth < 8:
+        # scale sub-byte gray samples to full range
+        samples = (
+            samples.astype(np.uint16) * 255 // ((1 << bit_depth) - 1)
+        ).astype(np.uint8)
+    return w, h, nch, np.ascontiguousarray(samples).tobytes()
 
 
 def _decode_bmp(data: bytes):
