@@ -5,11 +5,13 @@ real-world image bytes are decodable with nothing beyond ``zlib``/``struct``
 — PNG (deflate + per-row filters; gray/RGB/palette incl. sub-byte
 packing and tRNS alpha, 16-bit high-byte downconversion, Adam7
 interlace), uncompressed BMP, the Netpbm
-formats, baseline-sequential JPEG (via the ``jpegcodec`` sibling:
-canonical Huffman + IDCT in numpy), and GIF (via ``gifcodec``: variable-
-width LZW, interlace, color tables). This module routes them all, so the
+formats, huffman-coded JPEG — baseline AND progressive — (via the
+``jpegcodec`` sibling: canonical Huffman + IDCT in numpy, Annex-G
+spectral selection / successive approximation), GIF (via ``gifcodec``:
+variable-width LZW, interlace, color tables), and lossless WebP (via
+``webpcodec``: full VP8L). This module routes them all, so the
 multimodal operators' ``fake=False`` paths produce REAL pixels in this
-container; only WebP (and progressive JPEG) still raise
+container; only lossy WebP (and arithmetic-coded JPEG) still raise
 ``NotImplementedError`` at full-decode time.
 
 All decoders return interleaved uint8 rows ``(width, height, channels,

@@ -1,20 +1,24 @@
-"""Baseline-sequential JPEG codec, stdlib + numpy only (ITU-T T.81).
+"""JPEG codec, stdlib + numpy only (ITU-T T.81): baseline sequential
+AND huffman-progressive.
 
-The container has no imaging libraries, but baseline JPEG is a published
-spec: canonical Huffman entropy coding, 8x8 DCT blocks, zigzag +
-quantization, optional 4:2:0/4:2:2 chroma subsampling, restart markers.
-This module implements
+The container has no imaging libraries, but huffman-coded JPEG is a
+published spec: canonical Huffman entropy coding, 8x8 DCT blocks,
+zigzag + quantization, optional 4:2:0/4:2:2 chroma subsampling, restart
+markers, and — for progressive files (Annex G) — spectral selection,
+successive approximation (DC/AC first + refinement scans with EOB
+runs), and non-interleaved AC scans. This module implements
 
-- ``decode(data) -> (w, h, channels, pixel_bytes)`` for baseline DCT
-  JPEGs (SOF0/SOF1): gray and YCbCr, any sampling factors up to 2x2,
-  DRI/RSTn restart intervals. Quant + Huffman tables are read from the
-  file's own DQT/DHT markers, so real-world baseline files decode.
-  Progressive (SOF2) and arithmetic-coded files raise
-  ``NotImplementedError`` — honestly out of scope.
-- ``encode(w, h, pixels, channels, quality) -> bytes``: baseline 4:4:4
-  with the Annex-K quantization tables (quality-scaled, IJG curve) and
-  standard Huffman tables, emitted in DQT/DHT so ANY decoder (including
-  ours) reads the exact tables used.
+- ``decode(data) -> (w, h, channels, pixel_bytes)`` for baseline
+  (SOF0/SOF1) and progressive (SOF2) DCT JPEGs: gray and YCbCr, any
+  sampling factors up to 2x2, DRI/RSTn restart intervals. Quant +
+  Huffman tables are read from the file's own DQT/DHT markers, so
+  real-world files decode. Only arithmetic-coded and lossless/
+  hierarchical processes raise ``NotImplementedError``.
+- ``encode(w, h, pixels, channels, quality, progressive=...)``:
+  baseline 4:4:4 (or grayscale) with quality-scaled Annex-K tables, or
+  a four-scan-group progressive stream (DC first Al=1, DC refine,
+  per-component AC first Al=1, per-component AC refine) that exercises
+  every Annex-G scan type; either form decodes identically.
 
 Entropy decode walks bits in Python (canonical mincode/maxcode per the
 spec's DECODE procedure) while dequant + IDCT + color transform are
@@ -283,7 +287,7 @@ def decode(data: bytes):
                 vals = list(seg[p + 17 : p + 17 + n])
                 (huff_ac if tc else huff_dc)[th] = _HuffDecoder(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -291,11 +295,14 @@ def decode(data: bytes):
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+            frame = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                prog = _ProgressiveState(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) supported"
+                "only baseline-sequential and huffman-progressive JPEG "
+                "(SOF0/SOF1/SOF2) supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -308,11 +315,21 @@ def decode(data: bytes):
                 cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append({**comp, "td": tdta >> 4, "ta": tdta & 0xF})
-            return _decode_scan(
-                data, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not frame["progressive"]:
+                return _decode_scan(
+                    data, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = prog.decode_scan(
+                data, pos + seglen, scan, huff_dc, huff_ac,
+                restart_interval, ss, se, ahal >> 4, ahal & 0xF,
             )
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive"):
+        return prog.reconstruct(qt)
     raise ValueError("corrupt JPEG: no scan found")
 
 
@@ -361,9 +378,14 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
                             raise ValueError("corrupt JPEG: AC index overflow")
                         blk[k] = _extend(br.receive(s), s)
                         k += 1
-    # dequantize + un-zigzag + IDCT, vectorized per component
+    return _reconstruct(stores, scan, qt, w, h, hmax, vmax)
+
+
+def _reconstruct(stores, comps, qt, w, h, hmax, vmax):
+    """Coefficient stores → pixels: dequantize + un-zigzag + vectorized
+    IDCT per component, chroma upsample, YCbCr→RGB."""
     planes = []
-    for ci, c in enumerate(scan):
+    for ci, c in enumerate(comps):
         coefs = stores[ci].reshape(-1, 64) * qt[c["tq"]][ZIGZAG][None, :]
         nat = np.zeros_like(coefs)
         nat[:, ZIGZAG] = coefs  # zigzag index k lives at natural ZIGZAG[k]
@@ -389,6 +411,196 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     b = y + 1.772 * cb
     rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
     return w, h, 3, rgb.tobytes()
+
+
+# --------------------------------------------------------------------- #
+# progressive decoding (T.81 Annex G, huffman-coded)
+# --------------------------------------------------------------------- #
+
+
+class _ProgressiveState:
+    """Coefficient accumulator across a progressive file's scans."""
+
+    def __init__(self, frame):
+        self.frame = frame
+        w, h = frame["w"], frame["h"]
+        self.hmax = max(c["h"] for c in frame["comps"])
+        self.vmax = max(c["v"] for c in frame["comps"])
+        self.mcux = -(-w // (8 * self.hmax))
+        self.mcuy = -(-h // (8 * self.vmax))
+        self.stores = {}
+        self.bdims = {}
+        for c in frame["comps"]:
+            by, bx = self.mcuy * c["v"], self.mcux * c["h"]
+            self.stores[c["id"]] = np.zeros((by, bx, 64), dtype=np.int32)
+            # non-interleaved scans iterate the component's OWN block grid
+            cw = -(-w * c["h"] // self.hmax)
+            chh = -(-h * c["v"] // self.vmax)
+            self.bdims[c["id"]] = (-(-chh // 8), -(-cw // 8))
+
+    def decode_scan(self, data, pos, scan, huff_dc, huff_ac, dri, ss, se, ah, al):
+        br = _BitReader(data, pos)
+        if ss == 0:
+            self._dc_scan(br, scan, huff_dc, dri, ah, al)
+        else:
+            if len(scan) != 1:
+                raise ValueError("corrupt JPEG: progressive AC scan must be "
+                                 "single-component")
+            self._ac_scan(br, scan[0], huff_ac, dri, ss, se, ah, al)
+        # skip to just before the next non-RST marker
+        p = br.pos
+        while p + 1 < len(data):
+            if data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF):
+                if 0xD0 <= data[p + 1] <= 0xD7:
+                    p += 2
+                    continue
+                return p
+            p += 1
+        return p
+
+    def _dc_scan(self, br, scan, huff_dc, dri, ah, al):
+        pred = {c["id"]: 0 for c in scan}
+        n_mcu = self.mcux * self.mcuy
+        single = len(scan) == 1
+        if single:
+            bh, bw = self.bdims[scan[0]["id"]]
+            n_units = bh * bw
+        else:
+            n_units = n_mcu
+        for m in range(n_units):
+            if dri and m and m % dri == 0:
+                marker = br.align_to_marker()
+                if not (0xD0 <= marker <= 0xD7):
+                    raise ValueError("corrupt JPEG: bad restart marker")
+                pred = {c["id"]: 0 for c in scan}
+            if single:
+                c = scan[0]
+                my, mx = divmod(m, bw)
+                self._dc_block(br, self.stores[c["id"]][my, mx], c, pred,
+                               huff_dc, ah, al)
+            else:
+                my, mx = divmod(m, self.mcux)
+                for c in scan:
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            blk = self.stores[c["id"]][
+                                my * c["v"] + v, mx * c["h"] + hh
+                            ]
+                            self._dc_block(br, blk, c, pred, huff_dc, ah, al)
+
+    @staticmethod
+    def _dc_block(br, blk, c, pred, huff_dc, ah, al):
+        if ah == 0:  # first DC scan: diffs of the point-transformed value
+            t = huff_dc[c["td"]].decode(br)
+            diff = _extend(br.receive(t), t)
+            pred[c["id"]] += diff
+            blk[0] = pred[c["id"]] << al
+        else:  # refinement: one bit per block
+            if br.read_bit():
+                blk[0] |= 1 << al
+
+    def _ac_scan(self, br, c, huff_ac, dri, ss, se, ah, al):
+        bh, bw = self.bdims[c["id"]]
+        store = self.stores[c["id"]]
+        eobrun = 0
+        for m in range(bh * bw):
+            if dri and m and m % dri == 0:
+                marker = br.align_to_marker()
+                if not (0xD0 <= marker <= 0xD7):
+                    raise ValueError("corrupt JPEG: bad restart marker")
+                eobrun = 0
+            my, mx = divmod(m, bw)
+            blk = store[my, mx]
+            if ah == 0:
+                eobrun = self._ac_first(br, blk, huff_ac[c["ta"]], ss, se,
+                                        al, eobrun)
+            else:
+                eobrun = self._ac_refine(br, blk, huff_ac[c["ta"]], ss, se,
+                                         al, eobrun)
+
+    @staticmethod
+    def _ac_first(br, blk, ac, ss, se, al, eobrun):
+        """G.1.2.2: first pass over a spectral band."""
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = ac.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.receive(r)
+                return eobrun
+            k += r
+            if k > se:
+                raise ValueError("corrupt JPEG: AC index overflow")
+            blk[k] = _extend(br.receive(s), s) << al
+            k += 1
+        return 0
+
+    @staticmethod
+    def _ac_refine(br, blk, ac, ss, se, al, eobrun):
+        """G.1.2.3: correction-bit pass (libjpeg decode_mcu_AC_refine
+        semantics — every nonzero-history coefficient crossed by a run or
+        an EOB span reads one refinement bit)."""
+        p1 = 1 << al
+        m1 = -1 << al
+
+        def correct(k_):
+            if br.read_bit() and (abs(int(blk[k_])) & p1) == 0:
+                blk[k_] += p1 if blk[k_] >= 0 else m1
+
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = ac.decode(br)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        # NOTE: unlike the first pass, the refinement
+                        # EOBRUN includes the CURRENT block — its
+                        # remaining history coefficients still read
+                        # correction bits below
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.receive(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("corrupt JPEG: bad refinement size")
+                    newval = p1 if br.read_bit() else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            if newval:
+                                blk[k] = newval
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    def reconstruct(self, qt):
+        comps = self.frame["comps"]
+        stores = [self.stores[c["id"]] for c in comps]
+        return _reconstruct(
+            stores, comps, qt, self.frame["w"], self.frame["h"],
+            self.hmax, self.vmax,
+        )
 
 
 # --------------------------------------------------------------------- #
@@ -435,6 +647,84 @@ def _magnitude(v: int) -> tuple[int, int]:
     return n, (v if v > 0 else v + (1 << n) - 1)
 
 
+def _enc_ac_first(bwr, blk, ac, ss, se, al):
+    """Progressive AC first pass (G.1.2.2 encoder): run/size over the
+    point-transformed band, EOB0 terminating trailing zeros."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, size = ac[0xF0]
+            bwr.write(code, size)
+            run -= 16
+        s, bits = _magnitude(t if v > 0 else -t)
+        code, size = ac[(run << 4) | s]
+        bwr.write(code, size)
+        bwr.write(bits, s)
+        run = 0
+    if run > 0:
+        code, size = ac[0x00]
+        bwr.write(code, size)
+
+
+def _enc_ac_refine(bwr, blk, ac, ss, se, al):
+    """Progressive AC refinement encoder, built as a direct simulation of
+    the decoder's crossing spans: each emitted symbol is followed by
+    exactly the correction bits the decoder will read while crossing to
+    that symbol's landing position (history coefficients in the span, in
+    positional order)."""
+    # classify band positions: H=history (bit), N=newly significant, Z=zero
+    kinds = {}
+    hbit = {}
+    npos = []
+    for k in range(ss, se + 1):
+        t = abs(int(blk[k])) >> al
+        if t == 0:
+            kinds[k] = "Z"
+        elif t == 1:
+            kinds[k] = "N"
+            npos.append(k)
+        else:
+            kinds[k] = "H"
+            hbit[k] = t & 1
+
+    def emit_bits(lo, hi):
+        for k in range(lo, hi + 1):
+            if kinds[k] == "H":
+                bwr.write(hbit[k], 1)
+
+    cur = ss
+    for kn in npos:
+        zcount = sum(1 for k in range(cur, kn) if kinds[k] == "Z")
+        while zcount > 15:
+            # position of the 16th zero after cur — the decoder's ZRL span
+            seen = 0
+            for k in range(cur, kn):
+                if kinds[k] == "Z":
+                    seen += 1
+                    if seen == 16:
+                        p16 = k
+                        break
+            code, size = ac[0xF0]
+            bwr.write(code, size)
+            emit_bits(cur, p16)
+            cur = p16 + 1
+            zcount -= 16
+        code, size = ac[(zcount << 4) | 1]
+        bwr.write(code, size)
+        bwr.write(1 if int(blk[kn]) > 0 else 0, 1)
+        emit_bits(cur, kn)  # kn itself is the landing zero; no bit there
+        cur = kn + 1
+    if cur <= se:  # anything left (zeros and/or history) → EOB0 span
+        code, size = ac[0x00]
+        bwr.write(code, size)
+        emit_bits(cur, se)
+
+
 def encode(
     w: int,
     h: int,
@@ -442,11 +732,15 @@ def encode(
     channels: int = 3,
     quality: int = 90,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode HWC uint8 pixels as a baseline JPEG (4:4:4, or single-
-    component grayscale). ``restart_interval`` > 0 emits DRI and RSTn
-    markers every that many MCUs (resets DC prediction, exercises the
-    resync path real encoders use for error resilience)."""
+    """Encode HWC uint8 pixels as a JPEG: baseline sequential by default
+    (4:4:4, or single-component grayscale), or huffman-PROGRESSIVE
+    (SOF2) with four spectral-selection + successive-approximation
+    scans: DC first (Al=1), DC refine, per-component AC 1-63 first
+    (Al=1), per-component AC refine — so every Annex-G scan type is
+    exercised. ``restart_interval`` > 0 emits DRI and RSTn markers
+    every that many MCUs (baseline only)."""
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels).astype(
         np.float64
     )
@@ -484,6 +778,12 @@ def encode(
         q = qtabs[min(ci, 1)].reshape(8, 8).astype(np.float64)
         quant = np.round(coef / q).astype(np.int64).reshape(-1, 64)
         zz.append(quant[:, ZIGZAG].reshape(ph // 8, pw // 8, 64))
+    if progressive:
+        if restart_interval:
+            raise ValueError("progressive encode does not emit restart intervals")
+        return _assemble_progressive(
+            w, h, channels, qtabs, zz, ph, pw, enc_dc, enc_ac
+        )
     mcu_index = 0
     for myx in range(ph // 8):
         for mxx in range(pw // 8):
@@ -557,4 +857,84 @@ def encode(
     out += b"\x00\x3f\x00"
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _assemble_progressive(w, h, channels, qtabs, zz, ph, pw, enc_dc, enc_ac):
+    """Emit the SOF2 container with four scan groups (see encode())."""
+    AL = 1
+    nb_y, nb_x = ph // 8, pw // 8
+    scans = []  # (sos_bytes, entropy_bytes)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        ns = len(comp_ids)
+        out = bytearray(b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns))
+        for ci in comp_ids:
+            td = min(ci, 1)
+            out += bytes([ci + 1, (td << 4) | td])
+        out += bytes([ss, se, (ah << 4) | al])
+        return bytes(out)
+
+    # scan 1: interleaved DC first (Al=AL) — arithmetic-shift point transform
+    bw = _BitWriter()
+    pred = [0] * channels
+    for my in range(nb_y):
+        for mx in range(nb_x):
+            for ci in range(channels):
+                dcv = int(zz[ci][my, mx][0]) >> AL
+                diff = dcv - pred[ci]
+                pred[ci] = dcv
+                s, bits = _magnitude(diff)
+                code, size = enc_dc[min(ci, 1)][s]
+                bw.write(code, size)
+                if s:
+                    bw.write(bits, s)
+    bw.flush()
+    scans.append((sos_header(list(range(channels)), 0, 0, 0, AL), bytes(bw.out)))
+
+    # scan 2: interleaved DC refinement (Ah=AL, Al=0): one bit per block
+    bw = _BitWriter()
+    for my in range(nb_y):
+        for mx in range(nb_x):
+            for ci in range(channels):
+                bw.write(int(zz[ci][my, mx][0]) & 1, 1)
+    bw.flush()
+    scans.append((sos_header(list(range(channels)), 0, 0, AL, 0), bytes(bw.out)))
+
+    # per-component AC first then AC refinement (non-interleaved by spec)
+    for ci in range(channels):
+        bw = _BitWriter()
+        for my in range(nb_y):
+            for mx in range(nb_x):
+                _enc_ac_first(bw, zz[ci][my, mx], enc_ac[min(ci, 1)], 1, 63, AL)
+        bw.flush()
+        scans.append((sos_header([ci], 1, 63, 0, AL), bytes(bw.out)))
+    for ci in range(channels):
+        bw = _BitWriter()
+        for my in range(nb_y):
+            for mx in range(nb_x):
+                _enc_ac_refine(bw, zz[ci][my, mx], enc_ac[min(ci, 1)], 1, 63, 0)
+        bw.flush()
+        scans.append((sos_header([ci], 1, 63, AL, 0), bytes(bw.out)))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HH", 1, 1
+    ) + b"\x00\x00"
+    for tq, tbl in enumerate(qtabs):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(x) for x in tbl[ZIGZAG])
+    nf = channels
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
+    for ci in range(nf):
+        out += bytes([ci + 1, 0x11, min(ci, 1)])
+    tables = [(0x00, DC_LUM), (0x10, AC_LUM)]
+    if channels == 3:
+        tables += [(0x01, DC_CHROM), (0x11, AC_CHROM)]
+    for tid, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tid])
+        out += bytes(bits) + bytes(vals)
+    for sos, payload in scans:
+        out += sos + payload
+    out += b"\xff\xd9"
     return bytes(out)

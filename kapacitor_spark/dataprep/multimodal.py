@@ -4,12 +4,13 @@ mapInPandas.
 
 Decode comes in two flavors:
 
-* ``fake=False`` (REAL): decode via the stdlib-only codec in
-  ``imagecodec`` — PNG (zlib inflate + filter reconstruction),
-  uncompressed BMP, and PPM/PGM produce real pixels; JPEG/GIF still get
-  real header metadata (dimensions from SOFn / logical screen descriptor)
-  but raise ``NotImplementedError`` on full decode, since their entropy
-  coding genuinely needs an imaging library this container lacks.
+* ``fake=False`` (REAL): decode via the stdlib-only codecs —
+  PNG (zlib inflate + filter reconstruction, palette/interlace),
+  uncompressed BMP, PPM/PGM, huffman JPEG (baseline + progressive),
+  GIF (LZW), and lossless WebP (VP8L) all produce real pixels; only
+  lossy VP8 and arithmetic-coded JPEG raise ``NotImplementedError``,
+  since their entropy coding genuinely needs an imaging library this
+  container lacks.
 * ``fake=True``: a deterministic digest-derived decoder — useful for
   exercising the schema/partitioning/UDF plumbing against payloads that
   aren't actual images (and as the oracle-replicable arithmetic in
@@ -109,10 +110,11 @@ def decode_image_batch(df: DataFrame, binary_col: str = "payload", fake: bool = 
 
     Adds ``pixels array<float>`` (HWC flattened, values in [0, 1]) — the
     shape a downstream embedding/feature UDF expects. ``fake=False``
-    decodes real PNG/BMP/PPM/PGM payloads via ``imagecodec``, baseline
-    JPEG via ``jpegcodec``, GIF via ``gifcodec``, and lossless WebP via
-    ``webpcodec``; only lossy VP8 and progressive JPEG raise
-    NotImplementedError (their entropy coding needs an external lib).
+    decodes real PNG/BMP/PPM/PGM payloads via ``imagecodec``,
+    baseline+progressive JPEG via ``jpegcodec``, GIF via ``gifcodec``,
+    and lossless WebP via ``webpcodec``; only lossy VP8 (and
+    arithmetic-coded JPEG) raise NotImplementedError (their entropy
+    coding needs an external lib).
     """
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("pixels", T.ArrayType(T.FloatType()))]

@@ -1,5 +1,5 @@
 """Baseline JPEG codec (dataprep/jpegcodec.py): encode/decode round-trip
-laws, restart markers, marker-level honesty (progressive raises), and the
+laws, restart markers, progressive (SOF2) scan-type coverage, and the
 routing through imagecodec.decode / parse_header."""
 
 import os
@@ -83,16 +83,6 @@ def test_quality_monotonicity():
     assert errs[0] >= errs[1] >= errs[2]
 
 
-def test_progressive_raises():
-    """SOF2 (progressive) is out of scope and must say so, not mis-decode."""
-    img = np.full((8, 8, 1), 99, dtype=np.uint8)
-    data = bytearray(jpegcodec.encode(8, 8, img.tobytes(), channels=1))
-    idx = data.find(b"\xff\xc0")
-    data[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
-        jpegcodec.decode(bytes(data))
-
-
 def test_truncated_and_corrupt_raise():
     img = np.full((8, 8, 1), 50, dtype=np.uint8)
     data = jpegcodec.encode(8, 8, img.tobytes(), channels=1)
@@ -125,3 +115,72 @@ def test_hypothesis_style_random_images_decode_to_right_shape():
         w2, h2, c2, pix = jpegcodec.decode(data)
         assert (w2, h2, c2) == (w, h, ch)
         assert len(pix) == w * h * ch
+
+
+# ------------------------------------------------------------------ #
+# progressive (SOF2)
+# ------------------------------------------------------------------ #
+
+
+@pytest.mark.parametrize("shape,ch,q", [((8, 8), 1, 90), ((17, 24), 3, 95),
+                                        ((40, 33), 3, 75), ((5, 3), 3, 90)])
+def test_progressive_decodes_identically_to_baseline(shape, ch, q):
+    """The four-scan-group progressive stream (DC first/refine + AC
+    first/refine per component) must reconstruct EXACTLY the same pixels
+    as the baseline encode of the same quantized coefficients — the
+    coefficient stores are identical by construction, so any byte diff
+    is a scan-decoding bug."""
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, (*shape, ch), dtype=np.uint8)
+    base = jpegcodec.encode(shape[1], shape[0], img.tobytes(), channels=ch,
+                            quality=q)
+    prog = jpegcodec.encode(shape[1], shape[0], img.tobytes(), channels=ch,
+                            quality=q, progressive=True)
+    assert b"\xff\xc2" in prog and b"\xff\xc2" not in base
+    wb, hb, cb, pb = jpegcodec.decode(base)
+    wp, hp, cp, pp = jpegcodec.decode(prog)
+    assert (wb, hb, cb) == (wp, hp, cp) == (shape[1], shape[0], ch)
+    assert pb == pp
+
+
+def test_progressive_flat_gray_exact():
+    img = np.full((16, 16, 1), 131, dtype=np.uint8)
+    prog = jpegcodec.encode(16, 16, img.tobytes(), channels=1, quality=90,
+                            progressive=True)
+    w, h, c, pix = jpegcodec.decode(prog)
+    assert np.array_equal(
+        np.frombuffer(pix, dtype=np.uint8).reshape(16, 16, 1), img
+    )
+
+
+def test_progressive_gradient_close():
+    img = _gradient(32, 24)
+    prog = jpegcodec.encode(32, 24, img.tobytes(), channels=3, quality=95,
+                            progressive=True)
+    _, _, _, pix = jpegcodec.decode(prog)
+    arr = np.frombuffer(pix, dtype=np.uint8).reshape(24, 32, 3)
+    err = np.abs(arr.astype(int) - img.astype(int))
+    assert err.mean() < 3 and err.max() <= 16
+
+
+def test_progressive_sparse_blocks_exercise_eob_and_zrl():
+    """Mostly-flat image with isolated spikes: AC bands are mostly empty
+    (EOB-heavy) with long zero runs before spikes (ZRL in the refinement
+    scan's span logic)."""
+    img = np.full((40, 48, 1), 100, dtype=np.uint8)
+    img[4, 44] = 255
+    img[25, 3] = 0
+    img[33, 33] = 180
+    base = jpegcodec.encode(48, 40, img.tobytes(), channels=1, quality=85)
+    prog = jpegcodec.encode(48, 40, img.tobytes(), channels=1, quality=85,
+                            progressive=True)
+    assert jpegcodec.decode(base)[3] == jpegcodec.decode(prog)[3]
+
+
+def test_arithmetic_coded_still_raises():
+    img = np.full((8, 8, 1), 99, dtype=np.uint8)
+    data = bytearray(jpegcodec.encode(8, 8, img.tobytes(), channels=1))
+    idx = data.find(b"\xff\xc0")
+    data[idx + 1] = 0xC9  # arithmetic sequential
+    with pytest.raises(NotImplementedError):
+        jpegcodec.decode(bytes(data))
