@@ -296,6 +296,16 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
             arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128) / 128.0
         elif bits == 16:
             arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            # 3-byte little-endian frames: widen to int32 via a zero pad
+            # byte then scale (sign extension falls out of the <i4 view)
+            b3 = np.frombuffer(raw[: len(raw) - len(raw) % 3], dtype=np.uint8)
+            b3 = b3.reshape(-1, 3)
+            padded = np.zeros((b3.shape[0], 4), dtype=np.uint8)
+            padded[:, 1:] = b3
+            arr = (
+                padded.view("<i4")[:, 0].astype(np.float64) / 2147483648.0
+            )
         elif bits == 32:
             arr = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
         else:

@@ -282,18 +282,76 @@ def _decode_png(data: bytes):
     return w, h, nch, np.ascontiguousarray(samples).tobytes()
 
 
+def _bmp_palette(data: bytes, info_size: int, colors_used: int) -> np.ndarray:
+    """Color table right after the info header: BGRA quads → (n, 3) RGB."""
+    n = colors_used or 256
+    start = 14 + info_size
+    quads = np.frombuffer(data[start : start + 4 * n], dtype=np.uint8).reshape(
+        -1, 4
+    )
+    return quads[:, [2, 1, 0]]  # BGR(A) → RGB
+
+
+def _bmp_rle8(data: bytes, pix_off: int, w: int, h: int) -> np.ndarray:
+    """Microsoft RLE8: (count, value) runs; escapes 0=EOL, 1=EOB,
+    2=delta, n≥3=absolute run padded to word. Rows are BOTTOM-UP."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0  # y counts from the bottom row
+    pos = pix_off
+    while pos + 1 < len(data) and y < h:
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt > 0:
+            out[y, x : min(x + cnt, w)] = val
+            x = min(x + cnt, w)
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            x = min(x + data[pos], w)
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute run
+            n = val
+            run = np.frombuffer(data[pos : pos + n], dtype=np.uint8)
+            out[y, x : min(x + n, w)] = run[: max(0, min(x + n, w) - x)]
+            x = min(x + n, w)
+            pos += n + (n & 1)  # word-aligned
+    return out[::-1]  # bottom-up → top-down
+
+
 def _decode_bmp(data: bytes):
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     (pix_off,) = struct.unpack("<I", data[10:14])
+    (info_size,) = struct.unpack("<I", data[14:18])
     w, h_signed = struct.unpack("<ii", data[18:26])
     (bpp,) = struct.unpack("<H", data[28:30])
     (compression,) = struct.unpack("<I", data[30:34])
+    colors_used = struct.unpack("<I", data[46:50])[0] if info_size >= 36 else 0
+    h = abs(h_signed)
+    if bpp == 8:
+        pal = _bmp_palette(data, info_size, colors_used)
+        if compression == 1:  # RLE8
+            idx = _bmp_rle8(data, pix_off, w, h)
+            if h_signed < 0:
+                idx = idx[::-1]  # top-down files store rows in order
+        elif compression == 0:
+            row_stride = (w + 3) & ~3
+            idx = np.frombuffer(
+                data[pix_off : pix_off + row_stride * h], dtype=np.uint8
+            ).reshape(h, row_stride)[:, :w]
+            if h_signed > 0:
+                idx = idx[::-1]
+        else:
+            raise NotImplementedError(f"BMP compression {compression}")
+        rgb = pal[np.minimum(idx, len(pal) - 1)]
+        return w, h, 3, np.ascontiguousarray(rgb).tobytes()
     if compression != 0:
         raise NotImplementedError("compressed BMP")
     if bpp not in (24, 32):
-        raise NotImplementedError(f"{bpp}-bit BMP (only 24/32 supported)")
-    h = abs(h_signed)
+        raise NotImplementedError(f"{bpp}-bit BMP (8/24/32 supported)")
     bytes_pp = bpp // 8
     row_stride = (w * bytes_pp + 3) & ~3
     arr = np.frombuffer(

@@ -180,3 +180,22 @@ def test_perceptual_codecs_still_raise():
             + b"data" + st.pack("<I", 0))
     with pytest.raises(NotImplementedError, match="audio library"):
         ac.decode_wav(fake)
+
+
+def test_pcm24_wav_decode():
+    """24-bit PCM: 3-byte LE frames widen with sign extension."""
+    import numpy as np
+    import struct as st
+
+    samples = [0x000001, 0x7FFFFF, -0x800000, -1]
+    raw = b"".join(
+        (v & 0xFFFFFF).to_bytes(3, "little") for v in samples
+    )
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    data = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(raw)) + b"WAVE"
+            + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(raw)) + raw)
+    ch, rate, out = ac.decode_wav(data)
+    want = np.array(samples, dtype=np.float64) / (1 << 23)
+    assert ch == 1 and rate == 8000
+    assert np.allclose(out[:, 0], want, atol=1e-12)

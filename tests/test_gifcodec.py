@@ -122,3 +122,22 @@ def test_imagecodec_routes_gif():
     w, h, c, pix = imagecodec.decode(data)
     assert (w, h, c) == (7, 6, 3)
     assert np.array_equal(np.frombuffer(pix, dtype=np.uint8).reshape(6, 7, 3), rgb)
+
+
+def test_local_color_table_overrides_global():
+    """A frame-local color table takes precedence over the global one."""
+    g_pal = bytes([1, 1, 1, 2, 2, 2])       # global: dark colors
+    l_pal = bytes([250, 0, 0, 0, 250, 0])   # local: vivid colors
+    idx = bytes([0, 1, 1, 0])
+    lzw = gifcodec._lzw_encode(idx, 2)
+    data = (
+        b"GIF89a" + struct.pack("<HH", 4, 1) + bytes([0x80, 0, 0]) + g_pal
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 1)
+        + bytes([0x80])  # local color table flag, size 2
+        + l_pal + bytes([2])
+        + bytes([len(lzw)]) + lzw + b"\x00\x3b"
+    )
+    w, h, c, pix = gifcodec.decode(data)
+    arr = np.frombuffer(pix, dtype=np.uint8).reshape(1, 4, 3)
+    assert arr[0, 0].tolist() == [250, 0, 0]
+    assert arr[0, 1].tolist() == [0, 250, 0]

@@ -219,3 +219,46 @@ def test_decode_image_batch_decodes_real_jpeg(spark):
     assert len(rows) == 1
     pix = rows[0]["pixels"]
     assert len(pix) == 64 and all(abs(p - 77 / 255.0) < 1e-6 for p in pix)
+
+
+def test_bmp_8bit_palette_uncompressed():
+    import struct as st
+
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in
+                   [(255, 0, 0), (0, 255, 0), (0, 0, 255)])
+    pal += bytes(4 * 253)
+    # 3x2 indices, rows padded to 4 bytes, BOTTOM-UP storage
+    rows = bytes([2, 1, 0, 0]) + bytes([0, 1, 2, 0])  # bottom row first
+    pix_off = 14 + 40 + len(pal)
+    header = st.pack("<2sIHHI", b"BM", pix_off + len(rows), 0, 0, pix_off)
+    info = st.pack("<IiiHHIIiiII", 40, 3, 2, 1, 8, 0, len(rows), 0, 0, 256, 0)
+    data = header + info + pal + rows
+    w, h, c, pix = ic.decode(data)
+    arr = np.frombuffer(pix, dtype=np.uint8).reshape(2, 3, 3)
+    assert (w, h, c) == (3, 2, 3)
+    assert arr[0].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255]]  # top row
+    assert arr[1].tolist() == [[0, 0, 255], [0, 255, 0], [255, 0, 0]]
+
+
+def test_bmp_rle8():
+    import struct as st
+
+    pal = bytes(4 * 256)
+    pal = bytearray(pal)
+    for i, (r, g, b) in enumerate([(9, 9, 9), (200, 100, 50)]):
+        pal[4 * i : 4 * i + 4] = bytes([b, g, r, 0])
+    # 5x2 image: bottom row = run of 5 index-1; EOL; top row = absolute
+    # run [0,1,0] + encoded run 2x index 1; EOL; EOB
+    rle = bytes([5, 1, 0, 0,          # run 5x'1', end of line
+                 0, 3, 0, 1, 0, 0,    # absolute run 3 bytes (padded to word)
+                 2, 1,                # run 2x'1'
+                 0, 0, 0, 1])         # EOL, EOB
+    pix_off = 14 + 40 + len(pal)
+    header = st.pack("<2sIHHI", b"BM", pix_off + len(rle), 0, 0, pix_off)
+    info = st.pack("<IiiHHIIiiII", 40, 5, 2, 1, 8, 1, len(rle), 0, 0, 256, 0)
+    data = header + info + bytes(pal) + rle
+    w, h, c, pix = ic.decode(data)
+    arr = np.frombuffer(pix, dtype=np.uint8).reshape(2, 5, 3)
+    A, B = [9, 9, 9], [200, 100, 50]
+    assert arr[1].tolist() == [B, B, B, B, B]          # bottom row
+    assert arr[0].tolist() == [A, B, A, B, B]          # top row
