@@ -12,7 +12,10 @@ still sniff).
 
 All sample output is float64 in [-1, 1], channel-interleaved exactly as
 stored; ``to_mono`` averages channels and ``resample_nearest`` is the
-numpy stride-gather twin of imagecodec.resize_nearest.
+numpy stride-gather twin of imagecodec.resize_nearest. FLAC (lossless,
+fully specified) decodes via the ``flaccodec`` sibling through
+:func:`decode_audio`; only the perceptual codecs (MP3/AAC/OGG) remain
+external-library territory.
 """
 
 from __future__ import annotations
@@ -25,10 +28,30 @@ __all__ = [
     "sniff_format",
     "parse_wav_header",
     "decode_wav",
+    "decode_audio",
     "encode_wav",
     "to_mono",
     "resample_nearest",
 ]
+
+
+def decode_audio(data: bytes):
+    """Format-dispatching decode: RIFF/WAVE via :func:`decode_wav`, FLAC
+    via the lossless ``flaccodec``; MP3/OGG raise (perceptual codecs need
+    an audio library). Returns (channels, sample_rate, float64 samples)."""
+    fmt = sniff_format(data)
+    if fmt == "wav":
+        return decode_wav(data)
+    if fmt == "flac":
+        from kapacitor_spark.dataprep import flaccodec
+
+        return flaccodec.decode(data)
+    if fmt in ("mp3", "ogg"):
+        raise NotImplementedError(
+            f"{fmt} decode requires an audio library not present in this "
+            "container (header sniff still works)"
+        )
+    raise ValueError("unrecognized audio payload")
 
 
 # ------------------------------------------------------------------ #

@@ -1,0 +1,401 @@
+"""FLAC codec, stdlib + numpy only (the published FLAC format spec).
+
+FLAC is LOSSLESS — unlike MP3/AAC there is no psychoacoustic model, just
+fixed/LPC prediction plus Rice-coded residuals, all fully specified:
+
+- ``decode(data) -> (channels, sample_rate, float64 samples)``: frame
+  sync + header (block size / sample rate / sample size codes, UTF-8
+  coded number, CRC-8 skipped-over), subframe types CONSTANT / VERBATIM
+  / FIXED(0-4) / LPC (any order, quantized coefficients + shift),
+  wasted bits, Rice partitions (4- and 5-bit parameters, escape to raw),
+  and all four channel assignments (independent, left/side, right/side,
+  mid/side).
+- ``encode(samples, sample_rate, bits=16)``: a valid FLAC stream with
+  fixed-order-2 prediction and single-partition Rice residuals per
+  channel (independent channels), STREAMINFO, and correct CRC-8/CRC-16
+  — lossless round-trip pinned by the tests.
+
+Entropy decode walks bits in Python (as with the image codecs this runs
+inside Arrow-batched ``mapInPandas`` workers); prediction reconstruction
+is a tight per-sample loop over numpy int64 arrays.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode", "encode"]
+
+
+_BLOCKSIZE_CODE = {1: 192, **{n: 576 << (n - 2) for n in range(2, 6)},
+                   **{n: 256 << (n - 8) for n in range(8, 16)}}
+_SAMPLE_RATE_CODE = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050, 7: 24000,
+    8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_SAMPLE_SIZE_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos  # byte position
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            if self.pos >= len(self.data):
+                raise ValueError("corrupt FLAC: out of data")
+            v = (v << 1) | ((self.data[self.pos] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self):
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _utf8_number(br: _BitReader) -> int:
+    """FLAC's UTF-8-style coded frame/sample number (up to 7 bytes)."""
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x40
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    v = b0 & (mask - 1)
+    for _ in range(n):
+        v = (v << 6) | (br.read(8) & 0x3F)
+    return v
+
+
+def _rice_residual(br: _BitReader, blocksize: int, pred_order: int) -> list[int]:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("corrupt FLAC: bad residual method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    out = []
+    for p in range(nparts):
+        n = blocksize >> porder
+        if p == 0:
+            n -= pred_order
+        param = br.read(pbits)
+        if param == escape:
+            raw = br.read(5)
+            for _ in range(n):
+                out.append(br.read_signed(raw) if raw else 0)
+        else:
+            for _ in range(n):
+                q = br.unary()
+                r = br.read(param) if param else 0
+                z = (q << param) | r
+                out.append((z >> 1) ^ -(z & 1))  # zigzag → signed
+    return out
+
+
+def _subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
+    if br.read(1):
+        raise ValueError("corrupt FLAC: subframe padding bit set")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):  # wasted bits flag
+        wasted = 1 + br.unary()
+        bps -= wasted
+    if stype == 0:  # CONSTANT
+        v = br.read_signed(bps)
+        out = np.full(blocksize, v, dtype=np.int64)
+    elif stype == 1:  # VERBATIM
+        out = np.array([br.read_signed(bps) for _ in range(blocksize)],
+                       dtype=np.int64)
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        warm = [br.read_signed(bps) for _ in range(order)]
+        resid = _rice_residual(br, blocksize, order)
+        out = np.empty(blocksize, dtype=np.int64)
+        out[:order] = warm
+        coefs = _FIXED_COEFS[order]
+        for i in range(order, blocksize):
+            pred = 0
+            for j, cf in enumerate(coefs):
+                pred += cf * out[i - 1 - j]
+            out[i] = pred + resid[i - order]
+    elif stype >= 32:  # LPC order 1-32
+        order = stype - 31
+        warm = [br.read_signed(bps) for _ in range(order)]
+        precision = br.read(4) + 1
+        if precision == 16:
+            raise ValueError("corrupt FLAC: invalid LPC precision")
+        shift = br.read_signed(5)
+        coefs = [br.read_signed(precision) for _ in range(order)]
+        resid = _rice_residual(br, blocksize, order)
+        out = np.empty(blocksize, dtype=np.int64)
+        out[:order] = warm
+        for i in range(order, blocksize):
+            acc = 0
+            for j in range(order):
+                acc += coefs[j] * int(out[i - 1 - j])
+            out[i] = (acc >> shift) + resid[i - order]
+    else:
+        raise ValueError(f"corrupt FLAC: reserved subframe type {stype}")
+    if wasted:
+        out <<= wasted
+    return out
+
+
+def decode(data: bytes):
+    """(channels, sample_rate, float64 samples (n, channels) in [-1, 1])."""
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    streaminfo = None
+    while pos + 4 <= len(data):
+        hdr = data[pos]
+        last = hdr & 0x80
+        btype = hdr & 0x7F
+        size = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        if btype == 0:
+            streaminfo = data[pos + 4 : pos + 4 + size]
+        pos += 4 + size
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) < 18:
+        raise ValueError("corrupt FLAC: missing STREAMINFO")
+    si = int.from_bytes(streaminfo[10:18], "big")
+    sr_si = (si >> 44) & 0xFFFFF
+    ch_si = ((si >> 41) & 0x7) + 1
+    bps_si = ((si >> 36) & 0x1F) + 1
+    total = si & ((1 << 36) - 1)
+
+    chans_out: list[list[int]] = [[] for _ in range(ch_si)]
+    br = _BitReader(data, pos)
+    while br.pos < len(data) - 1:
+        # frame sync
+        if br.read(14) != 0b11111111111110:
+            raise ValueError("corrupt FLAC: lost frame sync")
+        br.read(1)  # reserved
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        br.read(1)  # reserved
+        _utf8_number(br)
+        if bs_code == 6:
+            blocksize = br.read(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read(16) + 1
+        else:
+            blocksize = _BLOCKSIZE_CODE.get(bs_code)
+            if blocksize is None:
+                raise ValueError("corrupt FLAC: reserved block size")
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        br.read(8)  # header CRC-8 (not verified)
+        bps = _SAMPLE_SIZE_CODE.get(ss_code, bps_si) if ss_code else bps_si
+        if ch_code <= 7:
+            nch = ch_code + 1
+            subs = [_subframe(br, blocksize, bps) for _ in range(nch)]
+        elif ch_code == 8:  # left/side
+            left = _subframe(br, blocksize, bps)
+            side = _subframe(br, blocksize, bps + 1)
+            subs = [left, left - side]
+        elif ch_code == 9:  # right/side
+            side = _subframe(br, blocksize, bps + 1)
+            right = _subframe(br, blocksize, bps)
+            subs = [right + side, right]
+        elif ch_code == 10:  # mid/side
+            mid = _subframe(br, blocksize, bps)
+            side = _subframe(br, blocksize, bps + 1)
+            m2 = (mid << 1) | (side & 1)
+            subs = [(m2 + side) >> 1, (m2 - side) >> 1]
+        else:
+            raise ValueError("corrupt FLAC: reserved channel assignment")
+        if len(subs) != ch_si:
+            raise ValueError("corrupt FLAC: channel count changed mid-stream")
+        br.align()
+        br.pos += 2  # frame CRC-16 (not verified)
+        for c, sub in enumerate(subs):
+            chans_out[c].extend(int(v) for v in sub)
+        if total and len(chans_out[0]) >= total:
+            break
+    n = min(len(c) for c in chans_out)
+    if total:
+        n = min(n, total)
+    arr = np.stack([np.array(c[:n], dtype=np.float64) for c in chans_out],
+                   axis=1)
+    return ch_si, sr_si, arr / float(1 << (bps_si - 1))
+
+
+# --------------------------------------------------------------------- #
+# encoder (independent channels, FIXED order 2, one Rice partition)
+# --------------------------------------------------------------------- #
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int):
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+
+    def write_unary(self, q: int):
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self):
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+
+def _rice_param(resid: np.ndarray) -> int:
+    mean = float(np.abs(resid).mean()) if len(resid) else 0.0
+    p = 0
+    while (1 << p) < mean + 1 and p < 14:
+        p += 1
+    return p
+
+
+def encode(samples: np.ndarray, sample_rate: int, bits: int = 16,
+           block_size: int = 4096) -> bytes:
+    """float [-1,1] (n, channels) → FLAC bytes (lossless for the
+    quantized int samples)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, channels = samples.shape
+    full = np.clip(np.round(samples * ((1 << (bits - 1)) - 1)),
+                   -(1 << (bits - 1)), (1 << (bits - 1)) - 1).astype(np.int64)
+
+    out = bytearray(b"fLaC")
+    si = bytearray()
+    si += struct.pack(">HH", block_size, block_size)
+    si += b"\x00\x00\x00" * 2  # min/max frame size unknown
+    packed = (sample_rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36) | n
+    si += packed.to_bytes(8, "big")
+    si += bytes(16)  # md5 unset
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
+
+    frame_no = 0
+    for start in range(0, n, block_size):
+        blk = full[start : start + block_size]
+        bs = blk.shape[0]
+        hdr = _BitWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed blocksize strategy
+        hdr.write(7, 4)  # blocksize from 16-bit field
+        sr_code = {8000: 4, 16000: 5, 22050: 6, 24000: 7, 32000: 8,
+                   44100: 9, 48000: 10, 96000: 11}.get(sample_rate, 0)
+        hdr.write(sr_code, 4)
+        hdr.write(channels - 1, 4)  # independent channels
+        hdr.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6}.get(bits, 4), 3)
+        hdr.write(0, 1)
+        # UTF-8 coded frame number (our frames stay below 2^31)
+        fn = frame_no
+        if fn < 0x80:
+            hdr.write(fn, 8)
+        else:
+            payload = []
+            while fn >= 0x40:
+                payload.append(0x80 | (fn & 0x3F))
+                fn >>= 6
+            lead_ones = len(payload) + 1
+            lead = (0xFF << (8 - lead_ones)) & 0xFF | fn
+            hdr.write(lead, 8)
+            for b in reversed(payload):
+                hdr.write(b, 8)
+        hdr.write(bs - 1, 16)
+        hdr.align()
+        hbytes = bytes(hdr.out)
+        hbytes += bytes([_crc8(hbytes)])
+
+        body = _BitWriter()
+        for c in range(channels):
+            x = blk[:, c]
+            body.write(0, 1)
+            if bs <= 2:
+                body.write(1, 6)  # VERBATIM for tiny tail blocks
+                body.write(0, 1)
+                for v in x:
+                    body.write(int(v), bits)
+                continue
+            order = 2
+            body.write(8 + order, 6)  # FIXED order 2
+            body.write(0, 1)  # no wasted bits
+            for v in x[:order]:
+                body.write(int(v), bits)
+            resid = x[order:] - (2 * x[order - 1 : -1] - x[: -order])
+            body.write(0, 2)  # 4-bit rice params
+            body.write(0, 4)  # partition order 0
+            p = _rice_param(resid)
+            if p >= 15:
+                p = 14
+            body.write(p, 4)
+            for r in resid:
+                z = (int(r) << 1) ^ (int(r) >> 63)  # signed → zigzag
+                body.write_unary(z >> p)
+                if p:
+                    body.write(z & ((1 << p) - 1), p)
+        body.align()
+        fbytes = hbytes + bytes(body.out)
+        fbytes += _crc16(fbytes).to_bytes(2, "big")
+        out += fbytes
+        frame_no += 1
+    return bytes(out)

@@ -269,9 +269,10 @@ def decode_audio_batch(
     (normalized [-1, 1]; channel-averaged when ``mono``; nearest-frame
     resampled to ``target_frames`` when set — resampling INSIDE the
     decode hop keeps the Arrow batch small, the audio analog of picking
-    frame indices before video decode). Compressed codecs (MP3/OGG/FLAC)
-    sniff for metadata routing but raise at decode — their entropy coding
-    needs an audio library this container lacks."""
+    frame indices before video decode). WAV (incl. G.711/ADPCM) and
+    lossless FLAC decode for real; only perceptual codecs (MP3/OGG)
+    sniff for metadata routing but raise at decode — their entropy
+    coding needs an audio library this container lacks."""
     out_schema = T.StructType(
         df.schema.fields
         + list(AUDIO_SCHEMA.fields)
@@ -286,7 +287,7 @@ def decode_audio_batch(
             for b in pdf[binary_col]:
                 raw = bytes(b) if b is not None else b""
                 fmt = ac.sniff_format(raw)
-                channels, rate, samples = ac.decode_wav(raw)
+                channels, rate, samples = ac.decode_audio(raw)
                 n_frames = samples.shape[0]
                 if mono:
                     samples = ac.to_mono(samples)
