@@ -2716,7 +2716,7 @@ def html_strip(spark, sf_dir):
        v AS (SELECT doc_id,
                     ('0x' || substr(h, 3, 2) || substr(h, 1, 2))::INT AS v0,
                     ('0x' || substr(h, 7, 2) || substr(h, 5, 2))::INT AS v1
-             FROM d WHERE doc_id % 2 = 0)
+             FROM d WHERE doc_id % 3 = 0)
        SELECT doc_id, 1 AS channels, 8000 AS sample_rate,
               CAST(2 AS BIGINT) AS n_frames, 'wav' AS audio_format,
               (CASE WHEN v0 >= 32768 THEN v0 - 65536 ELSE v0 END) / 32768.0 AS s0,
@@ -2735,41 +2735,66 @@ def html_strip(spark, sf_dir):
        FROM (SELECT doc_id,
                     255 - ('0x' || substr(md5(text), 1, 2))::INT AS u0,
                     255 - ('0x' || substr(md5(text), 3, 2))::INT AS u1
-             FROM documents WHERE doc_id % 2 = 1)""",
+             FROM documents WHERE doc_id % 3 = 1)
+       UNION ALL
+       -- lossless FLAC (constant subframe of (b0-128)<<8): exact samples
+       SELECT doc_id, 1, 8000, CAST(2 AS BIGINT), 'flac',
+              ((('0x' || substr(md5(text), 1, 2))::INT - 128) * 256) / 32768.0,
+              ((('0x' || substr(md5(text), 1, 2))::INT - 128) * 256) / 32768.0
+       FROM documents WHERE doc_id % 3 = 2""",
 )
 def audio_decode(spark, sf_dir):
-    """REAL audio decode under the oracle gate across TWO codecs: even
-    docs become genuine PCM16 RIFF/WAVE payloads (constant header literal
-    + unhex'd md5 bytes as two little-endian int16 samples), odd docs
-    become G.711 µ-LAW WAVs (format 7; two µ-law code bytes from the
-    digest). Payloads are assembled entirely JVM-side;
-    decode_audio_batch runs the stdlib WAV codec (audiocodec.py) inside
-    Arrow-batched mapInPandas. The oracle recomputes the int16-LE
-    normalization AND the µ-law expansion from the published G.711
-    formula — a wrong endianness, sign rule, bias, or segment shift
-    fails the hash match. All values are exact dyadic rationals k/2^15,
-    identical in float32 and DuckDB's float64."""
-    from kapacitor_spark.dataprep import audiocodec
+    """REAL audio decode under the oracle gate across THREE codecs: docs
+    become genuine PCM16 RIFF/WAVE payloads (constant header literal +
+    unhex'd md5 bytes as two little-endian int16 samples), G.711 µ-LAW
+    WAVs (format 7; two code bytes from the digest), or lossless FLACs
+    (constant subframe of one digest-derived value — a 256-entry
+    BROADCAST LOOKUP like the image codecs, 57 bytes each). WAV payloads
+    are assembled entirely JVM-side; decode_audio_batch dispatches the
+    stdlib codecs (audiocodec.py + flaccodec.py) inside Arrow-batched
+    mapInPandas. The oracle recomputes the int16-LE normalization, the
+    µ-law expansion from the published G.711 formula, and the FLAC
+    constant value — a wrong endianness, sign rule, bias, segment shift,
+    Rice step, or CRC-skip fails the hash match. All values are exact
+    dyadic rationals k/2^15, identical in float32 and DuckDB's
+    float64."""
+    import numpy as np
+
+    from kapacitor_spark.dataprep import audiocodec, flaccodec
     from kapacitor_spark.dataprep.multimodal import decode_audio_batch
 
     header = bytes.fromhex(
         "524946462800000057415645666d7420100000000100"
         "0100401f0000803e0000020010006461746104000000"
     )
-    import numpy as np
-
     ulaw_header = audiocodec.encode_wav(
         np.zeros((2, 1)), 8000, codec="ulaw"
     )[:-2]
+    flac_lut = spark.createDataFrame(
+        [(b,
+          flaccodec.encode(
+              np.full((2, 1), ((b - 128) << 8) / 32767.0), 8000
+          ))
+         for b in range(256)],
+        "__fv int, __fpayload binary",
+    )
     d = _t(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("h"))
-    docs = d.select(
+    third = F.col("doc_id") % 3
+    base = d.select(
         "doc_id",
         F.when(
-            F.col("doc_id") % 2 == 0,
+            third == 0,
             F.concat(F.lit(header), F.unhex(F.substring("h", 1, 8))),
-        ).otherwise(
-            F.concat(F.lit(ulaw_header), F.unhex(F.substring("h", 1, 4)))
-        ).alias("payload"),
+        ).when(
+            third == 1,
+            F.concat(F.lit(ulaw_header), F.unhex(F.substring("h", 1, 4))),
+        ).alias("__wav"),
+        F.when(
+            third == 2, F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
+        ).alias("__fv"),
+    )
+    docs = base.join(F.broadcast(flac_lut), "__fv", "left").select(
+        "doc_id", F.coalesce(F.col("__wav"), F.col("__fpayload")).alias("payload")
     )
     out = decode_audio_batch(docs, mono=False)
     return out.select(
