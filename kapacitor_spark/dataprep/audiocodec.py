@@ -164,7 +164,9 @@ def _decode_ima_adpcm(raw: bytes, channels: int, block_align: int) -> np.ndarray
     per-channel headers, then 4-byte nibble groups round-robin across
     channels; low nibble first)."""
     frames = []
-    for boff in range(0, len(raw) - (len(raw) % block_align or 0), block_align):
+    # include a trailing PARTIAL block: real encoders commonly end with a
+    # short final block whose samples must not be dropped
+    for boff in range(0, len(raw), block_align):
         block = raw[boff : boff + block_align]
         if len(block) < 4 * channels:
             break
@@ -199,8 +201,7 @@ def ima_adpcm_encode_mono(pcm16: np.ndarray, block_frames: int = 505) -> tuple[b
     """Mono int16 → IMA ADPCM blocks. Returns (raw, block_align); the
     standard layout (4-byte header + nibbles, 505 samples per 256-byte
     block at the default)."""
-    block_align = 4 + (block_frames - 1 + 1) // 2
-    # round nibble payload to 4-byte groups per spec
+    # nibble payload rounds to 4-byte groups per spec
     block_align = 4 + ((block_frames - 1 + 7) // 8) * 4
     out = bytearray()
     x = pcm16.astype(np.int32)

@@ -202,7 +202,10 @@ def _decode(data: bytes):
         if (left, top, fw, fh) == (0, 0, sw, sh):
             rgb = frame
         else:
-            bg = lct[min(bg_index, len(lct) - 1)]
+            # the background color index refers to the GLOBAL color table
+            # (spec logical-screen descriptor), not the frame's local one
+            bg_table = gct if gct is not None else lct
+            bg = bg_table[min(bg_index, len(bg_table) - 1)]
             rgb = np.tile(bg, (sh, sw, 1)).astype(np.uint8)
             rgb[top : top + fh, left : left + fw] = frame
         return sw, sh, 3, np.ascontiguousarray(rgb).tobytes()

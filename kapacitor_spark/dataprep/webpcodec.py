@@ -201,14 +201,33 @@ def _build_lengths(freqs: list[int], max_len: int = 15) -> list[int]:
     lengths = [0] * len(freqs)
     for s, d in depth.items():
         lengths[s] = min(d, max_len)
-    # Kraft fixup after clamping
-    def kraft():
-        return sum(1 / (1 << l) for l in lengths if l)
 
-    while kraft() > 1.0:
-        # lengthen the longest-but-shortenable symbol
-        cand = min((s for s in syms if lengths[s] < max_len), key=lambda s: -lengths[s])
+    # Exact integer Kraft correction after clamping: a COMPLETE code
+    # (sum 2^-l == 1) is required — compliant decoders (libwebp's
+    # BuildHuffmanTable) reject under-full tables, and over-full ones are
+    # not prefix-free. Work in units of 2^-max_len.
+    target = 1 << max_len
+
+    def units():
+        return sum(1 << (max_len - lengths[s]) for s in syms)
+
+    while units() > target:
+        # lengthen the deepest symbol that can still grow
+        cand = max((s for s in syms if lengths[s] < max_len),
+                   key=lambda s: lengths[s])
         lengths[cand] += 1
+    deficit = target - units()
+    while deficit > 0:
+        # shorten the symbol with the largest gain (2^(max-l)) that fits;
+        # gain 1 always exists after clamping (some symbol sits at max_len),
+        # so the greedy power-of-two fill terminates exactly
+        cand = min(
+            (s for s in syms
+             if lengths[s] > 1 and (1 << (max_len - lengths[s])) <= deficit),
+            key=lambda s: lengths[s],
+        )
+        lengths[cand] -= 1
+        deficit = target - units()
     return lengths
 
 
@@ -239,7 +258,6 @@ def _write_code_lengths(bw: _BitWriter, lengths: list[int]):
             bw.write(nz[1], 8)
         return
     bw.write(0, 1)  # not simple
-    used = sorted(set(lengths))
     cl_freq = [0] * 19
     for l in lengths:
         cl_freq[l] += 1
@@ -250,12 +268,12 @@ def _write_code_lengths(bw: _BitWriter, lengths: list[int]):
         bw.write(cl_lengths[sym], 3)
     bw.write(0, 1)  # no max_symbol trick
     codes = _canonical_codes(cl_lengths)
-    for l in lengths:
-        c, n = codes[l]
-        # prefix codes are written MSB-first (mirror of the reader walk)
-        for shift in range(n - 1, -1, -1):
-            bw.write((c >> shift) & 1, 1)
-    del used
+    if len(codes) > 1:  # a single-symbol cl code costs 0 bits per length
+        for l in lengths:
+            c, n = codes[l]
+            # prefix codes are written MSB-first (mirror of the reader walk)
+            for shift in range(n - 1, -1, -1):
+                bw.write((c >> shift) & 1, 1)
 
 
 # --------------------------------------------------------------------- #
@@ -316,15 +334,17 @@ def _decode_entropy_image(br: _BitReader, w: int, h: int, allow_meta: bool):
     cache_bits = 0
     meta_prefix = None
     meta_bits = 0
+    # spec order (and libwebp DecodeImageStream): color-cache-info FIRST,
+    # then the meta-prefix bit inside the prefix-code section
+    if br.read(1):  # color cache
+        cache_bits = br.read(4)
+        if not (1 <= cache_bits <= 11):
+            raise ValueError("corrupt VP8L: bad color cache size")
     if allow_meta and br.read(1):  # meta-prefix present
         meta_bits = br.read(3) + 2
         mw = _subsample(w, meta_bits)
         mh = _subsample(h, meta_bits)
         meta_prefix = _decode_entropy_image(br, mw, mh, allow_meta=False)
-    if br.read(1):  # color cache
-        cache_bits = br.read(4)
-        if not (1 <= cache_bits <= 11):
-            raise ValueError("corrupt VP8L: bad color cache size")
     if meta_prefix is not None:
         n_groups = int(((meta_prefix >> 8) & 0xFFFF).max()) + 1
     else:
@@ -480,14 +500,13 @@ def _inv_predictor(img: np.ndarray, tiles: np.ndarray, bits: int) -> np.ndarray:
                     pred = _avg2(T, TR)
                 elif mode == 10:
                     pred = _avg2(_avg2(L, TL), _avg2(T, TR))
-                elif mode == 11:  # Select
-                    p = 0
-                    pl = pt = 0
+                elif mode == 11:  # Select (libwebp: ties go to TOP)
+                    pl = pt = 0  # pl = Σ|T-TL| (cost of L), pt = Σ|L-TL|
                     for sh in (24, 16, 8, 0):
                         pv = ((L >> sh) & 0xFF) + ((T >> sh) & 0xFF) - ((TL >> sh) & 0xFF)
                         pl += abs(pv - ((L >> sh) & 0xFF))
                         pt += abs(pv - ((T >> sh) & 0xFF))
-                    pred = L if pl <= pt else T
+                    pred = T if pt <= pl else L
                 elif mode == 12:
                     pred = clamp_add_sub_full(L, T, TL)
                 elif mode == 13:
@@ -630,8 +649,8 @@ def encode(w: int, h: int, pixels: bytes, channels: int = 3) -> bytes:
     bw.write(1 if channels == 4 else 0, 1)
     bw.write(0, 3)  # version
     bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache (spec order: cache before meta)
     bw.write(0, 1)  # no meta-prefix
-    bw.write(0, 1)  # no color cache
 
     planes = {"g": g.reshape(-1), "r": r.reshape(-1), "b": b.reshape(-1), "a": a.reshape(-1)}
     # green alphabet is 256+24 (no cache)

@@ -199,3 +199,21 @@ def test_pcm24_wav_decode():
     want = np.array(samples, dtype=np.float64) / (1 << 23)
     assert ch == 1 and rate == 8000
     assert np.allclose(out[:, 0], want, atol=1e-12)
+
+
+def test_ima_adpcm_trailing_partial_block_not_dropped():
+    """Real encoders end with a short final block; its samples must
+    decode (the truncation this pins dropped up to 504 frames)."""
+    import numpy as np
+    import struct as st
+
+    t = np.arange(505 + 9) / 8000.0
+    sig = 0.3 * np.sin(2 * np.pi * 300 * t)
+    pcm = np.clip(np.round(sig * 32767), -32768, 32767).astype(np.int16)
+    raw, ba = ac.ima_adpcm_encode_mono(pcm)
+    # trim the padded second block to header + ONE 4-byte nibble group
+    short = raw[:ba] + raw[ba : ba + 8]
+    out = ac._decode_ima_adpcm(short, 1, ba)
+    assert out.shape[0] == 505 + 9  # 505 + header sample + 8 nibbles
+    err = np.abs(out[:, 0] - pcm[: out.shape[0]].astype(np.int32))
+    assert err.max() < 3000  # tracks the signal, not silence

@@ -141,3 +141,22 @@ def test_local_color_table_overrides_global():
     arr = np.frombuffer(pix, dtype=np.uint8).reshape(1, 4, 3)
     assert arr[0, 0].tolist() == [250, 0, 0]
     assert arr[0, 1].tolist() == [0, 250, 0]
+
+
+def test_subscreen_background_uses_global_table():
+    """The background color index addresses the GLOBAL color table even
+    when the frame carries a local one."""
+    g_pal = bytes([11, 22, 33, 90, 90, 90])   # global: bg = entry 0
+    l_pal = bytes([200, 0, 0, 0, 200, 0])     # local: frame colors
+    idx = bytes([1, 1])
+    lzw = gifcodec._lzw_encode(idx, 2)
+    data = (
+        b"GIF89a" + struct.pack("<HH", 3, 1) + bytes([0x80, 0, 0]) + g_pal
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 1)
+        + bytes([0x80]) + l_pal + bytes([2])
+        + bytes([len(lzw)]) + lzw + b"\x00\x3b"
+    )
+    w, h, c, pix = gifcodec.decode(data)
+    arr = np.frombuffer(pix, dtype=np.uint8).reshape(1, 3, 3)
+    assert arr[0, 0].tolist() == [0, 200, 0]   # frame, local table
+    assert arr[0, 2].tolist() == [11, 22, 33]  # background, GLOBAL table

@@ -102,8 +102,8 @@ def test_lz77_backref_decodes():
     bw = _BitWriter()
     _vp8l_header(bw, 8, 1)
     bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache (spec order: cache before meta)
     bw.write(0, 1)  # no meta-prefix
-    bw.write(0, 1)  # no cache
     gcodes = _plane_codes(bw, [P[1], Q[1], 256 + 4], 256 + 24)  # 260 = len-6 prefix 4
     rcodes = _plane_codes(bw, [P[0], Q[0]], 256)
     bcodes = _plane_codes(bw, [P[2], Q[2]], 256)
@@ -134,9 +134,9 @@ def test_color_cache_hit_decodes():
     bw = _BitWriter()
     _vp8l_header(bw, 3, 1)
     bw.write(0, 1)  # no transforms
-    bw.write(0, 1)  # no meta-prefix
-    bw.write(1, 1)  # cache present
+    bw.write(1, 1)  # cache present (spec order: cache before meta)
     bw.write(cache_bits, 4)
+    bw.write(0, 1)  # no meta-prefix
     alpha = 256 + 24 + (1 << cache_bits)
     gcodes = _plane_codes(bw, [P[1], Q[1], 256 + 24 + idx], alpha)
     rcodes = _plane_codes(bw, [P[0], Q[0]], 256)
@@ -159,9 +159,9 @@ def _emit_literal_image(bw, rgba_rows, sub=False):
     """Write a no-transform entropy image body for (h,w,4) uint8 rows.
     Transform sub-images (``sub=True``) carry no meta-prefix bit."""
     flat = rgba_rows.reshape(-1, 4)
+    bw.write(0, 1)  # no cache (spec order: cache precedes meta)
     if not sub:
         bw.write(0, 1)  # no meta-prefix
-    bw.write(0, 1)  # no cache
     gcodes = _plane_codes(bw, flat[:, 1], 256 + 24)
     rcodes = _plane_codes(bw, flat[:, 0], 256)
     bcodes = _plane_codes(bw, flat[:, 2], 256)
@@ -278,3 +278,32 @@ def test_color_indexing_delta_overflow_wraps_per_channel():
     want = np.array([[C0, C1, C0, C1]], dtype=np.uint8)
     assert np.array_equal(arr, want)
     del packed_lo
+
+
+def test_full_alphabet_plane_roundtrips():
+    """A plane using all 256 byte values once gives every symbol the same
+    Huffman length → a single-symbol code-length code, which costs 0 bits
+    per length on the wire (the encoder desync this pins)."""
+    vals = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    img = np.stack([vals, np.zeros_like(vals), np.full_like(vals, 7)], axis=-1)
+    data = webpcodec.encode(16, 16, img.tobytes(), channels=3)
+    w, h, c, pix = webpcodec.decode(data)
+    assert np.array_equal(np.frombuffer(pix, dtype=np.uint8).reshape(16, 16, 3), img)
+
+
+def test_build_lengths_always_complete():
+    """Length-limited codes must be COMPLETE (Σ2^-l == 1) — libwebp
+    rejects under-full tables. Fibonacci-ish frequencies force deep trees
+    that the 15-bit clamp then has to redistribute exactly."""
+    fib = [1, 1]
+    while len(fib) < 24:
+        fib.append(fib[-1] + fib[-2])
+    freqs = [0] * 300
+    for i, f in enumerate(fib):
+        freqs[i] = f
+    lengths = _build_lengths(freqs, max_len=15)
+    nz = [l for l in lengths if l]
+    assert max(nz) <= 15
+    from fractions import Fraction
+
+    assert sum(Fraction(1, 1 << l) for l in nz) == 1
