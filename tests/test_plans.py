@@ -230,3 +230,12 @@ def test_ivf_probe_assignment_distributed(spark):
     plan = buf.getvalue()
     assert "MapInPandas" in plan
     assert "LocalTableScan" not in plan
+
+
+def test_cpu_heavy_scans_are_spread(spark):
+    """decontamination and lineprotocol_roundtrip repartition their
+    one-split scan inputs so per-doc hashing / rendering uses every core
+    (the 4x sf0.1 win) — pinned as a plan property, not a claim."""
+    for name in ("decontamination", "lineprotocol_roundtrip"):
+        plan = plan_of(spark, name)
+        assert "ROUND_ROBIN" in plan or "RoundRobinPartitioning" in plan, name

@@ -307,3 +307,20 @@ def test_build_lengths_always_complete():
     from fractions import Fraction
 
     assert sum(Fraction(1, 1 << l) for l in nz) == 1
+
+
+def test_random_images_roundtrip_fuzz():
+    rng = np.random.default_rng(17)
+    for _ in range(8):
+        w = int(rng.integers(1, 40))
+        h = int(rng.integers(1, 40))
+        ch = int(rng.choice([1, 3, 4]))
+        img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        if ch == 4:
+            img[..., 3] = rng.integers(1, 255, (h, w), dtype=np.uint8)
+        data = webpcodec.encode(w, h, img.tobytes(), channels=ch)
+        w2, h2, c2, pix = webpcodec.decode(data)
+        want = img if ch != 1 else np.repeat(img, 3, axis=2)
+        assert (w2, h2) == (w, h)
+        arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, c2)
+        assert np.array_equal(arr[..., : want.shape[2]], want)
