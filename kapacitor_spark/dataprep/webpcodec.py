@@ -413,17 +413,19 @@ def _inv_color_transform(img: np.ndarray, tiles: np.ndarray, bits: int) -> np.nd
     def s8(v):
         return v - 256 if v >= 128 else v
 
-    out = img.copy()
+    rows = img.astype(np.int64).tolist()  # plain ints: ~10x faster walk
+    tile_rows = [[int(v) for v in tr] for tr in tiles.tolist()]
     for y in range(h):
-        trow = tiles[y >> bits]
+        trow = tile_rows[y >> bits]
+        cur = rows[y]
         for x in range(w):
-            t = int(trow[x >> bits])
+            t = trow[x >> bits]
             # ColorTransformElement packing (spec/libwebp): green_to_red
             # in the BLUE byte, green_to_blue in GREEN, red_to_blue in RED
             g2r = s8(t & 0xFF)
             g2b = s8((t >> 8) & 0xFF)
             r2b = s8((t >> 16) & 0xFF)
-            px = int(out[y, x])
+            px = cur[x]
             a = (px >> 24) & 0xFF
             r = (px >> 16) & 0xFF
             g = (px >> 8) & 0xFF
@@ -432,8 +434,8 @@ def _inv_color_transform(img: np.ndarray, tiles: np.ndarray, bits: int) -> np.nd
             r = (r + ((g2r * g_s) >> 5)) & 0xFF
             r_s = r - 256 if r >= 128 else r
             b = (b + ((g2b * g_s) >> 5) + ((r2b * r_s) >> 5)) & 0xFF
-            out[y, x] = (a << 24) | (r << 16) | (g << 8) | b
-    return out
+            cur[x] = (a << 24) | (r << 16) | (g << 8) | b
+    return np.array(rows, dtype=np.uint32)
 
 
 def _avg2(a, b):
@@ -444,7 +446,10 @@ def _avg2(a, b):
 
 def _inv_predictor(img: np.ndarray, tiles: np.ndarray, bits: int) -> np.ndarray:
     h, w = img.shape
-    out = img.astype(np.uint32).copy()
+    # plain-int rows: numpy scalar arithmetic is ~10x slower in the
+    # inherently sequential prediction walk
+    rows = img.astype(np.int64).tolist()
+    tile_rows = [[int(v) for v in tr] for tr in tiles.tolist()]
 
     def add(a, b):
         return (
@@ -462,22 +467,25 @@ def _inv_predictor(img: np.ndarray, tiles: np.ndarray, bits: int) -> np.ndarray:
             res |= v << sh
         return res
 
+    prev_row = None
     for y in range(h):
+        cur = rows[y]
+        trow = tile_rows[y >> bits]
         for x in range(w):
             if y == 0 and x == 0:
                 pred = 0xFF000000
             elif y == 0:
-                pred = int(out[y, x - 1])  # L
+                pred = cur[x - 1]  # L
             elif x == 0:
-                pred = int(out[y - 1, x])  # T
+                pred = prev_row[x]  # T
             else:
-                mode = (int(tiles[y >> bits][x >> bits]) >> 8) & 0xFF
-                L = int(out[y, x - 1])
-                T = int(out[y - 1, x])
-                TL = int(out[y - 1, x - 1])
+                mode = (trow[x >> bits] >> 8) & 0xFF
+                L = cur[x - 1]
+                T = prev_row[x]
+                TL = prev_row[x - 1]
                 # flattened addressing: TR = data[pos - width + 1]; at the
                 # last column that lands on the CURRENT row's first pixel
-                TR = int(out[y - 1, x + 1]) if x + 1 < w else int(out[y, 0])
+                TR = prev_row[x + 1] if x + 1 < w else cur[0]
                 if mode == 0:
                     pred = 0xFF000000
                 elif mode == 1:
@@ -524,8 +532,9 @@ def _inv_predictor(img: np.ndarray, tiles: np.ndarray, bits: int) -> np.ndarray:
                     pred = res
                 else:
                     raise ValueError(f"corrupt VP8L: predictor mode {mode}")
-            out[y, x] = add(int(out[y, x]), pred)
-    return out
+            cur[x] = add(cur[x], pred)
+        prev_row = cur
+    return np.array(rows, dtype=np.uint32)
 
 
 def decode(data: bytes):
