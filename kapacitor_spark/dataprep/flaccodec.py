@@ -17,7 +17,8 @@ fixed/LPC prediction plus Rice-coded residuals, all fully specified:
 
 Entropy decode walks bits in Python (as with the image codecs this runs
 inside Arrow-batched ``mapInPandas`` workers); prediction reconstruction
-is a tight per-sample loop over numpy int64 arrays.
+is a tight plain-int per-sample loop (true Python ints — numpy scalars
+are ~10x slower in sequential recursions).
 """
 
 from __future__ import annotations
@@ -141,14 +142,16 @@ def _subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
         order = stype - 8
         warm = [br.read_signed(bps) for _ in range(order)]
         resid = _rice_residual(br, blocksize, order)
-        out = np.empty(blocksize, dtype=np.int64)
-        out[:order] = warm
+        # plain-int walk (numpy scalar arithmetic is ~10x slower in the
+        # sequential prediction recursion)
+        vals = warm + [0] * (blocksize - order)
         coefs = _FIXED_COEFS[order]
         for i in range(order, blocksize):
             pred = 0
             for j, cf in enumerate(coefs):
-                pred += cf * out[i - 1 - j]
-            out[i] = pred + resid[i - order]
+                pred += cf * vals[i - 1 - j]
+            vals[i] = pred + resid[i - order]
+        out = np.array(vals, dtype=np.int64)
     elif stype >= 32:  # LPC order 1-32
         order = stype - 31
         warm = [br.read_signed(bps) for _ in range(order)]
@@ -158,13 +161,13 @@ def _subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
         shift = br.read_signed(5)
         coefs = [br.read_signed(precision) for _ in range(order)]
         resid = _rice_residual(br, blocksize, order)
-        out = np.empty(blocksize, dtype=np.int64)
-        out[:order] = warm
+        vals = warm + [0] * (blocksize - order)
         for i in range(order, blocksize):
             acc = 0
             for j in range(order):
-                acc += coefs[j] * int(out[i - 1 - j])
-            out[i] = (acc >> shift) + resid[i - order]
+                acc += coefs[j] * vals[i - 1 - j]
+            vals[i] = (acc >> shift) + resid[i - order]
+        out = np.array(vals, dtype=np.int64)
     else:
         raise ValueError(f"corrupt FLAC: reserved subframe type {stype}")
     if wasted:
