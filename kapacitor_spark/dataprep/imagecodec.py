@@ -396,9 +396,9 @@ def _decode_pnm(data: bytes):
 
 def decode(data: bytes):
     """Full pixel decode → (width, height, channels, uint8 HWC bytes).
-    Baseline JPEG decodes via the stdlib+numpy codec in ``jpegcodec``;
-    only WebP/GIF (and progressive JPEG) still raise NotImplementedError
-    (their entropy coding is out of scope — header metadata via
+    PNG/BMP/PNM decode here; JPEG (baseline + progressive), GIF, and
+    lossless WebP route to their sibling codecs. Only lossy VP8 and
+    arithmetic-coded JPEG raise NotImplementedError (header metadata via
     parse_header still works)."""
     fmt = sniff_format(data)
     if fmt == "png":
