@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 from kapacitor_spark.durations import parse_duration
 from kapacitor_spark.pipeline import Pipeline
 
-__all__ = ["run_tickscript", "TickError"]
+__all__ = ["run_tickscript", "task_dot", "TickError"]
 
 
 class TickError(ValueError):
@@ -1342,3 +1342,78 @@ def run_tickscript(
     env.prop = prop
     p.run()
     return outputs
+
+
+# --------------------------------------------------------------------- #
+# DOT export — `kapacitor show <task>` graph rendering
+# --------------------------------------------------------------------- #
+
+
+class _GNode:
+    """Pure-graph stand-in for a chain node during DOT extraction."""
+
+    __slots__ = ("label", "parents")
+
+    def __init__(self, label, parents):
+        self.label = label
+        self.parents = parents
+
+
+class _GraphEnv:
+    """Implements the parser's env surface (chain/prop/_materialize/vars)
+    but builds a DAG instead of executing — so ``task_dot`` renders a
+    script's graph without needing sources, Spark, or service configs."""
+
+    def __init__(self):
+        self.vars: dict = {}
+        self.order: list = []
+        self._sources: dict[int, _GNode] = {}
+
+    def _src_node(self, src: "_Source") -> _GNode:
+        g = self._sources.get(id(src))
+        if g is None:
+            g = _GNode(src.kind, [])
+            self._sources[id(src)] = g
+            self.order.append(g)
+        return g
+
+    def chain(self, node, name, args):
+        parents = []
+        if isinstance(node, _Source):
+            parents.append(self._src_node(node))
+        elif isinstance(node, _GNode):
+            parents.append(node)
+        for a in args:
+            if isinstance(a, _GNode):
+                parents.append(a)
+            elif isinstance(a, _Source):
+                parents.append(self._src_node(a))
+        g = _GNode(name.lstrip("@"), parents)
+        self.order.append(g)
+        return g
+
+    def prop(self, node, name, args):
+        return node  # properties don't create DOT vertices
+
+    def _materialize(self, node):
+        return node
+
+
+def task_dot(script: str, name: str = "task") -> str:
+    """Render a TICKscript's node graph as graphviz DOT — the reference's
+    ``kapacitor show`` output (/root/reference/task.go:84 Task.Dot →
+    pipeline/pipeline.go:203 Pipeline.Dot; node names are ``<desc><id>``
+    per pipeline/node.go:126). Pure parse: no sources, no Spark session,
+    no service configs are needed."""
+    env = _GraphEnv()
+    toks, src = _tokenize(script)
+    _P(toks, src, env).run()
+    names: dict[int, str] = {}
+    for i, g in enumerate(env.order):
+        names[id(g)] = f"{g.label}{i}"
+    lines = [f"digraph {name} {{"]
+    for g in env.order:
+        for p in g.parents:
+            lines.append(f"{names[id(p)]} -> {names[id(g)]};")
+    lines.append("}")
+    return "\n".join(lines)

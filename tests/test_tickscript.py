@@ -934,3 +934,63 @@ stream
         assert r["details"] == (
             f"<b>kapacitor/{r['host']} is CRITICAL</b> host={r['host']}"
         )
+
+
+def test_task_dot_renders_reference_graph():
+    """task_dot = the reference's `kapacitor show` DOT output
+    (task.go:84 Task.Dot → pipeline.Dot; names are <desc><id>). Pure
+    parse — no sources or Spark needed."""
+    from kapacitor_spark.tick import task_dot
+
+    dot = task_dot("""
+var errors = stream
+    |from()
+        .measurement('errors')
+var requests = stream
+    |from()
+        .measurement('requests')
+errors
+    |join(requests)
+        .as('errors', 'requests')
+    |eval(lambda: "errors.value" / "requests.value")
+        .as('rate')
+    |window()
+        .period(10s)
+        .every(10s)
+    |mean('rate')
+    |alert()
+        .crit(lambda: "mean" > 0.1)
+""", name="error_rate")
+    lines = dot.splitlines()
+    assert lines[0] == "digraph error_rate {"
+    assert lines[-1] == "}"
+    edges = set(lines[1:-1])
+    assert edges == {
+        "stream0 -> from1;",
+        "stream0 -> from2;",
+        "from1 -> join3;",
+        "from2 -> join3;",
+        "join3 -> eval4;",
+        "eval4 -> window5;",
+        "window5 -> mean6;",
+        "mean6 -> alert7;",
+    }
+
+
+def test_task_dot_union_and_udf():
+    from kapacitor_spark.tick import task_dot
+
+    dot = task_dot("""
+var a = stream|from().measurement('m1')
+var b = stream|from().measurement('m2')
+a
+    |union(b)
+    @myFunc()
+        .field('value')
+    |httpOut('out')
+""")
+    edges = set(dot.splitlines()[1:-1])
+    assert "from1 -> union3;" in edges
+    assert "from2 -> union3;" in edges
+    assert "union3 -> myFunc4;" in edges
+    assert "myFunc4 -> httpOut5;" in edges
