@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 from kapacitor_spark.durations import parse_duration
 from kapacitor_spark.pipeline import Pipeline
 
-__all__ = ["run_tickscript", "task_dot", "TickError"]
+__all__ = ["run_tickscript", "task_dot", "template_vars", "TickError"]
 
 
 class TickError(ValueError):
@@ -332,10 +332,18 @@ _TOK = re.compile(
 )
 
 
+_STMT_START = re.compile(
+    r"\s*(?://[^\n]*\s*)*(?:var\s|[A-Za-z_][A-Za-z0-9_]*\s*[|@])"
+)
+
+
 def _scan_lambda_body(src: str, start: int) -> int:
     """Return the end offset of a ``lambda: ...`` body beginning at
     ``start`` (offset of the 'lambda' keyword): scan to the first comma or
-    close-paren at depth 0, skipping quoted strings/field refs."""
+    close-paren at depth 0, skipping quoted strings/field refs. A bare
+    ``var x = lambda: ...`` statement instead ends at a depth-0 newline
+    whose next line begins a new statement (``var ...`` or an
+    identifier starting a chain) — the template-task declaration form."""
     j = src.index(":", start) + 1
     depth = 0
     while j < len(src):
@@ -351,6 +359,8 @@ def _scan_lambda_body(src: str, start: int) -> int:
                 break
             depth -= 1
         elif c == "," and depth == 0:
+            break
+        elif c == "\n" and depth == 0 and _STMT_START.match(src, j):
             break
         j += 1
     return j
@@ -415,7 +425,11 @@ class _P:
                 self.next()
                 _, name, _ = self.next()
                 self.expect("=")
-                self.env.vars[name] = self.expr()
+                val = self.expr()
+                # template semantics (reference template.go): script vars
+                # are DEFAULTS; definition-supplied vars override them
+                preset = getattr(self.env, "preset_vars", None) or {}
+                self.env.vars[name] = preset.get(name, val)
             else:
                 res = self.expr()
                 # terminal sink builders (kapacitorLoopback, httpPost with
@@ -491,6 +505,10 @@ class _P:
             return float(v) if "." in v or "e" in v.lower() else int(v)
         if k == "regex":
             return _Regex(v[1:-1])
+        if k == "lambda":
+            # bare lambda value (template-var declarations:
+            # var match = lambda: ...) — same scope capture as call args
+            return _Lambda(v, self.env.vars)
         raise TickError(f"unexpected token {v!r} at offset {p}")
 
     def call_args(self):
@@ -1305,6 +1323,7 @@ def run_tickscript(
     influxdb: str | None = None,
     dbrp: str | None = None,
     alert_services: dict | None = None,
+    template_vars: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Execute a TICKscript; returns {httpOut name: DataFrame}.
 
@@ -1323,12 +1342,17 @@ def run_tickscript(
     ``alert_services``: service configs for alert handler chains
     (.slack()/.victorOps()/... — the reference's [slack] etc. config
     sections): {kind: {"url": ..., "token": ..., "workspaces": {...}}}.
+    ``template_vars``: template-task var overrides (the reference's
+    define-template + vars JSON, /root/reference/template.go): script
+    ``var`` statements become defaults; values given here win. Durations
+    pass as "10s"-style strings, lambdas as "lambda: ..." strings.
     """
     outputs: dict[str, DataFrame] = {}
     env = _Env(
         sources, time_col, dims, tiebreak, outputs, udfs, endpoints,
         influxdb, dbrp, alert_services,
     )
+    env.preset_vars = _coerce_template_vars(template_vars or {})
     toks, src = _tokenize(script)
     p = _P(toks, src, env)
     # patch property dispatch for pending aggregations
@@ -1367,13 +1391,15 @@ class _GraphEnv:
     def __init__(self):
         self.vars: dict = {}
         self.order: list = []
-        self._sources: dict[int, _GNode] = {}
+        self._sources: dict[str, _GNode] = {}
 
     def _src_node(self, src: "_Source") -> _GNode:
-        g = self._sources.get(id(src))
+        # one shared node per source KIND: in the reference every `stream`
+        # expression binds the pipeline's single StreamNode (stream0)
+        g = self._sources.get(src.kind)
         if g is None:
             g = _GNode(src.kind, [])
-            self._sources[id(src)] = g
+            self._sources[src.kind] = g
             self.order.append(g)
         return g
 
@@ -1417,3 +1443,51 @@ def task_dot(script: str, name: str = "task") -> str:
             lines.append(f"{names[id(p)]} -> {names[id(g)]};")
     lines.append("}")
     return "\n".join(lines)
+
+
+_DUR_RE = re.compile(r"^-?\d+(\.\d+)?(ns|us|µs|ms|s|m|h|d|w)$")
+
+
+def _coerce_template_vars(overrides: dict) -> dict:
+    """Python values → parser value types: '10s' → duration,
+    'lambda: ...' → lambda (with an empty var scope), '/re/' → regex."""
+    out = {}
+    for k, v in overrides.items():
+        if isinstance(v, str):
+            if _DUR_RE.match(v):
+                v = _Duration(v)
+            elif v.startswith("lambda:"):
+                v = _Lambda(v[len("lambda:"):].strip(), {})
+            elif len(v) >= 2 and v.startswith("/") and v.endswith("/"):
+                v = _Regex(v[1:-1])
+        out[k] = v
+    return out
+
+
+def template_vars(script: str) -> dict[str, dict]:
+    """Declared template vars with defaults and reference type names —
+    the reference's Template.Vars (client.Vars: int/float/bool/string/
+    duration/lambda/regex; /root/reference/template.go + pipeline.go:23
+    CreateTemplatePipeline). Pure parse: no sources or Spark needed."""
+    env = _GraphEnv()
+    toks, src = _tokenize(script)
+    _P(toks, src, env).run()
+    out = {}
+    for name, v in env.vars.items():
+        if isinstance(v, _Duration):
+            out[name] = {"value": v.text, "type": "duration"}
+        elif isinstance(v, _Lambda):
+            out[name] = {"value": v.src, "type": "lambda"}
+        elif isinstance(v, _Regex):
+            out[name] = {"value": v.pat, "type": "regex"}
+        elif isinstance(v, bool):
+            out[name] = {"value": v, "type": "bool"}
+        elif isinstance(v, int):
+            out[name] = {"value": v, "type": "int"}
+        elif isinstance(v, float):
+            out[name] = {"value": v, "type": "float"}
+        elif isinstance(v, str):
+            out[name] = {"value": v, "type": "string"}
+        else:
+            out[name] = {"value": v, "type": type(v).__name__}
+    return out

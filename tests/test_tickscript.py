@@ -994,3 +994,81 @@ a
     assert "from2 -> union3;" in edges
     assert "union3 -> myFunc4;" in edges
     assert "myFunc4 -> httpOut5;" in edges
+
+
+def test_template_vars_matches_reference_shape():
+    """TestServer_DefineTemplate (server_test.go:1409): Vars lists each
+    declared var with value+type, and the Dot is byte-identical to the
+    reference's expected string."""
+    from kapacitor_spark.tick import task_dot, template_vars
+
+    tick = """var x = 5
+
+stream
+    |from()
+        .measurement('test')
+"""
+    assert template_vars(tick) == {"x": {"value": 5, "type": "int"}}
+    assert task_dot(tick, "testTemplateID") == (
+        "digraph testTemplateID {\nstream0 -> from1;\n}"
+    )
+    mixed = """var every = 10s
+var name = 'cpu'
+var thresh = 0.9
+var enabled = TRUE
+var match = lambda: "value" > thresh
+"""
+    tv = template_vars(mixed + "\nstream|from().measurement(name)")
+    assert tv["every"] == {"value": "10s", "type": "duration"}
+    assert tv["name"] == {"value": "cpu", "type": "string"}
+    assert tv["thresh"] == {"value": 0.9, "type": "float"}
+    assert tv["enabled"] == {"value": True, "type": "bool"}
+    assert tv["match"]["type"] == "lambda"
+
+
+def test_template_var_overrides_execute(cpu):
+    """define-template semantics: script vars are defaults, supplied vars
+    override — the threshold override changes which rows alert."""
+    from kapacitor_spark.tick import run_tickscript
+
+    tick = """var warnLevel = 1000.0
+
+stream
+    |from()
+        .measurement('cpu')
+    |alert()
+        .warn(lambda: "value" > warnLevel)
+        .levelField('level')
+    |httpOut('out')
+"""
+    # default threshold 1000: nothing exceeds it on the fixture
+    outs = run_tickscript(tick, sources={"cpu": cpu}, time_col="time")
+    base = outs["out"].filter("level != 'OK'").count()
+    outs2 = run_tickscript(
+        tick, sources={"cpu": cpu}, time_col="time",
+        template_vars={"warnLevel": 90.0},
+    )
+    lowered = outs2["out"].filter("level != 'OK'").count()
+    assert base == 0 and lowered > 0
+
+
+def test_template_duration_override(cpu):
+    from kapacitor_spark.tick import run_tickscript
+
+    tick = """var period = 1s
+
+stream
+    |from()
+        .measurement('cpu')
+    |window()
+        .period(period)
+        .every(period)
+    |count('value')
+    |httpOut('w')
+"""
+    narrow = run_tickscript(tick, sources={"cpu": cpu}, time_col="time")
+    wide = run_tickscript(
+        tick, sources={"cpu": cpu}, time_col="time",
+        template_vars={"period": "10s"},
+    )
+    assert wide["w"].count() < narrow["w"].count()
