@@ -460,3 +460,53 @@ def to_line_protocol(
         raise ValueError(f"precision must be one of {sorted(scaled)}, got {precision!r}")
     line = F.concat(*parts, F.lit(" "), field_str, F.lit(" "), ts)
     return df.select(line.alias("line"))
+
+
+def _esc_key_py(s: str) -> str:
+    return s.replace("\\", "\\\\").replace(",", "\\,").replace(" ", "\\ ").replace("=", "\\=")
+
+
+def record_srpl(
+    df: DataFrame,
+    path: str,
+    precision: str = "s",
+    database: str = "dbname",
+    retention_policy: str = "rpname",
+) -> int:
+    """Write a ``.srpl`` recording — the inverse of :func:`read_srpl` and
+    the engine-side analog of the reference's ``kapacitor record``
+    (/root/reference/replay.go WriteStreamFor* : repeating
+    [db, rp, line-protocol point] triples). Accepts a PARSED_SCHEMA
+    DataFrame (what read_srpl/parse_lines produce; ``database``/
+    ``retention_policy`` columns override the defaults when present).
+    Driver-side write, like read_srpl — recordings are test fixtures, not
+    data-plane files. Returns the number of points written."""
+    div = {"ns": 1, "u": 1_000, "ms": 1_000_000, "s": 1_000_000_000}[precision]
+    cols = set(df.columns)
+    rows = df.orderBy("time").collect()
+    n = 0
+    with open(path, "w") as fh:
+        for r in rows:
+            parts = [_esc_key_py(r["name"] or "")]
+            for k in sorted((r["tags"] or {})):
+                parts.append(f",{_esc_key_py(k)}={_esc_key_py(r['tags'][k])}")
+            frags = []
+            for k in sorted((r["fields_f"] or {})):
+                frags.append(f"{_esc_key_py(k)}={r['fields_f'][k]!r}")
+            for k in sorted((r["fields_i"] or {})):
+                frags.append(f"{_esc_key_py(k)}={r['fields_i'][k]}i")
+            for k in sorted((r["fields_s"] or {})):
+                v = r["fields_s"][k].replace("\\", "\\\\").replace('"', '\\"')
+                frags.append(f'{_esc_key_py(k)}="{v}"')
+            for k in sorted((r["fields_b"] or {})):
+                frags.append(
+                    f"{_esc_key_py(k)}={'true' if r['fields_b'][k] else 'false'}"
+                )
+            ts_ns = int(pd.Timestamp(r["time"]).value)
+            ts = ts_ns // div
+            db = r["database"] if "database" in cols else database
+            rp = r["retention_policy"] if "retention_policy" in cols else retention_policy
+            fh.write(f"{db}\n{rp}\n{parts[0]}{''.join(parts[1:])} "
+                     f"{','.join(frags)} {ts:010d}\n")
+            n += 1
+    return n

@@ -105,3 +105,30 @@ def test_read_srpl(spark, tmp_path):
     assert len(out) == 2
     assert out[0].database == "dbname"
     assert {r.tags["host"] for r in out} == {"serverA", "serverB"}
+
+
+def test_record_srpl_roundtrips_reference_fixture(spark, tmp_path):
+    """record_srpl is the inverse of read_srpl: re-record a reference
+    fixture and read it back identical (points, tags, field types,
+    times) — the kapacitor-record side of record/replay."""
+    from kapacitor_spark.sources.line_protocol import read_srpl, record_srpl
+
+    src = "/root/reference/integrations/testdata/TestStream_Alert.srpl"
+    orig = read_srpl(spark, src, precision="s")
+    out = str(tmp_path / "rec.srpl")
+    n = record_srpl(orig, out, precision="s")
+    back = read_srpl(spark, out, precision="s")
+    assert n == orig.count() == back.count()
+    key = ["time", "name"]
+    a = sorted(orig.collect(), key=lambda r: (r["time"], str(r["tags"])))
+    b = sorted(back.collect(), key=lambda r: (r["time"], str(r["tags"])))
+    for ra, rb in zip(a, b):
+        assert ra["name"] == rb["name"]
+        assert (ra["tags"] or {}) == (rb["tags"] or {})
+        assert (ra["fields_f"] or {}) == (rb["fields_f"] or {})
+        assert (ra["fields_i"] or {}) == (rb["fields_i"] or {})
+        assert (ra["fields_s"] or {}) == (rb["fields_s"] or {})
+        assert (ra["fields_b"] or {}) == (rb["fields_b"] or {})
+        assert ra["time"] == rb["time"]
+        assert ra["database"] == rb["database"]
+    del key
