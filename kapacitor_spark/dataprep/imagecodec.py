@@ -146,19 +146,20 @@ def _png_unfilter(raw: bytes, stride: int, h: int, left: int) -> np.ndarray:
     per the spec — sub-byte depths filter with distance 1)."""
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    prev_list = [0] * stride  # plain-int twin for the sequential filters
+    prev_list = None  # plain-int twin, built lazily for filters 3/4 only
     pos = 0
+    npos = -(-stride // left)  # pixel positions along a row (invariant)
+    pad = npos * left - stride
+
+    def lanes(arr):
+        if pad:
+            arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
+        return arr.reshape(npos, left)
+
     for y in range(h):
         ftype = raw[pos]
         row = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).copy()
         pos += 1 + stride
-        npos = -(-stride // left)  # pixel positions along the row
-        pad = npos * left - stride
-
-        def lanes(arr):
-            padded = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
-            return padded.reshape(npos, left)
-
         if ftype == 0:  # None
             cur = row
         elif ftype == 2:  # Up (vectorized; uint8 add wraps mod 256)
@@ -171,14 +172,14 @@ def _png_unfilter(raw: bytes, stride: int, h: int, left: int) -> np.ndarray:
         elif ftype == 3:  # Average: inherently sequential — plain-int loop
             # beats per-step numpy ~5x at byte-lane widths
             cl = row.tolist()  # true Python ints (np scalars are ~10x slower)
-            pv = prev_list
+            pv = prev_list if prev_list is not None else prev.tolist()
             for x in range(stride):
                 lv = cl[x - left] if x >= left else 0
                 cl[x] = (cl[x] + ((lv + pv[x]) >> 1)) & 0xFF
             cur = np.frombuffer(bytes(cl), dtype=np.uint8)
         elif ftype == 4:  # Paeth: same sequential plain-int loop
             cl = row.tolist()
-            pv = prev_list
+            pv = prev_list if prev_list is not None else prev.tolist()
             for x in range(stride):
                 a = cl[x - left] if x >= left else 0
                 b = pv[x]
@@ -194,7 +195,9 @@ def _png_unfilter(raw: bytes, stride: int, h: int, left: int) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = cur
         prev = out[y]
-        prev_list = cur.tolist()
+        # keep the plain-int twin only while sequential filters are in
+        # play; fully-vectorized rows skip the O(stride) conversion
+        prev_list = cl if ftype in (3, 4) else None
     return out
 
 

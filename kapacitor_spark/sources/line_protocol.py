@@ -462,46 +462,74 @@ def to_line_protocol(
     return df.select(line.alias("line"))
 
 
-def _esc_key_py(s: str) -> str:
-    return s.replace("\\", "\\\\").replace(",", "\\,").replace(" ", "\\ ").replace("=", "\\=")
+def _esc_key_py(s: str, what: str) -> str:
+    # Only the escapes the PARSER actually reverses survive a round trip
+    # (the shared line-protocol wart: no backslash escape exists in the
+    # wire format, and '=' in keys does not unsplit) — refuse the rest
+    # loudly rather than corrupt identifiers silently.
+    if "\\" in s or "=" in s or "\n" in s:
+        raise ValueError(
+            f"record_srpl: {what} {s!r} contains a character the line "
+            "protocol cannot round-trip (backslash / '=' / newline)"
+        )
+    return s.replace(",", "\\,").replace(" ", "\\ ")
 
 
 def record_srpl(
     df: DataFrame,
     path: str,
-    precision: str = "s",
+    precision: str = "ns",
     database: str = "dbname",
     retention_policy: str = "rpname",
 ) -> int:
-    """Write a ``.srpl`` recording — the inverse of :func:`read_srpl` and
-    the engine-side analog of the reference's ``kapacitor record``
-    (/root/reference/replay.go WriteStreamFor* : repeating
-    [db, rp, line-protocol point] triples). Accepts a PARSED_SCHEMA
-    DataFrame (what read_srpl/parse_lines produce; ``database``/
-    ``retention_policy`` columns override the defaults when present).
-    Driver-side write, like read_srpl — recordings are test fixtures, not
-    data-plane files. Returns the number of points written."""
+    """Write a ``.srpl`` recording — the inverse of :func:`read_srpl`
+    (same default precision) and the engine-side analog of the
+    reference's ``kapacitor record`` (/root/reference/replay.go
+    WriteStreamFor* : repeating [db, rp, line-protocol point] triples).
+    Accepts a PARSED_SCHEMA DataFrame (what read_srpl/parse_lines
+    produce; ``database``/``retention_policy`` columns override the
+    defaults when present). Identifiers or values the wire format cannot
+    represent round-trip-safely (backslash, '=' in keys, raw newlines)
+    raise instead of corrupting the recording; a point needs at least
+    one field and a non-null time. Driver-side write, like read_srpl —
+    recordings are test fixtures, not data-plane files. Returns the
+    number of points written."""
     div = {"ns": 1, "u": 1_000, "ms": 1_000_000, "s": 1_000_000_000}[precision]
     cols = set(df.columns)
     rows = df.orderBy("time").collect()
     n = 0
     with open(path, "w") as fh:
         for r in rows:
-            parts = [_esc_key_py(r["name"] or "")]
+            parts = [_esc_key_py(r["name"] or "", "measurement")]
             for k in sorted((r["tags"] or {})):
-                parts.append(f",{_esc_key_py(k)}={_esc_key_py(r['tags'][k])}")
+                parts.append(
+                    f",{_esc_key_py(k, 'tag key')}="
+                    f"{_esc_key_py(r['tags'][k], 'tag value')}"
+                )
             frags = []
             for k in sorted((r["fields_f"] or {})):
-                frags.append(f"{_esc_key_py(k)}={r['fields_f'][k]!r}")
+                frags.append(f"{_esc_key_py(k, 'field key')}={r['fields_f'][k]!r}")
             for k in sorted((r["fields_i"] or {})):
-                frags.append(f"{_esc_key_py(k)}={r['fields_i'][k]}i")
+                frags.append(f"{_esc_key_py(k, 'field key')}={r['fields_i'][k]}i")
             for k in sorted((r["fields_s"] or {})):
-                v = r["fields_s"][k].replace("\\", "\\\\").replace('"', '\\"')
-                frags.append(f'{_esc_key_py(k)}="{v}"')
+                sv = r["fields_s"][k]
+                if "\n" in sv or "\\" in sv:
+                    raise ValueError(
+                        "record_srpl: string field value contains a newline "
+                        "or backslash the line format cannot round-trip"
+                    )
+                frags.append(
+                    f'{_esc_key_py(k, "field key")}="{sv.replace(chr(34), chr(92) + chr(34))}"'
+                )
             for k in sorted((r["fields_b"] or {})):
                 frags.append(
-                    f"{_esc_key_py(k)}={'true' if r['fields_b'][k] else 'false'}"
+                    f"{_esc_key_py(k, 'field key')}="
+                    f"{'true' if r['fields_b'][k] else 'false'}"
                 )
+            if not frags:
+                raise ValueError("record_srpl: point has no fields")
+            if r["time"] is None:
+                raise ValueError("record_srpl: point has a null time")
             ts_ns = int(pd.Timestamp(r["time"]).value)
             ts = ts_ns // div
             db = r["database"] if "database" in cols else database

@@ -333,7 +333,7 @@ _TOK = re.compile(
 
 
 _STMT_START = re.compile(
-    r"\s*(?://[^\n]*\s*)*(?:var\s|[A-Za-z_][A-Za-z0-9_]*\s*[|@])"
+    r"\s*(?://[^\n]*\s*)*(?:var\s|[A-Za-z_][A-Za-z0-9_]*\s*[|@.])"
 )
 
 
@@ -429,7 +429,13 @@ class _P:
                 # template semantics (reference template.go): script vars
                 # are DEFAULTS; definition-supplied vars override them
                 preset = getattr(self.env, "preset_vars", None) or {}
-                self.env.vars[name] = preset.get(name, val)
+                if name in preset:
+                    pv = preset[name]
+                    if isinstance(pv, _Lambda) and not pv.vars:
+                        # bind the full script scope, like default lambdas
+                        pv = _Lambda(pv.src, self.env.vars)
+                    val = pv
+                self.env.vars[name] = val
             else:
                 res = self.expr()
                 # terminal sink builders (kapacitorLoopback, httpPost with
@@ -1457,9 +1463,12 @@ def _coerce_template_vars(overrides: dict) -> dict:
             if _DUR_RE.match(v):
                 v = _Duration(v)
             elif v.startswith("lambda:"):
+                # scope is bound when the var assignment executes
                 v = _Lambda(v[len("lambda:"):].strip(), {})
-            elif len(v) >= 2 and v.startswith("/") and v.endswith("/"):
-                v = _Regex(v[1:-1])
+            # plain strings stay strings — '/x/' could be a real path;
+            # pass a compiled re.Pattern for a regex override
+        elif isinstance(v, re.Pattern):
+            v = _Regex(v.pattern)
         out[k] = v
     return out
 
@@ -1488,6 +1497,7 @@ def template_vars(script: str) -> dict[str, dict]:
             out[name] = {"value": v, "type": "float"}
         elif isinstance(v, str):
             out[name] = {"value": v, "type": "string"}
-        else:
-            out[name] = {"value": v, "type": type(v).__name__}
+        # node/chain vars (var x = stream|from()...) are pipeline wiring,
+        # not template vars — the reference's vars JSON lists only typed
+        # values, and this keeps the listing JSON-serializable
     return out

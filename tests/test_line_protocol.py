@@ -119,7 +119,6 @@ def test_record_srpl_roundtrips_reference_fixture(spark, tmp_path):
     n = record_srpl(orig, out, precision="s")
     back = read_srpl(spark, out, precision="s")
     assert n == orig.count() == back.count()
-    key = ["time", "name"]
     a = sorted(orig.collect(), key=lambda r: (r["time"], str(r["tags"])))
     b = sorted(back.collect(), key=lambda r: (r["time"], str(r["tags"])))
     for ra, rb in zip(a, b):
@@ -131,4 +130,33 @@ def test_record_srpl_roundtrips_reference_fixture(spark, tmp_path):
         assert (ra["fields_b"] or {}) == (rb["fields_b"] or {})
         assert ra["time"] == rb["time"]
         assert ra["database"] == rb["database"]
-    del key
+
+
+def test_record_srpl_rejects_unroundtrippable(spark, tmp_path):
+    """Identifiers/values the wire format cannot round-trip raise instead
+    of silently corrupting the recording."""
+    import pytest as _pytest
+
+    from kapacitor_spark.sources.line_protocol import (
+        PARSED_SCHEMA, record_srpl,
+    )
+
+    def df_of(name="m", tags=None, ff=None, fs=None, t="2024-01-01"):
+        import datetime as dt
+
+        row = (name, tags or {}, ff if ff is not None else {"v": 1.0},
+               {}, fs or {}, {}, dt.datetime(2024, 1, 1))
+        return spark.createDataFrame([row], PARSED_SCHEMA)
+
+    p = str(tmp_path / "x.srpl")
+    with _pytest.raises(Exception, match="round-trip"):
+        record_srpl(df_of(name="a=b"), p)
+    with _pytest.raises(Exception, match="round-trip"):
+        record_srpl(df_of(tags={"k": "back\\slash"}), p)
+    with _pytest.raises(Exception, match="newline|round-trip"):
+        record_srpl(df_of(fs={"msg": "a\nb"}), p)
+    with _pytest.raises(Exception, match="no fields"):
+        record_srpl(df_of(ff={}), p)
+    # clean rows (incl. spaces/commas, which DO escape) still work
+    n = record_srpl(df_of(name="my metric", tags={"k": "a,b c"}), p)
+    assert n == 1

@@ -1072,3 +1072,59 @@ stream
         template_vars={"period": "10s"},
     )
     assert wide["w"].count() < narrow["w"].count()
+
+
+def test_template_vars_json_safe_and_node_vars_excluded():
+    import json
+
+    from kapacitor_spark.tick import template_vars
+
+    tv = template_vars("""var thresh = 0.9
+var errors = stream
+    |from()
+        .measurement('errors')
+errors
+    |httpOut('x')
+""")
+    assert "errors" not in tv  # pipeline wiring, not a template var
+    json.dumps(tv)  # client.Vars must serialize
+
+
+def test_template_override_lambda_sees_script_vars(cpu):
+    """An overriding lambda binds the full script scope, like defaults."""
+    from kapacitor_spark.tick import run_tickscript
+
+    tick = """var thresh = 90.0
+var cond = lambda: "value" > 1000.0
+
+stream
+    |from()
+        .measurement('cpu')
+    |alert()
+        .warn(cond)
+    |httpOut('out')
+"""
+    outs = run_tickscript(
+        tick, sources={"cpu": cpu}, time_col="time",
+        template_vars={"cond": 'lambda: "value" > thresh'},
+    )
+    assert outs["out"].filter("level != 'OK'").count() > 0
+
+
+def test_template_path_string_stays_string():
+    from kapacitor_spark.tick import _coerce_template_vars, _Regex
+
+    out = _coerce_template_vars({"path": "/var/log/", "d": "10s"})
+    assert out["path"] == "/var/log/"
+    import re as _re
+
+    out2 = _coerce_template_vars({"pat": _re.compile("^cpu.*")})
+    assert isinstance(out2["pat"], _Regex) and out2["pat"].pat == "^cpu.*"
+
+
+def test_bare_lambda_ends_before_property_statement():
+    from kapacitor_spark.tick import _tokenize
+
+    toks, _ = _tokenize('var m = lambda: "value" > 3\nw.x(1)\n')
+    lam = [t for t in toks if t[0] == "lambda"][0]
+    assert "w.x" not in lam[1]
