@@ -1135,6 +1135,73 @@ def alert_flapping(spark, sf_dir):
 
 
 @_q(
+    "corpus_prep_pipeline",
+    """WITH keepers AS (
+         SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       kept AS (
+         SELECT d.doc_id, d.text FROM documents d JOIN keepers USING (doc_id)),
+       tok AS (
+         SELECT doc_id, text,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         FROM kept),
+       grams AS (
+         SELECT doc_id,
+                array_to_string(t[i:i+7], ' ') AS g
+         FROM (SELECT doc_id, t,
+                      unnest(range(1, greatest(len(t) - 8 + 2, 2))) AS i
+               FROM tok)),
+       bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+       dirty AS (SELECT DISTINCT d.doc_id
+                 FROM grams d JOIN bench USING (g) WHERE d.doc_id >= 20),
+       clean AS (
+         SELECT * FROM tok
+         WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM dirty)),
+       scored AS (
+         SELECT doc_id,
+                CAST(len(t) AS DOUBLE) AS n,
+                CAST(len(list_distinct(t)) AS DOUBLE) AS uniq,
+                CAST(len(list_intersect(list_distinct(t),
+                     ['the','a','an','and','or','of','to','in','is','it',
+                      'that','for','on','with','as','was','at','by','be']))
+                     AS DOUBLE) AS n_stop,
+                length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                    * 1.0 / greatest(length(text), 1) AS punct
+         FROM clean)
+       SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+              round((CASE WHEN n >= 10 AND n <= 100000 THEN 1.0 ELSE 0.0 END
+                     + least(uniq / greatest(n, 1) * 2, 1.0)
+                     + least(n_stop / 5.0, 1.0)
+                     + (1.0 - least(punct * 10, 1.0))) / 4.0, 6) AS quality
+       FROM scored
+       WHERE (CASE WHEN n >= 10 AND n <= 100000 THEN 1.0 ELSE 0.0 END
+              + least(uniq / greatest(n, 1) * 2, 1.0)
+              + least(n_stop / 5.0, 1.0)
+              + (1.0 - least(punct * 10, 1.0))) / 4.0 >= 0.7495""",
+)
+def corpus_prep_pipeline(spark, sf_dir):
+    """The COMPOSED training-data cleaning pipeline under one oracle:
+    exact dedup → benchmark decontamination (docs 0-19 as the eval set)
+    → quality filter, via dataprep.prepare_corpus — the one-call 100 TB
+    shape whose stages are each individually oracle-verified; this row
+    proves they compose (join keys, column scoping, filter pushdown)
+    without self-joins or extra scans. The SQL twin recomputes every
+    stage independently. The threshold 0.75 actually bites on this
+    corpus (min 0.69, median 0.80); the oracle filters the UNROUNDED
+    score at 0.7495 to stay equivalent to the engine's >= 0.75 on the
+    round-to-6 score (rounding moves values < 5e-7)."""
+    from kapacitor_spark.dataprep import prepare_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter("doc_id < 20")
+    corpus = docs.filter("doc_id >= 20")
+    out = prepare_corpus(corpus, bench, min_quality=0.75)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.col("quality"),
+    )
+
+
+@_q(
     "dedup_exact_fp",
     """SELECT 'exact' AS method, md5(text) AS key,
               min(doc_id) AS keeper_id, count(*) AS dup_count

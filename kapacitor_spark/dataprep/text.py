@@ -51,11 +51,14 @@ def token_stats(
 
 
 def quality_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    keep: bool = False,
 ) -> DataFrame:
     """Heuristic quality signals per document (C4/Gopher-style filters):
     length, stopword ratio, type-token ratio, punctuation density,
-    all-caps ratio; combined into [0,1] score.
+    all-caps ratio; combined into [0,1] score. ``keep=True`` appends the
+    signals to every input column (still one projection of one scan — no
+    self-join needed to keep the text).
     """
     toks = tokenize(text_col)
     n = F.size(toks).cast("double")
@@ -78,13 +81,15 @@ def quality_score(
         / 4.0,
         6,
     )
-    return df.select(
-        F.col(id_col),
+    signals = [
         F.size(toks).cast("long").alias("n_tokens"),
         F.round(ttr, 6).alias("type_token_ratio"),
         F.round(punct, 6).alias("punct_ratio"),
         score.alias("quality"),
-    )
+    ]
+    if keep:
+        return df.select("*", *signals)
+    return df.select(F.col(id_col), *signals)
 
 
 # marker words per language for the n-gram/lexicon heuristic; with real
