@@ -5,11 +5,12 @@ fixed/LPC prediction plus Rice-coded residuals, all fully specified:
 
 - ``decode(data) -> (channels, sample_rate, float64 samples)``: frame
   sync + header (block size / sample rate / sample size codes, UTF-8
-  coded number, CRC-8 skipped-over), subframe types CONSTANT / VERBATIM
+  coded number, CRC-8 VERIFIED), subframe types CONSTANT / VERBATIM
   / FIXED(0-4) / LPC (any order, quantized coefficients + shift),
   wasted bits, Rice partitions (4- and 5-bit parameters, escape to raw),
   and all four channel assignments (independent, left/side, right/side,
-  mid/side).
+  mid/side). Frame header CRC-8 and whole-frame CRC-16 are verified —
+  corrupt payloads raise instead of decoding garbage.
 - ``encode(samples, sample_rate, bits=16)``: a valid FLAC stream with
   fixed-order-2 prediction and single-partition Rice residuals per
   channel (independent channels), STREAMINFO, and correct CRC-8/CRC-16
@@ -202,6 +203,7 @@ def decode(data: bytes):
     chans_out: list[list[int]] = [[] for _ in range(ch_si)]
     br = _BitReader(data, pos)
     while br.pos < len(data) - 1:
+        frame_start = br.pos  # frames are byte-aligned
         # frame sync
         if br.read(14) != 0b11111111111110:
             raise ValueError("corrupt FLAC: lost frame sync")
@@ -225,7 +227,9 @@ def decode(data: bytes):
             br.read(8)
         elif sr_code in (13, 14):
             br.read(16)
-        br.read(8)  # header CRC-8 (not verified)
+        # the header is byte-aligned here; verify its CRC-8 (poly 0x07)
+        if _crc8(data[frame_start : br.pos]) != br.read(8):
+            raise ValueError("corrupt FLAC: frame header CRC-8 mismatch")
         bps = _SAMPLE_SIZE_CODE.get(ss_code, bps_si) if ss_code else bps_si
         if ch_code <= 7:
             nch = ch_code + 1
@@ -248,7 +252,12 @@ def decode(data: bytes):
         if len(subs) != ch_si:
             raise ValueError("corrupt FLAC: channel count changed mid-stream")
         br.align()
-        br.pos += 2  # frame CRC-16 (not verified)
+        # whole-frame CRC-16 (poly 0x8005) covers everything before it
+        if _crc16(data[frame_start : br.pos]) != int.from_bytes(
+            data[br.pos : br.pos + 2], "big"
+        ):
+            raise ValueError("corrupt FLAC: frame CRC-16 mismatch")
+        br.pos += 2
         for c, sub in enumerate(subs):
             chans_out[c].extend(int(v) for v in sub)
         if total and len(chans_out[0]) >= total:

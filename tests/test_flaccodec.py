@@ -226,3 +226,22 @@ def test_decode_audio_batch_routes_flac(spark):
     assert (r["channels"], r["sample_rate"], r["n_frames"]) == (1, 8000, 800)
     want = _quant(sig)[:, 0] / 32768.0
     assert np.allclose(np.array(r["samples"]), want, atol=1e-7)
+
+
+def test_crc_verification_catches_corruption():
+    """Frame CRCs are VERIFIED, not skipped: flipping a bit in the frame
+    header or in the audio payload raises instead of decoding garbage."""
+    t = np.arange(1000) / 8000.0
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t))[:, None]
+    data = bytearray(FL.encode(sig, 8000))
+    # find the first frame (after fLaC + streaminfo block: 4 + 4 + 34)
+    frame_start = 4 + 4 + 34
+    assert data[frame_start] == 0xFF
+    hdr_corrupt = bytearray(data)
+    hdr_corrupt[frame_start + 4] ^= 0x01  # header byte
+    with pytest.raises(ValueError, match="CRC"):
+        FL.decode(bytes(hdr_corrupt))
+    body_corrupt = bytearray(data)
+    body_corrupt[frame_start + 40] ^= 0x40  # audio payload byte
+    with pytest.raises(ValueError, match="CRC|corrupt"):
+        FL.decode(bytes(body_corrupt))
