@@ -1135,6 +1135,46 @@ def alert_flapping(spark, sf_dir):
 
 
 @_q(
+    "source_mix_stats",
+    """WITH t AS (SELECT source, doc_id, md5(text) AS digest,
+                         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+                         length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                             * 1.0 / greatest(length(text), 1) AS punct
+                  FROM documents),
+       s AS (SELECT source, doc_id, digest,
+                    CAST(len(toks) AS BIGINT) AS nt,
+                    CAST(len(toks) AS DOUBLE) AS n,
+                    CAST(len(list_distinct(toks)) AS DOUBLE) AS uniq,
+                    CAST(len(list_intersect(list_distinct(toks),
+                         ['the','a','an','and','or','of','to','in','is','it',
+                          'that','for','on','with','as','was','at','by','be']))
+                         AS DOUBLE) AS n_stop,
+                    punct
+             FROM t),
+       q AS (SELECT source, doc_id, digest, nt,
+                    round((CASE WHEN n >= 10 AND n <= 100000 THEN 1.0 ELSE 0.0 END
+                           + least(uniq / greatest(n, 1) * 2, 1.0)
+                           + least(n_stop / 5.0, 1.0)
+                           + (1.0 - least(punct * 10, 1.0))) / 4.0, 6) AS quality
+             FROM s)
+       SELECT source, count(*) AS n_docs, sum(nt) AS total_tokens,
+              round(1 - count(DISTINCT digest) * 1.0 / count(*), 6) AS dup_rate,
+              round(avg(quality), 6) AS mean_quality
+       FROM q GROUP BY source""",
+)
+def source_mix_stats_q(spark, sf_dir):
+    """Training-mix accounting per source: document/token volumes, exact
+    duplicate rate (distinct digests), and mean heuristic quality — one
+    hash-aggregate on the source key (the table a curator reads before
+    weighting a pretraining mix)."""
+    from kapacitor_spark.dataprep.text import source_mix_stats
+
+    return source_mix_stats(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+
+
+@_q(
     "corpus_prep_pipeline",
     """WITH keepers AS (
          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

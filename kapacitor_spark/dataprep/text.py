@@ -13,7 +13,7 @@ __all__ = [
     "token_stats", "quality_score", "lang_id", "doc_fingerprint",
     "analysis_suite", "remove_boilerplate_paragraphs", "scrub_pii",
     "repetition_stats", "pack_sequences", "deterministic_sample",
-    "strip_html",
+    "strip_html", "source_mix_stats",
 ]
 
 # tiny built-in stopword list for the quality heuristic (public knowledge)
@@ -372,3 +372,39 @@ def deterministic_sample(
     if cond is None:
         raise ValueError("fractions must not be empty")
     return df.filter(cond)
+
+
+def source_mix_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-mix accounting per source/domain: document and token
+    volumes, exact-duplicate rate, and mean quality — the table a data
+    curator reads before weighting sources in a pretraining mix.
+
+    One hash-aggregate (single shuffle on the source key); the duplicate
+    rate counts distinct content digests so the shuffle never carries
+    text. Quality reuses the C4/Gopher heuristic inline (same single
+    projection, no joins)."""
+    scored = quality_score(df, text_col, id_col, keep=True)
+    toks = F.size(tokenize(text_col)).cast("long")
+    return (
+        scored.select(
+            F.col(source_col),
+            F.col(id_col),
+            toks.alias("__nt"),
+            F.md5(F.col(text_col)).alias("__digest"),
+            F.col("quality"),
+        )
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("total_tokens"),
+            F.round(
+                1 - F.count_distinct("__digest") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+        )
+    )
