@@ -1157,7 +1157,8 @@ def alert_flapping(spark, sf_dir):
                            + least(n_stop / 5.0, 1.0)
                            + (1.0 - least(punct * 10, 1.0))) / 4.0, 6) AS quality
              FROM s)
-       SELECT source, count(*) AS n_docs, sum(nt) AS total_tokens,
+       SELECT source, count(*) AS n_docs,
+              CAST(sum(nt) AS BIGINT) AS total_tokens,
               round(1 - count(DISTINCT digest) * 1.0 / count(*), 6) AS dup_rate,
               round(avg(quality), 6) AS mean_quality
        FROM q GROUP BY source""",
