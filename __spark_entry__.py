@@ -1392,6 +1392,49 @@ def embedding_near_dup_q(spark, sf_dir):
 
 
 @_q(
+    "embedding_norms",
+    """WITH n AS (
+         SELECT vec_id, label,
+                CAST(len(embedding) AS BIGINT) AS dim,
+                sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+         FROM embeddings)
+       SELECT label, count(*) AS n_vecs, min(dim) AS min_dim,
+              max(dim) AS max_dim,
+              round(min(norm), 6) AS min_norm,
+              round(avg(norm), 6) AS mean_norm,
+              round(max(norm), 6) AS max_norm
+       FROM n GROUP BY label""",
+)
+def embedding_norms(spark, sf_dir):
+    """Embedding sanity accounting per label: dimension bounds and L2
+    norm distribution — the pre-index validation pass an ANN pipeline
+    runs (degenerate/zero vectors and ragged dimensions surface here
+    before they poison an index). Pure array expressions + one
+    hash-aggregate; double arithmetic throughout so DuckDB agrees
+    exactly."""
+    from kapacitor_spark.dataprep.similarity import with_norm
+
+    emb = with_norm(_t(spark, sf_dir, "embeddings"))
+    return (
+        emb.select(
+            "label",
+            F.size("embedding").cast("long").alias("dim"),
+            F.col("__norm").alias("norm"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("dim").alias("min_dim"),
+            F.max("dim").alias("max_dim"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.avg("norm"), 6).alias("mean_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+    )
+
+
+@_q(
     "ann_cosine_topk",
     """WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
             scored AS (
