@@ -239,3 +239,23 @@ def test_cpu_heavy_scans_are_spread(spark):
     for name in ("decontamination", "lineprotocol_roundtrip"):
         plan = plan_of(spark, name)
         assert "ROUND_ROBIN" in plan or "RoundRobinPartitioning" in plan, name
+
+
+def test_corpus_prep_pipeline_plan(spark):
+    """The composed cleaning pipeline keeps each stage's plan property:
+    digest-keyed dedup aggregation, BROADCAST gram anti-join for
+    decontamination, no cartesian products, no Python in the plan."""
+    plan = plan_of(spark, "corpus_prep_pipeline")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_source_mix_and_embedding_norms_single_aggregate(spark):
+    """Accounting queries stay one hash-aggregate: partial_* map-side
+    combine before the exchange, no joins."""
+    for name in ("source_mix_stats", "embedding_norms"):
+        plan = plan_of(spark, name)
+        assert "partial_" in plan, name
+        assert "Join" not in plan, name
