@@ -155,71 +155,112 @@ def _canonical_codes(bits, vals):
 
 
 class _HuffDecoder:
-    """Spec DECODE tables: mincode/maxcode/valptr per code length."""
+    """Table-driven DECODE: one 16-bit lookahead indexes a LUT mapping to
+    (symbol, code length) — one lookup per symbol instead of a bit walk.
+    The LUT builds lazily from the canonical (code, size) assignment."""
 
     def __init__(self, bits, vals):
         self.vals = vals
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
+        self.bits = bits
+        self.lut = None
+
+    def _build(self):
+        lut = [0] * (1 << 16)
         code = 0
         k = 0
         for l in range(1, 17):
-            n = bits[l - 1]
-            if n:
-                self.valptr[l] = k
-                self.mincode[l] = code
-                code += n
-                k += n
-                self.maxcode[l] = code - 1
+            for _ in range(self.bits[l - 1]):
+                sym = self.vals[k]
+                k += 1
+                base = code << (16 - l)
+                packed = (sym << 5) | l
+                lut[base : base + (1 << (16 - l))] = [packed] * (1 << (16 - l))
+                code += 1
             code <<= 1
+        self.lut = lut
 
     def decode(self, br) -> int:
-        code = br.read_bit()
-        l = 1
-        while code > self.maxcode[l]:
-            l += 1
-            if l > 16:
-                raise ValueError("corrupt JPEG: huffman code over 16 bits")
-            code = (code << 1) | br.read_bit()
-        return self.vals[self.valptr[l] + code - self.mincode[l]]
+        if self.lut is None:
+            self._build()
+        packed = self.lut[br.peek16()]
+        ln = packed & 31
+        if ln == 0:
+            raise ValueError("corrupt JPEG: invalid huffman code")
+        br.consume(ln)
+        return packed >> 5
 
 
 class _BitReader:
-    """Entropy-coded segment reader: un-stuffs 0xFF00, stops at markers."""
+    """Entropy-coded segment reader: un-stuffs 0xFF00, pauses at markers
+    (restart handling re-syncs), and pads past the scan end with 1-bits
+    exactly like the encoder's byte padding — a buffered design so the
+    LUT decoder can always peek 16 bits."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.padded = 0  # pad bits appended (corruption indicator)
+
+    def _fill(self, need: int):
+        while self.nbits < need:
+            if self.pos < len(self.data):
+                b = self.data[self.pos]
+                if b == 0xFF:
+                    nxt = (
+                        self.data[self.pos + 1]
+                        if self.pos + 1 < len(self.data) else 0
+                    )
+                    if nxt == 0x00:
+                        self.pos += 2  # stuffed byte
+                    else:
+                        # marker: stop consuming; pad like end-of-scan
+                        self.acc = (self.acc << 8) | 0xFF
+                        self.nbits += 8
+                        self.padded += 8
+                        continue
+                else:
+                    self.pos += 1
+                self.acc = (self.acc << 8) | b
+                self.nbits += 8
+            else:
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                self.padded += 8
+        # ALWAYS trim to nbits: consumed bits above nbits are garbage,
+        # and leaving them makes acc an ever-growing bigint (O(n²) decode)
+        self.acc &= (1 << self.nbits) - 1
+
+    def peek16(self) -> int:
+        self._fill(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def consume(self, n: int):
+        self.nbits -= n
+        if self.padded and self.nbits < self.padded:
+            raise ValueError("corrupt JPEG: out of entropy data")
 
     def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("corrupt JPEG: out of entropy data")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed byte
-                else:
-                    raise ValueError("corrupt JPEG: marker inside scan")
-            self.acc = b
-            self.nbits = 8
+        self._fill(1)
         self.nbits -= 1
+        if self.padded and self.nbits < self.padded:
+            raise ValueError("corrupt JPEG: out of entropy data")
         return (self.acc >> self.nbits) & 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        self._fill(n)
+        self.nbits -= n
+        if self.padded and self.nbits < self.padded:
+            raise ValueError("corrupt JPEG: out of entropy data")
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def align_to_marker(self):
         """Skip to just past the next marker (for RSTn)."""
         self.nbits = 0
+        self.padded = 0
         while self.pos + 1 < len(self.data):
             if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
                 marker = self.data[self.pos + 1]
