@@ -1,0 +1,349 @@
+"""Autoscale decision state machine — the reference's k8sAutoscale /
+swarmAutoscale / ec2Autoscale nodes (/root/reference/autoscale.go:1-315)
+re-expressed Spark-first.
+
+The reference runs one `handlePoint` per arriving point against a
+node-level per-resource state map (`resourceStates`,
+/root/reference/autoscale.go:56): evaluate the replicas lambda, clamp to
+[min, max], emit an `{old, new}` event when the desired count changes and
+the per-direction cooldown has elapsed, and call the orchestrator client
+(`SetReplicas`). The state is keyed by RESOURCE, not by group — multiple
+group-by groups can map onto one resource and share its cooldown state
+(golden: TestStream_K8sAutoscaleCardinality,
+/root/reference/integrations/streamer_test.go:13293).
+
+Spark mapping (three-layer split):
+
+1. **Distributed pre-eval** — the replicas lambda and the resource-id tag
+   lookup are pure column expressions, evaluated JVM-side (codegen) before
+   any Python runs.
+2. **Distributed per-resource walk** — the sequential decide/clamp/cooldown
+   machine runs in one Arrow-batched ``applyInPandas`` task per resource
+   (shuffle key = resource id). Points per resource can be large; resources
+   are the natural parallelism unit, exactly like the reference's one state
+   map entry per resource. Points are walked in event-time order (+
+   tiebreak) — the deterministic substitute for the reference's arrival
+   order.
+3. **Driver-side apply** — scaling EVENTS are control-plane tiny (bounded
+   by decisions, not points), so they collect to the driver where the
+   orchestrator client is called once per event in time order — the same
+   seam as alert handlers (sinks.apply_sink). At 100 TB the data plane
+   never funnels through the driver; only the decisions do.
+
+Divergence (documented): the reference re-enters the state machine when
+`SetReplicas` fails (the failed event's state is not saved,
+autoscale.go:252-257); here the walk is computed first and a failing
+client raises at apply time. Orchestrator mocks in tests never fail; a
+real deployment would wrap the client with retries at this seam.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "AutoscaleStats",
+    "K8sAutoscaler",
+    "SwarmAutoscaler",
+    "Ec2Autoscaler",
+    "autoscale_events",
+]
+
+
+@dataclass
+class AutoscaleStats:
+    """The reference's node stat counters (autoscale.go:19-23):
+    increase_events / decrease_events / cooldown_drops."""
+
+    increase_events: int = 0
+    decrease_events: int = 0
+    cooldown_drops: int = 0
+
+
+class _BaseAutoscaler:
+    """Shared resource-id plumbing: a fixed resource name or a tag lookup
+    (the reference's ResourceIDFromTags switch, autoscale.go:378-404)."""
+
+    def __init__(self, client, name: str | None, name_tag: str | None):
+        if name is None and name_tag is None:
+            raise ValueError(
+                "expected one of resource name or resource name tag to be set"
+            )
+        self.client = client
+        self._name = name
+        self._name_tag = name_tag
+        self.stats = AutoscaleStats()
+
+    def resource_id_column(self) -> Column:
+        if self._name is not None:
+            return F.lit(self._name)
+        return F.col(self._name_tag)
+
+    # subclasses: replicas(rid) -> int; set_replicas(rid, n); output_tags(rid)
+
+
+class K8sAutoscaler(_BaseAutoscaler):
+    """k8sAutoscale (/root/reference/autoscale.go:320-447;
+    pipeline/k8s_autoscale.go defaults: kind='deployments',
+    namespaceTag/kindTag/resourceTag = namespace/kind/resource).
+
+    ``client`` mirrors the reference's mock seam
+    (integrations k8stest.Client): ``scales_get(kind, name) -> int`` and
+    ``scales_update(kind, name, replicas)``.
+    """
+
+    def __init__(
+        self,
+        client,
+        resource_name: str | None = None,
+        resource_name_tag: str | None = None,
+        namespace: str | None = None,
+        kind: str = "deployments",
+        namespace_tag: str = "namespace",
+        kind_tag: str = "kind",
+        resource_tag: str = "resource",
+    ):
+        super().__init__(client, resource_name, resource_name_tag)
+        self.namespace = namespace or "default"
+        self.kind = kind
+        self.namespace_tag = namespace_tag
+        self.kind_tag = kind_tag
+        self.resource_tag = resource_tag
+
+    def replicas(self, rid: str) -> int:
+        return int(self.client.scales_get(self.kind, rid))
+
+    def set_replicas(self, rid: str, n: int) -> None:
+        self.client.scales_update(self.kind, rid, int(n))
+
+    def output_tags(self, rid: str) -> dict:
+        tags = {}
+        if self.namespace_tag:
+            tags[self.namespace_tag] = self.namespace
+        if self.kind_tag:
+            tags[self.kind_tag] = self.kind
+        if self.resource_tag:
+            tags[self.resource_tag] = rid
+        return tags
+
+
+class SwarmAutoscaler(_BaseAutoscaler):
+    """swarmAutoscale (/root/reference/autoscale.go:452-540).
+    ``client``: ``service_replicas(name) -> int``;
+    ``update_service(name, replicas)``."""
+
+    def __init__(
+        self,
+        client,
+        service_name: str | None = None,
+        service_name_tag: str | None = None,
+        output_service_name_tag: str | None = None,
+    ):
+        super().__init__(client, service_name, service_name_tag)
+        # default output tag = the input tag (autoscale.go:465-468)
+        self.output_tag = output_service_name_tag or service_name_tag
+
+    def replicas(self, rid: str) -> int:
+        return int(self.client.service_replicas(rid))
+
+    def set_replicas(self, rid: str, n: int) -> None:
+        self.client.update_service(rid, int(n))
+
+    def output_tags(self, rid: str) -> dict:
+        return {self.output_tag: rid} if self.output_tag else {}
+
+
+class Ec2Autoscaler(_BaseAutoscaler):
+    """ec2Autoscale (/root/reference/autoscale.go:545-627).
+    ``client``: ``group_capacity(name) -> int``; ``update_group(name, n)``."""
+
+    def __init__(
+        self,
+        client,
+        group_name: str | None = None,
+        group_name_tag: str | None = None,
+        output_group_name_tag: str | None = None,
+    ):
+        super().__init__(client, group_name, group_name_tag)
+        self.output_tag = output_group_name_tag or group_name_tag
+
+    def replicas(self, rid: str) -> int:
+        return int(self.client.group_capacity(rid))
+
+    def set_replicas(self, rid: str, n: int) -> None:
+        self.client.update_group(rid, int(n))
+
+    def output_tags(self, rid: str) -> dict:
+        return {self.output_tag: rid} if self.output_tag else {}
+
+
+def autoscale_events(
+    df: DataFrame,
+    time_col: str,
+    dims: tuple[str, ...],
+    tiebreak: tuple[str, ...],
+    autoscaler,
+    replicas: Column,
+    *,
+    min: int = 1,
+    max: int = 0,
+    increase_cooldown: float = 0.0,
+    decrease_cooldown: float = 0.0,
+    current_fn: Callable[[dict, int], int] | None = None,
+    apply: bool = True,
+) -> DataFrame:
+    """Run the decision machine; return the events DataFrame
+    (time, dims..., output tags..., new, old) and — when ``apply`` — call
+    the orchestrator client once per event in time order, accumulating
+    ``autoscaler.stats``.
+
+    ``replicas`` is the pre-compiled desired-count Column (stateless
+    lambda, the reference's common case). ``current_fn(fields, current)``
+    is the `.currentField()` path — the desired count depends on the
+    CURRENT replica value, which only exists inside the walk, so it must
+    be a Python callable evaluated per point (the reference injects
+    `current` into the lambda scope the same way, autoscale.go:299-301).
+    """
+    if min < 1:
+        # newAutoscaleNode validation (autoscale.go:84-86)
+        raise ValueError(f"minimum count must be >= 1, got {min}")
+    spark = df.sparkSession
+    work = df.withColumn("__rid", autoscaler.resource_id_column())
+    # a point whose tags produce no resource name is an error in the
+    # reference (logged, point dropped) — same drop here
+    work = work.filter(F.col("__rid").isNotNull() & (F.col("__rid") != ""))
+    if current_fn is None:
+        work = work.withColumn("__want", replicas.cast("long"))
+
+    # -- driver: fetch initial replica counts (one client call per
+    #    resource; resources are control-plane small) -------------------
+    rids = [r[0] for r in work.select("__rid").distinct().collect()]
+    initial = {rid: int(autoscaler.replicas(rid)) for rid in rids}
+
+    dims = tuple(dims)
+    order = [time_col, *tiebreak]
+    lo, hi = int(min), int(max)
+    inc_us = round(increase_cooldown * 1_000_000)
+    dec_us = round(decrease_cooldown * 1_000_000)
+    fields_cols = (
+        [c for c in df.columns if c not in (time_col, *dims)]
+        if current_fn is not None
+        else []
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("__rid", T.StringType()),
+            T.StructField(time_col, work.schema[time_col].dataType),
+            *[T.StructField(d, work.schema[d].dataType) for d in dims],
+            T.StructField("old", T.LongType()),
+            T.StructField("new", T.LongType()),
+            T.StructField("__action", T.StringType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="stable")
+        rid = pdf["__rid"].iat[0]
+        current = initial[rid]
+        last_inc = last_dec = None
+        times_us = pdf[time_col].to_numpy(dtype="datetime64[us]").astype("int64")
+        if current_fn is None:
+            want = pdf["__want"].to_numpy(dtype=object)
+        rows = []
+        for i in range(len(pdf)):
+            if current_fn is not None:
+                fields = {c: pdf[c].iat[i] for c in fields_cols}
+                try:
+                    w = current_fn(fields, current)
+                except Exception:
+                    continue  # EvalInt error → point dropped (diag'd)
+            else:
+                w = want[i]
+            if w is None or pd.isna(w):
+                continue
+            new = int(w)
+            # clamp (autoscale.go:211-217): max only when max > 0
+            if hi > 0 and new > hi:
+                new = hi
+            if new < lo:
+                new = lo
+            if new == current:
+                continue
+            t = times_us[i]
+            if new > current:
+                if last_inc is not None and t < last_inc + inc_us:
+                    action = "drop"
+                else:
+                    last_inc = t
+                    action = "inc"
+            else:
+                if last_dec is not None and t < last_dec + dec_us:
+                    action = "drop"
+                else:
+                    last_dec = t
+                    action = "dec"
+            rows.append(
+                (
+                    rid,
+                    pdf[time_col].iat[i],
+                    *[pdf[d].iat[i] for d in dims],
+                    current,
+                    new,
+                    action,
+                )
+            )
+            if action != "drop":
+                current = new  # state saved only on applied events
+        return pd.DataFrame(rows, columns=out_cols)
+
+    decisions = work.groupBy("__rid").applyInPandas(walk, schema=out_schema)
+
+    # -- driver: replay the (tiny) decision stream against the client ---
+    collected = decisions.orderBy(time_col, "__rid").collect()
+    tag_names: list[str] = []
+    for rid in rids:
+        for k in autoscaler.output_tags(rid):
+            if k not in tag_names and k not in dims:
+                tag_names.append(k)
+    event_rows = []
+    st = autoscaler.stats
+    for r in collected:
+        if r["__action"] == "drop":
+            st.cooldown_drops += 1
+            continue
+        rid = r["__rid"]
+        if apply:
+            autoscaler.set_replicas(rid, r["new"])
+        if r["__action"] == "inc":
+            st.increase_events += 1
+        else:
+            st.decrease_events += 1
+        tags = autoscaler.output_tags(rid)
+        event_rows.append(
+            (
+                r[time_col],
+                *[tags.get(d, r[d]) for d in dims],
+                *[tags.get(k) for k in tag_names],
+                int(r["new"]),
+                int(r["old"]),
+            )
+        )
+    ev_schema = T.StructType(
+        [
+            T.StructField(time_col, work.schema[time_col].dataType),
+            *[T.StructField(d, work.schema[d].dataType) for d in dims],
+            *[T.StructField(k, T.StringType()) for k in tag_names],
+            T.StructField("new", T.LongType()),
+            T.StructField("old", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(event_rows, schema=ev_schema)

@@ -1857,6 +1857,51 @@ class Pipeline:
         out = mine.join(F.broadcast(inh), ["__ib", *on], "left_anti").drop("__ib")
         return self._with(out)
 
+    def autoscale(
+        self,
+        autoscaler,
+        replicas: str | Column | None = None,
+        *,
+        min: int = 1,
+        max: int = 0,
+        increase_cooldown: str | float = 0.0,
+        decrease_cooldown: str | float = 0.0,
+        current_fn=None,
+        apply: bool = True,
+    ) -> "Pipeline":
+        """k8sAutoscale/swarmAutoscale/ec2Autoscale decision machine
+        (/root/reference/autoscale.go:181-283): evaluate the replicas
+        lambda per point, clamp to [min, max] (max=0 → unbounded), emit an
+        {old, new} scaling event when the desired count changes and the
+        per-direction cooldown allows, and call the orchestrator client.
+        State is per RESOURCE (shared across group-by groups —
+        TestStream_K8sAutoscaleCardinality). The replicas lambda is
+        evaluated JVM-side; the sequential walk runs distributed, one
+        Arrow task per resource; only the tiny event stream collects to
+        the driver where the client is called (see operators/autoscale.py
+        for the full scale story). ``autoscaler.stats`` accumulates the
+        reference's increase_events/decrease_events/cooldown_drops
+        counters. Golden parity: TestStream_Autoscale (streamer_test.go:
+        11697) k8s + swarm, default and min/max variants."""
+        from kapacitor_spark.operators.autoscale import autoscale_events
+
+        rep_col = self._expr(replicas) if replicas is not None else None
+        events = autoscale_events(
+            self.df,
+            self.time_col,
+            self.dims,
+            self.tiebreak,
+            autoscaler,
+            rep_col,
+            min=min,
+            max=max,
+            increase_cooldown=parse_duration(increase_cooldown),
+            decrease_cooldown=parse_duration(decrease_cooldown),
+            current_fn=current_fn,
+            apply=apply,
+        )
+        return self._with(events, tiebreak=())
+
     def udf(self, udf_fn, **options) -> "Pipeline":
         """Apply a @udf_node-declared operator (/root/reference/udf/agent/
         udf.proto surface → applyInPandas; see kapacitor_spark.udf)."""

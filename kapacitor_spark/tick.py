@@ -34,8 +34,10 @@ windows enumerate deterministically over the source's event-time range,
 their window's ``query_start`` as a group key (per-batch state, the
 reference's batch edges).
 
-Unsupported (documented): topology-level services (autoscale nodes,
-queryFlux).
+Autoscale nodes (k8sAutoscale/swarmAutoscale/ec2Autoscale) run the full
+decision state machine (operators/autoscale.py) against clients passed
+via ``run_tickscript(autoscale_clients={'k8s': client, ...})``.
+Unsupported (documented): queryFlux.
 """
 
 from __future__ import annotations
@@ -629,14 +631,17 @@ class _Env:
         "from", "window", "eval", "default", "delete", "alert", "join",
         "query", "groupBy", "flatten", "combine", "kapacitorLoopback",
         "sideload", "barrier", "httpPost", "influxDBOut",
+        "k8sAutoscale", "swarmAutoscale", "ec2Autoscale",
     }
 
     def __init__(
         self, sources, time_col, dims, tiebreak, outputs, udfs=None,
         endpoints=None, influxdb=None, dbrp=None, alert_services=None,
+        autoscale_clients=None,
     ):
         self.dbrp = dbrp
         self.alert_services = alert_services
+        self.autoscale_clients = autoscale_clients or {}
         self.vars: dict[str, Any] = {}
         self.sources = sources
         self.time_col, self.dims, self.tiebreak = time_col, dims, tiebreak
@@ -1017,6 +1022,87 @@ class _Env:
         lookups, ons = load_sideload_levels(p.df.sparkSession, src, order)
         return p.sideload(lookups, on=ons, fields=fields or None, defaults=defaults)
 
+    def _autoscale(self, p: Pipeline, node: _Node, kind: str, mk) -> Pipeline:
+        """Shared k8s/swarm/ec2Autoscale materializer
+        (/root/reference/autoscale.go; pipeline/{k8s,swarm,ec2}_autoscale.go
+        defaults Min=1, Max=0, cooldowns 0). ``mk(client, props)`` builds
+        the concrete Autoscaler from the node's naming properties."""
+        props = node.prop_map()
+        cluster = props.get("cluster", [""])[0]
+        clients = self.autoscale_clients
+        client = clients.get((kind, cluster)) or clients.get(kind)
+        if client is None:
+            raise TickError(
+                f"{node.name}(): no {kind} client — pass "
+                f"run_tickscript(autoscale_clients={{{kind!r}: client}})"
+            )
+        scaler = mk(client, props)
+        if "replicas" not in props:
+            raise TickError(f"{node.name}() needs .replicas(lambda: ...)")
+        if "currentField" in props:
+            raise TickError(
+                f"{node.name}().currentField(): state-dependent replicas "
+                "lambdas need the Python API (Pipeline.autoscale current_fn=)"
+            )
+        node._autoscaler = scaler  # exposed for stats assertions
+        return p.autoscale(
+            scaler,
+            _lam(p, props["replicas"][0]),
+            min=int(props.get("min", [1])[0]),
+            max=int(props.get("max", [0])[0]),
+            increase_cooldown=_dur(props.get("increaseCooldown", [0.0])[0]),
+            decrease_cooldown=_dur(props.get("decreaseCooldown", [0.0])[0]),
+        )
+
+    def _mk_k8sAutoscale(self, p: Pipeline, node: _Node) -> Pipeline:
+        from kapacitor_spark.operators.autoscale import K8sAutoscaler
+
+        def mk(client, props):
+            kw = dict(
+                resource_name=props.get("resourceName", [None])[0],
+                resource_name_tag=props.get("resourceNameTag", [None])[0],
+                namespace=props.get("namespace", [None])[0],
+            )
+            if "kind" in props:
+                kw["kind"] = props["kind"][0]
+            for tick_name, py_name in (
+                ("namespaceTag", "namespace_tag"),
+                ("kindTag", "kind_tag"),
+                ("resourceTag", "resource_tag"),
+            ):
+                if tick_name in props:
+                    kw[py_name] = props[tick_name][0]
+            return K8sAutoscaler(client, **kw)
+
+        return self._autoscale(p, node, "k8s", mk)
+
+    def _mk_swarmAutoscale(self, p: Pipeline, node: _Node) -> Pipeline:
+        from kapacitor_spark.operators.autoscale import SwarmAutoscaler
+
+        return self._autoscale(
+            p, node, "swarm",
+            lambda client, props: SwarmAutoscaler(
+                client,
+                service_name=props.get("serviceName", [None])[0],
+                service_name_tag=props.get("serviceNameTag", [None])[0],
+                output_service_name_tag=props.get(
+                    "outputServiceNameTag", [None])[0],
+            ),
+        )
+
+    def _mk_ec2Autoscale(self, p: Pipeline, node: _Node) -> Pipeline:
+        from kapacitor_spark.operators.autoscale import Ec2Autoscaler
+
+        return self._autoscale(
+            p, node, "ec2",
+            lambda client, props: Ec2Autoscaler(
+                client,
+                group_name=props.get("groupName", [None])[0],
+                group_name_tag=props.get("groupNameTag", [None])[0],
+                output_group_name_tag=props.get("outputGroupNameTag", [None])[0],
+            ),
+        )
+
     def _mk_window(self, p: Pipeline, node: _Node) -> Pipeline:
         props = node.prop_map()
         if "periodCount" in props:
@@ -1330,6 +1416,7 @@ def run_tickscript(
     dbrp: str | None = None,
     alert_services: dict | None = None,
     template_vars: dict | None = None,
+    autoscale_clients: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Execute a TICKscript; returns {httpOut name: DataFrame}.
 
@@ -1356,7 +1443,7 @@ def run_tickscript(
     outputs: dict[str, DataFrame] = {}
     env = _Env(
         sources, time_col, dims, tiebreak, outputs, udfs, endpoints,
-        influxdb, dbrp, alert_services,
+        influxdb, dbrp, alert_services, autoscale_clients,
     )
     env.preset_vars = _coerce_template_vars(template_vars or {})
     toks, src = _tokenize(script)
