@@ -1273,6 +1273,59 @@ def dedup_exact_fp_q(spark, sf_dir):
 
 
 @_q(
+    "span_dedup_stats",
+    r"""WITH toks AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+         FROM documents),
+       pos AS (
+         SELECT doc_id, CAST(u.p AS BIGINT) AS pos,
+                array_to_string(t[u.p + 1 : u.p + 8], ' ') AS sh
+         FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS p) u
+         WHERE len(t) >= 8),
+       dup AS (
+         SELECT doc_id, pos FROM (
+           SELECT doc_id, pos, count(*) OVER (PARTITION BY sh) AS c FROM pos)
+         WHERE c >= 2),
+       marked AS (
+         SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+                     THEN 1 ELSE 0 END AS new_span
+         FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       sp AS (
+         SELECT doc_id, pos,
+                sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         FROM marked),
+       ext AS (
+         SELECT doc_id, span_id, min(pos) AS s, max(pos) + 8 AS e
+         FROM sp GROUP BY doc_id, span_id),
+       per_doc AS (
+         SELECT doc_id, count(*) AS dup_spans, sum(e - s) AS dup_tokens,
+                max(e - s) AS max_span_tokens
+         FROM ext GROUP BY doc_id)
+       SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+              CAST(coalesce(dup_spans, 0) AS BIGINT) AS dup_spans,
+              CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+              CAST(coalesce(max_span_tokens, 0) AS BIGINT) AS max_span_tokens
+       FROM toks t LEFT JOIN per_doc USING (doc_id)""",
+)
+def span_dedup_stats_q(spark, sf_dir):
+    """Substring-level (span) dedup accounting — the Lee-et-al
+    "duplicated long spans across documents" pass at 8-token shingle
+    width: per doc, the merged duplicated extents (count, union token
+    coverage, longest). The engine shuffles only (xxhash64, doc_id, pos)
+    — text never moves; shingle frequency is one map-side-combining hash
+    aggregate (skew-proof vs hot boilerplate shingles) + a left-semi
+    join; extent merging is a per-doc lag/cumsum window. The SQL twin
+    groups the shingle STRINGS — same identity, collision-free check of
+    the hash-only plan. dataprep.dedup.strip_dup_spans applies the
+    matching keep-first-occurrence cleaning transform."""
+    from kapacitor_spark.dataprep.dedup import span_dedup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_dedup_stats(docs, width=8)
+
+
+@_q(
     "minhash_near_dup",
     """WITH s AS (
          SELECT doc_id, lang,
@@ -2981,7 +3034,7 @@ _SCORED_FAMILIES = {
     "2.5-aggregations": (
         "tpch_q1_pricing", "spread_median_stats", "first_last",
         "top3_per_type", "point_transforms", "state_tracking",
-        "change_detect_type", "moving_avg5", "batch_empty_reduce",
+        "change_detect_type", "batch_empty_reduce",
     ),
     "2.7-lambda": ("sigma_outliers", "lambda_scalar_fns", "lambda_string_fns"),
     "2.8-streaming": (
@@ -2992,14 +3045,18 @@ _SCORED_FAMILIES = {
         "alert_state_changes", "deadman_alert", "alert_topics",
         "alert_batch_events",
     ),
+    # r6 rotation (VERDICT r5 #6): span_dedup_stats (new this round),
+    # corpus_prep_pipeline and source_mix_stats (new in r5) move INTO the
+    # scored window; ngram_jaccard_dedup, dedup_clusters and moving_avg5
+    # rotate out — still oracle-checked every run by test_oracle_all.py.
     "dataprep-dedup": (
         "dedup_exact_fp", "minhash_near_dup", "simhash_near_dup",
-        "ngram_jaccard_dedup", "embedding_near_dup", "dedup_clusters",
-        "decontamination",
+        "embedding_near_dup", "decontamination", "span_dedup_stats",
     ),
     "dataprep-text": (
         "boilerplate_removal", "pii_scrub", "sequence_packing",
         "stratified_sample", "text_analysis", "text_lang_id",
+        "corpus_prep_pipeline", "source_mix_stats",
     ),
     "dataprep-similarity": ("ann_cosine_topk", "ann_recall"),
     "dataprep-multimodal": ("multimodal_decode", "multimodal_frames"),

@@ -17,7 +17,7 @@ Scale design notes (the point of this module is 100 TB corpora):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -561,6 +561,172 @@ def duplicated_gram_stats(
     )
     grams.unpersist()
     return out
+
+
+def dup_span_extents(
+    df: DataFrame,
+    width: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_first: bool = False,
+) -> DataFrame:
+    """Substring-level (span) duplication: the maximal duplicated token
+    EXTENTS per document — suffix-array semantics (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better") at fixed
+    shingle width, bucketed, never all-pairs. A token position belongs to
+    a duplicated span when the ``width``-token shingle starting there
+    occurs ≥ ``min_count`` times corpus-wide; overlapping/adjacent
+    duplicated shingles merge into one extent.
+
+    Returns (id, span_start, span_end, span_tokens): token-index extents,
+    ``span_end`` exclusive, all longs.
+
+    ``keep_first`` excludes each duplicated shingle's canonical first
+    occurrence (smallest (doc_id, pos)) — the "keep one copy" policy for
+    stripping, so the corpus retains exactly one instance of every span.
+
+    100 TB shape: shingles shuffle as (8-byte xxhash64, id, pos) — the
+    text never moves. Frequency is one map-side-combining hash aggregate
+    (hot boilerplate shingles combine before the exchange — skew-proof,
+    unlike a count-over-window); the duplicated-hash set (small) joins
+    back left-semi (broadcast-eligible under AQE). keep_first instead
+    needs per-hash ranking, one shuffle-by-hash window. Extent merging is
+    a per-document lag/cumsum window — one shuffle on the doc key.
+    xxhash64 stands in for shingle identity (collisions ~n²/2⁶⁴,
+    negligible at any corpus size)."""
+    base = _spread(df.select(F.col(id_col), F.col(text_col)))
+    toks = tokenize(text_col)
+    pos_sh = (
+        base.withColumn("__toks", toks)
+        .filter(F.size("__toks") >= width)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - width),
+                    lambda i: F.xxhash64(F.slice("__toks", i + 1, width)),
+                )
+            ).alias("__pos", "__sh"),
+        )
+    )
+    if keep_first:
+        w = Window.partitionBy("__sh").orderBy(id_col, "__pos")
+        ranked = pos_sh.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__cnt", F.count(F.lit(1)).over(Window.partitionBy("__sh"))
+        )
+        dup_pos = ranked.filter(
+            (F.col("__cnt") >= min_count) & (F.col("__rn") > 1)
+        ).select(id_col, "__pos")
+    else:
+        dup_hashes = (
+            pos_sh.groupBy("__sh")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") >= min_count)
+            .select("__sh")
+        )
+        dup_pos = pos_sh.join(dup_hashes, "__sh", "left_semi").select(
+            id_col, "__pos"
+        )
+    wd = Window.partitionBy(id_col).orderBy("__pos")
+    spans = (
+        dup_pos.withColumn("__prev", F.lag("__pos").over(wd))
+        .withColumn(
+            "__new",
+            (
+                F.col("__prev").isNull()
+                | (F.col("__pos") > F.col("__prev") + width)
+            ).cast("int"),
+        )
+        .withColumn(
+            "__span",
+            F.sum("__new").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "__span")
+        .agg(
+            F.min("__pos").cast("long").alias("span_start"),
+            (F.max("__pos") + width).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+    return spans
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    width: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document span-duplication accounting over dup_span_extents:
+    (id, n_tokens, dup_spans, dup_tokens, max_span_tokens), all longs,
+    dup_* = 0 for clean docs. ``dup_tokens`` is the size of the UNION of
+    duplicated extents (merged, so no double counting)."""
+    ext = dup_span_extents(
+        df, width=width, min_count=min_count, text_col=text_col, id_col=id_col
+    )
+    per_doc = ext.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dup_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.max("span_tokens").alias("max_span_tokens"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(tokenize(text_col)).cast("long").alias("n_tokens")
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .na.fill({"dup_spans": 0, "dup_tokens": 0, "max_span_tokens": 0})
+        .select(id_col, "n_tokens", "dup_spans", "dup_tokens", "max_span_tokens")
+    )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    width: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The cleaning pass: remove duplicated token extents from each
+    document, keeping each span's canonical first occurrence corpus-wide
+    (keep_first extents) — the Lee-et-al substring-dedup transform.
+    Returns (id, text) with the stripped text rebuilt from surviving
+    tokens (whitespace-normalized, like every tokenize-based op here).
+
+    Extents per doc collect into an array (docs have few extents) and the
+    token filter is a pure column expression — no Python."""
+    ext = dup_span_extents(
+        df, width=width, min_count=min_count, text_col=text_col,
+        id_col=id_col, keep_first=True,
+    )
+    per_doc = ext.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__ext")
+    )
+    base = df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+    joined = base.join(per_doc, id_col, "left")
+    idx = F.sequence(F.lit(0), F.size("__toks") - 1)
+    kept = F.filter(
+        idx,
+        lambda i: ~F.coalesce(
+            F.exists(
+                F.col("__ext"),
+                lambda e: (i >= e["span_start"]) & (i < e["span_end"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.transform(kept, lambda i: F.element_at("__toks", i + 1))
+        ).alias(text_col),
+    )
 
 
 def near_dup_clusters(

@@ -254,3 +254,84 @@ def test_strip_html(spark):
     assert "Hello & welcome to <Spark>." in lines
     assert "Second line here" in lines
     assert "one" in lines and "two" in lines
+
+
+def test_dup_span_extents_semantics(spark):
+    """A shared 12-token run at width 4 merges into ONE extent per doc
+    covering exactly the run; a unique doc reports none; extents carry
+    exclusive ends."""
+    from kapacitor_spark.dataprep.dedup import dup_span_extents
+
+    shared = "the quick brown fox jumps over a lazy dog every single day"
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta"),
+        (2, "one two three " + shared + " four five"),
+        (3, "totally unique content with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in dup_span_extents(df, width=4).collect()
+    }
+    # doc1: tokens 2..13 shared -> starts 2..10 merge -> [2, 14)
+    # doc2: tokens 3..14 shared -> [3, 15)
+    assert got == {(1, 2, 14, 12), (2, 3, 15, 12)}
+
+
+def test_dup_span_within_doc_repeat(spark):
+    """min_count counts OCCURRENCES, not documents (suffix-array
+    semantics): a run repeated twice inside ONE doc is a duplicated
+    span too."""
+    from kapacitor_spark.dataprep.dedup import dup_span_extents
+
+    run = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    df = spark.createDataFrame(
+        [(1, run + " filler middle words here " + run)], ["doc_id", "text"]
+    )
+    ext = dup_span_extents(df, width=8).collect()
+    assert {(r.span_start, r.span_end) for r in ext} == {(0, 8), (12, 20)}
+
+
+def test_span_dedup_stats_clean_docs_zero(spark):
+    from kapacitor_spark.dataprep.dedup import span_dedup_stats
+
+    df = spark.createDataFrame(
+        [(1, "all words here are different from those words there"),
+         (2, "completely other vocabulary nothing matches anything else now")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in span_dedup_stats(df, width=4).collect()}
+    assert rows[1].dup_spans == 0 and rows[1].dup_tokens == 0
+    assert rows[1].n_tokens == 9 and rows[2].n_tokens == 8
+
+
+def test_strip_dup_spans_keeps_first_occurrence(spark):
+    """The cleaning transform keeps exactly one copy corpus-wide: the
+    canonical (smallest doc_id, pos) occurrence survives, later copies
+    are removed; untouched docs pass through token-identical."""
+    from kapacitor_spark.dataprep.dedup import strip_dup_spans
+
+    shared = "the quick brown fox jumps over a lazy dog every single day"
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta"),
+        (2, "one two three " + shared + " four five"),
+        (3, "unique little document nothing shared inside it at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.text for r in strip_dup_spans(df, width=4).collect()}
+    assert out[1] == "alpha beta " + shared + " gamma delta"
+    assert out[2] == "one two three four five"
+    assert out[3] == rows[2][1]
+
+
+def test_dup_span_short_docs_skipped(spark):
+    """Docs shorter than the shingle width produce no shingles and no
+    spans — but still appear in stats with n_tokens."""
+    from kapacitor_spark.dataprep.dedup import span_dedup_stats
+
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in span_dedup_stats(df, width=8).collect()}
+    assert rows[1].n_tokens == 2 and rows[1].dup_spans == 0
+    assert rows[2].n_tokens == 2 and rows[2].dup_spans == 0

@@ -252,6 +252,22 @@ def test_corpus_prep_pipeline_plan(spark):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
 
 
+def test_span_dedup_shuffles_digests_not_text(spark):
+    """Span-level dedup shuffles (xxhash64, doc_id, pos) — never shingle
+    strings or document text: shingle frequency must be a hash aggregate
+    with map-side partial combine (skew-proof vs hot boilerplate
+    shingles), the dup-hash set joins back as an equi-join (no
+    cartesian), and no Python appears anywhere."""
+    plan = plan_of(spark, "span_dedup_stats")
+    assert "xxhash64" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # no shingle STRING may reach an exchange: concat_ws appears only in
+    # string-shingle ops, and span dedup never builds gram strings at all
+    assert "concat_ws" not in plan
+
+
 def test_source_mix_and_embedding_norms_single_aggregate(spark):
     """Accounting queries stay one hash-aggregate: partial_* map-side
     combine before the exchange, no joins."""
