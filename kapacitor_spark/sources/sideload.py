@@ -1,8 +1,10 @@
-"""File-backed sideload sources (SURVEY §2.2).
+"""Sideload sources (SURVEY §2.2) — file:// and http(s)://.
 
 The reference's sideload service (/root/reference/services/sideload/
-service.go) loads a directory of YAML/JSON key-value files and serves
-hierarchical lookups: ``.source('file://dir')`` +
+service.go) loads a directory of YAML/JSON key-value files — or ONE
+HTTP GET returning the whole cache as JSON (httpSource.UpdateCache,
+service.go:262-291) — and serves hierarchical lookups:
+``.source('file://dir' | 'http://...')`` +
 ``.order('t0/{{.t0}}.yml', ...)`` — each order entry is a path template
 over the point's tags, walked most-specific-first with first-match-wins
 (/root/reference/sideload.go, pipeline/sideload.go:8-37).
@@ -60,17 +62,49 @@ def _load_file(path: str) -> dict:
     return _parse_flat_yaml(text)
 
 
+def _fetch_http_cache(url: str, timeout: float = 10.0) -> dict:
+    """GET the sideload cache from an HTTP source — the reference's
+    httpSource.UpdateCache (/root/reference/services/sideload/service.go:
+    262-291): ONE request returning a JSON object
+    ``{rendered-order-path: {key: value}}`` (the whole cache in one
+    response; paths use the same relative namespace as file sources).
+    Fetched once at compile time on the driver, like the reference's
+    in-memory cache — the lookup levels then broadcast as usual."""
+    import urllib.request
+
+    req = urllib.request.Request(url, method="GET")
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        data = resp.read()
+    values = json.loads(data)
+    if not isinstance(values, dict) or not all(
+        isinstance(v, dict) for v in values.values()
+    ):
+        raise ValueError(
+            f"sideload HTTP source {url!r} must return a JSON object of "
+            "objects (path -> key/values)"
+        )
+    return values
+
+
 def load_sideload_levels(
-    spark, source: str, order: Sequence[str]
+    spark, source: str, order: Sequence[str], timeout: float = 10.0
 ) -> tuple[list, list[list[str]]]:
-    """Resolve a sideload source dir + order templates into
+    """Resolve a sideload source + order templates into
     ``(lookup DataFrames, key lists)`` for ``Pipeline.sideload``.
 
-    Each template contributes one level: files matching the template
-    (with ``{{.tag}}`` as the wildcard) become rows keyed by the matched
-    tag value, columns = union of the files' key-values.
+    ``source`` is ``file://dir``, ``http(s)://...`` (the reference accepts
+    exactly these three schemes, services/sideload/service.go:102), or a
+    bare directory path. Each template contributes one level: files (or
+    HTTP cache entries) matching the template with ``{{.tag}}`` as the
+    wildcard become rows keyed by the matched tag value, columns = union
+    of the entries' key-values.
     """
-    base = source[len("file://"):] if source.startswith("file://") else source
+    http_cache = None
+    if source.startswith(("http://", "https://")):
+        http_cache = _fetch_http_cache(source, timeout=timeout)
+        base = ""
+    else:
+        base = source[len("file://"):] if source.startswith("file://") else source
     lookups, ons = [], []
     for tmpl in order:
         m = _TMPL.search(tmpl)
@@ -78,15 +112,26 @@ def load_sideload_levels(
             raise ValueError(f"sideload order entry has no {{{{.tag}}}}: {tmpl!r}")
         key = m.group(1)
         prefix, suffix = tmpl[: m.start()], tmpl[m.end():]
-        d = os.path.join(base, os.path.dirname(prefix))
-        fprefix = os.path.basename(prefix)
         rows = []
-        if os.path.isdir(d):
-            for fn in sorted(os.listdir(d)):
-                if not (fn.startswith(fprefix) and fn.endswith(suffix)):
+        if http_cache is not None:
+            # cache keys live in the template's relative namespace — match
+            # the same prefix/suffix pattern the file walk uses
+            for path in sorted(http_cache):
+                if not (path.startswith(prefix) and path.endswith(suffix)):
                     continue
-                val = fn[len(fprefix): len(fn) - len(suffix)]
-                rows.append({key: val, **_load_file(os.path.join(d, fn))})
+                val = path[len(prefix): len(path) - len(suffix)]
+                if "/" in val:
+                    continue  # wildcard must not span directories
+                rows.append({key: val, **http_cache[path]})
+        else:
+            d = os.path.join(base, os.path.dirname(prefix))
+            fprefix = os.path.basename(prefix)
+            if os.path.isdir(d):
+                for fn in sorted(os.listdir(d)):
+                    if not (fn.startswith(fprefix) and fn.endswith(suffix)):
+                        continue
+                    val = fn[len(fprefix): len(fn) - len(suffix)]
+                    rows.append({key: val, **_load_file(os.path.join(d, fn))})
         pdf = pd.DataFrame(rows) if rows else pd.DataFrame({key: []})
         lookups.append(spark.createDataFrame(pdf))
         ons.append([key])

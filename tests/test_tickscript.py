@@ -2,6 +2,8 @@
 integration tests (/root/reference/integrations/streamer_test.go):
 TestStream_Window, TestStream_SimpleMR, alerts, joins."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -1128,3 +1130,104 @@ def test_bare_lambda_ends_before_property_statement():
     toks, _ = _tokenize('var m = lambda: "value" > 3\nw.x(1)\n')
     lam = [t for t in toks if t[0] == "lambda"][0]
     assert "w.x" not in lam[1]
+
+
+def test_sideload_http_source(spark):
+    """sideload() with an http:// source — the reference's httpSource
+    (/root/reference/services/sideload/service.go:262-291): ONE GET
+    returns the whole cache as JSON {order-path: {key: value}}, then the
+    order templates walk it first-match-wins exactly like file://. Serves
+    the reference's own sideload fixture contents from a local mock
+    server and asserts the TestStream_Sideload_Multiple golden values."""
+    import http.server
+    import json as _json
+    import socketserver
+    import threading
+
+    from kapacitor_spark.sources.line_protocol import promote, replay_srpl
+    from kapacitor_spark.sources.sideload import _load_file
+    from kapacitor_spark.tick import run_tickscript
+
+    fixtures = "/root/reference/integrations/testdata"
+    base = f"{fixtures}/sideload"
+    cache = {}
+    for level in ("t0", "t1", "t2"):
+        d = os.path.join(base, level)
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".yml"):
+                cache[f"{level}/{fn}"] = _load_file(os.path.join(d, fn))
+    body = _json.dumps(cache).encode()
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as srv:
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            raw = replay_srpl(spark, f"{fixtures}/TestStream_Sideload.srpl")
+            m = promote(raw, "m", float_fields=["value"],
+                        tag_cols=["t0", "t1", "t2"])
+            outs = run_tickscript(
+                f"""
+stream
+    |from().measurement('m').groupBy('t0', 't1', 't2')
+    |sideload()
+        .source('http://127.0.0.1:{port}/kapacitor/v1/sideload')
+        .order('t0/{{{{.t0}}}}.yml', 't1/{{{{.t1}}}}.yml', 't2/{{{{.t2}}}}.yml')
+        .field('f1', 0)
+        .field('f2', 0.0)
+        .tag('t3', 'one')
+    |httpOut('TestStream_Sideload')
+""",
+                sources={"m": m},
+                time_col="time",
+            )
+        finally:
+            srv.shutdown()
+    got = {
+        (r.t0, r.t1, r.t2): (float(r.f1), float(r.f2), r.t3, r.value)
+        for r in outs["TestStream_Sideload"].collect()
+    }
+    assert got == {
+        ("a", "m", "x"): (0.0, 0.0, "one", 1.0),
+        ("b", "n", "y"): (2.0, 3.5, "why", 1.0),
+        ("c", "o", "y"): (12.0, 13.5, "why", 1.0),
+    }
+
+
+def test_sideload_http_source_rejects_bad_body(spark):
+    """A non-object JSON body raises instead of silently loading nothing
+    (the reference errors in loadValues, service.go:321-329)."""
+    import pytest as _pytest
+
+    from kapacitor_spark.sources.sideload import _fetch_http_cache
+    import http.server
+    import socketserver
+    import threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b'[1, 2, 3]')
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as srv:
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            with _pytest.raises(ValueError, match="JSON object"):
+                _fetch_http_cache(f"http://127.0.0.1:{port}/x")
+        finally:
+            srv.shutdown()
