@@ -1326,6 +1326,72 @@ def span_dedup_stats_q(spark, sf_dir):
 
 
 @_q(
+    "span_strip_accounting",
+    r"""WITH toks AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+         FROM documents),
+       pos AS (
+         SELECT doc_id, CAST(u.p AS BIGINT) AS pos,
+                array_to_string(t[u.p + 1 : u.p + 8], ' ') AS sh
+         FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS p) u
+         WHERE len(t) >= 8),
+       dup AS (
+         SELECT doc_id, pos FROM (
+           SELECT doc_id, pos, count(*) OVER (PARTITION BY sh) AS c,
+                  row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn
+           FROM pos)
+         WHERE c >= 2 AND rn > 1),
+       marked AS (
+         SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+                     THEN 1 ELSE 0 END AS new_span
+         FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       sp AS (
+         SELECT doc_id, pos,
+                sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         FROM marked),
+       ext AS (
+         SELECT doc_id, span_id, min(pos) AS s, max(pos) + 8 AS e
+         FROM sp GROUP BY doc_id, span_id),
+       cov AS (
+         SELECT doc_id, sum(e - s) AS covered FROM ext GROUP BY doc_id)
+       SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+              CAST(coalesce(covered, 0) AS BIGINT) AS stripped_tokens,
+              CAST(len(t.t) - coalesce(covered, 0) AS BIGINT) AS remaining_tokens
+       FROM toks t LEFT JOIN cov USING (doc_id)""",
+)
+def span_strip_accounting_q(spark, sf_dir):
+    """END-TO-END check of the span-stripping transform: Spark RUNS
+    strip_dup_spans (keep-first extents removed, text rebuilt from
+    surviving tokens) and re-tokenizes the output; the oracle computes
+    what the count MUST be (n_tokens minus the merged keep-first
+    coverage) without ever touching strings. A bug anywhere in the
+    extent ranking, interval merge, or token-filter surgery shows up as
+    a count mismatch. Fully-stripped docs (exact-duplicate copies) hit
+    the empty-text edge and must report 0, not split('')'s [''] row."""
+    from kapacitor_spark.dataprep.dedup import strip_dup_spans, tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    orig = docs.select(
+        "doc_id", F.size(tokenize("text")).cast("long").alias("n_tokens")
+    )
+    stripped = strip_dup_spans(docs, width=8)
+    rem = stripped.select(
+        "doc_id",
+        F.when(F.col("text") == "", F.lit(0))
+        .otherwise(F.size(tokenize("text")))
+        .cast("long")
+        .alias("remaining_tokens"),
+    )
+    return orig.join(rem, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.col("remaining_tokens")).alias("stripped_tokens"),
+        "remaining_tokens",
+    )
+
+
+@_q(
     "minhash_near_dup",
     """WITH s AS (
          SELECT doc_id, lang,
@@ -1399,6 +1465,7 @@ def simhash_near_dup_q(spark, sf_dir):
     )
     n_blocked = blocked.count()
     n_brute = brute.count()
+    sh.unpersist()  # counts are done; don't leak cache entries across runs
     # blocked ⊆ brute by construction (same hamming filter over the same
     # hashes, blocked only over banded candidates) — count equality is
     # therefore set equality; no exceptAll pass needed

@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_exact_fp",
     "minhash_near_dup",
     "simhash_near_dup",
+    "span_dedup_stats",    # substring-level dedup (r6)
     "text_analysis",
     "boilerplate_removal",
     "decontamination",

@@ -48,6 +48,7 @@ __all__ = [
     "state_duration_stream",
     "sigma_stream",
     "ordered_transform_stream",
+    "autoscale_stream",
     "run_available_now",
     "http_out_stream",
     "deadman_stream",
@@ -390,6 +391,118 @@ def sigma_stream(
         state.update((n, mean, m2))
 
     return df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
+        machine,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def autoscale_stream(
+    df: DataFrame,
+    time_col: str,
+    autoscaler,
+    replicas: str,
+    min: int = 1,
+    max: int = 0,
+    increase_cooldown: str | float = 0.0,
+    decrease_cooldown: str | float = 0.0,
+    initial: dict | None = None,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Streaming autoscale decision machine — the reference's live mode
+    (/root/reference/autoscale.go:181-283): per-RESOURCE keyed state
+    (current replicas + per-direction cooldown clocks) surviving
+    micro-batch boundaries; emits (time, resource, old, new) event rows.
+
+    Orchestrator calls happen in the SINK (foreachBatch over the tiny
+    event stream → ``autoscaler.set_replicas``), the same seam as the
+    batch operator; executors never hold a client.
+
+    ``initial``: resource → current replicas, prefetched on the DRIVER at
+    stream compile (the reference calls ``Replicas(id)`` lazily mid-stream
+    — impossible from an executor, the one documented divergence). A
+    resource absent from ``initial`` initializes from its first clamped
+    desired value WITHOUT emitting an event.
+    """
+    if min < 1:
+        raise ValueError(f"minimum count must be >= 1, got {min}")
+    init = dict(initial or {})
+    lo, hi = int(min), int(max)
+    inc_us = round(parse_duration(increase_cooldown) * 1_000_000)
+    dec_us = round(parse_duration(decrease_cooldown) * 1_000_000)
+    work = df.withColumn("__rid", autoscaler.resource_id_column()).filter(
+        F.col("__rid").isNotNull() & (F.col("__rid") != "")
+    )
+    work = work.withColumn(
+        "__want",
+        (F.expr(replicas) if isinstance(replicas, str) else replicas).cast("long"),
+    )
+    out_schema = StructType(
+        [
+            StructField(time_col, work.schema[time_col].dataType),
+            StructField("resource", StringType()),
+            StructField("old", LongType()),
+            StructField("new", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("has_cur", LongType()),
+            StructField("current", LongType()),
+            StructField("last_inc", LongType()),
+            StructField("last_dec", LongType()),
+        ]
+    )
+    tcol, tb = time_col, list(tiebreak)
+
+    def machine(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        rid = key[0]
+        if state.exists:
+            has_cur, current, last_inc, last_dec = state.get
+        else:
+            if rid in init:
+                has_cur, current = 1, int(init[rid])
+            else:
+                has_cur, current = 0, 0
+            last_inc = last_dec = -(1 << 62)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([tcol, *tb], kind="stable")
+            want = pdf["__want"].to_numpy(dtype=object)
+            times = pdf[tcol].to_numpy(dtype="datetime64[us]").astype("int64")
+            for i in range(len(pdf)):
+                w = want[i]
+                if w is None or pd.isna(w):
+                    continue
+                new = int(w)
+                if hi > 0 and new > hi:
+                    new = hi
+                if new < lo:
+                    new = lo
+                if not has_cur:
+                    # unknown resource: first clamped value seeds state
+                    has_cur, current = 1, new
+                    continue
+                if new == current:
+                    continue
+                t = int(times[i])
+                if new > current:
+                    if t < last_inc + inc_us:
+                        continue  # cooldown drop
+                    last_inc = t
+                else:
+                    if t < last_dec + dec_us:
+                        continue
+                    last_dec = t
+                rows.append((pdf[tcol].iat[i], rid, current, new))
+                current = new
+        state.update((has_cur, current, last_inc, last_dec))
+        cols = [f.name for f in out_schema.fields]
+        yield pd.DataFrame(rows, columns=cols)
+
+    return work.groupBy("__rid").applyInPandasWithState(
         machine,
         outputStructType=out_schema,
         stateStructType=state_schema,

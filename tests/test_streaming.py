@@ -820,3 +820,94 @@ def test_stats_stream_ticks_through_traffic_and_silence(spark, tmp_path):
     # first tick carries the 2 ingested points; silent ticks carry 0
     assert counts[0] == 2 or 2 in counts
     assert counts.count(0) >= 1
+
+
+def test_autoscale_stream_matches_batch_golden(spark, tmp_path):
+    """Streaming autoscale (live mode) replays the TestStream_Autoscale
+    decision sequence split across TWO micro-batches and must emit the
+    reference's exact update sequences — cooldown clocks and the current
+    replica count survive the trigger boundary in keyed state."""
+    from kapacitor_spark.operators.autoscale import SwarmAutoscaler
+    from kapacitor_spark.streaming import autoscale_stream, run_available_now
+
+    path = str(tmp_path / "in_scale")
+    mk = lambda s, d, r: (f"2024-01-01 00:00:0{s}", d, float(r))
+    batches = [
+        [mk(1, "serviceA", 1), mk(1, "serviceB", 10),
+         mk(2, "serviceA", 2), mk(2, "serviceB", 20)],
+        [mk(3, "serviceA", -1), mk(3, "serviceB", 0),
+         mk(4, "serviceA", 1000), mk(4, "serviceB", 1000),
+         mk(5, "serviceA", 2), mk(5, "serviceB", 20)],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "t string, deployment string, replicas double"
+        ).withColumn("t", F.to_timestamp("t"))
+        df.coalesce(1).write.mode("append").parquet(path)
+
+    class Client:
+        def service_replicas(self, name):
+            return {"serviceA": 1, "serviceB": 10}[name]
+
+        def update_service(self, name, n):
+            pass
+
+    scaler = SwarmAutoscaler(Client(), service_name_tag="deployment")
+    src = (
+        spark.readStream.schema("t timestamp, deployment string, replicas double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    ev = autoscale_stream(
+        src, "t", scaler, 'cast(replicas as long)',
+        initial={"serviceA": 1, "serviceB": 10},
+    )
+    got = run_available_now(ev, "auto_ev", str(tmp_path / "cp_auto"))
+    by_svc = {}
+    for r in sorted(got.collect(), key=lambda r: (r["t"], r["resource"])):
+        by_svc.setdefault(r["resource"], []).append((r["old"], r["new"]))
+    # the reference's expUpdatesByService (streamer_test.go:11912), as
+    # (old, new) transitions: A 1->2->1->1000->2, B 10->20->1->1000->20
+    assert by_svc == {
+        "serviceA": [(1, 2), (2, 1), (1, 1000), (1000, 2)],
+        "serviceB": [(10, 20), (20, 1), (1, 1000), (1000, 20)],
+    }
+
+
+def test_autoscale_stream_cooldown_across_batches(spark, tmp_path):
+    """An increase applied in micro-batch 1 suppresses an increase inside
+    the cooldown window arriving in micro-batch 2 (the lastIncrease clock
+    lives in keyed state); unknown resources seed from their first point
+    without emitting."""
+    from kapacitor_spark.operators.autoscale import SwarmAutoscaler
+    from kapacitor_spark.streaming import autoscale_stream, run_available_now
+
+    path = str(tmp_path / "in_scale2")
+    batches = [
+        [("2024-01-01 00:00:00", "svc1", 4.0)],   # unknown: seeds current=4
+        [("2024-01-01 00:00:05", "svc1", 8.0)],   # event 4->8, last_inc=:05
+        [("2024-01-01 00:00:08", "svc1", 16.0)],  # within 10s cooldown: drop
+        [("2024-01-01 00:00:20", "svc1", 16.0)],  # cooldown open: 8->16
+    ]
+    for rows in batches:
+        df = spark.createDataFrame(
+            rows, "t string, svc string, replicas double"
+        ).withColumn("t", F.to_timestamp("t"))
+        df.coalesce(1).write.mode("append").parquet(path)
+
+    class Client:
+        def update_service(self, name, n):
+            pass
+
+    scaler = SwarmAutoscaler(Client(), service_name_tag="svc")
+    src = (
+        spark.readStream.schema("t timestamp, svc string, replicas double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    ev = autoscale_stream(
+        src, "t", scaler, "cast(replicas as long)", increase_cooldown="10s"
+    )
+    got = run_available_now(ev, "auto_cd", str(tmp_path / "cp_auto2"))
+    seq = [(r["old"], r["new"]) for r in sorted(got.collect(), key=lambda r: r["t"])]
+    assert seq == [(4, 8), (8, 16)]
