@@ -1326,6 +1326,54 @@ def span_dedup_stats_q(spark, sf_dir):
 
 
 @_q(
+    "mix_token_budget",
+    r"""WITH tot AS (
+         SELECT source,
+                CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+                     AS BIGINT) AS t
+         FROM documents GROUP BY source),
+       cfg AS (
+         SELECT * FROM (VALUES ('src0', 0.5), ('src1', 2.5),
+                               ('src2', 1.0), ('src3', 0.25)) AS v(source, m)),
+       rates AS (
+         SELECT c.source, floor(c.m * t.t) / t.t AS rate
+         FROM cfg c JOIN tot t USING (source)),
+       d AS (
+         SELECT doc_id, d0.source,
+                CAST(floor(r.rate) AS BIGINT) AS k,
+                r.rate - floor(r.rate) AS frac,
+                substring(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+         FROM documents d0 JOIN rates r ON d0.source = r.source)
+       SELECT doc_id, source, CAST(u.e AS BIGINT) AS epoch
+       FROM d, LATERAL (SELECT unnest(range(0, k)) AS e) u
+       UNION ALL
+       SELECT doc_id, source, k AS epoch
+       FROM d
+       WHERE frac > 0 AND h < CASE
+         WHEN CAST(floor(frac * 65536) AS BIGINT) > 65535 THEN 'ffff'
+         ELSE lpad(lower(hex(CAST(floor(frac * 65536) AS BIGINT))), 4, '0')
+       END""",
+)
+def mix_token_budget_q(spark, sf_dir):
+    """Training-mix construction, oracled end to end: down/up-sample four
+    sources to 0.5 / 2.5 / 1.0 / 0.25 epochs of their own token volume
+    (mix_to_token_budget). Selection and epoch replication are fully
+    deterministic (salted md5 thresholds, floor arithmetic), so DuckDB
+    re-derives the exact (doc_id, source, epoch) multiset: upsampling's
+    floor(rate) full copies + thresholded fractional copy included. One
+    aggregate (source totals, driver-collected mixture config) + one
+    scan-level explode — no joins, text scanned once."""
+    from kapacitor_spark.dataprep.text import mix_to_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mix_to_token_budget(
+        docs,
+        multipliers={"src0": 0.5, "src1": 2.5, "src2": 1.0, "src3": 0.25},
+    )
+    return out.select("doc_id", "source", "epoch")
+
+
+@_q(
     "span_strip_accounting",
     r"""WITH toks AS (
          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t

@@ -408,3 +408,82 @@ def source_mix_stats(
             F.round(F.avg("quality"), 6).alias("mean_quality"),
         )
     )
+
+
+def mix_to_token_budget(
+    df: DataFrame,
+    budgets: dict | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+    multipliers: dict | None = None,
+) -> DataFrame:
+    """Training-mix construction: down/UP-sample each source to a target
+    TOKEN budget, deterministically. The per-source rate is
+    budget/total_tokens; rate < 1 keeps a salted-md5-thresholded subset
+    (same rule as deterministic_sample — no RNG, engine-portable);
+    rate > 1 emits floor(rate) full copies plus a thresholded fractional
+    copy, each tagged with an ``epoch`` column (0-based) so repeats stay
+    distinguishable downstream (sequence packing, shuffling). Sources
+    absent from ``budgets`` are dropped. ``multipliers`` expresses each
+    budget as a multiple of the source's OWN token total
+    (budget = floor(m * total) — "2.5 epochs of src1") instead of
+    absolute tokens; exactly one of the two must be given.
+
+    100 TB shape: one map-side-combining aggregate computes per-source
+    token totals (collected to the driver — #sources is mixture-config
+    small), then the selection is a single scan-level projection: a CASE
+    over the source key builds each row's epoch array and explodes it.
+    No joins, no second shuffle; the text is scanned once. The expected
+    output token count per source is the budget ± sampling noise of one
+    Bernoulli draw per doc (exact at rate >= 1 for the full copies).
+    """
+    if (budgets is None) == (multipliers is None):
+        raise ValueError("pass exactly one of budgets= or multipliers=")
+    toks_n = F.size(tokenize(text_col)).cast("long")
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col)
+        .agg(F.sum(toks_n).alias("t"))
+        .collect()
+    }
+    if multipliers is not None:
+        import math
+
+        budgets = {
+            src: math.floor(m * totals[src])
+            for src, m in multipliers.items()
+            if totals.get(src)
+        }
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 4
+    )
+    epochs = F.array().cast("array<int>")
+    chosen = None
+    for src, budget in budgets.items():
+        total = totals.get(src)
+        if not total:
+            continue
+        rate = float(budget) / float(total)
+        k = int(rate)  # full copies
+        frac = rate - k
+        arr = F.sequence(F.lit(0), F.lit(k - 1)) if k > 0 else F.array().cast("array<int>")
+        if frac > 0:
+            thr = format(min(int(frac * 65536), 65535), "04x")
+            arr = F.concat(
+                arr,
+                F.when(h < F.lit(thr), F.array(F.lit(k))).otherwise(
+                    F.array().cast("array<int>")
+                ),
+            )
+        is_src = F.col(source_col) == src
+        epochs = F.when(is_src, arr).otherwise(epochs)
+        chosen = is_src if chosen is None else (chosen | is_src)
+    if chosen is None:
+        raise ValueError("budgets must name at least one present source")
+    return (
+        df.filter(chosen)
+        .withColumn("epoch", F.explode(epochs))
+        .withColumn("epoch", F.col("epoch").cast("long"))
+    )

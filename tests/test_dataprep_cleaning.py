@@ -335,3 +335,43 @@ def test_dup_span_short_docs_skipped(spark):
     rows = {r.doc_id: r for r in span_dedup_stats(df, width=8).collect()}
     assert rows[1].n_tokens == 2 and rows[1].dup_spans == 0
     assert rows[2].n_tokens == 2 and rows[2].dup_spans == 0
+
+
+def test_mix_to_token_budget_semantics(spark):
+    """Upsampling emits floor(rate) full copies (every doc, epochs 0..k-1)
+    plus a deterministic fractional subset at epoch k; downsampling is a
+    subset at epoch 0; rate 1.0 is an exact single copy; unnamed sources
+    drop; runs are reproducible."""
+    from kapacitor_spark.dataprep.text import mix_to_token_budget
+
+    rows = [(i, f"s{i % 3}", "tok " * 50) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = mix_to_token_budget(
+        df, multipliers={"s0": 2.5, "s1": 1.0}
+    ).select("doc_id", "source", "epoch")
+    got = [(r.doc_id, r.source, r.epoch) for r in out.collect()]
+    s0_docs = {i for i in range(30) if i % 3 == 0}
+    s1_docs = {i for i in range(30) if i % 3 == 1}
+    # s1 at 1.0: exactly one epoch-0 copy of every doc
+    assert {(d, e) for (d, s, e) in got if s == "s1"} == {(d, 0) for d in s1_docs}
+    # s0 at 2.5: epochs 0 and 1 are full copies; epoch 2 is a strict subset
+    for e in (0, 1):
+        assert {d for (d, s, ee) in got if s == "s0" and ee == e} == s0_docs
+    frac = {d for (d, s, ee) in got if s == "s0" and ee == 2}
+    assert frac < s0_docs
+    # s2 unnamed: dropped entirely
+    assert not [x for x in got if x[1] == "s2"]
+    # deterministic
+    again = [(r.doc_id, r.source, r.epoch) for r in out.collect()]
+    assert sorted(got) == sorted(again)
+
+
+def test_mix_to_token_budget_validation(spark):
+    from kapacitor_spark.dataprep.text import mix_to_token_budget
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a", "x y z")], ["doc_id", "source", "text"])
+    with _pytest.raises(ValueError, match="exactly one"):
+        mix_to_token_budget(df)
+    with _pytest.raises(ValueError, match="exactly one"):
+        mix_to_token_budget(df, budgets={"a": 10}, multipliers={"a": 1.0})
