@@ -206,3 +206,112 @@ def test_resize_nearest_fuzz(w, h, ch, nw, nh, seed):
     # every output pixel vector exists somewhere in the source
     src_set = {bytes(px) for row in src for px in row}
     assert all(bytes(px) in src_set for row in dst for px in row)
+
+
+def _py_span_machine(texts, width, keep_first=False):
+    """Independent reference for span dedup: dict of shingle-tuple →
+    occurrence list, then interval union per doc."""
+    import collections
+
+    toks = {i: t.strip().lower().split() for i, t in enumerate(texts)}
+    occ = collections.defaultdict(list)
+    for i, ts in toks.items():
+        for p in range(len(ts) - width + 1):
+            occ[tuple(ts[p: p + width])].append((i, p))
+    dup_pos = collections.defaultdict(set)
+    for sh, positions in occ.items():
+        if len(positions) < 2:
+            continue
+        keep = sorted(positions)[0] if keep_first else None
+        for (i, p) in positions:
+            if keep_first and (i, p) == keep:
+                continue
+            dup_pos[i].add(p)
+    res = {}
+    for i, ts in toks.items():
+        covered = set()
+        for p in dup_pos.get(i, ()):  # union of [p, p+width)
+            covered.update(range(p, p + width))
+        # merged extents = runs of consecutive covered positions
+        spans = 0
+        prev = None
+        for c in sorted(covered):
+            if prev is None or c > prev + 1:
+                spans += 1
+            prev = c
+        res[i] = (len(ts), spans, len(covered), covered)
+    return res
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_doc, min_size=1, max_size=8), st.integers(2, 4))
+def test_span_dedup_stats_matches_python_reference(spark, texts, width):
+    from kapacitor_spark.dataprep.dedup import span_dedup_stats
+
+    texts = [t for t in texts if t.strip()]
+    if not texts:
+        return
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_spans"], r["dup_tokens"])
+        for r in span_dedup_stats(df, width=width).collect()
+    }
+    ref = _py_span_machine(texts, width)
+    exp = {i: (n, s, c) for i, (n, s, c, _) in ref.items()}
+    assert got == exp
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_doc, min_size=1, max_size=8), st.integers(2, 4))
+def test_strip_dup_spans_matches_python_reference(spark, texts, width):
+    from kapacitor_spark.dataprep.dedup import strip_dup_spans
+
+    texts = [t for t in texts if t.strip()]
+    if not texts:
+        return
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["text"] for r in strip_dup_spans(df, width=width).collect()}
+    ref = _py_span_machine(texts, width, keep_first=True)
+    for i, t in enumerate(texts):
+        toks = t.strip().lower().split()
+        covered = ref[i][3]
+        exp = " ".join(tok for p, tok in enumerate(toks) if p not in covered)
+        assert got[i] == exp, (i, t)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_doc, min_size=1, max_size=8))
+def test_simhash_packing_matches_python_reference(spark, texts):
+    """The r6 fold+branch-free packing must equal a straight-Python
+    simhash computed from the SAME per-token hashes (fetched via a plain
+    Spark projection — the packing, lane arithmetic, and sign logic are
+    re-derived independently, only xxhash64 itself is shared)."""
+    from kapacitor_spark.dataprep.dedup import simhash
+
+    texts = [t for t in texts if t.strip()]
+    if not texts:
+        return
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    hashes = {
+        r["doc_id"]: list(r["hs"])
+        for r in df.selectExpr(
+            "doc_id",
+            "transform(array_distinct(split(lower(trim(text)), '\\\\s+')),"
+            " t -> xxhash64(t)) AS hs",
+        ).collect()
+    }
+    got = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    for i, hs in hashes.items():
+        n = len(hs)
+        sig = 0
+        for j in range(64):
+            pop = sum((h >> j) & 1 for h in hs)
+            if 2 * pop > n:
+                sig |= 1 << j
+        if sig >= 1 << 63:
+            sig -= 1 << 64  # Spark longs are signed
+        assert got[i] == sig, (i, n)
