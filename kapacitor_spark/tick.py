@@ -45,7 +45,7 @@ from __future__ import annotations
 import re
 from typing import Any, Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kapacitor_spark.durations import parse_duration
@@ -813,6 +813,12 @@ class _Env:
                 out = out.percentile(fld, float(extra), as_=alias)
             else:
                 out = out._single_agg(self._QUERY_AGGS[fname](fld), alias)
+            fill = props.get("fill", [None])[0]
+            if fill is not None and fill != "none" and bucket is not None:
+                out = self._query_fill(
+                    out, fill, _dur(bucket), bucket_offset,
+                    _dur(props["period"][0]), alias, tags,
+                )
         elif sel not in ("*",):
             # plain projection: keep time/dims + the selected fields;
             # rows with NO selected field are dropped (InfluxQL returns
@@ -833,6 +839,84 @@ class _Env:
                 df = df.filter(cond)
             out = out._with(df, dims=out.dims)
         return out
+
+    def _query_fill(
+        self, out: Pipeline, fill, bucket_s, offset_s, period_s, alias, tags
+    ) -> Pipeline:
+        """query().fill(...) — InfluxQL groupBy-time gap filling
+        (/root/reference/batch.go:210-225 forwards it into the InfluxDB
+        query; pipeline/batch.go:180-188 documents the options). Empty
+        time buckets inside each batch window become rows:
+
+        * a number      → that value
+        * 'null'        → a row with a NULL value
+        * 'previous'    → the previous bucket's value (within the window)
+        * 'linear'      → linear interpolation between the neighboring
+                          non-empty buckets (edges stay NULL, like
+                          InfluxDB)
+        * 'none'        → no fill (default; handled by the caller)
+
+        The bucket spine is generated per (query_start, tags) with one
+        ``sequence`` + explode — no scan of the data range — then a left
+        join attaches the aggregated buckets. All expression-level."""
+        d_us = round(bucket_s * 1_000_000)
+        per_us = round(period_s * 1_000_000)
+        off_us = round(offset_s * 1_000_000)
+        df = out.df
+        tcol = out.time_col
+        keys = [t for t in tags] + ["query_start"]
+        qs_us = F.unix_micros(F.col("query_start"))
+        first = (
+            F.floor((qs_us - F.lit(off_us)) / F.lit(d_us)) * F.lit(d_us)
+            + F.lit(off_us)
+        ).cast("long")
+        spine = (
+            df.select(*keys).distinct().withColumn(
+                tcol,
+                F.explode(
+                    F.sequence(
+                        first, qs_us + F.lit(per_us - 1), F.lit(d_us)
+                    )
+                ),
+            ).withColumn(tcol, F.timestamp_micros(F.col(tcol)))
+        )
+        joined = spine.join(df, [*keys, tcol], "left")
+        w = (
+            Window.partitionBy(*[F.col(k) for k in keys]).orderBy(tcol)
+        )
+        if fill == "null":
+            filled = joined
+        elif fill == "previous":
+            filled = joined.withColumn(
+                alias,
+                F.last(alias, ignorenulls=True).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+        elif fill == "linear":
+            t_us = F.unix_micros(F.col(tcol))
+            has = F.col(alias).isNotNull()
+            pv = F.last(F.when(has, F.col(alias)), ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            )
+            pt = F.last(F.when(has, t_us), ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            )
+            nv = F.first(F.when(has, F.col(alias)), ignorenulls=True).over(
+                w.rowsBetween(1, Window.unboundedFollowing)
+            )
+            nt = F.first(F.when(has, t_us), ignorenulls=True).over(
+                w.rowsBetween(1, Window.unboundedFollowing)
+            )
+            interp = pv + (nv - pv) * (t_us - pt) / (nt - pt)
+            filled = joined.withColumn(
+                alias, F.coalesce(F.col(alias), interp)
+            )
+        else:
+            filled = joined.withColumn(
+                alias, F.coalesce(F.col(alias), F.lit(float(fill)))
+            )
+        return out._with(filled, dims=out.dims)
 
     # -- chain dispatch ----------------------------------------------- #
 

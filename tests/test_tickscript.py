@@ -1231,3 +1231,47 @@ def test_sideload_http_source_rejects_bad_body(spark):
                 _fetch_http_cache(f"http://127.0.0.1:{port}/x")
         finally:
             srv.shutdown()
+
+
+def test_batch_query_fill_modes(spark):
+    """query().fill(...) — InfluxQL groupBy-time gap filling inside each
+    batch window (reference batch.go:210-225 fill dispatch): number /
+    'null' / 'previous' / 'linear' generate rows for empty 2s buckets of
+    a 10s window; 'none' (and no fill) keep only non-empty buckets.
+    Data: points at :00, :02, :08 → buckets :04 and :06 are empty."""
+    rows = [
+        ("2024-01-01 00:00:00", 10.0),
+        ("2024-01-01 00:00:01", 20.0),  # bucket :00 mean 15
+        ("2024-01-01 00:00:02", 30.0),  # bucket :02 mean 30
+        ("2024-01-01 00:00:08", 90.0),  # bucket :08 mean 90
+    ]
+    df = (
+        spark.createDataFrame(rows, "time string, value double")
+        .withColumn("time", F.to_timestamp("time"))
+    )
+
+    def run(fill_clause):
+        script = f"""
+batch
+    |query('SELECT mean("value") FROM "db"."rp".m')
+        .period(10s)
+        .every(10s)
+        .groupBy(time(2s)){fill_clause}
+    |httpOut('out')
+"""
+        outs = run_tickscript(script, {"m": df}, time_col="time")
+        return {
+            r["time"].second: r["mean"]
+            for r in outs["out"].collect()
+            if r["time"].second < 10
+        }
+
+    assert run("") == {0: 15.0, 2: 30.0, 8: 90.0}
+    assert run("\n        .fill('none')") == {0: 15.0, 2: 30.0, 8: 90.0}
+    assert run("\n        .fill(0.0)") == {0: 15.0, 2: 30.0, 4: 0.0, 6: 0.0, 8: 90.0}
+    assert run("\n        .fill('null')") == {0: 15.0, 2: 30.0, 4: None, 6: None, 8: 90.0}
+    assert run("\n        .fill('previous')") == {
+        0: 15.0, 2: 30.0, 4: 30.0, 6: 30.0, 8: 90.0}
+    # linear: :02=30 → :08=90 ⇒ :04=50, :06=70
+    assert run("\n        .fill('linear')") == {
+        0: 15.0, 2: 30.0, 4: 50.0, 6: 70.0, 8: 90.0}
