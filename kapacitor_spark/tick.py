@@ -686,6 +686,17 @@ class _Env:
                     p.time_col,
                     F.timestamp_micros(F.unix_micros(p.time) - F.unix_micros(p.time) % F.lit(us)),
                 ))
+            elif name == "round":
+                # .round(d): point times round to the NEAREST multiple
+                # (pipeline/stream.go:163 Round vs :152 Truncate's floor)
+                us = round(_dur(args[0]) * 1_000_000)
+                t = F.unix_micros(p.time)
+                p = p._with(p.df.withColumn(
+                    p.time_col,
+                    F.timestamp_micros(
+                        ((t + F.lit(us // 2)) - (t + F.lit(us // 2)) % F.lit(us))
+                    ),
+                ))
             elif name in ("database", "retentionPolicy", "measurement"):
                 pass  # routing metadata; single-table sources here
             else:

@@ -1275,3 +1275,22 @@ batch
     # linear: :02=30 → :08=90 ⇒ :04=50, :06=70
     assert run("\n        .fill('linear')") == {
         0: 15.0, 2: 30.0, 4: 50.0, 6: 70.0, 8: 90.0}
+
+
+def test_from_round_property(spark):
+    """from().round(d): times round to the NEAREST d multiple
+    (stream.go:163) — distinct from .truncate()'s floor."""
+    rows = [
+        ("2024-01-01 00:00:00.4", 1.0),
+        ("2024-01-01 00:00:00.6", 2.0),
+        ("2024-01-01 00:00:01.5", 3.0),  # exactly half: rounds up
+    ]
+    df = spark.createDataFrame(rows, "time string, value double").withColumn(
+        "time", F.to_timestamp("time")
+    )
+    outs = run_tickscript(
+        "stream |from().measurement('m').round(1s) |httpOut('o')",
+        {"m": df}, time_col="time",
+    )
+    got = sorted((r["time"].second, r["value"]) for r in outs["o"].collect())
+    assert got == [(0, 1.0), (1, 2.0), (2, 3.0)]
