@@ -804,11 +804,40 @@ class _Env:
             results=p.results,
         )
 
-        am = _re.fullmatch(
+        agg_re = (
             r'(\w+)\(\s*"?(\w+)"?\s*(?:,\s*([\d.]+)\s*)?\)'
-            r'(?:\s+AS\s+"?(\w+)"?)?',
-            sel, _re.I,
+            r'(?:\s+AS\s+"?(\w+)"?)?'
         )
+        parts = [s.strip() for s in _re.split(r",(?![^(]*\))", sel) if s.strip()]
+        if len(parts) > 1 and all(
+            (pm := _re.fullmatch(agg_re, part, _re.I))
+            and pm.group(1).lower() in self._QUERY_AGGS
+            for part in parts
+        ):
+            # multi-aggregate SELECT (InfluxQL 'SELECT mean(a), max(b)'):
+            # one grouped aggregation with all output columns. first/last
+            # are excluded — Spark's grouped first is order-arbitrary and
+            # only the single-agg path pins the reference's time ordering.
+            cols = []
+            for part in parts:
+                pm = _re.fullmatch(agg_re, part, _re.I)
+                fname = pm.group(1).lower()
+                if fname in ("first", "last"):
+                    raise TickError(
+                        "query(): first/last in a multi-aggregate SELECT "
+                        "are not supported — select them alone"
+                    )
+                alias = pm.group(4) or fname
+                cols.append(self._QUERY_AGGS[fname](pm.group(2)).alias(alias))
+            if props.get("fill", [None])[0] not in (None, "none"):
+                raise TickError(
+                    "query(): .fill() with a multi-aggregate SELECT is not "
+                    "supported — fill each aggregate in its own query()"
+                )
+            if bucket is not None:
+                out = out.window_time(bucket, bucket, offset=bucket_offset)
+            return out.agg(*cols)
+        am = _re.fullmatch(agg_re, sel, _re.I)
         if am and (
             am.group(1).lower() in self._QUERY_AGGS
             or am.group(1).lower() == "percentile"

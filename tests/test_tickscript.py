@@ -1294,3 +1294,50 @@ def test_from_round_property(spark):
     )
     got = sorted((r["time"].second, r["value"]) for r in outs["o"].collect())
     assert got == [(0, 1.0), (1, 2.0), (2, 3.0)]
+
+
+def test_batch_query_multi_aggregate(spark):
+    """InfluxQL multi-aggregate SELECT: 'SELECT mean(v) AS m, max(v) AS
+    mx, count(v) AS n' — one grouped aggregation per time bucket."""
+    rows = [
+        ("2024-01-01 00:00:00", 10.0),
+        ("2024-01-01 00:00:01", 20.0),
+        ("2024-01-01 00:00:02", 60.0),
+        ("2024-01-01 00:00:03", 40.0),
+    ]
+    df = spark.createDataFrame(rows, "time string, value double").withColumn(
+        "time", F.to_timestamp("time")
+    )
+    outs = run_tickscript(
+        """
+batch
+    |query('SELECT mean("value") AS m, max("value") AS mx, count("value") AS n FROM "db"."rp".m')
+        .period(4s)
+        .every(4s)
+        .groupBy(time(2s))
+    |httpOut('o')
+""",
+        {"m": df}, time_col="time",
+    )
+    got = {
+        r["time"].second: (r["m"], r["mx"], r["n"])
+        for r in outs["o"].collect()
+    }
+    assert got[0] == (15.0, 20.0, 2)
+    assert got[2] == (50.0, 60.0, 2)
+
+
+def test_batch_query_multi_aggregate_first_raises(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1.0)], "time string, value double"
+    ).withColumn("time", F.to_timestamp("time"))
+    with pytest.raises(TickError, match="first/last"):
+        run_tickscript(
+            """
+batch
+    |query('SELECT first("value"), mean("value") FROM "db"."rp".m')
+        .period(4s)
+    |httpOut('o')
+""",
+            {"m": df}, time_col="time",
+        )
