@@ -673,13 +673,16 @@ class _Env:
     def _resolve_from(self, node: _Node) -> Pipeline:
         props = node.prop_map()
         meas = props.get("measurement", [None])[0]
+        by_meas = "groupByMeasurement" in props
         p = self._source_pipeline(meas)
+        if by_meas and "groupBy" not in props:
+            p = p.group_by(by_measurement=True)
         for name, args in node.props:
             if name == "where":
                 p = p.where(_lam(p, args[0]))
             elif name == "groupBy":
                 tags = args[0] if args and isinstance(args[0], list) else list(args)
-                p = p.group_by(*[t for t in tags])
+                p = p.group_by(*[t for t in tags], by_measurement=by_meas)
             elif name == "truncate":
                 us = round(_dur(args[0]) * 1_000_000)
                 p = p._with(p.df.withColumn(
@@ -697,8 +700,9 @@ class _Env:
                         ((t + F.lit(us // 2)) - (t + F.lit(us // 2)) % F.lit(us))
                     ),
                 ))
-            elif name in ("database", "retentionPolicy", "measurement"):
-                pass  # routing metadata; single-table sources here
+            elif name in ("database", "retentionPolicy", "measurement",
+                          "groupByMeasurement"):
+                pass  # routing metadata / handled above
             else:
                 raise TickError(f"from(): unsupported property .{name}()")
         return p
@@ -1486,7 +1490,16 @@ class _PendingAgg:
                         F.lit(False)
                     ),
                 )
-            out = getattr(p, name)(fld, as_=as_ or name)
+            if "usePointTimes" in props and name in ("first", "last"):
+                # .usePointTimes() (influxql.go PointTimes): the emitted
+                # row carries the SELECTED point's time, not the window's
+                out = getattr(p, name)(
+                    fld, as_=as_ or name, use_point_times=True
+                )
+            elif "usePointTimes" in props and name in ("min", "max"):
+                out = getattr(p, f"{name}_selector")(fld, as_=as_ or name)
+            else:
+                out = getattr(p, name)(fld, as_=as_ or name)
         elif name == "distinct":
             out = p.distinct(args[0])
         elif name == "percentile":

@@ -1341,3 +1341,50 @@ batch
 """,
             {"m": df}, time_col="time",
         )
+
+
+def test_use_point_times_prop(cpu):
+    """|last('value').usePointTimes(): the emitted row carries the
+    SELECTED point's time, not the window boundary (influxql.go
+    PointTimes); without it the window start is emitted."""
+    script = """
+stream
+    |from().measurement('cpu').where(lambda: "host" == 'serverA').groupBy('host')
+    |window().period(10s).every(10s)
+    |last('value')
+        .as('v')
+        .usePointTimes()
+    |httpOut('o')
+"""
+    outs = run_tickscript(script, {"cpu": cpu}, time_col="time", tiebreak=("id",))
+    rows = outs["o"].collect()
+    assert len(rows) == 1
+    # last point of the window is at :09 with value 99
+    assert rows[0]["v"] == 99.0 and rows[0]["time"].second == 9
+
+
+def test_group_by_measurement_prop(spark):
+    """from().groupByMeasurement(): the measurement name joins the group
+    key (pipeline/group_by.go:133), so same-tag rows from different
+    measurements aggregate separately."""
+    rows = [
+        ("2024-01-01 00:00:00", "cpu", "h1", 1.0),
+        ("2024-01-01 00:00:01", "cpu", "h1", 3.0),
+        ("2024-01-01 00:00:00", "mem", "h1", 10.0),
+        ("2024-01-01 00:00:01", "mem", "h1", 30.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "time string, name string, host string, value double"
+    ).withColumn("time", F.to_timestamp("time"))
+    outs = run_tickscript(
+        """
+stream
+    |from().groupBy('host').groupByMeasurement()
+    |window().period(10s).every(10s)
+    |mean('value').as('m')
+    |httpOut('o')
+""",
+        df, time_col="time",
+    )
+    got = {r["name"]: r["m"] for r in outs["o"].collect()}
+    assert got == {"cpu": 2.0, "mem": 20.0}
