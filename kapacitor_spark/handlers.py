@@ -612,6 +612,50 @@ def snmptrap_varbinds(
     return binds
 
 
+def mqtt_record(
+    ev: AlertEvent,
+    topic: str,
+    qos: int = 0,
+    retained: bool = False,
+) -> dict:
+    """mqtt/service.go:136-150 + handler :252-258: publish(topic, qos,
+    retained, message-bytes) where the payload is the event's rendered
+    MESSAGE (not a JSON document) and the topic comes from a Go
+    text/template over the event ({{ .ID }}/{{ .Name }}/{{ .Level }}/
+    {{ index .Tags "k" }} — the subset the reference's own topic
+    templates use). QoS 0/1/2 mirror the config enum; empty topics are
+    rejected exactly like Service.Alert (:140)."""
+    rendered = topic
+    if "{{" in topic:
+        import re as _re
+
+        def sub(m):
+            expr = m.group(1).strip()
+            if expr == ".ID":
+                return ev.id
+            if expr == ".Name":
+                s = ev.data.get("series") or [{}]
+                return str(s[0].get("name") or "")
+            if expr == ".Level":
+                return ev.level
+            tm = _re.fullmatch(r'index\s+\.Tags\s+"(\w+)"', expr)
+            if tm:
+                return str(ev.tags.get(tm.group(1), ""))
+            raise ValueError(f"unsupported MQTT topic template {expr!r}")
+
+        rendered = _re.sub(r"\{\{(.+?)\}\}", sub, topic)
+    if not rendered:
+        raise ValueError("missing MQTT topic")
+    if qos not in (0, 1, 2):
+        raise ValueError(f"invalid QoS {qos!r}")
+    return {
+        "topic": rendered,
+        "qos": qos,
+        "retained": bool(retained),
+        "payload": ev.message,
+    }
+
+
 def kafka_record(
     ev: AlertEvent, topic: str, template_message: str | None = None
 ) -> dict:

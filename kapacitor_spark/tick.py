@@ -63,6 +63,7 @@ _ALERT_HANDLER_KINDS = {
     "slack", "victorOps", "pagerDuty", "pagerDuty2", "opsGenie", "opsGenie2",
     "telegram", "teams", "talk", "hipChat", "discord", "pushover", "alerta",
     "sensu", "serviceNow", "zenoss", "bigPanda", "email", "snmpTrap", "kafka",
+    "mqtt",
 }
 # alert-node OWN props — anything here closes a pending handler spec
 _ALERT_LEVEL_PROPS = {
@@ -303,6 +304,27 @@ def _dispatch_alert_handlers(out, specs, services, time_col):
                         collector=opts.get("collector", cfg.get("collector", "")),
                     ),
                 )
+        elif kind == "mqtt":
+            # .mqtt('topic').qos(n).retained(): the broker transport is
+            # external (like kafka) — the config supplies ``publish``
+            # (topic, qos, retained, payload) just as the reference's
+            # mqtttest client seam does
+            publish = cfg.get("publish")
+            if publish is None:
+                raise TickError(
+                    "alert handler .mqtt(): pass a publish callable via "
+                    "alert_services={'mqtt': {'publish': fn}} — the broker "
+                    "transport itself is external"
+                )
+            topic = opts.get("_arg", opts.get("topic", cfg.get("topic", "")))
+            for ev in events:
+                rec = H.mqtt_record(
+                    ev,
+                    topic,
+                    qos=int(opts.get("qos", cfg.get("qos", 0))),
+                    retained=bool(opts.get("retained", cfg.get("retained", False))),
+                )
+                publish(rec["topic"], rec["qos"], rec["retained"], rec["payload"])
         else:
             raise TickError(
                 f"alert handler .{kind}(): payload formatter exists in "
@@ -310,8 +332,9 @@ def _dispatch_alert_handlers(out, specs, services, time_col):
                 "events_from_alert_df (TICK-chain delivery implemented for "
                 "the HTTP services: slack/victorOps/pagerDuty2/opsGenie2/"
                 "telegram/teams/talk/discord/hipChat/pushover/alerta/"
-                "bigPanda/serviceNow/zenoss; email needs SMTP, snmpTrap/"
-                "kafka need their transports)"
+                "bigPanda/serviceNow/zenoss, plus mqtt via a publish "
+                "callable; email needs SMTP, snmpTrap/kafka need their "
+                "transports)"
             )
 
 
@@ -1388,7 +1411,9 @@ class _Env:
                 # driven), so only an argumented call binds as an option.
                 current[name] = args[0] if len(args) == 1 else list(args)
             elif name in _ALERT_HANDLER_KINDS:
-                current = {}
+                # the kind call's own positional arg (only .mqtt(topic)
+                # takes one, pipeline/alert.go:1376) rides as '_arg'
+                current = {"_arg": args[0]} if args else {}
                 cur_kind = name
                 specs.append((name, current))
             elif current is not None and name not in _ALERT_LEVEL_PROPS:

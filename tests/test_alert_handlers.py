@@ -1039,3 +1039,58 @@ def test_kafka_partition_hash_vectors():
         kafka_partition("k", 0, "crc32")
     with pytest.raises(ValueError):
         kafka_partition("k", 5, "sha1")
+
+
+def test_mqtt_record_formats():
+    """mqtt/service.go:136-150 + handler topic templates: payload is the
+    rendered MESSAGE, topic templates render {{ .ID }}/{{ .Name }}/
+    {{ .Level }}/{{ index .Tags "k" }}, empty topics and bad QoS raise."""
+    import pytest as _pytest
+
+    from kapacitor_spark.handlers import AlertEvent, mqtt_record
+
+    ev = AlertEvent(
+        id="cpu:nil", message="cpu is high", time=dt.datetime(2024, 1, 1),
+        level="CRITICAL",
+        data={"series": [{"name": "cpu", "tags": {"host": "h1"}}]},
+    )
+    rec = mqtt_record(ev, "alerts/static", qos=1, retained=True)
+    assert rec == {"topic": "alerts/static", "qos": 1, "retained": True,
+                   "payload": "cpu is high"}
+    rec = mqtt_record(ev, 'alerts/{{ .Name }}/{{ index .Tags "host" }}/{{ .Level }}')
+    assert rec["topic"] == "alerts/cpu/h1/CRITICAL"
+    assert mqtt_record(ev, "{{ .ID }}")["topic"] == "cpu:nil"
+    with _pytest.raises(ValueError, match="missing MQTT topic"):
+        mqtt_record(ev, "")
+    with _pytest.raises(ValueError, match="invalid QoS"):
+        mqtt_record(ev, "t", qos=7)
+
+
+def test_mqtt_tick_handler_publishes(spark):
+    """.mqtt('topic') through the TICKscript alert chain: publishes one
+    message per alert event via the injected broker seam."""
+    from kapacitor_spark.tick import run_tickscript
+
+    from pyspark.sql import functions as F
+
+    rows = [("2024-01-01 00:00:00", "h1", 99.0), ("2024-01-01 00:00:01", "h1", 10.0)]
+    df = spark.createDataFrame(rows, "time string, host string, value double")
+    df = df.withColumn("time", F.to_timestamp("time"))
+    published = []
+    outs = run_tickscript(
+        """
+stream
+    |from().measurement('cpu').groupBy('host')
+    |alert()
+        .crit(lambda: "value" > 90.0)
+        .stateChangesOnly()
+        .message('{{ .Level }}: high cpu')
+        .mqtt('alerts/{{ .Level }}')
+        .qos(1)
+    |httpOut('a')
+""",
+        {"cpu": df}, time_col="time",
+        alert_services={"mqtt": {"publish": lambda t, q, r, p: published.append((t, q, r, p))}},
+    )
+    assert ("alerts/CRITICAL", 1, False, "CRITICAL: high cpu") in published
+    assert ("alerts/OK", 1, False, "OK: high cpu") in published
