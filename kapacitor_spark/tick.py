@@ -831,6 +831,36 @@ class _Env:
             results=p.results,
         )
 
+        align_group = "alignGroup" in props
+
+        def bucketed(o: Pipeline) -> Pipeline:
+            """Apply the groupBy(time(d)) bucketing: epoch-aligned Spark
+            windows normally; .alignGroup() (pipeline/batch.go:170
+            AlignGroup) instead aligns buckets to each batch WINDOW's
+            start — expressed as a computed bucket key appended to the
+            dims (qs + floor((t-qs)/d)*d), no F.window involved."""
+            from dataclasses import replace as _r
+
+            if bucket is None:
+                return o
+            if not align_group:
+                return o.window_time(bucket, bucket, offset=bucket_offset)
+            d_us = round(_dur(bucket) * 1_000_000)
+            qs = F.unix_micros(F.col("query_start"))
+            t = F.unix_micros(F.col(o.time_col))
+            bk = F.timestamp_micros(
+                qs + F.floor((t - qs) / F.lit(d_us)).cast("long") * F.lit(d_us)
+            )
+            return _r(o, df=o.df.withColumn("__bk", bk), dims=(*o.dims, "__bk"))
+
+        def unbucket(o: Pipeline) -> Pipeline:
+            from dataclasses import replace as _r
+
+            if "__bk" not in o.df.columns:
+                return o
+            df = o.df.withColumn(o.time_col, F.col("__bk")).drop("__bk")
+            return _r(o, df=df, dims=tuple(d for d in o.dims if d != "__bk"))
+
         agg_re = (
             r'(\w+)\(\s*"?(\w+)"?\s*(?:,\s*([\d.]+)\s*)?\)'
             r'(?:\s+AS\s+"?(\w+)"?)?'
@@ -861,9 +891,7 @@ class _Env:
                     "query(): .fill() with a multi-aggregate SELECT is not "
                     "supported — fill each aggregate in its own query()"
                 )
-            if bucket is not None:
-                out = out.window_time(bucket, bucket, offset=bucket_offset)
-            return out.agg(*cols)
+            return unbucket(bucketed(out).agg(*cols))
         am = _re.fullmatch(agg_re, sel, _re.I)
         if am and (
             am.group(1).lower() in self._QUERY_AGGS
@@ -871,8 +899,7 @@ class _Env:
         ):
             fname, fld, extra = am.group(1).lower(), am.group(2), am.group(3)
             alias = am.group(4) or fname
-            if bucket is not None:
-                out = out.window_time(bucket, bucket, offset=bucket_offset)
+            out = bucketed(out)
             # InfluxQL emits the bucket/window START as the row time
             if fname == "percentile":
                 # percentile("f", N): influxdb's exact non-interpolating
@@ -880,11 +907,13 @@ class _Env:
                 out = out.percentile(fld, float(extra), as_=alias)
             else:
                 out = out._single_agg(self._QUERY_AGGS[fname](fld), alias)
+            out = unbucket(out)
             fill = props.get("fill", [None])[0]
             if fill is not None and fill != "none" and bucket is not None:
                 out = self._query_fill(
                     out, fill, _dur(bucket), bucket_offset,
                     _dur(props["period"][0]), alias, tags,
+                    align_group=align_group,
                 )
         elif sel not in ("*",):
             # plain projection: keep time/dims + the selected fields;
@@ -908,7 +937,8 @@ class _Env:
         return out
 
     def _query_fill(
-        self, out: Pipeline, fill, bucket_s, offset_s, period_s, alias, tags
+        self, out: Pipeline, fill, bucket_s, offset_s, period_s, alias, tags,
+        align_group: bool = False,
     ) -> Pipeline:
         """query().fill(...) — InfluxQL groupBy-time gap filling
         (/root/reference/batch.go:210-225 forwards it into the InfluxDB
@@ -933,10 +963,13 @@ class _Env:
         tcol = out.time_col
         keys = [t for t in tags] + ["query_start"]
         qs_us = F.unix_micros(F.col("query_start"))
-        first = (
-            F.floor((qs_us - F.lit(off_us)) / F.lit(d_us)) * F.lit(d_us)
-            + F.lit(off_us)
-        ).cast("long")
+        if align_group:
+            first = qs_us  # alignGroup buckets start AT the window start
+        else:
+            first = (
+                F.floor((qs_us - F.lit(off_us)) / F.lit(d_us)) * F.lit(d_us)
+                + F.lit(off_us)
+            ).cast("long")
         spine = (
             df.select(*keys).distinct().withColumn(
                 tcol,

@@ -1388,3 +1388,35 @@ stream
     )
     got = {r["name"]: r["m"] for r in outs["o"].collect()}
     assert got == {"cpu": 2.0, "mem": 20.0}
+
+
+def test_batch_query_align_group(spark):
+    """query().alignGroup() (pipeline/batch.go AlignGroup): groupBy(time(d))
+    buckets align to each batch WINDOW's start instead of the epoch grid.
+    Data starts at :03, so windows start :03; aligned buckets are
+    [:03,:05) and [:05,:07), while the default epoch grid gives :02/:04/:06."""
+    rows = [
+        ("2024-01-01 00:00:03", 10.0),
+        ("2024-01-01 00:00:04", 20.0),
+        ("2024-01-01 00:00:05", 40.0),
+        ("2024-01-01 00:00:06", 80.0),
+    ]
+    df = spark.createDataFrame(rows, "time string, value double").withColumn(
+        "time", F.to_timestamp("time")
+    )
+    base = """
+batch
+    |query('SELECT mean("value") FROM "db"."rp".m')
+        .period(4s)
+        .every(4s)
+        .groupBy(time(2s)){align}
+    |httpOut('o')
+"""
+    outs = run_tickscript(base.format(align=""), {"m": df}, time_col="time")
+    epoch = {r["time"].second: r["mean"] for r in outs["o"].collect()}
+    assert epoch == {2: 10.0, 4: 30.0, 6: 80.0}
+    outs = run_tickscript(
+        base.format(align="\n        .alignGroup()"), {"m": df}, time_col="time"
+    )
+    aligned = {r["time"].second: r["mean"] for r in outs["o"].collect()}
+    assert aligned == {3: 15.0, 5: 60.0}
