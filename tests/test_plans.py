@@ -275,3 +275,14 @@ def test_source_mix_and_embedding_norms_single_aggregate(spark):
         plan = plan_of(spark, name)
         assert "partial_" in plan, name
         assert "Join" not in plan, name
+
+
+def test_mix_token_budget_single_scan(spark):
+    """Mixture construction is one scan-level explode after the totals
+    aggregate: the returned plan has no joins, no Python, and exactly one
+    Generate (the epoch explode)."""
+    plan = plan_of(spark, "mix_token_budget")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Generate") >= 1
+    assert "CartesianProduct" not in plan
