@@ -391,3 +391,51 @@ def rp_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("__cos", 6).alias("cosine"), "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with the deterministic IVF k-means (ivf_index),
+    then find near-duplicate PAIRS only within each cluster — the
+    canonical "cluster to bound the n², dedup inside clusters" shape for
+    embedding-level dedup of web-scale corpora.
+
+    Returns (id_a, id_b, cosine) pairs with cosine >= threshold; feed to
+    dedup.near_dup_clusters for keeper election.
+
+    100 TB shape: cluster assignment is one numpy matmul per Arrow batch
+    over broadcast centroids (ivf_index); the pair search is an equi-join
+    on list_id — quadratic only WITHIN a cluster, which is exactly the
+    blow-up bound n_lists controls (size clusters so the hottest one's
+    pair count fits a task; AQE skew-split handles residue). Cross-cluster
+    near-dups are missed by construction — the documented SemDeDup
+    trade-off; raise n_lists for speed, lower it for recall.
+    """
+    assigned, _ = ivf_index(df, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
+    normed = with_norm(assigned.select(id_col, vec_col, "list_id"), vec_col)
+    a = normed.select(
+        F.col("list_id"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__norm").alias("__na"),
+    )
+    b = normed.select(
+        F.col("list_id"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__norm").alias("__nb"),
+    )
+    cos = cosine_expr("__va", "__vb", "__na", "__nb")
+    return (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -109,3 +109,45 @@ def test_embedding_near_dup_lsh_blocking_composition(emb):
     }
     assert lsh <= truth          # no false pairs, ever
     assert len(lsh) / len(truth) >= 0.55  # measured 0.599, deterministic
+
+
+def test_semantic_dedup_finds_within_cluster_pairs(spark):
+    """SemDeDup: three tight direction-clusters with planted near-dups —
+    every planted pair (cosine ~1) must surface; recall vs brute force is
+    exact here because near-identical vectors always co-cluster."""
+    import numpy as np
+
+    from kapacitor_spark.dataprep.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    planted = set()
+    for c in range(3):
+        center = rng.standard_normal(16)
+        center /= np.linalg.norm(center)
+        for i in range(10):
+            v = center + rng.standard_normal(16) * 0.30
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+        # a near-duplicate pair: v and v + tiny noise
+        v = center + rng.standard_normal(16) * 0.30
+        w = v + rng.standard_normal(16) * 0.001
+        rows.append((vid, [float(x) for x in v]))
+        rows.append((vid + 1, [float(x) for x in w]))
+        planted.add((vid, vid + 1))
+        vid += 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dedup(df, threshold=0.999, n_lists=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert planted <= got
+    # brute-force ground truth: nothing above threshold is missed
+    import itertools
+
+    vecs = {i: np.array(v) for i, v in rows}
+    brute = {
+        (i, j)
+        for i, j in itertools.combinations(sorted(vecs), 2)
+        if float(vecs[i] @ vecs[j] / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j]))) >= 0.999
+    }
+    assert got == brute
