@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import subprocess
+import urllib.error
 import urllib.request
 from typing import Callable, Iterable, Sequence
 
@@ -44,6 +45,7 @@ def http_post(
     timeout: float = 10.0,
     body_template: str | None = None,
     tolerant: bool = False,
+    capture_response: bool = False,
 ) -> Callable:
     """httpPost(url) handler (/root/reference/http_post.go): POSTs each
     partition's rows as one JSON array. Returns a foreachPartition fn.
@@ -66,7 +68,12 @@ def http_post(
     TestStream_HttpPostEndpoint_StatusCodes / TestBatch_HttpPost_Timeout)
     is logged to stderr and the stream CONTINUES, matching the
     reference's diag.Error-and-keep-going handler contract — a flaky
-    alert endpoint must never kill the pipeline."""
+    alert endpoint must never kill the pipeline.
+
+    ``capture_response=True`` (.captureResponse(),
+    /root/reference/http_post.go:152-161): a non-2xx response's BODY
+    becomes the error message; without it the reference's exact hint
+    string is used."""
 
     def _send_one(target: str, payload: list) -> None:
         # body rendering sits INSIDE the tolerant guard: a row missing a
@@ -87,6 +94,25 @@ def http_post(
                 method="POST",
             )
             urllib.request.urlopen(req, timeout=timeout).read()
+        except urllib.error.HTTPError as he:
+            if capture_response:
+                try:
+                    detail = he.read().decode(errors="replace")
+                except Exception:  # noqa: BLE001
+                    detail = str(he)
+            else:
+                detail = (
+                    "unknown error, use .captureResponse() to capture the "
+                    "HTTP response"
+                )
+            err = RuntimeError(
+                f"POST returned non 2xx status code (code={he.code}): {detail}"
+            )
+            if not tolerant:
+                raise err from None
+            import sys as _sys
+
+            print(f"http_post error for {target}: {err}", file=_sys.stderr)
         except Exception as e:  # noqa: BLE001 — handler contract: log, go on
             if not tolerant:
                 raise

@@ -1148,7 +1148,11 @@ class _Env:
                 headers = {**conf.get("headers", {}), **headers}
                 body_template = conf.get("body_template")
         apply_sink(
-            p.df, http_post(url, headers=headers or None, body_template=body_template)
+            p.df,
+            http_post(
+                url, headers=headers or None, body_template=body_template,
+                capture_response="captureResponse" in props,
+            ),
         )
         return p
 

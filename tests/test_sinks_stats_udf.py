@@ -247,3 +247,39 @@ def test_alert_event_handlers_log_exec_tcp_post(pts, tmp_path):
     # endpoint must not kill the partition when tolerant
     send = http_post("http://127.0.0.1:1/alert/{host}", tolerant=True)
     send(alerts.collect())  # must not raise
+
+
+def test_http_post_capture_response(spark):
+    """.captureResponse() (http_post.go:152-161): a non-2xx response's
+    BODY becomes the error message; without it, the reference's hint
+    string appears instead."""
+    import http.server
+    import socketserver
+    import threading
+
+    import pytest as _pytest
+
+    from kapacitor_spark.sinks import apply_sink, http_post
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            self.send_response(503)
+            self.end_headers()
+            self.wfile.write(b"backend melting")
+
+        def log_message(self, *a):
+            pass
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as srv:
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            url = f"http://127.0.0.1:{port}/x"
+            with _pytest.raises(Exception, match="backend melting"):
+                apply_sink(df, http_post(url, capture_response=True))
+            with _pytest.raises(Exception, match="use .captureResponse"):
+                apply_sink(df, http_post(url))
+        finally:
+            srv.shutdown()
