@@ -82,6 +82,12 @@ def main() -> int:
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     for name in names:
+        # one untimed warmup iteration per query: go test -bench discards
+        # warm-up iterations the same way, so the samples measure
+        # steady-state execution, not each plan's one-time janino/codegen
+        # compile (which dominates run 1 for the widest generated
+        # expressions, e.g. simhash's 64-term packing)
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         samples = []
         for _ in range(runs):
             t0 = time.time()
