@@ -624,13 +624,25 @@ def dup_span_extents(
         )
     )
     if keep_first:
-        w = Window.partitionBy("__sh").orderBy(id_col, "__pos")
-        ranked = pos_sh.withColumn("__rn", F.row_number().over(w)).withColumn(
-            "__cnt", F.count(F.lit(1)).over(Window.partitionBy("__sh"))
+        # canonical occurrence = min (doc_id, pos) per shingle, found with
+        # a map-side-combining aggregate (skew-proof: a boilerplate
+        # shingle with millions of occurrences combines before the
+        # exchange — a row_number window would sort the hot key in one
+        # task); non-canonical occurrences then join back as duplicates
+        keepers = (
+            pos_sh.groupBy("__sh")
+            .agg(
+                F.count(F.lit(1)).alias("__c"),
+                F.min(F.struct(id_col, "__pos")).alias("__keep"),
+            )
+            .filter(F.col("__c") >= min_count)
+            .select("__sh", "__keep")
         )
-        dup_pos = ranked.filter(
-            (F.col("__cnt") >= min_count) & (F.col("__rn") > 1)
-        ).select(id_col, "__pos")
+        dup_pos = (
+            pos_sh.join(keepers, "__sh")
+            .filter(F.struct(id_col, "__pos") != F.col("__keep"))
+            .select(id_col, "__pos")
+        )
     else:
         dup_hashes = (
             pos_sh.groupBy("__sh")
