@@ -521,3 +521,106 @@ def load_topic_state(spark, path: str) -> DataFrame:
     """Restore persisted topic state (see save_topic_state). Filters on
     the topic column prune to single partitions."""
     return spark.read.parquet(path)
+
+
+class TopicStore:
+    """Per-topic EventState store with persistence — the reference's
+    alert service with PersistTopics (services/alert/service.go; golden
+    TestAlertHistory_Persistence, integrations/history_clean_test.go:13):
+
+    * ``collect(event)`` updates the topic's in-memory state for the
+      event's ID and PERSISTS it — except OK events, whose on-disk copy
+      is DELETED (reset-to-OK clears history on disk but stays visible
+      in memory until the topic closes).
+    * topic level = max level over the topic's current event states.
+    * ``close_topic`` drops the in-memory topic; ``restore_topic``
+      reloads exactly what disk holds (non-OK states only).
+
+    This is alerting CONTROL-PLANE state — kilobytes per topic, like the
+    reference's boltdb store — so it lives driver-side as JSON files per
+    topic, not as a DataFrame; the data-plane `topic_state` aggregate
+    above remains the bulk query surface.
+    """
+
+    _LEVELS = ["OK", "INFO", "WARNING", "CRITICAL"]
+
+    def __init__(self, path: str):
+        import os
+
+        self._dir = path
+        os.makedirs(path, exist_ok=True)
+        self._topics: dict[str, dict] = {}
+
+    def _file(self, topic: str) -> str:
+        import hashlib
+        import os
+
+        safe = hashlib.md5(topic.encode()).hexdigest()[:16]
+        return os.path.join(self._dir, f"topic_{safe}.json")
+
+    def _persist(self, topic: str) -> None:
+        import json as _json
+
+        states = self._topics.get(topic, {})
+        disk = {k: v for k, v in states.items() if v["level"] != "OK"}
+        with open(self._file(topic), "w") as fh:
+            _json.dump({"topic": topic, "states": disk}, fh)
+
+    def collect(
+        self,
+        topic: str,
+        event_id: str,
+        level: str,
+        message: str = "",
+        details: str = "",
+        time=None,
+        duration_ns: int = 0,
+    ) -> None:
+        if level not in self._LEVELS:
+            raise ValueError(f"unknown level {level!r}")
+        states = self._topics.setdefault(topic, {})
+        states[event_id] = {
+            "level": level,
+            "message": message,
+            "details": details,
+            "time": str(time) if time is not None else "",
+            "duration_ns": int(duration_ns),
+        }
+        self._persist(topic)
+
+    def topic_state(self, topic: str) -> tuple[bool, str]:
+        """(exists, level) — level is the max over current event states,
+        OK for an empty (but existing) topic."""
+        if topic not in self._topics:
+            return False, "OK"
+        states = self._topics[topic]
+        if not states:
+            return True, "OK"
+        return True, max(
+            (s["level"] for s in states.values()),
+            key=self._LEVELS.index,
+        )
+
+    def event_states(self, topic: str, min_level: str = "OK") -> dict:
+        states = self._topics.get(topic, {})
+        floor = self._LEVELS.index(min_level)
+        return {
+            k: dict(v)
+            for k, v in states.items()
+            if self._LEVELS.index(v["level"]) >= floor
+        }
+
+    def close_topic(self, topic: str) -> None:
+        # the on-disk copy stays (that's the whole point of close/restore)
+        self._topics.pop(topic, None)
+
+    def restore_topic(self, topic: str) -> None:
+        import json as _json
+        import os
+
+        f = self._file(topic)
+        states = {}
+        if os.path.exists(f):
+            with open(f) as fh:
+                states = _json.load(fh).get("states", {})
+        self._topics[topic] = states

@@ -653,3 +653,62 @@ def test_register_handler_spec_end_to_end(spark, tmp_path):
             TopicRegistry(),
             {"id": "x", "topic": "t", "kind": "nosuch", "options": {}},
         )
+
+
+def test_alert_history_persistence_golden(tmp_path):
+    """TestAlertHistory_Persistence (integrations/history_clean_test.go:13)
+    step for step: reset-to-OK deletes the on-disk event state but not the
+    in-memory one; close drops memory; restore reloads exactly what disk
+    holds; topic level is the max over current states."""
+    from kapacitor_spark.topics import TopicStore
+
+    topic = "Big Alert Topic"
+    aid = "The special ID"
+    store = TopicStore(str(tmp_path / "alerts"))
+
+    def check(ok_status, level, count_states):
+        exists, lv = store.topic_state(topic)
+        assert exists == ok_status
+        assert lv == level
+        if exists:
+            assert len(store.event_states(topic, "OK")) == count_states
+
+    store.collect(topic, aid, "CRITICAL", "Critical Message", "Critical details")
+    check(True, "CRITICAL", 1)
+
+    store.collect(topic, aid, "OK", "Reset to OK message", "Reset to OK details")
+    # still one event state in memory; the on-disk copy was deleted
+    check(True, "OK", 1)
+
+    store.close_topic(topic)
+    check(False, "OK", 0)
+    store.restore_topic(topic)
+    # restoration from disk has zero states: OK states are not persisted
+    check(True, "OK", 0)
+
+    store.collect(topic, aid + " new ID", "WARNING", "New Alert ID",
+                  "Second alert ID details")
+    check(True, "WARNING", 1)
+    store.collect(topic, aid, "CRITICAL", "Critical Message", "Critical details")
+    check(True, "CRITICAL", 2)
+
+    store.close_topic(topic)
+    check(False, "OK", 0)
+    store.restore_topic(topic)
+    # both non-OK states survived the round trip
+    check(True, "CRITICAL", 2)
+
+
+def test_topic_store_min_level_filter(tmp_path):
+    from kapacitor_spark.topics import TopicStore
+
+    store = TopicStore(str(tmp_path / "a2"))
+    store.collect("t", "a", "INFO")
+    store.collect("t", "b", "CRITICAL")
+    store.collect("t", "c", "OK")
+    assert set(store.event_states("t", "OK")) == {"a", "b", "c"}
+    assert set(store.event_states("t", "WARNING")) == {"b"}
+    # a second store instance restores from the same directory
+    other = TopicStore(str(tmp_path / "a2"))
+    other.restore_topic("t")
+    assert set(other.event_states("t", "OK")) == {"a", "b"}  # OK not on disk
