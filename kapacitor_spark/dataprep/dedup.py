@@ -301,13 +301,12 @@ def simhash(
     (n - 2*lane). Lane width bounds distinct tokens per doc at 2^15-1 —
     far above any realistic document.
 
-    The whole plan is built as THREE selectExpr strings rather than ~400
-    chained Column calls: plan construction is one SQL parse instead of
-    hundreds of py4j round-trips — measured 2.1s of pure driver-side
-    build time at 16 folds + 64 packing terms, now <10ms. (An engine
-    that issues an RPC per expression node pays it on every query;
-    string-built plans are the idiomatic fix for wide generated
-    expressions.)
+    The WIDE generated stages (16 folds + 64 packing terms) are built as
+    selectExpr strings rather than ~400 chained Column calls: plan
+    construction is one SQL parse instead of hundreds of py4j round-trips
+    — measured 2.1s of pure driver-side build time, now <10ms. The
+    token-hash stage stays a Column so it REUSES tokenize() — signatures
+    must normalize exactly like every other dedup op.
     """
     lanes = 4
     lane_bits = 16
@@ -325,13 +324,11 @@ def simhash(
         pc = f"(shiftright(__p{a}, {lane_bits * l}) & {(1 << lane_bits) - 1}L)"
         # sign bit of (n - 2*pc): 1 iff 2*pc > n — branch-free, no WHEN chain
         terms.append(f"shiftleft(shiftright(__n - 2 * {pc}, 63) & 1L, {j})")
+    hashes = F.transform(
+        F.array_distinct(tokenize(text_col)), lambda t: F.xxhash64(t)
+    )  # the SHARED normalization — simhash must tokenize like every dedup op
     return (
-        df.selectExpr(
-            f"`{id_col}`",
-            "transform(array_distinct(split(lower(trim(`"
-            + text_col
-            + "`)), '\\\\s+')), t -> xxhash64(t)) AS __hs",
-        )
+        df.select(F.col(id_col), hashes.alias("__hs"))
         .selectExpr(f"`{id_col}`", "cast(size(__hs) AS bigint) AS __n", *folds)
         .selectExpr(f"`{id_col}`", "(" + " | ".join(terms) + ") AS simhash")
     )

@@ -54,7 +54,46 @@ __all__ = [
     "SwarmAutoscaler",
     "Ec2Autoscaler",
     "autoscale_events",
+    "decision_step",
 ]
+
+#: "never" for the cooldown clocks (Go zero time: the first event in each
+#: direction always passes, autoscale.go:234-249)
+NEVER = -(1 << 62)
+
+
+def decision_step(
+    current: int,
+    want: int,
+    lo: int,
+    hi: int,
+    t: int,
+    last_inc: int,
+    last_dec: int,
+    inc_us: int,
+    dec_us: int,
+) -> tuple[str | None, int, int, int, int]:
+    """ONE point through the reference's decide/clamp/cooldown machine
+    (autoscale.go:199-249) — the pure core shared by the batch walk and
+    the streaming state machine so their semantics cannot drift.
+
+    Returns (action, current, last_inc, last_dec, new) with action in
+    (None = no change, 'inc', 'dec', 'drop'); state advances only on
+    inc/dec, exactly like the reference's save-on-success."""
+    new = int(want)
+    if hi > 0 and new > hi:
+        new = hi
+    if new < lo:
+        new = lo
+    if new == current:
+        return None, current, last_inc, last_dec, new
+    if new > current:
+        if t < last_inc + inc_us:
+            return "drop", current, last_inc, last_dec, new
+        return "inc", new, t, last_dec, new
+    if t < last_dec + dec_us:
+        return "drop", current, last_inc, last_dec, new
+    return "dec", new, last_inc, t, new
 
 
 @dataclass
@@ -221,6 +260,9 @@ def autoscale_events(
     work = work.filter(F.col("__rid").isNotNull() & (F.col("__rid") != ""))
     if current_fn is None:
         work = work.withColumn("__want", replicas.cast("long"))
+    # two actions read work (distinct rids, then the decision walk) — one
+    # materialization instead of two full scans + lambda evaluations
+    work = work.persist()
 
     # -- driver: fetch initial replica counts (one client call per
     #    resource; resources are control-plane small) -------------------
@@ -246,6 +288,10 @@ def autoscale_events(
             T.StructField("old", T.LongType()),
             T.StructField("new", T.LongType()),
             T.StructField("__action", T.StringType()),
+            # per-resource decision sequence: same-timestamp decisions must
+            # replay against the client in walk order (Spark sorts are not
+            # stable, so (time, rid) alone could swap them)
+            T.StructField("__seq", T.LongType()),
         ]
     )
     out_cols = [f.name for f in out_schema.fields]
@@ -254,7 +300,7 @@ def autoscale_events(
         pdf = pdf.sort_values(order, kind="stable")
         rid = pdf["__rid"].iat[0]
         current = initial[rid]
-        last_inc = last_dec = None
+        last_inc = last_dec = NEVER
         times_us = pdf[time_col].to_numpy(dtype="datetime64[us]").astype("int64")
         if current_fn is None:
             want = pdf["__want"].to_numpy(dtype=object)
@@ -270,45 +316,31 @@ def autoscale_events(
                 w = want[i]
             if w is None or pd.isna(w):
                 continue
-            new = int(w)
-            # clamp (autoscale.go:211-217): max only when max > 0
-            if hi > 0 and new > hi:
-                new = hi
-            if new < lo:
-                new = lo
-            if new == current:
+            old = current
+            action, current, last_inc, last_dec, new = decision_step(
+                current, w, lo, hi, int(times_us[i]),
+                last_inc, last_dec, inc_us, dec_us,
+            )
+            if action is None:
                 continue
-            t = times_us[i]
-            if new > current:
-                if last_inc is not None and t < last_inc + inc_us:
-                    action = "drop"
-                else:
-                    last_inc = t
-                    action = "inc"
-            else:
-                if last_dec is not None and t < last_dec + dec_us:
-                    action = "drop"
-                else:
-                    last_dec = t
-                    action = "dec"
             rows.append(
                 (
                     rid,
                     pdf[time_col].iat[i],
                     *[pdf[d].iat[i] for d in dims],
-                    current,
+                    old,
                     new,
                     action,
+                    len(rows),
                 )
             )
-            if action != "drop":
-                current = new  # state saved only on applied events
         return pd.DataFrame(rows, columns=out_cols)
 
     decisions = work.groupBy("__rid").applyInPandas(walk, schema=out_schema)
 
     # -- driver: replay the (tiny) decision stream against the client ---
-    collected = decisions.orderBy(time_col, "__rid").collect()
+    collected = decisions.orderBy(time_col, "__rid", "__seq").collect()
+    work.unpersist()
     tag_names: list[str] = []
     for rid in rids:
         for k in autoscaler.output_tags(rid):

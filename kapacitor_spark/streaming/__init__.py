@@ -416,9 +416,13 @@ def autoscale_stream(
     (current replicas + per-direction cooldown clocks) surviving
     micro-batch boundaries; emits (time, resource, old, new) event rows.
 
-    Orchestrator calls happen in the SINK (foreachBatch over the tiny
-    event stream → ``autoscaler.set_replicas``), the same seam as the
-    batch operator; executors never hold a client.
+    This returns the DECISION stream only. Route it to your sink to make
+    the orchestrator calls — e.g. ``sinks.stream_sink(events, handler,
+    checkpoint)`` or a foreachBatch that collects the (tiny) batch and
+    calls ``autoscaler.set_replicas(row.resource, row.new)`` per event —
+    the same driver-side seam as the batch operator; executors never
+    hold a client, and ``autoscaler.stats`` only advances in the sink
+    you wire.
 
     ``initial``: resource → current replicas, prefetched on the DRIVER at
     stream compile (the reference calls ``Replicas(id)`` lazily mid-stream
@@ -457,6 +461,8 @@ def autoscale_stream(
     )
     tcol, tb = time_col, list(tiebreak)
 
+    from kapacitor_spark.operators.autoscale import NEVER, decision_step
+
     def machine(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         rid = key[0]
         if state.exists:
@@ -466,7 +472,7 @@ def autoscale_stream(
                 has_cur, current = 1, int(init[rid])
             else:
                 has_cur, current = 0, 0
-            last_inc = last_dec = -(1 << 62)
+            last_inc = last_dec = NEVER
         rows = []
         for pdf in pdfs:
             pdf = pdf.sort_values([tcol, *tb], kind="stable")
@@ -476,28 +482,21 @@ def autoscale_stream(
                 w = want[i]
                 if w is None or pd.isna(w):
                     continue
-                new = int(w)
-                if hi > 0 and new > hi:
-                    new = hi
-                if new < lo:
-                    new = lo
                 if not has_cur:
-                    # unknown resource: first clamped value seeds state
-                    has_cur, current = 1, new
+                    # unknown resource: first CLAMPED value seeds state
+                    # (reuse the step with current == the clamped value)
+                    _, _, _, _, seeded = decision_step(
+                        -1, w, lo, hi, 0, NEVER, NEVER, 0, 0
+                    )
+                    has_cur, current = 1, seeded
                     continue
-                if new == current:
-                    continue
-                t = int(times[i])
-                if new > current:
-                    if t < last_inc + inc_us:
-                        continue  # cooldown drop
-                    last_inc = t
-                else:
-                    if t < last_dec + dec_us:
-                        continue
-                    last_dec = t
-                rows.append((pdf[tcol].iat[i], rid, current, new))
-                current = new
+                old = current
+                action, current, last_inc, last_dec, new = decision_step(
+                    current, w, lo, hi, int(times[i]),
+                    last_inc, last_dec, inc_us, dec_us,
+                )
+                if action in ("inc", "dec"):
+                    rows.append((pdf[tcol].iat[i], rid, old, new))
         state.update((has_cur, current, last_inc, last_dec))
         cols = [f.name for f in out_schema.fields]
         yield pd.DataFrame(rows, columns=cols)

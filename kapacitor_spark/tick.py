@@ -866,11 +866,26 @@ class _Env:
             r'(?:\s+AS\s+"?(\w+)"?)?'
         )
         parts = [s.strip() for s in _re.split(r",(?![^(]*\))", sel) if s.strip()]
-        if len(parts) > 1 and all(
-            (pm := _re.fullmatch(agg_re, part, _re.I))
-            and pm.group(1).lower() in self._QUERY_AGGS
-            for part in parts
+        if len(parts) > 1 and any(
+            "(" in part and _re.fullmatch(agg_re, part, _re.I) for part in parts
         ):
+            # a comma list where ANY entry is an aggregate call must be a
+            # fully-supported multi-aggregate — falling through to the
+            # plain-projection branch would silently emit raw rows
+            bad = [
+                part
+                for part in parts
+                if not (
+                    (pm := _re.fullmatch(agg_re, part, _re.I))
+                    and pm.group(1).lower() in self._QUERY_AGGS
+                )
+            ]
+            if bad:
+                raise TickError(
+                    f"query(): unsupported entries in multi-aggregate "
+                    f"SELECT: {bad} (percentile and plain fields must be "
+                    "selected in their own query())"
+                )
             # multi-aggregate SELECT (InfluxQL 'SELECT mean(a), max(b)'):
             # one grouped aggregation with all output columns. first/last
             # are excluded — Spark's grouped first is order-arbitrary and
@@ -1013,8 +1028,15 @@ class _Env:
                 alias, F.coalesce(F.col(alias), interp)
             )
         else:
+            # fill value takes the aggregate column's OWN type: fill(0) on
+            # an integer count keeps the column long (coalescing a double
+            # literal would silently promote every row to double)
             filled = joined.withColumn(
-                alias, F.coalesce(F.col(alias), F.lit(float(fill)))
+                alias,
+                F.coalesce(
+                    F.col(alias),
+                    F.lit(fill).cast(joined.schema[alias].dataType),
+                ),
             )
         return out._with(filled, dims=out.dims)
 

@@ -1420,3 +1420,48 @@ batch
     )
     aligned = {r["time"].second: r["mean"] for r in outs["o"].collect()}
     assert aligned == {3: 15.0, 5: 60.0}
+
+
+def test_batch_query_multi_aggregate_percentile_raises(spark):
+    """A multi-aggregate SELECT containing percentile (or any unsupported
+    entry) must RAISE, not silently fall through to the plain-projection
+    path with no aggregation."""
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1.0)], "time string, value double"
+    ).withColumn("time", F.to_timestamp("time"))
+    with pytest.raises(TickError, match="unsupported entries"):
+        run_tickscript(
+            """
+batch
+    |query('SELECT mean("value"), percentile("value", 90) FROM "db"."rp".m')
+        .period(4s)
+    |httpOut('o')
+""",
+            {"m": df}, time_col="time",
+        )
+
+
+def test_batch_query_fill_keeps_integer_counts(spark):
+    """fill(0) on count() keeps the column integer: existing buckets stay
+    long (3 not 3.0) and gaps fill with 0."""
+    rows = [("2024-01-01 00:00:00", 1.0), ("2024-01-01 00:00:01", 2.0),
+            ("2024-01-01 00:00:08", 3.0)]
+    df = spark.createDataFrame(rows, "time string, value double").withColumn(
+        "time", F.to_timestamp("time")
+    )
+    outs = run_tickscript(
+        """
+batch
+    |query('SELECT count("value") FROM "db"."rp".m')
+        .period(10s)
+        .every(10s)
+        .groupBy(time(2s))
+        .fill(0)
+    |httpOut('o')
+""",
+        {"m": df}, time_col="time",
+    )
+    got = {r["time"].second: r["count"] for r in outs["o"].collect()
+           if r["time"].second < 10}
+    assert got == {0: 2, 2: 0, 4: 0, 6: 0, 8: 1}
+    assert all(isinstance(v, int) for v in got.values())
