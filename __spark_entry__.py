@@ -1326,6 +1326,52 @@ def span_dedup_stats_q(spark, sf_dir):
 
 
 @_q(
+    "autoscale_decisions",
+    r"""WITH c AS (
+         SELECT ts, event_type, event_id,
+                greatest(least(CAST(trunc(value) AS BIGINT), 50), 1) AS cl
+         FROM events WHERE value IS NOT NULL),
+       s AS (
+         SELECT ts, event_type, cl,
+                lag(cl, 1, CAST(5 AS BIGINT)) OVER (
+                  PARTITION BY event_type ORDER BY ts, event_id) AS prev
+         FROM c)
+       SELECT ts, event_type, cl AS new, prev AS old
+       FROM s WHERE cl != prev""",
+)
+def autoscale_decisions_q(spark, sf_dir):
+    """Autoscale decision machine under the oracle: with zero cooldowns
+    the machine's state after each point equals that point's clamped
+    desired count, so the event stream is EXACTLY "clamped value changed
+    vs previous (seeded with the initial count)" — lag-expressible in
+    SQL. Cooldown/cross-group-shared-state semantics are pinned
+    separately by the reference goldens (tests/test_autoscale.py); this
+    row proves the clamp arithmetic, per-resource ordering (tiebreak),
+    and event old/new wiring against an independent engine."""
+    from kapacitor_spark import Pipeline
+    from kapacitor_spark.operators.autoscale import SwarmAutoscaler
+
+    class _Client:  # deterministic mock: every service starts at 5
+        def service_replicas(self, name):
+            return 5
+
+        def update_service(self, name, n):
+            pass
+
+    ev = _t(spark, sf_dir, "events").filter("value IS NOT NULL")
+    scaler = SwarmAutoscaler(_Client(), service_name_tag="event_type")
+    out = (
+        Pipeline.from_df(ev, time_col="ts", tiebreak=("event_id",))
+        .group_by("event_type")
+        .autoscale(scaler, 'lambda: int("value")', min=1, max=50)
+    )
+    return out.df.select(
+        F.col("ts"), F.col("event_type"),
+        F.col("new"), F.col("old"),
+    )
+
+
+@_q(
     "mix_token_budget",
     r"""WITH tot AS (
          SELECT source,
