@@ -304,6 +304,73 @@ def _dispatch_alert_handlers(out, specs, services, time_col):
                         collector=opts.get("collector", cfg.get("collector", "")),
                     ),
                 )
+        elif kind == "email":
+            # .email('to'...) — SMTP transport is external: the config
+            # supplies ``send(email.message.Message)`` (smtplib
+            # send_message seam); the message itself is the golden-tested
+            # handlers.email_message format
+            send = cfg.get("send")
+            if send is None:
+                raise TickError(
+                    "alert handler .email(): pass a send callable via "
+                    "alert_services={'email': {'send': fn, 'from': ..., "
+                    "'to': [...]}} — SMTP transport is external"
+                )
+            def _aslist(x):
+                return [x] if isinstance(x, str) else list(x or [])
+
+            to = (
+                _aslist(opts.get("_arg"))
+                + _aslist(opts.get("to"))
+                + ([] if ("_arg" in opts or "to" in opts)
+                   else _aslist(cfg.get("to")))
+            )
+            if not to:
+                raise TickError("alert handler .email(): no recipients")
+            for ev in events:
+                send(H.email_message(ev, to=to, from_=cfg.get("from", "")))
+        elif kind == "kafka":
+            # .kafka().cluster(c).template(t) — broker transport external:
+            # config supplies ``produce(topic, partition, key, value)``;
+            # record format + partitionById mapping are the golden-tested
+            # handlers.kafka_record / kafka_partition
+            produce = cfg.get("produce")
+            if produce is None:
+                raise TickError(
+                    "alert handler .kafka(): pass a produce callable via "
+                    "alert_services={'kafka': {'produce': fn, 'topic': ..., "
+                    "'partitions': N}} — the broker transport is external"
+                )
+            topic = opts.get("kafkaTopic", cfg.get("topic", ""))
+            nparts = int(cfg.get("partitions", 1))
+            algo = cfg.get("partition_algorithm", "crc32")
+            for ev in events:
+                rec = H.kafka_record(
+                    ev, topic, template_message=opts.get("template")
+                )
+                part = (
+                    H.kafka_partition(rec["key"], nparts, algo)
+                    if cfg.get("partition_by_id", True) and nparts > 1
+                    else 0
+                )
+                produce(rec["topic"], part, rec["key"], rec["value"])
+        elif kind == "snmpTrap":
+            # .snmpTrap('oid').data(oid, type, value)... — wire encoding
+            # (BER) external: config supplies ``send(varbinds)``; the
+            # varbind list is the golden-tested handlers.snmptrap_varbinds
+            send = cfg.get("send")
+            if send is None:
+                raise TickError(
+                    "alert handler .snmpTrap(): pass a send callable via "
+                    "alert_services={'snmpTrap': {'send': fn}} — the SNMP "
+                    "wire transport is external"
+                )
+            trap_oid = opts.get("_arg", cfg.get("trap_oid", ""))
+            data = opts.get("data", [])
+            if data and not isinstance(data[0], (list, tuple)):
+                data = [tuple(data)]
+            for ev in events:
+                send(H.snmptrap_varbinds(ev, trap_oid, [tuple(d) for d in data]))
         elif kind == "mqtt":
             # .mqtt('topic').qos(n).retained(): the broker transport is
             # external (like kafka) — the config supplies ``publish``
@@ -329,12 +396,9 @@ def _dispatch_alert_handlers(out, specs, services, time_col):
             raise TickError(
                 f"alert handler .{kind}(): payload formatter exists in "
                 "kapacitor_spark.handlers — call it directly with "
-                "events_from_alert_df (TICK-chain delivery implemented for "
-                "the HTTP services: slack/victorOps/pagerDuty2/opsGenie2/"
-                "telegram/teams/talk/discord/hipChat/pushover/alerta/"
-                "bigPanda/serviceNow/zenoss, plus mqtt via a publish "
-                "callable; email needs SMTP, snmpTrap/kafka need their "
-                "transports)"
+                "events_from_alert_df (TICK-chain delivery covers the HTTP "
+                "services plus mqtt/kafka/snmpTrap/email via injected "
+                "transport callables in alert_services)"
             )
 
 
@@ -1470,13 +1534,29 @@ class _Env:
                 # driven), so only an argumented call binds as an option.
                 current[name] = args[0] if len(args) == 1 else list(args)
             elif name in _ALERT_HANDLER_KINDS:
-                # the kind call's own positional arg (only .mqtt(topic)
-                # takes one, pipeline/alert.go:1376) rides as '_arg'
-                current = {"_arg": args[0]} if args else {}
+                # the kind call's own positional args ride as '_arg'
+                # (.mqtt(topic) takes one, .email(to...) is variadic —
+                # pipeline/alert.go:1376, :1493)
+                current = (
+                    {"_arg": args[0] if len(args) == 1 else list(args)}
+                    if args else {}
+                )
                 cur_kind = name
                 specs.append((name, current))
             elif current is not None and name not in _ALERT_LEVEL_PROPS:
-                current[name] = args[0] if len(args) == 1 else list(args)
+                val = args[0] if len(args) == 1 else list(args)
+                if name in current:
+                    # repeated option (.data(o,t,v).data(o2,t2,v2),
+                    # .to(a).to(b)): accumulate instead of overwrite
+                    prev = current[name]
+                    if isinstance(prev, list) and prev and isinstance(
+                        prev[0], (list, tuple)
+                    ):
+                        prev.append(val)
+                    else:
+                        current[name] = [prev, val]
+                else:
+                    current[name] = val
             else:
                 current = None
                 cur_kind = None

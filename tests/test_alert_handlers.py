@@ -1094,3 +1094,56 @@ stream
     )
     assert ("alerts/CRITICAL", 1, False, "CRITICAL: high cpu") in published
     assert ("alerts/OK", 1, False, "OK: high cpu") in published
+
+
+def test_email_kafka_snmptrap_tick_transports(spark):
+    """.email()/.kafka()/.snmpTrap() through the TICKscript alert chain
+    deliver via injected transport callables (SMTP/broker/BER stay
+    external, exactly like the mqtt seam); payload formats are the
+    golden-tested handlers formatters."""
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.tick import run_tickscript
+
+    rows = [("2024-01-01 00:00:00", "h1", 99.0)]
+    df = spark.createDataFrame(rows, "time string, host string, value double")
+    df = df.withColumn("time", F.to_timestamp("time"))
+    sent_mail, produced, traps = [], [], []
+    run_tickscript(
+        """
+stream
+    |from().measurement('cpu').groupBy('host')
+    |alert()
+        .crit(lambda: "value" > 90.0)
+        .message('high cpu on {{ index .Tags "host" }}')
+        .id('cpu:{{ index .Tags "host" }}')
+        .email('ops@example.com')
+            .to('oncall@example.com')
+        .kafka()
+            .kafkaTopic('alerts')
+        .snmpTrap('1.3.6.1.4.1.33333.1')
+            .data('1.3.6.1.4.1.33333.1.1', 's', 'level')
+            .data('1.3.6.1.4.1.33333.1.2', 's', 'id')
+    |httpOut('a')
+""",
+        {"cpu": df}, time_col="time",
+        alert_services={
+            "email": {"send": sent_mail.append, "from": "kapacitor@example.com"},
+            "kafka": {"produce": lambda t, p, k, v: produced.append((t, p, k, v)),
+                      "partitions": 4},
+            "snmpTrap": {"send": traps.append},
+        },
+    )
+    assert len(sent_mail) == 1
+    msg = sent_mail[0]
+    assert msg["To"] == "ops@example.com, oncall@example.com"
+    assert msg["Subject"] == "high cpu on h1"
+    assert len(produced) == 1
+    topic, part, key, value = produced[0]
+    assert topic == "alerts" and key == "cpu:h1" and 0 <= part < 4
+    assert '"message":"high cpu on h1"' in value
+    assert len(traps) == 1
+    binds = traps[0]
+    assert binds[1]["value"] == "1.3.6.1.4.1.33333.1"  # snmpTrapOID varbind
+    assert {b["oid"] for b in binds} >= {
+        "1.3.6.1.4.1.33333.1.1", "1.3.6.1.4.1.33333.1.2"}
