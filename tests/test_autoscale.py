@@ -290,3 +290,70 @@ def test_autoscale_current_fn(spark):
     got = [(r["old"], r["new"]) for r in out.df.orderBy("time").collect()]
     assert got == [(2, 4), (4, 8)]
     assert client.updates == [("g", 4), ("g", 8)]
+
+
+def test_decision_step_matches_naive_reference():
+    """Fuzz the shared decide/clamp/cooldown core against a straight
+    re-implementation of autoscale.go:199-249 (independent of the
+    operator code): random desired-count streams, random clamps and
+    cooldowns — event sequences and final state must agree exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kapacitor_spark.operators.autoscale import NEVER, decision_step
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.tuples(st.integers(0, 30), st.integers(0, 20)),
+                 min_size=1, max_size=30),
+        st.integers(1, 5),
+        st.integers(0, 8),
+        st.integers(0, 6),
+        st.integers(0, 6),
+        st.integers(1, 10),
+    )
+    def run(stream, lo, hi, inc_cd, dec_cd, initial):
+        # naive reference walk (transcribed from the Go source, not from
+        # the operator): clamp, compare, per-direction cooldown, save on
+        # success
+        cur, li, ld = initial, None, None
+        expected = []
+        t = 0
+        for dt, want in stream:
+            t += dt
+            new = want
+            if hi > 0 and new > hi:
+                new = hi
+            if new < lo:
+                new = lo
+            if new == cur:
+                continue
+            if new > cur:
+                if li is not None and t < li + inc_cd:
+                    expected.append(("drop", cur, new))
+                    continue
+                li = t
+            else:
+                if ld is not None and t < ld + dec_cd:
+                    expected.append(("drop", cur, new))
+                    continue
+                ld = t
+            expected.append(("event", cur, new))
+            cur = new
+
+        got = []
+        c, gli, gld = initial, NEVER, NEVER
+        t = 0
+        for dt, want in stream:
+            t += dt
+            old = c
+            action, c, gli, gld, new = decision_step(
+                c, want, lo, hi, t, gli, gld, inc_cd, dec_cd
+            )
+            if action == "drop":
+                got.append(("drop", old, new))
+            elif action in ("inc", "dec"):
+                got.append(("event", old, new))
+        assert got == expected and c == cur
+
+    run()
