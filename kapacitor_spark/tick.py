@@ -37,7 +37,9 @@ reference's batch edges).
 Autoscale nodes (k8sAutoscale/swarmAutoscale/ec2Autoscale) run the full
 decision state machine (operators/autoscale.py) against clients passed
 via ``run_tickscript(autoscale_clients={'k8s': client, ...})``.
-Unsupported (documented): queryFlux.
+`batch|queryFlux()` ships the Flux script to an injected InfluxDB 2.x
+client (`run_tickscript(flux_client=fn)`) — the engine never interprets
+Flux, exactly like the reference's FluxQueryService seam.
 """
 
 from __future__ import annotations
@@ -718,17 +720,18 @@ class _Env:
         "from", "window", "eval", "default", "delete", "alert", "join",
         "query", "groupBy", "flatten", "combine", "kapacitorLoopback",
         "sideload", "barrier", "httpPost", "influxDBOut",
-        "k8sAutoscale", "swarmAutoscale", "ec2Autoscale",
+        "k8sAutoscale", "swarmAutoscale", "ec2Autoscale", "queryFlux",
     }
 
     def __init__(
         self, sources, time_col, dims, tiebreak, outputs, udfs=None,
         endpoints=None, influxdb=None, dbrp=None, alert_services=None,
-        autoscale_clients=None,
+        autoscale_clients=None, flux_client=None,
     ):
         self.dbrp = dbrp
         self.alert_services = alert_services
         self.autoscale_clients = autoscale_clients or {}
+        self.flux_client = flux_client
         self.vars: dict[str, Any] = {}
         self.sources = sources
         self.time_col, self.dims, self.tiebreak = time_col, dims, tiebreak
@@ -1015,6 +1018,45 @@ class _Env:
             out = out._with(df, dims=out.dims)
         return out
 
+    def _resolve_query_flux(self, node: _Node) -> Pipeline:
+        """batch|queryFlux('from(bucket:...) |> ...').every(e)/.cron(c)
+        .period(p).offset(o).align().org(o).orgID(id).cluster(c)
+        (/root/reference/pipeline/batch.go:367-443, batch.go:569-680,
+        fluxquery.go): the engine does NOT interpret Flux — the script
+        ships to an InfluxDB 2.x /api/v2/query endpoint and the returned
+        table flows in as a batch edge (the reference's FluxQueryService
+        seam, mocked in its own TestBatch_Flux). Pass the client via
+        ``run_tickscript(flux_client=fn)`` with
+        ``fn(script, org, org_id) -> DataFrame``.
+
+        Replay divergence (documented): the reference re-issues the query
+        on every schedule tick against live data; a deterministic batch
+        replay has no wall clock, so the client is invoked ONCE — the
+        schedule properties are validated with the reference's exact
+        error strings (batch.go:600-614) and recorded, and a live
+        deployment drives the cadence outside the engine."""
+        props = node.prop_map()
+        if "every" in props and "cron" in props:
+            raise TickError("must not set both 'every' and 'cron' properties")
+        if "every" in props and _dur(props["every"][0]) < 0:
+            raise TickError("'every' duration must must non-negative")
+        if "every" not in props and "cron" not in props:
+            raise TickError("must define one of 'every' or 'cron'")
+        if self.flux_client is None:
+            raise TickError(
+                "queryFlux(): no Flux client — pass "
+                "run_tickscript(flux_client=fn) with "
+                "fn(script, org, org_id) -> DataFrame"
+            )
+        df = self.flux_client(
+            node.args[0],
+            props.get("org", [""])[0],
+            props.get("orgID", [""])[0],
+        )
+        return Pipeline.from_df(
+            df, time_col=self.time_col, dims=self.dims, tiebreak=self.tiebreak
+        )
+
     def _query_fill(
         self, out: Pipeline, fill, bucket_s, offset_s, period_s, alias, tags,
         align_group: bool = False,
@@ -1119,6 +1161,10 @@ class _Env:
                 if node.kind != "batch":
                     raise TickError("query() requires a batch source")
                 return _Node("query", args, node)
+            if name == "queryFlux":
+                if node.kind != "batch":
+                    raise TickError("queryFlux() requires a batch source")
+                return _Node("queryFlux", args, node)
             raise TickError(f"{node.kind} source supports |from()")
         if name in self.BUILDERS or name.startswith("@"):
             return _Node(name, args, node)
@@ -1147,6 +1193,8 @@ class _Env:
             return self._resolve_from(node)
         if node.name == "query":
             return self._resolve_query(node)
+        if node.name == "queryFlux":
+            return self._resolve_query_flux(node)
         if not isinstance(p, Pipeline):
             raise TickError(f"|{node.name}() needs an upstream pipeline")
         if node.name.startswith("@"):
@@ -1718,6 +1766,7 @@ def run_tickscript(
     alert_services: dict | None = None,
     template_vars: dict | None = None,
     autoscale_clients: dict | None = None,
+    flux_client=None,
 ) -> dict[str, DataFrame]:
     """Execute a TICKscript; returns {httpOut name: DataFrame}.
 
@@ -1744,7 +1793,7 @@ def run_tickscript(
     outputs: dict[str, DataFrame] = {}
     env = _Env(
         sources, time_col, dims, tiebreak, outputs, udfs, endpoints,
-        influxdb, dbrp, alert_services, autoscale_clients,
+        influxdb, dbrp, alert_services, autoscale_clients, flux_client,
     )
     env.preset_vars = _coerce_template_vars(template_vars or {})
     toks, src = _tokenize(script)

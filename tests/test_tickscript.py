@@ -1465,3 +1465,68 @@ batch
            if r["time"].second < 10}
     assert got == {0: 2, 2: 0, 4: 0, 6: 0, 8: 1}
     assert all(isinstance(v, int) for v in got.values())
+
+
+def test_batch_query_flux_golden(spark):
+    """TestBatch_Flux (batcher_test.go:22): the Flux script ships to the
+    injected client (the reference's mocked FluxQueryService seam) and
+    the returned table flows through the pipeline to httpOut — asserted
+    against the reference's inline expected rows (name 'yeas', vote tag,
+    time/value columns)."""
+    import datetime as _dt
+
+    Z = _dt.timezone.utc
+    canned = [
+        ("1971-01-01T00:00:00", "yea"), ("1971-01-01T00:00:02", "nay"),
+        ("1971-01-01T00:00:04", "yea"), ("1971-01-01T00:00:05", "yea"),
+        ("1971-01-01T00:00:06", "nay"), ("1971-01-01T00:00:08", "yea"),
+    ]
+    calls = []
+
+    def flux_client(script, org, org_id):
+        calls.append((script, org, org_id))
+        df = spark.createDataFrame(
+            [("yeas", "should we orange juice", t, v) for t, v in canned],
+            "name string, vote string, time string, value string",
+        )
+        return df.withColumn("time", F.to_timestamp("time"))
+
+    script = """batch|queryFlux('from(bucket:"example-bucket")
+|> range(start:-1h)
+|> filter(fn:(r) =>
+r._measurement == "cpu" and
+r.cpu == "cpu-total"
+)
+|> aggregateWindow(every: 1m, fn: mean)')
+    .every(1s)
+|httpOut('TestBatch_FluxQuery')
+"""
+    outs = run_tickscript(script, sources={}, time_col="time",
+                          flux_client=flux_client)
+    rows = outs["TestBatch_FluxQuery"].orderBy("time").collect()
+    got = [(r["time"].replace(tzinfo=Z).isoformat(), r["name"], r["vote"],
+            r["value"]) for r in rows]
+    assert got == [
+        (f"{t}+00:00", "yeas", "should we orange juice", v) for t, v in canned
+    ]
+    assert len(calls) == 1
+    assert 'from(bucket:"example-bucket")' in calls[0][0]
+
+
+def test_batch_query_flux_validation(spark):
+    """The reference's exact schedule-validation errors
+    (batch.go:600-614)."""
+    def client(s, o, oid):
+        raise AssertionError("client must not be called on invalid scripts")
+
+    with pytest.raises(TickError, match="must not set both 'every' and 'cron'"):
+        run_tickscript(
+            "batch|queryFlux('f').every(1s).cron('* * * * *')|httpOut('o')",
+            sources={}, flux_client=client,
+        )
+    with pytest.raises(TickError, match="must define one of 'every' or 'cron'"):
+        run_tickscript(
+            "batch|queryFlux('f')|httpOut('o')", sources={}, flux_client=client
+        )
+    with pytest.raises(TickError, match="no Flux client"):
+        run_tickscript("batch|queryFlux('f').every(1s)|httpOut('o')", sources={})
