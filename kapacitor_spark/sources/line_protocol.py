@@ -538,3 +538,31 @@ def record_srpl(
                      f"{','.join(frags)} {ts:010d}\n")
             n += 1
     return n
+
+
+def subscribe_stream(
+    spark: SparkSession,
+    path: str,
+    precision_ns: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The engine side of an InfluxDB SUBSCRIPTION: a continuous
+    line-protocol feed parsed into typed points as a STREAMING DataFrame.
+
+    The reference registers itself with InfluxDB, which then pushes
+    writes over UDP/HTTP (services/influxdb subscriptions,
+    services/udp/service.go:145); the transport registration is external
+    service plumbing, but the data plane — "line protocol keeps
+    arriving, points keep flowing" — is exactly a Structured Streaming
+    text source + the hybrid JVM/Arrow parser. Point the subscriber
+    (or any collector) at a spool directory and read it here; swap the
+    text source for Kafka with the same parse_lines call.
+
+    Returns the parsed stream (name/tags/fields/time columns); feed it
+    to any streaming operator or barrier().
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(path)
+    return parse_lines(raw, col="value", precision_ns=precision_ns)

@@ -911,3 +911,31 @@ def test_autoscale_stream_cooldown_across_batches(spark, tmp_path):
     got = run_available_now(ev, "auto_cd", str(tmp_path / "cp_auto2"))
     seq = [(r["old"], r["new"]) for r in sorted(got.collect(), key=lambda r: r["t"])]
     assert seq == [(4, 8), (8, 16)]
+
+
+def test_subscribe_stream_line_protocol(spark, tmp_path):
+    """Subscription data plane: line-protocol files landing in a spool
+    dir parse into typed points continuously (two micro-batches, both
+    JVM fast path and quoted slow path lines), ready for streaming ops."""
+    import os
+
+    from kapacitor_spark.sources.line_protocol import subscribe_stream
+    from kapacitor_spark.streaming import run_available_now
+
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+    (spool / "b1.txt").write_text(
+        "cpu,host=serverA value=90.5 1000000000\n"
+        "cpu,host=serverB value=88.0 2000000000\n"
+    )
+    (spool / "b2.txt").write_text(
+        'cpu,host=serverC msg="hello world",value=70.25 3000000000\n'
+    )
+    src = subscribe_stream(spark, str(spool), max_files_per_trigger=1)
+    got = run_available_now(src, "sub_lp", str(tmp_path / "cp_sub"))
+    rows = {r["tags"]["host"]: r for r in got.collect()}
+    assert rows["serverA"]["fields_f"]["value"] == 90.5
+    assert rows["serverB"]["name"] == "cpu"
+    assert rows["serverC"]["fields_s"]["msg"] == "hello world"
+    assert rows["serverC"]["fields_f"]["value"] == 70.25
+    assert rows["serverA"]["time"].second == 1
