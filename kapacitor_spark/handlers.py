@@ -612,6 +612,40 @@ def snmptrap_varbinds(
     return binds
 
 
+def render_event_template(ev: AlertEvent, tmpl: str) -> str:
+    """Per-event Go text/template rendering for handler options that the
+    reference executes per alert (mqtt topic templates, kafka .template(),
+    snmpTrap .data() values — services/{mqtt,kafka,snmptrap}). Supports
+    the field set those templates use: {{ .ID }} {{ .Name }} {{ .Level }}
+    {{ .Message }} {{ .Details }} {{ .TaskName }} {{ index .Tags "k" }}.
+    Strings without '{{' pass through unchanged."""
+    if "{{" not in tmpl:
+        return tmpl
+    import re as _re
+
+    def sub(m):
+        expr = m.group(1).strip()
+        if expr == ".ID":
+            return ev.id
+        if expr == ".Name":
+            s = ev.data.get("series") or [{}]
+            return str(s[0].get("name") or "")
+        if expr == ".Level":
+            return ev.level
+        if expr == ".Message":
+            return ev.message
+        if expr == ".Details":
+            return ev.details
+        if expr == ".TaskName":
+            return ev.task_name
+        tm = _re.fullmatch(r'index\s+\.Tags\s+"(\w+)"', expr)
+        if tm:
+            return str(ev.tags.get(tm.group(1), ""))
+        raise ValueError(f"unsupported event template {expr!r}")
+
+    return _re.sub(r"\{\{(.+?)\}\}", sub, tmpl)
+
+
 def mqtt_record(
     ev: AlertEvent,
     topic: str,
@@ -625,25 +659,7 @@ def mqtt_record(
     {{ index .Tags "k" }} — the subset the reference's own topic
     templates use). QoS 0/1/2 mirror the config enum; empty topics are
     rejected exactly like Service.Alert (:140)."""
-    rendered = topic
-    if "{{" in topic:
-        import re as _re
-
-        def sub(m):
-            expr = m.group(1).strip()
-            if expr == ".ID":
-                return ev.id
-            if expr == ".Name":
-                s = ev.data.get("series") or [{}]
-                return str(s[0].get("name") or "")
-            if expr == ".Level":
-                return ev.level
-            tm = _re.fullmatch(r'index\s+\.Tags\s+"(\w+)"', expr)
-            if tm:
-                return str(ev.tags.get(tm.group(1), ""))
-            raise ValueError(f"unsupported MQTT topic template {expr!r}")
-
-        rendered = _re.sub(r"\{\{(.+?)\}\}", sub, topic)
+    rendered = render_event_template(ev, topic)
     if not rendered:
         raise ValueError("missing MQTT topic")
     if qos not in (0, 1, 2):

@@ -346,9 +346,16 @@ def _dispatch_alert_handlers(out, specs, services, time_col):
             topic = opts.get("kafkaTopic", cfg.get("topic", ""))
             nparts = int(cfg.get("partitions", 1))
             algo = cfg.get("partition_algorithm", "crc32")
+            tmpl = opts.get("template")
             for ev in events:
                 rec = H.kafka_record(
-                    ev, topic, template_message=opts.get("template")
+                    ev, topic,
+                    # the reference executes .template() per alert
+                    # (services/kafka/service.go:407-410)
+                    template_message=(
+                        H.render_event_template(ev, tmpl)
+                        if tmpl is not None else None
+                    ),
                 )
                 part = (
                     H.kafka_partition(rec["key"], nparts, algo)
@@ -372,7 +379,13 @@ def _dispatch_alert_handlers(out, specs, services, time_col):
             if data and not isinstance(data[0], (list, tuple)):
                 data = [tuple(data)]
             for ev in events:
-                send(H.snmptrap_varbinds(ev, trap_oid, [tuple(d) for d in data]))
+                # .data() VALUES are templates executed per event
+                # (services/snmptrap/service.go:220-246)
+                rows = [
+                    (oid, typ, H.render_event_template(ev, str(value)))
+                    for oid, typ, value in (tuple(d) for d in data)
+                ]
+                send(H.snmptrap_varbinds(ev, trap_oid, rows))
         elif kind == "mqtt":
             # .mqtt('topic').qos(n).retained(): the broker transport is
             # external (like kafka) — the config supplies ``publish``
@@ -1035,12 +1048,19 @@ class _Env:
         schedule properties are validated with the reference's exact
         error strings (batch.go:600-614) and recorded, and a live
         deployment drives the cadence outside the engine."""
+        if not node.args:
+            raise TickError("queryFlux() needs the Flux script argument")
         props = node.prop_map()
-        if "every" in props and "cron" in props:
+        # value semantics exactly mirror batch.go:599-615: Every > 0 means
+        # set (0 = unset, negative = error), Cron set = non-empty string
+        every = _dur(props["every"][0]) if props.get("every") else 0.0
+        cron = (props.get("cron") or [""])[0]
+        if every > 0 and cron != "":
             raise TickError("must not set both 'every' and 'cron' properties")
-        if "every" in props and _dur(props["every"][0]) < 0:
+        if every < 0:
+            # the doubled 'must must' is the reference's own error string
             raise TickError("'every' duration must must non-negative")
-        if "every" not in props and "cron" not in props:
+        if every == 0 and cron == "":
             raise TickError("must define one of 'every' or 'cron'")
         if self.flux_client is None:
             raise TickError(
@@ -1050,8 +1070,8 @@ class _Env:
             )
         df = self.flux_client(
             node.args[0],
-            props.get("org", [""])[0],
-            props.get("orgID", [""])[0],
+            (props.get("org") or [""])[0],
+            (props.get("orgID") or [""])[0],
         )
         return Pipeline.from_df(
             df, time_col=self.time_col, dims=self.dims, tiebreak=self.tiebreak
@@ -1539,6 +1559,16 @@ class _Env:
             if lvl in props:
                 kw[key] = _lam(p, props[lvl][0])
         sco_args = props.get("stateChangesOnly")
+
+        def tick_tmpl(v):
+            """TICK .id()/.message()/.details() strings are Go templates:
+            text without {{ }} is a LITERAL ('cpu:h1' must not parse as a
+            Spark variant-extraction expression). Pipeline.alert's SQL
+            pass-through stays available to Python-DSL callers."""
+            if v is None or "{{" in v:
+                return v
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
         out = p.alert(
             state_changes_only="stateChangesOnly" in props,
             # the reference's STREAM trigger rule is always on
@@ -1555,10 +1585,10 @@ class _Env:
             id_tag=props.get("idTag", [None])[0],
             duration_field=props.get("durationField", [None])[0],
             topic=props.get("topic", [None])[0],
-            id_template=props.get("id", [None])[0],
-            message_template=props.get("message", [None])[0],
+            id_template=tick_tmpl(props.get("id", [None])[0]),
+            message_template=tick_tmpl(props.get("message", [None])[0]),
             message_field=props.get("messageField", ["message"])[0],
-            details_template=props.get("details", [None])[0],
+            details_template=tick_tmpl(props.get("details", [None])[0]),
             **kw,
         )
         # Service-handler chains (pipeline/alert.go:39-61): each handler
@@ -1593,17 +1623,24 @@ class _Env:
                 specs.append((name, current))
             elif current is not None and name not in _ALERT_LEVEL_PROPS:
                 val = args[0] if len(args) == 1 else list(args)
-                if name in current:
-                    # repeated option (.data(o,t,v).data(o2,t2,v2),
-                    # .to(a).to(b)): accumulate instead of overwrite
+                if name in ("data", "link") and name in current:
+                    # multi-arg APPEND options ("Multiple calls append",
+                    # pipeline/alert.go .Data/.Link): list of entries
                     prev = current[name]
-                    if isinstance(prev, list) and prev and isinstance(
-                        prev[0], (list, tuple)
-                    ):
-                        prev.append(val)
-                    else:
-                        current[name] = [prev, val]
+                    if not (prev and isinstance(prev[0], (list, tuple))):
+                        prev = [prev]
+                    prev.append(val)
+                    current[name] = prev
+                elif name == "to" and name in current:
+                    # flat-append option (.to(a).to(b).to(c) — alert.go
+                    # Email/To docs: "Multiple calls append")
+                    prev = current[name]
+                    flat = prev if isinstance(prev, list) else [prev]
+                    flat.extend(val if isinstance(val, list) else [val])
+                    current[name] = flat
                 else:
+                    # every other option overwrites (last wins), like the
+                    # reference's plain property setters
                     current[name] = val
             else:
                 current = None

@@ -1147,3 +1147,65 @@ stream
     assert binds[1]["value"] == "1.3.6.1.4.1.33333.1"  # snmpTrapOID varbind
     assert {b["oid"] for b in binds} >= {
         "1.3.6.1.4.1.33333.1.1", "1.3.6.1.4.1.33333.1.2"}
+
+
+def test_render_event_template_fields():
+    from kapacitor_spark.handlers import AlertEvent, render_event_template
+
+    ev = AlertEvent(
+        id="i1", message="msg here", details="det", time=dt.datetime(2024, 1, 1),
+        level="WARNING", task_name="t",
+        data={"series": [{"name": "cpu", "tags": {"host": "h9"}}]},
+    )
+    assert render_event_template(ev, "plain") == "plain"
+    assert render_event_template(ev, "{{ .Message }}") == "msg here"
+    assert render_event_template(ev, "{{ .Details }}/{{ .TaskName }}") == "det/t"
+    assert render_event_template(
+        ev, '{{ .ID }}:{{ .Name }}:{{ index .Tags "host" }}:{{ .Level }}'
+    ) == "i1:cpu:h9:WARNING"
+
+
+def test_kafka_snmp_templates_render_and_to_accumulates(spark):
+    """The reference executes .template() / .data() value templates per
+    alert (kafka service.go:407-410, snmptrap service.go:220-246) and
+    .to() appends across calls (alert.go 'Multiple calls append')."""
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.tick import run_tickscript
+
+    rows = [("2024-01-01 00:00:00", "h1", 99.0)]
+    df = spark.createDataFrame(rows, "time string, host string, value double")
+    df = df.withColumn("time", F.to_timestamp("time"))
+    produced, traps, mails = [], [], []
+    run_tickscript(
+        """
+stream
+    |from().measurement('cpu').groupBy('host')
+    |alert()
+        .crit(lambda: "value" > 90.0)
+        .message('high cpu')
+        .id('cpu:h1')
+        .email('a@x.com')
+            .to('b@x.com')
+            .to('c@x.com')
+        .kafka()
+            .kafkaTopic('alerts')
+            .template('{{ .Message }}')
+        .snmpTrap('1.3.6.1.4.1.33333.1')
+            .data('1.1.1.2', 's', '{{ .Message }}')
+            .data('1.1.2.3', 's', '{{ .Details }}')
+            .data('1.1.2.4', 's', 'static')
+    |httpOut('a')
+""",
+        {"cpu": df}, time_col="time",
+        alert_services={
+            "email": {"send": mails.append, "from": "k@x.com"},
+            "kafka": {"produce": lambda t, p, k, v: produced.append(v)},
+            "snmpTrap": {"send": traps.append},
+        },
+    )
+    assert mails[0]["To"] == "a@x.com, b@x.com, c@x.com"
+    assert produced == ["high cpu"]  # rendered, not the literal template
+    vals = {b["oid"]: b["value"] for b in traps[0]}
+    assert vals["1.1.1.2"] == "high cpu"
+    assert vals["1.1.2.4"] == "static"

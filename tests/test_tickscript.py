@@ -1530,3 +1530,25 @@ def test_batch_query_flux_validation(spark):
         )
     with pytest.raises(TickError, match="no Flux client"):
         run_tickscript("batch|queryFlux('f').every(1s)|httpOut('o')", sources={})
+
+
+def test_batch_query_flux_value_semantics(spark):
+    """every(0s) means UNSET (batch.go:599-615): alone it errors 'must
+    define one of', combined with cron it is valid; zero-arg queryFlux()
+    raises a TickError, not IndexError."""
+    def client(s, o, oid):
+        return spark.createDataFrame(
+            [("1971-01-01 00:00:00", 1.0)], "time string, value double"
+        ).selectExpr("to_timestamp(time) AS time", "value")
+
+    with pytest.raises(TickError, match="must define one of 'every' or 'cron'"):
+        run_tickscript("batch|queryFlux('f').every(0s)|httpOut('o')",
+                       sources={}, flux_client=client)
+    outs = run_tickscript(
+        "batch|queryFlux('f').every(0s).cron('* * * * *')|httpOut('o')",
+        sources={}, flux_client=client,
+    )
+    assert outs["o"].count() == 1
+    with pytest.raises(TickError, match="needs the Flux script"):
+        run_tickscript("batch|queryFlux().every(1s)|httpOut('o')",
+                       sources={}, flux_client=client)
