@@ -1,0 +1,132 @@
+"""Prometheus scrape source — the reference's scraper service data plane
+(/root/reference/services/scraper/service.go).
+
+The reference embeds the Prometheus scrape manager: discovered targets
+are scraped on an interval and every sample becomes a point — measurement
+= the ``__name__`` label, tags = the remaining labels, one ``value``
+field, NaN samples dropped, millisecond timestamps
+(service.go:190-241 Append). Target DISCOVERY (k8s/consul/ec2/...) is
+external service plumbing; given a target list this module does the same
+scrape→points mapping.
+
+Spark mapping: the target list is config-scale, but scraping is I/O the
+DRIVER should not serialize — targets parallelize across executors and
+each partition GETs + parses its targets inside one Arrow batch
+(`mapInPandas`), so scrape fan-out scales with the cluster exactly like
+the reference's scrape pools. The exposition-format parser is pure
+Python on the (small) text bodies.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["parse_prometheus", "scrape_targets"]
+
+_METRIC = re.compile(
+    r"^([a-zA-Z_:][a-zA-Z0-9_:]*)"        # metric name
+    r"(?:\{(.*)\})?"                      # label block
+    r"\s+(\S+)"                           # value
+    r"(?:\s+(-?\d+))?\s*$"                # optional ms timestamp
+)
+_LABEL = re.compile(r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)"')
+_UNESCAPE = {"\\\\": "\\", '\\"': '"', "\\n": "\n"}
+
+
+def _unescape(v: str) -> str:
+    return re.sub(r'\\(?:\\|"|n)', lambda m: _UNESCAPE[m.group(0)], v)
+
+
+def parse_prometheus(text: str, default_ts_ms: int = 0) -> list[dict]:
+    """Parse Prometheus exposition text into sample dicts
+    (name, labels, value, ts_ms). Comment/TYPE/HELP lines skip; NaN
+    samples drop (service.go:193 'Remove all NaN values'); a sample
+    without a timestamp takes ``default_ts_ms`` (the scrape time, like
+    the reference's scrape loop)."""
+    out = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        m = _METRIC.match(line)
+        if not m:
+            continue
+        name, labelblock, value, ts = m.groups()
+        try:
+            v = float(value)
+        except ValueError:
+            continue
+        if math.isnan(v):
+            continue
+        labels = {
+            k: _unescape(raw) for k, raw in _LABEL.findall(labelblock or "")
+        }
+        out.append(
+            {
+                "name": name,
+                "labels": labels,
+                "value": v,
+                "ts_ms": int(ts) if ts is not None else default_ts_ms,
+            }
+        )
+    return out
+
+
+def scrape_targets(
+    spark: SparkSession,
+    targets: Sequence[str],
+    job: str = "scrape",
+    timeout: float = 10.0,
+    blacklist: Sequence[str] = (),
+    scrape_time_ms: int = 0,
+) -> DataFrame:
+    """Scrape ``targets`` (URLs of /metrics endpoints) into a points
+    DataFrame (time, name, tags map incl. instance+job, value) — the
+    reference's sample→point mapping (service.go:190-241: measurement =
+    __name__, tags = labels, field 'value'). ``blacklist`` drops listed
+    instances exactly like the scraper config's Blacklist.
+
+    Scrapes run ON EXECUTORS: one task per partition of the target list,
+    each GET+parse inside an Arrow batch — fan-out scales with the
+    cluster, the driver never fetches.
+    """
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    bl = set(blacklist)
+
+    def fetch(batches):
+        import urllib.request
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for url in pdf["url"]:
+                instance = re.sub(r"^https?://", "", url).split("/")[0]
+                if instance in bl:
+                    continue
+                req = urllib.request.Request(url, method="GET")
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    body = resp.read().decode(errors="replace")
+                for s in parse_prometheus(body, default_ts_ms=scrape_time_ms):
+                    tags = dict(s["labels"])
+                    tags.setdefault("instance", instance)
+                    tags["job"] = job
+                    rows.append((s["ts_ms"], s["name"], tags, s["value"]))
+            yield pd.DataFrame(
+                rows, columns=["ts_ms", "name", "tags", "value"]
+            )
+
+    tdf = spark.createDataFrame([(t,) for t in targets], "url string")
+    # spread the (tiny) target list so each executor scrapes a slice
+    tdf = tdf.repartition(max(1, len(targets)))
+    raw = tdf.mapInPandas(
+        fetch, schema="ts_ms long, name string, tags map<string,string>, value double"
+    )
+    return raw.selectExpr(
+        "timestamp_millis(ts_ms) AS time", "name", "tags", "value"
+    )

@@ -939,3 +939,84 @@ def test_subscribe_stream_line_protocol(spark, tmp_path):
     assert rows["serverC"]["fields_s"]["msg"] == "hello world"
     assert rows["serverC"]["fields_f"]["value"] == 70.25
     assert rows["serverA"]["time"].second == 1
+
+
+def test_parse_prometheus_exposition():
+    """Exposition-format parsing: labels with escapes, NaN drop, comment
+    skip, optional ms timestamps, bare metrics."""
+    from kapacitor_spark.sources.prometheus import parse_prometheus
+
+    text = """
+# HELP http_requests_total Total requests.
+# TYPE http_requests_total counter
+http_requests_total{method="post",code="200"} 1027 1395066363000
+http_requests_total{method="post",code="400"}    3 1395066363000
+msdos_file_access_time_seconds{path="C:\\\\DIR\\\\FILE.TXT",error="Cannot find file:\\n\\"FILE.TXT\\""} 1.458255915e9
+something_weird{problem="division by zero"} +Inf -3982045
+no_labels_metric 42.5
+rpc_duration_seconds{quantile="0.01"} NaN
+"""
+    got = parse_prometheus(text, default_ts_ms=777)
+    by = {}
+    for s in got:
+        by.setdefault(s["name"], []).append(s)
+    assert len(by["http_requests_total"]) == 2
+    assert by["http_requests_total"][0]["labels"] == {
+        "method": "post", "code": "200"}
+    assert by["http_requests_total"][0]["ts_ms"] == 1395066363000
+    m = by["msdos_file_access_time_seconds"][0]
+    assert m["labels"]["path"] == "C:\\DIR\\FILE.TXT"
+    assert m["labels"]["error"] == 'Cannot find file:\n"FILE.TXT"'
+    assert by["something_weird"][0]["value"] == float("inf")
+    assert by["no_labels_metric"][0]["ts_ms"] == 777
+    assert "rpc_duration_seconds" not in by  # NaN dropped (service.go:193)
+
+
+def test_scrape_targets_end_to_end(spark):
+    """Scrape two local /metrics endpoints on executors: sample→point
+    mapping (measurement=__name__-style name, tags incl. instance+job,
+    value field), blacklist drops an instance."""
+    import http.server
+    import socketserver
+    import threading
+
+    from kapacitor_spark.sources.prometheus import scrape_targets
+
+    body = (b"cpu_usage{host=\"h1\",cpu=\"0\"} 12.5 1000\n"
+            b"cpu_usage{host=\"h1\",cpu=\"1\"} 30.0 1000\n"
+            b"mem_free_bytes 4096 2000\n")
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as s1, \
+         socketserver.TCPServer(("127.0.0.1", 0), H) as s2:
+        p1, p2 = s1.server_address[1], s2.server_address[1]
+        threading.Thread(target=s1.serve_forever, daemon=True).start()
+        threading.Thread(target=s2.serve_forever, daemon=True).start()
+        try:
+            df = scrape_targets(
+                spark,
+                [f"http://127.0.0.1:{p1}/metrics",
+                 f"http://127.0.0.1:{p2}/metrics"],
+                job="node",
+                blacklist=[f"127.0.0.1:{p2}"],
+            )
+            rows = df.collect()
+        finally:
+            s1.shutdown()
+            s2.shutdown()
+    # only the non-blacklisted target contributed: 3 samples
+    assert len(rows) == 3
+    cpu = [r for r in rows if r["name"] == "cpu_usage"]
+    assert {r["tags"]["cpu"] for r in cpu} == {"0", "1"}
+    assert all(r["tags"]["job"] == "node" for r in rows)
+    assert all(r["tags"]["instance"] == f"127.0.0.1:{p1}" for r in rows)
+    mem = [r for r in rows if r["name"] == "mem_free_bytes"][0]
+    assert mem["value"] == 4096.0 and mem["time"].second == 2
