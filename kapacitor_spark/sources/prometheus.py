@@ -82,23 +82,40 @@ def scrape_targets(
     job: str = "scrape",
     timeout: float = 10.0,
     blacklist: Sequence[str] = (),
-    scrape_time_ms: int = 0,
+    scrape_time_ms: int | None = None,
+    tolerant: bool = True,
 ) -> DataFrame:
     """Scrape ``targets`` (URLs of /metrics endpoints) into a points
     DataFrame (time, name, tags map incl. instance+job, value) — the
     reference's sample→point mapping (service.go:190-241: measurement =
-    __name__, tags = labels, field 'value'). ``blacklist`` drops listed
-    instances exactly like the scraper config's Blacklist.
+    __name__, tags = labels, field 'value'). ``blacklist`` drops samples
+    whose FINAL instance tag is listed (an exposition-supplied instance
+    label wins over the URL host, exactly like the reference's
+    Append-time check, service.go:214-224).
+
+    Samples without explicit timestamps take ``scrape_time_ms``; the
+    default (None) stamps the wall-clock scrape time like the reference's
+    scrape loop — pass a fixed value for deterministic replays.
+
+    ``tolerant=True`` (the reference's behavior: one dead target loses
+    only its own samples) logs per-target failures to stderr and keeps
+    scraping; ``tolerant=False`` fails the job on the first bad target.
 
     Scrapes run ON EXECUTORS: one task per partition of the target list,
     each GET+parse inside an Arrow batch — fan-out scales with the
     cluster, the driver never fetches.
     """
+    import time as _time
+
     import pandas as pd  # noqa: F401 (mapInPandas contract)
 
     bl = set(blacklist)
+    default_ts = (
+        int(_time.time() * 1000) if scrape_time_ms is None else scrape_time_ms
+    )
 
     def fetch(batches):
+        import sys as _sys
         import urllib.request
 
         import pandas as pd
@@ -107,15 +124,23 @@ def scrape_targets(
             rows = []
             for url in pdf["url"]:
                 instance = re.sub(r"^https?://", "", url).split("/")[0]
-                if instance in bl:
+                try:
+                    req = urllib.request.Request(url, method="GET")
+                    with urllib.request.urlopen(req, timeout=timeout) as resp:
+                        if resp.status != 200:
+                            raise OSError(f"scrape status {resp.status}")
+                        body = resp.read().decode(errors="replace")
+                except Exception as e:  # noqa: BLE001 — per-target isolation
+                    if not tolerant:
+                        raise
+                    print(f"scrape failed for {url}: {e}", file=_sys.stderr)
                     continue
-                req = urllib.request.Request(url, method="GET")
-                with urllib.request.urlopen(req, timeout=timeout) as resp:
-                    body = resp.read().decode(errors="replace")
-                for s in parse_prometheus(body, default_ts_ms=scrape_time_ms):
+                for s in parse_prometheus(body, default_ts_ms=default_ts):
                     tags = dict(s["labels"])
                     tags.setdefault("instance", instance)
                     tags["job"] = job
+                    if tags["instance"] in bl:
+                        continue  # blacklist checks the FINAL tag
                     rows.append((s["ts_ms"], s["name"], tags, s["value"]))
             yield pd.DataFrame(
                 rows, columns=["ts_ms", "name", "tags", "value"]

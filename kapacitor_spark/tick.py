@@ -157,11 +157,25 @@ def _dispatch_alert_handlers(out, specs, services, time_col):
                 )
         elif kind == "pagerDuty2":
             rk = opts.get("routingKey", cfg.get("routing_key", ""))
+            # .link(href[, text]) entries append (pipeline/alert.go:1166)
+            raw_links = opts.get("link", [])
+            if isinstance(raw_links, str):
+                raw_links = [[raw_links]]  # single .link('href')
+            elif raw_links and not isinstance(raw_links[0], (list, tuple)):
+                raw_links = [raw_links]    # single .link('href', 'text')
+            links = [
+                {"href": l[0] if isinstance(l, (list, tuple)) else l,
+                 "text": (l[1] if isinstance(l, (list, tuple)) and len(l) > 1
+                          else "")}
+                for l in raw_links
+            ]
             for ev in events:
                 H.post_payload(
                     cfg["url"],
                     H.pagerduty2_payload(
-                        ev, routing_key=rk, client_url=cfg.get("client_url", "")
+                        ev, routing_key=rk,
+                        client_url=cfg.get("client_url", ""),
+                        links=links or None,
                     ),
                 )
         elif kind == "telegram":
@@ -1055,7 +1069,7 @@ class _Env:
         # set (0 = unset, negative = error), Cron set = non-empty string
         every = _dur(props["every"][0]) if props.get("every") else 0.0
         cron = (props.get("cron") or [""])[0]
-        if every > 0 and cron != "":
+        if every != 0 and cron != "":
             raise TickError("must not set both 'every' and 'cron' properties")
         if every < 0:
             # the doubled 'must must' is the reference's own error string

@@ -1209,3 +1209,60 @@ stream
     vals = {b["oid"]: b["value"] for b in traps[0]}
     assert vals["1.1.1.2"] == "high cpu"
     assert vals["1.1.2.4"] == "static"
+
+
+def test_pagerduty2_links_from_tick(spark):
+    """.pagerDuty2().link(href, text).link(href2) entries reach the
+    payload's links array (pipeline/alert.go:1166 append semantics)."""
+    import http.server
+    import socketserver
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.tick import run_tickscript
+
+    received = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            received.append(json.loads(self.rfile.read(n)))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    rows = [("2024-01-01 00:00:00", "h1", 99.0)]
+    df = spark.createDataFrame(rows, "time string, host string, value double")
+    df = df.withColumn("time", F.to_timestamp("time"))
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as srv:
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            run_tickscript(
+                """
+stream
+    |from().measurement('cpu').groupBy('host')
+    |alert()
+        .crit(lambda: "value" > 90.0)
+        .message('m')
+        .id('i')
+        .pagerDuty2()
+            .routingKey('rk')
+            .link('https://grafana/d/1', 'Graph')
+            .link('https://runbook/x')
+    |httpOut('a')
+""",
+                {"cpu": df}, time_col="time",
+                alert_services={
+                    "pagerDuty2": {"url": f"http://127.0.0.1:{port}/v2"}
+                },
+            )
+        finally:
+            srv.shutdown()
+    assert received and received[0]["links"] == [
+        {"href": "https://grafana/d/1", "text": "Graph"},
+        {"href": "https://runbook/x", "text": ""},
+    ]

@@ -1020,3 +1020,83 @@ def test_scrape_targets_end_to_end(spark):
     assert all(r["tags"]["instance"] == f"127.0.0.1:{p1}" for r in rows)
     mem = [r for r in rows if r["name"] == "mem_free_bytes"][0]
     assert mem["value"] == 4096.0 and mem["time"].second == 2
+
+
+def test_scrape_targets_tolerates_dead_target(spark):
+    """A dead target loses only its own samples (reference scrape-manager
+    behavior); tolerant=False fails fast; samples whose FINAL instance
+    tag is blacklisted drop even when served from an allowed URL."""
+    import http.server
+    import socket
+    import socketserver
+    import threading
+
+    import pytest as _pytest
+
+    from kapacitor_spark.sources.prometheus import scrape_targets
+
+    body = (b'up{instance="good:1"} 1 1000\n'
+            b'up{instance="bad-host:9100"} 1 1000\n')
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    # find a port that is certainly closed
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    dead_port = s.getsockname()[1]
+    s.close()
+
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as srv:
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            targets = [f"http://127.0.0.1:{port}/metrics",
+                       f"http://127.0.0.1:{dead_port}/metrics"]
+            rows = scrape_targets(
+                spark, targets, blacklist=["bad-host:9100"],
+            ).collect()
+            # healthy target's samples survive; the exposition-supplied
+            # blacklisted instance drops (final-tag check)
+            assert len(rows) == 1
+            assert rows[0]["tags"]["instance"] == "good:1"
+            with _pytest.raises(Exception):
+                scrape_targets(spark, targets, tolerant=False).collect()
+        finally:
+            srv.shutdown()
+
+
+def test_scrape_targets_stamps_scrape_time(spark):
+    """Samples without explicit timestamps take the wall-clock scrape
+    time by default (not epoch 1970), like the reference's scrape loop."""
+    import http.server
+    import socketserver
+    import threading
+
+    from kapacitor_spark.sources.prometheus import scrape_targets
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"cpu_usage 12.5\n")
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as srv:
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            rows = scrape_targets(
+                spark, [f"http://127.0.0.1:{port}/m"]
+            ).collect()
+        finally:
+            srv.shutdown()
+    assert rows[0]["time"].year >= 2024
