@@ -1420,6 +1420,52 @@ def mix_token_budget_q(spark, sf_dir):
 
 
 @_q(
+    "contamination_spans",
+    r"""WITH toks AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+         FROM documents),
+       bench AS (
+         SELECT DISTINCT array_to_string(t[u.p + 1 : u.p + 5], ' ') AS g
+         FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 5 + 1)) AS p) u
+         WHERE doc_id < 20 AND len(t) >= 5),
+       pos AS (
+         SELECT doc_id, CAST(u.p AS BIGINT) AS pos,
+                array_to_string(t[u.p + 1 : u.p + 5], ' ') AS g
+         FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 5 + 1)) AS p) u
+         WHERE doc_id >= 20 AND len(t) >= 5),
+       hits AS (
+         SELECT doc_id, pos FROM pos SEMI JOIN bench USING (g)),
+       marked AS (
+         SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 5
+                     THEN 1 ELSE 0 END AS new_span
+         FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       sp AS (
+         SELECT doc_id, pos,
+                sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         FROM marked)
+       SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+              CAST(max(pos) + 5 AS BIGINT) AS span_end,
+              CAST(max(pos) + 5 - min(pos) AS BIGINT) AS span_tokens
+       FROM sp GROUP BY doc_id, span_id""",
+)
+def contamination_spans_q(spark, sf_dir):
+    """Contamination LOCALIZATION: the merged token extents of each
+    corpus doc (ids >= 20) overlapping the benchmark's (ids < 20)
+    5-grams — decontaminate says WHICH docs, this says WHERE, enabling
+    surgical trimming (strip_contaminated_spans) and audits. Engine:
+    benchmark gram hashes broadcast, corpus positions shuffle as
+    (xxhash64, id, pos), extents merge per doc; the SQL twin intersects
+    gram STRINGS — a collision-free check of the hash plan."""
+    from kapacitor_spark.dataprep.dedup import contamination_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id < 20")
+    corpus = docs.filter("doc_id >= 20")
+    return contamination_spans(corpus, bench, n=5)
+
+
+@_q(
     "span_strip_accounting",
     r"""WITH toks AS (
          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t

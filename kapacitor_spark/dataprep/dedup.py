@@ -751,6 +751,113 @@ def strip_dup_spans(
     )
 
 
+def contamination_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination LOCALIZATION: the merged token extents of
+    each corpus document that overlap the benchmark's n-grams —
+    decontaminate() tells you WHICH docs to drop; this tells you WHERE
+    the overlap sits, enabling surgical trimming instead of deletion
+    (strip_contaminated_spans) and contamination auditing.
+
+    Returns (id, span_start, span_end, span_tokens), ends exclusive.
+
+    100 TB shape: the benchmark's distinct gram hashes BROADCAST (eval
+    sets are small by definition — same plan as decontaminate); corpus
+    shingle positions move as (xxhash64, id, pos) and the membership
+    check is a broadcast semi-join; extent merging is the per-doc
+    lag/cumsum window from span dedup. The corpus text never shuffles.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(hashed_shingles(tokenize(text_col), n)).alias("__gh")
+        ).distinct()
+    )
+    base = _spread(df.select(F.col(id_col), F.col(text_col)))
+    pos_sh = (
+        base.withColumn("__toks", tokenize(text_col))
+        .filter(F.size("__toks") >= n)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - n),
+                    lambda i: F.xxhash64(F.slice("__toks", i + 1, n)),
+                )
+            ).alias("__pos", "__gh"),
+        )
+    )
+    hits = pos_sh.join(F.broadcast(bench_grams), "__gh", "left_semi").select(
+        id_col, "__pos"
+    )
+    wd = Window.partitionBy(id_col).orderBy("__pos")
+    return (
+        hits.withColumn("__prev", F.lag("__pos").over(wd))
+        .withColumn(
+            "__new",
+            (
+                F.col("__prev").isNull() | (F.col("__pos") > F.col("__prev") + n)
+            ).cast("int"),
+        )
+        .withColumn(
+            "__span",
+            F.sum("__new").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "__span")
+        .agg(
+            F.min("__pos").cast("long").alias("span_start"),
+            (F.max("__pos") + n).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def strip_contaminated_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Surgical decontamination: remove only the benchmark-overlapping
+    token extents from each document instead of dropping the whole doc
+    (the trim alternative to decontaminate()'s left-anti). Returns
+    (id, text) with surviving tokens whitespace-joined; fully-overlapped
+    docs come back with empty text (filter on it if drop is wanted)."""
+    ext = contamination_spans(df, benchmark, n=n, text_col=text_col, id_col=id_col)
+    per_doc = ext.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__ext")
+    )
+    base = df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+    joined = base.join(per_doc, id_col, "left")
+    idx = F.sequence(F.lit(0), F.size("__toks") - 1)
+    kept = F.filter(
+        idx,
+        lambda i: ~F.coalesce(
+            F.exists(
+                F.col("__ext"),
+                lambda e: (i >= e["span_start"]) & (i < e["span_end"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.transform(kept, lambda i: F.element_at("__toks", i + 1))
+        ).alias(text_col),
+    )
+
+
 def near_dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -375,3 +375,38 @@ def test_mix_to_token_budget_validation(spark):
         mix_to_token_budget(df)
     with _pytest.raises(ValueError, match="exactly one"):
         mix_to_token_budget(df, budgets={"a": 10}, multipliers={"a": 1.0})
+
+
+def test_contamination_spans_and_strip(spark):
+    """Contamination localization + surgical trimming: the benchmark
+    5-gram sits inside doc 10 at a known extent; stripping removes
+    exactly it, leaves clean docs token-identical, and empties a doc
+    that IS the benchmark text."""
+    from kapacitor_spark.dataprep.dedup import (
+        contamination_spans,
+        strip_contaminated_spans,
+    )
+
+    bench_text = "the secret eval answer is forty two exactly"
+    bench = spark.createDataFrame([(0, bench_text)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (10, "intro words here " + bench_text + " trailing tokens follow"),
+            (11, "completely clean document with no overlap at all"),
+            (12, bench_text),
+        ],
+        "doc_id long, text string",
+    )
+    ext = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in contamination_spans(corpus, bench, n=5).collect()
+    }
+    # doc 10: bench tokens occupy positions 3..10 -> extent [3, 11)
+    assert ext[10] == (3, 11)
+    assert 11 not in ext
+    assert ext[12] == (0, 8)
+    out = {r.doc_id: r.text for r in
+           strip_contaminated_spans(corpus, bench, n=5).collect()}
+    assert out[10] == "intro words here trailing tokens follow"
+    assert out[11] == "completely clean document with no overlap at all"
+    assert out[12] == ""
