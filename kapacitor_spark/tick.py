@@ -1076,6 +1076,11 @@ class _Env:
             raise TickError("'every' duration must must non-negative")
         if every == 0 and cron == "":
             raise TickError("must define one of 'every' or 'cron'")
+        if cron and not (5 <= len(cron.split()) <= 7):
+            # the reference validates cron syntax at schedule creation
+            # (gorhill/cronexpr accepts 5-7 fields); a silently-ignored
+            # malformed schedule is the failure mode to avoid
+            raise TickError(f"invalid cron expression {cron!r}")
         if self.flux_client is None:
             raise TickError(
                 "queryFlux(): no Flux client — pass "

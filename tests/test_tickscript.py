@@ -1552,3 +1552,12 @@ def test_batch_query_flux_value_semantics(spark):
     with pytest.raises(TickError, match="needs the Flux script"):
         run_tickscript("batch|queryFlux().every(1s)|httpOut('o')",
                        sources={}, flux_client=client)
+
+
+def test_batch_query_flux_cron_validation(spark):
+    def client(s, o, oid):
+        raise AssertionError("unreachable")
+
+    with pytest.raises(TickError, match="invalid cron expression"):
+        run_tickscript("batch|queryFlux('f').cron('nonsense')|httpOut('o')",
+                       sources={}, flux_client=client)
