@@ -393,12 +393,25 @@ def rp_lsh_topk(
     )
 
 
+def _auto_n_lists(df: DataFrame, target_cluster_size: int = 4096) -> int:
+    """Corpus-aware IVF list count: ceil(rows / target_cluster_size), floor
+    16. Uses Catalyst's free optimized-plan row-count estimate when defined;
+    otherwise one count job — negligible next to the pair join it sizes."""
+    from kapacitor_spark.dataprep.dedup import _plan_row_count
+
+    n = _plan_row_count(df)
+    if n is None:
+        n = df.count()
+    return max(16, -(-int(n) // max(1, target_cluster_size)))
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.9,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cluster_size: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embedding space with the deterministic IVF k-means (ivf_index),
@@ -416,7 +429,18 @@ def semantic_dedup(
     pair count fits a task; AQE skew-split handles residue). Cross-cluster
     near-dups are missed by construction — the documented SemDeDup
     trade-off; raise n_lists for speed, lower it for recall.
+
+    ``n_lists=None`` (default) SIZES THE INDEX FROM THE CORPUS: n_lists ≈
+    corpus_rows / target_cluster_size (floor 16), using Catalyst's free
+    row-count estimate when available and one cheap count job otherwise.
+    A fixed default would be corpus-size-blind — a 10⁹-vector corpus
+    through 16 lists means ~(10⁹/16)²/2 pairs per cluster, a quadratic
+    hot task no executor survives; auto-sizing keeps expected per-cluster
+    pair counts at ~target_cluster_size²/2 regardless of corpus scale.
+    Pass an explicit n_lists to pin the recall/speed trade-off instead.
     """
+    if n_lists is None:
+        n_lists = _auto_n_lists(df, target_cluster_size)
     assigned, _ = ivf_index(df, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
     normed = with_norm(assigned.select(id_col, vec_col, "list_id"), vec_col)
     a = normed.select(

@@ -151,3 +151,37 @@ def test_semantic_dedup_finds_within_cluster_pairs(spark):
         if float(vecs[i] @ vecs[j] / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j]))) >= 0.999
     }
     assert got == brute
+
+
+def test_semantic_dedup_auto_n_lists_bounds_cluster_pairs(spark):
+    """Auto-sized n_lists (n_lists=None) must keep per-cluster pair counts
+    bounded as the corpus grows: a 10x-larger synthetic corpus gets ~10x
+    the lists, so the expected hottest-cluster pair count stays O(target²)
+    rather than growing quadratically with corpus size."""
+    import numpy as np
+
+    from kapacitor_spark.dataprep.similarity import _auto_n_lists, ivf_index
+
+    def corpus(n, seed):
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal((n, 8))
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+
+    target = 50
+    small, big = corpus(500, 3), corpus(5000, 4)
+    nl_small = _auto_n_lists(small, target_cluster_size=target)
+    nl_big = _auto_n_lists(big, target_cluster_size=target)
+    # sizing tracks the corpus: 500/50 -> floor 16; 5000/50 -> 100 lists
+    assert nl_small == 16
+    assert nl_big == 100
+    # and the hottest cluster's pair count stays bounded on the 10x corpus:
+    # with n/target lists, a perfectly balanced split gives target²/2 pairs
+    # per cluster; allow generous k-means imbalance (8x) but reject the
+    # corpus-size-blind blow-up (16 lists over 5000 rows -> ~48k pairs).
+    assigned, _ = ivf_index(big, n_lists=nl_big)
+    sizes = [r["n"] for r in assigned.groupBy("list_id").count().withColumnRenamed("count", "n").collect()]
+    hottest = max(sizes)
+    assert hottest * (hottest - 1) // 2 <= 8 * target * target // 2, hottest
