@@ -3035,6 +3035,67 @@ def multimodal_frames(spark, sf_dir):
 
 
 @_q(
+    "image_dhash_near_dup",
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS m,
+                     concat(md5(CAST(doc_id // 4 AS VARCHAR) || 'a'),
+                            md5(CAST(doc_id // 4 AS VARCHAR) || 'b'),
+                            md5(CAST(doc_id // 4 AS VARCHAR) || 'c'),
+                            md5(CAST(doc_id // 4 AS VARCHAR) || 'd'),
+                            md5(CAST(doc_id // 4 AS VARCHAR) || 'e')) AS rep
+              FROM documents),
+       px AS (SELECT doc_id, list_transform(range(0, 72), i ->
+                CASE WHEN i = m*7
+                     THEN (('0x' || substr(rep, CAST(2*i+1 AS INT), 2))::INT + m*85) % 256
+                     ELSE ('0x' || substr(rep, CAST(2*i+1 AS INT), 2))::INT END) AS p
+             FROM d),
+       b AS (SELECT doc_id, list_transform(range(0, 64), j ->
+                p[(j//8)*9 + (j%8) + 2] > p[(j//8)*9 + (j%8) + 1]) AS bits
+             FROM px)
+       SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+              len(list_filter(range(0,64), j -> a.bits[j+1] != b2.bits[j+1])) AS hamming
+       FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
+       WHERE len(list_filter(range(0,64), j -> a.bits[j+1] != b2.bits[j+1])) <= 6""",
+)
+def image_dhash_near_dup_q(spark, sf_dir):
+    """Image perceptual-hash near-dup under an EXACT oracle: each group of
+    4 docs shares a real 9x8 grayscale PGM (pixels = five salted md5
+    digests of the group id, assembled JVM-side), and each member
+    perturbs ONE pixel by m*85 — a small edit that flips at most 2 dHash
+    bits, so same-group pairs sit within Hamming ≤ 4 while cross-group
+    hashes (64 independent gradient bits) never collide under ≤ 6.
+    decode_full(fake=False) runs the real PGM decode in one Arrow hop;
+    dhash_expr packs the 64 gradient comparisons JVM-side; the banded
+    self-join (pigeonhole over 7 bands) is EXACT for the Hamming bound —
+    so the all-pairs SQL oracle matches deterministically at every SF,
+    unlike the probabilistic MinHash banding."""
+    from kapacitor_spark.dataprep.multimodal import image_dhash_near_dup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    rep_expr = "concat(" + ",".join(
+        f"md5(concat(cast(doc_id div 4 as string), '{s}'))" for s in "abcde"
+    ) + ")"
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("int").alias("m"),
+        F.expr(rep_expr).alias("rep"),
+    )
+    hexs = F.expr(
+        "concat(substr(rep, 1, 2*(m*7)), "
+        "lpad(hex((cast(conv(substr(rep, 2*(m*7)+1, 2), 16, 10) as int) + m*85) % 256), 2, '0'), "
+        "substr(rep, 2*(m*7)+3, 144 - 2*(m*7) - 2))"
+    )
+    imgs = base.select(
+        "doc_id", F.concat(F.lit(b"P5\n9 8\n255\n"), F.unhex(hexs)).alias("payload")
+    )
+    pairs = image_dhash_near_dup(
+        imgs, width=9, height=8, channels=1, max_hamming=6
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@_q(
     "udf_moving_avg",
     """SELECT ts, user_id, event_id,
               ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -3229,21 +3290,28 @@ def audio_decode(spark, sf_dir):
 # the union IS the scored window, so a registry edit can't silently drop
 # an operator family out of the 50-slot window).
 _SCORED_FAMILIES = {
+    # r7 rotation (VERDICT r6 #2): the round-6 surfaces move INTO the
+    # scored window — autoscale_decisions (2.1), mix_token_budget (text),
+    # contamination_spans + span_strip_accounting (dedup) — plus the new
+    # r7 image_dhash_near_dup (multimodal); sideload_hierarchy, union_rename,
+    # first_last, batch_empty_reduce, lambda_string_fns rotate out (all
+    # long-stable, still oracle-checked every run by test_oracle_all.py).
     "2.1-sources-tick": (
         "lineprotocol_roundtrip", "batch_query_backfill", "tickscript_e2e",
+        "autoscale_decisions",
     ),
     "2.2-projections": (
         "eval_revenue", "default_delete_shift_sample", "lambda_where_regex",
-        "sideload_hierarchy", "flatten_daily",
+        "flatten_daily",
     ),
-    "2.3-joins": ("join_tolerance", "combine_triples", "union_rename"),
+    "2.3-joins": ("join_tolerance", "combine_triples"),
     "2.4-windowing": ("window_mean_1h", "window_count_agg"),
     "2.5-aggregations": (
-        "tpch_q1_pricing", "spread_median_stats", "first_last",
+        "tpch_q1_pricing", "spread_median_stats",
         "top3_per_type", "point_transforms", "state_tracking",
-        "change_detect_type", "batch_empty_reduce",
+        "change_detect_type",
     ),
-    "2.7-lambda": ("sigma_outliers", "lambda_scalar_fns", "lambda_string_fns"),
+    "2.7-lambda": ("sigma_outliers", "lambda_scalar_fns"),
     "2.8-streaming": (
         "stream_window_mean", "stream_alert_changes", "stream_state_count",
     ),
@@ -3252,21 +3320,20 @@ _SCORED_FAMILIES = {
         "alert_state_changes", "deadman_alert", "alert_topics",
         "alert_batch_events",
     ),
-    # r6 rotation (VERDICT r5 #6): span_dedup_stats (new this round),
-    # corpus_prep_pipeline and source_mix_stats (new in r5) move INTO the
-    # scored window; ngram_jaccard_dedup, dedup_clusters and moving_avg5
-    # rotate out — still oracle-checked every run by test_oracle_all.py.
     "dataprep-dedup": (
         "dedup_exact_fp", "minhash_near_dup", "simhash_near_dup",
         "embedding_near_dup", "decontamination", "span_dedup_stats",
+        "contamination_spans", "span_strip_accounting",
     ),
     "dataprep-text": (
         "boilerplate_removal", "pii_scrub", "sequence_packing",
         "stratified_sample", "text_analysis", "text_lang_id",
-        "corpus_prep_pipeline", "source_mix_stats",
+        "corpus_prep_pipeline", "source_mix_stats", "mix_token_budget",
     ),
     "dataprep-similarity": ("ann_cosine_topk", "ann_recall"),
-    "dataprep-multimodal": ("multimodal_decode", "multimodal_frames"),
+    "dataprep-multimodal": (
+        "multimodal_decode", "multimodal_frames", "image_dhash_near_dup",
+    ),
 }
 _SCORED_ORDER = [n for fam in _SCORED_FAMILIES.values() for n in fam]
 assert len(_SCORED_ORDER) == 50, len(_SCORED_ORDER)

@@ -43,6 +43,8 @@ __all__ = [
     "extract_image_features",
     "extract_audio_features",
     "sample_frames",
+    "dhash_expr",
+    "image_dhash_near_dup",
 ]
 
 # typed metadata companion for an opaque binary image column
@@ -338,6 +340,84 @@ def extract_image_features(df: DataFrame, pixels_col: str = "pixels") -> DataFra
     n = F.size(v).cast("double")
     mean = F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double")) / n
     return df.withColumn("pix_mean", F.round(mean, 6))
+
+
+def dhash_expr(
+    pixels_col: str, width: int, height: int, channels: int = 1
+) -> "F.Column":
+    """64-bit perceptual difference hash (dHash) over a decoded pixel
+    array, as ONE pure column expression — no second Python hop after the
+    decode UDF.
+
+    Classic dHash: sample the grayscale image on a 9x8 grid and set bit
+    j = (row r, col c) iff grid[r][c+1] > grid[r][c] — gradient signs
+    survive re-encoding, scaling and small edits, so near-identical
+    images land within a few bits of each other. Grid sampling is
+    nearest-index (floor(gr*height/8), floor(gc*width/9)); for multi-
+    channel input the channel SUM stands in for the grayscale mean
+    (comparing sums ≡ comparing means). ``width``/``height``/``channels``
+    are per-call constants, so all 64 comparisons compile to element_at
+    lookups — resize mixed-size corpora to a common size first
+    (resize_image_batch).
+    """
+    def gray(r: int, c: int) -> str:
+        base = (r * width + c) * channels
+        if channels == 1:
+            return f"element_at({pixels_col}, {base + 1})"
+        return (
+            "("
+            + " + ".join(
+                f"element_at({pixels_col}, {base + ch + 1})"
+                for ch in range(channels)
+            )
+            + ")"
+        )
+
+    terms = []
+    for j in range(64):
+        gr, gc = j // 8, j % 8
+        sr = gr * height // 8
+        sc0 = gc * width // 9
+        sc1 = (gc + 1) * width // 9
+        terms.append(
+            f"shiftleft(cast(({gray(sr, sc1)} > {gray(sr, sc0)}) as long), {j})"
+        )
+    return F.expr("(" + " | ".join(terms) + ")")
+
+
+def image_dhash_near_dup(
+    df: DataFrame,
+    width: int,
+    height: int,
+    channels: int = 1,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: decode → dHash →
+    banded Hamming self-join. Returns (id_a, id_b, hamming ≤ max_hamming).
+
+    The missing granularity next to the text dedup suite: the corpus can
+    contain the same image re-encoded/slightly edited under different
+    bytes, which exact payload hashing never catches. Pipeline: ONE
+    Arrow-batched decode hop (decode_full) per image, the 64-bit dHash as
+    a JVM projection (dhash_expr), then the pair search reuses the
+    simhash banding machinery (dedup.simhash_near_dup) — pigeonhole over
+    max_hamming+1 bands makes the blocking EXACT for the Hamming bound,
+    so unlike MinHash-LSH the result is deterministic: every qualifying
+    pair is found. Only (id, 8-byte hash) enters the self-join; pixels
+    never shuffle. The 16-bytes-per-image signature table is persisted —
+    the band join reads it twice and re-decoding images would dominate.
+    """
+    from kapacitor_spark.dataprep.dedup import simhash_near_dup
+
+    decoded = decode_full(df.select(id_col, binary_col), binary_col, fake=fake)
+    sig = decoded.select(
+        F.col(id_col),
+        dhash_expr("pixels", width, height, channels).alias("simhash"),
+    ).persist()
+    return simhash_near_dup(df, max_hamming=max_hamming, id_col=id_col, sig_df=sig)
 
 
 def sample_frames(

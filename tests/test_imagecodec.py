@@ -173,6 +173,73 @@ def test_decode_full_real(spark):
     assert len(out[3]["pixels"]) == 2 * 3 * 1
 
 
+def test_dhash_expr_known_bits(spark):
+    """A 9x8 gradient image (every row strictly increasing) must hash to
+    all-ones (-1 as a signed long); its row-reversed twin to all-zeros."""
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.dataprep.multimodal import dhash_expr
+
+    inc = [c / 255.0 for r in range(8) for c in range(9)]
+    dec = [(8 - c) / 255.0 for r in range(8) for c in range(9)]
+    df = spark.createDataFrame(
+        [(1, inc), (2, dec)], "doc_id long, pixels array<float>"
+    )
+    out = {
+        r["doc_id"]: r["h"]
+        for r in df.select("doc_id", dhash_expr("pixels", 9, 8).alias("h")).collect()
+    }
+    assert out[1] == -1  # all 64 gradient bits set
+    assert out[2] == 0
+
+
+def test_dhash_small_edit_flips_few_bits(spark):
+    """Perturbing one interior pixel flips at most 2 dHash bits (its left
+    and right comparison); an unrelated image sits ~32 bits away."""
+    import random
+
+    from kapacitor_spark.dataprep.multimodal import dhash_expr
+
+    rng = random.Random(7)
+    base = [rng.randrange(256) / 255.0 for _ in range(72)]
+    edited = list(base)
+    edited[4 * 9 + 3] = (base[4 * 9 + 3] * 255 + 128) % 256 / 255.0
+    other = [rng.randrange(256) / 255.0 for _ in range(72)]
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "doc_id long, pixels array<float>"
+    )
+    hs = {
+        r["doc_id"]: r["h"]
+        for r in df.select("doc_id", dhash_expr("pixels", 9, 8).alias("h")).collect()
+    }
+    assert bin((hs[1] ^ hs[2]) & ((1 << 64) - 1)).count("1") <= 2
+    assert bin((hs[1] ^ hs[3]) & ((1 << 64) - 1)).count("1") > 10
+
+
+def test_image_dhash_near_dup_planted(spark):
+    """End-to-end: real PGM payloads, a planted re-encode-with-edit pair
+    must surface and the unrelated image must not pair with anything."""
+    from kapacitor_spark.dataprep.multimodal import image_dhash_near_dup
+
+    import random
+
+    rng = random.Random(13)
+    pix = bytes(rng.randrange(256) for _ in range(72))
+    edited = bytearray(pix)
+    edited[20] = (edited[20] + 128) % 256
+    other = bytes(rng.randrange(256) for _ in range(72))
+    hdr = b"P5\n9 8\n255\n"
+    df = spark.createDataFrame(
+        [(1, hdr + pix), (2, hdr + bytes(edited)), (3, hdr + other)],
+        "doc_id long, payload binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in image_dhash_near_dup(df, width=9, height=8, max_hamming=6).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
 def test_attach_metadata_real_includes_jpeg_dims(spark):
     from kapacitor_spark.dataprep.multimodal import attach_binary_metadata
 

@@ -97,6 +97,23 @@ def test_minhash_signature_is_codegen(spark):
     assert "partial_min" in plan or "HashAggregate" in plan
 
 
+def test_image_dhash_pair_join_has_no_python(spark):
+    """Image perceptual-hash near-dup: the ONLY Python hop is the Arrow
+    decode (MapInPandas); the dHash packing is a JVM projection and the
+    banded Hamming self-join moves (id, 8B hash) through an equi-join —
+    no per-pair Python, no cartesian blow-up."""
+    plan = plan_of(spark, "image_dhash_near_dup")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan          # the decode hop, nothing else
+    assert "shiftleft" in plan            # dHash packed JVM-side
+    # pair search is a real join on (band, band_val)
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
 def test_sideload_levels_broadcast(spark):
     """Every sideload level must be a BROADCAST join — the lookup tables
     are config-sized and the fact scan must stay shuffle-free."""
