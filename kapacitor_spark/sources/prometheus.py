@@ -25,7 +25,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["parse_prometheus", "scrape_targets"]
+__all__ = ["parse_prometheus", "scrape_targets", "scrape_stream"]
 
 _METRIC = re.compile(
     r"^([a-zA-Z_:][a-zA-Z0-9_:]*)"        # metric name
@@ -107,20 +107,40 @@ def scrape_targets(
     """
     import time as _time
 
-    import pandas as pd  # noqa: F401 (mapInPandas contract)
-
-    bl = set(blacklist)
     default_ts = (
         int(_time.time() * 1000) if scrape_time_ms is None else scrape_time_ms
     )
+    fetch = _make_fetch(job, timeout, set(blacklist), tolerant, default_ts)
+
+    tdf = spark.createDataFrame([(t,) for t in targets], "url string")
+    # spread the (tiny) target list so each executor scrapes a slice
+    tdf = tdf.repartition(max(1, len(targets)))
+    raw = tdf.mapInPandas(
+        fetch, schema="ts_ms long, name string, tags map<string,string>, value double"
+    )
+    return raw.selectExpr(
+        "timestamp_millis(ts_ms) AS time", "name", "tags", "value"
+    )
+
+
+def _make_fetch(job, timeout, bl, tolerant, default_ts_ms):
+    """Shared scrape closure for the batch and streaming paths — the
+    sample→point mapping, blacklist-on-final-tag and per-target fault
+    isolation are identical by construction. ``default_ts_ms=None`` stamps
+    the wall clock AT FETCH TIME (per micro-batch — the reference's scrape
+    loop stamps each scrape as it runs); an int pins it for replay."""
 
     def fetch(batches):
         import sys as _sys
+        import time as _time
         import urllib.request
 
         import pandas as pd
 
         for pdf in batches:
+            default_ts = (
+                int(_time.time() * 1000) if default_ts_ms is None else default_ts_ms
+            )
             rows = []
             for url in pdf["url"]:
                 instance = re.sub(r"^https?://", "", url).split("/")[0]
@@ -146,10 +166,46 @@ def scrape_targets(
                 rows, columns=["ts_ms", "name", "tags", "value"]
             )
 
-    tdf = spark.createDataFrame([(t,) for t in targets], "url string")
-    # spread the (tiny) target list so each executor scrapes a slice
-    tdf = tdf.repartition(max(1, len(targets)))
-    raw = tdf.mapInPandas(
+    return fetch
+
+
+def scrape_stream(
+    spark: SparkSession,
+    targets: Sequence[str],
+    job: str = "scrape",
+    timeout: float = 10.0,
+    blacklist: Sequence[str] = (),
+    tolerant: bool = True,
+) -> DataFrame:
+    """CONTINUOUS interval scraping — the reference's scraper run loop
+    (/root/reference/services/scraper/service.go: the embedded scrape
+    manager re-scrapes every target on its interval) as a Structured
+    Streaming source: one scrape WAVE per micro-batch trigger, so the
+    cadence is the stream trigger (``.trigger(processingTime='10s')`` ≙
+    the reference's scrape interval). Returns a STREAMING DataFrame with
+    the same (time, name, tags, value) schema as scrape_targets;
+    blacklist/job/tolerance semantics are the identical shared closure.
+
+    Shape: a ``rate-micro-batch`` tick (1 driver-side row per trigger)
+    fans out to the target list (explode + repartition), and each
+    executor GETs + parses its slice inside one Arrow batch — per-wave
+    work is distributed exactly like the batch path, and samples without
+    explicit timestamps stamp the wall clock at fetch time (per wave,
+    like the reference's loop). Downstream: window/alert/deadman over
+    event time, or ``influxdb_out`` via foreachBatch.
+    """
+    from pyspark.sql import functions as F
+
+    fetch = _make_fetch(job, timeout, set(blacklist), tolerant, None)
+    ticks = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1)
+        .load()
+    )
+    urls = ticks.select(
+        F.explode(F.array(*[F.lit(t) for t in targets])).alias("url")
+    )
+    raw = urls.repartition(max(1, len(targets))).mapInPandas(
         fetch, schema="ts_ms long, name string, tags map<string,string>, value double"
     )
     return raw.selectExpr(

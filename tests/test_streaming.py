@@ -1022,6 +1022,84 @@ def test_scrape_targets_end_to_end(spark):
     assert mem["value"] == 4096.0 and mem["time"].second == 2
 
 
+def test_scrape_stream_continuous_intervals(spark):
+    """Continuous scraping (the reference scraper's run loop): a local
+    /metrics server serves an INCREMENTING counter per request; the
+    streaming source must scrape it on ≥3 separate triggers and emit the
+    changing values — proving it re-scrapes per micro-batch rather than
+    snapshotting once. Blacklist semantics ride the shared closure."""
+    import http.server
+    import socketserver
+    import threading
+    import time
+    import uuid
+
+    from kapacitor_spark.sources.prometheus import scrape_stream
+
+    hits = [0]
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits[0] += 1
+            body = (
+                f'ticks_total{{src="a"}} {hits[0]}\n'
+                f'dropme{{instance="bad:1"}} 1\n'
+            ).encode()
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as srv:
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        sink = f"scrape_stream_{uuid.uuid4().hex[:8]}"
+        q = (
+            scrape_stream(
+                spark,
+                [f"http://127.0.0.1:{port}/metrics"],
+                job="loop",
+                blacklist=["bad:1"],
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                vals = {
+                    r["value"]
+                    for r in spark.sql(
+                        f"SELECT value FROM {sink} WHERE name = 'ticks_total'"
+                    ).collect()
+                }
+                if len(vals) >= 3:
+                    break
+                time.sleep(0.3)
+            rows = spark.sql(f"SELECT * FROM {sink}").collect()
+        finally:
+            q.stop()
+            srv.shutdown()
+    counter = [r for r in rows if r["name"] == "ticks_total"]
+    vals = sorted(r["value"] for r in counter)
+    # ≥3 scrape waves observed, each seeing a LARGER counter value
+    assert len(vals) >= 3 and len(set(vals)) == len(vals), vals
+    assert all(r["tags"]["job"] == "loop" for r in counter)
+    assert all(
+        r["tags"]["instance"] == f"127.0.0.1:{port}" for r in counter
+    )
+    # the blacklisted instance never appears in ANY wave
+    assert not [r for r in rows if r["name"] == "dropme"]
+    # wall-clock stamped PER WAVE: times advance with the counter
+    times = [r["time"] for r in sorted(counter, key=lambda r: r["value"])]
+    assert times == sorted(times)
+
+
 def test_scrape_targets_tolerates_dead_target(spark):
     """A dead target loses only its own samples (reference scrape-manager
     behavior); tolerant=False fails fast; samples whose FINAL instance
