@@ -43,6 +43,7 @@ HEADLINE = [
     "minhash_near_dup",
     "simhash_near_dup",
     "span_dedup_stats",    # substring-level dedup (r6)
+    "image_dhash_near_dup",  # image perceptual-hash dedup (r7)
     "text_analysis",
     "boilerplate_removal",
     "decontamination",
@@ -87,9 +88,16 @@ def main() -> int:
         # steady-state execution, not each plan's one-time janino/codegen
         # compile (which dominates run 1 for the widest generated
         # expressions, e.g. simhash's 64-term packing)
+        t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        warm = time.time() - t0
+        # sub-second queries get extra samples: their round-over-round
+        # medians moved ±25-35% on diff-identical code (scheduler/GC
+        # jitter is a large FRACTION of a 0.3s query, a small one of a
+        # 1.5s query); two extra ~0.5s runs buy stability for ~1s each.
+        n = max(runs, 5) if warm < 1.0 else runs
         samples = []
-        for _ in range(runs):
+        for _ in range(n):
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()

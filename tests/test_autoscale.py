@@ -292,6 +292,49 @@ def test_autoscale_current_fn(spark):
     assert client.updates == [("g", 4), ("g", 8)]
 
 
+def test_autoscale_vectorized_matches_walk(spark):
+    """The zero-cooldown numpy fast path must emit EXACTLY the sequential
+    walk's events: run the same random stream through both — vectorized
+    (stateless lambda, no cooldowns) and the per-row loop (forced via
+    current_fn, which always walks) — and compare event-for-event.
+    Includes nulls (dropped points) and values clamping at both rails."""
+    import random
+
+    rng = random.Random(42)
+    t0 = dt.datetime(1971, 1, 1, tzinfo=Z)
+    rows = []
+    for i in range(600):
+        svc = f"s{i % 3}"
+        v = rng.choice([None, float(rng.randint(-5, 60))])
+        rows.append((t0 + dt.timedelta(seconds=i), svc, v))
+    df = spark.createDataFrame(rows, "time timestamp, svc string, v double")
+
+    def run(current_fn=None):
+        client = MockSwarm()
+        client.service_replicas = lambda name: 5
+        scaler = SwarmAutoscaler(client, service_name_tag="svc")
+        out = (
+            Pipeline.from_df(df, time_col="time")
+            .group_by("svc")
+            .autoscale(
+                scaler,
+                None if current_fn else F.col("v"),
+                min=2,
+                max=40,
+                current_fn=current_fn,
+            )
+        )
+        return [
+            (r["time"], r["svc"], r["old"], r["new"])
+            for r in out.df.orderBy("time", "svc").collect()
+        ]
+
+    fast = run()
+    slow = run(current_fn=lambda fields, current: fields["v"])
+    assert fast == slow
+    assert len(fast) > 100  # the stream actually exercises the machine
+
+
 def test_decision_step_matches_naive_reference():
     """Fuzz the shared decide/clamp/cooldown core against a straight
     re-implementation of autoscale.go:199-249 (independent of the
