@@ -25,7 +25,14 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["parse_prometheus", "scrape_targets", "scrape_stream"]
+__all__ = [
+    "parse_prometheus",
+    "scrape_targets",
+    "scrape_stream",
+    "static_targets",
+    "file_sd_targets",
+    "scrape_stream_file_sd",
+]
 
 _METRIC = re.compile(
     r"^([a-zA-Z_:][a-zA-Z0-9_:]*)"        # metric name
@@ -105,6 +112,7 @@ def scrape_targets(
     each GET+parse inside an Arrow batch — fan-out scales with the
     cluster, the driver never fetches.
     """
+    import json as _json
     import time as _time
 
     default_ts = (
@@ -112,9 +120,13 @@ def scrape_targets(
     )
     fetch = _make_fetch(job, timeout, set(blacklist), tolerant, default_ts)
 
-    tdf = spark.createDataFrame([(t,) for t in targets], "url string")
+    norm = _norm_targets(targets)
+    tdf = spark.createDataFrame(
+        [(u, _json.dumps(l) if l else None) for u, l in norm],
+        "url string, labels_json string",
+    )
     # spread the (tiny) target list so each executor scrapes a slice
-    tdf = tdf.repartition(max(1, len(targets)))
+    tdf = tdf.repartition(max(1, len(norm)))
     raw = tdf.mapInPandas(
         fetch, schema="ts_ms long, name string, tags map<string,string>, value double"
     )
@@ -123,14 +135,37 @@ def scrape_targets(
     )
 
 
+def _norm_targets(targets) -> list[tuple[str, dict]]:
+    """Normalize a mixed target list — bare URL strings or discovery
+    (address-or-url, labels) pairs — to (url, labels) with the Prometheus
+    address defaults (scheme http, metrics path /metrics) applied to
+    scheme-less addresses."""
+    out = []
+    for t in targets:
+        if isinstance(t, str):
+            url, labels = t, {}
+        else:
+            url, labels = t
+        if "://" not in url:
+            url = f"http://{url}/metrics"
+        out.append((url, dict(labels or {})))
+    return out
+
+
 def _make_fetch(job, timeout, bl, tolerant, default_ts_ms):
     """Shared scrape closure for the batch and streaming paths — the
     sample→point mapping, blacklist-on-final-tag and per-target fault
     isolation are identical by construction. ``default_ts_ms=None`` stamps
     the wall clock AT FETCH TIME (per micro-batch — the reference's scrape
-    loop stamps each scrape as it runs); an int pins it for replay."""
+    loop stamps each scrape as it runs); an int pins it for replay.
+
+    Target rows carry a ``labels_json`` column (discovery labels); those
+    labels OVERRIDE exposition-supplied tags and the configured job — the
+    Prometheus honor_labels=false default the reference's embedded scrape
+    manager runs with (target labels win over exposed labels)."""
 
     def fetch(batches):
+        import json as _json
         import sys as _sys
         import time as _time
         import urllib.request
@@ -142,7 +177,8 @@ def _make_fetch(job, timeout, bl, tolerant, default_ts_ms):
                 int(_time.time() * 1000) if default_ts_ms is None else default_ts_ms
             )
             rows = []
-            for url in pdf["url"]:
+            for url, labels_json in zip(pdf["url"], pdf["labels_json"]):
+                target_labels = _json.loads(labels_json) if labels_json else {}
                 instance = re.sub(r"^https?://", "", url).split("/")[0]
                 try:
                     req = urllib.request.Request(url, method="GET")
@@ -159,6 +195,7 @@ def _make_fetch(job, timeout, bl, tolerant, default_ts_ms):
                     tags = dict(s["labels"])
                     tags.setdefault("instance", instance)
                     tags["job"] = job
+                    tags.update(target_labels)
                     if tags["instance"] in bl:
                         continue  # blacklist checks the FINAL tag
                     rows.append((s["ts_ms"], s["name"], tags, s["value"]))
@@ -194,18 +231,152 @@ def scrape_stream(
     like the reference's loop). Downstream: window/alert/deadman over
     event time, or ``influxdb_out`` via foreachBatch.
     """
+    import json as _json
+
     from pyspark.sql import functions as F
 
     fetch = _make_fetch(job, timeout, set(blacklist), tolerant, None)
+    norm = _norm_targets(targets)
     ticks = (
         spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", 1)
         .load()
     )
     urls = ticks.select(
-        F.explode(F.array(*[F.lit(t) for t in targets])).alias("url")
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(u).alias("url"),
+                        F.lit(_json.dumps(l) if l else None).alias("labels_json"),
+                    )
+                    for u, l in norm
+                ]
+            )
+        ).alias("t")
+    ).select("t.url", "t.labels_json")
+    raw = urls.repartition(max(1, len(norm))).mapInPandas(
+        fetch, schema="ts_ms long, name string, tags map<string,string>, value double"
     )
-    raw = urls.repartition(max(1, len(targets))).mapInPandas(
+    return raw.selectExpr(
+        "timestamp_millis(ts_ms) AS time", "name", "tags", "value"
+    )
+
+
+# path rule from the reference's file discovery
+# (/root/reference/services/file_discovery/config.go:29 fileRegex)
+_FILE_SD_RE = re.compile(r"^[^*]*(\*[^/]*)?\.(json|yml|yaml|JSON|YML|YAML)$")
+
+
+def static_targets(
+    id: str, targets: Sequence[str], labels: dict | None = None
+) -> list[tuple[str, dict]]:
+    """Static discovery (/root/reference/services/static_discovery/
+    config.go): a fixed target list sharing one label set. Returns
+    (url, labels) pairs for scrape_targets / scrape_stream; scheme-less
+    addresses get the Prometheus defaults (http://<addr>/metrics).
+    Validation matches the reference: an ID is required."""
+    if not id:
+        raise ValueError("static discovery must be given a ID")
+    return [(u, dict(labels or {})) for u, _ in _norm_targets(list(targets))]
+
+
+def _parse_file_sd(body: str, path: str) -> list[tuple[str, dict]]:
+    """Parse one file_sd document (the public Prometheus file-discovery
+    format: a list of {targets: [...], labels: {...}} groups). JSON
+    always; YAML only when a yaml module is importable (gated — the
+    reference accepts .json/.yml/.yaml too)."""
+    import json as _json
+
+    if path.lower().endswith(".json"):
+        groups = _json.loads(body)
+    else:
+        try:
+            import yaml  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "YAML file discovery needs a yaml module; use JSON file_sd"
+            ) from e
+        groups = yaml.safe_load(body)
+    out = []
+    for g in groups or []:
+        labels = dict(g.get("labels") or {})
+        for addr in g.get("targets") or []:
+            out.append((addr, labels))
+    return out
+
+
+def file_sd_targets(files: Sequence[str]) -> list[tuple[str, dict]]:
+    """File discovery (/root/reference/services/file_discovery/config.go,
+    which delegates to Prometheus file_sd): read target groups from
+    JSON/YAML files (globs allowed in the basename, per the reference's
+    path rule) and return (url, labels) pairs. The reference re-reads on
+    a refresh interval — the streaming twin is scrape_stream_file_sd,
+    which re-discovers EVERY wave."""
+    import glob as _glob
+
+    out: list[tuple[str, dict]] = []
+    for pattern in files:
+        if not _FILE_SD_RE.match(pattern):
+            # reference error string (config.go:36-38)
+            raise ValueError(
+                f'path name "{pattern}" is not valid for file discovery'
+            )
+        for path in sorted(_glob.glob(pattern)):
+            with open(path, encoding="utf-8") as fh:
+                out.extend(
+                    (u, l)
+                    for u, l in _parse_file_sd(fh.read(), path)
+                )
+    return _norm_targets(out)
+
+
+def scrape_stream_file_sd(
+    spark: SparkSession,
+    files: Sequence[str],
+    job: str = "scrape",
+    timeout: float = 10.0,
+    blacklist: Sequence[str] = (),
+    tolerant: bool = True,
+) -> DataFrame:
+    """Continuous scraping with HOT-RELOADED file discovery: every
+    micro-batch re-reads the file_sd files and scrapes whatever targets
+    they currently list — the reference's file-discovery refresh loop
+    (its RefreshInterval) collapsed onto the scrape trigger. Two Arrow
+    stages per wave: discover (1 tick row → target rows) then scrape
+    (repartitioned fan-out, the shared fetch closure). The files must be
+    visible to executors (shared storage on a real cluster — exactly the
+    deployment shape Prometheus file_sd assumes)."""
+    fetch = _make_fetch(job, timeout, set(blacklist), tolerant, None)
+    file_list = list(files)
+    for pattern in file_list:
+        if not _FILE_SD_RE.match(pattern):
+            raise ValueError(
+                f'path name "{pattern}" is not valid for file discovery'
+            )
+
+    def discover(batches):
+        import json as _json
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            # one tick row per micro-batch; re-discover once per wave
+            for _ in range(len(pdf)):
+                targets = file_sd_targets(file_list)
+                rows = [
+                    (u, _json.dumps(l) if l else None) for u, l in targets
+                ]
+            yield pd.DataFrame(rows, columns=["url", "labels_json"])
+
+    ticks = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1)
+        .load()
+    )
+    urls = ticks.mapInPandas(discover, schema="url string, labels_json string")
+    raw = urls.repartition(int(spark.sparkContext.defaultParallelism)).mapInPandas(
         fetch, schema="ts_ms long, name string, tags map<string,string>, value double"
     )
     return raw.selectExpr(

@@ -1100,6 +1100,170 @@ def test_scrape_stream_continuous_intervals(spark):
     assert times == sorted(times)
 
 
+def test_static_and_file_discovery_units(tmp_path):
+    """Discovery plumbing without a server: static config validation +
+    address normalization (Prometheus defaults http://<addr>/metrics),
+    file_sd JSON parsing with globs, and the reference's path rule
+    (file_discovery/config.go fileRegex + error string)."""
+    import json
+
+    import pytest
+
+    from kapacitor_spark.sources.prometheus import (
+        file_sd_targets,
+        static_targets,
+    )
+
+    with pytest.raises(ValueError, match="static discovery must be given a ID"):
+        static_targets("", ["h:9100"])
+    got = static_targets("s1", ["h1:9100", "http://h2/custom"], {"env": "prod"})
+    assert got == [
+        ("http://h1:9100/metrics", {"env": "prod"}),
+        ("http://h2/custom", {"env": "prod"}),
+    ]
+
+    (tmp_path / "a.json").write_text(
+        json.dumps(
+            [
+                {"targets": ["n1:9100", "n2:9100"], "labels": {"dc": "east"}},
+                {"targets": ["n3:9100"]},
+            ]
+        )
+    )
+    (tmp_path / "b.json").write_text(
+        json.dumps([{"targets": ["n4:9100"], "labels": {"dc": "west"}}])
+    )
+    got = file_sd_targets([str(tmp_path / "*.json")])
+    assert ("http://n1:9100/metrics", {"dc": "east"}) in got
+    assert ("http://n3:9100/metrics", {}) in got
+    assert ("http://n4:9100/metrics", {"dc": "west"}) in got
+    assert len(got) == 4
+
+    with pytest.raises(ValueError, match="is not valid for file discovery"):
+        file_sd_targets(["/etc/targets.txt"])
+    with pytest.raises(ValueError, match="is not valid for file discovery"):
+        file_sd_targets(["/e*tc/deep/*.json"])  # glob only in the basename
+
+
+def test_scrape_discovery_labels_override(spark):
+    """Target labels from discovery override exposition labels AND the
+    configured job (Prometheus honor_labels=false — what the reference's
+    embedded scrape manager runs with); unlabeled samples keep the
+    configured job."""
+    import http.server
+    import socketserver
+    import threading
+
+    from kapacitor_spark.sources.prometheus import scrape_targets
+
+    body = b'up{env="exposed"} 1 1000\nfree_bytes 42 1000\n'
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as srv:
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            rows = scrape_targets(
+                spark,
+                [
+                    (
+                        f"127.0.0.1:{port}",
+                        {"env": "prod", "job": "custom"},
+                    )
+                ],
+                job="node",
+                scrape_time_ms=0,
+            ).collect()
+        finally:
+            srv.shutdown()
+    up = [r for r in rows if r["name"] == "up"][0]
+    assert up["tags"]["env"] == "prod"      # target label wins over exposed
+    assert up["tags"]["job"] == "custom"    # ...and over the configured job
+    free = [r for r in rows if r["name"] == "free_bytes"][0]
+    assert free["tags"]["env"] == "prod"
+    assert free["tags"]["instance"] == f"127.0.0.1:{port}"
+
+
+def test_scrape_stream_file_sd_hot_reload(spark, tmp_path):
+    """File discovery refresh: the stream re-reads the file_sd file every
+    wave, so adding a second target to the file mid-stream makes its
+    samples appear in later waves without restarting the query."""
+    import http.server
+    import json
+    import socketserver
+    import threading
+    import time
+    import uuid
+
+    from kapacitor_spark.sources.prometheus import scrape_stream_file_sd
+
+    def handler(metric):
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(f"{metric} 1\n".encode())
+
+            def log_message(self, *a):
+                pass
+
+        return H
+
+    sd = tmp_path / "targets.json"
+    with socketserver.TCPServer(("127.0.0.1", 0), handler("m_one")) as s1, \
+         socketserver.TCPServer(("127.0.0.1", 0), handler("m_two")) as s2:
+        p1, p2 = s1.server_address[1], s2.server_address[1]
+        threading.Thread(target=s1.serve_forever, daemon=True).start()
+        threading.Thread(target=s2.serve_forever, daemon=True).start()
+        sd.write_text(json.dumps([{"targets": [f"127.0.0.1:{p1}"]}]))
+        sink = f"sd_stream_{uuid.uuid4().hex[:8]}"
+        q = (
+            scrape_stream_file_sd(spark, [str(sd)], job="sd")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            # wait until the first target has been scraped at least once
+            while time.time() < deadline:
+                if spark.sql(
+                    f"SELECT 1 FROM {sink} WHERE name='m_one' LIMIT 1"
+                ).count():
+                    break
+                time.sleep(0.3)
+            # hot-reload: add the second target to the file mid-stream
+            sd.write_text(
+                json.dumps(
+                    [{"targets": [f"127.0.0.1:{p1}", f"127.0.0.1:{p2}"]}]
+                )
+            )
+            while time.time() < deadline:
+                if spark.sql(
+                    f"SELECT 1 FROM {sink} WHERE name='m_two' LIMIT 1"
+                ).count():
+                    break
+                time.sleep(0.3)
+            rows = spark.sql(f"SELECT * FROM {sink}").collect()
+        finally:
+            q.stop()
+            s1.shutdown()
+            s2.shutdown()
+    names = {r["name"] for r in rows}
+    assert {"m_one", "m_two"} <= names
+    assert all(r["tags"]["job"] == "sd" for r in rows)
+
+
 def test_scrape_targets_tolerates_dead_target(spark):
     """A dead target loses only its own samples (reference scrape-manager
     behavior); tolerant=False fails fast; samples whose FINAL instance
