@@ -1652,6 +1652,50 @@ def embedding_near_dup_q(spark, sf_dir):
 
 
 @_q(
+    "semantic_dedup_planted",
+    """SELECT vec_id AS id_a, vec_id + 10000000 AS id_b,
+              round(list_cosine_similarity(
+                list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                list_transform(range(1, len(embedding)+1),
+                   i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) * 1.001
+                             ELSE CAST(embedding[i] AS DOUBLE) END)), 6) AS cosine
+       FROM embeddings""",
+)
+def semantic_dedup_planted(spark, sf_dir):
+    """SemDeDup (semantic dedup) under an EXACT oracle: every corpus
+    vector gets a planted near-duplicate (component 1 scaled by 1.001 →
+    cosine ≈ 1), and semantic_dedup over the doubled corpus must return
+    EXACTLY the planted pairs — no real pair reaches cosine 0.99 on this
+    corpus (max ~0.55) and cross pairs of planted copies inherit their
+    originals' cosine, so the closed-form SQL (original ⋈ its own
+    perturbation) is the complete answer. nprobe=2 multi-assignment
+    makes the IVF blocking catch boundary-straddling pairs (measured:
+    1-3 planted pairs per corpus land on a k-means boundary at nprobe=1;
+    nprobe=2 finds all of them at every SF), auto-sized n_lists bounds
+    the per-cluster pair blow-up. Everything stays distributed: centroid
+    assignment is one numpy matmul per Arrow batch, the pair search an
+    equi-join on list_id."""
+    from kapacitor_spark.dataprep.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == 0, x.cast("double") * 1.001).otherwise(
+            x.cast("double")
+        ),
+    )
+    dup = emb.select(
+        (F.col("vec_id") + F.lit(10_000_000)).cast("long").alias("vec_id"),
+        pert.alias("embedding"),
+    )
+    return semantic_dedup(base.unionByName(dup), threshold=0.99, nprobe=2)
+
+
+@_q(
     "embedding_norms",
     """WITH n AS (
          SELECT vec_id, label,
