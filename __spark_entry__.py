@@ -3158,6 +3158,75 @@ def image_dhash_near_dup_q(spark, sf_dir):
 
 
 @_q(
+    "audio_dhash_near_dup",
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS m,
+          md5(CAST(doc_id // 4 AS VARCHAR) || 'a') || md5(CAST(doc_id // 4 AS VARCHAR) || 'b') ||
+          md5(CAST(doc_id // 4 AS VARCHAR) || 'c') || md5(CAST(doc_id // 4 AS VARCHAR) || 'd') ||
+          md5(CAST(doc_id // 4 AS VARCHAR) || 'e') || md5(CAST(doc_id // 4 AS VARCHAR) || 'f') ||
+          md5(CAST(doc_id // 4 AS VARCHAR) || 'g') || md5(CAST(doc_id // 4 AS VARCHAR) || 'h') ||
+          md5(CAST(doc_id // 4 AS VARCHAR) || 'i') AS rep
+        FROM documents),
+       sm AS (SELECT doc_id, list_transform(range(0, 130), i ->
+                abs((CASE WHEN i = m*37
+                     THEN (('0x' || substr(rep, CAST(2*i+1 AS INT), 2))::INT + m*85) % 256
+                     ELSE ('0x' || substr(rep, CAST(2*i+1 AS INT), 2))::INT END - 128) / 128.0)) AS s
+             FROM d),
+       bk AS (SELECT doc_id, list_transform(range(0, 65), i -> s[2*i+1] + s[2*i+2]) AS b FROM sm),
+       bt AS (SELECT doc_id, list_transform(range(0, 64), j -> b[j+2] > b[j+1]) AS bits FROM bk)
+       SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+              len(list_filter(range(0,64), j -> a.bits[j+1] != b2.bits[j+1])) AS hamming
+       FROM bt a JOIN bt b2 ON a.doc_id < b2.doc_id
+       WHERE len(list_filter(range(0,64), j -> a.bits[j+1] != b2.bits[j+1])) <= 6""",
+)
+def audio_dhash_near_dup_q(spark, sf_dir):
+    """Audio perceptual-hash near-dup under an EXACT oracle — the audio
+    leg of the near-dup trio (shingles / pixels / samples). Each group
+    of 4 docs shares a REAL 130-sample 8-bit PCM RIFF/WAVE clip (fixed
+    44-byte header literal + nine salted group digests, assembled
+    JVM-side); each member perturbs ONE sample byte by m*85 — a one-
+    bucket energy edit that flips at most 2 envelope-gradient bits, so
+    same-group pairs sit within Hamming ≤ 4 while cross-group envelopes
+    (64 independent gradient signs) never collide under ≤ 6.
+    decode_audio_batch runs the real stdlib WAV decode in one Arrow hop;
+    the 65-bucket mean-abs envelope and 64 comparisons pack JVM-side
+    (audio_dhash_expr); the pigeonhole band join is EXACT for the bound,
+    so the all-pairs SQL oracle matches deterministically at every SF.
+    All sample values are exact dyadic rationals (b-128)/2^7 — identical
+    in float32 and DuckDB's float64."""
+    import struct
+
+    from kapacitor_spark.dataprep.multimodal import audio_dhash_near_dup
+
+    n = 130
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", n)
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    rep_expr = "concat(" + ",".join(
+        f"md5(concat(cast(doc_id div 4 as string), '{s}'))" for s in "abcdefghi"
+    ) + ")"
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("int").alias("m"),
+        F.expr(rep_expr).alias("rep"),
+    )
+    hexs = F.expr(
+        "concat(substr(rep, 1, 2*(m*37)), "
+        "lpad(hex((cast(conv(substr(rep, 2*(m*37)+1, 2), 16, 10) as int) + m*85) % 256), 2, '0'), "
+        f"substr(rep, 2*(m*37)+3, {2 * n} - 2*(m*37) - 2))"
+    )
+    wavs = base.select(
+        "doc_id", F.concat(F.lit(hdr), F.unhex(hexs)).alias("payload")
+    )
+    pairs = audio_dhash_near_dup(wavs, bucket_size=2, max_hamming=6)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@_q(
     "udf_moving_avg",
     """SELECT ts, user_id, event_id,
               ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

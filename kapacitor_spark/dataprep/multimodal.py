@@ -45,6 +45,8 @@ __all__ = [
     "sample_frames",
     "dhash_expr",
     "image_dhash_near_dup",
+    "audio_dhash_expr",
+    "audio_dhash_near_dup",
 ]
 
 # typed metadata companion for an opaque binary image column
@@ -416,6 +418,63 @@ def image_dhash_near_dup(
     sig = decoded.select(
         F.col(id_col),
         dhash_expr("pixels", width, height, channels).alias("simhash"),
+    ).persist()
+    return simhash_near_dup(df, max_hamming=max_hamming, id_col=id_col, sig_df=sig)
+
+
+def audio_dhash_expr(samples_col: str, bucket_size: int = 2) -> "F.Column":
+    """64-bit perceptual hash over decoded audio samples, as ONE pure
+    column expression: the envelope's gradient signs. 65 consecutive
+    buckets of ``bucket_size`` samples each reduce to their mean-abs
+    energy (sum of |x| — comparing sums ≡ comparing means), and bit j is
+    set iff bucket j+1 is louder than bucket j — the audio analog of the
+    image dHash (re-encoding and small edits preserve most envelope
+    gradients; global gain changes preserve ALL of them). Clips must
+    carry ≥ 65*bucket_size samples; resample to a fixed frame count
+    first (decode_audio_batch's target_frames) so bucket boundaries are
+    content-aligned across clips."""
+    def bucket(i: int) -> str:
+        terms = [
+            f"abs(element_at({samples_col}, {bucket_size * i + k + 1}))"
+            for k in range(bucket_size)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    bits = [
+        f"shiftleft(cast(({bucket(j + 1)} > {bucket(j)}) as long), {j})"
+        for j in range(64)
+    ]
+    return F.expr("(" + " | ".join(bits) + ")")
+
+
+def audio_dhash_near_dup(
+    df: DataFrame,
+    bucket_size: int = 2,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    target_frames: int | None = None,
+) -> DataFrame:
+    """Audio near-duplicate pairs by perceptual hash: decode → envelope
+    dHash → banded Hamming self-join. Returns (id_a, id_b, hamming).
+
+    Completes the near-dup granularity trio (text shingles, image
+    pixels, audio samples) on the same machinery: ONE Arrow-batched
+    decode hop (decode_audio_batch — real WAV/G.711/ADPCM/FLAC),
+    the 64-bit envelope hash as a JVM projection (audio_dhash_expr),
+    and the pair search reuses the simhash pigeonhole banding — EXACT
+    for the Hamming bound, so results are deterministic. Only (id, 8B
+    hash) enters the self-join; samples never shuffle. Pass
+    ``target_frames`` to nearest-resample variable-length clips to a
+    common length inside the decode hop first."""
+    from kapacitor_spark.dataprep.dedup import simhash_near_dup
+
+    decoded = decode_audio_batch(
+        df.select(id_col, binary_col), binary_col, target_frames=target_frames
+    )
+    sig = decoded.select(
+        F.col(id_col),
+        audio_dhash_expr("samples", bucket_size).alias("simhash"),
     ).persist()
     return simhash_near_dup(df, max_hamming=max_hamming, id_col=id_col, sig_df=sig)
 

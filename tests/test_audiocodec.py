@@ -217,3 +217,56 @@ def test_ima_adpcm_trailing_partial_block_not_dropped():
     assert out.shape[0] == 505 + 9  # 505 + header sample + 8 nibbles
     err = np.abs(out[:, 0] - pcm[: out.shape[0]].astype(np.int32))
     assert err.max() < 3000  # tracks the signal, not silence
+
+
+def test_audio_dhash_known_bits(spark):
+    """A monotonically louder clip (bucket energies strictly increasing)
+    hashes to all-ones; its reverse to all-zeros."""
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.dataprep.multimodal import audio_dhash_expr
+
+    inc = [((i // 2) + 1) / 128.0 for i in range(130)]
+    dec = list(reversed(inc))
+    df = spark.createDataFrame(
+        [(1, inc), (2, dec)], "doc_id long, samples array<float>"
+    )
+    out = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", audio_dhash_expr("samples", 2).alias("h")
+        ).collect()
+    }
+    assert out[1] == -1
+    assert out[2] == 0
+
+
+def test_audio_dhash_near_dup_planted(spark):
+    """End-to-end on real 8-bit WAV payloads: a one-sample edit must pair
+    with its original (<=2 flipped bits); an unrelated clip must not."""
+    import random
+    import struct as st
+
+    from kapacitor_spark.dataprep.multimodal import audio_dhash_near_dup
+
+    n = 130
+    hdr = (
+        b"RIFF" + st.pack("<I", 36 + n) + b"WAVE"
+        + b"fmt " + st.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + st.pack("<I", n)
+    )
+    rng = random.Random(5)
+    clip = bytes(rng.randrange(256) for _ in range(n))
+    edited = bytearray(clip)
+    edited[64] = (edited[64] + 128) % 256
+    other = bytes(rng.randrange(256) for _ in range(n))
+    df = spark.createDataFrame(
+        [(1, hdr + clip), (2, hdr + bytes(edited)), (3, hdr + other)],
+        "doc_id long, payload binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in audio_dhash_near_dup(df, bucket_size=2, max_hamming=6).collect()
+    }
+    assert {(a, b) for a, b, _ in pairs} == {(1, 2)}
+    assert all(h <= 2 for _, _, h in pairs)
