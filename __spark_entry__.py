@@ -3158,6 +3158,43 @@ def image_dhash_near_dup_q(spark, sf_dir):
 
 
 @_q(
+    "image_dedup_keepers",
+    """SELECT doc_id, (doc_id // 4) * 4 AS keeper FROM documents""",
+)
+def image_dedup_keepers(spark, sf_dir):
+    """The composed perceptual-dedup pipeline end to end: real PGM decode
+    → dHash (JVM projection) → exact Hamming banding → connected
+    components (pointer-jumping label propagation) → keeper election.
+    On the planted corpus every 4-doc group is a CLIQUE (pairwise
+    Hamming ≤ 4), so the transitive closure is the group and the elected
+    keeper is its min id — the oracle is one integer expression, yet a
+    dropped pair (doc keeps itself), an over-merged cluster (foreign
+    keeper), or a broken label walk all fail the hash match."""
+    from kapacitor_spark.dataprep.dedup import near_dup_clusters
+    from kapacitor_spark.dataprep.multimodal import image_dhash_near_dup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    rep_expr = "concat(" + ",".join(
+        f"md5(concat(cast(doc_id div 4 as string), '{s}'))" for s in "abcde"
+    ) + ")"
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("int").alias("m"),
+        F.expr(rep_expr).alias("rep"),
+    )
+    hexs = F.expr(
+        "concat(substr(rep, 1, 2*(m*7)), "
+        "lpad(hex((cast(conv(substr(rep, 2*(m*7)+1, 2), 16, 10) as int) + m*85) % 256), 2, '0'), "
+        "substr(rep, 2*(m*7)+3, 144 - 2*(m*7) - 2))"
+    )
+    imgs = base.select(
+        "doc_id", F.concat(F.lit(b"P5\n9 8\n255\n"), F.unhex(hexs)).alias("payload")
+    )
+    pairs = image_dhash_near_dup(imgs, width=9, height=8, max_hamming=6)
+    return near_dup_clusters(pairs)
+
+
+@_q(
     "audio_dhash_near_dup",
     """WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS m,
           md5(CAST(doc_id // 4 AS VARCHAR) || 'a') || md5(CAST(doc_id // 4 AS VARCHAR) || 'b') ||
