@@ -315,3 +315,55 @@ def test_simhash_packing_matches_python_reference(spark, texts):
         if sig >= 1 << 63:
             sig -= 1 << 64  # Spark longs are signed
         assert got[i] == sig, (i, n)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.integers(0, 10_000),
+    gain_num=st.integers(1, 40),
+    offset=st.integers(-50, 50),
+)
+def test_dhash_perceptual_invariances(spark, seed, gain_num, offset):
+    """The property that makes the hashes 'perceptual': image dHash is
+    invariant under brightness scaling AND offset (both preserve every
+    gradient comparison); audio envelope dHash is invariant under any
+    positive gain. Re-derived against an independent pure-Python hash of
+    the same arrays."""
+    import random
+
+    from kapacitor_spark.dataprep.multimodal import audio_dhash_expr, dhash_expr
+
+    rng = random.Random(seed)
+    gain = gain_num / 8.0
+    pix = [rng.random() for _ in range(72)]
+    pix_t = [p * gain + offset / 100.0 for p in pix]
+    smp = [rng.uniform(-1, 1) for _ in range(130)]
+    smp_g = [s * gain for s in smp]
+    df = spark.createDataFrame(
+        [(1, pix, smp), (2, pix_t, smp_g)],
+        "doc_id long, pixels array<double>, samples array<double>",
+    )
+    rows = {
+        r["doc_id"]: (r["ih"], r["ah"])
+        for r in df.select(
+            "doc_id",
+            dhash_expr("pixels", 9, 8).alias("ih"),
+            audio_dhash_expr("samples", 2).alias("ah"),
+        ).collect()
+    }
+    assert rows[1] == rows[2]
+    # and the Spark expression equals an independent Python re-derivation
+    isig = 0
+    for j in range(64):
+        r, c = j // 8, j % 8
+        if pix[r * 9 + c + 1] > pix[r * 9 + c]:
+            isig |= 1 << j
+    asig = 0
+    bk = [abs(smp[2 * i]) + abs(smp[2 * i + 1]) for i in range(65)]
+    for j in range(64):
+        if bk[j + 1] > bk[j]:
+            asig |= 1 << j
+    for sig, got in ((isig, rows[1][0]), (asig, rows[1][1])):
+        if sig >= 1 << 63:
+            sig -= 1 << 64
+        assert got == sig
