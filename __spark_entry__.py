@@ -2005,9 +2005,15 @@ def _stream_t(spark, sf_dir: str, name: str) -> DataFrame:
 
 
 def _ckpt() -> str:
+    import os
     import tempfile
 
-    return tempfile.mkdtemp(prefix="kspark_ckpt_")
+    # prefer tmpfs: replay checkpoints are throwaway and the state-store
+    # fsync traffic is pure overhead on a disk-backed /tmp (a real
+    # deployment checkpoints to durable shared storage — this helper only
+    # serves the deterministic replay queries)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix="kspark_ckpt_", dir=base)
 
 
 def _mem_name(prefix: str) -> str:

@@ -180,6 +180,7 @@ def test_no_row_python_in_any_headline_plan(spark):
         "stream_window_mean",
         "boilerplate_removal",
         "decontamination",
+        "image_dhash_near_dup",     # the image-decode hop (Arrow mapInPandas)
     }
     for name in bench.HEADLINE:
         if name.startswith("stream_"):
