@@ -80,31 +80,43 @@ def main() -> int:
     # one bad run per query while staying honest about steady-state cost
     # (min is reported alongside for the optimistic bound).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    def run_once(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # one untimed warmup iteration per query: go test -bench discards
+    # warm-up iterations the same way, so the samples measure
+    # steady-state execution, not each plan's one-time janino/codegen
+    # compile (which dominates run 1 for the widest generated
+    # expressions, e.g. simhash's 64-term packing)
+    warm = {name: run_once(name) for name in names}
+
+    # INTERLEAVED sampling (round-robin over queries, not consecutive
+    # runs of one query): ambient load on a shared box arrives in
+    # multi-second windows, and consecutive sampling lets one window
+    # poison every sample of whichever query it lands on — medians of
+    # diff-identical queries moved ±25-45% between benches. Spreading
+    # each query's samples across the whole wall-clock span turns a
+    # noise window into one bad sample per query, which the median
+    # drops. Sub-second queries get 2 extra passes (jitter is a large
+    # FRACTION of a 0.3s query, a small one of a 1.5s query).
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(runs):
+        for name in names:
+            samples[name].append(run_once(name))
+    extra = [n for n in names if warm[n] < 1.0]
+    for _ in range(max(0, 5 - runs)):
+        for name in extra:
+            samples[name].append(run_once(name))
+
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     for name in names:
-        # one untimed warmup iteration per query: go test -bench discards
-        # warm-up iterations the same way, so the samples measure
-        # steady-state execution, not each plan's one-time janino/codegen
-        # compile (which dominates run 1 for the widest generated
-        # expressions, e.g. simhash's 64-term packing)
-        t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        warm = time.time() - t0
-        # sub-second queries get extra samples: their round-over-round
-        # medians moved ±25-35% on diff-identical code (scheduler/GC
-        # jitter is a large FRACTION of a 0.3s query, a small one of a
-        # 1.5s query); two extra ~0.5s runs buy stability for ~1s each.
-        n = max(runs, 5) if warm < 1.0 else runs
-        samples = []
-        for _ in range(n):
-            t0 = time.time()
-            df = qs[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
-        samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
-        mins[name] = round(samples[0], 3)
+        ss = sorted(samples[name])
+        timings[name] = round(ss[len(ss) // 2], 3)
+        mins[name] = round(ss[0], 3)
     total = round(sum(timings.values()), 3)
 
     print(
