@@ -84,7 +84,12 @@ def main() -> int:
     def run_once(name: str) -> float:
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        dt = time.time() - t0
+        # every sample builds fresh DataFrames, so persisted intermediates
+        # from PREVIOUS samples are garbage — with interleaving they'd
+        # accumulate across all queries and thrash the block store
+        spark.catalog.clearCache()
+        return dt
 
     # one untimed warmup iteration per query: go test -bench discards
     # warm-up iterations the same way, so the samples measure
