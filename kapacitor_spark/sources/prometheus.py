@@ -237,6 +237,8 @@ def scrape_stream(
 
     fetch = _make_fetch(job, timeout, set(blacklist), tolerant, None)
     norm = _norm_targets(targets)
+    if not norm:
+        raise ValueError("scrape_stream needs at least one target")
     ticks = (
         spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", 1)
@@ -362,11 +364,10 @@ def scrape_stream_file_sd(
 
         for pdf in batches:
             rows = []
-            # one tick row per micro-batch; re-discover once per wave
-            for _ in range(len(pdf)):
-                targets = file_sd_targets(file_list)
+            if len(pdf):  # one tick row per micro-batch → one re-discovery
                 rows = [
-                    (u, _json.dumps(l) if l else None) for u, l in targets
+                    (u, _json.dumps(l) if l else None)
+                    for u, l in file_sd_targets(file_list)
                 ]
             yield pd.DataFrame(rows, columns=["url", "labels_json"])
 

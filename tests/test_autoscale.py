@@ -400,3 +400,24 @@ def test_decision_step_matches_naive_reference():
         assert got == expected and c == cur
 
     run()
+
+
+def test_autoscale_all_null_resource(spark):
+    """A resource whose every point has a null desired count emits no
+    events and must not break the vectorized walk (degenerate empty-
+    array group)."""
+    rows = [
+        (dt.datetime(1971, 1, 1, 0, 0, i, tzinfo=Z), "dead", None)
+        for i in range(3)
+    ] + [(dt.datetime(1971, 1, 1, 0, 0, 5, tzinfo=Z), "live", 9.0)]
+    df = spark.createDataFrame(rows, "time timestamp, svc string, v double")
+    client = MockSwarm()
+    client.service_replicas = lambda name: 5
+    scaler = SwarmAutoscaler(client, service_name_tag="svc")
+    out = (
+        Pipeline.from_df(df, time_col="time")
+        .group_by("svc")
+        .autoscale(scaler, F.col("v"))
+    )
+    got = [(r["svc"], r["old"], r["new"]) for r in out.df.collect()]
+    assert got == [("live", 5, 9)]
