@@ -1144,6 +1144,13 @@ def test_static_and_file_discovery_units(tmp_path):
     with pytest.raises(ValueError, match="is not valid for file discovery"):
         file_sd_targets(["/e*tc/deep/*.json"])  # glob only in the basename
 
+    # YAML file_sd (the reference's path rule accepts .yml/.yaml too)
+    (tmp_path / "c.yaml").write_text(
+        "- targets: ['y1:9100']\n  labels: {dc: north}\n"
+    )
+    got = file_sd_targets([str(tmp_path / "c.yaml")])
+    assert got == [("http://y1:9100/metrics", {"dc": "north"})]
+
 
 def test_scrape_discovery_labels_override(spark):
     """Target labels from discovery override exposition labels AND the
