@@ -610,6 +610,12 @@ def dup_span_extents(
     negligible at any corpus size)."""
     base = _spread(df.select(F.col(id_col), F.col(text_col)))
     toks = tokenize(text_col)
+    # NOT persisted, deliberately: both the frequency aggregate and the
+    # occurrence join-back consume this stream, but re-deriving it rides
+    # whole-stage codegen off the scan while persisting forces ~1 row per
+    # corpus TOKEN through the block store — measured 1.15s vs 1.42s at
+    # sf0.1, and at 100 TB the materialized (id, pos, hash) stream would
+    # be token-count-sized. Recompute wins on both ends here.
     pos_sh = (
         base.withColumn("__toks", toks)
         .filter(F.size("__toks") >= width)
