@@ -308,14 +308,24 @@ def _parse_file_sd(body: str, path: str) -> list[tuple[str, dict]]:
     return out
 
 
-def file_sd_targets(files: Sequence[str]) -> list[tuple[str, dict]]:
+def file_sd_targets(
+    files: Sequence[str], tolerant: bool = False
+) -> list[tuple[str, dict]]:
     """File discovery (/root/reference/services/file_discovery/config.go,
     which delegates to Prometheus file_sd): read target groups from
     JSON/YAML files (globs allowed in the basename, per the reference's
     path rule) and return (url, labels) pairs. The reference re-reads on
     a refresh interval — the streaming twin is scrape_stream_file_sd,
-    which re-discovers EVERY wave."""
+    which re-discovers EVERY wave.
+
+    ``tolerant=True`` (the Prometheus file_sd behavior the reference
+    embeds: a bad file is logged and contributes nothing, the rest keep
+    working) skips unreadable/malformed files instead of raising — the
+    streaming path uses it so one half-written file can't kill the
+    scrape stream mid-wave. Path validation always raises: a bad
+    PATTERN is a config error, not a runtime hiccup."""
     import glob as _glob
+    import sys as _sys
 
     out: list[tuple[str, dict]] = []
     for pattern in files:
@@ -325,11 +335,16 @@ def file_sd_targets(files: Sequence[str]) -> list[tuple[str, dict]]:
                 f'path name "{pattern}" is not valid for file discovery'
             )
         for path in sorted(_glob.glob(pattern)):
-            with open(path, encoding="utf-8") as fh:
-                out.extend(
-                    (u, l)
-                    for u, l in _parse_file_sd(fh.read(), path)
-                )
+            try:
+                with open(path, encoding="utf-8") as fh:
+                    out.extend(
+                        (u, l)
+                        for u, l in _parse_file_sd(fh.read(), path)
+                    )
+            except Exception as e:  # noqa: BLE001 — per-file isolation
+                if not tolerant:
+                    raise
+                print(f"file discovery failed for {path}: {e}", file=_sys.stderr)
     return _norm_targets(out)
 
 
@@ -367,7 +382,7 @@ def scrape_stream_file_sd(
             if len(pdf):  # one tick row per micro-batch → one re-discovery
                 rows = [
                     (u, _json.dumps(l) if l else None)
-                    for u, l in file_sd_targets(file_list)
+                    for u, l in file_sd_targets(file_list, tolerant=True)
                 ]
             yield pd.DataFrame(rows, columns=["url", "labels_json"])
 

@@ -1151,6 +1151,18 @@ def test_static_and_file_discovery_units(tmp_path):
     got = file_sd_targets([str(tmp_path / "c.yaml")])
     assert got == [("http://y1:9100/metrics", {"dc": "north"})]
 
+    # tolerant discovery (the Prometheus file_sd behavior the streaming
+    # wave uses): a malformed file contributes nothing, the rest work
+    (tmp_path / "bad").mkdir()
+    (tmp_path / "bad" / "x.json").write_text("{not json")
+    (tmp_path / "bad" / "y.json").write_text(
+        json.dumps([{"targets": ["ok:9100"]}])
+    )
+    with pytest.raises(Exception):
+        file_sd_targets([str(tmp_path / "bad" / "*.json")])
+    got = file_sd_targets([str(tmp_path / "bad" / "*.json")], tolerant=True)
+    assert got == [("http://ok:9100/metrics", {})]
+
 
 def test_scrape_discovery_labels_override(spark):
     """Target labels from discovery override exposition labels AND the
