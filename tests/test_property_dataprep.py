@@ -101,13 +101,22 @@ def _py_components(pairs):
     )
 )
 def test_near_dup_clusters_matches_union_find(spark, pairs):
+    """BOTH paths — the guarded driver union-find fast path (default for
+    small inputs) and the distributed pointer-jumping walk (forced via
+    max_driver_pairs=0) — must equal the independent reference."""
     from kapacitor_spark.dataprep.dedup import near_dup_clusters
 
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
-    got = {
+    expected = _py_components(pairs)
+    got_fast = {
         r["doc_id"]: r["keeper"] for r in near_dup_clusters(df).collect()
     }
-    assert got == _py_components(pairs)
+    assert got_fast == expected
+    got_dist = {
+        r["doc_id"]: r["keeper"]
+        for r in near_dup_clusters(df, max_driver_pairs=0).collect()
+    }
+    assert got_dist == expected
 
 
 @settings(**_SETTINGS)
