@@ -164,16 +164,28 @@ def test_near_dup_clusters_warns_on_nonconvergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(60)], "id_a long, id_b long"
     )
+    # max_driver_pairs=0 forces the DISTRIBUTED walk: the small-input
+    # union-find fast path always converges and would bypass the cap
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        out = {r["doc_id"]: r["keeper"] for r in near_dup_clusters(chain, max_iter=2).collect()}
+        out = {
+            r["doc_id"]: r["keeper"]
+            for r in near_dup_clusters(
+                chain, max_iter=2, max_driver_pairs=0
+            ).collect()
+        }
     assert any("did not converge" in str(x.message) for x in w)
     assert len(set(out.values())) > 1  # the 61-node chain is still split
 
     # with pointer jumping O(log diameter) rounds suffice: 8 ≫ log2(60)
     with warnings.catch_warnings(record=True) as w2:
         warnings.simplefilter("always")
-        out2 = {r["doc_id"]: r["keeper"] for r in near_dup_clusters(chain, max_iter=8).collect()}
+        out2 = {
+            r["doc_id"]: r["keeper"]
+            for r in near_dup_clusters(
+                chain, max_iter=8, max_driver_pairs=0
+            ).collect()
+        }
     assert not any("did not converge" in str(x.message) for x in w2)
     assert set(out2.values()) == {0}
 
