@@ -3200,6 +3200,45 @@ def image_dedup_keepers(spark, sf_dir):
     return near_dup_clusters(pairs)
 
 
+@_q("image_phash_near_dup")  # 32x32 DCT — no practical SQL twin; rows-only,
+# pinned instead by an independent pure-Python DCT re-derivation
+# (tests/test_imagecodec.py::test_phash_invariances_and_rederivation)
+def image_phash_near_dup_q(spark, sf_dir):
+    """DCT perceptual-hash (pHash) near-dup — the crop/re-compression-
+    robust complement to image_dhash_near_dup, on the same planted-group
+    image corpus and the same exact Hamming banding. The 2D DCT weighs
+    every pixel into every coefficient, so it runs as two numpy matmuls
+    per image inside the Arrow decode hop (phash_batch) rather than a
+    JVM expression; a closed-form SQL oracle would need the full cosine
+    basis inline, so this row is rows-only — correctness is pinned by
+    the pure-Python DCT re-derivation and invariance tests instead."""
+    from kapacitor_spark.dataprep.multimodal import image_phash_near_dup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    rep_expr = "concat(" + ",".join(
+        f"md5(concat(cast(doc_id div 4 as string), '{s}'))" for s in "abcde"
+    ) + ")"
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("int").alias("m"),
+        F.expr(rep_expr).alias("rep"),
+    )
+    hexs = F.expr(
+        "concat(substr(rep, 1, 2*(m*7)), "
+        "lpad(hex((cast(conv(substr(rep, 2*(m*7)+1, 2), 16, 10) as int) + m*85) % 256), 2, '0'), "
+        "substr(rep, 2*(m*7)+3, 144 - 2*(m*7) - 2))"
+    )
+    imgs = base.select(
+        "doc_id", F.concat(F.lit(b"P5\n9 8\n255\n"), F.unhex(hexs)).alias("payload")
+    )
+    pairs = image_phash_near_dup(
+        imgs, width=9, height=8, channels=1, max_hamming=10
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 @_q(
     "audio_dhash_near_dup",
     """WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS m,

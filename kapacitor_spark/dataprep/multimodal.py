@@ -47,6 +47,8 @@ __all__ = [
     "image_dhash_near_dup",
     "audio_dhash_expr",
     "audio_dhash_near_dup",
+    "phash_batch",
+    "image_phash_near_dup",
 ]
 
 # typed metadata companion for an opaque binary image column
@@ -419,6 +421,97 @@ def image_dhash_near_dup(
         F.col(id_col),
         dhash_expr("pixels", width, height, channels).alias("simhash"),
     ).persist()
+    return simhash_near_dup(df, max_hamming=max_hamming, id_col=id_col, sig_df=sig)
+
+
+def phash_batch(
+    df: DataFrame,
+    width: int,
+    height: int,
+    channels: int = 1,
+    pixels_col: str = "pixels",
+    out_col: str = "phash",
+    grid: int = 32,
+    keep: int = 8,
+) -> DataFrame:
+    """64-bit DCT perceptual hash (pHash) over decoded pixel arrays —
+    the crop/re-compression-robust complement to the gradient dHash.
+
+    Classic pHash: grayscale → resample to ``grid``x``grid`` (nearest
+    index) → 2D DCT-II → keep the ``keep``x``keep`` low-frequency block
+    → bit j = coefficient > median of the block (DC excluded from the
+    median so flat images don't bias it). The DCT is a dense
+    grid²-to-grid² transform — 64 output coefficients each weigh every
+    input pixel — so unlike dHash it cannot be a JVM expression; it runs
+    as TWO numpy matmuls (basis @ img @ basisᵀ) per image inside one
+    Arrow-batched mapInPandas hop, the same shape as the decode itself.
+    Gain/brightness invariant: positive scaling multiplies all AC
+    coefficients AND their median; offsets land only in the DC
+    coefficient, which is excluded.
+
+    ``width``/``height``/``channels`` are per-call constants (resize
+    mixed corpora first). Output = input + ``out_col`` (long).
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.LongType())]
+    )
+    n = grid
+    # orthogonal DCT-II basis: B[k, x] = c(k) cos(pi (2x+1) k / 2n)
+    x = np.arange(n)
+    basis = np.cos(np.pi * (2 * x[None, :] + 1) * x[:, None] / (2 * n))
+    basis[0] *= np.sqrt(1.0 / n)
+    basis[1:] *= np.sqrt(2.0 / n)
+    ry = (np.arange(n) * height) // n
+    rx = (np.arange(n) * width) // n
+
+    def one(pix) -> int:
+        a = np.asarray(pix, dtype=np.float64).reshape(height, width, channels)
+        gray = a.sum(axis=2)
+        small = gray[np.ix_(ry, rx)]
+        coef = basis @ small @ basis.T
+        block = coef[:keep, :keep].reshape(-1)
+        ac = block[1:]  # DC excluded
+        med = np.median(ac)
+        sig = 0
+        for j, v in enumerate(ac > med):
+            if v:
+                sig |= 1 << j
+        if sig >= 1 << 63:
+            sig -= 1 << 64
+        return sig
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = pdf[pixels_col].map(one)
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def image_phash_near_dup(
+    df: DataFrame,
+    width: int,
+    height: int,
+    channels: int = 1,
+    max_hamming: int = 10,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Image near-duplicate pairs by DCT pHash: decode → pHash → banded
+    Hamming self-join (exact for the bound, like the dHash variant).
+    Returns (id_a, id_b, hamming ≤ max_hamming). pHash tolerates
+    re-encode/brightness/mild blur better than dHash at the cost of the
+    per-image DCT (two 32x32 matmuls — still decode-dominated); the
+    default Hamming budget is correspondingly wider."""
+    from kapacitor_spark.dataprep.dedup import simhash_near_dup
+
+    decoded = decode_full(df.select(id_col, binary_col), binary_col, fake=fake)
+    sig = phash_batch(
+        decoded, width, height, channels, out_col="simhash"
+    ).select(id_col, "simhash").persist()
     return simhash_near_dup(df, max_hamming=max_hamming, id_col=id_col, sig_df=sig)
 
 

@@ -329,3 +329,86 @@ def test_bmp_rle8():
     A, B = [9, 9, 9], [200, 100, 50]
     assert arr[1].tolist() == [B, B, B, B, B]          # bottom row
     assert arr[0].tolist() == [A, B, A, B, B]          # top row
+
+
+def test_phash_invariances_and_rederivation(spark):
+    """pHash: gain/offset invariant (positive scaling moves all AC
+    coefficients and their median together; offsets land only in the
+    excluded DC), and the numpy matmul DCT equals an independent pure-
+    Python cosine-sum rederivation."""
+    import math
+    import random
+
+    from kapacitor_spark.dataprep.multimodal import phash_batch
+
+    rng = random.Random(17)
+    w = h = 9, 8
+    pix = [rng.random() for _ in range(72)]
+    scaled = [p * 3.5 + 0.2 for p in pix]
+    df = spark.createDataFrame(
+        [(1, pix), (2, scaled)], "doc_id long, pixels array<double>"
+    )
+    out = {
+        r["doc_id"]: r["phash"]
+        for r in phash_batch(df, width=9, height=8).collect()
+    }
+    assert out[1] == out[2]
+
+    # independent rederivation: nearest-resample to 32x32, DCT-II by
+    # explicit cosine sums, 8x8 block, median threshold over AC
+    n, keep = 32, 8
+    ry = [(i * 8) // n for i in range(n)]
+    rx = [(i * 9) // n for i in range(n)]
+    small = [[pix[ry[r] * 9 + rx[c]] for c in range(n)] for r in range(n)]
+
+    def c(k):
+        return math.sqrt((1.0 if k == 0 else 2.0) / n)
+
+    coef = {}
+    for u in range(keep):
+        for v in range(keep):
+            s = 0.0
+            for r in range(n):
+                for cc in range(n):
+                    s += (
+                        small[r][cc]
+                        * math.cos(math.pi * (2 * r + 1) * u / (2 * n))
+                        * math.cos(math.pi * (2 * cc + 1) * v / (2 * n))
+                    )
+            coef[(u, v)] = c(u) * c(v) * s
+    block = [coef[(u, v)] for u in range(keep) for v in range(keep)]
+    ac = sorted(block[1:])
+    med = ac[31]  # 63 AC coefficients -> single middle element
+    sig = 0
+    for j, val in enumerate(block[1:]):
+        if val > med:
+            sig |= 1 << j
+    if sig >= 1 << 63:
+        sig -= 1 << 64
+    assert out[1] == sig
+
+
+def test_image_phash_near_dup_planted(spark):
+    """End-to-end pHash near-dup on real PGM payloads: a one-pixel edit
+    pairs with its original; an unrelated image does not."""
+    import random
+
+    from kapacitor_spark.dataprep.multimodal import image_phash_near_dup
+
+    rng = random.Random(23)
+    pix = bytes(rng.randrange(256) for _ in range(72))
+    edited = bytearray(pix)
+    edited[30] = (edited[30] + 96) % 256
+    other = bytes(rng.randrange(256) for _ in range(72))
+    hdr = b"P5\n9 8\n255\n"
+    df = spark.createDataFrame(
+        [(1, hdr + pix), (2, hdr + bytes(edited)), (3, hdr + other)],
+        "doc_id long, payload binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in image_phash_near_dup(
+            df, width=9, height=8, max_hamming=10
+        ).collect()
+    }
+    assert pairs == {(1, 2)}
