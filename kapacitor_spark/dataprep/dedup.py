@@ -17,8 +17,17 @@ Scale design notes (the point of this module is 100 TB corpora):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from kapacitor_spark.dataprep.cache import track
+
+# plan-choice visibility: operators that pick between a driver-side fast
+# path and the distributed walk LOG which one ran — silent plan changes
+# are how 100 TB surprises start
+_log = logging.getLogger("kapacitor_spark.dataprep.dedup")
 
 __all__ = [
     "tokenize",
@@ -170,7 +179,13 @@ def minhash_signature(
     """
     toks = tokenize(text_col)
     sh = hashed_shingles(toks, shingle_k)
-    base = df.select(
+    # null-text docs carry no shingles and must NOT enter the signature
+    # table: xxhash64 over a null token slice is a CONSTANT, so without
+    # this filter every null doc gets the same signature and LSH bands
+    # them all together — O(n_null^2) candidate pairs doing nothing (the
+    # Jaccard verify nulls them out, but only after the join paid for
+    # them). The pre-r7 explode path dropped these rows implicitly.
+    base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.transform(sh, lambda h: h.bitwiseAND(F.lit((1 << 61) - 1))).alias("__a"),
         F.transform(
@@ -243,9 +258,9 @@ def jaccard_pairs(
     )
     # persist: joined twice (id_a and id_b side) — avoids scanning the
     # corpus and re-shingling candidate docs a second time.
-    sets = df.join(F.broadcast(ids), id_col, "leftsemi").select(
+    sets = track(df.join(F.broadcast(ids), id_col, "leftsemi").select(
         F.col(id_col), shingles(tokenize(text_col), shingle_k).alias("sh")
-    ).persist()
+    ).persist())
     out = (
         pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -277,8 +292,8 @@ def minhash_near_dup(
     between stages; MEMORY_AND_DISK is the local equivalent.
     """
     df = _spread(df)
-    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_k).persist()
-    cand = lsh_candidate_pairs(sig, id_col, bands, num_hashes // bands).persist()
+    sig = track(minhash_signature(df, text_col, id_col, num_hashes, shingle_k).persist())
+    cand = track(lsh_candidate_pairs(sig, id_col, bands, num_hashes // bands).persist())
     verified = jaccard_pairs(cand, df, text_col, id_col, shingle_k)
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -362,7 +377,7 @@ def simhash_near_dup(
     sh = (
         sig_df
         if sig_df is not None
-        else simhash(_spread(df), text_col, id_col).persist()
+        else track(simhash(_spread(df), text_col, id_col).persist())
     )
     band_cols = F.array(
         *[
@@ -411,11 +426,11 @@ def ngram_jaccard_dedup(
     # never materialized, and |A∪B| = |A|+|B|-|A∩B| from per-doc sizes.
     # persist: consumed by the size projection and both sides of the
     # inverted-index self-join (3 reads of the shingle computation).
-    base = _spread(df).select(
+    base = track(_spread(df).select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         shingles(tokenize(text_col), shingle_k).alias("sh"),
-    ).persist()
+    ).persist())
     sizes = base.select(F.col(id_col), *block_cols, F.size("sh").alias("n"))
     ex = base.select(F.col(id_col), *block_cols, F.explode("sh").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -549,9 +564,13 @@ def duplicated_gram_stats(
     codegen'd column expressions — no Python anywhere.
     """
     base = _spread(df.select(F.col(id_col), F.col(text_col)))
-    grams = base.select(
+    # track()ed, NOT unpersisted inline: an unpersist before the caller's
+    # action erases the plan's cache mapping (substitution happens at
+    # physical planning), so the 3-consumer gram stream would recompute
+    # three times. release_caches() is the defined drop point.
+    grams = track(base.select(
         F.col(id_col), F.explode(hashed_shingles(tokenize(text_col), k)).alias("__gh")
-    ).persist()
+    ).persist())
     dup_set = (
         grams.groupBy("__gh")
         .agg(F.count(F.lit(1)).alias("__df"))  # grams are distinct per doc
@@ -572,7 +591,6 @@ def duplicated_gram_stats(
             F.round(F.col("dup_grams") / F.col("n_grams"), 6),
         )
     )
-    grams.unpersist()
     return out
 
 
@@ -946,13 +964,33 @@ def near_dup_clusters(
 
     Returns (doc_id, keeper) for every node appearing in a pair.
     """
+    probed = None
     if max_driver_pairs > 0:
         rc = _plan_row_count(pairs)
         if rc is None or rc <= max_driver_pairs:
-            proj = pairs.select(id_a, id_b)
-            rows = proj.limit(max_driver_pairs + 1).collect()
+            # persist BEFORE the probe: the limit-collect executes the
+            # (possibly expensive) upstream pair pipeline, and when the
+            # probe LOSES — Catalyst had no estimate and the set turned
+            # out large — the distributed walk below must not pay those
+            # shuffles a second time. When the probe wins, the cache is
+            # dropped after the driver union-find consumes the rows.
+            probed = pairs.select(id_a, id_b).persist()
+            rows = probed.limit(max_driver_pairs + 1).collect()
             if len(rows) <= max_driver_pairs:
-                return _driver_union_find(proj, rows)
+                _log.info(
+                    "near_dup_clusters: driver union-find fast path "
+                    "(%d pairs <= max_driver_pairs=%d)",
+                    len(rows), max_driver_pairs,
+                )
+                out = _driver_union_find(probed, rows)
+                probed.unpersist()
+                return out
+            pairs = probed  # reuse the materialized edges in the walk
+    _log.info(
+        "near_dup_clusters: distributed pointer-jumping walk "
+        "(plan estimate %s, max_driver_pairs=%d)",
+        _plan_row_count(pairs), max_driver_pairs,
+    )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -1016,4 +1054,6 @@ def near_dup_clusters(
         )
     out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("keeper"))
     edges.unpersist()
+    if probed is not None:
+        probed.unpersist()
     return out

@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kapacitor_spark.dataprep.cache import track
+
 __all__ = [
     "IMAGE_SCHEMA",
     "AUDIO_SCHEMA",
@@ -417,10 +419,10 @@ def image_dhash_near_dup(
     from kapacitor_spark.dataprep.dedup import simhash_near_dup
 
     decoded = decode_full(df.select(id_col, binary_col), binary_col, fake=fake)
-    sig = decoded.select(
+    sig = track(decoded.select(
         F.col(id_col),
         dhash_expr("pixels", width, height, channels).alias("simhash"),
-    ).persist()
+    ).persist())
     return simhash_near_dup(df, max_hamming=max_hamming, id_col=id_col, sig_df=sig)
 
 
@@ -454,6 +456,14 @@ def phash_batch(
     """
     import numpy as np
 
+    if keep * keep - 1 > 64:
+        # the signature is keep^2-1 AC bits packed into ONE LongType —
+        # bit indices >= 64 would overflow the 8-byte hash at Arrow
+        # conversion (corrupt signatures, not an error), so refuse early
+        raise ValueError(
+            f"phash keep={keep} needs {keep * keep - 1} bits; the packed "
+            "LongType signature holds at most 64 (keep <= 8)"
+        )
     out_schema = T.StructType(
         df.schema.fields + [T.StructField(out_col, T.LongType())]
     )
@@ -509,9 +519,9 @@ def image_phash_near_dup(
     from kapacitor_spark.dataprep.dedup import simhash_near_dup
 
     decoded = decode_full(df.select(id_col, binary_col), binary_col, fake=fake)
-    sig = phash_batch(
+    sig = track(phash_batch(
         decoded, width, height, channels, out_col="simhash"
-    ).select(id_col, "simhash").persist()
+    ).select(id_col, "simhash").persist())
     return simhash_near_dup(df, max_hamming=max_hamming, id_col=id_col, sig_df=sig)
 
 
@@ -565,10 +575,10 @@ def audio_dhash_near_dup(
     decoded = decode_audio_batch(
         df.select(id_col, binary_col), binary_col, target_frames=target_frames
     )
-    sig = decoded.select(
+    sig = track(decoded.select(
         F.col(id_col),
         audio_dhash_expr("samples", bucket_size).alias("simhash"),
-    ).persist()
+    ).persist())
     return simhash_near_dup(df, max_hamming=max_hamming, id_col=id_col, sig_df=sig)
 
 

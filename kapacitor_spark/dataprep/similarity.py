@@ -19,6 +19,9 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kapacitor_spark.dataprep.cache import track
 
 __all__ = [
     "with_norm",
@@ -183,8 +186,17 @@ def ivf_index(
                 pdf["list_id"] = d.argmin(axis=1).astype("int32")
                 yield pdf
 
+        # id keeps the caller's type (same fix as ivf_assign): a
+        # hardcoded long would break string-keyed corpora at Arrow cast
         return base.mapInPandas(
-            run, schema=f"{id_col} long, __v array<double>, list_id int"
+            run,
+            schema=T.StructType(
+                [
+                    df.schema[id_col],
+                    T.StructField("__v", T.ArrayType(T.DoubleType())),
+                    T.StructField("list_id", T.IntegerType()),
+                ]
+            ),
         )
 
     for _ in range(iters):
@@ -300,9 +312,9 @@ def ann_recall(
     without re-implementing LSH/IVF. Everything is computed distributed;
     only the two 1-row summaries move.
     """
-    exact = brute_force_topk(corpus, queries, k, id_col, vec_col).select(
+    exact = track(brute_force_topk(corpus, queries, k, id_col, vec_col).select(
         "query_id", "neighbor_id"
-    ).persist()
+    ).persist())
     nq = queries.select(id_col).distinct().count()
 
     def summarize(name: str, approx: DataFrame) -> DataFrame:
@@ -425,6 +437,16 @@ def ivf_assign(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     )
+    # the id column keeps the CALLER's type (string ids are as legal here
+    # as longs everywhere else in the dedup surface) — hardcoding long
+    # would fail the Arrow cast and corrupt the downstream join keys
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("__v", T.ArrayType(T.DoubleType())),
+            T.StructField("list_id", T.IntegerType()),
+        ]
+    )
 
     def probe(batches):
         for pdf in batches:
@@ -437,9 +459,7 @@ def ivf_assign(
             out["list_id"] = lists.reshape(-1).astype("int32")
             yield out
 
-    return base.mapInPandas(
-        probe, schema=f"{id_col} long, __v array<double>, list_id int"
-    ).select(id_col, "list_id")
+    return base.mapInPandas(probe, schema=out_schema).select(id_col, "list_id")
 
 
 def semantic_dedup(

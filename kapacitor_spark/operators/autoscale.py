@@ -446,10 +446,20 @@ def autoscale_events(
         )
         for d in dims
     ]
-    return ev.select(
+    out = ev.orderBy(time_col, "__rid", "__seq").select(
         F.col(time_col),
         *dim_cols,
         *[F.col(f"__tag_{k}").alias(k) for k in tag_names],
         F.col("new").cast("long"),
         F.col("old").cast("long"),
     )
+    # events are control-plane small (decisions, not points): materialize
+    # them eagerly so the persisted `decisions` walk output can be released
+    # NOW — returning a lazy view over it would leak the cache entry for
+    # the caller's lifetime (repeated autoscale batches would accumulate
+    # cached partitions until LRU eviction thrashes other caches). The
+    # orderBy restores the global (time, resource, walk-seq) event order
+    # the pre-r7 collect-and-rebuild output had.
+    out = out.localCheckpoint(eager=True)
+    decisions.unpersist()
+    return out

@@ -412,3 +412,15 @@ def test_image_phash_near_dup_planted(spark):
         ).collect()
     }
     assert pairs == {(1, 2)}
+
+
+def test_phash_keep_guard(spark):
+    """keep > 8 would pack more than 64 AC bits into the LongType hash —
+    refused at entry instead of silently corrupting signatures."""
+    import pytest as _pytest
+
+    from kapacitor_spark.dataprep.multimodal import phash_batch
+
+    df = spark.createDataFrame([(1, [0.0] * 16)], "doc_id long, pixels array<float>")
+    with _pytest.raises(ValueError, match="keep"):
+        phash_batch(df, width=4, height=4, channels=1, keep=9)

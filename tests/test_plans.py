@@ -94,7 +94,10 @@ def test_minhash_signature_is_codegen(spark):
     plan = plan_of(spark, "minhash_near_dup")
     assert "BatchEvalPython" not in plan
     assert "xxhash64" in plan
-    assert "partial_min" in plan or "HashAggregate" in plan
+    # the signature stage itself: the r7 zero-shuffle rewrite computes the
+    # 64 per-doc minima as an expression-level fold riding the scan — pin
+    # the fold, not just the downstream distinct's aggregate
+    assert "zip_with" in plan and "array_min" in plan
 
 
 def test_image_dhash_pair_join_has_no_python(spark):

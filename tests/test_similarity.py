@@ -185,3 +185,26 @@ def test_semantic_dedup_auto_n_lists_bounds_cluster_pairs(spark):
     sizes = [r["n"] for r in assigned.groupBy("list_id").count().withColumnRenamed("count", "n").collect()]
     hottest = max(sizes)
     assert hottest * (hottest - 1) // 2 <= 8 * target * target // 2, hottest
+
+
+def test_semantic_dedup_string_ids(spark):
+    """The dedup surface is id-type generic — string-keyed corpora must
+    survive the nprobe>1 multi-assign path (ivf_assign/ivf_index build
+    their Arrow schemas from the caller's id field, not a hardcoded
+    long)."""
+    import numpy as np
+
+    from kapacitor_spark.dataprep.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g in range(20):
+        v = rng.standard_normal(8)
+        rows.append((f"doc-{g:03d}-a", [float(x) for x in v]))
+        rows.append((f"doc-{g:03d}-b", [float(x) for x in v * 1.001]))
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    pairs = semantic_dedup(df, threshold=0.999, n_lists=4, nprobe=2)
+    assert dict(pairs.dtypes)["id_a"] == "string"
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(f"doc-{g:03d}-a", f"doc-{g:03d}-b") for g in range(20)}
+    assert planted <= got
