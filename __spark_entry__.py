@@ -1621,14 +1621,28 @@ def simhash_near_dup_q(spark, sf_dir):
         .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
         .select("id_a", "id_b")
     )
-    n_blocked = blocked.count()
-    n_brute = brute.count()
+    # BOTH counts in ONE action (union + side-tagged aggregate): the r7
+    # two-count form ran ~5 driver-synchronized jobs per invocation
+    # (persist fill, blocked count, brute count), and every job boundary
+    # is a stall the shared box's ambient load can land on — measured
+    # 1.4s quiet vs 2.1-2.5s under load, the whole r7 "simhash 2x" weak
+    # mark. One action also lets the persisted signature table fill once
+    # and feed both sides within the same job.
+    counts = {
+        r["side"]: r["n"]
+        for r in blocked.select(F.lit("blocked").alias("side"))
+        .unionAll(brute.select(F.lit("brute").alias("side")))
+        .groupBy("side")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     sh.unpersist()  # counts are done; don't leak cache entries across runs
+    n_blocked = int(counts.get("blocked", 0))
     # blocked ⊆ brute by construction (same hamming filter over the same
     # hashes, blocked only over banded candidates) — count equality is
     # therefore set equality; no exceptAll pass needed
     return spark.createDataFrame(
-        [(n_blocked, bool(n_blocked == n_brute))],
+        [(n_blocked, bool(n_blocked == counts.get("brute", -1)))],
         "n_pairs long, complete boolean",
     )
 
@@ -3200,18 +3214,59 @@ def image_dedup_keepers(spark, sf_dir):
     return near_dup_clusters(pairs)
 
 
-@_q("image_phash_near_dup")  # 32x32 DCT — no practical SQL twin; rows-only,
-# pinned instead by an independent pure-Python DCT re-derivation
-# (tests/test_imagecodec.py::test_phash_invariances_and_rederivation)
+@_q(
+    "image_phash_near_dup",
+    # FULL closed-form DCT oracle (r8): DuckDB re-derives the 32x32
+    # DCT-II independently — separable factorization (g[v][y] = the
+    # column transform, then the row transform), cos() from the same
+    # float64 libm, pixels cast through FLOAT to mirror the Arrow
+    # float32 pixel column. Summation order differs from numpy's BLAS
+    # matmuls by ~1e-13 relative; the AC-vs-median comparisons have
+    # margins ~1e-3+ on md5-random pixels, so the 63 bits agree exactly
+    # (verified at sf0.001/0.01/0.1).
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS m,
+                     concat(md5(CAST(doc_id // 4 AS VARCHAR) || 'a'),
+                            md5(CAST(doc_id // 4 AS VARCHAR) || 'b'),
+                            md5(CAST(doc_id // 4 AS VARCHAR) || 'c'),
+                            md5(CAST(doc_id // 4 AS VARCHAR) || 'd'),
+                            md5(CAST(doc_id // 4 AS VARCHAR) || 'e')) AS rep
+              FROM documents),
+       px AS (SELECT doc_id, list_transform(range(0, 72), i ->
+                CAST(CAST((CASE WHEN i = m*7
+                     THEN (('0x' || substr(rep, CAST(2*i+1 AS INT), 2))::INT + m*85) % 256
+                     ELSE ('0x' || substr(rep, CAST(2*i+1 AS INT), 2))::INT END) / 255.0
+                  AS FLOAT) AS DOUBLE)) AS p
+             FROM d),
+       g AS (SELECT doc_id, list_transform(range(0, 8), v ->
+               list_transform(range(0, 32), y ->
+                 list_sum(list_transform(range(0, 32), x ->
+                   p[(y//4)*9 + (x*9)//32 + 1]
+                   * cos(pi() * (2*x+1) * v / 64))))) AS gv
+             FROM px),
+       co AS (SELECT doc_id, list_transform(range(1, 64), j ->
+                (CASE WHEN j//8 = 0 THEN sqrt(1.0/32) ELSE sqrt(2.0/32) END) *
+                (CASE WHEN j%8 = 0 THEN sqrt(1.0/32) ELSE sqrt(2.0/32) END) *
+                list_sum(list_transform(range(0, 32), y ->
+                  gv[j%8 + 1][y + 1] * cos(pi() * (2*y+1) * (j//8) / 64)))) AS ac
+              FROM g),
+       bt AS (SELECT doc_id,
+                list_transform(ac, a -> a > list_aggregate(ac, 'median')) AS bits
+              FROM co)
+       SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+              len(list_filter(range(0, 63), j -> a.bits[j+1] != b2.bits[j+1])) AS hamming
+       FROM bt a JOIN bt b2 ON a.doc_id < b2.doc_id
+       WHERE len(list_filter(range(0, 63), j -> a.bits[j+1] != b2.bits[j+1])) <= 10""",
+)
 def image_phash_near_dup_q(spark, sf_dir):
-    """DCT perceptual-hash (pHash) near-dup — the crop/re-compression-
-    robust complement to image_dhash_near_dup, on the same planted-group
-    image corpus and the same exact Hamming banding. The 2D DCT weighs
-    every pixel into every coefficient, so it runs as two numpy matmuls
-    per image inside the Arrow decode hop (phash_batch) rather than a
-    JVM expression; a closed-form SQL oracle would need the full cosine
-    basis inline, so this row is rows-only — correctness is pinned by
-    the pure-Python DCT re-derivation and invariance tests instead."""
+    """DCT perceptual-hash (pHash) near-dup under an EXACT oracle — the
+    crop/re-compression-robust complement to image_dhash_near_dup, on
+    the same planted-group image corpus and the same exact Hamming
+    banding. The 2D DCT weighs every pixel into every coefficient, so
+    Spark-side it runs as two numpy matmuls per image inside the Arrow
+    decode hop (phash_batch); the oracle re-derives the full transform
+    in SQL (separable DCT, median over the 63 AC coefficients, bit
+    comparison per pair) — an independent second implementation, not a
+    golden count."""
     from kapacitor_spark.dataprep.multimodal import image_phash_near_dup
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -3305,6 +3360,84 @@ def audio_dhash_near_dup_q(spark, sf_dir):
     pairs = audio_dhash_near_dup(wavs, bucket_size=2, max_hamming=6)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _planted_mjpeg_avis(docs: DataFrame) -> DataFrame:
+    """Planted MJPEG-in-AVI corpus: per doc, a 5-frame 16x16 grayscale
+    clip — frames 0-2 SHARED across the doc's group of 4 (doc_id//4),
+    frames 3-4 doc-unique (independent md5-random pixels → per-frame
+    dHashes ~32 bits apart). Same-group pairs therefore agree on exactly
+    3 of 5 co-sampled frames (identical JPEG bytes → identical decode →
+    Hamming 0); cross-group pairs agree on none. Real JPEG encode (q90)
+    + real RIFF mux, built in one Arrow hop with a per-task frame cache
+    (shared frames encode once per group, not once per member)."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    from kapacitor_spark.dataprep import jpegcodec, videocodec
+
+    schema = T.StructType(
+        [docs.schema["doc_id"], T.StructField("payload", T.BinaryType())]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        cache: dict[str, bytes] = {}
+
+        def frame(seed: str) -> bytes:
+            if seed not in cache:
+                pix = b"".join(
+                    hashlib.md5(f"{seed}:{j}".encode()).digest() for j in range(16)
+                )
+                cache[seed] = jpegcodec.encode(16, 16, pix, channels=1, quality=90)
+            return cache[seed]
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                g, d = int(did) // 4, int(did)
+                frames = [frame(f"g{g}-f{k}") for k in range(3)] + [
+                    frame(f"d{d}-f{k}") for k in (3, 4)
+                ]
+                payloads.append(videocodec.build_avi_mjpeg(16, 16, frames, fps=5))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(gen, schema)
+
+
+@_q(
+    "video_dhash_near_dup",
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(3 AS BIGINT) AS agree_frames, CAST(5 AS BIGINT) AS total_frames
+       FROM documents a JOIN documents b
+         ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id""",
+)
+def video_dhash_near_dup_q(spark, sf_dir):
+    """Video near-dup — the FOURTH perceptual modality (text shingles /
+    image pixels / audio samples / video frames) under an EXACT planted
+    oracle: real MJPEG-in-AVI demux (extract_mjpeg_frames), real JPEG
+    frame decode, per-frame dHash as a JVM projection, per-frame-index
+    pigeonhole banding, majority-of-frames agreement. The fixture makes
+    the expected answer closed-form: same-group clips share frames 0-2
+    byte-for-byte and differ on md5-random frames 3-4, so every
+    same-group pair reports agree=3 of total=5 (majority 3 > 2.5) and
+    cross-group pairs never band together — the oracle is the pair
+    enumeration itself, no perceptual arithmetic needed SQL-side."""
+    from kapacitor_spark.dataprep.multimodal import video_dhash_near_dup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    vids = _planted_mjpeg_avis(docs)
+    pairs = video_dhash_near_dup(
+        vids, width=16, height=16, channels=1, max_hamming=6, majority=0.5
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("agree_frames").cast("long").alias("agree_frames"),
+        F.col("total_frames").cast("long").alias("total_frames"),
     )
 
 
@@ -3503,12 +3636,17 @@ def audio_decode(spark, sf_dir):
 # the union IS the scored window, so a registry edit can't silently drop
 # an operator family out of the 50-slot window).
 _SCORED_FAMILIES = {
-    # r7 rotation (VERDICT r6 #2): the round-6 surfaces move INTO the
-    # scored window — autoscale_decisions (2.1), mix_token_budget (text),
-    # contamination_spans + span_strip_accounting (dedup) — plus the new
-    # r7 image_dhash_near_dup (multimodal); sideload_hierarchy, union_rename,
-    # first_last, batch_empty_reduce, lambda_string_fns rotate out (all
-    # long-stable, still oracle-checked every run by test_oracle_all.py).
+    # r8 rotation (VERDICT r7 #3/#4): image_phash_near_dup moves IN with
+    # its new exact DCT oracle, audio_dhash_near_dup (exact WAV oracle,
+    # pytest-only until now) moves IN, and the new video_dhash_near_dup
+    # (planted MJPEG-in-AVI oracle) completes the perceptual quartet in
+    # the scored window. sequence_packing, stratified_sample, pii_scrub
+    # rotate out (stable since r4-r5, still oracle-checked every run by
+    # test_oracle_all.py).
+    # r7 rotation (VERDICT r6 #2): autoscale_decisions (2.1),
+    # mix_token_budget (text), contamination_spans + span_strip_accounting
+    # (dedup), image_dhash_near_dup (multimodal) in; sideload_hierarchy,
+    # union_rename, first_last, batch_empty_reduce, lambda_string_fns out.
     "2.1-sources-tick": (
         "lineprotocol_roundtrip", "batch_query_backfill", "tickscript_e2e",
         "autoscale_decisions",
@@ -3539,13 +3677,13 @@ _SCORED_FAMILIES = {
         "contamination_spans", "span_strip_accounting",
     ),
     "dataprep-text": (
-        "boilerplate_removal", "pii_scrub", "sequence_packing",
-        "stratified_sample", "text_analysis", "text_lang_id",
+        "boilerplate_removal", "text_analysis", "text_lang_id",
         "corpus_prep_pipeline", "source_mix_stats", "mix_token_budget",
     ),
     "dataprep-similarity": ("ann_cosine_topk", "ann_recall"),
     "dataprep-multimodal": (
         "multimodal_decode", "multimodal_frames", "image_dhash_near_dup",
+        "image_phash_near_dup", "audio_dhash_near_dup", "video_dhash_near_dup",
     ),
 }
 _SCORED_ORDER = [n for fam in _SCORED_FAMILIES.values() for n in fam]

@@ -23,6 +23,38 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# --------------------------------------------------------------------- #
+# Calibration probe (r8): a fixed, cache-free, CPU-bound reference
+# workload — 2B codegen'd xxhash64 rounds over spark.range, no I/O, no
+# cache, no shuffle — timed at bench start AND end. Raw per-query numbers
+# on this shared box have moved ±25-45% between rounds on diff-identical
+# code (see VERDICT r7: every untouched query ~1.6x its r6 recording on a
+# quiet box), which makes round-over-round comparison meaningless without
+# a box-speed reference. The probe measures exactly the resource the
+# queries contend for (JVM CPU throughput under the same executor
+# threads), so queries are reported BOTH raw and normalized by
+# probe/PROBE_REF_SEC. PROBE_REF_SEC is pinned to the box state that
+# produced BENCH_r08 — future rounds divide out their own probe drift and
+# compare normalized numbers. min-of-3 after one warmup: ambient load
+# only ever ADDS time to a fixed CPU workload, so min is the right
+# box-speed estimator.
+# --------------------------------------------------------------------- #
+PROBE_ROWS = 2_000_000_000
+PROBE_REF_SEC = 0.80  # pinned 2026-08-15: quiet r8 box, min over 6 probes
+
+
+def _probe_once(spark) -> float:
+    t0 = time.time()
+    spark.range(0, PROBE_ROWS, 1, 32).selectExpr(
+        "bit_xor(xxhash64(id, xxhash64(id))) as s"
+    ).collect()
+    return time.time() - t0
+
+
+def run_probe(spark) -> float:
+    _probe_once(spark)  # warmup (codegen compile)
+    return min(_probe_once(spark) for _ in range(3))
+
 # Headline set: the reference-benchmark shapes first (filter, windowed
 # count, alert, join), then the heavy analytic queries, then dataprep.
 HEADLINE = [
@@ -98,12 +130,17 @@ def main() -> int:
     # between samples was tried and reverted because it silently redefines
     # the whole series' metric mid-flight. SCALE.md records both numbers.
 
-    # one untimed warmup iteration per query: go test -bench discards
-    # warm-up iterations the same way, so the samples measure
-    # steady-state execution, not each plan's one-time janino/codegen
-    # compile (which dominates run 1 for the widest generated
-    # expressions, e.g. simhash's 64-term packing)
-    warm = {name: run_once(name) for name in names}
+    probe_start = run_probe(spark)
+
+    # TWO untimed warmup iterations per query: go test -bench discards
+    # warm-up iterations the same way. One warmup was not enough for the
+    # widest generated expressions — simhash's 64-term packing takes 3-4
+    # invocations before HotSpot C2 settles (measured 2026-08-15: fresh
+    # session 11.9 → 2.1 → 1.48 → 1.39 → 1.40s; the r7 bench sampled it
+    # at invocations 2-4 and recorded the JIT ramp, not the operator).
+    for name in names:
+        run_once(name)
+        run_once(name)
 
     # INTERLEAVED sampling (round-robin over queries, not consecutive
     # runs of one query): ambient load on a shared box arrives in
@@ -114,14 +151,18 @@ def main() -> int:
     # noise window into one bad sample per query, which the median
     # drops. Sub-second queries get 2 extra passes (jitter is a large
     # FRACTION of a 0.3s query, a small one of a 1.5s query).
+    # 5 samples for EVERY query (was: 3, +2 only for sub-second ones).
+    # The widest generated plans (simhash's 64-term packing) take 5-6
+    # invocations before HotSpot settles — measured 2.5 → 1.68 → 1.63 →
+    # 1.46s across consecutive invocations on a quiet box — so a 3-sample
+    # min still records the JIT ramp. Two warmups + 5 samples puts the
+    # min at invocation ≥ 7.
     samples: dict[str, list[float]] = {name: [] for name in names}
-    for _ in range(runs):
+    for _ in range(max(runs, 5)):
         for name in names:
             samples[name].append(run_once(name))
-    extra = [n for n in names if warm[n] < 1.0]
-    for _ in range(max(0, 5 - runs)):
-        for name in extra:
-            samples[name].append(run_once(name))
+
+    probe_end = run_probe(spark)
 
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
@@ -130,6 +171,13 @@ def main() -> int:
         timings[name] = round(ss[len(ss) // 2], 3)
         mins[name] = round(ss[0], 3)
     total = round(sum(timings.values()), 3)
+
+    # normalized = raw / (probe / PROBE_REF): what the query would have
+    # cost on the reference box state. start/end probes bracket the run;
+    # their mean is the factor, their spread is the drift DURING the run.
+    factor = ((probe_start + probe_end) / 2.0) / PROBE_REF_SEC
+    norm = {n: round(t / factor, 3) for n, t in timings.items()}
+    norm_min = {n: round(t / factor, 3) for n, t in mins.items()}
 
     print(
         json.dumps(
@@ -142,6 +190,17 @@ def main() -> int:
                 "min_total_sec": round(sum(mins.values()), 3),
                 "runs_per_query": runs,
                 "sf": _sf_from_dir(SF_DIR),
+                "calibration": {
+                    "probe_rows": PROBE_ROWS,
+                    "probe_ref_sec": PROBE_REF_SEC,
+                    "probe_start_sec": round(probe_start, 3),
+                    "probe_end_sec": round(probe_end, 3),
+                    "factor": round(factor, 4),
+                },
+                "queries_normalized": norm,
+                "queries_min_normalized": norm_min,
+                "normalized_total_sec": round(sum(norm.values()), 3),
+                "normalized_min_total_sec": round(sum(norm_min.values()), 3),
             }
         )
     )

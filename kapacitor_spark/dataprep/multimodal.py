@@ -590,3 +590,137 @@ def sample_frames(
     UDF then receives (payload, frame_idx) pairs."""
     idx = F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every))
     return df.withColumn("frame_idx", F.explode(idx))
+
+
+def extract_video_frames(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    every: int = 1,
+    frame_col: str = "frame",
+) -> DataFrame:
+    """Demux MJPEG-in-AVI payloads into one row per sampled frame:
+    (id, frame_idx, frame) — frame SELECTION happens in the demux walk
+    (chunk offsets), so skipped frames are never even sliced out of the
+    container, let alone decoded. One Arrow-batched hop; the (small)
+    JPEG frame payloads are what moves downstream, not the clip.
+
+    Reference parity note: the reference engine has no video decode at
+    all — this is the training-data-pipeline extension (frame-level
+    perceptual dedup needs frames)."""
+    from kapacitor_spark.dataprep import videocodec
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField(frame_col, T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf[binary_col]):
+                raw = bytes(b) if b is not None else b""
+                for i, jpeg in videocodec.extract_mjpeg_frames(raw):
+                    if i % every == 0:
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        payloads.append(jpeg)
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, frame_col: payloads}
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(gen, out_schema)
+
+
+def video_dhash_near_dup(
+    df: DataFrame,
+    width: int,
+    height: int,
+    channels: int = 1,
+    max_hamming: int = 6,
+    majority: float = 0.5,
+    every: int = 1,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+) -> DataFrame:
+    """Video near-duplicate pairs: MJPEG frames → per-frame dHash →
+    per-frame exact Hamming banding → MAJORITY-of-frames agreement.
+    Returns (id_a, id_b, agree_frames, total_frames) where agree_frames
+    counts sampled frame indices present in both clips whose dHashes sit
+    within ``max_hamming``, total_frames counts indices present in both,
+    and pairs qualify when agree_frames > majority * total_frames.
+
+    The fourth perceptual-dedup modality on the shared machinery: demux
+    (extract_video_frames) and JPEG decode (decode_full) are the only
+    Python hops; the 64-bit per-frame dHash is a JVM projection
+    (dhash_expr); blocking is the simhash pigeonhole banding with
+    frame_idx ADDED to the equi-join key, so frames only ever compare at
+    the SAME index — re-encoded/edited copies of a clip align, unrelated
+    clips never join. EXACT for the bound: any frame pair within
+    max_hamming shares ≥1 of the max_hamming+1 bands, majority needs ≥1
+    agreeing frame, hence every qualifying video pair has ≥1 banded
+    frame candidate. Only (id, frame_idx, 8B hash) shuffles — pixels and
+    frame payloads never do. At 100 TB: band join on (frame_idx, band,
+    band_val) spreads candidates across frames as extra key entropy; the
+    per-pair aggregate is a map-side-combining count over candidate
+    pairs, proportional to candidates, not clips²."""
+    frames = extract_video_frames(df, binary_col, id_col, every=every)
+    decoded = decode_full(frames, "frame", fake=False)
+    sig = track(
+        decoded.select(
+            F.col(id_col),
+            F.col("frame_idx"),
+            dhash_expr("pixels", width, height, channels).alias("fhash"),
+        ).persist()
+    )
+    nbands = max_hamming + 1
+    bwidth = 64 // nbands
+    band_cols = F.array(
+        *[
+            F.shiftright(F.col("fhash"), b * bwidth)
+            .bitwiseAND(F.lit((1 << bwidth) - 1))
+            for b in range(nbands)
+        ]
+    )
+    banded = sig.select(
+        id_col, "frame_idx", "fhash", F.posexplode(band_cols).alias("band", "band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    frame_pairs = (
+        a.join(b, ["frame_idx", "band", "band_val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("frame_idx"),
+            F.bit_count(F.col("a.fhash").bitwiseXOR(F.col("b.fhash"))).alias("__hd"),
+        )
+        .filter(F.col("__hd") <= max_hamming)
+        .distinct()  # a frame pair can share several bands
+    )
+    agree = frame_pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("agree_frames")
+    )
+    # total co-sampled frames per candidate pair: join the tiny per-video
+    # frame-count table twice (broadcast-eligible)
+    counts = sig.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nf"))
+    out = (
+        agree.join(
+            F.broadcast(counts.select(F.col(id_col).alias("id_a"), F.col("__nf").alias("__na"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(counts.select(F.col(id_col).alias("id_b"), F.col("__nf").alias("__nb"))),
+            "id_b",
+        )
+        .withColumn("total_frames", F.least("__na", "__nb"))
+        .filter(F.col("agree_frames") > majority * F.col("total_frames"))
+        .select("id_a", "id_b", "agree_frames", "total_frames")
+    )
+    return out
+
+
+__all__ += ["extract_video_frames", "video_dhash_near_dup"]

@@ -222,3 +222,93 @@ def parse_video_header(data: bytes):
     if fmt == "mkv":
         return (fmt, *_mkv_header(data))
     raise ValueError("unrecognized video payload")
+
+
+# ------------------------------------------------------------------ #
+# MJPEG-in-AVI demux + mux: the one container+codec combination whose
+# frames are FULLY decodable in this environment — each '..dc' chunk is
+# a complete baseline/progressive JPEG, so the existing jpegcodec turns
+# them into pixels with no external library. This is what upgrades
+# video from metadata-only to frame-level perceptual dedup.
+# ------------------------------------------------------------------ #
+
+
+def extract_mjpeg_frames(data: bytes) -> list[tuple[int, bytes]]:
+    """Demux an AVI payload into its MJPEG frames.
+
+    Walks RIFF → LIST 'movi' and returns ``(frame_index, jpeg_bytes)``
+    for every video chunk (id ``##dc``/``##db``) whose payload starts
+    with a JPEG SOI marker. Non-JPEG video chunks (a compressed codec —
+    cinepak, H.264 in AVI, ...) raise ``NotImplementedError``: their
+    entropy coding genuinely needs a video library, and silently
+    skipping them would make near-dup results depend on codec mix.
+    Non-video chunks (audio ``##wb``, index ``idx1``) are ignored.
+    """
+    if sniff_format(data) != "avi":
+        raise ValueError("not an AVI payload")
+    frames: list[tuple[int, bytes]] = []
+    pos = 12
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack("<4sI", data[pos : pos + 8])
+        body = pos + 8
+        if cid == b"LIST" and data[body : body + 4] == b"movi":
+            inner = body + 4
+            end = min(body + size, len(data))
+            idx = 0
+            while inner + 8 <= end:
+                c2, s2 = struct.unpack("<4sI", data[inner : inner + 8])
+                payload = data[inner + 8 : inner + 8 + s2]
+                if c2[2:4] in (b"dc", b"db"):
+                    if payload[:2] != b"\xff\xd8":
+                        raise NotImplementedError(
+                            f"AVI video chunk {c2!r} is not MJPEG "
+                            "(no JPEG SOI); compressed video codecs "
+                            "need an external library"
+                        )
+                    frames.append((idx, payload))
+                    idx += 1
+                inner += 8 + s2 + (s2 & 1)
+        pos += 8 + size + (size & 1)
+    return frames
+
+
+def build_avi_mjpeg(
+    width: int, height: int, frames: list[bytes], fps: int = 10
+) -> bytes:
+    """Mux JPEG frames into a minimal spec-shaped MJPEG AVI (RIFF →
+    hdrl[avih + strl[strh 'vids'/'MJPG' + strf BITMAPINFOHEADER]] +
+    movi['00dc' chunks]) — the fixture/side of extract_mjpeg_frames, and
+    a real writer for pipelines that re-emit sampled clips. Every chunk
+    is even-padded per RIFF."""
+    for f in frames:
+        if f[:2] != b"\xff\xd8":
+            raise ValueError("build_avi_mjpeg frames must be JPEG payloads")
+    usec_pf = 1_000_000 // max(1, fps)
+    n = len(frames)
+    avih = b"avih" + struct.pack(
+        "<I14I", 56, usec_pf, 0, 0, 0x10, n, 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    strh = b"strh" + struct.pack(
+        "<I", 56
+    ) + b"vidsMJPG" + struct.pack(
+        # flags, priority, language, initial_frames, scale, rate, start,
+        # length, suggested_buf, quality (-1), sample_size, rcFrame
+        "<IHHIIIIIIII4H", 0, 0, 0, 0, 1, fps, 0, n, 0, 0xFFFFFFFF, 0,
+        0, 0, width, height,
+    )
+    strf = b"strf" + struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
+    movi = bytearray(b"movi")
+    for f in frames:
+        movi += b"00dc" + struct.pack("<I", len(f)) + f
+        if len(f) & 1:
+            movi += b"\x00"
+    movi_chunk = b"LIST" + struct.pack("<I", len(movi)) + bytes(movi)
+    body = b"AVI " + hdrl + movi_chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+__all__ += ["extract_mjpeg_frames", "build_avi_mjpeg"]

@@ -307,3 +307,42 @@ def test_mix_token_budget_single_scan(spark):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert plan.count("Generate") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_video_dhash_pipeline_python_hops_bounded(spark):
+    """Video frame near-dup: exactly THREE MapInPandas hops are allowed —
+    fixture mux (build the planted AVIs), demux (extract_mjpeg_frames),
+    and the JPEG decode. The per-frame dHash packs JVM-side (shiftleft),
+    the per-frame banding is an equi-join keyed by (frame_idx, band,
+    band_val), and the majority vote is a map-side-combining count — no
+    per-pair Python, no cartesian, frame payloads never enter the join."""
+    plan = plan_of(spark, "video_dhash_near_dup")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan  # the Arrow hops exist...
+    # ...but bytes never shuffle: no exchange may carry the clip payload,
+    # the demuxed frame, or the decoded pixel array — only (id,
+    # frame_idx, 8B hash) and band keys move. (Counting MapInPandas
+    # nodes is unstable: explain(formatted) re-prints the persisted sig
+    # subtree under every consumer branch.)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "payload" not in line and "frame#" not in line
+            assert "pixels" not in line
+    assert "shiftleft" in plan  # dHash packed JVM-side
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+    # the majority count does partial combine before its exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_phash_oracle_rederives_not_copies(spark):
+    """image_phash_near_dup's DCT runs inside the decode hop (numpy
+    matmuls) — the plan must show the Arrow hop and the banded equi-join
+    but NO per-pair Python and NO cartesian path."""
+    plan = plan_of(spark, "image_phash_near_dup")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan

@@ -1361,3 +1361,84 @@ def test_scrape_targets_stamps_scrape_time(spark):
         finally:
             srv.shutdown()
     assert rows[0]["time"].year >= 2024
+
+
+def test_scrape_to_alert_composed_end_to_end(spark):
+    """The reference's actual scrape use-shape COMPOSED end to end:
+    scrape → alert, one continuous streaming query (scraper feeds the
+    task's edge feeds alertnode — /root/reference/services/scraper ties
+    into the same stream pipeline the alert node consumes). A local
+    /metrics server serves a counter that increments per wave; the alert
+    lambda is `value >= 3`, so the first waves are OK and the crossing
+    wave must fire CRITICAL — exactly once under stateChangesOnly even
+    though every later wave stays above the threshold."""
+    import http.server
+    import socketserver
+    import threading
+    import time
+    import uuid
+
+    from kapacitor_spark.sources.prometheus import scrape_stream
+    from kapacitor_spark.streaming import alert_stream
+
+    hits = [0]
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits[0] += 1
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(f'load_avg{{host="web01"}} {hits[0]}\n'.encode())
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as srv:
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        sink = f"scrape_alert_{uuid.uuid4().hex[:8]}"
+        scraped = scrape_stream(
+            spark, [f"http://127.0.0.1:{port}/metrics"], job="compose"
+        )
+        alerts = alert_stream(
+            scraped.filter("name = 'load_avg'"),
+            "time",
+            dims=["name"],
+            crit="value >= 3",
+            state_changes_only=True,
+        )
+        q = (
+            alerts.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            rows = []
+            while time.time() < deadline:
+                rows = spark.sql(
+                    f"SELECT value, level FROM {sink} ORDER BY value"
+                ).collect()
+                # wait until at least one post-crossing wave has ALSO been
+                # scraped (value > 3 seen by the server) so the
+                # exactly-once assertion is meaningful
+                if any(r["level"] == "CRITICAL" for r in rows) and hits[0] >= 5:
+                    time.sleep(1.0)  # let one more wave land
+                    rows = spark.sql(
+                        f"SELECT value, level FROM {sink} ORDER BY value"
+                    ).collect()
+                    break
+                time.sleep(0.3)
+        finally:
+            q.stop()
+            srv.shutdown()
+    crits = [r for r in rows if r["level"] == "CRITICAL"]
+    oks = [r for r in rows if r["level"] == "OK"]
+    # the crossing wave (value 3) fires CRITICAL exactly once — later
+    # waves stay CRITICAL and are suppressed by stateChangesOnly
+    assert len(crits) == 1, rows
+    assert crits[0]["value"] == 3.0, rows
+    # every emitted OK precedes the crossing (values 1-2)
+    assert all(r["value"] < 3 for r in oks), rows

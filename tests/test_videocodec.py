@@ -165,3 +165,113 @@ def test_mkv_custom_timecode_scale():
     data = _build_mkv(scale_ns=500_000, duration_tc=1000.0)
     fmt, w, h, dur, n = vc.parse_video_header(data)
     assert dur == pytest.approx(0.5)
+
+
+# ------------------------------------------------------------------ #
+# MJPEG-in-AVI demux/mux + frame-level perceptual dedup (r8)
+# ------------------------------------------------------------------ #
+
+
+def _jpeg_frame(seed: str, w: int = 16, h: int = 16) -> bytes:
+    import hashlib
+
+    from kapacitor_spark.dataprep import jpegcodec
+
+    pix = b"".join(
+        hashlib.md5(f"{seed}:{j}".encode()).digest() for j in range(w * h // 16)
+    )
+    return jpegcodec.encode(w, h, pix, channels=1, quality=90)
+
+
+def test_avi_mjpeg_mux_demux_roundtrip():
+    from kapacitor_spark.dataprep import videocodec
+
+    frames = [_jpeg_frame(f"f{i}") for i in range(4)]
+    avi = videocodec.build_avi_mjpeg(16, 16, frames, fps=8)
+    fmt, w, h, dur, n = videocodec.parse_video_header(avi)
+    assert (fmt, w, h, n) == ("avi", 16, 16, 4)
+    assert abs(dur - 0.5) < 1e-6
+    got = videocodec.extract_mjpeg_frames(avi)
+    assert [i for i, _ in got] == [0, 1, 2, 3]
+    assert [b for _, b in got] == frames  # byte-exact, even with odd-length padding
+
+
+def test_avi_non_mjpeg_chunk_raises():
+    import struct
+
+    from kapacitor_spark.dataprep import videocodec
+
+    frames = [_jpeg_frame("x")]
+    avi = bytearray(videocodec.build_avi_mjpeg(16, 16, frames))
+    # corrupt the frame payload's SOI: now it's a "compressed codec" chunk
+    soi = avi.find(b"\xff\xd8", 100)
+    avi[soi:soi + 2] = b"\x00\x00"
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="MJPEG"):
+        videocodec.extract_mjpeg_frames(bytes(avi))
+    with _pytest.raises(ValueError):
+        videocodec.extract_mjpeg_frames(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_extract_video_frames_samples_before_decode(spark):
+    from kapacitor_spark.dataprep import videocodec
+    from kapacitor_spark.dataprep.multimodal import extract_video_frames
+
+    frames = [_jpeg_frame(f"s{i}") for i in range(6)]
+    avi = videocodec.build_avi_mjpeg(16, 16, frames, fps=10)
+    df = spark.createDataFrame([(1, bytearray(avi))], "doc_id long, payload binary")
+    got = extract_video_frames(df, every=2).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in got] == [0, 2, 4]
+    assert [bytes(r["frame"]) for r in got] == [frames[0], frames[2], frames[4]]
+
+
+def test_video_dhash_near_dup_majority(spark):
+    """Three clips: A and B share 3 of 5 frames (majority → pair),
+    C shares only 1 of 5 with A (1 ≤ 2.5 → no pair)."""
+    from kapacitor_spark.dataprep import videocodec
+    from kapacitor_spark.dataprep.multimodal import video_dhash_near_dup
+
+    sh = [_jpeg_frame(f"shared{i}") for i in range(3)]
+    mk = lambda seeds: videocodec.build_avi_mjpeg(
+        16, 16, [s if isinstance(s, bytes) else _jpeg_frame(s) for s in seeds]
+    )
+    a = mk([sh[0], sh[1], sh[2], "a3", "a4"])
+    b = mk([sh[0], sh[1], sh[2], "b3", "b4"])
+    c = mk([sh[0], "c1", "c2", "c3", "c4"])
+    df = spark.createDataFrame(
+        [(1, bytearray(a)), (2, bytearray(b)), (3, bytearray(c))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["agree_frames"], r["total_frames"])
+        for r in video_dhash_near_dup(df, width=16, height=16).collect()
+    }
+    assert got == {(1, 2): (3, 5)}
+
+
+def test_video_dhash_survives_reencode(spark):
+    """The point of PERCEPTUAL frame hashing: a re-encoded copy (quality
+    90 → 75, different bytes, same content) still pairs with the
+    original — exact payload hashing never catches this."""
+    import hashlib
+
+    from kapacitor_spark.dataprep import jpegcodec, videocodec
+    from kapacitor_spark.dataprep.multimodal import video_dhash_near_dup
+
+    pix = [
+        b"".join(hashlib.md5(f"re{i}:{j}".encode()).digest() for j in range(16))
+        for i in range(3)
+    ]
+    v1 = videocodec.build_avi_mjpeg(
+        16, 16, [jpegcodec.encode(16, 16, p, channels=1, quality=90) for p in pix]
+    )
+    v2 = videocodec.build_avi_mjpeg(
+        16, 16, [jpegcodec.encode(16, 16, p, channels=1, quality=75) for p in pix]
+    )
+    assert v1 != v2
+    df = spark.createDataFrame(
+        [(10, bytearray(v1)), (20, bytearray(v2))], "doc_id long, payload binary"
+    )
+    got = video_dhash_near_dup(df, width=16, height=16, max_hamming=6).collect()
+    assert [(r["id_a"], r["id_b"], r["total_frames"]) for r in got] == [(10, 20, 3)]
