@@ -3426,9 +3426,13 @@ def video_dhash_near_dup_q(spark, sf_dir):
     same-group pair reports agree=3 of total=5 (majority 3 > 2.5) and
     cross-group pairs never band together — the oracle is the pair
     enumeration itself, no perceptual arithmetic needed SQL-side."""
+    from kapacitor_spark.dataprep.dedup import _spread
     from kapacitor_spark.dataprep.multimodal import video_dhash_near_dup
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # spread the ids BEFORE the fixture mux so the 16x16 JPEG encodes
+    # parallelize too (one parquet split would serialize them); group
+    # frames are regenerated per task — cheaper than shuffling them
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     vids = _planted_mjpeg_avis(docs)
     pairs = video_dhash_near_dup(
         vids, width=16, height=16, channels=1, max_hamming=6, majority=0.5

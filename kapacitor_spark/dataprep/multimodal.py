@@ -667,7 +667,13 @@ def video_dhash_near_dup(
     band_val) spreads candidates across frames as extra key entropy; the
     per-pair aggregate is a map-side-combining count over candidate
     pairs, proportional to candidates, not clips²."""
-    frames = extract_video_frames(df, binary_col, id_col, every=every)
+    from kapacitor_spark.dataprep.dedup import _spread
+
+    # spread BEFORE the demux: a small/derived clip table often arrives
+    # as one partition, which would serialize every JPEG decode into one
+    # task (measured 52s -> ~8s at sf0.1). Spreading the CLIP rows keeps
+    # demux -> decode in the same stage, so frame payloads never shuffle.
+    frames = extract_video_frames(_spread(df), binary_col, id_col, every=every)
     decoded = decode_full(frames, "frame", fake=False)
     sig = track(
         decoded.select(

@@ -32,6 +32,8 @@ __all__ = [
     "static_targets",
     "file_sd_targets",
     "scrape_stream_file_sd",
+    "dns_targets",
+    "http_sd_targets",
 ]
 
 _METRIC = re.compile(
@@ -346,6 +348,91 @@ def file_sd_targets(
                     raise
                 print(f"file discovery failed for {path}: {e}", file=_sys.stderr)
     return _norm_targets(out)
+
+
+def dns_targets(
+    id: str,
+    record_names: Sequence[str],
+    type: str = "SRV",
+    port: int = 0,
+    resolver=None,
+) -> list[tuple[str, dict]]:
+    """DNS discovery (/root/reference/services/dns/config.go — validation
+    mirrored exactly: an ID is required; type SRV|A|AAAA; A/AAAA require
+    a port, which SRV ignores because SRV answers carry their own).
+
+    A/AAAA resolve with the stdlib resolver (socket.getaddrinfo) — no
+    external control plane needed; every resolved address becomes a
+    target with the Prometheus ``__meta_dns_name`` label. SRV genuinely
+    needs a DNS library (stdlib cannot query SRV records), so it raises
+    NotImplementedError unless a ``resolver`` is injected — the same
+    injected-client seam as the autoscale orchestrators.
+    ``resolver(name, rtype)`` must return an iterable of "host:port"
+    (SRV) or bare address (A/AAAA) strings."""
+    import socket as _socket
+
+    if not id:
+        raise ValueError("dns discovery must be given a ID")
+    rtype = type.upper()
+    if rtype in ("A", "AAAA"):
+        if not port:
+            # reference error string (services/dns/config.go:38-40)
+            raise ValueError(f"Port required for dns discovery type {rtype}")
+    elif rtype != "SRV":
+        raise ValueError(f"invalid dns discovery records type {type}")
+    out: list[tuple[str, dict]] = []
+    for name in record_names:
+        labels = {"__meta_dns_name": name}
+        if resolver is not None:
+            for addr in resolver(name, rtype):
+                out.append((addr if rtype == "SRV" else f"{addr}:{port}", labels))
+            continue
+        if rtype == "SRV":
+            raise NotImplementedError(
+                "SRV discovery needs a DNS library or an injected resolver "
+                "(stdlib getaddrinfo cannot query SRV records)"
+            )
+        fam = _socket.AF_INET if rtype == "A" else _socket.AF_INET6
+        seen: set[str] = set()
+        for info in _socket.getaddrinfo(name, None, fam, _socket.SOCK_STREAM):
+            addr = info[4][0]
+            if addr not in seen:
+                seen.add(addr)
+                host = f"[{addr}]" if rtype == "AAAA" else addr
+                out.append((f"{host}:{port}", labels))
+    return _norm_targets(out)
+
+
+def http_sd_targets(
+    url: str, timeout: float = 10.0, tolerant: bool = False
+) -> list[tuple[str, dict]]:
+    """HTTP service discovery: GET ``url`` and parse the public
+    Prometheus http_sd body — the SAME target-group JSON as file_sd
+    (a list of {"targets": [...], "labels": {...}}), so anything that
+    can serve a file can be a control plane. Returns (url, labels)
+    pairs for scrape_targets / scrape_stream.
+
+    ``tolerant=True`` maps fetch/parse failures to an empty list (the
+    streaming refresh behavior: one bad poll contributes nothing and
+    the previous wave's scrape set simply re-discovers next trigger)."""
+    import json as _json
+    import sys as _sys
+    import urllib.request as _rq
+
+    try:
+        with _rq.urlopen(url, timeout=timeout) as resp:
+            groups = _json.loads(resp.read().decode("utf-8"))
+        out = []
+        for g in groups or []:
+            labels = dict(g.get("labels") or {})
+            for addr in g.get("targets") or []:
+                out.append((addr, labels))
+        return _norm_targets(out)
+    except Exception as e:  # noqa: BLE001 — poll isolation
+        if not tolerant:
+            raise
+        print(f"http discovery failed for {url}: {e}", file=_sys.stderr)
+        return []
 
 
 def scrape_stream_file_sd(

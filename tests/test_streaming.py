@@ -1442,3 +1442,85 @@ def test_scrape_to_alert_composed_end_to_end(spark):
     assert crits[0]["value"] == 3.0, rows
     # every emitted OK precedes the crossing (values 1-2)
     assert all(r["value"] < 3 for r in oks), rows
+
+
+def test_dns_discovery_validation_and_resolution():
+    """DNS discovery mirrors the reference's validation exactly
+    (services/dns/config.go): ID required, SRV|A|AAAA only, A/AAAA need
+    a port. A-record resolution uses the stdlib resolver; SRV needs an
+    injected resolver (stdlib cannot query SRV)."""
+    import pytest as _pytest
+
+    from kapacitor_spark.sources.prometheus import dns_targets
+
+    with _pytest.raises(ValueError, match="must be given a ID"):
+        dns_targets("", ["x.example"], type="A", port=9100)
+    with _pytest.raises(ValueError, match="Port required"):
+        dns_targets("d1", ["x.example"], type="A")
+    with _pytest.raises(ValueError, match="invalid dns discovery records type"):
+        dns_targets("d1", ["x.example"], type="MX", port=1)
+    with _pytest.raises(NotImplementedError, match="SRV"):
+        dns_targets("d1", ["_svc._tcp.example"])
+    # stdlib A-record path against a name that always resolves
+    got = dns_targets("d1", ["localhost"], type="A", port=9100)
+    assert ("http://127.0.0.1:9100/metrics", {"__meta_dns_name": "localhost"}) in got
+    # injected-resolver seam: SRV answers carry their own ports
+    def resolver(name, rtype):
+        assert (name, rtype) == ("_svc._tcp.example", "SRV")
+        return ["10.0.0.5:1234", "10.0.0.6:1234"]
+
+    got = dns_targets("d1", ["_svc._tcp.example"], resolver=resolver)
+    assert [u for u, _ in got] == [
+        "http://10.0.0.5:1234/metrics", "http://10.0.0.6:1234/metrics"
+    ]
+
+
+def test_http_sd_discovery_end_to_end(spark):
+    """HTTP SD serves the public Prometheus target-group JSON; the
+    discovered targets must scrape end to end, labels overriding the
+    configured job (honor_labels=false), and a failing poll must map to
+    an empty wave under tolerant=True."""
+    import http.server
+    import json
+    import socketserver
+    import threading
+
+    import pytest as _pytest
+
+    from kapacitor_spark.sources.prometheus import http_sd_targets, scrape_targets
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/sd":
+                body = json.dumps(
+                    [{"targets": [f"127.0.0.1:{port}"],
+                      "labels": {"job": "discovered", "dc": "east"}}]
+                ).encode()
+            elif self.path == "/metrics":
+                body = b"up 1\n"
+            else:
+                self.send_response(404); self.end_headers(); return
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as srv:
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        pairs = http_sd_targets(f"http://127.0.0.1:{port}/sd")
+        assert pairs == [
+            (f"http://127.0.0.1:{port}/metrics", {"job": "discovered", "dc": "east"})
+        ]
+        rows = scrape_targets(spark, pairs, job="cfgjob").collect()
+        assert rows and all(r["tags"]["job"] == "discovered" for r in rows)
+        assert all(r["tags"]["dc"] == "east" for r in rows)
+        # tolerant poll isolation: a 404 contributes nothing
+        assert http_sd_targets(
+            f"http://127.0.0.1:{port}/nope", tolerant=True
+        ) == []
+        with _pytest.raises(Exception):
+            http_sd_targets(f"http://127.0.0.1:{port}/nope")
+        srv.shutdown()
