@@ -3363,6 +3363,54 @@ def audio_dhash_near_dup_q(spark, sf_dir):
     )
 
 
+@_q(
+    "stream_dedup_match",
+    """SELECT CAST(520 AS BIGINT) AS n_matches, true AS complete""",
+)
+def stream_dedup_match(spark, sf_dir):
+    """Continuous ingestion dedup (streaming.simhash_match_stream) under
+    the completeness self-check: even-id documents form the corpus
+    signature table, odd-id documents "arrive" and must match against
+    it. The matcher's stream-static band equi-join is exact for the
+    Hamming bound AND emits exactly one row per pair (stateless
+    first-agreeing-band filter), so its count must equal the brute-force
+    cross-half hamming scan — count equality is set equality because
+    banding only ever finds a subset of brute. The same plan is what
+    Structured Streaming executes per micro-batch
+    (test_simhash_match_stream_against_history drives it as a real
+    stream); the oracle pins the deterministic golden count (hashes are
+    xxhash64-derived — not SQL-expressible)."""
+    from kapacitor_spark.dataprep.dedup import _spread, simhash
+    from kapacitor_spark.streaming import simhash_match_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter("doc_id % 2 = 0")
+    arriving = docs.filter("doc_id % 2 = 1")
+    hsig = simhash(_spread(hist)).persist()
+    matches = simhash_match_stream(arriving, hsig, max_hamming=3)
+    asig = simhash(_spread(arriving))
+    brute = (
+        asig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+        .crossJoin(
+            hsig.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+        )
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+    )
+    counts = {
+        r["side"]: r["n"]
+        for r in matches.select(F.lit("m").alias("side"))
+        .unionAll(brute.select(F.lit("b").alias("side")))
+        .groupBy("side")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    hsig.unpersist()
+    return spark.createDataFrame(
+        [(int(counts.get("m", 0)), bool(counts.get("m", 0) == counts.get("b", -1)))],
+        "n_matches long, complete boolean",
+    )
+
+
 def _planted_mjpeg_avis(docs: DataFrame) -> DataFrame:
     """Planted MJPEG-in-AVI corpus: per doc, a 5-frame 16x16 grayscale
     clip — frames 0-2 SHARED across the doc's group of 4 (doc_id//4),

@@ -18,6 +18,7 @@ Scale design notes (the point of this module is 100 TB corpora):
 from __future__ import annotations
 
 import logging
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -40,6 +41,7 @@ __all__ = [
     "minhash_near_dup",
     "simhash",
     "simhash_near_dup",
+    "simhash_band_expr",
     "ngram_jaccard_dedup",
     "embedding_near_dup",
     "decontaminate",
@@ -299,7 +301,11 @@ def minhash_near_dup(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    keep: "Sequence[str]" = (),
 ) -> DataFrame:
     """64-bit SimHash: per bit, the sign of the sum of ±1 contributions
     from each token's xxhash64 bit. Narrow, codegen'd, one hash-aggregate.
@@ -345,10 +351,34 @@ def simhash(
     hashes = F.transform(
         F.array_distinct(tokenize(text_col)), lambda t: F.xxhash64(t)
     )  # the SHARED normalization — simhash must tokenize like every dedup op
+    # ``keep``: passthrough columns threaded through the fold stages —
+    # lets a STREAMING caller attach the signature as a projection on the
+    # full row (joining the stream back to its own signature table would
+    # be a watermark-requiring stream-stream self-join)
+    kp = [f"`{c}`" for c in keep]
     return (
-        df.select(F.col(id_col), hashes.alias("__hs"))
-        .selectExpr(f"`{id_col}`", "cast(size(__hs) AS bigint) AS __n", *folds)
-        .selectExpr(f"`{id_col}`", "(" + " | ".join(terms) + ") AS simhash")
+        df.select(F.col(id_col), *[F.col(c) for c in keep], hashes.alias("__hs"))
+        .selectExpr(f"`{id_col}`", *kp, "cast(size(__hs) AS bigint) AS __n", *folds)
+        .selectExpr(f"`{id_col}`", *kp, "(" + " | ".join(terms) + ") AS simhash")
+    )
+
+
+def simhash_band_expr(hash_col: str, max_hamming: int) -> "F.Column":
+    """Pigeonhole band array for Hamming-bounded blocking: split the
+    64-bit hash into (max_hamming + 1) disjoint bit bands — any pair
+    within Hamming ``max_hamming`` differs in at most ``max_hamming``
+    bands, so it AGREES exactly on at least one (pigeonhole), making the
+    band equi-join a COMPLETE blocking for the bound. Shared by the
+    batch near-dup self-join and the streaming matcher."""
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    return F.array(
+        *[
+            F.shiftright(F.col(hash_col), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias(f"b{b}")
+            for b in range(nbands)
+        ]
     )
 
 
@@ -368,8 +398,6 @@ def simhash_near_dup(
     ``sig_df``: optionally pass an already-computed (ideally persisted)
     simhash table to share it with other consumers.
     """
-    nbands = max_hamming + 1
-    width = 64 // nbands
     # persist: the band self-join reads the signature table twice and
     # ReuseExchange does not fire across the aliased branches (measured) —
     # persisting the 16-bytes-per-doc signature output (NOT the text)
@@ -379,14 +407,7 @@ def simhash_near_dup(
         if sig_df is not None
         else track(simhash(_spread(df), text_col, id_col).persist())
     )
-    band_cols = F.array(
-        *[
-            F.shiftright(F.col("simhash"), b * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias(f"b{b}")
-            for b in range(nbands)
-        ]
-    )
+    band_cols = simhash_band_expr("simhash", max_hamming)
     banded = sh.select(id_col, "simhash", F.posexplode(band_cols).alias("band", "band_val"))
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (

@@ -45,6 +45,28 @@ def get_spark(
         # predicate pushdown on every time filter. Session tz is pinned UTC
         # so LTZ values are identical to the NTZ reading.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Catalyst constraint propagation is EXPONENTIAL in commutative
+        # expression width (getAllValidConstraints canonicalizes every
+        # aliased expression with semanticEquals): this engine's wide
+        # generated signatures — simhash's 64-term OR packing, minhash's
+        # 64 zip_with folds, the 64-comparison perceptual hashes — hang
+        # or OOM the DRIVER the moment such a column flows into a filter
+        # or join without a persist boundary (measured: a streaming
+        # simhash match never finished planning; a brute-force hamming
+        # join over an unpersisted signature OOM'd the Context Cleaner).
+        # The conf exists for exactly this pathology; what it costs is
+        # derived isNotNull/equality constraints — negligible next to
+        # the explicit filters these plans already push down.
+        .config("spark.sql.constraintPropagation.enabled", "false")
+        # Spark's generated-class compile cache defaults to 100 entries;
+        # a session cycling through many distinct wide plans (the bench's
+        # 23 headline queries alone produce >100 generated classes)
+        # EVICTS and re-janino-compiles + re-JITs the biggest ones every
+        # cycle — measured: simhash at 2.4s interleaved vs 1.45s
+        # consecutive in the same session, converging once the cache
+        # holds everything. Retained class metadata is trivial next to
+        # the 16g heap; a real multi-tenant session wants this too.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

@@ -1037,3 +1037,77 @@ def http_out_stream(stream_df: DataFrame, name: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def simhash_match_stream(
+    stream_df: DataFrame,
+    history_sig: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    history_id: str = "history_id",
+) -> DataFrame:
+    """CONTINUOUS near-dup detection: match a document stream against a
+    corpus signature table — the ingestion-pipeline shape ("is this new
+    document a near-duplicate of anything we already hold?") that batch
+    near-dup cannot serve without re-scanning the corpus per arrival.
+
+    The SimHash fold (dedup.simhash) is a pure projection, so it runs on
+    the unbounded stream as-is; blocking reuses the exact pigeonhole
+    banding (dedup.simhash_band_expr) as a STREAM-STATIC equi-join on
+    (band, band_val) — supported without watermarks because the static
+    side is bounded, and COMPLETE for the Hamming bound, so no
+    qualifying match is ever missed. Emits input columns + (history_id,
+    hamming), exactly one row per (doc, history doc) pair.
+
+    Exactly-once per pair WITHOUT state: a pair within the bound can
+    agree on several bands, which would emit duplicate rows — and
+    dropDuplicates on a stream keeps key state forever. Instead each
+    row carries both full hashes, so "is this the FIRST agreeing band?"
+    is a pure expression (zip_with equality + array_position), and the
+    filter keeps exactly that one row per pair. Stateless, no
+    watermark, no growing store.
+
+    ``history_sig``: (id, simhash) from dedup.simhash over the corpus —
+    persist it; Spark re-reads the static side every micro-batch, and a
+    cached 16-bytes-per-doc table turns that into a memory scan. To ALSO
+    catch duplicates between in-flight documents, run the batch
+    self-join inside foreachBatch (exact within the batch); updating the
+    history with accepted arrivals is the caller's foreachBatch append.
+
+    100 TB shape: the stream side moves (id, 8B hash) per band; the
+    static side is the corpus's 16B/doc signature table, equi-joined on
+    band keys (broadcast when small) once per micro-batch.
+    """
+    from kapacitor_spark.dataprep.dedup import simhash, simhash_band_expr
+
+    keep = [c for c in stream_df.columns if c != id_col]
+    sig = simhash(stream_df, text_col, id_col, keep=keep)
+    stream_banded = sig.select(
+        "*",
+        F.posexplode(simhash_band_expr("simhash", max_hamming)).alias(
+            "band", "band_val"
+        ),
+    )
+    hist = history_sig.select(
+        F.col(id_col).alias(history_id),
+        F.col("simhash").alias("__hhash"),
+        F.posexplode(simhash_band_expr("simhash", max_hamming)).alias(
+            "band", "band_val"
+        ),
+    )
+    agree = F.zip_with(
+        simhash_band_expr("simhash", max_hamming),
+        simhash_band_expr("__hhash", max_hamming),
+        lambda a, b: a == b,
+    )
+    first_agreeing = F.array_position(agree, True) - 1
+    matched = (
+        stream_banded.join(hist, ["band", "band_val"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("simhash").bitwiseXOR(F.col("__hhash")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .filter(F.col("band") == first_agreeing)
+    )
+    return matched.select(*stream_df.columns, history_id, "hamming")

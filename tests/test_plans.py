@@ -61,11 +61,18 @@ def test_windowed_agg_partial_combine(spark):
 
 def test_hot_filters_stay_jvm(spark):
     """Lambda-language filters compile to Column expressions inside
-    WholeStageCodegen — never BatchEvalPython in the scan path."""
+    WholeStageCodegen — never BatchEvalPython in the scan path.
+
+    (This query's predicate is a regex =~, which parquet cannot evaluate
+    — its former PushedFilters entry was only the IsNotNull that
+    constraint INFERENCE added, and constraint propagation is disabled
+    engine-wide because it is exponential in generated-expression width;
+    see session.py. Real comparison predicates still push down —
+    test_time_filter_pushdown_and_column_pruning pins that.)"""
     plan = plan_of(spark, "lambda_where_regex")
     assert "BatchEvalPython" not in plan
     assert "codegen id" in plan  # inside WholeStageCodegen spans
-    assert [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert "Filter" in plan and "rlike" in plan.lower()
 
 
 def test_ordered_transform_single_shuffle(spark):

@@ -430,7 +430,11 @@ def test_write_time_partitioned_prunes(spark, tmp_path):
     write_time_partitioned(df, path, granularity="day")
     back = spark.read.parquet(path).filter("__pdate = '2024-01-03'")
     plan = back._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [isnotnull(__pdate" in plan
+    # the EQUALITY must reach PartitionFilters (that's what prunes the
+    # scan to one directory); the isnotnull companion was only inferred
+    # by constraint propagation, which session.py disables engine-wide
+    assert "PartitionFilters: [" in plan and "= 2024-01-03" in plan
+    assert "__pdate" in plan.split("PartitionFilters", 1)[1][:120]
     assert back.count() == 1
 
 

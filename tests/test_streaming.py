@@ -1524,3 +1524,59 @@ def test_http_sd_discovery_end_to_end(spark):
         with _pytest.raises(Exception):
             http_sd_targets(f"http://127.0.0.1:{port}/nope")
         srv.shutdown()
+
+
+def test_simhash_match_stream_against_history(spark, tmp_path):
+    """Continuous near-dup: a document stream matched against the corpus
+    signature table. Batch 1 carries a near-dup of a history doc (one
+    token changed) and a fresh doc; batch 2 carries an EXACT dup.
+    Exactly one match row per (doc, history doc) pair must emit — the
+    first-agreeing-band filter dedups multi-band agreement statelessly."""
+    import time
+
+    from kapacitor_spark.dataprep.dedup import simhash
+    from kapacitor_spark.streaming import simhash_match_stream
+
+    # 60 distinct tokens: per-bit vote margins ~sqrt(60), so a one-token
+    # edit flips only a few signature bits (measured: hamming 3)
+    words = [f"word{i}" for i in range(60)]
+    base = " ".join(words)
+    near = " ".join(w if i != 30 else "changed" for i, w in enumerate(words))
+    history = spark.createDataFrame(
+        [(100, base), (101, "completely different content about spark engines")],
+        "doc_id long, text string",
+    )
+    hist_sig = simhash(history).persist()
+    hist_sig.count()
+
+    in_dir = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        [(1, near), (2, "unrelated brand new text entirely")],
+        "doc_id long, text string",
+    ).write.parquet(in_dir)
+    spark.createDataFrame(
+        [(3, base)], "doc_id long, text string"
+    ).write.mode("append").parquet(in_dir)
+
+    src = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    out = simhash_match_stream(src, hist_sig, max_hamming=3)
+    q = (
+        out.writeStream.format("memory").queryName("shmatch")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_shm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id, history_id, hamming FROM shmatch").collect()
+    hist_sig.unpersist()
+    got = {(r["doc_id"], r["history_id"]): r["hamming"] for r in rows}
+    # exact dup: hamming 0; near dup: within the bound; doc 2 matches nothing
+    assert got.get((3, 100)) == 0
+    assert (1, 100) in got and got[(1, 100)] <= 3
+    assert not [k for k in got if k[0] == 2]
+    # exactly one row per pair (multi-band agreement must not duplicate —
+    # the exact dup agrees on ALL 4 bands)
+    assert len(rows) == len(got)
