@@ -3717,6 +3717,7 @@ _SCORED_FAMILIES = {
     "2.7-lambda": ("sigma_outliers", "lambda_scalar_fns"),
     "2.8-streaming": (
         "stream_window_mean", "stream_alert_changes", "stream_state_count",
+        "stream_dedup_match",  # r8: continuous ingestion near-dup
     ),
     "2.9-udf": ("udf_moving_avg",),
     "2.10-alerting": (
@@ -3729,7 +3730,7 @@ _SCORED_FAMILIES = {
         "contamination_spans", "span_strip_accounting",
     ),
     "dataprep-text": (
-        "boilerplate_removal", "text_analysis", "text_lang_id",
+        "boilerplate_removal", "text_analysis",
         "corpus_prep_pipeline", "source_mix_stats", "mix_token_budget",
     ),
     "dataprep-similarity": ("ann_cosine_topk", "ann_recall"),

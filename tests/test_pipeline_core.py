@@ -237,3 +237,14 @@ def test_alert_inhibit(spark):
     ).alert(crit="value < 5")
     out = alerts.inhibit(inhibitor, on=["host"], tolerance="1m").result().collect()
     assert [r.host for r in out] == ["b"]
+
+
+def test_engine_confs_pinned(spark):
+    """The two r8 engine-wide session confs must stay pinned: the
+    codegen compile cache sized above the working set (the stock 100
+    entries thrash under many wide plans — re-janino + re-JIT per
+    cycle), and constraint propagation off (exponential in commutative
+    expression width; hangs/OOMs the driver on 64-term signature
+    columns in filters/joins)."""
+    assert spark.conf.get("spark.sql.codegen.cache.maxEntries") == "5000"
+    assert spark.conf.get("spark.sql.constraintPropagation.enabled") == "false"
