@@ -13,6 +13,15 @@ same adjudication arithmetic used to clear the r7 simhash weak mark —
 diff-identical anchors moved uniformly with box state, so their median
 ratio IS the box-state ratio).
 
+CAVEAT on pre-probe factors: anchor normalization assumes the anchors
+themselves are diff-identical between the rounds compared. Round 8
+shipped ENGINE-WIDE speedups (codegen cache sizing, constraint
+propagation off) that genuinely moved every query, so anchor factors
+for r1-r7 vs r8+ mix box state WITH that real improvement — they
+UNDERSTATE r8's gain rather than overstating anything. Within r1-r7,
+and within r8+, the comparisons are clean; across the boundary, read
+the raw row too.
+
 Usage: python bench_trend.py [queryname ...]
 """
 
