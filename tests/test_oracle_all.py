@@ -28,7 +28,14 @@ _ORACLES = entry_mod.oracle_sql()
 # floors over a handful of vectors; near-dup oracles whose SQL emulation
 # of banding matches only above a minimum corpus size): run them at
 # sf0.01 regardless of the suite-wide SF.
-_MIN_SF001 = {"ann_recall", "minhash_near_dup", "simhash_near_dup"}
+_MIN_SF001 = {
+    "ann_recall",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    # golden match count is per-SF (sf0.001's corpus yields 595, the
+    # driver's sf0.01 gate 520 — the oracle constant pins the latter)
+    "stream_dedup_match",
+}
 
 
 @pytest.fixture(scope="module")
