@@ -33,6 +33,9 @@ __all__ = [
     "file_sd_targets",
     "scrape_stream_file_sd",
     "dns_targets",
+    "consul_targets",
+    "k8s_targets",
+    "ec2_targets",
     "http_sd_targets",
 ]
 
@@ -400,6 +403,125 @@ def dns_targets(
                 seen.add(addr)
                 host = f"[{addr}]" if rtype == "AAAA" else addr
                 out.append((f"{host}:{port}", labels))
+    return _norm_targets(out)
+
+
+def consul_targets(
+    id: str,
+    client,
+    services: Sequence[str] = (),
+    tag_separator: str = ",",
+) -> list[tuple[str, dict]]:
+    """Consul discovery behind an injected-client seam (reference:
+    services/consul/config.go — validation mirrored: an ID and a server
+    address are required; the reference itself only hands Prometheus a
+    consul.SDConfig and lets Prometheus's SD loop poll the control
+    plane, so the client stays external here exactly as it does there).
+
+    ``client`` must expose ``address`` (validated non-empty, the
+    reference's server-address check) and ``catalog_services() ->
+    {service: [instance, ...]}`` where each instance is a dict with
+    ``address``, ``port``, and optional ``tags``/``node``/``datacenter``.
+    Instances map to targets with the public Prometheus consul meta
+    labels (__meta_consul_service/tags/node/dc); ``services`` filters to
+    the listed service names (empty = all, the Prometheus default)."""
+    if not id:
+        raise ValueError("consul discovery must be given a ID")
+    if not str(getattr(client, "address", "") or "").strip():
+        raise ValueError("consul discovery requires a server address")
+    wanted = set(services)
+    out: list[tuple[str, dict]] = []
+    for svc, instances in sorted(client.catalog_services().items()):
+        if wanted and svc not in wanted:
+            continue
+        for inst in instances:
+            labels = {
+                "__meta_consul_service": svc,
+                # Prometheus wraps the joined tags in separators so a
+                # regex can anchor on ",tag," regardless of position
+                "__meta_consul_tags": tag_separator
+                + tag_separator.join(inst.get("tags") or ())
+                + tag_separator,
+            }
+            if inst.get("node"):
+                labels["__meta_consul_node"] = inst["node"]
+            if inst.get("datacenter"):
+                labels["__meta_consul_dc"] = inst["datacenter"]
+            out.append((f"{inst['address']}:{inst['port']}", labels))
+    return _norm_targets(out)
+
+
+def k8s_targets(
+    id: str,
+    client,
+    role: str = "pod",
+    namespace: str = "",
+) -> list[tuple[str, dict]]:
+    """Kubernetes discovery behind an injected-client seam (reference:
+    services/k8s/config.go — validation mirrored: an ID is required and
+    either in-cluster config or at least one API server, which here
+    means the caller hands us a constructed client; the reference again
+    only passes Prometheus a kubernetes.SDConfig).
+
+    ``role`` is ``pod`` or ``service`` (the two data-plane roles; the
+    reference exposes the same Role knob). ``client.pods(namespace) ->
+    [{name, namespace, ip, port, labels}]`` and ``client.services(
+    namespace) -> [{name, namespace, cluster_ip, port, labels}]``.
+    Targets carry the public __meta_kubernetes_* labels."""
+    if not id:
+        raise ValueError("k8s discovery must be given a ID")
+    if role not in ("pod", "service"):
+        raise ValueError(f"invalid k8s discovery role {role}")
+    if client is None:
+        raise ValueError("no api-servers specified, must provide at least one server URL or an in-cluster client")
+    out: list[tuple[str, dict]] = []
+    if role == "pod":
+        for p_ in client.pods(namespace):
+            labels = {
+                "__meta_kubernetes_namespace": p_["namespace"],
+                "__meta_kubernetes_pod_name": p_["name"],
+                "__meta_kubernetes_pod_ip": p_["ip"],
+            }
+            for k, v in (p_.get("labels") or {}).items():
+                labels[f"__meta_kubernetes_pod_label_{k}"] = v
+            out.append((f"{p_['ip']}:{p_['port']}", labels))
+    else:
+        for sv in client.services(namespace):
+            labels = {
+                "__meta_kubernetes_namespace": sv["namespace"],
+                "__meta_kubernetes_service_name": sv["name"],
+            }
+            for k, v in (sv.get("labels") or {}).items():
+                labels[f"__meta_kubernetes_service_label_{k}"] = v
+            out.append((f"{sv['cluster_ip']}:{sv['port']}", labels))
+    return _norm_targets(out)
+
+
+def ec2_targets(id: str, client, port: int = 80) -> list[tuple[str, dict]]:
+    """EC2 discovery behind an injected-client seam (reference:
+    services/ec2/config.go — validation mirrored: an ID and a region are
+    required; the region lives on the client, which the reference also
+    builds from its config before handing Prometheus an ec2.SDConfig).
+
+    ``client.region`` (validated non-empty) and ``client.instances() ->
+    [{instance_id, private_ip, availability_zone, tags}]``; running
+    instances map to ``private_ip:port`` with the public __meta_ec2_*
+    labels (tag keys prefixed __meta_ec2_tag_<key>)."""
+    if not id:
+        raise ValueError("ec2 discovery must be given a ID")
+    if not str(getattr(client, "region", "") or "").strip():
+        raise ValueError(f"ec2 discovery, {id}, requires a region")
+    out: list[tuple[str, dict]] = []
+    for inst in client.instances():
+        if not inst.get("private_ip"):
+            continue  # Prometheus skips instances with no private IP
+        labels = {
+            "__meta_ec2_instance_id": inst["instance_id"],
+            "__meta_ec2_availability_zone": inst.get("availability_zone", ""),
+        }
+        for k, v in (inst.get("tags") or {}).items():
+            labels[f"__meta_ec2_tag_{k}"] = v
+        out.append((f"{inst['private_ip']}:{port}", labels))
     return _norm_targets(out)
 
 

@@ -1580,3 +1580,85 @@ def test_simhash_match_stream_against_history(spark, tmp_path):
     # exactly one row per pair (multi-band agreement must not duplicate —
     # the exact dup agrees on ALL 4 bands)
     assert len(rows) == len(got)
+
+
+def test_orchestrator_discovery_seams():
+    """Consul/k8s/EC2 discovery behind injected clients — reference
+    validation mirrored (consul: ID + server address; k8s: ID + client;
+    ec2: ID + region), targets carrying the public __meta_* labels."""
+    import pytest as _pytest
+
+    from kapacitor_spark.sources.prometheus import (
+        consul_targets,
+        ec2_targets,
+        k8s_targets,
+    )
+
+    class Consul:
+        address = "127.0.0.1:8500"
+
+        def catalog_services(self):
+            return {
+                "web": [
+                    {"address": "10.0.0.1", "port": 9100,
+                     "tags": ["prod", "edge"], "node": "n1", "datacenter": "dc1"},
+                ],
+                "db": [{"address": "10.0.0.2", "port": 9100}],
+            }
+
+    with _pytest.raises(ValueError, match="must be given a ID"):
+        consul_targets("", Consul())
+
+    class NoAddr(Consul):
+        address = " "
+
+    with _pytest.raises(ValueError, match="requires a server address"):
+        consul_targets("c1", NoAddr())
+    got = dict(consul_targets("c1", Consul()))
+    assert got["http://10.0.0.1:9100/metrics"]["__meta_consul_service"] == "web"
+    assert got["http://10.0.0.1:9100/metrics"]["__meta_consul_tags"] == ",prod,edge,"
+    assert got["http://10.0.0.1:9100/metrics"]["__meta_consul_node"] == "n1"
+    # service filter
+    assert [u for u, _ in consul_targets("c1", Consul(), services=["db"])] == [
+        "http://10.0.0.2:9100/metrics"
+    ]
+
+    class K8s:
+        def pods(self, ns):
+            return [{"name": "web-abc", "namespace": ns or "default",
+                     "ip": "10.1.0.5", "port": 8080, "labels": {"app": "web"}}]
+
+        def services(self, ns):
+            return [{"name": "websvc", "namespace": ns or "default",
+                     "cluster_ip": "10.2.0.9", "port": 80, "labels": {}}]
+
+    with _pytest.raises(ValueError, match="invalid k8s discovery role"):
+        k8s_targets("k1", K8s(), role="node")
+    with _pytest.raises(ValueError, match="api-servers"):
+        k8s_targets("k1", None)
+    got = dict(k8s_targets("k1", K8s(), role="pod", namespace="prod"))
+    lab = got["http://10.1.0.5:8080/metrics"]
+    assert lab["__meta_kubernetes_pod_name"] == "web-abc"
+    assert lab["__meta_kubernetes_namespace"] == "prod"
+    assert lab["__meta_kubernetes_pod_label_app"] == "web"
+    got = dict(k8s_targets("k1", K8s(), role="service"))
+    assert "http://10.2.0.9:80/metrics" in got
+
+    class EC2:
+        region = "us-east-1"
+
+        def instances(self):
+            return [
+                {"instance_id": "i-1", "private_ip": "172.31.0.4",
+                 "availability_zone": "us-east-1a", "tags": {"Name": "web1"}},
+                {"instance_id": "i-2", "private_ip": None},  # skipped
+            ]
+
+    class NoRegion(EC2):
+        region = ""
+
+    with _pytest.raises(ValueError, match="requires a region"):
+        ec2_targets("e1", NoRegion())
+    got = dict(ec2_targets("e1", EC2(), port=9100))
+    assert list(got) == ["http://172.31.0.4:9100/metrics"]
+    assert got["http://172.31.0.4:9100/metrics"]["__meta_ec2_tag_Name"] == "web1"
