@@ -3494,6 +3494,29 @@ def video_dhash_near_dup_q(spark, sf_dir):
 
 
 @_q(
+    "video_dedup_keepers",
+    """SELECT doc_id, (doc_id // 4) * 4 AS keeper FROM documents""",
+)
+def video_dedup_keepers(spark, sf_dir):
+    """The composed VIDEO dedup pipeline end to end: MJPEG demux → JPEG
+    frame decode → per-frame dHash → majority-vote pairs → connected
+    components → keeper election. On the planted corpus every 4-clip
+    group is a pairwise-majority CLIQUE (3 of 5 frames shared
+    byte-for-byte), so the elected keeper is the group's min id — same
+    one-expression oracle shape as image_dedup_keepers, failing on a
+    dropped pair, an over-merged cluster, or a broken label walk."""
+    from kapacitor_spark.dataprep.dedup import _spread, near_dup_clusters
+    from kapacitor_spark.dataprep.multimodal import video_dhash_near_dup
+
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
+    vids = _planted_mjpeg_avis(docs)
+    pairs = video_dhash_near_dup(
+        vids, width=16, height=16, channels=1, max_hamming=6, majority=0.5
+    )
+    return near_dup_clusters(pairs)
+
+
+@_q(
     "udf_moving_avg",
     """SELECT ts, user_id, event_id,
               ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
