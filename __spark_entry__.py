@@ -1642,7 +1642,9 @@ def simhash_near_dup_q(spark, sf_dir):
     # hashes, blocked only over banded candidates) — count equality is
     # therefore set equality; no exceptAll pass needed
     return spark.createDataFrame(
-        [(n_blocked, bool(n_blocked == counts.get("brute", -1)))],
+        # default 0, not -1: on an EMPTY corpus both sides return no rows
+        # and 0 == 0 is genuinely complete (blocked ⊆ brute)
+        [(n_blocked, bool(n_blocked == counts.get("brute", 0)))],
         "n_pairs long, complete boolean",
     )
 
@@ -3406,7 +3408,8 @@ def stream_dedup_match(spark, sf_dir):
     }
     hsig.unpersist()
     return spark.createDataFrame(
-        [(int(counts.get("m", 0)), bool(counts.get("m", 0) == counts.get("b", -1)))],
+        # default 0 on both sides: empty corpus → no rows → 0 == 0 complete
+        [(int(counts.get("m", 0)), bool(counts.get("m", 0) == counts.get("b", 0)))],
         "n_matches long, complete boolean",
     )
 

@@ -27,14 +27,48 @@ only read by the driver loop) still unpersist inline and never appear here.
 
 from __future__ import annotations
 
+import logging
+import threading
+
 from pyspark.sql import DataFrame
 
-_TRACKED: list[DataFrame] = []
+_log = logging.getLogger("kapacitor_spark.dataprep.cache")
+_LOCK = threading.Lock()
+# keyed by the analyzed plan's semanticHash: re-invoking the same operator
+# re-persists the semantically-identical plan, which Spark's CacheManager
+# maps to ONE storage entry — the registry must not grow a handle per call
+# (the executor-storage bound in the module docstring covered storage, not
+# this driver-side list). Fallback key is object identity.
+_TRACKED: dict[int, DataFrame] = {}
+_WARN_AT = 512
+_warned = False
+
+
+def _plan_key(df: DataFrame) -> int:
+    try:
+        return int(df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        return id(df)
 
 
 def track(df: DataFrame) -> DataFrame:
-    """Register a persisted DataFrame for deferred release; returns it."""
-    _TRACKED.append(df)
+    """Register a persisted DataFrame for deferred release; returns it.
+
+    Dedups by the plan's semantic hash and is thread-safe (streaming
+    foreachBatch callers run on Spark's execution threads)."""
+    global _warned
+    key = _plan_key(df)
+    with _LOCK:
+        if key not in _TRACKED:
+            _TRACKED[key] = df
+            if len(_TRACKED) > _WARN_AT and not _warned:
+                _warned = True
+                _log.warning(
+                    "cache registry exceeds %d distinct persisted plans; "
+                    "call release_caches() between pipeline stages to "
+                    "return executor storage to baseline",
+                    _WARN_AT,
+                )
     return df
 
 
@@ -45,12 +79,16 @@ def release_caches() -> int:
     on next use (correctness never depends on the cache). Idempotent —
     the registry is cleared, and double-unpersist is a Spark no-op.
     """
+    global _warned
+    with _LOCK:
+        dfs = list(_TRACKED.values())
+        _TRACKED.clear()
+        _warned = False
     n = 0
-    for df in _TRACKED:
+    for df in dfs:
         try:
             df.unpersist()
             n += 1
         except Exception:
             pass  # session already stopped — nothing to release
-    _TRACKED.clear()
     return n

@@ -42,6 +42,7 @@ __all__ = [
     "simhash",
     "simhash_near_dup",
     "simhash_band_expr",
+    "signature_classes",
     "ngram_jaccard_dedup",
     "embedding_near_dup",
     "decontaminate",
@@ -292,6 +293,15 @@ def minhash_near_dup(
     pair join), so without materialization the expensive signature fold
     re-runs ~4x. At cluster scale these would be checkpointed to storage
     between stages; MEMORY_AND_DISK is the local equivalent.
+
+    Unlike simhash_near_dup, LSH keeps PER-DOCUMENT banding (no
+    identical-signature collapse): the verify step computes true per-pair
+    Jaccard, and identical minhash SIGNATURES do not imply identical
+    shingle sets, so class members cannot share a representative's
+    verification. Exact-duplicate classes therefore still cost C(m,2)
+    candidates here — run exact_dedup first (digest hash-agg, one shuffle)
+    and near-dup only the keepers; null-text docs are already filtered at
+    the signature source.
     """
     df = _spread(df)
     sig = track(minhash_signature(df, text_col, id_col, num_hashes, shingle_k).persist())
@@ -356,6 +366,17 @@ def simhash(
     # full row (joining the stream back to its own signature table would
     # be a watermark-requiring stream-stream self-join)
     kp = [f"`{c}`" for c in keep]
+    # null / empty / whitespace-only docs must NOT enter the signature
+    # table (same reasoning as minhash_signature's null filter): tokenize
+    # maps all of them to [''] or null, so every such doc would get the
+    # SAME constant signature — one giant identical-hash class banding
+    # against itself. The collapse in simhash_near_dup keeps that linear,
+    # but a signature for "no content" is meaningless anyway; drop at the
+    # source like minhash does.
+    # rlike(\S): any non-whitespace char — trim() only strips SPACES, so a
+    # tabs/newlines-only doc would slip a != '' check; null rlike → null →
+    # filtered too
+    df = df.filter(F.col(text_col).rlike(r"\S"))
     return (
         df.select(F.col(id_col), *[F.col(c) for c in keep], hashes.alias("__hs"))
         .selectExpr(f"`{id_col}`", *kp, "cast(size(__hs) AS bigint) AS __n", *folds)
@@ -372,6 +393,10 @@ def simhash_band_expr(hash_col: str, max_hamming: int) -> "F.Column":
     batch near-dup self-join and the streaming matcher."""
     nbands = max_hamming + 1
     width = 64 // nbands
+    if nbands == 1:
+        # max_hamming=0 → exact-equality blocking: the single band is the
+        # whole hash (a 64-bit mask literal would overflow a signed long)
+        return F.array(F.col(hash_col).alias("b0"))
     return F.array(
         *[
             F.shiftright(F.col(hash_col), b * width)
@@ -382,12 +407,28 @@ def simhash_band_expr(hash_col: str, max_hamming: int) -> "F.Column":
     )
 
 
+def signature_classes(
+    sig: DataFrame, hash_col: str = "simhash", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per DISTINCT signature value: (hash, __rep, __m) where
+    ``__rep`` is the class's min id and ``__m`` its member count. ONE
+    hash-aggregate with map-side combine over (8 B hash, id) — linear at
+    any scale. The representative's total order makes ``rep_a < rep_b``
+    a canonical unordered-pair dedup downstream, and the min-id choice
+    matches near_dup_clusters' keeper convention so star edges and
+    cluster keepers agree."""
+    return sig.groupBy(hash_col).agg(
+        F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__m")
+    )
+
+
 def simhash_near_dup(
     df: DataFrame,
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
     sig_df: DataFrame | None = None,
+    expand_identical: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ k over SimHash.
 
@@ -395,27 +436,64 @@ def simhash_near_dup(
     Hamming k agrees exactly on ≥1 band (pigeonhole), so band equi-joins
     find all of them without n².
 
+    IDENTICAL-SIGNATURE COLLAPSE (r9): the band self-join runs over ONE
+    representative per distinct signature value, not one row per
+    document. An m-document identical-hash class (exact duplicates,
+    boilerplate, empty frames) previously pushed C(m,2) rows through the
+    join and the distinct exchange — a 1%-identical slice of a 100 TB
+    corpus is a ~10^13-pair class. The join, Hamming filter and distinct
+    now run over DISTINCT-signature candidates only; members re-attach
+    afterwards:
+
+    * ``expand_identical=True`` (default) — exact pair semantics: the
+      same output SET as the uncollapsed self-join. Verified signature
+      pairs expand to member pairs via two equi-joins against the
+      16 B/doc signature table (AQE broadcasts the verified sig-pair
+      side when small), and within-class (hamming 0) pairs come from a
+      self-join restricted to the signatures with ≥2 members. Output is
+      inherently C(m,2) per identical class — that is the pair
+      contract's cost — but candidates that fail verification no longer
+      pay it inside the join machinery, and the final distinct
+      (previously over the full expanded candidate set) now runs over
+      signature pairs only: expansion emits each member pair exactly
+      once by construction (one signature per doc → one sig pair per
+      doc pair).
+    * ``expand_identical=False`` — the 100 TB path for cluster/keeper
+      consumers: representative–representative pairs plus a LINEAR
+      member→representative star (hamming 0) per identical class.
+      Connected components over this edge set equal those over the
+      exact pair set (each class is a connected star whose
+      representative carries the class's cross-class edges), so
+      near_dup_clusters output is unchanged while pairs stay
+      O(corpus + verified signature pairs).
+
     ``sig_df``: optionally pass an already-computed (ideally persisted)
     simhash table to share it with other consumers.
     """
-    # persist: the band self-join reads the signature table twice and
-    # ReuseExchange does not fire across the aliased branches (measured) —
-    # persisting the 16-bytes-per-doc signature output (NOT the text)
-    # caps the fold at one evaluation.
+    # persist: the signature table feeds the class aggregate and the
+    # member-expansion joins; persisting the 16-bytes-per-doc signature
+    # output (NOT the text) caps the fold at one evaluation.
     sh = (
         sig_df
         if sig_df is not None
         else track(simhash(_spread(df), text_col, id_col).persist())
     )
+    # 24 B per DISTINCT signature, persisted: read by both band-join
+    # branches and the ≥2-member filter of the expansion below.
+    classes = track(signature_classes(sh, "simhash", id_col).persist())
     band_cols = simhash_band_expr("simhash", max_hamming)
-    banded = sh.select(id_col, "simhash", F.posexplode(band_cols).alias("band", "band_val"))
+    banded = classes.select(
+        "simhash", "__rep", F.posexplode(band_cols).alias("band", "band_val")
+    )
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    sig_pairs = (
         a.join(b, ["band", "band_val"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(F.col("a.__rep") < F.col("b.__rep"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+            F.col("a.__rep").alias("__ra"),
+            F.col("b.__rep").alias("__rb"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
@@ -425,7 +503,49 @@ def simhash_near_dup(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs
+    if not expand_identical:
+        rep_pairs = sig_pairs.select(
+            F.col("__ra").alias("id_a"), F.col("__rb").alias("id_b"), "hamming"
+        )
+        star = (
+            sh.select("simhash", id_col)
+            .join(classes.filter(F.col("__m") > 1), "simhash")
+            .filter(F.col(id_col) != F.col("__rep"))
+            .select(
+                F.col("__rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0).cast("integer").alias("hamming"),
+            )
+        )
+        return rep_pairs.unionByName(star)
+    # ONE expansion pipeline for both cross-class and within-class pairs:
+    # an m≥2 identical class is a signature SELF-pair (s, s, hamming 0) —
+    # unioning those with the verified cross pairs lets a single
+    # join(members)×2 expand everything. For self-pairs the member join
+    # yields each unordered pair twice (plus the diagonal); the
+    # __ia < __ib guard keeps exactly one copy, while cross pairs (one
+    # member from each side) pass unconditionally and are canonically
+    # ordered by least/greatest. No distinct over expanded rows is ever
+    # needed: one signature per doc → one source row per doc pair.
+    pair_src = sig_pairs.select("__sa", "__sb", "hamming").unionByName(
+        classes.filter(F.col("__m") > 1).select(
+            F.col("simhash").alias("__sa"),
+            F.col("simhash").alias("__sb"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+    ma = sh.select(F.col("simhash").alias("__sa"), F.col(id_col).alias("__ia"))
+    mb = sh.select(F.col("simhash").alias("__sb"), F.col(id_col).alias("__ib"))
+    return (
+        pair_src.join(ma, "__sa")
+        .join(mb, "__sb")
+        .filter((F.col("__sa") != F.col("__sb")) | (F.col("__ia") < F.col("__ib")))
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "hamming",
+        )
+    )
 
 
 def ngram_jaccard_dedup(

@@ -691,21 +691,64 @@ def video_dhash_near_dup(
             for b in range(nbands)
         ]
     )
-    banded = sig.select(
-        id_col, "frame_idx", "fhash", F.posexplode(band_cols).alias("band", "band_val")
+    # identical-(frame_idx, fhash) collapse (r9, same scheme as
+    # dedup.simhash_near_dup): band ONE representative per distinct
+    # per-index frame hash. m clips sharing an identical frame at the
+    # same index (boilerplate intros, black frames) previously pushed
+    # C(m,2) rows through the band join and its distinct; the join +
+    # Hamming filter + distinct now run over DISTINCT hash candidates,
+    # and members re-attach through output-sized equi-joins (the
+    # majority count needs every clip pair, so the expansion itself is
+    # the contract's inherent cost — but failing candidates no longer
+    # pay it, and the distinct no longer sees expanded rows: one fhash
+    # per (clip, frame) → each clip frame pair expands exactly once).
+    classes = track(
+        sig.groupBy("frame_idx", "fhash")
+        .agg(F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__m"))
+        .persist()
+    )
+    banded = classes.select(
+        "frame_idx", "fhash", "__rep", F.posexplode(band_cols).alias("band", "band_val")
     )
     a, b = banded.alias("a"), banded.alias("b")
-    frame_pairs = (
+    hash_pairs = (
         a.join(b, ["frame_idx", "band", "band_val"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(F.col("a.__rep") < F.col("b.__rep"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("frame_idx"),
+            "frame_idx",
+            F.col("a.fhash").alias("__fa"),
+            F.col("b.fhash").alias("__fb"),
             F.bit_count(F.col("a.fhash").bitwiseXOR(F.col("b.fhash"))).alias("__hd"),
         )
         .filter(F.col("__hd") <= max_hamming)
-        .distinct()  # a frame pair can share several bands
+        .distinct()  # a hash pair can share several bands
+    )
+    # one expansion pipeline for cross- and within-class frame pairs (an
+    # m≥2 identical class is a hash SELF-pair; the __ia < __ib guard
+    # keeps one copy of each self-pair expansion) — same scheme as
+    # dedup.simhash_near_dup, keyed by frame_idx
+    pair_src = hash_pairs.select("frame_idx", "__fa", "__fb").unionByName(
+        classes.filter(F.col("__m") > 1).select(
+            "frame_idx",
+            F.col("fhash").alias("__fa"),
+            F.col("fhash").alias("__fb"),
+        )
+    )
+    ma = sig.select(
+        "frame_idx", F.col("fhash").alias("__fa"), F.col(id_col).alias("__ia")
+    )
+    mb = sig.select(
+        "frame_idx", F.col("fhash").alias("__fb"), F.col(id_col).alias("__ib")
+    )
+    frame_pairs = (
+        pair_src.join(ma, ["frame_idx", "__fa"])
+        .join(mb, ["frame_idx", "__fb"])
+        .filter((F.col("__fa") != F.col("__fb")) | (F.col("__ia") < F.col("__ib")))
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "frame_idx",
+        )
     )
     agree = frame_pairs.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("agree_frames")

@@ -1079,6 +1079,7 @@ def simhash_match_stream(
     static side is the corpus's 16B/doc signature table, equi-joined on
     band keys (broadcast when small) once per micro-batch.
     """
+    from kapacitor_spark.dataprep.cache import track
     from kapacitor_spark.dataprep.dedup import simhash, simhash_band_expr
 
     keep = [c for c in stream_df.columns if c != id_col]
@@ -1089,10 +1090,22 @@ def simhash_match_stream(
             "band", "band_val"
         ),
     )
-    hist = history_sig.select(
-        F.col(id_col).alias(history_id),
-        F.col("simhash").alias("__hhash"),
-        F.posexplode(simhash_band_expr("simhash", max_hamming)).alias(
+    # identical-signature collapse (r9, same scheme as the batch side):
+    # the band join runs against DISTINCT history signatures — an
+    # m-duplicate history class previously multiplied every agreeing
+    # stream row by m INSIDE the join and re-applied the Hamming +
+    # first-band filters per member; now those run once per (arrival,
+    # distinct signature) and members re-attach through one output-sized
+    # equi-join. Persisted (8 B per distinct signature): the distinct is
+    # a shuffle the static side must not re-pay every micro-batch —
+    # callers that swap the history table between batches build a fresh
+    # plan anyway (the foreachBatch composition below).
+    hist_sigs = track(
+        history_sig.select(F.col("simhash").alias("__hhash")).distinct().persist()
+    )
+    hist_banded = hist_sigs.select(
+        "__hhash",
+        F.posexplode(simhash_band_expr("__hhash", max_hamming)).alias(
             "band", "band_val"
         ),
     )
@@ -1102,12 +1115,16 @@ def simhash_match_stream(
         lambda a, b: a == b,
     )
     first_agreeing = F.array_position(agree, True) - 1
-    matched = (
-        stream_banded.join(hist, ["band", "band_val"])
+    matched_sigs = (
+        stream_banded.join(hist_banded, ["band", "band_val"])
         .withColumn(
             "hamming", F.bit_count(F.col("simhash").bitwiseXOR(F.col("__hhash")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .filter(F.col("band") == first_agreeing)
     )
+    members = history_sig.select(
+        F.col(id_col).alias(history_id), F.col("simhash").alias("__hhash")
+    )
+    matched = matched_sigs.join(members, "__hhash")
     return matched.select(*stream_df.columns, history_id, "hamming")

@@ -376,3 +376,99 @@ def test_dhash_perceptual_invariances(spark, seed, gain_num, offset):
         if sig >= 1 << 63:
             sig -= 1 << 64
         assert got == sig
+
+
+def _brute_simhash_pairs(sig_rows, max_hamming):
+    """Independent all-pairs Hamming reference over collected signatures."""
+    out = set()
+    for i in range(len(sig_rows)):
+        for j in range(i + 1, len(sig_rows)):
+            (ia, ha), (ib, hb) = sig_rows[i], sig_rows[j]
+            d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if d <= max_hamming:
+                a, b = (ia, ib) if ia < ib else (ib, ia)
+                out.add((a, b, d))
+    return out
+
+
+def test_simhash_identical_class_candidates_linear(spark):
+    """The r9 identical-signature collapse: planting 10k IDENTICAL docs
+    must keep the pair machinery linear. Pre-collapse, the band self-join
+    pushed C(10k,2) ≈ 50M candidate rows through the join + distinct; the
+    collapsed path bands ONE representative per distinct signature, so the
+    non-expanded output is exactly the (m-1)-edge member→representative
+    star — O(m) — and clustering over it recovers the single class."""
+    from kapacitor_spark.dataprep.dedup import near_dup_clusters, simhash_near_dup
+
+    m = 10_000
+    rows = [(i, "the same boilerplate text every time") for i in range(m)]
+    rows += [(m + i, f"unique filler document number {i} {'z' * (i + 1)}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_near_dup(df, max_hamming=3, expand_identical=False)
+    got = pairs.collect()
+    star = [r for r in got if r["hamming"] == 0 and r["id_a"] == 0]
+    # linear, not quadratic: the identical class contributes exactly m-1
+    # star edges rooted at the min-id representative
+    assert len(star) == m - 1
+    assert len(got) < m + 30  # + any cross-class representative pairs
+    assert sorted(r["id_b"] for r in star) == list(range(1, m))
+    clusters = near_dup_clusters(
+        pairs.sparkSession.createDataFrame(got, pairs.schema)
+    ).collect()
+    keepers = {r["doc_id"]: r["keeper"] for r in clusters}
+    assert all(keepers[i] == 0 for i in range(m))
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(_doc.filter(lambda t: t.strip()), min_size=1, max_size=8),
+    st.integers(2, 6),
+    st.integers(0, 4),
+)
+def test_simhash_collapse_exactness(spark, texts, dup_class, k):
+    """Property: with duplicate classes planted, (a) expand_identical=True
+    equals an independent brute-force all-pairs Hamming scan EXACTLY —
+    the collapse+expansion is semantics-preserving — and (b) clusters over
+    the expand_identical=False star/representative edges equal clusters
+    over the exact pairs."""
+    from kapacitor_spark.dataprep.dedup import (
+        near_dup_clusters,
+        simhash,
+        simhash_near_dup,
+    )
+
+    # duplicate the first doc dup_class times so an identical class exists
+    rows = list(enumerate(texts)) + [
+        (100 + i, texts[0]) for i in range(dup_class)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = simhash(df).persist()
+    sig_rows = [(r["doc_id"], r["simhash"]) for r in sig.collect()]
+    want = _brute_simhash_pairs(sig_rows, k)
+    exact = simhash_near_dup(df, max_hamming=k, sig_df=sig)
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in exact.collect()}
+    assert got == want
+    collapsed = simhash_near_dup(df, max_hamming=k, sig_df=sig, expand_identical=False)
+    if want:
+        ce = near_dup_clusters(collapsed)
+        ee = near_dup_clusters(exact)
+        cm = {r["doc_id"]: r["keeper"] for r in ce.collect()}
+        em = {r["doc_id"]: r["keeper"] for r in ee.collect()}
+        # star-only nodes (identical-class members) appear in cm even when
+        # their class has no cross-class edge; restrict to shared nodes
+        assert all(cm[n] == em[n] for n in em)
+    sig.unpersist()
+
+
+def test_simhash_filters_null_and_empty_text(spark):
+    """simhash() must drop null/empty/whitespace-only docs (the minhash
+    convention, dedup.py:190): 'no content' would otherwise hash to one
+    shared constant signature — a meaningless giant identical class."""
+    from kapacitor_spark.dataprep.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "real content here"), (2, None), (3, ""), (4, "   \t ")],
+        "doc_id long, text string",
+    )
+    got = [r["doc_id"] for r in simhash(df).collect()]
+    assert got == [1]
