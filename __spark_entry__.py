@@ -1598,7 +1598,16 @@ def minhash_near_dup_q(spark, sf_dir):
 
 @_q(
     "simhash_near_dup",
-    """SELECT CAST(1034 AS BIGINT) AS n_pairs, true AS complete""",
+    """/* Same golden-per-tier scheme as stream_dedup_match: simhash is
+       not SQL-expressible, the count is pinned per fixture, keyed by the
+       corpus content so the right golden follows a driver re-tier.
+       `complete` (blocked == brute-force, computed in-engine over the
+       same hashes) is the structural check. */
+       SELECT CASE (SELECT sum(doc_id * length(text)) FROM documents)
+                WHEN 38304424 THEN CAST(1176 AS BIGINT)    -- sf0.001
+                WHEN 37380857 THEN CAST(1034 AS BIGINT)    -- sf0.01
+                WHEN 3719125526 THEN CAST(98433 AS BIGINT) -- sf0.1
+              END AS n_pairs, true AS complete""",
 )
 def simhash_near_dup_q(spark, sf_dir):
     """SimHash near-dup golden check: the (k+1)-band pigeonhole blocking
@@ -3367,7 +3376,20 @@ def audio_dhash_near_dup_q(spark, sf_dir):
 
 @_q(
     "stream_dedup_match",
-    """SELECT CAST(520 AS BIGINT) AS n_matches, true AS complete""",
+    """/* simhash is xxhash64-derived — not expressible in DuckDB — so the
+       expected match count is a GOLDEN, one per fixture tier. The CASE
+       key re-derives WHICH documents fixture is loaded from its content
+       (sum of doc_id*length(text)), so a driver re-tier selects the
+       matching golden instead of silently comparing across tiers; an
+       unknown corpus yields NULL and fails honestly. `complete` is the
+       load-bearing check either way: the Spark side emits
+       banded == brute-force over the same hashes, which only holds when
+       the blocking is provably complete. */
+       SELECT CASE (SELECT sum(doc_id * length(text)) FROM documents)
+                WHEN 38304424 THEN CAST(595 AS BIGINT)    -- sf0.001
+                WHEN 37380857 THEN CAST(520 AS BIGINT)    -- sf0.01
+                WHEN 3719125526 THEN CAST(49326 AS BIGINT) -- sf0.1
+              END AS n_matches, true AS complete""",
 )
 def stream_dedup_match(spark, sf_dir):
     """Continuous ingestion dedup (streaming.simhash_match_stream) under

@@ -196,32 +196,60 @@ def main() -> int:
     norm = {n: round(t / factor, 3) for n, t in timings.items()}
     norm_min = {n: round(t / factor, 3) for n, t in mins.items()}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": mins,
-                "min_total_sec": round(sum(mins.values()), 3),
-                "runs_per_query": runs,
-                "sf": _sf_from_dir(SF_DIR),
-                "calibration": {
-                    "probe_rows": PROBE_ROWS,
-                    "probe_ref_sec": PROBE_REF_SEC,
-                    "probe_start_sec": round(probe_start, 3),
-                    "probe_end_sec": round(probe_end, 3),
-                    "factor": round(factor, 4),
-                },
-                "extended_queries": extended,
-                "queries_normalized": norm,
-                "queries_min_normalized": norm_min,
-                "normalized_total_sec": round(sum(norm.values()), 3),
-                "normalized_min_total_sec": round(sum(norm_min.values()), 3),
-            }
+    full = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": mins,
+        "min_total_sec": round(sum(mins.values()), 3),
+        # the EFFECTIVE sample count — the loop above takes max(runs, 5)
+        # passes; reporting the requested value skewed bench_trend's
+        # round-over-round metadata (r8 claimed 3 while taking 5)
+        "runs_per_query": max(runs, 5),
+        "runs_requested": runs,
+        "sf": _sf_from_dir(SF_DIR),
+        "calibration": {
+            "probe_rows": PROBE_ROWS,
+            "probe_ref_sec": PROBE_REF_SEC,
+            "probe_start_sec": round(probe_start, 3),
+            "probe_end_sec": round(probe_end, 3),
+            "factor": round(factor, 4),
+        },
+        "extended_queries": extended,
+        "queries_normalized": norm,
+        "queries_min_normalized": norm_min,
+        "normalized_total_sec": round(sum(norm.values()), 3),
+        "normalized_min_total_sec": round(sum(norm_min.values()), 3),
+    }
+    # The FULL record goes to a file (and stderr, for harnesses that only
+    # keep logs); the final stdout line stays COMPACT. The driver captures
+    # only the last ~2000 bytes of stdout and parses the last line — the
+    # r8 full record was ~3.5 KB, so its head was truncated and the
+    # machine-readable bench for the best round on record was lost
+    # (BENCH_r08.json "parsed": null). The compact line keeps the
+    # driver-contract fields (metric/value/unit/queries/sf) plus the
+    # cross-round totals; per-query mins and normalized blocks live in
+    # bench_full.json, which bench_trend.py merges back in when its
+    # totals match the round's compact line.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f)
+    print(json.dumps(full), file=sys.stderr)
+    compact = {
+        k: full[k]
+        for k in (
+            "metric", "value", "unit", "queries", "min_total_sec",
+            "runs_per_query", "sf",
         )
-    )
+    }
+    compact["calibration"] = {"factor": full["calibration"]["factor"]}
+    compact["normalized_total_sec"] = full["normalized_total_sec"]
+    compact["normalized_min_total_sec"] = full["normalized_min_total_sec"]
+    compact["full"] = "bench_full.json"
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"compact bench line grew to {len(line)} bytes"
+    print(line)
     return 0
 
 

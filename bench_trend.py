@@ -35,9 +35,72 @@ import statistics
 import sys
 
 
+def _reconstruct(tail: str) -> dict:
+    """Best-effort recovery of a bench record from a TRUNCATED stdout
+    tail (the r8 failure mode: the final JSON line was ~3.5 KB, the
+    driver keeps 2000 bytes, so the line's head is gone and json.loads
+    fails). Scalar keys regex out directly; object-valued keys recover
+    via a brace-matching scan when their opening brace survived. A
+    PARTIAL object (head cut mid-block, like r8's queries_min) is
+    salvaged entry-by-entry into ``queries`` only when nothing better
+    exists — numbers are trustworthy, membership is not."""
+    out: dict = {}
+    for m in re.finditer(r'"(\w+)":\s*(-?\d+(?:\.\d+)?)(?=[,}])', tail):
+        k, v = m.group(1), float(m.group(2))
+        # top-level scalars of interest only; per-query entries inside
+        # blocks are picked up by the object scan below
+        if k in ("value", "min_total_sec", "runs_per_query", "sf",
+                 "normalized_total_sec", "normalized_min_total_sec"):
+            out.setdefault(k, v)
+    for key in ("queries", "queries_min", "calibration", "extended_queries",
+                "queries_normalized", "queries_min_normalized"):
+        m = re.search(r'"%s":\s*\{' % key, tail)
+        if not m:
+            continue
+        start = m.end() - 1
+        depth = 0
+        for i in range(start, len(tail)):
+            depth += {"{": 1, "}": -1}.get(tail[i], 0)
+            if depth == 0:
+                try:
+                    out[key] = json.loads(tail[start : i + 1])
+                except ValueError:
+                    pass
+                break
+    if "queries" not in out and "queries_min" not in out:
+        # head-truncated block: salvage whatever complete entries remain
+        # before the first '}' (r8: the back half of queries_min)
+        frag = tail.split("}", 1)[0]
+        entries = dict(
+            (m.group(1), float(m.group(2)))
+            for m in re.finditer(r'"([\w.]+)":\s*(-?\d+(?:\.\d+)?)', frag)
+        )
+        if entries:
+            out["queries"] = entries
+            out["partial"] = True
+    return out
+
+
 def _load(path: str) -> dict:
     d = json.load(open(path))
-    return d.get("parsed", d)
+    if "parsed" not in d and "tail" not in d:
+        return d  # already a bare bench record
+    parsed = d.get("parsed") or _reconstruct(d.get("tail", ""))
+    # compact records (r9+) point at the full file; merge it back in when
+    # it is present AND matches this round (bench_full.json is overwritten
+    # every run, so it only ever corresponds to the latest round)
+    full_name = parsed.get("full") if isinstance(parsed, dict) else None
+    if full_name:
+        full_path = os.path.join(os.path.dirname(os.path.abspath(path)), full_name)
+        try:
+            full = json.load(open(full_path))
+            if full.get("value") == parsed.get("value") and full.get(
+                "sf"
+            ) == parsed.get("sf"):
+                parsed = {**full, **{k: v for k, v in parsed.items() if k != "full"}}
+        except (OSError, ValueError):
+            pass
+    return parsed
 
 
 def main() -> int:

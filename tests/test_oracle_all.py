@@ -31,10 +31,9 @@ _ORACLES = entry_mod.oracle_sql()
 _MIN_SF001 = {
     "ann_recall",
     "minhash_near_dup",
-    "simhash_near_dup",
-    # golden match count is per-SF (sf0.001's corpus yields 595, the
-    # driver's sf0.01 gate 520 — the oracle constant pins the latter)
-    "stream_dedup_match",
+    # simhash_near_dup / stream_dedup_match no longer pin one tier: their
+    # oracles key the per-SF golden off the fixture's content checksum
+    # (r9), so they run — and are asserted — at every SF.
 }
 
 
