@@ -3437,14 +3437,18 @@ def stream_dedup_match(spark, sf_dir):
 
 
 def _planted_mjpeg_avis(docs: DataFrame) -> DataFrame:
-    """Planted MJPEG-in-AVI corpus: per doc, a 5-frame 16x16 grayscale
-    clip — frames 0-2 SHARED across the doc's group of 4 (doc_id//4),
-    frames 3-4 doc-unique (independent md5-random pixels → per-frame
-    dHashes ~32 bits apart). Same-group pairs therefore agree on exactly
-    3 of 5 co-sampled frames (identical JPEG bytes → identical decode →
-    Hamming 0); cross-group pairs agree on none. Real JPEG encode (q90)
-    + real RIFF mux, built in one Arrow hop with a per-task frame cache
-    (shared frames encode once per group, not once per member)."""
+    """Planted MJPEG corpus in MIXED containers (r9): per doc, a 5-frame
+    16x16 grayscale clip — frames 0-2 SHARED across the doc's group of 4
+    (doc_id//4), frames 3-4 doc-unique (independent md5-random pixels →
+    per-frame dHashes ~32 bits apart). Even doc_ids mux as MJPEG-in-AVI
+    (RIFF movi), odd as MJPEG-in-MP4 (stbl sample tables) — every group
+    spans BOTH containers, so the oracle only matches when the per-row
+    demux dispatch yields identical frames from either walk. Same-group
+    pairs agree on exactly 3 of 5 co-sampled frames (identical JPEG
+    bytes → identical decode → Hamming 0); cross-group pairs agree on
+    none. Real JPEG encode (q90) + real RIFF/BMFF mux, built in one
+    Arrow hop with a per-task frame cache (shared frames encode once per
+    group, not once per member)."""
     import hashlib
 
     from pyspark.sql import types as T
@@ -3475,7 +3479,12 @@ def _planted_mjpeg_avis(docs: DataFrame) -> DataFrame:
                 frames = [frame(f"g{g}-f{k}") for k in range(3)] + [
                     frame(f"d{d}-f{k}") for k in (3, 4)
                 ]
-                payloads.append(videocodec.build_avi_mjpeg(16, 16, frames, fps=5))
+                mux = (
+                    videocodec.build_avi_mjpeg
+                    if d % 2 == 0
+                    else videocodec.build_mp4_mjpeg
+                )
+                payloads.append(mux(16, 16, frames, fps=5))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.mapInPandas(gen, schema)

@@ -599,10 +599,11 @@ def extract_video_frames(
     every: int = 1,
     frame_col: str = "frame",
 ) -> DataFrame:
-    """Demux MJPEG-in-AVI payloads into one row per sampled frame:
-    (id, frame_idx, frame) — frame SELECTION happens in the demux walk
-    (chunk offsets), so skipped frames are never even sliced out of the
-    container, let alone decoded. One Arrow-batched hop; the (small)
+    """Demux MJPEG payloads — AVI (RIFF movi walk) or MP4 (stbl sample
+    tables), per-row container dispatch — into one row per sampled
+    frame: (id, frame_idx, frame). Frame SELECTION happens in the demux
+    walk (chunk offsets), so skipped frames are never even sliced out of
+    the container, let alone decoded. One Arrow-batched hop; the (small)
     JPEG frame payloads are what moves downstream, not the clip.
 
     Reference parity note: the reference engine has no video decode at
@@ -623,7 +624,7 @@ def extract_video_frames(
             ids, idxs, payloads = [], [], []
             for doc_id, b in zip(pdf[id_col], pdf[binary_col]):
                 raw = bytes(b) if b is not None else b""
-                for i, jpeg in videocodec.extract_mjpeg_frames(raw):
+                for i, jpeg in videocodec.extract_frames(raw):
                     if i % every == 0:
                         ids.append(doc_id)
                         idxs.append(i)

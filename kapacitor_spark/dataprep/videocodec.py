@@ -247,27 +247,38 @@ def extract_mjpeg_frames(data: bytes) -> list[tuple[int, bytes]]:
     if sniff_format(data) != "avi":
         raise ValueError("not an AVI payload")
     frames: list[tuple[int, bytes]] = []
+    # frame index lives OUTSIDE the LIST walks: a file with several movi
+    # LISTs (or 'rec ' grouping LISTs inside movi — interleave hints for
+    # 1:1 CD-ROM reads) numbers its frames continuously; a per-LIST reset
+    # would alias indices and silently corrupt per-frame-index banding.
+    idx = 0
+
+    def walk(start: int, end: int) -> None:
+        nonlocal idx
+        inner = start
+        while inner + 8 <= end:
+            c2, s2 = struct.unpack("<4sI", data[inner : inner + 8])
+            body = inner + 8
+            if c2 == b"LIST" and data[body : body + 4] == b"rec ":
+                walk(body + 4, min(body + s2, end))
+            elif c2[2:4] in (b"dc", b"db"):
+                payload = data[body : body + s2]
+                if payload[:2] != b"\xff\xd8":
+                    raise NotImplementedError(
+                        f"AVI video chunk {c2!r} is not MJPEG "
+                        "(no JPEG SOI); compressed video codecs "
+                        "need an external library"
+                    )
+                frames.append((idx, payload))
+                idx += 1
+            inner = body + s2 + (s2 & 1)
+
     pos = 12
     while pos + 8 <= len(data):
         cid, size = struct.unpack("<4sI", data[pos : pos + 8])
         body = pos + 8
         if cid == b"LIST" and data[body : body + 4] == b"movi":
-            inner = body + 4
-            end = min(body + size, len(data))
-            idx = 0
-            while inner + 8 <= end:
-                c2, s2 = struct.unpack("<4sI", data[inner : inner + 8])
-                payload = data[inner + 8 : inner + 8 + s2]
-                if c2[2:4] in (b"dc", b"db"):
-                    if payload[:2] != b"\xff\xd8":
-                        raise NotImplementedError(
-                            f"AVI video chunk {c2!r} is not MJPEG "
-                            "(no JPEG SOI); compressed video codecs "
-                            "need an external library"
-                        )
-                    frames.append((idx, payload))
-                    idx += 1
-                inner += 8 + s2 + (s2 & 1)
+            walk(body + 4, min(body + size, len(data)))
         pos += 8 + size + (size & 1)
     return frames
 
@@ -296,7 +307,11 @@ def build_avi_mjpeg(
         "<IHHIIIIIIII4H", 0, 0, 0, 0, 1, fps, 0, n, 0, 0xFFFFFFFF, 0,
         0, 0, width, height,
     )
-    strf = b"strf" + struct.pack(
+    # cksize(40) AND biSize(40) are SEPARATE fields: 'strf' + 4-byte RIFF
+    # chunk size + 40-byte BITMAPINFOHEADER whose first dword is biSize.
+    # (The r8 writer packed one 40 doing double duty — an external parser
+    # reading cksize=40 then overran the strl LIST by 4 bytes.)
+    strf = b"strf" + struct.pack("<I", 40) + struct.pack(
         "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0
     )
     strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
@@ -311,4 +326,231 @@ def build_avi_mjpeg(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-__all__ += ["extract_mjpeg_frames", "build_avi_mjpeg"]
+# ------------------------------------------------------------------ #
+# MJPEG-in-MP4: ISO BMFF keeps frames in mdat and describes them via the
+# stbl sample tables ('jpeg' VisualSampleEntry in stsd; sizes in stsz;
+# chunk offsets in stco/co64; samples-per-chunk runs in stsc). Each
+# sample is a complete JPEG, so the same jpegcodec decodes it — video
+# perceptual dedup's second real container, reusing the existing box
+# walker (_iter_boxes).
+# ------------------------------------------------------------------ #
+
+_MP4_JPEG_FORMATS = (b"jpeg", b"mjpa", b"mjpb", b"MJPG", b"mjpg")
+
+
+def _mp4_video_samples(data: bytes) -> list[tuple[int, int]] | None:
+    """(offset, size) per sample for the first VIDEO track, or None when
+    no video track exists. Raises NotImplementedError for non-MJPEG video
+    sample entries (H.264/VP9/... need an external library)."""
+    for btype, body, bend in _iter_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for b2, o2, e2 in _iter_boxes(data, body, bend):
+            if b2 != b"trak":
+                continue
+            samples = _trak_video_samples(data, o2, e2)
+            if samples is not None:
+                return samples
+    return None
+
+
+def _trak_video_samples(data: bytes, start: int, end: int):
+    is_video = False
+    stbl = None
+    for b3, o3, e3 in _iter_boxes(data, start, end):
+        if b3 != b"mdia":
+            continue
+        for b4, o4, e4 in _iter_boxes(data, o3, e3):
+            if b4 == b"hdlr":
+                is_video = data[o4 + 8 : o4 + 12] == b"vide"
+            elif b4 == b"minf":
+                for b5, o5, e5 in _iter_boxes(data, o4, e4):
+                    if b5 == b"stbl":
+                        stbl = (o5, e5)
+    if not is_video or stbl is None:
+        return None
+    fmt = None
+    sizes: list[int] = []
+    chunk_offsets: list[int] = []
+    stsc: list[tuple[int, int]] = []  # (first_chunk, samples_per_chunk)
+    for b6, o6, e6 in _iter_boxes(data, *stbl):
+        if b6 == b"stsd":
+            n_entries = struct.unpack(">I", data[o6 + 4 : o6 + 8])[0]
+            if n_entries:
+                fmt = data[o6 + 12 : o6 + 16]
+        elif b6 == b"stsz":
+            fixed, cnt = struct.unpack(">II", data[o6 + 4 : o6 + 12])
+            if fixed:
+                sizes = [fixed] * cnt
+            else:
+                sizes = list(
+                    struct.unpack(f">{cnt}I", data[o6 + 12 : o6 + 12 + 4 * cnt])
+                )
+        elif b6 in (b"stco", b"co64"):
+            cnt = struct.unpack(">I", data[o6 + 4 : o6 + 8])[0]
+            w = 4 if b6 == b"stco" else 8
+            f = "I" if b6 == b"stco" else "Q"
+            chunk_offsets = list(
+                struct.unpack(f">{cnt}{f}", data[o6 + 8 : o6 + 8 + w * cnt])
+            )
+        elif b6 == b"stsc":
+            cnt = struct.unpack(">I", data[o6 + 4 : o6 + 8])[0]
+            for i in range(cnt):
+                fc, spc, _sdi = struct.unpack(
+                    ">III", data[o6 + 8 + 12 * i : o6 + 20 + 12 * i]
+                )
+                stsc.append((fc, spc))
+    if fmt is None:
+        return None
+    if fmt not in _MP4_JPEG_FORMATS:
+        raise NotImplementedError(
+            f"MP4 video sample entry {fmt!r} is not MJPEG; compressed "
+            "video codecs need an external library"
+        )
+    # expand stsc runs: entry i applies from its first_chunk (1-based)
+    # until the next entry's first_chunk
+    out: list[tuple[int, int]] = []
+    si = 0
+    for ci, coff in enumerate(chunk_offsets, start=1):
+        spc = 0
+        for fc, n in stsc:
+            if fc <= ci:
+                spc = n
+            else:
+                break
+        pos = coff
+        for _ in range(spc):
+            if si >= len(sizes):
+                break
+            out.append((pos, sizes[si]))
+            pos += sizes[si]
+            si += 1
+    return out
+
+
+def _extract_mjpeg_frames_mp4(data: bytes) -> list[tuple[int, bytes]]:
+    samples = _mp4_video_samples(data)
+    if samples is None:
+        raise ValueError("MP4 payload has no video track")
+    frames: list[tuple[int, bytes]] = []
+    for idx, (off, size) in enumerate(samples):
+        payload = data[off : off + size]
+        if payload[:2] != b"\xff\xd8":
+            raise NotImplementedError(
+                "MP4 video sample is not a JPEG (no SOI); compressed "
+                "video codecs need an external library"
+            )
+        frames.append((idx, payload))
+    return frames
+
+
+def extract_frames(data: bytes) -> list[tuple[int, bytes]]:
+    """Container-dispatching demux: ``(frame_index, jpeg_bytes)`` for
+    MJPEG payloads in either AVI (RIFF movi walk) or MP4 (stbl sample
+    tables). Everything else raises — ValueError for unknown containers,
+    NotImplementedError for compressed video codecs."""
+    fmt = sniff_format(data)
+    if fmt == "avi":
+        return extract_mjpeg_frames(data)
+    if fmt == "mp4":
+        return _extract_mjpeg_frames_mp4(data)
+    raise ValueError(f"unsupported video container: {fmt!r}")
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def build_mp4_mjpeg(
+    width: int, height: int, frames: list[bytes], fps: int = 10
+) -> bytes:
+    """Mux JPEG frames into a minimal spec-shaped MJPEG MP4: ftyp + mdat
+    (frames back-to-back) + moov with a single 'vide' track whose stsd
+    carries a 'jpeg' VisualSampleEntry and whose stsz/stsc/stco map one
+    sample per chunk at absolute file offsets (mdat precedes moov so the
+    offsets are known when stco is written). The fixture side of
+    _extract_mjpeg_frames_mp4 and a real writer for re-emitted clips."""
+    for f in frames:
+        if f[:2] != b"\xff\xd8":
+            raise ValueError("build_mp4_mjpeg frames must be JPEG payloads")
+    n = len(frames)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"".join(frames))
+    offsets = []
+    pos = len(ftyp) + 8
+    for f in frames:
+        offsets.append(pos)
+        pos += len(f)
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    timescale, duration = max(1, fps), n
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">i", 0x00010000) + struct.pack(">h", 0x0100)
+        + b"\x00" * 10 + matrix + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x03" + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1, 0) + struct.pack(">I", duration)
+        + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0) + matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _box(
+        b"mdhd",
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">Hh", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _box(
+        b"hdlr",
+        b"\x00\x00\x00\x00" + struct.pack(">I", 0) + b"vide"
+        + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    entry = (
+        struct.pack(">I", 86) + b"jpeg" + b"\x00" * 6 + struct.pack(">H", 1)
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0) + struct.pack(">H", 1)
+        + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
+    )
+    stsd = _box(b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1) + entry)
+    stts = _box(
+        b"stts", b"\x00\x00\x00\x00" + struct.pack(">III", 1, n, 1)
+    )
+    stsc = _box(
+        b"stsc", b"\x00\x00\x00\x00" + struct.pack(">IIII", 1, 1, 1, 1)
+    )
+    stsz = _box(
+        b"stsz",
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, n)
+        + struct.pack(f">{n}I", *[len(f) for f in frames]),
+    )
+    stco = _box(
+        b"stco",
+        b"\x00\x00\x00\x00" + struct.pack(">I", n)
+        + struct.pack(f">{n}I", *offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+    dref = _box(
+        b"dref",
+        b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+        + _box(b"url ", b"\x00\x00\x00\x01"),
+    )
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+__all__ += [
+    "extract_mjpeg_frames",
+    "build_avi_mjpeg",
+    "extract_frames",
+    "build_mp4_mjpeg",
+]

@@ -275,3 +275,125 @@ def test_video_dhash_survives_reencode(spark):
     )
     got = video_dhash_near_dup(df, width=16, height=16, max_hamming=6).collect()
     assert [(r["id_a"], r["id_b"], r["total_frames"]) for r in got] == [(10, 20, 3)]
+
+
+def test_mp4_mjpeg_mux_demux_roundtrip():
+    from kapacitor_spark.dataprep import videocodec
+
+    frames = [_jpeg_frame(f"m{i}") for i in range(5)]
+    mp4 = videocodec.build_mp4_mjpeg(16, 16, frames, fps=10)
+    fmt, w, h, dur, n = videocodec.parse_video_header(mp4)
+    assert (fmt, w, h, n) == ("mp4", 16, 16, 5)
+    assert abs(dur - 0.5) < 1e-6
+    got = videocodec.extract_frames(mp4)
+    assert [i for i, _ in got] == [0, 1, 2, 3, 4]
+    assert [b for _, b in got] == frames  # byte-exact via stsz/stco offsets
+
+
+def test_extract_frames_dispatches_and_rejects():
+    import pytest
+
+    from kapacitor_spark.dataprep import videocodec
+
+    frames = [_jpeg_frame(f"d{i}") for i in range(2)]
+    avi = videocodec.build_avi_mjpeg(16, 16, frames)
+    mp4 = videocodec.build_mp4_mjpeg(16, 16, frames)
+    assert [b for _, b in videocodec.extract_frames(avi)] == frames
+    assert [b for _, b in videocodec.extract_frames(mp4)] == frames
+    with pytest.raises(ValueError):
+        videocodec.extract_frames(b"\x1a\x45\xdf\xa3 not mjpeg-capable")
+    # an H.264-style sample entry must raise, not silently skip
+    bad = bytearray(mp4)
+    i = bad.find(b"jpeg", 16)  # the stsd entry format (skip ftyp brands)
+    bad[i : i + 4] = b"avc1"
+    with pytest.raises(NotImplementedError):
+        videocodec.extract_frames(bytes(bad))
+
+
+def test_avi_strf_chunk_walks_externally():
+    """Spec shape: an external parser walking strl by DECLARED chunk
+    sizes must land exactly on the LIST end and read a 40-byte
+    BITMAPINFOHEADER whose biSize dword is present (the r8 writer
+    overloaded one 40 as both cksize and biSize, overrunning by 4)."""
+    import struct
+
+    from kapacitor_spark.dataprep import videocodec
+
+    avi = videocodec.build_avi_mjpeg(32, 8, [_jpeg_frame("s", 32, 8)], fps=5)
+    # find LIST strl inside LIST hdrl
+    pos = 12
+    strl = None
+    while pos + 8 <= len(avi):
+        cid, size = struct.unpack("<4sI", avi[pos : pos + 8])
+        if cid == b"LIST" and avi[pos + 8 : pos + 12] == b"hdrl":
+            inner = pos + 12
+            while inner + 8 <= pos + 8 + size:
+                c2, s2 = struct.unpack("<4sI", avi[inner : inner + 8])
+                if c2 == b"LIST" and avi[inner + 8 : inner + 12] == b"strl":
+                    strl = (inner + 12, inner + 8 + s2)
+                inner += 8 + s2 + (s2 & 1)
+        pos += 8 + size + (size & 1)
+    assert strl is not None
+    walked = {}
+    p, end = strl
+    while p + 8 <= end:
+        c, s = struct.unpack("<4sI", avi[p : p + 8])
+        walked[c] = avi[p + 8 : p + 8 + s]
+        p += 8 + s + (s & 1)
+    assert p == end  # declared sizes consume the LIST exactly
+    assert set(walked) == {b"strh", b"strf"}
+    bih = walked[b"strf"]
+    assert len(bih) == 40
+    bi_size, w, h, planes, depth, comp = struct.unpack("<IiiHH4s", bih[:20])
+    assert (bi_size, w, h, planes, depth, comp) == (40, 32, 8, 1, 24, b"MJPG")
+
+
+def test_multiple_movi_and_rec_lists_index_continuously():
+    import struct
+
+    from kapacitor_spark.dataprep import videocodec
+
+    frames = [_jpeg_frame(f"r{i}") for i in range(4)]
+
+    def chunk(f):
+        return b"00dc" + struct.pack("<I", len(f)) + f + (b"\x00" if len(f) & 1 else b"")
+
+    # movi #1: frame0 + LIST 'rec '(frame1); movi #2: frame2, frame3
+    rec = b"rec " + chunk(frames[1])
+    movi1 = b"movi" + chunk(frames[0]) + b"LIST" + struct.pack("<I", len(rec)) + rec
+    movi2 = b"movi" + chunk(frames[2]) + chunk(frames[3])
+    body = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(movi1)) + movi1
+        + b"LIST" + struct.pack("<I", len(movi2)) + movi2
+    )
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    got = videocodec.extract_mjpeg_frames(avi)
+    assert [i for i, _ in got] == [0, 1, 2, 3]  # no per-LIST reset
+    assert [b for _, b in got] == frames
+
+
+def test_video_dhash_mixed_containers(spark):
+    """The same clip re-encoded at different JPEG quality in DIFFERENT
+    containers (AVI vs MP4) must still pair — the demux dispatch is
+    per-row inside one Arrow hop."""
+    import hashlib
+
+    from kapacitor_spark.dataprep import jpegcodec, videocodec
+    from kapacitor_spark.dataprep.multimodal import video_dhash_near_dup
+
+    pix = [
+        b"".join(hashlib.md5(f"mx{i}:{j}".encode()).digest() for j in range(16))
+        for i in range(3)
+    ]
+    avi = videocodec.build_avi_mjpeg(
+        16, 16, [jpegcodec.encode(16, 16, p, channels=1, quality=90) for p in pix]
+    )
+    mp4 = videocodec.build_mp4_mjpeg(
+        16, 16, [jpegcodec.encode(16, 16, p, channels=1, quality=75) for p in pix]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(mp4))], "doc_id long, payload binary"
+    )
+    got = video_dhash_near_dup(df, width=16, height=16, max_hamming=6).collect()
+    assert [(r["id_a"], r["id_b"], r["total_frames"]) for r in got] == [(1, 2, 3)]
