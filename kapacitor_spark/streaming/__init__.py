@@ -54,6 +54,8 @@ __all__ = [
     "deadman_stream",
     "stats_stream",
     "window_barrier_stream",
+    "simhash_match_stream",
+    "simhash_ingest_foreachbatch",
 ]
 
 
@@ -1046,6 +1048,7 @@ def simhash_match_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     history_id: str = "history_id",
+    persist_static: bool = True,
 ) -> DataFrame:
     """CONTINUOUS near-dup detection: match a document stream against a
     corpus signature table — the ingestion-pipeline shape ("is this new
@@ -1100,9 +1103,14 @@ def simhash_match_stream(
     # a shuffle the static side must not re-pay every micro-batch —
     # callers that swap the history table between batches build a fresh
     # plan anyway (the foreachBatch composition below).
-    hist_sigs = track(
-        history_sig.select(F.col("simhash").alias("__hhash")).distinct().persist()
-    )
+    # ``persist_static=False`` for callers that REBUILD the static side
+    # every micro-batch (the foreachBatch corpus-update composition): a
+    # persisted plan over the same parquet path would be substituted by
+    # Spark's CacheManager on canonical-plan match and serve the STALE
+    # pre-append file list.
+    hist_sigs = history_sig.select(F.col("simhash").alias("__hhash")).distinct()
+    if persist_static:
+        hist_sigs = track(hist_sigs.persist())
     hist_banded = hist_sigs.select(
         "__hhash",
         F.posexplode(simhash_band_expr("__hhash", max_hamming)).alias(
@@ -1128,3 +1136,68 @@ def simhash_match_stream(
     )
     matched = matched_sigs.join(members, "__hhash")
     return matched.select(*stream_df.columns, history_id, "hamming")
+
+
+def simhash_ingest_foreachbatch(
+    history_path: str,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    history_id: str = "history_id",
+    matches_path: str | None = None,
+):
+    """The corpus-UPDATE composition simhash_match_stream's docstring
+    assigns to the caller, packaged: a ``foreachBatch`` function that,
+    per micro-batch, (1) matches arrivals against the CURRENT history
+    signature table — parquet at ``history_path``, re-read every batch
+    so earlier batches' appends are visible — (2) appends match rows to
+    ``matches_path`` (when given), and (3) appends the signatures of
+    ACCEPTED (non-matching) arrivals to the history, so later arrivals
+    match against earlier ones. Duplicates are matched but NOT appended
+    — the history stays one signature per retained document.
+
+    Seed ``history_path`` with ``dedup.simhash(corpus)`` before starting
+    the stream. Matching uses ``persist_static=False``: a persisted plan
+    over the history path would be CacheManager-substituted on the next
+    batch and serve the stale pre-append file list.
+
+    100 TB shape: the history is an append-only 16 B/doc parquet table;
+    each micro-batch pays one scan of it (partition-pruned by nothing —
+    at corpus scale, store it bucketed by a signature prefix and this
+    composition's equi-join prunes to matching buckets) plus the
+    arrivals' signature fold. Exactly-once: Structured Streaming replays
+    a failed batch; the append of that batch's accepted signatures may
+    then double — idempotent dedup on (id) at read, or transactional
+    table formats, close that gap in production."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        from kapacitor_spark.dataprep.dedup import simhash
+
+        spark = batch_df.sparkSession
+        batch_df.persist()
+        try:
+            hist = spark.read.parquet(history_path)
+            matched = simhash_match_stream(
+                batch_df,
+                hist,
+                max_hamming,
+                text_col,
+                id_col,
+                history_id,
+                persist_static=False,
+            ).persist()
+            try:
+                if matches_path is not None:
+                    matched.write.mode("append").parquet(matches_path)
+                accepted = batch_df.join(
+                    matched.select(id_col).distinct(), id_col, "left_anti"
+                )
+                simhash(accepted, text_col, id_col).write.mode("append").parquet(
+                    history_path
+                )
+            finally:
+                matched.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return fn

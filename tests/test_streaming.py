@@ -1662,3 +1662,63 @@ def test_orchestrator_discovery_seams():
     got = dict(ec2_targets("e1", EC2(), port=9100))
     assert list(got) == ["http://172.31.0.4:9100/metrics"]
     assert got["http://172.31.0.4:9100/metrics"]["__meta_ec2_tag_Name"] == "web1"
+
+
+def test_simhash_ingest_updates_history_across_batches(spark, tmp_path):
+    """Corpus-update e2e for the continuous dedup matcher: accepted
+    arrivals APPEND their signatures to the history table inside
+    foreachBatch, so later micro-batches match against earlier arrivals.
+    Three micro-batches (maxFilesPerTrigger=1): batch 1 brings a fresh
+    doc (accepted), batch 2 a near-dup of IT (one token changed — must
+    match the batch-1 arrival, not the seed), batch 3 an exact dup of it
+    (must match the batch-1 arrival only: the batch-2 dup was rejected
+    and never entered the history)."""
+    import time
+
+    from kapacitor_spark.dataprep.dedup import simhash
+    from kapacitor_spark.streaming import simhash_ingest_foreachbatch
+
+    words = [f"tok{i}" for i in range(60)]
+    fresh = " ".join(words)
+    near = " ".join(w if i != 7 else "edited" for i, w in enumerate(words))
+    hist_dir = str(tmp_path / "history_sig")
+    matches_dir = str(tmp_path / "matches")
+    seed = spark.createDataFrame(
+        [(100, "completely unrelated seed corpus text about spark engines")],
+        "doc_id long, text string",
+    )
+    simhash(seed).write.parquet(hist_dir)
+
+    in_dir = str(tmp_path / "docs_in")
+    for batch in ([(1, fresh)], [(2, near)], [(3, fresh)]):
+        spark.createDataFrame(batch, "doc_id long, text string").write.mode(
+            "append"
+        ).parquet(in_dir)
+        time.sleep(0.05)  # distinct mtimes -> deterministic batch order
+
+    src = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    q = (
+        src.writeStream.foreachBatch(
+            simhash_ingest_foreachbatch(hist_dir, max_hamming=3, matches_path=matches_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck_ingest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["doc_id"], r["history_id"]): r["hamming"]
+        for r in spark.read.parquet(matches_dir).collect()
+    }
+    # cross-batch: both the near dup and the exact dup matched the
+    # batch-1 arrival (id 1), which only exists in the history because
+    # batch 1 appended it
+    assert got == {(2, 1): got[(2, 1)], (3, 1): 0}
+    assert 0 < got[(2, 1)] <= 3
+    # history = seed + the one accepted arrival; rejected dups never enter
+    hist_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(hist_dir).select("doc_id").collect()
+    )
+    assert hist_ids == [1, 100]
