@@ -828,19 +828,33 @@ def sideload_hierarchy(spark, sf_dir):
        ORDER BY revenue DESC, o_orderkey LIMIT 10""",
 )
 def tpch_q3_topk(spark, sf_dir):
-    """Multi-join + top-k: broadcast the small filtered dimension, shuffle
-    only the fact aggregation — the batch query() analog at scale."""
+    """Multi-join + top-k, selective-dimension-first (r9): broadcast the
+    filtered customer segment into orders, then broadcast the ~5x-shrunk
+    orders INTO lineitem BEFORE aggregating — the segment predicate
+    prunes the fact rows ahead of the revenue aggregation, so the agg
+    hashmap holds only qualifying orders and the old rev⋈orders
+    shuffle-join of the FULL per-order aggregate disappears (r8 profile:
+    full-corpus agg 0.54s of the 1.33s total; this shape runs 0.97 med /
+    0.81 min — SCALE.md 'tpch_q3_topk flatline'). At 100 TB the filtered
+    orders side outgrows broadcast and AQE falls back to a shuffle join,
+    but the agg-input pruning (the real win) keeps ~4/5 of the fact
+    table out of the aggregate either way. Top-k is
+    TakeOrderedAndProject — no full sort."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    rev = li.groupBy("l_orderkey").agg(
-        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "decimal(25,8)").alias(
-            "revenue"
-        )
+    of = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
     out = (
-        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(of, li.l_orderkey == of.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "decimal(25,8)"
+            ).alias("revenue")
+        )
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderkey")
         .limit(10)
