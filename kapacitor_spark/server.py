@@ -1,0 +1,398 @@
+"""Task-store + replay REST layer: the reference's HTTP CRUD surface
+(`/root/reference/services/task_store/service.go:102-170` routes,
+`:680` create, `:854` update, `:1399` delete, `:513` list;
+`/root/reference/services/replay/service.go` recordings/replays) over
+this repo's engine functions — `tick.run_tickscript` (execution),
+`tick.task_dot` (DOT render), `tick.template_vars` (template vars),
+`sources.line_protocol.replay_srpl/replay_brpl` (replays).
+
+Scope matches the reference's own split: the HTTP layer is CONTROL
+PLANE — validate, store, list, render — and delegates execution to an
+injected ``executor`` (a callable receiving the task dict) exactly as
+the reference's task_store delegates to its TaskMaster. The default
+executor validates the script graph without needing Spark or sources;
+callers wire ``run_tickscript`` with their sources to make ``enabled``
+tasks actually run (tests do — see tests/test_task_api.py).
+
+Persistence: one JSON file per collection under ``store_dir`` (the
+reference persists to BoltDB — same durability contract, stdlib-only).
+The HTTP server is stdlib ``ThreadingHTTPServer``; the store takes a
+lock around mutations.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import uuid
+from datetime import datetime, timezone
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import parse_qs, urlsplit
+
+__all__ = ["TaskStore", "TaskStoreService", "BASE_PATH"]
+
+BASE_PATH = "/kapacitor/v1"
+_VALID_ID = re.compile(r"^[-._\w]+$")  # service.go validTaskID
+
+
+def _now() -> str:
+    return datetime.now(timezone.utc).isoformat()
+
+
+class TaskStore:
+    """Dir-persisted task/template store (the reference's task_store DAO,
+    service.go dao.go). Thread-safe; every mutation rewrites the JSON
+    file — collections are control-plane small."""
+
+    def __init__(self, store_dir: str | None = None):
+        self._lock = threading.RLock()
+        self._dir = Path(store_dir) if store_dir else None
+        self.tasks: dict[str, dict] = {}
+        self.templates: dict[str, dict] = {}
+        if self._dir is not None:
+            self._dir.mkdir(parents=True, exist_ok=True)
+            for name in ("tasks", "templates"):
+                f = self._dir / f"{name}.json"
+                if f.exists():
+                    setattr(self, name, json.loads(f.read_text()))
+
+    def _flush(self) -> None:
+        if self._dir is None:
+            return
+        for name in ("tasks", "templates"):
+            (self._dir / f"{name}.json").write_text(
+                json.dumps(getattr(self, name), indent=1, sort_keys=True)
+            )
+
+    def put(self, kind: str, obj: dict) -> None:
+        with self._lock:
+            getattr(self, kind)[obj["id"]] = obj
+            self._flush()
+
+    def delete(self, kind: str, oid: str) -> bool:
+        with self._lock:
+            existed = getattr(self, kind).pop(oid, None) is not None
+            self._flush()
+            return existed
+
+    def list(self, kind: str, pattern: str = "", offset: int = 0, limit: int = 100):
+        with self._lock:
+            items = sorted(getattr(self, kind).values(), key=lambda t: t["id"])
+        if pattern:
+            # the reference matches with path.Match (glob), not regex
+            import fnmatch
+
+            items = [t for t in items if fnmatch.fnmatch(t["id"], pattern)]
+        return items[offset : offset + limit]
+
+
+def _default_executor(task: dict) -> None:
+    """Validate the script graph without executing (no Spark needed):
+    parse + DOT render catches syntax/wiring errors, mirroring the
+    reference's define-time validation."""
+    from kapacitor_spark.tick import task_dot
+
+    task_dot(task["script"], name=task["id"])
+
+
+class TaskStoreService:
+    """HTTP facade. ``executor(task_dict)`` runs on enable (and on
+    create with status=enabled); ``replayer(task_dict, recording_path,
+    kind)`` runs POST /replays. Both are seams: the engine-side default
+    validates only, tests inject run_tickscript/replay_srpl."""
+
+    def __init__(
+        self,
+        store_dir: str | None = None,
+        executor=None,
+        replayer=None,
+        recordings_dir: str | None = None,
+    ):
+        self.store = TaskStore(store_dir)
+        self.executor = executor or _default_executor
+        self.replayer = replayer
+        self.recordings_dir = Path(recordings_dir) if recordings_dir else None
+        self.replays: dict[str, dict] = {}
+        self._httpd: ThreadingHTTPServer | None = None
+
+    # ---------------------------------------------------------------- #
+    # request-level logic (framework-free so it unit-tests without a
+    # socket; the handler below adapts HTTP to these)
+    # ---------------------------------------------------------------- #
+
+    def handle(self, method: str, path: str, query: dict, body: dict):
+        """Returns (status, json-payload | None)."""
+        if not path.startswith(BASE_PATH):
+            return 404, {"error": f"unknown path {path}"}
+        rel = path[len(BASE_PATH) :]
+        if rel == "/ping":
+            return 204, None
+        for kind, anchor in (("tasks", "/tasks"), ("templates", "/templates")):
+            if rel == anchor:
+                if method == "GET":
+                    return self._list(kind, query)
+                if method == "POST":
+                    return self._create(kind, body)
+            elif rel.startswith(anchor + "/"):
+                oid = rel[len(anchor) + 1 :]
+                if method == "GET":
+                    return self._get(kind, oid, query)
+                if method == "PATCH":
+                    return self._update(kind, oid, body)
+                if method == "DELETE":
+                    return (
+                        (204, None)
+                        if self.store.delete(kind, oid)
+                        else (404, {"error": f"no {kind[:-1]} exists"})
+                    )
+        if rel == "/recordings" and method == "GET":
+            return self._list_recordings()
+        if rel == "/replays" and method == "POST":
+            return self._replay(body)
+        if rel == "/replays" and method == "GET":
+            return 200, {"replays": sorted(self.replays.values(), key=lambda r: r["id"])}
+        return 404, {"error": f"unknown route {method} {rel}"}
+
+    # -- tasks / templates -------------------------------------------- #
+
+    def _public(self, kind: str, obj: dict, dot: bool = True) -> dict:
+        out = {k: v for k, v in obj.items()}
+        out["link"] = {"rel": "self", "href": f"{BASE_PATH}/{kind}/{obj['id']}"}
+        if dot:
+            from kapacitor_spark.tick import task_dot
+
+            try:
+                out["dot"] = task_dot(obj["script"], name=obj["id"])
+            except Exception:  # noqa: BLE001 — dot is advisory on read
+                out["dot"] = ""
+        return out
+
+    def _validate_script(self, script: str) -> str | None:
+        from kapacitor_spark.tick import TickError, task_dot
+
+        try:
+            task_dot(script, name="validate")
+        except TickError as e:
+            return str(e)
+        except Exception as e:  # parser surfaces some errors as ValueError
+            return str(e)
+        return None
+
+    def _create(self, kind: str, body: dict):
+        oid = body.get("id") or str(uuid.uuid4())
+        if not _VALID_ID.match(oid):
+            return 400, {
+                "error": "task ID must contain only letters, numbers,"
+                f" '-', '.' and '_'. {oid!r}"
+            }
+        if oid in getattr(self.store, kind):
+            return 400, {"error": f"{kind[:-1]} {oid} already exists"}
+        script = body.get("script", "")
+        vars_in = dict(body.get("vars") or {})
+        template_id = body.get("template-id", "")
+        if kind == "tasks" and template_id:
+            tpl = self.store.templates.get(template_id)
+            if tpl is None:
+                return 400, {"error": f"unknown template {template_id}"}
+            script = tpl["script"]
+            ttype = tpl["type"]
+        else:
+            ttype = body.get("type", "stream")
+            if not script:
+                return 400, {"error": "must provide TICKscript"}
+        err = self._validate_script(script)
+        if err is not None:
+            return 400, {"error": f"invalid TICKscript: {err}"}
+        from kapacitor_spark.tick import template_vars as tvars
+
+        obj = {
+            "id": oid,
+            "type": ttype,
+            "script": script,
+            "vars": vars_in,
+            "dbrps": body.get("dbrps", []),
+            "status": body.get("status", "disabled"),
+            "template-id": template_id,
+            "executing": False,
+            "error": "",
+            "created": _now(),
+            "modified": _now(),
+        }
+        if kind == "templates":
+            obj["vars"] = tvars(script)
+            obj.pop("template-id")
+            obj.pop("status")
+        self.store.put(kind, obj)
+        if kind == "tasks" and obj["status"] == "enabled":
+            self._execute(obj)
+        return 200, self._public(kind, obj)
+
+    def _get(self, kind: str, oid: str, query: dict):
+        obj = getattr(self.store, kind).get(oid)
+        if obj is None:
+            return 404, {"error": f"no {kind[:-1]} exists"}
+        return 200, self._public(kind, obj)
+
+    def _list(self, kind: str, query: dict):
+        pattern = (query.get("pattern") or [""])[0]
+        offset = int((query.get("offset") or ["0"])[0])
+        limit = int((query.get("limit") or ["100"])[0])
+        items = self.store.list(kind, pattern, offset, limit)
+        return 200, {
+            kind: [self._public(kind, t, dot=False) for t in items],
+            "link": {"rel": "self", "href": f"{BASE_PATH}/{kind}"},
+        }
+
+    def _update(self, kind: str, oid: str, body: dict):
+        obj = getattr(self.store, kind).get(oid)
+        if obj is None:
+            return 404, {"error": f"no {kind[:-1]} exists"}
+        if "script" in body:
+            err = self._validate_script(body["script"])
+            if err is not None:
+                return 400, {"error": f"invalid TICKscript: {err}"}
+            obj["script"] = body["script"]
+            if kind == "templates":
+                from kapacitor_spark.tick import template_vars as tvars
+
+                obj["vars"] = tvars(obj["script"])
+        for k in ("vars", "dbrps", "type"):
+            if k in body and kind == "tasks":
+                obj[k] = body[k]
+        was = obj.get("status")
+        if "status" in body and kind == "tasks":
+            obj["status"] = body["status"]
+        obj["modified"] = _now()
+        self.store.put(kind, obj)
+        if kind == "tasks" and obj["status"] == "enabled" and was != "enabled":
+            self._execute(obj)
+        return 200, self._public(kind, obj)
+
+    def _execute(self, task: dict) -> None:
+        task["executing"] = True
+        task["error"] = ""
+        task["last-enabled"] = _now()
+        try:
+            self.executor(task)
+        except Exception as e:  # noqa: BLE001 — surfaced via the API, like the reference
+            task["executing"] = False
+            task["error"] = str(e)
+        finally:
+            self.store.put("tasks", task)
+
+    # -- recordings / replays ----------------------------------------- #
+
+    def _list_recordings(self):
+        recs = []
+        if self.recordings_dir is not None and self.recordings_dir.exists():
+            for p in sorted(self.recordings_dir.iterdir()):
+                if p.suffix in (".srpl", ".brpl"):
+                    recs.append(
+                        {
+                            "id": p.stem,
+                            "type": "stream" if p.suffix == ".srpl" else "batch",
+                            "size": p.stat().st_size,
+                            "link": {
+                                "rel": "self",
+                                "href": f"{BASE_PATH}/recordings/{p.stem}",
+                            },
+                        }
+                    )
+        return 200, {"recordings": recs}
+
+    def _replay(self, body: dict):
+        task = self.store.tasks.get(body.get("task", ""))
+        if task is None:
+            return 404, {"error": "no task exists"}
+        rid = body.get("recording", "")
+        rec = None
+        if self.recordings_dir is not None:
+            for suffix in (".srpl", ".brpl"):
+                p = self.recordings_dir / f"{rid}{suffix}"
+                if p.exists():
+                    rec = p
+                    break
+        if rec is None:
+            return 404, {"error": f"no recording exists: {rid!r}"}
+        if self.replayer is None:
+            return 501, {"error": "no replayer configured on this server"}
+        replay_id = body.get("id") or str(uuid.uuid4())
+        entry = {
+            "id": replay_id,
+            "task": task["id"],
+            "recording": rid,
+            "status": "running",
+            "error": "",
+            "link": {"rel": "self", "href": f"{BASE_PATH}/replays/{replay_id}"},
+        }
+        self.replays[replay_id] = entry
+        try:
+            self.replayer(task, str(rec), rec.suffix[1:])
+            entry["status"] = "finished"
+        except Exception as e:  # noqa: BLE001
+            entry["status"] = "failed"
+            entry["error"] = str(e)
+        return 201, entry
+
+    # ---------------------------------------------------------------- #
+    # socket plumbing
+    # ---------------------------------------------------------------- #
+
+    def start(self, port: int = 0) -> int:
+        svc = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet test output
+                pass
+
+            def _serve(self, method):
+                parts = urlsplit(self.path)
+                body = {}
+                n = int(self.headers.get("Content-Length") or 0)
+                if n:
+                    try:
+                        body = json.loads(self.rfile.read(n))
+                    except ValueError:
+                        self._send(400, {"error": "invalid JSON"})
+                        return
+                try:
+                    status, payload = svc.handle(
+                        method, parts.path, parse_qs(parts.query), body
+                    )
+                except Exception as e:  # noqa: BLE001
+                    status, payload = 500, {"error": str(e)}
+                self._send(status, payload)
+
+            def _send(self, status, payload):
+                self.send_response(status)
+                data = b""
+                if payload is not None:
+                    data = json.dumps(payload).encode()
+                    self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                self._serve("GET")
+
+            def do_POST(self):
+                self._serve("POST")
+
+            def do_PATCH(self):
+                self._serve("PATCH")
+
+            def do_DELETE(self):
+                self._serve("DELETE")
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        threading.Thread(target=self._httpd.serve_forever, daemon=True).start()
+        return self._httpd.server_address[1]
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None

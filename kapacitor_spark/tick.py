@@ -1887,6 +1887,25 @@ class _GraphEnv:
     but builds a DAG instead of executing — so ``task_dot`` renders a
     script's graph without needing sources, Spark, or service configs."""
 
+    _CHAIN_NAMES: set | None = None
+
+    @classmethod
+    def _valid_chain(cls) -> set:
+        """Every chain-node name the EXECUTING env can dispatch — AGGS +
+        BUILDERS + the _mk_* builder methods + _apply_chain's inline
+        cases. Derived from _Env itself so define-time validation (the
+        task-store API validates scripts without sources or Spark, like
+        the reference's define path) can never drift from execution."""
+        if cls._CHAIN_NAMES is None:
+            names = set(_Env.AGGS) | set(_Env.BUILDERS)
+            names |= {m[4:] for m in dir(_Env) if m.startswith("_mk_")}
+            names |= {
+                "where", "shift", "sample", "union", "httpOut", "log",
+                "trickle", "stats", "deadman", "from", "query", "queryFlux",
+            }
+            cls._CHAIN_NAMES = names
+        return cls._CHAIN_NAMES
+
     def __init__(self):
         self.vars: dict = {}
         self.order: list = []
@@ -1903,6 +1922,8 @@ class _GraphEnv:
         return g
 
     def chain(self, node, name, args):
+        if not name.startswith("@") and name not in self._valid_chain():
+            raise TickError(f"unsupported node |{name}()")
         parents = []
         if isinstance(node, _Source):
             parents.append(self._src_node(node))

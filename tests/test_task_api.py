@@ -1,0 +1,262 @@
+"""Task-store + replay REST layer (kapacitor_spark.server) — the
+reference's HTTP CRUD surface (services/task_store/service.go routes,
+services/replay) driven over a real local socket: define/list/update/
+delete tasks and templates, template-task instantiation, JSON-file
+persistence across restarts, enable→execution through an injected
+run_tickscript executor, and POST /replays over a real .srpl recording.
+"""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from kapacitor_spark.server import BASE_PATH, TaskStoreService
+
+SCRIPT = """
+stream
+    |from()
+        .measurement('cpu')
+    |window()
+        .period(4s)
+        .every(4s)
+    |mean('value')
+        .as('mean_value')
+    |httpOut('out')
+"""
+
+TEMPLATE = """
+var period = 4s
+var field = 'value'
+stream
+    |from()
+        .measurement('cpu')
+    |window()
+        .period(period)
+        .every(period)
+    |mean(field)
+        .as('mean_value')
+    |httpOut('out')
+"""
+
+
+def _req(port, method, path, body=None, expect_error=False):
+    url = f"http://127.0.0.1:{port}{BASE_PATH}{path}"
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    if data:
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            raw = resp.read()
+            return resp.status, json.loads(raw) if raw else None
+    except urllib.error.HTTPError as e:
+        if not expect_error:
+            raise
+        raw = e.read()
+        return e.code, json.loads(raw) if raw else None
+
+
+@pytest.fixture()
+def svc(tmp_path):
+    service = TaskStoreService(store_dir=str(tmp_path / "store"))
+    port = service.start()
+    yield service, port
+    service.stop()
+
+
+def test_ping_and_task_crud_roundtrip(svc):
+    _, port = svc
+    status, _ = _req(port, "GET", "/ping")
+    assert status == 204
+    status, task = _req(
+        port, "POST", "/tasks",
+        {"id": "t1", "type": "stream", "script": SCRIPT,
+         "dbrps": [{"db": "telegraf", "rp": "autogen"}]},
+    )
+    assert status == 200
+    assert task["id"] == "t1" and task["status"] == "disabled"
+    assert task["link"]["href"].endswith("/tasks/t1")
+    assert "digraph" in task["dot"]  # task_dot rendered on read
+    status, got = _req(port, "GET", "/tasks/t1")
+    assert status == 200 and got["script"] == SCRIPT
+    status, upd = _req(port, "PATCH", "/tasks/t1", {"script": SCRIPT.replace("4s", "8s")})
+    assert status == 200 and "8s" in upd["script"]
+    assert upd["modified"] >= upd["created"]
+    status, _ = _req(port, "DELETE", "/tasks/t1")
+    assert status == 204
+    status, err = _req(port, "GET", "/tasks/t1", expect_error=True)
+    assert status == 404 and "no task exists" in err["error"]
+
+
+def test_list_pattern_offset_limit(svc):
+    _, port = svc
+    for tid in ("alpha", "alert-a", "alert-b", "beta"):
+        _req(port, "POST", "/tasks", {"id": tid, "script": SCRIPT})
+    _, all_tasks = _req(port, "GET", "/tasks")
+    assert [t["id"] for t in all_tasks["tasks"]] == ["alert-a", "alert-b", "alpha", "beta"]
+    _, filtered = _req(port, "GET", "/tasks?pattern=alert-*")
+    assert [t["id"] for t in filtered["tasks"]] == ["alert-a", "alert-b"]
+    _, page = _req(port, "GET", "/tasks?offset=1&limit=2")
+    assert [t["id"] for t in page["tasks"]] == ["alert-b", "alpha"]
+
+
+def test_create_validation_errors(svc):
+    _, port = svc
+    status, err = _req(port, "POST", "/tasks", {"id": "bad id!", "script": SCRIPT},
+                       expect_error=True)
+    assert status == 400 and "letters, numbers" in err["error"]
+    status, err = _req(port, "POST", "/tasks", {"id": "t2"}, expect_error=True)
+    assert status == 400 and "must provide TICKscript" in err["error"]
+    status, err = _req(port, "POST", "/tasks",
+                       {"id": "t3", "script": "stream |nosuchnode()"}, expect_error=True)
+    assert status == 400 and "invalid TICKscript" in err["error"]
+    _req(port, "POST", "/tasks", {"id": "dup", "script": SCRIPT})
+    status, err = _req(port, "POST", "/tasks", {"id": "dup", "script": SCRIPT},
+                       expect_error=True)
+    assert status == 400 and "already exists" in err["error"]
+    # invalid update must not clobber the stored script
+    status, err = _req(port, "PATCH", "/tasks/dup", {"script": "stream |zzz()"},
+                       expect_error=True)
+    assert status == 400
+    _, got = _req(port, "GET", "/tasks/dup")
+    assert got["script"] == SCRIPT
+
+
+def test_templates_and_template_tasks(svc):
+    _, port = svc
+    status, tpl = _req(port, "POST", "/templates",
+                       {"id": "tmpl1", "type": "stream", "script": TEMPLATE})
+    assert status == 200
+    # declared vars with reference type names (template.go Vars)
+    assert tpl["vars"]["period"] == {"value": "4s", "type": "duration"}
+    assert tpl["vars"]["field"] == {"value": "value", "type": "string"}
+    status, task = _req(port, "POST", "/tasks",
+                        {"id": "from-tmpl", "template-id": "tmpl1",
+                         "vars": {"period": "8s"}})
+    assert status == 200
+    assert task["script"] == TEMPLATE and task["type"] == "stream"
+    assert task["vars"] == {"period": "8s"}
+    status, err = _req(port, "POST", "/tasks",
+                       {"id": "x", "template-id": "nope"}, expect_error=True)
+    assert status == 400 and "unknown template" in err["error"]
+
+
+def test_store_persists_across_restart(tmp_path):
+    d = str(tmp_path / "store")
+    s1 = TaskStoreService(store_dir=d)
+    p1 = s1.start()
+    _req(p1, "POST", "/tasks", {"id": "durable", "script": SCRIPT})
+    s1.stop()
+    s2 = TaskStoreService(store_dir=d)
+    p2 = s2.start()
+    try:
+        status, got = _req(p2, "GET", "/tasks/durable")
+        assert status == 200 and got["script"] == SCRIPT
+    finally:
+        s2.stop()
+
+
+def test_enable_executes_task_via_run_tickscript(spark, tmp_path):
+    """The CRUD layer drives the ENGINE: enabling a task hands it to the
+    injected executor, which runs the stored TICKscript with
+    run_tickscript over a real DataFrame; httpOut results land where the
+    executor puts them, and template vars stored on the task apply."""
+    from kapacitor_spark.tick import run_tickscript
+
+    rows = [(i, f"2024-01-01 00:00:{i:02d}", 90.0 + i) for i in range(8)]
+    cpu = spark.createDataFrame(rows, "id long, time string, value double").withColumn(
+        "time", F.to_timestamp("time")
+    )
+    results = {}
+
+    def executor(task):
+        outs = run_tickscript(
+            task["script"], sources={"cpu": cpu}, time_col="time",
+            tiebreak=("id",), template_vars=task.get("vars") or None,
+        )
+        results[task["id"]] = {k: v.collect() for k, v in outs.items()}
+
+    service = TaskStoreService(store_dir=str(tmp_path / "store"), executor=executor)
+    port = service.start()
+    try:
+        _req(port, "POST", "/tasks", {"id": "winmean", "script": SCRIPT})
+        status, task = _req(port, "PATCH", "/tasks/winmean", {"status": "enabled"})
+        assert status == 200 and task["executing"] and task["error"] == ""
+        got = sorted(r["mean_value"] for r in results["winmean"]["out"])
+        assert got == [pytest.approx((90 + 91 + 92 + 93) / 4),
+                       pytest.approx((94 + 95 + 96 + 97) / 4)]
+        # create-with-enabled executes immediately too, with stored vars
+        _req(port, "POST", "/templates", {"id": "tm", "script": TEMPLATE})
+        status, t2 = _req(port, "POST", "/tasks",
+                          {"id": "tmpl-run", "template-id": "tm",
+                           "vars": {"period": "8s"}, "status": "enabled"})
+        assert status == 200 and t2["executing"]
+        got2 = [r["mean_value"] for r in results["tmpl-run"]["out"]]
+        assert got2 == [pytest.approx(sum(90.0 + i for i in range(8)) / 8)]
+        # executor failure surfaces on the task, not as a 500
+        def boom(task):
+            raise RuntimeError("no such source")
+
+        service.executor = boom
+        _req(port, "POST", "/tasks", {"id": "failing", "script": SCRIPT})
+        status, t3 = _req(port, "PATCH", "/tasks/failing", {"status": "enabled"})
+        assert status == 200
+        assert not t3["executing"] and "no such source" in t3["error"]
+    finally:
+        service.stop()
+
+
+def test_recordings_and_replays(spark, tmp_path):
+    """POST /replays runs a stored task against a real .srpl recording
+    through the injected replayer (replay_srpl + run_tickscript) — the
+    reference's services/replay HTTP surface over this repo's replay
+    engine."""
+    from kapacitor_spark.sources.line_protocol import promote, replay_srpl
+    from kapacitor_spark.tick import run_tickscript
+
+    rec_dir = tmp_path / "recordings"
+    rec_dir.mkdir()
+    lines = []
+    for i in range(8):
+        lines += ["telegraf", "autogen", f"cpu,host=serverA value={90 + i} {i}"]
+    (rec_dir / "rec1.srpl").write_text("\n".join(lines) + "\n")
+
+    results = {}
+
+    def replayer(task, path, kind):
+        assert kind == "srpl"
+        raw = replay_srpl(spark, path, precision="s")
+        cpu = promote(raw, "cpu", float_fields=["value"], keep_name=True)
+        outs = run_tickscript(task["script"], sources={"cpu": cpu}, time_col="time")
+        results[task["id"]] = {k: v.collect() for k, v in outs.items()}
+
+    service = TaskStoreService(
+        store_dir=str(tmp_path / "store"), replayer=replayer,
+        recordings_dir=str(rec_dir),
+    )
+    port = service.start()
+    try:
+        _, recs = _req(port, "GET", "/recordings")
+        assert [r["id"] for r in recs["recordings"]] == ["rec1"]
+        assert recs["recordings"][0]["type"] == "stream"
+        _req(port, "POST", "/tasks", {"id": "rtask", "script": SCRIPT})
+        status, rep = _req(port, "POST", "/replays",
+                           {"task": "rtask", "recording": "rec1"})
+        assert status == 201 and rep["status"] == "finished" and rep["error"] == ""
+        vals = sorted(r["mean_value"] for r in results["rtask"]["out"])
+        assert vals == [pytest.approx((90 + 91 + 92 + 93) / 4),
+                        pytest.approx((94 + 95 + 96 + 97) / 4)]
+        _, lst = _req(port, "GET", "/replays")
+        assert [r["id"] for r in lst["replays"]] == [rep["id"]]
+        status, err = _req(port, "POST", "/replays",
+                           {"task": "rtask", "recording": "nope"}, expect_error=True)
+        assert status == 404
+        service.replayer = None
+        status, err = _req(port, "POST", "/replays",
+                           {"task": "rtask", "recording": "rec1"}, expect_error=True)
+        assert status == 501 and "no replayer" in err["error"]
+    finally:
+        service.stop()
