@@ -481,7 +481,112 @@ def window_count_agg(spark, sf_dir):
     )
 
 
-@_q("holt_winters_forecast")  # iterative fit — no closed-form SQL; rows-only
+@_q(
+    "holt_winters_forecast",
+    """/* Holt-Winters is an iterative Nelder-Mead fit — no closed-form
+       SQL. The fit is DETERMINISTIC (fixed initial simplex, pure float
+       recurrences), so the oracle pins the full-precision golden
+       forecast rows per fixture tier, keyed by the events table's
+       content checksum (same scheme as stream_dedup_match); the
+       independent step-by-step re-derivation lives in
+       tests/test_independent_rederivations.py. Floats are '<repr>'::DOUBLE —
+       string-to-double parse is the correct nearest double; a bare
+       numeric literal would go through DECIMAL and land 1 ulp off. */
+       SELECT event_type, ts, holt_winters
+       FROM (VALUES
+      (2791703, 'click', TIMESTAMP '2024-01-30 20:00:00', '68.13526461964031'::DOUBLE),
+      (2791703, 'click', TIMESTAMP '2024-01-30 21:00:00', '10.063352155547049'::DOUBLE),
+      (2791703, 'click', TIMESTAMP '2024-01-30 22:00:00', '16.880993119563392'::DOUBLE),
+      (2791703, 'click', TIMESTAMP '2024-01-30 23:00:00', '28.78534525773212'::DOUBLE),
+      (2791703, 'click', TIMESTAMP '2024-01-31 00:00:00', '23.656571132281826'::DOUBLE),
+      (2791703, 'click', TIMESTAMP '2024-01-31 01:00:00', '27.42863799076721'::DOUBLE),
+      (2791703, 'error', TIMESTAMP '2024-01-30 17:00:00', '47.57419302419834'::DOUBLE),
+      (2791703, 'error', TIMESTAMP '2024-01-30 18:00:00', '31.22187502054724'::DOUBLE),
+      (2791703, 'error', TIMESTAMP '2024-01-30 19:00:00', '48.19684200533379'::DOUBLE),
+      (2791703, 'error', TIMESTAMP '2024-01-30 20:00:00', '59.57829464818455'::DOUBLE),
+      (2791703, 'error', TIMESTAMP '2024-01-30 21:00:00', '23.85546423590995'::DOUBLE),
+      (2791703, 'error', TIMESTAMP '2024-01-30 22:00:00', '58.500069595367236'::DOUBLE),
+      (2791703, 'purchase', TIMESTAMP '2024-01-31 00:00:00', '51.84120257679124'::DOUBLE),
+      (2791703, 'purchase', TIMESTAMP '2024-01-31 01:00:00', '41.16112667663292'::DOUBLE),
+      (2791703, 'purchase', TIMESTAMP '2024-01-31 02:00:00', '110.06453540946028'::DOUBLE),
+      (2791703, 'purchase', TIMESTAMP '2024-01-31 03:00:00', '61.61435472177554'::DOUBLE),
+      (2791703, 'purchase', TIMESTAMP '2024-01-31 04:00:00', '95.83735653000222'::DOUBLE),
+      (2791703, 'purchase', TIMESTAMP '2024-01-31 05:00:00', '71.91355157076703'::DOUBLE),
+      (2791703, 'signup', TIMESTAMP '2024-01-30 19:00:00', '43.32958818062544'::DOUBLE),
+      (2791703, 'signup', TIMESTAMP '2024-01-30 20:00:00', '29.361367949213022'::DOUBLE),
+      (2791703, 'signup', TIMESTAMP '2024-01-30 21:00:00', '60.650202818839034'::DOUBLE),
+      (2791703, 'signup', TIMESTAMP '2024-01-30 22:00:00', '22.822093634485828'::DOUBLE),
+      (2791703, 'signup', TIMESTAMP '2024-01-30 23:00:00', '15.032619037939561'::DOUBLE),
+      (2791703, 'signup', TIMESTAMP '2024-01-31 00:00:00', '96.47446409003823'::DOUBLE),
+      (2791703, 'view', TIMESTAMP '2024-01-30 23:00:00', '35.105241749306074'::DOUBLE),
+      (2791703, 'view', TIMESTAMP '2024-01-31 00:00:00', '49.6186757217492'::DOUBLE),
+      (2791703, 'view', TIMESTAMP '2024-01-31 01:00:00', '59.93644351709464'::DOUBLE),
+      (2791703, 'view', TIMESTAMP '2024-01-31 02:00:00', '50.346818529560956'::DOUBLE),
+      (2791703, 'view', TIMESTAMP '2024-01-31 03:00:00', '36.77680242721183'::DOUBLE),
+      (2791703, 'view', TIMESTAMP '2024-01-31 04:00:00', '40.23387121202753'::DOUBLE),
+      (279455770, 'click', TIMESTAMP '2024-01-31 00:00:00', '64.70476566957669'::DOUBLE),
+      (279455770, 'click', TIMESTAMP '2024-01-31 01:00:00', '63.239597671204855'::DOUBLE),
+      (279455770, 'click', TIMESTAMP '2024-01-31 02:00:00', '68.9853064485779'::DOUBLE),
+      (279455770, 'click', TIMESTAMP '2024-01-31 03:00:00', '78.66666646054145'::DOUBLE),
+      (279455770, 'click', TIMESTAMP '2024-01-31 04:00:00', '69.20800461797927'::DOUBLE),
+      (279455770, 'click', TIMESTAMP '2024-01-31 05:00:00', '64.02956997456833'::DOUBLE),
+      (279455770, 'error', TIMESTAMP '2024-01-31 00:00:00', '65.03326045408471'::DOUBLE),
+      (279455770, 'error', TIMESTAMP '2024-01-31 01:00:00', '59.69673033050836'::DOUBLE),
+      (279455770, 'error', TIMESTAMP '2024-01-31 02:00:00', '63.59083424897259'::DOUBLE),
+      (279455770, 'error', TIMESTAMP '2024-01-31 03:00:00', '37.78336375342704'::DOUBLE),
+      (279455770, 'error', TIMESTAMP '2024-01-31 04:00:00', '57.25621970174197'::DOUBLE),
+      (279455770, 'error', TIMESTAMP '2024-01-31 05:00:00', '43.74487463717173'::DOUBLE),
+      (279455770, 'purchase', TIMESTAMP '2024-01-31 00:00:00', '46.698566875901065'::DOUBLE),
+      (279455770, 'purchase', TIMESTAMP '2024-01-31 01:00:00', '56.561640448312566'::DOUBLE),
+      (279455770, 'purchase', TIMESTAMP '2024-01-31 02:00:00', '53.284675804445584'::DOUBLE),
+      (279455770, 'purchase', TIMESTAMP '2024-01-31 03:00:00', '55.733325390454645'::DOUBLE),
+      (279455770, 'purchase', TIMESTAMP '2024-01-31 04:00:00', '52.996119487952285'::DOUBLE),
+      (279455770, 'purchase', TIMESTAMP '2024-01-31 05:00:00', '40.09426282463924'::DOUBLE),
+      (279455770, 'signup', TIMESTAMP '2024-01-31 00:00:00', '81.55091348772122'::DOUBLE),
+      (279455770, 'signup', TIMESTAMP '2024-01-31 01:00:00', '39.24502463156294'::DOUBLE),
+      (279455770, 'signup', TIMESTAMP '2024-01-31 02:00:00', '18.004228023854047'::DOUBLE),
+      (279455770, 'signup', TIMESTAMP '2024-01-31 03:00:00', '47.78798545634722'::DOUBLE),
+      (279455770, 'signup', TIMESTAMP '2024-01-31 04:00:00', '36.507784379880455'::DOUBLE),
+      (279455770, 'signup', TIMESTAMP '2024-01-31 05:00:00', '25.256137494046794'::DOUBLE),
+      (279455770, 'view', TIMESTAMP '2024-01-31 00:00:00', '40.09571331933713'::DOUBLE),
+      (279455770, 'view', TIMESTAMP '2024-01-31 01:00:00', '40.09643787418261'::DOUBLE),
+      (279455770, 'view', TIMESTAMP '2024-01-31 02:00:00', '42.851565724422024'::DOUBLE),
+      (279455770, 'view', TIMESTAMP '2024-01-31 03:00:00', '54.881042106445136'::DOUBLE),
+      (279455770, 'view', TIMESTAMP '2024-01-31 04:00:00', '38.41445225484327'::DOUBLE),
+      (279455770, 'view', TIMESTAMP '2024-01-31 05:00:00', '50.67387869770953'::DOUBLE),
+      (28035680463, 'click', TIMESTAMP '2024-01-31 00:00:00', '53.92164352495646'::DOUBLE),
+      (28035680463, 'click', TIMESTAMP '2024-01-31 01:00:00', '53.06203146505391'::DOUBLE),
+      (28035680463, 'click', TIMESTAMP '2024-01-31 02:00:00', '47.78290530776319'::DOUBLE),
+      (28035680463, 'click', TIMESTAMP '2024-01-31 03:00:00', '50.74674201361492'::DOUBLE),
+      (28035680463, 'click', TIMESTAMP '2024-01-31 04:00:00', '51.260788247714935'::DOUBLE),
+      (28035680463, 'click', TIMESTAMP '2024-01-31 05:00:00', '53.29535708797149'::DOUBLE),
+      (28035680463, 'error', TIMESTAMP '2024-01-31 00:00:00', '49.7515745799959'::DOUBLE),
+      (28035680463, 'error', TIMESTAMP '2024-01-31 01:00:00', '46.80053075713825'::DOUBLE),
+      (28035680463, 'error', TIMESTAMP '2024-01-31 02:00:00', '50.749142457584895'::DOUBLE),
+      (28035680463, 'error', TIMESTAMP '2024-01-31 03:00:00', '46.9366930580553'::DOUBLE),
+      (28035680463, 'error', TIMESTAMP '2024-01-31 04:00:00', '43.59226768457256'::DOUBLE),
+      (28035680463, 'error', TIMESTAMP '2024-01-31 05:00:00', '47.38475866319535'::DOUBLE),
+      (28035680463, 'purchase', TIMESTAMP '2024-01-31 00:00:00', '48.90828701590686'::DOUBLE),
+      (28035680463, 'purchase', TIMESTAMP '2024-01-31 01:00:00', '51.54279485214269'::DOUBLE),
+      (28035680463, 'purchase', TIMESTAMP '2024-01-31 02:00:00', '55.93212421748829'::DOUBLE),
+      (28035680463, 'purchase', TIMESTAMP '2024-01-31 03:00:00', '49.57918998813755'::DOUBLE),
+      (28035680463, 'purchase', TIMESTAMP '2024-01-31 04:00:00', '50.64194379535355'::DOUBLE),
+      (28035680463, 'purchase', TIMESTAMP '2024-01-31 05:00:00', '54.9107516521828'::DOUBLE),
+      (28035680463, 'signup', TIMESTAMP '2024-01-31 00:00:00', '45.74509855244614'::DOUBLE),
+      (28035680463, 'signup', TIMESTAMP '2024-01-31 01:00:00', '46.99354670601014'::DOUBLE),
+      (28035680463, 'signup', TIMESTAMP '2024-01-31 02:00:00', '49.47149652619597'::DOUBLE),
+      (28035680463, 'signup', TIMESTAMP '2024-01-31 03:00:00', '50.74581913022947'::DOUBLE),
+      (28035680463, 'signup', TIMESTAMP '2024-01-31 04:00:00', '47.050994256875406'::DOUBLE),
+      (28035680463, 'signup', TIMESTAMP '2024-01-31 05:00:00', '50.7098569760036'::DOUBLE),
+      (28035680463, 'view', TIMESTAMP '2024-01-31 00:00:00', '48.914415111502535'::DOUBLE),
+      (28035680463, 'view', TIMESTAMP '2024-01-31 01:00:00', '47.7744818633941'::DOUBLE),
+      (28035680463, 'view', TIMESTAMP '2024-01-31 02:00:00', '51.518544429807044'::DOUBLE),
+      (28035680463, 'view', TIMESTAMP '2024-01-31 03:00:00', '48.8210545258169'::DOUBLE),
+      (28035680463, 'view', TIMESTAMP '2024-01-31 04:00:00', '49.54710838381548'::DOUBLE),
+      (28035680463, 'view', TIMESTAMP '2024-01-31 05:00:00', '51.70770797444513'::DOUBLE)
+       ) AS g(key, event_type, ts, holt_winters)
+       WHERE key = (SELECT sum(event_id * length(event_type)) FROM events)""",
+)
 def holt_winters_forecast(spark, sf_dir):
     """holtWinters(value, h=6, m=24, 1h) per event_type —
     /root/reference/pipeline/influxql.go:555; applyInPandas per group."""
@@ -1150,7 +1255,80 @@ def alert_inhibit(spark, sf_dir):
     return clicks.inhibit(errors, on=["user_id"], tolerance="1h").result()
 
 
-@_q("alert_flapping")  # hysteresis is sequential — rows-only check
+@_q(
+    "alert_flapping",
+    """/* Closed-form SQL re-derivation of the sequential hysteresis
+       (r9 — the last rows-only query becomes fully oracled): the
+       21-entry ring's weighted change fraction unrolls into 20 lag()
+       pairs — walking the ring from the newest entry gives pair 0 =
+       (lv, lv-1) at weight 0.8, pair 1 the WRAP pair (lv-20, lv) at
+       0.82, then (lv-19, lv-20) ... (lv-2, lv-3) stepping +0.02 to
+       1.18 (alert.go:56-59 weightDiff/maxWeight; pre-history entries
+       are level 0 exactly like the engine's zero-filled ring) — and
+       the flapping LATCH (on at frac>0.5, off at frac<0.25, hold
+       in between) is last_value(crossing IGNORE NULLS): the state
+       after any event equals the direction of the most recent
+       threshold crossing. Emission = level changes (state_changes_only)
+       not suppressed by the latch. */
+WITH base AS (
+  SELECT ts, user_id, value, event_id,
+         CASE WHEN value > 150 THEN 3 ELSE 0 END AS lv
+  FROM events),
+lagged AS (
+  SELECT *, coalesce(lag(lv, 1) OVER w, 0) AS lv1,
+         coalesce(lag(lv, 2) OVER w, 0) AS lv2,
+         coalesce(lag(lv, 3) OVER w, 0) AS lv3,
+         coalesce(lag(lv, 4) OVER w, 0) AS lv4,
+         coalesce(lag(lv, 5) OVER w, 0) AS lv5,
+         coalesce(lag(lv, 6) OVER w, 0) AS lv6,
+         coalesce(lag(lv, 7) OVER w, 0) AS lv7,
+         coalesce(lag(lv, 8) OVER w, 0) AS lv8,
+         coalesce(lag(lv, 9) OVER w, 0) AS lv9,
+         coalesce(lag(lv, 10) OVER w, 0) AS lv10,
+         coalesce(lag(lv, 11) OVER w, 0) AS lv11,
+         coalesce(lag(lv, 12) OVER w, 0) AS lv12,
+         coalesce(lag(lv, 13) OVER w, 0) AS lv13,
+         coalesce(lag(lv, 14) OVER w, 0) AS lv14,
+         coalesce(lag(lv, 15) OVER w, 0) AS lv15,
+         coalesce(lag(lv, 16) OVER w, 0) AS lv16,
+         coalesce(lag(lv, 17) OVER w, 0) AS lv17,
+         coalesce(lag(lv, 18) OVER w, 0) AS lv18,
+         coalesce(lag(lv, 19) OVER w, 0) AS lv19,
+         coalesce(lag(lv, 20) OVER w, 0) AS lv20,
+         coalesce(lag(lv, 21) OVER w, 0) AS lv21
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+fr AS (
+  SELECT *, (0.8 * (CASE WHEN lv != lv1 THEN 1 ELSE 0 END) +
+           0.82 * (CASE WHEN lv20 != lv THEN 1 ELSE 0 END) +
+           0.84 * (CASE WHEN lv19 != lv20 THEN 1 ELSE 0 END) +
+           0.86 * (CASE WHEN lv18 != lv19 THEN 1 ELSE 0 END) +
+           0.88 * (CASE WHEN lv17 != lv18 THEN 1 ELSE 0 END) +
+           0.90 * (CASE WHEN lv16 != lv17 THEN 1 ELSE 0 END) +
+           0.92 * (CASE WHEN lv15 != lv16 THEN 1 ELSE 0 END) +
+           0.94 * (CASE WHEN lv14 != lv15 THEN 1 ELSE 0 END) +
+           0.96 * (CASE WHEN lv13 != lv14 THEN 1 ELSE 0 END) +
+           0.98 * (CASE WHEN lv12 != lv13 THEN 1 ELSE 0 END) +
+           1.00 * (CASE WHEN lv11 != lv12 THEN 1 ELSE 0 END) +
+           1.02 * (CASE WHEN lv10 != lv11 THEN 1 ELSE 0 END) +
+           1.04 * (CASE WHEN lv9 != lv10 THEN 1 ELSE 0 END) +
+           1.06 * (CASE WHEN lv8 != lv9 THEN 1 ELSE 0 END) +
+           1.08 * (CASE WHEN lv7 != lv8 THEN 1 ELSE 0 END) +
+           1.10 * (CASE WHEN lv6 != lv7 THEN 1 ELSE 0 END) +
+           1.12 * (CASE WHEN lv5 != lv6 THEN 1 ELSE 0 END) +
+           1.14 * (CASE WHEN lv4 != lv5 THEN 1 ELSE 0 END) +
+           1.16 * (CASE WHEN lv3 != lv4 THEN 1 ELSE 0 END) +
+           1.18 * (CASE WHEN lv2 != lv3 THEN 1 ELSE 0 END)) / 20.0 AS frac
+  FROM lagged),
+crossing AS (
+  SELECT *, CASE WHEN frac > 0.5 THEN 1 WHEN frac < 0.25 THEN 0 END AS crossed
+  FROM fr),
+latched AS (
+  SELECT *, coalesce(last_value(crossed IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 0) AS flap
+  FROM crossing)
+SELECT ts, user_id, value, CASE WHEN lv = 3 THEN 'CRITICAL' ELSE 'OK' END AS level
+FROM latched WHERE lv != lv1 AND flap = 0""",
+)
 def alert_flapping(spark, sf_dir):
     """alert().flapping(0.25, 0.5) — /root/reference/alert.go:1252-1286
     weighted 21-level history change fraction with hysteresis; exact
