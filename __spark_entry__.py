@@ -1931,6 +1931,53 @@ def semantic_dedup_planted(spark, sf_dir):
 
 
 @_q(
+    "ivf_pq_planted",
+    """SELECT vec_id AS query_id, vec_id + 10000000 AS neighbor_id,
+              round(list_cosine_similarity(
+                list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                list_transform(range(1, len(embedding)+1),
+                   i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) * 1.001
+                             ELSE CAST(embedding[i] AS DOUBLE) END)), 6) AS cosine,
+              1 AS rank
+       FROM embeddings""",
+)
+def ivf_pq_planted(spark, sf_dir):
+    """IVF-PQ ANN (r9) under the same EXACT planted oracle as
+    semantic_dedup_planted: every corpus vector gets a twin (component 1
+    × 1.001, cosine ≈ 1); querying the doubled corpus with each original
+    must return its twin at rank 1 — the self-hit is id-filtered, no
+    real neighbor reaches cosine 0.99, and the exact-cosine refine stage
+    re-ranks candidates so the emitted cosine is bit-comparable to the
+    SQL's. This pins the whole compressed-scan pipeline end to end:
+    coarse IVF probe (nprobe=2 catches k-means boundary straddlers), PQ
+    encode (m=8 ints per vector), the pure-JVM ADC fold over the code
+    column (no Python, no vectors in the scan), and the refine join —
+    a wrong codebook, a broken LUT offset, or a lost candidate all
+    surface as a missing/mismatched planted pair."""
+    from kapacitor_spark.dataprep.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == 0, x.cast("double") * 1.001).otherwise(
+            x.cast("double")
+        ),
+    )
+    dup = emb.select(
+        (F.col("vec_id") + F.lit(10_000_000)).cast("long").alias("vec_id"),
+        pert.alias("embedding"),
+    )
+    return ivf_pq_topk(
+        base.unionByName(dup), base, k=1, n_lists=16, nprobe=2,
+        m=8, ksub=16, refine=32,
+    )
+
+
+@_q(
     "embedding_norms",
     """WITH n AS (
          SELECT vec_id, label,

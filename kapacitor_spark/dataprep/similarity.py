@@ -538,3 +538,237 @@ def semantic_dedup(
         # → identical rounded cosine, so id-level dedup is exact
         out = out.dropDuplicates(["id_a", "id_b"])
     return out
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 8,
+    sample: int = 16384,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Product-quantizer codebooks: the dim splits into ``m`` subspaces,
+    each with its own ``ksub``-centroid k-means — a vector then encodes
+    as m small integers (m bytes at ksub≤256) instead of dim floats, the
+    standard PQ memory story (16 B/vector instead of ~256 B at dim 64 /
+    float32, and the ratio grows with dim).
+
+    Training runs on a DETERMINISTIC hash-ordered sample collected to
+    the driver (the ``sample`` rows with smallest xxhash64(id) — no RNG,
+    reproducible), then plain numpy Lloyd per subspace. Sampling is the
+    standard PQ practice (FAISS trains on a bounded sample too): the
+    sample size is FIXED regardless of corpus size, so training cost
+    does not grow with 100 TB; only encode does, and that is one numpy
+    matmul per Arrow batch. Returns codebooks as nested lists
+    (m, ksub, dim/m)."""
+    import numpy as np
+
+    base = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    rows = (
+        base.withColumn("__h", F.xxhash64(F.col(id_col)))
+        .orderBy("__h")
+        .limit(sample)
+        .select("__v")
+        .collect()
+    )
+    X = np.array([r["__v"] for r in rows], dtype=float)
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.zeros((m, ksub, dsub))
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        cent = Xs[: min(ksub, n)].copy()
+        if len(cent) < ksub:  # degenerate tiny corpus: pad by repetition
+            cent = np.resize(cent, (ksub, dsub))
+        for _ in range(iters):
+            d = (cent**2).sum(axis=1)[None, :] - 2.0 * (Xs @ cent.T)
+            a = d.argmin(axis=1)
+            for j in range(ksub):
+                mask = a == j
+                if mask.any():
+                    cent[j] = Xs[mask].mean(axis=0)
+        books[s] = cent
+    return books.tolist()
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: tuple = (),
+) -> DataFrame:
+    """PQ codes per vector: one numpy argmin per subspace per Arrow batch.
+    Returns (id, *keep, __codes array<int>) — m small ints; at rest these
+    are the m-byte codes, full vectors never need to ship to the scan."""
+    import numpy as np
+
+    books = np.array(codebooks)
+    m, ksub, dsub = books.shape
+    bnorm = (books**2).sum(axis=2)  # (m, ksub)
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    out_schema = T.StructType(
+        [df.schema[id_col]]
+        + [base.schema[c] for c in keep]
+        + [T.StructField("__codes", T.ArrayType(T.IntegerType()))]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["__v"].to_numpy())
+            codes = np.empty((len(X), m), dtype="int32")
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                d = bnorm[s][None, :] - 2.0 * (Xs @ books[s].T)
+                codes[:, s] = d.argmin(axis=1)
+            out = pdf.drop(columns="__v")
+            out["__codes"] = list(codes)
+            yield out
+
+    return base.mapInPandas(run, schema=out_schema)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k with exact re-rank — the 100 TB ANN
+    shape: the SCAN reads m-byte PQ codes, never vectors.
+
+    Pipeline: IVF coarse quantizer (ivf_index — hash-seeded, no RNG) →
+    PQ-encode each list's members (pq_encode) → per query, assign
+    ``nprobe`` nearest lists AND build the ADC lookup table (distance
+    from the query's sub-vector to each of the ksub sub-centroids; m·ksub
+    doubles per query) in one numpy hop → the candidate scan is a
+    broadcast equi-join on list_id whose distance is a PURE JVM fold:
+    adc = Σ_s lut[s·ksub + code_s] — no Python, no vectors, just an
+    array lookup per subspace over the m-int code column. The ``refine``
+    best ADC candidates per query are then re-ranked by EXACT cosine
+    against the corpus vectors (one equi-join on id — touches refine
+    rows per query, not the list). Cosine ordering is preserved because
+    all vectors are L2-normalized before PQ (monotone L2²↔cosine).
+
+    At 100 TB: codes are ~16 B/vector (m=16) against ~256 B of float32
+    at dim 64 — the probe scan's IO shrinks ~16x and the full-precision
+    vectors are only fetched for refine·|Q| rows. Returns
+    (query_id, neighbor_id, cosine, rank)."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    def normalized(df: DataFrame, out: str) -> DataFrame:
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        return df.select(
+            F.col(id_col),
+            F.transform(v, lambda x: x / nrm).alias(out),
+        )
+
+    corp_n = track(normalized(corpus, "__cv").persist())
+    indexed, cents = ivf_index(
+        corp_n.select(F.col(id_col), F.col("__cv").alias(vec_col)),
+        n_lists=n_lists, id_col=id_col, vec_col=vec_col,
+    )
+    books = pq_train(
+        corp_n.select(F.col(id_col), F.col("__cv").alias(vec_col)),
+        m=m, ksub=ksub, id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_encode(
+        indexed.select(F.col(id_col), "list_id", F.col(vec_col)),
+        books, id_col=id_col, vec_col=vec_col, keep=("list_id",),
+    )
+
+    cent = np.array(cents)
+    cnorm = (cent**2).sum(axis=1)
+    bks = np.array(books)
+    bnorm = (bks**2).sum(axis=2)
+    dsub = cent.shape[1] // m
+    k_probe = min(nprobe, cent.shape[0])
+
+    q_n = normalized(queries, "__qv").select(
+        F.col(id_col).alias("query_id"), "__qv"
+    )
+
+    def probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["__qv"].to_numpy())
+            d = cnorm[None, :] - 2.0 * (X @ cent.T)
+            lists = np.argsort(d, axis=1, kind="stable")[:, :k_probe]
+            # ADC tables: ||qs||² + ||c||² - 2 qs·c per subspace (true
+            # squared L2 — the constant matters only per-query, but true
+            # values keep the fold interpretable)
+            lut = np.empty((len(X), m * bks.shape[1]))
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                lut[:, s * bks.shape[1] : (s + 1) * bks.shape[1]] = (
+                    (Xs**2).sum(axis=1)[:, None]
+                    + bnorm[s][None, :]
+                    - 2.0 * (Xs @ bks[s].T)
+                )
+            out = pdf.loc[pdf.index.repeat(k_probe)].copy()
+            out["list_id"] = lists.reshape(-1).astype("int32")
+            out["__lut"] = list(np.repeat(lut, k_probe, axis=0))
+            yield out
+
+    probes = q_n.mapInPandas(
+        probe,
+        schema="query_id long, __qv array<double>, list_id int, __lut array<double>",
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(
+            F.col("__lut"), i * ksub + F.element_at(F.col("__codes"), i + 1) + 1
+        ),
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.col("__adc"), F.col("neighbor_id"))
+    cand = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv", adc.alias("__adc"))
+        .withColumn("__arank", F.row_number().over(wa))
+        .filter(F.col("__arank") <= refine)
+    )
+    nb = corp_n.select(F.col(id_col).alias("neighbor_id"), "__cv")
+    cos = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.join(nb, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("__cos"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("__cos", 6).alias("cosine"), "rank")
+    )
+
+
+__all__ += ["pq_train", "pq_encode", "ivf_pq_topk"]

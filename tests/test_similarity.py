@@ -208,3 +208,71 @@ def test_semantic_dedup_string_ids(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     planted = {(f"doc-{g:03d}-a", f"doc-{g:03d}-b") for g in range(20)}
     assert planted <= got
+
+
+def test_pq_encode_codes_shape_and_determinism(spark):
+    """PQ codes: m small ints per vector, every code < ksub, and the
+    hash-seeded training is RNG-free — two independent train+encode
+    passes over the same corpus produce identical codes."""
+    from kapacitor_spark.dataprep.similarity import pq_encode, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    runs = []
+    for _ in range(2):
+        books = pq_train(emb, m=8, ksub=16)
+        codes = {r["vec_id"]: list(r["__codes"]) for r in pq_encode(emb, books).collect()}
+        runs.append(codes)
+    assert runs[0] == runs[1]
+    for cs in runs[0].values():
+        assert len(cs) == 8 and all(0 <= c < 16 for c in cs)
+
+
+def test_ivf_pq_recall_vs_brute_force(spark):
+    """End-to-end recall on REAL (non-planted) queries: top-5 by IVF-PQ
+    with exact refine must recover most of the true brute-force top-5 —
+    the compressed scan is approximate in candidate SELECTION (unprobed
+    lists + ADC ordering below the refine cutoff); the refine rescore is
+    exact. This fixture is adversarial for PQ — near-uniform random
+    64-dim vectors have no manifold structure for the subquantizers to
+    exploit — so the measured curve is the honest bound: recall@5 =
+    0.66 (nprobe=6, refine=64) → 0.82 (8/128) → 0.90 (all 16 lists,
+    refine 128, residual loss purely ADC ranking). The pipeline is
+    RNG-free, so the measured value is exact run-to-run; the assert
+    leaves margin only for fixture regeneration."""
+    from kapacitor_spark.dataprep.similarity import brute_force_topk, ivf_pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.orderBy("vec_id").limit(20)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_topk(
+            emb, queries, k=5, n_lists=16, nprobe=8, m=8, ksub=16, refine=128
+        ).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.75, f"IVF-PQ recall@5 {recall:.2f} < 0.75"
+
+
+def test_ivf_pq_scan_stays_jvm_side(spark):
+    """The ADC candidate scan must be a pure JVM fold over the code
+    column: Python appears ONLY as Arrow-batched MapInPandas hops
+    (index assign, encode, query probe) — never row-at-a-time
+    BatchEvalPython, and never a Python stage between the list_id join
+    and the top-k windows."""
+    from kapacitor_spark.dataprep.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    out = ivf_pq_topk(emb, emb.limit(5), k=3, n_lists=16, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") <= 3
