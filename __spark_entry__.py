@@ -3984,6 +3984,14 @@ def audio_decode(spark, sf_dir):
 # the union IS the scored window, so a registry edit can't silently drop
 # an operator family out of the 50-slot window).
 _SCORED_FAMILIES = {
+    # r9 rotation: the two formerly rows-only queries move IN now that
+    # they are fully oracled — holt_winters_forecast (per-tier golden
+    # keyed by corpus checksum) and alert_flapping (closed-form SQL
+    # re-derivation of the 21-level weighted hysteresis) — plus
+    # ivf_pq_planted (exact planted-twin oracle over the new compressed
+    # ANN scan). top3_per_type, change_detect_type, multimodal_frames
+    # rotate out (stable for 5+ rounds, still oracle-checked every run
+    # by test_oracle_all.py).
     # r8 rotation (VERDICT r7 #3/#4): image_phash_near_dup moves IN with
     # its new exact DCT oracle, audio_dhash_near_dup (exact WAV oracle,
     # pytest-only until now) moves IN, and the new video_dhash_near_dup
@@ -4007,8 +4015,8 @@ _SCORED_FAMILIES = {
     "2.4-windowing": ("window_mean_1h", "window_count_agg"),
     "2.5-aggregations": (
         "tpch_q1_pricing", "spread_median_stats",
-        "top3_per_type", "point_transforms", "state_tracking",
-        "change_detect_type",
+        "point_transforms", "state_tracking",
+        "holt_winters_forecast",
     ),
     "2.7-lambda": ("sigma_outliers", "lambda_scalar_fns"),
     "2.8-streaming": (
@@ -4018,7 +4026,7 @@ _SCORED_FAMILIES = {
     "2.9-udf": ("udf_moving_avg",),
     "2.10-alerting": (
         "alert_state_changes", "deadman_alert", "alert_topics",
-        "alert_batch_events",
+        "alert_batch_events", "alert_flapping",
     ),
     "dataprep-dedup": (
         "dedup_exact_fp", "minhash_near_dup", "simhash_near_dup",
@@ -4029,9 +4037,9 @@ _SCORED_FAMILIES = {
         "boilerplate_removal", "text_analysis",
         "corpus_prep_pipeline", "source_mix_stats", "mix_token_budget",
     ),
-    "dataprep-similarity": ("ann_cosine_topk", "ann_recall"),
+    "dataprep-similarity": ("ann_cosine_topk", "ann_recall", "ivf_pq_planted"),
     "dataprep-multimodal": (
-        "multimodal_decode", "multimodal_frames", "image_dhash_near_dup",
+        "multimodal_decode", "image_dhash_near_dup",
         "image_phash_near_dup", "audio_dhash_near_dup", "video_dhash_near_dup",
     ),
 }
