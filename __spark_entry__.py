@@ -1978,6 +1978,47 @@ def ivf_pq_planted(spark, sf_dir):
 
 
 @_q(
+    "sketch_rollup_distinct",
+    """SELECT event_type, count(*) AS n_rows,
+              count(DISTINCT user_id) AS exact_users, true AS approx_ok
+       FROM events GROUP BY event_type""",
+)
+def sketch_rollup_distinct(spark, sf_dir):
+    """Re-aggregatable HLL rollup (r9): hourly (bucket, event_type)
+    sketches of user_id — one hash-aggregate where only kilobyte sketch
+    states shuffle — then the per-type distinct-user estimate is a
+    UNION of stored sketches (hll_distinct_over), never a rescan of the
+    raw events. The emitted approx_ok pins the estimate against the
+    exact in-engine countDistinct within the HLL bound (5% >> the
+    ~1.6% expectation at lgConfigK=12); the sketch hashes values, so
+    the flag is deterministic — independent of partitioning and row
+    order. Downsampling-counterpart note: the reference serves rollups
+    via continuous queries + influxDBOut() retention tiers, which can
+    NOT answer distinct-over-union questions; sketch columns can."""
+    from kapacitor_spark.dataprep.sketches import hll_distinct_over, hll_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    roll = hll_rollup(
+        ev, time_col="ts", every="1 hour", dims=("event_type",),
+        value_col="user_id",
+    )
+    est = hll_distinct_over(roll, dims=("event_type",))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    ok = (
+        F.abs(F.col("approx_distinct") - F.col("exact_users"))
+        <= F.greatest(F.lit(1.0), F.lit(0.05) * F.col("exact_users"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "exact_users",
+        ok.alias("approx_ok"),
+    )
+
+
+@_q(
     "embedding_norms",
     """WITH n AS (
          SELECT vec_id, label,

@@ -422,3 +422,34 @@ def test_contamination_spans_and_strip(spark):
     assert out[10] == "intro words here trailing tokens follow"
     assert out[11] == "completely clean document with no overlap at all"
     assert out[12] == ""
+
+
+def test_hll_sketches_reaggregate_exactly(spark):
+    """Re-aggregatability is exact at the REGISTER level: unioning the
+    hourly sketches must give the IDENTICAL estimate as sketching the
+    raw column directly (HLL union is a register-wise max — no extra
+    error from the rollup tier), and at these cardinalities the estimate
+    matches the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.dataprep.sketches import hll_distinct_over, hll_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    roll = hll_rollup(ev, time_col="ts", every="1 hour", dims=("event_type",))
+    merged = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_distinct_over(roll, dims=("event_type",)).collect()
+    }
+    direct = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("d"))
+        .collect()
+    }
+    assert merged == direct
+    exact = {
+        r["event_type"]: r["e"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("e")).collect()
+    }
+    for t, est in merged.items():
+        assert abs(est - exact[t]) <= max(1, 0.05 * exact[t])

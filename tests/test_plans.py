@@ -353,3 +353,15 @@ def test_phash_oracle_rederives_not_copies(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "MapInPandas" in plan
+
+
+def test_hll_rollup_partial_sketches_before_exchange(spark):
+    """The sketch rollup must combine map-side: partial_hll_sketch_agg
+    runs in the scan stage so only kilobyte sketch states cross the
+    exchange — never raw values."""
+    from kapacitor_spark.dataprep.sketches import hll_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = hll_rollup(ev, dims=("event_type",))._jdf.queryExecution().executedPlan().toString()
+    assert "partial_hll_sketch_agg" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
