@@ -472,3 +472,40 @@ def test_simhash_filters_null_and_empty_text(spark):
     )
     got = [r["doc_id"] for r in simhash(df).collect()]
     assert got == [1]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(_doc.filter(lambda t: t.strip()), min_size=2, max_size=6),
+    st.integers(2, 5),
+)
+def test_minhash_identical_text_collapse_equivalence(spark, texts, dup_class):
+    """minhash collapse_identical=True must produce the IDENTICAL pair
+    set as the default per-doc pipeline — identical text gives identical
+    shingle sets, so banding outcomes and Jaccard values are
+    text-class-invariant — and the star form's clusters must equal the
+    exact form's."""
+    from kapacitor_spark.dataprep.dedup import minhash_near_dup, near_dup_clusters
+
+    rows = list(enumerate(texts)) + [(100 + i, texts[0]) for i in range(dup_class)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_near_dup(df, threshold=0.3).collect()
+    }
+    collapsed = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_near_dup(df, threshold=0.3, collapse_identical=True).collect()
+    }
+    assert collapsed == plain
+    if plain:
+        star = minhash_near_dup(
+            df, threshold=0.3, collapse_identical=True, expand_identical=False
+        )
+        cm = {r["doc_id"]: r["keeper"]
+              for r in near_dup_clusters(star).collect()}
+        em_src = spark.createDataFrame(
+            [(a, b) for a, b, _ in plain], "id_a long, id_b long"
+        )
+        em = {r["doc_id"]: r["keeper"] for r in near_dup_clusters(em_src).collect()}
+        assert all(cm[n] == em[n] for n in em)
