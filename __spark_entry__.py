@@ -2019,6 +2019,85 @@ def sketch_rollup_distinct(spark, sf_dir):
 
 
 @_q(
+    "theta_retention",
+    """WITH d AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                         AS day, user_id FROM events),
+            nr AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                          count(*) AS n_rows FROM events GROUP BY 1),
+            cnt AS (SELECT day, count(*) AS users FROM d GROUP BY day),
+            ret AS (SELECT a.day AS day, count(*) AS retained
+                    FROM d a JOIN d b ON b.user_id = a.user_id
+                         AND b.day = a.day + INTERVAL 1 DAY
+                    GROUP BY a.day)
+       SELECT c1.day AS bucket, nr.n_rows AS n_rows,
+              COALESCE(r.retained, 0) AS retained,
+              c1.users - COALESCE(r.retained, 0) AS churned,
+              c2.users - COALESCE(r.retained, 0) AS new_keys
+       FROM cnt c1
+       JOIN cnt c2 ON c2.day = c1.day + INTERVAL 1 DAY
+       JOIN nr ON nr.day = c1.day
+       LEFT JOIN ret r ON r.day = c1.day""",
+)
+def theta_retention(spark, sf_dir):
+    """Distinct-set ALGEBRA over a stored sketch rollup (r9): daily
+    theta sketches of user_id — one hash-aggregate, kilobyte states
+    shuffling — then per consecutive-day pair the users RETAINED
+    (intersection), CHURNED (difference a\\b) and NEW (difference b\\a),
+    computed purely from the rollup table: the raw events are never
+    rescanned, and no union-only sketch (HLL, the reference's
+    continuous-query rollups) can answer these at all. At every fixture
+    tier the per-day key set is far below the 2^14 nominal entries, so
+    the sketches are in exact mode and the triple is exactly the true
+    distinct counts (the DuckDB oracle recomputes it from scratch);
+    at 100 TB the same plan degrades gracefully to the published theta
+    bounds. Downsampling counterpart in the reference: continuous
+    queries + influxDBOut() retention tiers (batch.go / task.go), which
+    store additive aggregates only."""
+    from kapacitor_spark.dataprep.sketches import theta_retention as ret
+    from kapacitor_spark.dataprep.sketches import theta_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    roll = theta_rollup(ev, time_col="ts", every="1 day", value_col="user_id")
+    return ret(roll, step="1 day").select(
+        "bucket", F.col("n_rows").cast("long").alias("n_rows"),
+        "retained", "churned", "new_keys",
+    )
+
+
+@_q(
+    "kll_quantile_rollup",
+    """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+              count(*) AS n_rows,
+              percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+              percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90
+       FROM events GROUP BY 1, 2""",
+)
+def kll_quantile_rollup(spark, sf_dir):
+    """Mergeable QUANTILES from stored sketches (r9): quantiles do not
+    re-aggregate (the p90 of hourly p90s is not the daily p90), so the
+    reference's continuous-query rollups simply cannot serve them. The
+    KLL column can: hourly (event_type, bucket) sketches of `value` —
+    one hash-aggregate, ~k-item states shuffling — then the daily p50
+    and p90 per event_type come from MERGING 24 stored sketches each,
+    never rescanning the raw table. While the merged item count stays
+    ≤ k=8192 the sketch retains every item, so get_quantile is the
+    exact inclusive order statistic — bit-for-bit DuckDB
+    percentile_disc, which the oracle recomputes from raw; beyond k
+    the same plan answers within the published KLL rank bound."""
+    from kapacitor_spark.dataprep.sketches import kll_quantiles_over, kll_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    roll = kll_rollup(
+        ev, time_col="ts", every="1 hour", dims=("event_type",),
+        value_col="value", k=8192,
+    ).withColumn("day", F.date_trunc("day", "bucket"))
+    return kll_quantiles_over(
+        roll, dims=("event_type", "day"), quantiles=(0.5, 0.9)
+    ).select("event_type", "day", F.col("n_rows").cast("long").alias("n_rows"),
+             "p50", "p90")
+
+
+@_q(
     "embedding_norms",
     """WITH n AS (
          SELECT vec_id, label,

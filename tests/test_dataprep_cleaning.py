@@ -453,3 +453,94 @@ def test_hll_sketches_reaggregate_exactly(spark):
     }
     for t, est in merged.items():
         assert abs(est - exact[t]) <= max(1, 0.05 * exact[t])
+
+
+def test_theta_retention_exact_set_algebra(spark):
+    """In exact mode (distinct keys ≤ 2^lgk) the theta triple must equal
+    the true per-day-pair set algebra, recomputed here with plain
+    DataFrame set ops — intersection, a\\b, b\\a."""
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.dataprep.sketches import theta_retention, theta_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    roll = theta_rollup(ev, time_col="ts", every="1 day", value_col="user_id")
+    got = {
+        r["bucket"]: (r["retained"], r["churned"], r["new_keys"])
+        for r in theta_retention(roll, step="1 day").collect()
+    }
+    d = ev.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()
+    days = sorted(r["day"] for r in d.select("day").distinct().collect())
+    assert len(got) == len(days) - 1
+    for i, day in enumerate(days[:-1]):
+        a = {r["user_id"] for r in d.filter(F.col("day") == day).collect()}
+        b = {r["user_id"] for r in d.filter(F.col("day") == days[i + 1]).collect()}
+        assert got[day] == (len(a & b), len(a - b), len(b - a)), day
+
+
+def test_theta_rollup_dims_and_union_exactness(spark):
+    """theta_retention honors extra dims (pairs join within the dim),
+    and a theta_union_agg over the stored rollup equals the exact
+    whole-corpus distinct count — same re-aggregation law as HLL but
+    exact at this cardinality."""
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.dataprep.sketches import theta_retention, theta_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    roll = theta_rollup(
+        ev, time_col="ts", every="1 day", dims=("event_type",), value_col="user_id"
+    )
+    out = theta_retention(roll, step="1 day", dims=("event_type",))
+    assert out.columns == [
+        "bucket", "event_type", "n_rows", "retained", "churned", "new_keys"
+    ]
+    row = out.filter("event_type = 'click'").orderBy("bucket").first()
+    d = ev.filter("event_type = 'click'").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = sorted(r["day"] for r in d.select("day").distinct().collect())
+    a = {r["user_id"] for r in d.filter(F.col("day") == days[0]).collect()}
+    b = {r["user_id"] for r in d.filter(F.col("day") == days[1]).collect()}
+    assert (row["retained"], row["churned"], row["new_keys"]) == (
+        len(a & b), len(a - b), len(b - a)
+    )
+    total = roll.agg(
+        F.round(
+            F.theta_sketch_estimate(F.theta_union_agg(F.col("theta"), F.lit(14)))
+        ).cast("long").alias("n")
+    ).first()["n"]
+    assert total == ev.select("user_id").distinct().count()
+
+
+def test_kll_merged_quantiles_exact_below_k(spark):
+    """While the merged item count stays ≤ k the KLL sketch retains
+    every item, so merged-quantile == exact inclusive order statistic
+    (Spark's exact percentile with the same inclusive semantics),
+    REGARDLESS of how the rows were bucketed before the merge."""
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.dataprep.sketches import kll_quantiles_over, kll_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    roll = kll_rollup(
+        ev, time_col="ts", every="6 hours", dims=("event_type",),
+        value_col="value", k=8192,
+    )
+    got = {
+        r["event_type"]: (r["n_rows"], r["p50"], r["p90"])
+        for r in kll_quantiles_over(
+            roll, dims=("event_type",), quantiles=(0.5, 0.9)
+        ).collect()
+    }
+    for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect():
+        assert got[r["event_type"]][0] == r["n"]
+    import numpy as np
+
+    pdf = ev.select("event_type", "value").toPandas()
+    for t, (_, p50, p90) in got.items():
+        vals = np.sort(pdf.loc[pdf.event_type == t, "value"].to_numpy())
+        # inclusive order statistic: smallest v with rank(v) >= q
+        for q, g in ((0.5, p50), (0.9, p90)):
+            idx = int(np.ceil(q * len(vals))) - 1
+            assert g == vals[max(0, idx)], (t, q)

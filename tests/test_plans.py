@@ -365,3 +365,30 @@ def test_hll_rollup_partial_sketches_before_exchange(spark):
     plan = hll_rollup(ev, dims=("event_type",))._jdf.queryExecution().executedPlan().toString()
     assert "partial_hll_sketch_agg" in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_theta_kll_rollups_partial_agg_and_equi_join(spark):
+    """The theta/KLL rollups must also combine map-side (only sketch
+    states cross the exchange), and theta_retention's consecutive-day
+    pairing must plan as an equi-JOIN on the bucket key — never a
+    nested-loop over the rollup."""
+    from kapacitor_spark.dataprep.sketches import (
+        kll_rollup,
+        theta_retention,
+        theta_rollup,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    troll = theta_rollup(ev, every="1 day")
+    tplan = troll._jdf.queryExecution().executedPlan().toString()
+    assert "partial_theta_sketch_agg" in tplan
+    kplan = (
+        kll_rollup(ev, dims=("event_type",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_kll_sketch_agg_double" in kplan
+    rplan = theta_retention(troll)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in rplan
+    assert "BroadcastNestedLoop" not in rplan
+    for plan in (tplan, kplan, rplan):
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
