@@ -3796,23 +3796,25 @@ def stream_dedup_match(spark, sf_dir):
 
 
 def _planted_mjpeg_avis(docs: DataFrame) -> DataFrame:
-    """Planted MJPEG corpus in MIXED containers (r9): per doc, a 5-frame
+    """Planted video corpus in THREE containers (r9): per doc, a 5-frame
     16x16 grayscale clip — frames 0-2 SHARED across the doc's group of 4
     (doc_id//4), frames 3-4 doc-unique (independent md5-random pixels →
-    per-frame dHashes ~32 bits apart). Even doc_ids mux as MJPEG-in-AVI
-    (RIFF movi), odd as MJPEG-in-MP4 (stbl sample tables) — every group
-    spans BOTH containers, so the oracle only matches when the per-row
-    demux dispatch yields identical frames from either walk. Same-group
-    pairs agree on exactly 3 of 5 co-sampled frames (identical JPEG
-    bytes → identical decode → Hamming 0); cross-group pairs agree on
-    none. Real JPEG encode (q90) + real RIFF/BMFF mux, built in one
-    Arrow hop with a per-task frame cache (shared frames encode once per
-    group, not once per member)."""
+    per-frame dHashes ~32 bits apart). doc_id%3 picks the container:
+    0 → MJPEG-in-AVI (RIFF movi), 1 → MJPEG-in-MP4 (stbl sample
+    tables), 2 → animated GIF (LZW frames over the JPEG-DECODED pixels,
+    so the GIF members are pixel-identical to what the MJPEG members
+    decode to). Every group spans ≥2 containers (most span all three),
+    so the oracle only matches when every per-row demux/decode path
+    yields identical frame pixels. Same-group pairs agree on exactly 3
+    of 5 co-sampled frames (identical pixels → Hamming 0); cross-group
+    pairs agree on none. Real JPEG encode (q90) + real RIFF/BMFF/GIF89a
+    mux, built in one Arrow hop with a per-task frame cache (shared
+    frames encode once per group, not once per member)."""
     import hashlib
 
     from pyspark.sql import types as T
 
-    from kapacitor_spark.dataprep import jpegcodec, videocodec
+    from kapacitor_spark.dataprep import gifcodec, jpegcodec, videocodec
 
     schema = T.StructType(
         [docs.schema["doc_id"], T.StructField("payload", T.BinaryType())]
@@ -3822,6 +3824,7 @@ def _planted_mjpeg_avis(docs: DataFrame) -> DataFrame:
         import pandas as pd
 
         cache: dict[str, bytes] = {}
+        gray: dict[str, bytes] = {}
 
         def frame(seed: str) -> bytes:
             if seed not in cache:
@@ -3831,19 +3834,35 @@ def _planted_mjpeg_avis(docs: DataFrame) -> DataFrame:
                 cache[seed] = jpegcodec.encode(16, 16, pix, channels=1, quality=90)
             return cache[seed]
 
+        def frame_pixels(seed: str) -> bytes:
+            # the JPEG-DECODED pixels (not the pre-encode originals):
+            # a GIF clip built from these is pixel-identical to what the
+            # MJPEG members decode to, so cross-container dHashes agree.
+            if seed not in gray:
+                _, _, _, pix = jpegcodec.decode(frame(seed))
+                gray[seed] = pix
+            return gray[seed]
+
         for pdf in batches:
             payloads = []
             for did in pdf["doc_id"]:
                 g, d = int(did) // 4, int(did)
-                frames = [frame(f"g{g}-f{k}") for k in range(3)] + [
-                    frame(f"d{d}-f{k}") for k in (3, 4)
+                seeds = [f"g{g}-f{k}" for k in range(3)] + [
+                    f"d{d}-f{k}" for k in (3, 4)
                 ]
-                mux = (
-                    videocodec.build_avi_mjpeg
-                    if d % 2 == 0
-                    else videocodec.build_mp4_mjpeg
-                )
-                payloads.append(mux(16, 16, frames, fps=5))
+                if d % 3 == 2:  # animated GIF member (r9, third container)
+                    payloads.append(
+                        gifcodec.encode_frames(
+                            16, 16, [frame_pixels(s) for s in seeds], channels=1
+                        )
+                    )
+                else:
+                    mux = (
+                        videocodec.build_avi_mjpeg
+                        if d % 3 == 0
+                        else videocodec.build_mp4_mjpeg
+                    )
+                    payloads.append(mux(16, 16, [frame(s) for s in seeds], fps=5))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.mapInPandas(gen, schema)
@@ -3859,14 +3878,16 @@ def _planted_mjpeg_avis(docs: DataFrame) -> DataFrame:
 def video_dhash_near_dup_q(spark, sf_dir):
     """Video near-dup — the FOURTH perceptual modality (text shingles /
     image pixels / audio samples / video frames) under an EXACT planted
-    oracle: real MJPEG-in-AVI demux (extract_mjpeg_frames), real JPEG
-    frame decode, per-frame dHash as a JVM projection, per-frame-index
-    pigeonhole banding, majority-of-frames agreement. The fixture makes
-    the expected answer closed-form: same-group clips share frames 0-2
-    byte-for-byte and differ on md5-random frames 3-4, so every
-    same-group pair reports agree=3 of total=5 (majority 3 > 2.5) and
-    cross-group pairs never band together — the oracle is the pair
-    enumeration itself, no perceptual arithmetic needed SQL-side."""
+    oracle: real demux across THREE containers (MJPEG-in-AVI movi walk,
+    MJPEG-in-MP4 stbl tables, animated-GIF canvas composition — r9),
+    real frame decode, per-frame dHash as a JVM projection,
+    per-frame-index pigeonhole banding, majority-of-frames agreement.
+    The fixture makes the expected answer closed-form: same-group clips
+    share frames 0-2 pixel-for-pixel (cross-container!) and differ on
+    md5-random frames 3-4, so every same-group pair reports agree=3 of
+    total=5 (majority 3 > 2.5) and cross-group pairs never band
+    together — the oracle is the pair enumeration itself, no perceptual
+    arithmetic needed SQL-side."""
     from kapacitor_spark.dataprep.dedup import _spread
     from kapacitor_spark.dataprep.multimodal import video_dhash_near_dup
 

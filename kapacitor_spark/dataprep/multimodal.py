@@ -599,12 +599,16 @@ def extract_video_frames(
     every: int = 1,
     frame_col: str = "frame",
 ) -> DataFrame:
-    """Demux MJPEG payloads — AVI (RIFF movi walk) or MP4 (stbl sample
-    tables), per-row container dispatch — into one row per sampled
-    frame: (id, frame_idx, frame). Frame SELECTION happens in the demux
-    walk (chunk offsets), so skipped frames are never even sliced out of
-    the container, let alone decoded. One Arrow-batched hop; the (small)
-    JPEG frame payloads are what moves downstream, not the clip.
+    """Demux video payloads — MJPEG in AVI (RIFF movi walk) or MP4
+    (stbl sample tables), or animated GIF (canvas composition), per-row
+    container dispatch — into one row per sampled frame: (id,
+    frame_idx, frame). For the MJPEG walks, frame SELECTION happens in
+    the demux (chunk offsets), so skipped frames are never even sliced
+    out of the container, let alone decoded; GIF frames are
+    delta-composed, so composition runs for all blocks and selection
+    drops rows after (see videocodec.extract_frames). One Arrow-batched
+    hop; the (small) per-frame image payloads are what moves
+    downstream, not the clip.
 
     Reference parity note: the reference engine has no video decode at
     all — this is the training-data-pipeline extension (frame-level

@@ -21,6 +21,8 @@ def sniff_format(data: bytes) -> str | None:
         return "avi"
     if data[:4] == b"\x1a\x45\xdf\xa3":
         return "mkv"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -445,15 +447,46 @@ def _extract_mjpeg_frames_mp4(data: bytes) -> list[tuple[int, bytes]]:
 
 
 def extract_frames(data: bytes) -> list[tuple[int, bytes]]:
-    """Container-dispatching demux: ``(frame_index, jpeg_bytes)`` for
-    MJPEG payloads in either AVI (RIFF movi walk) or MP4 (stbl sample
-    tables). Everything else raises — ValueError for unknown containers,
-    NotImplementedError for compressed video codecs."""
+    """Container-dispatching demux into ``(frame_index, image_bytes)``
+    where each payload is a complete single-image stream the
+    ``imagecodec`` dispatcher decodes: JPEG for MJPEG in AVI (RIFF movi
+    walk) or MP4 (stbl sample tables), and Netpbm P6 for animated GIF
+    (r9). GIF is codec and container in one: frames are delta-composed
+    (transparency + disposal against the running canvas), so
+    reconstruction MUST happen here in the demux hop —
+    ``gifcodec.decode_frames`` renders every canvas, and the frames are
+    re-wrapped as P6 (a header prepend, no re-encode) to keep the
+    per-frame contract. Honest cost note: unlike the MJPEG walks, GIF
+    frame SAMPLING cannot skip decode work — every block must compose
+    to know any later canvas. Everything else raises — ValueError for
+    unknown containers, NotImplementedError for compressed video
+    codecs."""
     fmt = sniff_format(data)
     if fmt == "avi":
         return extract_mjpeg_frames(data)
     if fmt == "mp4":
         return _extract_mjpeg_frames_mp4(data)
+    if fmt == "gif":
+        import numpy as np
+
+        from kapacitor_spark.dataprep import gifcodec, imagecodec
+
+        w, h, frames = gifcodec.decode_frames(data)
+        out = []
+        for i, f in enumerate(frames):
+            arr = np.frombuffer(f, dtype=np.uint8).reshape(h, w, 3)
+            # GIF carries no colorspace tag; a canvas with R==G==B
+            # everywhere IS grayscale — emit P5 so single-channel
+            # pipelines see the same channel count as gray MJPEG clips.
+            if (arr[..., 0] == arr[..., 1]).all() and (
+                arr[..., 1] == arr[..., 2]
+            ).all():
+                out.append(
+                    (i, imagecodec.encode_ppm(w, h, arr[..., 0].tobytes(), 1))
+                )
+            else:
+                out.append((i, imagecodec.encode_ppm(w, h, f, channels=3)))
+        return out
     raise ValueError(f"unsupported video container: {fmt!r}")
 
 

@@ -160,3 +160,106 @@ def test_subscreen_background_uses_global_table():
     arr = np.frombuffer(pix, dtype=np.uint8).reshape(1, 3, 3)
     assert arr[0, 0].tolist() == [0, 200, 0]   # frame, local table
     assert arr[0, 2].tolist() == [11, 22, 33]  # background, GLOBAL table
+
+
+# --------------------------------------------------------------------- #
+# animation (r9)
+# --------------------------------------------------------------------- #
+
+
+def test_animation_roundtrip_global_palette():
+    """decode_frames(encode_frames(f)) == f — grayscale frames share one
+    global table (union ≤ 256 colors)."""
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, (8, 10, 1), dtype=np.uint8).tobytes()
+              for _ in range(4)]
+    data = gifcodec.encode_frames(10, 8, frames, channels=1, delays=[4, 4, 4, 4])
+    assert data[10] & 0x80, "expected a global color table"
+    w, h, out = gifcodec.decode_frames(data)
+    assert (w, h, len(out)) == (10, 8, 4)
+    expected = [
+        np.repeat(np.frombuffer(f, dtype=np.uint8).reshape(8, 10, 1), 3, axis=2)
+        .tobytes()
+        for f in frames
+    ]
+    assert out == expected
+
+
+def test_animation_roundtrip_local_palettes():
+    """When the union of colors exceeds 256 the writer falls back to a
+    local color table per frame — still lossless."""
+    rng = np.random.RandomState(12)
+    frames = [rng.randint(0, 256, (6, 6, 3), dtype=np.uint8).tobytes()
+              for _ in range(8)]
+    data = gifcodec.encode_frames(6, 6, frames, channels=3)
+    assert not (data[10] & 0x80), "expected NO global color table"
+    w, h, out = gifcodec.decode_frames(data)
+    assert out == frames
+    # still-image decode() shows the first frame identically
+    assert gifcodec.decode(data)[3] == out[0]
+
+
+def _gce(disposal, transparent=None):
+    packed = (disposal & 7) << 2 | (1 if transparent is not None else 0)
+    return (b"\x21\xf9\x04" + bytes([packed]) + b"\x00\x00"
+            + bytes([transparent or 0]) + b"\x00")
+
+
+def _img(left, top, fw, fh, indices):
+    body = b"\x2c" + struct.pack("<HHHH", left, top, fw, fh) + b"\x00\x02"
+    lzw = gifcodec._lzw_encode(bytes(indices), 2)
+    sub = bytearray()
+    for i in range(0, len(lzw), 255):
+        sub += bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255]
+    return body + bytes(sub) + b"\x00"
+
+
+_PAL4 = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])  # k,R,G,B
+
+
+def test_animation_disposal_background_and_transparency():
+    """Disposal 2 restores the block region to the background color;
+    a transparent index shows the prior canvas through."""
+    hdr = b"GIF89a" + struct.pack("<HH", 4, 2) + bytes([0x80 | 1, 1, 0]) + _PAL4
+    data = (hdr
+            + _gce(2) + _img(0, 0, 4, 2, [2] * 8)            # green, dispose->bg
+            + _gce(0, transparent=0) + _img(1, 1, 2, 1, [3, 0])  # blue + hole
+            + b"\x3b")
+    w, h, out = gifcodec.decode_frames(data)
+    f1 = np.frombuffer(out[0], dtype=np.uint8).reshape(2, 4, 3)
+    assert (f1 == [0, 255, 0]).all()
+    f2 = np.frombuffer(out[1], dtype=np.uint8).reshape(2, 4, 3)
+    assert f2[1, 1].tolist() == [0, 0, 255]    # drawn pixel
+    assert f2[1, 2].tolist() == [255, 0, 0]    # transparent -> bg (red) shows
+    assert f2[0, 0].tolist() == [255, 0, 0]    # region outside block = bg
+
+
+def test_animation_disposal_restore_previous():
+    """Disposal 3 restores the region to the pre-frame canvas."""
+    hdr = b"GIF89a" + struct.pack("<HH", 4, 2) + bytes([0x80 | 1, 1, 0]) + _PAL4
+    data = (hdr
+            + _gce(3) + _img(0, 0, 1, 1, [3])       # blue top-left, restore after
+            + _gce(0) + _img(0, 0, 4, 2, [0] * 8)   # full black
+            + b"\x3b")
+    w, h, out = gifcodec.decode_frames(data)
+    f1 = np.frombuffer(out[0], dtype=np.uint8).reshape(2, 4, 3)
+    assert f1[0, 0].tolist() == [0, 0, 255]
+    assert f1[0, 1].tolist() == [255, 0, 0]  # untouched canvas = bg red
+    f2 = np.frombuffer(out[1], dtype=np.uint8).reshape(2, 4, 3)
+    assert (f2 == 0).all()
+
+
+def test_animation_gce_governs_single_block():
+    """A Graphic Control Extension applies to exactly one rendering
+    block: the next block renders with defaults (no transparency)."""
+    hdr = b"GIF89a" + struct.pack("<HH", 2, 1) + bytes([0x80 | 1, 0, 0]) + _PAL4
+    data = (hdr
+            + _gce(0, transparent=1) + _img(0, 0, 2, 1, [1, 2])  # red hole, green
+            + _img(0, 0, 2, 1, [1, 1])                            # plain red
+            + b"\x3b")
+    w, h, out = gifcodec.decode_frames(data)
+    f1 = np.frombuffer(out[0], dtype=np.uint8).reshape(1, 2, 3)
+    assert f1[0, 0].tolist() == [0, 0, 0]    # transparent idx 1 -> black bg
+    assert f1[0, 1].tolist() == [0, 255, 0]
+    f2 = np.frombuffer(out[1], dtype=np.uint8).reshape(1, 2, 3)
+    assert f2[0, 0].tolist() == [255, 0, 0]  # idx 1 now renders normally

@@ -397,3 +397,56 @@ def test_video_dhash_mixed_containers(spark):
     )
     got = video_dhash_near_dup(df, width=16, height=16, max_hamming=6).collect()
     assert [(r["id_a"], r["id_b"], r["total_frames"]) for r in got] == [(1, 2, 3)]
+
+
+def test_extract_frames_gif_animation():
+    """Animated GIF is the third fully-decodable container (r9): the
+    demux composes canvases (gifcodec.decode_frames) and emits Netpbm
+    payloads the imagecodec dispatcher decodes — P5 when the canvas is
+    grayscale, P6 otherwise."""
+    import numpy as np
+
+    from kapacitor_spark.dataprep import gifcodec, imagecodec, videocodec
+
+    rng = np.random.RandomState(5)
+    gray = [rng.randint(0, 256, (16, 16, 1), dtype=np.uint8).tobytes()
+            for _ in range(3)]
+    gif = gifcodec.encode_frames(16, 16, gray, channels=1)
+    assert videocodec.sniff_format(gif) == "gif"
+    got = videocodec.extract_frames(gif)
+    assert [i for i, _ in got] == [0, 1, 2]
+    for (_, payload), orig in zip(got, gray):
+        w, h, c, pix = imagecodec.decode(payload)
+        assert (w, h, c) == (16, 16, 1) and pix == orig
+    color = [rng.randint(0, 256, (8, 8, 3), dtype=np.uint8).tobytes()
+             for _ in range(2)]
+    gif_c = gifcodec.encode_frames(8, 8, color, channels=3)
+    for (_, payload), orig in zip(videocodec.extract_frames(gif_c), color):
+        w, h, c, pix = imagecodec.decode(payload)
+        assert (w, h, c) == (8, 8, 3) and pix == orig
+
+
+def test_video_dhash_gif_vs_mjpeg_container(spark):
+    """A GIF clip built from the JPEG-decoded pixels of an MJPEG clip
+    must pair with it — cross-codec perceptual agreement, Hamming 0 on
+    every co-sampled frame."""
+    import hashlib
+
+    from kapacitor_spark.dataprep import gifcodec, jpegcodec, videocodec
+    from kapacitor_spark.dataprep.multimodal import video_dhash_near_dup
+
+    pix = [
+        b"".join(hashlib.md5(f"gm{i}:{j}".encode()).digest() for j in range(16))
+        for i in range(3)
+    ]
+    jpegs = [jpegcodec.encode(16, 16, p, channels=1, quality=90) for p in pix]
+    avi = videocodec.build_avi_mjpeg(16, 16, jpegs)
+    gif = gifcodec.encode_frames(
+        16, 16, [jpegcodec.decode(j)[3] for j in jpegs], channels=1
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(gif))], "doc_id long, payload binary"
+    )
+    got = video_dhash_near_dup(df, width=16, height=16, max_hamming=6).collect()
+    assert [(r["id_a"], r["id_b"], r["agree_frames"], r["total_frames"])
+            for r in got] == [(1, 2, 3, 3)]
