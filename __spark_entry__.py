@@ -4125,6 +4125,13 @@ def audio_decode(spark, sf_dir):
 # the union IS the scored window, so a registry edit can't silently drop
 # an operator family out of the 50-slot window).
 _SCORED_FAMILIES = {
+    # r9 rotation (2nd wave): the new sketch-rollup family moves IN with
+    # its two fully-exact oracles — theta_retention (distinct-set
+    # retention/churn algebra recomputed from scratch in SQL) and
+    # kll_quantile_rollup (merged-sketch quantiles == percentile_disc
+    # bit-for-bit). window_count_agg (2.4) and combine_triples (2.3)
+    # rotate out (scored green since r1/r2, still oracle-checked every
+    # run by test_oracle_all.py); both families stay non-empty.
     # r9 rotation: the two formerly rows-only queries move IN now that
     # they are fully oracled — holt_winters_forecast (per-tier golden
     # keyed by corpus checksum) and alert_flapping (closed-form SQL
@@ -4152,8 +4159,8 @@ _SCORED_FAMILIES = {
         "eval_revenue", "default_delete_shift_sample", "lambda_where_regex",
         "flatten_daily",
     ),
-    "2.3-joins": ("join_tolerance", "combine_triples"),
-    "2.4-windowing": ("window_mean_1h", "window_count_agg"),
+    "2.3-joins": ("join_tolerance",),
+    "2.4-windowing": ("window_mean_1h",),
     "2.5-aggregations": (
         "tpch_q1_pricing", "spread_median_stats",
         "point_transforms", "state_tracking",
@@ -4179,6 +4186,7 @@ _SCORED_FAMILIES = {
         "corpus_prep_pipeline", "source_mix_stats", "mix_token_budget",
     ),
     "dataprep-similarity": ("ann_cosine_topk", "ann_recall", "ivf_pq_planted"),
+    "dataprep-sketches": ("theta_retention", "kll_quantile_rollup"),
     "dataprep-multimodal": (
         "multimodal_decode", "image_dhash_near_dup",
         "image_phash_near_dup", "audio_dhash_near_dup", "video_dhash_near_dup",
