@@ -2098,6 +2098,48 @@ def kll_quantile_rollup(spark, sf_dir):
 
 
 @_q(
+    "cm_user_counts",
+    """SELECT t.event_type, k.user_id AS key,
+              CAST(count(e.user_id) AS BIGINT) AS est_count
+       FROM (SELECT DISTINCT event_type FROM events) t
+       CROSS JOIN (SELECT DISTINCT user_id FROM events
+                   ORDER BY user_id LIMIT 20) k
+       LEFT JOIN events e
+         ON e.event_type = t.event_type AND e.user_id = k.user_id
+       GROUP BY t.event_type, k.user_id""",
+)
+def cm_user_counts(spark, sf_dir):
+    """Point-frequency lookups from stored Count-Min sketches (r9):
+    daily (event_type, bucket) CM sketches of user_id — one
+    hash-aggregate, fixed (eps, seed) so tables are mergeable — then
+    per-type month-total counts for a candidate key set (the 20
+    smallest user ids — CM answers lookups, candidates come from the
+    caller) by SUMMING stored tables and probing with the same CW hash
+    the JVM writer used (cell-for-cell parity pinned in tests). The
+    estimate is deterministic given the seed and ≥ truth always; at
+    width 2/eps = 10,000 ≫ the fixture key cardinality every depth row
+    is effectively collision-free, so the DuckDB oracle recomputing the
+    EXACT counts (including zero rows for absent (type, key) pairs)
+    matches outright — at 100 TB the same probe reads only the rollup
+    table and the bound degrades to est ≤ true + eps·N per the CM
+    guarantee."""
+    from kapacitor_spark.dataprep.sketches import cm_counts_over, cm_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    roll = cm_rollup(
+        ev, time_col="ts", every="1 day", dims=("event_type",),
+        value_col="user_id",
+    )
+    keys = [
+        r["user_id"]
+        for r in ev.select("user_id").distinct().orderBy("user_id").limit(20).collect()
+    ]
+    return cm_counts_over(roll, keys, dims=("event_type",)).select(
+        "event_type", "key", "est_count"
+    )
+
+
+@_q(
     "embedding_norms",
     """WITH n AS (
          SELECT vec_id, label,

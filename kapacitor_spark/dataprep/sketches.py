@@ -42,6 +42,22 @@ HLL unions only. Two sibling sketch families round out the algebra:
   rank-error bound — callers that need determinism at 100 TB size k to
   the bucket, not the union.
 
+* **Count-Min sketches** (``count_min_sketch``): POINT-FREQUENCY
+  queries — "how many events did key X produce over any union of
+  buckets" — from stored per-bucket sketches. CM tables are LINEAR
+  (merging = element-wise add), so any coarser count is a sum of
+  stored tables, never a rescan. Spark ships only the aggregate; the
+  merge+query side here parses the documented serialized form
+  (version/total/depth/width header, per-row hash coefficients, the
+  counter table) and re-implements the same CW-style hash
+  (``h = a*x; h += h >>> 32; h &= 2³¹-1; h %= width`` — verified
+  cell-for-cell against the JVM's estimateCount in tests), vectorized
+  in numpy over the ROLLUP rows only — Python touches bytes ∝ buckets,
+  never the corpus. Estimates are deterministic given the seed,
+  ≥ the true count always, and equal to it whenever any of the depth
+  rows is collision-free for the key — size width to the bucket's key
+  cardinality when exactness matters.
+
 Shuffle shape at 100 TB: the rollup is one hash-aggregate with
 map-side partial sketches (each task sketches locally; only kilobyte
 sketch states shuffle, never values), and every re-aggregation reads
@@ -49,6 +65,8 @@ the rollup table — bytes proportional to buckets, not events.
 """
 
 from __future__ import annotations
+
+import struct
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -60,6 +78,8 @@ __all__ = [
     "theta_retention",
     "kll_rollup",
     "kll_quantiles_over",
+    "cm_rollup",
+    "cm_counts_over",
 ]
 
 
@@ -208,3 +228,123 @@ def kll_quantiles_over(
         for q in quantiles
     ]
     return merged.select(*[F.col(d) for d in dims], F.col("n_rows"), *qcols)
+
+
+def cm_rollup(
+    df: DataFrame,
+    time_col: str = "ts",
+    every: str = "1 day",
+    dims: tuple = (),
+    value_col: str = "user_id",
+    eps: float = 2e-4,
+    confidence: float = 0.99,
+    seed: int = 17,
+) -> DataFrame:
+    """Bucketed Count-Min rollup over an INTEGRAL key column:
+    (bucket, *dims, n_rows, cm binary). One hash-aggregate with
+    map-side partial sketches. All sketches share (eps, confidence,
+    seed), which fixes (depth, width, hash coefficients) — the
+    precondition for downstream table-add merging. Width is ~2.72/eps;
+    keep eps small enough that a bucket's key cardinality stays well
+    under a row's width when exact point counts are wanted."""
+    field = df.schema[value_col].dataType.typeName()
+    if field not in ("byte", "short", "integer", "long"):
+        raise ValueError(
+            f"cm_rollup needs an integral key column, got {field} — "
+            "pre-hash other types to BIGINT explicitly so the query side "
+            "can hash candidates identically"
+        )
+    bucket = F.window(F.col(time_col), every).start.alias("bucket")
+    return df.groupBy(bucket, *[F.col(d) for d in dims]).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_min_sketch(
+            F.col(value_col).cast("long"),
+            F.lit(float(eps)),
+            F.lit(float(confidence)),
+            F.lit(int(seed)),
+        ).alias("cm"),
+    )
+
+
+_CM_PRIME = (1 << 31) - 1
+
+
+def _cm_parse(buf: bytes):
+    """Spark CountMinSketch serialized form (format version 1):
+    >i version, >q totalCount, >i depth, >i width, depth×>q hash
+    coefficients, depth·width×>q counter table."""
+    import numpy as np
+
+    ver, total, depth, width = struct.unpack(">iqii", buf[:20])
+    if ver != 1:
+        raise ValueError(f"unsupported CountMinSketch version {ver}")
+    hash_a = np.frombuffer(buf, dtype=">i8", count=depth, offset=20)
+    table = np.frombuffer(
+        buf, dtype=">i8", count=depth * width, offset=20 + depth * 8
+    ).reshape(depth, width)
+    return total, hash_a.astype(np.int64), table.astype(np.int64), width
+
+
+def cm_counts_over(
+    rollup: DataFrame,
+    keys: list,
+    dims: tuple = (),
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` over ANY grouping of
+    stored CM sketches: per group, tables are element-wise summed
+    (CM linearity — identical to having sketched the union) and every
+    key is estimated with the same CW hash the JVM writer used. The
+    Python hop runs over ROLLUP rows (one Arrow batch per group, bytes
+    ∝ buckets × sketch size); the candidate key set is a driver-side
+    list by contract — CM answers point lookups, it cannot enumerate
+    keys, so callers bring candidates (planted hot keys, a top-k seed
+    set, a dictionary)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if not keys:
+        raise ValueError("cm_counts_over needs a non-empty candidate key list")
+    keyarr = np.array([int(k) for k in keys], dtype=np.int64)
+
+    out_schema = T.StructType(
+        [rollup.schema[d] for d in dims]
+        + [T.StructField("key", T.LongType()), T.StructField("est_count", T.LongType())]
+    )
+
+    def est_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        table = None
+        hash_a = width = None
+        for buf in pdf["cm"]:
+            _, ha, t, w = _cm_parse(bytes(buf))
+            if table is None:
+                hash_a, table, width = ha, t.copy(), w
+            else:
+                if w != width or not (ha == hash_a).all():
+                    raise ValueError("cannot merge CM sketches with different params")
+                table += t
+        # CW hash, vectorized over all keys per depth row (uint64 wrap
+        # == Java long overflow; >>>32 fold; mask to 2^31-1; mod width)
+        ka = keyarr.astype(np.uint64)
+        est = None
+        for i in range(table.shape[0]):
+            h = ka * np.uint64(hash_a[i].item() & 0xFFFFFFFFFFFFFFFF)
+            h = h + (h >> np.uint64(32))
+            idx = (h & np.uint64(_CM_PRIME)).astype(np.int64) % width
+            row = table[i][idx]
+            est = row if est is None else np.minimum(est, row)
+        out = {d: [pdf[d].iloc[0]] * len(keyarr) for d in dims}
+        out["key"] = keyarr
+        out["est_count"] = est
+        return pd.DataFrame(out)
+
+    if dims:
+        return rollup.groupBy(*[F.col(d) for d in dims]).applyInPandas(
+            est_group, out_schema
+        )
+    return (
+        rollup.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(est_group, out_schema)
+    )

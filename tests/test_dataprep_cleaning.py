@@ -544,3 +544,82 @@ def test_kll_merged_quantiles_exact_below_k(spark):
         for q, g in ((0.5, p50), (0.9, p90)):
             idx = int(np.ceil(q * len(vals))) - 1
             assert g == vals[max(0, idx)], (t, q)
+
+
+def test_cm_parse_and_hash_match_jvm(spark):
+    """The Python CM reader must agree with the JVM cell-for-cell: same
+    serialized-form parse, same CW hash, same estimateCount for every
+    probed key."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.dataprep.sketches import _cm_parse
+
+    df = spark.range(0, 50000).select((F.col("id") % 311).alias("k"))
+    buf = bytes(
+        df.agg(
+            F.count_min_sketch(F.col("k"), F.lit(1e-3), F.lit(0.99), F.lit(7))
+            .alias("cm")
+        ).first()["cm"]
+    )
+    total, hash_a, table, width = _cm_parse(buf)
+    assert total == 50000
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(buf)
+    )
+    prime = (1 << 31) - 1
+    for key in list(range(0, 311, 13)) + [999, 123456]:
+        vals = []
+        for i in range(table.shape[0]):
+            h = (np.uint64(key) * np.uint64(hash_a[i].item() & 0xFFFFFFFFFFFFFFFF))
+            h = h + (h >> np.uint64(32))
+            vals.append(table[i][int(h & np.uint64(prime)) % width])
+        assert int(min(vals)) == cms.estimateCount(key), key
+
+
+def test_cm_rollup_merge_linearity_and_exactness(spark):
+    """Summing the daily tables must equal having sketched the whole
+    column once (CM linearity), and at fixture cardinality the probed
+    counts are exactly the true counts — including zero for keys the
+    corpus never saw."""
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.dataprep.sketches import cm_counts_over, cm_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    roll = cm_rollup(ev, every="1 day", dims=("event_type",), value_col="user_id")
+    keys = [
+        r["user_id"]
+        for r in ev.select("user_id").distinct().orderBy("user_id").limit(5).collect()
+    ] + [10**12]  # a key the corpus never saw
+    got = {
+        (r["event_type"], r["key"]): r["est_count"]
+        for r in cm_counts_over(roll, keys, dims=("event_type",)).collect()
+    }
+    exact = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got, "no output"
+    for (etype, key), est in got.items():
+        assert est == exact.get((etype, key), 0), (etype, key)
+    # global merge (no dims) == whole-corpus counts
+    got_g = {r["key"]: r["est_count"] for r in cm_counts_over(roll, keys).collect()}
+    exact_g = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got_g == {k: exact_g.get(k, 0) for k in got_g}
+
+
+def test_cm_rollup_rejects_non_integral_keys(spark):
+    import pytest
+
+    from kapacitor_spark.dataprep.sketches import cm_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    with pytest.raises(ValueError, match="integral"):
+        cm_rollup(ev, value_col="event_type")

@@ -392,3 +392,17 @@ def test_theta_kll_rollups_partial_agg_and_equi_join(spark):
     assert "BroadcastNestedLoop" not in rplan
     for plan in (tplan, kplan, rplan):
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_cm_rollup_partial_sketches_before_exchange(spark):
+    """The CM rollup combines map-side like its HLL/theta/KLL siblings;
+    the query side's only Python is the applyInPandas over ROLLUP rows."""
+    from kapacitor_spark.dataprep.sketches import cm_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = (
+        cm_rollup(ev, dims=("event_type",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_count_min_sketch" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
