@@ -2485,6 +2485,47 @@ def stream_window_mean(spark, sf_dir):
 
 
 @_q(
+    "stream_sketch_distinct",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+              count(*) AS n, count(DISTINCT user_id) AS distinct_users
+       FROM events GROUP BY 1, 2""",
+)
+def stream_sketch_distinct(spark, sf_dir):
+    """Streaming sketch rollup (r9): the write-side of the theta
+    retention tier as a LIVE query — daily (bucket, event_type) theta
+    sketches of user_id accumulate in streaming aggregation state (the
+    sketch IS the state: kilobytes per group, mergeable across
+    triggers), estimated at emission. This is the streaming
+    distinct-count the reference cannot express at all (its continuous
+    queries store additive aggregates; distinct users per window needs
+    either full row retention or a sketch column). availableNow replay +
+    complete-mode memory sink = deterministic end-of-stream emission;
+    at fixture cardinality the sketches are in exact mode, so the
+    oracle recomputes the exact distinct counts."""
+    from kapacitor_spark.streaming import run_available_now
+
+    sdf = _stream_t(spark, sf_dir, "events")
+    agg = (
+        sdf.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.theta_sketch_agg(F.col("user_id"), F.lit(14)).alias("th"),
+        )
+        .select(
+            F.col("window.start").alias("day"),
+            "event_type",
+            "n",
+            F.round(F.theta_sketch_estimate(F.col("th")))
+            .cast("long")
+            .alias("distinct_users"),
+        )
+    )
+    return run_available_now(
+        agg, _mem_name("ssd"), _ckpt(), output_mode="complete"
+    )
+
+
+@_q(
     "stream_alert_changes",
     """SELECT ts, user_id, value, level FROM (
          SELECT ts, user_id, value,

@@ -90,8 +90,11 @@ HEADLINE = [
 EXTENDED = [
     "image_phash_near_dup",   # DCT pHash dedup
     "audio_dhash_near_dup",   # audio envelope dedup
-    "video_dhash_near_dup",   # MJPEG frame-level dedup (decode-bound)
+    "video_dhash_near_dup",   # frame-level dedup across AVI/MP4/GIF (decode-bound)
     "stream_dedup_match",     # continuous ingestion dedup + self-check
+    "theta_retention",        # r9 sketch rollups: set algebra ...
+    "kll_quantile_rollup",    # ... merged quantiles ...
+    "cm_user_counts",         # ... point-frequency probes
 ]
 
 
