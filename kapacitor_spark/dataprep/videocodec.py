@@ -210,12 +210,57 @@ def _mkv_header(data: bytes):
     return width, height, duration_s, None  # frame count needs a demux
 
 
+def _gif_header(data: bytes):
+    """Animated-GIF metadata WITHOUT decoding: logical-screen dims from
+    the header; frame count and total delay from a block walk that skips
+    color tables and LZW sub-blocks by their declared lengths — the
+    planning pass stays O(block count), no entropy decode."""
+    sw, sh = struct.unpack("<HH", data[6:10])
+    pos = 13
+    if data[10] & 0x80:
+        pos += 3 * (2 << (data[10] & 0x07))
+    n_frames, delay_cs = 0, 0
+    try:
+        while pos < len(data):
+            block = data[pos]
+            pos += 1
+            if block == 0x3B:
+                break
+            if block == 0x21:
+                label = data[pos]
+                pos += 1
+                if label == 0xF9 and data[pos] >= 4:
+                    delay_cs += struct.unpack(
+                        "<H", data[pos + 2 : pos + 4]
+                    )[0]
+                while data[pos] != 0:
+                    pos += 1 + data[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                break
+            fpacked = data[pos + 8]
+            pos += 9
+            if fpacked & 0x80:
+                pos += 3 * (2 << (fpacked & 0x07))
+            pos += 1  # LZW min code size
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            n_frames += 1
+    except IndexError:
+        pass  # truncated tail: report what the walk reached
+    return sw, sh, (delay_cs / 100.0) if delay_cs else None, n_frames or None
+
+
 def parse_video_header(data: bytes):
     """(format, width, height, duration_s, n_frames) from container
     headers alone — MP4/MOV (moov/mvhd/tkhd/stsz box walk), AVI (avih),
-    and Matroska/MKV (EBML varint walk: Segment → Info TimecodeScale/
+    Matroska/MKV (EBML varint walk: Segment → Info TimecodeScale/
     Duration, Tracks → video TrackEntry PixelWidth/Height; frame count
-    needs a full demux, so it stays None)."""
+    needs a full demux, so it stays None), and animated GIF (block walk
+    sums GCE delays and counts image descriptors, skipping LZW data by
+    declared sub-block lengths — no decode)."""
     fmt = sniff_format(data)
     if fmt == "mp4":
         return (fmt, *_mp4_header(data))
@@ -223,6 +268,8 @@ def parse_video_header(data: bytes):
         return (fmt, *_avi_header(data))
     if fmt == "mkv":
         return (fmt, *_mkv_header(data))
+    if fmt == "gif":
+        return (fmt, *_gif_header(data))
     raise ValueError("unrecognized video payload")
 
 

@@ -450,3 +450,20 @@ def test_video_dhash_gif_vs_mjpeg_container(spark):
     got = video_dhash_near_dup(df, width=16, height=16, max_hamming=6).collect()
     assert [(r["id_a"], r["id_b"], r["agree_frames"], r["total_frames"])
             for r in got] == [(1, 2, 3, 3)]
+
+
+def test_parse_video_header_gif_no_decode():
+    """GIF metadata comes from a block walk that never touches LZW data:
+    dims, frame count, and summed GCE delay."""
+    import numpy as np
+
+    from kapacitor_spark.dataprep import gifcodec, videocodec
+
+    rng = np.random.RandomState(9)
+    frames = [rng.randint(0, 256, (4, 6, 1), dtype=np.uint8).tobytes()
+              for _ in range(5)]
+    gif = gifcodec.encode_frames(6, 4, frames, channels=1,
+                                 delays=[10, 10, 10, 10, 10])
+    fmt, w, h, dur, n = videocodec.parse_video_header(gif)
+    assert (fmt, w, h, n) == ("gif", 6, 4, 5)
+    assert abs(dur - 0.5) < 1e-9
