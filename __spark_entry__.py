@@ -2057,7 +2057,11 @@ def theta_retention(spark, sf_dir):
     from kapacitor_spark.dataprep.sketches import theta_rollup
 
     ev = _t(spark, sf_dir, "events")
-    roll = theta_rollup(ev, time_col="ts", every="1 day", value_col="user_id")
+    # lgk=16: exact mode holds to 65536 distinct keys per day — an sf1
+    # re-tier (~15k users) stays exact, not just the current tiers
+    roll = theta_rollup(
+        ev, time_col="ts", every="1 day", value_col="user_id", lgk=16
+    )
     return ret(roll, step="1 day").select(
         "bucket", F.col("n_rows").cast("long").alias("n_rows"),
         "retained", "churned", "new_keys",

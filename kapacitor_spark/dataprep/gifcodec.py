@@ -430,7 +430,10 @@ def encode_frames(
         out += bytes([0x00, 0, 0])
     if loop is not None:
         out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
-    delays = list(delays) if delays is not None else [0] * len(arrs)
+    delays = list(delays) if delays is not None else []
+    if len(delays) > len(arrs):
+        raise ValueError(f"{len(delays)} delays for {len(arrs)} frames")
+    delays += [0] * (len(arrs) - len(delays))  # short list: pad, don't drop
     for a, delay in zip(arrs, delays):
         out += (
             b"\x21\xf9\x04"
