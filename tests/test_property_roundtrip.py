@@ -207,3 +207,97 @@ def test_lambda_compiler_matches_python(_spark, expr, seed):
     }
     want = {i for i, a, b in rows if py({"a": a, "b": b})}
     assert got == want, src
+
+
+# --------------------------------------------------------------------- #
+# GIF animation composition (r9): decode_frames vs an independent
+# per-pixel compositor over randomized multi-block streams
+# --------------------------------------------------------------------- #
+
+
+def _gif_stream(sw, sh, bg_index, palette, blocks):
+    """Hand-mux a GIF89a stream: global table + per-block GCE + image
+    descriptor (region placement, no local tables)."""
+    import struct as _struct
+
+    from kapacitor_spark.dataprep import gifcodec as _gc
+
+    nbits = max(1, (len(palette) - 1).bit_length())
+    pal = bytearray()
+    for rgb in palette:
+        pal += bytes(rgb)
+    pal += b"\x00" * (3 * ((1 << nbits) - len(palette)))
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | (nbits - 1), bg_index, 0]) + pal
+    for left, top, fw, fh, indices, disposal, transparent in blocks:
+        packed = ((disposal & 7) << 2) | (1 if transparent is not None else 0)
+        out += (b"\x21\xf9\x04" + bytes([packed]) + b"\x00\x00"
+                + bytes([transparent or 0]) + b"\x00")
+        out += b"\x2c" + _struct.pack("<HHHH", left, top, fw, fh) + b"\x00"
+        mcs = max(2, nbits)
+        out += bytes([mcs])
+        lzw = _gc._lzw_encode(bytes(indices), mcs)
+        for i in range(0, len(lzw), 255):
+            out += bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255]
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.data())
+def test_gif_animation_matches_reference_compositor(data):
+    """decode_frames must agree pixel-for-pixel with a straight-line
+    per-pixel compositor (independent loop-based implementation of the
+    GIF89a disposal + transparency rules) on random block sequences."""
+    import numpy as np
+
+    from kapacitor_spark.dataprep import gifcodec
+
+    rng_seed = data.draw(st.integers(0, 2**31 - 1))
+    rng = np.random.RandomState(rng_seed)
+    sw, sh = data.draw(st.integers(2, 8)), data.draw(st.integers(2, 8))
+    ncolors = data.draw(st.integers(2, 8))
+    palette = [tuple(int(x) for x in rng.randint(0, 256, 3))
+               for _ in range(ncolors)]
+    bg_index = data.draw(st.integers(0, ncolors - 1))
+    blocks = []
+    for _ in range(data.draw(st.integers(1, 5))):
+        left = data.draw(st.integers(0, sw - 1))
+        top = data.draw(st.integers(0, sh - 1))
+        fw = data.draw(st.integers(1, sw - left))
+        fh = data.draw(st.integers(1, sh - top))
+        indices = rng.randint(0, ncolors, fw * fh).astype(np.uint8)
+        disposal = data.draw(st.sampled_from([0, 1, 2, 3]))
+        transparent = data.draw(
+            st.one_of(st.none(), st.integers(0, ncolors - 1)))
+        blocks.append((left, top, fw, fh, bytes(indices), disposal, transparent))
+
+    stream = _gif_stream(sw, sh, bg_index, palette, blocks)
+    w, h, frames = gifcodec.decode_frames(stream)
+    assert (w, h, len(frames)) == (sw, sh, len(blocks))
+
+    # independent compositor: plain python loops, straight from the spec
+    bg = palette[bg_index]
+    canvas = [[bg for _ in range(sw)] for _ in range(sh)]
+    for (left, top, fw, fh, indices, disposal, transparent), got in zip(
+            blocks, frames):
+        saved = [row[:] for row in canvas]
+        for y in range(fh):
+            for x in range(fw):
+                idx = indices[y * fw + x]
+                if transparent is not None and idx == transparent:
+                    continue
+                canvas[top + y][left + x] = palette[idx]
+        flat = bytes(c for row in canvas for px in row for c in px)
+        assert got == flat, (rng_seed, "frame mismatch")
+        if disposal == 2:
+            for y in range(fh):
+                for x in range(fw):
+                    canvas[top + y][left + x] = bg
+        elif disposal == 3:
+            for y in range(fh):
+                for x in range(fw):
+                    canvas[top + y][left + x] = saved[top + y][left + x]
