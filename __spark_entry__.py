@@ -2102,6 +2102,38 @@ def kll_quantile_rollup(spark, sf_dir):
 
 
 @_q(
+    "doc_chunking",
+    r"""WITH t AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+            s AS (SELECT doc_id, toks,
+                         unnest(generate_series(0, len(toks) - 1, 48)) AS start
+                  FROM t WHERE len(toks) > 0)
+       SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+              CAST(len(list_slice(toks, start + 1, start + 64)) AS BIGINT)
+                  AS n_tokens,
+              array_to_string(list_slice(toks, start + 1, start + 64), ' ')
+                  AS chunk_text
+       FROM s""",
+)
+def doc_chunking(spark, sf_dir):
+    """Retrieval/RAG chunking (r9): every document sliced into
+    overlapping 64-token windows with 16-token overlap (step 48),
+    trailing partials included, empty docs dropped — the indexing-prep
+    step between corpus cleaning and the ANN/embedding path. Pure array
+    expressions over the shared tokenize normalization (sequence →
+    explode → slice → array_join): no Python, no shuffle, a projection
+    riding the pruned (doc_id, text) scan. The oracle re-derives every
+    chunk's text verbatim in DuckDB list algebra."""
+    from kapacitor_spark.dataprep.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), window_tokens=64, overlap_tokens=16
+    )
+
+
+@_q(
     "cm_user_counts",
     """SELECT t.event_type, k.user_id AS key,
               CAST(count(e.user_id) AS BIGINT) AS est_count

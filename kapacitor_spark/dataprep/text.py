@@ -347,6 +347,45 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    window_tokens: int = 64,
+    overlap_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking for retrieval/RAG indexing: each document
+    becomes overlapping token windows — (id, chunk_idx, n_tokens,
+    chunk_text) with chunk k covering tokens [k·step, k·step+window),
+    step = window − overlap. Trailing partial windows are emitted (the
+    last tokens must land in some chunk); empty/null documents emit no
+    chunks. Everything is array expressions on the shared ``tokenize``
+    normalization — sequence → explode → slice → array_join, no Python,
+    no shuffle at all (chunking is per-row): the plan is a projection
+    riding the scan, so it composes with pushdown and stays linear in
+    OUTPUT tokens (≈ input · window/step) at any corpus size."""
+    if not 0 <= overlap_tokens < window_tokens:
+        raise ValueError(
+            f"need 0 <= overlap ({overlap_tokens}) < window ({window_tokens})"
+        )
+    step = window_tokens - overlap_tokens
+    from kapacitor_spark.dataprep.dedup import tokenize
+
+    toks = F.filter(tokenize(text_col), lambda x: x != F.lit(""))
+    base = df.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    starts = F.sequence(F.lit(0), F.size("__toks") - 1, F.lit(step))
+    ex = base.select(id_col, "__toks", F.explode(starts).alias("__start"))
+    chunk = F.expr(f"slice(__toks, __start + 1, {window_tokens})")
+    return ex.select(
+        F.col(id_col),
+        (F.col("__start") / step).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def deterministic_sample(
     df: DataFrame,
     fractions: dict,

@@ -623,3 +623,31 @@ def test_cm_rollup_rejects_non_integral_keys(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     with pytest.raises(ValueError, match="integral"):
         cm_rollup(ev, value_col="event_type")
+
+
+def test_chunk_documents_window_semantics(spark):
+    """Chunk k covers tokens [k*step, k*step+window); consecutive chunks
+    overlap by exactly `overlap` tokens; trailing partials are emitted;
+    empty docs emit nothing; bad params raise."""
+    import pytest
+
+    from kapacitor_spark.dataprep.text import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, window_tokens=4, overlap_tokens=2).collect()
+    }
+    # doc 1: starts 0,2,4,6,8 -> windows of 4 (last two partial-ish)
+    assert out[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert out[(1, 1)] == (4, "t2 t3 t4 t5")
+    assert out[(1, 3)] == (4, "t6 t7 t8 t9")
+    assert out[(1, 4)] == (2, "t8 t9")
+    assert out[(2, 0)] == (2, "a b")
+    assert not any(d in (3, 4) for d, _ in out)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, window_tokens=4, overlap_tokens=4)

@@ -406,3 +406,14 @@ def test_cm_rollup_partial_sketches_before_exchange(spark):
     )
     assert "partial_count_min_sketch" in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_doc_chunking_is_shuffle_free_projection(spark):
+    """Chunking is per-row: the plan must be a projection+explode riding
+    the pruned (doc_id, text) scan — no Exchange, no Python."""
+    plan = plan_of(spark, "doc_chunking")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Generate" in plan  # the explode
+    schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" not in schema and "source" not in schema
