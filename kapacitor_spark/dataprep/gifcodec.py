@@ -294,17 +294,20 @@ def _decode_frames(data: bytes):
         if block != 0x2C:
             raise ValueError(f"corrupt GIF: unknown block 0x{block:02x}")
         left, top, fw, fh, lct, rows, pos = _image_block(data, pos, gct)
-        # clip to the logical screen (spec: blocks must fit; be tolerant)
-        fh_c, fw_c = min(fh, sh - top), min(fw, sw - left)
+        # clip to the logical screen (spec: blocks must fit; be tolerant —
+        # a block fully outside clamps to an empty region, still emitting
+        # the canvas snapshot rather than raising a numpy broadcast error)
+        fh_c, fw_c = max(0, min(fh, sh - top)), max(0, min(fw, sw - left))
         region = canvas[top : top + fh_c, left : left + fw_c]
         saved = region.copy() if disposal == 3 else None
-        rows = rows[:fh_c, :fw_c]
-        pix = lct[np.minimum(rows, len(lct) - 1)]
-        if transparent is not None:
-            mask = rows != transparent
-            region[mask] = pix[mask]
-        else:
-            region[:] = pix
+        if fh_c and fw_c:
+            rows = rows[:fh_c, :fw_c]
+            pix = lct[np.minimum(rows, len(lct) - 1)]
+            if transparent is not None:
+                mask = rows != transparent
+                region[mask] = pix[mask]
+            else:
+                region[:] = pix
         frames.append(np.ascontiguousarray(canvas).tobytes())
         if disposal == 2:
             region[:] = bg

@@ -267,8 +267,18 @@ def ivf_topk(
             out["list_id"] = lists.reshape(-1).astype("int32")
             yield out
 
+    # id keeps the caller's type (a hardcoded long breaks string-keyed
+    # corpora at the Arrow cast — same contract as ivf_index)
     probes = qbase.mapInPandas(
-        probe, schema="query_id long, __qv array<double>, __qn double, list_id int"
+        probe,
+        schema=T.StructType(
+            [
+                T.StructField("query_id", queries.schema[id_col].dataType),
+                T.StructField("__qv", T.ArrayType(T.DoubleType())),
+                T.StructField("__qn", T.DoubleType()),
+                T.StructField("list_id", T.IntegerType()),
+            ]
+        ),
     )
 
     c = with_norm(indexed, vec_col).select(
@@ -734,9 +744,17 @@ def ivf_pq_topk(
             out["__lut"] = list(np.repeat(lut, k_probe, axis=0))
             yield out
 
+    # id keeps the caller's type, as in ivf_index/ivf_topk
     probes = q_n.mapInPandas(
         probe,
-        schema="query_id long, __qv array<double>, list_id int, __lut array<double>",
+        schema=T.StructType(
+            [
+                T.StructField("query_id", queries.schema[id_col].dataType),
+                T.StructField("__qv", T.ArrayType(T.DoubleType())),
+                T.StructField("list_id", T.IntegerType()),
+                T.StructField("__lut", T.ArrayType(T.DoubleType())),
+            ]
+        ),
     )
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),

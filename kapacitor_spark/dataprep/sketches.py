@@ -244,9 +244,11 @@ def cm_rollup(
     (bucket, *dims, n_rows, cm binary). One hash-aggregate with
     map-side partial sketches. All sketches share (eps, confidence,
     seed), which fixes (depth, width, hash coefficients) — the
-    precondition for downstream table-add merging. Width is ~2.72/eps;
-    keep eps small enough that a bucket's key cardinality stays well
-    under a row's width when exact point counts are wanted."""
+    precondition for downstream table-add merging. Spark allocates
+    width = ceil(2/eps) (verified against the serialized header in
+    tests — e.g. eps=1e-3 → 2000); keep eps small enough that a
+    bucket's key cardinality stays well under that width when exact
+    point counts are wanted."""
     field = df.schema[value_col].dataType.typeName()
     if field not in ("byte", "short", "integer", "long"):
         raise ValueError(

@@ -519,21 +519,28 @@ def extract_frames(data: bytes) -> list[tuple[int, bytes]]:
         from kapacitor_spark.dataprep import gifcodec, imagecodec
 
         w, h, frames = gifcodec.decode_frames(data)
-        out = []
-        for i, f in enumerate(frames):
-            arr = np.frombuffer(f, dtype=np.uint8).reshape(h, w, 3)
-            # GIF carries no colorspace tag; a canvas with R==G==B
-            # everywhere IS grayscale — emit P5 so single-channel
-            # pipelines see the same channel count as gray MJPEG clips.
-            if (arr[..., 0] == arr[..., 1]).all() and (
-                arr[..., 1] == arr[..., 2]
-            ).all():
-                out.append(
-                    (i, imagecodec.encode_ppm(w, h, arr[..., 0].tobytes(), 1))
-                )
-            else:
-                out.append((i, imagecodec.encode_ppm(w, h, f, channels=3)))
-        return out
+        arrs = [
+            np.frombuffer(f, dtype=np.uint8).reshape(h, w, 3) for f in frames
+        ]
+        # GIF carries no colorspace tag; a CLIP whose every canvas has
+        # R==G==B everywhere is grayscale — emit P5 so single-channel
+        # pipelines see the same channel count as gray MJPEG clips. The
+        # decision is per-clip, never per-frame: one solid-color frame
+        # inside a color clip must NOT flip channel counts mid-clip
+        # (downstream dhash_expr assumes one channel count per corpus).
+        gray = all(
+            (a[..., 0] == a[..., 1]).all() and (a[..., 1] == a[..., 2]).all()
+            for a in arrs
+        )
+        if gray:
+            return [
+                (i, imagecodec.encode_ppm(w, h, a[..., 0].tobytes(), 1))
+                for i, a in enumerate(arrs)
+            ]
+        return [
+            (i, imagecodec.encode_ppm(w, h, f, channels=3))
+            for i, f in enumerate(frames)
+        ]
     raise ValueError(f"unsupported video container: {fmt!r}")
 
 

@@ -71,6 +71,18 @@ class TaskStore:
             getattr(self, kind)[obj["id"]] = obj
             self._flush()
 
+    def put_new(self, kind: str, obj: dict) -> bool:
+        """Atomic exists-check + insert — the create path must not race a
+        concurrent POST with the same id (ThreadingHTTPServer handles each
+        request on its own thread; check-then-put outside the lock let the
+        second creator silently overwrite the first)."""
+        with self._lock:
+            if obj["id"] in getattr(self, kind):
+                return False
+            getattr(self, kind)[obj["id"]] = obj
+            self._flush()
+            return True
+
     def delete(self, kind: str, oid: str) -> bool:
         with self._lock:
             existed = getattr(self, kind).pop(oid, None) is not None
@@ -187,8 +199,6 @@ class TaskStoreService:
                 "error": "task ID must contain only letters, numbers,"
                 f" '-', '.' and '_'. {oid!r}"
             }
-        if oid in getattr(self.store, kind):
-            return 400, {"error": f"{kind[:-1]} {oid} already exists"}
         script = body.get("script", "")
         vars_in = dict(body.get("vars") or {})
         template_id = body.get("template-id", "")
@@ -224,7 +234,8 @@ class TaskStoreService:
             obj["vars"] = tvars(script)
             obj.pop("template-id")
             obj.pop("status")
-        self.store.put(kind, obj)
+        if not self.store.put_new(kind, obj):
+            return 400, {"error": f"{kind[:-1]} {oid} already exists"}
         if kind == "tasks" and obj["status"] == "enabled":
             self._execute(obj)
         return 200, self._public(kind, obj)
@@ -237,8 +248,11 @@ class TaskStoreService:
 
     def _list(self, kind: str, query: dict):
         pattern = (query.get("pattern") or [""])[0]
-        offset = int((query.get("offset") or ["0"])[0])
-        limit = int((query.get("limit") or ["100"])[0])
+        try:
+            offset = int((query.get("offset") or ["0"])[0])
+            limit = int((query.get("limit") or ["100"])[0])
+        except ValueError:
+            return 400, {"error": "offset and limit must be integers"}
         items = self.store.list(kind, pattern, offset, limit)
         return 200, {
             kind: [self._public(kind, t, dot=False) for t in items],
@@ -249,6 +263,9 @@ class TaskStoreService:
         obj = getattr(self.store, kind).get(oid)
         if obj is None:
             return 404, {"error": f"no {kind[:-1]} exists"}
+        # mutate a COPY and publish via put(): in-place edits on the stored
+        # dict would let concurrent readers observe a half-applied update
+        obj = dict(obj)
         if "script" in body:
             err = self._validate_script(body["script"])
             if err is not None:
@@ -264,6 +281,9 @@ class TaskStoreService:
         was = obj.get("status")
         if "status" in body and kind == "tasks":
             obj["status"] = body["status"]
+            if obj["status"] != "enabled":
+                # the reference reports executing=false once disabled
+                obj["executing"] = False
         obj["modified"] = _now()
         self.store.put(kind, obj)
         if kind == "tasks" and obj["status"] == "enabled" and was != "enabled":
@@ -307,11 +327,17 @@ class TaskStoreService:
         if task is None:
             return 404, {"error": "no task exists"}
         rid = body.get("recording", "")
+        # a recording id is a bare stem, never a path: reject separators
+        # and dot-runs outright, then double-check the resolved file still
+        # lives inside recordings_dir (path-traversal guard)
+        if not _VALID_ID.match(rid) or ".." in rid:
+            return 400, {"error": f"invalid recording id {rid!r}"}
         rec = None
         if self.recordings_dir is not None:
+            base = self.recordings_dir.resolve()
             for suffix in (".srpl", ".brpl"):
                 p = self.recordings_dir / f"{rid}{suffix}"
-                if p.exists():
+                if p.exists() and p.resolve().parent == base:
                     rec = p
                     break
         if rec is None:

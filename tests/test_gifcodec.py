@@ -263,3 +263,14 @@ def test_animation_gce_governs_single_block():
     assert f1[0, 1].tolist() == [0, 255, 0]
     f2 = np.frombuffer(out[1], dtype=np.uint8).reshape(1, 2, 3)
     assert f2[0, 0].tolist() == [255, 0, 0]  # idx 1 now renders normally
+
+
+def test_animation_block_outside_screen_is_tolerated():
+    """An image block placed past the logical screen clamps to an empty
+    region — the frame still emits the untouched canvas instead of a
+    numpy broadcast error."""
+    hdr = b"GIF89a" + struct.pack("<HH", 4, 2) + bytes([0x80 | 1, 1, 0]) + _PAL4
+    data = hdr + _gce(0) + _img(0, 5, 2, 2, [2, 2, 2, 2]) + b"\x3b"
+    w, h, out = gifcodec.decode_frames(data)
+    f1 = np.frombuffer(out[0], dtype=np.uint8).reshape(2, 4, 3)
+    assert (f1 == [255, 0, 0]).all()  # canvas stays background red

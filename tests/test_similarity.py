@@ -276,3 +276,30 @@ def test_ivf_pq_scan_stays_jvm_side(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert plan.count("MapInPandas") <= 3
+
+
+def test_ivf_paths_keep_string_ids(spark):
+    """ivf_topk and ivf_pq_topk must carry the caller's id type through
+    the probe mapInPandas schemas — a hardcoded long broke string-keyed
+    corpora at the Arrow cast (r9 review fix)."""
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.dataprep.similarity import ivf_pq_topk, ivf_topk
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("vec_id"),
+            "embedding",
+        )
+    )
+    queries = emb.orderBy("vec_id").limit(3)
+    for fn, kw in (
+        (ivf_topk, dict(k=3, n_lists=8, nprobe=8)),
+        (ivf_pq_topk, dict(k=3, n_lists=8, nprobe=8, m=8, ksub=16, refine=64)),
+    ):
+        rows = fn(emb, queries, **kw).collect()
+        assert rows and all(
+            isinstance(r["query_id"], str) and r["query_id"].startswith("v")
+            for r in rows
+        ), fn.__name__

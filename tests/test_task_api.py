@@ -260,3 +260,52 @@ def test_recordings_and_replays(spark, tmp_path):
         assert status == 501 and "no replayer" in err["error"]
     finally:
         service.stop()
+
+
+def test_client_input_hardening(svc):
+    """Round-9 review fixes: malformed pagination is a 400 (not a 500),
+    replay recording ids reject path traversal, and a disabled task no
+    longer reports executing=true."""
+    _, port = svc
+    status, err = _req(port, "GET", "/tasks?limit=abc", expect_error=True)
+    assert status == 400 and "integer" in err["error"]
+    _req(port, "POST", "/tasks", {"id": "h1", "script": SCRIPT})
+    status, err = _req(
+        port, "POST", "/replays",
+        {"task": "h1", "recording": "../../../etc/passwd"},
+        expect_error=True,
+    )
+    assert status == 400 and "invalid recording id" in err["error"]
+    status, err = _req(
+        port, "POST", "/replays", {"task": "h1", "recording": ".."},
+        expect_error=True,
+    )
+    assert status == 400
+    # executing resets when the task leaves enabled
+    _req(port, "PATCH", "/tasks/h1", {"status": "enabled"})
+    _req(port, "PATCH", "/tasks/h1", {"status": "disabled"})
+    _, got = _req(port, "GET", "/tasks/h1")
+    assert got["status"] == "disabled" and got["executing"] is False
+
+
+def test_concurrent_duplicate_create_single_winner(svc):
+    """put_new makes exists-check + insert atomic: N threads racing the
+    same id yield exactly one 200 and N-1 'already exists' 400s."""
+    import threading
+
+    _, port = svc
+    results = []
+
+    def create():
+        status, _ = _req(
+            port, "POST", "/tasks", {"id": "race", "script": SCRIPT},
+            expect_error=True,
+        )
+        results.append(status)
+
+    threads = [threading.Thread(target=create) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(results) == [200] + [400] * 7

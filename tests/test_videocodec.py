@@ -467,3 +467,24 @@ def test_parse_video_header_gif_no_decode():
     fmt, w, h, dur, n = videocodec.parse_video_header(gif)
     assert (fmt, w, h, n) == ("gif", 6, 4, 5)
     assert abs(dur - 0.5) < 1e-9
+
+
+def test_gif_channel_decision_is_per_clip():
+    """A color clip containing one solid (R==G==B) frame must emit ALL
+    frames as P6 — a per-frame grayscale decision would flip channel
+    counts mid-clip and break fixed-channel dHash pipelines."""
+    import numpy as np
+
+    from kapacitor_spark.dataprep import gifcodec, imagecodec, videocodec
+
+    rng = np.random.RandomState(21)
+    solid = np.full((4, 4, 3), 7, dtype=np.uint8).tobytes()  # gray frame
+    color = rng.randint(0, 256, (4, 4, 3), dtype=np.uint8).tobytes()
+    gif = gifcodec.encode_frames(4, 4, [solid, color], channels=3)
+    decoded = [imagecodec.decode(p) for _, p in videocodec.extract_frames(gif)]
+    assert [c for _, _, c, _ in decoded] == [3, 3]
+    # an all-gray clip still collapses to P5
+    gray = [np.full((4, 4, 3), v, dtype=np.uint8).tobytes() for v in (3, 9)]
+    gif2 = gifcodec.encode_frames(4, 4, gray, channels=3)
+    decoded2 = [imagecodec.decode(p) for _, p in videocodec.extract_frames(gif2)]
+    assert [c for _, _, c, _ in decoded2] == [1, 1]
