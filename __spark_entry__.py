@@ -2134,6 +2134,132 @@ def doc_chunking(spark, sf_dir):
 
 
 @_q(
+    "bm25_topk",
+    r"""WITH base AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+       d AS (SELECT doc_id, toks, len(toks) AS dl FROM base
+             WHERE len(toks) > 0),
+       posts AS (SELECT doc_id, dl, term, count(*) AS tf
+                 FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+                 GROUP BY doc_id, dl, term),
+       term_df AS (SELECT term, count(*) AS df_t FROM posts GROUP BY term),
+       g0 AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+       q AS (SELECT doc_id AS query_id,
+                    list_distinct(list_slice(toks, 5, 10)) AS qt
+             FROM base
+             WHERE doc_id % 97 = 0 AND len(list_slice(toks, 5, 10)) > 0),
+       qterms AS (SELECT query_id, unnest(qt) AS term FROM q),
+       qw AS (SELECT t.query_id, t.term,
+                     ln(1 + (g.n_docs - f.df_t + 0.5) / (f.df_t + 0.5))
+                         AS idf,
+                     g.avgdl
+              FROM qterms t JOIN term_df f ON t.term = f.term
+              CROSS JOIN g0 g),
+       sc AS (SELECT w.query_id, p.doc_id,
+                     CAST(round(w.idf * ((p.tf * 2.2) /
+                          (p.tf + 1.2 * (0.25 + 0.75 * p.dl / w.avgdl))), 9)
+                          AS DECIMAL(38,9)) AS s
+              FROM posts p JOIN qw w ON p.term = w.term),
+       agg AS (SELECT query_id, doc_id, sum(s) AS sc_total
+               FROM sc GROUP BY query_id, doc_id),
+       rk AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sc_total DESC, doc_id)
+                         AS rank,
+                     sc_total
+              FROM agg)
+       SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank,
+              round(CAST(sc_total AS DOUBLE), 6) AS score
+       FROM rk WHERE rank <= 10""",
+)
+def bm25_topk_q(spark, sf_dir):
+    """Lexical retrieval (r9): Okapi BM25 (Lucene IDF) top-10 per query
+    over the documents corpus. The query batch is derived from the
+    corpus itself — every 97th document contributes tokens 5-10 of its
+    own text — so the fixture is deterministic at every SF. (The
+    synthetic corpus is templated: those tokens are common vocabulary,
+    so BM25's length normalization decides the ranking rather than the
+    source document winning — which exercises exactly the dl/avgdl and
+    tie-break arithmetic the oracle needs to agree on. test_retrieval.py
+    covers discriminative-vocabulary ranking.) The oracle
+    re-derives the full index + scoring in SQL; per-term partials round
+    to 9 decimals and sum as DECIMAL(38,9) on BOTH sides, so ranking is
+    aggregation-order independent (ties break on doc_id). Plan: postings
+    = explode → one partial-agg'd hash aggregate; df + globals join onto
+    the QUERY side (tiny, broadcast); the corpus-size postings table
+    sees exactly one broadcast hash join + one shuffle (the per-query
+    top-k window)."""
+    from kapacitor_spark.dataprep.dedup import tokenize
+    from kapacitor_spark.dataprep.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(tokenize("text"), lambda x: x != F.lit(""))
+    qfix = (
+        docs.filter("doc_id % 97 = 0")
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(toks, 5, 6), " ").alias("qtext"),
+        )
+        .filter(F.length("qtext") > 0)
+    )
+    return bm25_topk(docs, qfix, k=10)
+
+
+@_q(
+    "lm_perplexity",
+    r"""WITH base AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+       pr AS (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM base WHERE len(toks) >= 2),
+       pairs AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM pr),
+       refp AS (SELECT w1, w2 FROM pairs WHERE doc_id % 2 = 0),
+       c2 AS (SELECT w1, w2, count(*) AS c2 FROM refp GROUP BY w1, w2),
+       c1 AS (SELECT w1, count(*) AS c1 FROM refp GROUP BY w1),
+       vocab AS (SELECT count(DISTINCT t) AS v FROM
+                 (SELECT unnest(toks) AS t FROM base WHERE doc_id % 2 = 0)),
+       sc AS (SELECT p.doc_id,
+                     CAST(round(-ln((coalesce(c2.c2, 0) + 0.5) /
+                                    (coalesce(c1.c1, 0) + 0.5 * v.v)), 9)
+                          AS DECIMAL(38,9)) AS nll
+              FROM pairs p
+              LEFT JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
+              LEFT JOIN c1 ON p.w1 = c1.w1
+              CROSS JOIN vocab v
+              WHERE p.doc_id % 2 = 1),
+       agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS total
+               FROM sc GROUP BY doc_id)
+       SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+              round(CAST(total AS DOUBLE) / n_bigrams, 6) AS avg_nll,
+              round(exp(round(CAST(total AS DOUBLE) / n_bigrams, 6)), 6)
+                  AS ppl
+       FROM agg""",
+)
+def lm_perplexity_q(spark, sf_dir):
+    """CCNet-style LM quality signal (r9): an add-0.5 smoothed word-
+    bigram LM is trained on the even-doc_id half of the corpus (two hash
+    aggregates + a distinct count, all map-side combined), then every
+    odd-doc_id document is scored — per-document mean negative log
+    probability and perplexity. Unseen bigrams/contexts fall back to the
+    additive prior via left joins (the count table is corpus-sized, so
+    it stays a shuffle equi-join at scale — never a broadcast). The
+    oracle re-derives training AND scoring in SQL; per-bigram partials
+    round to 9 and sum as DECIMAL(38,9) on both sides (order-independent
+    totals), ppl exponentiates the already-rounded mean so both engines
+    exp() the identical double."""
+    from kapacitor_spark.dataprep.retrieval import lm_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_perplexity(
+        docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0")
+    )
+
+
+@_q(
     "cm_user_counts",
     """SELECT t.event_type, k.user_id AS key,
               CAST(count(e.user_id) AS BIGINT) AS est_count
@@ -4244,6 +4370,13 @@ def audio_decode(spark, sf_dir):
 # the union IS the scored window, so a registry edit can't silently drop
 # an operator family out of the 50-slot window).
 _SCORED_FAMILIES = {
+    # r9 rotation (3rd wave): the new retrieval family moves IN —
+    # bm25_topk (full BM25 index + scoring re-derived in SQL) and
+    # lm_perplexity (bigram-LM training + scoring re-derived in SQL).
+    # spread_median_stats (2.5, scored green since r1) and
+    # multimodal_decode (multimodal keeps its four perceptual rows)
+    # rotate out — both stay oracle-checked every run by
+    # tests/test_oracle_all.py.
     # r9 rotation (2nd wave): the new sketch-rollup family moves IN with
     # its two fully-exact oracles — theta_retention (distinct-set
     # retention/churn algebra recomputed from scratch in SQL) and
@@ -4281,7 +4414,7 @@ _SCORED_FAMILIES = {
     "2.3-joins": ("join_tolerance",),
     "2.4-windowing": ("window_mean_1h",),
     "2.5-aggregations": (
-        "tpch_q1_pricing", "spread_median_stats",
+        "tpch_q1_pricing",
         "point_transforms", "state_tracking",
         "holt_winters_forecast",
     ),
@@ -4306,8 +4439,9 @@ _SCORED_FAMILIES = {
     ),
     "dataprep-similarity": ("ann_cosine_topk", "ann_recall", "ivf_pq_planted"),
     "dataprep-sketches": ("theta_retention", "kll_quantile_rollup"),
+    "dataprep-retrieval": ("bm25_topk", "lm_perplexity"),
     "dataprep-multimodal": (
-        "multimodal_decode", "image_dhash_near_dup",
+        "image_dhash_near_dup",
         "image_phash_near_dup", "audio_dhash_near_dup", "video_dhash_near_dup",
     ),
 }

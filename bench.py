@@ -95,6 +95,8 @@ EXTENDED = [
     "theta_retention",        # r9 sketch rollups: set algebra ...
     "kll_quantile_rollup",    # ... merged quantiles ...
     "cm_user_counts",         # ... point-frequency probes
+    "bm25_topk",              # r9 retrieval: BM25 index + top-k
+    "lm_perplexity",          # r9 retrieval: bigram-LM quality scoring
 ]
 
 

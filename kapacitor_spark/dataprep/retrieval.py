@@ -1,0 +1,255 @@
+"""Lexical retrieval over a document corpus: BM25 index + top-k scoring,
+and an n-gram language-model perplexity scorer (the CCNet-style quality
+signal: score candidate text against an LM trained on a trusted slice).
+
+Everything here is pure DataFrame algebra over the shared ``tokenize``
+normalization — no Python in the hot path, no driver-side loops:
+
+- ``bm25_postings(docs)``: the inverted index as three DataFrames —
+  per-(doc, term) frequencies with doc length, per-term document
+  frequencies, and the 1-row corpus globals (N, avgdl). Build once,
+  persist, score many query batches.
+- ``bm25_topk(docs, queries, k)``: Okapi BM25 (Lucene IDF variant,
+  query-term frequency ignored — each distinct query term contributes
+  once) with a deterministic top-k per query.
+- ``lm_train(ref)`` / ``lm_perplexity(docs, ref)``: add-alpha smoothed
+  word-bigram LM — train = two hash aggregations over the reference
+  slice; score = one equi-join of the candidate bigrams against the
+  count tables plus a per-document aggregate.
+
+Float determinism (the oracle contract): per-term/per-bigram partial
+scores are doubles ROUNDED to 9 decimals and cast to DECIMAL(38,9)
+before the sum, so the per-group total is exact and independent of
+Spark's partial-aggregation order — the same trick tpch_q1 uses. Final
+reported scores round to 6.
+
+Scale notes (100 TB): the postings build is explode → one hash
+aggregate with map-side combine; document frequency is a second
+aggregate over the (already distinct) postings. Scoring joins postings
+to the query terms — the QUERY side is broadcast (a query batch is
+small by construction); the per-query candidate lists then shuffle once
+on query_id for the top-k window. The LM join is a plain equi-join on
+the bigram key: the count table at corpus scale is far beyond broadcast
+size, so it stays a shuffle join — linear, with AQE splitting the
+stopword-bigram hot keys (measured for the band joins in SCALE.md §skew;
+same shape). Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kapacitor_spark.dataprep.dedup import tokenize
+
+__all__ = ["bm25_postings", "bm25_topk", "lm_train", "lm_perplexity"]
+
+
+def _tokens(text_col: str) -> "F.Column":
+    """Non-empty lowercased whitespace tokens (shared normalization)."""
+    return F.filter(tokenize(text_col), lambda x: x != F.lit(""))
+
+
+def bm25_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Inverted index for BM25: ``(postings, term_df, globals)``.
+
+    postings — one row per (doc, term): ``(id, dl, term, tf)`` where
+    ``dl`` is the document token length and ``tf`` the term's
+    in-document frequency. term_df — ``(term, df_t)`` corpus document
+    frequencies, kept as its OWN table rather than denormalized onto
+    every posting: a stopword's df would otherwise ride millions of
+    rows, and attaching it with a window partitioned by term would pin
+    a hot term's entire posting list into one task (un-splittable skew).
+    The scoring path instead joins df onto the QUERY terms (tiny).
+    globals — ONE row: ``(n_docs, avgdl)``.
+
+    Empty/null documents are dropped (they can never match a term).
+    """
+    base = (
+        docs.select(F.col(id_col), _tokens(text_col).alias("__toks"))
+        .filter(F.size("__toks") > 0)
+    )
+    posts = (
+        base.select(
+            F.col(id_col),
+            F.size("__toks").cast("long").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    # postings are already distinct per (doc, term), so document
+    # frequency is a count per term — map-side combinable, skew-immune.
+    term_df = posts.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_t")
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg(F.size("__toks")).alias("avgdl"),
+    )
+    return posts, term_df, glob
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+) -> DataFrame:
+    """Okapi BM25 top-k: ``(query_id, doc_id, rank, score)``.
+
+    - IDF is the Lucene variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+      (always positive — no negative-IDF clamping needed).
+    - Query-term frequency is ignored: each DISTINCT query term
+      contributes once (the common k3→∞ simplification).
+    - Ranking is deterministic: per-term partials round to 9 decimals
+      and sum as DECIMAL(38,9) (order-independent), ties break on
+      ``doc_id`` ascending. ``score`` is the decimal total as a double
+      rounded to 6.
+    """
+    posts, term_df, glob = bm25_postings(docs, text_col=text_col, id_col=id_col)
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(_tokens(query_text_col))).alias("term"),
+    )
+    # IDF rides the query-term side: join df + globals onto the (tiny)
+    # query batch so the big postings table only ever sees one broadcast
+    # hash join — no stats column is denormalized across the corpus.
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    qweights = (
+        F.broadcast(qterms).join(term_df, "term")  # inner: absent term ⇒ no postings anyway
+        .crossJoin(F.broadcast(glob))
+        .select(query_id_col, "term", idf.alias("__idf"), "avgdl")
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = posts.join(F.broadcast(qweights), "term").select(
+        query_id_col,
+        id_col,
+        F.round(F.col("__idf") * tf_part, 9).cast("decimal(38,9)").alias("__s"),
+    )
+    from pyspark.sql import Window
+
+    agg = scored.groupBy(query_id_col, id_col).agg(F.sum("__s").alias("__score"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__score").desc(), F.col(id_col).asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "rank",
+            F.round(F.col("__score").cast("double"), 6).alias("score"),
+        )
+    )
+
+
+def _bigrams(text_col: str) -> "F.Column":
+    """Adjacent word pairs as an array of (w1, w2) structs — an array
+    expression over the shared tokenization (no Python, no shuffle)."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - 1)  # 1-based: pair i = (tok[i], tok[i+1])
+    return F.when(
+        n >= 2,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    )
+
+
+def lm_train(
+    ref: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Word-bigram LM counts from a reference corpus:
+    ``(bigram_counts, context_counts, globals)``.
+
+    bigram_counts — ``(w1, w2, c2)``; context_counts — ``(w1, c1)`` where
+    ``c1 = Σ_w2 c2(w1, w2)`` (the standard MLE denominator: how often w1
+    appears as a bigram context); globals — ONE row ``(vocab_size,)`` =
+    distinct tokens anywhere in the reference (the smoothing V).
+    Two hash aggregates + one distinct-count, all with map-side combine.
+    """
+    pairs = ref.select(F.explode(_bigrams(text_col)).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    vocab = (
+        ref.select(F.explode(_tokens(text_col)).alias("t"))
+        .agg(F.countDistinct("t").cast("long").alias("vocab_size"))
+    )
+    return c2, c1, vocab
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    ref: DataFrame,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document perplexity under an add-alpha smoothed bigram LM
+    trained on ``ref`` — the CCNet-style quality signal (score web text
+    against a trusted-corpus LM; low perplexity ≈ reference-like text).
+
+    p(w2 | w1) = (c2(w1,w2) + α) / (c1(w1) + α·V); unseen bigrams and
+    unseen contexts fall back to the additive prior (counts 0 via the
+    left joins). Output: ``(doc_id, n_bigrams, avg_nll, ppl)`` for every
+    document with ≥ 2 tokens, where avg_nll is the mean negative log
+    probability (rounded to 6; per-bigram partials round to 9 and sum as
+    DECIMAL(38,9) so the total is aggregation-order independent) and
+    ppl = round(exp(avg_nll), 6) — exp of the already-rounded mean, so
+    both sides of the oracle exponentiate the identical double.
+    """
+    c2, c1, vocab = lm_train(ref, text_col=text_col, id_col=id_col)
+    toks = docs.select(
+        F.col(id_col), F.explode(_bigrams(text_col)).alias("p")
+    ).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    joined = (
+        toks.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    nll = -F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("vocab_size"))
+    )
+    agg = (
+        joined.select(
+            id_col, F.round(nll, 9).cast("decimal(38,9)").alias("__nll")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("__nll").alias("__total"),
+        )
+    )
+    avg_nll = F.round(F.col("__total").cast("double") / F.col("n_bigrams"), 6)
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        avg_nll.alias("avg_nll"),
+        F.round(F.exp(avg_nll), 6).alias("ppl"),
+    )

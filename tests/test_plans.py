@@ -417,3 +417,33 @@ def test_doc_chunking_is_shuffle_free_projection(spark):
     assert "Generate" in plan  # the explode
     schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "lang" not in schema and "source" not in schema
+
+
+def test_bm25_all_joins_broadcast_topk_partial(spark):
+    """BM25 scoring: the corpus-size postings table must only ever meet
+    BROADCAST hash joins (df + globals ride the tiny query side — a
+    shuffled or windowed df-attach would pin a stopword's posting list
+    into one task), and the per-query top-k must push a partial
+    WindowGroupLimit below the query_id shuffle so only ~k rows per
+    partition move."""
+    plan = plan_of(spark, "bm25_topk")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "partial_count" in plan  # map-side combine on tf
+
+
+def test_lm_perplexity_partial_counts_no_python(spark):
+    """Bigram-LM training/scoring: count tables build with map-side
+    partial aggregation; the scoring join is an equi-join (broadcast at
+    this SF, shuffle-splittable at scale — never nested-loop); the whole
+    pipeline stays JVM-side."""
+    plan = plan_of(spark, "lm_perplexity")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop allowed is the 1-row vocab-size attachment
+    # (explain("formatted") prints each node twice: tree + detail)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("partial_count") >= 2

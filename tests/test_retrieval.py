@@ -1,0 +1,186 @@
+"""BM25 retrieval + bigram-LM perplexity: hand-computed verification on a
+tiny corpus (independent pure-Python re-derivation, not a restatement of
+the Spark expressions), plus edge-case and determinism checks."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kapacitor_spark.dataprep.retrieval import (
+    bm25_postings,
+    bm25_topk,
+    lm_perplexity,
+    lm_train,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown cat sleeps on the warm mat"),
+    (3, "a fox and a dog play in the park"),
+    (4, "stock prices fell sharply as markets closed lower today"),
+    (5, ""),  # dropped everywhere
+    (6, None),  # dropped everywhere
+]
+
+
+def _tok(s):
+    return [t for t in s.lower().strip().split() if t]
+
+
+def _py_bm25(docs, queries, k1=1.2, b=0.75):
+    """Independent BM25: dict-based, no Spark, no shared helpers."""
+    corpus = {i: _tok(t) for i, t in docs if t and _tok(t)}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in corpus.values()) / n
+    df = {}
+    for toks in corpus.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for qid, qtext in queries:
+        scores = {}
+        for term in set(_tok(qtext)):
+            if term not in df:
+                continue
+            idf = math.log(1 + (n - df[term] + 0.5) / (df[term] + 0.5))
+            for did, toks in corpus.items():
+                tf = toks.count(term)
+                if not tf:
+                    continue
+                part = idf * (tf * (k1 + 1)) / (
+                    tf + k1 * (1 - b + b * len(toks) / avgdl)
+                )
+                scores[did] = scores.get(did, 0.0) + round(part, 9)
+        out[qid] = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return out
+
+
+def test_bm25_matches_hand_derivation(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = [(100, "quick brown fox"), (200, "dog park"), (300, "zzz unseen")]
+    qdf = spark.createDataFrame(queries, "query_id long, qtext string")
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in bm25_topk(docs, qdf, k=10).collect()
+    }
+    expected = _py_bm25(DOCS, queries)
+    exp_flat = {
+        (qid, did): (rank + 1, round(s, 6))
+        for qid, ranked in expected.items()
+        for rank, (did, s) in enumerate(ranked)
+    }
+    assert got == exp_flat
+    # the unseen-terms query returns nothing rather than zero-score rows
+    assert not any(q == 300 for q, _ in got)
+
+
+def test_bm25_topk_truncates_and_orders(spark):
+    docs = spark.createDataFrame(
+        [(i, f"common word{'x' * (i % 3)}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame([(1, "common")], "query_id long, qtext string")
+    rows = bm25_topk(docs, qdf, k=5).orderBy("rank").collect()
+    assert len(rows) == 5
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    # equal text ⇒ equal score ⇒ doc_id ascending tie-break
+    scores = {}
+    for r in rows:
+        scores.setdefault(r["score"], []).append(r["doc_id"])
+    for ids in scores.values():
+        assert ids == sorted(ids)
+
+
+def test_bm25_postings_stats(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    posts, term_df, glob = bm25_postings(docs)
+    g = glob.collect()[0]
+    assert g["n_docs"] == 4  # empty + null dropped
+    assert g["avgdl"] == pytest.approx((9 + 9 + 9 + 9) / 4)
+    tf = {(r["doc_id"], r["term"]): r["tf"] for r in posts.collect()}
+    assert tf[(1, "the")] == 2 and tf[(3, "a")] == 2
+    dfm = {r["term"]: r["df_t"] for r in term_df.collect()}
+    assert dfm["the"] == 3 and dfm["fox"] == 2 and dfm["stock"] == 1
+
+
+def _py_ppl(docs, ref_ids, alpha=0.5):
+    """Independent bigram-LM scorer."""
+    ref = [_tok(t) for i, t in docs if i in ref_ids and t]
+    c2, c1, vocab = {}, {}, set()
+    for toks in ref:
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    v = len(vocab)
+    out = {}
+    for i, t in docs:
+        if i in ref_ids or not t:
+            continue
+        toks = _tok(t)
+        if len(toks) < 2:
+            continue
+        nlls = [
+            round(
+                -math.log(
+                    (c2.get((a, b), 0) + alpha) / (c1.get(a, 0) + alpha * v)
+                ),
+                9,
+            )
+            for a, b in zip(toks, toks[1:])
+        ]
+        avg = round(sum(nlls) / len(nlls), 6)
+        out[i] = (len(nlls), avg, round(math.exp(avg), 6))
+    return out
+
+
+def test_lm_perplexity_matches_hand_derivation(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    ref = docs.filter("doc_id <= 2")
+    score = docs.filter("doc_id > 2")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["ppl"])
+        for r in lm_perplexity(score, ref).collect()
+    }
+    expected = _py_ppl(DOCS, ref_ids={1, 2})
+    assert set(got) == set(expected) == {3, 4}
+    for k in got:
+        n_g, avg_g, ppl_g = got[k]
+        n_e, avg_e, ppl_e = expected[k]
+        assert n_g == n_e
+        assert avg_g == pytest.approx(avg_e, abs=2e-6)
+        assert ppl_g == pytest.approx(ppl_e, rel=1e-5)
+
+
+def test_lm_reference_like_text_scores_lower(spark):
+    """The CCNet signal: text drawn from the reference distribution gets
+    lower perplexity than shuffled noise over the same vocabulary."""
+    ref_rows = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(20)]
+    docs = spark.createDataFrame(
+        ref_rows
+        + [(100, "the quick brown fox jumps over the lazy dog")]
+        + [(200, "dog the over fox quick lazy brown jumps the")],
+        "doc_id long, text string",
+    )
+    ref = docs.filter("doc_id < 100")
+    out = {
+        r["doc_id"]: r["ppl"]
+        for r in lm_perplexity(docs.filter("doc_id >= 100"), ref).collect()
+    }
+    assert out[100] < out[200]
+
+
+def test_lm_train_counts(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    c2, c1, vocab = lm_train(docs.filter("doc_id = 1"))
+    assert vocab.collect()[0]["vocab_size"] == 8  # 'the' twice
+    c2m = {(r["w1"], r["w2"]): r["c2"] for r in c2.collect()}
+    assert c2m[("the", "quick")] == 1 and c2m[("the", "lazy")] == 1
+    c1m = {r["w1"]: r["c1"] for r in c1.collect()}
+    assert c1m["the"] == 2  # two bigram contexts
+    # short / empty docs produce no bigrams at all
+    single = spark.createDataFrame([(1, "word"), (2, "")], "doc_id long, text string")
+    assert lm_perplexity(single, docs).count() == 0
