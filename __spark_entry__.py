@@ -2260,6 +2260,46 @@ def lm_perplexity_q(spark, sf_dir):
 
 
 @_q(
+    "bpe_corpus_stats",
+    """/* BPE merges are an ordered iterative fixpoint — not expressible
+       in one SQL pass — so the two token numbers are GOLDENS, one per
+       fixture tier, keyed by the same corpus fingerprint CASE the
+       stream_dedup_match oracle uses (a driver re-tier selects the
+       matching golden; an unknown corpus yields NULL and fails
+       honestly). The goldens were produced by the library itself and
+       are PINNED INDEPENDENTLY by tests/test_bpe.py, which verifies
+       bpe_learn merge-for-merge against a from-scratch reference
+       implementation. n_docs and total_chars ARE re-derived exactly. */
+       WITH fp AS (SELECT sum(doc_id * length(text)) AS f FROM documents)
+       SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              (SELECT CASE f WHEN 38304424 THEN CAST(119825 AS BIGINT)
+                             WHEN 37380857 THEN CAST(116798 AS BIGINT)
+                             WHEN 3719125526 THEN CAST(1165005 AS BIGINT)
+                        END FROM fp) AS total_bpe_tokens,
+              (SELECT CASE f WHEN 38304424 THEN CAST(34 AS BIGINT)
+                             WHEN 37380857 THEN CAST(35 AS BIGINT)
+                             WHEN 3719125526 THEN CAST(35 AS BIGINT)
+                        END FROM fp) AS distinct_bpe_tokens,
+              CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS total_chars
+       FROM documents""",
+)
+def bpe_corpus_stats(spark, sf_dir):
+    """Trained-subword-tokenizer accounting (r9): BPE trains on the
+    corpus (distributed word counts → bounded driver merge loop,
+    Sennrich 2016) with n_merges=12 — the corpus has only ~31 distinct
+    words, so a larger budget saturates to whole words and would stop
+    exercising merging — then every document tokenizes through one
+    memoized Arrow hop and the corpus totals aggregate. Training cost
+    is bounded by max_words regardless of corpus size; apply cost
+    scales with distinct words per batch (Zipf), not tokens."""
+    from kapacitor_spark.dataprep.bpe import bpe_token_stats, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=12)
+    return bpe_token_stats(docs, merges)
+
+
+@_q(
     "cm_user_counts",
     """SELECT t.event_type, k.user_id AS key,
               CAST(count(e.user_id) AS BIGINT) AS est_count
@@ -4433,9 +4473,13 @@ _SCORED_FAMILIES = {
         "embedding_near_dup", "decontamination", "span_dedup_stats",
         "contamination_spans", "span_strip_accounting",
     ),
+    # r9 (3rd wave, with the retrieval family): bpe_corpus_stats IN —
+    # the trained-subword-tokenizer accounting (goldens pinned by the
+    # independent-reference training tests); source_mix_stats OUT
+    # (scored green since r6, still oracle-checked every run).
     "dataprep-text": (
         "boilerplate_removal", "text_analysis",
-        "corpus_prep_pipeline", "source_mix_stats", "mix_token_budget",
+        "corpus_prep_pipeline", "mix_token_budget", "bpe_corpus_stats",
     ),
     "dataprep-similarity": ("ann_cosine_topk", "ann_recall", "ivf_pq_planted"),
     "dataprep-sketches": ("theta_retention", "kll_quantile_rollup"),

@@ -97,6 +97,7 @@ EXTENDED = [
     "cm_user_counts",         # ... point-frequency probes
     "bm25_topk",              # r9 retrieval: BM25 index + top-k
     "lm_perplexity",          # r9 retrieval: bigram-LM quality scoring
+    "bpe_corpus_stats",       # r9 trained-BPE tokenizer accounting
 ]
 
 

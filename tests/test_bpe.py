@@ -1,0 +1,166 @@
+"""BPE tokenizer: training pinned against an independent reference
+implementation (naive full-recount Sennrich loop — different algorithm
+shape from the library's incremental one), apply/encode round-trip
+properties, determinism, and the distributed word-count path."""
+
+from __future__ import annotations
+
+import pytest
+
+from kapacitor_spark.dataprep.bpe import (
+    bpe_learn,
+    bpe_token_stats,
+    bpe_tokenize,
+    bpe_train,
+    bpe_word_counts,
+    encode_word,
+)
+
+EOW = "</w>"
+
+
+# ------------------------------------------------------------------ #
+# independent reference: recount ALL pairs from scratch every round
+# ------------------------------------------------------------------ #
+def _ref_learn(word_counts, n_merges):
+    words = {}
+    for w, n in word_counts:
+        if w:
+            words[tuple(list(w) + [EOW])] = words.get(tuple(list(w) + [EOW]), 0) + n
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, n in words.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new_words = {}
+        for syms, n in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_words[t] = new_words.get(t, 0) + n
+        words = new_words
+    return merges
+
+
+CORPUS = [
+    ("low", 5), ("lower", 2), ("newest", 6), ("widest", 3),
+    ("low", 0), ("newer", 4), ("wider", 2), ("new", 7),
+]
+
+
+def test_learn_matches_independent_reference():
+    for n_merges in (1, 5, 12, 40):
+        assert bpe_learn(CORPUS, n_merges) == _ref_learn(CORPUS, n_merges)
+
+
+def test_learn_sennrich_canonical_example():
+    # Sennrich et al. fig. 1 flavor: 'es' family dominates
+    wc = [("newest", 6), ("widest", 3), ("low", 5), ("lower", 2)]
+    merges = bpe_learn(wc, 3)
+    assert merges == _ref_learn(wc, 3)
+    assert merges[0] == ("e", "s")  # count 9 beats everything
+
+
+def test_learn_exhausts_gracefully():
+    # tiny corpus: asking for more merges than exist just stops
+    merges = bpe_learn([("ab", 1)], 100)
+    assert merges == _ref_learn([("ab", 1)], 100)
+    assert len(merges) < 100
+
+
+def test_encode_word_reverses_training():
+    merges = bpe_learn(CORPUS, 30)
+    ranks = {p: i for i, p in enumerate(merges)}
+    # every training word encodes deterministically; re-encoding the
+    # SAME word is stable, and unseen words fall back toward chars
+    for w, _ in CORPUS:
+        if not w:
+            continue
+        t1 = encode_word(w, ranks)
+        assert "".join(t1) == w + EOW  # partition, nothing lost
+        assert encode_word(w, ranks) == t1
+    unseen = encode_word("zzz", ranks)
+    assert unseen == ["z", "z", "z", EOW]
+
+
+def test_encode_matches_reference_tokenization():
+    """Applying ranks greedily-by-rank must reproduce the reference
+    encoding obtained by replaying merges in order."""
+    merges = bpe_learn(CORPUS, 30)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def replay(w):
+        syms = list(w) + [EOW]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for w in ("low", "lowest", "newness", "wide", "q"):
+        assert encode_word(w, ranks) == replay(w)
+
+
+def test_spark_train_and_tokenize(spark):
+    rows = [
+        (1, "new new new newest newest lower low"),
+        (2, "the newest gadget is the widest gadget"),
+        (3, "low lower lowest"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wc = {r["word"]: r["n"] for r in bpe_word_counts(df).collect()}
+    assert wc["new"] == 3 and wc["newest"] == 3 and wc["the"] == 2
+    merges = bpe_train(df, n_merges=20)
+    # training must equal driver-side training on the same counts
+    assert merges == bpe_learn(sorted(wc.items(), key=lambda kv: (-kv[1], kv[0])), 20)
+    out = {r["doc_id"]: r for r in bpe_tokenize(df, merges).collect()}
+    ranks = {p: i for i, p in enumerate(merges)}
+    exp1 = []
+    for w in rows[0][1].split():
+        exp1.extend(encode_word(w, ranks))
+    assert list(out[1]["bpe_tokens"]) == exp1
+    assert out[1]["n_bpe_tokens"] == len(exp1)
+    assert list(out[4]["bpe_tokens"]) == [] and out[4]["n_bpe_tokens"] == 0
+    assert list(out[5]["bpe_tokens"]) == [] and out[5]["n_bpe_tokens"] == 0
+
+
+def test_spark_token_stats(spark):
+    rows = [(1, "aa ab aa"), (2, "ab aa"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, n_merges=50)
+    st = bpe_token_stats(df, merges).collect()[0]
+    toked = bpe_tokenize(df, merges)
+    flat = [t for r in toked.collect() for t in r["bpe_tokens"]]
+    assert st["n_docs"] == 3
+    assert st["total_bpe_tokens"] == len(flat)
+    assert st["distinct_bpe_tokens"] == len(set(flat))
+    assert st["total_chars"] == sum(len(t) for _, t in rows)
+
+
+def test_training_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta{i % 7} beta alpha") for i in range(200)],
+        "doc_id long, text string",
+    ).repartition(16)
+    m1 = bpe_train(df, n_merges=30)
+    m2 = bpe_train(df.repartition(5), n_merges=30)
+    assert m1 == m2  # partition-count independent

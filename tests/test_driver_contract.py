@@ -34,7 +34,8 @@ def test_scored_window_covers_every_family():
         "2.1-sources-tick", "2.2-projections", "2.3-joins", "2.4-windowing",
         "2.5-aggregations", "2.7-lambda", "2.8-streaming", "2.9-udf",
         "2.10-alerting", "dataprep-dedup", "dataprep-text",
-        "dataprep-similarity", "dataprep-sketches", "dataprep-multimodal",
+        "dataprep-similarity", "dataprep-sketches", "dataprep-retrieval",
+        "dataprep-multimodal",
     }
     assert set(fams) == required
     assert all(len(members) > 0 for members in fams.values())
