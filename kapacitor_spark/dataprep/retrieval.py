@@ -42,7 +42,14 @@ from pyspark.sql import functions as F
 
 from kapacitor_spark.dataprep.dedup import tokenize
 
-__all__ = ["bm25_postings", "bm25_topk", "lm_train", "lm_perplexity"]
+__all__ = [
+    "bm25_postings",
+    "bm25_topk",
+    "lm_train",
+    "lm_perplexity",
+    "lm_prune",
+    "lm_score_stream",
+]
 
 
 def _tokens(text_col: str) -> "F.Column":
@@ -253,3 +260,117 @@ def lm_perplexity(
         avg_nll.alias("avg_nll"),
         F.round(F.exp(avg_nll), 6).alias("ppl"),
     )
+
+
+def lm_prune(
+    ref: DataFrame,
+    max_bigrams: int = 1_000_000,
+    max_contexts: int = 262_144,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Bounded LM ARTIFACT for continuous scoring: the top ``max_bigrams``
+    bigram counts and top ``max_contexts`` context counts by frequency
+    (deterministic tie-break on the words), plus the exact vocabulary
+    size. This is the deployment shape real pipelines use — CCNet ships
+    a FIXED KenLM artifact to its scorers rather than joining against an
+    unbounded count table — so the stream side needs no join, no state,
+    and no watermark. Pruning is the standard accuracy trade: scores are
+    identical to :func:`lm_perplexity` whenever every bigram/context a
+    document uses survives the cut (counts follow Zipf, so the head
+    covers most mass); truncated tail lookups fall back to the additive
+    prior exactly like genuinely-unseen n-grams.
+
+    Collect size is bounded by the two caps regardless of corpus size.
+    Returns ``{"c2": {(w1,w2): n}, "c1": {w1: n}, "vocab_size": V,
+    "alpha": alpha}``.
+    """
+    c2, c1, vocab = lm_train(ref, text_col=text_col, id_col=id_col)
+    c2_rows = (
+        c2.orderBy(F.col("c2").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(max_bigrams)
+        .collect()
+    )
+    c1_rows = (
+        c1.orderBy(F.col("c1").desc(), F.col("w1").asc())
+        .limit(max_contexts)
+        .collect()
+    )
+    return {
+        "c2": {(r["w1"], r["w2"]): r["c2"] for r in c2_rows},
+        "c1": {r["w1"]: r["c1"] for r in c1_rows},
+        "vocab_size": vocab.collect()[0]["vocab_size"],
+        "alpha": float(alpha),
+    }
+
+
+def lm_score_stream(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document perplexity under a pruned LM artifact — STATELESS,
+    so it runs unchanged on a batch DataFrame or an unbounded stream
+    (append mode, no watermark, no state store): tokenization stays a
+    JVM projection (the shared ``tokenize``, so normalization is
+    bit-identical to the batch path), and the score is one Arrow hop
+    with the model shipped by closure. Documents with < 2 tokens emit
+    no row (same contract as :func:`lm_perplexity`).
+
+    Numerically this mirrors the batch scorer's per-bigram round(·, 9)
+    and round-6 mean; totals accumulate as Python floats rather than
+    DECIMAL, so agreement with the batch scorer is to float tolerance
+    (~1e-9 relative), not bit-exact — the batch path is the
+    oracle-gated one.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    c2 = model["c2"]
+    c1 = model["c1"]
+    av = float(model["alpha"]) * float(model["vocab_size"])
+    alpha = float(model["alpha"])
+
+    base = df.select(
+        F.col(id_col), _tokens(text_col).alias("__toks")
+    )
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_bigrams", T.LongType()),
+            T.StructField("avg_nll", T.DoubleType()),
+            T.StructField("ppl", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        from math import exp, log
+
+        for pdf in batches:
+            ids, ns, avgs, ppls = [], [], [], []
+            for i, toks in zip(pdf.iloc[:, 0], pdf["__toks"]):
+                if toks is None or len(toks) < 2:
+                    continue
+                total = 0.0
+                n = 0
+                prev = toks[0]
+                for w in toks[1:]:
+                    total += round(
+                        -log((c2.get((prev, w), 0) + alpha) / (c1.get(prev, 0) + av)),
+                        9,
+                    )
+                    n += 1
+                    prev = w
+                avg = round(total / n, 6)
+                ids.append(i)
+                ns.append(n)
+                avgs.append(avg)
+                ppls.append(round(exp(avg), 6))
+            yield pd.DataFrame(
+                {pdf.columns[0]: ids, "n_bigrams": ns, "avg_nll": avgs, "ppl": ppls}
+            )
+
+    return base.mapInPandas(run, schema=out_schema)

@@ -164,3 +164,25 @@ def test_training_determinism(spark):
     m1 = bpe_train(df, n_merges=30)
     m2 = bpe_train(df.repartition(5), n_merges=30)
     assert m1 == m2  # partition-count independent
+
+
+# ------------------------------------------------------------------ #
+# hypothesis fuzz: incremental trainer == full-recount reference
+# ------------------------------------------------------------------ #
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abcde", min_size=1, max_size=8)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.tuples(_word, st.integers(1, 9)), min_size=1, max_size=30),
+    st.integers(1, 25),
+)
+def test_learn_fuzz_matches_reference(word_counts, n_merges):
+    """The library's incremental pair-count maintenance (retract/re-add
+    per touched word) must be indistinguishable from recounting every
+    pair from scratch each round — including duplicate words in the
+    input, ties, and merge exhaustion."""
+    assert bpe_learn(word_counts, n_merges) == _ref_learn(word_counts, n_merges)

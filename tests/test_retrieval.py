@@ -184,3 +184,68 @@ def test_lm_train_counts(spark):
     # short / empty docs produce no bigrams at all
     single = spark.createDataFrame([(1, "word"), (2, "")], "doc_id long, text string")
     assert lm_perplexity(single, docs).count() == 0
+
+
+def test_lm_prune_and_stream_scorer_match_batch(spark, tmp_path):
+    """The pruned-artifact scorer must agree with the oracle-gated batch
+    scorer (to float tolerance) when nothing was truncated, running as a
+    REAL stream across micro-batches; with an aggressive prune, truncated
+    bigrams fall back to the additive prior exactly like unseen ones."""
+    from kapacitor_spark.dataprep.retrieval import lm_prune, lm_score_stream
+
+    ref_rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)]
+    score_rows = [
+        (100, "the quick brown fox sleeps"),
+        (101, "dog over jumps quick the"),
+        (102, "single"),  # < 2 tokens: no row
+        (103, None),
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(score_rows, "doc_id long, text string")
+    model = lm_prune(ref)
+    assert model["vocab_size"] == 8
+
+    batch = {
+        r["doc_id"]: r for r in lm_perplexity(docs, ref).collect()
+    }
+    # batch semantics: stateless scorer on a plain DataFrame
+    direct = {r["doc_id"]: r for r in lm_score_stream(docs, model).collect()}
+    assert set(direct) == set(batch) == {100, 101}
+    for k in direct:
+        assert direct[k]["n_bigrams"] == batch[k]["n_bigrams"]
+        assert direct[k]["avg_nll"] == pytest.approx(batch[k]["avg_nll"], abs=2e-6)
+        assert direct[k]["ppl"] == pytest.approx(batch[k]["ppl"], rel=1e-5)
+
+    # real stream, 2 micro-batches
+    in_dir = str(tmp_path / "lm_docs_in")
+    spark.createDataFrame(score_rows[:2], "doc_id long, text string").write.parquet(in_dir)
+    spark.createDataFrame(score_rows[2:], "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(in_dir)
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        lm_score_stream(src, model)
+        .writeStream.format("memory")
+        .queryName("lmscore")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_lm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: r for r in spark.sql("SELECT * FROM lmscore").collect()
+    }
+    assert set(streamed) == {100, 101}
+    for k in streamed:
+        assert streamed[k]["avg_nll"] == direct[k]["avg_nll"]
+
+    # aggressive prune: kept head only; the tail scores as unseen
+    tiny = lm_prune(ref, max_bigrams=2, max_contexts=2)
+    assert len(tiny["c2"]) == 2 and len(tiny["c1"]) == 2
+    pruned = {r["doc_id"]: r for r in lm_score_stream(docs, tiny).collect()}
+    assert pruned[100]["avg_nll"] >= direct[100]["avg_nll"]  # lost mass, never gained
