@@ -180,15 +180,29 @@ def minhash_signature(
     min terms are built as ONE selectExpr string — plan construction is a
     single SQL parse, not hundreds of py4j round-trips.
     """
-    toks = tokenize(text_col)
-    sh = hashed_shingles(toks, shingle_k)
     # null-text docs carry no shingles and must NOT enter the signature
     # table: xxhash64 over a null token slice is a CONSTANT, so without
     # this filter every null doc gets the same signature and LSH bands
     # them all together — O(n_null^2) candidate pairs doing nothing (the
     # Jaccard verify nulls them out, but only after the join paid for
     # them). The pre-r7 explode path dropped these rows implicitly.
-    base = df.filter(F.col(text_col).isNotNull()).select(
+    #
+    # Tokens and shingle hashes each materialize in their OWN projection
+    # (r9): hashed_shingles' slice lambda re-evaluates whatever
+    # expression `tokens` is bound to PER SHINGLE (no common-
+    # subexpression elimination inside higher-order functions), so
+    # passing the inlined tokenize chain made the stage O(tokens²) per
+    # doc — measured 7.5x at sf0.1 (2.87 s → 0.38 s for the fold).
+    # CollapseProject keeps both boundaries: __toks/__sh are multi-use
+    # and non-cheap.
+    tk = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokenize(text_col).alias("__toks")
+    )
+    shd = tk.select(
+        F.col(id_col), hashed_shingles(F.col("__toks"), shingle_k).alias("__sh")
+    )
+    sh = F.col("__sh")
+    base = shd.select(
         F.col(id_col),
         F.transform(sh, lambda h: h.bitwiseAND(F.lit((1 << 61) - 1))).alias("__a"),
         F.transform(
@@ -261,9 +275,18 @@ def jaccard_pairs(
     )
     # persist: joined twice (id_a and id_b side) — avoids scanning the
     # corpus and re-shingling candidate docs a second time.
-    sets = track(df.join(F.broadcast(ids), id_col, "leftsemi").select(
-        F.col(id_col), shingles(tokenize(text_col), shingle_k).alias("sh")
-    ).persist())
+    # tokens materialize before the shingle lambda touches them (r9 —
+    # same reasoning as minhash_signature: the slice lambda re-evaluates
+    # its `tokens` expression per shingle, so inlining tokenize here was
+    # O(tokens²) per doc)
+    sets = track(
+        df.join(F.broadcast(ids), id_col, "leftsemi")
+        .select(F.col(id_col), tokenize(text_col).alias("__toks"))
+        .select(
+            F.col(id_col), shingles(F.col("__toks"), shingle_k).alias("sh")
+        )
+        .persist()
+    )
     out = (
         pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -654,11 +677,22 @@ def ngram_jaccard_dedup(
     # never materialized, and |A∪B| = |A|+|B|-|A∩B| from per-doc sizes.
     # persist: consumed by the size projection and both sides of the
     # inverted-index self-join (3 reads of the shingle computation).
-    base = track(_spread(df).select(
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        shingles(tokenize(text_col), shingle_k).alias("sh"),
-    ).persist())
+    # two-step: tokens project before the shingle lambda (r9, the
+    # minhash_signature O(tokens²) fix)
+    base = track(
+        _spread(df)
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            tokenize(text_col).alias("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            shingles(F.col("__toks"), shingle_k).alias("sh"),
+        )
+        .persist()
+    )
     sizes = base.select(F.col(id_col), *block_cols, F.size("sh").alias("n"))
     ex = base.select(F.col(id_col), *block_cols, F.explode("sh").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -748,15 +782,18 @@ def decontaminate(
     # hashed_shingles hashes the raw token SLICE — the ~8n-char gram
     # string is never materialized on either side.
     df = _spread(df)  # small corpora arrive as one split; hash on all cores
+    # tokens project before the gram lambda on BOTH sides (r9, the
+    # minhash_signature O(tokens²) fix)
     bench_grams = (
-        benchmark.select(
-            F.explode(hashed_shingles(tokenize(text_col), n)).alias("__gh")
-        )
+        benchmark.select(tokenize(text_col).alias("__toks"))
+        .select(F.explode(hashed_shingles(F.col("__toks"), n)).alias("__gh"))
         .distinct()
     )
     doc_grams = df.select(
+        F.col(id_col), tokenize(text_col).alias("__toks")
+    ).select(
         F.col(id_col),
-        F.explode(hashed_shingles(tokenize(text_col), n)).alias("__gh"),
+        F.explode(hashed_shingles(F.col("__toks"), n)).alias("__gh"),
     )
     dirty = (
         doc_grams.join(F.broadcast(bench_grams), "__gh")
@@ -796,9 +833,14 @@ def duplicated_gram_stats(
     # action erases the plan's cache mapping (substitution happens at
     # physical planning), so the 3-consumer gram stream would recompute
     # three times. release_caches() is the defined drop point.
-    grams = track(base.select(
-        F.col(id_col), F.explode(hashed_shingles(tokenize(text_col), k)).alias("__gh")
-    ).persist())
+    grams = track(
+        base.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(hashed_shingles(F.col("__toks"), k)).alias("__gh"),
+        )
+        .persist()
+    )
     dup_set = (
         grams.groupBy("__gh")
         .agg(F.count(F.lit(1)).alias("__df"))  # grams are distinct per doc
@@ -1028,9 +1070,9 @@ def contamination_spans(
     lag/cumsum window from span dedup. The corpus text never shuffles.
     """
     bench_grams = (
-        benchmark.select(
-            F.explode(hashed_shingles(tokenize(text_col), n)).alias("__gh")
-        ).distinct()
+        benchmark.select(tokenize(text_col).alias("__toks"))
+        .select(F.explode(hashed_shingles(F.col("__toks"), n)).alias("__gh"))
+        .distinct()
     )
     base = _spread(df.select(F.col(id_col), F.col(text_col)))
     pos_sh = (
