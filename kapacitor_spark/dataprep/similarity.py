@@ -687,11 +687,24 @@ def ivf_pq_topk(
     from pyspark.sql import Window
 
     def normalized(df: DataFrame, out: str) -> DataFrame:
+        # two-step projection: the divide lambda must capture __nrm as a
+        # COLUMN — capturing the aggregate expression re-evaluates the
+        # whole norm PER ELEMENT (O(dim²); see SCALE.md §higher-order
+        # lambdas). CollapseProject keeps the boundary (multi-use,
+        # non-cheap aliases).
         v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-        return df.select(
+        staged = df.select(
             F.col(id_col),
-            F.transform(v, lambda x: x / nrm).alias(out),
+            v.alias("__vd"),
+            F.sqrt(
+                F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+            ).alias("__nrm"),
+        )
+        return staged.select(
+            F.col(id_col),
+            F.transform(
+                F.col("__vd"), lambda x: x / F.col("__nrm")
+            ).alias(out),
         )
 
     corp_n = track(normalized(corpus, "__cv").persist())

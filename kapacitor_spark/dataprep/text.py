@@ -294,21 +294,33 @@ def repetition_stats(
     explode, no shuffle; one scan yields every n."""
     from kapacitor_spark.dataprep.dedup import tokenize
 
-    toks = tokenize(text_col)
+    # three-stage projection (r9): the gram lambda captures the TOKEN
+    # COLUMN (capturing inline tokenize re-evaluates it per gram —
+    # O(tokens²), SCALE.md §higher-order lambdas), and each gram array
+    # materializes once per n even though three expressions consume it.
+    toks = F.col("__toks")
+    staged = df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
 
-    def _frac(n: int):
+    def _grams(n: int):
         # NB: the transform lambda must be single-arg — a second parameter
         # (even defaulted) makes Spark pass the element INDEX into it
         cnt = F.size(toks)
         idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
-        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-        total = F.size(grams).cast("double")
-        dup = (F.size(grams) - F.size(F.array_distinct(grams))).cast("double")
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        ).alias(f"__g{n}")
+
+    gram_stage = staged.select(F.col(id_col), *[_grams(n) for n in ns])
+
+    def _frac(n: int):
+        g = F.col(f"__g{n}")
+        total = F.size(g).cast("double")
+        dup = (F.size(g) - F.size(F.array_distinct(g))).cast("double")
         return F.round(
             F.when(total > 0, dup / total).otherwise(F.lit(0.0)), 6
         ).alias(f"dup_{n}gram_frac")
 
-    return df.select(F.col(id_col), *[_frac(n) for n in ns])
+    return gram_stage.select(F.col(id_col), *[_frac(n) for n in ns])
 
 
 def pack_sequences(
