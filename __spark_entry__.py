@@ -2260,6 +2260,57 @@ def lm_perplexity_q(spark, sf_dir):
 
 
 @_q(
+    "percolate_match",
+    r"""WITH base AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+       q AS (SELECT doc_id AS query_id,
+                    list_distinct(list_slice(toks, 3, 5)) AS qt
+             FROM base
+             WHERE doc_id % 89 = 3 AND len(list_slice(toks, 3, 5)) > 0),
+       qterms AS (SELECT query_id, unnest(qt) AS term FROM q),
+       qsizes AS (SELECT query_id, count(*) AS n_terms FROM qterms
+                  GROUP BY query_id),
+       dterms AS (SELECT doc_id, unnest(list_distinct(toks)) AS term
+                  FROM base),
+       m AS (SELECT d.doc_id, t.query_id, count(*) AS matched_terms
+             FROM dterms d JOIN qterms t ON d.term = t.term
+             GROUP BY d.doc_id, t.query_id)
+       SELECT m.doc_id, m.query_id,
+              CAST(m.matched_terms AS BIGINT) AS matched_terms,
+              CAST(s.n_terms AS BIGINT) AS n_terms
+       FROM m JOIN qsizes s ON m.query_id = s.query_id
+       WHERE m.matched_terms >= ceil(1.0 * s.n_terms)""",
+)
+def percolate_match(spark, sf_dir):
+    """Reverse search / percolation (r9): stored queries — every 89th
+    document contributes tokens 3-5 of its text — matched against the
+    whole corpus with AND semantics (min_should_match=1.0): which
+    stored subscriptions fire for which documents. The stored-query
+    side broadcasts (control-plane small); documents explode to
+    distinct (id, term) pairs; overlap counting is one partial-agg'd
+    hash aggregate. Pure integer counting — the oracle re-derives it
+    exactly. The stateless streaming twin (percolate_stream, artifact
+    shipped by closure) is pinned equal to this batch form in
+    tests/test_retrieval.py across real micro-batches."""
+    from kapacitor_spark.dataprep.dedup import tokenize
+    from kapacitor_spark.dataprep.retrieval import percolate
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(tokenize("text"), lambda x: x != F.lit(""))
+    qfix = (
+        docs.filter("doc_id % 89 = 3")
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(toks, 3, 3), " ").alias("qtext"),
+        )
+        .filter(F.length("qtext") > 0)
+    )
+    return percolate(docs, qfix, min_should_match=1.0)
+
+
+@_q(
     "bpe_corpus_stats",
     """/* BPE merges are an ordered iterative fixpoint — not expressible
        in one SQL pass — so the two token numbers are GOLDENS, one per

@@ -49,6 +49,9 @@ __all__ = [
     "lm_perplexity",
     "lm_prune",
     "lm_score_stream",
+    "percolate",
+    "percolate_artifact",
+    "percolate_stream",
 ]
 
 
@@ -398,6 +401,135 @@ def lm_score_stream(
                 ppls.append(round(exp(avg), 6))
             yield pd.DataFrame(
                 {pdf.columns[0]: ids, "n_bigrams": ns, "avg_nll": avgs, "ppl": ppls}
+            )
+
+    return base.mapInPandas(run, schema=out_schema)
+
+
+def percolate(
+    docs: DataFrame,
+    queries: DataFrame,
+    min_should_match: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+) -> DataFrame:
+    """Reverse search (the percolator shape): STORED queries matched
+    against documents — "which subscriptions/alert rules fire for this
+    document" — the document-stream analog of the alert node's
+    level-lambda matching. Output: one row per (doc, query) whose
+    distinct-term overlap meets the threshold —
+    ``(doc_id, query_id, matched_terms, n_terms)`` with
+    ``matched >= ceil(min_should_match * n_terms)`` (1.0 = every query
+    term must appear — AND semantics; 0.5 = half, Lucene's
+    minimum_should_match).
+
+    Scale shape: stored queries are control-plane small (thousands), so
+    their exploded distinct terms BROADCAST; documents explode to
+    distinct (doc, term) pairs — (id, term) is all that moves — and the
+    per-(doc, query) overlap count is one partial-agg'd hash aggregate.
+    No score arithmetic, so no float concerns: the oracle re-derives
+    exactly in SQL.
+    """
+    dterms = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_tokens(text_col))).alias("term"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(_tokens(query_text_col))).alias("term"),
+    )
+    qsizes = qterms.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms")
+    )
+    matched = (
+        dterms.join(F.broadcast(qterms), "term")
+        .groupBy(id_col, query_id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("matched_terms"))
+    )
+    need = F.ceil(F.lit(float(min_should_match)) * F.col("n_terms"))
+    return (
+        matched.join(F.broadcast(qsizes), query_id_col)
+        .filter(F.col("matched_terms") >= need)
+        .select(id_col, query_id_col, "matched_terms", "n_terms")
+    )
+
+
+def percolate_artifact(
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+) -> dict:
+    """Collected form of the stored-query table for the STREAM side:
+    ``{query_id: frozenset(terms)}``. Bounded by the stored-query count
+    (control-plane data), like :func:`lm_prune`'s model artifact."""
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.array_distinct(_tokens(query_text_col)).alias("__qt"),
+    ).collect()
+    return {
+        r[query_id_col]: frozenset(r["__qt"] or [])
+        for r in qterms
+        if r["__qt"]
+    }
+
+
+def percolate_stream(
+    df: DataFrame,
+    artifact: dict,
+    min_should_match: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stateless percolation for an unbounded document stream: the
+    stored-query artifact ships by closure, tokenization stays the
+    shared JVM projection, and matching is one Arrow hop — append mode,
+    no join, no watermark, no state store (the lm_score_stream pattern).
+    Emits the same rows as :func:`percolate` (tested equal)."""
+    import math as _math
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    qsets = {k: set(v) for k, v in artifact.items()}
+    thresholds = {
+        k: _math.ceil(float(min_should_match) * len(v)) for k, v in qsets.items()
+    }
+    base = df.select(
+        F.col(id_col), F.array_distinct(_tokens(text_col)).alias("__dt")
+    )
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("query_id", T.LongType()),
+            T.StructField("matched_terms", T.LongType()),
+            T.StructField("n_terms", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, qids, ms, ns = [], [], [], []
+            for i, toks in zip(pdf.iloc[:, 0], pdf["__dt"]):
+                if toks is None or not len(toks):
+                    continue
+                ts = set(toks)
+                for q, qs in qsets.items():
+                    m = len(ts & qs)
+                    if m >= thresholds[q]:
+                        ids.append(i)
+                        qids.append(q)
+                        ms.append(m)
+                        ns.append(len(qs))
+            yield pd.DataFrame(
+                {
+                    pdf.columns[0]: ids,
+                    "query_id": qids,
+                    "matched_terms": ms,
+                    "n_terms": ns,
+                }
             )
 
     return base.mapInPandas(run, schema=out_schema)

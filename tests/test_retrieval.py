@@ -249,3 +249,84 @@ def test_lm_prune_and_stream_scorer_match_batch(spark, tmp_path):
     assert len(tiny["c2"]) == 2 and len(tiny["c1"]) == 2
     pruned = {r["doc_id"]: r for r in lm_score_stream(docs, tiny).collect()}
     assert pruned[100]["avg_nll"] >= direct[100]["avg_nll"]  # lost mass, never gained
+
+
+def test_percolate_matches_hand_check(spark):
+    from kapacitor_spark.dataprep.retrieval import percolate
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [
+            (1, "quick brown"),        # AND: docs 1, 2
+            (2, "fox dog"),            # AND: docs 1, 3
+            (3, "markets zzz"),        # AND: nothing (zzz unseen)
+            (4, "the the the"),        # distinct -> {the}: docs 1, 2, 3
+        ],
+        "query_id long, qtext string",
+    )
+    got = {
+        (r["doc_id"], r["query_id"]): (r["matched_terms"], r["n_terms"])
+        for r in percolate(docs, queries).collect()
+    }
+    assert got == {
+        (1, 1): (2, 2), (2, 1): (2, 2),
+        (1, 2): (2, 2), (3, 2): (2, 2),
+        (1, 4): (1, 1), (2, 4): (1, 1), (3, 4): (1, 1),
+    }
+    # min_should_match 0.5: "markets zzz" now fires on doc 4 (1 of 2)
+    half = {
+        (r["doc_id"], r["query_id"])
+        for r in percolate(docs, queries, min_should_match=0.5).collect()
+    }
+    assert (4, 3) in half
+
+
+def test_percolate_stream_equals_batch(spark, tmp_path):
+    from kapacitor_spark.dataprep.retrieval import (
+        percolate,
+        percolate_artifact,
+        percolate_stream,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(1, "quick brown"), (2, "fox dog"), (3, "")],
+        "query_id long, qtext string",
+    )
+    art = percolate_artifact(queries)
+    assert set(art) == {1, 2}  # empty query dropped
+    batch = {
+        (r["doc_id"], r["query_id"]): (r["matched_terms"], r["n_terms"])
+        for r in percolate(docs, queries).collect()
+    }
+    direct = {
+        (r["doc_id"], r["query_id"]): (r["matched_terms"], r["n_terms"])
+        for r in percolate_stream(docs, art).collect()
+    }
+    assert direct == batch
+
+    in_dir = str(tmp_path / "perc_in")
+    spark.createDataFrame(DOCS[:3], "doc_id long, text string").write.parquet(in_dir)
+    spark.createDataFrame(DOCS[3:], "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(in_dir)
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        percolate_stream(src, art)
+        .writeStream.format("memory")
+        .queryName("perc")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_perc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["doc_id"], r["query_id"]): (r["matched_terms"], r["n_terms"])
+        for r in spark.sql("SELECT * FROM perc").collect()
+    }
+    assert streamed == batch
