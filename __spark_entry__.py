@@ -2259,6 +2259,77 @@ def lm_perplexity_q(spark, sf_dir):
     )
 
 
+def _planted_warcs(docs: DataFrame) -> DataFrame:
+    """Planted crawl-archive corpus: non-null documents group into
+    archives of 10 (archive_id = doc_id DIV 10), each archive a REAL
+    WARC/1.0 byte stream (sources/warc.build_warc) holding one response
+    record per document — URL http://example.com/doc/<id>, fixed date,
+    UTF-8 text payload. Odd archives gzip per record (the .warc.gz
+    Common Crawl layout), even archives stay plain, so the ingest query
+    exercises both framings. Deterministic: content is a pure function
+    of the documents table."""
+    import pandas as pd
+
+    from kapacitor_spark.sources.warc import build_warc
+
+    base = docs.filter("text IS NOT NULL").select(
+        F.expr("doc_id DIV 10").alias("archive_id"), "doc_id", "text"
+    )
+
+    def make(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        aid = int(pdf["archive_id"].iloc[0])
+        recs = [
+            (
+                f"http://example.com/doc/{int(r.doc_id)}",
+                "2026-01-01T00:00:00Z",
+                str(r.text).encode("utf-8"),
+            )
+            for r in pdf.itertuples()
+        ]
+        return pd.DataFrame(
+            {
+                "archive_id": [aid],
+                "payload": [build_warc(recs, gzip_per_record=bool(aid % 2))],
+            }
+        )
+
+    return base.groupBy("archive_id").applyInPandas(
+        make, "archive_id long, payload binary"
+    )
+
+
+@_q(
+    "warc_ingest",
+    """SELECT doc_id,
+              'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+              CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+              text
+       FROM documents WHERE text IS NOT NULL""",
+)
+def warc_ingest(spark, sf_dir):
+    """Crawl-archive ingestion (r9): the documents corpus re-muxed as
+    REAL WARC/1.0 archives (10 records each; odd archives per-record
+    gzip — the Common Crawl .warc.gz convention), then extracted back
+    through the distributed record hop (sources/warc.warc_records: one
+    Arrow hop, per-archive parallel — exactly the per-.warc.gz task
+    layout of a real crawl ingest). Output re-keys each record by the
+    doc id carried in its URL and DECODES the payload, so the oracle —
+    plain SQL over the original documents — only matches if WARC
+    framing, gzip member handling, Content-Length byte math and UTF-8
+    round-tripping are all exact."""
+    from kapacitor_spark.sources.warc import warc_records
+
+    docs = _t(spark, sf_dir, "documents")
+    recs = warc_records(_planted_warcs(docs))
+    return recs.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "url",
+        "content_length",
+        F.col("content").cast("string").alias("text"),
+    )
+
+
 @_q(
     "percolate_match",
     r"""WITH base AS (SELECT doc_id,

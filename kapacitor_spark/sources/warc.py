@@ -1,0 +1,175 @@
+"""WARC (Web ARChive, ISO 28500) reader/writer — stdlib only.
+
+The ingestion front door of a web-scale training-data pipeline: crawl
+dumps (Common Crawl et al.) arrive as WARC files, and everything
+downstream (strip_html → quality filters → dedup → tokenize) consumes
+the extracted records. This module supplies:
+
+- ``build_warc(records, gzip_per_record=False) -> bytes``: WARC/1.0
+  writer — response records with WARC-Target-URI/WARC-Date headers and
+  exact Content-Length framing; optionally each record as its own gzip
+  member (the Common Crawl convention — members concatenate into one
+  seekable .warc.gz).
+- ``parse_warc(data) -> list[dict]``: the inverse — handles plain and
+  multi-member-gzip archives, strict Content-Length framing (a
+  truncated archive raises rather than yielding a short record).
+- ``warc_records(df, payload_col) -> DataFrame``: the distributed form:
+  one Arrow hop over a binary archive column, one output row per
+  record — (archive passthrough id, url, warc_date, content binary,
+  content_length). Record extraction is per-archive-independent, so it
+  parallelizes by file exactly like the real crawl layout (one task
+  per .warc.gz); downstream HTML→text is the existing JVM
+  ``strip_html`` chain, so Python touches only the framing bytes.
+
+Format per ISO 28500 / the WARC 1.0 specification (public document);
+the writer emits the minimal response-record header set and the parser
+accepts any header order and unknown headers.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+__all__ = ["build_warc", "parse_warc", "warc_records"]
+
+_CRLF = b"\r\n"
+
+
+def build_warc(
+    records: list,
+    gzip_per_record: bool = False,
+) -> bytes:
+    """Serialize ``records`` — iterable of ``(url, date_iso, payload)``
+    with ``payload: bytes`` — into a WARC/1.0 byte stream. Record IDs
+    derive from the record index (deterministic; no RNG/clock)."""
+    out = bytearray()
+    for i, (url, date_iso, payload) in enumerate(records):
+        if payload is None:
+            payload = b""
+        header = (
+            b"WARC/1.0" + _CRLF
+            + b"WARC-Type: response" + _CRLF
+            + b"WARC-Record-ID: <urn:warc:record-" + str(i).encode() + b">" + _CRLF
+            + b"WARC-Date: " + date_iso.encode() + _CRLF
+            + b"WARC-Target-URI: " + url.encode() + _CRLF
+            + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+            + _CRLF
+        )
+        rec = header + payload + _CRLF + _CRLF
+        if gzip_per_record:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)  # gzip member
+            rec = co.compress(rec) + co.flush()
+        out += rec
+    return bytes(out)
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (the .warc.gz layout)."""
+    out = bytearray()
+    rest = data
+    while rest:
+        d = zlib.decompressobj(31)
+        out += d.decompress(rest)
+        out += d.flush()
+        if not d.eof:
+            raise ValueError("warc: truncated gzip member")
+        rest = d.unused_data
+    return bytes(out)
+
+
+def parse_warc(data: bytes) -> list:
+    """Parse a WARC byte stream into records:
+    ``[{"url", "date", "type", "content"}, ...]``.
+
+    Accepts plain or multi-member-gzip input (sniffed from the magic).
+    Strict framing: short payloads or missing record terminators raise.
+    """
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record padding (the spec requires two CRLFs after
+        # the block; tolerate extras)
+        while data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        if data[pos : pos + 5] != b"WARC/":
+            raise ValueError(f"warc: expected version line at offset {pos}")
+        hdr_end = data.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            raise ValueError("warc: truncated header")
+        headers: dict[str, str] = {}
+        for line in data[pos:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode().lower()] = v.strip().decode()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError) as e:
+            raise ValueError("warc: missing/invalid Content-Length") from e
+        body_start = hdr_end + 4
+        body_end = body_start + clen
+        if body_end > n:
+            raise ValueError("warc: truncated record body")
+        records.append(
+            {
+                "url": headers.get("warc-target-uri", ""),
+                "date": headers.get("warc-date", ""),
+                "type": headers.get("warc-type", ""),
+                "content": data[body_start:body_end],
+            }
+        )
+        pos = body_end
+    return records
+
+
+def warc_records(
+    df,
+    payload_col: str = "payload",
+    id_col: str = "archive_id",
+):
+    """Distributed record extraction: one row per WARC record across
+    every archive — ``(id, url, warc_date, content binary,
+    content_length)``. One Arrow hop; archives are independent, so this
+    parallelizes per input row (= per .warc.gz file in a real crawl
+    layout)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_date", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("content_length", T.LongType()),
+        ]
+    )
+    base = df.select(id_col, payload_col)
+
+    def run(batches):
+        for pdf in batches:
+            ids, urls, dates, contents, lens = [], [], [], [], []
+            for aid, payload in zip(pdf.iloc[:, 0], pdf[payload_col]):
+                if payload is None:
+                    continue
+                for rec in parse_warc(bytes(payload)):
+                    ids.append(aid)
+                    urls.append(rec["url"])
+                    dates.append(rec["date"])
+                    contents.append(rec["content"])
+                    lens.append(len(rec["content"]))
+            yield pd.DataFrame(
+                {
+                    pdf.columns[0]: ids,
+                    "url": urls,
+                    "warc_date": dates,
+                    "content": contents,
+                    "content_length": lens,
+                }
+            )
+
+    return base.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,109 @@
+"""WARC reader/writer: roundtrip (plain + per-record gzip), framing
+strictness, foreign-archive tolerance, and the distributed extraction
+hop composing with strip_html."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from kapacitor_spark.sources.warc import build_warc, parse_warc, warc_records
+
+RECS = [
+    ("http://example.com/a", "2026-01-01T00:00:00Z", b"<html><body>Hello</body></html>"),
+    ("http://example.com/b", "2026-01-02T00:00:00Z", b""),
+    ("http://example.com/c", "2026-01-03T00:00:00Z", b"\x00\x01binary\xff"),
+]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_roundtrip(gz):
+    data = build_warc(RECS, gzip_per_record=gz)
+    if gz:
+        assert data[:2] == b"\x1f\x8b"
+    out = parse_warc(data)
+    assert [(r["url"], r["date"], r["content"]) for r in out] == RECS
+    assert all(r["type"] == "response" for r in out)
+
+
+def test_gzip_members_are_independent():
+    """Common Crawl contract: each record its own gzip member, members
+    concatenate — parsing a slice of members must work."""
+    data = build_warc(RECS, gzip_per_record=True)
+    # find the second member boundary by magic scan
+    idx = data.find(b"\x1f\x8b", 2)
+    assert idx > 0
+    first = parse_warc(data[:idx])
+    assert len(first) == 1 and first[0]["url"] == RECS[0][0]
+    rest = parse_warc(data[idx:])
+    assert [r["url"] for r in rest] == [RECS[1][0], RECS[2][0]]
+
+
+def test_truncated_raises():
+    data = build_warc(RECS)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc(data[: len(data) - 40])
+    with pytest.raises(ValueError, match="expected version"):
+        parse_warc(b"NOT A WARC" + data)
+    # truncated gzip member
+    gz = build_warc(RECS, gzip_per_record=True)
+    with pytest.raises(ValueError, match="truncated gzip"):
+        parse_warc(gz[: len(gz) - 8])
+
+
+def test_foreign_headers_and_order_tolerated():
+    raw = (
+        b"WARC/1.1\r\n"
+        b"Content-Length: 5\r\n"
+        b"X-Custom: whatever: nested colons\r\n"
+        b"WARC-Target-URI: http://x/\r\n"
+        b"WARC-Type: request\r\n"
+        b"WARC-Date: 2026-02-02T00:00:00Z\r\n"
+        b"\r\n"
+        b"hello\r\n\r\n"
+    )
+    out = parse_warc(raw)
+    assert out == [
+        {
+            "url": "http://x/",
+            "date": "2026-02-02T00:00:00Z",
+            "type": "request",
+            "content": b"hello",
+        }
+    ]
+
+
+def test_missing_content_length_raises():
+    raw = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n"
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(raw)
+
+
+def test_distributed_extraction_composes_with_strip_html(spark):
+    from kapacitor_spark.dataprep.text import strip_html
+    import pyspark.sql.functions as F
+
+    archives = [
+        (0, build_warc([
+            ("http://e/0", "2026-01-01T00:00:00Z", b"<p>doc zero</p>"),
+            ("http://e/1", "2026-01-01T00:00:00Z", b"<div>doc&amp;one</div>"),
+        ])),
+        (1, build_warc([
+            ("http://e/2", "2026-01-01T00:00:00Z", b"plain two"),
+        ], gzip_per_record=True)),
+        (2, None),  # null archive: skipped
+    ]
+    df = spark.createDataFrame(archives, "archive_id long, payload binary")
+    recs = warc_records(df)
+    got = {r["url"]: r for r in recs.collect()}
+    assert set(got) == {"http://e/0", "http://e/1", "http://e/2"}
+    assert got["http://e/1"]["content_length"] == len(b"<div>doc&amp;one</div>")
+    texts = strip_html(
+        recs.select("url", F.col("content").cast("string").alias("text")),
+        text_col="text",
+    )
+    tx = {r["url"]: r["text"] for r in texts.collect()}
+    assert tx["http://e/0"] == "doc zero"
+    assert tx["http://e/1"] == "doc&one"
+    assert tx["http://e/2"] == "plain two"
