@@ -2191,11 +2191,10 @@ def bm25_topk_q(spark, sf_dir):
     the QUERY side (tiny, broadcast); the corpus-size postings table
     sees exactly one broadcast hash join + one shuffle (the per-query
     top-k window)."""
-    from kapacitor_spark.dataprep.dedup import tokenize
-    from kapacitor_spark.dataprep.retrieval import bm25_topk
+    from kapacitor_spark.dataprep.retrieval import _tokens, bm25_topk
 
     docs = _t(spark, sf_dir, "documents")
-    toks = F.filter(tokenize("text"), lambda x: x != F.lit(""))
+    toks = _tokens("text")  # the SAME normalization the operator uses
     qfix = (
         docs.filter("doc_id % 97 = 0")
         .select(
@@ -2365,11 +2364,10 @@ def percolate_match(spark, sf_dir):
     exactly. The stateless streaming twin (percolate_stream, artifact
     shipped by closure) is pinned equal to this batch form in
     tests/test_retrieval.py across real micro-batches."""
-    from kapacitor_spark.dataprep.dedup import tokenize
-    from kapacitor_spark.dataprep.retrieval import percolate
+    from kapacitor_spark.dataprep.retrieval import _tokens, percolate
 
     docs = _t(spark, sf_dir, "documents")
-    toks = F.filter(tokenize("text"), lambda x: x != F.lit(""))
+    toks = _tokens("text")  # the SAME normalization the operator uses
     qfix = (
         docs.filter("doc_id % 89 = 3")
         .select(
@@ -4565,9 +4563,13 @@ _SCORED_FAMILIES = {
     # mix_token_budget (text), contamination_spans + span_strip_accounting
     # (dedup), image_dhash_near_dup (multimodal) in; sideload_hierarchy,
     # union_rename, first_last, batch_empty_reduce, lambda_string_fns out.
+    # r9 (4th wave): warc_ingest IN — crawl-archive ingestion is a
+    # source, and its planted-archive oracle is exact at every SF;
+    # boilerplate_removal OUT (scored green since r5, still in the
+    # full sweep).
     "2.1-sources-tick": (
         "lineprotocol_roundtrip", "batch_query_backfill", "tickscript_e2e",
-        "autoscale_decisions",
+        "autoscale_decisions", "warc_ingest",
     ),
     "2.2-projections": (
         "eval_revenue", "default_delete_shift_sample", "lambda_where_regex",
@@ -4600,7 +4602,7 @@ _SCORED_FAMILIES = {
     # independent-reference training tests); source_mix_stats OUT
     # (scored green since r6, still oracle-checked every run).
     "dataprep-text": (
-        "boilerplate_removal", "text_analysis",
+        "text_analysis",
         "corpus_prep_pipeline", "mix_token_budget", "bpe_corpus_stats",
     ),
     "dataprep-similarity": ("ann_cosine_topk", "ann_recall", "ivf_pq_planted"),

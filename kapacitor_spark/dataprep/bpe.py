@@ -224,7 +224,15 @@ def bpe_token_stats(
     (n_docs, total_bpe_tokens, distinct_bpe_tokens, total_chars) — the
     numbers a token-budget planner needs (cf. ``mix_to_token_budget``,
     which can consume n_bpe_tokens instead of its whitespace proxy)."""
-    toked = bpe_tokenize(df, merges, text_col=text_col, id_col=id_col)
+    from kapacitor_spark.dataprep.cache import track
+
+    # persisted (cache-registry tracked): the totals aggregate and the
+    # distinct-token aggregate both consume this, and the Arrow-hop
+    # BPE encode is the dominant cost — without the persist it would
+    # run twice over the corpus.
+    toked = track(
+        bpe_tokenize(df, merges, text_col=text_col, id_col=id_col).persist()
+    )
     totals = toked.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("n_bpe_tokens"), F.lit(0)).cast("long").alias(

@@ -232,9 +232,23 @@ def lm_train(
     distinct tokens anywhere in the reference (the smoothing V).
     Two hash aggregates + one distinct-count, all with map-side combine.
     """
+    from kapacitor_spark.dataprep.cache import track
+
     pairs = _bigram_rows(ref, text_col, id_col).select("w1", "w2")
-    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
-    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    # c2 is persisted (cache-registry tracked): it feeds both the c1
+    # derivation below and the scoring join, so the corpus-wide
+    # tokenize+bigram explode runs ONCE per training pass. c1 then
+    # derives from the far smaller count table — c1(w1) = Σ_w2 c2(w1,w2)
+    # exactly (every bigram occurrence contributes 1 to both), so this
+    # is identical to counting pairs directly, minus a corpus scan.
+    c2 = track(
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+        .persist()
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    # vocab keeps its own scan: single-token documents contribute no
+    # bigram but DO contribute vocabulary, so V is not derivable from c2
     vocab = (
         ref.select(F.explode(_tokens(text_col)).alias("t"))
         .agg(F.countDistinct("t").cast("long").alias("vocab_size"))
@@ -500,10 +514,18 @@ def percolate_stream(
     base = df.select(
         F.col(id_col), F.array_distinct(_tokens(text_col)).alias("__dt")
     )
+    # query-id type follows the artifact keys (string rule names are as
+    # natural as numeric ids — the batch percolate is type-agnostic, so
+    # the streaming twin must be too)
+    qid_type = (
+        T.StringType()
+        if any(isinstance(k, str) for k in qsets)
+        else T.LongType()
+    )
     out_schema = T.StructType(
         [
             df.schema[id_col],
-            T.StructField("query_id", T.LongType()),
+            T.StructField("query_id", qid_type),
             T.StructField("matched_terms", T.LongType()),
             T.StructField("n_terms", T.LongType()),
         ]

@@ -690,8 +690,12 @@ def ivf_pq_topk(
         # two-step projection: the divide lambda must capture __nrm as a
         # COLUMN — capturing the aggregate expression re-evaluates the
         # whole norm PER ELEMENT (O(dim²); see SCALE.md §higher-order
-        # lambdas). CollapseProject keeps the boundary (multi-use,
-        # non-cheap aliases).
+        # lambdas). A single-use alias is NOT enough: CollapseProject
+        # inlines it straight back into the lambda (verified on the
+        # optimized plan). The zero-norm guard below references __nrm a
+        # second time, which both keeps the projection boundary (multi-
+        # use, non-cheap) AND fixes the divide-by-zero a null/zero
+        # vector would otherwise turn into an all-NaN embedding.
         v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
         staged = df.select(
             F.col(id_col),
@@ -702,9 +706,12 @@ def ivf_pq_topk(
         )
         return staged.select(
             F.col(id_col),
-            F.transform(
-                F.col("__vd"), lambda x: x / F.col("__nrm")
-            ).alias(out),
+            F.when(
+                F.col("__nrm") > 0,
+                F.transform(F.col("__vd"), lambda x: x / F.col("__nrm")),
+            )
+            .otherwise(F.col("__vd"))
+            .alias(out),
         )
 
     corp_n = track(normalized(corpus, "__cv").persist())

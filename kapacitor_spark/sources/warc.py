@@ -113,6 +113,13 @@ def parse_warc(data: bytes) -> list:
         body_end = body_start + clen
         if body_end > n:
             raise ValueError("warc: truncated record body")
+        # the spec terminates every record block with two CRLFs — enforce
+        # it (the docstring's strict-framing contract: a writer that
+        # drops terminators must not parse cleanly)
+        if data[body_end : body_end + 4] != _CRLF + _CRLF:
+            raise ValueError(
+                f"warc: missing record terminator at offset {body_end}"
+            )
         records.append(
             {
                 "url": headers.get("warc-target-uri", ""),
