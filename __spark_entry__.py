@@ -1110,6 +1110,112 @@ def tpch_q5_local_supplier(spark, sf_dir):
     return out
 
 
+@_q(
+    "tpch_q17_small_qty",
+    """/* correlated-subquery shape, decorrelated: per-part quantity stats
+       join back to the fact rows. The avg comparison is EXACT on both
+       engines: l_quantity < 0.2*avg(q) rewrites as q*5*cnt < sum(q) —
+       quantities are integral-valued, so sums/products stay exact in
+       doubles (no division, no epsilon). */
+       WITH pa AS (SELECT p_partkey FROM part
+                   WHERE p_brand = 'Brand#4' AND p_size <= 15),
+            ag AS (SELECT l_partkey, sum(l_quantity) AS s, count(*) AS c
+                   FROM lineitem GROUP BY l_partkey)
+       SELECT CAST(count(*) AS BIGINT) AS n_small,
+              round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8)))
+                         AS DOUBLE) / 7.0, 6) AS avg_yearly
+       FROM lineitem l
+       JOIN pa ON l.l_partkey = pa.p_partkey
+       JOIN ag ON ag.l_partkey = l.l_partkey
+       WHERE l.l_quantity * 5 * ag.c < ag.s""",
+)
+def tpch_q17_small_qty(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    avg-per-part subquery decorrelates into one partial-agg'd per-part
+    aggregate joined back to the facts; the part filter broadcasts. The
+    threshold compares integer-exact cross-multiplied totals — no
+    division reaches the predicate, so Spark and DuckDB agree on every
+    boundary row."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#4") & (F.col("p_size") <= 15))
+        .select("p_partkey")
+    )
+    ag = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(ag, "l_partkey")
+        .filter(F.col("l_quantity") * 5 * F.col("c") < F.col("s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+            F.round(
+                _dsum(F.col("l_extendedprice"), "decimal(25,8)") / 7.0, 6
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+@_q(
+    "tpch_q18_large_orders",
+    """/* large-order customers: the HAVING subquery is a semi-join on the
+       aggregated fact table; quantities are integral so the threshold
+       and the re-aggregated totals are exact. LIMIT is deterministic:
+       o_orderkey (unique) breaks all ties. */
+       WITH big AS (SELECT l_orderkey FROM lineitem
+                    GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+       SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+              CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderdate,
+              round(o_totalprice, 2) AS o_totalprice,
+              CAST(sum(l_quantity) AS BIGINT) AS total_qty
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN big      ON o_orderkey = big.l_orderkey
+       JOIN lineitem ON o_orderkey = lineitem.l_orderkey
+       GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+       ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+       LIMIT 100""",
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): the qualifying-order set is
+    one partial-agg'd HAVING aggregate that semi-joins the facts; the
+    customer dim broadcasts; the final top-100 is a TakeOrdered with a
+    unique tie-break (o_orderkey), so the LIMIT selects the same rows on
+    any engine and any partitioning."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 250)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(big, "l_orderkey")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
 # ===================================================================== #
 # §2.10 alert
 # ===================================================================== #
