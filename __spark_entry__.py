@@ -2436,6 +2436,93 @@ def warc_ingest(spark, sf_dir):
 
 
 @_q(
+    "url_canonical",
+    r"""WITH s AS (SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.COM:443/Path/' || CAST(doc_id AS VARCHAR)
+                       || '?utm_source=x&b=2&a=1#frag'
+           WHEN 1 THEN 'http://site' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.org:8080/p?z=1&utm_campaign=c&y='
+                       || CAST(doc_id % 4 AS VARCHAR)
+           ELSE 'ftp://Files.Example.com/' || CAST(doc_id AS VARCHAR)
+         END AS url FROM documents),
+       p AS (SELECT doc_id, url,
+         lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+             AS scheme,
+         regexp_replace(lower(regexp_extract(url,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)), '^www\.', '')
+             AS host,
+         regexp_extract(url,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]+:([0-9]+)', 1) AS port,
+         regexp_extract(url,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+         regexp_extract(url, '\?([^#]*)', 1) AS query
+       FROM s),
+       q AS (SELECT *,
+             /* coalesce: DuckDB's array_to_string over an EMPTY list is
+                NULL (Spark's array_join is ''), which would null the
+                whole concatenated canon for query-less URLs */
+             coalesce(array_to_string(list_sort(list_filter(
+               string_split(query, '&'),
+               x -> x <> '' AND NOT regexp_matches(x,
+                   '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&'), '') AS qnorm
+             FROM p)
+       SELECT doc_id, url,
+         scheme || '://' || host ||
+         (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                    OR (scheme = 'https' AND port = '443')
+               THEN '' ELSE ':' || port END) ||
+         (CASE WHEN path = '' THEN '/' ELSE path END) ||
+         (CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END) AS canon,
+         host
+       FROM q""",
+)
+def url_canonical(spark, sf_dir):
+    """URL canonicalization (r9): deterministic messy URLs synthesized
+    from doc_id (mixed-case scheme/host, www prefix, default and
+    non-default ports, tracking params, unsorted query, fragment) are
+    normalized by the column-expression chain in dataprep/urls.py —
+    the FIRST dedup pass of a crawl pipeline. The oracle re-derives
+    both the synthesis and the full normalization with the SAME
+    regexes (deliberately lookahead-free so Java regex and RE2 agree),
+    so scheme/host lowering, www/port/fragment stripping, tracking
+    removal and query-param sorting must all match byte-for-byte."""
+    from kapacitor_spark.dataprep.urls import canonical_url, url_host
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Example"), (d % 7).cast("string"),
+                F.lit(".COM:443/Path/"), d.cast("string"),
+                F.lit("?utm_source=x&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit("http://site"), (d % 5).cast("string"),
+                F.lit(".org:8080/p?z=1&utm_campaign=c&y="),
+                (d % 4).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("ftp://Files.Example.com/"), d.cast("string"))
+        )
+    )
+    base = docs.select("doc_id", url.alias("url"))
+    return base.select(
+        "doc_id",
+        "url",
+        canonical_url().alias("canon"),
+        url_host().alias("host"),
+    )
+
+
+@_q(
     "percolate_match",
     r"""WITH base AS (SELECT doc_id,
                   list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -1,0 +1,68 @@
+"""URL canonicalization: hand-pinned forms, idempotence, and the
+host-level dedup accounting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kapacitor_spark.dataprep.urls import canonical_url, url_dedup_stats, url_host
+
+CASES = [
+    # (input, canonical, host)
+    ("HTTPS://WWW.Example.COM:443/Path/x?utm_source=a&b=2&a=1#frag",
+     "https://example.com/Path/x?a=1&b=2", "example.com"),
+    ("http://site.org:80/", "http://site.org/", "site.org"),
+    ("http://site.org:8080/p?z=1&y=2", "http://site.org:8080/p?y=2&z=1",
+     "site.org"),
+    ("https://a.b.c", "https://a.b.c/", "a.b.c"),
+    ("http://x.io/p?utm_campaign=c&fbclid=1&gclid=2", "http://x.io/p", "x.io"),
+    # only the utm_* FAMILY is tracking — bare "utm" and "utming" are
+    # ordinary params and survive
+    ("http://x.io/p?utming=ok&utm_x=dropped&utm=kept",
+     "http://x.io/p?utm=kept&utming=ok", "x.io"),
+    ("ftp://Files.Example.com:21/f", "ftp://files.example.com:21/f",
+     "files.example.com"),
+    ("not a url", None, ""),
+    (None, None, ""),
+]
+
+
+def test_canonical_forms(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(CASES)], "doc_id long, url string"
+    )
+    out = {
+        r["doc_id"]: (r["canon"], r["host"])
+        for r in df.select(
+            "doc_id",
+            canonical_url().alias("canon"),
+            F.coalesce(url_host(), F.lit("")).alias("host"),
+        ).collect()
+    }
+    for i, (_, canon, host) in enumerate(CASES):
+        assert out[i] == (canon, host), f"case {i}"
+
+
+def test_canonicalization_is_idempotent(spark):
+    urls = [(i, u) for i, (u, _, _) in enumerate(CASES) if u and "://" in u]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    once = df.select("doc_id", canonical_url().alias("url"))
+    twice = once.select("doc_id", canonical_url().alias("url"))
+    assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def test_url_dedup_stats(spark):
+    rows = [
+        (1, "http://A.com/x?utm_source=1"),
+        (2, "http://a.com:80/x"),            # same canonical as 1
+        (3, "http://a.com/y"),
+        (4, "https://b.org/"),
+        (5, "garbage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    stats = {r["host"]: r for r in url_dedup_stats(df).collect()}
+    assert stats["a.com"]["n_pages"] == 3
+    assert stats["a.com"]["n_canonical"] == 2
+    assert stats["a.com"]["n_url_dups"] == 1
+    assert stats["b.org"]["n_pages"] == 1 and stats["b.org"]["n_url_dups"] == 0
+    assert stats[""]["n_pages"] == 1 and stats[""]["n_canonical"] == 0
