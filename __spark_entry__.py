@@ -2435,6 +2435,107 @@ def warc_ingest(spark, sf_dir):
     )
 
 
+def _planted_web_warcs(docs: DataFrame) -> DataFrame:
+    """Planted WEB crawl: like _planted_warcs, but each record is an
+    HTML page (heading + paragraph + script/style/comment noise around
+    the document text) under a MESSY url (mixed case, www, default
+    port, tracking params, fragment) — the raw-crawl shape the full
+    ingest pipeline has to clean."""
+    import pandas as pd
+
+    from kapacitor_spark.sources.warc import build_warc
+
+    base = docs.filter("text IS NOT NULL").select(
+        F.expr("doc_id DIV 10").alias("archive_id"), "doc_id", "text"
+    )
+
+    def make(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        aid = int(pdf["archive_id"].iloc[0])
+        recs = []
+        for r in pdf.itertuples():
+            i = int(r.doc_id)
+            url = (
+                f"HTTPS://WWW.Host{i % 7}.COM:443/d/{i}"
+                "?utm_source=x&b=2&a=1#f"
+            )
+            html = (
+                "<h1>H</h1><p>" + str(r.text) + "</p>"
+                "<style>p{}</style><script>var x = 1;</script><!-- c -->"
+            )
+            recs.append((url, "2026-01-01T00:00:00Z", html.encode("utf-8")))
+        return pd.DataFrame(
+            {
+                "archive_id": [aid],
+                "payload": [build_warc(recs, gzip_per_record=bool(aid % 2))],
+            }
+        )
+
+    return base.groupBy("archive_id").applyInPandas(
+        make, "archive_id long, payload binary"
+    )
+
+
+@_q(
+    "web_corpus_pipeline",
+    r"""/* closed-form end-to-end: the planted crawl wraps each document
+       as HTML under a messy URL, so WARC framing + gzip members +
+       UTF-8 + strip_html + URL canonicalization + tokenization +
+       fingerprinting must ALL round-trip for these derived values to
+       match. (documents are verified plain — no tags/newlines — so
+       strip_html's output is 'H' + newline + space-collapsed text.) */
+       WITH t AS (SELECT doc_id,
+                         trim(regexp_replace(text, ' +', ' ', 'g')) AS clean
+                  FROM documents WHERE text IS NOT NULL),
+            k AS (SELECT doc_id, clean,
+                         list_sort(list_distinct(['h'] || list_filter(
+                             string_split_regex(lower(clean), '\s+'),
+                             x -> x <> ''))) AS bag
+                  FROM t)
+       SELECT doc_id,
+              'host' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+              'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.com/d/'
+                  || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS canon,
+              CAST(1 + CASE WHEN clean = '' THEN 0
+                       ELSE len(list_filter(string_split_regex(
+                                lower(clean), '\s+'), x -> x <> ''))
+                       END AS BIGINT) AS n_tokens,
+              md5(array_to_string(bag, ' ')) AS fp
+       FROM k""",
+)
+def web_corpus_pipeline(spark, sf_dir):
+    """The composed ingest flagship (r9): planted WARC/warc.gz crawl
+    archives of HTML pages → distributed record extraction → UTF-8
+    decode → JVM strip_html → URL canonicalization + host → token count
+    + bag-of-words fingerprint (the exact-dedup key). Every stage is
+    individually oracled elsewhere (warc_ingest, html_strip,
+    url_canonical, dedup_exact_fp); this row proves they COMPOSE — one
+    pipeline from raw crawl bytes to dedup-ready, source-attributed
+    documents, with Python touching only WARC framing bytes."""
+    from kapacitor_spark.dataprep.dedup import tokenize
+    from kapacitor_spark.dataprep.text import strip_html
+    from kapacitor_spark.dataprep.retrieval import _tokens
+    from kapacitor_spark.dataprep.urls import canonical_url, url_host
+    from kapacitor_spark.sources.warc import warc_records
+
+    docs = _t(spark, sf_dir, "documents")
+    recs = warc_records(_planted_web_warcs(docs))
+    pages = recs.select(
+        F.regexp_extract("url", r"/d/([0-9]+)", 1).cast("long").alias("doc_id"),
+        "url",
+        F.col("content").cast("string").alias("text"),
+    )
+    stripped = strip_html(pages)
+    bag = F.array_sort(F.array_distinct(tokenize("text")))
+    return stripped.select(
+        "doc_id",
+        url_host("url").alias("host"),
+        canonical_url("url").alias("canon"),
+        F.size(_tokens("text")).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", bag)).alias("fp"),
+    )
+
+
 @_q(
     "url_canonical",
     r"""WITH s AS (SELECT doc_id,
@@ -4794,8 +4895,12 @@ _SCORED_FAMILIES = {
     # the trained-subword-tokenizer accounting (goldens pinned by the
     # independent-reference training tests); source_mix_stats OUT
     # (scored green since r6, still oracle-checked every run).
+    # r9 (5th wave): web_corpus_pipeline IN — the composed ingest
+    # flagship (WARC -> strip_html -> URL canonical -> fingerprint,
+    # closed-form oracle); text_analysis OUT (scored green since r3,
+    # still in the full sweep).
     "dataprep-text": (
-        "text_analysis",
+        "web_corpus_pipeline",
         "corpus_prep_pipeline", "mix_token_budget", "bpe_corpus_stats",
     ),
     "dataprep-similarity": ("ann_cosine_topk", "ann_recall", "ivf_pq_planted"),
