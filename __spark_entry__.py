@@ -2364,15 +2364,14 @@ def lm_perplexity_q(spark, sf_dir):
     )
 
 
-def _planted_warcs(docs: DataFrame) -> DataFrame:
-    """Planted crawl-archive corpus: non-null documents group into
+def _planted_warc_archives(docs: DataFrame, record_of) -> DataFrame:
+    """Shared planted-archive scaffolding: non-null documents group into
     archives of 10 (archive_id = doc_id DIV 10), each archive a REAL
-    WARC/1.0 byte stream (sources/warc.build_warc) holding one response
-    record per document — URL http://example.com/doc/<id>, fixed date,
-    UTF-8 text payload. Odd archives gzip per record (the .warc.gz
-    Common Crawl layout), even archives stay plain, so the ingest query
-    exercises both framings. Deterministic: content is a pure function
-    of the documents table."""
+    WARC/1.0 byte stream (sources/warc.build_warc); odd archives gzip
+    per record (the .warc.gz Common Crawl layout), even stay plain, so
+    consumers exercise both framings. ``record_of(doc_id, text) ->
+    (url, payload_bytes)`` decides the per-record content. Deterministic:
+    a pure function of the documents table."""
     import pandas as pd
 
     from kapacitor_spark.sources.warc import build_warc
@@ -2384,14 +2383,10 @@ def _planted_warcs(docs: DataFrame) -> DataFrame:
     def make(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("doc_id")
         aid = int(pdf["archive_id"].iloc[0])
-        recs = [
-            (
-                f"http://example.com/doc/{int(r.doc_id)}",
-                "2026-01-01T00:00:00Z",
-                str(r.text).encode("utf-8"),
-            )
-            for r in pdf.itertuples()
-        ]
+        recs = []
+        for r in pdf.itertuples():
+            url, payload = record_of(int(r.doc_id), str(r.text))
+            recs.append((url, "2026-01-01T00:00:00Z", payload))
         return pd.DataFrame(
             {
                 "archive_id": [aid],
@@ -2402,6 +2397,16 @@ def _planted_warcs(docs: DataFrame) -> DataFrame:
     return base.groupBy("archive_id").applyInPandas(
         make, "archive_id long, payload binary"
     )
+
+
+def _planted_warcs(docs: DataFrame) -> DataFrame:
+    """Plain planted crawl: one response record per document — URL
+    http://example.com/doc/<id>, raw UTF-8 text payload."""
+
+    def rec(doc_id: int, text: str):
+        return f"http://example.com/doc/{doc_id}", text.encode("utf-8")
+
+    return _planted_warc_archives(docs, rec)
 
 
 @_q(
@@ -2441,39 +2446,19 @@ def _planted_web_warcs(docs: DataFrame) -> DataFrame:
     the document text) under a MESSY url (mixed case, www, default
     port, tracking params, fragment) — the raw-crawl shape the full
     ingest pipeline has to clean."""
-    import pandas as pd
 
-    from kapacitor_spark.sources.warc import build_warc
-
-    base = docs.filter("text IS NOT NULL").select(
-        F.expr("doc_id DIV 10").alias("archive_id"), "doc_id", "text"
-    )
-
-    def make(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("doc_id")
-        aid = int(pdf["archive_id"].iloc[0])
-        recs = []
-        for r in pdf.itertuples():
-            i = int(r.doc_id)
-            url = (
-                f"HTTPS://WWW.Host{i % 7}.COM:443/d/{i}"
-                "?utm_source=x&b=2&a=1#f"
-            )
-            html = (
-                "<h1>H</h1><p>" + str(r.text) + "</p>"
-                "<style>p{}</style><script>var x = 1;</script><!-- c -->"
-            )
-            recs.append((url, "2026-01-01T00:00:00Z", html.encode("utf-8")))
-        return pd.DataFrame(
-            {
-                "archive_id": [aid],
-                "payload": [build_warc(recs, gzip_per_record=bool(aid % 2))],
-            }
+    def rec(doc_id: int, text: str):
+        url = (
+            f"HTTPS://WWW.Host{doc_id % 7}.COM:443/d/{doc_id}"
+            "?utm_source=x&b=2&a=1#f"
         )
+        html = (
+            "<h1>H</h1><p>" + text + "</p>"
+            "<style>p{}</style><script>var x = 1;</script><!-- c -->"
+        )
+        return url, html.encode("utf-8")
 
-    return base.groupBy("archive_id").applyInPandas(
-        make, "archive_id long, payload binary"
-    )
+    return _planted_warc_archives(docs, rec)
 
 
 @_q(
@@ -2548,18 +2533,23 @@ def web_corpus_pipeline(spark, sf_dir):
                        || CAST(doc_id % 4 AS VARCHAR)
            ELSE 'ftp://Files.Example.com/' || CAST(doc_id AS VARCHAR)
          END AS url FROM documents),
-       p AS (SELECT doc_id, url,
-         lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+       p0 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS base
+              FROM s),
+       p1 AS (SELECT *,
+         lower(regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
              AS scheme,
-         regexp_replace(lower(regexp_extract(url,
-             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)), '^www\.', '')
-             AS host,
-         regexp_extract(url,
-             '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]+:([0-9]+)', 1) AS port,
-         regexp_extract(url,
+         regexp_replace(regexp_extract(base,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', '')
+             AS hostport,
+         regexp_extract(base,
              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
-         regexp_extract(url, '\?([^#]*)', 1) AS query
-       FROM s),
+         regexp_extract(base, '\?(.*)$', 1) AS query
+       FROM p0),
+       p AS (SELECT *,
+         regexp_replace(lower(regexp_extract(hostport, '^([^:]+)', 1)),
+                        '^www\.', '') AS host,
+         regexp_extract(hostport, '^[^:]+:([0-9]+)$', 1) AS port
+       FROM p1),
        q AS (SELECT *,
              /* coalesce: DuckDB's array_to_string over an EMPTY list is
                 NULL (Spark's array_join is ''), which would null the

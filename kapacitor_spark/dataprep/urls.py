@@ -31,27 +31,47 @@ from pyspark.sql import functions as F
 __all__ = ["canonical_url", "url_host", "url_dedup_stats"]
 
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
-_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)"
-_PORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]+:([0-9]+)"
+_AUTH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
 _TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid)(=|$)"
+# host[:port] after userinfo removal — anchored end-to-end so a
+# malformed port ('8080abc') fails the WHOLE authority instead of
+# silently truncating; bracketed IPv6 literals also fail here and
+# quarantine as NULL (documented)
+_HOSTPORT_OK_RE = r"^[^:@]+(:[0-9]+)?$"
+
+
+def _parts(url_col: str):
+    u = F.col(url_col)
+    base = F.regexp_replace(u, r"#.*", "")  # fragment dropped FIRST —
+    # a '?' inside the fragment must not leak into the query
+    scheme = F.lower(F.regexp_extract(base, _SCHEME_RE, 1))
+    auth = F.regexp_extract(base, _AUTH_RE, 1)
+    # userinfo stripped: credentials never belong in a canonical/dedup
+    # key, and 'user@blocked.com' must attribute to blocked.com
+    hostport = F.regexp_replace(auth, r"^[^@]*@", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, r"^([^:]+)", 1)), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r"^[^:]+:([0-9]+)$", 1)
+    valid = (scheme != "") & (host != "") & hostport.rlike(_HOSTPORT_OK_RE)
+    return base, scheme, host, port, valid
 
 
 def url_host(url_col: str = "url") -> "F.Column":
-    """Lowercased host with any leading ``www.`` stripped."""
-    host = F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
-    return F.regexp_replace(host, r"^www\.", "")
+    """Lowercased host (userinfo and port stripped, leading ``www.``
+    dropped); '' when the URL has no parseable authority."""
+    _, _, host, _, valid = _parts(url_col)
+    return F.when(valid, host).otherwise(F.lit(""))
 
 
 def canonical_url(url_col: str = "url") -> "F.Column":
-    """The canonical form (module docstring); NULL when unparseable."""
-    u = F.col(url_col)
-    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
-    host = url_host(url_col)
-    port = F.regexp_extract(u, _PORT_RE, 1)
-    path = F.regexp_extract(u, _PATH_RE, 1)
-    query = F.regexp_extract(u, _QUERY_RE, 1)
+    """The canonical form (module docstring); NULL when unparseable —
+    including malformed ports and bracketed IPv6 authorities, which
+    quarantine rather than acquire an invented identity."""
+    base, scheme, host, port, valid = _parts(url_col)
+    path = F.regexp_extract(base, _PATH_RE, 1)
+    query = F.regexp_extract(base, r"\?(.*)$", 1)
     keep = F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
@@ -72,7 +92,7 @@ def canonical_url(url_col: str = "url") -> "F.Column":
         pathpart,
         F.when(qnorm == "", F.lit("")).otherwise(F.concat(F.lit("?"), qnorm)),
     )
-    return F.when((scheme != "") & (host != ""), canon)
+    return F.when(valid, canon)
 
 
 def url_dedup_stats(
