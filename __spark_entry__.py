@@ -2125,6 +2125,46 @@ def sketch_rollup_distinct(spark, sf_dir):
 
 
 @_q(
+    "mg_heavy_hitters",
+    """/* exact regime: k=2048 >= distinct user_ids at every fixture SF
+       (15/150/1500), so each bucket summary IS its count table, merges
+       stay exact, and max_undercount is 0 — the oracle recomputes the
+       true top-5 per event_type directly. Estimation-regime behavior
+       (undercount bounds, dominant-key survival) is property-tested in
+       tests/test_property_dataprep.py. */
+       WITH c AS (SELECT event_type, user_id, count(*) AS n
+                  FROM events GROUP BY event_type, user_id),
+            r AS (SELECT event_type, user_id, n,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY n DESC, user_id ASC)
+                             AS rank
+                  FROM c)
+       SELECT event_type, CAST(rank AS BIGINT) AS rank,
+              CAST(user_id AS BIGINT) AS key,
+              CAST(n AS BIGINT) AS est_count,
+              CAST(0 AS BIGINT) AS max_undercount
+       FROM r WHERE rank <= 5""",
+)
+def mg_heavy_hitters(spark, sf_dir):
+    """Frequent-items rollup (r9): daily Misra-Gries summaries per
+    event_type over events, merged across ALL days for the top-5 users
+    per type — the heavy-hitters member of the sketch family (top keys
+    over any bucket union, reading only the rollup table). The
+    corpus-scale step is exact map-side-combined counting; only the
+    per-bucket count table (rows ∝ distinct keys) enters the Python
+    compression hop. k=2048 keeps every fixture tier in the exact
+    regime, so est_count equals the true count and the oracle is plain
+    SQL."""
+    from kapacitor_spark.dataprep.sketches import mg_rollup, mg_topn_over
+
+    ev = _t(spark, sf_dir, "events")
+    roll = mg_rollup(
+        ev, every="1 day", dims=("event_type",), key_col="user_id", k=2048
+    )
+    return mg_topn_over(roll, dims=("event_type",), n=5)
+
+
+@_q(
     "theta_retention",
     """WITH d AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
                          AS day, user_id FROM events),

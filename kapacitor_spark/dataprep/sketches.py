@@ -80,6 +80,8 @@ __all__ = [
     "kll_quantiles_over",
     "cm_rollup",
     "cm_counts_over",
+    "mg_rollup",
+    "mg_topn_over",
 ]
 
 
@@ -349,4 +351,134 @@ def cm_counts_over(
         rollup.withColumn("__g", F.lit(1))
         .groupBy("__g")
         .applyInPandas(est_group, out_schema)
+    )
+
+
+def mg_rollup(
+    df: DataFrame,
+    time_col: str = "ts",
+    every: str = "1 day",
+    dims: tuple = (),
+    key_col: str = "user_id",
+    k: int = 2048,
+) -> DataFrame:
+    """Bucketed Misra-Gries frequent-items rollup — the heavy-hitters
+    member of the sketch family (top keys over ANY union of buckets
+    without rescanning the raw table): (bucket, *dims, n_rows, mg
+    struct<keys array<long>, counts array<long>, err long>).
+
+    The corpus-scale step is EXACT Spark aggregation — one map-side-
+    combining count per (bucket, dims, key) — and only the per-bucket
+    COUNT TABLE (rows ∝ distinct keys, not events) enters the Python
+    compression hop, which applies the standard mergeable-summaries
+    compress (Agarwal et al.): keep the k largest, subtract the
+    (k+1)-th count, record it in ``err``. While a bucket's distinct
+    keys ≤ k the summary IS the exact count table (err=0); merged
+    summaries stay exact while the UNION of keys fits k. Beyond that,
+    every reported count is an undercount by at most the summary's
+    ``err`` (the published MG bound: Σ errors ≤ N/(k+1)-scaled).
+    Integral keys only — pre-hash other types, as with cm_rollup."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    field = df.schema[key_col].dataType.typeName()
+    if field not in ("byte", "short", "integer", "long"):
+        raise ValueError(
+            f"mg_rollup needs an integral key column, got {field} — "
+            "pre-hash other types to BIGINT explicitly"
+        )
+    bucket = F.window(F.col(time_col), every).start.alias("bucket")
+    counts = (
+        df.groupBy(bucket, *[F.col(d) for d in dims], F.col(key_col).cast("long").alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    out_schema = T.StructType(
+        [counts.schema["bucket"]]
+        + [counts.schema[d] for d in dims]
+        + [
+            T.StructField("n_rows", T.LongType()),
+            T.StructField(
+                "mg",
+                T.StructType(
+                    [
+                        T.StructField("keys", T.ArrayType(T.LongType())),
+                        T.StructField("counts", T.ArrayType(T.LongType())),
+                        T.StructField("err", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def compress(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["__c", "__k"], ascending=[False, True])
+        ks = pdf["__k"].to_list()
+        cs = pdf["__c"].to_list()
+        err = 0
+        if len(ks) > k:
+            t = cs[k]  # the (k+1)-th largest
+            ks, cs = ks[:k], [c - t for c in cs[:k]]
+            keep = [(a, b) for a, b in zip(ks, cs) if b > 0]
+            ks, cs = [a for a, _ in keep], [b for _, b in keep]
+            err = t
+        head = {c: [pdf[c].iloc[0]] for c in ["bucket", *dims]}
+        head["n_rows"] = [int(pdf["__c"].sum())]
+        head["mg"] = [{"keys": ks, "counts": cs, "err": err}]
+        return pd.DataFrame(head)
+
+    return counts.groupBy("bucket", *[F.col(d) for d in dims]).applyInPandas(
+        compress, out_schema
+    )
+
+
+def mg_topn_over(
+    rollup: DataFrame,
+    dims: tuple = (),
+    n: int = 10,
+) -> DataFrame:
+    """Heavy hitters over ANY grouping of stored MG summaries: per
+    group, summaries merge (counts sum per key; if the union exceeds k
+    the merge re-compresses, errors add) and the top ``n`` emit —
+    (dims..., rank, key, est_count, max_undercount). Deterministic:
+    ties break on key ascending. est_count == true count whenever
+    max_undercount is 0 (the exact regime)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [rollup.schema[d] for d in dims]
+        + [
+            T.StructField("rank", T.LongType()),
+            T.StructField("key", T.LongType()),
+            T.StructField("est_count", T.LongType()),
+            T.StructField("max_undercount", T.LongType()),
+        ]
+    )
+
+    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        total: dict[int, int] = {}
+        err = 0
+        kcap = 0
+        for mg in pdf["mg"]:
+            ks, cs = list(mg["keys"]), list(mg["counts"])
+            kcap = max(kcap, len(ks))
+            err += int(mg["err"])
+            for a, b in zip(ks, cs):
+                total[int(a)] = total.get(int(a), 0) + int(b)
+        items = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+        out = {d: [pdf[d].iloc[0]] * len(items) for d in dims}
+        out["rank"] = list(range(1, len(items) + 1))
+        out["key"] = [a for a, _ in items]
+        out["est_count"] = [b for _, b in items]
+        out["max_undercount"] = [err] * len(items)
+        return pd.DataFrame(out)
+
+    if dims:
+        return rollup.groupBy(*[F.col(d) for d in dims]).applyInPandas(
+            merge, out_schema
+        )
+    return (
+        rollup.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(merge, out_schema)
     )

@@ -447,3 +447,17 @@ def test_lm_perplexity_partial_counts_no_python(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert plan.count("partial_count") >= 2
+
+
+def test_mg_rollup_counts_before_python(spark):
+    """The heavy-hitters rollup must aggregate exactly JVM-side (map-side
+    partial counts before the exchange) and feed only the per-bucket
+    COUNT TABLE into the Python compression hop — never raw events."""
+    from kapacitor_spark.dataprep.sketches import mg_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = mg_rollup(ev, dims=("event_type",))._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan
+    # exactly one Python hop (the compression), downstream of the agg
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan

@@ -509,3 +509,61 @@ def test_minhash_identical_text_collapse_equivalence(spark, texts, dup_class):
         )
         em = {r["doc_id"]: r["keeper"] for r in near_dup_clusters(em_src).collect()}
         assert all(cm[n] == em[n] for n in em)
+
+
+def test_mg_rollup_exact_regime_and_bounds(spark):
+    """Misra-Gries heavy hitters: with k >= distinct keys the merged
+    summary IS the exact count table (err 0); with a tiny k every
+    reported count is an undercount by at most the recorded err, and
+    every key whose true count exceeds the summed err survives."""
+    import datetime
+
+    from kapacitor_spark.dataprep.sketches import mg_rollup, mg_topn_over
+
+    rows = []
+    t0 = datetime.datetime(2026, 1, 1)
+    # skewed: key 1 dominates, then 2, ... across 4 days
+    for day in range(4):
+        for key, reps in ((1, 50), (2, 30), (3, 10), (4 + day, 5), (100 + day, 1)):
+            for r in range(reps):
+                rows.append((t0 + datetime.timedelta(days=day, seconds=r), int(key)))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    truth = {}
+    for _, k_ in rows:
+        truth[k_] = truth.get(k_, 0) + 1
+
+    # exact regime
+    roll = mg_rollup(df, every="1 day", k=64)
+    top = mg_topn_over(roll, n=100).collect()
+    got = {r["key"]: r["est_count"] for r in top}
+    assert all(r["max_undercount"] == 0 for r in top)
+    assert got == truth
+    # deterministic ordering: count desc, key asc
+    ranked = [(r["rank"], r["key"]) for r in sorted(top, key=lambda r: r["rank"])]
+    expect = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [k for _, k in ranked] == [k for k, _ in expect]
+
+    # estimation regime: k=3 per bucket
+    roll3 = mg_rollup(df, every="1 day", k=3)
+    top3 = mg_topn_over(roll3, n=100).collect()
+    err = top3[0]["max_undercount"]
+    assert err > 0
+    est = {r["key"]: r["est_count"] for r in top3}
+    for k_, c in est.items():
+        assert c <= truth[k_]  # never overcounts
+        assert truth[k_] - c <= err  # within the recorded bound
+    # the dominant keys must survive compression
+    assert 1 in est and 2 in est
+    assert est[1] >= truth[1] - err
+
+
+def test_mg_rollup_rejects_non_integral_keys(spark):
+    from kapacitor_spark.dataprep.sketches import mg_rollup
+
+    df = spark.createDataFrame([("2026-01-01 00:00:00", "s")],
+                               "ts string, user_id string").selectExpr(
+        "CAST(ts AS TIMESTAMP) ts", "user_id")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="integral"):
+        mg_rollup(df)
