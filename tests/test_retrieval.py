@@ -330,3 +330,55 @@ def test_percolate_stream_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM perc").collect()
     }
     assert streamed == batch
+
+
+def test_percolate_stream_rule_updates_across_batches(spark, tmp_path):
+    """Operational shape: the stored-query set CHANGES while the document
+    stream runs. foreachBatch re-collects the artifact each micro-batch
+    (control-plane small), so later batches match against updated rules —
+    the percolator analog of the dedup corpus-update composition."""
+    from kapacitor_spark.dataprep.retrieval import (
+        percolate_artifact,
+        percolate_stream,
+    )
+
+    rules_path = tmp_path / "rules"
+    spark.createDataFrame(
+        [(1, "quick brown")], "query_id long, qtext string"
+    ).write.parquet(str(rules_path))
+
+    in_dir = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        [(10, "the quick brown fox")], "doc_id long, text string"
+    ).write.parquet(in_dir)
+    spark.createDataFrame(
+        [(11, "stock markets fell")], "doc_id long, text string"
+    ).write.mode("append").parquet(in_dir)
+
+    seen = []
+
+    def on_batch(batch_df, batch_id):
+        art = percolate_artifact(spark.read.parquet(str(rules_path)))
+        rows = percolate_stream(batch_df, art).collect()
+        seen.extend((r["doc_id"], r["query_id"]) for r in rows)
+        # after the first batch, a NEW rule deploys
+        if batch_id == 0:
+            spark.createDataFrame(
+                [(2, "markets fell")], "query_id long, qtext string"
+            ).write.mode("append").parquet(str(rules_path))
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ck_rules"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert (10, 1) in seen            # batch 0 matches the original rule
+    assert (11, 2) in seen            # batch 1 matches the rule deployed mid-stream
+    assert (11, 1) not in seen

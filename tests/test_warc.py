@@ -107,3 +107,53 @@ def test_distributed_extraction_composes_with_strip_html(spark):
     assert tx["http://e/0"] == "doc zero"
     assert tx["http://e/1"] == "doc&one"
     assert tx["http://e/2"] == "plain two"
+
+
+def test_streaming_warc_ingest(spark, tmp_path):
+    """The real crawl-ingest shape: .warc/.warc.gz files LAND over time
+    (binaryFile streaming source, one archive per file) and records
+    extract + HTML-strip per micro-batch — warc_records is stateless, so
+    it runs unchanged on the unbounded stream."""
+    import pyspark.sql.functions as F
+
+    from kapacitor_spark.dataprep.text import strip_html
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "a0.warc").write_bytes(
+        build_warc([("http://e/0", "2026-01-01T00:00:00Z", b"<p>zero</p>")])
+    )
+    (land / "a1.warc.gz").write_bytes(
+        build_warc(
+            [
+                ("http://e/1", "2026-01-01T00:00:00Z", b"<p>one</p>"),
+                ("http://e/2", "2026-01-01T00:00:00Z", b"two"),
+            ],
+            gzip_per_record=True,
+        )
+    )
+    src = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(land))
+        .select(F.col("path").alias("archive_id"), F.col("content").alias("payload"))
+    )
+    recs = warc_records(src, id_col="archive_id")
+    texts = strip_html(
+        recs.select("url", F.col("content").cast("string").alias("text"))
+    )
+    q = (
+        texts.writeStream.format("memory")
+        .queryName("warcstream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_warc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["url"]: r["text"]
+        for r in spark.sql("SELECT * FROM warcstream").collect()
+    }
+    assert got == {"http://e/0": "zero", "http://e/1": "one", "http://e/2": "two"}
