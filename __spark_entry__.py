@@ -2125,6 +2125,37 @@ def sketch_rollup_distinct(spark, sf_dir):
 
 
 @_q(
+    "readability_scores",
+    r"""WITH t AS (SELECT doc_id, text,
+                  CAST(len(list_filter(string_split_regex(lower(trim(text)),
+                       '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+                  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS BIGINT) AS n_sentences,
+                  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       AS BIGINT) AS n_syllables
+           FROM documents)
+       SELECT doc_id, n_words, n_sentences, n_syllables,
+              CASE WHEN n_words > 0 THEN
+                round(0.39 * (CAST(n_words AS DOUBLE)
+                              / CAST(n_sentences AS DOUBLE))
+                      + 11.8 * (CAST(n_syllables AS DOUBLE)
+                                / CAST(n_words AS DOUBLE)) - 15.59, 6)
+              END AS fk_grade
+       FROM t""",
+)
+def readability_scores(spark, sf_dir):
+    """Flesch-Kincaid readability (r9) over the documents corpus — the
+    classic difficulty heuristic as a corpus quality filter, computed
+    entirely as engine-portable column expressions (vowel-group
+    syllable proxy, sentence-punctuation runs floored at 1). The oracle
+    re-derives every count and the grade formula with the same
+    regexes."""
+    from kapacitor_spark.dataprep.text import readability
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "mg_heavy_hitters",
     """/* exact regime: k=2048 >= distinct user_ids at every fixture SF
        (15/150/1500), so each bucket summary IS its count table, merges

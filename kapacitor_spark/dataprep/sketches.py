@@ -460,10 +460,8 @@ def mg_topn_over(
     def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
         total: dict[int, int] = {}
         err = 0
-        kcap = 0
         for mg in pdf["mg"]:
             ks, cs = list(mg["keys"]), list(mg["counts"])
-            kcap = max(kcap, len(ks))
             err += int(mg["err"])
             for a, b in zip(ks, cs):
                 total[int(a)] = total.get(int(a), 0) + int(b)

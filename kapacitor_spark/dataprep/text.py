@@ -13,7 +13,7 @@ __all__ = [
     "token_stats", "quality_score", "lang_id", "doc_fingerprint",
     "analysis_suite", "remove_boilerplate_paragraphs", "scrub_pii",
     "repetition_stats", "pack_sequences", "deterministic_sample",
-    "strip_html", "source_mix_stats",
+    "strip_html", "source_mix_stats", "readability",
 ]
 
 # tiny built-in stopword list for the quality heuristic (public knowledge)
@@ -537,4 +537,48 @@ def mix_to_token_budget(
         df.filter(chosen)
         .withColumn("epoch", F.explode(epochs))
         .withColumn("epoch", F.col("epoch").cast("long"))
+    )
+
+
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch-Kincaid-style readability signals per document — the
+    classic pedagogical-difficulty heuristic used as a corpus quality
+    filter alongside :func:`quality_score`. Pure column expressions
+    (engine-portable regexes, no lookahead), so the oracle re-derives
+    them exactly:
+
+    - ``n_words``: whitespace tokens (shared normalization)
+    - ``n_sentences``: runs of ``.!?`` (floored at 1 — fragments count
+      as one sentence)
+    - ``n_syllables``: vowel-group count over the lowercased text (the
+      standard cheap syllable proxy; word boundaries already break
+      groups, so the text-level count equals the per-word sum)
+    - ``fk_grade`` = 0.39·(words/sentences) + 11.8·(syllables/words)
+      − 15.59, rounded to 6 (NULL for empty documents)
+
+    Zero Python, zero shuffles — a projection riding the scan."""
+    from kapacitor_spark.dataprep.dedup import tokenize
+
+    toks = F.filter(tokenize(text_col), lambda x: x != F.lit(""))
+    words = F.size(toks).cast("long")
+    sentences = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    syllables = F.regexp_count(
+        F.lower(F.col(text_col)), F.lit(r"[aeiouy]+")
+    ).cast("long")
+    grade = F.round(
+        F.lit(0.39) * (words.cast("double") / sentences.cast("double"))
+        + F.lit(11.8) * (syllables.cast("double") / words.cast("double"))
+        - F.lit(15.59),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.when(words > 0, grade).alias("fk_grade"),
     )

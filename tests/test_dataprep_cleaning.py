@@ -651,3 +651,23 @@ def test_chunk_documents_window_semantics(spark):
     assert not any(d in (3, 4) for d, _ in out)
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, window_tokens=4, overlap_tokens=4)
+
+
+def test_readability_hand_computed(spark):
+    from kapacitor_spark.dataprep.text import readability
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),   # 6 words, 2 sentences, 6 vowel groups
+        (2, "no punctuation here"),          # 3 words, 1 sentence (floor)
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in readability(df).collect()}
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (6, 2, 6)
+    expect = round(0.39 * (6 / 2) + 11.8 * (6 / 6) - 15.59, 6)
+    assert abs(r1["fk_grade"] - expect) < 1e-9
+    assert out[2]["n_sentences"] == 1
+    assert out[3]["fk_grade"] is None  # empty doc: no grade
+    print("null-text row:", dict(out[4].asDict()))
