@@ -48,6 +48,9 @@ def _run(spark, name: str) -> None:
         "image_phash_near_dup",   # DCT-hash signature cache
         "ann_recall",             # exact-topk cache
         "span_dedup_stats",       # deliberately persist-free (still checked)
+        "bm25_topk",              # r9: persisted postings index
+        "lm_perplexity",          # r9: persisted bigram count table
+        "bpe_corpus_stats",       # r9: persisted tokenized output
     ],
 )
 def test_registry_query_caches_release_to_baseline(spark, name):

@@ -157,3 +157,30 @@ def test_streaming_warc_ingest(spark, tmp_path):
         for r in spark.sql("SELECT * FROM warcstream").collect()
     }
     assert got == {"http://e/0": "zero", "http://e/1": "one", "http://e/2": "two"}
+
+
+# ------------------------------------------------------------------ #
+# hypothesis fuzz: arbitrary records round-trip through both framings
+# ------------------------------------------------------------------ #
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_payload = st.binary(max_size=200)
+_url = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789:/.-_", min_size=1, max_size=40
+).map(lambda s: "http://" + s)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.tuples(_url, st.just("2026-01-01T00:00:00Z"), _payload),
+             min_size=0, max_size=8),
+    st.booleans(),
+)
+def test_warc_roundtrip_fuzz(records, gz):
+    """Any record list — including empty payloads, binary bytes that
+    contain CRLF/WARC-like sequences, and zero records — must round-trip
+    exactly through both the plain and per-record-gzip framings."""
+    data = build_warc(records, gzip_per_record=gz)
+    out = parse_warc(data)
+    assert [(r["url"], r["date"], r["content"]) for r in out] == records
