@@ -48,6 +48,9 @@ __all__ = [
     "bpe_tokenize",
     "bpe_token_stats",
     "encode_word",
+    "bpe_alphabet",
+    "bpe_vocab",
+    "bpe_encode_ids",
 ]
 
 _EOW = "</w>"  # Sennrich end-of-word marker
@@ -250,3 +253,90 @@ def bpe_token_stats(
     )
     # three 1-row aggregates; the joins are trivially broadcast
     return totals.crossJoin(F.broadcast(distinct)).crossJoin(F.broadcast(chars))
+
+
+def bpe_alphabet(df: DataFrame, text_col: str = "text") -> list[str]:
+    """Distinct single characters across all corpus words — the base
+    vocabulary (one distributed distinct over exploded token chars;
+    collect size bounded by the character set, not the corpus)."""
+    toks = F.filter(tokenize(text_col), lambda x: x != F.lit(""))
+    rows = (
+        df.select(F.explode(toks).alias("__w"))
+        .select(F.explode(F.split(F.col("__w"), "")).alias("__ch"))
+        .filter(F.col("__ch") != "")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["__ch"] for r in rows)
+
+
+def bpe_vocab(merges: list[tuple[str, str]], alphabet: list[str]) -> dict[str, int]:
+    """Token → id table: every reachable BPE token is a base character,
+    the end-of-word marker, or the result of a merge — nothing else can
+    appear in :func:`encode_word` output over in-alphabet text. Sorted
+    for a deterministic id assignment."""
+    vocab = set(alphabet) | {_EOW} | {a + b for a, b in merges}
+    return {tok: i for i, tok in enumerate(sorted(vocab))}
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = -1,
+) -> DataFrame:
+    """(id, token_ids array<long>, n_bpe_tokens, n_oov) per document —
+    the model-ready integer form (compose with pack_sequences for the
+    text → ids → packed-shards path). Same memoized Arrow hop as
+    bpe_tokenize; tokens outside the vocabulary (characters unseen at
+    training time surface as single-char fallbacks) map to ``oov_id``
+    and are counted, never silently dropped."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    base = df.select(
+        F.col(id_col),
+        F.filter(tokenize(text_col), lambda x: x != F.lit("")).alias("__w"),
+    )
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("token_ids", T.ArrayType(T.LongType())),
+            T.StructField("n_bpe_tokens", T.LongType()),
+            T.StructField("n_oov", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        memo: dict[str, list[int]] = {}
+
+        def enc(words):
+            if words is None:
+                return [], 0
+            ids: list[int] = []
+            oov = 0
+            for w in words:
+                t = memo.get(w)
+                if t is None:
+                    t = [vocab.get(s, oov_id) for s in encode_word(w, ranks)]
+                    memo[w] = t
+                ids.extend(t)
+            oov = sum(1 for i in ids if i == oov_id)
+            return ids, oov
+
+        for pdf in batches:
+            encoded = [enc(ws) for ws in pdf["__w"]]
+            yield pd.DataFrame(
+                {
+                    pdf.columns[0]: pdf.iloc[:, 0],
+                    "token_ids": [e[0] for e in encoded],
+                    "n_bpe_tokens": [len(e[0]) for e in encoded],
+                    "n_oov": [e[1] for e in encoded],
+                }
+            )
+
+    return base.mapInPandas(run, schema=out_schema)

@@ -186,3 +186,48 @@ def test_learn_fuzz_matches_reference(word_counts, n_merges):
     pair from scratch each round — including duplicate words in the
     input, ties, and merge exhaustion."""
     assert bpe_learn(word_counts, n_merges) == _ref_learn(word_counts, n_merges)
+
+
+def test_vocab_closure_and_id_encoding(spark):
+    from kapacitor_spark.dataprep.bpe import (
+        bpe_alphabet,
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+
+    rows = [
+        (1, "new newest lower low"),
+        (2, "the newest gadget"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, n_merges=25)
+    alphabet = bpe_alphabet(df)
+    assert "e" in alphabet and " " not in alphabet
+    vocab = bpe_vocab(merges, alphabet)
+    # closure: every token bpe_tokenize emits over this corpus has an id
+    toks = bpe_tokenize(df, merges)
+    all_tokens = {t for r in toks.collect() for t in r["bpe_tokens"]}
+    assert all_tokens <= set(vocab)
+    # ids decode back to exactly the same token stream
+    inv = {i: t for t, i in vocab.items()}
+    ids = {r["doc_id"]: r for r in bpe_encode_ids(df, merges, vocab).collect()}
+    strs = {r["doc_id"]: list(r["bpe_tokens"]) for r in toks.collect()}
+    for d in (1, 2, 3):
+        assert [inv[i] for i in ids[d]["token_ids"]] == strs[d]
+        assert ids[d]["n_oov"] == 0
+        assert ids[d]["n_bpe_tokens"] == len(strs[d])
+
+
+def test_oov_characters_counted_not_dropped(spark):
+    from kapacitor_spark.dataprep.bpe import bpe_encode_ids, bpe_vocab
+
+    train = spark.createDataFrame([(1, "abc abd")], "doc_id long, text string")
+    merges = bpe_train(train, n_merges=10)
+    vocab = bpe_vocab(merges, ["a", "b", "c", "d"])
+    # 'z' was never in the alphabet: its single-char fallback is OOV
+    score = spark.createDataFrame([(9, "abz")], "doc_id long, text string")
+    r = bpe_encode_ids(score, merges, vocab).collect()[0]
+    assert r["n_oov"] == 1
+    assert -1 in list(r["token_ids"])
+    assert r["n_bpe_tokens"] == len(list(r["token_ids"]))
