@@ -2368,10 +2368,11 @@ def bm25_topk_q(spark, sf_dir):
     the QUERY side (tiny, broadcast); the corpus-size postings table
     sees exactly one broadcast hash join + one shuffle (the per-query
     top-k window)."""
-    from kapacitor_spark.dataprep.retrieval import _tokens, bm25_topk
+    from kapacitor_spark.dataprep.dedup import nonempty_tokens
+    from kapacitor_spark.dataprep.retrieval import bm25_topk
 
     docs = _t(spark, sf_dir, "documents")
-    toks = _tokens("text")  # the SAME normalization the operator uses
+    toks = nonempty_tokens("text")  # the SAME normalization the operator uses
     qfix = (
         docs.filter("doc_id % 97 = 0")
         .select(
@@ -2568,9 +2569,8 @@ def web_corpus_pipeline(spark, sf_dir):
     url_canonical, dedup_exact_fp); this row proves they COMPOSE — one
     pipeline from raw crawl bytes to dedup-ready, source-attributed
     documents, with Python touching only WARC framing bytes."""
-    from kapacitor_spark.dataprep.dedup import tokenize
+    from kapacitor_spark.dataprep.dedup import nonempty_tokens, tokenize
     from kapacitor_spark.dataprep.text import strip_html
-    from kapacitor_spark.dataprep.retrieval import _tokens
     from kapacitor_spark.dataprep.urls import canonical_url, url_host
     from kapacitor_spark.sources.warc import warc_records
 
@@ -2587,7 +2587,7 @@ def web_corpus_pipeline(spark, sf_dir):
         "doc_id",
         url_host("url").alias("host"),
         canonical_url("url").alias("canon"),
-        F.size(_tokens("text")).cast("long").alias("n_tokens"),
+        F.size(nonempty_tokens("text")).cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", bag)).alias("fp"),
     )
 
@@ -2719,10 +2719,11 @@ def percolate_match(spark, sf_dir):
     exactly. The stateless streaming twin (percolate_stream, artifact
     shipped by closure) is pinned equal to this batch form in
     tests/test_retrieval.py across real micro-batches."""
-    from kapacitor_spark.dataprep.retrieval import _tokens, percolate
+    from kapacitor_spark.dataprep.dedup import nonempty_tokens
+    from kapacitor_spark.dataprep.retrieval import percolate
 
     docs = _t(spark, sf_dir, "documents")
-    toks = _tokens("text")  # the SAME normalization the operator uses
+    toks = nonempty_tokens("text")  # the SAME normalization the operator uses
     qfix = (
         docs.filter("doc_id % 89 = 3")
         .select(

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kapacitor_spark.dataprep.dedup import tokenize
+from kapacitor_spark.dataprep.dedup import nonempty_tokens
 
 __all__ = [
     "bpe_word_counts",
@@ -64,7 +64,7 @@ def bpe_word_counts(
     One explode → partial-agg'd count; the rank-limit pushes a partial
     TakeOrdered below the final ordering, so only ~max_words rows per
     partition move."""
-    toks = F.filter(tokenize(text_col), lambda x: x != F.lit(""))
+    toks = nonempty_tokens(text_col)
     return (
         df.select(F.explode(toks).alias("word"))
         .groupBy("word")
@@ -161,15 +161,13 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
-def bpe_tokenize(
-    df: DataFrame,
-    merges: list[tuple[str, str]],
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """(id, bpe_tokens array<string>, n_bpe_tokens) per document — one
-    Arrow hop, merge ranks shipped by closure, per-distinct-word memo
-    per batch (Python cost ∝ distinct words, not tokens)."""
+def _bpe_hop(df, merges, text_col, id_col, extra_fields, finish):
+    """Shared Arrow hop for the BPE apply family: tokenize JVM-side,
+    ship merge ranks by closure, memoize per DISTINCT word per batch
+    (Python cost follows the Zipf head, not token count), and let
+    ``finish(tok_lists) -> dict[col, values]`` shape the outputs.
+    Arrow hands list<string> cells as numpy object arrays — hence the
+    explicit None test instead of ``words or []``."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -177,22 +175,14 @@ def bpe_tokenize(
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     base = df.select(
         F.col(id_col),
-        F.filter(tokenize(text_col), lambda x: x != F.lit("")).alias("__w"),
+        nonempty_tokens(text_col).alias("__w"),
     )
-    out_schema = T.StructType(
-        [
-            df.schema[id_col],
-            T.StructField("bpe_tokens", T.ArrayType(T.StringType())),
-            T.StructField("n_bpe_tokens", T.LongType()),
-        ]
-    )
+    out_schema = T.StructType([df.schema[id_col]] + extra_fields)
 
     def run(batches):
         memo: dict[str, list[str]] = {}
 
         def enc(words) -> list[str]:
-            # Arrow hands list<string> cells as numpy object arrays;
-            # `words or []` would raise on them, hence the None test
             if words is None:
                 return []
             out: list[str] = []
@@ -206,15 +196,37 @@ def bpe_tokenize(
 
         for pdf in batches:
             toks = [enc(ws) for ws in pdf["__w"]]
-            yield pd.DataFrame(
-                {
-                    pdf.columns[0]: pdf.iloc[:, 0],
-                    "bpe_tokens": toks,
-                    "n_bpe_tokens": [len(t) for t in toks],
-                }
-            )
+            cols = {pdf.columns[0]: pdf.iloc[:, 0]}
+            cols.update(finish(toks))
+            yield pd.DataFrame(cols)
 
     return base.mapInPandas(run, schema=out_schema)
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, bpe_tokens array<string>, n_bpe_tokens) per document — one
+    memoized Arrow hop (see :func:`_bpe_hop`)."""
+    from pyspark.sql import types as T
+
+    return _bpe_hop(
+        df,
+        merges,
+        text_col,
+        id_col,
+        [
+            T.StructField("bpe_tokens", T.ArrayType(T.StringType())),
+            T.StructField("n_bpe_tokens", T.LongType()),
+        ],
+        lambda toks: {
+            "bpe_tokens": toks,
+            "n_bpe_tokens": [len(t) for t in toks],
+        },
+    )
 
 
 def bpe_token_stats(
@@ -259,7 +271,7 @@ def bpe_alphabet(df: DataFrame, text_col: str = "text") -> list[str]:
     """Distinct single characters across all corpus words — the base
     vocabulary (one distributed distinct over exploded token chars;
     collect size bounded by the character set, not the corpus)."""
-    toks = F.filter(tokenize(text_col), lambda x: x != F.lit(""))
+    toks = nonempty_tokens(text_col)
     rows = (
         df.select(F.explode(toks).alias("__w"))
         .select(F.explode(F.split(F.col("__w"), "")).alias("__ch"))
@@ -289,54 +301,29 @@ def bpe_encode_ids(
 ) -> DataFrame:
     """(id, token_ids array<long>, n_bpe_tokens, n_oov) per document —
     the model-ready integer form (compose with pack_sequences for the
-    text → ids → packed-shards path). Same memoized Arrow hop as
-    bpe_tokenize; tokens outside the vocabulary (characters unseen at
-    training time surface as single-char fallbacks) map to ``oov_id``
-    and are counted, never silently dropped."""
-    import pandas as pd
-
+    text → ids → packed-shards path). Same memoized hop as
+    :func:`bpe_tokenize`; tokens outside the vocabulary (characters
+    unseen at training time surface as single-char fallbacks) map to
+    ``oov_id`` and are counted, never silently dropped."""
     from pyspark.sql import types as T
 
-    ranks = {tuple(p): i for i, p in enumerate(merges)}
-    base = df.select(
-        F.col(id_col),
-        F.filter(tokenize(text_col), lambda x: x != F.lit("")).alias("__w"),
-    )
-    out_schema = T.StructType(
+    def finish(tok_lists):
+        ids = [[vocab.get(s, oov_id) for s in toks] for toks in tok_lists]
+        return {
+            "token_ids": ids,
+            "n_bpe_tokens": [len(t) for t in ids],
+            "n_oov": [sum(1 for i in t if i == oov_id) for t in ids],
+        }
+
+    return _bpe_hop(
+        df,
+        merges,
+        text_col,
+        id_col,
         [
-            df.schema[id_col],
             T.StructField("token_ids", T.ArrayType(T.LongType())),
             T.StructField("n_bpe_tokens", T.LongType()),
             T.StructField("n_oov", T.LongType()),
-        ]
+        ],
+        finish,
     )
-
-    def run(batches):
-        memo: dict[str, list[int]] = {}
-
-        def enc(words):
-            if words is None:
-                return [], 0
-            ids: list[int] = []
-            oov = 0
-            for w in words:
-                t = memo.get(w)
-                if t is None:
-                    t = [vocab.get(s, oov_id) for s in encode_word(w, ranks)]
-                    memo[w] = t
-                ids.extend(t)
-            oov = sum(1 for i in ids if i == oov_id)
-            return ids, oov
-
-        for pdf in batches:
-            encoded = [enc(ws) for ws in pdf["__w"]]
-            yield pd.DataFrame(
-                {
-                    pdf.columns[0]: pdf.iloc[:, 0],
-                    "token_ids": [e[0] for e in encoded],
-                    "n_bpe_tokens": [len(e[0]) for e in encoded],
-                    "n_oov": [e[1] for e in encoded],
-                }
-            )
-
-    return base.mapInPandas(run, schema=out_schema)

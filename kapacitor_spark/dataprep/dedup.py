@@ -42,6 +42,7 @@ __all__ = [
     "simhash",
     "simhash_near_dup",
     "simhash_band_expr",
+    "nonempty_tokens",
     "signature_classes",
     "ngram_jaccard_dedup",
     "embedding_near_dup",
@@ -104,6 +105,15 @@ def _spread(df: DataFrame) -> DataFrame:
 def tokenize(text_col: str = "text") -> "F.Column":
     """Lowercased whitespace tokens — the shared normalization step."""
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def nonempty_tokens(text_col: str = "text") -> "F.Column":
+    """:func:`tokenize` with empty tokens filtered — the SHARED
+    non-empty normalization (retrieval, BPE, readability, chunking and
+    the registry fixtures all consume THIS expression; a normalization
+    change must happen here, once, or their token streams and the
+    DuckDB oracles silently diverge)."""
+    return F.filter(tokenize(text_col), lambda x: x != F.lit(""))
 
 
 def shingles(tokens: "F.Column", k: int = 3) -> "F.Column":

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kapacitor_spark.dataprep.dedup import tokenize
+from kapacitor_spark.dataprep.dedup import nonempty_tokens, tokenize
 
 __all__ = [
     "bm25_postings",
@@ -56,8 +56,9 @@ __all__ = [
 
 
 def _tokens(text_col: str) -> "F.Column":
-    """Non-empty lowercased whitespace tokens (shared normalization)."""
-    return F.filter(tokenize(text_col), lambda x: x != F.lit(""))
+    """Alias for the shared :func:`dedup.nonempty_tokens` (kept for the
+    module's internal call sites and the registry fixtures)."""
+    return nonempty_tokens(text_col)
 
 
 def bm25_postings(
@@ -341,9 +342,20 @@ def lm_prune(
         .limit(max_contexts)
         .collect()
     )
+    c1_map = {r["w1"]: r["c1"] for r in c1_rows}
+    # CONSISTENCY over coverage: a bigram whose context was pruned from
+    # c1 must not survive in c2 — the scorer would compute
+    # p = (c2 + α)/(0 + αV), which can exceed 1 (negative NLL), making
+    # junk containing that bigram score BETTER than reference text and
+    # inverting the filter. Dropping the orphan bigram makes it fall
+    # back to the additive prior exactly like a genuinely-unseen one,
+    # and keeps every retained probability a true probability.
+    c2_map = {
+        (r["w1"], r["w2"]): r["c2"] for r in c2_rows if r["w1"] in c1_map
+    }
     return {
-        "c2": {(r["w1"], r["w2"]): r["c2"] for r in c2_rows},
-        "c1": {r["w1"]: r["c1"] for r in c1_rows},
+        "c2": c2_map,
+        "c1": c1_map,
         "vocab_size": vocab.collect()[0]["vocab_size"],
         "alpha": float(alpha),
     }
@@ -508,8 +520,13 @@ def percolate_stream(
     from pyspark.sql import types as T
 
     qsets = {k: set(v) for k, v in artifact.items()}
+    # floor at 1: batch percolate's inner join already requires >= 1
+    # shared term even at min_should_match=0, and a 0 threshold here
+    # would emit every (doc, query) pair — an O(docs x queries) row
+    # explosion on an unbounded stream
     thresholds = {
-        k: _math.ceil(float(min_should_match) * len(v)) for k, v in qsets.items()
+        k: max(1, _math.ceil(float(min_should_match) * len(v)))
+        for k, v in qsets.items()
     }
     base = df.select(
         F.col(id_col), F.array_distinct(_tokens(text_col)).alias("__dt")

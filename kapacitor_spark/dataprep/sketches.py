@@ -389,8 +389,12 @@ def mg_rollup(
             "pre-hash other types to BIGINT explicitly"
         )
     bucket = F.window(F.col(time_col), every).start.alias("bucket")
+    # NULL keys are skipped, matching count_min_sketch's aggregate
+    # semantics (a NULL group would otherwise surface as NaN in the
+    # pandas hop and fail the Arrow array<long> conversion)
     counts = (
-        df.groupBy(bucket, *[F.col(d) for d in dims], F.col(key_col).cast("long").alias("__k"))
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(bucket, *[F.col(d) for d in dims], F.col(key_col).cast("long").alias("__k"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
     out_schema = T.StructType(

@@ -559,9 +559,9 @@ def readability(
       − 15.59, rounded to 6 (NULL for empty documents)
 
     Zero Python, zero shuffles — a projection riding the scan."""
-    from kapacitor_spark.dataprep.dedup import tokenize
+    from kapacitor_spark.dataprep.dedup import nonempty_tokens
 
-    toks = F.filter(tokenize(text_col), lambda x: x != F.lit(""))
+    toks = nonempty_tokens(text_col)
     words = F.size(toks).cast("long")
     sentences = F.greatest(
         F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)

@@ -54,7 +54,17 @@ def _parts(url_col: str):
         F.lower(F.regexp_extract(hostport, r"^([^:]+)", 1)), r"^www\.", ""
     )
     port = F.regexp_extract(hostport, r"^[^:]+:([0-9]+)$", 1)
-    valid = (scheme != "") & (host != "") & hostport.rlike(_HOSTPORT_OK_RE)
+    # CR/LF-bearing strings quarantine outright: Java's '$'/'.' treat a
+    # trailing newline differently from RE2's, so a newline URL would
+    # canonicalize DIFFERENTLY on Spark vs an RE2-engine oracle — and a
+    # raw newline is never legal in a URL anyway (crawl garbage /
+    # header-injection artifacts)
+    valid = (
+        (scheme != "")
+        & (host != "")
+        & hostport.rlike(_HOSTPORT_OK_RE)
+        & ~u.rlike("[\r\n]")
+    )
     return base, scheme, host, port, valid
 
 

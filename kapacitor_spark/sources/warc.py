@@ -69,8 +69,11 @@ def _gunzip_members(data: bytes) -> bytes:
     rest = data
     while rest:
         d = zlib.decompressobj(31)
-        out += d.decompress(rest)
-        out += d.flush()
+        try:
+            out += d.decompress(rest)
+            out += d.flush()
+        except zlib.error as e:  # corrupt member: keep the ValueError contract
+            raise ValueError(f"warc: corrupt gzip member ({e})") from e
         if not d.eof:
             raise ValueError("warc: truncated gzip member")
         rest = d.unused_data
@@ -102,9 +105,12 @@ def parse_warc(data: bytes) -> list:
         if hdr_end < 0:
             raise ValueError("warc: truncated header")
         headers: dict[str, str] = {}
-        for line in data[pos:hdr_end].split(_CRLF)[1:]:
-            k, _, v = line.partition(b":")
-            headers[k.strip().decode().lower()] = v.strip().decode()
+        try:
+            for line in data[pos:hdr_end].split(_CRLF)[1:]:
+                k, _, v = line.partition(b":")
+                headers[k.strip().decode().lower()] = v.strip().decode()
+        except UnicodeDecodeError as e:  # keep the ValueError contract
+            raise ValueError("warc: non-UTF8 header bytes") from e
         try:
             clen = int(headers["content-length"])
         except (KeyError, ValueError) as e:

@@ -244,9 +244,17 @@ def test_lm_prune_and_stream_scorer_match_batch(spark, tmp_path):
     for k in streamed:
         assert streamed[k]["avg_nll"] == direct[k]["avg_nll"]
 
-    # aggressive prune: kept head only; the tail scores as unseen
+    # aggressive prune: kept head only; the tail scores as unseen.
+    # CONSISTENCY invariant: a kept bigram whose context was pruned from
+    # c1 must be dropped too — p=(c2+a)/(0+aV) would exceed 1 (negative
+    # NLL) and invert the quality filter — so every retained probability
+    # is a true probability.
     tiny = lm_prune(ref, max_bigrams=2, max_contexts=2)
-    assert len(tiny["c2"]) == 2 and len(tiny["c1"]) == 2
+    assert len(tiny["c1"]) == 2
+    assert all(w1 in tiny["c1"] for (w1, _w2) in tiny["c2"])
+    a, v = tiny["alpha"], tiny["vocab_size"]
+    for (w1, w2), c2 in tiny["c2"].items():
+        assert (c2 + a) / (tiny["c1"][w1] + a * v) <= 1.0
     pruned = {r["doc_id"]: r for r in lm_score_stream(docs, tiny).collect()}
     assert pruned[100]["avg_nll"] >= direct[100]["avg_nll"]  # lost mass, never gained
 
