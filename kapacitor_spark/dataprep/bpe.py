@@ -49,11 +49,37 @@ __all__ = [
     "bpe_token_stats",
     "encode_word",
     "bpe_alphabet",
+    "bpe_words",
     "bpe_vocab",
     "bpe_encode_ids",
 ]
 
-_EOW = "</w>"  # Sennrich end-of-word marker
+# End-of-word marker (Sennrich's role, out-of-band representation): a
+# single private-use-area code point instead of the literal "</w>" —
+# web text full of HTML remnants contains "</w>" as ordinary characters,
+# and a sequence of merges over '<','/','w','>' could then BUILD a
+# symbol string-equal to the marker, making token identity in
+# ranks/vocab ambiguous. A PUA char can't be built by merges because it
+# is stripped from the word stream itself (``_strip_eow`` below), so the
+# marker is unforgeable by construction.
+_EOW = "\ue000"
+
+
+def _strip_eow(w: str) -> str:
+    return w.replace(_EOW, "")
+
+
+def bpe_words(text_col: str = "text") -> "F.Column":
+    """The token stream the whole BPE family trains on and encodes: the
+    shared ``tokenize`` normalization with the out-of-band EOW sentinel
+    stripped from every word (U+E000 is private-use; corpus occurrences
+    are noise, and removing them is what makes the marker unforgeable).
+    Word counting, alphabet extraction and the encode hop all consume
+    THIS expression — a change here must happen once."""
+    cleaned = F.transform(
+        nonempty_tokens(text_col), lambda w: F.translate(w, _EOW, "")
+    )
+    return F.filter(cleaned, lambda w: w != F.lit(""))
 
 
 def bpe_word_counts(
@@ -64,7 +90,7 @@ def bpe_word_counts(
     One explode → partial-agg'd count; the rank-limit pushes a partial
     TakeOrdered below the final ordering, so only ~max_words rows per
     partition move."""
-    toks = nonempty_tokens(text_col)
+    toks = bpe_words(text_col)
     return (
         df.select(F.explode(toks).alias("word"))
         .groupBy("word")
@@ -81,8 +107,13 @@ def bpe_learn(word_counts: list[tuple[str, int]], n_merges: int) -> list[tuple[s
     incremental: pair counts adjust only for words containing the merged
     pair, so later rounds touch a shrinking working set."""
     # symbol sequences per word, weighted by count
+    # defensive sentinel strip: callers normally arrive via
+    # bpe_word_counts (already stripped), but a raw count table must not
+    # smuggle the marker into symbol sequences
     words: list[tuple[list[str], int]] = [
-        (list(w) + [_EOW], int(n)) for w, n in word_counts if w
+        (list(_strip_eow(w)) + [_EOW], int(n))
+        for w, n in word_counts
+        if _strip_eow(w)
     ]
     pair_counts: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[int]] = {}
@@ -147,7 +178,7 @@ def bpe_train(
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Apply trained merges to one word: repeatedly merge the
     lowest-rank adjacent pair (exactly reverses training order)."""
-    syms = list(word) + [_EOW]
+    syms = list(_strip_eow(word)) + [_EOW]
     while len(syms) > 1:
         best_rank = None
         best_i = -1
@@ -175,7 +206,7 @@ def _bpe_hop(df, merges, text_col, id_col, extra_fields, finish):
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     base = df.select(
         F.col(id_col),
-        nonempty_tokens(text_col).alias("__w"),
+        bpe_words(text_col).alias("__w"),
     )
     out_schema = T.StructType([df.schema[id_col]] + extra_fields)
 
@@ -271,7 +302,7 @@ def bpe_alphabet(df: DataFrame, text_col: str = "text") -> list[str]:
     """Distinct single characters across all corpus words — the base
     vocabulary (one distributed distinct over exploded token chars;
     collect size bounded by the character set, not the corpus)."""
-    toks = nonempty_tokens(text_col)
+    toks = bpe_words(text_col)
     rows = (
         df.select(F.explode(toks).alias("__w"))
         .select(F.explode(F.split(F.col("__w"), "")).alias("__ch"))

@@ -391,9 +391,13 @@ def mg_rollup(
     bucket = F.window(F.col(time_col), every).start.alias("bucket")
     # NULL keys are skipped, matching count_min_sketch's aggregate
     # semantics (a NULL group would otherwise surface as NaN in the
-    # pandas hop and fail the Arrow array<long> conversion)
+    # pandas hop and fail the Arrow array<long> conversion). NULL
+    # timestamps are skipped too (r9 ADVICE): window() maps them to a
+    # NULL bucket that would silently flow into every mg_topn_over
+    # merge — a row with no event time belongs to no time bucket, same
+    # as cm_rollup's bucket handling.
     counts = (
-        df.filter(F.col(key_col).isNotNull())
+        df.filter(F.col(key_col).isNotNull() & F.col(time_col).isNotNull())
         .groupBy(bucket, *[F.col(d) for d in dims], F.col(key_col).cast("long").alias("__k"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
@@ -442,11 +446,24 @@ def mg_topn_over(
     n: int = 10,
 ) -> DataFrame:
     """Heavy hitters over ANY grouping of stored MG summaries: per
-    group, summaries merge (counts sum per key; if the union exceeds k
-    the merge re-compresses, errors add) and the top ``n`` emit —
-    (dims..., rank, key, est_count, max_undercount). Deterministic:
-    ties break on key ascending. est_count == true count whenever
-    max_undercount is 0 (the exact regime)."""
+    group, summaries merge (counts sum per key — the merge keeps the
+    FULL key union, never re-compressing, so the result is the tightest
+    summary derivable from the inputs and only the per-summary errs
+    carry forward) and the top ``n`` emit — (dims..., rank, key,
+    est_count, max_undercount). Deterministic: ties break on key
+    ascending.
+
+    Because mg_rollup compresses EXACT per-bucket count tables in one
+    shot, a retained key's stored count undercounts its bucket-true
+    count by exactly that bucket's ``err`` — so the merge adds ``err``
+    back for every summary the key appears in (still never an
+    overcount), and ``max_undercount`` is PER KEY: the sum of errs of
+    only the summaries the key is ABSENT from (where its true bucket
+    count may be anywhere in [0, err]). A key present in every summary
+    of the group therefore reports max_undercount 0 and est_count ==
+    true count, even in the estimation regime. This correction is sound
+    only for one-shot-compressed summaries (what mg_rollup emits), not
+    for summaries that were themselves produced by lossy merging."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -463,18 +480,24 @@ def mg_topn_over(
 
     def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
         total: dict[int, int] = {}
-        err = 0
+        present_err: dict[int, int] = {}
+        err_all = 0
         for mg in pdf["mg"]:
             ks, cs = list(mg["keys"]), list(mg["counts"])
-            err += int(mg["err"])
+            e = int(mg["err"])
+            err_all += e
             for a, b in zip(ks, cs):
-                total[int(a)] = total.get(int(a), 0) + int(b)
+                a = int(a)
+                # stored = true - err for retained keys (one-shot
+                # compression of exact counts) — restore the true count
+                total[a] = total.get(a, 0) + int(b) + e
+                present_err[a] = present_err.get(a, 0) + e
         items = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
         out = {d: [pdf[d].iloc[0]] * len(items) for d in dims}
         out["rank"] = list(range(1, len(items) + 1))
         out["key"] = [a for a, _ in items]
         out["est_count"] = [b for _, b in items]
-        out["max_undercount"] = [err] * len(items)
+        out["max_undercount"] = [err_all - present_err[a] for a, _ in items]
         return pd.DataFrame(out)
 
     if dims:

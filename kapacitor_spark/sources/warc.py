@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import zlib
 
-__all__ = ["build_warc", "parse_warc", "warc_records"]
+__all__ = ["build_warc", "parse_warc", "iter_warc", "warc_records"]
 
 _CRLF = b"\r\n"
 
@@ -41,11 +41,22 @@ def build_warc(
 ) -> bytes:
     """Serialize ``records`` — iterable of ``(url, date_iso, payload)``
     with ``payload: bytes`` — into a WARC/1.0 byte stream. Record IDs
-    derive from the record index (deterministic; no RNG/clock)."""
+    derive from the record index (deterministic; no RNG/clock).
+
+    ``url``/``date_iso`` containing CR or LF are REJECTED: the header
+    block is CRLF-framed, so an embedded newline would terminate the
+    header early and let a crawl URL inject forged header lines into the
+    record (the URL module quarantines CRLF URLs; the writer must not be
+    the component that lets one through)."""
     out = bytearray()
     for i, (url, date_iso, payload) in enumerate(records):
         if payload is None:
             payload = b""
+        for label, v in (("url", url), ("date_iso", date_iso)):
+            if "\r" in v or "\n" in v:
+                raise ValueError(
+                    f"warc: {label} contains CR/LF (header injection): {v!r}"
+                )
         header = (
             b"WARC/1.0" + _CRLF
             + b"WARC-Type: response" + _CRLF
@@ -80,15 +91,13 @@ def _gunzip_members(data: bytes) -> bytes:
     return bytes(out)
 
 
-def parse_warc(data: bytes) -> list:
-    """Parse a WARC byte stream into records:
-    ``[{"url", "date", "type", "content"}, ...]``.
+def _scan_records(data: bytes, final: bool) -> tuple:
+    """Parse complete records off ``data``; return ``(records, consumed)``.
 
-    Accepts plain or multi-member-gzip input (sniffed from the magic).
-    Strict framing: short payloads or missing record terminators raise.
-    """
-    if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
+    Strict framing: malformed headers/lengths always raise. A record cut
+    off at the END of the buffer raises only when ``final`` — the
+    incremental gzip path calls this with ``final=False`` and feeds the
+    unconsumed tail to the next member's decompressed bytes."""
     records = []
     pos = 0
     n = len(data)
@@ -99,11 +108,20 @@ def parse_warc(data: bytes) -> list:
             pos += 2
         if pos >= n:
             break
+        if not final and n - pos < 5:
+            tail = data[pos:]
+            # version line or CRLF padding split across gzip members —
+            # wait for the next member; anything else is malformed and
+            # falls through to the version-line error below
+            if b"WARC/".startswith(tail) or not tail.strip(b"\r\n"):
+                break
         if data[pos : pos + 5] != b"WARC/":
             raise ValueError(f"warc: expected version line at offset {pos}")
         hdr_end = data.find(_CRLF + _CRLF, pos)
         if hdr_end < 0:
-            raise ValueError("warc: truncated header")
+            if final:
+                raise ValueError("warc: truncated header")
+            break
         headers: dict[str, str] = {}
         try:
             for line in data[pos:hdr_end].split(_CRLF)[1:]:
@@ -117,6 +135,8 @@ def parse_warc(data: bytes) -> list:
             raise ValueError("warc: missing/invalid Content-Length") from e
         body_start = hdr_end + 4
         body_end = body_start + clen
+        if body_end + 4 > n and not final:
+            break  # body or terminator still in a later gzip member
         if body_end > n:
             raise ValueError("warc: truncated record body")
         # the spec terminates every record block with two CRLFs — enforce
@@ -135,19 +155,69 @@ def parse_warc(data: bytes) -> list:
             }
         )
         pos = body_end
-    return records
+    return records, pos
+
+
+def iter_warc(data: bytes):
+    """Yield records from a WARC byte stream INCREMENTALLY: gzip members
+    decompress one at a time and complete records are released as soon as
+    their framing closes, so peak memory is one decompressed member plus
+    any record spanning a member boundary — not the whole decompressed
+    archive. With the Common Crawl per-record-member convention that is
+    one record at a time regardless of archive size; a single-member
+    .warc.gz necessarily decompresses in one piece (zlib member = whole
+    archive) and degrades to parse_warc's memory shape."""
+    if data[:2] != b"\x1f\x8b":
+        records, _ = _scan_records(data, final=True)
+        yield from records
+        return
+    rest = data
+    buf = b""
+    while rest:
+        d = zlib.decompressobj(31)
+        try:
+            buf += d.decompress(rest) + d.flush()
+        except zlib.error as e:
+            raise ValueError(f"warc: corrupt gzip member ({e})") from e
+        if not d.eof:
+            raise ValueError("warc: truncated gzip member")
+        rest = d.unused_data
+        records, consumed = _scan_records(buf, final=not rest)
+        yield from records
+        buf = buf[consumed:]
+
+
+def parse_warc(data: bytes) -> list:
+    """Parse a WARC byte stream into records:
+    ``[{"url", "date", "type", "content"}, ...]``.
+
+    Accepts plain or multi-member-gzip input (sniffed from the magic).
+    Strict framing: short payloads or missing record terminators raise.
+    List-materializing wrapper over :func:`iter_warc`.
+    """
+    return list(iter_warc(data))
 
 
 def warc_records(
     df,
     payload_col: str = "payload",
     id_col: str = "archive_id",
+    max_chunk_bytes: int = 64 * 1024 * 1024,
 ):
     """Distributed record extraction: one row per WARC record across
     every archive — ``(id, url, warc_date, content binary,
     content_length)``. One Arrow hop; archives are independent, so this
     parallelizes per input row (= per .warc.gz file in a real crawl
-    layout)."""
+    layout).
+
+    Memory shape (bounded — a real Common Crawl archive is ~1 GB gzip,
+    several GB decompressed, and the Arrow batch can hold many): records
+    stream through :func:`iter_warc` (gzip members decompress one at a
+    time) and flush downstream every ``max_chunk_bytes`` of accumulated
+    content — at most one output DataFrame per flush, never one list per
+    whole Arrow batch. Peak = one decompressed gzip member + one chunk
+    buffer, independent of archive count and (with the per-record-member
+    convention) of archive size."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -166,23 +236,35 @@ def warc_records(
     def run(batches):
         for pdf in batches:
             ids, urls, dates, contents, lens = [], [], [], [], []
+            acc = 0
+
+            def flush():
+                nonlocal ids, urls, dates, contents, lens, acc
+                out = pd.DataFrame(
+                    {
+                        pdf.columns[0]: ids,
+                        "url": urls,
+                        "warc_date": dates,
+                        "content": contents,
+                        "content_length": lens,
+                    }
+                )
+                ids, urls, dates, contents, lens = [], [], [], [], []
+                acc = 0
+                return out
+
             for aid, payload in zip(pdf.iloc[:, 0], pdf[payload_col]):
                 if payload is None:
                     continue
-                for rec in parse_warc(bytes(payload)):
+                for rec in iter_warc(bytes(payload)):
                     ids.append(aid)
                     urls.append(rec["url"])
                     dates.append(rec["date"])
                     contents.append(rec["content"])
                     lens.append(len(rec["content"]))
-            yield pd.DataFrame(
-                {
-                    pdf.columns[0]: ids,
-                    "url": urls,
-                    "warc_date": dates,
-                    "content": contents,
-                    "content_length": lens,
-                }
-            )
+                    acc += len(rec["content"])
+                    if acc >= max_chunk_bytes:
+                        yield flush()
+            yield flush()
 
     return base.mapInPandas(run, schema=out_schema)

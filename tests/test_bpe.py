@@ -16,7 +16,7 @@ from kapacitor_spark.dataprep.bpe import (
     encode_word,
 )
 
-EOW = "</w>"
+from kapacitor_spark.dataprep.bpe import _EOW as EOW
 
 
 # ------------------------------------------------------------------ #
@@ -231,3 +231,57 @@ def test_oov_characters_counted_not_dropped(spark):
     assert r["n_oov"] == 1
     assert -1 in list(r["token_ids"])
     assert r["n_bpe_tokens"] == len(list(r["token_ids"]))
+
+
+def test_eow_marker_unforgeable(spark):
+    """ADVICE r9: corpus text containing the literal '</w>' (HTML
+    remnants) must not collide with the end-of-word marker, and corpus
+    occurrences of the out-of-band U+E000 sentinel are stripped so no
+    merge can ever BUILD the marker. Every emitted symbol ends with
+    exactly one sentinel occurrence (the appended marker), never more."""
+    rows = [
+        (1, "body</w> body</w> body</w> text text"),
+        (2, "prefix prefix normal normal"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, n_merges=50)
+    # no learned merge result equals or contains the sentinel except as
+    # the standalone marker itself
+    for a, b in merges:
+        for sym in (a, b, a + b):
+            assert sym == EOW or EOW not in sym or sym.endswith(EOW) and sym.count(EOW) == 1
+    out = {r["doc_id"]: list(r["bpe_tokens"]) for r in bpe_tokenize(df, merges).collect()}
+    for doc_id, text in rows:
+        stripped_words = [w.replace(EOW, "") for w in text.lower().split()]
+        # partition property: concatenation restores the stripped words,
+        # one marker per word and nowhere else
+        assert "".join(out[doc_id]) == EOW.join(stripped_words) + EOW
+    # encode_word on a word containing the sentinel strips it first
+    enc = encode_word("ab", {})
+    assert enc == ["a", "b", EOW]
+    # literal HTML '</w>' stays ordinary characters
+    enc2 = encode_word("</w>", {})
+    assert enc2 == ["<", "/", "w", ">", EOW]
+
+
+def test_astral_plane_chars_consistent(spark):
+    """Supplementary-plane code points must agree between the JVM-side
+    char split (bpe_alphabet) and Python's list() (encode_word): the
+    emoji lands in the alphabet as ONE code point, flows through
+    bpe_vocab, and encodes with zero OOV ids."""
+    from kapacitor_spark.dataprep.bpe import (
+        bpe_alphabet,
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a\U0001F600b a\U0001F600b cc")], "doc_id long, text string"
+    )
+    alpha = bpe_alphabet(df)
+    assert "\U0001F600" in alpha and all(len(c) == 1 for c in alpha)
+    merges = bpe_train(df, n_merges=10)
+    vocab = bpe_vocab(merges, alpha)
+    out = bpe_encode_ids(df, merges, vocab).collect()[0]
+    assert out["n_oov"] == 0
+    assert out["n_bpe_tokens"] > 0

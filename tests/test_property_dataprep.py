@@ -522,9 +522,16 @@ def test_mg_rollup_exact_regime_and_bounds(spark):
 
     rows = []
     t0 = datetime.datetime(2026, 1, 1)
-    # skewed: key 1 dominates, then 2, ... across 4 days
+    # skewed: keys 1,2 dominate everywhere; keys 3 and 4 swap places at
+    # day 2 so each is RETAINED in some buckets and DROPPED (below the
+    # k=3 cut) in others — exercising the per-key undercount bound
     for day in range(4):
-        for key, reps in ((1, 50), (2, 30), (3, 10), (4 + day, 5), (100 + day, 1)):
+        plan = (
+            ((1, 50), (2, 30), (3, 10), (4, 5), (100 + day, 1))
+            if day < 2
+            else ((1, 50), (2, 30), (4, 20), (3, 2), (100 + day, 1))
+        )
+        for key, reps in plan:
             for r in range(reps):
                 rows.append((t0 + datetime.timedelta(days=day, seconds=r), int(key)))
     df = spark.createDataFrame(rows, "ts timestamp, user_id long")
@@ -543,18 +550,29 @@ def test_mg_rollup_exact_regime_and_bounds(spark):
     expect = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))
     assert [k for _, k in ranked] == [k for k, _ in expect]
 
-    # estimation regime: k=3 per bucket
+    # estimation regime: k=3 per bucket — the bound is PER KEY (sum of
+    # errs of only the summaries the key is absent from; present-bucket
+    # counts are restored exactly because rollup summaries are one-shot
+    # compressions of exact count tables)
     roll3 = mg_rollup(df, every="1 day", k=3)
     top3 = mg_topn_over(roll3, n=100).collect()
-    err = top3[0]["max_undercount"]
-    assert err > 0
     est = {r["key"]: r["est_count"] for r in top3}
+    und = {r["key"]: r["max_undercount"] for r in top3}
+    assert any(u > 0 for u in und.values())
     for k_, c in est.items():
         assert c <= truth[k_]  # never overcounts
-        assert truth[k_] - c <= err  # within the recorded bound
-    # the dominant keys must survive compression
+        assert truth[k_] - c <= und[k_]  # within the per-key bound
+    # the dominant keys survive compression in every bucket, so their
+    # counts are EXACT and their undercount bound is zero
     assert 1 in est and 2 in est
-    assert est[1] >= truth[1] - err
+    assert est[1] == truth[1] and und[1] == 0
+    assert est[2] == truth[2] and und[2] == 0
+    # keys retained in only SOME buckets carry exactly the errs of the
+    # buckets they were dropped from — nonzero, and tight here because
+    # their dropped-bucket counts sit at/below the subtracted threshold
+    assert und[3] > 0 and und[4] > 0
+    assert est[3] < truth[3] and truth[3] - est[3] <= und[3]
+    assert est[4] < truth[4] and truth[4] - est[4] <= und[4]
 
 
 def test_mg_rollup_rejects_non_integral_keys(spark):
