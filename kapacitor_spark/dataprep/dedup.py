@@ -598,34 +598,34 @@ def simhash_near_dup(
         if sig_df is not None
         else track(simhash(_spread(df), text_col, id_col).persist())
     )
-    # 24 B per DISTINCT signature, persisted: read by both band-join
-    # branches and the ≥2-member filter of the expansion below.
+    # 24 B per DISTINCT signature, persisted: the band-join branches and
+    # the ≥2-member filter consume it 3x and exchange reuse does NOT
+    # fire across the aliased self-join branches (measured r10:
+    # unpersisted, each action re-runs the aggregate ~3x — 0.49 s →
+    # 1.59 s at sf0.1; the "drop the second persist" candidate was a
+    # cache-aliasing artifact in the r9 stage timings).
     classes = track(signature_classes(sh, "simhash", id_col).persist())
     band_cols = simhash_band_expr("simhash", max_hamming)
-    banded = classes.select(
-        "simhash", "__rep", F.posexplode(band_cols).alias("band", "band_val")
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    sig_pairs = (
-        a.join(b, ["band", "band_val"])
-        .filter(F.col("a.__rep") < F.col("b.__rep"))
-        .select(
-            F.col("a.simhash").alias("__sa"),
-            F.col("b.simhash").alias("__sb"),
-            F.col("a.__rep").alias("__ra"),
-            F.col("b.__rep").alias("__rb"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        # filter BEFORE the dedup shuffle: candidates failing the Hamming
-        # bound (the vast majority) never reach the distinct exchange
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
     if not expand_identical:
-        rep_pairs = sig_pairs.select(
-            F.col("__ra").alias("id_a"), F.col("__rb").alias("id_b"), "hamming"
+        banded = classes.select(
+            "simhash", "__rep", F.posexplode(band_cols).alias("band", "band_val")
+        )
+        a, b = banded.alias("a"), banded.alias("b")
+        rep_pairs = (
+            a.join(b, ["band", "band_val"])
+            .filter(F.col("a.__rep") < F.col("b.__rep"))
+            .select(
+                F.col("a.__rep").alias("id_a"),
+                F.col("b.__rep").alias("id_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).alias("hamming"),
+            )
+            # filter BEFORE the dedup shuffle: candidates failing the
+            # Hamming bound (the vast majority) never reach the distinct
+            # exchange
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
         )
         star = (
             sh.select("simhash", id_col)
@@ -638,6 +638,29 @@ def simhash_near_dup(
             )
         )
         return rep_pairs.unionByName(star)
+    # expand path: the band join needs only the DISTINCT signature value
+    # (8 B/row — no representative id: the signature itself is the
+    # canonical total order for unordered-pair dedup, sa < sb), so the
+    # self-join input is the narrowest possible projection of classes
+    banded = classes.select(
+        "simhash", F.posexplode(band_cols).alias("band", "band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    sig_pairs = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("a.simhash") < F.col("b.simhash"))
+        .select(
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        # filter BEFORE the dedup shuffle: candidates failing the Hamming
+        # bound (the vast majority) never reach the distinct exchange
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
     # ONE expansion pipeline for both cross-class and within-class pairs:
     # an m≥2 identical class is a signature SELF-pair (s, s, hamming 0) —
     # unioning those with the verified cross pairs lets a single
@@ -647,7 +670,11 @@ def simhash_near_dup(
     # member from each side) pass unconditionally and are canonically
     # ordered by least/greatest. No distinct over expanded rows is ever
     # needed: one signature per doc → one source row per doc pair.
-    pair_src = sig_pairs.select("__sa", "__sb", "hamming").unionByName(
+    # The m>1 filter keeps pair_src O(verified pairs + dup classes) —
+    # small relative to the corpus whenever collapse matters, so AQE can
+    # broadcast it into the expansion joins (forcing the hint was tried
+    # and measured slightly SLOWER at sf0.1 than letting AQE decide).
+    pair_src = sig_pairs.unionByName(
         classes.filter(F.col("__m") > 1).select(
             F.col("simhash").alias("__sa"),
             F.col("simhash").alias("__sb"),
