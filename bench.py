@@ -55,6 +55,50 @@ def run_probe(spark) -> float:
     _probe_once(spark)  # warmup (codegen compile)
     return min(_probe_once(spark) for _ in range(3))
 
+
+# --------------------------------------------------------------------- #
+# I/O-bound calibration probe (r10, VERDICT r9 #2): the CPU probe is
+# blind to checkpoint/state-store I/O — stream_window_mean moved +38%
+# between r8 and r9 on diff-identical code while the CPU probe read the
+# box as FASTER. This probe measures the exact resource that query pays:
+# many small synchronous file writes + reads + deletes (the HDFS-state-
+# store/commit-log pattern of a Structured Streaming micro-batch) against
+# the same filesystem the checkpoint dirs land on. Pure Python: no Spark
+# variance, deterministic workload, min-of-3.
+# --------------------------------------------------------------------- #
+IO_PROBE_FILES = 400
+IO_PROBE_BYTES = 8192
+IO_PROBE_REF_SEC = 0.24  # pinned 2026-08-16: quiet r10 box, min over 6 probes
+
+
+def _io_probe_once() -> float:
+    import shutil
+    import tempfile
+
+    payload = b"\xa5" * IO_PROBE_BYTES
+    d = tempfile.mkdtemp(prefix="bench_io_probe_")
+    t0 = time.time()
+    try:
+        for i in range(IO_PROBE_FILES):
+            p = os.path.join(d, f"f{i}")
+            with open(p, "wb") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+        for i in range(IO_PROBE_FILES):
+            with open(os.path.join(d, f"f{i}"), "rb") as f:
+                f.read()
+        for i in range(IO_PROBE_FILES):
+            os.unlink(os.path.join(d, f"f{i}"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return time.time() - t0
+
+
+def run_io_probe() -> float:
+    _io_probe_once()  # warm the page cache / dentry state
+    return min(_io_probe_once() for _ in range(3))
+
 # Headline set: the reference-benchmark shapes first (filter, windowed
 # count, alert, join), then the heavy analytic queries, then dataprep.
 HEADLINE = [
@@ -148,6 +192,7 @@ def main() -> int:
     # the whole series' metric mid-flight. SCALE.md records both numbers.
 
     probe_start = run_probe(spark)
+    io_probe_start = run_io_probe()
 
     # TWO untimed warmup iterations per query: go test -bench discards
     # warm-up iterations the same way. One warmup was not enough for the
@@ -155,8 +200,13 @@ def main() -> int:
     # invocations before HotSpot C2 settles (measured 2026-08-15: fresh
     # session 11.9 → 2.1 → 1.48 → 1.39 → 1.40s; the r7 bench sampled it
     # at invocations 2-4 and recorded the JIT ramp, not the operator).
+    # The FIRST warmup doubles as the recorded COLD number (r10, VERDICT
+    # r9 #5): for persist-using queries it includes the cache fills and
+    # codegen the warm samples never pay, which is exactly where the r9
+    # dedup-family regression debate lived — now visible in the artifact.
+    cold: dict[str, float] = {}
     for name in names:
-        run_once(name)
+        cold[name] = round(run_once(name), 3)
         run_once(name)
 
     # INTERLEAVED sampling (round-robin over queries, not consecutive
@@ -186,6 +236,7 @@ def main() -> int:
             extended[name] = round(min(run_once(name) for _ in range(2)), 3)
 
     probe_end = run_probe(spark)
+    io_probe_end = run_io_probe()
 
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
@@ -221,7 +272,19 @@ def main() -> int:
             "probe_start_sec": round(probe_start, 3),
             "probe_end_sec": round(probe_end, 3),
             "factor": round(factor, 4),
+            # split probes (r10): "cpu" is the historical factor above;
+            # "io" is the checkpoint/state-store-shaped filesystem probe
+            # — divergence between the two identifies which resource an
+            # apparent regression on unchanged code actually came from
+            "cpu": round(factor, 4),
+            "io": round(
+                ((io_probe_start + io_probe_end) / 2.0) / IO_PROBE_REF_SEC, 4
+            ),
+            "io_probe_start_sec": round(io_probe_start, 3),
+            "io_probe_end_sec": round(io_probe_end, 3),
+            "io_probe_ref_sec": IO_PROBE_REF_SEC,
         },
+        "queries_cold": cold,
         "extended_queries": extended,
         "queries_normalized": norm,
         "queries_min_normalized": norm_min,
@@ -249,7 +312,22 @@ def main() -> int:
             "runs_per_query", "sf",
         )
     }
-    compact["calibration"] = {"factor": full["calibration"]["factor"]}
+    compact["calibration"] = {
+        "factor": full["calibration"]["factor"],
+        "cpu": full["calibration"]["cpu"],
+        "io": full["calibration"]["io"],
+    }
+    # cold first-run numbers for the cache/persist-using queries only
+    # (the full per-query map lives in bench_full.json): these are the
+    # rows whose build phase a warm min can't see
+    _PERSISTERS = (
+        "minhash_near_dup", "simhash_near_dup", "span_dedup_stats",
+        "image_dhash_near_dup", "lineprotocol_roundtrip", "dedup_exact_fp",
+        "decontamination", "stream_window_mean",
+    )
+    compact["queries_cold"] = {
+        k: v for k, v in full["queries_cold"].items() if k in _PERSISTERS
+    }
     compact["normalized_total_sec"] = full["normalized_total_sec"]
     compact["normalized_min_total_sec"] = full["normalized_min_total_sec"]
     compact["full"] = "bench_full.json"
