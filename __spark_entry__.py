@@ -2312,6 +2312,107 @@ def doc_chunking(spark, sf_dir):
 
 @_q(
     "bm25_topk",
+    r"""WITH aug AS (SELECT doc_id,
+                  concat_ws(' ', text,
+                            'zt' || CAST(doc_id % 8 AS VARCHAR),
+                            'zm' || CAST(doc_id % 64 AS VARCHAR),
+                            'zr' || CAST(doc_id // 16 AS VARCHAR)) AS text
+           FROM documents),
+       base AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS toks
+           FROM aug),
+       d AS (SELECT doc_id, toks, len(toks) AS dl FROM base
+             WHERE len(toks) > 0),
+       posts AS (SELECT doc_id, dl, term, count(*) AS tf
+                 FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+                 GROUP BY doc_id, dl, term),
+       term_df AS (SELECT term, count(*) AS df_t FROM posts GROUP BY term),
+       g0 AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+       q AS (SELECT doc_id AS query_id,
+                    CASE WHEN doc_id % 3 = 0
+                         THEN ['zr' || CAST(doc_id // 16 AS VARCHAR),
+                               'zm' || CAST(doc_id % 64 AS VARCHAR),
+                               'zt' || CAST(doc_id % 8 AS VARCHAR)]
+                         ELSE ['zr' || CAST(doc_id // 16 AS VARCHAR),
+                               'zm' || CAST(doc_id % 64 AS VARCHAR)]
+                    END AS qt
+             FROM documents
+             WHERE doc_id % 97 = 0),
+       qterms AS (SELECT query_id, unnest(qt) AS term FROM q),
+       qw AS (SELECT t.query_id, t.term,
+                     ln(1 + (g.n_docs - f.df_t + 0.5) / (f.df_t + 0.5))
+                         AS idf,
+                     g.avgdl
+              FROM qterms t JOIN term_df f ON t.term = f.term
+              CROSS JOIN g0 g),
+       sc AS (SELECT w.query_id, p.doc_id,
+                     CAST(round(w.idf * ((p.tf * 2.2) /
+                          (p.tf + 1.2 * (0.25 + 0.75 * p.dl / w.avgdl))), 9)
+                          AS DECIMAL(38,9)) AS s
+              FROM posts p JOIN qw w ON p.term = w.term),
+       agg AS (SELECT query_id, doc_id, sum(s) AS sc_total
+               FROM sc GROUP BY query_id, doc_id),
+       rk AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sc_total DESC, doc_id)
+                         AS rank,
+                     sc_total
+              FROM agg)
+       SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank,
+              round(CAST(sc_total AS DOUBLE), 6) AS score
+       FROM rk WHERE rank <= 10""",
+)
+def bm25_topk_q(spark, sf_dir):
+    """Lexical retrieval (r9; fixture made SELECTIVE r10, VERDICT #3):
+    Okapi BM25 (Lucene IDF) top-10 per query over the documents corpus
+    augmented with a Zipf-tailed synthetic vocabulary derived
+    deterministically from doc_id — zt{d%8} (8 common terms, n/8 docs
+    each), zm{d%64} (64 medium terms) and zr{d//16} (one rare term per
+    16 consecutive ids). Every 97th document becomes a query carrying
+    its own rare + medium term (every third also its common term), so
+    per-query candidates are ~dozens-to-hundreds, not the whole corpus —
+    the r9 fixture's 31-word template vocabulary matched every query to
+    every document (52 × 5000 candidates), measuring the worst case
+    instead of the selectivity machinery the 100 TB plan optimizes. The
+    dense all-match case stays scored as bm25_dense_stress. The oracle
+    re-derives the augmentation + full index + scoring in SQL; per-term
+    partials round to 9 decimals and sum as DECIMAL(38,9) on BOTH
+    sides, so ranking is aggregation-order independent (ties break on
+    doc_id). Plan: postings = explode → one partial-agg'd hash
+    aggregate; df + globals join onto the QUERY side (tiny, broadcast);
+    the corpus-size postings table sees exactly one broadcast hash join
+    + one shuffle (the per-query top-k window)."""
+    from kapacitor_spark.dataprep.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(F.lit("zt"), (F.col("doc_id") % 8).cast("string")),
+            F.concat(F.lit("zm"), (F.col("doc_id") % 64).cast("string")),
+            F.concat(F.lit("zr"), F.floor(F.col("doc_id") / 16).cast("long").cast("string")),
+        ).alias("text"),
+    )
+    qfix = docs.filter("doc_id % 97 = 0").select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("zr"), F.floor(F.col("doc_id") / 16).cast("long").cast("string")),
+            F.concat(F.lit("zm"), (F.col("doc_id") % 64).cast("string")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("zt"), (F.col("doc_id") % 8).cast("string")),
+            ),
+        ).alias("qtext"),
+    )
+    return bm25_topk(aug, qfix, k=10)
+
+
+@_q(
+    "bm25_dense_stress",
     r"""WITH base AS (SELECT doc_id,
                   list_filter(string_split_regex(lower(trim(text)), '\s+'),
                               x -> x <> '') AS toks
@@ -2351,23 +2452,14 @@ def doc_chunking(spark, sf_dir):
               round(CAST(sc_total AS DOUBLE), 6) AS score
        FROM rk WHERE rank <= 10""",
 )
-def bm25_topk_q(spark, sf_dir):
-    """Lexical retrieval (r9): Okapi BM25 (Lucene IDF) top-10 per query
-    over the documents corpus. The query batch is derived from the
-    corpus itself — every 97th document contributes tokens 5-10 of its
-    own text — so the fixture is deterministic at every SF. (The
-    synthetic corpus is templated: those tokens are common vocabulary,
-    so BM25's length normalization decides the ranking rather than the
-    source document winning — which exercises exactly the dl/avgdl and
-    tie-break arithmetic the oracle needs to agree on. test_retrieval.py
-    covers discriminative-vocabulary ranking.) The oracle
-    re-derives the full index + scoring in SQL; per-term partials round
-    to 9 decimals and sum as DECIMAL(38,9) on BOTH sides, so ranking is
-    aggregation-order independent (ties break on doc_id). Plan: postings
-    = explode → one partial-agg'd hash aggregate; df + globals join onto
-    the QUERY side (tiny, broadcast); the corpus-size postings table
-    sees exactly one broadcast hash join + one shuffle (the per-query
-    top-k window)."""
+def bm25_dense_stress_q(spark, sf_dir):
+    """The r9 bm25_topk fixture, kept as a NAMED STRESS ROW (VERDICT r9
+    #3): the synthetic corpus's 31-word template vocabulary makes every
+    query term match every document — 52 queries × the whole corpus of
+    candidates — which exercises the worst-case scoring-join volume and
+    the dl/avgdl + DECIMAL tie-break arithmetic at maximum density. The
+    selective fixture (scored bm25_topk) measures the representative
+    path; this row pins the upper bound and its wall-clock."""
     from kapacitor_spark.dataprep.dedup import nonempty_tokens
     from kapacitor_spark.dataprep.retrieval import bm25_topk
 

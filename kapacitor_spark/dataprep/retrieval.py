@@ -81,15 +81,16 @@ def bm25_postings(
 
     Empty/null documents are dropped (they can never match a term).
 
-    ``persist_index=True`` caches the postings (registered with the
-    dataprep cache registry): term_df, globals AND every scoring pass
-    then read the one materialized explode+aggregate instead of
-    re-tokenizing the corpus per consumer — the in-session analog of
-    writing the index table out, which is what a real deployment does
-    at 100 TB (build once, score many query batches). Globals derive
-    from the postings (distinct (id, dl) → count/avg — identical to
-    counting the non-empty docs directly), so the raw text is scanned
-    exactly once per index build.
+    ``persist_index=True`` caches ALL THREE tables (registered with the
+    dataprep cache registry) — they are jointly THE index, the
+    in-session analog of the index tables a real deployment writes out
+    at 100 TB (build once, score many query batches). Persisting only
+    the postings (the pre-r10 shape) made every scoring pass re-run the
+    df and globals aggregates as fresh driver-synchronized jobs: at
+    sf0.1 the BM25 wall was ~65% serial job-boundary overhead (11 jobs
+    per pass), not compute. Globals derive from the postings (distinct
+    (id, dl) → count/avg — identical to counting the non-empty docs
+    directly), so the raw text is scanned exactly once per index build.
     """
     from kapacitor_spark.dataprep.cache import track
 
@@ -121,6 +122,9 @@ def bm25_postings(
             F.avg("dl").alias("avgdl"),
         )
     )
+    if persist_index:
+        term_df = track(term_df.persist())
+        glob = track(glob.persist())
     return posts, term_df, glob
 
 
@@ -154,6 +158,9 @@ def bm25_topk(
     # IDF rides the query-term side: join df + globals onto the (tiny)
     # query batch so the big postings table only ever sees one broadcast
     # hash join — no stats column is denormalized across the corpus.
+    # term_df/glob read from the persisted index (see bm25_postings):
+    # a scoring pass re-aggregating them from postings was 11 serial
+    # driver-synchronized jobs at sf0.1 — ~65% of the wall.
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
@@ -175,7 +182,18 @@ def bm25_topk(
     )
     from pyspark.sql import Window
 
-    agg = scored.groupBy(query_id_col, id_col).agg(F.sum("__s").alias("__score"))
+    # ONE exchange for agg + window (r10): hash-partitioning on
+    # query_id alone satisfies the (query_id, doc_id) clustering the
+    # aggregate needs AND the window's partitioning, so the explicit
+    # repartition replaces TWO planner-inserted exchanges (groupBy on
+    # both keys, then window re-shuffle on query_id) with one — at any
+    # scale the per-query candidate set is what moves, and it moves
+    # once. Partial aggregation still combines map-side before it.
+    agg = (
+        scored.repartition(query_id_col)
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__s").alias("__score"))
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("__score").desc(), F.col(id_col).asc()
     )
