@@ -139,7 +139,8 @@ EXTENDED = [
     "theta_retention",        # r9 sketch rollups: set algebra ...
     "kll_quantile_rollup",    # ... merged quantiles ...
     "cm_user_counts",         # ... point-frequency probes
-    "bm25_topk",              # r9 retrieval: BM25 index + top-k
+    "bm25_topk",              # r9 retrieval: BM25 index + top-k (selective fixture r10)
+    "bm25_dense_stress",      # r10: the dense all-match worst case, pinned
     "lm_perplexity",          # r9 retrieval: bigram-LM quality scoring
     "bpe_corpus_stats",       # r9 trained-BPE tokenizer accounting
 ]

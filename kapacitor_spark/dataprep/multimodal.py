@@ -598,6 +598,7 @@ def extract_video_frames(
     id_col: str = "doc_id",
     every: int = 1,
     frame_col: str = "frame",
+    decode_fn=None,
 ) -> DataFrame:
     """Demux video payloads — MJPEG in AVI (RIFF movi walk) or MP4
     (stbl sample tables), or animated GIF (canvas composition), per-row
@@ -610,9 +611,20 @@ def extract_video_frames(
     hop; the (small) per-frame image payloads are what moves
     downstream, not the clip.
 
-    Reference parity note: the reference engine has no video decode at
-    all — this is the training-data-pipeline extension (frame-level
-    perceptual dedup needs frames)."""
+    ``decode_fn`` (r10 — the PERMANENT lossy-codec scope boundary, see
+    CODECS.md): a caller-injected ``(payload: bytes) ->
+    iterable[(frame_idx, image_bytes)]`` that replaces the built-in
+    container walk for codecs this repo does not implement (H.264, VP8/
+    VP9, HEVC...). The injected callable runs INSIDE the same Arrow hop
+    with identical batching, sampling and downstream schema, so wiring
+    a real decoder (e.g. a PyAV/ffmpeg binding in a runtime image that
+    ships one) changes one argument, not the pipeline — the same
+    externalization the discovery clients use
+    (sources/prometheus.py: caller-injected consul/k8s/ec2 clients,
+    mirroring the reference's vendored-client config shims). Emitted
+    ``image_bytes`` must be a format ``decode_full`` reads (JPEG/PNG/
+    WebP-lossless/GIF/Netpbm). Frame-index sampling (``every``) still
+    applies to the injected stream."""
     from kapacitor_spark.dataprep import videocodec
 
     out_schema = T.StructType(
@@ -622,13 +634,14 @@ def extract_video_frames(
             T.StructField(frame_col, T.BinaryType()),
         ]
     )
+    demux = decode_fn if decode_fn is not None else videocodec.extract_frames
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, payloads = [], [], []
             for doc_id, b in zip(pdf[id_col], pdf[binary_col]):
                 raw = bytes(b) if b is not None else b""
-                for i, jpeg in videocodec.extract_frames(raw):
+                for i, jpeg in demux(raw):
                     if i % every == 0:
                         ids.append(doc_id)
                         idxs.append(i)
@@ -650,9 +663,12 @@ def video_dhash_near_dup(
     every: int = 1,
     id_col: str = "doc_id",
     binary_col: str = "payload",
+    decode_fn=None,
 ) -> DataFrame:
     """Video near-duplicate pairs: MJPEG frames → per-frame dHash →
     per-frame exact Hamming banding → MAJORITY-of-frames agreement.
+    ``decode_fn`` threads through to :func:`extract_video_frames` — the
+    injected-decoder seam for codecs outside the built-in set (CODECS.md).
     Returns (id_a, id_b, agree_frames, total_frames) where agree_frames
     counts sampled frame indices present in both clips whose dHashes sit
     within ``max_hamming``, total_frames counts indices present in both,
@@ -678,7 +694,9 @@ def video_dhash_near_dup(
     # as one partition, which would serialize every JPEG decode into one
     # task (measured 52s -> ~8s at sf0.1). Spreading the CLIP rows keeps
     # demux -> decode in the same stage, so frame payloads never shuffle.
-    frames = extract_video_frames(_spread(df), binary_col, id_col, every=every)
+    frames = extract_video_frames(
+        _spread(df), binary_col, id_col, every=every, decode_fn=decode_fn
+    )
     decoded = decode_full(frames, "frame", fake=False)
     sig = track(
         decoded.select(

@@ -1868,6 +1868,226 @@ def run_tickscript(
 
 
 # --------------------------------------------------------------------- #
+# Structured-Streaming compile target (r10) — the continuous-ingestion
+# form of a TICK task. run_tickscript evaluates scripts as batch replay
+# over complete event time (every golden works that way, mirroring the
+# reference's recording/replay tests); this bridge compiles the
+# STREAMING-COMPATIBLE subset of the language directly onto readStream
+# DataFrames so the task-store API can enable a task against live
+# ingestion: stream|from(measurement, where, groupBy) → window(period,
+# every) → mean/sum/count/min/max → httpOut. Windows become event-time
+# F.window aggregations (tumbling or sliding), so the plan is exactly
+# what Structured Streaming's incremental state store executes. Chain
+# methods outside the subset raise TickError with the batch alternative
+# spelled out — honesty over silent wrong answers (ordered transforms
+# like derivative/stateDuration live in kapacitor_spark.streaming's
+# stateful operators, wired separately).
+# --------------------------------------------------------------------- #
+
+
+class _SFrom:
+    """Streaming from() node: source selection + filters + dims."""
+
+    def __init__(self, env):
+        self.env = env
+        self.measurement = None
+        self.where_src = None
+        self.dims: tuple = ()
+
+
+class _SWindow:
+    """window() node: period/every durations pending the aggregation."""
+
+    def __init__(self, parent: "_SFrom"):
+        self.parent = parent
+        self.period = None
+        self.every = None
+
+
+class _SAgg:
+    """Aggregated streaming node; .as() renames the output column."""
+
+    def __init__(self, df, time_col):
+        self.df = df
+        self.time_col = time_col
+
+
+class _StreamEnv:
+    """Parser env for the streaming subset (same surface as _Env /
+    _GraphEnv: chain / prop / _materialize / vars)."""
+
+    AGGS = {"mean": "avg", "sum": "sum", "count": "count",
+            "min": "min", "max": "max"}
+
+    def __init__(self, sources, time_col, dims, outputs):
+        self.sources = sources
+        self.time_col = time_col
+        self.default_dims = tuple(dims)
+        self.outputs = outputs
+        self.vars: dict = {}
+
+    # ------------------------------------------------------------- #
+    def _resolve_df(self, frm: _SFrom):
+        src = self.sources
+        if isinstance(src, dict):
+            if frm.measurement is None:
+                if len(src) != 1:
+                    raise TickError("stream|from() needs .measurement() "
+                                    "with multiple sources")
+                df = next(iter(src.values()))
+            else:
+                try:
+                    df = src[frm.measurement]
+                except KeyError:
+                    raise TickError(f"no stream source for measurement "
+                                    f"{frm.measurement!r}")
+        elif callable(getattr(src, "__call__", None)) and not hasattr(src, "schema"):
+            df = src(frm.measurement)
+        else:
+            df = src
+        if frm.where_src is not None:
+            from kapacitor_spark.functions.lambdas import compile_lambda
+
+            df = df.filter(
+                compile_lambda(
+                    frm.where_src, ordered_window=None,
+                    time_col=self.time_col, schema=dict(df.dtypes),
+                    variables=self.vars,
+                )
+            )
+        return df
+
+    @staticmethod
+    def _interval(d) -> str:
+        secs = _dur(d)
+        if not isinstance(secs, (int, float)):
+            raise TickError(f"expected duration, got {d!r}")
+        us = round(float(secs) * 1_000_000)
+        return f"{us} microseconds"
+
+    # ------------------------------------------------------------- #
+    def chain(self, node, name, args):
+        if name == "from":
+            if not isinstance(node, _Source) or node.kind != "stream":
+                raise TickError("streaming compile: |from() must chain "
+                                "off `stream`")
+            return _SFrom(self)
+        if name == "window":
+            if not isinstance(node, _SFrom):
+                raise TickError("streaming compile: |window() must follow "
+                                "stream|from()")
+            return _SWindow(node)
+        if name == "where" and isinstance(node, _SFrom):
+            node.where_src = args[0].src if isinstance(args[0], _Lambda) else args[0]
+            return node
+        if name == "groupBy" and isinstance(node, _SFrom):
+            node.dims = tuple(args)
+            return node
+        if name in self.AGGS:
+            if not isinstance(node, _SWindow):
+                raise TickError(f"streaming compile: |{name}() must follow "
+                                "|window() (un-windowed streaming "
+                                "aggregation has no emission point)")
+            frm = node.parent
+            df = self._resolve_df(frm)
+            period = node.period if node.period is not None else node.every
+            every = node.every if node.every is not None else node.period
+            if period is None:
+                raise TickError("streaming compile: window() needs "
+                                ".period()/.every()")
+            win = F.window(
+                F.col(self.time_col),
+                self._interval(period), self._interval(every),
+            )
+            dims = frm.dims or self.default_dims
+            field = args[0]
+            fn = getattr(F, self.AGGS[name])
+            out = (
+                df.groupBy(win, *[F.col(d) for d in dims])
+                .agg(fn(F.col(field)).alias(f"__{name}"))
+                .select(
+                    F.col("window.start").alias(self.time_col),
+                    *[F.col(d) for d in dims],
+                    F.col(f"__{name}"),
+                )
+            )
+            return _SAgg(out, self.time_col)
+        if name == "httpOut":
+            if isinstance(node, _SAgg):
+                self.outputs[args[0]] = node.df
+                return node
+            if isinstance(node, _SFrom):
+                self.outputs[args[0]] = self._resolve_df(node)
+                return node
+            raise TickError("streaming compile: |httpOut() needs a "
+                            "materialized node")
+        raise TickError(
+            f"|{name}() is not in the streaming compile subset (from/"
+            "where/groupBy/window/mean/sum/count/min/max/httpOut) — run "
+            "it as a batch replay task (run_tickscript) or wire the "
+            "stateful operator from kapacitor_spark.streaming directly"
+        )
+
+    def prop(self, node, name, args):
+        if isinstance(node, _SFrom):
+            if name == "measurement":
+                node.measurement = args[0]
+                return node
+            if name == "where":
+                node.where_src = (
+                    args[0].src if isinstance(args[0], _Lambda) else args[0]
+                )
+                return node
+            if name == "groupBy":
+                node.dims = tuple(args)
+                return node
+            raise TickError(f"streaming from() does not support .{name}()")
+        if isinstance(node, _SWindow):
+            if name == "period":
+                node.period = args[0]
+                return node
+            if name == "every":
+                node.every = args[0]
+                return node
+            raise TickError(f"streaming window() does not support .{name}()")
+        if isinstance(node, _SAgg):
+            if name == "as":
+                cols = node.df.columns
+                node.df = node.df.withColumnRenamed(cols[-1], args[0])
+                return node
+            raise TickError(f"streaming aggregation does not support .{name}()")
+        raise TickError(f"unsupported property .{name}() in streaming compile")
+
+    def _materialize(self, node):
+        return node
+
+
+def run_tickscript_stream(
+    script: str,
+    sources,
+    time_col: str = "time",
+    dims: tuple = (),
+    template_vars: dict | None = None,
+) -> dict[str, DataFrame]:
+    """Compile a TICKscript onto Structured Streaming sources; returns
+    {httpOut name: STREAMING DataFrame} ready for writeStream (drive a
+    deterministic replay with kapacitor_spark.streaming.run_available_now,
+    or attach a real sink for continuous execution).
+
+    ``sources``: streaming DataFrame | dict measurement→streaming DF |
+    callable(measurement)→streaming DF. Supports the streaming-compatible
+    language subset — see the module comment above _StreamEnv."""
+    outputs: dict[str, DataFrame] = {}
+    env = _StreamEnv(sources, time_col, dims, outputs)
+    env.preset_vars = _coerce_template_vars(template_vars or {})
+    toks, src = _tokenize(script)
+    _P(toks, src, env).run()
+    if not outputs:
+        raise TickError("streaming compile: script has no httpOut()")
+    return outputs
+
+
+# --------------------------------------------------------------------- #
 # DOT export — `kapacitor show <task>` graph rendering
 # --------------------------------------------------------------------- #
 

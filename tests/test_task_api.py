@@ -309,3 +309,128 @@ def test_concurrent_duplicate_create_single_winner(svc):
     for t in threads:
         t.join()
     assert sorted(results) == [200] + [400] * 7
+
+
+def test_streaming_task_end_to_end(spark, tmp_path):
+    """VERDICT r9 #6: one STREAMING TICK task through the REST loop —
+    POST a stream|from|window|mean|httpOut task, enable it against a
+    live file-stream landing dir via the streaming compile target
+    (run_tickscript_stream -> Structured Streaming window aggregation,
+    driven deterministically with run_available_now), then land MORE
+    data and replay a .srpl recording into the same landing dir and
+    re-drive: the checkpoint carries streaming state across runs, so the
+    second pass processes only the newly-arrived files yet (complete
+    mode) emits every window."""
+    from kapacitor_spark.sources.line_protocol import replay_srpl
+    from kapacitor_spark.streaming import run_available_now
+    from kapacitor_spark.tick import run_tickscript_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(
+            rows, "id long, time string, host string, value double"
+        ).withColumn("time", F.to_timestamp("time"))
+        df.coalesce(1).write.mode("append").parquet(str(landing / name))
+
+    write_batch(
+        [(i, f"2024-01-01 00:00:{i:02d}", "serverA", 90.0 + i) for i in range(8)],
+        "b1",
+    )
+    schema = "id long, time timestamp, host string, value double"
+
+    STREAM_SCRIPT = """
+var period = 4s
+stream
+    |from()
+        .measurement('cpu')
+        .where(lambda: "host" == 'serverA')
+    |window()
+        .period(period)
+        .every(period)
+    |mean('value')
+        .as('mean_value')
+    |httpOut('win')
+"""
+    results = {}
+
+    def executor(task):
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(landing))
+        )
+        outs = run_tickscript_stream(
+            task["script"], sources={"cpu": sdf}, time_col="time"
+        )
+        res = run_available_now(
+            outs["win"], f"tick_stream_{task['id']}", ckpt,
+            output_mode="complete",
+        )
+        results[task["id"]] = res.collect()
+
+    rec_dir = tmp_path / "recordings"
+    rec_dir.mkdir()
+    lines = []
+    for i in range(4):
+        lines += ["telegraf", "autogen",
+                  f"cpu,host=serverA value={200 + i} {i}"]
+    (rec_dir / "live.srpl").write_text("\n".join(lines) + "\n")
+
+    def replayer(task, path, kind):
+        # replay = land the recorded points into the task's data plane
+        # (rebased so the recording starts at 00:00:12 — one more 4s
+        # window [12,16)), then re-drive the query off its checkpoint
+        raw = replay_srpl(spark, path, precision="s", zero="2024-01-01 00:00:12")
+        pts = raw.selectExpr(
+            "monotonically_increasing_id() + 1000 AS id",
+            "time",
+            "tags['host'] AS host",
+            "fields_f['value'] AS value",
+        )
+        pts.coalesce(1).write.mode("append").parquet(str(landing / "replayed"))
+        executor(task)
+
+    service = TaskStoreService(
+        store_dir=str(tmp_path / "store"), executor=executor,
+        replayer=replayer, recordings_dir=str(rec_dir),
+    )
+    port = service.start()
+    try:
+        _req(port, "POST", "/tasks", {"id": "swin", "script": STREAM_SCRIPT})
+        status, task = _req(port, "PATCH", "/tasks/swin", {"status": "enabled"})
+        assert status == 200 and task["executing"] and task["error"] == ""
+        got = sorted(r["mean_value"] for r in results["swin"])
+        assert got == [pytest.approx((90 + 91 + 92 + 93) / 4),
+                       pytest.approx((94 + 95 + 96 + 97) / 4)]
+
+        # more data lands; replay drives the SAME checkpointed query —
+        # only new files process, complete mode re-emits all windows
+        status, rep = _req(port, "POST", "/replays",
+                           {"task": "swin", "recording": "live"})
+        assert status == 201 and rep["status"] == "finished" and rep["error"] == ""
+        got2 = sorted(r["mean_value"] for r in results["swin"])
+        assert got2 == [pytest.approx(91.5), pytest.approx(95.5),
+                        pytest.approx((200 + 201 + 202 + 203) / 4)]
+    finally:
+        service.stop()
+
+
+def test_streaming_compile_subset_is_honest(spark):
+    """Chain methods outside the streaming subset raise TickError naming
+    the batch alternative — never a silently-wrong streaming plan."""
+    from kapacitor_spark.tick import TickError, run_tickscript_stream
+
+    sdf = spark.readStream.format("rate").load()
+    with pytest.raises(TickError, match="streaming compile subset"):
+        run_tickscript_stream(
+            "stream|from()|derivative('value')|httpOut('x')",
+            sources={"cpu": sdf}, time_col="timestamp",
+        )
+    with pytest.raises(TickError, match="no httpOut"):
+        run_tickscript_stream(
+            "stream|from().measurement('cpu')",
+            sources={"cpu": sdf}, time_col="timestamp",
+        )

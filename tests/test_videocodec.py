@@ -488,3 +488,65 @@ def test_gif_channel_decision_is_per_clip():
     gif2 = gifcodec.encode_frames(4, 4, gray, channels=3)
     decoded2 = [imagecodec.decode(p) for _, p in videocodec.extract_frames(gif2)]
     assert [c for _, _, c, _ in decoded2] == [1, 1]
+
+
+def test_injected_decoder_seam_end_to_end(spark):
+    """CODECS.md scope line (r10): a FOREIGN container format the
+    built-in walks reject flows through video_dhash_near_dup when the
+    caller injects its decoder — the permanent boundary for lossy
+    codecs (H.264/VP9...): the runtime supplies the decode, this repo
+    supplies the identical Spark plumbing (Arrow hop, frame sampling,
+    per-frame dHash, banding, majority vote).
+
+    The planted 'codec': payload = b'TOYV' + width + height + raw gray
+    frames; two clips share frame content (near-dup), one differs."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from kapacitor_spark.dataprep import videocodec
+    from kapacitor_spark.dataprep.multimodal import video_dhash_near_dup
+
+    W = H = 16
+    rng = np.random.RandomState(5)
+    base = [rng.randint(0, 256, (H, W), dtype=np.uint8) for _ in range(3)]
+    other = [rng.randint(0, 256, (H, W), dtype=np.uint8) for _ in range(3)]
+
+    def toy_encode(frames):
+        out = b"TOYV" + struct.pack("<HH", W, H)
+        for f in frames:
+            out += f.tobytes()
+        return out
+
+    # near-dup of base: flip one pixel by 1 in each frame
+    tweaked = [f.copy() for f in base]
+    for f in tweaked:
+        f[0, 0] ^= 1
+    clips = [
+        (1, toy_encode(base)),
+        (2, toy_encode(tweaked)),
+        (3, toy_encode(other)),
+    ]
+    # the built-in walk rejects the foreign container
+    with pytest.raises(ValueError, match="unsupported video container"):
+        videocodec.extract_frames(clips[0][1])
+
+    def toy_decoder(payload: bytes):
+        assert payload[:4] == b"TOYV"
+        w, h = struct.unpack("<HH", payload[4:8])
+        body = payload[8:]
+        fsize = w * h
+        for i in range(len(body) // fsize):
+            raw = body[i * fsize : (i + 1) * fsize]
+            yield i, b"P5\n%d %d\n255\n" % (w, h) + raw  # Netpbm re-wrap
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, payload=bytearray(p)) for i, p in clips]
+    )
+    pairs = video_dhash_near_dup(
+        df, width=W, height=H, channels=1, max_hamming=6, decode_fn=toy_decoder
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+    row = next(r for r in pairs if (r["id_a"], r["id_b"]) == (1, 2))
+    assert row["total_frames"] == 3 and row["agree_frames"] == 3
