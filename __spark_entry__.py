@@ -2156,6 +2156,162 @@ def readability_scores(spark, sf_dir):
 
 
 @_q(
+    "dsir_importance",
+    r"""WITH base AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+       uni AS (SELECT doc_id, unnest(toks) AS f FROM base),
+       bi AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS f
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks) - 1)) AS i
+                    FROM base WHERE len(toks) >= 2)),
+       feats AS (SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM bi),
+       tfe AS (SELECT f FROM feats WHERE doc_id % 7 = 0),
+       cr AS (SELECT f, count(*) AS c FROM feats GROUP BY f),
+       ct AS (SELECT f, count(*) AS c FROM tfe GROUP BY f),
+       tot AS (SELECT CAST((SELECT count(*) FROM feats) AS DOUBLE) AS tr,
+                      CAST((SELECT count(*) FROM tfe) AS DOUBLE) AS tt,
+                      CAST((SELECT count(DISTINCT f) FROM feats) AS DOUBLE) AS v),
+       sc AS (SELECT feats.doc_id,
+                     CAST(round(
+                         ln((coalesce(ct.c, 0) + 0.5) / (tot.tt + 0.5 * tot.v))
+                         - ln((cr.c + 0.5) / (tot.tr + 0.5 * tot.v)), 9)
+                          AS DECIMAL(38,9)) AS lr
+              FROM feats
+              JOIN cr USING (f)
+              LEFT JOIN ct USING (f)
+              CROSS JOIN tot),
+       agg AS (SELECT doc_id, count(*) AS n_features, sum(lr) AS w
+               FROM sc GROUP BY doc_id)
+       SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
+              round(CAST(w AS DOUBLE), 6) AS log_weight
+       FROM agg""",
+)
+def dsir_importance(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023 — Data Selection via
+    Importance Resampling, r10): every document of the corpus scored by
+    the log-likelihood ratio of its unigram+bigram bag under a TARGET
+    bag model (the doc_id%7 trusted slice) vs the raw corpus' own —
+    the published recipe for matching pretraining data to a quality
+    distribution. Scored here in exact-gram mode so the oracle
+    re-derives the whole thing (counts, add-0.5 smoothing over the
+    union feature space, per-occurrence round-9 DECIMAL(38,9) partials);
+    the hashed fixed-bucket mode — the broadcast-model 100 TB path —
+    is equivalence- and collision-tested in tests/test_dsir.py."""
+    from kapacitor_spark.dataprep.dsir import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter("doc_id % 7 = 0")
+    return dsir_weights(docs, target, n_buckets=None)
+
+
+@_q(
+    "gopher_quality_rules",
+    r"""WITH aug AS (SELECT doc_id,
+             /* || (not concat()): DuckDB concat ignores NULLs while
+                Spark concat propagates them — || propagates on both */
+             text
+             || CASE WHEN doc_id % 5 = 0
+                     THEN chr(10) || '- bullet one' || chr(10) || '- bullet two'
+                     ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || 'to be continued...' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN ' # # # #' ELSE '' END
+             AS text
+           FROM documents),
+       t AS (SELECT doc_id, text,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS toks,
+                  list_filter(list_transform(string_split(text, chr(10)),
+                                             x -> trim(x)),
+                              x -> x <> '') AS lines
+           FROM aug),
+       m AS (SELECT doc_id,
+                  len(toks) AS n,
+                  CASE WHEN len(toks) > 0 THEN
+                      CAST(list_aggregate(list_transform(toks,
+                               x -> CAST(length(x) AS BIGINT)), 'sum')
+                           AS DOUBLE) / len(toks) END AS mean_wlen,
+                  CASE WHEN len(toks) > 0 THEN
+                      (CAST(length(text) - length(replace(text, '#', ''))
+                            AS DOUBLE)
+                       + CAST(length(text)
+                              - length(regexp_replace(text, '\.\.\.', '', 'g'))
+                              AS DOUBLE) / 3.0
+                       + CAST(length(text) - length(replace(text, '…', ''))
+                              AS DOUBLE)) / len(toks) END AS symbol_ratio,
+                  CASE WHEN len(lines) > 0 THEN
+                      CAST(len(list_filter(lines,
+                               x -> starts_with(x, '•')
+                                    OR regexp_matches(x, '^[-*] ')))
+                           AS DOUBLE) / len(lines) END AS bullet_frac,
+                  CASE WHEN len(lines) > 0 THEN
+                      CAST(len(list_filter(lines,
+                               x -> regexp_matches(x, '(\.\.\.|…)$')))
+                           AS DOUBLE) / len(lines) END AS ellipsis_frac,
+                  CASE WHEN len(toks) > 0 THEN
+                      CAST(len(list_filter(toks,
+                               x -> regexp_matches(x, '[a-zA-Z]')))
+                           AS DOUBLE) / len(toks) END AS alpha_frac,
+                  CAST(len(list_intersect(list_distinct(toks),
+                       ['the','be','to','of','and','that','have','with']))
+                       AS BIGINT) AS stop_hits
+           FROM t)
+       SELECT doc_id,
+              CAST(n AS BIGINT) AS n_words,
+              round(mean_wlen, 6) AS mean_word_length,
+              round(symbol_ratio, 6) AS symbol_ratio,
+              round(bullet_frac, 6) AS bullet_line_frac,
+              round(ellipsis_frac, 6) AS ellipsis_line_frac,
+              round(alpha_frac, 6) AS alpha_word_frac,
+              stop_hits,
+              coalesce(n >= 50 AND n <= 100000, false) AS rule_words,
+              coalesce(mean_wlen >= 3.0 AND mean_wlen <= 10.0, false)
+                  AS rule_word_length,
+              coalesce(symbol_ratio <= 0.1, false) AS rule_symbols,
+              coalesce(bullet_frac <= 0.9, true)
+                  AND coalesce(ellipsis_frac <= 0.3, true) AS rule_lines,
+              coalesce(alpha_frac >= 0.8, false) AS rule_alpha,
+              coalesce(stop_hits >= 2, false) AS rule_stopwords,
+              coalesce(n >= 50 AND n <= 100000, false)
+                  AND coalesce(mean_wlen >= 3.0 AND mean_wlen <= 10.0, false)
+                  AND coalesce(symbol_ratio <= 0.1, false)
+                  AND (coalesce(bullet_frac <= 0.9, true)
+                       AND coalesce(ellipsis_frac <= 0.3, true))
+                  AND coalesce(alpha_frac >= 0.8, false)
+                  AND coalesce(stop_hits >= 2, false) AS gopher_pass
+       FROM m""",
+)
+def gopher_quality_rules(spark, sf_dir):
+    """The Gopher quality-filter rule set (Rae et al. 2021 Appendix A —
+    the published MassiveWeb cleaning heuristics, also the baseline
+    filter in RefinedWeb/FineWeb reproductions): word-count bounds,
+    mean-word-length bounds, symbol-to-word ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, stop-word presence, plus the
+    conjunction. The fixture corpus is deterministically DECORATED from
+    doc_id (every 5th doc gains bullet lines, every 3rd a trailing
+    ellipsis line, every 11th a hash-symbol burst) so each rule actually
+    varies; the oracle re-derives every signal with the same regexes.
+    Pure column expressions riding the scan — zero shuffles."""
+    from kapacitor_spark.dataprep.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("\n- bullet one\n- bullet two")).otherwise(""),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("\nto be continued...")).otherwise(""),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" # # # #")).otherwise(""),
+        ).alias("text"),
+    )
+    return gopher_rules(aug)
+
+
+@_q(
     "mg_heavy_hitters",
     """/* exact regime: k=2048 >= distinct user_ids at every fixture SF
        (15/150/1500), so each bucket summary IS its count table, merges
@@ -3252,6 +3408,43 @@ def stream_window_mean(spark, sf_dir):
     return run_available_now(
         agg, _mem_name("swm"), _ckpt(), output_mode="complete"
     )
+
+
+@_q(
+    "tick_stream_window",
+    """SELECT date_trunc('hour', ts) AS ts, event_type,
+              avg(value) AS mean_value
+       FROM events WHERE value > 0 GROUP BY 1, 2""",
+)
+def tick_stream_window(spark, sf_dir):
+    """A TICKscript compiled onto Structured Streaming (r10):
+    run_tickscript_stream turns stream|from(where, groupBy)|window|mean|
+    httpOut into an event-time window aggregation over a readStream
+    source, replayed deterministically (availableNow + complete-mode
+    memory sink) — the continuous-ingestion twin of tickscript_e2e,
+    closing the task-store enable path with the streaming engine. The
+    oracle is the identical batch SQL."""
+    from kapacitor_spark.streaming import run_available_now
+    from kapacitor_spark.tick import run_tickscript_stream
+
+    script = """
+stream
+    |from()
+        .measurement('events')
+        .where(lambda: "value" > 0)
+        .groupBy('event_type')
+    |window()
+        .period(1h)
+        .every(1h)
+    |mean('value')
+        .as('mean_value')
+    |httpOut('win')
+"""
+    sdf = _stream_t(spark, sf_dir, "events")
+    outs = run_tickscript_stream(script, sources={"events": sdf}, time_col="ts")
+    return run_available_now(
+        outs["win"], _mem_name("tsw"), _ckpt(), output_mode="complete"
+    ).select("ts", "event_type", "mean_value")
 
 
 @_q(
@@ -5011,6 +5204,17 @@ _SCORED_FAMILIES = {
     # mix_token_budget (text), contamination_spans + span_strip_accounting
     # (dedup), image_dhash_near_dup (multimodal) in; sideload_hierarchy,
     # union_rename, first_last, batch_empty_reduce, lambda_string_fns out.
+    # r10 rotation: the round's three new surfaces move IN —
+    # tick_stream_window (2.8: a TICKscript compiled onto Structured
+    # Streaming, the task-store enable path's engine), gopher_quality_rules
+    # (the published Gopher filter rule set, fully SQL-oracled over a
+    # deterministically decorated corpus) and dsir_importance (DSIR
+    # importance resampling, exact-gram mode with the full smoothed-model
+    # re-derivation in SQL; the hashed broadcast-model scale path is
+    # equivalence-tested in test_dsir.py). stream_state_count (green
+    # since r6), corpus_prep_pipeline (green since r5) and
+    # point_transforms (green since r1) rotate OUT — all three stay
+    # oracle-checked every run by tests/test_oracle_all.py.
     # r9 (4th wave): warc_ingest IN — crawl-archive ingestion is a
     # source, and its planted-archive oracle is exact at every SF;
     # boilerplate_removal OUT (scored green since r5, still in the
@@ -5027,13 +5231,14 @@ _SCORED_FAMILIES = {
     "2.4-windowing": ("window_mean_1h",),
     "2.5-aggregations": (
         "tpch_q1_pricing",
-        "point_transforms", "state_tracking",
+        "state_tracking",
         "holt_winters_forecast",
     ),
     "2.7-lambda": ("sigma_outliers", "lambda_scalar_fns"),
     "2.8-streaming": (
-        "stream_window_mean", "stream_alert_changes", "stream_state_count",
+        "stream_window_mean", "stream_alert_changes",
         "stream_dedup_match",  # r8: continuous ingestion near-dup
+        "tick_stream_window",  # r10: TICK compiled onto readStream
     ),
     "2.9-udf": ("udf_moving_avg",),
     "2.10-alerting": (
@@ -5055,8 +5260,9 @@ _SCORED_FAMILIES = {
     # still in the full sweep).
     "dataprep-text": (
         "web_corpus_pipeline",
-        "corpus_prep_pipeline", "mix_token_budget", "bpe_corpus_stats",
+        "mix_token_budget", "bpe_corpus_stats", "gopher_quality_rules",
     ),
+    "dataprep-selection": ("dsir_importance",),
     "dataprep-similarity": ("ann_cosine_topk", "ann_recall", "ivf_pq_planted"),
     "dataprep-sketches": ("theta_retention", "kll_quantile_rollup"),
     "dataprep-retrieval": ("bm25_topk", "lm_perplexity"),

@@ -13,7 +13,7 @@ __all__ = [
     "token_stats", "quality_score", "lang_id", "doc_fingerprint",
     "analysis_suite", "remove_boilerplate_paragraphs", "scrub_pii",
     "repetition_stats", "pack_sequences", "deterministic_sample",
-    "strip_html", "source_mix_stats", "readability",
+    "strip_html", "source_mix_stats", "readability", "gopher_rules",
 ]
 
 # tiny built-in stopword list for the quality heuristic (public knowledge)
@@ -581,4 +581,134 @@ def readability(
         sentences.alias("n_sentences"),
         syllables.alias("n_syllables"),
         F.when(words > 0, grade).alias("fk_grade"),
+    )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, "Scaling
+    Language Models", Appendix A — the published heuristics MassiveWeb
+    was cleaned with; also the baseline filter in RefinedWeb/FineWeb
+    reproductions). One row per document with each rule's measured
+    signal, its boolean, and the conjunction ``gopher_pass``:
+
+    1. word count in [min_words, max_words]
+    2. mean word length in [min_mean_wlen, max_mean_wlen] characters
+    3. symbol-to-word ratio (# and ellipsis occurrences / words)
+       <= max_symbol_ratio
+    4. fraction of lines starting with a bullet <= max_bullet_frac and
+       fraction ending with an ellipsis <= max_ellipsis_frac
+    5. fraction of words containing >=1 alphabetic char >= min_alpha_frac
+    6. >= min_stop_hits distinct hits from the paper's stop-word list
+       (the/be/to/of/and/that/have/with)
+
+    Pure column expressions over the shared ``tokenize`` normalization —
+    a projection riding the scan, trivially SQL-mirrorable, zero
+    shuffles; composes with the rest of the cleaning stack by filtering
+    on ``gopher_pass``. Defaults are the paper's published thresholds."""
+    from kapacitor_spark.dataprep.dedup import nonempty_tokens
+
+    toks = F.col("__toks")
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        nonempty_tokens(text_col).alias("__toks"),
+    )
+    n = F.size(toks)
+    nd = n.cast("double")
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_wlen = F.when(n > 0, total_chars.cast("double") / nd)
+    hash_count = (
+        F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), r"#", ""))
+    ).cast("double")
+    # each "..." or Unicode ellipsis counts once (regexp strip measures
+    # removed length; 3 chars per ASCII ellipsis)
+    ell_count = (
+        (F.length(text_col)
+         - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))).cast("double")
+        / 3.0
+        + (F.length(text_col)
+           - F.length(F.regexp_replace(F.col(text_col), "…", ""))).cast("double")
+    )
+    symbol_ratio = F.when(n > 0, (hash_count + ell_count) / nd)
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda x: x.startswith("•") | x.rlike(r"^[-*] "),
+            )
+        ).cast("double")
+        / n_lines.cast("double"),
+    )
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)$"))
+        ).cast("double")
+        / n_lines.cast("double"),
+    )
+    alpha_frac = F.when(
+        n > 0,
+        F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("double") / nd,
+    )
+    stop_arr = F.array(
+        *[F.lit(s) for s in ("the", "be", "to", "of", "and", "that", "have", "with")]
+    )
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+
+    r_words = (n >= min_words) & (n <= max_words)
+    r_wlen = (mean_wlen >= min_mean_wlen) & (mean_wlen <= max_mean_wlen)
+    r_symbol = symbol_ratio <= max_symbol_ratio
+    r_lines = (
+        F.coalesce(bullet_frac <= max_bullet_frac, F.lit(True))
+        & F.coalesce(ellipsis_frac <= max_ellipsis_frac, F.lit(True))
+    )
+    r_alpha = alpha_frac >= min_alpha_frac
+    r_stop = stop_hits >= min_stop_hits
+    rules = [
+        F.coalesce(r_words, F.lit(False)).alias("rule_words"),
+        F.coalesce(r_wlen, F.lit(False)).alias("rule_word_length"),
+        F.coalesce(r_symbol, F.lit(False)).alias("rule_symbols"),
+        F.coalesce(r_lines, F.lit(False)).alias("rule_lines"),
+        F.coalesce(r_alpha, F.lit(False)).alias("rule_alpha"),
+        F.coalesce(r_stop, F.lit(False)).alias("rule_stopwords"),
+    ]
+    return staged.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_length"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        *rules,
+        (
+            F.coalesce(r_words, F.lit(False))
+            & F.coalesce(r_wlen, F.lit(False))
+            & F.coalesce(r_symbol, F.lit(False))
+            & F.coalesce(r_lines, F.lit(False))
+            & F.coalesce(r_alpha, F.lit(False))
+            & F.coalesce(r_stop, F.lit(False))
+        ).alias("gopher_pass"),
     )

@@ -285,3 +285,40 @@ def test_astral_plane_chars_consistent(spark):
     out = bpe_encode_ids(df, merges, vocab).collect()[0]
     assert out["n_oov"] == 0
     assert out["n_bpe_tokens"] > 0
+
+
+def test_bpe_encode_streams(spark, tmp_path):
+    """The memoized encode hop is stateless, so it composes with
+    Structured Streaming unchanged: trained merges broadcast by closure,
+    every micro-batch encodes with zero state — the continuous-ingestion
+    twin of bpe_encode_ids (tokenize arriving documents with a FROZEN
+    trained vocabulary, the deployment shape of a data pipeline's
+    tokenizer stage)."""
+    from pyspark.sql import functions as F
+
+    from kapacitor_spark.dataprep.bpe import (
+        bpe_alphabet,
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from kapacitor_spark.streaming import run_available_now
+
+    rows = [(i, "low lower newest widest new") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, n_merges=20)
+    vocab = bpe_vocab(merges, bpe_alphabet(df))
+
+    src = tmp_path / "docs"
+    df.coalesce(1).write.parquet(str(src))
+    sdf = spark.readStream.schema(df.schema).parquet(str(src))
+    out = run_available_now(
+        bpe_encode_ids(sdf, merges, vocab),
+        "bpe_stream_ids", str(tmp_path / "ckpt"), output_mode="append",
+    )
+    got = {r["doc_id"]: (list(r["token_ids"]), r["n_oov"]) for r in out.collect()}
+    want = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_oov"])
+        for r in bpe_encode_ids(df, merges, vocab).collect()
+    }
+    assert got == want and all(v[1] == 0 for v in got.values())
