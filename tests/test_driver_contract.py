@@ -36,6 +36,7 @@ def test_scored_window_covers_every_family():
         "2.10-alerting", "dataprep-dedup", "dataprep-text",
         "dataprep-similarity", "dataprep-sketches", "dataprep-retrieval",
         "dataprep-multimodal",
+        "dataprep-selection",  # r10: DSIR importance resampling
     }
     assert set(fams) == required
     assert all(len(members) > 0 for members in fams.values())

@@ -461,3 +461,74 @@ def test_mg_rollup_counts_before_python(spark):
     # exactly one Python hop (the compression), downstream of the agg
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_gopher_rules_is_shuffle_free_projection(spark):
+    """The Gopher rule set must ride the scan: pure column expressions,
+    no Exchange, no Python, column pruning down to (doc_id, text)."""
+    plan = plan_of(spark, "gopher_quality_rules")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "doc_id" in plan and "n_comments" not in plan  # pruned scan
+
+
+def test_dsir_hashed_model_broadcasts(spark):
+    """DSIR's 100 TB shape: with hashed features the model is a bounded
+    table, so the corpus-size feature stream must meet a BROADCAST hash
+    join (a shuffle join would move the whole gram stream), and the
+    per-doc sum must partially aggregate map-side."""
+    from kapacitor_spark.dataprep.dsir import dsir_weights
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    target = docs.filter("doc_id % 7 = 0")
+    df = dsir_weights(docs, target, n_buckets=4096)
+    plan_str = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_str
+    assert "SortMergeJoinExec" not in plan_str
+    assert "partial_sum" in plan_str or "partial_count" in plan_str
+    assert "BatchEvalPython" not in plan_str
+
+
+def test_tick_stream_window_incremental_state(spark):
+    """The streaming TICK compile must plan as a real Structured
+    Streaming stateful aggregation (StateStore save/restore around the
+    window agg), with partial aggregation below the exchange — not a
+    batch re-plan per trigger."""
+    from kapacitor_spark.tick import run_tickscript_stream
+
+    schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_DIR)
+    )
+    script = """
+stream
+    |from()
+        .measurement('events')
+        .groupBy('event_type')
+    |window()
+        .period(1h)
+        .every(1h)
+    |mean('value')
+        .as('mean_value')
+    |httpOut('w')
+"""
+    out = run_tickscript_stream(script, sources={"events": sdf}, time_col="ts")["w"]
+    assert out.isStreaming
+    import tempfile
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tick_plan_probe")
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # a stateful streaming aggregation reports its state store in the
+    # progress metrics; a batch re-plan would have no state operators
+    prog = q.recentProgress[-1]
+    assert prog["stateOperators"], "no stateful operator in the streaming plan"
+    assert prog["stateOperators"][0]["numRowsTotal"] > 0
