@@ -2156,6 +2156,119 @@ def readability_scores(spark, sf_dir):
 
 
 @_q(
+    "c4_pipeline",
+    r"""WITH toks0 AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+       syn AS (SELECT doc_id, concat_ws(chr(10),
+             CASE WHEN toks IS NULL THEN NULL ELSE
+                  coalesce(array_to_string(list_slice(toks, 1, 8), ' '), '')
+                  || '.' END,
+             CASE WHEN toks IS NULL THEN NULL ELSE
+                  coalesce(array_to_string(list_slice(toks, 9, 16), ' '), '')
+                  || (CASE WHEN doc_id % 4 = 0 THEN '' ELSE '!' END) END,
+             CASE WHEN doc_id % 3 = 0 THEN 'alpha beta gamma delta.' END,
+             CASE WHEN doc_id % 3 = 0 THEN 'epsilon zeta eta theta.' END,
+             CASE WHEN doc_id % 3 = 0 THEN 'iota kappa lambda mu.' END,
+             'tiny line.',
+             CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor sit.' END,
+             CASE WHEN doc_id % 7 = 0 THEN 'enable javascript now please.' END,
+             CASE WHEN toks IS NULL THEN NULL ELSE
+                  coalesce(array_to_string(list_slice(toks, 17, 24), ' '), '')
+                  || '?' END) AS text
+           FROM toks0),
+       lined AS (SELECT doc_id, text,
+                  list_filter(list_transform(string_split(text, chr(10)),
+                                             x -> trim(x)), x -> x <> '') AS lines
+           FROM syn),
+       kept AS (SELECT doc_id, text, lines,
+                  list_filter(lines, x ->
+                      regexp_matches(x, '[.!?"]\s*$')
+                      AND len(list_filter(string_split_regex(x, '\s+'),
+                                          w -> w <> '')) >= 3
+                      AND NOT contains(lower(x), 'javascript')) AS keptl
+           FROM lined),
+       pages AS (SELECT doc_id,
+                  CAST(len(keptl) AS BIGINT) AS n_lines_kept,
+                  CAST(len(lines) - len(keptl) AS BIGINT) AS n_lines_dropped,
+                  list_filter(list_transform(
+                      string_split_regex(array_to_string(keptl, ' '), '[.!?]+'),
+                      s -> trim(s)), s -> s <> '') AS sents
+           FROM kept
+           WHERE NOT contains(lower(text), 'lorem ipsum')
+             AND NOT contains(text, '{')
+             AND len(list_filter(list_transform(
+                     string_split_regex(array_to_string(keptl, ' '), '[.!?]+'),
+                     s -> trim(s)), s -> s <> '')) >= 5),
+       occ AS (SELECT doc_id, i AS pos,
+                      md5(sents[i + 1] || chr(1) || sents[i + 2] || chr(1)
+                          || sents[i + 3]) AS digest,
+                      doc_id * 100000 + i AS okey
+               FROM pages,
+                    unnest(generate_series(0, len(sents) - 3)) AS t(i)),
+       keepers AS (SELECT digest, min(okey) AS keep, count(*) AS m
+                   FROM occ GROUP BY digest),
+       dup_pos AS (SELECT DISTINCT o.doc_id, o.pos + j AS dpos
+                   FROM occ o JOIN keepers k USING (digest),
+                        unnest([0, 1, 2]) AS u(j)
+                   WHERE k.m > 1 AND o.okey <> k.keep),
+       sent_rows AS (SELECT p.doc_id, p.n_lines_kept, p.n_lines_dropped,
+                            CAST(len(p.sents) AS BIGINT) AS n_sentences,
+                            i - 1 AS pos, p.sents[i] AS s
+                     FROM pages p,
+                          unnest(generate_series(1, len(p.sents))) AS t(i)),
+       survivors AS (SELECT sr.* FROM sent_rows sr
+                     LEFT JOIN dup_pos d
+                       ON sr.doc_id = d.doc_id AND sr.pos = d.dpos
+                     WHERE d.doc_id IS NULL)
+       SELECT doc_id, n_lines_kept, n_lines_dropped, n_sentences,
+              CAST(n_sentences - count(*) AS BIGINT) AS n_span_dropped,
+              string_agg(s || '.', ' ' ORDER BY pos) AS clean_text
+       FROM survivors
+       GROUP BY doc_id, n_lines_kept, n_lines_dropped, n_sentences""",
+)
+def c4_pipeline(spark, sf_dir):
+    """The C4 cleaning pipeline (Raffel et al. 2020 §2.2 — with
+    gopher_quality_rules, the pair of published web-corpus rule sets):
+    line filters (terminal punctuation, >=3 words, no javascript), page
+    filters (lorem ipsum, '{', >=5 sentences) and the three-sentence-
+    span corpus dedup (first occurrence by (doc_id, pos) wins). The
+    word-soup fixture gains deterministic sentence/line structure from
+    doc_id (token-slice sentences with rotating terminals; every third
+    doc carries a SHARED three-sentence run so the span dedup really
+    fires; every 13th a lorem-ipsum poison; every 7th a javascript
+    line; a too-short line everywhere) — the oracle re-derives
+    synthesis, every filter and the span dedup in SQL."""
+    from kapacitor_spark.dataprep.dedup import nonempty_tokens
+    from kapacitor_spark.dataprep.text import c4_clean
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = nonempty_tokens("text")
+    d = F.col("doc_id")
+
+    def sent(lo, punct):
+        return F.concat(F.array_join(F.slice(toks, lo, 8), " "), punct)
+
+    syn = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            sent(1, F.lit(".")),
+            sent(9, F.when(d % 4 == 0, "").otherwise("!")),
+            F.when(d % 3 == 0, F.lit("alpha beta gamma delta.")),
+            F.when(d % 3 == 0, F.lit("epsilon zeta eta theta.")),
+            F.when(d % 3 == 0, F.lit("iota kappa lambda mu.")),
+            F.lit("tiny line."),
+            F.when(d % 13 == 0, F.lit("lorem ipsum dolor sit.")),
+            F.when(d % 7 == 0, F.lit("enable javascript now please.")),
+            sent(17, F.lit("?")),
+        ).alias("text"),
+    )
+    return c4_clean(syn)
+
+
+@_q(
     "dsir_importance",
     r"""WITH base AS (SELECT doc_id,
                   list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -5208,7 +5321,10 @@ _SCORED_FAMILIES = {
     # tick_stream_window (2.8: a TICKscript compiled onto Structured
     # Streaming, the task-store enable path's engine), gopher_quality_rules
     # (the published Gopher filter rule set, fully SQL-oracled over a
-    # deterministically decorated corpus) and dsir_importance (DSIR
+    # deterministically decorated corpus), c4_pipeline (the C4 filters +
+    # three-sentence-span corpus dedup over a synthesized sentence
+    # structure, fully SQL-oracled; mix_token_budget rotates out for it,
+    # scored green since r7) and dsir_importance (DSIR
     # importance resampling, exact-gram mode with the full smoothed-model
     # re-derivation in SQL; the hashed broadcast-model scale path is
     # equivalence-tested in test_dsir.py). stream_state_count (green
@@ -5260,7 +5376,7 @@ _SCORED_FAMILIES = {
     # still in the full sweep).
     "dataprep-text": (
         "web_corpus_pipeline",
-        "mix_token_budget", "bpe_corpus_stats", "gopher_quality_rules",
+        "bpe_corpus_stats", "gopher_quality_rules", "c4_pipeline",
     ),
     "dataprep-selection": ("dsir_importance",),
     "dataprep-similarity": ("ann_cosine_topk", "ann_recall", "ivf_pq_planted"),

@@ -14,6 +14,7 @@ __all__ = [
     "analysis_suite", "remove_boilerplate_paragraphs", "scrub_pii",
     "repetition_stats", "pack_sequences", "deterministic_sample",
     "strip_html", "source_mix_stats", "readability", "gopher_rules",
+    "c4_clean",
 ]
 
 # tiny built-in stopword list for the quality heuristic (public knowledge)
@@ -711,4 +712,151 @@ def gopher_rules(
             & F.coalesce(r_alpha, F.lit(False))
             & F.coalesce(r_stop, F.lit(False))
         ).alias("gopher_pass"),
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 3,
+    min_sentences: int = 5,
+    span_sentences: int = 3,
+) -> DataFrame:
+    """The C4 cleaning pipeline (Raffel et al. 2020 §2.2 — the filters
+    behind the Colossal Clean Crawled Corpus; with :func:`gopher_rules`
+    the pair of published rule sets every web-corpus reproduction
+    starts from):
+
+    1. LINE filters: keep lines that end in terminal punctuation
+       (. ! ? "), contain >= ``min_line_words`` words, and do not
+       mention "javascript" (case-insensitive).
+    2. PAGE filters: drop pages whose ORIGINAL text contains
+       "lorem ipsum" (case-insensitive) or a curly brace "{", and pages
+       with fewer than ``min_sentences`` sentences after line filtering.
+    3. SPAN DEDUP: any ``span_sentences``-sentence run occurring more
+       than once in the corpus keeps its FIRST occurrence (min
+       (doc_id, position)) and is removed everywhere else — the famous
+       three-sentence dedup.
+
+    Sentence convention (shared with :func:`readability`): terminal-run
+    split, so reassembled text re-terminates every sentence with ".".
+    Returns one row per SURVIVING page: (id, n_lines_kept,
+    n_lines_dropped, n_sentences, n_span_dropped, clean_text).
+
+    Plan shape at 100 TB: line/page filtering is a projection riding the
+    scan; the span stage shuffles ONLY 16-byte span digests + positions
+    (one count aggregate with map-side combine, one join back, one
+    per-page rebuild aggregate) — never page text, the exact shape of
+    remove_boilerplate_paragraphs."""
+    term_line = r'[.!?"]\s*$'
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    line_ok = lambda x: (
+        x.rlike(term_line)
+        & (F.size(F.filter(F.split(x, r"\s+"), lambda w: w != F.lit(""))) >= min_line_words)
+        & ~F.lower(x).contains("javascript")
+    )
+    kept_lines = F.filter(lines, line_ok)
+    sentences = F.filter(
+        F.transform(
+            F.split(F.array_join(F.col("__kept"), " "), r"[.!?]+"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != F.lit(""),
+    )
+    pages = (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            lines.alias("__lines"),
+            kept_lines.alias("__kept"),
+        )
+        .withColumn("__sents", sentences)
+        .filter(
+            ~F.lower(F.col(text_col)).contains("lorem ipsum")
+            & ~F.col(text_col).contains("{")
+            & (F.size("__sents") >= min_sentences)
+        )
+        .select(
+            F.col(id_col),
+            F.size("__kept").cast("long").alias("n_lines_kept"),
+            (F.size("__lines") - F.size("__kept")).cast("long").alias("n_lines_dropped"),
+            F.col("__sents"),
+        )
+    )
+    # span digests: (id, pos, md5 of the k-sentence run), pos 0-based
+    k = span_sentences
+    s = F.col("__sents")
+    spans = pages.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size(s) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(s) - k),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            "\x01", *[F.element_at(s, i + j + 1) for j in range(k)]
+                        )
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "digest"),
+    )
+    # keeper = min order key per digest; order key packs (id, pos) into
+    # one long so the SQL oracle can mirror it exactly
+    okey = (F.col(id_col) * 100000 + F.col("pos")).alias("__okey")
+    occ = spans.select(id_col, "pos", "digest", okey)
+    keepers = occ.groupBy("digest").agg(
+        F.min("__okey").alias("__keep"), F.count(F.lit(1)).alias("__m")
+    )
+    dup_pos = (
+        occ.join(keepers.filter(F.col("__m") > 1), "digest")
+        .filter(F.col("__okey") != F.col("__keep"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array(*[F.col("pos") + j for j in range(k)])
+            ).alias("__dpos"),
+        )
+        .distinct()
+    )
+    sent_rows = pages.select(
+        id_col, "n_lines_kept", "n_lines_dropped",
+        F.posexplode("__sents").alias("__pos", "__s"),
+    )
+    kept = sent_rows.join(
+        dup_pos,
+        (sent_rows[id_col] == dup_pos[id_col])
+        & (sent_rows["__pos"] == dup_pos["__dpos"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col, "n_lines_kept", "n_lines_dropped").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_kept_sents"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__s"))),
+                lambda st: F.concat(st["__s"], F.lit(".")),
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    n_sents = pages.select(
+        id_col, F.size("__sents").cast("long").alias("n_sentences")
+    )
+    return (
+        rebuilt.join(n_sents, id_col)
+        .select(
+            id_col,
+            "n_lines_kept",
+            "n_lines_dropped",
+            "n_sentences",
+            (F.col("n_sentences") - F.col("__n_kept_sents")).cast("long").alias(
+                "n_span_dropped"
+            ),
+            "clean_text",
+        )
     )

@@ -676,3 +676,42 @@ def test_readability_hand_computed(spark):
     r4 = out[4]
     assert r4["n_words"] is None and r4["n_syllables"] is None
     assert r4["n_sentences"] == 1 and r4["fk_grade"] is None
+
+
+def test_c4_clean_rules_and_span_dedup(spark):
+    """C4 (Raffel et al. 2020): line filters (terminal punctuation, >=3
+    words, no 'javascript'), page filters (lorem ipsum, '{', >=5
+    sentences), and the three-sentence-span dedup keeping the first
+    (min (doc_id, pos)) occurrence."""
+    from kapacitor_spark.dataprep.text import c4_clean
+
+    shared = "alpha beta gamma. delta epsilon zeta. eta theta iota."
+    rows = [
+        # doc 1: keeper of the shared span + enough own sentences
+        (1, shared + "\none two three four.\nfive six seven eight!\nnine ten eleven?"),
+        # doc 2: same shared span later -> its 3 sentences get removed
+        (2, "aaa bbb ccc ddd.\nbbb ccc ddd eee.\nccc ddd eee fff.\n" + shared),
+        # doc 3: line-level drops: no terminal punct / too short / javascript
+        (3, "one two three four.\nno terminal punct here\nhi there.\n"
+            "enable javascript now.\ntwo three four five.\nsix seven eight nine.\n"
+            "ten eleven twelve more.\nlast full line here."),
+        # doc 4: page poison
+        (4, "lorem ipsum dolor sit amet. " + shared * 3),
+        (5, "config { broken } " + shared * 3),
+        # doc 6: too few sentences after filtering
+        (6, "just one sentence here.\nsecond tiny sentence now."),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_clean(df).collect()}
+    assert set(out) == {1, 2, 3}           # 4/5 poisoned, 6 too short, 7 null
+    # doc 1 keeps everything (it is the keeper of the shared span)
+    assert out[1]["n_span_dropped"] == 0 and out[1]["n_sentences"] == 6
+    # doc 2 loses exactly the 3 shared sentences
+    assert out[2]["n_span_dropped"] == 3
+    assert "alpha beta gamma" not in out[2]["clean_text"]
+    assert "aaa bbb ccc ddd" in out[2]["clean_text"]
+    # doc 3 line accounting: 8 lines, 3 dropped (no-punct, short, javascript)
+    assert out[3]["n_lines_kept"] == 5 and out[3]["n_lines_dropped"] == 3
+    # reassembly re-terminates with '.' and preserves order
+    assert out[1]["clean_text"].startswith("alpha beta gamma. delta epsilon zeta.")
