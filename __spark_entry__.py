@@ -1111,6 +1111,60 @@ def tpch_q5_local_supplier(spark, sf_dir):
 
 
 @_q(
+    "tpch_q19_disjunctive",
+    """/* TPC-H Q19's plan shape on the available columns: a DISJUNCTION
+       of mixed-table conjuncts over a fact-dim join — the classic test
+       of CNF extraction (the common p_partkey=l_partkey conjunct plus
+       the per-table OR residue must still push to the scans). Revenue
+       sums as DECIMAL(12,6) products, order-independent. */
+       SELECT count(*) AS n_matches,
+              round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,6))
+                        * (1 - CAST(l_discount AS DECIMAL(12,6)))) AS DOUBLE), 3)
+                  AS revenue
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 1 AND 20)
+          OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+              AND l_quantity BETWEEN 10 AND 35)
+          OR (p_brand = 'Brand#22' AND p_size BETWEEN 20 AND 50
+              AND l_quantity BETWEEN 20 AND 50)""",
+)
+def tpch_q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive discounted-revenue): three OR'd
+    brand/size/quantity conjunct groups across the lineitem⋈part join.
+    Spark-first value: Catalyst's CNF conversion extracts the per-table
+    residues of the disjunction (p_brand/p_size terms to the part scan,
+    l_quantity to the lineitem scan) so both scans prune BEFORE the
+    join, and AQE broadcasts the filtered dim — the single-row decimal
+    aggregate is order-independent. Adapted to the fixture's columns
+    (no p_container/l_shipmode in the synthetic schema; the OPTIMIZER
+    SHAPE — common equi-conjunct + mixed-table OR residue — is what Q19
+    tests)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(pt, li["l_partkey"] == pt["p_partkey"])
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & sz.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#13") & sz.between(10, 30) & q.between(10, 35))
+        | ((b == "Brand#22") & sz.between(20, 50) & q.between(20, 50))
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.round(
+            _dsum(
+                F.col("l_extendedprice").cast("decimal(12,6)")
+                * (1 - F.col("l_discount").cast("decimal(12,6)")),
+                "decimal(25,8)",
+            ),
+            3,
+        ).alias("revenue"),
+    )
+
+
+@_q(
     "tpch_q17_small_qty",
     """/* correlated-subquery shape, decorrelated: per-part quantity stats
        join back to the fact rows. The avg comparison is EXACT on both

@@ -532,3 +532,18 @@ stream
     prog = q.recentProgress[-1]
     assert prog["stateOperators"], "no stateful operator in the streaming plan"
     assert prog["stateOperators"][0]["numRowsTotal"] > 0
+
+
+def test_q19_disjunction_pushes_cnf_residues(spark):
+    """TPC-H Q19 shape: Catalyst must extract the per-table residues of
+    the three-way OR (quantity ranges to the lineitem scan, brand/size
+    conjuncts to the part scan) so BOTH scans prune before the join, and
+    the filtered dim must broadcast."""
+    plan = plan_of(spark, "tpch_q19_disjunctive")
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert any("l_quantity" in p and "Or(" in p for p in pushed)
+    assert any("p_brand" in p and "Or(" in p for p in pushed)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
