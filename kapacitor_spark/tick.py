@@ -1912,6 +1912,37 @@ class _SAgg:
         self.time_col = time_col
 
 
+class _SAlert:
+    """Stateless streaming alert: crit/warn/info lambdas become a level
+    CASE on the (windowed) rows — the reference's threshold machine
+    without the keyed parts (reset hysteresis, stateChangesOnly,
+    flapping need per-group state; they raise toward the batch replay
+    or kapacitor_spark.streaming's stateful operators)."""
+
+    def __init__(self, parent, env):
+        self.df = parent.df if isinstance(parent, _SAgg) else env._resolve_df(parent)
+        self.env = env
+        self.levels: dict[str, str] = {}
+
+    def finalize(self):
+        from kapacitor_spark.functions.lambdas import compile_lambda
+
+        col = None
+        for name, label in (
+            ("crit", "CRITICAL"), ("warn", "WARNING"), ("info", "INFO")
+        ):
+            if name not in self.levels:
+                continue
+            cond = compile_lambda(
+                self.levels[name], ordered_window=None,
+                time_col=self.env.time_col, schema=dict(self.df.dtypes),
+                variables=self.env.vars,
+            )
+            col = F.when(cond, label) if col is None else col.when(cond, label)
+        level = col.otherwise("OK") if col is not None else F.lit("OK")
+        return self.df.withColumn("level", level)
+
+
 class _StreamEnv:
     """Parser env for the streaming subset (same surface as _Env /
     _GraphEnv: chain / prop / _materialize / vars)."""
@@ -2012,7 +2043,15 @@ class _StreamEnv:
                 )
             )
             return _SAgg(out, self.time_col)
+        if name == "alert":
+            if not isinstance(node, (_SAgg, _SFrom)):
+                raise TickError("streaming compile: |alert() must follow "
+                                "an aggregation or stream|from()")
+            return _SAlert(node, self)
         if name == "httpOut":
+            if isinstance(node, _SAlert):
+                self.outputs[args[0]] = node.finalize()
+                return node
             if isinstance(node, _SAgg):
                 self.outputs[args[0]] = node.df
                 return node
@@ -2023,7 +2062,7 @@ class _StreamEnv:
                             "materialized node")
         raise TickError(
             f"|{name}() is not in the streaming compile subset (from/"
-            "where/groupBy/window/mean/sum/count/min/max/httpOut) — run "
+            "where/groupBy/window/mean/sum/count/min/max/alert/httpOut) — run "
             "it as a batch replay task (run_tickscript) or wire the "
             "stateful operator from kapacitor_spark.streaming directly"
         )
@@ -2056,6 +2095,18 @@ class _StreamEnv:
                 node.df = node.df.withColumnRenamed(cols[-1], args[0])
                 return node
             raise TickError(f"streaming aggregation does not support .{name}()")
+        if isinstance(node, _SAlert):
+            if name in ("crit", "warn", "info"):
+                node.levels[name] = (
+                    args[0].src if isinstance(args[0], _Lambda) else args[0]
+                )
+                return node
+            raise TickError(
+                f"streaming alert() does not support .{name}() — reset "
+                "hysteresis/stateChangesOnly/flapping need keyed state: "
+                "use the batch replay (run_tickscript) or the stateful "
+                "operators in kapacitor_spark.streaming"
+            )
         raise TickError(f"unsupported property .{name}() in streaming compile")
 
     def _materialize(self, node):

@@ -434,3 +434,56 @@ def test_streaming_compile_subset_is_honest(spark):
             "stream|from().measurement('cpu')",
             sources={"cpu": sdf}, time_col="timestamp",
         )
+
+
+def test_streaming_alert_levels(spark, tmp_path):
+    """|alert() in the streaming subset: stateless crit/warn level CASE
+    on windowed aggregates (crit wins over warn regardless of prop
+    order); the stateful alert knobs raise toward the batch replay."""
+    from kapacitor_spark.streaming import run_available_now
+    from kapacitor_spark.tick import TickError, run_tickscript_stream
+
+    rows = (
+        [(i, f"2024-01-01 00:00:{i:02d}", "h", 10.0) for i in range(4)]
+        + [(i + 10, f"2024-01-01 00:00:{4 + i:02d}", "h", 60.0) for i in range(4)]
+        + [(i + 20, f"2024-01-01 00:00:{8 + i:02d}", "h", 95.0) for i in range(4)]
+    )
+    df = spark.createDataFrame(
+        rows, "id long, time string, host string, value double"
+    ).withColumn("time", F.to_timestamp("time"))
+    src = tmp_path / "in"
+    df.coalesce(1).write.parquet(str(src))
+    sdf = spark.readStream.schema(
+        "id long, time timestamp, host string, value double"
+    ).parquet(str(src))
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+    |window()
+        .period(4s)
+        .every(4s)
+    |mean('value')
+        .as('mv')
+    |alert()
+        .warn(lambda: "mv" > 50)
+        .crit(lambda: "mv" > 90)
+    |httpOut('alerts')
+"""
+    outs = run_tickscript_stream(script, sources={"cpu": sdf}, time_col="time")
+    res = run_available_now(
+        outs["alerts"], "tick_stream_alert", str(tmp_path / "ck"),
+        output_mode="complete",
+    )
+    got = {str(r["time"]): (round(r["mv"], 3), r["level"]) for r in res.collect()}
+    assert got == {
+        "2024-01-01 00:00:00": (10.0, "OK"),
+        "2024-01-01 00:00:04": (60.0, "WARNING"),
+        "2024-01-01 00:00:08": (95.0, "CRITICAL"),
+    }
+    with pytest.raises(TickError, match="keyed state"):
+        run_tickscript_stream(
+            script.replace("|httpOut('alerts')",
+                           ".stateChangesOnly()\n    |httpOut('alerts')"),
+            sources={"cpu": sdf}, time_col="time",
+        )
