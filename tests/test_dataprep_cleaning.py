@@ -715,3 +715,26 @@ def test_c4_clean_rules_and_span_dedup(spark):
     assert out[3]["n_lines_kept"] == 5 and out[3]["n_lines_dropped"] == 3
     # reassembly re-terminates with '.' and preserves order
     assert out[1]["clean_text"].startswith("alpha beta gamma. delta epsilon zeta.")
+
+
+def test_gopher_rules_custom_thresholds(spark):
+    """gopher_rules parameterization: thresholds are arguments, not
+    baked-in — a corpus-specific profile (tiny min_words, strict symbol
+    ratio) must flip exactly the rules it touches."""
+    from kapacitor_spark.dataprep.text import gopher_rules
+
+    rows = [
+        (1, "the cat sat on the mat and that was that"),  # 10 words
+        (2, "# # # the of and with be"),                   # symbol-heavy
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    strict = {r["doc_id"]: r for r in gopher_rules(
+        df, min_words=5, max_symbol_ratio=0.05, min_mean_wlen=1.0,
+    ).collect()}
+    assert strict[1]["rule_words"] and strict[1]["gopher_pass"]
+    assert not strict[2]["rule_symbols"] and not strict[2]["gopher_pass"]
+    loose = {r["doc_id"]: r for r in gopher_rules(
+        df, min_words=5, max_symbol_ratio=1.0, min_mean_wlen=1.0,
+    ).collect()}
+    assert loose[2]["rule_symbols"]  # only the symbol rule flipped
+    assert loose[2]["rule_stopwords"] == strict[2]["rule_stopwords"]
