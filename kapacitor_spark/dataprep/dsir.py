@@ -49,7 +49,25 @@ from pyspark.sql import functions as F
 
 from kapacitor_spark.dataprep.dedup import nonempty_tokens
 
-__all__ = ["dsir_features", "dsir_weights", "dsir_select"]
+__all__ = ["dsir_features", "dsir_weights", "dsir_select", "dsir_artifact", "dsir_score_stream"]
+
+
+def _gram_array(toks_col: "F.Column") -> "F.Column":
+    """Unigram + bigram array per row (the paper's feature set) from an
+    already-materialized token-array column — shared by the exploded
+    batch form and the per-row streaming scorer."""
+    t = toks_col
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(t, bigrams)
 
 
 def dsir_features(
@@ -63,19 +81,8 @@ def dsir_features(
     ``n_buckets`` (feature becomes a LONG bucket id; None keeps the gram
     string)."""
     base = df.select(F.col(id_col), nonempty_tokens(text_col).alias("__toks"))
-    t = F.col("__toks")
-    n = F.size(t)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i), F.element_at(t, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     feats = base.select(
-        F.col(id_col), F.explode(F.concat(t, bigrams)).alias("feature")
+        F.col(id_col), F.explode(_gram_array(F.col("__toks"))).alias("feature")
     )
     if n_buckets is not None:
         feats = feats.select(
@@ -184,3 +191,97 @@ def dsir_select(
         .withColumn("selected", F.col("__key") >= F.col("__cut"))
         .drop("__key", "__cut")
     )
+
+
+def dsir_artifact(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    n_buckets: int = 65536,
+) -> dict:
+    """Bounded driver-side DSIR model for CONTINUOUS ingestion scoring
+    (the lm_prune deployment pattern): the two hashed bag models
+    collapse to a per-bucket log-ratio table of at most ``n_buckets``
+    entries — kilobytes, shipped to executors by closure. ``default``
+    covers buckets neither corpus populated (both smoothed counts are
+    bare alpha), so arriving documents with unseen vocabulary still
+    score. Ratios pre-round to 9 decimals — the same partial the batch
+    scorer feeds its DECIMAL sum, so stream and batch agree exactly."""
+    import math
+
+    rf = dsir_features(raw, text_col, n_buckets=n_buckets)
+    tf = dsir_features(target, text_col, n_buckets=n_buckets)
+    cr = {r["feature"]: r["c"] for r in rf.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    ct = {r["feature"]: r["c"] for r in tf.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    tr, tt, v = float(sum(cr.values())), float(sum(ct.values())), float(n_buckets)
+
+    def lr(b):
+        return round(
+            math.log((ct.get(b, 0) + alpha) / (tt + alpha * v))
+            - math.log((cr.get(b, 0) + alpha) / (tr + alpha * v)),
+            9,
+        )
+
+    ratios = {b: lr(b) for b in set(cr) | set(ct)}
+    return {
+        "ratios": ratios,
+        "default": round(
+            math.log(alpha / (tt + alpha * v)) - math.log(alpha / (tr + alpha * v)), 9
+        ),
+        "n_buckets": n_buckets,
+        "alpha": alpha,
+    }
+
+
+def dsir_score_stream(
+    df: DataFrame,
+    artifact: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents (batch OR streaming — stateless, so it composes
+    with readStream unchanged) against a frozen :func:`dsir_artifact`:
+    ``(id, n_features, log_weight)``. Bucket hashing stays JVM-side
+    (xxhash64 inside a transform — identical values to the batch
+    featurizer); the Arrow hop only sums table lookups, accumulating the
+    pre-rounded ratios as scaled INTEGERS so the total equals the batch
+    scorer's DECIMAL(38,9) sum bit-for-bit regardless of order."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    ratios = {int(k): int(round(v * 1_000_000_000)) for k, v in artifact["ratios"].items()}
+    default = int(round(artifact["default"] * 1_000_000_000))
+    nb = artifact["n_buckets"]
+    base = df.select(
+        F.col(id_col),
+        F.transform(
+            _gram_array(nonempty_tokens(text_col)),
+            lambda g: F.pmod(F.xxhash64(g), F.lit(nb)),
+        ).alias("__b"),
+    ).filter(F.size("__b") > 0)
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_features", T.LongType()),
+            T.StructField("log_weight", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            nf, w = [], []
+            for bs in pdf["__b"]:
+                total = 0
+                for b in bs:
+                    total += ratios.get(int(b), default)
+                nf.append(len(bs))
+                w.append(round(total / 1_000_000_000, 6))
+            yield pd.DataFrame(
+                {pdf.columns[0]: pdf.iloc[:, 0], "n_features": nf, "log_weight": w}
+            )
+
+    return base.mapInPandas(run, schema=out_schema)

@@ -130,3 +130,48 @@ def test_select_fraction_and_determinism(spark):
     )
     assert a == b
     assert sum(1 for _, s in a if s) >= 1
+
+
+def test_artifact_stream_scorer_matches_batch(spark, tmp_path):
+    """The frozen-artifact scorer (continuous-ingestion shape) must
+    agree with the distributed hashed-mode batch scorer bit-for-bit on
+    the same corpus (pre-rounded ratios summed as scaled integers ==
+    the DECIMAL(38,9) partial sums), and it must score documents with
+    UNSEEN vocabulary via the default bucket ratio — something the
+    batch join (whose model derives from the raw corpus) never faces."""
+    from kapacitor_spark.dataprep.dsir import dsir_artifact, dsir_score_stream
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    target = df.filter("doc_id % 3 = 0")
+    nb = 4096
+    art = dsir_artifact(df, target, n_buckets=nb)
+    batch = {
+        r["doc_id"]: (r["n_features"], r["log_weight"])
+        for r in dsir_weights(df, target, n_buckets=nb).collect()
+    }
+    scored = {
+        r["doc_id"]: (r["n_features"], r["log_weight"])
+        for r in dsir_score_stream(df, art).collect()
+    }
+    assert scored == batch
+    # truly streaming: same rows through a file-stream micro-batch
+    from kapacitor_spark.streaming import run_available_now
+
+    src = tmp_path / "docs"
+    df.filter("text IS NOT NULL").coalesce(1).write.parquet(str(src))
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    out = run_available_now(
+        dsir_score_stream(sdf, art), "dsir_stream", str(tmp_path / "ck"),
+        output_mode="append",
+    )
+    streamed = {
+        r["doc_id"]: (r["n_features"], r["log_weight"]) for r in out.collect()
+    }
+    assert streamed == batch
+    # unseen vocabulary scores through the default ratio, never errors
+    new = spark.createDataFrame(
+        [(99, "zzz qqq completely unseen words")], "doc_id long, text string"
+    )
+    got = dsir_score_stream(new, art).collect()[0]
+    assert got["n_features"] == 9  # 5 unigrams + 4 bigrams
+    assert got["log_weight"] is not None
