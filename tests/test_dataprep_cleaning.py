@@ -738,3 +738,28 @@ def test_gopher_rules_custom_thresholds(spark):
     ).collect()}
     assert loose[2]["rule_symbols"]  # only the symbol rule flipped
     assert loose[2]["rule_stopwords"] == strict[2]["rule_stopwords"]
+
+
+def test_gopher_rules_compose_with_streaming(spark, tmp_path):
+    """gopher_rules is pure column expressions, so it composes with
+    readStream unchanged — the continuous-ingestion quality gate. Pinned
+    equal to the batch evaluation over a real micro-batch."""
+    from kapacitor_spark.dataprep.text import gopher_rules
+    from kapacitor_spark.streaming import run_available_now
+
+    rows = [
+        (1, " ".join(["the quick brown fox jumps with energy and grace"] * 8)),
+        (2, "# # # short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = tmp_path / "in"
+    df.coalesce(1).write.parquet(str(src))
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    out = run_available_now(
+        gopher_rules(sdf), "gopher_stream", str(tmp_path / "ck"),
+        output_mode="append",
+    )
+    streamed = {r["doc_id"]: r.asDict() for r in out.collect()}
+    batch = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert streamed == batch
+    assert streamed[1]["gopher_pass"] and not streamed[2]["gopher_pass"]
