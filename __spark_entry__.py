@@ -2323,6 +2323,153 @@ def c4_pipeline(spark, sf_dir):
 
 
 @_q(
+    "quality_pipeline_composed",
+    r"""WITH toks0 AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+       syn AS (SELECT doc_id, concat_ws(chr(10),
+             CASE WHEN toks IS NULL THEN NULL ELSE
+                  coalesce(array_to_string(list_slice(toks, 1, 8), ' '), '')
+                  || '.' END,
+             CASE WHEN toks IS NULL THEN NULL ELSE
+                  coalesce(array_to_string(list_slice(toks, 9, 16), ' '), '')
+                  || (CASE WHEN doc_id % 4 = 0 THEN '' ELSE '!' END) END,
+             CASE WHEN doc_id % 3 = 0 THEN 'alpha beta gamma delta.' END,
+             CASE WHEN doc_id % 3 = 0 THEN 'epsilon zeta eta theta.' END,
+             CASE WHEN doc_id % 3 = 0 THEN 'iota kappa lambda mu.' END,
+             'tiny line.',
+             CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor sit.' END,
+             CASE WHEN doc_id % 7 = 0 THEN 'enable javascript now please.' END,
+             CASE WHEN toks IS NULL THEN NULL ELSE
+                  coalesce(array_to_string(list_slice(toks, 17, 24), ' '), '')
+                  || '?' END) AS text
+           FROM toks0),
+       lined AS (SELECT doc_id, text,
+                  list_filter(list_transform(string_split(text, chr(10)),
+                                             x -> trim(x)), x -> x <> '') AS lines
+           FROM syn),
+       kept AS (SELECT doc_id, text, lines,
+                  list_filter(lines, x ->
+                      regexp_matches(x, '[.!?"]\s*$')
+                      AND len(list_filter(string_split_regex(x, '\s+'),
+                                          w -> w <> '')) >= 3
+                      AND NOT contains(lower(x), 'javascript')) AS keptl
+           FROM lined),
+       pages AS (SELECT doc_id,
+                  list_filter(list_transform(
+                      string_split_regex(array_to_string(keptl, ' '), '[.!?]+'),
+                      s -> trim(s)), s -> s <> '') AS sents
+           FROM kept
+           WHERE NOT contains(lower(text), 'lorem ipsum')
+             AND NOT contains(text, '{')
+             AND len(list_filter(list_transform(
+                     string_split_regex(array_to_string(keptl, ' '), '[.!?]+'),
+                     s -> trim(s)), s -> s <> '')) >= 5),
+       occ AS (SELECT doc_id, i AS pos,
+                      md5(sents[i + 1] || chr(1) || sents[i + 2] || chr(1)
+                          || sents[i + 3]) AS digest,
+                      doc_id * 100000 + i AS okey
+               FROM pages,
+                    unnest(generate_series(0, len(sents) - 3)) AS t(i)),
+       keepers AS (SELECT digest, min(okey) AS keep, count(*) AS m
+                   FROM occ GROUP BY digest),
+       dup_pos AS (SELECT DISTINCT o.doc_id, o.pos + j AS dpos
+                   FROM occ o JOIN keepers k USING (digest),
+                        unnest([0, 1, 2]) AS u(j)
+                   WHERE k.m > 1 AND o.okey <> k.keep),
+       sent_rows AS (SELECT p.doc_id, i - 1 AS pos, p.sents[i] AS s
+                     FROM pages p,
+                          unnest(generate_series(1, len(p.sents))) AS t(i)),
+       survivors AS (SELECT sr.* FROM sent_rows sr
+                     LEFT JOIN dup_pos d
+                       ON sr.doc_id = d.doc_id AND sr.pos = d.dpos
+                     WHERE d.doc_id IS NULL),
+       cleaned AS (SELECT doc_id,
+                          string_agg(s || '.', ' ' ORDER BY pos) AS text
+                   FROM survivors GROUP BY doc_id),
+       gt AS (SELECT doc_id, text,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS toks
+           FROM cleaned),
+       gm AS (SELECT doc_id,
+                  len(toks) AS n,
+                  CASE WHEN len(toks) > 0 THEN
+                      CAST(list_aggregate(list_transform(toks,
+                               x -> CAST(length(x) AS BIGINT)), 'sum')
+                           AS DOUBLE) / len(toks) END AS mean_wlen,
+                  CAST(len(list_intersect(list_distinct(toks),
+                       ['the','be','to','of','and','that','have','with']))
+                       AS BIGINT) AS stop_hits,
+                  CASE WHEN len(toks) > 0 THEN
+                      CAST(len(list_filter(toks,
+                               x -> regexp_matches(x, '[a-zA-Z]')))
+                           AS DOUBLE) / len(toks) END AS alpha_frac
+           FROM gt)
+       SELECT CAST(count(*) AS BIGINT) AS n_pages_clean,
+              CAST(sum(CASE WHEN coalesce(n >= 20 AND n <= 100000, false)
+                             AND coalesce(mean_wlen >= 3.0 AND mean_wlen <= 10.0,
+                                          false)
+                             AND coalesce(alpha_frac >= 0.8, false)
+                             AND coalesce(stop_hits >= 1, false)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_gopher,
+              CAST(sum(n) AS BIGINT) AS total_words
+       FROM gm""",
+)
+def quality_pipeline_composed(spark, sf_dir):
+    """The r10 cleaning stack COMPOSED (the web_corpus_pipeline pattern
+    applied to the quality stages): the synthesized sentence corpus runs
+    C4 (line/page filters + three-sentence-span dedup), and the CLEANED
+    text flows into the Gopher rule set — one row of corpus accounting
+    (pages surviving C4, pages passing the Gopher conjunction on the
+    cleaned text, total words). Each stage is oracled alone
+    (c4_pipeline, gopher_quality_rules); this row proves they CHAIN —
+    the oracle re-derives the full composition in one CTE pipeline.
+    Thresholds adapt to the synthetic corpus (min 20 words post-C4,
+    >=1 stop-word hit: the word-soup vocabulary has 'the' but few other
+    stop words; the published defaults live on the standalone rows)."""
+    from kapacitor_spark.dataprep.dedup import nonempty_tokens
+    from kapacitor_spark.dataprep.text import c4_clean, gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = nonempty_tokens("text")
+    d = F.col("doc_id")
+
+    def sent(lo, punct):
+        return F.concat(F.array_join(F.slice(toks, lo, 8), " "), punct)
+
+    syn = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            sent(1, F.lit(".")),
+            sent(9, F.when(d % 4 == 0, "").otherwise("!")),
+            F.when(d % 3 == 0, F.lit("alpha beta gamma delta.")),
+            F.when(d % 3 == 0, F.lit("epsilon zeta eta theta.")),
+            F.when(d % 3 == 0, F.lit("iota kappa lambda mu.")),
+            F.lit("tiny line."),
+            F.when(d % 13 == 0, F.lit("lorem ipsum dolor sit.")),
+            F.when(d % 7 == 0, F.lit("enable javascript now please.")),
+            sent(17, F.lit("?")),
+        ).alias("text"),
+    )
+    cleaned = c4_clean(syn).select("doc_id", F.col("clean_text").alias("text"))
+    g = gopher_rules(
+        cleaned, min_words=20, min_stop_hits=1,
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages_clean"),
+        F.sum(
+            (
+                F.col("rule_words") & F.col("rule_word_length")
+                & F.col("rule_alpha") & F.col("rule_stopwords")
+            ).cast("int")
+        ).cast("long").alias("n_pass_gopher"),
+        F.sum("n_words").cast("long").alias("total_words"),
+    )
+
+
+@_q(
     "dsir_importance",
     r"""WITH base AS (SELECT doc_id,
                   list_filter(string_split_regex(lower(trim(text)), '\s+'),
