@@ -140,13 +140,33 @@ def http_post(
 
 def log_handler(path: str) -> Callable:
     """alert().log(path) (/root/reference/alert.go log handler): append one
-    JSON line per event."""
+    JSON line per event.
+
+    The reference's log handler is single-process-serialized; here every
+    partition appends to the SAME file concurrently, so the append must be
+    atomic: one ``os.write`` of the whole payload on an ``O_APPEND`` fd
+    (the kernel serializes the offset+write), under ``flock`` so a payload
+    the kernel splits across write syscalls (very large batches, NFS) can
+    never interleave mid-line with another partition's."""
+    import fcntl
+    import os
 
     def write(rows: Iterable[Row]) -> None:
         lines = [json.dumps(d, default=str) for d in _rows_json(rows)]
-        if lines:
-            with open(path, "a") as fh:
-                fh.write("\n".join(lines) + "\n")
+        if not lines:
+            return
+        payload = ("\n".join(lines) + "\n").encode()
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            try:
+                view = memoryview(payload)
+                while view:
+                    view = view[os.write(fd, view):]
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
 
     return write
 
