@@ -2258,7 +2258,7 @@ def readability_scores(spark, sf_dir):
        occ AS (SELECT doc_id, i AS pos,
                       md5(sents[i + 1] || chr(1) || sents[i + 2] || chr(1)
                           || sents[i + 3]) AS digest,
-                      doc_id * 100000 + i AS okey
+                      struct_pack(id := doc_id, p := i) AS okey
                FROM pages,
                     unnest(generate_series(0, len(sents) - 3)) AS t(i)),
        keepers AS (SELECT digest, min(okey) AS keep, count(*) AS m
@@ -2369,7 +2369,7 @@ def c4_pipeline(spark, sf_dir):
        occ AS (SELECT doc_id, i AS pos,
                       md5(sents[i + 1] || chr(1) || sents[i + 2] || chr(1)
                           || sents[i + 3]) AS digest,
-                      doc_id * 100000 + i AS okey
+                      struct_pack(id := doc_id, p := i) AS okey
                FROM pages,
                     unnest(generate_series(0, len(sents) - 3)) AS t(i)),
        keepers AS (SELECT digest, min(okey) AS keep, count(*) AS m

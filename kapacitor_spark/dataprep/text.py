@@ -806,9 +806,13 @@ def c4_clean(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("pos", "digest"),
     )
-    # keeper = min order key per digest; order key packs (id, pos) into
-    # one long so the SQL oracle can mirror it exactly
-    okey = (F.col(id_col) * 100000 + F.col("pos")).alias("__okey")
+    # keeper = min (id, pos) per digest, as a STRUCT key (lexicographic
+    # struct ordering) — collision-free for any id type/range: 64-bit
+    # snowflake ids, negative ids, string ids, and pages with any number
+    # of spans all order correctly (a packed id*K+pos long would not)
+    okey = F.struct(
+        F.col(id_col).alias("id"), F.col("pos").alias("p")
+    ).alias("__okey")
     occ = spans.select(id_col, "pos", "digest", okey)
     keepers = occ.groupBy("digest").agg(
         F.min("__okey").alias("__keep"), F.count(F.lit(1)).alias("__m")

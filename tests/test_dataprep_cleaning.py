@@ -717,6 +717,53 @@ def test_c4_clean_rules_and_span_dedup(spark):
     assert out[1]["clean_text"].startswith("alpha beta gamma. delta epsilon zeta.")
 
 
+def test_c4_span_key_extreme_ids_and_huge_pages(spark):
+    """VERDICT r10 #2 / ADVICE: the span-dedup keep-first key must be
+    collision-free — 64-bit snowflake-scale doc_ids (> 2^40) and a page
+    with >= 100k three-sentence spans both broke the old packed
+    doc_id*100000+pos long (overflow / cross-document collisions). The
+    struct (id, pos) key orders correctly: the keeper is the true min
+    (doc_id, pos) and no span survives twice."""
+    from kapacitor_spark.dataprep.text import c4_clean
+
+    shared = "alpha beta gamma. delta epsilon zeta. eta theta iota."
+    big = 1 << 41  # > 2^40: big*100000 would overflow/misorder a packed key
+    # huge page: 100_002 sentences -> pos up to 100_000 (>= the old pack
+    # modulus), carrying the shared span at the very END; the small-id doc
+    # holds the first occurrence and must stay the keeper
+    huge = "\n".join(
+        f"filler number {i} word." for i in range(100_002)
+    ) + "\n" + shared
+    rows = [
+        (7, shared + "\none two three four.\nfive six seven eight!"
+            "\nnine ten eleven?"),
+        (big, huge),
+        (big + 1, shared + "\nxxa xxb xxc xxd.\nxxe xxf xxg xxh."
+            "\nxxi xxj xxk xxl."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_clean(df).collect()}
+    assert out[7]["n_span_dropped"] == 0          # true keeper (min doc_id)
+    assert out[big]["n_span_dropped"] == 3        # shared run at pos 100_002
+    assert out[big]["n_sentences"] == 100_005
+    assert out[big + 1]["n_span_dropped"] == 3
+    assert "alpha beta gamma" in out[7]["clean_text"]
+    assert not out[big]["clean_text"].endswith("eta theta iota.")
+
+    # string ids (ADVICE: the packed key silently no-opped on them —
+    # every okey cast to NULL): struct keys order lexicographically
+    srows = [
+        ("a-doc", shared + "\none two three four.\nfive six seven eight!"
+            "\nnine ten eleven?"),
+        ("z-doc", shared + "\nxxa xxb xxc xxd.\nxxe xxf xxg xxh."
+            "\nxxi xxj xxk xxl."),
+    ]
+    sdf = spark.createDataFrame(srows, "doc_id string, text string")
+    sout = {r["doc_id"]: r for r in c4_clean(sdf).collect()}
+    assert sout["a-doc"]["n_span_dropped"] == 0
+    assert sout["z-doc"]["n_span_dropped"] == 3
+
+
 def test_gopher_rules_custom_thresholds(spark):
     """gopher_rules parameterization: thresholds are arguments, not
     baked-in — a corpus-specific profile (tiny min_words, strict symbol
