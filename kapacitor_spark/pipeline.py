@@ -1474,32 +1474,14 @@ class Pipeline:
             ).schema
             out_cols = [f.name for f in out_schema]
             from kapacitor_spark.streaming.state import LEVELS as _LVS
+            from kapacitor_spark.streaming.state import determine_levels
 
             def level_walk(pdf):
                 pdf = pdf.sort_values([time_col, *tiebreak], kind="stable")
                 m = {l: pdf[f"__m{l}"].fillna(False).to_numpy() for l in (1, 2, 3)}
                 r = {l: pdf[f"__r{l}"].to_numpy(dtype=object) for l in (1, 2, 3)}
-
-                def first_match(i, start, stop):
-                    # findFirstMatchLevel (alert.go:932-948): l in (stop, start]
-                    for l in range(start, max(stop, 0), -1):
-                        if l in defined and m[l][i]:
-                            return l, True
-                    return 0, False
-
-                cur = 0
-                out = []
-                for i in range(len(pdf)):
-                    new, found = first_match(i, 3, cur - 1)
-                    if not found:
-                        rv = r[cur][i] if cur else None
-                        if cur and has_reset[cur] and rv is not None and not bool(rv):
-                            new = cur  # reset not passed: hold the level
-                        else:
-                            new, _ = first_match(i, cur, 0)
-                    cur = new
-                    out.append(_LVS[new])
-                pdf = pdf.assign(**{level_col: out})
+                lvs, _ = determine_levels(m, r, defined, has_reset, 0)
+                pdf = pdf.assign(**{level_col: [_LVS[int(l)] for l in lvs]})
                 return pdf[out_cols]
 
             gb = df.groupBy(*[F.col(d) for d in self.dims]) if self.dims else df.groupBy()

@@ -37,7 +37,9 @@ from pyspark.sql.types import (
 )
 
 from kapacitor_spark.durations import parse_duration, to_interval
-from kapacitor_spark.streaming.state import LEVEL_IDX, LEVELS, new_state, walk_levels
+from kapacitor_spark.streaming.state import (
+    LEVEL_IDX, LEVELS, determine_levels, new_state, walk_levels,
+)
 
 __all__ = [
     "barrier",
@@ -84,7 +86,11 @@ def alert_stream(
     crit: str | None = None,
     warn: str | None = None,
     info: str | None = None,
+    crit_reset=None,
+    warn_reset=None,
+    info_reset=None,
     state_changes_only: bool = True,
+    events_only: bool = False,
     max_interval: str | float | None = None,
     no_recoveries: bool = False,
     flapping: tuple[float, float] | None = None,
@@ -108,16 +114,54 @@ def alert_stream(
     micro-batch loop to spin until the wall clock caught up). Requires a
     watermark upstream — apply ``barrier()`` first.
 
+    ``crit_reset``/``warn_reset``/``info_reset`` (str SQL or Column):
+    reset hysteresis (alert.go:915-950) — once a level with a reset
+    lambda is active, the level only falls when its reset passes. Level
+    determination then moves into the keyed walk (the held level is
+    state), sharing determine_levels with the batch path bit-for-bit.
+
+    ``events_only``: the reference's STREAM trigger rule when
+    stateChangesOnly is off (alert.go:1115-1159) — every non-OK point
+    fires, OK only as a recovery; run_tickscript's batch replay uses the
+    same flag, so stream == batch on identical input.
+
     Output: input columns + ``level``. State per group: last level +
     level-history ring + flapping flag — a few hundred bytes, safe at
     millions of groups.
     """
-    lv_df = df.withColumn("level", _level_expr(crit, warn, info)).withColumn(
-        "__lv", F.coalesce(
-            F.array_position(F.array(*[F.lit(x) for x in LEVELS]), F.col("level")) - 1,
-            F.lit(0),
-        ).cast("int")
-    )
+    resets = {1: info_reset, 2: warn_reset, 3: crit_reset}
+    preds = {1: info, 2: warn, 3: crit}
+    use_resets = any(v is not None for v in resets.values())
+    if use_resets:
+        # pre-evaluate predicates declaratively (codegen'd); the held-
+        # level walk happens inside the keyed machine where `cur` is state
+        lv_df = df
+        for l in (1, 2, 3):
+            p = preds[l]
+            lv_df = lv_df.withColumn(
+                f"__m{l}",
+                (F.expr(p) if isinstance(p, str) else p)
+                if p is not None else F.lit(False),
+            )
+            rs = resets[l]
+            lv_df = lv_df.withColumn(
+                f"__r{l}",
+                (F.expr(rs) if isinstance(rs, str) else rs).cast("boolean")
+                if rs is not None
+                else F.lit(None).cast("boolean"),
+            )
+        lv_df = lv_df.withColumn("level", F.lit("")).withColumn(
+            "__lv", F.lit(0).cast("int")
+        )
+    else:
+        lv_df = df.withColumn("level", _level_expr(crit, warn, info)).withColumn(
+            "__lv", F.coalesce(
+                F.array_position(F.array(*[F.lit(x) for x in LEVELS]), F.col("level")) - 1,
+                F.lit(0),
+            ).cast("int")
+        )
+    defined = {l for l in (1, 2, 3) if preds[l] is not None}
+    has_reset = {l: resets[l] is not None for l in (1, 2, 3)}
     out_schema = StructType(
         [lv_df.schema[c] for c in df.columns] + [StructField("level", StringType())]
     )
@@ -176,11 +220,21 @@ def alert_stream(
                 if mi_us is not None
                 else None
             )
+            if use_resets:
+                m = {l: pdf[f"__m{l}"].fillna(False).to_numpy() for l in (1, 2, 3)}
+                r = {l: pdf[f"__r{l}"].to_numpy(dtype=object) for l in (1, 2, 3)}
+                lvs, _ = determine_levels(
+                    m, r, defined, has_reset, st["last_level"]
+                )
+                pdf = pdf.assign(level=[LEVELS[int(x)] for x in lvs])
+            else:
+                lvs = pdf["__lv"].to_numpy()
             emit, st = walk_levels(
-                pdf["__lv"].to_numpy(),
+                lvs,
                 st,
                 state_changes_only=state_changes_only,
                 no_recoveries=no_recoveries,
+                events_only=events_only,
                 flap_low=flap_low,
                 flap_high=flap_high,
                 times=tms,
@@ -230,7 +284,9 @@ def state_count_stream(
     consecutive-true counter surviving micro-batch boundaries; -1 when
     false. State per group: one int64. ``idle_timeout``: event-time
     DeleteGroup (see alert_stream) — requires an upstream watermark."""
-    c_df = df.withColumn("__ok", F.expr(cond))
+    c_df = df.withColumn(
+        "__ok", F.expr(cond) if isinstance(cond, str) else cond
+    )
     out_schema = StructType(
         [c_df.schema[c] for c in df.columns] + [StructField(as_, LongType())]
     )
@@ -299,7 +355,9 @@ def state_duration_stream(
     state's first point); -1 while false. State per group: the episode's
     start time (one int64) — it survives micro-batch boundaries, so a
     state entered in one batch keeps accruing duration in the next."""
-    c_df = df.withColumn("__ok", F.expr(cond))
+    c_df = df.withColumn(
+        "__ok", F.expr(cond) if isinstance(cond, str) else cond
+    )
     out_schema = StructType(
         [c_df.schema[c] for c in df.columns] + [StructField(as_, DoubleType())]
     )

@@ -50,6 +50,43 @@ def percent_change(history: list[int], idx: int) -> float:
     return changes / float(l - 1)
 
 
+def determine_levels(
+    m: dict[int, np.ndarray],
+    r: dict[int, np.ndarray],
+    defined: set[int],
+    has_reset: dict[int, bool],
+    cur: int,
+) -> tuple[np.ndarray, int]:
+    """Reset-hysteresis level determination (alert.go:915-950
+    determineLevel + findFirstMatchLevel) over PRE-EVALUATED predicate
+    arrays: ``m[l]`` = level-l lambda matched, ``r[l]`` = level-l reset
+    lambda result (object array, None where no reset applies). A level
+    with a reset lambda HOLDS until the reset passes. ``cur`` seeds the
+    walk — 0 for a complete batch group, the carried state level across
+    streaming micro-batches. Returns (level indices, final cur)."""
+    n = len(next(iter(m.values()))) if m else 0
+    out = np.zeros(n, dtype=np.int64)
+
+    def first_match(i, start, stop):
+        # findFirstMatchLevel (alert.go:932-948): l in (stop, start]
+        for l in range(start, max(stop, 0), -1):
+            if l in defined and m[l][i]:
+                return l, True
+        return 0, False
+
+    for i in range(n):
+        new, found = first_match(i, 3, cur - 1)
+        if not found:
+            rv = r[cur][i] if cur else None
+            if cur and has_reset[cur] and rv is not None and not bool(rv):
+                new = cur  # reset not passed: hold the level
+            else:
+                new, _ = first_match(i, cur, 0)
+        cur = new
+        out[i] = new
+    return out, cur
+
+
 def new_state(history_len: int = 21) -> dict:
     return {
         "last_level": 0,

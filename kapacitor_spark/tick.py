@@ -1868,20 +1868,27 @@ def run_tickscript(
 
 
 # --------------------------------------------------------------------- #
-# Structured-Streaming compile target (r10) — the continuous-ingestion
-# form of a TICK task. run_tickscript evaluates scripts as batch replay
-# over complete event time (every golden works that way, mirroring the
-# reference's recording/replay tests); this bridge compiles the
-# STREAMING-COMPATIBLE subset of the language directly onto readStream
-# DataFrames so the task-store API can enable a task against live
-# ingestion: stream|from(measurement, where, groupBy) → window(period,
-# every) → mean/sum/count/min/max → httpOut. Windows become event-time
-# F.window aggregations (tumbling or sliding), so the plan is exactly
-# what Structured Streaming's incremental state store executes. Chain
-# methods outside the subset raise TickError with the batch alternative
-# spelled out — honesty over silent wrong answers (ordered transforms
-# like derivative/stateDuration live in kapacitor_spark.streaming's
-# stateful operators, wired separately).
+# Structured-Streaming compile target (r10, widened r11) — the
+# continuous-ingestion form of a TICK task. run_tickscript evaluates
+# scripts as batch replay over complete event time (every golden works
+# that way, mirroring the reference's recording/replay tests); this
+# bridge compiles the STREAMING-COMPATIBLE subset of the language
+# directly onto readStream DataFrames so the task-store API can enable a
+# task against live ingestion:
+#   stream|from(measurement, where, groupBy)
+#     [ |eval/default/delete        — stateless projections, built
+#       through the SAME _Env._mk_* code as batch replay ]
+#     [ |derivative/difference/elapsed/cumulativeSum/stateCount/
+#       stateDuration               — keyed streaming operators ]
+#     [ |window(period, every) |mean/sum/count/min/max ]
+#     [ |alert(crit/warn/info [+ stateChangesOnly/noRecoveries/
+#       flapping/history/level resets → streaming.alert_stream keyed
+#       state machine — the reference's canonical live task shape]) ]
+#     |httpOut(name)
+# Windows become event-time F.window aggregations, so the plan is
+# exactly what Structured Streaming's incremental state store executes.
+# Chain methods outside the subset raise TickError with the batch
+# alternative spelled out — honesty over silent wrong answers.
 # --------------------------------------------------------------------- #
 
 
@@ -1895,10 +1902,86 @@ class _SFrom:
         self.dims: tuple = ()
 
 
+class _SStream:
+    """Materialized streaming node: a streaming DataFrame + its group
+    dims (what the reference's point-with-group edge carries)."""
+
+    def __init__(self, df, dims):
+        self.df = df
+        self.dims = tuple(dims)
+
+
+class _SPend:
+    """Pending streaming chain node accumulating .props until the next
+    chain call materializes it — the _Node pattern, streaming side.
+
+    Stateless projections (eval/default/delete) build through the SAME
+    _Env._mk_* code paths as the batch replay, applied to a Pipeline
+    wrapping the streaming DataFrame — stream == batch by construction.
+    Ordered/state-tracking transforms compile onto the keyed streaming
+    operators (kapacitor_spark.streaming), whose micro-batch walks are
+    pinned equal to the batch forms by their own tests."""
+
+    _ORDERED = {"derivative": "derivative", "difference": "difference",
+                "elapsed": "elapsed", "cumulativeSum": "cumulative_sum"}
+
+    def __init__(self, env, name, args, stream: "_SStream"):
+        self.env, self.name, self.args, self.stream = env, name, args, stream
+        self.props: list[tuple[str, list]] = []
+
+    def prop(self, name, args):
+        self.props.append((name, args))
+        return self
+
+    def prop_map(self):
+        return dict(self.props)
+
+    def finalize(self) -> "_SStream":
+        env, st = self.env, self.stream
+        if self.name in ("eval", "default", "delete"):
+            p = Pipeline.from_df(st.df, time_col=env.time_col, dims=st.dims)
+            built = getattr(_Env, f"_mk_{self.name}")(None, p, self)
+            return _SStream(built.df, built.dims)
+        from kapacitor_spark import streaming as _strm
+
+        props = self.prop_map()
+        as_ = props.get("as", [None])[0]
+        unit = _dur(props["unit"][0]) if "unit" in props else "1s"
+        if self.name in self._ORDERED:
+            if self.name == "elapsed" and len(self.args) > 1:
+                unit = _dur(self.args[1])
+            out = _strm.ordered_transform_stream(
+                st.df, env.time_col, list(st.dims), self.args[0],
+                op=self._ORDERED[self.name], unit=unit, as_=as_,
+                non_negative="nonNegative" in props, tiebreak=env.tiebreak,
+            )
+            return _SStream(out, st.dims)
+        # stateCount / stateDuration (lambda predicate)
+        from kapacitor_spark.functions.lambdas import compile_lambda
+
+        a = self.args[0]
+        cond = compile_lambda(
+            a.src if isinstance(a, _Lambda) else a, ordered_window=None,
+            time_col=env.time_col, schema=dict(st.df.dtypes),
+            variables=a.vars if isinstance(a, _Lambda) else env.vars,
+        )
+        if self.name == "stateCount":
+            out = _strm.state_count_stream(
+                st.df, env.time_col, list(st.dims), cond=cond,
+                as_=as_ or "state_count", tiebreak=env.tiebreak,
+            )
+        else:
+            out = _strm.state_duration_stream(
+                st.df, env.time_col, list(st.dims), cond=cond, unit=unit,
+                as_=as_ or "state_duration", tiebreak=env.tiebreak,
+            )
+        return _SStream(out, st.dims)
+
+
 class _SWindow:
     """window() node: period/every durations pending the aggregation."""
 
-    def __init__(self, parent: "_SFrom"):
+    def __init__(self, parent: "_SStream"):
         self.parent = parent
         self.period = None
         self.every = None
@@ -1907,40 +1990,85 @@ class _SWindow:
 class _SAgg:
     """Aggregated streaming node; .as() renames the output column."""
 
-    def __init__(self, df, time_col):
+    def __init__(self, df, time_col, dims=()):
         self.df = df
         self.time_col = time_col
+        self.dims = tuple(dims)
 
 
 class _SAlert:
-    """Stateless streaming alert: crit/warn/info lambdas become a level
-    CASE on the (windowed) rows — the reference's threshold machine
-    without the keyed parts (reset hysteresis, stateChangesOnly,
-    flapping need per-group state; they raise toward the batch replay
-    or kapacitor_spark.streaming's stateful operators)."""
+    """Streaming alert. With only crit/warn/info lambdas: a stateless
+    level CASE on the (windowed) rows — a live levels dashboard. Any
+    stateful knob (.stateChangesOnly([maxInterval]) / .noRecoveries() /
+    .flapping(low,high) / .history(n) / level resets) switches to the
+    keyed alert state machine (streaming.alert_stream ←
+    streaming/state.py — the SAME walk the batch replay runs, so stream
+    == batch on identical input; the reference's canonical live task,
+    TestStream_AlertStateChangesOnly in
+    /root/reference/integrations/streamer_test.go)."""
 
     def __init__(self, parent, env):
-        self.df = parent.df if isinstance(parent, _SAgg) else env._resolve_df(parent)
+        if isinstance(parent, _SAgg):
+            self.df, self.dims, self.windowed = parent.df, parent.dims, True
+        else:
+            st = env._stream_of(parent)
+            self.df, self.dims, self.windowed = st.df, st.dims, False
         self.env = env
         self.levels: dict[str, str] = {}
+        self.resets: dict[str, str] = {}
+        self.flags: dict[str, list] = {}
 
-    def finalize(self):
+    def _comp(self, src):
         from kapacitor_spark.functions.lambdas import compile_lambda
 
-        col = None
-        for name, label in (
-            ("crit", "CRITICAL"), ("warn", "WARNING"), ("info", "INFO")
-        ):
-            if name not in self.levels:
-                continue
-            cond = compile_lambda(
-                self.levels[name], ordered_window=None,
-                time_col=self.env.time_col, schema=dict(self.df.dtypes),
-                variables=self.env.vars,
+        return compile_lambda(
+            src, ordered_window=None, time_col=self.env.time_col,
+            schema=dict(self.df.dtypes), variables=self.env.vars,
+        )
+
+    def finalize(self):
+        if not self.resets and not self.flags:
+            col = None
+            for name, label in (
+                ("crit", "CRITICAL"), ("warn", "WARNING"), ("info", "INFO")
+            ):
+                if name not in self.levels:
+                    continue
+                cond = self._comp(self.levels[name])
+                col = F.when(cond, label) if col is None else col.when(cond, label)
+            level = col.otherwise("OK") if col is not None else F.lit("OK")
+            return self.df.withColumn("level", level)
+        if self.windowed:
+            raise TickError(
+                "streaming alert: stateful knobs (stateChangesOnly/"
+                "noRecoveries/flapping/resets) after a windowed "
+                "aggregation would chain two stateful streaming operators "
+                "— alert on the raw stream, or run the batch replay "
+                "(run_tickscript)"
             )
-            col = F.when(cond, label) if col is None else col.when(cond, label)
-        level = col.otherwise("OK") if col is not None else F.lit("OK")
-        return self.df.withColumn("level", level)
+        from kapacitor_spark import streaming as _strm
+
+        sco = self.flags.get("stateChangesOnly")
+        lv = {k: self._comp(v) for k, v in self.levels.items()}
+        rs = {k: self._comp(v) for k, v in self.resets.items()}
+        return _strm.alert_stream(
+            self.df, self.env.time_col, list(self.dims),
+            crit=lv.get("crit"), warn=lv.get("warn"), info=lv.get("info"),
+            crit_reset=rs.get("crit"), warn_reset=rs.get("warn"),
+            info_reset=rs.get("info"),
+            state_changes_only=sco is not None,
+            # the reference's stream trigger rule when stateChangesOnly is
+            # off (alert.go:1115-1159) — matches the batch replay's flag
+            events_only=sco is None,
+            max_interval=_dur(sco[0]) if sco else None,
+            no_recoveries="noRecoveries" in self.flags,
+            flapping=(
+                tuple(float(x) for x in self.flags["flapping"])
+                if "flapping" in self.flags else None
+            ),
+            history=int(self.flags.get("history", [21])[0]),
+            tiebreak=self.env.tiebreak,
+        )
 
 
 class _StreamEnv:
@@ -1950,11 +2078,12 @@ class _StreamEnv:
     AGGS = {"mean": "avg", "sum": "sum", "count": "count",
             "min": "min", "max": "max"}
 
-    def __init__(self, sources, time_col, dims, outputs):
+    def __init__(self, sources, time_col, dims, outputs, tiebreak=()):
         self.sources = sources
         self.time_col = time_col
         self.default_dims = tuple(dims)
         self.outputs = outputs
+        self.tiebreak = tuple(tiebreak)
         self.vars: dict = {}
 
     # ------------------------------------------------------------- #
@@ -1997,30 +2126,62 @@ class _StreamEnv:
         return f"{us} microseconds"
 
     # ------------------------------------------------------------- #
+    _PEND_NAMES = (
+        "eval", "default", "delete",
+        "derivative", "difference", "elapsed", "cumulativeSum",
+        "stateCount", "stateDuration",
+    )
+
+    def _stream_of(self, node) -> "_SStream":
+        if isinstance(node, _SStream):
+            return node
+        if isinstance(node, _SPend):
+            return node.finalize()
+        if isinstance(node, _SFrom):
+            return _SStream(
+                self._resolve_df(node), node.dims or self.default_dims
+            )
+        raise TickError("streaming compile: node has no stream upstream")
+
     def chain(self, node, name, args):
+        if isinstance(node, _SPend):
+            node = node.finalize()
         if name == "from":
             if not isinstance(node, _Source) or node.kind != "stream":
                 raise TickError("streaming compile: |from() must chain "
                                 "off `stream`")
             return _SFrom(self)
         if name == "window":
-            if not isinstance(node, _SFrom):
+            if not isinstance(node, (_SFrom, _SStream)):
                 raise TickError("streaming compile: |window() must follow "
-                                "stream|from()")
-            return _SWindow(node)
-        if name == "where" and isinstance(node, _SFrom):
-            node.where_src = args[0].src if isinstance(args[0], _Lambda) else args[0]
-            return node
+                                "stream|from() or a point transform")
+            return _SWindow(self._stream_of(node))
+        if name == "where":
+            if isinstance(node, _SFrom):
+                node.where_src = (
+                    args[0].src if isinstance(args[0], _Lambda) else args[0]
+                )
+                return node
+            if isinstance(node, _SStream):
+                from kapacitor_spark.functions.lambdas import compile_lambda
+
+                cond = compile_lambda(
+                    args[0].src if isinstance(args[0], _Lambda) else args[0],
+                    ordered_window=None, time_col=self.time_col,
+                    schema=dict(node.df.dtypes), variables=self.vars,
+                )
+                return _SStream(node.df.filter(cond), node.dims)
         if name == "groupBy" and isinstance(node, _SFrom):
             node.dims = tuple(args)
             return node
+        if name in self._PEND_NAMES and isinstance(node, (_SFrom, _SStream)):
+            return _SPend(self, name, args, self._stream_of(node))
         if name in self.AGGS:
             if not isinstance(node, _SWindow):
                 raise TickError(f"streaming compile: |{name}() must follow "
                                 "|window() (un-windowed streaming "
                                 "aggregation has no emission point)")
-            frm = node.parent
-            df = self._resolve_df(frm)
+            st = node.parent
             period = node.period if node.period is not None else node.every
             every = node.every if node.every is not None else node.period
             if period is None:
@@ -2030,23 +2191,23 @@ class _StreamEnv:
                 F.col(self.time_col),
                 self._interval(period), self._interval(every),
             )
-            dims = frm.dims or self.default_dims
             field = args[0]
             fn = getattr(F, self.AGGS[name])
             out = (
-                df.groupBy(win, *[F.col(d) for d in dims])
+                st.df.groupBy(win, *[F.col(d) for d in st.dims])
                 .agg(fn(F.col(field)).alias(f"__{name}"))
                 .select(
                     F.col("window.start").alias(self.time_col),
-                    *[F.col(d) for d in dims],
+                    *[F.col(d) for d in st.dims],
                     F.col(f"__{name}"),
                 )
             )
-            return _SAgg(out, self.time_col)
+            return _SAgg(out, self.time_col, st.dims)
         if name == "alert":
-            if not isinstance(node, (_SAgg, _SFrom)):
+            if not isinstance(node, (_SAgg, _SFrom, _SStream)):
                 raise TickError("streaming compile: |alert() must follow "
-                                "an aggregation or stream|from()")
+                                "an aggregation, a transform, or "
+                                "stream|from()")
             return _SAlert(node, self)
         if name == "httpOut":
             if isinstance(node, _SAlert):
@@ -2055,19 +2216,23 @@ class _StreamEnv:
             if isinstance(node, _SAgg):
                 self.outputs[args[0]] = node.df
                 return node
-            if isinstance(node, _SFrom):
-                self.outputs[args[0]] = self._resolve_df(node)
+            if isinstance(node, (_SFrom, _SStream)):
+                self.outputs[args[0]] = self._stream_of(node).df
                 return node
             raise TickError("streaming compile: |httpOut() needs a "
                             "materialized node")
         raise TickError(
             f"|{name}() is not in the streaming compile subset (from/"
-            "where/groupBy/window/mean/sum/count/min/max/alert/httpOut) — run "
-            "it as a batch replay task (run_tickscript) or wire the "
-            "stateful operator from kapacitor_spark.streaming directly"
+            "where/groupBy/eval/default/delete/derivative/difference/"
+            "elapsed/cumulativeSum/stateCount/stateDuration/window/"
+            "mean/sum/count/min/max/alert/httpOut) — run it as a batch "
+            "replay task (run_tickscript) or wire the stateful operator "
+            "from kapacitor_spark.streaming directly"
         )
 
     def prop(self, node, name, args):
+        if isinstance(node, _SPend):
+            return node.prop(name, args)
         if isinstance(node, _SFrom):
             if name == "measurement":
                 node.measurement = args[0]
@@ -2101,11 +2266,20 @@ class _StreamEnv:
                     args[0].src if isinstance(args[0], _Lambda) else args[0]
                 )
                 return node
+            if name in ("critReset", "warnReset", "infoReset"):
+                node.resets[name[:-5]] = (
+                    args[0].src if isinstance(args[0], _Lambda) else args[0]
+                )
+                return node
+            if name in ("stateChangesOnly", "noRecoveries", "flapping",
+                        "history"):
+                node.flags[name] = list(args)
+                return node
             raise TickError(
-                f"streaming alert() does not support .{name}() — reset "
-                "hysteresis/stateChangesOnly/flapping need keyed state: "
-                "use the batch replay (run_tickscript) or the stateful "
-                "operators in kapacitor_spark.streaming"
+                f"streaming alert() does not support .{name}() — "
+                "handlers/templating run through the batch replay "
+                "(run_tickscript) or a writeStream sink on the httpOut "
+                "DataFrame"
             )
         raise TickError(f"unsupported property .{name}() in streaming compile")
 
@@ -2119,6 +2293,7 @@ def run_tickscript_stream(
     time_col: str = "time",
     dims: tuple = (),
     template_vars: dict | None = None,
+    tiebreak: tuple = (),
 ) -> dict[str, DataFrame]:
     """Compile a TICKscript onto Structured Streaming sources; returns
     {httpOut name: STREAMING DataFrame} ready for writeStream (drive a
@@ -2127,9 +2302,13 @@ def run_tickscript_stream(
 
     ``sources``: streaming DataFrame | dict measurement→streaming DF |
     callable(measurement)→streaming DF. Supports the streaming-compatible
-    language subset — see the module comment above _StreamEnv."""
+    language subset — see the module comment above _StreamEnv: from/
+    where/groupBy, eval/default/delete, derivative/difference/elapsed/
+    cumulativeSum/stateCount/stateDuration, window + mean/sum/count/min/
+    max, alert incl. stateChangesOnly([maxInterval])/noRecoveries/
+    flapping/history and level resets (keyed state machine), httpOut."""
     outputs: dict[str, DataFrame] = {}
-    env = _StreamEnv(sources, time_col, dims, outputs)
+    env = _StreamEnv(sources, time_col, dims, outputs, tiebreak)
     env.preset_vars = _coerce_template_vars(template_vars or {})
     toks, src = _tokenize(script)
     _P(toks, src, env).run()
