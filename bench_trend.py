@@ -138,26 +138,41 @@ def main() -> int:
         {q for d in rounds.values() for q in (d.get("queries_min") or d["queries"])}
     )
     cols = sorted(rounds)
-    hdr = f"{'query':28s}" + "".join(f"  r{n:<6d}" for n in cols)
-    print(hdr)
-    print(f"{'(normalized min sec; - = absent)':28s}"
-          + "".join(f"  f={factors[n]:<4.2f}" for n in cols))
-    for q in names:
-        row = f"{q:28s}"
-        for n in cols:
-            mins = rounds[n].get("queries_min") or rounds[n]["queries"]
-            v = mins.get(q)
-            row += f"  {v / factors[n]:<7.3f}" if v is not None else f"  {'-':<7s}"
-        print(row)
-    print(f"{'TOTAL (common queries)':28s}", end="")
     common = set(ref_mins)
     for n in cols:
         mins = rounds[n].get("queries_min") or rounds[n]["queries"]
         common &= set(mins)
-    for n in cols:
-        mins = rounds[n].get("queries_min") or rounds[n]["queries"]
-        print(f"  {sum(mins[q] for q in common) / factors[n]:<7.3f}", end="")
-    print(f"\n  ({len(common)} queries present in every round)")
+
+    def table(divisors: dict[int, float], note: str) -> None:
+        print(f"{'query':28s}" + "".join(f"  r{n:<6d}" for n in cols))
+        print(f"{note:28s}"
+              + "".join(f"  f={factors[n]:<4.2f}" for n in cols))
+        for q in names:
+            row = f"{q:28s}"
+            for n in cols:
+                mins = rounds[n].get("queries_min") or rounds[n]["queries"]
+                v = mins.get(q)
+                row += (f"  {v / divisors[n]:<7.3f}" if v is not None
+                        else f"  {'-':<7s}")
+            print(row)
+        print(f"{'TOTAL (common queries)':28s}", end="")
+        for n in cols:
+            mins = rounds[n].get("queries_min") or rounds[n]["queries"]
+            print(f"  {sum(mins[q] for q in common) / divisors[n]:<7.3f}",
+                  end="")
+        print(f"\n  ({len(common)} queries present in every round)")
+
+    # the r10 adjudication: RAW min-over-min is the honest cross-round
+    # figure and the driver's 2x bar applies to the RAW table; the
+    # normalized table is a diagnostic (it inflates whenever the cpu and
+    # io probes disagree in sign, as they did in r10: cpu 0.83 / io 1.19)
+    print("== RAW min-of-N seconds — the 2x bar and round-over-round "
+          "verdicts apply to THIS table ==")
+    table({n: 1.0 for n in cols}, "(raw min sec; - = absent)")
+    print()
+    print("== probe-normalized (raw / calibration factor; reference-box "
+          "seconds) — DIAGNOSTIC ONLY ==")
+    table(factors, "(normalized min sec)")
     return 0
 
 
