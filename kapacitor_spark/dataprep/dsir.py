@@ -73,20 +73,22 @@ def _gram_array(toks_col: "F.Column") -> "F.Column":
 def dsir_features(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
+    id_col: str | None = "doc_id",
     n_buckets: int | None = 65536,
 ) -> DataFrame:
     """One row per feature OCCURRENCE: ``(id, feature)`` — word unigrams
     + bigrams (the paper's feature set), optionally hashed to
     ``n_buckets`` (feature becomes a LONG bucket id; None keeps the gram
-    string)."""
-    base = df.select(F.col(id_col), nonempty_tokens(text_col).alias("__toks"))
+    string). ``id_col=None`` emits the bare feature stream — for model
+    building (dsir_artifact), which needs no document identity at all."""
+    ids = [] if id_col is None else [F.col(id_col)]
+    base = df.select(*ids, nonempty_tokens(text_col).alias("__toks"))
     feats = base.select(
-        F.col(id_col), F.explode(_gram_array(F.col("__toks"))).alias("feature")
+        *ids, F.explode(_gram_array(F.col("__toks"))).alias("feature")
     )
     if n_buckets is not None:
         feats = feats.select(
-            F.col(id_col),
+            *ids,
             F.pmod(F.xxhash64("feature"), F.lit(n_buckets)).alias("feature"),
         )
     return feats
@@ -210,8 +212,12 @@ def dsir_artifact(
     scorer feeds its DECIMAL sum, so stream and batch agree exactly."""
     import math
 
-    rf = dsir_features(raw, text_col, n_buckets=n_buckets)
-    tf = dsir_features(target, text_col, n_buckets=n_buckets)
+    # id_col=None: the model is pure feature counts, so it builds from
+    # any corpus regardless of how (or whether) its id column is named
+    # (ADVICE r10: the default 'doc_id' made artifact-building fail on
+    # differently-named corpora even though no id is needed)
+    rf = dsir_features(raw, text_col, id_col=None, n_buckets=n_buckets)
+    tf = dsir_features(target, text_col, id_col=None, n_buckets=n_buckets)
     cr = {r["feature"]: r["c"] for r in rf.groupBy("feature").agg(
         F.count(F.lit(1)).alias("c")).collect()}
     ct = {r["feature"]: r["c"] for r in tf.groupBy("feature").agg(

@@ -189,6 +189,15 @@ def bm25_topk(
     # both keys, then window re-shuffle on query_id) with one — at any
     # scale the per-query candidate set is what moves, and it moves
     # once. Partial aggregation still combines map-side before it.
+    # SKEW TRADE-OFF (ADVICE r10): query_id-only partitioning caps
+    # parallelism at the number of distinct queries — a SMALL query
+    # batch with one hot query serializes that query's candidates into
+    # one task (the (query_id, doc_id) aggregate exchange it replaced
+    # spread them, at the cost of a second window re-shuffle). The
+    # single-exchange shape is the right default for the operator's
+    # design point (query batches >> cores, e.g. dedup-by-query or eval
+    # sweeps); for a handful of skewed queries, pre-split hot queries or
+    # accept the extra exchange by repartitioning on both keys upstream.
     agg = (
         scored.repartition(query_id_col)
         .groupBy(query_id_col, id_col)

@@ -413,6 +413,12 @@ def mg_rollup(
                         T.StructField("keys", T.ArrayType(T.LongType())),
                         T.StructField("counts", T.ArrayType(T.LongType())),
                         T.StructField("err", T.LongType()),
+                        # marks a ONE-SHOT compression of exact counts —
+                        # the only summaries whose retained-key counts
+                        # mg_topn_over may restore by +err (ADVICE r10:
+                        # externally merged summaries must not get the
+                        # correction)
+                        T.StructField("one_shot", T.BooleanType()),
                     ]
                 ),
             ),
@@ -432,7 +438,7 @@ def mg_rollup(
             err = t
         head = {c: [pdf[c].iloc[0]] for c in ["bucket", *dims]}
         head["n_rows"] = [int(pdf["__c"].sum())]
-        head["mg"] = [{"keys": ks, "counts": cs, "err": err}]
+        head["mg"] = [{"keys": ks, "counts": cs, "err": err, "one_shot": True}]
         return pd.DataFrame(head)
 
     return counts.groupBy("bucket", *[F.col(d) for d in dims]).applyInPandas(
@@ -461,9 +467,12 @@ def mg_topn_over(
     only the summaries the key is ABSENT from (where its true bucket
     count may be anywhere in [0, err]). A key present in every summary
     of the group therefore reports max_undercount 0 and est_count ==
-    true count, even in the estimation regime. This correction is sound
-    only for one-shot-compressed summaries (what mg_rollup emits), not
-    for summaries that were themselves produced by lossy merging."""
+    true count, even in the estimation regime. The correction is sound
+    only for one-shot-compressed summaries, so it is GATED on the
+    ``one_shot`` marker mg_rollup stamps into the struct (ADVICE r10):
+    a summary without the marker — externally produced, or itself the
+    result of lossy merging — keeps its stored counts and carries its
+    full err as per-key uncertainty instead."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -486,18 +495,23 @@ def mg_topn_over(
             ks, cs = list(mg["keys"]), list(mg["counts"])
             e = int(mg["err"])
             err_all += e
+            # the +err restoration (stored = true - err) is valid ONLY
+            # for one-shot compressions of exact counts; a summary
+            # without the mg_rollup marker (externally produced or
+            # re-merged) keeps its stored counts and its full err as
+            # per-key uncertainty — never an overcount either way
+            one = bool(mg["one_shot"]) if mg.get("one_shot") is not None else False
             for a, b in zip(ks, cs):
                 a = int(a)
-                # stored = true - err for retained keys (one-shot
-                # compression of exact counts) — restore the true count
-                total[a] = total.get(a, 0) + int(b) + e
-                present_err[a] = present_err.get(a, 0) + e
+                total[a] = total.get(a, 0) + int(b) + (e if one else 0)
+                if one:
+                    present_err[a] = present_err.get(a, 0) + e
         items = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
         out = {d: [pdf[d].iloc[0]] * len(items) for d in dims}
         out["rank"] = list(range(1, len(items) + 1))
         out["key"] = [a for a, _ in items]
         out["est_count"] = [b for _, b in items]
-        out["max_undercount"] = [err_all - present_err[a] for a, _ in items]
+        out["max_undercount"] = [err_all - present_err.get(a, 0) for a, _ in items]
         return pd.DataFrame(out)
 
     if dims:

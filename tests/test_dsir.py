@@ -132,6 +132,24 @@ def test_select_fraction_and_determinism(spark):
     assert sum(1 for _, s in a if s) >= 1
 
 
+def test_artifact_builds_without_id_column(spark):
+    """ADVICE r10: dsir_artifact needs no document identity — it must
+    build from corpora whose id column is named anything (or absent),
+    and produce the identical model."""
+    from kapacitor_spark.dataprep.dsir import dsir_artifact
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    target = df.filter("doc_id % 3 = 0")
+    renamed = df.withColumnRenamed("doc_id", "url")
+    rtarget = target.withColumnRenamed("doc_id", "url")
+    art = dsir_artifact(df, target, n_buckets=512)
+    art2 = dsir_artifact(renamed, rtarget, n_buckets=512)
+    art3 = dsir_artifact(
+        df.select("text"), target.select("text"), n_buckets=512
+    )
+    assert art == art2 == art3
+
+
 def test_artifact_stream_scorer_matches_batch(spark, tmp_path):
     """The frozen-artifact scorer (continuous-ingestion shape) must
     agree with the distributed hashed-mode batch scorer bit-for-bit on

@@ -575,6 +575,36 @@ def test_mg_rollup_exact_regime_and_bounds(spark):
     assert est[4] < truth[4] and truth[4] - est[4] <= und[4]
 
 
+def test_mg_topn_over_foreign_summaries_get_no_restoration(spark):
+    """ADVICE r10: the +err count restoration is gated on mg_rollup's
+    one_shot marker — a structurally identical summary WITHOUT it
+    (externally produced / re-merged) keeps its stored counts and
+    carries the full err as per-key uncertainty, so est_count can never
+    silently overcount."""
+    import datetime
+
+    from kapacitor_spark.dataprep.sketches import mg_topn_over
+
+    t0 = datetime.datetime(2026, 1, 1)
+    mk = "bucket timestamp, n_rows long, " \
+         "mg struct<keys: array<long>, counts: array<long>, err: long, " \
+         "one_shot: boolean>"
+    summary = {"keys": [1, 2], "counts": [10, 5], "err": 3}
+    marked = spark.createDataFrame(
+        [(t0, 18, {**summary, "one_shot": True})], mk
+    )
+    foreign = spark.createDataFrame(
+        [(t0, 18, {**summary, "one_shot": None})], mk
+    )
+    got_m = {r["key"]: r for r in mg_topn_over(marked, n=10).collect()}
+    got_f = {r["key"]: r for r in mg_topn_over(foreign, n=10).collect()}
+    # marked: stored+err restored, present key's bound is 0
+    assert got_m[1]["est_count"] == 13 and got_m[1]["max_undercount"] == 0
+    # foreign: stored counts untouched, full err as uncertainty
+    assert got_f[1]["est_count"] == 10 and got_f[1]["max_undercount"] == 3
+    assert got_f[2]["est_count"] == 5
+
+
 def test_mg_rollup_rejects_non_integral_keys(spark):
     from kapacitor_spark.dataprep.sketches import mg_rollup
 
