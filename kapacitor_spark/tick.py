@@ -1945,6 +1945,18 @@ class _SPend:
         from kapacitor_spark import streaming as _strm
 
         props = self.prop_map()
+        if self.name == "barrier":
+            # barrier().idle(d)/.period(d) → event-time watermark — the
+            # reference's late-drop + state-retention bound
+            # (/root/reference/pipeline/barrier.go:13-56); in batch
+            # replay barrier is a no-op (event time is complete)
+            delay = props.get("idle", props.get("period"))
+            if delay is None:
+                raise TickError("streaming barrier() needs .idle(d) or "
+                                ".period(d)")
+            return _SStream(
+                _strm.barrier(st.df, env.time_col, _dur(delay[0])), st.dims
+            )
         as_ = props.get("as", [None])[0]
         unit = _dur(props["unit"][0]) if "unit" in props else "1s"
         if self.name in self._ORDERED:
@@ -2127,7 +2139,7 @@ class _StreamEnv:
 
     # ------------------------------------------------------------- #
     _PEND_NAMES = (
-        "eval", "default", "delete",
+        "eval", "default", "delete", "barrier",
         "derivative", "difference", "elapsed", "cumulativeSum",
         "stateCount", "stateDuration",
     )
@@ -2176,6 +2188,16 @@ class _StreamEnv:
             return node
         if name in self._PEND_NAMES and isinstance(node, (_SFrom, _SStream)):
             return _SPend(self, name, args, self._stream_of(node))
+        if name == "shift" and isinstance(node, (_SFrom, _SStream)):
+            from kapacitor_spark.durations import to_interval
+
+            st = self._stream_of(node)
+            shifted = st.df.withColumn(
+                self.time_col,
+                F.col(self.time_col)
+                + F.expr(f"INTERVAL {to_interval(_dur(args[0]))}"),
+            )
+            return _SStream(shifted, st.dims)
         if name in self.AGGS:
             if not isinstance(node, _SWindow):
                 raise TickError(f"streaming compile: |{name}() must follow "
@@ -2223,11 +2245,11 @@ class _StreamEnv:
                             "materialized node")
         raise TickError(
             f"|{name}() is not in the streaming compile subset (from/"
-            "where/groupBy/eval/default/delete/derivative/difference/"
-            "elapsed/cumulativeSum/stateCount/stateDuration/window/"
-            "mean/sum/count/min/max/alert/httpOut) — run it as a batch "
-            "replay task (run_tickscript) or wire the stateful operator "
-            "from kapacitor_spark.streaming directly"
+            "where/groupBy/eval/default/delete/shift/barrier/derivative/"
+            "difference/elapsed/cumulativeSum/stateCount/stateDuration/"
+            "window/mean/sum/count/min/max/alert/httpOut) — run it as a "
+            "batch replay task (run_tickscript) or wire the stateful "
+            "operator from kapacitor_spark.streaming directly"
         )
 
     def prop(self, node, name, args):
@@ -2303,7 +2325,8 @@ def run_tickscript_stream(
     ``sources``: streaming DataFrame | dict measurement→streaming DF |
     callable(measurement)→streaming DF. Supports the streaming-compatible
     language subset — see the module comment above _StreamEnv: from/
-    where/groupBy, eval/default/delete, derivative/difference/elapsed/
+    where/groupBy, eval/default/delete/shift, barrier (→ watermark:
+    late-drop + state retention bound), derivative/difference/elapsed/
     cumulativeSum/stateCount/stateDuration, window + mean/sum/count/min/
     max, alert incl. stateChangesOnly([maxInterval])/noRecoveries/
     flapping/history and level resets (keyed state machine), httpOut."""

@@ -239,6 +239,70 @@ stream
     assert len(got) == 4  # 2 hosts x 2 windows
 
 
+def test_shift_stream_equals_batch(spark, fixture_df, stream_src, tmp_path):
+    """shift(d): stateless timestamp shift — the shifted times re-enter
+    window assignment exactly like the batch replay."""
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |shift(10s)
+    |httpOut('sh')
+"""
+    s, b = _run_both(
+        spark, script, "sh", fixture_df, stream_src, tmp_path,
+        ["time", "host", "value"],
+    )
+    assert s == b and len(s) == 16
+    assert all(r[0].endswith(":10") or int(r[0][-2:]) >= 10 for r in s)
+
+
+def test_barrier_compiles_to_watermark(spark, stream_src, tmp_path):
+    """barrier().period(d) → withWatermark: a windowed aggregation
+    downstream emits in APPEND mode (finalized windows only) — the
+    reference's barrier-driven emission. Pinned by running the window
+    in append mode, which Spark REJECTS without a watermark."""
+    from kapacitor_spark.streaming import run_available_now
+    from kapacitor_spark.tick import run_tickscript_stream
+
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |barrier()
+        .period(5s)
+    |window()
+        .period(4s)
+        .every(4s)
+    |count('value')
+        .as('n')
+    |httpOut('w')
+"""
+    outs = run_tickscript_stream(
+        script, sources={"cpu": _stream_df(spark, stream_src)},
+        time_col="time",
+    )
+    # append mode requires the watermark barrier() installed — this is
+    # the assertion: without it Spark raises AnalysisException here
+    res = run_available_now(
+        outs["w"], "ts_barrier", str(tmp_path / "ckb"),
+        output_mode="append",
+    )
+    got = {(str(r["time"]), r["host"]): r["n"] for r in res.collect()}
+    # watermark (max event 00:00:15 - 5s = 00:00:10) finalizes only the
+    # windows ending at/before it: [0,4) and [4,8) emit (2 events per
+    # host each — hosts alternate per second); [8,12) and [12,16) are
+    # withheld as still-open — the reference's barrier-driven emission
+    assert got == {
+        ("2024-01-01 00:00:00", "h1"): 2,
+        ("2024-01-01 00:00:00", "h2"): 2,
+        ("2024-01-01 00:00:04", "h1"): 2,
+        ("2024-01-01 00:00:04", "h2"): 2,
+    }
+
+
 def test_stateful_alert_after_window_raises(spark, stream_src):
     """Two chained stateful streaming operators (window agg then keyed
     alert machine) are not a supported Structured Streaming plan — the
