@@ -143,6 +143,8 @@ EXTENDED = [
     "bm25_dense_stress",      # r10: the dense all-match worst case, pinned
     "lm_perplexity",          # r9 retrieval: bigram-LM quality scoring
     "bpe_corpus_stats",       # r9 trained-BPE tokenizer accounting
+    "tick_stream_window",     # r10/r11 live TICK path: window agg replay
+    "tick_stream_alert",      # r11: keyed alert machine on the live path
 ]
 
 
