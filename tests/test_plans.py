@@ -534,6 +534,55 @@ stream
     assert prog["stateOperators"][0]["numRowsTotal"] > 0
 
 
+def test_tick_stream_alert_plans_keyed_state(spark):
+    """The r11 live alert path: alert().stateChangesOnly() must compile
+    onto ONE applyInPandasWithState keyed operator (the alert machine's
+    group state), visible both in the analyzed plan and as a state
+    operator in progress metrics — and the level predicates must stay
+    declarative (a CASE/column filter UPSTREAM of the Python hop, not
+    per-row Python over the raw stream)."""
+    from kapacitor_spark.tick import run_tickscript_stream
+
+    schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_DIR)
+    )
+    script = """
+stream
+    |from()
+        .measurement('events')
+        .groupBy('user_id')
+    |alert()
+        .crit(lambda: "value" > 180)
+        .stateChangesOnly()
+    |httpOut('a')
+"""
+    out = run_tickscript_stream(
+        script, sources={"events": sdf}, time_col="ts",
+        tiebreak=("event_id",),
+    )["a"]
+    assert out.isStreaming
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandasWithState" in analyzed
+    # exactly one Python state hop; the level CASE is a column expr
+    assert analyzed.count("FlatMapGroupsInPandasWithState") == 1
+    import tempfile
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tick_alert_plan_probe")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    prog = q.recentProgress[-1]
+    assert prog["stateOperators"], "no keyed state in the streaming plan"
+
+
 def test_q19_disjunction_pushes_cnf_residues(spark):
     """TPC-H Q19 shape: Catalyst must extract the per-table residues of
     the three-way OR (quantity ranges to the lineitem scan, brand/size
