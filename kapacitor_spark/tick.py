@@ -2198,6 +2198,19 @@ class _StreamEnv:
                 + F.expr(f"INTERVAL {to_interval(_dur(args[0]))}"),
             )
             return _SStream(shifted, st.dims)
+        if name == "union" and isinstance(node, (_SFrom, _SStream)):
+            # union emits in global time order in the reference
+            # (union.go:104-166) — declarative here: event-time semantics
+            # order everything downstream, exactly like the batch compile
+            st = self._stream_of(node)
+            out = st.df
+            for a in args:
+                if not isinstance(a, (_SFrom, _SStream, _SPend)):
+                    raise TickError("streaming union() takes stream nodes")
+                out = out.unionByName(self._stream_of(a).df)
+            return _SStream(out, st.dims)
+        if name == "log" and isinstance(node, (_SFrom, _SStream, _SAgg, _SAlert)):
+            return node  # parity with the batch compile: log() passes through
         if name in self.AGGS:
             if not isinstance(node, _SWindow):
                 raise TickError(f"streaming compile: |{name}() must follow "
@@ -2245,11 +2258,12 @@ class _StreamEnv:
                             "materialized node")
         raise TickError(
             f"|{name}() is not in the streaming compile subset (from/"
-            "where/groupBy/eval/default/delete/shift/barrier/derivative/"
-            "difference/elapsed/cumulativeSum/stateCount/stateDuration/"
-            "window/mean/sum/count/min/max/alert/httpOut) — run it as a "
-            "batch replay task (run_tickscript) or wire the stateful "
-            "operator from kapacitor_spark.streaming directly"
+            "where/groupBy/eval/default/delete/shift/barrier/union/log/"
+            "derivative/difference/elapsed/cumulativeSum/stateCount/"
+            "stateDuration/window/mean/sum/count/min/max/alert/httpOut) "
+            "— run it as a batch replay task (run_tickscript) or wire "
+            "the stateful operator from kapacitor_spark.streaming "
+            "directly"
         )
 
     def prop(self, node, name, args):
@@ -2268,6 +2282,13 @@ class _StreamEnv:
                 node.dims = tuple(args)
                 return node
             raise TickError(f"streaming from() does not support .{name}()")
+        if isinstance(node, _SStream):
+            if name == "rename":
+                # union().rename(m) — the output measurement name
+                return _SStream(
+                    node.df.withColumn("name", F.lit(args[0])), node.dims
+                )
+            raise TickError(f"streaming node does not support .{name}()")
         if isinstance(node, _SWindow):
             if name == "period":
                 node.period = args[0]

@@ -303,6 +303,51 @@ stream
     }
 
 
+def test_union_and_log_stream_equals_batch(spark, tmp_path):
+    """union() merges streams (global event-time order is declarative);
+    .rename() stamps the measurement; log() passes through — all pinned
+    against the batch replay of the same script."""
+    from kapacitor_spark.streaming import run_available_now
+    from kapacitor_spark.tick import run_tickscript, run_tickscript_stream
+
+    cpu = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:01", 10.0), (2, "2024-01-01 00:00:03", 20.0)],
+        "id long, time string, value double",
+    ).withColumn("time", F.to_timestamp("time"))
+    mem = spark.createDataFrame(
+        [(3, "2024-01-01 00:00:02", 30.0)],
+        "id long, time string, value double",
+    ).withColumn("time", F.to_timestamp("time"))
+    srcs = {}
+    for nm, df in (("cpu", cpu), ("mem", mem)):
+        path = tmp_path / nm
+        df.coalesce(1).write.parquet(str(path))
+        srcs[nm] = spark.readStream.schema(
+            "id long, time timestamp, value double"
+        ).parquet(str(path))
+    script = """
+var m = stream
+    |from()
+        .measurement('mem')
+stream
+    |from()
+        .measurement('cpu')
+    |union(m)
+        .rename('merged')
+    |log()
+    |httpOut('u')
+"""
+    outs = run_tickscript_stream(script, sources=srcs, time_col="time")
+    res = run_available_now(outs["u"], "ts_union", str(tmp_path / "ck"))
+    s = sorted((r["id"], r["value"], r["name"]) for r in res.collect())
+    bouts = run_tickscript(
+        script, sources={"cpu": cpu, "mem": mem}, time_col="time", dims=()
+    )
+    b = sorted((r["id"], r["value"], r["name"]) for r in bouts["u"].collect())
+    assert s == b == [(1, 10.0, "merged"), (2, 20.0, "merged"),
+                      (3, 30.0, "merged")]
+
+
 def test_stateful_alert_after_window_raises(spark, stream_src):
     """Two chained stateful streaming operators (window agg then keyed
     alert machine) are not a supported Structured Streaming plan — the
