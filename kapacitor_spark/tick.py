@@ -1990,6 +1990,63 @@ class _SPend:
         return _SStream(out, st.dims)
 
 
+class _SJoin:
+    """Pending streaming join() node — materializes onto
+    streaming.join_stream (stream-stream tolerance join with watermark
+    state eviction). Subset: .as(prefixes) / .tolerance(d) (REQUIRED —
+    the join keys on the tolerance bucket) / .delimiter() /
+    .streamName(); fill/on/deleteAll raise toward the batch replay.
+    Documented divergence (join_stream docstring): >1 row per
+    (bucket, dims) cell per side emits the cell cross product, where the
+    batch join pairs sequentially."""
+
+    def __init__(self, env, left: "_SStream", right: "_SStream"):
+        self.env, self.left, self.right = env, left, right
+        self.props: list[tuple[str, list]] = []
+
+    def prop(self, name, args):
+        self.props.append((name, args))
+        return self
+
+    def prop_map(self):
+        return dict(self.props)
+
+    def finalize(self) -> "_SStream":
+        from kapacitor_spark import streaming as _strm
+
+        props = self.prop_map()
+        for bad in ("fill", "on", "deleteAll"):
+            if bad in props:
+                raise TickError(
+                    f"streaming join() does not support .{bad}() — outer "
+                    "fills / dim-subset joins run in the batch replay "
+                    "(run_tickscript)"
+                )
+        if "tolerance" not in props:
+            raise TickError(
+                "streaming join() needs .tolerance(d) — the stream-stream "
+                "join keys on the tolerance bucket; exact equal-timestamp "
+                "pairing runs in the batch replay (run_tickscript)"
+            )
+        prefixes = tuple(props.get("as", ("a", "b")))
+        delim = props.get("delimiter", ["."])[0]
+        dims = [d for d in self.left.dims if d in self.right.dims]
+        tcol = self.env.time_col
+        out = _strm.join_stream(
+            self.left.df, self.right.df, tcol, dims,
+            tolerance=_dur(props["tolerance"][0]),
+            prefixes=prefixes, delimiter=delim,
+        )
+        # batch parity: the joined row's time IS the bucket; per-side
+        # original times do not survive (pipeline.py join drops them)
+        out = out.drop(
+            f"{prefixes[0]}{delim}{tcol}", f"{prefixes[1]}{delim}{tcol}"
+        )
+        if "streamName" in props:
+            out = out.withColumn("name", F.lit(props["streamName"][0]))
+        return _SStream(out, dims)
+
+
 class _SWindow:
     """window() node: period/every durations pending the aggregation."""
 
@@ -2147,7 +2204,7 @@ class _StreamEnv:
     def _stream_of(self, node) -> "_SStream":
         if isinstance(node, _SStream):
             return node
-        if isinstance(node, _SPend):
+        if isinstance(node, (_SPend, _SJoin)):
             return node.finalize()
         if isinstance(node, _SFrom):
             return _SStream(
@@ -2156,7 +2213,7 @@ class _StreamEnv:
         raise TickError("streaming compile: node has no stream upstream")
 
     def chain(self, node, name, args):
-        if isinstance(node, _SPend):
+        if isinstance(node, (_SPend, _SJoin)):
             node = node.finalize()
         if name == "from":
             if not isinstance(node, _Source) or node.kind != "stream":
@@ -2198,6 +2255,13 @@ class _StreamEnv:
                 + F.expr(f"INTERVAL {to_interval(_dur(args[0]))}"),
             )
             return _SStream(shifted, st.dims)
+        if name == "join" and isinstance(node, (_SFrom, _SStream)):
+            if len(args) != 1 or not isinstance(args[0], (_SFrom, _SStream, _SPend)):
+                raise TickError("streaming join() takes exactly one "
+                                "stream node (chain N-way joins pairwise)")
+            return _SJoin(
+                self, self._stream_of(node), self._stream_of(args[0])
+            )
         if name == "union" and isinstance(node, (_SFrom, _SStream)):
             # union emits in global time order in the reference
             # (union.go:104-166) — declarative here: event-time semantics
@@ -2267,7 +2331,7 @@ class _StreamEnv:
         )
 
     def prop(self, node, name, args):
-        if isinstance(node, _SPend):
+        if isinstance(node, (_SPend, _SJoin)):
             return node.prop(name, args)
         if isinstance(node, _SFrom):
             if name == "measurement":

@@ -348,6 +348,65 @@ stream
                       (3, 30.0, "merged")]
 
 
+def test_join_tolerance_stream_equals_batch(spark, tmp_path):
+    """join().as().tolerance() compiles onto the stream-stream tolerance
+    join (streaming.join_stream): identical bucket arithmetic to the
+    batch join (floor(t + tol/2, tol)), pinned stream == batch replay on
+    a one-row-per-bucket fixture (the documented divergence — cell cross
+    products — only appears with >1 row per cell per side)."""
+    from kapacitor_spark.streaming import run_available_now
+    from kapacitor_spark.tick import TickError, run_tickscript, run_tickscript_stream
+
+    cpu = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:01", 10.0), (2, "2024-01-01 00:00:05", 20.0),
+         (3, "2024-01-01 00:00:09", 30.0)],
+        "id long, time string, value double",
+    ).withColumn("time", F.to_timestamp("time"))
+    mem = spark.createDataFrame(
+        [(11, "2024-01-01 00:00:02", 1.0), (12, "2024-01-01 00:00:06", 2.0),
+         (13, "2024-01-01 00:00:30", 3.0)],
+        "id long, time string, value double",
+    ).withColumn("time", F.to_timestamp("time"))
+    srcs = {}
+    for nm, df in (("cpu", cpu), ("mem", mem)):
+        path = tmp_path / nm
+        df.coalesce(1).write.parquet(str(path))
+        srcs[nm] = spark.readStream.schema(
+            "id long, time timestamp, value double"
+        ).parquet(str(path))
+    script = """
+var m = stream
+    |from()
+        .measurement('mem')
+stream
+    |from()
+        .measurement('cpu')
+    |join(m)
+        .as('cpu', 'mem')
+        .tolerance(2s)
+    |httpOut('j')
+"""
+    outs = run_tickscript_stream(script, sources=srcs, time_col="time")
+    res = run_available_now(outs["j"], "ts_join", str(tmp_path / "ck"))
+    cols = ["time", "cpu.value", "mem.value"]
+    s = sorted(tuple(str(r[c]) for c in cols) for r in res.collect())
+    bouts = run_tickscript(
+        script, sources={"cpu": cpu, "mem": mem}, time_col="time", dims=()
+    )
+    b = sorted(tuple(str(r[c]) for c in cols) for r in bouts["j"].collect())
+    # Time.Round buckets (floor(t + 1s, 2s)): 00:00:01 and 00:00:02 both
+    # round to :02; 00:00:05 and 00:00:06 both round to :06; 00:00:09
+    # (:10) and 00:00:30 pair with nothing (inner join)
+    assert s == b and len(s) == 2
+
+    # tolerance is REQUIRED on the live path (the join keys on it)
+    with pytest.raises(TickError, match="tolerance"):
+        run_tickscript_stream(
+            script.replace("        .tolerance(2s)\n", ""),
+            sources=srcs, time_col="time",
+        )
+
+
 def test_stateful_alert_after_window_raises(spark, stream_src):
     """Two chained stateful streaming operators (window agg then keyed
     alert machine) are not a supported Structured Streaming plan — the
