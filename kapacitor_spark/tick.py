@@ -1938,7 +1938,10 @@ class _SPend:
 
     def finalize(self) -> "_SStream":
         env, st = self.env, self.stream
-        if self.name in ("eval", "default", "delete"):
+        if self.name in ("eval", "default", "delete", "sideload"):
+            # sideload is a stream-static broadcast join: the lookup
+            # levels load once at compile (like the reference's cached
+            # source), the join composes with readStream unchanged
             p = Pipeline.from_df(st.df, time_col=env.time_col, dims=st.dims)
             built = getattr(_Env, f"_mk_{self.name}")(None, p, self)
             return _SStream(built.df, built.dims)
@@ -2196,7 +2199,7 @@ class _StreamEnv:
 
     # ------------------------------------------------------------- #
     _PEND_NAMES = (
-        "eval", "default", "delete", "barrier",
+        "eval", "default", "delete", "barrier", "sideload",
         "derivative", "difference", "elapsed", "cumulativeSum",
         "stateCount", "stateDuration",
     )
@@ -2245,6 +2248,17 @@ class _StreamEnv:
             return node
         if name in self._PEND_NAMES and isinstance(node, (_SFrom, _SStream)):
             return _SPend(self, name, args, self._stream_of(node))
+        if name == "sample" and isinstance(node, (_SFrom, _SStream)):
+            a = args[0]
+            if isinstance(a, (int, float)) and not isinstance(a, _Duration):
+                raise TickError(
+                    "streaming sample(N) needs a per-group point counter "
+                    "— run the batch replay; sample(duration) compiles "
+                    "live (a stateless boundary filter)"
+                )
+            st = self._stream_of(node)
+            p = Pipeline.from_df(st.df, time_col=self.time_col, dims=st.dims)
+            return _SStream(p.sample(every=_dur(a)).df, st.dims)
         if name == "shift" and isinstance(node, (_SFrom, _SStream)):
             from kapacitor_spark.durations import to_interval
 
@@ -2322,9 +2336,10 @@ class _StreamEnv:
                             "materialized node")
         raise TickError(
             f"|{name}() is not in the streaming compile subset (from/"
-            "where/groupBy/eval/default/delete/shift/barrier/union/log/"
-            "derivative/difference/elapsed/cumulativeSum/stateCount/"
-            "stateDuration/window/mean/sum/count/min/max/alert/httpOut) "
+            "where/groupBy/eval/default/delete/shift/sample/sideload/"
+            "barrier/union/join/log/derivative/difference/elapsed/"
+            "cumulativeSum/stateCount/stateDuration/window/"
+            "mean/sum/count/min/max/alert/httpOut) "
             "— run it as a batch replay task (run_tickscript) or wire "
             "the stateful operator from kapacitor_spark.streaming "
             "directly"

@@ -407,6 +407,65 @@ stream
         )
 
 
+def test_sideload_and_sample_stream_equals_batch(spark, tmp_path):
+    """sideload() is a stream-static broadcast join (lookup levels load
+    once, like the reference's cached file source) and sample(duration)
+    is a stateless boundary filter — both over the reference's OWN
+    testdata/sideload files, pinned stream == batch replay; sample(N)
+    raises toward the batch replay (needs a per-group counter)."""
+    from kapacitor_spark.streaming import run_available_now
+    from kapacitor_spark.tick import TickError, run_tickscript, run_tickscript_stream
+
+    fixtures = "/root/reference/integrations/testdata"
+    rows = [
+        (1, "2024-01-01 00:00:00", "a", "m", "x", 1.0),
+        (2, "2024-01-01 00:00:01", "a", "m", "x", 9.0),  # off-boundary: sampled out
+        (3, "2024-01-01 00:00:02", "b", "n", "y", 1.0),
+        (4, "2024-01-01 00:00:04", "c", "o", "y", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, time string, t0 string, t1 string, t2 string, value double",
+    ).withColumn("time", F.to_timestamp("time"))
+    src = tmp_path / "in"
+    df.coalesce(1).write.parquet(str(src))
+    sdf = spark.readStream.schema(
+        "id long, time timestamp, t0 string, t1 string, t2 string, value double"
+    ).parquet(str(src))
+    script = f"""
+stream
+    |from()
+        .measurement('m')
+        .groupBy('t0', 't1', 't2')
+    |sample(2s)
+    |sideload()
+        .source('file://{fixtures}/sideload')
+        .order('t0/{{{{.t0}}}}.yml', 't1/{{{{.t1}}}}.yml', 't2/{{{{.t2}}}}.yml')
+        .field('f1', 0)
+        .field('f2', 0.0)
+        .tag('t3', 'one')
+    |httpOut('s')
+"""
+    outs = run_tickscript_stream(script, sources={"m": sdf}, time_col="time")
+    res = run_available_now(outs["s"], "ts_sideload", str(tmp_path / "ck"))
+    cols = ["id", "f1", "f2", "t3"]
+    s = sorted(tuple(str(r[c]) for c in cols) for r in res.collect())
+    bouts = run_tickscript(script, sources={"m": df}, time_col="time", dims=())
+    b = sorted(tuple(str(r[c]) for c in cols) for r in bouts["s"].collect())
+    assert s == b and len(s) == 3          # id 2 sampled out on both paths
+    assert not any(r[0] == "2" for r in s)
+    byid = {r[0]: r for r in s}
+    assert byid["1"][1:] == ("0.0", "0.0", "one")      # defaults
+    assert byid["3"][1:] == ("2.0", "3.5", "why")      # t0/b + t1/n + t2/y
+    assert byid["4"][1:] == ("12.0", "13.5", "why")    # t0/c beats t1/o
+
+    with pytest.raises(TickError, match="sample\\(N\\)"):
+        run_tickscript_stream(
+            script.replace("|sample(2s)", "|sample(3)"),
+            sources={"m": sdf}, time_col="time",
+        )
+
+
 def test_stateful_alert_after_window_raises(spark, stream_src):
     """Two chained stateful streaming operators (window agg then keyed
     alert machine) are not a supported Structured Streaming plan — the
