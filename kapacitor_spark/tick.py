@@ -2147,8 +2147,17 @@ class _StreamEnv:
     """Parser env for the streaming subset (same surface as _Env /
     _GraphEnv: chain / prop / _materialize / vars)."""
 
-    AGGS = {"mean": "avg", "sum": "sum", "count": "count",
-            "min": "min", "max": "max"}
+    # streaming-compatible InfluxQL aggregations: every value is a
+    # callable Column->Column so composite shapes (spread) and exact
+    # sort-based aggregates (median — an ObjectHashAggregate, supported
+    # in streaming aggregation state) express directly
+    AGGS = {
+        "mean": F.avg, "sum": F.sum, "count": F.count,
+        "min": F.min, "max": F.max,
+        "stddev": F.stddev_samp,
+        "median": F.median,
+        "spread": lambda c: F.max(c) - F.min(c),
+    }
 
     def __init__(self, sources, time_col, dims, outputs, tiebreak=()):
         self.sources = sources
@@ -2305,7 +2314,7 @@ class _StreamEnv:
                 self._interval(period), self._interval(every),
             )
             field = args[0]
-            fn = getattr(F, self.AGGS[name])
+            fn = self.AGGS[name]
             out = (
                 st.df.groupBy(win, *[F.col(d) for d in st.dims])
                 .agg(fn(F.col(field)).alias(f"__{name}"))

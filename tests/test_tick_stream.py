@@ -466,6 +466,50 @@ stream
         )
 
 
+def test_extended_window_aggs_stream_equals_batch(
+    spark, fixture_df, stream_src, tmp_path
+):
+    """stddev/median/spread join the streaming aggregation set (median
+    is a sort-based ObjectHashAggregate — supported in streaming
+    aggregation state) — each pinned stream == batch replay."""
+    from kapacitor_spark.streaming import run_available_now
+    from kapacitor_spark.tick import run_tickscript, run_tickscript_stream
+
+    for agg in ("stddev", "median", "spread"):
+        script = f"""
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |window()
+        .period(8s)
+        .every(8s)
+    |{agg}('value')
+        .as('x')
+    |httpOut('w')
+"""
+        outs = run_tickscript_stream(
+            script, sources={"cpu": _stream_df(spark, stream_src)},
+            time_col="time",
+        )
+        res = run_available_now(
+            outs["w"], f"ts_agg_{agg}", str(tmp_path / f"ck_{agg}"),
+            output_mode="complete",
+        )
+        s = sorted(
+            (str(r["time"]), r["host"], round(r["x"], 9))
+            for r in res.collect()
+        )
+        bouts = run_tickscript(
+            script, sources={"cpu": fixture_df}, time_col="time", dims=()
+        )
+        b = sorted(
+            (str(r["time"]), r["host"], round(r["x"], 9))
+            for r in bouts["w"].collect()
+        )
+        assert s == b and len(s) == 4, agg
+
+
 def test_stateful_alert_after_window_raises(spark, stream_src):
     """Two chained stateful streaming operators (window agg then keyed
     alert machine) are not a supported Structured Streaming plan — the
