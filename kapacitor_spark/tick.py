@@ -2285,6 +2285,25 @@ class _StreamEnv:
             return _SJoin(
                 self, self._stream_of(node), self._stream_of(args[0])
             )
+        if name in ("stats", "deadman") and isinstance(node, (_SFrom, _SStream)):
+            # wall-clock stats()/deadman() (/root/reference/stats.go:
+            # "Stats are REAL-TIME not data-time") — the ProcessingTime-
+            # Timeout tickers; a fully-silent group still fires CRITICAL.
+            # Non-replayable by construction: availableNow replays should
+            # use the batch compile (Pipeline.stats/deadman).
+            from kapacitor_spark import streaming as _strm
+
+            st = self._stream_of(node)
+            if name == "stats":
+                out = _strm.stats_stream(
+                    st.df, self.time_col, list(st.dims), interval=_dur(args[0])
+                )
+            else:
+                out = _strm.deadman_stream(
+                    st.df, self.time_col, list(st.dims),
+                    interval=_dur(args[1]), threshold=float(args[0]),
+                )
+            return _SAgg(out, self.time_col, st.dims)
         if name == "union" and isinstance(node, (_SFrom, _SStream)):
             # union emits in global time order in the reference
             # (union.go:104-166) — declarative here: event-time semantics
@@ -2347,7 +2366,7 @@ class _StreamEnv:
             f"|{name}() is not in the streaming compile subset (from/"
             "where/groupBy/eval/default/delete/shift/sample/sideload/"
             "barrier/union/join/log/derivative/difference/elapsed/"
-            "cumulativeSum/stateCount/stateDuration/window/"
+            "cumulativeSum/stateCount/stateDuration/stats/deadman/window/"
             "mean/sum/count/min/max/alert/httpOut) "
             "— run it as a batch replay task (run_tickscript) or wire "
             "the stateful operator from kapacitor_spark.streaming "

@@ -510,6 +510,56 @@ stream
         assert s == b and len(s) == 4, agg
 
 
+def test_deadman_live_fires_on_silent_stream(spark, tmp_path):
+    """|deadman(threshold, interval) on the LIVE path compiles onto the
+    wall-clock ProcessingTimeTimeout ticker (streaming.deadman_stream):
+    a group that stops sending raises CRITICAL after one interval —
+    wall-clock semantics the batch replay cannot express (reference
+    stats.go: 'stats are REAL-TIME not data-time')."""
+    import time
+
+    from kapacitor_spark.tick import run_tickscript_stream
+
+    src = tmp_path / "in"
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "h1", 1.0)],
+        "id long, time string, host string, value double",
+    ).withColumn("time", F.to_timestamp("time")).coalesce(1).write.parquet(
+        str(src)
+    )
+    sdf = spark.readStream.schema(
+        "id long, time timestamp, host string, value double"
+    ).parquet(str(src))
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |deadman(0.0, 1s)
+    |httpOut('dm')
+"""
+    outs = run_tickscript_stream(script, sources={"cpu": sdf}, time_col="time")
+    q = (
+        outs["dm"].writeStream.format("memory").queryName("tick_dm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        crit = []
+        while time.time() < deadline and not crit:
+            crit = [
+                r for r in spark.table("tick_dm").collect()
+                if r["level"] == "CRITICAL"
+            ]
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert crit and all(r["host"] == "h1" and r["emitted"] == 0 for r in crit)
+
+
 def test_stateful_alert_after_window_raises(spark, stream_src):
     """Two chained stateful streaming operators (window agg then keyed
     alert machine) are not a supported Structured Streaming plan — the
