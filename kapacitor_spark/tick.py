@@ -2051,12 +2051,15 @@ class _SJoin:
 
 
 class _SWindow:
-    """window() node: period/every durations pending the aggregation."""
+    """window() node: period/every durations (time windows) or
+    periodCount/everyCount (count windows) pending the aggregation."""
 
     def __init__(self, parent: "_SStream"):
         self.parent = parent
         self.period = None
         self.every = None
+        self.period_count = None
+        self.every_count = None
 
 
 class _SAgg:
@@ -2323,11 +2326,27 @@ class _StreamEnv:
                                 "|window() (un-windowed streaming "
                                 "aggregation has no emission point)")
             st = node.parent
+            if node.period_count is not None:
+                # count-based window -> the keyed ring-buffer operator
+                # (/root/reference/window.go:360-470)
+                if name not in ("mean", "sum", "count", "min", "max"):
+                    raise TickError(
+                        f"streaming count windows support mean/sum/count/"
+                        f"min/max, not |{name}()"
+                    )
+                from kapacitor_spark import streaming as _strm
+
+                out = _strm.window_count_stream(
+                    st.df, self.time_col, list(st.dims), args[0],
+                    int(node.period_count), int(node.every_count or 1),
+                    agg=name, as_=f"__{name}", tiebreak=self.tiebreak,
+                )
+                return _SAgg(out, self.time_col, st.dims)
             period = node.period if node.period is not None else node.every
             every = node.every if node.every is not None else node.period
             if period is None:
                 raise TickError("streaming compile: window() needs "
-                                ".period()/.every()")
+                                ".period()/.every() or .periodCount()")
             win = F.window(
                 F.col(self.time_col),
                 self._interval(period), self._interval(every),
@@ -2402,6 +2421,12 @@ class _StreamEnv:
                 return node
             if name == "every":
                 node.every = args[0]
+                return node
+            if name == "periodCount":
+                node.period_count = int(args[0])
+                return node
+            if name == "everyCount":
+                node.every_count = int(args[0])
                 return node
             raise TickError(f"streaming window() does not support .{name}()")
         if isinstance(node, _SAgg):

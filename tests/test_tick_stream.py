@@ -560,6 +560,47 @@ stream
     assert crit and all(r["host"] == "h1" and r["emitted"] == 0 for r in crit)
 
 
+def test_count_window_stream_equals_batch(
+    spark, fixture_df, stream_src, tmp_path
+):
+    """window().periodCount(n).everyCount(m) compiles onto the keyed
+    ring-buffer operator (window_count_stream) — pinned stream == batch
+    replay (warm-up windows shorter than periodCount are exact on both
+    paths)."""
+    from kapacitor_spark.streaming import run_available_now
+    from kapacitor_spark.tick import run_tickscript, run_tickscript_stream
+
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |window()
+        .periodCount(3)
+        .everyCount(2)
+    |mean('value')
+        .as('m')
+    |httpOut('w')
+"""
+    outs = run_tickscript_stream(
+        script, sources={"cpu": _stream_df(spark, stream_src)},
+        time_col="time",
+    )
+    res = run_available_now(outs["w"], "ts_cw", str(tmp_path / "ck"))
+    s = sorted(
+        (str(r["time"]), r["host"], round(float(r["m"]), 9))
+        for r in res.collect()
+    )
+    bouts = run_tickscript(
+        script, sources={"cpu": fixture_df}, time_col="time", dims=()
+    )
+    b = sorted(
+        (str(r["time"]), r["host"], round(float(r["m"]), 9))
+        for r in bouts["w"].collect()
+    )
+    assert s == b and len(s) == 8  # 8 points/host, emit every 2nd
+
+
 def test_stateful_alert_after_window_raises(spark, stream_src):
     """Two chained stateful streaming operators (window agg then keyed
     alert machine) are not a supported Structured Streaming plan — the
