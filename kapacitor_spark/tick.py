@@ -2161,6 +2161,8 @@ class _StreamEnv:
         "median": F.median,
         "spread": lambda c: F.max(c) - F.min(c),
     }
+    # event-time selectors (first/last = value at the window's earliest/
+    # latest point) dispatch below — they need the time column
 
     def __init__(self, sources, time_col, dims, outputs, tiebreak=()):
         self.sources = sources
@@ -2320,7 +2322,7 @@ class _StreamEnv:
             return _SStream(out, st.dims)
         if name == "log" and isinstance(node, (_SFrom, _SStream, _SAgg, _SAlert)):
             return node  # parity with the batch compile: log() passes through
-        if name in self.AGGS:
+        if name in self.AGGS or name in ("first", "last"):
             if not isinstance(node, _SWindow):
                 raise TickError(f"streaming compile: |{name}() must follow "
                                 "|window() (un-windowed streaming "
@@ -2352,7 +2354,12 @@ class _StreamEnv:
                 self._interval(period), self._interval(every),
             )
             field = args[0]
-            fn = self.AGGS[name]
+            if name == "first":
+                fn = lambda c: F.min_by(c, F.col(self.time_col))  # noqa: E731
+            elif name == "last":
+                fn = lambda c: F.max_by(c, F.col(self.time_col))  # noqa: E731
+            else:
+                fn = self.AGGS[name]
             out = (
                 st.df.groupBy(win, *[F.col(d) for d in st.dims])
                 .agg(fn(F.col(field)).alias(f"__{name}"))

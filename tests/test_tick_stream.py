@@ -475,7 +475,7 @@ def test_extended_window_aggs_stream_equals_batch(
     from kapacitor_spark.streaming import run_available_now
     from kapacitor_spark.tick import run_tickscript, run_tickscript_stream
 
-    for agg in ("stddev", "median", "spread"):
+    for agg in ("stddev", "median", "spread", "first", "last"):
         script = f"""
 stream
     |from()
