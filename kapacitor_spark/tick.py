@@ -732,6 +732,57 @@ def _lam(p: Pipeline, v):
     return v
 
 
+def _mk_k8s_scaler(client, props):
+    from kapacitor_spark.operators.autoscale import K8sAutoscaler
+
+    kw = dict(
+        resource_name=props.get("resourceName", [None])[0],
+        resource_name_tag=props.get("resourceNameTag", [None])[0],
+        namespace=props.get("namespace", [None])[0],
+    )
+    if "kind" in props:
+        kw["kind"] = props["kind"][0]
+    for tick_name, py_name in (
+        ("namespaceTag", "namespace_tag"),
+        ("kindTag", "kind_tag"),
+        ("resourceTag", "resource_tag"),
+    ):
+        if tick_name in props:
+            kw[py_name] = props[tick_name][0]
+    return K8sAutoscaler(client, **kw)
+
+
+def _mk_swarm_scaler(client, props):
+    from kapacitor_spark.operators.autoscale import SwarmAutoscaler
+
+    return SwarmAutoscaler(
+        client,
+        service_name=props.get("serviceName", [None])[0],
+        service_name_tag=props.get("serviceNameTag", [None])[0],
+        output_service_name_tag=props.get("outputServiceNameTag", [None])[0],
+    )
+
+
+def _mk_ec2_scaler(client, props):
+    from kapacitor_spark.operators.autoscale import Ec2Autoscaler
+
+    return Ec2Autoscaler(
+        client,
+        group_name=props.get("groupName", [None])[0],
+        group_name_tag=props.get("groupNameTag", [None])[0],
+        output_group_name_tag=props.get("outputGroupNameTag", [None])[0],
+    )
+
+
+# TICK autoscale node name -> (client kind, scaler factory) — shared by
+# the batch env (_mk_*Autoscale) and the streaming compile (_SAutoscale)
+_AUTOSCALE_KINDS = {
+    "k8sAutoscale": ("k8s", _mk_k8s_scaler),
+    "swarmAutoscale": ("swarm", _mk_swarm_scaler),
+    "ec2Autoscale": ("ec2", _mk_ec2_scaler),
+}
+
+
 class _Env:
     """Executes chain/property calls — the task-level createNode dispatch
     (/root/reference/task.go:447-532) re-targeted at Pipeline."""
@@ -1416,53 +1467,13 @@ class _Env:
         )
 
     def _mk_k8sAutoscale(self, p: Pipeline, node: _Node) -> Pipeline:
-        from kapacitor_spark.operators.autoscale import K8sAutoscaler
-
-        def mk(client, props):
-            kw = dict(
-                resource_name=props.get("resourceName", [None])[0],
-                resource_name_tag=props.get("resourceNameTag", [None])[0],
-                namespace=props.get("namespace", [None])[0],
-            )
-            if "kind" in props:
-                kw["kind"] = props["kind"][0]
-            for tick_name, py_name in (
-                ("namespaceTag", "namespace_tag"),
-                ("kindTag", "kind_tag"),
-                ("resourceTag", "resource_tag"),
-            ):
-                if tick_name in props:
-                    kw[py_name] = props[tick_name][0]
-            return K8sAutoscaler(client, **kw)
-
-        return self._autoscale(p, node, "k8s", mk)
+        return self._autoscale(p, node, "k8s", _mk_k8s_scaler)
 
     def _mk_swarmAutoscale(self, p: Pipeline, node: _Node) -> Pipeline:
-        from kapacitor_spark.operators.autoscale import SwarmAutoscaler
-
-        return self._autoscale(
-            p, node, "swarm",
-            lambda client, props: SwarmAutoscaler(
-                client,
-                service_name=props.get("serviceName", [None])[0],
-                service_name_tag=props.get("serviceNameTag", [None])[0],
-                output_service_name_tag=props.get(
-                    "outputServiceNameTag", [None])[0],
-            ),
-        )
+        return self._autoscale(p, node, "swarm", _mk_swarm_scaler)
 
     def _mk_ec2Autoscale(self, p: Pipeline, node: _Node) -> Pipeline:
-        from kapacitor_spark.operators.autoscale import Ec2Autoscaler
-
-        return self._autoscale(
-            p, node, "ec2",
-            lambda client, props: Ec2Autoscaler(
-                client,
-                group_name=props.get("groupName", [None])[0],
-                group_name_tag=props.get("groupNameTag", [None])[0],
-                output_group_name_tag=props.get("outputGroupNameTag", [None])[0],
-            ),
-        )
+        return self._autoscale(p, node, "ec2", _mk_ec2_scaler)
 
     def _mk_window(self, p: Pipeline, node: _Node) -> Pipeline:
         props = node.prop_map()
@@ -2050,6 +2061,72 @@ class _SJoin:
         return _SStream(out, dims)
 
 
+class _SAutoscale:
+    """Pending streaming k8s/swarm/ec2Autoscale node — materializes onto
+    streaming.autoscale_stream (per-resource keyed decision machine:
+    current replicas + cooldown clocks in state). For a STATIC resource
+    name the current replica count prefetches from the injected client
+    at compile (the reference's lazy Replicas(id) call, made eagerly —
+    executors cannot hold clients); tag-addressed resources seed from
+    their first clamped desired value without emitting (the documented
+    divergence in autoscale_stream). The output is the DECISION stream —
+    wire a sink to make the orchestrator calls."""
+
+    def __init__(self, env, stream: "_SStream", name: str):
+        self.env, self.stream, self.name = env, stream, name
+        self.props: list[tuple[str, list]] = []
+
+    def prop(self, name, args):
+        self.props.append((name, args))
+        return self
+
+    def prop_map(self):
+        return dict(self.props)
+
+    def finalize(self) -> "_SStream":
+        from kapacitor_spark import streaming as _strm
+        from kapacitor_spark.functions.lambdas import compile_lambda
+
+        env, st = self.env, self.stream
+        kind, mk = _AUTOSCALE_KINDS[self.name]
+        props = self.prop_map()
+        cluster = props.get("cluster", [""])[0]
+        clients = env.autoscale_clients
+        client = clients.get((kind, cluster)) or clients.get(kind)
+        if client is None:
+            raise TickError(
+                f"{self.name}(): no {kind} client — pass "
+                f"run_tickscript_stream(autoscale_clients={{{kind!r}: client}})"
+            )
+        scaler = mk(client, props)
+        if "replicas" not in props:
+            raise TickError(f"{self.name}() needs .replicas(lambda: ...)")
+        if "currentField" in props:
+            raise TickError(
+                f"{self.name}().currentField(): state-dependent replicas "
+                "lambdas need the Python API (autoscale_stream + a custom "
+                "want column)"
+            )
+        r = props["replicas"][0]
+        want = compile_lambda(
+            r.src if isinstance(r, _Lambda) else r, ordered_window=None,
+            time_col=env.time_col, schema=dict(st.df.dtypes),
+            variables=r.vars if isinstance(r, _Lambda) else env.vars,
+        )
+        initial = None
+        if scaler._name is not None:
+            initial = {scaler._name: int(scaler.replicas(scaler._name))}
+        out = _strm.autoscale_stream(
+            st.df, env.time_col, scaler, want,
+            min=int(props.get("min", [1])[0]),
+            max=int(props.get("max", [0])[0]),
+            increase_cooldown=_dur(props.get("increaseCooldown", [0.0])[0]),
+            decrease_cooldown=_dur(props.get("decreaseCooldown", [0.0])[0]),
+            initial=initial, tiebreak=env.tiebreak,
+        )
+        return _SStream(out, ("resource",))
+
+
 class _SWindow:
     """window() node: period/every durations (time windows) or
     periodCount/everyCount (count windows) pending the aggregation."""
@@ -2164,12 +2241,14 @@ class _StreamEnv:
     # event-time selectors (first/last = value at the window's earliest/
     # latest point) dispatch below — they need the time column
 
-    def __init__(self, sources, time_col, dims, outputs, tiebreak=()):
+    def __init__(self, sources, time_col, dims, outputs, tiebreak=(),
+                 autoscale_clients=None):
         self.sources = sources
         self.time_col = time_col
         self.default_dims = tuple(dims)
         self.outputs = outputs
         self.tiebreak = tuple(tiebreak)
+        self.autoscale_clients = autoscale_clients or {}
         self.vars: dict = {}
 
     # ------------------------------------------------------------- #
@@ -2221,7 +2300,7 @@ class _StreamEnv:
     def _stream_of(self, node) -> "_SStream":
         if isinstance(node, _SStream):
             return node
-        if isinstance(node, (_SPend, _SJoin)):
+        if isinstance(node, (_SPend, _SJoin, _SAutoscale)):
             return node.finalize()
         if isinstance(node, _SFrom):
             return _SStream(
@@ -2230,7 +2309,7 @@ class _StreamEnv:
         raise TickError("streaming compile: node has no stream upstream")
 
     def chain(self, node, name, args):
-        if isinstance(node, (_SPend, _SJoin)):
+        if isinstance(node, (_SPend, _SJoin, _SAutoscale)):
             node = node.finalize()
         if name == "from":
             if not isinstance(node, _Source) or node.kind != "stream":
@@ -2309,6 +2388,17 @@ class _StreamEnv:
                     interval=_dur(args[1]), threshold=float(args[0]),
                 )
             return _SAgg(out, self.time_col, st.dims)
+        if name in _AUTOSCALE_KINDS:
+            if isinstance(node, _SAgg):
+                raise TickError(
+                    f"streaming {name}() after a windowed aggregation "
+                    "would chain two stateful streaming operators — "
+                    "autoscale on the raw stream (the replicas lambda "
+                    "reads point fields) or run the batch replay"
+                )
+            if not isinstance(node, (_SFrom, _SStream)):
+                raise TickError(f"streaming {name}() must follow the stream")
+            return _SAutoscale(self, self._stream_of(node), name)
         if name == "union" and isinstance(node, (_SFrom, _SStream)):
             # union emits in global time order in the reference
             # (union.go:104-166) — declarative here: event-time semantics
@@ -2400,7 +2490,7 @@ class _StreamEnv:
         )
 
     def prop(self, node, name, args):
-        if isinstance(node, (_SPend, _SJoin)):
+        if isinstance(node, (_SPend, _SJoin, _SAutoscale)):
             return node.prop(name, args)
         if isinstance(node, _SFrom):
             if name == "measurement":
@@ -2476,6 +2566,7 @@ def run_tickscript_stream(
     dims: tuple = (),
     template_vars: dict | None = None,
     tiebreak: tuple = (),
+    autoscale_clients: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Compile a TICKscript onto Structured Streaming sources; returns
     {httpOut name: STREAMING DataFrame} ready for writeStream (drive a
@@ -2491,7 +2582,8 @@ def run_tickscript_stream(
     max, alert incl. stateChangesOnly([maxInterval])/noRecoveries/
     flapping/history and level resets (keyed state machine), httpOut."""
     outputs: dict[str, DataFrame] = {}
-    env = _StreamEnv(sources, time_col, dims, outputs, tiebreak)
+    env = _StreamEnv(sources, time_col, dims, outputs, tiebreak,
+                     autoscale_clients)
     env.preset_vars = _coerce_template_vars(template_vars or {})
     toks, src = _tokenize(script)
     _P(toks, src, env).run()

@@ -601,6 +601,71 @@ stream
     assert s == b and len(s) == 8  # 8 points/host, emit every 2nd
 
 
+def test_autoscale_live_stream_equals_batch(spark, tmp_path):
+    """swarmAutoscale on the LIVE path: the per-resource decision
+    machine (autoscale_stream) with the current replica count prefetched
+    from the injected client at compile (static serviceName) — decisions
+    pinned equal to the batch replay of the same script."""
+    from kapacitor_spark.streaming import run_available_now
+    from kapacitor_spark.tick import TickError, run_tickscript, run_tickscript_stream
+
+    rows = [
+        (1, "2024-01-01 00:00:01", 2.0),
+        (2, "2024-01-01 00:00:02", 5.0),
+        (3, "2024-01-01 00:00:03", 5.0),   # no change: no event
+        (4, "2024-01-01 00:00:20", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, time string, want double"
+    ).withColumn("time", F.to_timestamp("time"))
+    src = tmp_path / "in"
+    df.coalesce(1).write.parquet(str(src))
+    sdf = spark.readStream.schema(
+        "id long, time timestamp, want double"
+    ).parquet(str(src))
+
+    class Client:
+        def __init__(self):
+            self.updates = []
+
+        def service_replicas(self, name):
+            return 3
+
+        def update_service(self, name, n):
+            self.updates.append((name, n))
+
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+    |swarmAutoscale()
+        .serviceName('web')
+        .replicas(lambda: int("want"))
+        .min(1)
+        .max(100)
+    |httpOut('scale')
+"""
+    outs = run_tickscript_stream(
+        script, sources={"cpu": sdf}, time_col="time",
+        autoscale_clients={"swarm": Client()},
+    )
+    res = run_available_now(outs["scale"], "ts_scale", str(tmp_path / "ck"))
+    srows = res.collect()
+    assert all(r["resource"] == "web" for r in srows)
+    s = sorted((str(r["time"]), r["old"], r["new"]) for r in srows)
+    bouts = run_tickscript(
+        script, sources={"cpu": df}, time_col="time", dims=(),
+        autoscale_clients={"swarm": Client()},
+    )
+    b = sorted((str(r["time"]), r["old"], r["new"])
+               for r in bouts["scale"].collect())
+    # 3->2, 2->5 (steady 5 suppressed), 5->1
+    assert s == b and [(r[1], r[2]) for r in s] == [(3, 2), (2, 5), (5, 1)]
+
+    with pytest.raises(TickError, match="no swarm client"):
+        run_tickscript_stream(script, sources={"cpu": sdf}, time_col="time")
+
+
 def test_stateful_alert_after_window_raises(spark, stream_src):
     """Two chained stateful streaming operators (window agg then keyed
     alert machine) are not a supported Structured Streaming plan — the
