@@ -719,12 +719,18 @@ def window_count_stream(
     agg: str = "mean",
     as_: str = "value",
     tiebreak: Sequence[str] = (),
+    full_only: bool = False,
 ) -> DataFrame:
     """Streaming count window (/root/reference/window.go:360-470): per
     group, a ring of the last ``period_count`` values persists across
     micro-batches; every ``every_count``-th point emits the aggregate of
     the ring. every_count=1 is the reference's every-point emission mode
-    (window.go every=0 analog). State per group: ≤ period_count doubles."""
+    (window.go every=0 analog). State per group: ≤ period_count doubles.
+
+    ``full_only``: suppress emission until the group has seen
+    ``period_count`` points — the movingAverage warm-up drop
+    (/root/reference/pipeline/influxql.go:536: emit after window full);
+    window().fillPeriod() for count windows is the same gate."""
     if agg not in ("mean", "sum", "count", "min", "max"):
         raise ValueError(f"unsupported count-window agg {agg!r}")
     out_schema = StructType(
@@ -773,6 +779,11 @@ def window_count_stream(
             # emission gate: counter hits every_count then resets → the
             # i-th new point emits iff (since + i + 1) % every_count == 0
             emit = (since + np.arange(1, len(vals) + 1)) % every_count == 0
+            if full_only:
+                # the carry holds min(total_seen, period_count) values,
+                # so (carry + position) >= period_count detects window-
+                # full correctly across micro-batch boundaries
+                emit &= (g + 1) >= period_count
             res = pdf.loc[emit, [time_col, *dims]].copy()
             res[as_] = out[emit]
             yield res

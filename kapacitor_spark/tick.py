@@ -1935,6 +1935,7 @@ class _SPend:
 
     _ORDERED = {"derivative": "derivative", "difference": "difference",
                 "elapsed": "elapsed", "cumulativeSum": "cumulative_sum"}
+    # movingAverage rides the count-window ring with the warm-up gate
 
     def __init__(self, env, name, args, stream: "_SStream"):
         self.env, self.name, self.args, self.stream = env, name, args, stream
@@ -1973,6 +1974,14 @@ class _SPend:
             )
         as_ = props.get("as", [None])[0]
         unit = _dur(props["unit"][0]) if "unit" in props else "1s"
+        if self.name == "movingAverage":
+            out = _strm.window_count_stream(
+                st.df, env.time_col, list(st.dims), self.args[0],
+                int(self.args[1]), 1, agg="mean",
+                as_=as_ or self.args[0], tiebreak=env.tiebreak,
+                full_only=True,
+            )
+            return _SStream(out, st.dims)
         if self.name in self._ORDERED:
             if self.name == "elapsed" and len(self.args) > 1:
                 unit = _dur(self.args[1])
@@ -2137,6 +2146,7 @@ class _SWindow:
         self.every = None
         self.period_count = None
         self.every_count = None
+        self.fill_period = False
 
 
 class _SAgg:
@@ -2294,7 +2304,7 @@ class _StreamEnv:
     _PEND_NAMES = (
         "eval", "default", "delete", "barrier", "sideload",
         "derivative", "difference", "elapsed", "cumulativeSum",
-        "stateCount", "stateDuration",
+        "stateCount", "stateDuration", "movingAverage",
     )
 
     def _stream_of(self, node) -> "_SStream":
@@ -2432,8 +2442,15 @@ class _StreamEnv:
                     st.df, self.time_col, list(st.dims), args[0],
                     int(node.period_count), int(node.every_count or 1),
                     agg=name, as_=f"__{name}", tiebreak=self.tiebreak,
+                    full_only=node.fill_period,
                 )
                 return _SAgg(out, self.time_col, st.dims)
+            if node.fill_period:
+                raise TickError(
+                    "streaming window().fillPeriod() is supported for "
+                    "count windows only — time-window fillPeriod runs in "
+                    "the batch replay"
+                )
             period = node.period if node.period is not None else node.every
             every = node.every if node.every is not None else node.period
             if period is None:
@@ -2524,6 +2541,9 @@ class _StreamEnv:
                 return node
             if name == "everyCount":
                 node.every_count = int(args[0])
+                return node
+            if name == "fillPeriod":
+                node.fill_period = True
                 return node
             raise TickError(f"streaming window() does not support .{name}()")
         if isinstance(node, _SAgg):

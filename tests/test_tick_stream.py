@@ -666,6 +666,28 @@ stream
         run_tickscript_stream(script, sources={"cpu": sdf}, time_col="time")
 
 
+def test_moving_average_stream_equals_batch(
+    spark, fixture_df, stream_src, tmp_path
+):
+    """movingAverage(f, w): the count-window ring with the warm-up gate
+    (emit only once w points have been seen) — pinned stream == batch
+    replay including the first-w-1 drop."""
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |movingAverage('value', 3)
+        .as('ma')
+    |httpOut('m')
+"""
+    s, b = _run_both(
+        spark, script, "m", fixture_df, stream_src, tmp_path,
+        ["time", "host", "ma"],
+    )
+    assert s == b and len(s) == 12  # 8 points/host, first 2 dropped
+
+
 def test_stateful_alert_after_window_raises(spark, stream_src):
     """Two chained stateful streaming operators (window agg then keyed
     alert machine) are not a supported Structured Streaming plan — the
