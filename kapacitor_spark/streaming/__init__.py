@@ -48,6 +48,7 @@ __all__ = [
     "alert_stream",
     "state_count_stream",
     "state_duration_stream",
+    "change_detect_stream",
     "sigma_stream",
     "ordered_transform_stream",
     "autoscale_stream",
@@ -650,6 +651,67 @@ def ordered_transform_stream(
             yield res.loc[keep, schema_cols]
             has_prev, last_t, last_v = 1, int(t[-1]), float(x[-1])
         state.update((has_prev, last_t, last_v, run_sum))
+
+    return df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
+        machine,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def change_detect_stream(
+    df: DataFrame,
+    time_col: str,
+    dims: Sequence[str],
+    fields: Sequence[str],
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Streaming changeDetect (/root/reference/change_detect.go:110-140):
+    drop points whose monitored fields ALL equal the previous point's —
+    the previous point's values persist across micro-batches in keyed
+    state. Matches the batch form (Pipeline.change_detect) row for row:
+    a NULL previous value keeps the point; value→NULL keeps; NULL→NULL
+    under a non-NULL lag chain follows the same lag rules. Values
+    compare via their canonical reprs (exact for the point model's
+    float/int/string/bool types, and a mid-stream TYPE change — the
+    reference's Changing_Type golden — always differs)."""
+    import json
+
+    in_cols = list(df.columns)
+    out_schema = StructType([df.schema[c] for c in in_cols])
+    state_schema = StructType([StructField("prev", StringType())])
+    tcol, tb = time_col, list(tiebreak)
+    flds = list(fields)
+
+    def key(v):
+        return None if pd.isna(v) else repr(v)
+
+    def machine(key_, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        prev = json.loads(state.get[0]) if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values([tcol, *tb], kind="stable")
+            n = len(pdf)
+            if n == 0:
+                continue
+            keep = np.zeros(n, dtype=bool)
+            for f_ in flds:
+                ks = [key(v) for v in pdf[f_]]
+                pk = [prev[f_] if prev is not None else "\x00missing"] + ks[:-1]
+                # batch rule per field: lag NULL -> keep; changed -> keep;
+                # went NULL while lag wasn't -> keep. "\x00missing" marks
+                # NO previous point at all (first ever row: keep).
+                for i in range(n):
+                    p = pk[i]
+                    if p == "\x00missing" or p is None:
+                        keep[i] = True
+                    elif ks[i] is None or ks[i] != p:
+                        keep[i] = True
+            prev = {f_: key(pdf[f_].iloc[-1]) for f_ in flds}
+            yield pdf.loc[keep, in_cols]
+        if prev is not None:
+            state.update((json.dumps(prev),))
 
     return df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
         machine,

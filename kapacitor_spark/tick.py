@@ -2379,6 +2379,15 @@ class _StreamEnv:
             return _SJoin(
                 self, self._stream_of(node), self._stream_of(args[0])
             )
+        if name == "changeDetect" and isinstance(node, (_SFrom, _SStream)):
+            from kapacitor_spark import streaming as _strm
+
+            st = self._stream_of(node)
+            out = _strm.change_detect_stream(
+                st.df, self.time_col, list(st.dims), list(args),
+                tiebreak=self.tiebreak,
+            )
+            return _SStream(out, st.dims)
         if name in ("stats", "deadman") and isinstance(node, (_SFrom, _SStream)):
             # wall-clock stats()/deadman() (/root/reference/stats.go:
             # "Stats are REAL-TIME not data-time") — the ProcessingTime-
@@ -2499,7 +2508,8 @@ class _StreamEnv:
             f"|{name}() is not in the streaming compile subset (from/"
             "where/groupBy/eval/default/delete/shift/sample/sideload/"
             "barrier/union/join/log/derivative/difference/elapsed/"
-            "cumulativeSum/stateCount/stateDuration/stats/deadman/window/"
+            "cumulativeSum/stateCount/stateDuration/changeDetect/"
+            "movingAverage/stats/deadman/autoscale/window/"
             "mean/sum/count/min/max/alert/httpOut) "
             "— run it as a batch replay task (run_tickscript) or wire "
             "the stateful operator from kapacitor_spark.streaming "

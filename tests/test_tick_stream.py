@@ -688,6 +688,50 @@ stream
     assert s == b and len(s) == 12  # 8 points/host, first 2 dropped
 
 
+def test_change_detect_stream_equals_batch(spark, tmp_path):
+    """changeDetect(f): drop points whose monitored fields all equal the
+    previous point's — the previous values cross micro-batch boundaries
+    in keyed state; pinned stream == batch replay (incl. NULLs and the
+    keep-on-lag-NULL rules)."""
+    from kapacitor_spark.tick import run_tickscript
+
+    rows = [
+        (1, "2024-01-01 00:00:01", "h1", 1.0),
+        (2, "2024-01-01 00:00:02", "h1", 1.0),   # dup: dropped
+        (3, "2024-01-01 00:00:03", "h1", 2.0),
+        (4, "2024-01-01 00:00:04", "h1", None),  # ->NULL: kept
+        (5, "2024-01-01 00:00:05", "h1", None),  # lag NULL: kept (batch rule)
+        (6, "2024-01-01 00:00:06", "h1", 2.0),
+        (7, "2024-01-01 00:00:07", "h2", 5.0),
+        (8, "2024-01-01 00:00:08", "h2", 5.0),   # dup: dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, time string, host string, value double"
+    ).withColumn("time", F.to_timestamp("time"))
+    src = tmp_path / "in"
+    df.coalesce(1).write.parquet(str(src))
+    sdf = spark.readStream.schema(
+        "id long, time timestamp, host string, value double"
+    ).parquet(str(src))
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |changeDetect('value')
+    |httpOut('cd')
+"""
+    from kapacitor_spark.streaming import run_available_now
+    from kapacitor_spark.tick import run_tickscript_stream
+
+    outs = run_tickscript_stream(script, sources={"cpu": sdf}, time_col="time")
+    res = run_available_now(outs["cd"], "ts_cd", str(tmp_path / "ck"))
+    s = sorted(r["id"] for r in res.collect())
+    bouts = run_tickscript(script, sources={"cpu": df}, time_col="time", dims=())
+    b = sorted(r["id"] for r in bouts["cd"].collect())
+    assert s == b == [1, 3, 4, 5, 6, 7]
+
+
 def test_stateful_alert_after_window_raises(spark, stream_src):
     """Two chained stateful streaming operators (window agg then keyed
     alert machine) are not a supported Structured Streaming plan — the
