@@ -3809,6 +3809,51 @@ stream
 
 
 @_q(
+    "tick_stream_pipeline",
+    """WITH e AS (SELECT event_id, user_id, ts, value * 2.0 AS v2
+                  FROM events)
+       SELECT event_id, user_id, ts,
+              (v2 - lag(v2) OVER w) /
+              ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0) AS rate
+       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       QUALIFY lag(v2) OVER w IS NOT NULL""",
+)
+def tick_stream_pipeline(spark, sf_dir):
+    """A COMPOSED TICKscript on the live path (r11): projection (eval)
+    feeding a keyed ordered transform (derivative) — the widened
+    streaming compile's chain shape, where eval builds through the SAME
+    _Env._mk_eval code as the batch replay and derivative rides
+    ordered_transform_stream's cross-micro-batch state. The oracle
+    re-derives the projection and the lag formula in batch SQL."""
+    from kapacitor_spark.streaming import run_available_now
+    from kapacitor_spark.tick import run_tickscript_stream
+
+    script = """
+stream
+    |from()
+        .measurement('events')
+        .groupBy('user_id')
+    |eval(lambda: "value" * 2.0)
+        .as('v2')
+        .keep('value', 'event_id')
+    |derivative('v2')
+        .unit(1s)
+        .as('rate')
+    |httpOut('out')
+"""
+    sdf = _stream_t(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_id", "value"
+    )
+    outs = run_tickscript_stream(
+        script, sources={"events": sdf}, time_col="ts",
+        tiebreak=("event_id",),
+    )
+    return run_available_now(
+        outs["out"], _mem_name("tsp"), _ckpt()
+    ).select("event_id", "user_id", "ts", "rate")
+
+
+@_q(
     "stream_sketch_distinct",
     """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
               count(*) AS n, count(DISTINCT user_id) AS distinct_users
