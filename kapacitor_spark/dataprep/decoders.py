@@ -74,6 +74,63 @@ def split_ppm_stream(data: bytes) -> list[bytes]:
     return frames
 
 
+def fix_wav_stream_sizes(data: bytes) -> bytes:
+    """Repair the RIFF and ``data`` chunk sizes of a WAV produced on a
+    non-seekable pipe (ffmpeg writes 0xFFFFFFFF placeholders when it
+    cannot seek back) so strict parsers read it. Walks the chunk list;
+    any chunk whose declared size runs past the buffer is clamped to the
+    remaining bytes."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    out = bytearray(data)
+    out[4:8] = (len(data) - 8).to_bytes(4, "little")
+    pos = 12
+    while pos + 8 <= len(out):
+        size = int.from_bytes(out[pos + 4:pos + 8], "little")
+        avail = len(out) - (pos + 8)
+        if size > avail:
+            out[pos + 4:pos + 8] = avail.to_bytes(4, "little")
+            size = avail
+        pos += 8 + size + (size & 1)
+    return bytes(out)
+
+
+def ffmpeg_transcode_audio_fn(
+    binary: str = "ffmpeg",
+    extra_args: Iterable[str] = (),
+    timeout: float = 120.0,
+) -> Callable[[bytes], bytes]:
+    """An audio ``decode_fn`` for :func:`multimodal.decode_audio_batch` /
+    ``audio_dhash_near_dup`` backed by an ffmpeg CLI binary: transcodes
+    ANY codec the binary supports (MP3, AAC, OGG/Vorbis, Opus...) to
+    16-bit PCM WAV — the format the stdlib ``audiocodec`` already
+    decodes — inside the same Arrow hop. Pipe-written WAV sizes are
+    repaired (:func:`fix_wav_stream_sizes`) before they reach the strict
+    parser. No hard dependency: the binary is probed at call time."""
+
+    def transcode(payload: bytes) -> bytes:
+        if shutil.which(binary) is None:
+            raise RuntimeError(
+                f"decode_fn seam: ffmpeg binary {binary!r} not found — "
+                "perceptual audio codecs need a caller-supplied decoder "
+                "(CODECS.md scope line)"
+            )
+        proc = subprocess.run(
+            [binary, "-v", "error", "-i", "pipe:0", *extra_args,
+             "-f", "wav", "-acodec", "pcm_s16le", "pipe:1"],
+            input=payload, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, timeout=timeout,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"{binary} failed (rc={proc.returncode}): "
+                f"{proc.stderr.decode(errors='replace')[:500]}"
+            )
+        return fix_wav_stream_sizes(proc.stdout)
+
+    return transcode
+
+
 def ffmpeg_decode_fn(
     binary: str = "ffmpeg",
     extra_args: Iterable[str] = (),

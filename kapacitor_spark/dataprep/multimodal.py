@@ -271,6 +271,7 @@ def decode_audio_batch(
     binary_col: str = "payload",
     target_frames: int | None = None,
     mono: bool = True,
+    decode_fn=None,
 ) -> DataFrame:
     """REAL audio decode via the stdlib WAV codec (audiocodec.py):
     adds the AUDIO_SCHEMA metadata plus ``samples array<float>``
@@ -280,7 +281,13 @@ def decode_audio_batch(
     frame indices before video decode). WAV (incl. G.711/ADPCM) and
     lossless FLAC decode for real; only perceptual codecs (MP3/OGG)
     sniff for metadata routing but raise at decode — their entropy
-    coding needs an audio library this container lacks."""
+    coding needs an audio library this container lacks.
+
+    ``decode_fn`` (r11 — the AUDIO leg of the lossy-codec seam, see
+    CODECS.md): a caller-injected ``(payload: bytes) -> bytes``
+    transcoding to a format audiocodec reads (WAV/FLAC), run INSIDE
+    this Arrow hop before the parse — e.g.
+    ``decoders.ffmpeg_transcode_audio_fn()`` for MP3/AAC/OGG corpora."""
     out_schema = T.StructType(
         df.schema.fields
         + list(AUDIO_SCHEMA.fields)
@@ -294,6 +301,8 @@ def decode_audio_batch(
             metas, sample_lists = [], []
             for b in pdf[binary_col]:
                 raw = bytes(b) if b is not None else b""
+                if decode_fn is not None:
+                    raw = decode_fn(raw)
                 fmt = ac.sniff_format(raw)
                 channels, rate, samples = ac.decode_audio(raw)
                 n_frames = samples.shape[0]
@@ -557,6 +566,7 @@ def audio_dhash_near_dup(
     id_col: str = "doc_id",
     binary_col: str = "payload",
     target_frames: int | None = None,
+    decode_fn=None,
 ) -> DataFrame:
     """Audio near-duplicate pairs by perceptual hash: decode → envelope
     dHash → banded Hamming self-join. Returns (id_a, id_b, hamming).
@@ -569,11 +579,15 @@ def audio_dhash_near_dup(
     for the Hamming bound, so results are deterministic. Only (id, 8B
     hash) enters the self-join; samples never shuffle. Pass
     ``target_frames`` to nearest-resample variable-length clips to a
-    common length inside the decode hop first."""
+    common length inside the decode hop first. ``decode_fn`` threads to
+    :func:`decode_audio_batch` — the audio leg of the lossy-codec seam
+    (CODECS.md): MP3/AAC/OGG corpora dedup with one extra argument
+    (e.g. ``decoders.ffmpeg_transcode_audio_fn()``)."""
     from kapacitor_spark.dataprep.dedup import simhash_near_dup
 
     decoded = decode_audio_batch(
-        df.select(id_col, binary_col), binary_col, target_frames=target_frames
+        df.select(id_col, binary_col), binary_col,
+        target_frames=target_frames, decode_fn=decode_fn,
     )
     sig = track(decoded.select(
         F.col(id_col),

@@ -96,6 +96,108 @@ def test_ffmpeg_decode_fn_through_video_dedup(spark, stub_ffmpeg):
     assert all(r["agree_frames"] == r["total_frames"] == 2 for r in pairs)
 
 
+def _wav_fixture(freq=440.0, frames=4000):
+    import numpy as np
+
+    from kapacitor_spark.dataprep.audiocodec import encode_wav
+
+    t = np.arange(frames) / 8000.0
+    return encode_wav(0.5 * np.sin(2 * np.pi * freq * t), 8000)
+
+
+def _pipe_style(wav: bytes) -> bytes:
+    """Corrupt the sizes the way a non-seekable ffmpeg pipe leaves them."""
+    out = bytearray(wav)
+    out[4:8] = b"\xff\xff\xff\xff"
+    i = wav.index(b"data")
+    out[i + 4:i + 8] = b"\xff\xff\xff\xff"
+    return bytes(out)
+
+
+def test_fix_wav_stream_sizes_repairs_pipe_output():
+    from kapacitor_spark.dataprep.audiocodec import decode_audio
+    from kapacitor_spark.dataprep.decoders import fix_wav_stream_sizes
+
+    wav = _wav_fixture()
+    broken = _pipe_style(wav)
+    # (the stdlib parser happens to clamp the placeholders itself; the
+    # fixer guarantees the repaired bytes are ALSO valid for strict
+    # parsers and re-serialization)
+    fixed = fix_wav_stream_sizes(broken)
+    assert fixed[4:8] == (len(wav) - 8).to_bytes(4, "little")
+    i = wav.index(b"data")
+    assert fixed[i + 4:i + 8] == wav[i + 4:i + 8]  # true data size restored
+    ch, rate, samples = decode_audio(fixed)
+    ch0, rate0, samples0 = decode_audio(wav)
+    assert (ch, rate) == (ch0, rate0) and (samples == samples0).all()
+    with pytest.raises(ValueError, match="RIFF"):
+        fix_wav_stream_sizes(b"not a wav at all")
+
+
+@pytest.fixture()
+def stub_ffmpeg_audio(tmp_path):
+    """Audio stand-in for the CLI contract: reads the 'compressed' clip
+    from stdin, writes pipe-style WAV (placeholder sizes) to stdout —
+    exactly what a real non-seekable ffmpeg emits."""
+    broken = _pipe_style(_wav_fixture())
+    fpath = tmp_path / "out.wav"
+    fpath.write_bytes(broken)
+    script = tmp_path / "stub-ffmpeg-audio"
+    script.write_text(f"#!/bin/sh\ncat > /dev/null\ncat {fpath}\n")
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+    return str(script)
+
+
+def test_ffmpeg_transcode_audio_through_audio_dedup(spark, stub_ffmpeg_audio):
+    """The audio leg of the seam drives the REAL operator:
+    audio_dhash_near_dup(decode_fn=ffmpeg_transcode_audio_fn(stub)) —
+    pipe-size fixup + transcode happen inside the Arrow decode hop."""
+    from pyspark.sql import Row
+
+    from kapacitor_spark.dataprep.decoders import ffmpeg_transcode_audio_fn
+    from kapacitor_spark.dataprep.multimodal import audio_dhash_near_dup
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, payload=bytearray(b"mp3ish-%d" % i)) for i in (1, 2, 3)]
+    )
+    pairs = audio_dhash_near_dup(
+        df, decode_fn=ffmpeg_transcode_audio_fn(binary=stub_ffmpeg_audio),
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+    assert all(r["hamming"] == 0 for r in pairs)
+
+
+@pytest.mark.skipif(
+    shutil.which("ffmpeg") is None,
+    reason="no ffmpeg on this box — the stub tests above pin the contract",
+)
+def test_ffmpeg_transcode_audio_real_mp3(tmp_path):
+    """Against a REAL ffmpeg: synthesize an MP3 sine and transcode it
+    through the seam into the stdlib WAV decoder."""
+    import numpy as np
+
+    from kapacitor_spark.dataprep.audiocodec import decode_audio
+    from kapacitor_spark.dataprep.decoders import ffmpeg_transcode_audio_fn
+
+    clip = tmp_path / "tone.mp3"
+    enc = subprocess.run(
+        ["ffmpeg", "-v", "error", "-f", "lavfi",
+         "-i", "sine=frequency=440:duration=0.5:sample_rate=8000",
+         str(clip)],
+        capture_output=True,
+    )
+    if enc.returncode != 0:
+        pytest.skip(f"ffmpeg lacks an mp3 encoder: {enc.stderr[:120]!r}")
+    wav = ffmpeg_transcode_audio_fn()(clip.read_bytes())
+    ch, rate, samples = decode_audio(wav)
+    assert ch == 1 and rate == 8000 and len(samples) > 3000
+    x = samples.reshape(-1).astype(float) / 32768.0
+    # a 440 Hz tone dominates: zero-crossing rate ~= 2 * f / rate
+    zc = int(((x[:-1] * x[1:]) < 0).sum())
+    assert abs(zc / (len(x) / 8000.0) - 880) < 90
+
+
 @pytest.mark.skipif(
     shutil.which("ffmpeg") is None,
     reason="no ffmpeg on this box — the stub test above pins the contract",
