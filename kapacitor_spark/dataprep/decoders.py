@@ -131,6 +131,26 @@ def ffmpeg_transcode_audio_fn(
     return transcode
 
 
+def ffmpeg_transcode_image_fn(
+    binary: str = "ffmpeg",
+    extra_args: Iterable[str] = (),
+    timeout: float = 120.0,
+) -> Callable[[bytes], bytes]:
+    """A single-image ``decode_fn`` for ``multimodal.decode_full`` /
+    ``image_{d,p}hash_near_dup``: ffmpeg decodes stills through the same
+    image2pipe contract as video — this takes the first (only) frame as
+    the transcoded payload. Covers the formats the stdlib codecs
+    declare out of scope (lossy WebP, arithmetic JPEG, HEIC/AVIF...)."""
+    frames = ffmpeg_decode_fn(binary, extra_args, timeout)
+
+    def transcode(payload: bytes) -> bytes:
+        for _, frame in frames(payload):
+            return frame
+        raise RuntimeError("ffmpeg produced no frames for image payload")
+
+    return transcode
+
+
 def ffmpeg_decode_fn(
     binary: str = "ffmpeg",
     extra_args: Iterable[str] = (),

@@ -152,12 +152,20 @@ def decode_image_batch(df: DataFrame, binary_col: str = "payload", fake: bool = 
 
 
 def decode_full(
-    df: DataFrame, binary_col: str = "payload", fake: bool = True
+    df: DataFrame, binary_col: str = "payload", fake: bool = True,
+    decode_fn=None,
 ) -> DataFrame:
     """Metadata + pixel decode in ONE mapInPandas pass (each payload's
     digest computed once) — the shape a real pipeline wants: one Python
     hop per binary row, not one per derived signal. Output = input +
-    IMAGE_SCHEMA fields + ``pixels array<float>``."""
+    IMAGE_SCHEMA fields + ``pixels array<float>``.
+
+    ``decode_fn`` (r11 — the IMAGE leg of the lossy-codec seam, see
+    CODECS.md): a caller-injected ``(payload: bytes) -> bytes``
+    transcoding formats the stdlib codecs reject (lossy WebP,
+    arithmetic JPEG, HEIC...) to one they read, run INSIDE this Arrow
+    hop before the parse — e.g. ffmpeg to PPM via
+    ``decoders.ffmpeg_decode_fn`` taking the first frame."""
     out_schema = T.StructType(
         df.schema.fields
         + list(IMAGE_SCHEMA.fields)
@@ -172,6 +180,8 @@ def decode_full(
             metas, pixels = [], []
             for b in pdf[binary_col]:
                 raw = bytes(b) if b is not None else b""
+                if decode_fn is not None:
+                    raw = decode_fn(raw)
                 if fake:
                     d = hashlib.md5(raw).digest()
                     metas.append(
@@ -409,6 +419,7 @@ def image_dhash_near_dup(
     id_col: str = "doc_id",
     binary_col: str = "payload",
     fake: bool = False,
+    decode_fn=None,
 ) -> DataFrame:
     """Image near-duplicate pairs by perceptual hash: decode → dHash →
     banded Hamming self-join. Returns (id_a, id_b, hamming ≤ max_hamming).
@@ -427,7 +438,10 @@ def image_dhash_near_dup(
     """
     from kapacitor_spark.dataprep.dedup import simhash_near_dup
 
-    decoded = decode_full(df.select(id_col, binary_col), binary_col, fake=fake)
+    decoded = decode_full(
+        df.select(id_col, binary_col), binary_col, fake=fake,
+        decode_fn=decode_fn,
+    )
     sig = track(decoded.select(
         F.col(id_col),
         dhash_expr("pixels", width, height, channels).alias("simhash"),
@@ -518,6 +532,7 @@ def image_phash_near_dup(
     id_col: str = "doc_id",
     binary_col: str = "payload",
     fake: bool = False,
+    decode_fn=None,
 ) -> DataFrame:
     """Image near-duplicate pairs by DCT pHash: decode → pHash → banded
     Hamming self-join (exact for the bound, like the dHash variant).
@@ -527,7 +542,10 @@ def image_phash_near_dup(
     default Hamming budget is correspondingly wider."""
     from kapacitor_spark.dataprep.dedup import simhash_near_dup
 
-    decoded = decode_full(df.select(id_col, binary_col), binary_col, fake=fake)
+    decoded = decode_full(
+        df.select(id_col, binary_col), binary_col, fake=fake,
+        decode_fn=decode_fn,
+    )
     sig = track(phash_batch(
         decoded, width, height, channels, out_col="simhash"
     ).select(id_col, "simhash").persist())

@@ -168,6 +168,28 @@ def test_ffmpeg_transcode_audio_through_audio_dedup(spark, stub_ffmpeg_audio):
     assert all(r["hamming"] == 0 for r in pairs)
 
 
+def test_ffmpeg_transcode_image_through_image_dedup(spark, stub_ffmpeg):
+    """The IMAGE leg of the seam drives the real operator:
+    image_dhash_near_dup(decode_fn=ffmpeg_transcode_image_fn(stub)) —
+    foreign still formats transcode to PPM inside the Arrow decode hop
+    (the stub emits the video fixture; the first frame is the image)."""
+    from pyspark.sql import Row
+
+    from kapacitor_spark.dataprep.decoders import ffmpeg_transcode_image_fn
+    from kapacitor_spark.dataprep.multimodal import image_dhash_near_dup
+
+    binary, _ = stub_ffmpeg
+    df = spark.createDataFrame(
+        [Row(doc_id=i, payload=bytearray(b"webp-ish-%d" % i)) for i in (1, 2)]
+    )
+    pairs = image_dhash_near_dup(
+        df, width=8, height=8, fake=False,
+        decode_fn=ffmpeg_transcode_image_fn(binary=binary),
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert all(r["hamming"] == 0 for r in pairs)
+
+
 @pytest.mark.skipif(
     shutil.which("ffmpeg") is None,
     reason="no ffmpeg on this box — the stub tests above pin the contract",
