@@ -31,13 +31,15 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from kapacitor_spark.durations import parse_duration
 from kapacitor_spark.functions import FUNCTIONS
 
-__all__ = ["compile_lambda", "is_lambda"]
+__all__ = ["compile_lambda", "compile_lambda_pandas", "is_lambda"]
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
@@ -321,6 +323,344 @@ class _Parser:
             F.when((n < 2) | sd.isNull() | (sd == 0), F.lit(0.0))
             .otherwise(F.abs(x - mean) / sd)
         )
+
+
+class _NumpyParser:
+    """The same grammar compiled to a pandas/numpy evaluator instead of a
+    Column — ``parse()`` returns ``f(pdf: pd.DataFrame) -> ndarray|scalar``.
+
+    Exists for the ONE place Catalyst cannot reach: level lambdas inside
+    the fused streaming window+alert operator (streaming.window_alert_stream),
+    where the windowed-aggregate rows are materialized inside a keyed
+    ``applyInPandasWithState`` function and never exist as a DataFrame
+    (Spark disallows a second stateful operator after an aggregation).
+    The reference evaluates the identical grammar per point in-process
+    (/root/reference/tick/stateful/expr.go) — this is that interpreter,
+    vectorized over the emitted window rows of one key and micro-batch.
+
+    Divergence mirror: ``/`` and ``%`` by zero yield NaN (Catalyst
+    try_divide/try_mod yield NULL); NaN comparisons are False either way.
+    Stateful sigma/count/spread and the regex/string registry raise — use
+    the batch replay for those shapes.
+    """
+
+    def __init__(self, tokens, time_col: str, variables: dict | None = None):
+        self.toks = tokens
+        self.i = 0
+        self.time_col = time_col
+        self.vars = variables or {}
+
+    peek = _Parser.peek
+    next = _Parser.next
+    expect_op = _Parser.expect_op
+
+    def parse(self):
+        f = self.or_()
+        k, v = self.peek()
+        if k != "eof":
+            raise ValueError(f"lambda: trailing input at {v!r}")
+        return f
+
+    def or_(self):
+        f = self.and_()
+        while self.peek() == ("ident", "OR"):
+            self.next()
+            g = self.and_()
+            f = (lambda a, b: lambda p: np.logical_or(a(p), b(p)))(f, g)
+        return f
+
+    def and_(self):
+        f = self.cmp()
+        while self.peek() == ("ident", "AND"):
+            self.next()
+            g = self.cmp()
+            f = (lambda a, b: lambda p: np.logical_and(a(p), b(p)))(f, g)
+        return f
+
+    _CMP = {
+        ">": np.greater, ">=": np.greater_equal, "<": np.less,
+        "<=": np.less_equal, "==": lambda a, b: a == b,
+        "!=": lambda a, b: a != b,
+    }
+
+    def cmp(self):
+        f = self.add()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in self._CMP:
+                self.next()
+                g = self.add()
+                op = self._CMP[v]
+                f = (lambda a, b, o: lambda p: o(a(p), b(p)))(f, g, op)
+            elif k == "op" and v in ("=~", "!~"):
+                self.next()
+                rk, rv = self.next()
+                if rk in ("regex", "str"):
+                    pat = rv[1:-1]
+                elif rk == "ident" and rv in self.vars:
+                    val = self.vars[rv]
+                    pat = getattr(val, "pat", val)
+                else:
+                    raise ValueError(f"lambda: {v} needs a /regex/, got {rv!r}")
+                rx = re.compile(pat)
+                neg = v == "!~"
+
+                def mk(a, rx, neg):
+                    def run(p):
+                        x = a(p)
+                        arr = np.asarray(x, dtype=object).ravel()
+                        m = np.fromiter(
+                            (bool(rx.search(str(s))) if s is not None else False
+                             for s in arr),
+                            dtype=bool, count=len(arr),
+                        )
+                        return ~m if neg else m
+                    return run
+
+                f = mk(f, rx, neg)
+            else:
+                return f
+
+    @staticmethod
+    def _num_bin(a, b, op):
+        def run(p):
+            x, y = a(p), b(p)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return op(x, y)
+        return run
+
+    def add(self):
+        f = self.mul()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("+", "-"):
+                self.next()
+                g = self.mul()
+                if v == "+":
+                    def mk(a, b):
+                        def run(p):
+                            x, y = a(p), b(p)
+                            if _np_is_str(x) or _np_is_str(y):
+                                return np.char.add(
+                                    np.asarray(x, dtype=str),
+                                    np.asarray(y, dtype=str),
+                                )
+                            return x + y
+                        return run
+                    f = mk(f, g)
+                else:
+                    f = self._num_bin(f, g, np.subtract)
+            else:
+                return f
+
+    def mul(self):
+        f = self.unary()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("*", "/", "%"):
+                self.next()
+                g = self.unary()
+                if v == "*":
+                    f = self._num_bin(f, g, np.multiply)
+                else:
+                    # mirror try_divide/try_mod: NULL (NaN) on zero divisor
+                    op = np.divide if v == "/" else np.mod
+
+                    def mk(a, b, op):
+                        def run(p):
+                            x = np.asarray(a(p), dtype=float)
+                            y = np.asarray(b(p), dtype=float)
+                            with np.errstate(divide="ignore", invalid="ignore"):
+                                out = op(x, y)
+                            return np.where(y == 0, np.nan, out)
+                        return run
+
+                    f = mk(f, g, op)
+            else:
+                return f
+
+    def unary(self):
+        k, v = self.peek()
+        if k == "op" and v == "!":
+            self.next()
+            f = self.unary()
+            return lambda p, a=f: np.logical_not(a(p))
+        if k == "op" and v == "-":
+            self.next()
+            f = self.unary()
+            return lambda p, a=f: np.negative(a(p))
+        return self.primary()
+
+    def primary(self):
+        k, v = self.next()
+        if k == "num":
+            lit = float(v) if ("." in v or "e" in v or "E" in v) else int(v)
+            return lambda p, x=lit: x
+        if k == "dur":
+            ns = int(parse_duration(v) * 1_000_000_000)
+            return lambda p, x=ns: x
+        if k == "str":
+            s = v[1:-1].replace("\\'", "'")
+            return lambda p, x=s: x
+        if k == "ref":
+            name = v[1:-1]
+            return self._col(name)
+        if k == "op" and v == "(":
+            f = self.or_()
+            self.expect_op(")")
+            return f
+        if k == "ident":
+            if v == "TRUE":
+                return lambda p: True
+            if v == "FALSE":
+                return lambda p: False
+            if self.peek() == ("op", "("):
+                return self.call(v)
+            if v in self.vars:
+                val = self.vars[v]
+                if hasattr(val, "seconds"):
+                    ns = int(round(val.seconds * 1e9))
+                    return lambda p, x=ns: x
+                if isinstance(val, (bool, int, float, str)):
+                    return lambda p, x=val: x
+            return self._col(v)
+        raise ValueError(f"lambda: unexpected token {v!r}")
+
+    def _col(self, name: str):
+        if name == "time":
+            name = self.time_col
+        tcol = self.time_col
+
+        def run(p, name=name):
+            if name not in p.columns:
+                raise ValueError(f"lambda: unknown field {name!r}")
+            s = p[name]
+            if name == tcol and str(s.dtype).startswith("datetime"):
+                return s.to_numpy()
+            return s.to_numpy()
+        return run
+
+    _NP_FNS = {
+        "abs": np.abs, "ceil": np.ceil, "floor": np.floor,
+        "sqrt": np.sqrt, "cbrt": np.cbrt, "exp": np.exp, "exp2": np.exp2,
+        "expm1": np.expm1, "log": np.log, "log2": np.log2,
+        "log10": np.log10, "log1p": np.log1p, "sin": np.sin,
+        "cos": np.cos, "tan": np.tan, "asin": np.arcsin,
+        "acos": np.arccos, "atan": np.arctan, "sinh": np.sinh,
+        "cosh": np.cosh, "tanh": np.tanh, "asinh": np.arcsinh,
+        "acosh": np.arccosh, "atanh": np.arctanh, "trunc": np.trunc,
+    }
+    _NP_FNS2 = {
+        "pow": np.power, "atan2": np.arctan2, "hypot": np.hypot,
+        "mod": np.mod, "min": np.minimum, "max": np.maximum,
+    }
+
+    def call(self, name: str):
+        self.expect_op("(")
+        args = []
+        if self.peek() != ("op", ")"):
+            args.append(self.or_())
+            while self.peek() == ("op", ","):
+                self.next()
+                args.append(self.or_())
+        self.expect_op(")")
+        if name in self._NP_FNS and len(args) == 1:
+            fn, a = self._NP_FNS[name], args[0]
+            def run(p, fn=fn, a=a):
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    return fn(np.asarray(a(p), dtype=float))
+            return run
+        if name in self._NP_FNS2 and len(args) == 2:
+            fn, a, b = self._NP_FNS2[name], args[0], args[1]
+            return lambda p, fn=fn, a=a, b=b: fn(a(p), b(p))
+        if name == "pow10" and len(args) == 1:
+            a = args[0]
+            return lambda p, a=a: np.power(10.0, np.asarray(a(p), dtype=float))
+        if name == "if" and len(args) == 3:
+            c, t, e = args
+            return lambda p, c=c, t=t, e=e: np.where(c(p), t(p), e(p))
+        if name == "isPresent" and len(args) == 1:
+            a = args[0]
+            def run(p, a=a):
+                x = a(p)
+                if np.isscalar(x):
+                    return x is not None
+                return pd.notna(np.asarray(x, dtype=object))
+            return run
+        if name == "bool" and len(args) == 1:
+            a = args[0]
+            return lambda p, a=a: np.asarray(a(p)).astype(bool)
+        if name == "int" and len(args) == 1:
+            a = args[0]
+            return lambda p, a=a: np.asarray(a(p), dtype=float).astype(np.int64)
+        if name == "float" and len(args) == 1:
+            a = args[0]
+            return lambda p, a=a: np.asarray(a(p), dtype=float)
+        if name == "string" and len(args) == 1:
+            a = args[0]
+            return lambda p, a=a: np.asarray(a(p)).astype(str)
+        if name == "unixNano" and len(args) == 1:
+            a = args[0]
+            def run(p, a=a):
+                x = np.asarray(a(p))
+                if np.issubdtype(x.dtype, np.datetime64):
+                    return x.astype("datetime64[ns]").astype(np.int64)
+                return x.astype(np.int64)
+            return run
+        _TS_PARTS = {
+            "hour": "hour", "minute": "minute", "day": "day",
+            "month": "month", "year": "year", "weekday": "dayofweek",
+        }
+        if name in _TS_PARTS and len(args) == 1:
+            a, attr = args[0], _TS_PARTS[name]
+            def run(p, a=a, attr=attr):
+                idx = pd.DatetimeIndex(np.asarray(a(p)))
+                out = getattr(idx, attr).to_numpy()
+                # reference weekday: Sunday=0 (Go time.Weekday);
+                # pandas dayofweek: Monday=0
+                return (out + 1) % 7 if attr == "dayofweek" else out
+            return run
+        raise ValueError(
+            f"lambda: {name}() is not available in the in-process "
+            "(pandas) evaluator used by the fused streaming window+alert "
+            "operator — restructure the level lambda or run the batch "
+            "replay (run_tickscript)"
+        )
+
+
+def _np_is_str(x) -> bool:
+    if isinstance(x, str):
+        return True
+    a = np.asarray(x)
+    return a.dtype.kind in ("U", "S") or (
+        a.dtype == object and a.size and isinstance(a.flat[0], str)
+    )
+
+
+def compile_lambda_pandas(
+    src: str,
+    time_col: str = "time",
+    variables: dict | None = None,
+):
+    """Compile a TICK lambda to ``f(pdf) -> bool ndarray`` for in-process
+    evaluation over pandas rows (see _NumpyParser for scope/divergences).
+    The result is broadcast to ``len(pdf)`` and NaN/None compare False,
+    matching NULL-comparison semantics of the Catalyst compile."""
+    body = src.lstrip()
+    if body.startswith("lambda:"):
+        body = body[len("lambda:"):]
+    f = _NumpyParser(_tokenize(body), time_col, variables).parse()
+
+    def run(pdf) -> np.ndarray:
+        out = f(pdf)
+        if np.isscalar(out) or getattr(out, "ndim", 1) == 0:
+            return np.full(len(pdf), bool(out))
+        arr = np.asarray(out)
+        if arr.dtype != bool:
+            arr = pd.notna(arr) & arr.astype(bool)
+        return arr
+
+    return run
 
 
 def compile_lambda(

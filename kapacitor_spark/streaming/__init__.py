@@ -46,6 +46,7 @@ __all__ = [
     "join_stream",
     "window_count_stream",
     "alert_stream",
+    "window_alert_stream",
     "state_count_stream",
     "state_duration_stream",
     "change_detect_stream",
@@ -269,6 +270,353 @@ def alert_stream(
             if idle_timeout is not None
             else GroupStateTimeout.NoTimeout
         ),
+    )
+
+
+#: window_alert_stream partial-aggregate algebra: per-agg
+#: (init_from_chunk, merge, finalize) over JSON-serializable partials.
+_WA_AGGS = {
+    "count", "sum", "mean", "min", "max", "stddev", "median", "spread",
+    "first", "last",
+}
+
+
+def window_alert_stream(
+    df: DataFrame,
+    time_col: str,
+    dims: Sequence[str],
+    period: str | float,
+    every: str | float,
+    field: str,
+    agg: str,
+    out_col: str | None = None,
+    crit=None,
+    warn=None,
+    info=None,
+    crit_reset=None,
+    warn_reset=None,
+    info_reset=None,
+    state_changes_only: bool = False,
+    events_only: bool = False,
+    max_interval: str | float | None = None,
+    no_recoveries: bool = False,
+    flapping: tuple[float, float] | None = None,
+    history: int = 21,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """FUSED streaming ``window().period(p).every(e) |agg(field) |alert()``
+    with stateful alert knobs — ONE keyed state operator.
+
+    Why fused: Spark forbids ``applyInPandasWithState`` downstream of a
+    streaming aggregation (and multiple applyInPandasWithStates), and the
+    transformWithState API needs the protobuf package this environment
+    lacks — so the reference's single most canonical live task shape
+    (window | mean | alert().stateChangesOnly(),
+    /root/reference/integrations/streamer_test.go TestStream_Alert*)
+    cannot be expressed as two chained operators. This operator is instead
+    the reference's OWN execution shape: the stream window node buffers
+    per-group state and emits on group time passing the boundary
+    (/root/reference/window.go:149-260), feeding the in-process alert
+    state machine (alert.go:989-1290).
+
+    Semantics:
+    * hopping windows aligned to the epoch like ``F.window(t, p, e)`` —
+      identical window starts to the batch replay's windowed aggregation;
+    * PER-GROUP point-driven finalization: window [s, s+p) for group g
+      emits once a point of g arrives with ts >= s+p (the reference's
+      per-group emission rule — stream windows advance on each group's
+      own event time, window.go:149-182). Trailing windows that no later
+      point seals are not emitted (batch replay emits them; compare
+      prefixes when validating stream against batch);
+    * aggregate state per open window is a constant-size partial
+      (count/sum/mean/min/max/stddev via Welford merge/spread/first/last)
+      except ``median``, which buffers the window's values — exactly what
+      the reference's window node buffers for EVERY aggregate;
+    * level lambdas are pandas-compiled (compile_lambda_pandas) and run
+      in-process on the emitted window rows, then the SAME
+      determine_levels/walk_levels machine as batch + alert_stream.
+
+    ``crit``/``warn``/``info`` + resets: TICK lambda SOURCE strings (or
+    pandas callables f(pdf)->bool ndarray). At 100 TB: state per group =
+    ceil(p/e) open-window partials + the alert ring — bytes, safe at
+    millions of groups; parallel across groups, sequential only within a
+    group's own micro-batch slice like every keyed operator here.
+    """
+    from kapacitor_spark.functions.lambdas import compile_lambda_pandas
+
+    if agg not in _WA_AGGS:
+        raise ValueError(
+            f"window_alert_stream: unsupported aggregation {agg!r} "
+            f"(supported: {sorted(_WA_AGGS)})"
+        )
+    if not dims:
+        raise ValueError(
+            "window_alert_stream needs at least one group dimension "
+            "(keyed state) — use the batch replay for ungrouped tasks"
+        )
+    period_us = round(parse_duration(period) * 1_000_000)
+    every_us = round(parse_duration(every) * 1_000_000)
+    if period_us <= 0 or every_us <= 0:
+        raise ValueError("window_alert_stream: period/every must be > 0")
+    mi_us = (
+        round(parse_duration(max_interval) * 1_000_000)
+        if max_interval is not None else None
+    )
+    out_col = out_col or f"__{agg}"
+
+    def _lv(x):
+        if x is None:
+            return None
+        return compile_lambda_pandas(x, time_col) if isinstance(x, str) else x
+
+    preds = {1: _lv(info), 2: _lv(warn), 3: _lv(crit)}
+    resets = {1: _lv(info_reset), 2: _lv(warn_reset), 3: _lv(crit_reset)}
+    use_resets = any(v is not None for v in resets.values())
+    defined = {l for l in (1, 2, 3) if preds[l] is not None}
+    has_reset = {l: resets[l] is not None for l in (1, 2, 3)}
+    flap_low, flap_high = flapping if flapping else (None, None)
+
+    dim_fields = [df.schema[d] for d in dims]
+    from pyspark.sql.types import TimestampType
+    val_type = LongType() if agg == "count" else DoubleType()
+    out_schema = StructType(
+        [StructField(time_col, TimestampType())]
+        + [StructField(f.name, f.dataType) for f in dim_fields]
+        + [StructField(out_col, val_type), StructField("level", StringType())]
+    )
+    state_schema = StructType([
+        StructField("wins", StringType()),      # JSON {start_us: partial}
+        StructField("max_ts", LongType()),
+        StructField("last_level", LongType()),
+        StructField("history", StringType()),
+        StructField("idx", LongType()),
+        StructField("flapping", LongType()),
+        StructField("last_trig", LongType()),
+    ])
+    n_off = max(1, -(-period_us // every_us))
+    tcol, fld = time_col, field
+    tb = list(tiebreak)
+    import json
+
+    def _chunk_stats(pdf: pd.DataFrame) -> dict:
+        """Per-window partials for this batch slice: {start_us: partial}."""
+        ts = pdf[tcol].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = pd.to_numeric(pdf[fld], errors="coerce").to_numpy(dtype=float)
+        frames = []
+        for j in range(n_off):
+            s = (ts // every_us - j) * every_us
+            m = (ts - s) < period_us
+            if m.any():
+                frames.append(pd.DataFrame({
+                    "s": s[m], "ts": ts[m], "v": v[m],
+                }))
+        if not frames:
+            return {}
+        ex = pd.concat(frames, ignore_index=True).sort_values(
+            ["s", "ts"], kind="stable"
+        )
+        out: dict = {}
+        g = ex.groupby("s", sort=True)
+        if agg == "median":
+            for s, grp in g:
+                out[int(s)] = grp["v"].dropna().tolist()
+            return out
+        nn = g["v"].count()          # non-null count (F.count semantics)
+        if agg == "count":
+            for s, n in nn.items():
+                out[int(s)] = [int(n)]
+        elif agg == "sum":
+            for s, x in g["v"].sum().items():
+                out[int(s)] = [float(x)]
+        elif agg == "mean":
+            sm = g["v"].sum()
+            for s in nn.index:
+                out[int(s)] = [int(nn[s]), float(sm[s])]
+        elif agg in ("min", "max"):
+            r = g["v"].min() if agg == "min" else g["v"].max()
+            for s, x in r.items():
+                out[int(s)] = [float(x)]
+        elif agg == "spread":
+            mn, mx = g["v"].min(), g["v"].max()
+            for s in nn.index:
+                out[int(s)] = [float(mn[s]), float(mx[s])]
+        elif agg == "stddev":
+            mean = g["v"].mean()
+            m2 = g["v"].var(ddof=0) * nn
+            for s in nn.index:
+                out[int(s)] = [
+                    int(nn[s]), float(mean[s]),
+                    float(0.0 if pd.isna(m2[s]) else m2[s]),
+                ]
+        elif agg in ("first", "last"):
+            # ex is time-sorted within each window (stable), so the
+            # first/last non-null row is the min_by/max_by(time) value
+            nz = ex.dropna(subset=["v"])
+            gz = nz.groupby("s", sort=True)
+            pick = gz.head(1) if agg == "first" else gz.tail(1)
+            for _, r in pick.iterrows():
+                out[int(r["s"])] = [int(r["ts"]), float(r["v"])]
+        return out
+
+    def _merge(a, b):
+        if agg == "median":
+            return a + b
+        if agg == "count":
+            return [a[0] + b[0]]
+        if agg == "sum":
+            return [a[0] + b[0]]
+        if agg == "mean":
+            return [a[0] + b[0], a[1] + b[1]]
+        if agg == "min":
+            return [min(a[0], b[0])]
+        if agg == "max":
+            return [max(a[0], b[0])]
+        if agg == "spread":
+            return [min(a[0], b[0]), max(a[1], b[1])]
+        if agg == "stddev":
+            na, ma, m2a = a
+            nb, mb, m2b = b
+            n = na + nb
+            if n == 0:
+                return [0, 0.0, 0.0]
+            d = mb - ma
+            m = ma + d * nb / n
+            return [n, m, m2a + m2b + d * d * na * nb / n]
+        if agg == "first":
+            return a if a[0] <= b[0] else b
+        return a if a[0] >= b[0] else b  # last
+
+    def _final(p):
+        if agg == "median":
+            return float(np.median(p)) if p else None
+        if agg == "count":
+            return int(p[0])
+        if agg in ("sum", "min", "max"):
+            return float(p[0])
+        if agg == "mean":
+            return float(p[1] / p[0]) if p[0] else None
+        if agg == "spread":
+            return float(p[1] - p[0])
+        if agg == "stddev":
+            n, _, m2 = p
+            return float(np.sqrt(m2 / (n - 1))) if n > 1 else None
+        return float(p[1])  # first/last
+
+    def machine(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            wins_js, max_ts, last_level, hist_csv, idx, flap, last_trig = (
+                state.get
+            )
+            wins = {int(k): v for k, v in json.loads(wins_js).items()}
+            st = {
+                "last_level": int(last_level),
+                "history": [int(x) for x in hist_csv.split(",")],
+                "idx": int(idx),
+                "flapping": bool(flap),
+                "last_triggered": None if last_trig == -1 else int(last_trig),
+            }
+            max_ts = int(max_ts)
+        else:
+            wins, max_ts, st = {}, -(1 << 62), new_state(history)
+        outs = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([tcol, *tb], kind="stable")
+            for s, part in _chunk_stats(pdf).items():
+                wins[s] = _merge(wins[s], part) if s in wins else part
+            bts = int(
+                pdf[tcol].to_numpy().astype("datetime64[us]")
+                .astype(np.int64)[-1]
+            )
+            max_ts = max(max_ts, bts)
+            # finalize sealed windows in start order
+            done = sorted(s for s in wins if s + period_us <= max_ts)
+            if not done:
+                continue
+            vals = []
+            for s in done:
+                vals.append((s, _final(wins.pop(s))))
+            if agg == "count":
+                vcol = np.array([v for _, v in vals], dtype=np.int64)
+            else:
+                # None (empty mean / n<=1 stddev) → NaN so level
+                # predicates compare False, matching NULL semantics
+                vcol = np.array(
+                    [np.nan if v is None else v for _, v in vals],
+                    dtype=float,
+                )
+            rows = pd.DataFrame({
+                tcol: pd.to_datetime(
+                    np.array([s for s, _ in vals], dtype="int64"), unit="us"
+                ),
+                **{
+                    d: np.repeat(
+                        np.array([key[i]], dtype=object), len(vals)
+                    )
+                    for i, d in enumerate(dims)
+                },
+                out_col: vcol,
+            })
+            if use_resets:
+                m = {
+                    l: (preds[l](rows) if preds[l] is not None
+                        else np.zeros(len(rows), dtype=bool))
+                    for l in (1, 2, 3)
+                }
+                r = {
+                    l: (resets[l](rows).astype(object)
+                        if resets[l] is not None
+                        else np.full(len(rows), None, dtype=object))
+                    for l in (1, 2, 3)
+                }
+                lvs, _ = determine_levels(
+                    m, r, defined, has_reset, st["last_level"]
+                )
+            else:
+                # first matching of CRITICAL > WARNING > INFO
+                # (alert.go:915-950) — ascending, higher level overrides
+                lvs = np.zeros(len(rows), dtype=np.int64)
+                for l in (1, 2, 3):
+                    if preds[l] is not None:
+                        lvs = np.where(preds[l](rows), l, lvs)
+            tms = np.array([s for s, _ in vals], dtype=np.int64)
+            emit, st = walk_levels(
+                lvs, st,
+                state_changes_only=state_changes_only,
+                no_recoveries=no_recoveries,
+                events_only=events_only,
+                flap_low=flap_low, flap_high=flap_high,
+                times=tms if mi_us is not None else None,
+                max_interval_us=mi_us,
+            )
+            rows = rows.assign(level=[LEVELS[int(x)] for x in lvs])
+            outs.append(rows.loc[emit])
+        lt = st.get("last_triggered")
+        state.update((
+            json.dumps({str(k): v for k, v in wins.items()}),
+            int(max_ts),
+            st["last_level"],
+            ",".join(str(x) for x in st["history"]),
+            st["idx"],
+            int(st["flapping"]),
+            -1 if lt is None else int(lt),
+        ))
+        if not outs:
+            yield pd.DataFrame(
+                columns=[tcol, *dims, out_col, "level"]
+            )
+        else:
+            yield from outs
+
+    return df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
+        machine,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

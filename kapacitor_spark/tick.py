@@ -2150,12 +2150,21 @@ class _SWindow:
 
 
 class _SAgg:
-    """Aggregated streaming node; .as() renames the output column."""
+    """Aggregated streaming node; .as() renames the output column.
 
-    def __init__(self, df, time_col, dims=()):
+    ``prov`` (window-aggregation provenance — raw upstream stream +
+    window/agg parameters) enables the FUSED re-compile when a stateful
+    alert follows: Spark forbids a keyed-state operator after a streaming
+    aggregation, so alert().stateChangesOnly() on a windowed stream
+    re-plans window+agg+alert as ONE keyed operator
+    (streaming.window_alert_stream). Nodes without provenance
+    (count windows, stats/deadman tickers) keep raising toward batch."""
+
+    def __init__(self, df, time_col, dims=(), prov=None):
         self.df = df
         self.time_col = time_col
         self.dims = tuple(dims)
+        self.prov = prov
 
 
 class _SAlert:
@@ -2172,7 +2181,9 @@ class _SAlert:
     def __init__(self, parent, env):
         if isinstance(parent, _SAgg):
             self.df, self.dims, self.windowed = parent.df, parent.dims, True
+            self.agg_prov = parent.prov
         else:
+            self.agg_prov = None
             st = env._stream_of(parent)
             self.df, self.dims, self.windowed = st.df, st.dims, False
         self.env = env
@@ -2201,13 +2212,7 @@ class _SAlert:
             level = col.otherwise("OK") if col is not None else F.lit("OK")
             return self.df.withColumn("level", level)
         if self.windowed:
-            raise TickError(
-                "streaming alert: stateful knobs (stateChangesOnly/"
-                "noRecoveries/flapping/resets) after a windowed "
-                "aggregation would chain two stateful streaming operators "
-                "— alert on the raw stream, or run the batch replay "
-                "(run_tickscript)"
-            )
+            return self._finalize_fused()
         from kapacitor_spark import streaming as _strm
 
         sco = self.flags.get("stateChangesOnly")
@@ -2221,6 +2226,53 @@ class _SAlert:
             state_changes_only=sco is not None,
             # the reference's stream trigger rule when stateChangesOnly is
             # off (alert.go:1115-1159) — matches the batch replay's flag
+            events_only=sco is None,
+            max_interval=_dur(sco[0]) if sco else None,
+            no_recoveries="noRecoveries" in self.flags,
+            flapping=(
+                tuple(float(x) for x in self.flags["flapping"])
+                if "flapping" in self.flags else None
+            ),
+            history=int(self.flags.get("history", [21])[0]),
+            tiebreak=self.env.tiebreak,
+        )
+
+    def _finalize_fused(self):
+        """Stateful alert AFTER a windowed aggregation: re-plan window+
+        agg+alert as ONE keyed state operator (streaming.
+        window_alert_stream) from the _SAgg provenance. Spark forbids a
+        second stateful operator after a streaming aggregation — the
+        fused operator is instead the reference's own execution shape
+        (per-group window buffer feeding the in-process alert machine,
+        /root/reference/window.go:149-260 + alert.go:989-1290; canonical
+        task: integrations/streamer_test.go TestStream_Alert)."""
+        prov = self.agg_prov
+        if prov is None:
+            raise TickError(
+                "streaming alert: stateful knobs after a count window / "
+                "stats / deadman would chain two stateful streaming "
+                "operators — alert on the raw stream, or run the batch "
+                "replay (run_tickscript)"
+            )
+        from kapacitor_spark import streaming as _strm
+        from kapacitor_spark.functions.lambdas import compile_lambda_pandas
+
+        def comp(src):
+            return compile_lambda_pandas(
+                src, time_col=self.env.time_col, variables=self.env.vars
+            )
+
+        sco = self.flags.get("stateChangesOnly")
+        lv = {k: comp(v) for k, v in self.levels.items()}
+        rs = {k: comp(v) for k, v in self.resets.items()}
+        return _strm.window_alert_stream(
+            prov["src_df"], self.env.time_col, list(prov["dims"]),
+            period=prov["period"], every=prov["every"],
+            field=prov["field"], agg=prov["agg"], out_col=prov["out_col"],
+            crit=lv.get("crit"), warn=lv.get("warn"), info=lv.get("info"),
+            crit_reset=rs.get("crit"), warn_reset=rs.get("warn"),
+            info_reset=rs.get("info"),
+            state_changes_only=sco is not None,
             events_only=sco is None,
             max_interval=_dur(sco[0]) if sco else None,
             no_recoveries="noRecoveries" in self.flags,
@@ -2485,7 +2537,14 @@ class _StreamEnv:
                     F.col(f"__{name}"),
                 )
             )
-            return _SAgg(out, self.time_col, st.dims)
+            return _SAgg(
+                out, self.time_col, st.dims,
+                prov={
+                    "src_df": st.df, "dims": st.dims,
+                    "period": _dur(period), "every": _dur(every),
+                    "agg": name, "field": field, "out_col": f"__{name}",
+                },
+            )
         if name == "alert":
             if not isinstance(node, (_SAgg, _SFrom, _SStream)):
                 raise TickError("streaming compile: |alert() must follow "
@@ -2560,6 +2619,8 @@ class _StreamEnv:
             if name == "as":
                 cols = node.df.columns
                 node.df = node.df.withColumnRenamed(cols[-1], args[0])
+                if node.prov is not None:
+                    node.prov["out_col"] = args[0]
                 return node
             raise TickError(f"streaming aggregation does not support .{name}()")
         if isinstance(node, _SAlert):

@@ -732,12 +732,240 @@ stream
     assert s == b == [1, 3, 4, 5, 6, 7]
 
 
-def test_stateful_alert_after_window_raises(spark, stream_src):
-    """Two chained stateful streaming operators (window agg then keyed
-    alert machine) are not a supported Structured Streaming plan — the
-    compile raises toward the batch replay instead of planning something
-    Spark would reject (or silently mis-run)."""
-    from kapacitor_spark.tick import TickError, run_tickscript_stream
+def _run_windowed_alert_both(
+    spark, script, fixture_df, stream_src, tmp_path, period_s, out="a",
+    agg_col="mean",
+):
+    """Run a window|agg|alert(stateful) script on both paths. The stream
+    path's per-group point-driven finalization emits a window only once a
+    LATER point of that group seals it (the reference's stream window
+    rule, window.go:149-182) — so compare against the batch replay
+    restricted to sealed windows (start + period <= the group's max
+    event time). Everything emitted must be IDENTICAL."""
+    import pandas as pd
+
+    from kapacitor_spark.streaming import run_available_now
+    from kapacitor_spark.tick import run_tickscript, run_tickscript_stream
+
+    souts = run_tickscript_stream(
+        script, sources={"cpu": _stream_df(spark, stream_src)},
+        time_col="time",
+    )
+    tag = f"ts_wa_{abs(hash(script)) % 10**8}"
+    res = run_available_now(souts[out], tag, str(tmp_path / f"ck_{tag}"))
+    cols = ["time", "host", agg_col, "level"]
+
+    def rows(df):
+        return sorted(
+            (str(r["time"]), r["host"],
+             None if r[agg_col] is None else round(r[agg_col], 9),
+             r["level"])
+            for r in df.select(*cols).collect()
+        )
+
+    got = rows(res)
+    bouts = run_tickscript(
+        script, sources={"cpu": fixture_df}, time_col="time", dims=()
+    )
+    seal = {
+        r["host"]: r["mx"]
+        for r in fixture_df.groupBy("host").agg(
+            F.max("time").alias("mx")
+        ).collect()
+    }
+    exp = [
+        t for t in rows(bouts[out])
+        if pd.Timestamp(t[0]) + pd.Timedelta(seconds=period_s) <= seal[t[1]]
+    ]
+    return got, exp
+
+
+def test_windowed_stateful_alert_stream_equals_batch(
+    spark, fixture_df, stream_src, tmp_path
+):
+    """THE canonical live task (TestStream_Alert in
+    /root/reference/integrations/streamer_test.go): window | mean |
+    alert().stateChangesOnly(). Spark forbids a keyed-state operator
+    after a streaming aggregation, so the compile fuses window+agg+alert
+    into ONE applyInPandasWithState (streaming.window_alert_stream) —
+    pinned here against the batch replay of the identical script."""
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |window()
+        .period(4s)
+        .every(4s)
+    |mean('value')
+        .as('mean')
+    |alert()
+        .crit(lambda: "mean" > 90)
+        .warn(lambda: "mean" > 50)
+        .stateChangesOnly()
+    |httpOut('a')
+"""
+    got, exp = _run_windowed_alert_both(
+        spark, script, fixture_df, stream_src, tmp_path, period_s=4
+    )
+    assert got == exp
+    assert len(got) >= 4  # transitions across both hosts, non-degenerate
+
+
+def test_windowed_alert_hopping_and_flapping(
+    spark, fixture_df, stream_src, tmp_path
+):
+    """Hopping windows (period > every: overlapping open windows held as
+    partials in keyed state) + flapping suppression through the fused
+    operator."""
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |window()
+        .period(8s)
+        .every(4s)
+    |mean('value')
+        .as('mean')
+    |alert()
+        .crit(lambda: "mean" > 90)
+        .warn(lambda: "mean" > 50)
+        .flapping(0.25, 0.5)
+        .history(10)
+        .stateChangesOnly()
+    |httpOut('a')
+"""
+    got, exp = _run_windowed_alert_both(
+        spark, script, fixture_df, stream_src, tmp_path, period_s=8
+    )
+    assert got == exp
+
+
+def test_windowed_alert_reset_hysteresis(
+    spark, fixture_df, stream_src, tmp_path
+):
+    """Level resets (the held-level walk, alert.go:915-950) on windowed
+    aggregates run through determine_levels inside the fused operator —
+    identical to the batch replay's walk."""
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |window()
+        .period(4s)
+        .every(4s)
+    |max('value')
+        .as('mx')
+    |alert()
+        .crit(lambda: "mx" > 90)
+        .critReset(lambda: "mx" < 40)
+        .stateChangesOnly()
+    |httpOut('a')
+"""
+    got, exp = _run_windowed_alert_both(
+        spark, script, fixture_df, stream_src, tmp_path, period_s=4,
+        agg_col="mx",
+    )
+    assert got == exp
+    assert any(t[3] == "CRITICAL" for t in got)
+
+
+@pytest.mark.parametrize(
+    "agg,expr",
+    [
+        ("count", 'lambda: "v" >= 2'),
+        ("sum", 'lambda: "v" > 150'),
+        ("min", 'lambda: "v" < 20'),
+        ("stddev", 'lambda: "v" > 30'),
+        ("median", 'lambda: "v" > 55'),
+        ("spread", 'lambda: "v" > 60'),
+        ("first", 'lambda: "v" > 90'),
+        ("last", 'lambda: "v" > 90'),
+    ],
+)
+def test_windowed_alert_agg_matrix(
+    spark, fixture_df, stream_src, tmp_path, agg, expr
+):
+    """Every aggregation the fused operator's partial-merge algebra
+    supports, pinned stream == batch replay (count partials, Welford
+    stddev merge, median value buffering, first/last event-time
+    selectors)."""
+    script = f"""
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |window()
+        .period(6s)
+        .every(6s)
+    |{agg}('value')
+        .as('v')
+    |alert()
+        .crit({expr})
+        .stateChangesOnly()
+    |httpOut('a')
+"""
+    got, exp = _run_windowed_alert_both(
+        spark, script, fixture_df, stream_src, tmp_path, period_s=6,
+        agg_col="v",
+    )
+    assert got == exp
+
+
+def test_windowed_alert_state_across_microbatches(spark, tmp_path):
+    """The fused operator's keyed state (open-window partials + the
+    alert ring) must carry across micro-batches: feed the same points in
+    3 ordered files with maxFilesPerTrigger=1 and require the identical
+    emission as the single-batch run — windows spanning a file boundary
+    merge their partials instead of double-emitting."""
+    from kapacitor_spark.streaming import run_available_now, window_alert_stream
+
+    rows = [
+        (i, f"2024-01-01 00:00:{i:02d}", "h1", float(v))
+        for i, v in enumerate([10, 95, 20, 96, 30, 97, 40, 10, 11, 98, 99, 12])
+    ]
+    fx = spark.createDataFrame(
+        rows, "id long, time string, host string, value double"
+    ).withColumn("time", F.to_timestamp("time"))
+    src = str(tmp_path / "mb_in")
+    # 3 time-ordered files; a 4s window spans the 4/8 boundaries
+    fx.filter("id < 5").coalesce(1).write.parquet(src)
+    fx.filter("id >= 5 and id < 9").coalesce(1).write.mode("append").parquet(src)
+    fx.filter("id >= 9").coalesce(1).write.mode("append").parquet(src)
+
+    def run(reader, tag):
+        out = window_alert_stream(
+            reader, "time", ["host"], period="4s", every="4s",
+            field="value", agg="mean", out_col="m",
+            crit='lambda: "m" > 90', warn='lambda: "m" > 50',
+            state_changes_only=True,
+        )
+        res = run_available_now(out, tag, str(tmp_path / f"ck_{tag}"))
+        return sorted(
+            (str(r["time"]), r["host"], round(r["m"], 9), r["level"])
+            for r in res.collect()
+        )
+
+    schema = "id long, time timestamp, host string, value double"
+    multi = run(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        "wa_multi",
+    )
+    single = run(
+        spark.readStream.schema(schema).parquet(src), "wa_single"
+    )
+    assert multi == single
+    assert len(multi) >= 2
+
+
+def test_windowed_alert_is_single_stateful_operator(spark, stream_src):
+    """Plan assertion: the fused compile plans EXACTLY ONE
+    FlatMapGroupsInPandasWithState — no streaming Aggregate feeding it
+    (that shape Spark rejects), no second keyed operator."""
+    from kapacitor_spark.tick import run_tickscript_stream
 
     script = """
 stream
@@ -747,6 +975,37 @@ stream
     |window()
         .period(4s)
         .every(4s)
+    |mean('value')
+        .as('mean')
+    |alert()
+        .crit(lambda: "mean" > 90)
+        .stateChangesOnly()
+    |httpOut('a')
+"""
+    souts = run_tickscript_stream(
+        script, sources={"cpu": _stream_df(spark, stream_src)},
+        time_col="time",
+    )
+    plan = souts["a"]._jdf.queryExecution().analyzed().toString()
+    assert plan.count("FlatMapGroupsInPandasWithState") == 1
+    assert "Aggregate" not in plan
+
+
+def test_stateful_alert_after_count_window_still_raises(spark, stream_src):
+    """Count windows keep their own keyed ring operator — a stateful
+    alert after one would still chain two keyed operators, so the
+    compile still raises toward the batch replay (the fused operator
+    covers TIME windows, the reference's canonical live shape)."""
+    from kapacitor_spark.tick import TickError, run_tickscript_stream
+
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |window()
+        .periodCount(4)
+        .everyCount(4)
     |mean('value')
         .as('mv')
     |alert()
