@@ -3809,6 +3809,72 @@ stream
 
 
 @_q(
+    "tick_stream_windowed_alert",
+    """WITH w AS (
+         SELECT date_trunc('hour', ts) AS ts, event_type,
+                max(value) AS mx
+         FROM events GROUP BY 1, 2
+       ), seal AS (
+         SELECT event_type, max(ts) AS mts FROM events GROUP BY 1
+       ), lv AS (
+         SELECT ts, event_type, mx,
+                CASE WHEN mx > 240 THEN 'CRITICAL'
+                     WHEN mx > 180 THEN 'WARNING' ELSE 'OK' END AS level
+         FROM w
+       ), tr AS (
+         SELECT ts, event_type, mx, level,
+                lag(level) OVER (
+                    PARTITION BY event_type ORDER BY ts) AS prev
+         FROM lv
+       )
+       SELECT tr.ts, tr.event_type, tr.mx, tr.level
+       FROM tr JOIN seal USING (event_type)
+       WHERE level <> coalesce(prev, 'OK')
+         AND tr.ts + INTERVAL 1 HOUR <= seal.mts""",
+)
+def tick_stream_windowed_alert(spark, sf_dir):
+    """Stateful alert AFTER a time-window aggregation on the LIVE path
+    (r11) — the reference's single most canonical live task shape
+    (window | agg | alert().stateChangesOnly(), /root/reference/
+    integrations/streamer_test.go TestStream_Alert). Spark forbids a
+    keyed-state operator downstream of a streaming aggregation, so the
+    compile FUSES window+agg+alert into one applyInPandasWithState
+    (streaming.window_alert_stream): per-group open-window partials
+    finalized point-driven (window.go:149-260's per-group emission rule),
+    feeding the alert machine in-process. ``max`` keeps the oracle
+    FP-exact (pure value passthrough — no summation-order drift). The
+    oracle re-derives windows, levels, the stateChangesOnly transition
+    walk, AND the per-group sealing rule (a window emits only once a
+    later point of its group passes its end) in SQL."""
+    from kapacitor_spark.streaming import run_available_now
+    from kapacitor_spark.tick import run_tickscript_stream
+
+    script = """
+stream
+    |from()
+        .measurement('events')
+        .groupBy('event_type')
+    |window()
+        .period(1h)
+        .every(1h)
+    |max('value')
+        .as('mx')
+    |alert()
+        .crit(lambda: "mx" > 240)
+        .warn(lambda: "mx" > 180)
+        .stateChangesOnly()
+    |httpOut('alerts')
+"""
+    sdf = _stream_t(spark, sf_dir, "events")
+    outs = run_tickscript_stream(
+        script, sources={"events": sdf}, time_col="ts",
+    )
+    return run_available_now(
+        outs["alerts"], _mem_name("tswa"), _ckpt()
+    ).select("ts", "event_type", "mx", "level")
+
+
+@_q(
     "tick_stream_pipeline",
     """WITH e AS (SELECT event_id, user_id, ts, value * 2.0 AS v2
                   FROM events)
@@ -5653,12 +5719,20 @@ _SCORED_FAMILIES = {
         "holt_winters_forecast",
     ),
     "2.7-lambda": ("sigma_outliers", "lambda_scalar_fns"),
+    # r11 (2nd wave): tick_stream_windowed_alert IN — the FUSED
+    # window+agg+alert keyed operator (stateful alert after a windowed
+    # aggregation, the one live shape that still raised; oracle
+    # re-derives windows, levels, transitions AND the per-group sealing
+    # rule). stream_alert_changes OUT (scored green since r2; its
+    # machine is pinned through the TICK path by tick_stream_alert and
+    # it stays in the full sweep).
     "2.8-streaming": (
-        "stream_window_mean", "stream_alert_changes",
+        "stream_window_mean",
         "stream_dedup_match",  # r8: continuous ingestion near-dup
         "tick_stream_window",  # r10: TICK compiled onto readStream
         "tick_stream_alert",   # r11: the keyed alert machine on the
         # live TICK path — the reference's canonical live task
+        "tick_stream_windowed_alert",  # r11: window|agg|alert fused
     ),
     "2.9-udf": ("udf_moving_avg",),
     "2.10-alerting": (

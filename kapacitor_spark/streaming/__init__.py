@@ -604,12 +604,7 @@ def window_alert_stream(
             int(st["flapping"]),
             -1 if lt is None else int(lt),
         ))
-        if not outs:
-            yield pd.DataFrame(
-                columns=[tcol, *dims, out_col, "level"]
-            )
-        else:
-            yield from outs
+        yield from outs
 
     return df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
         machine,
