@@ -47,6 +47,7 @@ __all__ = [
     "window_count_stream",
     "alert_stream",
     "window_alert_stream",
+    "sample_count_stream",
     "state_count_stream",
     "state_duration_stream",
     "change_detect_stream",
@@ -994,6 +995,48 @@ def ordered_transform_stream(
             yield res.loc[keep, schema_cols]
             has_prev, last_t, last_v = 1, int(t[-1]), float(x[-1])
         state.update((has_prev, last_t, last_v, run_sum))
+
+    return df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
+        machine,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sample_count_stream(
+    df: DataFrame,
+    time_col: str,
+    dims: Sequence[str],
+    n: int,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Streaming ``sample(N)`` — keep every Nth point per group
+    (/root/reference/sample.go:97-110: counter % N == 0). The counter is
+    keyed state (one int64 per group) so the cadence spans micro-batch
+    boundaries, exactly the per-group counter the reference's sample
+    node holds. Batch parity: Pipeline.sample(n=) keeps row_number-1 %
+    n == 0 over the event order — the streaming counter starts at 0 and
+    keeps positions 0, N, 2N, … per group, identical on identical
+    input. State: one scalar; parallel across groups."""
+    if n <= 0:
+        raise ValueError("sample_count_stream: n must be >= 1")
+    out_schema = df.schema
+    schema_cols = [f.name for f in out_schema]
+    state_schema = StructType([StructField("cnt", LongType())])
+    tcol, tb = time_col, list(tiebreak)
+
+    def machine(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([tcol, *tb], kind="stable")
+            keep = (cnt + np.arange(len(pdf))) % n == 0
+            cnt += len(pdf)
+            yield pdf.loc[keep, schema_cols]
+        state.update((int(cnt),))
 
     return df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
         machine,

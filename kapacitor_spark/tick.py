@@ -1941,6 +1941,62 @@ class _SPend:
         self.env, self.name, self.args, self.stream = env, name, args, stream
         self.props: list[tuple[str, list]] = []
 
+    def _finalize_flatten(self, props) -> "_SAgg":
+        """Streaming ``flatten().on(...).tolerance(d)`` — a per-bucket
+        pivot is a streaming AGGREGATION (grouped conditional
+        min_by(field, arrival-order) per pivot value), so it plans as
+        native streaming-agg state, not a keyed operator. A streaming
+        plan's schema must be static, so the pivot values CANNOT be
+        discovered by a distinct scan the way the batch compile does
+        (/root/reference/flatten.go:219-254 widens dynamically per
+        buffer) — declare them via
+        ``run_tickscript_stream(flatten_values=[...])``. Batch parity:
+        same Go-style Time.Round bucketing, same earliest-point-wins
+        rule (min_by over (time, tiebreak))."""
+        env, st = self.env, self.stream
+        values = getattr(env, "flatten_values", None)
+        if not values:
+            raise TickError(
+                "streaming flatten() needs its pivot values declared up "
+                "front (a streaming plan's output schema must be static) "
+                "— pass flatten_values=[...] to run_tickscript_stream, "
+                "or run the batch replay (run_tickscript)"
+            )
+        on = props.get("on", [])
+        on = on[0] if on and isinstance(on[0], list) else list(on)
+        delimiter = props.get("delimiter", ["."])[0]
+        drop_ofn = "dropOriginalFieldName" in props
+        rest = [d for d in st.dims if d not in on]
+        field = next(
+            c for c in st.df.columns
+            if c not in (env.time_col, *st.dims)
+        )
+        t = F.col(env.time_col)
+        if "tolerance" in props:
+            us = round(_dur(props["tolerance"][0]) * 1_000_000)
+            # Go Time.Round to the nearest multiple (flatten.go:44)
+            um = F.unix_micros(t) + F.lit(us // 2)
+            t = F.timestamp_micros(um - um % F.lit(us))
+        pk = F.concat_ws(delimiter, *[F.col(c) for c in on])
+        order = F.struct(
+            F.col(env.time_col), *[F.col(c) for c in env.tiebreak]
+        )
+        aggs = []
+        for v in values:
+            cond = pk == F.lit(v)
+            name = v if drop_ofn else f"{v}{delimiter}{field}"
+            aggs.append(
+                F.min_by(
+                    F.when(cond, F.col(field)), F.when(cond, order)
+                ).alias(name)
+            )
+        out = (
+            st.df.groupBy(
+                t.alias(env.time_col), *[F.col(d) for d in rest]
+            ).agg(*aggs)
+        )
+        return _SAgg(out, env.time_col, rest)
+
     def prop(self, name, args):
         self.props.append((name, args))
         return self
@@ -1960,6 +2016,8 @@ class _SPend:
         from kapacitor_spark import streaming as _strm
 
         props = self.prop_map()
+        if self.name == "flatten":
+            return self._finalize_flatten(props)
         if self.name == "barrier":
             # barrier().idle(d)/.period(d) → event-time watermark — the
             # reference's late-drop + state-retention bound
@@ -2254,6 +2312,12 @@ class _SAlert:
                 "operators — alert on the raw stream, or run the batch "
                 "replay (run_tickscript)"
             )
+        if not prov["dims"]:
+            raise TickError(
+                "streaming alert: stateful knobs after an UNGROUPED "
+                "window need keyed state with no key — add groupBy() "
+                "dims, or run the batch replay (run_tickscript)"
+            )
         from kapacitor_spark import streaming as _strm
         from kapacitor_spark.functions.lambdas import compile_lambda_pandas
 
@@ -2304,13 +2368,14 @@ class _StreamEnv:
     # latest point) dispatch below — they need the time column
 
     def __init__(self, sources, time_col, dims, outputs, tiebreak=(),
-                 autoscale_clients=None):
+                 autoscale_clients=None, flatten_values=None):
         self.sources = sources
         self.time_col = time_col
         self.default_dims = tuple(dims)
         self.outputs = outputs
         self.tiebreak = tuple(tiebreak)
         self.autoscale_clients = autoscale_clients or {}
+        self.flatten_values = list(flatten_values) if flatten_values else None
         self.vars: dict = {}
 
     # ------------------------------------------------------------- #
@@ -2354,7 +2419,7 @@ class _StreamEnv:
 
     # ------------------------------------------------------------- #
     _PEND_NAMES = (
-        "eval", "default", "delete", "barrier", "sideload",
+        "eval", "default", "delete", "barrier", "sideload", "flatten",
         "derivative", "difference", "elapsed", "cumulativeSum",
         "stateCount", "stateDuration", "movingAverage",
     )
@@ -2405,13 +2470,17 @@ class _StreamEnv:
             return _SPend(self, name, args, self._stream_of(node))
         if name == "sample" and isinstance(node, (_SFrom, _SStream)):
             a = args[0]
-            if isinstance(a, (int, float)) and not isinstance(a, _Duration):
-                raise TickError(
-                    "streaming sample(N) needs a per-group point counter "
-                    "— run the batch replay; sample(duration) compiles "
-                    "live (a stateless boundary filter)"
-                )
             st = self._stream_of(node)
+            if isinstance(a, (int, float)) and not isinstance(a, _Duration):
+                # every-Nth-point: the per-group counter is keyed state
+                # (/root/reference/sample.go:97-110) — r11 2nd wave
+                from kapacitor_spark import streaming as _strm
+
+                out = _strm.sample_count_stream(
+                    st.df, self.time_col, list(st.dims), int(a),
+                    tiebreak=self.tiebreak,
+                )
+                return _SStream(out, st.dims)
             p = Pipeline.from_df(st.df, time_col=self.time_col, dims=st.dims)
             return _SStream(p.sample(every=_dur(a)).df, st.dims)
         if name == "shift" and isinstance(node, (_SFrom, _SStream)):
@@ -2566,7 +2635,7 @@ class _StreamEnv:
         raise TickError(
             f"|{name}() is not in the streaming compile subset (from/"
             "where/groupBy/eval/default/delete/shift/sample/sideload/"
-            "barrier/union/join/log/derivative/difference/elapsed/"
+            "flatten/barrier/union/join/log/derivative/difference/elapsed/"
             "cumulativeSum/stateCount/stateDuration/changeDetect/"
             "movingAverage/stats/deadman/autoscale/window/"
             "mean/sum/count/min/max/alert/httpOut) "
@@ -2658,6 +2727,7 @@ def run_tickscript_stream(
     template_vars: dict | None = None,
     tiebreak: tuple = (),
     autoscale_clients: dict | None = None,
+    flatten_values: list | None = None,
 ) -> dict[str, DataFrame]:
     """Compile a TICKscript onto Structured Streaming sources; returns
     {httpOut name: STREAMING DataFrame} ready for writeStream (drive a
@@ -2674,7 +2744,7 @@ def run_tickscript_stream(
     flapping/history and level resets (keyed state machine), httpOut."""
     outputs: dict[str, DataFrame] = {}
     env = _StreamEnv(sources, time_col, dims, outputs, tiebreak,
-                     autoscale_clients)
+                     autoscale_clients, flatten_values)
     env.preset_vars = _coerce_template_vars(template_vars or {})
     toks, src = _tokenize(script)
     _P(toks, src, env).run()

@@ -488,9 +488,11 @@ def test_streaming_compile_subset_is_honest(spark):
     from kapacitor_spark.tick import TickError, run_tickscript_stream
 
     sdf = spark.readStream.format("rate").load()
+    # flatten() joined the subset in the r11 2nd wave; combine() stays out
     with pytest.raises(TickError, match="streaming compile subset"):
         run_tickscript_stream(
-            "stream|from()|flatten()|httpOut('x')",
+            "stream|from()|combine(lambda: TRUE, lambda: TRUE)"
+            "|httpOut('x')",
             sources={"cpu": sdf}, time_col="timestamp",
         )
     with pytest.raises(TickError, match="no httpOut"):
@@ -545,12 +547,22 @@ stream
         "2024-01-01 00:00:04": (60.0, "WARNING"),
         "2024-01-01 00:00:08": (95.0, "CRITICAL"),
     }
-    # .stateChangesOnly() AFTER a windowed aggregation would chain two
-    # stateful streaming operators — raises toward the batch replay
-    # (stateChangesOnly directly on the stream compiles: test_tick_stream)
+    # .stateChangesOnly() AFTER a windowed aggregation compiles since
+    # the r11 2nd wave — as the FUSED single keyed operator
+    # (window_alert_stream), which needs groupBy dims for its keyed
+    # state; the UNGROUPED form still raises toward the batch replay.
+    # (Grouped stream==batch parity: test_tick_stream.py.)
     with pytest.raises(TickError, match="stateful"):
         run_tickscript_stream(
             script.replace("|httpOut('alerts')",
                            ".stateChangesOnly()\n    |httpOut('alerts')"),
             sources={"cpu": sdf}, time_col="time",
         )
+    grouped = run_tickscript_stream(
+        script.replace("|httpOut('alerts')",
+                       ".stateChangesOnly()\n    |httpOut('alerts')")
+        .replace(".measurement('cpu')",
+                 ".measurement('cpu')\n        .groupBy('host')"),
+        sources={"cpu": sdf}, time_col="time",
+    )
+    assert grouped["alerts"].isStreaming

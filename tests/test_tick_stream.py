@@ -459,11 +459,9 @@ stream
     assert byid["3"][1:] == ("2.0", "3.5", "why")      # t0/b + t1/n + t2/y
     assert byid["4"][1:] == ("12.0", "13.5", "why")    # t0/c beats t1/o
 
-    with pytest.raises(TickError, match="sample\\(N\\)"):
-        run_tickscript_stream(
-            script.replace("|sample(2s)", "|sample(3)"),
-            sources={"m": sdf}, time_col="time",
-        )
+    # sample(N) compiles live since the r11 2nd wave (keyed counter) —
+    # covered by test_sample_n_stream_equals_batch; the duration form
+    # above stays a stateless boundary filter
 
 
 def test_extended_window_aggs_stream_equals_batch(
@@ -989,6 +987,138 @@ stream
     plan = souts["a"]._jdf.queryExecution().analyzed().toString()
     assert plan.count("FlatMapGroupsInPandasWithState") == 1
     assert "Aggregate" not in plan
+
+
+def test_sample_n_stream_equals_batch(
+    spark, fixture_df, stream_src, tmp_path
+):
+    """sample(N) — every Nth point per group via a keyed counter
+    (/root/reference/sample.go:97-110), r11 2nd wave. The counter is
+    state, so the cadence must hold across micro-batches; pinned against
+    the batch replay's row_number formulation."""
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |sample(3)
+    |httpOut('s')
+"""
+    got, exp = _run_both(
+        spark, script, "s", fixture_df, stream_src, tmp_path,
+        ["time", "host", "value"],
+    )
+    assert got == exp
+    assert len(got) == 6  # 8 points per host, every 3rd → 3 per host
+
+
+def test_sample_n_counter_across_microbatches(spark, tmp_path):
+    """The sample(N) counter carries across micro-batches: 2 ordered
+    files with maxFilesPerTrigger=1 must keep the same global cadence as
+    a single batch (no restart of the modulus at the file boundary)."""
+    from kapacitor_spark.streaming import run_available_now, sample_count_stream
+
+    rows = [
+        (i, f"2024-01-01 00:00:{i:02d}", "h1", float(i)) for i in range(10)
+    ]
+    fx = spark.createDataFrame(
+        rows, "id long, time string, host string, value double"
+    ).withColumn("time", F.to_timestamp("time"))
+    src = str(tmp_path / "sn_in")
+    fx.filter("id < 4").coalesce(1).write.parquet(src)
+    fx.filter("id >= 4").coalesce(1).write.mode("append").parquet(src)
+    sdf = (
+        spark.readStream
+        .schema("id long, time timestamp, host string, value double")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = sample_count_stream(sdf, "time", ["host"], 4)
+    res = run_available_now(out, "sn", str(tmp_path / "ck_sn"))
+    ids = sorted(r["id"] for r in res.collect())
+    assert ids == [0, 4, 8]
+
+
+def test_flatten_stream_equals_batch(spark, tmp_path):
+    """Streaming flatten(): the per-bucket pivot compiles to a native
+    streaming aggregation (conditional min_by per declared pivot value)
+    — values must be declared via flatten_values because a streaming
+    schema is static (the batch compile discovers them dynamically,
+    flatten.go:219-254). Pinned against the batch replay on the same
+    script."""
+    from kapacitor_spark.streaming import run_available_now
+    from kapacitor_spark.tick import run_tickscript, run_tickscript_stream
+
+    rows = [
+        # (time, host, region, value): two hosts per (region, second)
+        ("2024-01-01 00:00:00.2", "a", "east", 1.0),
+        ("2024-01-01 00:00:00.4", "b", "east", 2.0),
+        ("2024-01-01 00:00:01.2", "a", "east", 3.0),
+        ("2024-01-01 00:00:01.3", "b", "east", 4.0),
+        ("2024-01-01 00:00:00.3", "a", "west", 5.0),
+        ("2024-01-01 00:00:00.1", "b", "west", 6.0),
+        # duplicate in-bucket point: earliest must win
+        ("2024-01-01 00:00:00.45", "b", "west", 99.0),
+    ]
+    fx = spark.createDataFrame(
+        rows, "time string, host string, region string, value double"
+    ).withColumn("time", F.to_timestamp("time"))
+    src = str(tmp_path / "fl_in")
+    fx.coalesce(1).write.parquet(src)
+    sdf = spark.readStream.schema(
+        "time timestamp, host string, region string, value double"
+    ).parquet(src)
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host', 'region')
+    |flatten()
+        .on('host')
+        .tolerance(1s)
+    |httpOut('f')
+"""
+    souts = run_tickscript_stream(
+        script, sources={"cpu": sdf}, time_col="time",
+        flatten_values=["a", "b"],
+    )
+    res = run_available_now(
+        souts["f"], "ts_fl", str(tmp_path / "ck_fl"), output_mode="complete"
+    )
+    cols = ["time", "region", "a.value", "b.value"]
+
+    def rows_of(df):
+        return sorted(
+            tuple(str(r[c]) if c == "time" else r[c] for c in cols)
+            for r in df.select(*[F.col(f"`{c}`") for c in cols]).collect()
+        )
+
+    bouts = run_tickscript(
+        script, sources={"cpu": fx}, time_col="time", dims=()
+    )
+    assert rows_of(res) == rows_of(bouts["f"])
+    # earliest-point-wins inside the bucket (the 99.0 later arrival lost)
+    west = [t for t in rows_of(res) if t[1] == "west"]
+    assert west and west[0][3] == 6.0
+
+
+def test_flatten_stream_without_values_raises(spark, stream_src):
+    from kapacitor_spark.tick import TickError, run_tickscript_stream
+
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |flatten()
+        .on('host')
+        .tolerance(1s)
+    |httpOut('f')
+"""
+    with pytest.raises(TickError, match="flatten_values"):
+        run_tickscript_stream(
+            script, sources={"cpu": _stream_df(spark, stream_src)},
+            time_col="time",
+        )
 
 
 def test_stateful_alert_after_count_window_still_raises(spark, stream_src):
