@@ -47,6 +47,7 @@ __all__ = [
     "window_count_stream",
     "alert_stream",
     "window_alert_stream",
+    "combine_stream",
     "sample_count_stream",
     "state_count_stream",
     "state_duration_stream",
@@ -1003,6 +1004,92 @@ def ordered_transform_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def combine_stream(
+    df: DataFrame,
+    time_col: str,
+    dims: Sequence[str],
+    predicates: Sequence,
+    pred_keys: Sequence[str],
+    as_: Sequence[str],
+    tolerance: str | float | None = None,
+    delimiter: str = "_",
+) -> DataFrame:
+    """Streaming ``combine()`` — k-combinations of points sharing a
+    (group, rounded-time) bucket (/root/reference/combine.go:142-286).
+
+    The batch compile expresses this as iterated equi-joins; chained
+    stream-stream self-joins would multiply join state, so the streaming
+    form buckets ONCE (a single streaming aggregation:
+    ``collect_list`` per (bucket, group) — the reference's own per-bucket
+    buffer) and generates the combinations DECLARATIVELY: per-slot
+    ``filter`` arrays, a nested-``transform`` cross product, the
+    reference's identity rules (strict ``id <`` between same-predicate
+    slots, ``!=`` between distinct ones — combine.go:201-246), then one
+    explode. All JVM-side; no Python in the plan.
+
+    ``predicates``: slot Columns evaluated on the RAW points (before the
+    aggregation, so Catalyst codegens them on the scan). ``pred_keys``:
+    stable per-slot strings — equal keys mean same-predicate slots.
+    Blowup is bounded by the product of per-bucket slot-match counts,
+    exactly the reference's exposure. Drive with a watermark upstream
+    (append) or a complete-mode replay sink."""
+    n = len(predicates)
+    if n < 2 or len(as_) != n:
+        raise ValueError("combine_stream needs >=2 slots and matching as_")
+    us = round(parse_duration(tolerance) * 1_000_000) if tolerance else None
+    t_us = F.unix_micros(F.col(time_col))
+    if us:
+        # Go Time.Round to the nearest multiple (combine.go:118)
+        um = t_us + F.lit(us // 2)
+        bucket = um - um % F.lit(us)
+    else:
+        bucket = t_us
+    ident = F.struct(
+        t_us.alias("t"),
+        F.xxhash64(*[F.col(c) for c in df.columns]).alias("h"),
+    )
+    fields = [c for c in df.columns if c != time_col and c not in dims]
+    base = df.withColumn("__ct", bucket).withColumn("__id", ident)
+    for i, p in enumerate(predicates):
+        base = base.withColumn(f"__m{i}", p)
+    pt = F.struct(
+        F.col("__id"),
+        *[F.col(f"__m{i}") for i in range(n)],
+        *[F.col(c) for c in fields],
+    )
+    agg = base.groupBy(F.col("__ct"), *[F.col(d) for d in dims]).agg(
+        F.collect_list(pt).alias("__pts")
+    )
+    # per-slot arrays, then a nested-transform cross product
+    slots = ", ".join(
+        f"filter(__pts, x -> x.__m{i})" for i in range(n)
+    )
+    inner = "struct(" + ", ".join(f"x{i} AS s{i}" for i in range(n)) + ")"
+    e = inner
+    for i in reversed(range(n)):
+        e = f"transform(__slots[{i}], x{i} -> {e})"
+        if i != n - 1:
+            e = f"flatten({e})"
+    conds = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            op = "<" if pred_keys[i] == pred_keys[j] else "!="
+            conds.append(f"c.s{i}.__id {op} c.s{j}.__id")
+    combos = f"filter({e}, c -> {' AND '.join(conds)})"
+    out = (
+        agg.withColumn("__slots", F.expr(f"array({slots})"))
+        .withColumn("__c", F.explode(F.expr(combos)))
+    )
+    sel = [F.timestamp_micros(F.col("__ct")).alias(time_col)]
+    sel += [F.col(d) for d in dims]
+    for i, name in enumerate(as_):
+        for c in fields:
+            sel.append(
+                F.col(f"__c.s{i}.{c}").alias(f"{name}{delimiter}{c}")
+            )
+    return out.select(*sel)
 
 
 def sample_count_stream(

@@ -1997,6 +1997,37 @@ class _SPend:
         )
         return _SAgg(out, env.time_col, rest)
 
+    def _finalize_combine(self, props) -> "_SAgg":
+        """Streaming ``combine(l1, l2, ...)`` — one streaming aggregation
+        (the reference's per-bucket buffer as collect_list) + a
+        declarative k-combination generator (streaming.combine_stream);
+        the batch compile's iterated equi-joins would be chained
+        stream-stream self-joins with multiplied state. Wrapped as _SAgg
+        (a streaming aggregation is upstream), so stateless alert/httpOut
+        chain and keyed operators correctly refuse."""
+        from kapacitor_spark import streaming as _strm
+        from kapacitor_spark.functions.lambdas import compile_lambda
+
+        env, st = self.env, self.stream
+        srcs = [
+            a.src if isinstance(a, _Lambda) else a for a in self.args
+        ]
+        preds = [
+            compile_lambda(
+                s, ordered_window=None, time_col=env.time_col,
+                schema=dict(st.df.dtypes), variables=env.vars,
+            )
+            for s in srcs
+        ]
+        as_ = list(props.get("as", ("a", "b")))
+        tol = _dur(props["tolerance"][0]) if "tolerance" in props else None
+        out = _strm.combine_stream(
+            st.df, env.time_col, list(st.dims), preds,
+            [str(s) for s in srcs], as_, tolerance=tol,
+            delimiter=props.get("delimiter", ["_"])[0],
+        )
+        return _SAgg(out, env.time_col, st.dims)
+
     def prop(self, name, args):
         self.props.append((name, args))
         return self
@@ -2018,6 +2049,8 @@ class _SPend:
         props = self.prop_map()
         if self.name == "flatten":
             return self._finalize_flatten(props)
+        if self.name == "combine":
+            return self._finalize_combine(props)
         if self.name == "barrier":
             # barrier().idle(d)/.period(d) → event-time watermark — the
             # reference's late-drop + state-retention bound
@@ -2420,6 +2453,7 @@ class _StreamEnv:
     # ------------------------------------------------------------- #
     _PEND_NAMES = (
         "eval", "default", "delete", "barrier", "sideload", "flatten",
+        "combine",
         "derivative", "difference", "elapsed", "cumulativeSum",
         "stateCount", "stateDuration", "movingAverage",
     )

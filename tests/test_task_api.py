@@ -488,11 +488,11 @@ def test_streaming_compile_subset_is_honest(spark):
     from kapacitor_spark.tick import TickError, run_tickscript_stream
 
     sdf = spark.readStream.format("rate").load()
-    # flatten() joined the subset in the r11 2nd wave; combine() stays out
+    # flatten()/combine() joined the subset in the r11 2nd wave;
+    # sink nodes beyond httpOut (httpPost et al.) stay out
     with pytest.raises(TickError, match="streaming compile subset"):
         run_tickscript_stream(
-            "stream|from()|combine(lambda: TRUE, lambda: TRUE)"
-            "|httpOut('x')",
+            "stream|from()|httpPost('http://localhost:1')|httpOut('x')",
             sources={"cpu": sdf}, time_col="timestamp",
         )
     with pytest.raises(TickError, match="no httpOut"):

@@ -1101,6 +1101,102 @@ stream
     assert west and west[0][3] == 6.0
 
 
+def test_combine_stream_equals_batch(spark, tmp_path):
+    """Streaming combine(): one streaming aggregation (the per-bucket
+    collect_list buffer) + a declarative k-combination generator —
+    pinned against the batch replay's iterated-equi-join formulation on
+    the identical script, including the reference's identity rules
+    (strict id ordering between same-predicate slots)."""
+    from kapacitor_spark.streaming import run_available_now
+    from kapacitor_spark.tick import run_tickscript, run_tickscript_stream
+
+    rows = [
+        ("2024-01-01 00:00:00.2", "east", "login", 1.0),
+        ("2024-01-01 00:00:00.6", "east", "logout", 2.0),
+        ("2024-01-01 00:00:01.1", "east", "login", 3.0),
+        ("2024-01-01 00:00:02.2", "east", "login", 4.0),
+        ("2024-01-01 00:00:02.4", "east", "logout", 5.0),
+        ("2024-01-01 00:00:02.6", "east", "logout", 6.0),  # 2 pairs in bucket
+        ("2024-01-01 00:00:00.3", "west", "login", 7.0),
+        ("2024-01-01 00:00:00.4", "west", "login", 8.0),   # same-pred pair
+    ]
+    fx = spark.createDataFrame(
+        rows, "time string, region string, kind string, value double"
+    ).withColumn("time", F.to_timestamp("time"))
+    src = str(tmp_path / "cb_in")
+    fx.coalesce(1).write.parquet(src)
+    sdf = spark.readStream.schema(
+        "time timestamp, region string, kind string, value double"
+    ).parquet(src)
+    for script, cols, min_rows in [
+        ("""
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('region')
+    |combine(lambda: "kind" == 'login', lambda: "kind" == 'logout')
+        .as('in', 'out')
+        .tolerance(1s)
+    |httpOut('c')
+""", ["time", "region", "in_kind", "in_value", "out_kind", "out_value"], 2),
+        ("""
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('region')
+    |combine(lambda: "kind" == 'login', lambda: "kind" == 'login')
+        .as('a', 'b')
+        .tolerance(1s)
+    |httpOut('c')
+""", ["time", "region", "a_value", "b_value"], 1),
+    ]:
+        souts = run_tickscript_stream(
+            script, sources={"cpu": sdf}, time_col="time",
+        )
+        tag = f"ts_cb_{abs(hash(script)) % 10**8}"
+        res = run_available_now(
+            souts["c"], tag, str(tmp_path / f"ck_{tag}"),
+            output_mode="complete",
+        )
+
+        def rows_of(df):
+            return sorted(
+                tuple(str(r[c]) if c == "time" else r[c] for c in cols)
+                for r in df.select(*cols).collect()
+            )
+
+        bouts = run_tickscript(
+            script, sources={"cpu": fx}, time_col="time", dims=()
+        )
+        got, exp = rows_of(res), rows_of(bouts["c"])
+        assert got == exp and len(got) >= min_rows, (script, got, exp)
+
+
+def test_combine_stream_plans_no_python(spark, stream_src):
+    """The streaming combine plan stays JVM-side: one streaming
+    aggregate, no BatchEvalPython / FlatMapGroupsInPandas — the
+    combination generator is pure Catalyst (transform/filter/explode)."""
+    from kapacitor_spark.tick import run_tickscript_stream
+
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |combine(lambda: "value" > 50, lambda: "value" <= 50)
+        .as('hi', 'lo')
+        .tolerance(4s)
+    |httpOut('c')
+"""
+    souts = run_tickscript_stream(
+        script, sources={"cpu": _stream_df(spark, stream_src)},
+        time_col="time",
+    )
+    plan = souts["c"]._jdf.queryExecution().analyzed().toString()
+    assert "Aggregate" in plan
+    assert "Python" not in plan and "FlatMapGroups" not in plan
+
+
 def test_flatten_stream_without_values_raises(spark, stream_src):
     from kapacitor_spark.tick import TickError, run_tickscript_stream
 
