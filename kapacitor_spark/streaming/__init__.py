@@ -1204,6 +1204,10 @@ def join_stream(
     watermark: str | float = "1h",
     prefixes: tuple[str, str] = ("a", "b"),
     delimiter: str = "_",
+    on: Sequence[str] | None = None,
+    fill=None,
+    left_dims: Sequence[str] | None = None,
+    right_dims: Sequence[str] | None = None,
 ) -> DataFrame:
     """Streaming tolerance join — the readStream compile target of
     join().tolerance() (/root/reference/join.go; SURVEY §2.3 "Streaming:
@@ -1216,6 +1220,17 @@ def join_stream(
     both watermarks pass (no unbounded join state, the reference's
     low-watermark eviction, join.go:137-310).
 
+    ``on=[dims]`` joins on a dim SUBSET (the coarse-parent/fine-child
+    one-to-many shape, /root/reference/pipeline/join.go:204-236): join
+    keys become (bucket, on-dims); each side's remaining dims pass
+    through unprefixed — overlapping non-key dims raise, like the batch
+    join. ``fill`` (r11 2nd wave, pipeline/join.go Fill): None/'none' →
+    inner; 'null' → FULL OUTER (Spark supports outer stream-stream joins
+    on a time-window equality key — unmatched rows emit once both
+    watermarks pass the bucket, so pick ``watermark`` accordingly);
+    scalar → outer + constant fill; dict → outer + per-column fill,
+    keyed by prefixed output names.
+
     Divergence (documented): within one (bucket, dims) cell a
     stream-stream join emits the cross product of that cell; the batch
     join pairs sequentially. Pre-aggregate per bucket or include a
@@ -1223,22 +1238,69 @@ def join_stream(
     """
     half_us = round(parse_duration(tolerance) * 1_000_000) // 2
     iv = to_interval(tolerance)
-
-    def keyed(df: DataFrame, p: str) -> DataFrame:
-        shifted = F.timestamp_micros(F.unix_micros(F.col(time_col)) + F.lit(half_us))
-        out = (
-            df.withWatermark(time_col, to_interval(watermark))
-            .withColumn("__jw", F.window(shifted, iv))
+    ld = list(left_dims) if left_dims is not None else list(dims)
+    rd = list(right_dims) if right_dims is not None else list(dims)
+    keys = list(on) if on is not None else [d for d in ld if d in rd]
+    overlap = (set(ld) & set(rd)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"join_stream: dims {sorted(overlap)} exist on both sides but "
+            "are not join keys; add them to on=[...] or drop them from "
+            "one side"
         )
-        cols = [F.col("__jw"), *[F.col(d) for d in dims]]
+
+    def keyed(df: DataFrame, p: str, side_dims: list) -> DataFrame:
+        shifted = F.timestamp_micros(F.unix_micros(F.col(time_col)) + F.lit(half_us))
+        # watermark the SHIFTED column and window over it: the window
+        # struct then carries the watermark, which outer stream-stream
+        # joins require ON the join key (and which lets inner-join state
+        # GC buckets the watermark has passed)
+        out = (
+            df.withColumn("__st", shifted)
+            .withWatermark("__st", to_interval(watermark))
+            .withColumn("__jw", F.window(F.col("__st"), iv))
+        )
+        cols = [F.col("__jw"), *[F.col(d) for d in keys]]
+        # non-key dims pass through unprefixed (batch join parity)
+        cols += [F.col(d) for d in side_dims if d not in keys]
         for c in df.columns:
-            if c in dims:
+            if c in side_dims or c in keys:
                 continue
             cols.append(F.col(c).alias(f"{p}{delimiter}{c}"))
         return out.select(*cols)
 
     lp, rp = prefixes
-    joined = keyed(left, lp).join(keyed(right, rp), ["__jw", *dims], "inner")
+    outer = fill is not None and fill != "none"
+    joined = keyed(left, lp, ld).join(
+        keyed(right, rp, rd), ["__jw", *keys],
+        "full_outer" if outer else "inner",
+    )
+    if outer and fill != "null":
+        if isinstance(fill, dict):
+            fills = [(c, v) for c, v in fill.items() if c in joined.columns]
+        else:
+            fills = [
+                (c, fill) for c in joined.columns
+                if c != "__jw" and c not in keys
+            ]
+        # batch-join parity (pipeline.py join): fill only columns whose
+        # type matches the fill value's kind — timestamps and mismatched
+        # types stay NULL
+        dtypes = dict(joined.dtypes)
+        numeric = ("tinyint", "smallint", "int", "bigint",
+                   "float", "double", "decimal")
+        for c, v in fills:
+            t = dtypes.get(c, "")
+            if isinstance(v, bool):
+                ok = t == "boolean"
+            elif isinstance(v, (int, float)):
+                ok = t.startswith(numeric)
+            else:
+                ok = isinstance(v, str) and t == "string"
+            if ok:
+                joined = joined.withColumn(
+                    c, F.coalesce(F.col(f"`{c}`"), F.lit(v))
+                )
     # the tumbling window over (t + tol/2) starts exactly at the Round
     # multiple, so the window start IS the bucket label
     return joined.withColumn(time_col, F.col("__jw.start")).drop("__jw")

@@ -2109,7 +2109,11 @@ class _SJoin:
     streaming.join_stream (stream-stream tolerance join with watermark
     state eviction). Subset: .as(prefixes) / .tolerance(d) (REQUIRED —
     the join keys on the tolerance bucket) / .delimiter() /
-    .streamName(); fill/on/deleteAll raise toward the batch replay.
+    .streamName() / .on(dims...) (dim-subset one-to-many join, r11 2nd
+    wave) / .fill('null'|scalar) (FULL OUTER stream-stream join on the
+    window key; unmatched rows emit once both watermarks pass the bucket
+    — tune run_tickscript_stream(join_watermark=...)) / .deleteAll()
+    (recorded no-op: state cleanup is native watermark eviction).
     Documented divergence (join_stream docstring): >1 row per
     (bucket, dims) cell per side emits the cell cross product, where the
     batch join pairs sequentially."""
@@ -2129,13 +2133,9 @@ class _SJoin:
         from kapacitor_spark import streaming as _strm
 
         props = self.prop_map()
-        for bad in ("fill", "on", "deleteAll"):
-            if bad in props:
-                raise TickError(
-                    f"streaming join() does not support .{bad}() — outer "
-                    "fills / dim-subset joins run in the batch replay "
-                    "(run_tickscript)"
-                )
+        # deleteAll: batch mode records it a no-op (no delete messages);
+        # streaming state cleanup is native via watermark eviction —
+        # same recorded no-op here (pipeline/join.go .deleteAll())
         if "tolerance" not in props:
             raise TickError(
                 "streaming join() needs .tolerance(d) — the stream-stream "
@@ -2144,12 +2144,20 @@ class _SJoin:
             )
         prefixes = tuple(props.get("as", ("a", "b")))
         delim = props.get("delimiter", ["."])[0]
-        dims = [d for d in self.left.dims if d in self.right.dims]
+        on = None
+        if "on" in props:
+            on = props["on"]
+            on = list(on[0]) if on and isinstance(on[0], list) else list(on)
+        fill = props["fill"][0] if "fill" in props else None
+        ld, rd = list(self.left.dims), list(self.right.dims)
         tcol = self.env.time_col
         out = _strm.join_stream(
-            self.left.df, self.right.df, tcol, dims,
+            self.left.df, self.right.df, tcol,
+            [d for d in ld if d in rd],
             tolerance=_dur(props["tolerance"][0]),
+            watermark=getattr(self.env, "join_watermark", "1h"),
             prefixes=prefixes, delimiter=delim,
+            on=on, fill=fill, left_dims=ld, right_dims=rd,
         )
         # batch parity: the joined row's time IS the bucket; per-side
         # original times do not survive (pipeline.py join drops them)
@@ -2158,7 +2166,9 @@ class _SJoin:
         )
         if "streamName" in props:
             out = out.withColumn("name", F.lit(props["streamName"][0]))
-        return _SStream(out, dims)
+        dims = on if on is not None else [d for d in ld if d in rd]
+        out_dims = tuple(dict.fromkeys([*dims, *ld, *rd]))
+        return _SStream(out, out_dims)
 
 
 class _SAutoscale:
@@ -2401,7 +2411,8 @@ class _StreamEnv:
     # latest point) dispatch below — they need the time column
 
     def __init__(self, sources, time_col, dims, outputs, tiebreak=(),
-                 autoscale_clients=None, flatten_values=None):
+                 autoscale_clients=None, flatten_values=None,
+                 join_watermark="1h"):
         self.sources = sources
         self.time_col = time_col
         self.default_dims = tuple(dims)
@@ -2409,6 +2420,7 @@ class _StreamEnv:
         self.tiebreak = tuple(tiebreak)
         self.autoscale_clients = autoscale_clients or {}
         self.flatten_values = list(flatten_values) if flatten_values else None
+        self.join_watermark = join_watermark
         self.vars: dict = {}
 
     # ------------------------------------------------------------- #
@@ -2762,6 +2774,7 @@ def run_tickscript_stream(
     tiebreak: tuple = (),
     autoscale_clients: dict | None = None,
     flatten_values: list | None = None,
+    join_watermark: str | float = "1h",
 ) -> dict[str, DataFrame]:
     """Compile a TICKscript onto Structured Streaming sources; returns
     {httpOut name: STREAMING DataFrame} ready for writeStream (drive a
@@ -2778,7 +2791,7 @@ def run_tickscript_stream(
     flapping/history and level resets (keyed state machine), httpOut."""
     outputs: dict[str, DataFrame] = {}
     env = _StreamEnv(sources, time_col, dims, outputs, tiebreak,
-                     autoscale_clients, flatten_values)
+                     autoscale_clients, flatten_values, join_watermark)
     env.preset_vars = _coerce_template_vars(template_vars or {})
     toks, src = _tokenize(script)
     _P(toks, src, env).run()

@@ -407,6 +407,135 @@ stream
         )
 
 
+def test_join_fill_and_on_stream_equals_batch(spark, tmp_path):
+    """join().fill() (FULL OUTER stream-stream join on the window key,
+    r11 2nd wave) and join().on() (dim-subset one-to-many) — pinned
+    stream == batch replay. join_watermark=0s so unmatched buckets emit
+    during the availableNow replay's final no-data micro-batch."""
+    from kapacitor_spark.streaming import run_available_now
+    from kapacitor_spark.tick import run_tickscript, run_tickscript_stream
+
+    # trailing 999-sentinels on BOTH sides: the outer join's unmatched
+    # rows emit only once the GLOBAL watermark (min across inputs)
+    # passes their bucket, so each side needs a later point — the
+    # sentinels' own (still-open) buckets are excluded from the compare
+    cpu = spark.createDataFrame(
+        [("2024-01-01 00:00:01", "east", 10.0),
+         ("2024-01-01 00:00:05", "east", 20.0),
+         ("2024-01-01 00:00:09", "west", 30.0),
+         ("2024-01-01 00:00:30", "east", 40.0),
+         ("2024-01-01 00:01:40", "east", 999.0)],
+        "time string, region string, value double",
+    ).withColumn("time", F.to_timestamp("time"))
+    mem = spark.createDataFrame(
+        [("2024-01-01 00:00:02", "east", "h1", 1.0),
+         ("2024-01-01 00:00:02", "east", "h2", 2.0),
+         ("2024-01-01 00:00:06", "east", "h1", 3.0),
+         ("2024-01-01 00:00:26", "west", "h3", 4.0),
+         ("2024-01-01 00:00:40", "east", "h1", 5.0),
+         # sentinel must SURVIVE the fill-script's host filter — the
+         # watermark is computed post-filter
+         ("2024-01-01 00:01:50", "west", "h1", 999.0)],
+        "time string, region string, host string, value double",
+    ).withColumn("time", F.to_timestamp("time"))
+    srcs = {}
+    for nm, df, sch in (
+        ("cpu", cpu, "time timestamp, region string, value double"),
+        ("mem", mem, "time timestamp, region string, host string, value double"),
+    ):
+        path = tmp_path / nm
+        df.coalesce(1).write.parquet(str(path))
+        srcs[nm] = spark.readStream.schema(sch).parquet(str(path))
+
+    # --- fill('null'): outer join, region-keyed, one row per cell ---
+    fill_script = """
+var m = stream
+    |from()
+        .measurement('mem')
+        .where(lambda: "host" == 'h1')
+        .groupBy('region')
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('region')
+    |join(m)
+        .as('cpu', 'mem')
+        .tolerance(2s)
+        .fill('null')
+    |httpOut('j')
+"""
+    outs = run_tickscript_stream(
+        fill_script, sources=srcs, time_col="time",
+        join_watermark="0 seconds",
+    )
+    res = run_available_now(outs["j"], "ts_joinf", str(tmp_path / "ck_f"))
+    cols = ["time", "region", "cpu.value", "mem.value"]
+
+    def rows_of(df):
+        return sorted(
+            t for t in (
+                tuple(str(r[c]) for c in cols) for r in df.select(
+                    *[F.col(f"`{c}`") for c in cols]
+                ).collect()
+            )
+            if "999.0" not in t
+        )
+
+    bouts = run_tickscript(
+        fill_script, sources={"cpu": cpu, "mem": mem}, time_col="time",
+        dims=(),
+    )
+    got, exp = rows_of(res), rows_of(bouts["j"])
+    assert got == exp
+    # unmatched sides survived with NULLs on both paths
+    assert any(t[2] == "None" for t in got)
+    assert any(t[3] == "None" for t in got)
+
+    # --- on('region'): coarse cpu (region) joins fine mem (region, host);
+    # host stays an output tag (one-to-many) ---
+    on_script = """
+var m = stream
+    |from()
+        .measurement('mem')
+        .groupBy('region', 'host')
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('region')
+    |join(m)
+        .as('cpu', 'mem')
+        .tolerance(2s)
+        .on('region')
+    |httpOut('j')
+"""
+    outs2 = run_tickscript_stream(
+        on_script, sources=srcs, time_col="time",
+        join_watermark="0 seconds",
+    )
+    res2 = run_available_now(outs2["j"], "ts_joino", str(tmp_path / "ck_o"))
+    cols2 = ["time", "region", "host", "cpu.value", "mem.value"]
+
+    def rows2(df):
+        return sorted(
+            t for t in (
+                tuple(str(r[c]) for c in cols2) for r in df.select(
+                    *[F.col(f"`{c}`") for c in cols2]
+                ).collect()
+            )
+            if "999.0" not in t
+        )
+
+    bouts2 = run_tickscript(
+        on_script, sources={"cpu": cpu, "mem": mem}, time_col="time",
+        dims=(),
+    )
+    got2, exp2 = rows2(res2), rows2(bouts2["j"])
+    assert got2 == exp2
+    # the one coarse point at :02-east matched BOTH h1 and h2
+    hosts_at_2 = {t[2] for t in got2 if t[0].endswith("00:00:02")}
+    assert {"h1", "h2"} <= hosts_at_2
+
+
 def test_sideload_and_sample_stream_equals_batch(spark, tmp_path):
     """sideload() is a stream-static broadcast join (lookup levels load
     once, like the reference's cached file source) and sample(duration)
