@@ -86,6 +86,64 @@ _HANDLER_KIND_OPTIONS = {
 }
 
 
+def _parse_handler_specs(props) -> list[tuple[str, dict]]:
+    """Parse service-handler chains off an alert node's prop list
+    (pipeline/alert.go:39-61): each handler kind prop (.slack() etc.)
+    OPENS a handler spec; the props that follow (.channel/.workspace/
+    .routingKey/...) configure THAT handler until the next handler kind
+    or alert-level prop. Shared by the batch compile and the streaming
+    compile (r11 2nd wave) so both paths parse identically."""
+    specs: list[tuple[str, dict]] = []
+    current: dict | None = None
+    cur_kind: str | None = None
+    for name, args in props:
+        if (
+            current is not None
+            and name in _HANDLER_KIND_OPTIONS.get(cur_kind, ())
+            and args
+        ):
+            # collides with a handler-kind name but belongs to the open
+            # spec (.opsGenie2().teams('t1')). A ZERO-ARG .teams() is
+            # the MS-Teams handler itself (its options are config-
+            # driven), so only an argumented call binds as an option.
+            current[name] = args[0] if len(args) == 1 else list(args)
+        elif name in _ALERT_HANDLER_KINDS:
+            # the kind call's own positional args ride as '_arg'
+            # (.mqtt(topic) takes one, .email(to...) is variadic —
+            # pipeline/alert.go:1376, :1493)
+            current = (
+                {"_arg": args[0] if len(args) == 1 else list(args)}
+                if args else {}
+            )
+            cur_kind = name
+            specs.append((name, current))
+        elif current is not None and name not in _ALERT_LEVEL_PROPS:
+            val = args[0] if len(args) == 1 else list(args)
+            if name in ("data", "link") and name in current:
+                # multi-arg APPEND options ("Multiple calls append",
+                # pipeline/alert.go .Data/.Link): list of entries
+                prev = current[name]
+                if not (prev and isinstance(prev[0], (list, tuple))):
+                    prev = [prev]
+                prev.append(val)
+                current[name] = prev
+            elif name == "to" and name in current:
+                # flat-append option (.to(a).to(b).to(c) — alert.go
+                # Email/To docs: "Multiple calls append")
+                prev = current[name]
+                flat = prev if isinstance(prev, list) else [prev]
+                flat.extend(val if isinstance(val, list) else [val])
+                current[name] = flat
+            else:
+                # every other option overwrites (last wins), like the
+                # reference's plain property setters
+                current[name] = val
+        else:
+            current = None
+            cur_kind = None
+    return specs
+
+
 def _dispatch_alert_handlers(out, specs, services, time_col):
     """Deliver alert events through the service-handler chains parsed off
     the alert node (pipeline/alert.go handler list → services/<kind>).
@@ -97,10 +155,15 @@ def _dispatch_alert_handlers(out, specs, services, time_col):
     (the reference's service config section). Unconfigured kinds raise —
     a silently dropped page is the one failure mode alerting must not
     have."""
-    from kapacitor_spark import handlers as H
-
     dims = [d for d in out.dims if d != "name"]
-    df = out.df
+    return _dispatch_alert_handlers_df(out.df, dims, specs, services, time_col)
+
+
+def _dispatch_alert_handlers_df(df, dims, specs, services, time_col):
+    """DataFrame-level handler dispatch — the shared core of the batch
+    path and the streaming foreachBatch path (each micro-batch of the
+    live alert stream is a small batch DataFrame of triggered events)."""
+    from kapacitor_spark import handlers as H
     value_cols = [
         c for c in df.columns
         if c not in (time_col, "level", "alert_id", "message", "details",
@@ -1621,60 +1684,11 @@ class _Env:
             details_template=tick_tmpl(props.get("details", [None])[0]),
             **kw,
         )
-        # Service-handler chains (pipeline/alert.go:39-61): each handler
-        # kind prop (.slack() etc.) OPENS a handler spec; the props that
-        # follow (.channel/.workspace/.routingKey/...) configure THAT
-        # handler until the next handler kind or alert-level prop. Specs
-        # deliver through kapacitor_spark.handlers using the service
-        # configs passed as run_tickscript(alert_services={...}).
-        specs: list[tuple[str, dict]] = []
-        current: dict | None = None
-        cur_kind: str | None = None
-        for name, args in node.props:
-            if (
-                current is not None
-                and name in _HANDLER_KIND_OPTIONS.get(cur_kind, ())
-                and args
-            ):
-                # collides with a handler-kind name but belongs to the open
-                # spec (.opsGenie2().teams('t1')). A ZERO-ARG .teams() is
-                # the MS-Teams handler itself (its options are config-
-                # driven), so only an argumented call binds as an option.
-                current[name] = args[0] if len(args) == 1 else list(args)
-            elif name in _ALERT_HANDLER_KINDS:
-                # the kind call's own positional args ride as '_arg'
-                # (.mqtt(topic) takes one, .email(to...) is variadic —
-                # pipeline/alert.go:1376, :1493)
-                current = (
-                    {"_arg": args[0] if len(args) == 1 else list(args)}
-                    if args else {}
-                )
-                cur_kind = name
-                specs.append((name, current))
-            elif current is not None and name not in _ALERT_LEVEL_PROPS:
-                val = args[0] if len(args) == 1 else list(args)
-                if name in ("data", "link") and name in current:
-                    # multi-arg APPEND options ("Multiple calls append",
-                    # pipeline/alert.go .Data/.Link): list of entries
-                    prev = current[name]
-                    if not (prev and isinstance(prev[0], (list, tuple))):
-                        prev = [prev]
-                    prev.append(val)
-                    current[name] = prev
-                elif name == "to" and name in current:
-                    # flat-append option (.to(a).to(b).to(c) — alert.go
-                    # Email/To docs: "Multiple calls append")
-                    prev = current[name]
-                    flat = prev if isinstance(prev, list) else [prev]
-                    flat.extend(val if isinstance(val, list) else [val])
-                    current[name] = flat
-                else:
-                    # every other option overwrites (last wins), like the
-                    # reference's plain property setters
-                    current[name] = val
-            else:
-                current = None
-                cur_kind = None
+        # Service-handler chains — shared parse with the streaming
+        # compile (_parse_handler_specs). Specs deliver through
+        # kapacitor_spark.handlers using the service configs passed as
+        # run_tickscript(alert_services={...}).
+        specs = _parse_handler_specs(node.props)
         for name, args in node.props:
             if name == "log":
                 from kapacitor_spark.sinks import apply_sink, log_handler
@@ -2291,6 +2305,7 @@ class _SAlert:
         self.levels: dict[str, str] = {}
         self.resets: dict[str, str] = {}
         self.flags: dict[str, list] = {}
+        self.hprops: list[tuple[str, list]] = []
 
     def _comp(self, src):
         from kapacitor_spark.functions.lambdas import compile_lambda
@@ -2299,6 +2314,75 @@ class _SAlert:
             src, ordered_window=None, time_col=self.env.time_col,
             schema=dict(self.df.dtypes), variables=self.env.vars,
         )
+
+    _SINK_PROPS = ("log", "post", "tcp", "exec")
+
+    def _attach_handlers(self, out):
+        """Service-handler chains + sink props on the LIVE alert path
+        (r11 2nd wave). Parsed with the SAME _parse_handler_specs as the
+        batch compile and rendered through the SAME
+        kapacitor_spark.handlers formatters — per micro-batch, as a
+        foreachBatch function attached to the output DataFrame
+        (``df._ks_alert_handler_fn``; run_tickscript_stream surfaces it
+        as ``outputs.alert_handlers[name]``). Delivery is at-least-once
+        under micro-batch retries — the reference's own handler
+        semantics (alert.go handlers re-fire on replayed events).
+        Unconfigured service kinds raise AT COMPILE, not mid-stream."""
+        if not self.hprops:
+            return out
+        cur = None
+        for n, _a in self.hprops:
+            if n in _ALERT_HANDLER_KINDS:
+                cur = n
+            elif n in self._SINK_PROPS:
+                cur = None
+            elif cur is None:
+                raise TickError(
+                    f"streaming alert() does not support .{n}() — "
+                    "templating runs through the batch replay "
+                    "(run_tickscript)"
+                )
+        specs = _parse_handler_specs(self.hprops)
+        sinks = [(n, a) for n, a in self.hprops if n in self._SINK_PROPS]
+        services = getattr(self.env, "alert_services", None) or {}
+        for kind, _opts in specs:
+            if not dict(services.get(kind) or {}):
+                raise TickError(
+                    f"alert handler .{kind}() used but no config passed "
+                    f"via run_tickscript_stream(alert_services="
+                    f"{{{kind!r}: {{...}}}})"
+                )
+        tcol = self.env.time_col
+        dims = [d for d in self.dims if d != "name"]
+
+        def handler_fn(batch_df, _batch_id):
+            if batch_df.isEmpty():
+                return
+            if specs:
+                _dispatch_alert_handlers_df(
+                    batch_df, dims, specs, services, tcol
+                )
+            for n, a in sinks:
+                if n == "log":
+                    from kapacitor_spark.sinks import apply_sink, log_handler
+
+                    apply_sink(batch_df, log_handler(a[0]))
+                elif n == "post":
+                    Pipeline.from_df(
+                        batch_df, time_col=tcol, dims=tuple(dims)
+                    ).http_post(a[0])
+                elif n == "tcp":
+                    from kapacitor_spark.sinks import apply_sink, tcp_handler
+
+                    host, _, port = a[0].rpartition(":")
+                    apply_sink(batch_df, tcp_handler(host, int(port)))
+                elif n == "exec":
+                    from kapacitor_spark.sinks import apply_sink, exec_handler
+
+                    apply_sink(batch_df, exec_handler(list(a)))
+
+        out._ks_alert_handler_fn = handler_fn
+        return out
 
     def finalize(self):
         if not self.resets and not self.flags:
@@ -2311,7 +2395,7 @@ class _SAlert:
                 cond = self._comp(self.levels[name])
                 col = F.when(cond, label) if col is None else col.when(cond, label)
             level = col.otherwise("OK") if col is not None else F.lit("OK")
-            return self.df.withColumn("level", level)
+            return self._attach_handlers(self.df.withColumn("level", level))
         if self.windowed:
             return self._finalize_fused()
         from kapacitor_spark import streaming as _strm
@@ -2319,7 +2403,7 @@ class _SAlert:
         sco = self.flags.get("stateChangesOnly")
         lv = {k: self._comp(v) for k, v in self.levels.items()}
         rs = {k: self._comp(v) for k, v in self.resets.items()}
-        return _strm.alert_stream(
+        return self._attach_handlers(_strm.alert_stream(
             self.df, self.env.time_col, list(self.dims),
             crit=lv.get("crit"), warn=lv.get("warn"), info=lv.get("info"),
             crit_reset=rs.get("crit"), warn_reset=rs.get("warn"),
@@ -2336,7 +2420,7 @@ class _SAlert:
             ),
             history=int(self.flags.get("history", [21])[0]),
             tiebreak=self.env.tiebreak,
-        )
+        ))
 
     def _finalize_fused(self):
         """Stateful alert AFTER a windowed aggregation: re-plan window+
@@ -2372,7 +2456,7 @@ class _SAlert:
         sco = self.flags.get("stateChangesOnly")
         lv = {k: comp(v) for k, v in self.levels.items()}
         rs = {k: comp(v) for k, v in self.resets.items()}
-        return _strm.window_alert_stream(
+        return self._attach_handlers(_strm.window_alert_stream(
             prov["src_df"], self.env.time_col, list(prov["dims"]),
             period=prov["period"], every=prov["every"],
             field=prov["field"], agg=prov["agg"], out_col=prov["out_col"],
@@ -2389,7 +2473,7 @@ class _SAlert:
             ),
             history=int(self.flags.get("history", [21])[0]),
             tiebreak=self.env.tiebreak,
-        )
+        ))
 
 
 class _StreamEnv:
@@ -2412,7 +2496,7 @@ class _StreamEnv:
 
     def __init__(self, sources, time_col, dims, outputs, tiebreak=(),
                  autoscale_clients=None, flatten_values=None,
-                 join_watermark="1h"):
+                 join_watermark="1h", alert_services=None):
         self.sources = sources
         self.time_col = time_col
         self.default_dims = tuple(dims)
@@ -2421,6 +2505,7 @@ class _StreamEnv:
         self.autoscale_clients = autoscale_clients or {}
         self.flatten_values = list(flatten_values) if flatten_values else None
         self.join_watermark = join_watermark
+        self.alert_services = alert_services or {}
         self.vars: dict = {}
 
     # ------------------------------------------------------------- #
@@ -2753,12 +2838,11 @@ class _StreamEnv:
                         "history"):
                 node.flags[name] = list(args)
                 return node
-            raise TickError(
-                f"streaming alert() does not support .{name}() — "
-                "handlers/templating run through the batch replay "
-                "(run_tickscript) or a writeStream sink on the httpOut "
-                "DataFrame"
-            )
+            # handler chains (.slack()/.post()/... — r11 2nd wave):
+            # collected in order, validated + parsed at finalize with
+            # the SAME _parse_handler_specs as the batch compile
+            node.hprops.append((name, list(args)))
+            return node
         raise TickError(f"unsupported property .{name}() in streaming compile")
 
     def _materialize(self, node):
@@ -2775,6 +2859,7 @@ def run_tickscript_stream(
     autoscale_clients: dict | None = None,
     flatten_values: list | None = None,
     join_watermark: str | float = "1h",
+    alert_services: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Compile a TICKscript onto Structured Streaming sources; returns
     {httpOut name: STREAMING DataFrame} ready for writeStream (drive a
@@ -2791,13 +2876,29 @@ def run_tickscript_stream(
     flapping/history and level resets (keyed state machine), httpOut."""
     outputs: dict[str, DataFrame] = {}
     env = _StreamEnv(sources, time_col, dims, outputs, tiebreak,
-                     autoscale_clients, flatten_values, join_watermark)
+                     autoscale_clients, flatten_values, join_watermark,
+                     alert_services)
     env.preset_vars = _coerce_template_vars(template_vars or {})
     toks, src = _tokenize(script)
     _P(toks, src, env).run()
     if not outputs:
         raise TickError("streaming compile: script has no httpOut()")
-    return outputs
+
+    class _StreamOutputs(dict):
+        """dict of {httpOut name: streaming DataFrame}, plus
+        ``alert_handlers``: {name: foreachBatch fn} for outputs whose
+        alert node carried handler chains/sinks — start delivery with
+        ``df.writeStream.foreachBatch(fn)...start()`` alongside (or
+        instead of) the data sink."""
+
+        alert_handlers: dict = {}
+
+    outs = _StreamOutputs(outputs)
+    outs.alert_handlers = {
+        k: fn for k, v in outputs.items()
+        if (fn := getattr(v, "_ks_alert_handler_fn", None)) is not None
+    }
+    return outs
 
 
 # --------------------------------------------------------------------- #

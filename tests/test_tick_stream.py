@@ -1346,6 +1346,127 @@ stream
         )
 
 
+def test_alert_handler_chains_on_live_path(
+    spark, fixture_df, stream_src, tmp_path
+):
+    """Service-handler chains + sink props on the LIVE alert path (r11
+    2nd wave): .slack().channel() and .post()/.log() parse with the SAME
+    spec parser as the batch compile, render through the SAME
+    kapacitor_spark.handlers formatters, and deliver per micro-batch via
+    the foreachBatch fn surfaced as outputs.alert_handlers[name].
+    Deliveries must equal the batch replay's deliveries on the identical
+    script + services config."""
+    import http.server
+    import json as _json
+    import socketserver
+    import threading
+
+    from kapacitor_spark.tick import run_tickscript, run_tickscript_stream
+
+    received = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            received.append((self.path, _json.loads(self.rfile.read(n))))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as srv:
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        log_path = tmp_path / "alerts.jsonl"
+        script = f"""
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |alert()
+        .crit(lambda: "value" > 90)
+        .warn(lambda: "value" > 50)
+        .stateChangesOnly()
+        .slack()
+        .channel('@oncall')
+        .log('{log_path}')
+        .post('http://127.0.0.1:{port}/generic')
+    |httpOut('a')
+"""
+        services = {
+            "slack": {
+                "url": f"http://127.0.0.1:{port}/slack",
+                "channel": "#default",
+            }
+        }
+        souts = run_tickscript_stream(
+            script, sources={"cpu": _stream_df(spark, stream_src)},
+            time_col="time", alert_services=services,
+        )
+        assert "a" in souts.alert_handlers
+        q = (
+            souts["a"].writeStream
+            .foreachBatch(souts.alert_handlers["a"])
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_h"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        def flat(rx):
+            # http_post arrays are one-per-PARTITION (documented batching
+            # divergence) — compare the multiset of delivered EVENTS
+            out = []
+            for p, b in rx:
+                if isinstance(b, list):
+                    out.extend((p, _json.dumps(e, sort_keys=True)) for e in b)
+                else:
+                    out.append((p, _json.dumps(b, sort_keys=True)))
+            return sorted(out)
+
+        stream_rx = flat(received)
+        stream_log = sorted(log_path.read_text().splitlines())
+        assert stream_rx, "no deliveries on the live path"
+
+        # batch replay of the identical script + services = the oracle
+        received.clear()
+        log_path.unlink()
+        run_tickscript(
+            script, sources={"cpu": fixture_df}, time_col="time", dims=(),
+            alert_services=services,
+        )
+        batch_rx = flat(received)
+        batch_log = sorted(log_path.read_text().splitlines())
+        assert stream_rx == batch_rx
+        assert len(stream_log) == len(batch_log)
+        assert {p for p, _ in stream_rx} == {"/slack", "/generic"}
+
+
+def test_alert_handler_unconfigured_kind_raises_at_compile(
+    spark, stream_src
+):
+    from kapacitor_spark.tick import TickError, run_tickscript_stream
+
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |alert()
+        .crit(lambda: "value" > 90)
+        .slack()
+        .channel('@x')
+    |httpOut('a')
+"""
+    with pytest.raises(TickError, match="alert_services"):
+        run_tickscript_stream(
+            script, sources={"cpu": _stream_df(spark, stream_src)},
+            time_col="time",
+        )
+
+
 def test_stateful_alert_after_count_window_still_raises(spark, stream_src):
     """Count windows keep their own keyed ring operator — a stateful
     alert after one would still chain two keyed operators, so the
