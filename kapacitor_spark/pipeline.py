@@ -1599,9 +1599,16 @@ class Pipeline:
             df = df.withColumn("alert_id", self._template(id_template, level_col))
         if message_template:
             # .messageField names the rendered-message column
-            # (alert.go MessageField augment; default 'message')
+            # (alert.go MessageField augment; default 'message').
+            # cols=df.columns (not the pre-alert self.df): {{ .ID }} must
+            # see the alert_id rendered just above — the reference's
+            # default message IS "{{ .ID }} is {{ .Level }}"
+            # (pipeline/alert.go:21)
             df = df.withColumn(
-                message_field, self._template(message_template, level_col)
+                message_field,
+                self._template(
+                    message_template, level_col, cols=set(df.columns)
+                ),
             )
         if details_template:
             # .details() (pipeline/alert.go Details — the larger body

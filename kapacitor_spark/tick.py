@@ -2306,6 +2306,7 @@ class _SAlert:
         self.resets: dict[str, str] = {}
         self.flags: dict[str, list] = {}
         self.hprops: list[tuple[str, list]] = []
+        self.tmpl: dict[str, str] = {}
 
     def _comp(self, src):
         from kapacitor_spark.functions.lambdas import compile_lambda
@@ -2316,6 +2317,56 @@ class _SAlert:
         )
 
     _SINK_PROPS = ("log", "post", "tcp", "exec")
+
+    def _apply_templates(self, df):
+        """Alert templating on the LIVE path (r11 2nd wave):
+        .id()/.message()/.details()/.idField()/.idTag() are pure column
+        expressions (Pipeline._template — one codegen'd concat), applied
+        to the emitted alert rows exactly as the batch compile applies
+        them after level determination. .durationField() needs stateful
+        duration tracking and still raises toward the batch replay."""
+        t = self.tmpl
+        if not t:
+            return df
+        if "durationField" in t:
+            raise TickError(
+                "streaming alert .durationField() needs stateful "
+                "duration tracking — run the batch replay (run_tickscript)"
+            )
+
+        def lit(v):
+            # TICK template strings without {{ }} are LITERALS (same
+            # quoting rule as the batch compile's tick_tmpl)
+            if v is None or "{{" in v:
+                return v
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        def pl(cur_df):
+            return Pipeline.from_df(
+                cur_df, time_col=self.env.time_col, dims=tuple(self.dims)
+            )
+
+        idt = lit(t.get("id"))
+        if t.get("idField") or t.get("idTag"):
+            idc = pl(df)._template(idt or "{{ .Name }}:{{ .Group }}", "level")
+            for c in (t.get("idField"), t.get("idTag")):
+                if c:
+                    df = df.withColumn(c, idc)
+        if idt:
+            df = df.withColumn("alert_id", pl(df)._template(idt, "level"))
+        mf = t.get("messageField", "message")
+        mt = lit(t.get("message"))
+        if mt:
+            df = df.withColumn(mf, pl(df)._template(mt, "level"))
+        dt_ = lit(t.get("details"))
+        if dt_:
+            df = df.withColumn(
+                t.get("detailsField", "details"),
+                pl(df)._template(
+                    dt_, "level", message_col=mf if mt else None
+                ),
+            )
+        return df
 
     def _attach_handlers(self, out):
         """Service-handler chains + sink props on the LIVE alert path
@@ -2328,22 +2379,24 @@ class _SAlert:
         under micro-batch retries — the reference's own handler
         semantics (alert.go handlers re-fire on replayed events).
         Unconfigured service kinds raise AT COMPILE, not mid-stream."""
+        out = self._apply_templates(out)
         if not self.hprops:
             return out
         cur = None
         for n, _a in self.hprops:
             if n in _ALERT_HANDLER_KINDS:
                 cur = n
-            elif n in self._SINK_PROPS:
-                cur = None
+            elif n in _ALERT_LEVEL_PROPS:
+                cur = None  # spec-closing alert-own prop (templates/sinks)
             elif cur is None:
                 raise TickError(
                     f"streaming alert() does not support .{n}() — "
-                    "templating runs through the batch replay "
-                    "(run_tickscript)"
+                    "run the batch replay (run_tickscript)"
                 )
         specs = _parse_handler_specs(self.hprops)
         sinks = [(n, a) for n, a in self.hprops if n in self._SINK_PROPS]
+        if not specs and not sinks:
+            return out  # templates only
         services = getattr(self.env, "alert_services", None) or {}
         for kind, _opts in specs:
             if not dict(services.get(kind) or {}):
@@ -2837,6 +2890,15 @@ class _StreamEnv:
             if name in ("stateChangesOnly", "noRecoveries", "flapping",
                         "history"):
                 node.flags[name] = list(args)
+                return node
+            if name in ("id", "message", "details", "idField", "idTag",
+                        "messageField", "detailsField", "durationField"):
+                # templating (r11 2nd wave): pure column expressions via
+                # Pipeline._template, applied to the emitted alert rows.
+                # ALSO recorded in hprops so the shared spec parser
+                # closes any open handler spec exactly like batch.
+                node.tmpl[name] = args[0]
+                node.hprops.append((name, []))
                 return node
             # handler chains (.slack()/.post()/... — r11 2nd wave):
             # collected in order, validated + parsed at finalize with

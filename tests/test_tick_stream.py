@@ -1444,6 +1444,56 @@ stream
         assert {p for p, _ in stream_rx} == {"/slack", "/generic"}
 
 
+def test_alert_templating_on_live_path(
+    spark, fixture_df, stream_src, tmp_path
+):
+    """.id()/.message()/.idField() templating on the live alert path —
+    pure column expressions (Pipeline._template) applied to the emitted
+    rows, pinned equal to the batch replay of the identical script."""
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |alert()
+        .crit(lambda: "value" > 90)
+        .warn(lambda: "value" > 50)
+        .id('cpu:{{ index .Tags "host" }}')
+        .idField('aid')
+        .message('{{ .ID }} is {{ .Level }} ({{ index .Fields "value" }})')
+        .stateChangesOnly()
+    |httpOut('a')
+"""
+    got, exp = _run_both(
+        spark, script, "a", fixture_df, stream_src, tmp_path,
+        ["time", "host", "value", "level", "alert_id", "aid", "message"],
+    )
+    assert got == exp
+    assert any("is CRITICAL" in t[6] for t in got)
+    assert all(t[4].startswith("cpu:h") for t in got)
+
+
+def test_alert_duration_field_still_raises(spark, stream_src):
+    from kapacitor_spark.tick import TickError, run_tickscript_stream
+
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |alert()
+        .crit(lambda: "value" > 90)
+        .durationField('dur')
+        .stateChangesOnly()
+    |httpOut('a')
+"""
+    with pytest.raises(TickError, match="durationField"):
+        run_tickscript_stream(
+            script, sources={"cpu": _stream_df(spark, stream_src)},
+            time_col="time",
+        )
+
+
 def test_alert_handler_unconfigured_kind_raises_at_compile(
     spark, stream_src
 ):
