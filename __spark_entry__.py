@@ -3466,6 +3466,97 @@ def ann_recall_q(spark, sf_dir):
 
 
 @_q(
+    "cluster_balanced_sample",
+    """WITH e AS (
+         SELECT vec_id, label,
+                list_transform(embedding, x -> round(CAST(x AS DOUBLE), 9))
+                    AS v
+         FROM embeddings
+       ), idx AS (SELECT unnest(range(1, 65)) AS i),
+       m AS (
+         SELECT label, idx.i AS i,
+                CAST(sum(CAST(v[idx.i] AS DECIMAL(38,9))) AS DOUBLE)
+                    / count(*) AS m
+         FROM e, idx GROUP BY label, idx.i
+       ),
+       cents AS (
+         SELECT label, array_agg(m ORDER BY i) AS cv FROM m GROUP BY label
+       ),
+       rc AS (
+         SELECT cv,
+                CAST(row_number() OVER (ORDER BY label) - 1 AS INTEGER)
+                    AS cid
+         FROM cents
+       ),
+       d AS (
+         SELECT e.vec_id, rc.cid,
+                list_sum(list_transform(range(1, 65),
+                    j -> (e.v[j] - rc.cv[j]) * (e.v[j] - rc.cv[j]))) AS dist
+         FROM e CROSS JOIN rc
+       ),
+       a AS (
+         SELECT vec_id, cid AS cluster_id
+         FROM d
+         QUALIFY row_number() OVER (
+             PARTITION BY vec_id ORDER BY dist, cid) = 1
+       ),
+       sz AS (SELECT cluster_id, count(*) AS c_n FROM a GROUP BY cluster_id),
+       k AS (SELECT count(*) AS k FROM sz)
+       SELECT a.vec_id, a.cluster_id, sz.c_n
+       FROM a JOIN sz USING (cluster_id), k
+       QUALIFY row_number() OVER (
+           PARTITION BY a.cluster_id ORDER BY a.vec_id)
+           <= ceil(100 * 1.0 / k.k)""",
+)
+def cluster_balanced_sample_q(spark, sf_dir):
+    """Cluster-balanced corpus selection (r11) — the cluster-sampling
+    stage of SemDeDup-style pipelines / temperature-based domain
+    reweighting as ONE operator (dataprep.similarity.
+    cluster_balanced_sample): cluster by embedding, per-cluster quota
+    ceil(budget·n^α/Σn^α), deterministic within-cluster order. Here the
+    centroids are the per-label means (computed with the exact
+    DECIMAL(38,9) partial-sum trick so DuckDB's centroids are
+    bit-identical), assignment is the DECLARATIVE nearest-centroid fold
+    (assign_clusters — zero shuffles, plan-asserted no Python; DuckDB's
+    list_sum fold verified bit-for-bit equal to Spark's aggregate()),
+    α=0 (full topic balance), order = vec_id. The oracle re-derives
+    centroids, assignment, sizing, quotas, and selection from scratch.
+    The hash-ordered ivf_index k-means path (centroids=None) is
+    engine-tested in test_similarity.py."""
+    from kapacitor_spark.dataprep.similarity import cluster_balanced_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: F.round(x.cast("double"), 9))
+        ).alias("pos", "x"),
+    )
+    m = (
+        el.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,9)")).cast("double")
+                / F.count("x")
+            ).alias("m")
+        )
+    )
+    rows = m.collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["label"], {})[r["pos"]] = r["m"]
+    cents = [
+        [by_label[lb][p] for p in sorted(by_label[lb])]
+        for lb in sorted(by_label)
+    ]
+    out = cluster_balanced_sample(
+        emb, budget=100, alpha=0.0, centroids=cents,
+        order_col="vec_id", round_dp=9,
+    )
+    return out.select("vec_id", "cluster_id", F.col("c_n"))
+
+
+@_q(
     "text_analysis",
     """WITH t AS (SELECT doc_id, length(text) AS n_chars_computed,
                          regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,

@@ -32,6 +32,8 @@ __all__ = [
     "ivf_index",
     "ivf_topk",
     "ann_recall",
+    "assign_clusters",
+    "cluster_balanced_sample",
 ]
 
 
@@ -810,3 +812,129 @@ def ivf_pq_topk(
 
 
 __all__ += ["pq_train", "pq_encode", "ivf_pq_topk"]
+
+
+# --------------------------------------------------------------------- #
+# cluster-balanced selection (r11): topic balancing for pretraining mixes
+# --------------------------------------------------------------------- #
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """DECLARATIVE nearest-centroid assignment against k LITERAL
+    centroids — pure Catalyst (one sequential ``aggregate`` fold per
+    centroid, argmin via array_min/array_position with the
+    first-occurrence = lowest-cluster-id tiebreak). No Python in the
+    plan, so it rides whole-stage codegen and the parquet scan's column
+    pruning at any corpus size; k is expected small (topic-level
+    clustering). For large k use the numpy matmul path (ivf_assign).
+
+    ``round_dp``: round vector elements to this many decimals before
+    differencing — pins the arithmetic to an exactly-mirrorable form
+    (DuckDB's list_sum(list_transform(...)) folds bit-for-bit equal to
+    Spark's aggregate(), verified on the fixture corpus).
+
+    Adds ``cluster_id`` (int). Scale: ZERO shuffles — a projection on
+    the scan.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if round_dp is not None:
+        v = F.transform(v, lambda x: F.round(x, round_dp))
+    dists = []
+    for c in centroids:
+        cl = F.array(*[F.lit(float(x)) for x in c])
+        dists.append(
+            F.aggregate(
+                F.zip_with(v, cl, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+    arr = F.array(*dists)
+    return df.withColumn(
+        "cluster_id",
+        (F.array_position(arr, F.array_min(arr)) - 1).cast("int"),
+    )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    budget: int,
+    alpha: float = 0.0,
+    centroids: "list[list[float]] | None" = None,
+    n_lists: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    order_col: str | None = None,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Cluster-balanced corpus selection: cluster by embedding, then take
+    a per-cluster quota so the selected mix is balanced across topics
+    instead of mirroring the crawl's skew — the cluster-sampling stage
+    of SemDeDup-style pipelines and temperature-based domain
+    reweighting, as one operator.
+
+    quota_c = ceil(budget · n_c^alpha / Σ_c n_c^alpha):
+    ``alpha=0`` → equal quotas (full balance), ``alpha=1`` → proportional
+    (original mix), between → temperature interpolation. Within a
+    cluster rows are taken in ``order_col`` order (default: the
+    deterministic hash order xxhash64(id) — a reproducible uniform
+    subsample, no RNG).
+
+    ``centroids=None`` runs ivf_index's distributed k-means
+    (hash-seeded, Lloyd-refined) — the scale path. Passing centroids
+    (e.g. per-label means, or a trained coarse quantizer) keeps the
+    whole plan declarative.
+
+    Scale: assignment is a scan-side projection (or one broadcast-side
+    matmul hop via ivf_index); sizing is one tiny aggregate (k rows);
+    selection is one window over (cluster, order) — a single shuffle of
+    the id/order columns. Budget overshoot ≤ k-1 rows (per-cluster
+    ceil), never undershoot while clusters have rows.
+
+    Output: the selected rows + ``cluster_id`` + ``c_n`` (cluster size).
+    """
+    if centroids is None:
+        assigned, _cents = ivf_index(
+            df, n_lists=n_lists, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        assigned = assigned.withColumnRenamed("list_id", "cluster_id")
+    else:
+        assigned = assign_clusters(
+            df, centroids, id_col=id_col, vec_col=vec_col, round_dp=round_dp
+        )
+    from pyspark.sql import Window
+
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("c_n")
+    )
+    # Σ n^alpha over the k clusters: exact for alpha in {0, 1} (ints);
+    # float alpha sums k doubles — fine for selection, not for oracles
+    w = F.pow(F.col("c_n").cast("double"), F.lit(float(alpha)))
+    sizes = sizes.withColumn(
+        "__quota",
+        F.ceil(
+            F.lit(int(budget)) * w
+            / F.sum(w).over(Window.partitionBy())
+        ).cast("long"),
+    )
+    order = (
+        F.col(order_col) if order_col is not None
+        else F.xxhash64(F.col(id_col))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(order, F.col(id_col))
+    )
+    out = (
+        assigned.join(F.broadcast(sizes), "cluster_id")
+        .withColumn("__rn", rn)
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )
+    return out

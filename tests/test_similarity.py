@@ -303,3 +303,63 @@ def test_ivf_paths_keep_string_ids(spark):
             isinstance(r["query_id"], str) and r["query_id"].startswith("v")
             for r in rows
         ), fn.__name__
+
+
+def test_cluster_balanced_sample_alpha_and_kmeans(spark):
+    """cluster_balanced_sample: alpha=0 equalizes per-cluster takes,
+    alpha=1 keeps them proportional; the centroids=None path runs the
+    hash-seeded distributed k-means (ivf_index) and still lands within
+    budget+k; default order (xxhash64) is deterministic run-to-run."""
+    from kapacitor_spark.dataprep.similarity import cluster_balanced_sample
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+
+    # alpha=0 with explicit per-label-mean-ish centroids not needed here:
+    # exercise the k-means path (the scale path, centroids=None)
+    out0 = cluster_balanced_sample(
+        emb, budget=100, alpha=0.0, n_lists=8, iters=2
+    )
+    rows0 = out0.collect()
+    k0 = len({r["cluster_id"] for r in rows0})
+    assert 100 <= len(rows0) <= 100 + k0  # per-cluster ceil overshoot only
+    takes0 = {}
+    for r in rows0:
+        takes0[r["cluster_id"]] = takes0.get(r["cluster_id"], 0) + 1
+    # alpha=0: every cluster with >= quota rows takes exactly the quota
+    quota = -(-100 // k0)
+    assert all(t <= quota for t in takes0.values())
+
+    out1 = cluster_balanced_sample(
+        emb, budget=100, alpha=1.0, n_lists=8, iters=2
+    )
+    rows1 = out1.collect()
+    takes1 = {}
+    for r in rows1:
+        takes1[r["cluster_id"]] = takes1.get(r["cluster_id"], 0) + 1
+    # alpha=1: take_c ~= budget * n_c / N (ceil) — proportional
+    for r in rows1:
+        pass
+    sizes1 = {r["cluster_id"]: r["c_n"] for r in rows1}
+    for c, t in takes1.items():
+        exp = -(-100 * sizes1[c] // n)
+        assert abs(t - min(exp, sizes1[c])) <= 1, (c, t, exp)
+
+    # determinism of the default hash order
+    again = sorted(r["vec_id"] for r in cluster_balanced_sample(
+        emb, budget=100, alpha=0.0, n_lists=8, iters=2).collect())
+    assert again == sorted(r["vec_id"] for r in rows0)
+
+
+def test_assign_clusters_is_declarative(spark):
+    """assign_clusters plans as a pure projection: no Python eval, no
+    exchange — the nearest-centroid fold rides the scan."""
+    from kapacitor_spark.dataprep.similarity import assign_clusters
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [[0.0] * 64, [0.1] * 64, [-0.1] * 64]
+    out = assign_clusters(emb, cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
+    got = out.groupBy("cluster_id").count().collect()
+    assert {r["cluster_id"] for r in got} <= {0, 1, 2}
