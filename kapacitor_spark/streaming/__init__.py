@@ -101,6 +101,7 @@ def alert_stream(
     history: int = 21,
     idle_timeout: str | float | None = None,
     tiebreak: Sequence[str] = (),
+    duration_field: str | None = None,
 ) -> DataFrame:
     """Streaming alert state machine (/root/reference/alert.go:989-1290):
     level CASE is evaluated declaratively; transitions / flapping
@@ -128,6 +129,14 @@ def alert_stream(
     stateChangesOnly is off (alert.go:1115-1159) — every non-OK point
     fires, OK only as a recovery; run_tickscript's batch replay uses the
     same flag, so stream == batch on identical input.
+
+    ``duration_field``: the alert event Duration (alert.go event state,
+    pipeline/alert.go DurationField) — nanoseconds since the current
+    alert episode began (the OK→non-OK transition); an OK recovery
+    event carries the ended episode's length; steady OK is 0. The
+    episode start lives in keyed state (one int64), so durations span
+    micro-batches — identical semantics to the batch compile's window
+    expressions (pipeline.py Pipeline.alert duration_field).
 
     Output: input columns + ``level``. State per group: last level +
     level-history ring + flapping flag — a few hundred bytes, safe at
@@ -166,8 +175,11 @@ def alert_stream(
         )
     defined = {l for l in (1, 2, 3) if preds[l] is not None}
     has_reset = {l: resets[l] is not None for l in (1, 2, 3)}
+    out_cols = ["level"] + ([duration_field] if duration_field else [])
     out_schema = StructType(
-        [lv_df.schema[c] for c in df.columns] + [StructField("level", StringType())]
+        [lv_df.schema[c] for c in df.columns]
+        + [StructField("level", StringType())]
+        + ([StructField(duration_field, LongType())] if duration_field else [])
     )
     state_schema = StructType(
         [
@@ -178,6 +190,8 @@ def alert_stream(
             # lastTriggered event-time µs (stateChangesOnly(maxInterval)
             # expiry, alert.go:1288-1290); -1 = never triggered
             StructField("last_trig", LongType()),
+            # episode-start event-time µs (.durationField); -1 = none
+            StructField("ep_start", LongType()),
         ]
     )
     flap_low, flap_high = flapping if flapping else (None, None)
@@ -199,10 +213,11 @@ def alert_stream(
         if timeout_ms is not None and state.hasTimedOut:
             # DeleteGroup: idle group — discard state, emit nothing
             state.remove()
-            yield pd.DataFrame(columns=in_cols + ["level"])
+            yield pd.DataFrame(columns=in_cols + out_cols)
             return
         if state.exists:
-            last_level, hist_csv, idx, flap, last_trig = state.get
+            last_level, hist_csv, idx, flap, last_trig, ep_start = state.get
+            ep_start = int(ep_start)
             st = {
                 "last_level": int(last_level),
                 "history": [int(x) for x in hist_csv.split(",")],
@@ -212,6 +227,7 @@ def alert_stream(
             }
         else:
             st = new_state(history)
+            ep_start = -1
         outs = []
         max_event_ms = None
         for pdf in pdfs:
@@ -233,6 +249,29 @@ def alert_stream(
                 pdf = pdf.assign(level=[LEVELS[int(x)] for x in lvs])
             else:
                 lvs = pdf["__lv"].to_numpy()
+            if duration_field is not None:
+                # episode duration (alert.go event Duration): ns since the
+                # OK→non-OK transition; recovery carries the ended
+                # episode's length; steady OK is 0. prev level / episode
+                # start carry across micro-batches in keyed state —
+                # st["last_level"] is still the PRE-walk carry here.
+                lv_arr = np.asarray(lvs, dtype=np.int64)
+                t_us = (
+                    pdf[tcol].to_numpy(dtype="datetime64[us]").astype("int64")
+                )
+                prev = np.concatenate(([st["last_level"]], lv_arr[:-1]))
+                starts = (lv_arr != 0) & (prev == 0)
+                sidx = np.where(starts, np.arange(len(lv_arr)), -1)
+                np.maximum.accumulate(sidx, out=sidx)
+                ep = np.where(
+                    sidx >= 0, t_us[np.clip(sidx, 0, None)], ep_start
+                )
+                in_ep = (lv_arr != 0) | (prev != 0)
+                pdf = pdf.assign(**{duration_field: np.where(
+                    in_ep & (ep >= 0), (t_us - ep) * 1000, 0
+                ).astype("int64")})
+                if len(ep):
+                    ep_start = int(ep[-1])
             emit, st = walk_levels(
                 lvs,
                 st,
@@ -244,7 +283,7 @@ def alert_stream(
                 times=tms,
                 max_interval_us=mi_us,
             )
-            outs.append(pdf.loc[emit, in_cols + ["level"]])
+            outs.append(pdf.loc[emit, in_cols + out_cols])
         lt = st.get("last_triggered")
         state.update(
             (
@@ -253,6 +292,7 @@ def alert_stream(
                 st["idx"],
                 int(st["flapping"]),
                 -1 if lt is None else int(lt),
+                int(ep_start),
             )
         )
         if timeout_ms is not None and max_event_ms is not None:
@@ -305,6 +345,7 @@ def window_alert_stream(
     flapping: tuple[float, float] | None = None,
     history: int = 21,
     tiebreak: Sequence[str] = (),
+    duration_field: str | None = None,
 ) -> DataFrame:
     """FUSED streaming ``window().period(p).every(e) |agg(field) |alert()``
     with stateful alert knobs — ONE keyed state operator.
@@ -385,6 +426,7 @@ def window_alert_stream(
         [StructField(time_col, TimestampType())]
         + [StructField(f.name, f.dataType) for f in dim_fields]
         + [StructField(out_col, val_type), StructField("level", StringType())]
+        + ([StructField(duration_field, LongType())] if duration_field else [])
     )
     state_schema = StructType([
         StructField("wins", StringType()),      # JSON {start_us: partial}
@@ -394,6 +436,9 @@ def window_alert_stream(
         StructField("idx", LongType()),
         StructField("flapping", LongType()),
         StructField("last_trig", LongType()),
+        # episode-start µs for .durationField (window-start times);
+        # -1 = no episode yet
+        StructField("ep_start", LongType()),
     ])
     n_off = max(1, -(-period_us // every_us))
     tcol, fld = time_col, field
@@ -508,9 +553,9 @@ def window_alert_stream(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            wins_js, max_ts, last_level, hist_csv, idx, flap, last_trig = (
-                state.get
-            )
+            (wins_js, max_ts, last_level, hist_csv, idx, flap, last_trig,
+             ep_start) = state.get
+            ep_start = int(ep_start)
             wins = {int(k): v for k, v in json.loads(wins_js).items()}
             st = {
                 "last_level": int(last_level),
@@ -522,6 +567,7 @@ def window_alert_stream(
             max_ts = int(max_ts)
         else:
             wins, max_ts, st = {}, -(1 << 62), new_state(history)
+            ep_start = -1
         outs = []
         for pdf in pdfs:
             if not len(pdf):
@@ -585,6 +631,22 @@ def window_alert_stream(
                     if preds[l] is not None:
                         lvs = np.where(preds[l](rows), l, lvs)
             tms = np.array([s for s, _ in vals], dtype=np.int64)
+            if duration_field is not None:
+                # episode duration over the emitted window rows (their
+                # event time = window start), same carry rules as
+                # alert_stream — st["last_level"] is the pre-walk carry
+                lv_arr = np.asarray(lvs, dtype=np.int64)
+                prev = np.concatenate(([st["last_level"]], lv_arr[:-1]))
+                eps = (lv_arr != 0) & (prev == 0)
+                sidx = np.where(eps, np.arange(len(lv_arr)), -1)
+                np.maximum.accumulate(sidx, out=sidx)
+                ep = np.where(sidx >= 0, tms[np.clip(sidx, 0, None)], ep_start)
+                in_ep = (lv_arr != 0) | (prev != 0)
+                durs = np.where(
+                    in_ep & (ep >= 0), (tms - ep) * 1000, 0
+                ).astype("int64")
+                if len(ep):
+                    ep_start = int(ep[-1])
             emit, st = walk_levels(
                 lvs, st,
                 state_changes_only=state_changes_only,
@@ -595,6 +657,8 @@ def window_alert_stream(
                 max_interval_us=mi_us,
             )
             rows = rows.assign(level=[LEVELS[int(x)] for x in lvs])
+            if duration_field is not None:
+                rows = rows.assign(**{duration_field: durs})
             outs.append(rows.loc[emit])
         lt = st.get("last_triggered")
         state.update((
@@ -605,6 +669,7 @@ def window_alert_stream(
             st["idx"],
             int(st["flapping"]),
             -1 if lt is None else int(lt),
+            int(ep_start),
         ))
         yield from outs
 

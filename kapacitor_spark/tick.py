@@ -2323,16 +2323,12 @@ class _SAlert:
         .id()/.message()/.details()/.idField()/.idTag() are pure column
         expressions (Pipeline._template — one codegen'd concat), applied
         to the emitted alert rows exactly as the batch compile applies
-        them after level determination. .durationField() needs stateful
-        duration tracking and still raises toward the batch replay."""
+        them after level determination. .durationField() is consumed in
+        finalize() — it's a stateful knob (episode tracking in the keyed
+        machine), not a template."""
         t = self.tmpl
         if not t:
             return df
-        if "durationField" in t:
-            raise TickError(
-                "streaming alert .durationField() needs stateful "
-                "duration tracking — run the batch replay (run_tickscript)"
-            )
 
         def lit(v):
             # TICK template strings without {{ }} are LITERALS (same
@@ -2438,7 +2434,11 @@ class _SAlert:
         return out
 
     def finalize(self):
-        if not self.resets and not self.flags:
+        # .durationField() is a STATEFUL knob (episode start persists in
+        # keyed state) — it routes an otherwise-stateless alert onto the
+        # keyed machine with the batch replay's exact emission flags
+        if not self.resets and not self.flags and \
+                "durationField" not in self.tmpl:
             col = None
             for name, label in (
                 ("crit", "CRITICAL"), ("warn", "WARNING"), ("info", "INFO")
@@ -2473,6 +2473,7 @@ class _SAlert:
             ),
             history=int(self.flags.get("history", [21])[0]),
             tiebreak=self.env.tiebreak,
+            duration_field=self.tmpl.get("durationField"),
         ))
 
     def _finalize_fused(self):
@@ -2526,6 +2527,7 @@ class _SAlert:
             ),
             history=int(self.flags.get("history", [21])[0]),
             tiebreak=self.env.tiebreak,
+            duration_field=self.tmpl.get("durationField"),
         ))
 
 

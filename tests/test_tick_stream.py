@@ -136,6 +136,91 @@ stream
     assert all(r[3] != "OK" for r in s)  # noRecoveries drops OK transitions
 
 
+def test_alert_duration_field_stream_equals_batch(
+    spark, fixture_df, stream_src, tmp_path
+):
+    """.durationField() on the LIVE path (the last alert template knob
+    that raised toward batch): episode duration — ns since the OK→non-OK
+    transition, recovery rows carry the ended episode's length — lives in
+    keyed state (one int64 episode-start per group), pinned against the
+    batch compile's window-expression derivation."""
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |alert()
+        .crit(lambda: "value" > 90)
+        .warn(lambda: "value" > 50)
+        .durationField('dur')
+        .stateChangesOnly()
+    |httpOut('a')
+"""
+    s, b = _run_both(
+        spark, script, "a", fixture_df, stream_src, tmp_path,
+        ["time", "host", "value", "level", "dur"],
+    )
+    assert s == b and len(s) >= 6
+    # non-degenerate: at least one mid-episode/recovery row with a
+    # positive duration AND a fresh episode start at 0
+    assert any(r[4] > 0 for r in s) and any(r[4] == 0 for r in s)
+
+
+def test_alert_duration_field_without_stateful_knobs(
+    spark, fixture_df, stream_src, tmp_path
+):
+    """durationField alone routes the otherwise-stateless alert onto the
+    keyed machine with the batch replay's emission flags (events_only:
+    non-OK fires, OK only as recovery) — stream == batch."""
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |alert()
+        .crit(lambda: "value" > 90)
+        .durationField('dur')
+    |httpOut('a')
+"""
+    s, b = _run_both(
+        spark, script, "a", fixture_df, stream_src, tmp_path,
+        ["time", "host", "value", "level", "dur"],
+    )
+    assert s == b and len(s) >= 4
+    assert any(r[4] > 0 for r in s)
+
+
+def test_windowed_alert_duration_field(
+    spark, fixture_df, stream_src, tmp_path
+):
+    """durationField through the FUSED window+agg+alert operator: the
+    emitted window rows' event time is the window start, so episode
+    durations are multiples of the window stride."""
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |window()
+        .period(4s)
+        .every(4s)
+    |mean('value')
+        .as('mean')
+    |alert()
+        .crit(lambda: "mean" > 90)
+        .warn(lambda: "mean" > 50)
+        .durationField('dur')
+        .stateChangesOnly()
+    |httpOut('a')
+"""
+    got, exp = _run_windowed_alert_both(
+        spark, script, fixture_df, stream_src, tmp_path, period_s=4,
+        extra_cols=("dur",),
+    )
+    assert got == exp and len(got) >= 3
+    assert any(t[4] > 0 for t in got)
+
+
 def test_projections_stream_equals_batch(
     spark, fixture_df, stream_src, tmp_path
 ):
@@ -861,7 +946,7 @@ stream
 
 def _run_windowed_alert_both(
     spark, script, fixture_df, stream_src, tmp_path, period_s, out="a",
-    agg_col="mean",
+    agg_col="mean", extra_cols=(),
 ):
     """Run a window|agg|alert(stateful) script on both paths. The stream
     path's per-group point-driven finalization emits a window only once a
@@ -880,13 +965,13 @@ def _run_windowed_alert_both(
     )
     tag = f"ts_wa_{abs(hash(script)) % 10**8}"
     res = run_available_now(souts[out], tag, str(tmp_path / f"ck_{tag}"))
-    cols = ["time", "host", agg_col, "level"]
+    cols = ["time", "host", agg_col, "level", *extra_cols]
 
     def rows(df):
         return sorted(
             (str(r["time"]), r["host"],
              None if r[agg_col] is None else round(r[agg_col], 9),
-             r["level"])
+             r["level"], *[r[c] for c in extra_cols])
             for r in df.select(*cols).collect()
         )
 
@@ -1473,7 +1558,9 @@ stream
     assert all(t[4].startswith("cpu:h") for t in got)
 
 
-def test_alert_duration_field_still_raises(spark, stream_src):
+def test_alert_after_count_window_still_raises(spark, stream_src):
+    """Stateful alert after a COUNT window stays out-of-subset (it would
+    chain two keyed-state operators) and raises toward batch replay."""
     from kapacitor_spark.tick import TickError, run_tickscript_stream
 
     script = """
@@ -1481,13 +1568,17 @@ stream
     |from()
         .measurement('cpu')
         .groupBy('host')
+    |window()
+        .periodCount(3)
+        .everyCount(1)
+    |mean('value')
+        .as('mean')
     |alert()
-        .crit(lambda: "value" > 90)
-        .durationField('dur')
+        .crit(lambda: "mean" > 90)
         .stateChangesOnly()
     |httpOut('a')
 """
-    with pytest.raises(TickError, match="durationField"):
+    with pytest.raises(TickError, match="count window|batch"):
         run_tickscript_stream(
             script, sources={"cpu": _stream_df(spark, stream_src)},
             time_col="time",
