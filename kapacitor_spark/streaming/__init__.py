@@ -47,6 +47,7 @@ __all__ = [
     "window_count_stream",
     "alert_stream",
     "window_alert_stream",
+    "window_count_alert_stream",
     "combine_stream",
     "sample_count_stream",
     "state_count_stream",
@@ -1452,6 +1453,211 @@ def window_count_stream(
             carry = arr[-period_count:]
             since = int((since + len(vals)) % every_count)
         state.update((",".join(repr(x) for x in carry), since))
+
+    return df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
+        machine,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def window_count_alert_stream(
+    df: DataFrame,
+    time_col: str,
+    dims: Sequence[str],
+    fld: str,
+    period_count: int,
+    every_count: int = 1,
+    agg: str = "mean",
+    as_: str = "value",
+    crit=None,
+    warn=None,
+    info=None,
+    crit_reset=None,
+    warn_reset=None,
+    info_reset=None,
+    state_changes_only: bool = False,
+    events_only: bool = False,
+    max_interval: str | float | None = None,
+    no_recoveries: bool = False,
+    flapping: tuple[float, float] | None = None,
+    history: int = 21,
+    tiebreak: Sequence[str] = (),
+    duration_field: str | None = None,
+    full_only: bool = False,
+) -> DataFrame:
+    """FUSED ``window().periodCount(n).everyCount(m) |agg |alert()`` with
+    stateful alert knobs — ONE keyed state operator, the count-window
+    sibling of window_alert_stream (same reason: Spark forbids chaining
+    two keyed-state operators, and the reference's own execution shape IS
+    a per-group window buffer feeding the in-process alert machine,
+    /root/reference/window.go:360-470 + alert.go:989-1290).
+
+    The ring stage is window_count_stream's vectorized trailing-window
+    computation (cumsum prefix sums / sliding_window_view — no per-row
+    Python); the rows passing the every_count emission gate (the batch
+    compile's ``row_number % every == 0`` rows, pipeline.py agg_over)
+    feed determine_levels/walk_levels with level state carried across
+    micro-batches. Emitted rows keep the triggering point's event time,
+    exactly like the batch replay. State per group: ≤ period_count
+    doubles + the alert ring — bytes, safe at millions of groups."""
+    from kapacitor_spark.functions.lambdas import compile_lambda_pandas
+
+    if agg not in ("mean", "sum", "count", "min", "max"):
+        raise ValueError(f"unsupported count-window agg {agg!r}")
+    if not dims:
+        raise ValueError(
+            "window_count_alert_stream needs at least one group dimension "
+            "(keyed state) — use the batch replay for ungrouped tasks"
+        )
+    mi_us = (
+        round(parse_duration(max_interval) * 1_000_000)
+        if max_interval is not None else None
+    )
+
+    def _lv(x):
+        if x is None:
+            return None
+        return compile_lambda_pandas(x, time_col) if isinstance(x, str) else x
+
+    preds = {1: _lv(info), 2: _lv(warn), 3: _lv(crit)}
+    resets = {1: _lv(info_reset), 2: _lv(warn_reset), 3: _lv(crit_reset)}
+    use_resets = any(v is not None for v in resets.values())
+    defined = {l for l in (1, 2, 3) if preds[l] is not None}
+    has_reset = {l: resets[l] is not None for l in (1, 2, 3)}
+    flap_low, flap_high = flapping if flapping else (None, None)
+
+    out_schema = StructType(
+        [df.schema[time_col]]
+        + [df.schema[d] for d in dims]
+        + [StructField(as_, DoubleType()), StructField("level", StringType())]
+        + ([StructField(duration_field, LongType())] if duration_field else [])
+    )
+    state_schema = StructType([
+        StructField("ring", StringType()),
+        StructField("since_emit", LongType()),
+        StructField("last_level", LongType()),
+        StructField("history", StringType()),
+        StructField("idx", LongType()),
+        StructField("flapping", LongType()),
+        StructField("last_trig", LongType()),
+        StructField("ep_start", LongType()),
+    ])
+
+    def machine(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            (ring_csv, since, last_level, hist_csv, idx, flap, last_trig,
+             ep_start) = state.get
+            carry = (
+                np.array(ring_csv.split(","), dtype=float)
+                if ring_csv else np.empty(0)
+            )
+            since, ep_start = int(since), int(ep_start)
+            st = {
+                "last_level": int(last_level),
+                "history": [int(x) for x in hist_csv.split(",")],
+                "idx": int(idx),
+                "flapping": bool(flap),
+                "last_triggered": None if last_trig == -1 else int(last_trig),
+            }
+        else:
+            carry, since, ep_start = np.empty(0), 0, -1
+            st = new_state(history)
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([time_col, *tiebreak], kind="stable")
+            vals = pdf[fld].to_numpy(dtype=float)
+            arr = np.concatenate([carry, vals])
+            n0, n = len(carry), len(arr)
+            g = np.arange(n0, n)
+            lo = np.maximum(g + 1 - period_count, 0)
+            if agg in ("sum", "mean", "count"):
+                cs = np.concatenate([[0.0], np.cumsum(arr)])
+                wsum = cs[g + 1] - cs[lo]
+                wcnt = (g + 1 - lo).astype(float)
+                out = {"sum": wsum, "mean": wsum / wcnt, "count": wcnt}[agg]
+            else:
+                pad_v = np.inf if agg == "min" else -np.inf
+                padded = np.concatenate(
+                    [np.full(period_count - 1, pad_v), arr]
+                )
+                win = np.lib.stride_tricks.sliding_window_view(
+                    padded, period_count
+                )
+                full = win.min(axis=1) if agg == "min" else win.max(axis=1)
+                out = full[g]
+            gate = (since + np.arange(1, len(vals) + 1)) % every_count == 0
+            if full_only:
+                gate &= (g + 1) >= period_count
+            carry = arr[-period_count:]
+            since = int((since + len(vals)) % every_count)
+            if not gate.any():
+                continue
+            rows = pdf.loc[gate, [time_col, *dims]].copy()
+            rows[as_] = out[gate]
+            if use_resets:
+                m = {
+                    l: (preds[l](rows) if preds[l] is not None
+                        else np.zeros(len(rows), dtype=bool))
+                    for l in (1, 2, 3)
+                }
+                r = {
+                    l: (resets[l](rows).astype(object)
+                        if resets[l] is not None
+                        else np.full(len(rows), None, dtype=object))
+                    for l in (1, 2, 3)
+                }
+                lvs, _ = determine_levels(
+                    m, r, defined, has_reset, st["last_level"]
+                )
+            else:
+                lvs = np.zeros(len(rows), dtype=np.int64)
+                for l in (1, 2, 3):
+                    if preds[l] is not None:
+                        lvs = np.where(preds[l](rows), l, lvs)
+            tms = (
+                rows[time_col].to_numpy(dtype="datetime64[us]")
+                .astype("int64")
+            )
+            if duration_field is not None:
+                prev = np.concatenate(([st["last_level"]], lvs[:-1]))
+                eps = (lvs != 0) & (prev == 0)
+                sidx = np.where(eps, np.arange(len(lvs)), -1)
+                np.maximum.accumulate(sidx, out=sidx)
+                ep = np.where(sidx >= 0, tms[np.clip(sidx, 0, None)], ep_start)
+                in_ep = (lvs != 0) | (prev != 0)
+                durs = np.where(
+                    in_ep & (ep >= 0), (tms - ep) * 1000, 0
+                ).astype("int64")
+                if len(ep):
+                    ep_start = int(ep[-1])
+            emit, st = walk_levels(
+                lvs, st,
+                state_changes_only=state_changes_only,
+                no_recoveries=no_recoveries,
+                events_only=events_only,
+                flap_low=flap_low, flap_high=flap_high,
+                times=tms if mi_us is not None else None,
+                max_interval_us=mi_us,
+            )
+            rows = rows.assign(level=[LEVELS[int(x)] for x in lvs])
+            if duration_field is not None:
+                rows = rows.assign(**{duration_field: durs})
+            outs.append(rows.loc[emit])
+        lt = st.get("last_triggered")
+        state.update((
+            ",".join(repr(x) for x in carry),
+            since,
+            st["last_level"],
+            ",".join(str(x) for x in st["history"]),
+            st["idx"],
+            int(st["flapping"]),
+            -1 if lt is None else int(lt),
+            int(ep_start),
+        ))
+        yield from outs
 
     return df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
         machine,

@@ -2272,8 +2272,10 @@ class _SAgg:
     alert follows: Spark forbids a keyed-state operator after a streaming
     aggregation, so alert().stateChangesOnly() on a windowed stream
     re-plans window+agg+alert as ONE keyed operator
-    (streaming.window_alert_stream). Nodes without provenance
-    (count windows, stats/deadman tickers) keep raising toward batch."""
+    (streaming.window_alert_stream for time windows,
+    window_count_alert_stream for count windows). Nodes without
+    provenance (stats/deadman tickers, flatten/combine) keep raising
+    toward batch."""
 
     def __init__(self, df, time_col, dims=(), prov=None):
         self.df = df
@@ -2488,8 +2490,8 @@ class _SAlert:
         prov = self.agg_prov
         if prov is None:
             raise TickError(
-                "streaming alert: stateful knobs after a count window / "
-                "stats / deadman would chain two stateful streaming "
+                "streaming alert: stateful knobs after stats / deadman / "
+                "flatten / combine would chain two stateful streaming "
                 "operators — alert on the raw stream, or run the batch "
                 "replay (run_tickscript)"
             )
@@ -2510,6 +2512,30 @@ class _SAlert:
         sco = self.flags.get("stateChangesOnly")
         lv = {k: comp(v) for k, v in self.levels.items()}
         rs = {k: comp(v) for k, v in self.resets.items()}
+        if prov.get("kind") == "count":
+            # count-window sibling (r11 3rd wave): the keyed ring +
+            # alert machine fuse the same way
+            return self._attach_handlers(_strm.window_count_alert_stream(
+                prov["src_df"], self.env.time_col, list(prov["dims"]),
+                prov["field"], prov["period_count"], prov["every_count"],
+                agg=prov["agg"], as_=prov["out_col"],
+                crit=lv.get("crit"), warn=lv.get("warn"),
+                info=lv.get("info"),
+                crit_reset=rs.get("crit"), warn_reset=rs.get("warn"),
+                info_reset=rs.get("info"),
+                state_changes_only=sco is not None,
+                events_only=sco is None,
+                max_interval=_dur(sco[0]) if sco else None,
+                no_recoveries="noRecoveries" in self.flags,
+                flapping=(
+                    tuple(float(x) for x in self.flags["flapping"])
+                    if "flapping" in self.flags else None
+                ),
+                history=int(self.flags.get("history", [21])[0]),
+                tiebreak=self.env.tiebreak,
+                duration_field=self.tmpl.get("durationField"),
+                full_only=prov["full_only"],
+            ))
         return self._attach_handlers(_strm.window_alert_stream(
             prov["src_df"], self.env.time_col, list(prov["dims"]),
             period=prov["period"], every=prov["every"],
@@ -2760,7 +2786,17 @@ class _StreamEnv:
                     agg=name, as_=f"__{name}", tiebreak=self.tiebreak,
                     full_only=node.fill_period,
                 )
-                return _SAgg(out, self.time_col, st.dims)
+                return _SAgg(
+                    out, self.time_col, st.dims,
+                    prov={
+                        "kind": "count", "src_df": st.df, "dims": st.dims,
+                        "period_count": int(node.period_count),
+                        "every_count": int(node.every_count or 1),
+                        "agg": name, "field": args[0],
+                        "out_col": f"__{name}",
+                        "full_only": node.fill_period,
+                    },
+                )
             if node.fill_period:
                 raise TickError(
                     "streaming window().fillPeriod() is supported for "

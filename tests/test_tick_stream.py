@@ -1558,11 +1558,15 @@ stream
     assert all(t[4].startswith("cpu:h") for t in got)
 
 
-def test_alert_after_count_window_still_raises(spark, stream_src):
-    """Stateful alert after a COUNT window stays out-of-subset (it would
-    chain two keyed-state operators) and raises toward batch replay."""
-    from kapacitor_spark.tick import TickError, run_tickscript_stream
-
+def test_count_window_stateful_alert_stream_equals_batch(
+    spark, fixture_df, stream_src, tmp_path
+):
+    """Stateful alert after a COUNT window — formerly out-of-subset —
+    now fuses ring + alert machine into ONE keyed operator
+    (streaming.window_count_alert_stream), pinned against the batch
+    replay (rowsBetween trailing aggregate + the same level walk).
+    Count windows emit at the triggering POINT's time, so no
+    sealed-window restriction applies — every batch row must appear."""
     script = """
 stream
     |from()
@@ -1575,10 +1579,64 @@ stream
         .as('mean')
     |alert()
         .crit(lambda: "mean" > 90)
+        .warn(lambda: "mean" > 50)
+        .durationField('dur')
         .stateChangesOnly()
     |httpOut('a')
 """
-    with pytest.raises(TickError, match="count window|batch"):
+    s, b = _run_both(
+        spark, script, "a", fixture_df, stream_src, tmp_path,
+        ["time", "host", "mean", "level", "dur"],
+    )
+    assert s == b and len(s) >= 4
+    assert {r[3] for r in s} >= {"WARNING", "OK"}
+
+
+def test_count_window_alert_fill_period_and_every(
+    spark, fixture_df, stream_src, tmp_path
+):
+    """fillPeriod (warm-up gate) + everyCount > 1 through the fused
+    count-window alert."""
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |window()
+        .periodCount(4)
+        .everyCount(2)
+        .fillPeriod()
+    |max('value')
+        .as('mx')
+    |alert()
+        .crit(lambda: "mx" > 90)
+        .stateChangesOnly()
+    |httpOut('a')
+"""
+    s, b = _run_both(
+        spark, script, "a", fixture_df, stream_src, tmp_path,
+        ["time", "host", "mx", "level"],
+    )
+    assert s == b and len(s) >= 2
+
+
+def test_alert_after_stats_still_raises(spark, stream_src):
+    """Stateful alert after stats()/deadman() stays out-of-subset (the
+    ticker is already a keyed-state operator) and raises toward batch."""
+    from kapacitor_spark.tick import TickError, run_tickscript_stream
+
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |stats(2s)
+    |alert()
+        .crit(lambda: "emitted" < 1)
+        .stateChangesOnly()
+    |httpOut('a')
+"""
+    with pytest.raises(TickError, match="stats|batch"):
         run_tickscript_stream(
             script, sources={"cpu": _stream_df(spark, stream_src)},
             time_col="time",
