@@ -3966,6 +3966,82 @@ stream
 
 
 @_q(
+    "tick_stream_count_alert",
+    """WITH o AS (
+         SELECT ts, user_id, event_id,
+                max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                    AS mx
+         FROM events
+       ), lv AS (
+         SELECT ts, user_id, event_id, mx,
+                CASE WHEN mx > 240 THEN 'CRITICAL'
+                     WHEN mx > 180 THEN 'WARNING' ELSE 'OK' END AS level
+         FROM o
+       ), tr AS (
+         SELECT ts, user_id, event_id, mx, level,
+                coalesce(lag(level) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id), 'OK')
+                    AS prev
+         FROM lv
+       ), ep AS (
+         SELECT *, max(CASE WHEN level <> 'OK' AND prev = 'OK' THEN ts END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS ep_start
+         FROM tr
+       )
+       SELECT ts, user_id, mx, level,
+              CAST(CASE WHEN (level <> 'OK' OR prev <> 'OK')
+                             AND ep_start IS NOT NULL
+                        THEN (epoch_us(ts) - epoch_us(ep_start)) * 1000
+                        ELSE 0 END AS BIGINT) AS dur
+       FROM ep WHERE level <> prev""",
+)
+def tick_stream_count_alert(spark, sf_dir):
+    """Stateful alert AFTER a COUNT window on the LIVE path (r11 3rd
+    wave) — the last fusable alert upstream: window().periodCount(5)
+    |max |alert().stateChangesOnly().durationField() compiles to ONE
+    keyed state operator (streaming.window_count_alert_stream — the
+    per-group ring of /root/reference/window.go:360-470 feeding the
+    alert machine of alert.go:989-1290 in-process, because Spark forbids
+    chaining two keyed-state operators). ``max`` keeps the oracle
+    FP-exact. The oracle re-derives the trailing-5 window (ROWS BETWEEN
+    4 PRECEDING), the level CASE, the stateChangesOnly transition walk,
+    AND the episode-duration rule (.durationField: ns since the
+    OK→non-OK transition; a recovery row carries the ended episode's
+    length) entirely in SQL — count windows emit at the triggering
+    point's event time, so no sealing restriction applies."""
+    from kapacitor_spark.streaming import run_available_now
+    from kapacitor_spark.tick import run_tickscript_stream
+
+    script = """
+stream
+    |from()
+        .measurement('events')
+        .groupBy('user_id')
+    |window()
+        .periodCount(5)
+        .everyCount(1)
+    |max('value')
+        .as('mx')
+    |alert()
+        .crit(lambda: "mx" > 240)
+        .warn(lambda: "mx" > 180)
+        .durationField('dur')
+        .stateChangesOnly()
+    |httpOut('alerts')
+"""
+    sdf = _stream_t(spark, sf_dir, "events")
+    outs = run_tickscript_stream(
+        script, sources={"events": sdf}, time_col="ts",
+        tiebreak=("event_id",),
+    )
+    return run_available_now(
+        outs["alerts"], _mem_name("tsca"), _ckpt()
+    ).select("ts", "user_id", "mx", "level", "dur")
+
+
+@_q(
     "tick_stream_pipeline",
     """WITH e AS (SELECT event_id, user_id, ts, value * 2.0 AS v2
                   FROM events)
