@@ -144,7 +144,8 @@ def _parse_handler_specs(props) -> list[tuple[str, dict]]:
     return specs
 
 
-def _dispatch_alert_handlers(out, specs, services, time_col):
+def _dispatch_alert_handlers(out, specs, services, time_col,
+                             level_col="level"):
     """Deliver alert events through the service-handler chains parsed off
     the alert node (pipeline/alert.go handler list → services/<kind>).
 
@@ -156,17 +157,20 @@ def _dispatch_alert_handlers(out, specs, services, time_col):
     a silently dropped page is the one failure mode alerting must not
     have."""
     dims = [d for d in out.dims if d != "name"]
-    return _dispatch_alert_handlers_df(out.df, dims, specs, services, time_col)
+    return _dispatch_alert_handlers_df(
+        out.df, dims, specs, services, time_col, level_col=level_col
+    )
 
 
-def _dispatch_alert_handlers_df(df, dims, specs, services, time_col):
+def _dispatch_alert_handlers_df(df, dims, specs, services, time_col,
+                                level_col="level"):
     """DataFrame-level handler dispatch — the shared core of the batch
     path and the streaming foreachBatch path (each micro-batch of the
     live alert stream is a small batch DataFrame of triggered events)."""
     from kapacitor_spark import handlers as H
     value_cols = [
         c for c in df.columns
-        if c not in (time_col, "level", "alert_id", "message", "details",
+        if c not in (time_col, level_col, "alert_id", "message", "details",
                      "topic", "name", *dims)
         and not c.startswith("__")
     ]
@@ -178,7 +182,7 @@ def _dispatch_alert_handlers_df(df, dims, specs, services, time_col):
         df,
         time_col,
         dims=dims,
-        level_col="level",
+        level_col=level_col,
         id_col="alert_id" if "alert_id" in df.columns else None,
         message_col="message" if "message" in df.columns else None,
         details_col="details" if "details" in df.columns else None,
@@ -1707,7 +1711,8 @@ class _Env:
                 apply_sink(out.df, exec_handler(list(args)))
         if specs:
             _dispatch_alert_handlers(
-                out, specs, self.alert_services or {}, self.time_col
+                out, specs, self.alert_services or {}, self.time_col,
+                level_col=props.get("levelField", ["level"])[0],
             )
         return out
 
@@ -2364,6 +2369,16 @@ class _SAlert:
                     dt_, "level", message_col=mf if mt else None
                 ),
             )
+        # .levelTag (duplicate column) / .topic (routing lit) /
+        # .levelField (renames the level output — LAST, templates above
+        # read "level"), matching the batch compile's augment order
+        if t.get("levelTag"):
+            df = df.withColumn(t["levelTag"], F.col("level"))
+        if t.get("topic") is not None:
+            df = df.withColumn("topic", F.lit(t["topic"]))
+        lf = t.get("levelField")
+        if lf and lf != "level":
+            df = df.withColumnRenamed("level", lf)
         return df
 
     def _attach_handlers(self, out):
@@ -2406,12 +2421,14 @@ class _SAlert:
         tcol = self.env.time_col
         dims = [d for d in self.dims if d != "name"]
 
+        lvcol = self.tmpl.get("levelField") or "level"
+
         def handler_fn(batch_df, _batch_id):
             if batch_df.isEmpty():
                 return
             if specs:
                 _dispatch_alert_handlers_df(
-                    batch_df, dims, specs, services, tcol
+                    batch_df, dims, specs, services, tcol, level_col=lvcol
                 )
             for n, a in sinks:
                 if n == "log":
@@ -2930,7 +2947,8 @@ class _StreamEnv:
                 node.flags[name] = list(args)
                 return node
             if name in ("id", "message", "details", "idField", "idTag",
-                        "messageField", "detailsField", "durationField"):
+                        "messageField", "detailsField", "durationField",
+                        "levelField", "levelTag", "topic"):
                 # templating (r11 2nd wave): pure column expressions via
                 # Pipeline._template, applied to the emitted alert rows.
                 # ALSO recorded in hprops so the shared spec parser

@@ -221,6 +221,36 @@ stream
     assert any(t[4] > 0 for t in got)
 
 
+def test_alert_level_field_tag_topic_stream_equals_batch(
+    spark, fixture_df, stream_src, tmp_path
+):
+    """.levelField()/.levelTag()/.topic() on the live path — previously
+    silently ignored by the streaming compile (they parsed as
+    spec-closing props and vanished); now applied exactly like batch:
+    levelTag duplicates the level, topic is a routing literal, and
+    levelField renames the level output column last."""
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |alert()
+        .crit(lambda: "value" > 90)
+        .warn(lambda: "value" > 50)
+        .levelField('lv')
+        .levelTag('ltag')
+        .topic('cpu_alerts')
+        .stateChangesOnly()
+    |httpOut('a')
+"""
+    s, b = _run_both(
+        spark, script, "a", fixture_df, stream_src, tmp_path,
+        ["time", "host", "value", "lv", "ltag", "topic"],
+    )
+    assert s == b and len(s) >= 6
+    assert all(r[3] == r[4] and r[5] == "cpu_alerts" for r in s)
+
+
 def test_projections_stream_equals_batch(
     spark, fixture_df, stream_src, tmp_path
 ):
@@ -1191,6 +1221,36 @@ stream
         .as('mean')
     |alert()
         .crit(lambda: "mean" > 90)
+        .stateChangesOnly()
+    |httpOut('a')
+"""
+    souts = run_tickscript_stream(
+        script, sources={"cpu": _stream_df(spark, stream_src)},
+        time_col="time",
+    )
+    plan = souts["a"]._jdf.queryExecution().analyzed().toString()
+    assert plan.count("FlatMapGroupsInPandasWithState") == 1
+    assert "Aggregate" not in plan
+
+
+def test_count_window_alert_is_single_stateful_operator(spark, stream_src):
+    """Same plan shape for the count-window sibling: the ring + alert
+    machine fuse into exactly one FlatMapGroupsInPandasWithState."""
+    from kapacitor_spark.tick import run_tickscript_stream
+
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+        .groupBy('host')
+    |window()
+        .periodCount(3)
+        .everyCount(1)
+    |mean('value')
+        .as('mean')
+    |alert()
+        .crit(lambda: "mean" > 90)
+        .durationField('dur')
         .stateChangesOnly()
     |httpOut('a')
 """
