@@ -303,7 +303,10 @@ def alert_stream(
             state.setTimeoutTimestamp(max_event_ms + timeout_ms)
         yield from outs
 
-    return lv_df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
+    if not dims:
+        lv_df = lv_df.withColumn("__g", F.lit(0))
+    gcols = [F.col(d) for d in dims] if dims else [F.col("__g")]
+    return lv_df.groupBy(*gcols).applyInPandasWithState(
         machine,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -393,11 +396,10 @@ def window_alert_stream(
             f"window_alert_stream: unsupported aggregation {agg!r} "
             f"(supported: {sorted(_WA_AGGS)})"
         )
-    if not dims:
-        raise ValueError(
-            "window_alert_stream needs at least one group dimension "
-            "(keyed state) — use the batch replay for ungrouped tasks"
-        )
+    # UNGROUPED tasks (r11 3rd wave): a synthetic constant key gives
+    # "keyed state with no key" — ONE group, serial at this stage like
+    # the reference's own ungrouped stream task (a single node walks the
+    # points); the upstream scan stays parallel and state is bytes.
     period_us = round(parse_duration(period) * 1_000_000)
     every_us = round(parse_duration(every) * 1_000_000)
     if period_us <= 0 or every_us <= 0:
@@ -674,7 +676,10 @@ def window_alert_stream(
         ))
         yield from outs
 
-    return df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
+    if not dims:
+        df = df.withColumn("__g", F.lit(0))
+    gcols = [F.col(d) for d in dims] if dims else [F.col("__g")]
+    return df.groupBy(*gcols).applyInPandasWithState(
         machine,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -1507,11 +1512,8 @@ def window_count_alert_stream(
 
     if agg not in ("mean", "sum", "count", "min", "max"):
         raise ValueError(f"unsupported count-window agg {agg!r}")
-    if not dims:
-        raise ValueError(
-            "window_count_alert_stream needs at least one group dimension "
-            "(keyed state) — use the batch replay for ungrouped tasks"
-        )
+    # ungrouped: one synthetic group (serial at this stage, like the
+    # reference's ungrouped stream task) — see window_alert_stream
     mi_us = (
         round(parse_duration(max_interval) * 1_000_000)
         if max_interval is not None else None
@@ -1659,7 +1661,10 @@ def window_count_alert_stream(
         ))
         yield from outs
 
-    return df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
+    if not dims:
+        df = df.withColumn("__g", F.lit(0))
+    gcols = [F.col(d) for d in dims] if dims else [F.col("__g")]
+    return df.groupBy(*gcols).applyInPandasWithState(
         machine,
         outputStructType=out_schema,
         stateStructType=state_schema,

@@ -2512,12 +2512,9 @@ class _SAlert:
                 "operators — alert on the raw stream, or run the batch "
                 "replay (run_tickscript)"
             )
-        if not prov["dims"]:
-            raise TickError(
-                "streaming alert: stateful knobs after an UNGROUPED "
-                "window need keyed state with no key — add groupBy() "
-                "dims, or run the batch replay (run_tickscript)"
-            )
+        # ungrouped windows (empty dims) run as ONE synthetic group —
+        # serial at the fused stage, like the reference's ungrouped
+        # stream task (r11 3rd wave; the operators handle dims=())
         from kapacitor_spark import streaming as _strm
         from kapacitor_spark.functions.lambdas import compile_lambda_pandas
 

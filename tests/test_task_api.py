@@ -549,15 +549,18 @@ stream
     }
     # .stateChangesOnly() AFTER a windowed aggregation compiles since
     # the r11 2nd wave — as the FUSED single keyed operator
-    # (window_alert_stream), which needs groupBy dims for its keyed
-    # state; the UNGROUPED form still raises toward the batch replay.
+    # (window_alert_stream). The UNGROUPED form compiles too since the
+    # r11 3rd wave: one synthetic group key, serial at the fused stage
+    # like the reference's ungrouped stream task.
     # (Grouped stream==batch parity: test_tick_stream.py.)
-    with pytest.raises(TickError, match="stateful"):
-        run_tickscript_stream(
-            script.replace("|httpOut('alerts')",
-                           ".stateChangesOnly()\n    |httpOut('alerts')"),
-            sources={"cpu": sdf}, time_col="time",
-        )
+    ungrouped = run_tickscript_stream(
+        script.replace("|httpOut('alerts')",
+                       ".stateChangesOnly()\n    |httpOut('alerts')"),
+        sources={"cpu": sdf}, time_col="time",
+    )
+    assert ungrouped["alerts"].isStreaming
+    uplan = ungrouped["alerts"]._jdf.queryExecution().analyzed().toString()
+    assert uplan.count("FlatMapGroupsInPandasWithState") == 1
     grouped = run_tickscript_stream(
         script.replace("|httpOut('alerts')",
                        ".stateChangesOnly()\n    |httpOut('alerts')")

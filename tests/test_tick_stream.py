@@ -221,6 +221,78 @@ stream
     assert any(t[4] > 0 for t in got)
 
 
+def test_ungrouped_stateful_alert_stream_equals_batch(
+    spark, fixture_df, stream_src, tmp_path
+):
+    """Stateful alert on an UNGROUPED stream (no groupBy dims) — r11 3rd
+    wave: a synthetic constant key gives keyed-state-with-no-key, one
+    serial group exactly like the reference's ungrouped stream task."""
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+    |alert()
+        .crit(lambda: "value" > 90)
+        .warn(lambda: "value" > 50)
+        .durationField('dur')
+        .stateChangesOnly()
+    |httpOut('a')
+"""
+    s, b = _run_both(
+        spark, script, "a", fixture_df, stream_src, tmp_path,
+        ["time", "value", "level", "dur"],
+    )
+    assert s == b and len(s) >= 5
+
+
+def test_ungrouped_windowed_stateful_alert_stream_equals_batch(
+    spark, fixture_df, stream_src, tmp_path
+):
+    """The fused window+agg+alert with NO dims: one synthetic group.
+    Sealing is global (one group's max event time)."""
+    import pandas as pd
+
+    from kapacitor_spark.streaming import run_available_now
+    from kapacitor_spark.tick import run_tickscript, run_tickscript_stream
+
+    script = """
+stream
+    |from()
+        .measurement('cpu')
+    |window()
+        .period(4s)
+        .every(4s)
+    |mean('value')
+        .as('mv')
+    |alert()
+        .crit(lambda: "mv" > 70)
+        .warn(lambda: "mv" > 60)
+        .stateChangesOnly()
+    |httpOut('a')
+"""
+    souts = run_tickscript_stream(
+        script, sources={"cpu": _stream_df(spark, stream_src)},
+        time_col="time",
+    )
+    res = run_available_now(
+        souts["a"], "ts_ungrouped_wa", str(tmp_path / "ck_uwa")
+    )
+    def rows(df):
+        return sorted(
+            (str(r["time"]), round(r["mv"], 9), r["level"])
+            for r in df.select("time", "mv", "level").collect()
+        )
+    bouts = run_tickscript(
+        script, sources={"cpu": fixture_df}, time_col="time", dims=()
+    )
+    mx_ts = fixture_df.agg(F.max("time")).collect()[0][0]
+    exp = [
+        t for t in rows(bouts["a"])
+        if pd.Timestamp(t[0]) + pd.Timedelta(seconds=4) <= mx_ts
+    ]
+    assert rows(res) == exp and len(exp) >= 2
+
+
 def test_alert_level_field_tag_topic_stream_equals_batch(
     spark, fixture_df, stream_src, tmp_path
 ):
