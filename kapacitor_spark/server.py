@@ -59,12 +59,33 @@ class TaskStore:
                     setattr(self, name, json.loads(f.read_text()))
 
     def _flush(self) -> None:
+        # Crash-atomic persistence (the reference's task store is BoltDB,
+        # /root/reference/services/task_store — atomic commits): write a
+        # temp file then os.replace, so a crash mid-write can never
+        # truncate the task/template definitions to a partial file.
         if self._dir is None:
             return
+        import os
+        import tempfile
+
         for name in ("tasks", "templates"):
-            (self._dir / f"{name}.json").write_text(
-                json.dumps(getattr(self, name), indent=1, sort_keys=True)
+            fd, tmp = tempfile.mkstemp(
+                dir=str(self._dir), prefix=f".{name}_", suffix=".tmp"
             )
+            try:
+                with os.fdopen(fd, "w") as fh:
+                    fh.write(
+                        json.dumps(
+                            getattr(self, name), indent=1, sort_keys=True
+                        )
+                    )
+                os.replace(tmp, str(self._dir / f"{name}.json"))
+            except BaseException:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
 
     def put(self, kind: str, obj: dict) -> None:
         with self._lock:

@@ -546,10 +546,16 @@ class TopicStore:
 
     def __init__(self, path: str):
         import os
+        import threading
 
         self._dir = path
         os.makedirs(path, exist_ok=True)
         self._topics: dict[str, dict] = {}
+        # serializes collect/persist/restore — the task-API server is
+        # threaded, and _persist snapshots the states dict while another
+        # collect could be mutating it (the reference's BoltDB store
+        # serializes commits the same way)
+        self._lock = threading.Lock()
 
     def _file(self, topic: str) -> str:
         import hashlib
@@ -559,12 +565,32 @@ class TopicStore:
         return os.path.join(self._dir, f"topic_{safe}.json")
 
     def _persist(self, topic: str) -> None:
+        # Crash-atomic: write a temp file then os.replace — the
+        # reference's topic store is BoltDB (atomic commits,
+        # /root/reference/alert/topics.go persistence via services/
+        # storage); a truncate-in-place write here could lose EVERY
+        # persisted alert state on a crash mid-write. Readers (_load)
+        # only ever see a complete file; the temp name never matches the
+        # topic_*.json load glob.
         import json as _json
+        import os
+        import tempfile
 
         states = self._topics.get(topic, {})
         disk = {k: v for k, v in states.items() if v["level"] != "OK"}
-        with open(self._file(topic), "w") as fh:
-            _json.dump({"topic": topic, "states": disk}, fh)
+        fd, tmp = tempfile.mkstemp(
+            dir=self._dir, prefix=".topic_", suffix=".tmp"
+        )
+        try:
+            with os.fdopen(fd, "w") as fh:
+                _json.dump({"topic": topic, "states": disk}, fh)
+            os.replace(tmp, self._file(topic))
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
 
     def collect(
         self,
@@ -578,15 +604,16 @@ class TopicStore:
     ) -> None:
         if level not in self._LEVELS:
             raise ValueError(f"unknown level {level!r}")
-        states = self._topics.setdefault(topic, {})
-        states[event_id] = {
-            "level": level,
-            "message": message,
-            "details": details,
-            "time": str(time) if time is not None else "",
-            "duration_ns": int(duration_ns),
-        }
-        self._persist(topic)
+        with self._lock:
+            states = self._topics.setdefault(topic, {})
+            states[event_id] = {
+                "level": level,
+                "message": message,
+                "details": details,
+                "time": str(time) if time is not None else "",
+                "duration_ns": int(duration_ns),
+            }
+            self._persist(topic)
 
     def topic_state(self, topic: str) -> tuple[bool, str]:
         """(exists, level) — level is the max over current event states,
@@ -623,4 +650,5 @@ class TopicStore:
         if os.path.exists(f):
             with open(f) as fh:
                 states = _json.load(fh).get("states", {})
-        self._topics[topic] = states
+        with self._lock:
+            self._topics[topic] = states

@@ -716,3 +716,99 @@ def test_topic_store_min_level_filter(tmp_path):
     other = TopicStore(str(tmp_path / "a2"))
     other.restore_topic("t")
     assert set(other.event_states("t", "OK")) == {"a", "b"}  # OK not on disk
+
+
+def test_topic_store_persist_is_crash_atomic(tmp_path):
+    """Writers persist via temp-file + os.replace (the reference's topic
+    store is BoltDB — atomic commits), so a concurrent reader NEVER sees
+    a truncated/partial JSON file, and no temp droppings survive."""
+    import json
+    import os
+    import threading
+
+    from kapacitor_spark.topics import TopicStore
+
+    store = TopicStore(str(tmp_path / "a3"))
+    store.collect("t", "seed", "WARNING")
+    path = store._file("t")
+    stop = threading.Event()
+    errs = []
+
+    def writer():
+        i = 0
+        while not stop.is_set():
+            store.collect("t", f"e{i % 7}", "CRITICAL")
+            i += 1
+
+    def reader():
+        while not stop.is_set():
+            try:
+                with open(path) as fh:
+                    json.load(fh)
+            except FileNotFoundError:
+                pass  # a replace in flight — never a partial file
+            except json.JSONDecodeError as e:  # pragma: no cover
+                errs.append(e)
+                return
+
+    ts = [threading.Thread(target=writer) for _ in range(3)] + [
+        threading.Thread(target=reader) for _ in range(2)
+    ]
+    for t in ts:
+        t.start()
+    import time
+
+    time.sleep(1.0)
+    stop.set()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert not [f for f in os.listdir(store._dir) if f.endswith(".tmp")]
+    # the final file still round-trips
+    fresh = TopicStore(str(tmp_path / "a3"))
+    fresh.restore_topic("t")
+    assert fresh.event_states("t", "CRITICAL")
+
+
+def test_task_store_flush_is_crash_atomic(tmp_path):
+    """Task-store JSON persistence uses the same temp+replace pattern;
+    a reader mid-hammer always parses complete definitions."""
+    import json
+    import threading
+    import time
+
+    from kapacitor_spark.server import TaskStore
+
+    store = TaskStore(str(tmp_path / "ts"))
+    store.put("tasks", {"id": "seed", "script": "stream|from()"})
+    f = tmp_path / "ts" / "tasks.json"
+    stop = threading.Event()
+    errs = []
+
+    def writer():
+        i = 0
+        while not stop.is_set():
+            store.put("tasks", {"id": f"t{i % 5}", "script": "x" * 100})
+            i += 1
+
+    def reader():
+        while not stop.is_set():
+            try:
+                json.loads(f.read_text())
+            except FileNotFoundError:
+                pass
+            except json.JSONDecodeError as e:  # pragma: no cover
+                errs.append(e)
+                return
+
+    ts = [threading.Thread(target=writer) for _ in range(2)] + [
+        threading.Thread(target=reader) for _ in range(2)
+    ]
+    for t in ts:
+        t.start()
+    time.sleep(1.0)
+    stop.set()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert json.loads(f.read_text())["seed"]["id"] == "seed"
