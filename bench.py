@@ -145,6 +145,8 @@ EXTENDED = [
     "bpe_corpus_stats",       # r9 trained-BPE tokenizer accounting
     "tick_stream_window",     # r10/r11 live TICK path: window agg replay
     "tick_stream_alert",      # r11: keyed alert machine on the live path
+    "tick_stream_windowed_alert",  # r11: fused window+agg+alert operator
+    "tick_stream_count_alert",     # r11: fused count-window ring + alert
 ]
 
 

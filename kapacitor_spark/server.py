@@ -51,9 +51,12 @@ class TaskStore:
         self._dir = Path(store_dir) if store_dir else None
         self.tasks: dict[str, dict] = {}
         self.templates: dict[str, dict] = {}
+        # topic-handler specs, keyed "topic/handler_id" (the reference's
+        # alert-service handler DAO, services/alert/dao.go)
+        self.handlers: dict[str, dict] = {}
         if self._dir is not None:
             self._dir.mkdir(parents=True, exist_ok=True)
-            for name in ("tasks", "templates"):
+            for name in ("tasks", "templates", "handlers"):
                 f = self._dir / f"{name}.json"
                 if f.exists():
                     setattr(self, name, json.loads(f.read_text()))
@@ -68,7 +71,7 @@ class TaskStore:
         import os
         import tempfile
 
-        for name in ("tasks", "templates"):
+        for name in ("tasks", "templates", "handlers"):
             fd, tmp = tempfile.mkstemp(
                 dir=str(self._dir), prefix=f".{name}_", suffix=".tmp"
             )
@@ -142,12 +145,22 @@ class TaskStoreService:
         executor=None,
         replayer=None,
         recordings_dir: str | None = None,
+        topic_store=None,
     ):
         self.store = TaskStore(store_dir)
         self.executor = executor or _default_executor
         self.replayer = replayer
         self.recordings_dir = Path(recordings_dir) if recordings_dir else None
         self.replays: dict[str, dict] = {}
+        # alert API state source (/root/reference/services/alert/api.go):
+        # pass the engine's TopicStore so GET /alerts/topics reflects
+        # live alert state; default = in-memory store (handlers CRUD and
+        # implicit topic creation still work)
+        if topic_store is None:
+            from kapacitor_spark.topics import TopicStore
+
+            topic_store = TopicStore(None)
+        self.topic_store = topic_store
         self._httpd: ThreadingHTTPServer | None = None
 
     # ---------------------------------------------------------------- #
@@ -180,6 +193,12 @@ class TaskStoreService:
                         if self.store.delete(kind, oid)
                         else (404, {"error": f"no {kind[:-1]} exists"})
                     )
+        if rel == "/alerts/topics" and method == "GET":
+            return self._list_topics(query)
+        if rel.startswith("/alerts/topics/"):
+            return self._alerts_route(
+                method, rel[len("/alerts/topics/"):], query, body
+            )
         if rel == "/recordings" and method == "GET":
             return self._list_recordings()
         if rel == "/replays" and method == "POST":
@@ -323,6 +342,249 @@ class TaskStoreService:
         finally:
             self.store.put("tasks", task)
 
+    # -- alert topics + handlers (services/alert/api.go) --------------- #
+    #
+    # JSON shapes mirror the reference client types
+    # (/root/reference/client/v1/client.go:2136-2300 — Topics/Topic/
+    # TopicEvents/TopicEvent/EventState/TopicHandlers/TopicHandler):
+    # link + id + level + collected + events-link/handlers-link for
+    # topics; state {message, details, time, duration, level} per event
+    # (duration in ns, time as the stored string); handlers carry
+    # {id, kind, options, match}. Topics exist if they have collected
+    # state OR registered handlers (the reference creates implicitly).
+
+    _LEVELS = ("OK", "INFO", "WARNING", "CRITICAL")
+
+    def _topic_ids(self):
+        ids = set(self.topic_store.topics())
+        ids.update(k.split("/", 1)[0] for k in self.store.handlers)
+        return sorted(ids)
+
+    def _topic_obj(self, tid: str) -> dict:
+        base = f"{BASE_PATH}/alerts/topics/{tid}"
+        _, level = self.topic_store.topic_state(tid)
+        return {
+            "link": {"rel": "self", "href": base},
+            "id": tid,
+            "level": level,
+            "collected": self.topic_store.collected(tid),
+            "events-link": {"rel": "events", "href": f"{base}/events"},
+            "handlers-link": {"rel": "handlers", "href": f"{base}/handlers"},
+        }
+
+    def _list_topics(self, query: dict):
+        import fnmatch
+
+        pattern = query.get("pattern", [""])[0]
+        floor = self._LEVELS.index(
+            query.get("min-level", ["OK"])[0]
+        )
+        topics = [
+            self._topic_obj(t)
+            for t in self._topic_ids()
+            if (not pattern or fnmatch.fnmatch(t, pattern))
+        ]
+        topics = [
+            t for t in topics if self._LEVELS.index(t["level"]) >= floor
+        ]
+        return 200, {
+            "link": {"rel": "self", "href": f"{BASE_PATH}/alerts/topics"},
+            "topics": topics,
+        }
+
+    def _event_obj(self, tid: str, eid: str, st: dict) -> dict:
+        return {
+            "link": {
+                "rel": "self",
+                "href": f"{BASE_PATH}/alerts/topics/{tid}/events/{eid}",
+            },
+            "id": eid,
+            "state": {
+                "message": st.get("message", ""),
+                "details": st.get("details", ""),
+                "time": st.get("time", ""),
+                "duration": int(st.get("duration_ns", 0)),
+                "level": st["level"],
+            },
+        }
+
+    def _handler_obj(self, tid: str, spec: dict) -> dict:
+        return {
+            "link": {
+                "rel": "self",
+                "href": (
+                    f"{BASE_PATH}/alerts/topics/{tid}/handlers/{spec['id']}"
+                ),
+            },
+            "id": spec["id"],
+            "kind": spec["kind"],
+            "options": spec.get("options", {}),
+            "match": spec.get("match", ""),
+        }
+
+    def _validate_handler(self, body: dict):
+        hid = body.get("id", "")
+        if not hid or not _VALID_ID.match(hid):
+            return f"invalid handler id {hid!r}"
+        if not body.get("kind"):
+            return "handler kind required"
+        match = body.get("match", "")
+        if match:
+            from kapacitor_spark.topics import _match_tokens
+
+            try:
+                _match_tokens(match)
+            except ValueError as e:
+                return f"invalid match expression: {e}"
+        return None
+
+    def _alerts_route(self, method, rest, query, body):
+        parts = rest.split("/")
+        tid = parts[0]
+        if not tid:
+            return 404, {"error": "missing topic id"}
+        sub = parts[1] if len(parts) > 1 else None
+        exists = (
+            tid in self.topic_store.topics()
+            or any(k.startswith(tid + "/") for k in self.store.handlers)
+        )
+        if sub is None:
+            if method == "GET":
+                if not exists:
+                    return 404, {"error": f"unknown topic {tid!r}"}
+                return 200, self._topic_obj(tid)
+            if method == "DELETE":
+                self.topic_store.delete_topic(tid)
+                for k in [
+                    k for k in self.store.handlers
+                    if k.startswith(tid + "/")
+                ]:
+                    self.store.delete("handlers", k)
+                return 204, None
+        elif sub == "events":
+            if not exists:
+                return 404, {"error": f"unknown topic {tid!r}"}
+            states = self.topic_store.event_states(
+                tid, query.get("min-level", ["OK"])[0]
+            )
+            if len(parts) == 2 and method == "GET":
+                return 200, {
+                    "link": {
+                        "rel": "self",
+                        "href": f"{BASE_PATH}/alerts/topics/{tid}/events",
+                    },
+                    "topic": tid,
+                    "events": [
+                        self._event_obj(tid, eid, st)
+                        for eid, st in sorted(states.items())
+                    ],
+                }
+            if len(parts) == 3 and method == "GET":
+                eid = parts[2]
+                if eid not in states:
+                    return 404, {"error": f"unknown event {eid!r}"}
+                return 200, self._event_obj(tid, eid, states[eid])
+        elif sub == "handlers":
+            if len(parts) == 2:
+                if method == "GET":
+                    hs = [
+                        self._handler_obj(
+                            tid, {**v, "id": k.split("/", 1)[1]}
+                        )
+                        for k, v in sorted(self.store.handlers.items())
+                        if k.startswith(tid + "/")
+                    ]
+                    return 200, {
+                        "link": {
+                            "rel": "self",
+                            "href": (
+                                f"{BASE_PATH}/alerts/topics/{tid}/handlers"
+                            ),
+                        },
+                        "topic": tid,
+                        "handlers": hs,
+                    }
+                if method == "POST":
+                    err = self._validate_handler(body)
+                    if err:
+                        return 400, {"error": err}
+                    spec = {
+                        "id": body["id"],
+                        "kind": body["kind"],
+                        "options": body.get("options", {}),
+                        "match": body.get("match", ""),
+                    }
+                    key = f"{tid}/{spec['id']}"
+                    if not self.store.put_new(
+                        "handlers", {**spec, "id": key}
+                    ):
+                        return 400, {
+                            "error": f"handler {spec['id']!r} exists"
+                        }
+                    return 200, self._handler_obj(tid, spec)
+            elif len(parts) == 3:
+                hid = parts[2]
+                key = f"{tid}/{hid}"
+                cur = self.store.handlers.get(key)
+                if method == "GET":
+                    if cur is None:
+                        return 404, {"error": f"unknown handler {hid!r}"}
+                    return 200, self._handler_obj(
+                        tid, {**cur, "id": hid}
+                    )
+                if method == "PUT":
+                    err = self._validate_handler({**body, "id": hid})
+                    if err:
+                        return 400, {"error": err}
+                    spec = {
+                        "id": key,
+                        "kind": body["kind"],
+                        "options": body.get("options", {}),
+                        "match": body.get("match", ""),
+                    }
+                    self.store.put("handlers", spec)
+                    return 200, self._handler_obj(
+                        tid, {**spec, "id": hid}
+                    )
+                if method == "PATCH":
+                    if cur is None:
+                        return 404, {"error": f"unknown handler {hid!r}"}
+                    spec = {k: v for k, v in cur.items()}
+                    ops = body if isinstance(body, list) else [body]
+                    for op in ops:
+                        if "op" in op:
+                            # RFC-6902 subset, the reference's JSONPatch
+                            field = op.get("path", "").lstrip("/")
+                            fld = field.split("/")[0]
+                            if op["op"] in ("replace", "add"):
+                                if "/" in field:  # nested option path
+                                    root, leaf = field.split("/", 1)
+                                    spec.setdefault(root, {})[leaf] = (
+                                        op.get("value")
+                                    )
+                                else:
+                                    spec[fld] = op.get("value")
+                            elif op["op"] == "remove":
+                                if "/" in field:
+                                    root, leaf = field.split("/", 1)
+                                    spec.get(root, {}).pop(leaf, None)
+                                else:
+                                    spec.pop(fld, None)
+                        else:  # plain merge
+                            spec.update(op)
+                    spec["id"] = key
+                    err = self._validate_handler({**spec, "id": hid})
+                    if err:
+                        return 400, {"error": err}
+                    self.store.put("handlers", spec)
+                    return 200, self._handler_obj(
+                        tid, {**spec, "id": hid}
+                    )
+                if method == "DELETE":
+                    self.store.delete("handlers", key)
+                    return 204, None
+        return 404, {"error": f"unknown route {method} alerts/{rest}"}
+
     # -- recordings / replays ----------------------------------------- #
 
     def _list_recordings(self):
@@ -430,6 +692,9 @@ class TaskStoreService:
 
             def do_PATCH(self):
                 self._serve("PATCH")
+
+            def do_PUT(self):
+                self._serve("PUT")
 
             def do_DELETE(self):
                 self._serve("DELETE")

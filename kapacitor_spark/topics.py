@@ -544,13 +544,17 @@ class TopicStore:
 
     _LEVELS = ["OK", "INFO", "WARNING", "CRITICAL"]
 
-    def __init__(self, path: str):
+    def __init__(self, path: str | None = None):
         import os
         import threading
 
         self._dir = path
-        os.makedirs(path, exist_ok=True)
+        if path is not None:
+            os.makedirs(path, exist_ok=True)
         self._topics: dict[str, dict] = {}
+        # collected-event counters (the reference's per-topic collected
+        # stat, alert/topics.go Topic.Collected)
+        self._collected: dict[str, int] = {}
         # serializes collect/persist/restore — the task-API server is
         # threaded, and _persist snapshots the states dict while another
         # collect could be mutating it (the reference's BoltDB store
@@ -576,6 +580,8 @@ class TopicStore:
         import os
         import tempfile
 
+        if self._dir is None:
+            return
         states = self._topics.get(topic, {})
         disk = {k: v for k, v in states.items() if v["level"] != "OK"}
         fd, tmp = tempfile.mkstemp(
@@ -613,6 +619,7 @@ class TopicStore:
                 "time": str(time) if time is not None else "",
                 "duration_ns": int(duration_ns),
             }
+            self._collected[topic] = self._collected.get(topic, 0) + 1
             self._persist(topic)
 
     def topic_state(self, topic: str) -> tuple[bool, str]:
@@ -641,13 +648,37 @@ class TopicStore:
         # the on-disk copy stays (that's the whole point of close/restore)
         self._topics.pop(topic, None)
 
+    def topics(self) -> list[str]:
+        with self._lock:
+            return sorted(self._topics)
+
+    def collected(self, topic: str) -> int:
+        return self._collected.get(topic, 0)
+
+    def delete_topic(self, topic: str) -> bool:
+        """DELETE /alerts/topics/<id> semantics (the reference's
+        DeleteTopic, services/alert/service.go): drop memory AND disk —
+        unlike close_topic, nothing survives to restore."""
+        import os
+
+        with self._lock:
+            existed = self._topics.pop(topic, None) is not None
+            self._collected.pop(topic, None)
+            if self._dir is not None:
+                try:
+                    os.unlink(self._file(topic))
+                    existed = True
+                except FileNotFoundError:
+                    pass
+        return existed
+
     def restore_topic(self, topic: str) -> None:
         import json as _json
         import os
 
-        f = self._file(topic)
         states = {}
-        if os.path.exists(f):
+        f = self._file(topic) if self._dir is not None else None
+        if f is not None and os.path.exists(f):
             with open(f) as fh:
                 states = _json.load(fh).get("states", {})
         with self._lock:

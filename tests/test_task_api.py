@@ -569,3 +569,122 @@ stream
         sources={"cpu": sdf}, time_col="time",
     )
     assert grouped["alerts"].isStreaming
+
+
+def test_alert_topics_and_handlers_api(tmp_path):
+    """The alert REST surface (/root/reference/services/alert/api.go;
+    JSON shapes per client/v1/client.go Topics/TopicEvents/TopicHandler):
+    topic listing with min-level + pattern, per-topic events, handler
+    CRUD incl. the JSON-Patch subset, topic DELETE, and handler
+    persistence across a service restart."""
+    from kapacitor_spark.topics import TopicStore
+
+    ts = TopicStore(str(tmp_path / "topics"))
+    ts.collect("cpu", "h1", "CRITICAL", message="cpu hot",
+               time="2024-01-01 00:00:05", duration_ns=5_000_000_000)
+    ts.collect("cpu", "h2", "WARNING")
+    ts.collect("mem", "h1", "OK")
+    service = TaskStoreService(
+        store_dir=str(tmp_path / "store"), topic_store=ts
+    )
+    port = service.start()
+    try:
+        st, topics = _req(port, "GET", "/alerts/topics")
+        assert st == 200
+        ids = {t["id"]: t for t in topics["topics"]}
+        assert set(ids) == {"cpu", "mem"}
+        assert ids["cpu"]["level"] == "CRITICAL"
+        assert ids["cpu"]["collected"] == 2
+        assert ids["cpu"]["events-link"]["href"].endswith(
+            "/alerts/topics/cpu/events"
+        )
+        # min-level + glob pattern filters (the reference's list opts)
+        st, warn = _req(
+            port, "GET", "/alerts/topics?min-level=WARNING"
+        )
+        assert [t["id"] for t in warn["topics"]] == ["cpu"]
+        st, pat = _req(port, "GET", "/alerts/topics?pattern=m*")
+        assert [t["id"] for t in pat["topics"]] == ["mem"]
+
+        st, topic = _req(port, "GET", "/alerts/topics/cpu")
+        assert st == 200 and topic["level"] == "CRITICAL"
+        st, err = _req(
+            port, "GET", "/alerts/topics/nope", expect_error=True
+        )
+        assert st == 404
+
+        st, evs = _req(port, "GET", "/alerts/topics/cpu/events")
+        assert st == 200 and evs["topic"] == "cpu"
+        by_id = {e["id"]: e["state"] for e in evs["events"]}
+        assert by_id["h1"]["level"] == "CRITICAL"
+        assert by_id["h1"]["duration"] == 5_000_000_000
+        assert by_id["h1"]["message"] == "cpu hot"
+        st, one = _req(port, "GET", "/alerts/topics/cpu/events/h2")
+        assert st == 200 and one["state"]["level"] == "WARNING"
+        st, evs = _req(
+            port, "GET", "/alerts/topics/cpu/events?min-level=CRITICAL"
+        )
+        assert [e["id"] for e in evs["events"]] == ["h1"]
+
+        # handler CRUD
+        st, h = _req(
+            port, "POST", "/alerts/topics/cpu/handlers",
+            {"id": "slack1", "kind": "slack",
+             "options": {"channel": "#ops"},
+             "match": "level() == CRITICAL"},
+        )
+        assert st == 200 and h["kind"] == "slack"
+        assert h["link"]["href"].endswith(
+            "/alerts/topics/cpu/handlers/slack1"
+        )
+        st, err = _req(
+            port, "POST", "/alerts/topics/cpu/handlers",
+            {"id": "slack1", "kind": "slack"}, expect_error=True,
+        )
+        assert st == 400 and "exists" in err["error"]
+        st, err = _req(
+            port, "POST", "/alerts/topics/cpu/handlers",
+            {"id": "bad", "kind": "log", "match": "level() === X"},
+            expect_error=True,
+        )
+        assert st == 400 and "match" in err["error"]
+
+        st, hs = _req(port, "GET", "/alerts/topics/cpu/handlers")
+        assert [x["id"] for x in hs["handlers"]] == ["slack1"]
+        # JSON-Patch subset (the reference's client.JSONPatch)
+        st, h = _req(
+            port, "PATCH", "/alerts/topics/cpu/handlers/slack1",
+            [{"op": "replace", "path": "/kind", "value": "log"},
+             {"op": "replace", "path": "/options/path",
+              "value": "/tmp/alerts.log"},
+             {"op": "remove", "path": "/options/channel"}],
+        )
+        assert st == 200 and h["kind"] == "log"
+        assert h["options"] == {"path": "/tmp/alerts.log"}
+        # PUT replaces wholesale
+        st, h = _req(
+            port, "PUT", "/alerts/topics/cpu/handlers/slack1",
+            {"kind": "post", "options": {"url": "http://example.com"}},
+        )
+        assert st == 200 and h["kind"] == "post" and h["match"] == ""
+    finally:
+        service.stop()
+
+    # handlers persist across restart (same store dir)
+    s2 = TaskStoreService(
+        store_dir=str(tmp_path / "store"), topic_store=ts
+    )
+    p2 = s2.start()
+    try:
+        st, hs = _req(p2, "GET", "/alerts/topics/cpu/handlers")
+        assert [x["id"] for x in hs["handlers"]] == ["slack1"]
+        assert hs["handlers"][0]["kind"] == "post"
+        # DELETE topic removes its state AND its handlers
+        st, _ = _req(p2, "DELETE", "/alerts/topics/cpu")
+        assert st == 204
+        st, topics = _req(p2, "GET", "/alerts/topics")
+        assert [t["id"] for t in topics["topics"]] == ["mem"]
+        st, hs = _req(p2, "GET", "/alerts/topics/cpu/handlers")
+        assert hs["handlers"] == []
+    finally:
+        s2.stop()
