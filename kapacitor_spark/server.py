@@ -585,6 +585,28 @@ class TaskStoreService:
                     return 204, None
         return 404, {"error": f"unknown route {method} alerts/{rest}"}
 
+    def dispatch_events(self, events_df, services=None, topic_col="topic"):
+        """The DATA PLANE behind the handler CRUD API: route an
+        alert-event DataFrame through every REST-registered handler spec
+        (the reference's Topics.Collect → handler fan-out,
+        alert/topics.go). Specs build their delivery callables through
+        topics.register_handler_spec — the same path the YAML
+        define-topic-handler contract uses — so match conditions, kind
+        formatters and service configs behave identically whether a
+        handler arrived via REST or via code."""
+        from kapacitor_spark.topics import (
+            TopicRegistry,
+            register_handler_spec,
+        )
+
+        reg = TopicRegistry()
+        for key, spec in sorted(self.store.handlers.items()):
+            tid, hid = key.split("/", 1)
+            register_handler_spec(
+                reg, {**spec, "id": hid, "topic": tid}, services=services
+            )
+        reg.dispatch(events_df, topic_col=topic_col)
+
     # -- recordings / replays ----------------------------------------- #
 
     def _list_recordings(self):

@@ -688,3 +688,46 @@ def test_alert_topics_and_handlers_api(tmp_path):
         assert hs["handlers"] == []
     finally:
         s2.stop()
+
+
+def test_rest_registered_handlers_receive_events(spark, tmp_path):
+    """REST-registered handler specs are LIVE: dispatch_events routes an
+    alert-event DataFrame through them via the same
+    register_handler_spec path the YAML define-topic-handler contract
+    uses — match conditions and topic scoping included."""
+    import datetime as dt
+
+    Z = dt.timezone.utc
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, 5, tzinfo=Z), "cpu", "CRITICAL",
+         "OK", "c1", 0, "cpu-alerts"),
+        (dt.datetime(2024, 1, 1, 0, 0, 20, tzinfo=Z), "cpu", "WARNING",
+         "CRITICAL", "w1", 0, "cpu-alerts"),
+        (dt.datetime(2024, 1, 1, 0, 0, 40, tzinfo=Z), "mem", "CRITICAL",
+         "OK", "m1", 0, "mem-alerts"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "ts timestamp, name string, level string, prev string, "
+        "message string, duration long, topic string",
+    )
+    service = TaskStoreService(store_dir=str(tmp_path / "store"))
+    port = service.start()
+    log_a = tmp_path / "cpu.jsonl"
+    log_b = tmp_path / "crit.jsonl"
+    try:
+        _req(port, "POST", "/alerts/topics/cpu-alerts/handlers",
+             {"id": "all-log", "kind": "log",
+              "options": {"path": str(log_a)}})
+        _req(port, "POST", "/alerts/topics/cpu-alerts/handlers",
+             {"id": "crit-log", "kind": "log",
+              "options": {"path": str(log_b)},
+              "match": "level() == CRITICAL"})
+        service.dispatch_events(ev)
+    finally:
+        service.stop()
+    msgs = lambda p: sorted(
+        json.loads(l)["message"] for l in p.read_text().splitlines()
+    )
+    assert msgs(log_a) == ["c1", "w1"]   # topic-scoped, all levels
+    assert msgs(log_b) == ["c1"]         # + match condition
