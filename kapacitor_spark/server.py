@@ -68,27 +68,13 @@ class TaskStore:
         # truncate the task/template definitions to a partial file.
         if self._dir is None:
             return
-        import os
-        import tempfile
+        from kapacitor_spark._io import atomic_write_json
 
         for name in ("tasks", "templates", "handlers"):
-            fd, tmp = tempfile.mkstemp(
-                dir=str(self._dir), prefix=f".{name}_", suffix=".tmp"
+            atomic_write_json(
+                str(self._dir / f"{name}.json"), getattr(self, name),
+                indent=1, sort_keys=True,
             )
-            try:
-                with os.fdopen(fd, "w") as fh:
-                    fh.write(
-                        json.dumps(
-                            getattr(self, name), indent=1, sort_keys=True
-                        )
-                    )
-                os.replace(tmp, str(self._dir / f"{name}.json"))
-            except BaseException:
-                try:
-                    os.unlink(tmp)
-                except OSError:
-                    pass
-                raise
 
     def put(self, kind: str, obj: dict) -> None:
         with self._lock:
@@ -376,9 +362,9 @@ class TaskStoreService:
         import fnmatch
 
         pattern = query.get("pattern", [""])[0]
-        floor = self._LEVELS.index(
-            query.get("min-level", ["OK"])[0]
-        )
+        floor, err = self._min_level(query)
+        if err:
+            return 400, {"error": err}
         topics = [
             self._topic_obj(t)
             for t in self._topic_ids()
@@ -422,12 +408,28 @@ class TaskStoreService:
             "match": spec.get("match", ""),
         }
 
+    def _min_level(self, query: dict):
+        """(floor_index, error) — a malformed min-level is the CLIENT's
+        mistake and must 400, not 500."""
+        v = query.get("min-level", ["OK"])[0]
+        if v not in self._LEVELS:
+            return None, f"invalid min-level {v!r} (one of {list(self._LEVELS)})"
+        return self._LEVELS.index(v), None
+
     def _validate_handler(self, body: dict):
+        from kapacitor_spark.topics import SPEC_HANDLER_KINDS
+
         hid = body.get("id", "")
         if not hid or not _VALID_ID.match(hid):
             return f"invalid handler id {hid!r}"
-        if not body.get("kind"):
+        kind = body.get("kind")
+        if not kind:
             return "handler kind required"
+        if kind not in SPEC_HANDLER_KINDS:
+            return (
+                f"unsupported handler kind {kind!r} "
+                f"(supported: {sorted(SPEC_HANDLER_KINDS)})"
+            )
         match = body.get("match", "")
         if match:
             from kapacitor_spark.topics import _match_tokens
@@ -464,6 +466,9 @@ class TaskStoreService:
         elif sub == "events":
             if not exists:
                 return 404, {"error": f"unknown topic {tid!r}"}
+            _, err = self._min_level(query)
+            if err:
+                return 400, {"error": err}
             states = self.topic_store.event_states(
                 tid, query.get("min-level", ["OK"])[0]
             )
@@ -549,7 +554,11 @@ class TaskStoreService:
                 if method == "PATCH":
                     if cur is None:
                         return 404, {"error": f"unknown handler {hid!r}"}
-                    spec = {k: v for k, v in cur.items()}
+                    import copy
+
+                    # deep copy: nested /options/* patch ops must not
+                    # touch the live store entry until validation passes
+                    spec = copy.deepcopy(cur)
                     ops = body if isinstance(body, list) else [body]
                     for op in ops:
                         if "op" in op:
@@ -585,7 +594,13 @@ class TaskStoreService:
                     return 204, None
         return 404, {"error": f"unknown route {method} alerts/{rest}"}
 
-    def dispatch_events(self, events_df, services=None, topic_col="topic"):
+    def dispatch_events(
+        self,
+        events_df,
+        services=None,
+        topic_col="topic",
+        prev_level_col=None,
+    ):
         """The DATA PLANE behind the handler CRUD API: route an
         alert-event DataFrame through every REST-registered handler spec
         (the reference's Topics.Collect → handler fan-out,
@@ -593,19 +608,41 @@ class TaskStoreService:
         topics.register_handler_spec — the same path the YAML
         define-topic-handler contract uses — so match conditions, kind
         formatters and service configs behave identically whether a
-        handler arrived via REST or via code."""
+        handler arrived via REST or via code.
+
+        ``prev_level_col``: the previous-level column match ``changed()``
+        conditions read; defaults to ``"prev"`` when the DataFrame has
+        one. A spec whose callable cannot be built (missing option,
+        unconfigured service) is SKIPPED with a warning instead of
+        aborting delivery for every other handler — a page must not be
+        dropped because an unrelated handler is misconfigured.
+
+        Returns the list of (handler_key, error) pairs skipped."""
         from kapacitor_spark.topics import (
             TopicRegistry,
             register_handler_spec,
         )
 
+        if prev_level_col is None and "prev" in events_df.columns:
+            prev_level_col = "prev"
         reg = TopicRegistry()
+        skipped = []
         for key, spec in sorted(self.store.handlers.items()):
             tid, hid = key.split("/", 1)
-            register_handler_spec(
-                reg, {**spec, "id": hid, "topic": tid}, services=services
-            )
+            try:
+                register_handler_spec(
+                    reg, {**spec, "id": hid, "topic": tid},
+                    services=services, prev_level_col=prev_level_col,
+                )
+            except Exception as e:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "skipping alert handler %s: %s", key, e
+                )
+                skipped.append((key, str(e)))
         reg.dispatch(events_df, topic_col=topic_col)
+        return skipped
 
     # -- recordings / replays ----------------------------------------- #
 

@@ -73,6 +73,65 @@ def barrier(df: DataFrame, time_col: str, delay: str | float) -> DataFrame:
     return df.withWatermark(time_col, to_interval(delay))
 
 
+def _episode_durations(lvs, tms_us, last_level: int, ep_start: int):
+    """Shared .durationField derivation (alert.go event Duration): ns
+    since the OK→non-OK transition; a recovery row carries the ended
+    episode's length; steady OK is 0. ``last_level`` is the PRE-walk
+    carry, ``ep_start`` the carried episode-start µs (-1 = none).
+    Returns (durations int64 ndarray, new ep_start). One implementation
+    for alert_stream and both fused window operators — the batch compile
+    derives the identical value from window expressions."""
+    lv_arr = np.asarray(lvs, dtype=np.int64)
+    tms_us = np.asarray(tms_us, dtype=np.int64)
+    prev = np.concatenate(([last_level], lv_arr[:-1]))
+    starts = (lv_arr != 0) & (prev == 0)
+    sidx = np.where(starts, np.arange(len(lv_arr)), -1)
+    np.maximum.accumulate(sidx, out=sidx)
+    ep = np.where(sidx >= 0, tms_us[np.clip(sidx, 0, None)], ep_start)
+    in_ep = (lv_arr != 0) | (prev != 0)
+    durs = np.where(
+        in_ep & (ep >= 0), (tms_us - ep) * 1000, 0
+    ).astype("int64")
+    if len(ep):
+        ep_start = int(ep[-1])
+    return durs, ep_start
+
+
+def _count_window_step(carry, since, vals, period_count, every_count,
+                       agg, full_only):
+    """One micro-batch slice of the keyed count-window ring
+    (/root/reference/window.go:360-470), vectorized: trailing-window
+    aggregates via cumsum prefix sums (sum/mean/count) or a
+    sliding_window_view front-padded with identity values (min/max), and
+    the every_count emission gate. Shared by window_count_stream and the
+    fused window_count_alert_stream. Returns
+    (out values, emit gate, new carry, new since)."""
+    arr = np.concatenate([carry, vals])
+    n0, n = len(carry), len(arr)
+    g = np.arange(n0, n)
+    lo = np.maximum(g + 1 - period_count, 0)
+    if agg in ("sum", "mean", "count"):
+        cs = np.concatenate([[0.0], np.cumsum(arr)])
+        wsum = cs[g + 1] - cs[lo]
+        wcnt = (g + 1 - lo).astype(float)
+        out = {"sum": wsum, "mean": wsum / wcnt, "count": wcnt}[agg]
+    else:
+        pad_v = np.inf if agg == "min" else -np.inf
+        padded = np.concatenate([np.full(period_count - 1, pad_v), arr])
+        win = np.lib.stride_tricks.sliding_window_view(padded, period_count)
+        full = win.min(axis=1) if agg == "min" else win.max(axis=1)
+        out = full[g]
+    # emission gate: counter hits every_count then resets → the i-th new
+    # point emits iff (since + i + 1) % every_count == 0
+    gate = (since + np.arange(1, len(vals) + 1)) % every_count == 0
+    if full_only:
+        # the carry holds min(total_seen, period_count) values, so
+        # (carry + position) >= period_count detects window-full
+        # correctly across micro-batch boundaries
+        gate &= (g + 1) >= period_count
+    return out, gate, arr[-period_count:], int((since + len(vals)) % every_count)
+
+
 def _level_expr(crit, warn, info) -> "F.Column":
     expr = F.lit("OK")
     if info is not None:
@@ -251,28 +310,14 @@ def alert_stream(
             else:
                 lvs = pdf["__lv"].to_numpy()
             if duration_field is not None:
-                # episode duration (alert.go event Duration): ns since the
-                # OK→non-OK transition; recovery carries the ended
-                # episode's length; steady OK is 0. prev level / episode
-                # start carry across micro-batches in keyed state —
-                # st["last_level"] is still the PRE-walk carry here.
-                lv_arr = np.asarray(lvs, dtype=np.int64)
-                t_us = (
-                    pdf[tcol].to_numpy(dtype="datetime64[us]").astype("int64")
+                # st["last_level"] is still the PRE-walk carry here
+                durs, ep_start = _episode_durations(
+                    lvs,
+                    pdf[tcol].to_numpy(dtype="datetime64[us]")
+                    .astype("int64"),
+                    st["last_level"], ep_start,
                 )
-                prev = np.concatenate(([st["last_level"]], lv_arr[:-1]))
-                starts = (lv_arr != 0) & (prev == 0)
-                sidx = np.where(starts, np.arange(len(lv_arr)), -1)
-                np.maximum.accumulate(sidx, out=sidx)
-                ep = np.where(
-                    sidx >= 0, t_us[np.clip(sidx, 0, None)], ep_start
-                )
-                in_ep = (lv_arr != 0) | (prev != 0)
-                pdf = pdf.assign(**{duration_field: np.where(
-                    in_ep & (ep >= 0), (t_us - ep) * 1000, 0
-                ).astype("int64")})
-                if len(ep):
-                    ep_start = int(ep[-1])
+                pdf = pdf.assign(**{duration_field: durs})
             emit, st = walk_levels(
                 lvs,
                 st,
@@ -635,21 +680,11 @@ def window_alert_stream(
                         lvs = np.where(preds[l](rows), l, lvs)
             tms = np.array([s for s, _ in vals], dtype=np.int64)
             if duration_field is not None:
-                # episode duration over the emitted window rows (their
-                # event time = window start), same carry rules as
-                # alert_stream — st["last_level"] is the pre-walk carry
-                lv_arr = np.asarray(lvs, dtype=np.int64)
-                prev = np.concatenate(([st["last_level"]], lv_arr[:-1]))
-                eps = (lv_arr != 0) & (prev == 0)
-                sidx = np.where(eps, np.arange(len(lv_arr)), -1)
-                np.maximum.accumulate(sidx, out=sidx)
-                ep = np.where(sidx >= 0, tms[np.clip(sidx, 0, None)], ep_start)
-                in_ep = (lv_arr != 0) | (prev != 0)
-                durs = np.where(
-                    in_ep & (ep >= 0), (tms - ep) * 1000, 0
-                ).astype("int64")
-                if len(ep):
-                    ep_start = int(ep[-1])
+                # emitted window rows' event time = window start;
+                # st["last_level"] is the pre-walk carry
+                durs, ep_start = _episode_durations(
+                    lvs, tms, st["last_level"], ep_start
+                )
             emit, st = walk_levels(
                 lvs, st,
                 state_changes_only=state_changes_only,
@@ -1429,34 +1464,13 @@ def window_count_stream(
         for pdf in pdfs:
             pdf = pdf.sort_values([time_col, *tiebreak], kind="stable")
             vals = pdf[fld].to_numpy(dtype=float)
-            arr = np.concatenate([carry, vals])
-            n0, n = len(carry), len(arr)
-            g = np.arange(n0, n)  # global index of each new point
-            lo = np.maximum(g + 1 - period_count, 0)
-            if agg in ("sum", "mean", "count"):
-                cs = np.concatenate([[0.0], np.cumsum(arr)])
-                wsum = cs[g + 1] - cs[lo]
-                wcnt = (g + 1 - lo).astype(float)
-                out = {"sum": wsum, "mean": wsum / wcnt, "count": wcnt}[agg]
-            else:
-                pad_v = np.inf if agg == "min" else -np.inf
-                padded = np.concatenate([np.full(period_count - 1, pad_v), arr])
-                win = np.lib.stride_tricks.sliding_window_view(padded, period_count)
-                full = win.min(axis=1) if agg == "min" else win.max(axis=1)
-                out = full[g]
-            # emission gate: counter hits every_count then resets → the
-            # i-th new point emits iff (since + i + 1) % every_count == 0
-            emit = (since + np.arange(1, len(vals) + 1)) % every_count == 0
-            if full_only:
-                # the carry holds min(total_seen, period_count) values,
-                # so (carry + position) >= period_count detects window-
-                # full correctly across micro-batch boundaries
-                emit &= (g + 1) >= period_count
+            out, emit, carry, since = _count_window_step(
+                carry, since, vals, period_count, every_count, agg,
+                full_only,
+            )
             res = pdf.loc[emit, [time_col, *dims]].copy()
             res[as_] = out[emit]
             yield res
-            carry = arr[-period_count:]
-            since = int((since + len(vals)) % every_count)
         state.update((",".join(repr(x) for x in carry), since))
 
     return df.groupBy(*[F.col(d) for d in dims]).applyInPandasWithState(
@@ -1571,30 +1585,10 @@ def window_count_alert_stream(
         for pdf in pdfs:
             pdf = pdf.sort_values([time_col, *tiebreak], kind="stable")
             vals = pdf[fld].to_numpy(dtype=float)
-            arr = np.concatenate([carry, vals])
-            n0, n = len(carry), len(arr)
-            g = np.arange(n0, n)
-            lo = np.maximum(g + 1 - period_count, 0)
-            if agg in ("sum", "mean", "count"):
-                cs = np.concatenate([[0.0], np.cumsum(arr)])
-                wsum = cs[g + 1] - cs[lo]
-                wcnt = (g + 1 - lo).astype(float)
-                out = {"sum": wsum, "mean": wsum / wcnt, "count": wcnt}[agg]
-            else:
-                pad_v = np.inf if agg == "min" else -np.inf
-                padded = np.concatenate(
-                    [np.full(period_count - 1, pad_v), arr]
-                )
-                win = np.lib.stride_tricks.sliding_window_view(
-                    padded, period_count
-                )
-                full = win.min(axis=1) if agg == "min" else win.max(axis=1)
-                out = full[g]
-            gate = (since + np.arange(1, len(vals) + 1)) % every_count == 0
-            if full_only:
-                gate &= (g + 1) >= period_count
-            carry = arr[-period_count:]
-            since = int((since + len(vals)) % every_count)
+            out, gate, carry, since = _count_window_step(
+                carry, since, vals, period_count, every_count, agg,
+                full_only,
+            )
             if not gate.any():
                 continue
             rows = pdf.loc[gate, [time_col, *dims]].copy()
@@ -1624,17 +1618,9 @@ def window_count_alert_stream(
                 .astype("int64")
             )
             if duration_field is not None:
-                prev = np.concatenate(([st["last_level"]], lvs[:-1]))
-                eps = (lvs != 0) & (prev == 0)
-                sidx = np.where(eps, np.arange(len(lvs)), -1)
-                np.maximum.accumulate(sidx, out=sidx)
-                ep = np.where(sidx >= 0, tms[np.clip(sidx, 0, None)], ep_start)
-                in_ep = (lvs != 0) | (prev != 0)
-                durs = np.where(
-                    in_ep & (ep >= 0), (tms - ep) * 1000, 0
-                ).astype("int64")
-                if len(ep):
-                    ep_start = int(ep[-1])
+                durs, ep_start = _episode_durations(
+                    lvs, tms, st["last_level"], ep_start
+                )
             emit, st = walk_levels(
                 lvs, st,
                 state_changes_only=state_changes_only,

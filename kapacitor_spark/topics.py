@@ -28,10 +28,18 @@ __all__ = [
     "publish_to_topics",
     "match_filter",
     "register_handler_spec",
+    "SPEC_HANDLER_KINDS",
 ]
 
 # alert.Level severity order (reference alert/types.go)
 _LEVEL_SEVERITY = {"OK": 0, "INFO": 1, "WARNING": 2, "CRITICAL": 3}
+
+#: handler kinds register_handler_spec can build delivery callables for
+#: (other reference services deliver via kapacitor_spark.handlers
+#: formatters directly) — the REST layer validates against this set
+SPEC_HANDLER_KINDS = frozenset(
+    {"log", "post", "exec", "tcp", "slack", "victorops", "pagerduty2"}
+)
 
 
 class TopicRegistry:
@@ -582,21 +590,13 @@ class TopicStore:
 
         if self._dir is None:
             return
+        from kapacitor_spark._io import atomic_write_json
+
         states = self._topics.get(topic, {})
         disk = {k: v for k, v in states.items() if v["level"] != "OK"}
-        fd, tmp = tempfile.mkstemp(
-            dir=self._dir, prefix=".topic_", suffix=".tmp"
+        atomic_write_json(
+            self._file(topic), {"topic": topic, "states": disk}
         )
-        try:
-            with os.fdopen(fd, "w") as fh:
-                _json.dump({"topic": topic, "states": disk}, fh)
-            os.replace(tmp, self._file(topic))
-        except BaseException:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
-            raise
 
     def collect(
         self,
@@ -625,21 +625,25 @@ class TopicStore:
     def topic_state(self, topic: str) -> tuple[bool, str]:
         """(exists, level) — level is the max over current event states,
         OK for an empty (but existing) topic."""
-        if topic not in self._topics:
-            return False, "OK"
-        states = self._topics[topic]
-        if not states:
-            return True, "OK"
-        return True, max(
-            (s["level"] for s in states.values()),
-            key=self._LEVELS.index,
-        )
+        with self._lock:
+            if topic not in self._topics:
+                return False, "OK"
+            states = self._topics[topic]
+            if not states:
+                return True, "OK"
+            return True, max(
+                (s["level"] for s in states.values()),
+                key=self._LEVELS.index,
+            )
 
     def event_states(self, topic: str, min_level: str = "OK") -> dict:
-        states = self._topics.get(topic, {})
         floor = self._LEVELS.index(min_level)
+        with self._lock:
+            states = {
+                k: dict(v) for k, v in self._topics.get(topic, {}).items()
+            }
         return {
-            k: dict(v)
+            k: v
             for k, v in states.items()
             if self._LEVELS.index(v["level"]) >= floor
         }
@@ -653,7 +657,8 @@ class TopicStore:
             return sorted(self._topics)
 
     def collected(self, topic: str) -> int:
-        return self._collected.get(topic, 0)
+        with self._lock:
+            return self._collected.get(topic, 0)
 
     def delete_topic(self, topic: str) -> bool:
         """DELETE /alerts/topics/<id> semantics (the reference's

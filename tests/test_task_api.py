@@ -731,3 +731,82 @@ def test_rest_registered_handlers_receive_events(spark, tmp_path):
     )
     assert msgs(log_a) == ["c1", "w1"]   # topic-scoped, all levels
     assert msgs(log_b) == ["c1"]         # + match condition
+
+
+def test_alert_api_hardening(tmp_path):
+    """The review fixes: bad min-level 400s (not 500), unsupported
+    handler kinds are rejected at create, and a failed PATCH leaves the
+    stored spec untouched (deep-copy before applying patch ops)."""
+    service = TaskStoreService(store_dir=str(tmp_path / "store"))
+    port = service.start()
+    try:
+        st, err = _req(
+            port, "GET", "/alerts/topics?min-level=warn",
+            expect_error=True,
+        )
+        assert st == 400 and "min-level" in err["error"]
+        st, err = _req(
+            port, "POST", "/alerts/topics/t/handlers",
+            {"id": "h", "kind": "nosuch"}, expect_error=True,
+        )
+        assert st == 400 and "unsupported handler kind" in err["error"]
+
+        _req(port, "POST", "/alerts/topics/t/handlers",
+             {"id": "h", "kind": "post",
+              "options": {"url": "http://127.0.0.1:1/x"}})
+        # a patch whose match is invalid must not half-apply the
+        # nested option ops it carried
+        st, err = _req(
+            port, "PATCH", "/alerts/topics/t/handlers/h",
+            [{"op": "replace", "path": "/options/url",
+              "value": "http://mutated/"},
+             {"op": "replace", "path": "/match", "value": "level() === X"}],
+            expect_error=True,
+        )
+        assert st == 400
+        st, h = _req(port, "GET", "/alerts/topics/t/handlers/h")
+        assert h["options"]["url"] == "http://127.0.0.1:1/x"
+        st, err = _req(
+            port, "GET", "/alerts/topics/t/events?min-level=zz",
+            expect_error=True,
+        )
+        assert st == 400
+    finally:
+        service.stop()
+
+
+def test_dispatch_events_changed_match_and_isolation(spark, tmp_path):
+    """changed() match conditions read the prev-level column
+    (auto-detected as 'prev'), and one unbuildable spec is skipped with
+    a report instead of aborting delivery for working handlers."""
+    import datetime as dt
+
+    Z = dt.timezone.utc
+    rows = [
+        (dt.datetime(2024, 1, 1, tzinfo=Z), "cpu", "CRITICAL", "OK",
+         "fresh", 0, "t"),
+        (dt.datetime(2024, 1, 1, 0, 1, tzinfo=Z), "cpu", "CRITICAL",
+         "CRITICAL", "steady", 0, "t"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "ts timestamp, name string, level string, prev string, "
+        "message string, duration long, topic string",
+    )
+    service = TaskStoreService(store_dir=str(tmp_path / "store"))
+    port = service.start()
+    log = tmp_path / "changed.jsonl"
+    try:
+        _req(port, "POST", "/alerts/topics/t/handlers",
+             {"id": "ch", "kind": "log", "options": {"path": str(log)},
+              "match": "changed() == TRUE"})
+        # a spec that validates (kind known) but cannot BUILD (log with
+        # no path) must not abort the working handler
+        _req(port, "POST", "/alerts/topics/t/handlers",
+             {"id": "broken", "kind": "log", "options": {}})
+        skipped = service.dispatch_events(ev)
+    finally:
+        service.stop()
+    assert [k for k, _ in skipped] == ["t/broken"]
+    msgs = [json.loads(l)["message"] for l in log.read_text().splitlines()]
+    assert msgs == ["fresh"]  # changed() passes only the transition row

@@ -1798,12 +1798,12 @@ stream
         )
 
 
-def test_stateful_alert_after_count_window_still_raises(spark, stream_src):
-    """Count windows keep their own keyed ring operator — a stateful
-    alert after one would still chain two keyed operators, so the
-    compile still raises toward the batch replay (the fused operator
-    covers TIME windows, the reference's canonical live shape)."""
-    from kapacitor_spark.tick import TickError, run_tickscript_stream
+def test_stateful_alert_after_count_window_compiles_fused(spark, stream_src):
+    """Count windows + stateful alert fuse since the r11 3rd wave
+    (window_count_alert_stream) — this shape used to raise; now it
+    compiles as a single keyed operator. Parity is pinned by
+    test_count_window_stateful_alert_stream_equals_batch."""
+    from kapacitor_spark.tick import run_tickscript_stream
 
     script = """
 stream
@@ -1820,8 +1820,10 @@ stream
         .stateChangesOnly()
     |httpOut('a')
 """
-    with pytest.raises(TickError, match="stateful"):
-        run_tickscript_stream(
-            script, sources={"cpu": _stream_df(spark, stream_src)},
-            time_col="time",
-        )
+    souts = run_tickscript_stream(
+        script, sources={"cpu": _stream_df(spark, stream_src)},
+        time_col="time",
+    )
+    assert souts["a"].isStreaming
+    plan = souts["a"]._jdf.queryExecution().analyzed().toString()
+    assert plan.count("FlatMapGroupsInPandasWithState") == 1
