@@ -205,19 +205,28 @@ def minhash_signature(
     # doc — measured 7.5x at sf0.1 (2.87 s → 0.38 s for the fold).
     # CollapseProject keeps both boundaries: __toks/__sh are multi-use
     # and non-cheap.
-    tk = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), tokenize(text_col).alias("__toks")
+    # Every projection below is ONE selectExpr string (r11 optimization
+    # round): the Column-API form of this chain cost ~0.32 s of pure
+    # driver time per build in py4j round-trips (measured via cProfile —
+    # each transform/lambda/lit is a blocking socket round trip); the
+    # string form is a single SQL parse. The expressions are verbatim
+    # SQL spellings of the same operators (split/lower/trim == tokenize,
+    # the transform lambdas, the int-literal masks), so the analyzed
+    # plans — and the signatures — are identical (equivalence pinned by
+    # the unchanged oracle rows + test_minhash_signature_is_codegen).
+    tk = df.filter(F.col(text_col).isNotNull()).selectExpr(
+        f"`{id_col}`",
+        f"split(lower(trim(`{text_col}`)), '\\\\s+') AS __toks",
     )
-    shd = tk.select(
-        F.col(id_col), hashed_shingles(F.col("__toks"), shingle_k).alias("__sh")
+    shd = tk.selectExpr(
+        f"`{id_col}`",
+        f"array_distinct(transform(sequence(0, greatest(size(__toks) - {shingle_k}, 0)), "
+        f"i -> xxhash64(slice(__toks, i + 1, {shingle_k})))) AS __sh",
     )
-    sh = F.col("__sh")
-    base = shd.select(
-        F.col(id_col),
-        F.transform(sh, lambda h: h.bitwiseAND(F.lit((1 << 61) - 1))).alias("__a"),
-        F.transform(
-            sh, lambda h: F.xxhash64(h).bitwiseAND(F.lit((1 << 32) - 1))
-        ).alias("__b"),
+    base = shd.selectExpr(
+        f"`{id_col}`",
+        f"transform(__sh, h -> h & {(1 << 61) - 1}) AS __a",
+        f"transform(__sh, h -> xxhash64(h) & {(1 << 32) - 1}) AS __b",
     )
     mins = [
         f"array_min(zip_with(__a, __b, (x, y) -> x + {i} * y)) AS __h{i}"
@@ -239,19 +248,21 @@ def lsh_candidate_pairs(
     Jaccard ≳ 0.5. The explode is bands× row inflation of (id, 8B hash)
     only; the join is an equi-join AQE can re-plan.
     """
-    n = bands * rows_per_band
-    band_arr = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                F.concat_ws(",", *[F.element_at("signature", b * rows_per_band + r + 1).cast("string")
-                                   for r in range(rows_per_band)]),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig_df.select(
-        F.col(id_col), F.posexplode(band_arr).alias("band", "band_hash")
+    # band array as ONE selectExpr string (r11 optimization round): the
+    # Column-API form (bands × rows_per_band element_at/cast/concat_ws/
+    # xxhash64 objects) cost ~0.57 s of driver py4j time per build; one
+    # SQL parse builds the identical expressions (integer literals stay
+    # int32 both ways, so the xxhash64 seeds and hashes are unchanged).
+    band_terms = []
+    for b in range(bands):
+        elems = ", ".join(
+            f"cast(element_at(signature, {b * rows_per_band + r + 1}) as string)"
+            for r in range(rows_per_band)
+        )
+        band_terms.append(f"xxhash64({b}, concat_ws(',', {elems}))")
+    banded = sig_df.selectExpr(
+        f"`{id_col}`",
+        f"posexplode(array({', '.join(band_terms)})) AS (band, band_hash)",
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -298,13 +309,13 @@ def jaccard_pairs(
         .persist()
     )
     out = (
-        pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        pairs.join(sets.selectExpr(f"`{id_col}` AS id_a", "sh AS sh_a"), "id_a")
+        .join(sets.selectExpr(f"`{id_col}` AS id_b", "sh AS sh_b"), "id_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return out.select(
-        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+    return out.selectExpr(
+        "id_a", "id_b",
+        "round(cast(size(array_intersect(sh_a, sh_b)) as double) / "
+        "cast(size(array_union(sh_a, sh_b)) as double), 6) AS jaccard",
     )
 
 

@@ -118,8 +118,39 @@ def read_table(spark: SparkSession, path: str):
 
     The cast is a cheap codegen'd projection on top of the scan; predicate
     pushdown and column pruning on all other columns are unaffected.
+
+    PLAN MEMO (r11 optimization round, guide §5 "the driver should do
+    almost no data work"): building this DataFrame costs ~0.13-0.39 s of
+    pure DRIVER time per call (DataSource resolution re-lists the path and
+    re-reads parquet footers for schema inference every time), and a bench
+    pass pays it for every query build. The resulting object is a LAZY
+    plan — it holds no rows; every action on it still scans the parquet
+    files — so re-serving the same plan for the same on-disk file is plan
+    reuse, not result caching. The memo lives on the SparkSession object
+    (dies with the session) and is keyed on (abspath, mtime_ns, size):
+    a rewritten fixture file invalidates its entry. Directory inputs are
+    never memoized (a directory's mtime does not track content changes).
     """
+    import os as _os
+
     from pyspark.sql import functions as F
+
+    memo_key = None
+    try:
+        if not _os.path.isdir(path):
+            st = _os.stat(path)
+            memo_key = (_os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        memo_key = None
+    memo = getattr(spark, "_kspark_read_table_memo", None)
+    if memo is None:
+        memo = {}
+        try:
+            spark._kspark_read_table_memo = memo
+        except Exception:
+            memo = None
+    if memo is not None and memo_key is not None and memo_key in memo:
+        return memo[memo_key]
 
     try:
         import pyarrow.parquet as pq
@@ -147,6 +178,8 @@ def read_table(spark: SparkSession, path: str):
     for c in nanos_cols:
         # integer DIV, not float division: ns epochs overflow double mantissa
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    if memo is not None and memo_key is not None:
+        memo[memo_key] = df
     return df
 
 
