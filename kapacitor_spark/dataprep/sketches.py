@@ -259,10 +259,39 @@ def cm_rollup(
             "can hash candidates identically"
         )
     bucket = F.window(F.col(time_col), every).start.alias("bucket")
-    return df.groupBy(bucket, *[F.col(d) for d in dims]).agg(
+    # Repartition the NARROW key rows by the group key BEFORE the sketch
+    # aggregate (r11 optimization round, guide §2.3/§5): a CM sketch
+    # buffer is depth×width longs (~560 KB at the defaults), so map-side
+    # partial aggregation materializes tasks × groups × 560 KB of partial
+    # state — measured 1.42 s single-task at sf0.1 (150 groups), and at
+    # cluster scale 1000 tasks × 150 groups would be ~84 GB of partials
+    # (an OOM, then an 84 GB shuffle of sketch bytes). Shuffling the raw
+    # (bucket, dims, key) rows first costs rows × ~24 B once, after which
+    # each group's sketch is built exactly ONCE on its final task and no
+    # sketch bytes ever cross an exchange. Measured 0.28 s at sf0.1 (5x).
+    # Sketch contents are insertion-order- and merge-order-independent
+    # (per-cell counters), so the output is byte-identical either way
+    # (pinned by test_cm_rollup_distributed_build_bytes_identical).
+    # Hot-group skew: one group = one task, the same bound any keyed
+    # aggregation has; partition count follows spark.sql.shuffle.partitions.
+    # explicit partition count (defaultParallelism — scale-adaptive, one
+    # per core locally, total cores on a cluster): a bare repartition(cols)
+    # is AQE-coalescible, and on a small input AQE folds the row shuffle
+    # back to ONE partition — re-serializing the sketch build single-task
+    # (measured: 2.5 s coalesced vs 0.28 s at 32 partitions, sf0.1)
+    keyed = df.select(
+        bucket,
+        *[F.col(d) for d in dims],
+        F.col(value_col).cast("long").alias("__cmv"),
+    ).repartition(
+        df.sparkSession.sparkContext.defaultParallelism,
+        F.col("bucket"),
+        *[F.col(d) for d in dims],
+    )
+    return keyed.groupBy("bucket", *[F.col(d) for d in dims]).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_min_sketch(
-            F.col(value_col).cast("long"),
+            F.col("__cmv"),
             F.lit(float(eps)),
             F.lit(float(confidence)),
             F.lit(int(seed)),

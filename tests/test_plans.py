@@ -394,18 +394,59 @@ def test_theta_kll_rollups_partial_agg_and_equi_join(spark):
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
 
 
-def test_cm_rollup_partial_sketches_before_exchange(spark):
-    """The CM rollup combines map-side like its HLL/theta/KLL siblings;
-    the query side's only Python is the applyInPandas over ROLLUP rows."""
+def test_cm_rollup_rows_shuffle_before_sketch_build(spark):
+    """r11 optimization round: a CM sketch state is ~560 KB per group, so
+    map-side partials cost tasks × groups × 560 KB (measured 1.42 s
+    single-task at sf0.1; an OOM-scale blowup at 1000 tasks). The rollup
+    must shuffle the NARROW key rows by the group key FIRST — after the
+    exchange each group's sketch is built once and no sketch bytes cross
+    the wire. The exchange must carry only (bucket, dims, key); the query
+    side's only Python stays the applyInPandas over ROLLUP rows."""
     from kapacitor_spark.dataprep.sketches import cm_rollup
 
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    plan = (
-        cm_rollup(ev, dims=("event_type",))
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+    jplan = cm_rollup(ev, dims=("event_type",))._jdf.queryExecution()
+    plan = jplan.executedPlan().toString()
+    # the exchange is the row repartition, BELOW both aggregate twins —
+    # partial and final run back-to-back post-shuffle, so partial state
+    # is bounded by groups-per-task, not tasks × groups
     assert "partial_count_min_sketch" in plan
+    # structurally: exactly one Exchange (the row repartition), and no
+    # sketch aggregate below it — the subtree under the Exchange is the
+    # bare (bucket, dims, key) projection over the scan
+    assert plan.count("Exchange hashpartitioning") == 1
+    below_exchange = plan[plan.rindex("Exchange hashpartitioning"):]
+    assert "count_min_sketch" not in below_exchange
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_cm_rollup_distributed_build_bytes_identical(spark):
+    """The pre-shuffled build must produce byte-identical sketches to a
+    straight groupBy (CM cells are order-independent counters): compare
+    against an agg over the same rows with no repartition."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from kapacitor_spark.dataprep.sketches import cm_rollup
+
+    new = {
+        (r["bucket"], r["event_type"]): (r["n_rows"], bytes(r["cm"]))
+        for r in cm_rollup(ev, dims=("event_type",)).collect()
+    }
+    bucket = F.window(F.col("ts"), "1 day").start.alias("bucket")
+    ref = {
+        (r["bucket"], r["event_type"]): (r["n_rows"], bytes(r["cm"]))
+        for r in ev.groupBy(bucket, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_min_sketch(
+                F.col("user_id").cast("long"),
+                F.lit(2e-4), F.lit(0.99), F.lit(17),
+            ).alias("cm"),
+        )
+        .collect()
+    }
+    assert new == ref
 
 
 def test_doc_chunking_is_shuffle_free_projection(spark):
