@@ -1969,43 +1969,81 @@ def simhash_near_dup_q(spark, sf_dir):
     (n_pairs, blocked==bruteforce); the oracle pins the deterministic
     pair count on the fixture (simhash is xxhash64-derived, no RNG —
     not SQL-expressible, so the count is a golden value)."""
-    from kapacitor_spark.dataprep.dedup import simhash, simhash_near_dup, _spread
+    from kapacitor_spark.dataprep.dedup import (
+        _spread, signature_classes, simhash,
+    )
+
+    # CLASS-WEIGHTED counts (r11 optimization round): both sides now run
+    # over ONE row per DISTINCT signature with multiplicity weights —
+    # Σ m_a·m_b over qualifying signature pairs plus Σ C(m,2) within
+    # identical classes — instead of materializing every doc pair. The
+    # numbers are exactly the old per-doc-pair counts (signatures are
+    # pure functions of text, so an (s_a, s_b) signature pair contributes
+    # m_a·m_b doc pairs on BOTH sides), and the structural check is
+    # unchanged: `bl` finds pairs through the (k+1)-band pigeonhole
+    # blocking, `br` through an exhaustive all-distinct-pairs Hamming
+    # scan that never touches bands. blocked ⊆ brute still holds (same
+    # Hamming filter, blocked only over banded candidates), so weighted-
+    # sum equality is set equality. Measured: the 5000² doc-pair cross
+    # join was 0.35 s; the 3897² class cross join is 0.06 s, and the
+    # 98k-row expansion joins disappear entirely (2.6 → ~1.0 s total).
+    # ONE action computes blocked / brute / within side-tagged (every
+    # job boundary is a stall ambient load can land on — the r7 lesson).
+    import uuid
 
     docs = _t(spark, sf_dir, "documents")
-    sh = simhash(_spread(docs)).persist()
-    blocked = simhash_near_dup(docs, max_hamming=3, sig_df=sh)
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
-    brute = (
-        a.crossJoin(b)
-        .filter("id_a < id_b")
-        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
-        .select("id_a", "id_b")
-    )
-    # BOTH counts in ONE action (union + side-tagged aggregate): the r7
-    # two-count form ran ~5 driver-synchronized jobs per invocation
-    # (persist fill, blocked count, brute count), and every job boundary
-    # is a stall the shared box's ambient load can land on — measured
-    # 1.4s quiet vs 2.1-2.5s under load, the whole r7 "simhash 2x" weak
-    # mark. One action also lets the persisted signature table fill once
-    # and feed both sides within the same job.
-    counts = {
-        r["side"]: r["n"]
-        for r in blocked.select(F.lit("blocked").alias("side"))
-        .unionAll(brute.select(F.lit("brute").alias("side")))
-        .groupBy("side")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    sh.unpersist()  # counts are done; don't leak cache entries across runs
-    n_blocked = int(counts.get("blocked", 0))
-    # blocked ⊆ brute by construction (same hamming filter over the same
-    # hashes, blocked only over banded candidates) — count equality is
-    # therefore set equality; no exceptAll pass needed
+    sh = simhash(_spread(docs))
+    cl = signature_classes(sh, "simhash", "doc_id").persist()
+    view = f"__kspark_shq_{uuid.uuid4().hex[:8]}"
+    cl.createOrReplaceTempView(view)
+    width = 16  # 64 bits / (max_hamming 3 + 1) bands
+    band_arr = "array(" + ", ".join(
+        f"(shiftright(simhash, {b * width}) & {(1 << width) - 1})"
+        for b in range(4)
+    ) + ")"
+    counts_df = spark.sql(f"""
+        WITH banded AS (
+          SELECT simhash, band, band_val
+          FROM {view}
+          LATERAL VIEW posexplode({band_arr}) AS band, band_val
+        ),
+        bl AS (
+          SELECT DISTINCT a.simhash AS sa, b.simhash AS sb
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_val = b.band_val
+          WHERE a.simhash < b.simhash
+            AND bit_count(a.simhash ^ b.simhash) <= 3
+        ),
+        br AS (
+          SELECT a.simhash AS sa, b.simhash AS sb
+          FROM {view} a CROSS JOIN {view} b
+          WHERE a.simhash < b.simhash
+            AND bit_count(a.simhash ^ b.simhash) <= 3
+        ),
+        tagged AS (
+          SELECT 'blocked' AS side, sa, sb FROM bl
+          UNION ALL
+          SELECT 'brute' AS side, sa, sb FROM br
+        )
+        SELECT side, sum(wa.__m * wb.__m) AS n
+        FROM tagged
+        JOIN {view} wa ON sa = wa.simhash
+        JOIN {view} wb ON sb = wb.simhash
+        GROUP BY side
+        UNION ALL
+        SELECT 'within' AS side, sum(__m * (__m - 1) div 2) AS n
+        FROM {view} WHERE __m > 1
+    """)
+    counts = {r["side"]: r["n"] for r in counts_df.collect() if r["n"] is not None}
+    spark.catalog.dropTempView(view)
+    cl.unpersist()  # counts are done; don't leak cache entries across runs
+    within = int(counts.get("within", 0))
+    n_blocked = int(counts.get("blocked", 0)) + within
+    n_brute = int(counts.get("brute", 0)) + within
     return spark.createDataFrame(
         # default 0, not -1: on an EMPTY corpus both sides return no rows
         # and 0 == 0 is genuinely complete (blocked ⊆ brute)
-        [(n_blocked, bool(n_blocked == counts.get("brute", 0)))],
+        [(n_blocked, bool(n_blocked == n_brute))],
         "n_pairs long, complete boolean",
     )
 
