@@ -166,47 +166,39 @@ def _parse_lines_python(df: DataFrame, col: str, precision_ns: bool) -> DataFram
 def _parse_lines_jvm(df: DataFrame, col: str, precision_ns: bool) -> DataFrame:
     """JVM fast path for SIMPLE lines (no quotes, no backslash escapes —
     the overwhelmingly common telemetry shape): split + str_to_map +
-    regex-classified typed maps, all inside whole-stage codegen."""
-    line = F.col(col)
-    parts = F.split(line, " ")
-    head = F.element_at(parts, 1)
-    field_str = F.element_at(parts, 2)
-    ts_str = F.when(F.size(parts) >= 3, F.element_at(parts, 3))
-    name = F.substring_index(head, ",", 1)
-    tag_str = F.when(
-        F.instr(head, ",") > 0, F.expr(f"substring({'__head'}, instr(__head, ',') + 1)")
-    )
-    fmap = F.str_to_map(field_str, F.lit(","), F.lit("="))
-    is_int = lambda v: v.rlike(r"^-?\d+[iu]$")
-    is_bool = lambda v: v.rlike(r"^(t|T|true|True|TRUE|f|F|false|False|FALSE)$")
-    is_float = lambda v: v.rlike(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+    regex-classified typed maps, all inside whole-stage codegen.
+
+    Built as TWO selectExpr strings (r11 optimization round): the
+    Column-API chain cost ~0.25 s of driver py4j/analysis time per build;
+    the strings are verbatim SQL spellings of the same expressions, so
+    the analyzed plan — and the parse — are identical."""
     div = 1000 if precision_ns else 1
-    out = (
-        df.withColumn("__head", head)
-        .withColumn("__ts", ts_str.cast("long"))
-        .select(
-            name.alias("name"),
-            F.coalesce(
-                F.str_to_map(tag_str, F.lit(","), F.lit("=")),
-                F.expr("cast(map() as map<string,string>)"),
-            ).alias("tags"),
-            F.transform_values(
-                F.map_filter(fmap, lambda k, v: is_float(v)), lambda k, v: v.cast("double")
-            ).alias("fields_f"),
-            F.transform_values(
-                F.map_filter(fmap, lambda k, v: is_int(v)),
-                lambda k, v: v.substr(F.lit(1), F.length(v) - 1).cast("long"),
-            ).alias("fields_i"),
-            F.expr("cast(map() as map<string,string>)").alias("fields_s"),
-            F.transform_values(
-                F.map_filter(fmap, lambda k, v: is_bool(v)),
-                lambda k, v: v.rlike("^(t|T|true|True|TRUE)$"),
-            ).alias("fields_b"),
-            # integer div — float division of ns epochs loses µs precision
-            F.timestamp_micros(F.expr(f"__ts div {div}")).alias("time"),
-        )
+    is_int = r"'^-?\\d+[iu]$'"
+    is_bool = "'^(t|T|true|True|TRUE|f|F|false|False|FALSE)$'"
+    is_true = "'^(t|T|true|True|TRUE)$'"
+    is_float = r"'^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$'"
+    pre = df.selectExpr(
+        f"element_at(split(`{col}`, ' '), 1) AS __head",
+        f"element_at(split(`{col}`, ' '), 2) AS __fs",
+        f"CAST(CASE WHEN size(split(`{col}`, ' ')) >= 3 "
+        f"THEN element_at(split(`{col}`, ' '), 3) END AS BIGINT) AS __ts",
     )
-    return out
+    return pre.selectExpr(
+        "substring_index(__head, ',', 1) AS name",
+        "coalesce(str_to_map(CASE WHEN instr(__head, ',') > 0 "
+        "THEN substring(__head, instr(__head, ',') + 1) END, ',', '='), "
+        "cast(map() as map<string,string>)) AS tags",
+        f"transform_values(map_filter(str_to_map(__fs, ',', '='), "
+        f"(k, v) -> v rlike {is_float}), (k, v) -> cast(v as double)) AS fields_f",
+        f"transform_values(map_filter(str_to_map(__fs, ',', '='), "
+        f"(k, v) -> v rlike {is_int}), "
+        f"(k, v) -> cast(substring(v, 1, length(v) - 1) as bigint)) AS fields_i",
+        "cast(map() as map<string,string>) AS fields_s",
+        f"transform_values(map_filter(str_to_map(__fs, ',', '='), "
+        f"(k, v) -> v rlike {is_bool}), (k, v) -> v rlike {is_true}) AS fields_b",
+        # integer div — float division of ns epochs loses µs precision
+        f"timestamp_micros(__ts div {div}) AS time",
+    )
 
 
 def parse_lines(
@@ -410,56 +402,79 @@ def to_line_protocol(
     writable to text/Kafka. ``precision`` renders the trailing timestamp
     in ns/u/ms/s units (the reference's .precision() option,
     /root/reference/pipeline/influxdb_out.go)."""
-    mcol = F.lit(measurement) if isinstance(measurement, str) else measurement
+    # ONE selectExpr string (r11 optimization round): the Column-API
+    # chain cost ~0.2 s of driver py4j/analysis time per build. Literal
+    # keys (measurement string, tag/field names) escape in PYTHON at
+    # build time — regexp_replace of a literal is a constant — while
+    # data-dependent values keep the identical regexp_replace expression.
+    import re as _re
+
+    def _esc_lit(s: str) -> str:
+        return _re.sub(r"([,= ])", r"\\\1", s)
+
+    def _sq(s: str) -> str:
+        # single-quoted SQL string literal (escape backslash + quote)
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    esc_val = (
+        lambda e: f"regexp_replace({e}, '([,= ])', '\\\\\\\\$1')"
+    )  # SQL sees pattern ([,= ]) and replacement \\$1 — same as _escape_key
+    if isinstance(measurement, str):
+        mexpr = _sq(_esc_lit(measurement))
+        pre = df
+    else:
+        # arbitrary measurement Column: project it once, escape in SQL
+        pre = df.withColumn("__kspark_m", measurement)
+        mexpr = esc_val("cast(__kspark_m as string)")
     fields = field_cols or [
         c for c in df.columns if c not in tag_cols and c != time_col
     ]
-    parts: list[Column] = [_escape_key(mcol)]
+    parts: list[str] = [mexpr]
     for t in tag_cols:
         parts.append(
-            F.when(
-                F.col(t).isNotNull(),
-                F.concat(F.lit(","), _escape_key(F.lit(t)), F.lit("="), _escape_key(F.col(t).cast("string"))),
-            ).otherwise(F.lit(""))
+            f"CASE WHEN `{t}` IS NOT NULL THEN concat(',', {_sq(_esc_lit(t))}, "
+            f"'=', {esc_val(f'cast(`{t}` as string)')}) ELSE '' END"
         )
     field_frags = []
+    dtypes = dict(df.dtypes)
     for fld in fields:
-        dt = dict(df.dtypes)[fld]
-        v = F.col(fld)
+        dt = dtypes[fld]
         if dt in ("bigint", "int", "smallint", "tinyint", "long"):
-            rendered = F.concat(v.cast("string"), F.lit("i"))
+            rendered = f"concat(cast(`{fld}` as string), 'i')"
         elif dt == "boolean":
-            rendered = F.when(v, "true").otherwise("false")
+            rendered = f"CASE WHEN `{fld}` THEN 'true' ELSE 'false' END"
         elif dt == "string":
-            rendered = F.concat(
-                F.lit('"'),
-                F.regexp_replace(F.regexp_replace(v, r"\\", r"\\\\"), '"', '\\\\"'),
-                F.lit('"'),
+            # pattern \\ (one literal backslash), replacement \\\\ (two);
+            # then " -> \" — identical to the old _escape chain
+            rendered = (
+                "concat('\"', regexp_replace(regexp_replace("
+                f"`{fld}`, '\\\\\\\\', '\\\\\\\\\\\\\\\\'), "
+                "'\"', '\\\\\\\\\"'), '\"')"
             )
         else:
             # %.17g-style shortest-roundtrip float rendering: Spark's
             # string cast of DoubleType is already round-trippable
-            rendered = v.cast("string")
+            rendered = f"cast(`{fld}` as string)"
         field_frags.append(
-            F.when(
-                v.isNotNull(),
-                F.concat(_escape_key(F.lit(fld)), F.lit("="), rendered),
-            )
+            f"CASE WHEN `{fld}` IS NOT NULL THEN "
+            f"concat({_sq(_esc_lit(fld))}, '=', {rendered}) END"
         )
-    field_str = F.concat_ws(",", *field_frags)
-    um = F.unix_micros(F.col(time_col))
+    field_str = "concat_ws(',', " + ", ".join(field_frags) + ")"
+    um = f"unix_micros(`{time_col}`)"
     scaled = {
-        "ns": um * 1000,
+        "ns": f"{um} * 1000",
         "u": um,
-        "ms": (um / 1000).cast("long"),
-        "s": (um / 1_000_000).cast("long"),
+        "ms": f"cast({um} / 1000 as bigint)",
+        "s": f"cast({um} / 1000000 as bigint)",
     }
     try:
-        ts = scaled[precision].cast("string")
+        ts = f"cast({scaled[precision]} as string)"
     except KeyError:
         raise ValueError(f"precision must be one of {sorted(scaled)}, got {precision!r}")
-    line = F.concat(*parts, F.lit(" "), field_str, F.lit(" "), ts)
-    return df.select(line.alias("line"))
+    line = (
+        "concat(" + ", ".join(parts) + ", ' ', " + field_str + ", ' ', " + ts + ")"
+    )
+    return pre.selectExpr(f"{line} AS line")
 
 
 def _esc_key_py(s: str, what: str) -> str:
