@@ -1989,53 +1989,59 @@ def simhash_near_dup_q(spark, sf_dir):
     # 98k-row expansion joins disappear entirely (2.6 → ~1.0 s total).
     # ONE action computes blocked / brute / within side-tagged (every
     # job boundary is a stall ambient load can land on — the r7 lesson).
-    import uuid
+    # Column API throughout, NOT spark.sql: in this Spark build, plans
+    # built via spark.sql (temp views or {df} substitution) never get
+    # CacheManager substitution, so the persisted class table would be
+    # recomputed per branch (measured: the whole band-join family ran
+    # ~2x slower under a view-based SQL rewrite of this machinery).
+    from kapacitor_spark.dataprep.dedup import simhash_band_expr
 
     docs = _t(spark, sf_dir, "documents")
     sh = simhash(_spread(docs))
     cl = signature_classes(sh, "simhash", "doc_id").persist()
-    view = f"__kspark_shq_{uuid.uuid4().hex[:8]}"
-    cl.createOrReplaceTempView(view)
-    width = 16  # 64 bits / (max_hamming 3 + 1) bands
-    band_arr = "array(" + ", ".join(
-        f"(shiftright(simhash, {b * width}) & {(1 << width) - 1})"
-        for b in range(4)
-    ) + ")"
-    counts_df = spark.sql(f"""
-        WITH banded AS (
-          SELECT simhash, band, band_val
-          FROM {view}
-          LATERAL VIEW posexplode({band_arr}) AS band, band_val
-        ),
-        bl AS (
-          SELECT DISTINCT a.simhash AS sa, b.simhash AS sb
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.band_val = b.band_val
-          WHERE a.simhash < b.simhash
-            AND bit_count(a.simhash ^ b.simhash) <= 3
-        ),
-        br AS (
-          SELECT a.simhash AS sa, b.simhash AS sb
-          FROM {view} a CROSS JOIN {view} b
-          WHERE a.simhash < b.simhash
-            AND bit_count(a.simhash ^ b.simhash) <= 3
-        ),
-        tagged AS (
-          SELECT 'blocked' AS side, sa, sb FROM bl
-          UNION ALL
-          SELECT 'brute' AS side, sa, sb FROM br
-        )
-        SELECT side, sum(wa.__m * wb.__m) AS n
-        FROM tagged
-        JOIN {view} wa ON sa = wa.simhash
-        JOIN {view} wb ON sb = wb.simhash
-        GROUP BY side
-        UNION ALL
-        SELECT 'within' AS side, sum(__m * (__m - 1) div 2) AS n
-        FROM {view} WHERE __m > 1
-    """)
-    counts = {r["side"]: r["n"] for r in counts_df.collect() if r["n"] is not None}
-    spark.catalog.dropTempView(view)
+    # fill the cache with ONE cheap action before the 7-branch counts
+    # action: concurrent query stages racing an unfilled cache each
+    # recompute the signature fold (measured 11.8 s vs ~2 s prefetched)
+    cl.count()
+    banded = cl.select(
+        "simhash", F.posexplode(simhash_band_expr("simhash", 3)).alias("band", "band_val")
+    )
+    ba, bb = banded.alias("a"), banded.alias("b")
+    bl = (
+        ba.join(bb, ["band", "band_val"])
+        .filter(F.col("a.simhash") < F.col("b.simhash"))
+        .filter(F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))) <= 3)
+        .select(F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb"))
+        .distinct()
+    )
+    ca = cl.select(F.col("simhash").alias("sa"))
+    cb = cl.select(F.col("simhash").alias("sb"))
+    br = (
+        ca.crossJoin(cb)
+        .filter(F.col("sa") < F.col("sb"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+    )
+    tagged = bl.withColumn("side", F.lit("blocked")).unionByName(
+        br.withColumn("side", F.lit("brute"))
+    )
+    wa = cl.select(F.col("simhash").alias("sa"), F.col("__m").alias("__ma"))
+    wb = cl.select(F.col("simhash").alias("sb"), F.col("__m").alias("__mb"))
+    weighted = (
+        tagged.join(wa, "sa")
+        .join(wb, "sb")
+        .groupBy("side")
+        .agg(F.sum(F.col("__ma") * F.col("__mb")).alias("n"))
+    )
+    within_df = (
+        cl.filter(F.col("__m") > 1)
+        .agg(F.sum(F.expr("__m * (__m - 1) div 2")).alias("n"))
+        .select(F.lit("within").alias("side"), "n")
+    )
+    counts = {
+        r["side"]: r["n"]
+        for r in weighted.unionByName(within_df).collect()
+        if r["n"] is not None
+    }
     cl.unpersist()  # counts are done; don't leak cache entries across runs
     within = int(counts.get("within", 0))
     n_blocked = int(counts.get("blocked", 0)) + within

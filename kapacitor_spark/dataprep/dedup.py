@@ -652,83 +652,58 @@ def simhash_near_dup(
     # expand path: the band join needs only the DISTINCT signature value
     # (8 B/row — no representative id: the signature itself is the
     # canonical total order for unordered-pair dedup, sa < sb), so the
-    # self-join input is the narrowest possible projection of classes.
-    #
-    # The whole pair pipeline below is ONE spark.sql statement over two
-    # temp views (r11 optimization round): the Column-API form was ~15
-    # incremental DataFrame ops, each re-running analysis over the
-    # growing tree (which contains the 64-term signature fold) — ~0.4 s
-    # of pure driver time per build, paid by every consumer of this
-    # machinery (simhash/image/audio/video dedup, the streaming matcher's
-    # static side). One SQL parse + one analysis pass builds the
-    # IDENTICAL logical plan:
-    # * banded: posexplode of the (k+1) disjoint bit bands per distinct
-    #   signature; * sig_pairs: band equi-join, sa < sb canonical order,
-    #   Hamming filtered BEFORE the distinct exchange;
-    # * pair_src: verified cross pairs ∪ m≥2 identical classes as
-    #   signature SELF-pairs (s, s, 0) — one expansion pipeline for both.
-    #   The m>1 filter keeps pair_src O(verified pairs + dup classes), so
-    #   AQE can broadcast it into the expansion joins (forcing the hint
-    #   measured slightly slower at sf0.1 than letting AQE decide);
-    # * expansion: two member equi-joins; for self-pairs the member join
-    #   yields each unordered pair twice (plus the diagonal) and the
-    #   __ia < __ib guard keeps exactly one copy, while cross pairs pass
-    #   unconditionally, canonically ordered by least/greatest. No
-    #   distinct over expanded rows is ever needed: one signature per
-    #   doc → one source row per doc pair.
-    import uuid
-
-    spark = sh.sparkSession
-    tag = uuid.uuid4().hex[:8]
-    sh_v, cl_v = f"__kspark_sh_{tag}", f"__kspark_cl_{tag}"
-    sh.createOrReplaceTempView(sh_v)
-    classes.createOrReplaceTempView(cl_v)
-    nbands = max_hamming + 1
-    width = 64 // nbands
-    if nbands == 1:
-        band_arr = "array(simhash)"
-    else:
-        band_arr = "array(" + ", ".join(
-            f"(shiftright(simhash, {b * width}) & {(1 << width) - 1})"
-            for b in range(nbands)
-        ) + ")"
-    out = spark.sql(f"""
-        WITH banded AS (
-          SELECT simhash, band, band_val
-          FROM {cl_v}
-          LATERAL VIEW posexplode({band_arr}) AS band, band_val
-        ),
-        sig_pairs AS (
-          SELECT DISTINCT __sa, __sb, hamming FROM (
-            SELECT a.simhash AS __sa, b.simhash AS __sb,
-                   bit_count(a.simhash ^ b.simhash) AS hamming
-            FROM banded a JOIN banded b
-              ON a.band = b.band AND a.band_val = b.band_val
-            WHERE a.simhash < b.simhash
-          ) WHERE hamming <= {max_hamming}
-        ),
-        pair_src AS (
-          SELECT __sa, __sb, hamming FROM sig_pairs
-          UNION ALL
-          SELECT simhash AS __sa, simhash AS __sb, CAST(0 AS INT) AS hamming
-          FROM {cl_v} WHERE __m > 1
+    # self-join input is the narrowest possible projection of classes
+    banded = classes.select(
+        "simhash", F.posexplode(band_cols).alias("band", "band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    sig_pairs = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("a.simhash") < F.col("b.simhash"))
+        .select(
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
-        SELECT least(ma.__ia, mb.__ib) AS id_a,
-               greatest(ma.__ia, mb.__ib) AS id_b,
-               pair_src.hamming AS hamming
-        FROM pair_src
-        JOIN (SELECT simhash AS __sa, `{id_col}` AS __ia FROM {sh_v}) ma
-          USING (__sa)
-        JOIN (SELECT simhash AS __sb, `{id_col}` AS __ib FROM {sh_v}) mb
-          USING (__sb)
-        WHERE __sa != __sb OR __ia < __ib
-    """)
-    # spark.sql analyzes eagerly (the returned plan holds the RESOLVED
-    # view subtrees), so the temp names can be dropped immediately —
-    # they must not accumulate in the catalog across bench runs
-    spark.catalog.dropTempView(sh_v)
-    spark.catalog.dropTempView(cl_v)
-    return out
+        # filter BEFORE the dedup shuffle: candidates failing the Hamming
+        # bound (the vast majority) never reach the distinct exchange
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    # ONE expansion pipeline for both cross-class and within-class pairs:
+    # an m≥2 identical class is a signature SELF-pair (s, s, hamming 0) —
+    # unioning those with the verified cross pairs lets a single
+    # join(members)×2 expand everything. For self-pairs the member join
+    # yields each unordered pair twice (plus the diagonal); the
+    # __ia < __ib guard keeps exactly one copy, while cross pairs (one
+    # member from each side) pass unconditionally and are canonically
+    # ordered by least/greatest. No distinct over expanded rows is ever
+    # needed: one signature per doc → one source row per doc pair.
+    # The m>1 filter keeps pair_src O(verified pairs + dup classes) —
+    # small relative to the corpus whenever collapse matters, so AQE can
+    # broadcast it into the expansion joins (forcing the hint was tried
+    # and measured slightly SLOWER at sf0.1 than letting AQE decide).
+    pair_src = sig_pairs.unionByName(
+        classes.filter(F.col("__m") > 1).select(
+            F.col("simhash").alias("__sa"),
+            F.col("simhash").alias("__sb"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+    ma = sh.select(F.col("simhash").alias("__sa"), F.col(id_col).alias("__ia"))
+    mb = sh.select(F.col("simhash").alias("__sb"), F.col(id_col).alias("__ib"))
+    return (
+        pair_src.join(ma, "__sa")
+        .join(mb, "__sb")
+        .filter((F.col("__sa") != F.col("__sb")) | (F.col("__ia") < F.col("__ib")))
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "hamming",
+        )
+    )
 
 
 def ngram_jaccard_dedup(
