@@ -3823,6 +3823,27 @@ def _mem_name(prefix: str) -> str:
     return f"{prefix}_{uuid.uuid4().hex[:8]}"
 
 
+def _state_parts(spark, approx_keys: int) -> int:
+    """State-partition count for a replay's stateful operator, sized to
+    its STATE CARDINALITY rather than cluster width (r11 optimization
+    round, guide §2.2 "fewer, larger partitions"): each state partition
+    costs a commit (delta file + fsync + rename) EVERY batch plus, for
+    keyed Python state machines, a Python-worker round-trip — measured
+    here at ~17 ms per partition per batch (addBatch 868 ms at 32
+    partitions vs 320 ms at 4 for the same 3600-key aggregation), pure
+    overhead when partitions hold a handful of keys. Rule: ~1000+ keys
+    per partition, floor 4 (keep a few cores busy), cap at the cluster's
+    parallelism (a million-key deployment gets cluster-wide partitions;
+    the cap — not the floor — is what binds at 100 TB). ``approx_keys``
+    is the operator's state-key cardinality bound known from the query
+    shape (e.g. groups × windows); an over-estimate only costs extra
+    partitions."""
+    import math
+
+    par = spark.sparkContext.defaultParallelism
+    return max(4, min(par, math.ceil(approx_keys / 1000)))
+
+
 @_q(
     "stream_window_mean",
     """SELECT date_trunc('hour', ts) AS ts, event_type,
@@ -3855,7 +3876,9 @@ def stream_window_mean(spark, sf_dir):
         )
     )
     return run_available_now(
-        agg, _mem_name("swm"), _ckpt(), output_mode="complete"
+        agg, _mem_name("swm"), _ckpt(), output_mode="complete",
+        # state keys = hour-windows × event_type ≈ 720 × 5 = 3600
+        state_partitions=_state_parts(spark, 3600),
     )
 
 
@@ -3892,7 +3915,9 @@ stream
     sdf = _stream_t(spark, sf_dir, "events")
     outs = run_tickscript_stream(script, sources={"events": sdf}, time_col="ts")
     return run_available_now(
-        outs["win"], _mem_name("tsw"), _ckpt(), output_mode="complete"
+        outs["win"], _mem_name("tsw"), _ckpt(), output_mode="complete",
+        # state keys = hour-windows × event_type ≈ 720 × 5 = 3600
+        state_partitions=_state_parts(spark, 3600),
     ).select("ts", "event_type", "mean_value")
 
 
@@ -3940,6 +3965,11 @@ stream
     )
     return run_available_now(
         outs["alerts"], _mem_name("tsa"), _ckpt()
+        # NO state_partitions pin: this operator is a keyed PYTHON state
+        # machine over every event row — per-batch compute parallelism
+        # (one Arrow worker per partition) dominates the per-partition
+        # commit cost, so cluster-width partitions win (A/B measured:
+        # min 3.7 s at 4 partitions vs 1.9-2.6 s at 32)
     ).select("ts", "user_id", "value", "level")
 
 
@@ -4005,7 +4035,9 @@ stream
         script, sources={"events": sdf}, time_col="ts",
     )
     return run_available_now(
-        outs["alerts"], _mem_name("tswa"), _ckpt()
+        outs["alerts"], _mem_name("tswa"), _ckpt(),
+        # state keys = event_type groups (5) each holding open windows
+        state_partitions=_state_parts(spark, 5),
     ).select("ts", "event_type", "mx", "level")
 
 
@@ -4082,6 +4114,9 @@ stream
     )
     return run_available_now(
         outs["alerts"], _mem_name("tsca"), _ckpt()
+        # NO state_partitions pin: keyed Python state machine over every
+        # event row — worker parallelism dominates commit overhead (see
+        # tick_stream_alert)
     ).select("ts", "user_id", "mx", "level", "dur")
 
 

@@ -1660,7 +1660,11 @@ def window_count_alert_stream(
 
 
 def run_available_now(
-    stream_df: DataFrame, name: str, checkpoint: str, output_mode: str = "append"
+    stream_df: DataFrame,
+    name: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming query over all currently-available input and
     return the result as a (batch) DataFrame from the memory sink — the
@@ -1671,16 +1675,44 @@ def run_available_now(
     ``output_mode='complete'`` for windowed aggregations without a
     watermark (the replay equivalent of "emit everything at end of
     stream"); 'append' for stateful applyInPandasWithState operators,
-    which emit per micro-batch."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    which emit per micro-batch.
+
+    ``state_partitions``: partition count for the query's STATEFUL
+    operators (fixed for the checkpoint's lifetime by the first batch
+    from ``spark.sql.shuffle.partitions``). Size it to STATE CARDINALITY,
+    not cluster width: every state partition pays a per-batch commit
+    (delta-file create + fsync + rename in the HDFS-backed provider) and,
+    for applyInPandasWithState, a Python worker round-trip — measured on
+    this engine's replay shape: addBatch 868 ms at 32 partitions vs
+    320 ms at 4 for an identical 3600-key aggregation (~17 ms per
+    partition per batch of pure commit overhead). Keys-per-partition
+    around ~1000+ keeps that overhead marginal; a high-cardinality
+    deployment raises it accordingly (more keys → more partitions, up to
+    cluster parallelism — never fewer than the cluster can usefully run
+    when per-partition state or throughput is the constraint). ``None``
+    (default) leaves the session setting untouched. Results are
+    partition-count independent: state is keyed, aggregation merge is
+    associative/commutative, and per-key ordering is event-time driven.
+    The session conf is pinned only for this (blocking) run and restored
+    after."""
+    spark = stream_df.sparkSession
+    prev_parts: str | None = None
+    if state_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(state_partitions)))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return stream_df.sparkSession.table(name)
 
 

@@ -1722,3 +1722,55 @@ def test_simhash_ingest_updates_history_across_batches(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(hist_dir).select("doc_id").collect()
     )
     assert hist_ids == [1, 100]
+
+
+def test_run_available_now_state_partitions(spark, tmp_path):
+    """state_partitions (r11): identical results with a state-cardinality-
+    sized partition count, and the session's shuffle-partitions setting is
+    restored afterwards — including when the run fails."""
+    path = str(tmp_path / "in_sp")
+    _write_batches(
+        spark,
+        path,
+        [
+            [
+                ("2024-01-01 00:00:00", "a", 10.0),
+                ("2024-01-01 00:00:10", "a", 95.0),
+                ("2024-01-01 00:05:20", "b", 96.0),
+                ("2024-01-01 00:11:50", "b", 99.0),
+            ]
+        ],
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def agg():
+        src = spark.readStream.schema(SCHEMA).parquet(path)
+        return (
+            src.groupBy(F.window("t", "10 minutes").alias("w"), "host")
+            .agg(F.count("value").alias("n"), F.sum("value").alias("s"))
+            .select(F.col("w.start").alias("t"), "host", "n", "s")
+        )
+
+    base = run_available_now(
+        agg(), "sp_base", str(tmp_path / "cp_sp_base"), output_mode="complete"
+    )
+    small = run_available_now(
+        agg(), "sp_small", str(tmp_path / "cp_sp_small"),
+        output_mode="complete", state_partitions=2,
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    key = lambda r: (r.t, r.host, r.n, r.s)
+    assert sorted(map(key, base.collect())) == sorted(map(key, small.collect()))
+    # the pinned value really reached the stateful operator: the state
+    # store checkpoint has exactly 2 partition dirs for batch 0
+    state_root = tmp_path / "cp_sp_small" / "state" / "0"
+    parts = sorted(p.name for p in state_root.iterdir() if p.name.isdigit())
+    assert parts == ["0", "1"]
+    # restore-on-failure: a bad plan must not leak the pinned conf
+    with pytest.raises(Exception):
+        run_available_now(
+            agg().selectExpr("no_such_column"),
+            "sp_bad", str(tmp_path / "cp_sp_bad"),
+            output_mode="complete", state_partitions=3,
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
