@@ -5534,8 +5534,19 @@ def stream_dedup_match(spark, sf_dir):
     hist = docs.filter("doc_id % 2 = 0")
     arriving = docs.filter("doc_id % 2 = 1")
     hsig = simhash(_spread(hist)).persist()
-    matches = simhash_match_stream(arriving, hsig, max_hamming=3)
-    asig = simhash(_spread(arriving))
+    # share ONE arriving-side fold between the matcher and the brute
+    # check (r11: sig_df seam — the matcher otherwise re-tokenizes and
+    # re-hashes the arriving half inside the same counts action), and
+    # pre-fill both signature caches with a cheap action each: the
+    # 3-consumer counts action otherwise races the unfilled caches and
+    # recomputes the folds per branch (measured on the simhash query:
+    # 11.8 s racing vs ~2.3 s prefilled)
+    asig = simhash(_spread(arriving)).persist()
+    hsig.count()
+    asig.count()
+    matches = simhash_match_stream(
+        arriving.select("doc_id"), hsig, max_hamming=3, sig_df=asig
+    )
     brute = (
         asig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
         .crossJoin(
@@ -5552,6 +5563,7 @@ def stream_dedup_match(spark, sf_dir):
         .collect()
     }
     hsig.unpersist()
+    asig.unpersist()
     return spark.createDataFrame(
         # default 0 on both sides: empty corpus → no rows → 0 == 0 complete
         [(int(counts.get("m", 0)), bool(counts.get("m", 0) == counts.get("b", 0)))],

@@ -2009,6 +2009,7 @@ def simhash_match_stream(
     id_col: str = "doc_id",
     history_id: str = "history_id",
     persist_static: bool = True,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """CONTINUOUS near-dup detection: match a document stream against a
     corpus signature table — the ingestion-pipeline shape ("is this new
@@ -2045,8 +2046,20 @@ def simhash_match_stream(
     from kapacitor_spark.dataprep.cache import track
     from kapacitor_spark.dataprep.dedup import simhash, simhash_band_expr
 
+    # ``sig_df``: optionally pass the stream side's already-computed
+    # (id, simhash, keep...) table to share the fold with another
+    # consumer (same seam as dedup.simhash_near_dup's sig_df — a BATCH
+    # completeness check that also brute-scans the arrivals otherwise
+    # tokenizes + hashes the arriving half twice in one action). The
+    # caller guarantees provenance: it must be dedup.simhash over the
+    # same rows with the same normalization, carrying every non-id
+    # column of ``stream_df``.
     keep = [c for c in stream_df.columns if c != id_col]
-    sig = simhash(stream_df, text_col, id_col, keep=keep)
+    sig = (
+        sig_df
+        if sig_df is not None
+        else simhash(stream_df, text_col, id_col, keep=keep)
+    )
     stream_banded = sig.select(
         "*",
         F.posexplode(simhash_band_expr("simhash", max_hamming)).alias(
