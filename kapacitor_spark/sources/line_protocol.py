@@ -223,7 +223,21 @@ def parse_lines(
         & line.rlike(r"^[^ #][^ ]* [^ ]+( -?\d+)?$")
     )
     fast_part = _parse_lines_jvm(df.filter(simple), col, precision_ns)
-    slow_part = _parse_lines_python(df.filter(~simple), col, precision_ns)
+    slow_src = df.filter(~simple)
+    if not slow_src.isStreaming:
+        # AQE-rebalance boundary before the Python stage (r11, guide
+        # §2.2/§4): without it the exact parser inherits the SOURCE's
+        # partitioning, so a clean corpus still launches one (empty)
+        # Python task per input partition — measured 0.45 s of pure
+        # worker round-trips per run at sf0.1 (hybrid 0.73 s vs 0.28 s
+        # JVM-only with zero slow rows). Rebalance lets AQE size the
+        # Python stage to the slow branch's ACTUAL bytes: empty → one
+        # task; an escape-heavy ingest → advisory-sized partitions. The
+        # shuffle moves only the slow rows (normally a sliver). Streaming
+        # inputs keep the direct plan — no AQE there, and a per-batch
+        # shuffle of the slow sliver would cost more than idle workers.
+        slow_src = slow_src.hint("rebalance")
+    slow_part = _parse_lines_python(slow_src, col, precision_ns)
     return fast_part.unionByName(slow_part)
 
 
