@@ -3841,7 +3841,10 @@ def _state_parts(spark, approx_keys: int) -> int:
     import math
 
     par = spark.sparkContext.defaultParallelism
-    return max(4, min(par, math.ceil(approx_keys / 1000)))
+    # clamp order matters: the parallelism CAP must win over the floor of
+    # 4, or a low-core run (the driver also benches at reduced cores)
+    # would get more state partitions than it has cores
+    return max(1, min(par, max(4, math.ceil(approx_keys / 1000))))
 
 
 @_q(
