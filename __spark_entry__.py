@@ -1973,22 +1973,24 @@ def simhash_near_dup_q(spark, sf_dir):
         _spread, signature_classes, simhash,
     )
 
-    # CLASS-WEIGHTED counts (r11 optimization round): both sides now run
-    # over ONE row per DISTINCT signature with multiplicity weights —
-    # Σ m_a·m_b over qualifying signature pairs plus Σ C(m,2) within
-    # identical classes — instead of materializing every doc pair. The
-    # numbers are exactly the old per-doc-pair counts (signatures are
-    # pure functions of text, so an (s_a, s_b) signature pair contributes
-    # m_a·m_b doc pairs on BOTH sides), and the structural check is
-    # unchanged: `bl` finds pairs through the (k+1)-band pigeonhole
-    # blocking, `br` through an exhaustive all-distinct-pairs Hamming
-    # scan that never touches bands. blocked ⊆ brute still holds (same
-    # Hamming filter, blocked only over banded candidates), so weighted-
-    # sum equality is set equality. Measured: the 5000² doc-pair cross
-    # join was 0.35 s; the 3897² class cross join is 0.06 s, and the
-    # 98k-row expansion joins disappear entirely (2.6 → ~1.0 s total).
-    # ONE action computes blocked / brute / within side-tagged (every
-    # job boundary is a stall ambient load can land on — the r7 lesson).
+    # CLASS-WEIGHTED counts (r11), restructured to ONE cross join + ONE
+    # aggregate (r12, VERDICT r11 #2): both sides count over ONE row per
+    # DISTINCT signature with multiplicity weights — Σ m_a·m_b over
+    # qualifying signature pairs plus Σ C(m,2) within identical classes —
+    # exactly the per-doc-pair counts (signatures are pure functions of
+    # text). The brute side NEEDS the all-distinct-signatures cross join
+    # (it is the exhaustive Hamming scan); blocked membership for a pair
+    # is then a pure EXPRESSION — "agrees on ≥1 pigeonhole band" — so the
+    # r11 shape's band explode+self-join, distinct, union and two weight
+    # joins (7 query-stage branches, ~0.3-0.5 s on top of the fold)
+    # collapse into conditional sums inside the same aggregate. The
+    # structural check is unchanged: `brute` counts all Hamming≤k pairs
+    # with no reference to bands, `blocked` counts the subset the
+    # (k+1)-band pigeonhole blocking reaches (same band values via
+    # simhash_band_expr, compared position-wise), and blocked ⊆ brute by
+    # construction makes weighted-sum equality set equality. The diagonal
+    # (sa = sb) rides the same cross join once (sa <= sb) and carries the
+    # within-class C(m,2) term, so ONE action returns all three sums.
     # Column API throughout, NOT spark.sql: in this Spark build, plans
     # built via spark.sql (temp views or {df} substitution) never get
     # CacheManager substitution, so the persisted class table would be
@@ -1999,53 +2001,40 @@ def simhash_near_dup_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     sh = simhash(_spread(docs))
     cl = signature_classes(sh, "simhash", "doc_id").persist()
-    # fill the cache with ONE cheap action before the 7-branch counts
-    # action: concurrent query stages racing an unfilled cache each
-    # recompute the signature fold (measured 11.8 s vs ~2 s prefetched)
+    # fill the cache with ONE cheap action before the counts action: the
+    # cross join consumes cl on both sides, and concurrent query stages
+    # racing an unfilled cache each recompute the signature fold
+    # (measured 11.8 s vs ~2 s prefetched)
     cl.count()
-    banded = cl.select(
-        "simhash", F.posexplode(simhash_band_expr("simhash", 3)).alias("band", "band_val")
+    pa = cl.select(F.col("simhash").alias("sa"), F.col("__m").alias("__ma"))
+    pb = cl.select(F.col("simhash").alias("sb"), F.col("__m").alias("__mb"))
+    pairs = pa.crossJoin(pb).filter(
+        (F.col("sa") <= F.col("sb"))
+        & (F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
     )
-    ba, bb = banded.alias("a"), banded.alias("b")
-    bl = (
-        ba.join(bb, ["band", "band_val"])
-        .filter(F.col("a.simhash") < F.col("b.simhash"))
-        .filter(F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))) <= 3)
-        .select(F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb"))
-        .distinct()
+    # position-wise band agreement — same band values the blocking join
+    # equi-joins on (simhash_band_expr), so this IS the pigeonhole test
+    share_band = F.array_contains(
+        F.zip_with(
+            simhash_band_expr("sa", 3),
+            simhash_band_expr("sb", 3),
+            lambda x, y: x == y,
+        ),
+        F.lit(True),
     )
-    ca = cl.select(F.col("simhash").alias("sa"))
-    cb = cl.select(F.col("simhash").alias("sb"))
-    br = (
-        ca.crossJoin(cb)
-        .filter(F.col("sa") < F.col("sb"))
-        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
-    )
-    tagged = bl.withColumn("side", F.lit("blocked")).unionByName(
-        br.withColumn("side", F.lit("brute"))
-    )
-    wa = cl.select(F.col("simhash").alias("sa"), F.col("__m").alias("__ma"))
-    wb = cl.select(F.col("simhash").alias("sb"), F.col("__m").alias("__mb"))
-    weighted = (
-        tagged.join(wa, "sa")
-        .join(wb, "sb")
-        .groupBy("side")
-        .agg(F.sum(F.col("__ma") * F.col("__mb")).alias("n"))
-    )
-    within_df = (
-        cl.filter(F.col("__m") > 1)
-        .agg(F.sum(F.expr("__m * (__m - 1) div 2")).alias("n"))
-        .select(F.lit("within").alias("side"), "n")
-    )
-    counts = {
-        r["side"]: r["n"]
-        for r in weighted.unionByName(within_df).collect()
-        if r["n"] is not None
-    }
+    cross = F.col("sa") < F.col("sb")
+    w = F.col("__ma") * F.col("__mb")
+    row = pairs.agg(
+        F.sum(F.when(cross & share_band, w)).alias("blocked"),
+        F.sum(F.when(cross, w)).alias("brute"),
+        F.sum(
+            F.when(F.col("sa") == F.col("sb"), F.expr("__ma * (__ma - 1) div 2"))
+        ).alias("within"),
+    ).collect()[0]
     cl.unpersist()  # counts are done; don't leak cache entries across runs
-    within = int(counts.get("within", 0))
-    n_blocked = int(counts.get("blocked", 0)) + within
-    n_brute = int(counts.get("brute", 0)) + within
+    within = int(row["within"] or 0)
+    n_blocked = int(row["blocked"] or 0) + within
+    n_brute = int(row["brute"] or 0) + within
     return spark.createDataFrame(
         # default 0, not -1: on an EMPTY corpus both sides return no rows
         # and 0 == 0 is genuinely complete (blocked ⊆ brute)
