@@ -712,11 +712,13 @@ def point_transforms(spark, sf_dir):
 def state_tracking(spark, sf_dir):
     """stateCount + stateDuration — /root/reference/state_tracking.go:111-189:
     consecutive-true counter / duration, -1 when false. Streak ids via a
-    running boundary sum (pure window functions, no Python state)."""
-    p = (
-        _events_by_user(spark, sf_dir)
-        .state_count("value > 100", as_="state_n")
-        .state_duration("value > 100", unit="1s", as_="state_dur")
+    running boundary sum (pure window functions, no Python state). Both
+    outputs share one streak computation + one per-streak window
+    (Pipeline._state_track — the chained state_count().state_duration()
+    build runs the identical machinery twice: 6 Window / 4 Sort vs
+    4 Window / 2 Sort fused, same values)."""
+    p = _events_by_user(spark, sf_dir)._state_track(
+        "value > 100", "1s", "state_n", "state_dur"
     )
     return p.result().select("event_id", "user_id", "state_n", "state_dur")
 

@@ -620,6 +620,35 @@ class Pipeline:
         out = F.when(ok, dur).otherwise(F.lit(-1.0))
         return self._with(df.withColumn(as_, out).drop("__ok", "__streak"))
 
+    def _state_track(
+        self,
+        cond: str | Column,
+        unit: str | float,
+        count_as: str,
+        dur_as: str,
+    ) -> "Pipeline":
+        """Fused state_count + state_duration over ONE streak computation.
+        The chained calls each rebuild the lag+boundary-cumsum machinery
+        and re-sort for their per-streak window (plan: 6 Window / 4 Sort
+        operators); both outputs are pure functions of the same streak id
+        and the same per-streak ordering, so the fusion computes them in
+        one per-streak window (4 Window / 2 Sort) — identical values."""
+        df, ok = self._streak_id(self._expr(cond))
+        w = Window.partitionBy(
+            *[F.col(d) for d in self.dims], F.col("__streak")
+        ).orderBy(self.time_col, *self.tiebreak)
+        cnt = F.when(ok, F.row_number().over(w)).otherwise(F.lit(-1)).cast("long")
+        unit_us = round(parse_duration(unit) * 1_000_000)
+        dur = (
+            F.unix_micros(self.time) - F.unix_micros(F.min(self.time_col).over(w))
+        ) / F.lit(float(unit_us))
+        out = F.when(ok, dur).otherwise(F.lit(-1.0))
+        return self._with(
+            df.withColumn(count_as, cnt)
+            .withColumn(dur_as, out)
+            .drop("__ok", "__streak")
+        )
+
     def sigma(self, fld: str, as_: str = "sigma") -> "Pipeline":
         """Number of standard deviations from the running mean
         (/root/reference/tick/stateful/functions.go:1131-1163, Welford):

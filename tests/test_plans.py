@@ -666,3 +666,34 @@ def test_parse_lines_slow_branch_rebalanced_batch_only(spark):
     assert sparsed.isStreaming
     splan = sparsed._jdf.queryExecution().logical().toString()
     assert "rebalance" not in splan.lower()
+
+
+def test_state_track_fused_single_streak_pass(spark):
+    """r12: state_tracking computes both stateCount and stateDuration from
+    ONE streak computation + ONE per-streak window (chained
+    state_count().state_duration() rebuilds the lag+cumsum machinery and
+    re-sorts per call: 6 Window / 4 Sort). Values must equal the chained
+    build exactly."""
+    from kapacitor_spark import Pipeline
+    from kapacitor_spark.session import read_table
+
+    ev = read_table(spark, f"{SF_DIR}/events.parquet")
+    p0 = Pipeline.from_df(
+        ev, time_col="ts", dims=("user_id",), tiebreak=("event_id",)
+    )
+    fused = p0._state_track("value > 100", "1s", "state_n", "state_dur").result()
+    fused = fused.select("event_id", "user_id", "state_n", "state_dur")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fused.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count(") Sort") <= 2, plan
+    assert plan.count(") Window") <= 3, plan
+    chained = (
+        p0.state_count("value > 100", as_="state_n")
+        .state_duration("value > 100", unit="1s", as_="state_dur")
+        .result()
+        .select("event_id", "user_id", "state_n", "state_dur")
+    )
+    assert chained.exceptAll(fused).count() == 0
+    assert fused.exceptAll(chained).count() == 0
