@@ -333,6 +333,13 @@ def main() -> int:
     compact["queries_cold"] = {
         k: v for k, v in full["queries_cold"].items() if k in _PERSISTERS
     }
+    # per-query normalized values on the compact line (VERDICT r11 #8:
+    # round-over-round comparison should be box-independent without
+    # digging into bench_full.json). 2 decimals keeps the line under the
+    # driver's ~2000-byte stdout capture; full precision in the file.
+    compact["queries_normalized"] = {
+        n: round(v, 2) for n, v in full["queries_normalized"].items()
+    }
     compact["normalized_total_sec"] = full["normalized_total_sec"]
     compact["normalized_min_total_sec"] = full["normalized_min_total_sec"]
     compact["full"] = "bench_full.json"
