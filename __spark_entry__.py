@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kapacitor_spark import Pipeline
-from kapacitor_spark.session import read_table
+from kapacitor_spark.session import local_df, read_table
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
@@ -2037,11 +2037,16 @@ def simhash_near_dup_q(spark, sf_dir):
     within = int(row["within"] or 0)
     n_blocked = int(row["blocked"] or 0) + within
     n_brute = int(row["brute"] or 0) + within
-    return spark.createDataFrame(
-        # default 0, not -1: on an EMPTY corpus both sides return no rows
-        # and 0 == 0 is genuinely complete (blocked ⊆ brute)
-        [(n_blocked, bool(n_blocked == n_brute))],
-        "n_pairs long, complete boolean",
+    # JVM-pure constant result (r12): createDataFrame of local rows slices
+    # across defaultParallelism Python-worker round trips (32 slices, 31
+    # empty — ~0.15 s each sequential under coalesce, ~0.3-0.8 s parallel)
+    # EVERY time the returned frame is executed; range(1)+lit is a pure
+    # LocalTableScan projection with no Python boundary at all.
+    # default 0, not -1: on an EMPTY corpus both sides return no rows
+    # and 0 == 0 is genuinely complete (blocked ⊆ brute)
+    return spark.range(1).select(
+        F.lit(n_blocked).cast("long").alias("n_pairs"),
+        F.lit(bool(n_blocked == n_brute)).alias("complete"),
     )
 
 
@@ -3705,7 +3710,8 @@ def multimodal_decode_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("h"))
     gray = F.concat(F.lit(b"P5\n2 2\n255\n"), F.unhex(F.substring("h", 1, 8)))
     rgb = F.concat(F.lit(b"P6\n2 2\n255\n"), F.unhex(F.substring("h", 1, 24)))
-    lut = spark.createDataFrame(
+    lut = local_df(  # 256 tiny rows: one slice, not 32 Python hops (r12)
+        spark,
         [(v,
           jpegcodec.encode(8, 8, bytes([v]) * 64, channels=1, quality=90),
           gifcodec.encode(2, 2, bytes([v]) * 12, channels=3),
@@ -4030,7 +4036,12 @@ stream
     )
     return run_available_now(
         outs["alerts"], _mem_name("tswa"), _ckpt(),
-        # state keys = event_type groups (5) each holding open windows
+        # keyed-state cardinality: the stateful operator is the fused
+        # window+alert Python machine keyed by event_type (5 groups, each
+        # holding its open-window partials in ONE state row) — not the
+        # ~3600 (window x type) keys a JVM window aggregation would hold.
+        # 5 and 3600 both clamp to the floor of 4 here, but the knob is
+        # sized to the OPERATOR's key count by design.
         state_partitions=_state_parts(spark, 5),
     ).select("ts", "event_type", "mx", "level")
 
@@ -5558,10 +5569,12 @@ def stream_dedup_match(spark, sf_dir):
     }
     hsig.unpersist()
     asig.unpersist()
-    return spark.createDataFrame(
-        # default 0 on both sides: empty corpus → no rows → 0 == 0 complete
-        [(int(counts.get("m", 0)), bool(counts.get("m", 0) == counts.get("b", 0)))],
-        "n_matches long, complete boolean",
+    # JVM-pure constant result (r12, same reasoning as simhash_near_dup):
+    # no Python-worker fan-out on every execution of the returned frame.
+    # default 0 on both sides: empty corpus → no rows → 0 == 0 complete
+    return spark.range(1).select(
+        F.lit(int(counts.get("m", 0))).cast("long").alias("n_matches"),
+        F.lit(bool(counts.get("m", 0) == counts.get("b", 0))).alias("complete"),
     )
 
 
@@ -5847,7 +5860,8 @@ def audio_decode(spark, sf_dir):
     ulaw_header = audiocodec.encode_wav(
         np.zeros((2, 1)), 8000, codec="ulaw"
     )[:-2]
-    flac_lut = spark.createDataFrame(
+    flac_lut = local_df(  # 256 tiny rows: one slice, not 32 Python hops (r12)
+        spark,
         [(b,
           flaccodec.encode(
               np.full((2, 1), ((b - 128) << 8) / 32767.0), 8000

@@ -1236,7 +1236,14 @@ def _driver_union_find(pairs: DataFrame, rows: list) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", id_type), T.StructField("keeper", id_type)]
     )
-    return pairs.sparkSession.createDataFrame(out, schema)
+    from kapacitor_spark.session import local_df
+
+    # one slice per ~100k rows: a driver-built cluster table is small by
+    # contract (bounded union-find path); the default 32-way slicing costs
+    # a Python-worker round trip per slice on every downstream action (r12)
+    return local_df(
+        pairs.sparkSession, out, schema, slices=1 + len(out) // 100_000
+    )
 
 
 def near_dup_clusters(

@@ -335,7 +335,10 @@ def ann_recall(
         ).count()
         recall = hits / float(nq * k) if nq else 0.0
         spark = corpus.sparkSession
-        return spark.createDataFrame(
+        from kapacitor_spark.session import local_df
+
+        return local_df(  # one-row summary: one slice, not 32 (r12)
+            spark,
             [(name, nq, bool(recall >= recall_floor))],
             "method string, n_queries long, recall_ok boolean",
         )

@@ -432,7 +432,9 @@ def autoscale_events(
         )
         for rid in rids
     ]
-    tags_df = spark.createDataFrame(tags_rows, schema=tags_schema)
+    from kapacitor_spark.session import local_df
+
+    tags_df = local_df(spark, tags_rows, tags_schema)  # tiny broadcast side (r12)
     ev = decisions.filter(F.col("__action") != "drop").join(
         F.broadcast(tags_df), "__rid"
     )

@@ -124,6 +124,21 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     sc._kapacitor_spark_shipped = True
 
 
+def local_df(spark: SparkSession, rows, schema, slices: int = 1):
+    """createDataFrame for SMALL driver-local row lists without the
+    default parallelize fan-out: ``spark.createDataFrame(list)`` slices
+    the data across defaultParallelism partitions (on local[32]: 32
+    slices, most empty for tiny fixtures/LUTs), and EVERY action on the
+    frame then pays one Python-worker round trip per slice — ~0.15 s
+    each when a coalesce(1) serializes them (measured: a one-row
+    append-write went 5.5 s → 0.4 s with one slice). Lookup tables and
+    constant results are a few KB; one partition is the right layout.
+    Results are identical — this only sets the partition count."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, max(1, int(slices))), schema
+    )
+
+
 def read_table(spark: SparkSession, path: str):
     """Read a parquet table, transparently handling TIMESTAMP(NANOS) columns.
 

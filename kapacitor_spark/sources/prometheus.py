@@ -126,7 +126,10 @@ def scrape_targets(
     fetch = _make_fetch(job, timeout, set(blacklist), tolerant, default_ts)
 
     norm = _norm_targets(targets)
-    tdf = spark.createDataFrame(
+    from kapacitor_spark.session import local_df
+
+    tdf = local_df(  # tiny target list: one slice before the spread (r12)
+        spark,
         [(u, _json.dumps(l) if l else None) for u, l in norm],
         "url string, labels_json string",
     )
