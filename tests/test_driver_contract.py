@@ -7,6 +7,9 @@ CORRECTNESS row at scoring time, far from the edit that caused it)."""
 import os
 import sys
 
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
 import duckdb
 import pytest
 
@@ -126,14 +129,18 @@ def test_schema_exactness_vs_oracle(spark, sf_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = entry_mod.oracle_sql()
     bad = []
-    for name, fn in entry_mod.queries().items():
+    lock = threading.Lock()
+
+    def check(item):
+        name, fn = item
         if name not in oracles:
-            continue
-        sdf = fn(spark, sf_dir)  # schema only — no action runs
+            return
+        sdf = fn(spark, sf_dir)  # schema only — no action runs (batch)
         got = {f.name: _canon_spark(f.dataType) for f in sdf.schema.fields}
-        oschema = con.sql(
-            f"SELECT * FROM ({oracles[name]}) LIMIT 0"
-        ).arrow().schema
+        with lock:  # one shared DuckDB connection; LIMIT 0 probes are ms
+            oschema = con.sql(
+                f"SELECT * FROM ({oracles[name]}) LIMIT 0"
+            ).arrow().schema
         want = {f.name: _canon_arrow(f.type) for f in oschema}
         if got != want:
             diffs = {
@@ -142,5 +149,17 @@ def test_schema_exactness_vs_oracle(spark, sf_dir):
                 if got.get(k) != want.get(k)
             }
             bad.append((name, diffs))
+
+    # Same split as tests/test_oracle_all.py: streaming-machinery queries
+    # pin session conf for their (blocking) replay, so they run serially;
+    # batch builds are driver-side plan analysis that threads overlap
+    # fine (guide §2.6).
+    items = list(entry_mod.queries().items())
+    parallel = [i for i in items if not any(m in i[0] for m in ("stream", "tick_"))]
+    serial = [i for i in items if any(m in i[0] for m in ("stream", "tick_"))]
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        list(pool.map(check, parallel))
+    for i in serial:
+        check(i)
     con.close()
     assert not bad, f"Spark/oracle schema mismatches (spark, oracle): {bad}"
