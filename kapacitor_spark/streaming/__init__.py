@@ -25,6 +25,7 @@ below, because event order across micro-batches requires keyed state.
 
 from __future__ import annotations
 
+import threading
 from typing import Iterator, Sequence
 
 import numpy as np
@@ -1659,6 +1660,9 @@ def window_count_alert_stream(
     )
 
 
+_RUN_AVAILABLE_NOW_LOCK = threading.Lock()
+
+
 def run_available_now(
     stream_df: DataFrame,
     name: str,
@@ -1697,22 +1701,31 @@ def run_available_now(
     after."""
     spark = stream_df.sparkSession
     prev_parts: str | None = None
-    if state_partitions is not None:
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(int(state_partitions)))
-    try:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        if prev_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # Serialize replays (ADVICE r11): the pinned shuffle-partitions value
+    # is session-wide while this blocking run plans its first batch, so a
+    # concurrently started query would silently inherit it (and two
+    # interleaved pinned runs could restore a stale value). The lock makes
+    # the pin run-scoped; unpinned runs take it too so they can never
+    # start inside another run's pin window.
+    with _RUN_AVAILABLE_NOW_LOCK:
+        if state_partitions is not None:
+            prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(int(state_partitions))
+            )
+        try:
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if prev_parts is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return stream_df.sparkSession.table(name)
 
 
@@ -2055,11 +2068,19 @@ def simhash_match_stream(
     # same rows with the same normalization, carrying every non-id
     # column of ``stream_df``.
     keep = [c for c in stream_df.columns if c != id_col]
-    sig = (
-        sig_df
-        if sig_df is not None
-        else simhash(stream_df, text_col, id_col, keep=keep)
-    )
+    if sig_df is not None:
+        # fail fast on a mismatched sig_df (ADVICE r11): a signature table
+        # missing stream columns yields wrong matches with no error until
+        # (or without) an AnalysisException far from the call site
+        missing = [c for c in ("simhash", id_col, *keep) if c not in sig_df.columns]
+        if missing:
+            raise ValueError(
+                f"sig_df must carry 'simhash' plus every stream_df column; "
+                f"missing {missing}"
+            )
+        sig = sig_df
+    else:
+        sig = simhash(stream_df, text_col, id_col, keep=keep)
     stream_banded = sig.select(
         "*",
         F.posexplode(simhash_band_expr("simhash", max_hamming)).alias(

@@ -639,7 +639,7 @@ def test_q19_disjunction_pushes_cnf_residues(spark):
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
 
 
-def test_parse_lines_slow_branch_rebalanced_batch_only(spark):
+def test_parse_lines_slow_branch_rebalanced_batch_only(spark, tmp_path):
     """r11: the hybrid line-protocol parser's exact-Python branch sits
     behind an AQE rebalance boundary on BATCH inputs, so its Python task
     count tracks the slow rows' actual volume (a clean corpus runs ONE
@@ -657,9 +657,7 @@ def test_parse_lines_slow_branch_rebalanced_batch_only(spark):
     # streaming twin: same call path must stay legal and boundary-free
     # (optimizedPlan would demand writeStream; the logical plan carries
     # the hint when present, so it is the right surface to assert on)
-    import tempfile
-
-    d = tempfile.mkdtemp()
+    d = str(tmp_path / "pl_in")
     batch.write.mode("overwrite").parquet(d)
     sdf = spark.readStream.schema("line string").parquet(d)
     sparsed = parse_lines(sdf, col="line")
