@@ -93,7 +93,7 @@ def run() -> int:
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
-    def timed(label, fn, n=2):
+    def timed(label, fn, n=int(os.environ.get("SFX_RUNS", "2"))):
         best = None
         for _ in range(n):
             t0 = time.time()
@@ -133,10 +133,13 @@ def run() -> int:
     def run_span():
         noop(span_dedup_stats(docs))
 
-    timed("cm_rollup", run_cm)
-    timed("simhash_counts", run_simhash_counts)
-    timed("minhash_near_dup", run_minhash)
-    timed("span_dedup_stats", run_span)
+    only = set(os.environ.get("SFX_ONLY", "").split(",")) - {""}
+    for label, fn in [("cm_rollup", run_cm),
+                      ("simhash_counts", run_simhash_counts),
+                      ("minhash_near_dup", run_minhash),
+                      ("span_dedup_stats", run_span)]:
+        if not only or label in only:
+            timed(label, fn)
     return 0
 
 
